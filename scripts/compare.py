@@ -1,0 +1,95 @@
+#!/usr/bin/env python3
+"""Local replica of the driver's correctness gate.
+
+Usage: python3 scripts/compare.py <sfDir> <outDir>
+
+Loads each SparkEntry query result (parquet written by graft.Verify),
+runs the corresponding oracle SQL from oracle_sql.json in DuckDB over
+the same sf tables, sorts columns by name and rows by all columns, and
+compares cell values exactly. Mirrors the driver's hash-match check so
+parity bugs surface before the round gate runs.
+"""
+import duckdb
+import glob
+import json
+import math
+import sys
+
+TABLES = ["region", "nation", "customer", "supplier", "part",
+          "orders", "lineitem", "events", "documents", "embeddings"]
+
+
+def canon(df):
+    df = df.reindex(sorted(df.columns), axis=1)
+    df = df.sort_values(by=list(df.columns), ignore_index=True)
+    return df
+
+
+def cells_equal(a, b):
+    if a is None and b is None:
+        return True
+    if isinstance(a, float) and isinstance(b, float):
+        if math.isnan(a) and math.isnan(b):
+            return True
+        return a == b
+    try:
+        if a != a and b != b:  # NaN-ish (pandas NaT etc.)
+            return True
+    except Exception:
+        pass
+    return a == b
+
+
+def main():
+    sfdir, outdir = sys.argv[1], sys.argv[2]
+    con = duckdb.connect()
+    for t in TABLES:
+        con.execute(
+            f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
+    oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    n_pass = n_fail = 0
+    for name in sorted(oracle):
+        files = glob.glob(f"{outdir}/{name}/*.parquet")
+        if not files:
+            print(f"FAIL {name}: no spark output")
+            n_fail += 1
+            continue
+        got = con.execute(
+            f"SELECT * FROM read_parquet('{outdir}/{name}/*.parquet')").df()
+        try:
+            exp = con.execute(oracle[name]).df()
+        except Exception as e:
+            print(f"FAIL {name}: oracle error {e}")
+            n_fail += 1
+            continue
+        got, exp = canon(got), canon(exp)
+        if list(got.columns) != list(exp.columns):
+            print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+            n_fail += 1
+            continue
+        if len(got) != len(exp):
+            print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            n_fail += 1
+            continue
+        bad = []
+        for c in got.columns:
+            gv, ev = got[c].tolist(), exp[c].tolist()
+            for i, (g, e) in enumerate(zip(gv, ev)):
+                if not cells_equal(g, e):
+                    bad.append((c, i, g, e))
+                    if len(bad) > 4:
+                        break
+            if len(bad) > 4:
+                break
+        if bad:
+            print(f"FAIL {name}: {len(bad)}+ diffs, first: {bad[:3]}")
+            n_fail += 1
+        else:
+            print(f"PASS {name} ({len(got)} rows)")
+            n_pass += 1
+    print(f"== {n_pass} pass, {n_fail} fail ==")
+    sys.exit(1 if n_fail else 0)
+
+
+if __name__ == "__main__":
+    main()
