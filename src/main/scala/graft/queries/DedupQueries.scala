@@ -1,0 +1,113 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.operators.Dedup
+
+/** Deduplication surface over `documents` (BASELINE north star).
+  *
+  * The shingle / minhash construction is salted-md5-based precisely so the
+  * DuckDB oracle can replay it: engine-native hash functions (xxhash64)
+  * are faster but not reproducible outside Spark — those power the
+  * rows-only SimHash entry instead.
+  */
+object DedupQueries {
+
+  /** Shared DuckDB CTE: doc_id + distinct 3-shingle set (1-based list
+    * indexing; mirrors TextFns.shingles exactly). */
+  private val SHINGLES_CTE =
+    """tok AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 3)""".stripMargin
+
+  /** Shared DuckDB tail: exact jaccard for candidate pairs in `cand(i,j)`. */
+  private val JACCARD_TAIL =
+    """ex AS (SELECT doc_id, unnest(sh) AS s FROM tok),
+      |common AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS c
+      |  FROM ex a JOIN ex b ON a.s = b.s AND a.doc_id < b.doc_id
+      |  GROUP BY 1, 2),
+      |sz AS (SELECT doc_id, len(sh) AS n FROM tok),
+      |jac AS (
+      |  SELECT common.i, common.j, c * 1.0 / (x.n + y.n - c) AS jaccard
+      |  FROM common JOIN sz x ON x.doc_id = common.i
+      |              JOIN sz y ON y.doc_id = common.j)""".stripMargin
+
+  // ---------------------------------------------------------------- d01
+  // Exact dedup: content-hash groups with survivor selection.
+  val d01ExactDedup: Q = Q(
+    "d01_exact_dedup",
+    """SELECT md5(text) AS content_hash, COUNT(*) AS n_docs,
+      |  MIN(doc_id) AS keeper_doc_id
+      |FROM documents GROUP BY 1 ORDER BY content_hash""".stripMargin) { (s, d) =>
+    Dedup.exactGroups(t(s, d, "documents"), "doc_id", "text")
+      .orderBy("content_hash")
+  }
+
+  // ---------------------------------------------------------------- d02
+  // N-gram Jaccard near-dup: inverted-index join on shingles (pairs
+  // sharing ≥1 shingle), exact jaccard, threshold 0.5.
+  val d02NgramJaccard: Q = Q(
+    "d02_ngram_jaccard",
+    s"""WITH $SHINGLES_CTE,
+       |$JACCARD_TAIL
+       |SELECT i, j, ROUND(jaccard, 4) AS jaccard
+       |FROM jac WHERE jaccard >= 0.5 ORDER BY i, j""".stripMargin) { (s, d) =>
+    Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", 0.5)
+      .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("i", "j")
+  }
+
+  // ---------------------------------------------------------------- d03
+  // MinHash+LSH near-dup: 16 salted-md5 minhashes, 4 bands × 4 rows,
+  // bucket-join candidates, exact-jaccard verification at 0.5. With
+  // ≥0.5-similar pairs the 4×4 scheme's detection probability is
+  // 1-(1-s⁴)⁴ ≈ 0.98 at s=0.8 — and the planted dups sit ≥0.8.
+  val d03MinhashLsh: Q = Q(
+    "d03_minhash_lsh",
+    s"""WITH $SHINGLES_CTE,
+       |exm AS (SELECT doc_id, unnest(sh) AS s FROM tok),
+       |mh AS (
+       |  SELECT doc_id, seed, MIN(md5(concat_ws('|', seed, s))) AS m
+       |  FROM exm CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
+       |  GROUP BY 1, 2),
+       |bands AS (
+       |  SELECT doc_id, seed // 4 AS band,
+       |    md5(string_agg(m, '|' ORDER BY seed)) AS sig
+       |  FROM mh GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
+       |  FROM bands a JOIN bands b
+       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |$JACCARD_TAIL
+       |SELECT cand.i AS i, cand.j AS j, ROUND(jaccard, 4) AS jaccard
+       |FROM cand JOIN jac ON jac.i = cand.i AND jac.j = cand.j
+       |WHERE jaccard >= 0.5 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text", 0.5)
+      .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
+      .orderBy("i", "j")
+  }
+
+  // ---------------------------------------------------------------- d04
+  // SimHash near-dup (rows-only: engine-native xxhash64 bits aren't
+  // reproducible in DuckDB; semantics unit-tested in DedupSpec).
+  val d04Simhash: Q = Q.rowsOnly("d04_simhash_pairs") { (s, d) =>
+    val sh = Dedup.simhash64(t(s, d, "documents"), "doc_id", "text")
+    val a = sh.select(col("doc_id").as("i"), col("simhash").as("ha"))
+    val b = sh.select(col("doc_id").as("j"), col("simhash").as("hb"))
+    // Block on the high 16 bits so the self-join is keyed, not a cross
+    // join (near-identical docs share the prefix with high probability).
+    a.withColumn("blk", shiftright(col("ha"), 48))
+      .join(b.withColumn("blk", shiftright(col("hb"), 48)), Seq("blk"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"), Dedup.hamming(col("ha"), col("hb")).as("hamming"))
+      .filter(col("hamming") <= 3)
+      .orderBy("i", "j")
+  }
+
+  val all: Seq[Q] = Seq(d01ExactDedup, d02NgramJaccard, d03MinhashLsh, d04Simhash)
+}

@@ -1,0 +1,143 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions.TextFns._
+
+/** Text-analysis surface over the `documents` table (BASELINE north star:
+  * the operators a training-data pipeline runs at 100 TB). All pure
+  * column expressions — embarrassingly parallel, no shuffle except the
+  * final aggregations, and the scan only reads the columns each query
+  * projects.
+  */
+object TextQueries {
+
+  private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
+    t(s, d, "documents")
+
+  // ---------------------------------------------------------------- t01
+  // Token counting + basic stats per document.
+  val t01TokenStats: Q = Q(
+    "t01_token_stats",
+    """SELECT doc_id, n_chars,
+      |  len(string_split(text, ' ')) AS n_tokens,
+      |  len(list_distinct(string_split(text, ' '))) AS n_distinct_tokens,
+      |  ROUND(CAST(length(replace(text, ' ', '')) AS DOUBLE)
+      |        / NULLIF(len(string_split(text, ' ')), 0), 4) AS avg_token_len
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val tok = tokens(col("text"))
+    docs(s, d).select(
+      col("doc_id"), col("n_chars"),
+      size(tok).cast("bigint").as("n_tokens"),
+      size(array_distinct(tok)).cast("bigint").as("n_distinct_tokens"),
+      round(length(regexp_replace(col("text"), " ", "")).cast("double")
+        / nullif(size(tok).cast("bigint"), lit(0)), 4).as("avg_token_len"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- t02
+  // Quality scoring: length / punctuation / stopword-ratio heuristics —
+  // the standard pre-training quality filters.
+  val t02QualityScore: Q = Q(
+    "t02_quality_score",
+    """WITH f AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tok,
+      |    ROUND(CAST(length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+      |          / NULLIF(length(text), 0), 4) AS punct_ratio
+      |  FROM documents)
+      |SELECT doc_id,
+      |  len(tok) AS n_tokens, punct_ratio,
+      |  ROUND(CAST(len(list_filter(tok, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+      |        / NULLIF(len(tok), 0), 4) AS stopword_ratio,
+      |  (len(tok) BETWEEN 10 AND 1000
+      |    AND punct_ratio <= 0.1
+      |    AND len(list_filter(tok, x -> x IN ('the', 'a', 'of', 'and', 'to'))) > 0) AS passes_quality
+      |FROM f ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val stops = Seq("the", "a", "of", "and", "to")
+    val base = docs(s, d).select(
+      col("doc_id"), tokens(col("text")).as("tok"),
+      punctRatio(col("text")).as("punct_ratio"))
+    base.select(
+      col("doc_id"),
+      size(col("tok")).cast("bigint").as("n_tokens"),
+      col("punct_ratio"),
+      round(markerHits(col("tok"), stops).cast("double")
+        / nullif(size(col("tok")).cast("bigint"), lit(0)), 4).as("stopword_ratio"),
+      (size(col("tok")).between(10, 1000)
+        && col("punct_ratio") <= 0.1
+        && markerHits(col("tok"), stops) > 0).as("passes_quality"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- t03
+  // Language-ID via stopword-marker argmax with a deterministic
+  // tie-break (first language code in de<en<es<fr order among maxima;
+  // 'und' when no marker hits at all).
+  val t03LangId: Q = Q(
+    "t03_lang_id", {
+      val scoreSql = langMarkers.map { case (code, ms) =>
+        s"len(list_filter(tok, x -> x IN (${ms.map("'" + _ + "'").mkString(", ")}))) AS $code"
+      }.mkString(",\n      |    ")
+      s"""WITH s AS (
+         |  SELECT doc_id, lang AS labeled_lang,
+         |    $scoreSql
+         |  FROM (SELECT doc_id, lang, string_split(text, ' ') AS tok FROM documents))
+         |SELECT doc_id, labeled_lang,
+         |  CASE WHEN greatest(de, en, es, fr) = 0 THEN 'und'
+         |       WHEN de = greatest(de, en, es, fr) THEN 'de'
+         |       WHEN en = greatest(de, en, es, fr) THEN 'en'
+         |       WHEN es = greatest(de, en, es, fr) THEN 'es'
+         |       ELSE 'fr' END AS predicted_lang
+         |FROM s ORDER BY doc_id""".stripMargin
+    }) { (s, d) =>
+    val base = docs(s, d).select(
+      col("doc_id"), col("lang").as("labeled_lang"), tokens(col("text")).as("tok"))
+    val scored = base.select(
+      (Seq(col("doc_id"), col("labeled_lang")) ++
+        langMarkers.map { case (code, ms) =>
+          markerHits(col("tok"), ms).as(code)
+        }): _*)
+    val g = greatest(langMarkers.map(m => col(m._1)): _*)
+    scored.select(
+      col("doc_id"), col("labeled_lang"),
+      when(g === 0, "und")
+        .when(col("de") === g, "de")
+        .when(col("en") === g, "en")
+        .when(col("es") === g, "es")
+        .otherwise("fr").as("predicted_lang"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- t04
+  // Document fingerprint: md5 over the sorted distinct token set —
+  // collapses word-order permutations (key-collapse canonicalization).
+  val t04Fingerprint: Q = Q(
+    "t04_fingerprint",
+    """SELECT md5(array_to_string(list_sort(list_distinct(string_split(text, ' '))), ' ')) AS fp,
+      |  COUNT(*) AS n_docs, MIN(doc_id) AS keeper_doc_id
+      |FROM documents GROUP BY 1 ORDER BY fp""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .groupBy(fingerprint(col("text")).as("fp"))
+      .agg(count(lit(1)).as("n_docs"), min("doc_id").as("keeper_doc_id"))
+      .orderBy("fp")
+  }
+
+  // ---------------------------------------------------------------- t05
+  // Corpus token histogram (word count) with deterministic top-50.
+  val t05TokenHistogram: Q = Q(
+    "t05_token_histogram",
+    """SELECT token, COUNT(*) AS n
+      |FROM (SELECT unnest(string_split(text, ' ')) AS token FROM documents)
+      |GROUP BY token ORDER BY n DESC, token LIMIT 50""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(explode(tokens(col("text"))).as("token"))
+      .groupBy("token")
+      .agg(count(lit(1)).as("n"))
+      .orderBy(col("n").desc, col("token"))
+      .limit(50)
+  }
+
+  val all: Seq[Q] = Seq(
+    t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint, t05TokenHistogram)
+}

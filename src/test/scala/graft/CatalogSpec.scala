@@ -1,0 +1,56 @@
+package graft
+
+import graft.queries._
+
+/** Smoke + golden checks over the full declared catalog at sf0.001. */
+class CatalogSpec extends SparkSpec {
+
+  test("catalog names are unique and every oracle key has a query") {
+    val names = SparkEntry.catalog.map(_.name)
+    assert(names.distinct.size === names.size)
+    assert(SparkEntry.oracleSql.keySet.subsetOf(SparkEntry.queries.keySet))
+  }
+
+  test("entry returns rows") {
+    assert(SparkEntry.entry(spark).count() > 0)
+  }
+
+  for (q <- SparkEntry.catalog) {
+    test(s"${q.name} executes and returns rows at sf0.001") {
+      val df = q.fn(spark, sfDir)
+      assert(df.count() > 0, s"${q.name} returned no rows")
+    }
+  }
+
+  test("q01 golden: six returnflag/linestatus groups with exact counts") {
+    val rows = CoreQueries.q01PricingSummary.fn(spark, sfDir)
+      .select("l_returnflag", "l_linestatus", "count_order")
+      .collect().map(r => (r.getString(0), r.getString(1))).toSet
+    assert(rows.size === 6)
+  }
+
+  test("q08 dedup keeps exactly one row per (user_id, event_type)") {
+    val df = CoreQueries.q08DedupRownum.fn(spark, sfDir)
+    assert(df.groupBy("user_id", "event_type").count()
+      .filter("count > 1").count() === 0)
+  }
+
+  test("q12 date spine is 31 days with correct weekend flags") {
+    val rows = CoreQueries.q12DateSpine.fn(spark, sfDir).collect()
+    assert(rows.length === 31)
+    // 2024-01-01 is a Monday: dow=1, not weekend, holiday.
+    val jan1 = rows.head
+    assert(jan1.getAs[Int]("dow") === 1)
+    assert(!jan1.getAs[Boolean]("is_weekend"))
+    assert(jan1.getAs[Boolean]("is_holiday"))
+    // 2024-01-06 is a Saturday.
+    assert(rows(5).getAs[Boolean]("is_weekend"))
+  }
+
+  test("q07 topk returns exactly 10 in non-increasing spend order") {
+    val spends = CoreQueries.q07TopK.fn(spark, sfDir)
+      .collect().map(_.getAs[Double]("spend"))
+    assert(spends.length === 10)
+    assert(spends.sliding(2).forall(p => p(0) >= p(1)))
+  }
+}

@@ -1,0 +1,60 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.TextFns
+
+/** Golden-fixture tests for the dedup operators (planted duplicates with
+  * known relationships — the dbt-unit-test style the reference uses). */
+class DedupSpec extends SparkSpec {
+  import spark.implicits._
+
+  private val base = "the quick brown fox jumps over the lazy dog near the old river bank today"
+  private val nearDup = "the quick brown fox jumps over the lazy dog near the old river bank tonight"
+  private val distinct1 = "completely different words about spark query engines and columnar storage formats here"
+
+  private lazy val docs = Seq(
+    (0L, base), (1L, base), (2L, nearDup), (3L, distinct1)
+  ).toDF("doc_id", "text")
+
+  test("exactGroups collapses identical texts and keeps the min id") {
+    val g = Dedup.exactGroups(docs, "doc_id", "text").collect()
+    assert(g.length === 3)
+    val dupGroup = g.find(_.getAs[Long]("n_docs") == 2).get
+    assert(dupGroup.getAs[Long]("keeper_doc_id") === 0L)
+  }
+
+  test("shingles produce n-k+1 distinct trigrams in order") {
+    val sh = Seq(("x", "a b c d e")).toDF("id", "text")
+      .select(TextFns.shingles(col("text")).as("sh"))
+      .head().getSeq[String](0)
+    assert(sh === Seq("a b c", "b c d", "c d e"))
+  }
+
+  test("minhashLshPairs finds near-dups and identical pairs, not distinct docs") {
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs.contains((0L, 1L)), "identical pair missed")
+    assert(pairs.contains((0L, 2L)) && pairs.contains((1L, 2L)), "near-dup pair missed")
+    assert(!pairs.exists(p => p._1 == 3L || p._2 == 3L), "distinct doc matched")
+  }
+
+  test("ngramJaccardPairs agrees with minhashLsh on this fixture") {
+    val exact = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    val lsh = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.5)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(lsh.subsetOf(exact), "LSH produced a pair exact jaccard rejects")
+    assert(exact === lsh)
+  }
+
+  test("simhash: identical texts hash equal; unrelated texts are far") {
+    val sh = Dedup.simhash64(docs, "doc_id", "text")
+      .as[(Long, Long)].collect().toMap
+    assert(sh(0L) === sh(1L))
+    val hamming02 = java.lang.Long.bitCount(sh(0L) ^ sh(2L))
+    val hamming03 = java.lang.Long.bitCount(sh(0L) ^ sh(3L))
+    assert(hamming02 < hamming03, "near-dup should be closer than distinct doc")
+  }
+}

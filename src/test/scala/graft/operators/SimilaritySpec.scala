@@ -1,0 +1,48 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.Tables
+
+class SimilaritySpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val vecs = Seq(
+    (0L, Array(1.0f, 0.0f, 0.0f)),
+    (1L, Array(2.0f, 0.0f, 0.0f)),   // same direction as 0
+    (2L, Array(0.0f, 1.0f, 0.0f)),   // orthogonal
+    (3L, Array(-1.0f, 0.0f, 0.0f))   // opposite
+  ).toDF("vec_id", "embedding")
+
+  test("cosine: parallel=1, orthogonal=0, opposite=-1") {
+    val df = vecs.as("a").crossJoin(vecs.as("b"))
+      .select($"a.vec_id".as("i"), $"b.vec_id".as("j"),
+        round(Similarity.cosine(
+          Similarity.asDouble($"a.embedding"),
+          Similarity.asDouble($"b.embedding")), 6).as("c"))
+      .as[(Long, Long, Double)].collect()
+      .map(r => (r._1, r._2) -> r._3).toMap
+    assert(df((0L, 1L)) === 1.0)
+    assert(df((0L, 2L)) === 0.0)
+    assert(df((0L, 3L)) === -1.0)
+  }
+
+  test("bruteForceTopK ranks the co-directional vector first") {
+    val top = Similarity.bruteForceTopK(vecs, vecs.filter($"vec_id" === 0), 3)
+      .orderBy("rank").as[(Long, Long, Double, Int)].collect()
+    assert(top.head._2 === 1L)          // neighbor 1 (cos 1.0) first
+    assert(top.last._2 === 3L)          // opposite vector last
+  }
+
+  test("lshTopK achieves reasonable recall vs brute force on real embeddings") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val approx = Similarity.lshTopK(emb, queries, 10, nBits = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect approx).size.toDouble / exact.size
+    assert(recall > 0.2, s"LSH recall $recall too low — bucketing broken?")
+  }
+}
