@@ -1,0 +1,75 @@
+package graft.plans
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** dbt-style model DAG executed natively on Spark (SURVEY §3.1: "a
+  * ModelGraph of named DataFrame-producing nodes with explicit
+  * dependencies, topologically executed; each node = pure function
+  * Map[String, DataFrame] => DataFrame").
+  *
+  * Materializations mirror the reference's four strategies (M4):
+  * view → temp view (lazy, stays in the Catalyst plan — downstream nodes
+  * compose into ONE optimized plan, the Spark-native analog of dbt views);
+  * table → parquet write + re-read (cuts lineage, like a dbt table);
+  * external → parquet write at a caller-visible path, still in the DAG.
+  * Incremental/MERGE semantics live in operators.Mutation.
+  */
+object ModelGraph {
+
+  sealed trait Materialization
+  case object View extends Materialization
+  final case class Table(path: String, partitionBy: Seq[String] = Nil) extends Materialization
+  final case class External(path: String) extends Materialization
+
+  final case class Node(
+      name: String,
+      deps: Seq[String],
+      build: Map[String, DataFrame] => DataFrame,
+      materialization: Materialization = View)
+
+  /** Topological order via Kahn's algorithm; fails fast on cycles or
+    * missing deps (dbt parse-time behavior). */
+  def topoOrder(nodes: Seq[Node], sources: Set[String]): Seq[Node] = {
+    val byName = nodes.map(n => n.name -> n).toMap
+    nodes.foreach { n =>
+      n.deps.foreach { dep =>
+        require(byName.contains(dep) || sources.contains(dep),
+          s"node ${n.name} depends on unknown '$dep'")
+      }
+    }
+    val resolved = mutable.LinkedHashSet[String]() ++ sources
+    val out = mutable.ArrayBuffer[Node]()
+    var remaining = nodes
+    while (remaining.nonEmpty) {
+      val (ready, blocked) = remaining.partition(_.deps.forall(resolved.contains))
+      require(ready.nonEmpty,
+        s"cycle or unresolvable deps among: ${blocked.map(_.name).mkString(", ")}")
+      ready.foreach { n => resolved += n.name; out += n }
+      remaining = blocked
+    }
+    out.toSeq
+  }
+
+  /** Execute the DAG over source DataFrames; returns every node's frame. */
+  def run(spark: SparkSession, nodes: Seq[Node],
+      sourceFrames: Map[String, DataFrame]): Map[String, DataFrame] = {
+    val frames = mutable.Map[String, DataFrame]() ++ sourceFrames
+    topoOrder(nodes, sourceFrames.keySet).foreach { node =>
+      val df = node.build(frames.toMap)
+      val materialized = node.materialization match {
+        case View => df
+        case Table(path, parts) =>
+          val w = df.write.mode("overwrite")
+          (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(path)
+          spark.read.parquet(path)
+        case External(path) =>
+          df.coalesce(1).write.mode("overwrite").parquet(path)
+          spark.read.parquet(path)
+      }
+      frames += node.name -> materialized
+    }
+    frames.toMap
+  }
+}

@@ -1,0 +1,133 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.operators.{DataQuality, Medallion}
+import graft.plans.ModelGraph
+import graft.plans.ModelGraph.Node
+
+/** Medallion pipeline surface: the full Bronze→Silver→Gold flow as
+  * verifiable queries (batch path; the streaming twin lives in
+  * graft.streaming and is exercised by StreamingSpec).
+  *
+  * Bronze's ingestion_ts is pinned to a literal inside these queries so
+  * the dedup tie-break — and therefore the oracle — is deterministic;
+  * the production path passes current_timestamp().
+  */
+object PipelineQueries {
+
+  private val FIXED_INGEST = "2024-02-01 00:00:00"
+
+  /** Shared DuckDB CTE reproducing Medallion.silver (fixed ingest ts ⇒
+    * dedup order reduces to event_id DESC). */
+  private val SILVER_CTE =
+    """f AS (
+      |  SELECT * FROM events
+      |  WHERE ts IS NOT NULL AND user_id IS NOT NULL AND value >= 0
+      |    AND ts >= TIMESTAMP '2024-01-01 00:00:00'
+      |    AND ts <  TIMESTAMP '2024-02-01 00:00:00'),
+      |d AS (
+      |  SELECT *, ROW_NUMBER() OVER (PARTITION BY user_id, event_type, ts
+      |                               ORDER BY event_id DESC) AS rn
+      |  FROM f),
+      |silver AS (
+      |  SELECT
+      |    md5(concat_ws('|', CAST(user_id AS VARCHAR), event_type,
+      |        strftime(ts, '%Y-%m-%d %H:%M:%S'), CAST(event_id AS VARCHAR))) AS event_sk,
+      |    event_id, user_id, event_type, ts AS event_ts,
+      |    CAST(ts AS DATE) AS event_date, hour(ts) AS event_hour,
+      |    dayofweek(ts) AS event_dow, dayofweek(ts) IN (0, 6) AS is_weekend,
+      |    CAST(CAST(value AS DECIMAL(18,2)) AS DOUBLE) AS value, props
+      |  FROM d WHERE rn = 1)""".stripMargin
+
+  private def silverDf(s: org.apache.spark.sql.SparkSession, d: String) =
+    Medallion.silver(Medallion.bronze(
+      t(s, d, "events"), lit(FIXED_INGEST).cast("timestamp")))
+
+  // ---------------------------------------------------------------- p01
+  // Full Silver transform (P1+P2+P3+W1+F1 composed end-to-end).
+  val p01Silver: Q = Q(
+    "p01_silver",
+    s"""WITH $SILVER_CTE
+       |SELECT * FROM silver ORDER BY event_id""".stripMargin) { (s, d) =>
+    silverDf(s, d).orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------------- p02
+  // Gold daily summary built THROUGH the model graph (bronze → silver →
+  // mart as DAG nodes, all view-materialized ⇒ Catalyst fuses the whole
+  // lineage into one optimized plan).
+  val p02GoldDaily: Q = Q(
+    "p02_gold_daily",
+    s"""WITH $SILVER_CTE
+       |SELECT event_date, event_dow, is_weekend,
+       |  COUNT(*) AS n_events,
+       |  COUNT(DISTINCT user_id) AS n_users,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) / COUNT(*), 2) AS avg_value,
+       |  COUNT(*) FILTER (WHERE event_type = 'purchase') AS n_purchases,
+       |  COUNT(*) FILTER (WHERE event_type = 'error') AS n_errors
+       |FROM silver GROUP BY 1, 2, 3 ORDER BY event_date""".stripMargin) { (s, d) =>
+    val nodes = Seq(
+      Node("bronze", Seq("events"),
+        f => Medallion.bronze(f("events"), lit(FIXED_INGEST).cast("timestamp"))),
+      Node("silver", Seq("bronze"), f => Medallion.silver(f("bronze"))),
+      Node("mart_daily", Seq("silver"), f => Medallion.goldDailySummary(f("silver"))))
+    ModelGraph.run(s, nodes, Map("events" -> t(s, d, "events")))("mart_daily")
+      .orderBy("event_date")
+  }
+
+  // ---------------------------------------------------------------- p03
+  // Gold user rollup with exact percent-of-total window.
+  val p03UserStats: Q = Q(
+    "p03_user_stats",
+    s"""WITH $SILVER_CTE
+       |SELECT user_id, COUNT(*) AS n_events,
+       |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value,
+       |  MIN(event_ts) AS first_seen, MAX(event_ts) AS last_seen,
+       |  ROUND(CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) * 100.0 /
+       |    CAST(SUM(SUM(CAST(value AS DECIMAL(18,2)))) OVER () AS DOUBLE), 2) AS value_share_pct
+       |FROM silver GROUP BY user_id ORDER BY user_id""".stripMargin) { (s, d) =>
+    Medallion.goldUserStats(silverDf(s, d)).orderBy("user_id")
+  }
+
+  // ---------------------------------------------------------------- dq01
+  // Data-quality suite summary (reference §5's 91-test shape): every
+  // check returns violating rows; the summary counts them per check.
+  val dq01Summary: Q = Q(
+    "dq01_quality_summary",
+    """SELECT 'events_type_accepted' AS check_name, CAST(COUNT(*) AS BIGINT) AS violations
+      |FROM events WHERE event_type NOT IN ('click','view','purchase','signup','error')
+      |   OR event_type IS NULL
+      |UNION ALL
+      |SELECT 'events_user_notnull', CAST(COUNT(*) AS BIGINT) FROM events WHERE user_id IS NULL
+      |UNION ALL
+      |SELECT 'events_value_nonneg', CAST(COUNT(*) AS BIGINT) FROM events WHERE value < 0
+      |UNION ALL
+      |SELECT 'lineitem_pk_unique', CAST(COUNT(*) AS BIGINT) FROM (
+      |  SELECT l_orderkey, l_linenumber FROM lineitem
+      |  GROUP BY 1, 2 HAVING COUNT(*) > 1)
+      |UNION ALL
+      |SELECT 'lineitem_qty_range', CAST(COUNT(*) AS BIGINT) FROM lineitem
+      |WHERE l_quantity < 1 OR l_quantity > 50
+      |UNION ALL
+      |SELECT 'orders_custkey_fk', CAST(COUNT(*) AS BIGINT) FROM orders
+      |WHERE o_custkey IS NOT NULL
+      |  AND NOT EXISTS (SELECT 1 FROM customer WHERE c_custkey = o_custkey)
+      |ORDER BY check_name""".stripMargin) { (s, d) =>
+    import DataQuality._
+    val ev = t(s, d, "events"); val li = t(s, d, "lineitem")
+    summarize(Seq(
+      Check("events_type_accepted", acceptedValues(ev, "event_type",
+        Seq("click", "view", "purchase", "signup", "error"))),
+      Check("events_user_notnull", notNull(ev, "user_id")),
+      Check("events_value_nonneg", positiveValue(ev, "value")),
+      Check("lineitem_pk_unique", unique(li, Seq("l_orderkey", "l_linenumber"))),
+      Check("lineitem_qty_range", acceptedRange(li, "l_quantity", 1, 50)),
+      Check("orders_custkey_fk", relationships(
+        t(s, d, "orders"), "o_custkey", t(s, d, "customer"), "c_custkey"))))
+  }
+
+  val all: Seq[Q] = Seq(p01Silver, p02GoldDaily, p03UserStats, dq01Summary)
+}

@@ -1,0 +1,105 @@
+package graft.streaming
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.streaming.{DataStreamWriter, StreamingQuery, Trigger}
+import org.apache.spark.sql.types._
+
+import graft.operators.Medallion
+
+/** Structured Streaming surface (SURVEY §2.9). The reference's Kafka
+  * topics are modeled as file-stream sources here (no Kafka broker or
+  * connector jars in this environment); every transform below is
+  * source-agnostic — swapping `readStream.format("kafka")` in changes
+  * nothing downstream, which is the point of declaring the pipeline on
+  * unbounded DataFrames.
+  *
+  * Semantics carried over 1:1 from the reference:
+  *  - ST1 event-time watermark (10 s late tolerance)
+  *  - ST2 bounded backfill via Trigger.AvailableNow
+  *  - ST4 exactly-once = checkpointed source offsets + idempotent sink
+  *  - ST5 streaming dedup: withWatermark + dropDuplicates(naturalKey)
+  *  - ST7 tumbling-window rollup with append output
+  *  - ST8 DLQ split via foreachBatch dual-write
+  */
+object Streams {
+
+  /** Declared schema for the events wire format — streaming sources never
+    * infer schemas (reference bronze_ingest.py deliberately declares). */
+  val eventSchema: StructType = StructType(Seq(
+    StructField("event_id", LongType), StructField("ts", TimestampType),
+    StructField("user_id", LongType), StructField("event_type", StringType),
+    StructField("value", DoubleType), StructField("props", StringType)))
+
+  /** Unbounded source over a directory of parquet event files. */
+  def fileSource(spark: SparkSession, dir: String): DataFrame =
+    spark.readStream.schema(eventSchema)
+      .option("maxFilesPerTrigger", 4) // bounded micro-batches at scale
+      .parquet(dir)
+
+  /** Bronze: raw stream + ingest metadata, append sink, AvailableNow. */
+  def bronzeIngest(events: DataFrame, outDir: String, checkpointDir: String): StreamingQuery =
+    Medallion.bronze(events)
+      .writeStream.format("parquet")
+      .option("path", outDir)
+      .option("checkpointLocation", checkpointDir)
+      .outputMode("append")
+      .trigger(Trigger.AvailableNow())
+      .start()
+
+  /** ST5 streaming dedup: watermark bounds the dedup state (keys older
+    * than watermark are dropped from the state store — without it, state
+    * grows unboundedly at 100 TB). */
+  def dedupStream(events: DataFrame, lateness: String = "10 seconds"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicates(Medallion.naturalKey)
+
+  /** ST7 tumbling hourly rollup — the streaming twin of q21 (identical
+    * groupBy(window(...)); append mode emits a window once the watermark
+    * passes its end). */
+  def hourlyRollup(events: DataFrame, lateness: String = "10 seconds"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .groupBy(window(col("ts"), "1 hour"), col("event_type"))
+      .agg(count(lit(1)).as("n"), sum("value").as("total_value"))
+      .select(col("window.start").as("hour_ts"), col("event_type"),
+        col("n"), col("total_value"))
+
+  /** ST8 DLQ split: per micro-batch, valid rows append to the main sink
+    * and invalid rows to the dead-letter sink — one pass, two writes,
+    * transactionally scoped to the batch (foreachBatch). */
+  def withDlq(events: DataFrame, validDir: String, dlqDir: String,
+      checkpointDir: String): StreamingQuery = {
+    val isValid = col("ts").isNotNull && col("user_id").isNotNull && col("value") >= 0
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val marked = batch.withColumn("_valid", isValid).persist()
+        try {
+          marked.filter(col("_valid")).drop("_valid")
+            .write.mode("append").parquet(validDir)
+          marked.filter(!col("_valid")).drop("_valid")
+            .write.mode("append").parquet(dlqDir)
+        } finally { marked.unpersist(); () }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+  }
+
+  /** ST6 continuous Silver MV: filter + watermarked dropDuplicates +
+    * stateless projection — the streaming twin of Medallion.silver
+    * (whose row_number dedup isn't streamable). */
+  def silverStream(bronzeStream: DataFrame, lateness: String = "10 seconds"): DataFrame =
+    Medallion.silverProject(
+      Medallion.silverFilter(bronzeStream)
+        .withWatermark("ts", lateness)
+        .dropDuplicates(Medallion.naturalKey))
+
+  /** Run any streaming frame into an in-memory table for deterministic
+    * tests (processAllAvailable → stop). */
+  def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): Unit = {
+    val q = df.writeStream.format("memory").queryName(name)
+      .outputMode(outputMode).trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable()
+    q.stop()
+  }
+}

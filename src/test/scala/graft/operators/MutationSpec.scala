@@ -1,0 +1,81 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+
+/** MERGE / incremental / SCD2 semantics + the reference's idempotency
+  * invariant (validate.py: 3 consecutive runs ⇒ identical counts). */
+class MutationSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def tmp(): String =
+    Files.createTempDirectory("graft-mut").resolve("t").toString
+
+  test("mergeUpsert inserts, updates on key collision, and is idempotent") {
+    val path = tmp()
+    Mutation.mergeUpsert(spark, path,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "name", "v"), Seq("id"))
+    Mutation.mergeUpsert(spark, path,
+      Seq((2L, "b2", 25.0), (3L, "c", 30.0)).toDF("id", "name", "v"), Seq("id"))
+    assert(spark.read.parquet(path).count() === 3)
+    val row2 = spark.read.parquet(path).filter($"id" === 2).head()
+    assert(row2.getAs[String]("name") === "b2")
+    // Idempotency: replay the same batch 3 times, count stays 3 (M1).
+    (1 to 3).foreach { _ =>
+      Mutation.mergeUpsert(spark, path,
+        Seq((2L, "b2", 25.0), (3L, "c", 30.0)).toDF("id", "name", "v"), Seq("id"))
+    }
+    assert(spark.read.parquet(path).count() === 3)
+  }
+
+  test("incrementalInsert only processes rows past the high watermark") {
+    val path = tmp()
+    def batch(rows: (Long, String)*) = rows.toDF("id", "d").selectExpr(
+      "id", "CAST(d AS DATE) AS day")
+    Mutation.incrementalInsert(spark, path,
+      batch((1L, "2024-01-01"), (2L, "2024-01-02")), "day", Seq("id"))
+    // Replaying old rows + one new: only the new day passes the watermark.
+    Mutation.incrementalInsert(spark, path,
+      batch((1L, "2024-01-01"), (2L, "2024-01-02"), (3L, "2024-01-03")), "day", Seq("id"))
+    assert(spark.read.parquet(path).count() === 3)
+    Mutation.incrementalInsert(spark, path,
+      batch((3L, "2024-01-03")), "day", Seq("id"))
+    assert(spark.read.parquet(path).count() === 3)
+  }
+
+  test("scd2Apply opens/closes versions on change and keeps history") {
+    val path = tmp()
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    Mutation.scd2Apply(spark, path,
+      Seq((1L, "NYC"), (2L, "LA")).toDF("loc_id", "zone"),
+      Seq("loc_id"), Seq("zone"), t1)
+    // Change zone of loc 1; loc 2 unchanged.
+    Mutation.scd2Apply(spark, path,
+      Seq((1L, "Brooklyn"), (2L, "LA")).toDF("loc_id", "zone"),
+      Seq("loc_id"), Seq("zone"), t2)
+    val all = spark.read.parquet(path)
+    assert(all.count() === 3) // closed NYC + open Brooklyn + open LA
+    val open = all.filter($"valid_to".isNull)
+    assert(open.count() === 2)
+    assert(open.filter($"loc_id" === 1).head().getAs[String]("zone") === "Brooklyn")
+    val closed = all.filter($"valid_to".isNotNull)
+    assert(closed.head().getAs[String]("zone") === "NYC")
+    assert(closed.head().getAs[java.sql.Timestamp]("valid_to") === t2)
+    // Idempotency: re-applying the same snapshot changes nothing.
+    Mutation.scd2Apply(spark, path,
+      Seq((1L, "Brooklyn"), (2L, "LA")).toDF("loc_id", "zone"),
+      Seq("loc_id"), Seq("zone"), t2)
+    assert(spark.read.parquet(path).count() === 3)
+  }
+
+  test("build: full refresh replaces, incremental merges (M3)") {
+    val path = tmp()
+    Mutation.build(spark, path, Seq((1L, "x")).toDF("id", "v"), Seq("id"), fullRefresh = false)
+    Mutation.build(spark, path, Seq((2L, "y")).toDF("id", "v"), Seq("id"), fullRefresh = false)
+    assert(spark.read.parquet(path).count() === 2)
+    Mutation.build(spark, path, Seq((9L, "z")).toDF("id", "v"), Seq("id"), fullRefresh = true)
+    assert(spark.read.parquet(path).count() === 1)
+  }
+}
