@@ -1,0 +1,67 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.{Column, GraftShims}
+import org.apache.spark.sql.catalyst.expressions.{BinaryExpression, Expression}
+import org.apache.spark.sql.catalyst.expressions.codegen.{CodegenContext, ExprCode}
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, DoubleType}
+
+/** Native Catalyst dot product over two array<double> columns.
+  *
+  * The composed alternative — `aggregate(zip_with(a, b, _*_), 0d, _+_)` —
+  * allocates an intermediate array and evaluates two lambda closures per
+  * element in the interpreter; at millions of pairs × 64 dims that
+  * dominated the similarity-search bench (66 s for the near-dup query at
+  * sf0.1). This expression compiles to a tight primitive loop inside
+  * whole-stage codegen: no allocation, no virtual calls.
+  *
+  * Summation is sequential left-to-right — the same order as the
+  * composed fold and DuckDB's list_sum — so oracle parity is preserved
+  * bit-for-bit.
+  */
+case class DotProduct(left: Expression, right: Expression)
+    extends BinaryExpression {
+
+  // Inputs must be array<double> (callers cast first — asDouble in
+  // graft.operators.Similarity); no ExpectsInputTypes because
+  // AbstractDataType is private[sql].
+  override def dataType: DataType = DoubleType
+
+  override def prettyName: String = "dot_product"
+
+  override def nullSafeEval(a: Any, b: Any): Any = {
+    val x = a.asInstanceOf[ArrayData]
+    val y = b.asInstanceOf[ArrayData]
+    val n = math.min(x.numElements(), y.numElements())
+    var s = 0.0
+    var i = 0
+    while (i < n) { s += x.getDouble(i) * y.getDouble(i); i += 1 }
+    s
+  }
+
+  override protected def doGenCode(ctx: CodegenContext, ev: ExprCode): ExprCode =
+    nullSafeCodeGen(ctx, ev, (a, b) => {
+      val i = ctx.freshName("i")
+      val n = ctx.freshName("n")
+      val s = ctx.freshName("sum")
+      s"""
+         |int $n = java.lang.Math.min($a.numElements(), $b.numElements());
+         |double $s = 0.0;
+         |for (int $i = 0; $i < $n; $i++) {
+         |  $s += $a.getDouble($i) * $b.getDouble($i);
+         |}
+         |${ev.value} = $s;
+       """.stripMargin
+    })
+
+  override protected def withNewChildrenInternal(
+      newLeft: Expression, newRight: Expression): DotProduct =
+    copy(left = newLeft, right = newRight)
+}
+
+object DotProduct {
+  /** Column-level API: dot_product(a, b). */
+  def dot_product(a: Column, b: Column): Column =
+    GraftShims.column(
+      DotProduct(GraftShims.expression(a), GraftShims.expression(b)))
+}

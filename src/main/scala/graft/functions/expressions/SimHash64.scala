@@ -1,0 +1,55 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.{Column, GraftShims}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression, XxHash64Function}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.ArrayData
+import org.apache.spark.sql.types.{DataType, LongType, StringType}
+
+/** 64-bit SimHash over a token array in one fused pass.
+  *
+  * The composed form — 64 separate `aggregate(tokens, ...)` higher-order
+  * expressions, one per bit — re-walked the token array 64 times through
+  * interpreted lambdas (9.6 s for 5 k docs at bench scale). This
+  * expression walks it once, hashing each token with the same xxhash64
+  * (seed 42) the SQL builtin uses, so results are identical to the
+  * composed version. One eval per ROW (not per pair), so CodegenFallback
+  * costs only row boxing, not inner-loop dispatch.
+  */
+case class SimHash64(child: Expression)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = LongType
+
+  override def prettyName: String = "simhash64"
+
+  override def nullSafeEval(v: Any): Any = {
+    val arr = v.asInstanceOf[ArrayData]
+    val counts = new Array[Int](64)
+    var t = 0
+    while (t < arr.numElements()) {
+      if (!arr.isNullAt(t)) {
+        val h = XxHash64Function.hash(arr.getUTF8String(t), StringType, 42L)
+        var b = 0
+        while (b < 64) {
+          if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+          b += 1
+        }
+      }
+      t += 1
+    }
+    var out = 0L
+    var b = 0
+    while (b < 64) { if (counts(b) > 0) out |= (1L << b); b += 1 }
+    out
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): SimHash64 =
+    copy(child = newChild)
+}
+
+object SimHash64 {
+  /** Column-level API: simhash64(tokens: array<string>). */
+  def simhash64(tokens: Column): Column =
+    GraftShims.column(SimHash64(GraftShims.expression(tokens)))
+}

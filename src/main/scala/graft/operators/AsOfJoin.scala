@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Backward as-of join: for each left row, attach the latest right row
+  * whose timestamp is ≤ the left row's timestamp, per key (the
+  * point-in-time feature lookup of the reference's Feast variant, J7).
+  *
+  * Implementation is the union-sort-backfill pattern, not a join: both
+  * sides are unioned, sorted by (key, ts) once, and right-side attributes
+  * are carried forward with last_value(ignoreNulls) over a window ending
+  * at the current row. ONE shuffle on the key, state bounded by the
+  * window machinery — where a naive inequality join explodes into
+  * |left| × |right-per-key| intermediate rows, this stays linear in
+  * |left| + |right| per key, which is what survives a 100 TB fact side.
+  */
+object AsOfJoin {
+
+  /** @param left       probe side (keeps all rows)
+    * @param right      reference side whose latest-at-or-before row is attached
+    * @param key        equi-key columns present on both sides
+    * @param leftTs     event-time column on `left`
+    * @param rightTs    event-time column on `right`
+    * @param rightVals  right columns to attach (null when no prior row)
+    */
+  def backward(left: DataFrame, right: DataFrame, key: Seq[String],
+      leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("_ts", col(leftTs))
+      .withColumn("_side", lit(1)) // probe sorts after reference at equal ts
+    // Reference values travel as ONE struct so a probe row always sees a
+    // consistent snapshot of a single reference row (per-column backfill
+    // could mix rows when individual attributes are null).
+    val r = right.select(
+      (key.map(col) ++ Seq(col(rightTs).as("_ts"), lit(0).as("_side"),
+        struct(rightVals.map(col): _*).as("_r"))): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    // Carry the most recent reference struct forward; at equal ts the
+    // reference row sorts first (_side 0 < 1) so it's visible to the probe.
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    unioned
+      .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 1)
+      .select((leftCols.map(col) ++
+        rightVals.map(c => col(s"_asof.$c").as(s"asof_$c"))): _*)
+  }
+}

@@ -60,53 +60,65 @@ object Dedup {
       .select("i", "j").distinct()
   }
 
-  /** Exact Jaccard over the distinct shingle sets for given (i, j) pairs. */
+  /** Exact Jaccard over the distinct shingle sets for given (i, j) pairs:
+    * common counts come from a shingle-keyed join (no shingle arrays are
+    * carried through the shuffle — only (id, shingle) rows and scalar
+    * set sizes). */
   def jaccardFor(pairs: DataFrame, shingled: DataFrame, idCol: String): DataFrame = {
-    val si = shingled.select(col(idCol).as("i"), col("sh").as("sh_i"))
-    val sj = shingled.select(col(idCol).as("j"), col("sh").as("sh_j"))
-    pairs.join(si, "i").join(sj, "j")
+    val ex = shingled.select(col(idCol), explode(col("sh")).as("s"))
+    val common = pairs
+      .join(ex.select(col(idCol).as("i"), col("s")), "i")
+      .join(ex.select(col(idCol).as("j"), col("s")), Seq("j", "s"))
+      .groupBy("i", "j").agg(count(lit(1)).as("common"))
+    val sz = shingled.select(col(idCol), size(col("sh")).as("n"))
+    common
+      .join(sz.select(col(idCol).as("i"), col("n").as("ni")), "i")
+      .join(sz.select(col(idCol).as("j"), col("n").as("nj")), "j")
       .select(col("i"), col("j"),
-        (size(array_intersect(col("sh_i"), col("sh_j"))) * lit(1.0) /
-          (size(col("sh_i")) + size(col("sh_j"))
-            - size(array_intersect(col("sh_i"), col("sh_j"))))).as("jaccard"))
+        (col("common") * lit(1.0) / (col("ni") + col("nj") - col("common"))).as("jaccard"))
   }
 
   /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → bucket
-    * join → exact-Jaccard verification at `threshold`. */
+    * join → exact-Jaccard verification at `threshold`. The shingle set is
+    * cached: it feeds both the signature pass and the verification join
+    * (uncached, the tokenize+shingle projection ran three times). */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val shingled = shingleSets(docs, idCol, textCol)
+    val shingled = shingleSets(docs, idCol, textCol).persist()
     val signed = withSignature(shingled, numHashes)
     val cand = lshCandidates(lshBuckets(signed, idCol, bands, numHashes / bands), idCol)
     jaccardFor(cand, shingled, idCol).filter(col("jaccard") >= threshold)
   }
 
-  /** All-pairs n-gram Jaccard via a shingle-inverted-index join: only
-    * pairs sharing ≥1 shingle are materialized (shuffle keyed on shingle,
-    * not a cross join). */
+  /** All-pairs n-gram Jaccard via a shingle-inverted-index join: common
+    * counts straight from the (shingle ⋈ shingle) self-join — only pairs
+    * sharing ≥1 shingle ever exist (shuffle keyed on shingle, no cross
+    * join, no candidate-list detour). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 3): DataFrame = {
-    val shingled = shingleSets(docs, idCol, textCol, k)
+    val shingled = shingleSets(docs, idCol, textCol, k).persist()
     val ex = shingled.select(col(idCol), explode(col("sh")).as("s"))
-    val cand = ex.select(col(idCol).as("i"), col("s"))
+    val common = ex.select(col(idCol).as("i"), col("s"))
       .join(ex.select(col(idCol).as("j"), col("s")), "s")
       .filter(col("i") < col("j"))
-      .select("i", "j").distinct()
-    jaccardFor(cand, shingled, idCol).filter(col("jaccard") >= threshold)
+      .groupBy("i", "j").agg(count(lit(1)).as("common"))
+    val sz = shingled.select(col(idCol), size(col("sh")).as("n"))
+    common
+      .join(sz.select(col(idCol).as("i"), col("n").as("ni")), "i")
+      .join(sz.select(col(idCol).as("j"), col("n").as("nj")), "j")
+      .select(col("i"), col("j"),
+        (col("common") * lit(1.0) / (col("ni") + col("nj") - col("common"))).as("jaccard"))
+      .filter(col("jaccard") >= threshold)
   }
 
   /** 64-bit SimHash from token xxhash64 bits (engine-native hashing — not
-    * oracle-reproducible, verified by unit test + rows-only check). */
-  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame = {
-    val tok = array_distinct(TextFns.tokens(col(textCol)))
-    // For each bit b: +1 if bit set else -1, summed over tokens; sign → bit.
-    val bits = (0 until 64).map { b =>
-      val contrib = aggregate(tok, lit(0L),
-        (acc, x) => acc + when(shiftright(xxhash64(x), b).bitwiseAND(1) === 1, 1L).otherwise(-1L))
-      when(contrib > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-    }
-    docs.select(col(idCol), bits.reduce(_ bitwiseOR _).as("simhash"))
-  }
+    * oracle-reproducible, verified by unit test + rows-only check).
+    * Computed by the fused native expression (one token-array pass; the
+    * 64-separate-aggregates formulation was 64 array walks per doc). */
+  def simhash64(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.expressions.SimHash64.simhash64(
+        array_distinct(TextFns.tokens(col(textCol)))).as("simhash"))
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))

@@ -4,56 +4,68 @@ import org.apache.spark.sql.{Column, DataFrame}
 import org.apache.spark.sql.expressions.Window
 import org.apache.spark.sql.functions._
 
+import graft.functions.expressions.DotProduct.dot_product
+
 /** Similarity search over embedding columns (`array<float>`).
   *
   * Scale design: the baseline is brute-force cosine top-k — a broadcast of
   * the (small) query set against a full corpus scan, no shuffle until the
-  * final per-query top-k (TakeOrdered-style). The scale path is sign-LSH
-  * bucketing (random-hyperplane bits from deterministic per-dimension
-  * weights): corpus and queries hash to buckets, the join is keyed on
-  * bucket, and only bucket-mates are scored — the classic ANN trade of
-  * recall for a bounded pair space.
+  * final per-query top-k. The scale path is multi-table sign-LSH
+  * bucketing: corpus and queries hash to buckets, the join is keyed on
+  * (table, bucket), and only bucket-mates are scored — the classic ANN
+  * trade of recall for a bounded pair space.
+  *
+  * All inner products run through the codegen'd DotProduct expression
+  * (graft.functions.expressions) — the composed
+  * aggregate(zip_with(...)) form was 20× slower at bench scale — and
+  * norms are computed once per vector, not once per pair.
   */
 object Similarity {
 
   /** Arrays cast to double once; all math in double for determinism. */
   def asDouble(v: Column): Column = transform(v, _.cast("double"))
 
-  /** Sequential left-to-right dot product — bit-reproducible in any
-    * engine that folds the list in order (DuckDB list_sum does). */
-  def dot(a: Column, b: Column): Column =
-    aggregate(zip_with(a, b, _ * _), lit(0.0), _ + _)
+  /** Sequential left-to-right dot product (codegen'd native expression;
+    * same fold order as DuckDB list_sum ⇒ bit-identical oracle parity). */
+  def dot(a: Column, b: Column): Column = dot_product(a, b)
 
-  def norm2(a: Column): Column = aggregate(transform(a, x => x * x), lit(0.0), _ + _)
+  def norm2(a: Column): Column = dot_product(a, a)
 
   /** cosine(a, b) = dot / (sqrt(|a|²) * sqrt(|b|²)) — formula written
     * exactly as the oracle SQL writes it. */
   def cosine(a: Column, b: Column): Column = dot(a, b) / (sqrt(norm2(a)) * sqrt(norm2(b)))
 
+  /** (id, v, nrm): vectors with the norm precomputed once — every
+    * pairwise stage reuses it instead of recomputing per pair. */
+  private def withNorm(vectors: DataFrame, idAlias: String): DataFrame =
+    vectors.select(col("vec_id").as(idAlias), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(norm2(col("v"))))
+
   /** Brute-force top-k: broadcast the query set, score every corpus row,
     * keep k per query with a deterministic tie-break. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
-    val c = corpus.select(col("vec_id").as("neighbor_id"), asDouble(col("embedding")).as("cv"))
-    val q = queries.select(col("vec_id").as("query_id"), asDouble(col("embedding")).as("qv"))
+    val c = withNorm(corpus, "neighbor_id")
+      .withColumnRenamed("v", "cv").withColumnRenamed("nrm", "cn")
+    val q = withNorm(queries, "query_id")
+      .withColumnRenamed("v", "qv").withColumnRenamed("nrm", "qn")
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos_sim"))
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
     scored.withColumn("rank", row_number().over(w))
       .filter(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane weight for (plane, dim) —
-    * engine-independent (pure math on literals). */
-  private def weight(plane: Int, dim: Column): Column =
-    sin(dim * lit(12.9898 + plane) + lit(78.233 * (plane + 1))) * lit(43758.5453) % lit(1.0)
-
-  /** Projection of v onto deterministic hyperplane `p` using a
-    * per-element weight derived from the element index. */
-  private def projected(v: Column, p: Int, dims: Int): Column = {
-    val terms = (0 until dims).map(i => element_at(v, i + 1) * weight(p, lit(i)))
-    terms.reduce(_ + _)
+  /** Deterministic pseudo-random hyperplane weights, materialized as an
+    * array literal per plane (computed driver-side — a trig call per
+    * element inside the plan exploded the expression tree). */
+  private def planeWeights(plane: Int, dims: Int): Column = {
+    val ws = (0 until dims).map { d =>
+      val x = math.sin(d * (12.9898 + plane) + 78.233 * (plane + 1)) * 43758.5453
+      x - math.floor(x) - 0.5 // uniform-ish in [-0.5, 0.5)
+    }
+    array(ws.map(lit): _*)
   }
 
   /** ANN via multi-table sign-LSH: `nTables` independent hash tables of
@@ -68,20 +80,20 @@ object Similarity {
       struct(
         lit(t).as("tbl"),
         (0 until nBits).map { b =>
-          val plane = t * nBits + b
-          when(projected(v, plane, dims) > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+          val proj = dot_product(v, planeWeights(t * nBits + b, dims))
+          when(proj > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
         }.reduce(_ bitwiseOR _).as("bkt"))
     }: _*)
-    val c = corpus.select(col("vec_id").as("neighbor_id"),
-      asDouble(col("embedding")).as("cv"))
+    val c = withNorm(corpus, "neighbor_id")
+      .withColumnRenamed("v", "cv").withColumnRenamed("nrm", "cn")
       .withColumn("tb", explode(buckets(col("cv"))))
-    val q = queries.select(col("vec_id").as("query_id"),
-      asDouble(col("embedding")).as("qv"))
+    val q = withNorm(queries, "query_id")
+      .withColumnRenamed("v", "qv").withColumnRenamed("nrm", "qn")
       .withColumn("tb", explode(buckets(col("qv"))))
     val scored = c.join(broadcast(q), Seq("tb"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
-        round(cosine(col("qv"), col("cv")), 6).as("cos_sim"))
+        round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos_sim"))
       .distinct() // a pair sharing buckets in several tables scores once
     val w = Window.partitionBy("query_id")
       .orderBy(col("cos_sim").desc, col("neighbor_id"))
@@ -91,10 +103,13 @@ object Similarity {
   /** All near-dup pairs with cosine ≥ threshold. Brute force over the
     * pair space — correct baseline; LSH restricts candidates at scale. */
   def nearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {
-    val a = vectors.select(col("vec_id").as("i"), asDouble(col("embedding")).as("va"))
-    val b = vectors.select(col("vec_id").as("j"), asDouble(col("embedding")).as("vb"))
+    val a = withNorm(vectors, "i")
+      .withColumnRenamed("v", "va").withColumnRenamed("nrm", "na")
+    val b = withNorm(vectors, "j")
+      .withColumnRenamed("v", "vb").withColumnRenamed("nrm", "nb")
     a.join(b, col("i") < col("j"))
-      .select(col("i"), col("j"), round(cosine(col("va"), col("vb")), 6).as("cos_sim"))
+      .select(col("i"), col("j"),
+        round(dot(col("va"), col("vb")) / (col("na") * col("nb")), 6).as("cos_sim"))
       .filter(col("cos_sim") >= threshold)
   }
 }

@@ -1,0 +1,90 @@
+package graft.queries
+
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.functions.ColFns._
+import graft.operators.AsOfJoin
+import graft.sources.Seeds
+
+/** Remaining SURVEY §2 surface: seed-CSV dimension join (S12+J3), as-of
+  * join (J7 — DuckDB's native ASOF JOIN is the oracle), and the
+  * unix-delta duration function (F7).
+  */
+object ExtraQueries {
+
+  // ---------------------------------------------------------------- x01
+  // CSV seed with declared schema, broadcast-joined as a decode dim
+  // (payment_type_lookup analog). Oracle inlines the same 5 rows as
+  // VALUES — the seed file IS the fixture.
+  val x01SeedJoin: Q = Q(
+    "x01_seed_join",
+    """WITH lk(event_type, type_name, is_billable) AS (VALUES
+      |  ('click', 'Click', false), ('view', 'Page View', false),
+      |  ('purchase', 'Purchase', true), ('signup', 'Sign Up', false),
+      |  ('error', 'Error', false))
+      |SELECT type_name, is_billable, COUNT(*) AS n,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM events JOIN lk USING (event_type)
+      |GROUP BY 1, 2 ORDER BY type_name""".stripMargin) { (s, d) =>
+    t(s, d, "events")
+      .join(broadcast(Seeds.eventTypeLookup(s)), "event_type")
+      .groupBy("type_name", "is_billable")
+      .agg(count(lit(1)).as("n"), moneySum(col("value")).as("total_value"))
+      .orderBy("type_name")
+  }
+
+  // ---------------------------------------------------------------- x02
+  // Backward as-of join: each purchase gets the user's most recent
+  // at-or-before signup/click context (point-in-time feature lookup).
+  // Spark side is the union-sort-backfill operator (one shuffle, linear
+  // state); oracle is DuckDB's native ASOF JOIN.
+  val x02AsofJoin: Q = Q(
+    "x02_asof_join",
+    """WITH purchases AS (
+      |  SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'),
+      |clicks AS (
+      |  SELECT user_id, ts, event_id AS click_event_id, value AS click_value
+      |  FROM events WHERE event_type = 'click')
+      |SELECT p.user_id, p.event_id, p.value,
+      |  c.click_event_id AS asof_click_event_id,
+      |  c.click_value AS asof_click_value
+      |FROM purchases p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.user_id, p.event_id""".stripMargin) { (s, d) =>
+    val ev = t(s, d, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_event_id"), col("value").as("click_value"))
+    AsOfJoin.backward(purchases, clicks, Seq("user_id"), "ts", "ts",
+        Seq("click_event_id", "click_value"))
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("asof_click_event_id"), col("asof_click_value"))
+      .orderBy("user_id", "event_id")
+  }
+
+  // ---------------------------------------------------------------- x03
+  // F7 duration via unix-timestamp delta (the reference's own Spark
+  // macro form), aggregated per order priority.
+  val x03Duration: Q = Q(
+    "x03_duration_minutes",
+    """SELECT o_orderpriority,
+      |  COUNT(*) AS n,
+      |  ROUND(CAST(SUM(CAST(FLOOR((epoch(l_shipdate) - epoch(o_orderdate)) / 60) AS BIGINT)) AS DOUBLE)
+      |        / COUNT(*), 1) AS avg_ship_delay_min
+      |FROM lineitem JOIN orders ON l_orderkey = o_orderkey
+      |GROUP BY 1 ORDER BY o_orderpriority""".stripMargin) { (s, d) =>
+    t(s, d, "lineitem")
+      .join(t(s, d, "orders"), col("l_orderkey") === col("o_orderkey"))
+      .select(col("o_orderpriority"),
+        durationMinutes(col("o_orderdate"), col("l_shipdate")).as("delay_min"))
+      .groupBy("o_orderpriority")
+      .agg(count(lit(1)).as("n"),
+        round(sum("delay_min").cast("double") / count(lit(1)), 1).as("avg_ship_delay_min"))
+      .orderBy("o_orderpriority")
+  }
+
+  val all: Seq[Q] = Seq(x01SeedJoin, x02AsofJoin, x03Duration)
+}

@@ -1,0 +1,14 @@
+package org.apache.spark.sql
+
+import org.apache.spark.sql.catalyst.expressions.Expression
+import org.apache.spark.sql.classic.ExpressionUtils
+
+/** Bridge to Spark 4's private[sql] Column↔Expression converters, needed
+  * to expose custom Catalyst expressions (graft.functions.expressions)
+  * as user-facing Columns. The pre-4.0 `new Column(expr)` constructor is
+  * gone; this is the one sanctioned hop into the classic API.
+  */
+object GraftShims {
+  def column(e: Expression): Column = ExpressionUtils.column(e)
+  def expression(c: Column): Expression = ExpressionUtils.expression(c)
+}
