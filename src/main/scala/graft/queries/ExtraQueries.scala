@@ -86,5 +86,35 @@ object ExtraQueries {
       .orderBy("o_orderpriority")
   }
 
-  val all: Seq[Q] = Seq(x01SeedJoin, x02AsofJoin, x03Duration)
+  // ---------------------------------------------------------------- x04
+  // Gap-based sessionization (batch form; the streaming twin uses
+  // flatMapGroupsWithState — graft.streaming.Sessionize). Epochs are
+  // floored to whole seconds on both sides: Spark's unix_timestamp
+  // truncates, DuckDB's epoch() keeps fractional seconds.
+  val x04Sessionize: Q = Q(
+    "x04_sessionize",
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+      |            - CAST(FLOOR(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |ses AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM flagged)
+      |SELECT user_id, session_seq,
+      |  MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |  COUNT(*) AS n_events,
+      |  CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS total_value
+      |FROM ses GROUP BY 1, 2 ORDER BY user_id, session_seq""".stripMargin) { (s, d) =>
+    graft.streaming.Sessionize.sessionsBatch(t(s, d, "events"), gapMinutes = 30)
+      .select("user_id", "session_seq", "session_start", "session_end",
+        "n_events", "total_value")
+      .orderBy("user_id", "session_seq")
+  }
+
+  val all: Seq[Q] = Seq(x01SeedJoin, x02AsofJoin, x03Duration, x04Sessionize)
 }
