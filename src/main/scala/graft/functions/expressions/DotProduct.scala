@@ -22,9 +22,21 @@ import org.apache.spark.sql.types.{DataType, DoubleType}
 case class DotProduct(left: Expression, right: Expression)
     extends BinaryExpression {
 
-  // Inputs must be array<double> (callers cast first — asDouble in
-  // graft.operators.Similarity); no ExpectsInputTypes because
-  // AbstractDataType is private[sql].
+  // ExpectsInputTypes isn't usable (AbstractDataType is private[sql]);
+  // validate by hand so a bad call fails analysis, not execution.
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult = {
+    def ok(t: DataType) = t match {
+      case org.apache.spark.sql.types.ArrayType(DoubleType, _) => true
+      case _ => false
+    }
+    if (ok(left.dataType) && ok(right.dataType))
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+    else
+      org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+        s"dot_product requires two array<double> arguments, got " +
+          s"${left.dataType.simpleString} and ${right.dataType.simpleString}")
+  }
+
   override def dataType: DataType = DoubleType
 
   override def prettyName: String = "dot_product"

@@ -116,5 +116,21 @@ object ExtraQueries {
       .orderBy("user_id", "session_seq")
   }
 
-  val all: Seq[Q] = Seq(x01SeedJoin, x02AsofJoin, x03Duration, x04Sessionize)
+  // ---------------------------------------------------------------- x05
+  // HLL sketch vs exact distinct (rows-only: approx_count_distinct's
+  // HLL++ isn't bit-reproducible in DuckDB; the error bound is asserted
+  // in CatalogSpec). At 100 TB the sketch is the only affordable
+  // distinct-count — single pass, mergeable, fixed memory.
+  val x05ApproxDistinct: Q = Q.rowsOnly("x05_approx_distinct") { (s, d) =>
+    t(s, d, "events")
+      .groupBy("event_type")
+      .agg(
+        countDistinct(col("user_id")).as("exact_users"),
+        approx_count_distinct(col("user_id"), 0.02).as("approx_users"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
+  val all: Seq[Q] = Seq(x01SeedJoin, x02AsofJoin, x03Duration, x04Sessionize,
+    x05ApproxDistinct)
 }

@@ -47,6 +47,16 @@ class CatalogSpec extends SparkSpec {
     assert(rows(5).getAs[Boolean]("is_weekend"))
   }
 
+  test("x05 sketch distinct count is within 5% of exact") {
+    val rows = queries.ExtraQueries.x05ApproxDistinct.fn(spark, sfDir).collect()
+    rows.foreach { r =>
+      val exact = r.getAs[Long]("exact_users").toDouble
+      val approx = r.getAs[Long]("approx_users").toDouble
+      assert(math.abs(approx - exact) / exact < 0.05,
+        s"sketch error too large: exact=$exact approx=$approx")
+    }
+  }
+
   test("q07 topk returns exactly 10 in non-increasing spend order") {
     val spends = CoreQueries.q07TopK.fn(spark, sfDir)
       .collect().map(_.getAs[Double]("spend"))
