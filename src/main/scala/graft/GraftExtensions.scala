@@ -4,7 +4,8 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{DotProduct, SimHash64}
+import graft.functions.expressions.{DotProduct, MinHashSignature, SimHash64, WordShingles}
+import org.apache.spark.sql.catalyst.expressions.Literal
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions so `spark.sql("SELECT dot_product(a, b)")`
@@ -31,5 +32,21 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       FunctionIdentifier("simhash64"),
       info("simhash64", "simhash64(tokens) - 64-bit SimHash of an array<string>"),
       (children: Seq[Expression]) => SimHash64(children.head)))
+    ext.injectFunction((
+      FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(tokens, k) - distinct word k-shingles"),
+      (children: Seq[Expression]) => WordShingles(children(0), intArg(children(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("minhash_signature"),
+      info("minhash_signature",
+        "minhash_signature(md5_hashes, n) - n-element double-hashed minhash signature"),
+      (children: Seq[Expression]) => MinHashSignature(children(0), intArg(children(1)))))
+  }
+
+  /** Constant int argument (k / numHashes must be literal at plan time). */
+  private def intArg(e: Expression): Int = e match {
+    case Literal(v: Int, _) => v
+    case other => throw new IllegalArgumentException(
+      s"expected a literal integer argument, got $other")
   }
 }

@@ -18,17 +18,13 @@ object TextFns {
   /** Whitespace tokens (single-space split — oracle: string_split(t,' ')). */
   def tokens(text: Column): Column = split(text, " ")
 
-  /** Distinct word k-shingles ("w1 w2 w3") — the dedup unit. 0-based
-    * element indexing here == DuckDB's 1-based `t[i]` over range(1,n-1). */
-  def shingles(text: Column, k: Int = 3): Column = {
-    val tok = tokens(text)
-    // Guard: sequence(0, n-k) with n<k would flip into a descending range.
-    when(size(tok) >= k,
-      array_distinct(
-        transform(sequence(lit(0), size(tok) - k),
-          i => concat_ws(" ", (0 until k).map(o => element_at(tok, i + o + 1)): _*))))
-      .otherwise(array())
-  }
+  /** Distinct word k-shingles ("w1 w2 w3") — the dedup unit. Computed by
+    * the native WordShingles expression (one token-array pass; the
+    * composed transform/element_at/array_distinct form cost ~0.9 ms per
+    * doc and dominated the dedup bench). Set-equal to DuckDB's
+    * `list_distinct(list_transform(range(1, n-1), i -> t[i]||' '||...))`. */
+  def shingles(text: Column, k: Int = 3): Column =
+    graft.functions.expressions.WordShingles.word_shingles(tokens(text), k)
 
   /** Count of tokens that appear in a fixed marker list. */
   def markerHits(tok: Column, markers: Seq[String]): Column =

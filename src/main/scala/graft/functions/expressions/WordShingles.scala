@@ -1,0 +1,69 @@
+package graft.functions.expressions
+
+import scala.collection.mutable
+
+import org.apache.spark.sql.{Column, GraftShims}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.{ArrayData, GenericArrayData}
+import org.apache.spark.sql.types.{ArrayType, DataType, StringType}
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Distinct word k-shingles from a token array in one pass.
+  *
+  * The composed form — `array_distinct(transform(sequence(...), i =>
+  * concat_ws(' ', element_at×k)))` — evaluated interpreted lambdas with
+  * per-element array probes and cost ~0.9 ms per document; profiling
+  * showed it dominating BOTH dedup pipelines (recomputed per plan
+  * branch: 4.5 s per pass over 5 k docs at sf0.1). This walks the token
+  * array once, joins k tokens per shingle, and dedups with an
+  * insertion-ordered set — same output order as the composed form
+  * (first occurrence wins).
+  */
+case class WordShingles(child: Expression, k: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(StringType, containsNull = false)
+
+  override def prettyName: String = "word_shingles"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case ArrayType(StringType, _) =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"word_shingles requires array<string>, got ${other.simpleString}")
+    }
+
+  private val space = UTF8String.fromString(" ")
+
+  override def nullSafeEval(input: Any): Any = {
+    val tok = input.asInstanceOf[ArrayData]
+    val n = tok.numElements()
+    if (n < k) return new GenericArrayData(Array.empty[Any])
+    val seen = new mutable.LinkedHashSet[UTF8String]
+    var i = 0
+    while (i <= n - k) {
+      val parts = new Array[UTF8String](2 * k - 1)
+      var j = 0
+      while (j < k) {
+        parts(2 * j) = tok.getUTF8String(i + j)
+        if (j < k - 1) parts(2 * j + 1) = space
+        j += 1
+      }
+      seen += UTF8String.concat(parts: _*)
+      i += 1
+    }
+    new GenericArrayData(seen.toArray[Any])
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): WordShingles =
+    copy(child = newChild)
+}
+
+object WordShingles {
+  /** Column API: word_shingles(tokens, k). */
+  def word_shingles(tokens: Column, k: Int): Column =
+    GraftShims.column(WordShingles(GraftShims.expression(tokens), k))
+}

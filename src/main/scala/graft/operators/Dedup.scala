@@ -28,24 +28,24 @@ object Dedup {
     docs.select(col(idCol), TextFns.shingles(col(textCol), k).as("sh"))
       .filter(size(col("sh")) > 0)
 
-  /** One minhash: lexicographic min of seed-salted md5 over the shingle
-    * set. A salted-md5 min is a valid min-wise hash family and — unlike
-    * engine-native hash functions — is reproducible in any engine, so the
-    * DuckDB oracle can replay it exactly. */
-  private def minhash(sh: Column, seed: Int): Column =
-    array_min(transform(sh, x => md5(concat_ws("|", lit(seed), x))))
-
-  /** Adds mh_0..mh_{n-1} signature columns in one projection (no shuffle). */
-  def withSignature(shingled: DataFrame, numHashes: Int = 16): DataFrame =
-    shingled.select(
-      (shingled.columns.map(col) ++
-        (0 until numHashes).map(i => minhash(col("sh"), i).as(s"mh_$i"))): _*)
+  /** MinHash signature via Kirsch-Mitzenmacher double hashing: each
+    * shingle is md5'd ONCE; two 40-bit halves of the digest (h1, h2)
+    * expand into the whole hash family as h_i = h1 + i·h2 (values stay
+    * < 2^45, exact in both engines' 64-bit ints — wider halves would
+    * overflow DuckDB BIGINT where Spark silently wraps). Reproducible in
+    * any engine, 16× fewer digest computations than seed-salted md5. */
+  def withSignature(shingled: DataFrame, numHashes: Int = 16): DataFrame = {
+    val sig = graft.functions.expressions.MinHashSignature.minhash_signature(
+      transform(col("sh"), x => md5(x)), numHashes)
+    shingled.select((shingled.columns.map(col) :+ sig.as("mh")): _*)
+  }
 
   /** (id, band, sig): one LSH bucket key per band — md5 over the band's
     * minhash slice. Docs sharing any (band, sig) are candidates. */
   def lshBuckets(signed: DataFrame, idCol: String, bands: Int, rowsPerBand: Int): DataFrame = {
     val bandStructs = (0 until bands).map { b =>
-      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand).map(i => col(s"mh_$i"))
+      val slice = (b * rowsPerBand until (b + 1) * rowsPerBand)
+        .map(i => element_at(col("mh"), i + 1).cast("string"))
       struct(lit(b).as("band"), md5(concat_ws("|", slice: _*)).as("sig"))
     }
     signed.select(col(idCol), explode(array(bandStructs: _*)).as("bs"))
@@ -80,11 +80,13 @@ object Dedup {
 
   /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → bucket
     * join → exact-Jaccard verification at `threshold`. The shingle set is
-    * cached: it feeds both the signature pass and the verification join
-    * (uncached, the tokenize+shingle projection ran three times). */
+    * deliberately NOT persisted: recomputing the column-only projection
+    * is cheaper than materializing 100k+ string arrays into executor
+    * memory (a persist here caused cache-eviction thrash measured at
+    * 2–3× the whole query's runtime under bench memory pressure). */
   def minhashLshPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, numHashes: Int = 16, bands: Int = 4): DataFrame = {
-    val shingled = shingleSets(docs, idCol, textCol).persist()
+    val shingled = shingleSets(docs, idCol, textCol)
     val signed = withSignature(shingled, numHashes)
     val cand = lshCandidates(lshBuckets(signed, idCol, bands, numHashes / bands), idCol)
     jaccardFor(cand, shingled, idCol).filter(col("jaccard") >= threshold)
@@ -96,7 +98,7 @@ object Dedup {
     * join, no candidate-list detour). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 3): DataFrame = {
-    val shingled = shingleSets(docs, idCol, textCol, k).persist()
+    val shingled = shingleSets(docs, idCol, textCol, k)
     val ex = shingled.select(col(idCol), explode(col("sh")).as("s"))
     val common = ex.select(col(idCol).as("i"), col("s"))
       .join(ex.select(col(idCol).as("j"), col("s")), "s")

@@ -63,21 +63,25 @@ object DedupQueries {
   }
 
   // ---------------------------------------------------------------- d03
-  // MinHash+LSH near-dup: 16 salted-md5 minhashes, 4 bands × 4 rows,
-  // bucket-join candidates, exact-jaccard verification at 0.5. With
-  // ≥0.5-similar pairs the 4×4 scheme's detection probability is
-  // 1-(1-s⁴)⁴ ≈ 0.98 at s=0.8 — and the planted dups sit ≥0.8.
+  // MinHash+LSH near-dup: 16 double-hashed minhashes (one md5 per
+  // shingle; h_i = h1 + i·h2 from two 40-bit digest halves — exact in
+  // both engines' 64-bit ints), 4 bands × 4 rows, bucket-join
+  // candidates, exact-jaccard verification at 0.5. With ≥0.5-similar
+  // pairs the 4×4 scheme's detection probability is 1-(1-s⁴)⁴ ≈ 0.98 at
+  // s=0.8 — and the planted dups sit ≥0.8.
   val d03MinhashLsh: Q = Q(
     "d03_minhash_lsh",
     s"""WITH $SHINGLES_CTE,
        |exm AS (SELECT doc_id, unnest(sh) AS s FROM tok),
        |mh AS (
-       |  SELECT doc_id, seed, MIN(md5(concat_ws('|', seed, s))) AS m
+       |  SELECT doc_id, seed,
+       |    MIN(('0x' || substr(md5(s), 1, 10))::BIGINT
+       |        + seed * ('0x' || substr(md5(s), 11, 10))::BIGINT) AS m
        |  FROM exm CROSS JOIN (SELECT unnest(range(0, 16)) AS seed) seeds
        |  GROUP BY 1, 2),
        |bands AS (
        |  SELECT doc_id, seed // 4 AS band,
-       |    md5(string_agg(m, '|' ORDER BY seed)) AS sig
+       |    md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY seed)) AS sig
        |  FROM mh GROUP BY 1, 2),
        |cand AS (
        |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
