@@ -1,0 +1,97 @@
+package graft.functions.expressions
+
+import org.apache.spark.sql.{Column, GraftShims}
+import org.apache.spark.sql.catalyst.expressions.{Expression, UnaryExpression}
+import org.apache.spark.sql.catalyst.expressions.codegen.CodegenFallback
+import org.apache.spark.sql.catalyst.util.GenericArrayData
+import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
+
+/** Winnowing document fingerprint via Rabin-Karp rolling hashes.
+  *
+  * Slides a `window`-byte window over the text computing the polynomial
+  * rolling hash h = Σ b_i·B^(w-1-i) (mod 2^61-1) in O(1) per step, then
+  * keeps the minimum hash of every `stride`-length run of windows — the
+  * classic winnowing selection (Schleimer/Wilkerson/Aiken), which
+  * guarantees any shared substring of length ≥ window+stride-1 yields a
+  * shared fingerprint. Output: the distinct selected hashes, sorted —
+  * compare documents by fingerprint overlap.
+  */
+case class RollingFingerprint(child: Expression, window: Int, stride: Int)
+    extends UnaryExpression with CodegenFallback {
+
+  override def dataType: DataType = ArrayType(LongType, containsNull = false)
+
+  override def prettyName: String = "rolling_fingerprint"
+
+  override def checkInputDataTypes(): org.apache.spark.sql.catalyst.analysis.TypeCheckResult =
+    child.dataType match {
+      case StringType =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckSuccess
+      case other =>
+        org.apache.spark.sql.catalyst.analysis.TypeCheckResult.TypeCheckFailure(
+          s"rolling_fingerprint requires a string, got ${other.simpleString}")
+    }
+
+  private val M = (1L << 61) - 1 // Mersenne prime; mulmod stays exact below
+  private val B = 257L
+
+  private def mulmod(a: Long, b: Long): Long = {
+    // 61-bit Mersenne modular multiply via 128-bit split (Math.multiplyHigh).
+    val hi = Math.multiplyHigh(a, b)
+    val lo = a * b
+    // (hi·2^64 + lo) mod 2^61-1: fold 2^64 ≡ 2^3 (mod M)
+    val folded = ((hi << 3) | (lo >>> 61)) + (lo & M)
+    val r = (folded & M) + (folded >>> 61)
+    if (r >= M) r - M else r
+  }
+
+  override def nullSafeEval(input: Any): Any = {
+    val bytes = input.asInstanceOf[org.apache.spark.unsafe.types.UTF8String].getBytes
+    val n = bytes.length
+    if (n < window) return new GenericArrayData(Array.empty[Any])
+    // Precompute B^(window-1) mod M for the roll-out term.
+    var bPow = 1L
+    var p = 0
+    while (p < window - 1) { bPow = mulmod(bPow, B); p += 1 }
+    val nWindows = n - window + 1
+    val hashes = new Array[Long](nWindows)
+    var h = 0L
+    var i = 0
+    while (i < window) { h = (mulmod(h, B) + (bytes(i) & 0xffL)) % M; i += 1 }
+    hashes(0) = h
+    i = 1
+    while (i < nWindows) {
+      val out = mulmod(bytes(i - 1) & 0xffL, bPow)
+      h = h - out
+      if (h < 0) h += M
+      h = (mulmod(h, B) + (bytes(i + window - 1) & 0xffL)) % M
+      hashes(i) = h
+      i += 1
+    }
+    // Winnowing: min per stride-length run.
+    val selected = new java.util.TreeSet[java.lang.Long]()
+    var start = 0
+    while (start < nWindows) {
+      val end = math.min(start + stride, nWindows)
+      var mn = Long.MaxValue
+      var j = start
+      while (j < end) { if (hashes(j) < mn) mn = hashes(j); j += 1 }
+      selected.add(mn)
+      start += stride
+    }
+    val out = new Array[Any](selected.size())
+    val it = selected.iterator()
+    var k = 0
+    while (it.hasNext) { out(k) = it.next().longValue(); k += 1 }
+    new GenericArrayData(out)
+  }
+
+  override protected def withNewChildInternal(newChild: Expression): RollingFingerprint =
+    copy(child = newChild)
+}
+
+object RollingFingerprint {
+  /** Column API: rolling_fingerprint(text, window, stride). */
+  def rolling_fingerprint(text: Column, window: Int = 16, stride: Int = 8): Column =
+    GraftShims.column(RollingFingerprint(GraftShims.expression(text), window, stride))
+}

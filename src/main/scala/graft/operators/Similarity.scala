@@ -100,6 +100,64 @@ object Similarity {
     scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
   }
 
+  /** IVF (inverted-file) ANN: partition the corpus into `nCentroids`
+    * Voronoi cells, probe only the `nProbe` cells nearest each query.
+    *
+    * Centroids: deterministic seeding from the lowest vec_ids + ONE
+    * Lloyd refinement step, all as DataFrame ops (assignment is a
+    * broadcast cross-join against the tiny centroid set — nCentroids
+    * rows — and the element-wise mean runs through posexplode/groupBy;
+    * no driver-side collect anywhere). At 100 TB: same plan, with
+    * centroids trained on a sample; scoring touches ~nProbe/nCentroids
+    * of the corpus instead of all of it. */
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val c = withNorm(corpus, "vid")
+    // Seed centroids: the nCentroids lowest ids (deterministic).
+    val seed = c.orderBy("vid").limit(nCentroids)
+      .select(col("vid").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
+
+    def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
+      val scored = vectors.crossJoin(broadcast(centroids))
+        .withColumn("sim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
+      val w = Window.partitionBy("vid").orderBy(col("sim").desc, col("cid"))
+      scored.withColumn("rnk", row_number().over(w))
+        .filter(col("rnk") === 1)
+        .select(col("vid"), col("v"), col("nrm"), col("cid"))
+    }
+
+    // One Lloyd step: element-wise mean of each cell's members.
+    val assigned0 = assign(c, seed)
+    val refined = assigned0
+      .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
+      .groupBy("cid", "pos").agg(avg("x").as("m"))
+      .groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("cv"))
+      .withColumn("cn", sqrt(norm2(col("cv"))))
+
+    val cells = assign(c, refined)
+      .select(col("vid").as("neighbor_id"), col("v").as("cv2"),
+        col("nrm").as("cn2"), col("cid"))
+    // Queries probe their nProbe nearest refined centroids.
+    val q = withNorm(queries, "query_id")
+      .withColumnRenamed("v", "qv").withColumnRenamed("nrm", "qn")
+    val probes = q.crossJoin(broadcast(refined))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val wp = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cid"))
+    val probed = probes.withColumn("rnk", row_number().over(wp))
+      .filter(col("rnk") <= nProbe)
+      .select("query_id", "qv", "qn", "cid")
+
+    val scored = probed.join(cells, "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(dot(col("qv"), col("cv2")) / (col("qn") * col("cn2")), 6).as("cos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("cos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+  }
+
   /** All near-dup pairs with cosine ≥ threshold. Brute force over the
     * pair space — correct baseline; LSH restricts candidates at scale. */
   def nearDupPairs(vectors: DataFrame, threshold: Double): DataFrame = {

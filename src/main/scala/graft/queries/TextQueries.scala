@@ -138,6 +138,43 @@ object TextQueries {
       .limit(50)
   }
 
+  // ---------------------------------------------------------------- t06
+  // BPE-ish regex tokenization: letter runs / digit runs / single
+  // non-space symbols — the pre-tokenizer split GPT-style BPE vocabs
+  // assume. Pattern kept to constructs Java regex and DuckDB's RE2
+  // interpret identically.
+  val t06BpeTokens: Q = Q(
+    "t06_bpe_tokens",
+    """SELECT doc_id,
+      |  len(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]')) AS n_bpe_tokens,
+      |  len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS n_distinct_bpe
+      |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val toks = regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
+    docs(s, d).select(
+      col("doc_id"),
+      size(toks).cast("bigint").as("n_bpe_tokens"),
+      size(array_distinct(toks)).cast("bigint").as("n_distinct_bpe"))
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- t07
+  // Winnowing rolling-hash fingerprints (rows-only: the Rabin-Karp +
+  // winnowing selection is a native expression; overlap semantics are
+  // unit-tested in TextFnsSpec). Docs sharing ≥1 selected hash are
+  // substring-overlap candidates — the plagiarism-detection primitive.
+  val t07RollingFingerprint: Q = Q.rowsOnly("t07_rolling_fingerprint") { (s, d) =>
+    import graft.functions.expressions.RollingFingerprint.rolling_fingerprint
+    val fps = docs(s, d).select(col("doc_id"),
+      explode(rolling_fingerprint(col("text"))).as("fp"))
+    val a = fps.select(col("doc_id").as("i"), col("fp"))
+    val b = fps.select(col("doc_id").as("j"), col("fp"))
+    a.join(b, "fp").filter(col("i") < col("j"))
+      .groupBy("i", "j").agg(count(lit(1)).as("shared_fingerprints"))
+      .filter(col("shared_fingerprints") >= 8)
+      .orderBy("i", "j")
+  }
+
   val all: Seq[Q] = Seq(
-    t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint, t05TokenHistogram)
+    t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
+    t05TokenHistogram, t06BpeTokens, t07RollingFingerprint)
 }

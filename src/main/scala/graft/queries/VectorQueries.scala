@@ -76,5 +76,15 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
-  val all: Seq[Q] = Seq(v01BruteForceTopK, v02NearDupPairs, v03LshTopK)
+  // ---------------------------------------------------------------- v04
+  // IVF ANN (rows-only: the Lloyd-refined Voronoi partition isn't worth
+  // replicating in SQL; recall vs v01 is asserted in SimilaritySpec).
+  val v04IvfTopK: Q = Q.rowsOnly("v04_ann_ivf_topk") { (s, d) =>
+    val emb = t(s, d, "embeddings")
+    Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 10)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  val all: Seq[Q] = Seq(v01BruteForceTopK, v02NearDupPairs, v03LshTopK, v04IvfTopK)
 }

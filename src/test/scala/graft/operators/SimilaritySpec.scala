@@ -35,6 +35,17 @@ class SimilaritySpec extends SparkSpec {
     assert(top.last._2 === 3L)          // opposite vector last
   }
 
+  test("ivfTopK achieves reasonable recall vs brute force on real embeddings") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val ivf = Similarity.ivfTopK(emb, queries, 10, nCentroids = 8, nProbe = 4)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivf).size.toDouble / exact.size
+    assert(recall > 0.3, s"IVF recall $recall too low — cell probing broken?")
+  }
+
   test("lshTopK achieves reasonable recall vs brute force on real embeddings") {
     val emb = Tables.t(spark, sfDir, "embeddings")
     val queries = emb.filter($"vec_id" < 5)
