@@ -94,6 +94,45 @@ object Streams {
         .withWatermark("ts", lateness)
         .dropDuplicates(Medallion.naturalKey))
 
+  /** ST6 hard case (SURVEY §7.4(7)): a continuously-maintained AGGREGATE
+    * MV. Row-level MVs are stateless appends, but an aggregate MV needs
+    * update semantics at the sink — implemented as foreachBatch + keyed
+    * MERGE: each micro-batch re-aggregates its rows and upserts the
+    * affected groups, so the target table converges to the full-history
+    * aggregate without ever rescanning it. Requires a re-aggregable
+    * measure set (counts/sums — the additive aggregates the reference's
+    * marts use). */
+  def aggregateMv(events: DataFrame, targetDir: String, checkpointDir: String): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        val spark = batch.sparkSession
+        val delta = batch
+          .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
+          .agg(count(lit(1)).as("n"),
+            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+              .cast("double").as("total_value"))
+        val existing = graft.operators.Mutation.readIfExists(spark, targetDir)
+        // Touch ONLY the groups this batch affects: semi-join the current
+        // MV down to the delta's keys (partition-pruned on partitioned
+        // storage), fold the delta in, and upsert those groups.
+        val affected = existing match {
+          case None => delta
+          case Some(cur) =>
+            val keys = delta.select("event_date", "event_type").distinct()
+            cur.join(keys, Seq("event_date", "event_type"), "left_semi")
+              .unionByName(delta)
+              .groupBy("event_date", "event_type")
+              .agg(sum("n").as("n"),
+                sum(col("total_value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+                  .cast("double").as("total_value"))
+        }
+        graft.operators.Mutation.mergeUpsert(
+          spark, targetDir, affected, Seq("event_date", "event_type"))
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Run any streaming frame into an in-memory table for deterministic
     * tests (processAllAvailable → stop). */
   def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): Unit = {
