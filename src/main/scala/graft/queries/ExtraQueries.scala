@@ -131,6 +131,50 @@ object ExtraQueries {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------- x06
+  // Bucketed point-in-interval range join: each purchase matched to the
+  // session window containing it. Spark side quantizes time into cells
+  // so the join is a hash equi-join on (user, cell) + exact post-filter
+  // (a naive inequality join plans a nested loop); DuckDB oracle uses
+  // the plain inequality join.
+  val x06RangeJoin: Q = Q(
+    "x06_range_join",
+    """WITH flagged AS (
+      |  SELECT user_id, ts, value,
+      |    CASE WHEN lag(ts) OVER w IS NULL
+      |         OR CAST(FLOOR(epoch(ts)) AS BIGINT)
+      |            - CAST(FLOOR(epoch(lag(ts) OVER w)) AS BIGINT) > 1800
+      |         THEN 1 ELSE 0 END AS new_s
+      |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
+      |ses AS (
+      |  SELECT user_id, ts, value,
+      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |  FROM flagged),
+      |sessions AS (
+      |  SELECT user_id, session_seq,
+      |    MIN(ts) AS session_start, MAX(ts) AS session_end,
+      |    COUNT(*) AS n_events
+      |  FROM ses GROUP BY 1, 2)
+      |SELECT p.event_id, p.user_id, s.session_seq,
+      |  s.n_events AS session_n_events
+      |FROM (SELECT event_id, user_id, ts FROM events WHERE event_type = 'purchase') p
+      |JOIN sessions s
+      |  ON p.user_id = s.user_id
+      | AND p.ts >= s.session_start AND p.ts <= s.session_end
+      |ORDER BY p.event_id""".stripMargin) { (s, d) =>
+    val ev = t(s, d, "events")
+    val sessions = graft.streaming.Sessionize.sessionsBatch(ev, gapMinutes = 30)
+      .select("user_id", "session_seq", "session_start", "session_end", "n_events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("event_id", "user_id", "ts")
+    graft.operators.RangeJoin.pointInInterval(
+        purchases, sessions, Seq("user_id"), "ts", "session_start", "session_end")
+      .select(col("event_id"), col("user_id"), col("session_seq"),
+        col("n_events").as("session_n_events"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] = Seq(x01SeedJoin, x02AsofJoin, x03Duration, x04Sessionize,
-    x05ApproxDistinct)
+    x05ApproxDistinct, x06RangeJoin)
 }
