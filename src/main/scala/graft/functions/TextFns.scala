@@ -35,9 +35,11 @@ object TextFns {
   def fingerprint(text: Column): Column =
     md5(concat_ws(" ", array_sort(array_distinct(tokens(text)))))
 
-  /** Ratio of characters outside [a-z0-9 ] (punctuation-ish), 4 dp. */
+  /** Ratio of characters outside [a-z0-9 ] (punctuation-ish), 4 dp.
+    * regexp_replace removes the in-class chars, so the remaining length
+    * IS the out-of-class count. */
   def punctRatio(text: Column): Column =
-    round((length(text) - length(regexp_replace(text, "[a-z0-9 ]", ""))).cast("double")
+    round(length(regexp_replace(text, "[a-z0-9 ]", "")).cast("double")
       / nullif(length(text), lit(0)), 4)
 
   /** Language marker lists (stopword heuristic). Ordered by language code

@@ -10,8 +10,8 @@ import org.apache.spark.sql.types.{ArrayType, DataType, LongType, StringType}
   *
   * Slides a `window`-byte window over the text computing the polynomial
   * rolling hash h = Σ b_i·B^(w-1-i) (mod 2^61-1) in O(1) per step, then
-  * keeps the minimum hash of every `stride`-length run of windows — the
-  * classic winnowing selection (Schleimer/Wilkerson/Aiken), which
+  * keeps the minimum hash of every sliding run of `stride` consecutive
+  * windows — the classic winnowing selection (Schleimer/Wilkerson/Aiken), which
   * guarantees any shared substring of length ≥ window+stride-1 yields a
   * shared fingerprint. Output: the distinct selected hashes, sorted —
   * compare documents by fingerprint overlap.
@@ -68,16 +68,19 @@ case class RollingFingerprint(child: Expression, window: Int, stride: Int)
       hashes(i) = h
       i += 1
     }
-    // Winnowing: min per stride-length run.
+    // Winnowing: min of EVERY run of `stride` consecutive hashes (the
+    // window slides by 1 — tumbling runs would lose the shared-substring
+    // guarantee, since run boundaries are offset-dependent per document).
     val selected = new java.util.TreeSet[java.lang.Long]()
+    val lastStart = math.max(0, nWindows - stride)
     var start = 0
-    while (start < nWindows) {
+    while (start <= lastStart) {
       val end = math.min(start + stride, nWindows)
       var mn = Long.MaxValue
       var j = start
       while (j < end) { if (hashes(j) < mn) mn = hashes(j); j += 1 }
       selected.add(mn)
-      start += stride
+      start += 1
     }
     val out = new Array[Any](selected.size())
     val it = selected.iterator()

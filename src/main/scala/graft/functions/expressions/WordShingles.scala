@@ -45,14 +45,13 @@ case class WordShingles(child: Expression, k: Int)
     val seen = new mutable.LinkedHashSet[UTF8String]
     var i = 0
     while (i <= n - k) {
-      val parts = new Array[UTF8String](2 * k - 1)
+      val parts = new Array[UTF8String](k)
       var j = 0
-      while (j < k) {
-        parts(2 * j) = tok.getUTF8String(i + j)
-        if (j < k - 1) parts(2 * j + 1) = space
-        j += 1
-      }
-      seen += UTF8String.concat(parts: _*)
+      while (j < k) { parts(j) = tok.getUTF8String(i + j); j += 1 }
+      // concatWs skips null tokens — same semantics as the composed
+      // concat_ws form, and never emits a null into the containsNull=false
+      // output (UTF8String.concat would return null if any part is null).
+      seen += UTF8String.concatWs(space, parts: _*)
       i += 1
     }
     new GenericArrayData(seen.toArray[Any])

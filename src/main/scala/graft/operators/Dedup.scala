@@ -60,6 +60,17 @@ object Dedup {
       .select("i", "j").distinct()
   }
 
+  /** |i∩j| counts ("common") → exact Jaccard via the scalar set sizes. */
+  private def jaccardFromCommon(common: DataFrame, shingled: DataFrame,
+      idCol: String): DataFrame = {
+    val sz = shingled.select(col(idCol), size(col("sh")).as("n"))
+    common
+      .join(sz.select(col(idCol).as("i"), col("n").as("ni")), "i")
+      .join(sz.select(col(idCol).as("j"), col("n").as("nj")), "j")
+      .select(col("i"), col("j"),
+        (col("common") * lit(1.0) / (col("ni") + col("nj") - col("common"))).as("jaccard"))
+  }
+
   /** Exact Jaccard over the distinct shingle sets for given (i, j) pairs:
     * common counts come from a shingle-keyed join (no shingle arrays are
     * carried through the shuffle — only (id, shingle) rows and scalar
@@ -70,12 +81,7 @@ object Dedup {
       .join(ex.select(col(idCol).as("i"), col("s")), "i")
       .join(ex.select(col(idCol).as("j"), col("s")), Seq("j", "s"))
       .groupBy("i", "j").agg(count(lit(1)).as("common"))
-    val sz = shingled.select(col(idCol), size(col("sh")).as("n"))
-    common
-      .join(sz.select(col(idCol).as("i"), col("n").as("ni")), "i")
-      .join(sz.select(col(idCol).as("j"), col("n").as("nj")), "j")
-      .select(col("i"), col("j"),
-        (col("common") * lit(1.0) / (col("ni") + col("nj") - col("common"))).as("jaccard"))
+    jaccardFromCommon(common, shingled, idCol)
   }
 
   /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → bucket
@@ -104,12 +110,7 @@ object Dedup {
       .join(ex.select(col(idCol).as("j"), col("s")), "s")
       .filter(col("i") < col("j"))
       .groupBy("i", "j").agg(count(lit(1)).as("common"))
-    val sz = shingled.select(col(idCol), size(col("sh")).as("n"))
-    common
-      .join(sz.select(col(idCol).as("i"), col("n").as("ni")), "i")
-      .join(sz.select(col(idCol).as("j"), col("n").as("nj")), "j")
-      .select(col("i"), col("j"),
-        (col("common") * lit(1.0) / (col("ni") + col("nj") - col("common"))).as("jaccard"))
+    jaccardFromCommon(common, shingled, idCol)
       .filter(col("jaccard") >= threshold)
   }
 

@@ -111,9 +111,14 @@ object Mutation {
     if (target.exists()) {
       val trash = new java.io.File(targetPath + ".old")
       deleteRecursively(trash)
-      target.renameTo(trash)
+      if (!target.renameTo(trash))
+        throw new java.io.IOException(s"could not stage out old $targetPath")
     }
-    new java.io.File(tmp).renameTo(target)
+    // Check the swap succeeded BEFORE deleting the .old backup — a failed
+    // rename with the backup already deleted would lose the table.
+    if (!new java.io.File(tmp).renameTo(target))
+      throw new java.io.IOException(
+        s"could not swap $tmp into place; previous data kept at $targetPath.old")
     deleteRecursively(new java.io.File(targetPath + ".old"))
   }
 

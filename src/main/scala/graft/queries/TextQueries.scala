@@ -43,7 +43,7 @@ object TextQueries {
     "t02_quality_score",
     """WITH f AS (
       |  SELECT doc_id, string_split(text, ' ') AS tok,
-      |    ROUND(CAST(length(text) - length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+      |    ROUND(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
       |          / NULLIF(length(text), 0), 4) AS punct_ratio
       |  FROM documents)
       |SELECT doc_id,

@@ -26,8 +26,13 @@ object Bucketing {
       key: String): DataFrame =
     spark.table(left).join(spark.table(right), key)
 
-  /** True when the physical plan contains no shuffle exchange. */
-  def isShuffleFree(df: DataFrame): Boolean =
-    !df.queryExecution.executedPlan.toString.contains("ShuffleExchange") &&
-      !df.queryExecution.executedPlan.toString.contains("Exchange hashpartitioning")
+  /** True when the physical plan contains no shuffle exchange.
+    * (ShuffleExchangeExec prints as "Exchange <partitioning>";
+    * BroadcastExchange is NOT a shuffle and must not match.) */
+  def isShuffleFree(df: DataFrame): Boolean = {
+    val plan = df.queryExecution.executedPlan.toString
+    !Seq("Exchange hashpartitioning", "Exchange rangepartitioning",
+      "Exchange SinglePartition", "Exchange RoundRobinPartitioning")
+      .exists(plan.contains)
+  }
 }

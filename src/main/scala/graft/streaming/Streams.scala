@@ -104,30 +104,44 @@ object Streams {
     * marts use). */
   def aggregateMv(events: DataFrame, targetDir: String, checkpointDir: String): StreamingQuery =
     events.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        val spark = batch.sparkSession
-        val delta = batch
-          .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
-          .agg(count(lit(1)).as("n"),
-            sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-              .cast("double").as("total_value"))
-        val existing = graft.operators.Mutation.readIfExists(spark, targetDir)
-        // Touch ONLY the groups this batch affects: semi-join the current
-        // MV down to the delta's keys (partition-pruned on partitioned
-        // storage), fold the delta in, and upsert those groups.
-        val affected = existing match {
-          case None => delta
-          case Some(cur) =>
-            val keys = delta.select("event_date", "event_type").distinct()
-            cur.join(keys, Seq("event_date", "event_type"), "left_semi")
-              .unionByName(delta)
-              .groupBy("event_date", "event_type")
-              .agg(sum("n").as("n"),
-                sum(col("total_value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
-                  .cast("double").as("total_value"))
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        // foreachBatch is at-least-once: a batch replayed after a failure
+        // between the MERGE and the offset commit would be folded in twice.
+        // Record the last applied batchId next to the target and skip
+        // replays (valid as long as target and checkpoint live and die
+        // together, which mergeUpsert's staging swap preserves).
+        val marker = new java.io.File(targetDir + ".lastbatch")
+        val lastApplied =
+          if (marker.exists())
+            scala.io.Source.fromFile(marker).mkString.trim.toLong
+          else -1L
+        if (batchId > lastApplied) {
+          val spark = batch.sparkSession
+          val delta = batch
+            .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
+            .agg(count(lit(1)).as("n"),
+              sum(col("value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+                .cast("double").as("total_value"))
+          val existing = graft.operators.Mutation.readIfExists(spark, targetDir)
+          // Touch ONLY the groups this batch affects: semi-join the current
+          // MV down to the delta's keys (partition-pruned on partitioned
+          // storage), fold the delta in, and upsert those groups.
+          val affected = existing match {
+            case None => delta
+            case Some(cur) =>
+              val keys = delta.select("event_date", "event_type").distinct()
+              cur.join(keys, Seq("event_date", "event_type"), "left_semi")
+                .unionByName(delta)
+                .groupBy("event_date", "event_type")
+                .agg(sum("n").as("n"),
+                  sum(col("total_value").cast(org.apache.spark.sql.types.DecimalType(18, 2)))
+                    .cast("double").as("total_value"))
+          }
+          graft.operators.Mutation.mergeUpsert(
+            spark, targetDir, affected, Seq("event_date", "event_type"))
+          val w = new java.io.PrintWriter(marker)
+          try w.print(batchId) finally w.close()
         }
-        graft.operators.Mutation.mergeUpsert(
-          spark, targetDir, affected, Seq("event_date", "event_type"))
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
