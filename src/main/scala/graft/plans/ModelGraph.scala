@@ -61,8 +61,9 @@ object ModelGraph {
       val materialized = node.materialization match {
         case View => df
         case Table(path, parts) =>
-          val w = df.write.mode("overwrite")
-          (if (parts.nonEmpty) w.partitionBy(parts: _*) else w).parquet(path)
+          // Lake-table writes follow the 128 MB target-file discipline
+          // (reference table properties; graft.sources.FileLayout).
+          graft.sources.FileLayout.writeTargetSized(df, path, parts)
           spark.read.parquet(path)
         case External(path) =>
           df.coalesce(1).write.mode("overwrite").parquet(path)
