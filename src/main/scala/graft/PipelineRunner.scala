@@ -56,6 +56,15 @@ object PipelineRunner {
       .awaitTermination()
     val mv = spark.read.parquet(s"$work/mv_daily")
 
+    // Stage 1c: stream-stream attribution — purchases joined to the same
+    // user's clicks within the preceding hour (watermark-bounded state).
+    def typed(t: String) = Streams.fileSource(spark, src)
+      .filter(org.apache.spark.sql.functions.col("event_type") === t)
+    Streams.runToMemory(
+      Streams.intervalJoin(typed("purchase"), typed("click"), "user_id", 3600),
+      "attribution")
+    val attributed = spark.table("attribution")
+
     // Stage 2+3: batch Silver + Gold marts through the model graph.
     val out = ModelGraph.run(spark, Seq(
       Node("silver", Seq("bronze"), f => Medallion.silver(f("bronze")),
@@ -68,7 +77,8 @@ object PipelineRunner {
     val mvTotal = mv.agg(sum("n")).head().getLong(0)
     println(s"""{"bronze":${bronze.count()},"silver":$silverN,""" +
       s""""mart_daily":${out("mart_daily").count()},"mart_users":${out("mart_users").count()},""" +
-      s""""mv_groups":${mv.count()},"mv_total_events":$mvTotal,"work":"$work"}""")
+      s""""mv_groups":${mv.count()},"mv_total_events":$mvTotal,""" +
+      s""""attributed_pairs":${attributed.count()},"work":"$work"}""")
     spark.stop()
   }
 }

@@ -147,6 +147,28 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Stream-stream interval join (beyond-reference): correlate two live
+    * streams — e.g. each purchase with the same user's clicks in the
+    * preceding `windowSeconds` — with BOUNDED state: the watermarks plus
+    * the time-range predicate let Spark evict rows once they can no
+    * longer match, so state is O(window × rate), not O(stream). Without
+    * the range condition a stream-stream join must buffer both streams
+    * forever. */
+  def intervalJoin(left: DataFrame, right: DataFrame, key: String,
+      windowSeconds: Int, lateness: String = "10 seconds"): DataFrame = {
+    val l = left.withWatermark("ts", lateness)
+      .select(col(key), col("ts").as("l_ts"),
+        col("event_id").as("l_event_id"), col("value").as("l_value"))
+    val r = right.withWatermark("ts", lateness)
+      .select(col(key).as("r_key"), col("ts").as("r_ts"),
+        col("event_id").as("r_event_id"), col("value").as("r_value"))
+    l.join(r,
+      col(key) === col("r_key") &&
+        col("r_ts") >= col("l_ts") - expr(s"interval $windowSeconds seconds") &&
+        col("r_ts") <= col("l_ts"))
+      .drop("r_key")
+  }
+
   /** Run any streaming frame into an in-memory table for deterministic
     * tests (processAllAvailable → stop). */
   def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): Unit = {
