@@ -14,7 +14,10 @@ object BenchProtocol {
     "q01_pricing_summary",   // q1 daily revenue analog
     "q07_topk",              // q2 top locations analog
     "q13_datetime_agg",      // q3 hourly heatmap analog
-    "q10_pct_of_total")      // q4 payment breakdown analog
+    "q10_pct_of_total",      // q4 payment breakdown analog
+    "d03_minhash_lsh",       // beyond-reference: LSH dedup
+    "v01_ann_bruteforce_topk", // beyond-reference: similarity search
+    "p01_silver")            // medallion silver end-to-end
 
   def main(args: Array[String]): Unit = {
     val sfDir = args.headOption.getOrElse(
