@@ -73,6 +73,12 @@ def main():
             continue
         bad = []
         for c in got.columns:
+            # The driver hashes serialized values, so an int64 Spark column
+            # vs a float64 oracle column (e.g. DuckDB HUGEINT from SUM over
+            # integers) mismatches even when == passes. Mirror that.
+            if got[c].dtype.kind != exp[c].dtype.kind:
+                bad.append((c, "dtype", str(got[c].dtype), str(exp[c].dtype)))
+                break
             gv, ev = got[c].tolist(), exp[c].tolist()
             for i, (g, e) in enumerate(zip(gv, ev)):
                 if not cells_equal(g, e):

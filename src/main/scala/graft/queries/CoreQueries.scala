@@ -418,7 +418,7 @@ object CoreQueries {
       |  FROM events GROUP BY 1, 2)
       |SELECT hr, COUNT(*) AS days_observed,
       |  ROUND(CAST(SUM(n) AS DOUBLE) / COUNT(*), 1) AS avg_events,
-      |  SUM(n) AS total_events
+      |  CAST(SUM(n) AS BIGINT) AS total_events
       |FROM hourly GROUP BY hr ORDER BY hr""".stripMargin) { (s, d) =>
     val hourly = ev(s, d)
       .groupBy(date_trunc("DAY", col("ts")).cast("date").as("day"),

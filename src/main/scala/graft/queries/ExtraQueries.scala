@@ -102,8 +102,8 @@ object ExtraQueries {
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
       |ses AS (
       |  SELECT user_id, ts, value,
-      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
       |  FROM flagged)
       |SELECT user_id, session_seq,
       |  MIN(ts) AS session_start, MAX(ts) AS session_end,
@@ -148,8 +148,8 @@ object ExtraQueries {
       |  FROM events WINDOW w AS (PARTITION BY user_id ORDER BY ts)),
       |ses AS (
       |  SELECT user_id, ts, value,
-      |    SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
-      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS session_seq
+      |    CAST(SUM(new_s) OVER (PARTITION BY user_id ORDER BY ts
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS BIGINT) AS session_seq
       |  FROM flagged),
       |sessions AS (
       |  SELECT user_id, session_seq,
