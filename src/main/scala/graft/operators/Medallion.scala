@@ -78,17 +78,22 @@ object Medallion {
         count(when(col("event_type") === "purchase", 1)).as("n_purchases"),
         count(when(col("event_type") === "error", 1)).as("n_errors"))
 
-  /** Gold mart: per-user lifetime rollup with value share (W4-style). */
-  def goldUserStats(silver: DataFrame): DataFrame =
-    silver.groupBy("user_id")
+  /** Gold mart: per-user lifetime rollup with value share (W4-style).
+    * The global total comes from a broadcast one-row aggregate
+    * (ScalableWindow) — at fact scale the per-user frame is millions of
+    * rows, far too large for an unpartitioned window. Decimal-cast sum:
+    * exact and order-independent.
+    */
+  def goldUserStats(silver: DataFrame): DataFrame = {
+    val perUser = silver.groupBy("user_id")
       .agg(
         count(lit(1)).as("n_events"),
         moneySum(col("value")).as("total_value"),
         min("event_ts").as("first_seen"),
         max("event_ts").as("last_seen"))
-      .withColumn("value_share_pct",
-        // Decimal-cast window sum: exact and order-independent (a raw
-        // double window sum varies in the last bits with row order).
-        round(col("total_value") * 100.0 /
-          sum(dec2(col("total_value"))).over(Window.partitionBy()).cast("double"), 2))
+    ScalableWindow.withGlobalShare(
+      perUser, sum(dec2(col("total_value"))), "value_share_pct",
+      (_, total) =>
+        round(col("total_value") * 100.0 / total.cast("double"), 2))
+  }
 }

@@ -1,0 +1,113 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+import graft.functions.ColFns.dec2
+
+/** Scale-safe replacements for unpartitioned windows.
+  *
+  * `SUM(x) OVER ()` and friends plan a WindowExec with no partition keys:
+  * Spark moves EVERY row to a single partition (the "No Partition Defined
+  * for Window operation" warning). Fine on a 5-row frame, fatal on a
+  * 100 TB fact table — one task, one executor, full-table spill.
+  *
+  * Two patterns restore scale:
+  *  - [[withGlobalShare]]: the global aggregate is ONE row — compute it
+  *    with a partial-aggregating `agg` (map-side combine, tree reduce)
+  *    and broadcast-cross-join it back. Every row stays in its original
+  *    partition; the only data movement is the one-row broadcast.
+  *  - [[runningTotal]]: a running total is inherently sequential, but
+  *    only *across* bucket boundaries. Partition the window by a coarse
+  *    time bucket (e.g. month), run the window inside each bucket in
+  *    parallel, then add per-bucket prefix offsets. The offsets come
+  *    from a driver-side fold over the per-bucket totals — bounded by
+  *    the number of buckets (months, not rows), the same trick
+  *    `zipWithIndex` uses for partition offsets.
+  *
+  * Reference behavior mirrored: percent-of-total marts
+  * (`models/gold/mart_revenue_share.sql`-style) and running-revenue marts
+  * (`shared/benchmarks/queries/q1_daily_revenue.sql`) — reimplemented
+  * Spark-first rather than as window-function translations.
+  */
+object ScalableWindow {
+
+  /** Append `outCol` = rowValue / globalTotal-style share without a
+    * global window. `totalAgg` is the one-row global aggregate (e.g.
+    * `sum(dec2(col("v")))`); `share` builds the output column from the
+    * broadcast total.
+    */
+  def withGlobalShare(
+      df: DataFrame,
+      totalAgg: Column,
+      outCol: String,
+      share: (DataFrame, Column) => Column): DataFrame = {
+    val total = df.agg(totalAgg.as("__global_total"))
+    val joined = df.crossJoin(broadcast(total))
+    joined.withColumn(outCol, share(joined, col("__global_total")))
+      .drop("__global_total")
+  }
+
+  /** Exact (decimal) running total of `valueCol` in `orderCol` order,
+    * parallel across `bucketCol` partitions. Returns the input plus
+    * `cumCol` (DOUBLE, rounded to `scale`) and `lagCol` (previous row's
+    * value in global order, NULL for the first row overall).
+    *
+    * The per-bucket offset fold collects one row per bucket — for a
+    * day-grain frame bucketed by month that is 12 rows/year regardless
+    * of fact-table size.
+    */
+  def runningTotal(
+      df: DataFrame,
+      orderCol: String,
+      valueCol: String,
+      bucketCol: Column,
+      cumCol: String,
+      lagCol: String,
+      scale: Int = 2): DataFrame = {
+    val bucketed = df.withColumn("__bucket", bucketCol)
+    val w = Window.partitionBy("__bucket").orderBy(orderCol)
+    val inBucket = bucketed
+      .withColumn("__cum_in_bucket",
+        sum(dec2(col(valueCol)))
+          .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+      .withColumn("__lag_in_bucket", lag(col(valueCol), 1).over(w))
+
+    // One row per bucket: (bucket, total, last value in bucket order).
+    val perBucket = bucketed.groupBy("__bucket")
+      .agg(sum(dec2(col(valueCol))).as("__tot"),
+        max_by(col(valueCol), col(orderCol)).as("__last"))
+      .orderBy("__bucket")
+      .collect() // bounded by bucket count (months), not data size
+
+    var running = BigDecimal(0)
+    var prevLast: Option[Any] = None
+    val offsets = perBucket.map { r =>
+      val off = running
+      running += BigDecimal(r.getDecimal(1))
+      val boundary = prevLast
+      prevLast = Some(r.get(2))
+      (r.get(0), off, boundary.orNull)
+    }.toSeq
+    val spark = df.sparkSession
+    import scala.jdk.CollectionConverters._
+    val offDf = spark.createDataFrame(
+      offsets.map { case (b, off, bl) =>
+        org.apache.spark.sql.Row(b, off.bigDecimal, bl)
+      }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        bucketed.schema("__bucket").copy(name = "__obucket"),
+        org.apache.spark.sql.types.StructField("__offset",
+          org.apache.spark.sql.types.DecimalType(18, 2)),
+        // nullable: the first bucket has no previous-last value, even
+        // when the value column itself is non-nullable.
+        df.schema(valueCol).copy(name = "__prev_last", nullable = true))))
+
+    inBucket.join(broadcast(offDf), col("__bucket") === col("__obucket"))
+      .withColumn(cumCol,
+        round((col("__cum_in_bucket") + col("__offset")).cast("double"), scale))
+      .withColumn(lagCol, coalesce(col("__lag_in_bucket"), col("__prev_last")))
+      .drop("__bucket", "__cum_in_bucket", "__lag_in_bucket",
+        "__obucket", "__offset", "__prev_last")
+  }
+}

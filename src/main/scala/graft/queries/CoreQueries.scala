@@ -200,8 +200,11 @@ object CoreQueries {
   }
 
   // ---------------------------------------------------------------- q09
-  // W2 running total + W3 lag delta over a daily aggregate (~30 rows →
-  // the single-partition global window is safe, as in mart_daily_revenue).
+  // W2 running total + W3 lag delta over a daily aggregate. The window is
+  // partitioned by month with broadcast prefix offsets (ScalableWindow) —
+  // an unpartitioned window would funnel the whole frame through one task.
+  // Decimal-exact cumulation on both sides keeps cross-engine parity
+  // independent of float association order.
   val q09RunningTotal: Q = Q(
     "q09_running_total",
     s"""WITH daily AS (
@@ -209,20 +212,20 @@ object CoreQueries {
        |         ${sumd("value")} AS revenue
        |  FROM events WHERE event_type = 'purchase' GROUP BY 1)
        |SELECT day, revenue,
-       |  ROUND(SUM(revenue) OVER (ORDER BY day
-       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW), 2) AS cumulative_revenue,
+       |  ROUND(CAST(SUM(CAST(revenue AS DECIMAL(18,2))) OVER (ORDER BY day
+       |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS DOUBLE), 2)
+       |    AS cumulative_revenue,
        |  ROUND(revenue - LAG(revenue) OVER (ORDER BY day), 2) AS revenue_delta
        |FROM daily ORDER BY day""".stripMargin) { (s, d) =>
     val daily = ev(s, d).filter(col("event_type") === "purchase")
       .groupBy(date_trunc("DAY", col("ts")).cast("date").as("day"))
       .agg(moneySum(col("value")).as("revenue"))
-    val w = Window.orderBy("day")
-    daily
-      .withColumn("cumulative_revenue",
-        round(sum("revenue").over(
-          w.rowsBetween(Window.unboundedPreceding, Window.currentRow)), 2))
-      .withColumn("revenue_delta",
-        round(col("revenue") - lag("revenue", 1).over(w), 2))
+    graft.operators.ScalableWindow.runningTotal(
+        daily, "day", "revenue",
+        date_trunc("MONTH", col("day")).cast("date"),
+        cumCol = "cumulative_revenue", lagCol = "__prev")
+      .withColumn("revenue_delta", round(col("revenue") - col("__prev"), 2))
+      .select("day", "revenue", "cumulative_revenue", "revenue_delta")
       .orderBy("day")
   }
 
@@ -233,10 +236,10 @@ object CoreQueries {
     """SELECT event_type, COUNT(*) AS n,
       |  ROUND(COUNT(*) * 100.0 / SUM(COUNT(*)) OVER (), 2) AS pct
       |FROM events GROUP BY event_type ORDER BY event_type""".stripMargin) { (s, d) =>
-    ev(s, d).groupBy("event_type")
-      .agg(count(lit(1)).as("n"))
-      .withColumn("pct",
-        round(col("n") * lit(100.0) / sum("n").over(Window.partitionBy()), 2))
+    val counts = ev(s, d).groupBy("event_type").agg(count(lit(1)).as("n"))
+    graft.operators.ScalableWindow.withGlobalShare(
+        counts, sum(col("n")), "pct",
+        (_, total) => round(col("n") * lit(100.0) / total, 2))
       .orderBy("event_type")
   }
 

@@ -1,0 +1,85 @@
+package graft.operators
+
+import java.sql.Date
+
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** ScalableWindow must equal the plain unpartitioned-window results —
+  * same values, no single-partition WindowExec. The boundary cases are
+  * the first row of each bucket (lag must reach into the previous
+  * bucket) and the offset fold (cumulative must carry across buckets).
+  */
+class ScalableWindowSpec extends SparkSpec {
+
+  private def daysAcrossMonths = {
+    import spark.implicits._
+    // 40 consecutive days spanning a Jan→Feb boundary, varied values.
+    (0 until 40).map { i =>
+      (Date.valueOf(java.time.LocalDate.of(2024, 1, 10).plusDays(i)),
+        (i * 37 % 19) + 0.25 * (i % 4))
+    }.toDF("day", "revenue")
+  }
+
+  test("runningTotal matches the global-window cumulative and lag") {
+    val df = daysAcrossMonths
+    val got = ScalableWindow.runningTotal(
+        df, "day", "revenue", date_trunc("MONTH", col("day")).cast("date"),
+        cumCol = "cum", lagCol = "prev")
+      .orderBy("day")
+      .select("day", "cum", "prev")
+      .collect()
+
+    val w = Window.orderBy("day")
+    val want = df
+      .withColumn("cum", round(sum(graft.functions.ColFns.dec2(col("revenue")))
+        .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow))
+        .cast("double"), 2))
+      .withColumn("prev", lag("revenue", 1).over(w))
+      .orderBy("day")
+      .select("day", "cum", "prev")
+      .collect()
+
+    assert(got.length === 40)
+    got.zip(want).foreach { case (g, e) => assert(g === e) }
+  }
+
+  test("runningTotal: first row overall has NULL lag, Feb 1 lags Jan 31") {
+    val rows = ScalableWindow.runningTotal(
+        daysAcrossMonths, "day", "revenue",
+        date_trunc("MONTH", col("day")).cast("date"), "cum", "prev")
+      .orderBy("day").collect()
+    assert(rows.head.isNullAt(rows.head.fieldIndex("prev")))
+    val feb1 = rows.find(_.getDate(0) == Date.valueOf("2024-02-01")).get
+    val jan31Rev = rows.find(_.getDate(0) == Date.valueOf("2024-01-31")).get
+      .getDouble(1)
+    assert(feb1.getDouble(feb1.fieldIndex("prev")) === jan31Rev)
+  }
+
+  test("withGlobalShare: shares sum to ~100 and match manual total") {
+    import spark.implicits._
+    val df = Seq(("a", 10L), ("b", 30L), ("c", 60L)).toDF("k", "n")
+    val got = ScalableWindow.withGlobalShare(
+        df, sum(col("n")), "pct",
+        (_, total) => round(col("n") * lit(100.0) / total, 2))
+      .orderBy("k").collect()
+    assert(got.map(_.getDouble(2)).toSeq === Seq(10.0, 30.0, 60.0))
+  }
+
+  test("runningTotal plans no unpartitioned window") {
+    // Every Window node must carry partition keys: the unpartitioned
+    // form funnels the whole frame through one task (and WARNs at
+    // runtime). Checked on the optimized logical plan — AQE wraps the
+    // physical WindowExec out of reach of a plain collect.
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val plan = ScalableWindow.runningTotal(
+        daysAcrossMonths, "day", "revenue",
+        date_trunc("MONTH", col("day")).cast("date"), "cum", "prev")
+      .queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty, plan.toString))
+  }
+}
