@@ -60,28 +60,30 @@ object Dedup {
       .select("i", "j").distinct()
   }
 
-  /** |i∩j| counts ("common") → exact Jaccard via the scalar set sizes. */
-  private def jaccardFromCommon(common: DataFrame, shingled: DataFrame,
-      idCol: String): DataFrame = {
-    val sz = shingled.select(col(idCol), size(col("sh")).as("n"))
-    common
-      .join(sz.select(col(idCol).as("i"), col("n").as("ni")), "i")
-      .join(sz.select(col(idCol).as("j"), col("n").as("nj")), "j")
-      .select(col("i"), col("j"),
-        (col("common") * lit(1.0) / (col("ni") + col("nj") - col("common"))).as("jaccard"))
-  }
+  /** Inverted index: one (id, n, s) row per document shingle, with the
+    * document's set size attached BEFORE the explode. Carrying the scalar
+    * size through the index join costs 4 bytes per shuffle row and
+    * eliminates two whole join stages (plus their recomputation of the
+    * shingle projection) that a separate size lookup would need. */
+  private def invertedIndex(shingled: DataFrame, idCol: String): DataFrame =
+    shingled.select(col(idCol), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+
+  /** jaccard = common / (ni + nj − common), given per-pair common counts
+    * with both set sizes already aggregated alongside. */
+  private def jaccardCol: Column =
+    col("common") * lit(1.0) / (col("ni") + col("nj") - col("common"))
 
   /** Exact Jaccard over the distinct shingle sets for given (i, j) pairs:
     * common counts come from a shingle-keyed join (no shingle arrays are
-    * carried through the shuffle — only (id, shingle) rows and scalar
-    * set sizes). */
+    * carried through the shuffle — only (id, size, shingle) rows). */
   def jaccardFor(pairs: DataFrame, shingled: DataFrame, idCol: String): DataFrame = {
-    val ex = shingled.select(col(idCol), explode(col("sh")).as("s"))
-    val common = pairs
-      .join(ex.select(col(idCol).as("i"), col("s")), "i")
-      .join(ex.select(col(idCol).as("j"), col("s")), Seq("j", "s"))
-      .groupBy("i", "j").agg(count(lit(1)).as("common"))
-    jaccardFromCommon(common, shingled, idCol)
+    val ex = invertedIndex(shingled, idCol)
+    pairs
+      .join(ex.select(col(idCol).as("i"), col("n").as("ni"), col("s")), "i")
+      .join(ex.select(col(idCol).as("j"), col("n").as("nj"), col("s")), Seq("j", "s"))
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("common"), max("ni").as("ni"), max("nj").as("nj"))
+      .select(col("i"), col("j"), jaccardCol.as("jaccard"))
   }
 
   /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → bucket
@@ -104,13 +106,13 @@ object Dedup {
     * join, no candidate-list detour). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 3): DataFrame = {
-    val shingled = shingleSets(docs, idCol, textCol, k)
-    val ex = shingled.select(col(idCol), explode(col("sh")).as("s"))
-    val common = ex.select(col(idCol).as("i"), col("s"))
-      .join(ex.select(col(idCol).as("j"), col("s")), "s")
+    val ex = invertedIndex(shingleSets(docs, idCol, textCol, k), idCol)
+    ex.select(col(idCol).as("i"), col("n").as("ni"), col("s"))
+      .join(ex.select(col(idCol).as("j"), col("n").as("nj"), col("s")), "s")
       .filter(col("i") < col("j"))
-      .groupBy("i", "j").agg(count(lit(1)).as("common"))
-    jaccardFromCommon(common, shingled, idCol)
+      .groupBy("i", "j")
+      .agg(count(lit(1)).as("common"), max("ni").as("ni"), max("nj").as("nj"))
+      .select(col("i"), col("j"), jaccardCol.as("jaccard"))
       .filter(col("jaccard") >= threshold)
   }
 

@@ -325,12 +325,16 @@ object CoreQueries {
       |    CAST(l_partkey AS VARCHAR), CAST(l_suppkey AS VARCHAR))) AS line_sk,
       |  l_orderkey, l_linenumber
       |FROM lineitem ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    // Sort on the narrow natural key FIRST, hash after: the range
+    // partitioner samples its child plan, so an md5 below the sort is
+    // computed twice (sampling pass + real pass) and widens sort rows.
     li(s, d)
+      .select("l_orderkey", "l_linenumber", "l_partkey", "l_suppkey")
+      .orderBy("l_orderkey", "l_linenumber")
       .select(
         surrogateKey(col("l_orderkey"), col("l_linenumber"),
           col("l_partkey"), col("l_suppkey")).as("line_sk"),
         col("l_orderkey"), col("l_linenumber"))
-      .orderBy("l_orderkey", "l_linenumber")
   }
 
   // ---------------------------------------------------------------- q15

@@ -60,7 +60,7 @@ object VectorQueries {
     s"""WITH $VEC_CTE
        |SELECT a.vec_id AS i, b.vec_id AS j, ROUND($COS, 6) AS cos_sim
        |FROM n a JOIN n b ON a.vec_id < b.vec_id
-       |WHERE ROUND($COS, 6) >= 0.4 ORDER BY i, j""".stripMargin) { (s, d) =>
+       |WHERE $COS >= 0.4 ORDER BY i, j""".stripMargin) { (s, d) =>
     Similarity.nearDupPairs(t(s, d, "embeddings"), 0.4)
       .orderBy("i", "j")
   }
