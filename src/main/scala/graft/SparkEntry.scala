@@ -15,9 +15,9 @@ object SparkEntry {
 
   /** Every declared query, in catalog order. */
   def catalog: Seq[Q] =
-    CoreQueries.all ++ PipelineQueries.all ++ ExtraQueries.all ++
-      TextQueries.all ++ DedupQueries.all ++ VectorQueries.all ++
-      MultimodalQueries.all
+    CoreQueries.all ++ AnalyticsQueries.all ++ PipelineQueries.all ++
+      ExtraQueries.all ++ TextQueries.all ++ DedupQueries.all ++
+      VectorQueries.all ++ MultimodalQueries.all ++ MixQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

@@ -1,0 +1,107 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+
+import graft.functions.ColFns.dec2
+
+/** Data-mixing operators for training-corpus assembly: deterministic
+  * stratified sampling, domain-weight planning, and train/benchmark
+  * contamination detection.
+  *
+  * Scale design (100 TB): sampling is a pure per-row predicate on a
+  * content-stable hash — no shuffle, no state, reproducible across runs
+  * and engines (md5, not a seeded RNG, so adding executors or reordering
+  * input cannot change the sample). The mixing plan aggregates one row
+  * per stratum; contamination reuses the dedup inverted-index join, so
+  * the pair space is bounded by shared-shingle occupancy rather than
+  * |train| × |benchmark|.
+  */
+object Mix {
+
+  /** Uniform [0,100) bucket from a content-stable hash of the id —
+    * `md5`'s first 8 hex chars as an integer, mod 100. Both engines
+    * compute the identical bucket, so the sample is oracle-reproducible.
+    */
+  def hashBucket(idCol: Column): Column =
+    conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
+      .cast("long") % 100
+
+  /** Keep a deterministic `rate(stratum)` fraction of rows per stratum.
+    * `rates` maps stratum value → keep-rate in [0,1]; absent strata keep
+    * everything. One narrow projection + filter: fully pushable, no
+    * shuffle, stable under repartitioning.
+    */
+  def stratifiedSample(df: DataFrame, idCol: String, strataCol: String,
+      rates: Map[String, Double]): DataFrame = {
+    val rate = rates.foldLeft(lit(1.0)) { case (acc, (k, r)) =>
+      when(col(strataCol) === k, lit(r)).otherwise(acc)
+    }
+    df.filter(hashBucket(col(idCol)) < rate * 100)
+  }
+
+  /** Domain-mixing plan: per stratum, observed token share vs target
+    * weight → sampling rate (capped at 1) and the token count that rate
+    * yields. `tokenCount` is the per-row token count expression;
+    * `weights` the target mix. Global share comes from a broadcast
+    * one-row aggregate (ScalableWindow), not an unpartitioned window.
+    */
+  def mixPlan(df: DataFrame, strataCol: String, tokenCount: Column,
+      weights: Map[String, Double]): DataFrame = {
+    val weight = weights.foldLeft(lit(0.0)) { case (acc, (k, w)) =>
+      when(col(strataCol) === k, lit(w)).otherwise(acc)
+    }
+    val perStratum = df.groupBy(strataCol)
+      .agg(count(lit(1)).as("n_docs"),
+        sum(tokenCount).cast("long").as("total_tokens"))
+    ScalableWindow.withGlobalShare(
+        perStratum, sum(col("total_tokens")), "corpus_share",
+        (_, total) => col("total_tokens") / total.cast("double"))
+      .withColumn("target_weight", weight)
+      .withColumn("sampling_rate",
+        round(least(lit(1.0), col("target_weight") / col("corpus_share")), 4))
+      .withColumn("sampled_tokens",
+        floor(col("total_tokens") * col("sampling_rate")).cast("long"))
+      .withColumn("corpus_share", round(col("corpus_share"), 4))
+  }
+
+  /** Train/benchmark contamination: (train doc, benchmark doc) pairs
+    * sharing ≥ `minShared` distinct word k-grams. The benchmark side is
+    * selected by `benchPred`; both sides come from ONE shingle pass
+    * split by the predicate, joined through the shingle-keyed inverted
+    * index (the n-gram-overlap decontamination step of a training
+    * pipeline, run as a bounded equi-join).
+    */
+  def contaminationPairs(docs: DataFrame, idCol: String, textCol: String,
+      benchPred: Column, k: Int = 5, minShared: Int = 3): DataFrame = {
+    val ex = Dedup.shingleSets(docs, idCol, textCol, k)
+      .withColumn("is_bench", benchPred)
+      .select(col(idCol), col("is_bench"), explode(col("sh")).as("s"))
+    val train = ex.filter(!col("is_bench"))
+      .select(col(idCol).as("train_doc"), col("s"))
+    val bench = ex.filter(col("is_bench"))
+      .select(col(idCol).as("bench_doc"), col("s"))
+    train.join(bench, "s")
+      .groupBy("train_doc", "bench_doc")
+      .agg(count(lit(1)).as("n_shared"))
+      .filter(col("n_shared") >= minShared)
+  }
+
+  /** 7-day (or any `windowDays`) rolling aggregate over a date-grain
+    * frame via a bounded-fanout self-join — each row joins at most
+    * `windowDays` others, so the plan scales with days × window, never
+    * funnels through a global ordered window. Returns (day, n_days,
+    * win_total, win_avg). */
+  def rollingDays(daily: DataFrame, dayCol: String, valueCol: String,
+      windowDays: Int = 7): DataFrame = {
+    val a = daily.select(col(dayCol).as("day"))
+    val b = daily.select(col(dayCol).as("bday"), col(valueCol).as("bval"))
+    a.join(b, col("bday") >= date_sub(col("day"), windowDays - 1) &&
+        col("bday") <= col("day"))
+      .groupBy("day")
+      .agg(count(lit(1)).as("n_days"),
+        sum(dec2(col("bval"))).cast("double").as("win_total"),
+        round(sum(dec2(col("bval"))).cast("double") / count(lit(1)), 2)
+          .as("win_avg"))
+  }
+}

@@ -1,0 +1,97 @@
+package graft.queries
+
+import org.apache.spark.sql.SparkSession
+import org.apache.spark.sql.functions._
+
+import graft.Tables.t
+import graft.operators.Mix
+
+/** Training-corpus assembly surface: deterministic stratified sampling,
+  * domain-mixing plans, and train/benchmark contamination checks over
+  * `documents` (BASELINE north star — the data-mixing layer of an LLM
+  * pipeline, downstream of dedup/quality).
+  */
+object MixQueries {
+
+  private def docs(s: SparkSession, d: String) = t(s, d, "documents")
+
+  /** Hash-bucket rendering both engines agree on: md5's first 8 hex
+    * chars as an integer mod 100 (md5 is content-stable; a seeded RNG
+    * would not survive engine or partitioning changes). */
+  private val BUCKET_SQL =
+    "('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 100"
+
+  // ---------------------------------------------------------------- s01
+  // Deterministic stratified sampling: downsample dominant languages
+  // (en 40%, zh 80%), keep the rest — the data-mixing rebalance step.
+  val s01StratifiedSample: Q = Q(
+    "s01_stratified_sample",
+    s"""SELECT doc_id, lang, source, n_chars
+       |FROM documents
+       |WHERE $BUCKET_SQL <
+       |  CASE lang WHEN 'en' THEN 0.4 WHEN 'zh' THEN 0.8 ELSE 1.0 END * 100
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    Mix.stratifiedSample(docs(s, d), "doc_id", "lang",
+        Map("en" -> 0.4, "zh" -> 0.8))
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- s02
+  // Domain-mixing plan: observed token share per language vs target
+  // weights → capped sampling rate and resulting token budget.
+  val s02MixPlan: Q = Q(
+    "s02_mix_plan",
+    """WITH per AS (
+      |  SELECT lang, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS total_tokens
+      |  FROM documents GROUP BY lang),
+      |shared AS (
+      |  SELECT *, total_tokens / CAST(SUM(total_tokens) OVER () AS DOUBLE)
+      |    AS raw_share FROM per)
+      |SELECT lang, n_docs, total_tokens,
+      |  ROUND(raw_share, 4) AS corpus_share,
+      |  CAST(CASE lang WHEN 'en' THEN 0.3 WHEN 'de' THEN 0.2 WHEN 'es' THEN 0.2
+      |            WHEN 'fr' THEN 0.2 ELSE 0.1 END AS DOUBLE) AS target_weight,
+      |  ROUND(LEAST(1.0, (CASE lang WHEN 'en' THEN 0.3 WHEN 'de' THEN 0.2
+      |      WHEN 'es' THEN 0.2 WHEN 'fr' THEN 0.2 ELSE 0.1 END)
+      |    / raw_share), 4) AS sampling_rate,
+      |  CAST(FLOOR(total_tokens * ROUND(LEAST(1.0,
+      |      (CASE lang WHEN 'en' THEN 0.3 WHEN 'de' THEN 0.2 WHEN 'es' THEN 0.2
+      |       WHEN 'fr' THEN 0.2 ELSE 0.1 END) / raw_share), 4)) AS BIGINT)
+      |    AS sampled_tokens
+      |FROM shared ORDER BY lang""".stripMargin) { (s, d) =>
+    Mix.mixPlan(docs(s, d), "lang", size(split(col("text"), " ")),
+        Map("en" -> 0.3, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.1))
+      .select("lang", "n_docs", "total_tokens", "corpus_share",
+        "target_weight", "sampling_rate", "sampled_tokens")
+      .orderBy("lang")
+  }
+
+  // ---------------------------------------------------------------- c01
+  // Train/benchmark contamination: training docs sharing ≥3 distinct
+  // word 5-grams with a benchmark doc (doc_id % 10 = 0 plays the held-out
+  // set). The decontamination primitive, as an inverted-index equi-join.
+  val c01Contamination: Q = Q(
+    "c01_contamination",
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(t) - 3),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+      |           || ' ' || t[i+4])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 5),
+      |ex AS (SELECT doc_id, unnest(sh) AS s FROM tok)
+      |SELECT a.doc_id AS train_doc, b.doc_id AS bench_doc,
+      |  COUNT(*) AS n_shared
+      |FROM (SELECT * FROM ex WHERE doc_id % 10 <> 0) a
+      |JOIN (SELECT * FROM ex WHERE doc_id % 10 = 0) b ON a.s = b.s
+      |GROUP BY 1, 2 HAVING COUNT(*) >= 3
+      |ORDER BY train_doc, bench_doc""".stripMargin) { (s, d) =>
+    Mix.contaminationPairs(docs(s, d), "doc_id", "text",
+        col("doc_id") % 10 === 0, k = 5, minShared = 3)
+      .orderBy("train_doc", "bench_doc")
+  }
+
+  val all: Seq[Q] = Seq(s01StratifiedSample, s02MixPlan, c01Contamination)
+}

@@ -51,6 +51,95 @@ class SemanticSanitySpec extends SparkSpec {
     assert(bad === 0)
   }
 
+  test("q23: rollup grand-total row equals the table row count") {
+    val rows = AnalyticsQueries.q23Rollup.fn(spark, sfDir)
+      .filter(col("gid") === 3).collect()
+    assert(rows.length === 1)
+    val total = Tables.t(spark, sfDir, "lineitem").count()
+    assert(rows.head.getAs[Long]("n") === total)
+  }
+
+  test("q24: pivot cells sum to the day's total revenue") {
+    val cells = AnalyticsQueries.q24Pivot.fn(spark, sfDir)
+      .withColumn("cell_sum",
+        Seq("click", "error", "purchase", "signup", "view")
+          .map(c => coalesce(col(c), lit(0.0))).reduce(_ + _))
+      .select("day", "cell_sum")
+    val daily = Tables.t(spark, sfDir, "events")
+      .groupBy(date_trunc("DAY", col("ts")).cast("date").as("day"))
+      .agg(graft.functions.ColFns.moneySum(col("value")).as("rev"))
+    val bad = cells.join(daily, "day")
+      .filter(abs(col("cell_sum") - col("rev")) > 0.01).count()
+    assert(bad === 0)
+  }
+
+  test("q25: p50 ≤ p90 ≤ p99 and p50 within the value range") {
+    AnalyticsQueries.q25Quantiles.fn(spark, sfDir).collect().foreach { r =>
+      val (p50, p90, p99) = (r.getAs[Double]("p50"),
+        r.getAs[Double]("p90"), r.getAs[Double]("p99"))
+      assert(p50 <= p90 && p90 <= p99)
+    }
+  }
+
+  test("q26: one mid-series day's window total matches a hand fold") {
+    val daily = Tables.t(spark, sfDir, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(date_trunc("DAY", col("ts")).cast("date").as("day"))
+      .agg(graft.functions.ColFns.moneySum(col("value")).as("rev"))
+      .collect().map(r => r.getDate(0).toLocalDate -> r.getDouble(1)).toMap
+    val probe = daily.keys.toSeq.sorted.apply(daily.size / 2)
+    val hand = (0 until 7).flatMap(i => daily.get(probe.minusDays(i)))
+      .map(BigDecimal(_)).sum.toDouble
+    val got = AnalyticsQueries.q26Rolling7d.fn(spark, sfDir)
+      .filter(col("day") === java.sql.Date.valueOf(probe))
+      .head().getAs[Double]("win_total")
+    assert(math.abs(got - hand) < 0.01)
+  }
+
+  test("s01: kept rows satisfy the plain-Java md5 bucket predicate; en downsampled") {
+    val kept = MixQueries.s01StratifiedSample.fn(spark, sfDir).collect()
+    def bucket(id: Long): Long = {
+      val md = java.security.MessageDigest.getInstance("MD5")
+        .digest(id.toString.getBytes("UTF-8"))
+      val hex = md.map("%02x".format(_)).mkString.substring(0, 8)
+      java.lang.Long.parseLong(hex, 16) % 100
+    }
+    kept.foreach { r =>
+      val (id, lang) = (r.getAs[Long]("doc_id"), r.getAs[String]("lang"))
+      val cap = lang match { case "en" => 40; case "zh" => 80; case _ => 100 }
+      assert(bucket(id) < cap, s"doc $id ($lang) bucket=${bucket(id)}")
+    }
+    val langs = kept.groupBy(_.getAs[String]("lang")).view.mapValues(_.length)
+    val all = Tables.t(spark, sfDir, "documents").groupBy("lang").count()
+      .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    val enRate = langs("en").toDouble / all("en")
+    assert(enRate > 0.2 && enRate < 0.6, s"en keep-rate $enRate not ≈ 0.4")
+  }
+
+  test("s02: sampled_tokens never exceeds total and rates cap at 1") {
+    MixQueries.s02MixPlan.fn(spark, sfDir).collect().foreach { r =>
+      assert(r.getAs[Long]("sampled_tokens") <= r.getAs[Long]("total_tokens"))
+      assert(r.getAs[Double]("sampling_rate") <= 1.0)
+      assert(r.getAs[Double]("sampling_rate") > 0.0)
+    }
+  }
+
+  test("c01: a contaminated pair genuinely shares ≥3 distinct 5-grams (hand check)") {
+    val pairs = MixQueries.c01Contamination.fn(spark, sfDir).collect()
+    if (pairs.nonEmpty) {
+      val p = pairs.head
+      val texts = Tables.t(spark, sfDir, "documents")
+        .filter(col("doc_id").isin(p.getAs[Long]("train_doc"),
+          p.getAs[Long]("bench_doc")))
+        .collect().map(r => r.getAs[Long]("doc_id") -> r.getAs[String]("text")).toMap
+      def grams5(s: String) =
+        s.split(" ").sliding(5).map(_.mkString(" ")).toSet
+      val shared = grams5(texts(p.getAs[Long]("train_doc")))
+        .intersect(grams5(texts(p.getAs[Long]("bench_doc"))))
+      assert(shared.size === p.getAs[Long]("n_shared"))
+    }
+  }
+
   test("x03: one order's ship delay matches hand computation") {
     val row = Tables.t(spark, sfDir, "lineitem")
       .join(Tables.t(spark, sfDir, "orders"),
