@@ -17,7 +17,8 @@ object SparkEntry {
   def catalog: Seq[Q] =
     CoreQueries.all ++ AnalyticsQueries.all ++ PipelineQueries.all ++
       ExtraQueries.all ++ TextQueries.all ++ DedupQueries.all ++
-      VectorQueries.all ++ MultimodalQueries.all ++ MixQueries.all
+      VectorQueries.all ++ MultimodalQueries.all ++ MixQueries.all ++
+      SqlQueries.all
 
   /** Flagship query on /root/testdata/sf0.001; driver smoke-checks rows>0. */
   def entry(spark: SparkSession): DataFrame =

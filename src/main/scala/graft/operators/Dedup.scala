@@ -127,4 +127,30 @@ object Dedup {
 
   /** Hamming distance between two 64-bit signatures. */
   def hamming(a: Column, b: Column): Column = bit_count(a.bitwiseXOR(b))
+
+  /** Oracle-reproducible SimHash: 60-bit md5-derived token hashes fed to
+    * the SimHashBits expression — any engine computes the identical
+    * signature (DuckDB replays it in SQL), unlike the xxhash64 variant.
+    * 15 hex chars = 60 bits keeps every value inside signed BIGINT. */
+  def simhashMd5(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol),
+      graft.functions.expressions.SimHashBits.simhash_bits(
+        transform(array_distinct(TextFns.tokens(col(textCol))),
+          t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))).as("simhash"))
+
+  /** Blocked Hamming self-join: candidates share the signature's top
+    * block (a keyed equi-join — near-identical docs agree on the prefix
+    * with high probability; multi-block OR-amplification is the scale
+    * lever, same trade as LSH bands). */
+  def simhashPairs(sh: DataFrame, idCol: String, shiftBits: Int,
+      maxHamming: Int): DataFrame = {
+    val a = sh.select(col(idCol).as("i"), col("simhash").as("ha"))
+    val b = sh.select(col(idCol).as("j"), col("simhash").as("hb"))
+    a.withColumn("blk", shiftright(col("ha"), shiftBits))
+      .join(b.withColumn("blk", shiftright(col("hb"), shiftBits)), Seq("blk"))
+      .filter(col("i") < col("j"))
+      .select(col("i"), col("j"),
+        hamming(col("ha"), col("hb")).cast("long").as("hamming"))
+      .filter(col("hamming") <= maxHamming)
+  }
 }

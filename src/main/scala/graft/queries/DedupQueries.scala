@@ -101,17 +101,47 @@ object DedupQueries {
   // reproducible in DuckDB; semantics unit-tested in DedupSpec).
   val d04Simhash: Q = Q.rowsOnly("d04_simhash_pairs") { (s, d) =>
     val sh = Dedup.simhash64(t(s, d, "documents"), "doc_id", "text")
-    val a = sh.select(col("doc_id").as("i"), col("simhash").as("ha"))
-    val b = sh.select(col("doc_id").as("j"), col("simhash").as("hb"))
     // Block on the high 16 bits so the self-join is keyed, not a cross
     // join (near-identical docs share the prefix with high probability).
-    a.withColumn("blk", shiftright(col("ha"), 48))
-      .join(b.withColumn("blk", shiftright(col("hb"), 48)), Seq("blk"))
-      .filter(col("i") < col("j"))
-      .select(col("i"), col("j"), Dedup.hamming(col("ha"), col("hb")).as("hamming"))
-      .filter(col("hamming") <= 3)
+    Dedup.simhashPairs(sh, "doc_id", shiftBits = 48, maxHamming = 3)
       .orderBy("i", "j")
   }
 
-  val all: Seq[Q] = Seq(d01ExactDedup, d02NgramJaccard, d03MinhashLsh, d04Simhash)
+  // ---------------------------------------------------------------- d05
+  // Oracle-reproducible SimHash: 60-bit signatures from md5-derived token
+  // hashes (SimHashBits), blocked on the top 16 bits, Hamming ≤ 3.
+  // DuckDB replays the whole construction — per-bit majority vote
+  // included — so this one hash-matches, complementing the faster
+  // engine-native d04.
+  val d05SimhashMd5: Q = Q(
+    "d05_simhash_md5",
+    """WITH tok AS (
+      |  SELECT doc_id, list_distinct(string_split(text, ' ')) AS ts
+      |  FROM documents),
+      |ex AS (
+      |  SELECT doc_id, ('0x' || substr(md5(s), 1, 15))::BIGINT AS h
+      |  FROM (SELECT doc_id, unnest(ts) AS s FROM tok)),
+      |bits AS (
+      |  SELECT doc_id, b.b AS b,
+      |    SUM(CASE WHEN (h >> b.b) & 1 = 1 THEN 1 ELSE -1 END) AS w
+      |  FROM ex CROSS JOIN (SELECT unnest(range(0, 60)) AS b) b
+      |  GROUP BY 1, 2),
+      |sh AS (
+      |  SELECT doc_id,
+      |    CAST(SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
+      |         AS BIGINT) AS simhash
+      |  FROM bits GROUP BY 1)
+      |SELECT a.doc_id AS i, b.doc_id AS j,
+      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
+      |FROM sh a JOIN sh b
+      |  ON (a.simhash >> 44) = (b.simhash >> 44) AND a.doc_id < b.doc_id
+      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      |ORDER BY i, j""".stripMargin) { (s, d) =>
+    val sh = Dedup.simhashMd5(t(s, d, "documents"), "doc_id", "text")
+    Dedup.simhashPairs(sh, "doc_id", shiftBits = 44, maxHamming = 3)
+      .orderBy("i", "j")
+  }
+
+  val all: Seq[Q] = Seq(d01ExactDedup, d02NgramJaccard, d03MinhashLsh,
+    d04Simhash, d05SimhashMd5)
 }

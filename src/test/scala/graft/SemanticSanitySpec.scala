@@ -140,6 +140,29 @@ class SemanticSanitySpec extends SparkSpec {
     }
   }
 
+  test("d05: one doc's md5-simhash matches a plain-Scala recomputation") {
+    val row = Tables.t(spark, sfDir, "documents")
+      .filter(col("doc_id") === 0).head()
+    def md5hex(s: String) = java.security.MessageDigest.getInstance("MD5")
+      .digest(s.getBytes("UTF-8")).map("%02x".format(_)).mkString
+    val hashes = row.getAs[String]("text").split(" ").distinct
+      .map(t => java.lang.Long.parseLong(md5hex(t).substring(0, 15), 16))
+    val counts = new Array[Int](60)
+    hashes.foreach { h =>
+      (0 until 60).foreach { b =>
+        if (((h >>> b) & 1L) == 1L) counts(b) += 1 else counts(b) -= 1
+      }
+    }
+    val hand = (0 until 60).foldLeft(0L) { (acc, b) =>
+      if (counts(b) > 0) acc | (1L << b) else acc
+    }
+    val got = graft.operators.Dedup.simhashMd5(
+        Tables.t(spark, sfDir, "documents").filter(col("doc_id") === 0),
+        "doc_id", "text")
+      .head().getAs[Long]("simhash")
+    assert(got === hand)
+  }
+
   test("x03: one order's ship delay matches hand computation") {
     val row = Tables.t(spark, sfDir, "lineitem")
       .join(Tables.t(spark, sfDir, "orders"),
