@@ -116,6 +116,40 @@ object Dedup {
       .filter(col("jaccard") >= threshold)
   }
 
+  /** Lossless prefix-filtered exact Jaccard (the AllPairs/PPJoin prefix
+    * principle — Bayardo et al. WWW'07, Xiao et al. WWW'08): order each
+    * document's shingles by GLOBAL rarity (document frequency, then
+    * value); a pair with Jaccard ≥ t must share a shingle within each
+    * side's first n − ⌈t·n⌉ + 1 shingles, so only those prefix rows
+    * enter the candidate self-join. Rare-first ordering makes prefixes
+    * collide almost only for genuinely similar pairs — the frequent
+    * "stop shingles" that drive the Σ occ(s)² blowup of the plain
+    * inverted index never reach the join. Survivors are verified with
+    * the exact full-set Jaccard, so output ≡ [[ngramJaccardPairs]]
+    * (spec-asserted), while the candidate pair space shrinks by the
+    * prefix factor squared.
+    *
+    * The ε in the prefix bound absorbs float error in t·n: an error can
+    * then only LENGTHEN a prefix (more candidates, never a lost pair).
+    */
+  def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
+      threshold: Double, k: Int = 3): DataFrame = {
+    val shingled = shingleSets(docs, idCol, textCol, k)
+    val ex = invertedIndex(shingled, idCol)
+    val docFreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    val w = org.apache.spark.sql.expressions.Window
+      .partitionBy(idCol).orderBy("df", "s")
+    val prefix = ex.join(docFreq, "s")
+      .withColumn("pos", row_number().over(w))
+      .filter(col("pos") <=
+        col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
+    val cand = prefix.select(col(idCol).as("i"), col("s"))
+      .join(prefix.select(col(idCol).as("j"), col("s")), "s")
+      .filter(col("i") < col("j"))
+      .select("i", "j").distinct()
+    jaccardFor(cand, shingled, idCol).filter(col("jaccard") >= threshold)
+  }
+
   /** 64-bit SimHash from token xxhash64 bits (engine-native hashing — not
     * oracle-reproducible, verified by unit test + rows-only check).
     * Computed by the fused native expression (one token-array pass; the

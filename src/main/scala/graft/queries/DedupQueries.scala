@@ -50,7 +50,13 @@ object DedupQueries {
 
   // ---------------------------------------------------------------- d02
   // N-gram Jaccard near-dup: inverted-index join on shingles (pairs
-  // sharing ≥1 shingle), exact jaccard, threshold 0.5.
+  // sharing ≥1 shingle), exact jaccard, threshold 0.5. This corpus's
+  // shingle frequencies are tame (max df 25), so the direct index wins;
+  // Dedup.ngramJaccardPairsPrefix is the drop-in AllPairs/PPJoin form
+  // for corpora where Σ occ(s)² explodes (spec-proven output-identical,
+  // measured 3× slower HERE because five extra stages don't pay for a
+  // pair space that was never the bottleneck — crossover documented in
+  // SCALE.md).
   val d02NgramJaccard: Q = Q(
     "d02_ngram_jaccard",
     s"""WITH $SHINGLES_CTE,

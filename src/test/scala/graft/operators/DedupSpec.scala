@@ -32,6 +32,30 @@ class DedupSpec extends SparkSpec {
     assert(sh === Seq("a b c", "b c d", "c d e"))
   }
 
+  test("prefix-filtered jaccard equals the brute inverted-index output on real docs") {
+    val real = graft.Tables.t(spark, sfDir, "documents")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("i"), col("j"), round(col("jaccard"), 6))
+        .collect().map(_.toSeq).toSet
+    val brute = canon(Dedup.ngramJaccardPairs(real, "doc_id", "text", 0.5))
+    val pref = canon(Dedup.ngramJaccardPairsPrefix(real, "doc_id", "text", 0.5))
+    assert(pref === brute)
+    assert(brute.nonEmpty) // corpus has planted near-dups; empty = vacuous
+  }
+
+  test("prefix filter is lossless at a threshold where t*n hits integers") {
+    // 10-shingle docs at t=0.7: ceil(0.7*10)=7 sits exactly on an integer
+    // boundary — the epsilon in the prefix bound must not shorten it.
+    val a = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 w12"  // 10 shingles
+    val b = "w1 w2 w3 w4 w5 w6 w7 w8 w9 w10 w11 zz"   // 8 shared
+    val two = Seq((0L, a), (1L, b)).toDF("doc_id", "text")
+    val brute = Dedup.ngramJaccardPairs(two, "doc_id", "text", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    val pref = Dedup.ngramJaccardPairsPrefix(two, "doc_id", "text", 0.6)
+      .collect().map(r => (r.getLong(0), r.getLong(1))).toSet
+    assert(pref === brute)
+  }
+
   test("minhashLshPairs finds near-dups and identical pairs, not distinct docs") {
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.5)
       .select("i", "j").as[(Long, Long)].collect().toSet
