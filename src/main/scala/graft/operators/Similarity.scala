@@ -57,16 +57,20 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
-  /** Deterministic pseudo-random hyperplane weights, materialized as an
-    * array literal per plane (computed driver-side — a trig call per
-    * element inside the plan exploded the expression tree). */
-  private def planeWeights(plane: Int, dims: Int): Column = {
-    val ws = (0 until dims).map { d =>
+  /** Deterministic pseudo-random hyperplane weights (trig hash). Public
+    * as raw values so the DuckDB oracle can inline the IDENTICAL doubles
+    * as literals — the whole LSH construction then replays outside
+    * Spark. */
+  def planeWeightValues(plane: Int, dims: Int): Seq[Double] =
+    (0 until dims).map { d =>
       val x = math.sin(d * (12.9898 + plane) + 78.233 * (plane + 1)) * 43758.5453
       x - math.floor(x) - 0.5 // uniform-ish in [-0.5, 0.5)
     }
-    array(ws.map(lit): _*)
-  }
+
+  /** The weights as an array literal per plane (computed driver-side — a
+    * trig call per element inside the plan exploded the expression tree). */
+  private def planeWeights(plane: Int, dims: Int): Column =
+    array(planeWeightValues(plane, dims).map(lit): _*)
 
   /** ANN via multi-table sign-LSH: `nTables` independent hash tables of
     * `nBits` hyperplane-sign bits each; a corpus row is a candidate for a
@@ -126,11 +130,17 @@ object Similarity {
         .select(col("vid"), col("v"), col("nrm"), col("cid"))
     }
 
-    // One Lloyd step: element-wise mean of each cell's members.
+    // One Lloyd step: element-wise mean of each cell's members. The mean
+    // runs over DECIMAL-cast components: a raw double avg() varies in
+    // the last bits with partition order, which can flip a near-boundary
+    // cell assignment and make the whole query's output differ between
+    // RUNS — decimal summation makes the refinement deterministic.
     val assigned0 = assign(c, seed)
     val refined = assigned0
       .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
-      .groupBy("cid", "pos").agg(avg("x").as("m"))
+      .groupBy("cid", "pos")
+      .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
+        / count(lit(1))).cast("double").as("m"))
       .groupBy("cid")
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("cv"))

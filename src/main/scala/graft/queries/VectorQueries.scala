@@ -66,12 +66,54 @@ object VectorQueries {
   }
 
   // ---------------------------------------------------------------- v03
-  // Sign-LSH-bucketed ANN (rows-only: recall tradeoff is the point; the
-  // bucket math uses trig-derived hyperplanes verified in SimilaritySpec
-  // against the brute-force baseline).
-  val v03LshTopK: Q = Q.rowsOnly("v03_ann_lsh_topk") { (s, d) =>
+  // Sign-LSH-bucketed ANN, oracle-verified end to end: the deterministic
+  // trig-hash hyperplanes are inlined into the SQL as correctly-rounded
+  // double literals (Double.toString round-trips exactly through a
+  // string cast), so DuckDB reproduces bucket assignment, candidate
+  // generation, scoring, and ranking bit-for-bit.
+  private val LSH_BITS = 4
+  private val LSH_TABLES = 4
+
+  private def planesSql: String =
+    (0 until LSH_TABLES).flatMap { tbl =>
+      (0 until LSH_BITS).map { bit =>
+        val ws = Similarity
+          .planeWeightValues(tbl * LSH_BITS + bit, dims = 64)
+          .map(w => s"'$w'::DOUBLE").mkString(", ")
+        s"($tbl, $bit, [$ws])"
+      }
+    }.mkString(",\n    ")
+
+  val v03LshTopK: Q = Q(
+    "v03_ann_lsh_topk",
+    s"""WITH $VEC_CTE,
+       |planes(tbl, bit, w) AS (VALUES
+       |    $planesSql),
+       |sig AS (
+       |  SELECT n.vec_id, p.tbl,
+       |    CAST(SUM(CASE WHEN list_sum(list_transform(range(1, 65),
+       |            k -> n.e[k] * p.w[k])) > 0
+       |        THEN (CAST(1 AS BIGINT) << p.bit) ELSE 0 END) AS BIGINT) AS bkt
+       |  FROM n CROSS JOIN planes p GROUP BY 1, 2),
+       |cand AS (
+       |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
+       |  FROM sig q JOIN sig c ON q.tbl = c.tbl AND q.bkt = c.bkt
+       |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
+       |scored AS (
+       |  SELECT cand.query_id, cand.neighbor_id, ROUND($COS, 6) AS cos_sim
+       |  FROM cand
+       |  JOIN n a ON a.vec_id = cand.query_id
+       |  JOIN n b ON b.vec_id = cand.neighbor_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, rank
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
     val emb = t(s, d, "embeddings")
-    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 10, nBits = 4)
+    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 10,
+        nBits = LSH_BITS, nTables = LSH_TABLES)
       .select("query_id", "neighbor_id", "cos_sim", "rank")
       .orderBy("query_id", "rank")
   }
