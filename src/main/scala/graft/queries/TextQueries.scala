@@ -158,11 +158,46 @@ object TextQueries {
   }
 
   // ---------------------------------------------------------------- t07
-  // Winnowing rolling-hash fingerprints (rows-only: the Rabin-Karp +
-  // winnowing selection is a native expression; overlap semantics are
-  // unit-tested in TextFnsSpec). Docs sharing ≥1 selected hash are
-  // substring-overlap candidates — the plagiarism-detection primitive.
-  val t07RollingFingerprint: Q = Q.rowsOnly("t07_rolling_fingerprint") { (s, d) =>
+  // Winnowing rolling-hash fingerprints (Rabin-Karp, window 16, stride 8,
+  // mod 2^61−1). Docs sharing ≥8 selected hashes are substring-overlap
+  // candidates — the plagiarism-detection primitive. The oracle replays
+  // the EXACT construction in DuckDB: the polynomial hash evaluates
+  // directly (HUGEINT holds the 121-bit products; the precomputed
+  // B^(15−j) mod M powers are inlined as literals — the rolling O(1)
+  // update is an optimization, not a semantic, so both forms agree
+  // bit-for-bit on ASCII text), and winnowing is a sliding MIN window
+  // with the same run-boundary rule as the native expression.
+  private val FP_M = (BigInt(1) << 61) - 1
+  private val FP_POWS = (0 until 16)
+    .map(j => BigInt(257).modPow(BigInt(15 - j), FP_M))
+    .map(p => s"$p::HUGEINT").mkString("[", ", ", "]")
+
+  val t07RollingFingerprint: Q = Q(
+    "t07_rolling_fingerprint",
+    s"""WITH pos AS (
+       |  SELECT doc_id, text, len(text) - 15 AS nw,
+       |    unnest(range(1, len(text) - 14)) AS i
+       |  FROM documents WHERE len(text) >= 16),
+       |win AS (
+       |  SELECT doc_id, i, nw,
+       |    CAST(list_sum(list_transform(range(0, 16),
+       |      j -> ord(substr(text, CAST(i + j AS INT), 1))::HUGEINT
+       |           * ($FP_POWS)[j + 1]))
+       |      % $FP_M AS BIGINT) AS h
+       |  FROM pos),
+       |runs AS (
+       |  SELECT doc_id, i, nw,
+       |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mn
+       |  FROM win),
+       |sel AS (
+       |  SELECT DISTINCT doc_id, mn AS fp FROM runs
+       |  WHERE i <= GREATEST(nw - 8, 0) + 1),
+       |pairs AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, COUNT(*) AS shared_fingerprints
+       |  FROM sel a JOIN sel b ON a.fp = b.fp AND a.doc_id < b.doc_id
+       |  GROUP BY 1, 2 HAVING COUNT(*) >= 8)
+       |SELECT * FROM pairs ORDER BY i, j""".stripMargin) { (s, d) =>
     import graft.functions.expressions.RollingFingerprint.rolling_fingerprint
     val fps = docs(s, d).select(col("doc_id"),
       explode(rolling_fingerprint(col("text"))).as("fp"))
