@@ -93,5 +93,45 @@ object MixQueries {
       .orderBy("train_doc", "bench_doc")
   }
 
-  val all: Seq[Q] = Seq(s01StratifiedSample, s02MixPlan, c01Contamination)
+  // ---------------------------------------------------------------- g01
+  // End-to-end corpus assembly as ONE declarative plan: quality gate
+  // (token count + punctuation ratio) → exact-dedup survivorship
+  // (min-id keeper per content hash, applied as a semi-join) →
+  // deterministic stratified downsample. The composed form is the point:
+  // Catalyst fuses the gate into the scan, the dedup is one hash
+  // aggregate + semi-join, the sample is a pushable predicate — the
+  // whole training-corpus build stays a single shuffle-lean DAG.
+  val g01CorpusGold: Q = Q(
+    "g01_corpus_gold",
+    s"""WITH q AS (
+       |  SELECT doc_id, text, lang, source,
+       |    len(string_split(text, ' ')) AS n_tokens
+       |  FROM documents
+       |  WHERE len(string_split(text, ' ')) BETWEEN 30 AND 1000
+       |    AND ROUND(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g'))
+       |          AS DOUBLE) / NULLIF(length(text), 0), 4) <= 0.1),
+       |k AS (SELECT MIN(doc_id) AS doc_id FROM q GROUP BY md5(text))
+       |SELECT doc_id, lang, source, CAST(n_tokens AS BIGINT) AS n_tokens
+       |FROM q JOIN k USING (doc_id)
+       |WHERE $BUCKET_SQL <
+       |  CASE lang WHEN 'en' THEN 0.4 WHEN 'zh' THEN 0.8 ELSE 1.0 END * 100
+       |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val withTok = docs(s, d)
+      .withColumn("n_tokens", size(split(col("text"), " ")))
+    val quality = withTok.filter(
+      col("n_tokens").between(30, 1000) &&
+        graft.functions.TextFns.punctRatio(col("text")) <= 0.1)
+    val keepers = quality.groupBy(md5(col("text")).as("h"))
+      .agg(min("doc_id").as("doc_id"))
+      .select("doc_id")
+    val deduped = quality.join(keepers, Seq("doc_id"), "semi")
+    Mix.stratifiedSample(deduped, "doc_id", "lang",
+        Map("en" -> 0.4, "zh" -> 0.8))
+      .select(col("doc_id"), col("lang"), col("source"),
+        col("n_tokens").cast("bigint").as("n_tokens"))
+      .orderBy("doc_id")
+  }
+
+  val all: Seq[Q] = Seq(s01StratifiedSample, s02MixPlan, c01Contamination,
+    g01CorpusGold)
 }

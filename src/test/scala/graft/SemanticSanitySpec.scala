@@ -163,6 +163,16 @@ class SemanticSanitySpec extends SparkSpec {
     assert(got === hand)
   }
 
+  test("g01: no two surviving docs share a text; every survivor passes the gates") {
+    val out = MixQueries.g01CorpusGold.fn(spark, sfDir)
+    val withText = out.join(Tables.t(spark, sfDir, "documents")
+      .select("doc_id", "text"), "doc_id")
+    assert(withText.count() ===
+      withText.select("text").distinct().count(), "dup texts survived")
+    val badTok = out.filter(col("n_tokens") < 30 || col("n_tokens") > 1000).count()
+    assert(badTok === 0)
+  }
+
   test("x03: one order's ship delay matches hand computation") {
     val row = Tables.t(spark, sfDir, "lineitem")
       .join(Tables.t(spark, sfDir, "orders"),
