@@ -47,8 +47,10 @@ object Mix {
     * one-row aggregate (ScalableWindow), not an unpartitioned window.
     */
   def mixPlan(df: DataFrame, strataCol: String, tokenCount: Column,
-      weights: Map[String, Double]): DataFrame = {
-    val weight = weights.foldLeft(lit(0.0)) { case (acc, (k, w)) =>
+      weights: Map[String, Double], defaultWeight: Double): DataFrame = {
+    // defaultWeight is explicit (no silent 0.0): a stratum absent from
+    // the map must get the SAME weight the oracle's CASE...ELSE gives it.
+    val weight = weights.foldLeft(lit(defaultWeight)) { case (acc, (k, w)) =>
       when(col(strataCol) === k, lit(w)).otherwise(acc)
     }
     val perStratum = df.groupBy(strataCol)

@@ -42,8 +42,13 @@ object ScalableWindow {
       totalAgg: Column,
       outCol: String,
       share: (DataFrame, Column) => Column): DataFrame = {
-    val total = df.agg(totalAgg.as("__global_total"))
-    val joined = df.crossJoin(broadcast(total))
+    // Persist the (group-grain, small-by-construction) input: it feeds
+    // BOTH the one-row total and the probe side, and without this the
+    // caller's whole upstream aggregation evaluates twice. MEMORY_AND_DISK
+    // keeps the contract safe if a caller passes a larger frame.
+    val shared = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val total = shared.agg(totalAgg.as("__global_total"))
+    val joined = shared.crossJoin(broadcast(total))
     joined.withColumn(outCol, share(joined, col("__global_total")))
       .drop("__global_total")
   }
@@ -72,6 +77,10 @@ object ScalableWindow {
         sum(dec2(col(valueCol)))
           .over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
       .withColumn("__lag_in_bucket", lag(col(valueCol), 1).over(w))
+      // Identify each bucket's first row explicitly: a NULL in-bucket lag
+      // can also mean "previous value IS NULL", and only the true first
+      // row may take the previous bucket's last value.
+      .withColumn("__rn_in_bucket", row_number().over(w))
 
     // One row per bucket: (bucket, total, last value in bucket order).
     val perBucket = bucketed.groupBy("__bucket")
@@ -84,7 +93,8 @@ object ScalableWindow {
     var prevLast: Option[Any] = None
     val offsets = perBucket.map { r =>
       val off = running
-      running += BigDecimal(r.getDecimal(1))
+      // an all-NULL bucket sums to NULL: contributes 0 to the offsets
+      if (r.getDecimal(1) != null) running += BigDecimal(r.getDecimal(1))
       val boundary = prevLast
       prevLast = Some(r.get(2))
       (r.get(0), off, boundary.orNull)
@@ -96,18 +106,26 @@ object ScalableWindow {
         org.apache.spark.sql.Row(b, off.bigDecimal, bl)
       }.asJava,
       org.apache.spark.sql.types.StructType(Seq(
-        bucketed.schema("__bucket").copy(name = "__obucket"),
+        bucketed.schema("__bucket").copy(name = "__obucket", nullable = true),
         org.apache.spark.sql.types.StructField("__offset",
-          org.apache.spark.sql.types.DecimalType(18, 2)),
+          // widened: the window's own sum type is DECIMAL(28,2); a
+          // cross-bucket cumulative in (18,2) overflows to NULL first
+          org.apache.spark.sql.types.DecimalType(38, 2)),
         // nullable: the first bucket has no previous-last value, even
         // when the value column itself is non-nullable.
         df.schema(valueCol).copy(name = "__prev_last", nullable = true))))
 
-    inBucket.join(broadcast(offDf), col("__bucket") === col("__obucket"))
+    // Null-safe bucket equality: a NULL bucket key must still find its
+    // offset row, not be dropped by the join.
+    inBucket.join(broadcast(offDf), col("__bucket") <=> col("__obucket"))
       .withColumn(cumCol,
         round((col("__cum_in_bucket") + col("__offset")).cast("double"), scale))
-      .withColumn(lagCol, coalesce(col("__lag_in_bucket"), col("__prev_last")))
+      // Only a bucket's true FIRST row takes the previous bucket's last
+      // value; later rows keep their in-bucket lag even when it is NULL
+      // (a legitimately NULL previous value).
+      .withColumn(lagCol, when(col("__rn_in_bucket") === 1, col("__prev_last"))
+        .otherwise(col("__lag_in_bucket")))
       .drop("__bucket", "__cum_in_bucket", "__lag_in_bucket",
-        "__obucket", "__offset", "__prev_last")
+        "__rn_in_bucket", "__obucket", "__offset", "__prev_last")
   }
 }

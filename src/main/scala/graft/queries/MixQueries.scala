@@ -61,8 +61,11 @@ object MixQueries {
       |       WHEN 'fr' THEN 0.2 ELSE 0.1 END) / raw_share), 4)) AS BIGINT)
       |    AS sampled_tokens
       |FROM shared ORDER BY lang""".stripMargin) { (s, d) =>
+    // Weights mirror the oracle's CASE arms exactly; the ELSE arm (0.1,
+    // covering zh today and any future stratum) is the defaultWeight.
     Mix.mixPlan(docs(s, d), "lang", size(split(col("text"), " ")),
-        Map("en" -> 0.3, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.2, "zh" -> 0.1))
+        Map("en" -> 0.3, "de" -> 0.2, "es" -> 0.2, "fr" -> 0.2),
+        defaultWeight = 0.1)
       .select("lang", "n_docs", "total_tokens", "corpus_share",
         "target_weight", "sampling_rate", "sampled_tokens")
       .orderBy("lang")

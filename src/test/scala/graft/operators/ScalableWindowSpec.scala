@@ -68,6 +68,27 @@ class ScalableWindowSpec extends SparkSpec {
     assert(got.map(_.getDouble(2)).toSeq === Seq(10.0, 30.0, 60.0))
   }
 
+  test("runningTotal: a NULL previous VALUE stays NULL (not replaced by prev bucket)") {
+    import spark.implicits._
+    // Feb 2 has a NULL revenue; Feb 3's lag must be NULL (Feb 2's value),
+    // not fall back to Jan 31's value. Only Feb 1 takes the Jan boundary.
+    val df = Seq(
+      (Date.valueOf("2024-01-31"), Some(10.0)),
+      (Date.valueOf("2024-02-01"), Some(5.0)),
+      (Date.valueOf("2024-02-02"), Option.empty[Double]),
+      (Date.valueOf("2024-02-03"), Some(7.0))
+    ).toDF("day", "revenue")
+    val rows = ScalableWindow.runningTotal(
+        df, "day", "revenue", date_trunc("MONTH", col("day")).cast("date"),
+        "cum", "prev")
+      .orderBy("day").collect()
+    val byDay = rows.map(r => r.getDate(0).toString -> r).toMap
+    assert(byDay("2024-02-01").getDouble(byDay("2024-02-01").fieldIndex("prev")) === 10.0)
+    assert(byDay("2024-02-02").getDouble(byDay("2024-02-02").fieldIndex("prev")) === 5.0)
+    assert(byDay("2024-02-03").isNullAt(byDay("2024-02-03").fieldIndex("prev")),
+      "NULL previous value must not be replaced by the prior bucket's last")
+  }
+
   test("runningTotal plans no unpartitioned window") {
     // Every Window node must carry partition keys: the unpartitioned
     // form funnels the whole frame through one task (and WARNs at

@@ -58,6 +58,15 @@ class StatefulMartSpec extends SparkSpec {
           col("first_seen") =!= col("b_first") ||
           col("last_seen") =!= col("b_last")).count()
       assert(bad === 0, "streamed lifetime stats diverge from batch")
+
+      // Dollars view: exact cents/100, matches the batch money sum.
+      val dollars = StatefulMart.asDollars(last)
+      val badD = dollars.join(
+          Tables.t(spark, sfDir, "events").groupBy("user_id")
+            .agg((sum(round(col("value") * 100).cast("long")) / 100.0).as("b_val")),
+          "user_id")
+        .filter(col("total_value") =!= col("b_val")).count()
+      assert(badD === 0, "dollars view diverges")
     } finally {
       spark.conf.unset("spark.sql.streaming.stateStore.providerClass")
     }
