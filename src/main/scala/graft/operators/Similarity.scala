@@ -131,16 +131,18 @@ object Similarity {
     }
 
     // One Lloyd step: element-wise mean of each cell's members. The mean
-    // runs over DECIMAL-cast components: a raw double avg() varies in
-    // the last bits with partition order, which can flip a near-boundary
-    // cell assignment and make the whole query's output differ between
-    // RUNS — decimal summation makes the refinement deterministic.
+    // sums DECIMAL-cast components (a raw double sum varies in the last
+    // bits with partition order, which can flip a near-boundary cell
+    // assignment and make the whole query's output differ between RUNS),
+    // then divides in DOUBLE — one deterministic IEEE op that any engine
+    // reproduces, unlike decimal division whose result scale is
+    // engine-specific.
     val assigned0 = assign(c, seed)
     val refined = assigned0
       .select(col("cid"), posexplode(col("v")).as(Seq("pos", "x")))
       .groupBy("cid", "pos")
       .agg((sum(col("x").cast(org.apache.spark.sql.types.DecimalType(38, 18)))
-        / count(lit(1))).cast("double").as("m"))
+        .cast("double") / count(lit(1))).as("m"))
       .groupBy("cid")
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("cv"))

@@ -119,9 +119,64 @@ object VectorQueries {
   }
 
   // ---------------------------------------------------------------- v04
-  // IVF ANN (rows-only: the Lloyd-refined Voronoi partition isn't worth
-  // replicating in SQL; recall vs v01 is asserted in SimilaritySpec).
-  val v04IvfTopK: Q = Q.rowsOnly("v04_ann_ivf_topk") { (s, d) =>
+  // IVF ANN, oracle-verified end to end: DuckDB replays seeding (lowest
+  // 16 ids), Voronoi assignment, the Lloyd refinement (decimal-exact
+  // component sums divided in DOUBLE — one deterministic IEEE op; a
+  // decimal division would round at an engine-specific scale), probing,
+  // and ranking. Every argmax is a ROW_NUMBER with the identical
+  // (sim DESC, cid) tie-break, and every dot is the same left-to-right
+  // fold, so cell boundaries land identically in both engines.
+  private def assignSql(src: String, filter: String, keep: String,
+      idAlias: String): String =
+    s"""SELECT vec_id AS $idAlias, cid FROM (
+       |    SELECT n.vec_id, r.cid,
+       |      ROW_NUMBER() OVER (PARTITION BY n.vec_id ORDER BY
+       |        list_sum(list_transform(range(1, 65), k -> n.e[k] * r.cv[k]))
+       |          / (n.nrm * r.cn) DESC,
+       |        r.cid) AS rnk
+       |    FROM n CROSS JOIN $src r$filter) WHERE $keep""".stripMargin
+
+  val v04IvfTopK: Q = Q(
+    "v04_ann_ivf_topk",
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, e,
+       |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+       |  FROM v),
+       |seed AS (SELECT vec_id AS cid, e AS cv, nrm AS cn
+       |         FROM n ORDER BY vec_id LIMIT 16),
+       |a0 AS (
+       |  ${assignSql("seed", "", "rnk = 1", "vec_id")}),
+       |comp AS (
+       |  SELECT a0.cid, r.j AS pos,
+       |    CAST(SUM(CAST(n.e[r.j] AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM a0 JOIN n USING (vec_id), unnest(range(1, 65)) r(j)
+       |  GROUP BY 1, 2),
+       |refined AS (SELECT cid, list(m ORDER BY pos) AS cv FROM comp GROUP BY cid),
+       |refined2 AS (
+       |  SELECT cid, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn
+       |  FROM refined),
+       |cells AS (
+       |  ${assignSql("refined2", "", "rnk = 1", "neighbor_id")}),
+       |probes AS (
+       |  ${assignSql("refined2", " WHERE n.vec_id < 10", "rnk <= 4", "query_id")}),
+       |scored AS (
+       |  SELECT p.query_id, c.neighbor_id,
+       |    ROUND(list_sum(list_transform(range(1, 65), k -> a.e[k] * b.e[k]))
+       |          / (a.nrm * b.nrm), 6) AS cos_sim
+       |  FROM probes p JOIN cells c USING (cid)
+       |  JOIN n a ON a.vec_id = p.query_id
+       |  JOIN n b ON b.vec_id = c.neighbor_id
+       |  WHERE c.neighbor_id <> p.query_id),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, rank
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
     val emb = t(s, d, "embeddings")
     Similarity.ivfTopK(emb, emb.filter(col("vec_id") < 10), 10)
       .select("query_id", "neighbor_id", "cos_sim", "rank")
