@@ -107,5 +107,63 @@ object AnalyticsQueries {
       .orderBy("day")
   }
 
-  val all: Seq[Q] = Seq(q23Rollup, q24Pivot, q25Quantiles, q26Rolling7d)
+  // ---------------------------------------------------------------- q29
+  // Per-user rolling 3-event average: a ROWS-frame window PARTITIONED on
+  // the high-cardinality user key — the scalable window shape (state per
+  // partition is 3 rows; contrast q26's date-grain join and the
+  // forbidden unpartitioned frame). Deterministic intra-user order needs
+  // the event_id tiebreak: ts values repeat.
+  // The average is computed in integer CENTS with an explicit half-up
+  // division — ROUND(sum/count, 2) on doubles diverges between engines
+  // exactly at the .xx5 boundaries a 100k-row window inevitably hits
+  // (Spark rounds the shortest decimal rendering, DuckDB the binary
+  // value). Integer math has no boundary.
+  val q29UserRolling: Q = Q(
+    "q29_user_rolling",
+    """WITH w AS (
+      |  SELECT event_id, user_id,
+      |    SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |      OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS s,
+      |    COUNT(*) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |            ROWS BETWEEN 2 PRECEDING AND CURRENT ROW) AS n
+      |  FROM events)
+      |SELECT event_id, user_id,
+      |  CAST((2 * s + n) // (2 * n) AS DOUBLE) / 100 AS rolling_avg
+      |FROM w ORDER BY event_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+      .rowsBetween(-2, Window.currentRow)
+    val cents = (graft.functions.ColFns.dec2(col("value")) * 100).cast("long")
+    t(s, d, "events")
+      .select(col("event_id"), col("user_id"),
+        sum(cents).over(w).as("s"),
+        count(lit(1)).over(w).as("n"))
+      .withColumn("rolling_avg",
+        expr("CAST((2 * s + n) DIV (2 * n) AS DOUBLE) / 100"))
+      .drop("s", "n")
+      .orderBy("event_id")
+  }
+
+  // ---------------------------------------------------------------- q30
+  // Array aggregation: per nation, the sorted distinct market segments
+  // of its customers, surfaced as a joined string (set-valued columns
+  // hash identically across engines only in a canonical rendering).
+  val q30ArrayAgg: Q = Q(
+    "q30_array_agg",
+    """SELECT c_nationkey AS nationkey,
+      |  COUNT(DISTINCT c_mktsegment) AS n_segments,
+      |  string_agg(DISTINCT c_mktsegment, '|' ORDER BY c_mktsegment)
+      |    AS segments
+      |FROM customer GROUP BY 1 ORDER BY nationkey""".stripMargin) { (s, d) =>
+    t(s, d, "customer")
+      .groupBy(col("c_nationkey").as("nationkey"))
+      .agg(countDistinct(col("c_mktsegment")).as("n_segments"),
+        concat_ws("|", array_sort(collect_set(col("c_mktsegment"))))
+          .as("segments"))
+      .orderBy("nationkey")
+  }
+
+  val all: Seq[Q] = Seq(q23Rollup, q24Pivot, q25Quantiles, q26Rolling7d,
+    q29UserRolling, q30ArrayAgg)
 }
