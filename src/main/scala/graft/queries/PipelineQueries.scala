@@ -129,5 +129,51 @@ object PipelineQueries {
         t(s, d, "orders"), "o_custkey", t(s, d, "customer"), "c_custkey"))))
   }
 
-  val all: Seq[Q] = Seq(p01Silver, p02GoldDaily, p03UserStats, dq01Summary)
+  // ---------------------------------------------------------------- dq02
+  // Audit suite over the corpus tables: accepted values, metadata-vs-
+  // content reconciliation (n_chars must equal the text's real length —
+  // the check that catches a decoupled metadata pipeline), embedding
+  // dimensionality contract, and a deterministic freshness gate against
+  // a fixed cutoff (a wall-clock `now()` would make the result
+  // time-dependent; production wires the cutoff to the run date).
+  val dq02Audit: Q = Q(
+    "dq02_corpus_audit",
+    """SELECT 'docs_lang_accepted' AS check_name, CAST(COUNT(*) AS BIGINT) AS violations
+      |FROM documents WHERE lang NOT IN ('en','de','es','fr','zh') OR lang IS NULL
+      |UNION ALL
+      |SELECT 'docs_meta_reconciled', CAST(COUNT(*) AS BIGINT)
+      |FROM documents WHERE n_chars <> length(text)
+      |UNION ALL
+      |SELECT 'docs_text_nonempty', CAST(COUNT(*) AS BIGINT)
+      |FROM documents WHERE text IS NULL OR length(text) = 0
+      |UNION ALL
+      |SELECT 'emb_dim_contract', CAST(COUNT(*) AS BIGINT)
+      |FROM embeddings WHERE len(embedding) <> 64
+      |UNION ALL
+      |SELECT 'events_fresh_by_cutoff', CAST(CASE WHEN MAX(ts) >= TIMESTAMP '2024-01-30 00:00:00'
+      |  THEN 0 ELSE 1 END AS BIGINT)
+      |FROM events
+      |ORDER BY check_name""".stripMargin) { (s, d) =>
+    import DataQuality._
+    val docs = t(s, d, "documents")
+    val emb = t(s, d, "embeddings")
+    val fresh = t(s, d, "events")
+      .agg(max("ts").as("mx"))
+      .select(when(col("mx") >=
+        lit("2024-01-30 00:00:00").cast("timestamp"), 0L).otherwise(1L)
+        .as("stale"))
+      .filter(col("stale") === 1)
+    summarize(Seq(
+      Check("docs_lang_accepted", acceptedValues(docs, "lang",
+        Seq("en", "de", "es", "fr", "zh"))),
+      Check("docs_meta_reconciled",
+        docs.filter(col("n_chars") =!= length(col("text")))),
+      Check("docs_text_nonempty",
+        docs.filter(col("text").isNull || length(col("text")) === 0)),
+      Check("emb_dim_contract", emb.filter(size(col("embedding")) =!= 64)),
+      Check("events_fresh_by_cutoff", fresh)))
+  }
+
+  val all: Seq[Q] = Seq(p01Silver, p02GoldDaily, p03UserStats, dq01Summary,
+    dq02Audit)
 }
