@@ -1,0 +1,72 @@
+package graft.plans
+
+import graft.{SparkSpec, SparkEntry}
+
+/** Plan-shape regression guards: each scale-critical query's physical
+  * plan must keep the property that makes it scale. A refactor that
+  * silently turns a broadcast join into a sort-merge, un-pushes a scan
+  * filter, or re-plans top-k as a global sort passes every value-level
+  * test — only the plan text catches it. (PLANS.md holds the curated
+  * excerpts these assertions pin down.)
+  */
+class PlanShapeSpec extends SparkSpec {
+
+  private def explain(name: String): String = {
+    val df = SparkEntry.queries(name)(spark, sfDir)
+    df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+  }
+
+  test("q01: filters and pruned columns reach the parquet scan") {
+    val p = explain("q01_pricing_summary")
+    assert(p.contains("PushedFilters:") && p.contains("l_shipdate"), p.take(500))
+    assert(!p.contains("l_comment"), "scan reads columns the query never uses")
+  }
+
+  test("q03: dimension joins broadcast (no shuffle join on the fact side)") {
+    val p = explain("q03_join_agg")
+    assert(p.contains("BroadcastHashJoin"), p.take(500))
+    assert(!p.contains("SortMergeJoin"), "dimension join fell back to SMJ")
+  }
+
+  test("q07: top-k plans TakeOrderedAndProject, not a global sort") {
+    val p = explain("q07_topk")
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+  }
+
+  test("q23: rollup is ONE Expand + one partial/final aggregation") {
+    val p = explain("q23_rollup")
+    assert(p.contains("Expand"), p.take(500))
+    // FormattedMode prints each node in the tree AND a "(n) Scan parquet"
+    // detail header — count the headers.
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size === 1,
+      "rollup should scan the fact table exactly once")
+  }
+
+  test("s01: sample is scan+filter only - no shuffle before the result sort") {
+    val p = explain("s01_stratified_sample")
+    assert(!p.contains("HashAggregate"), "sampling must not aggregate")
+    assert(!p.contains("text"), "text column must be pruned from the scan")
+  }
+
+  test("d02: dedup join is keyed (no cartesian/nested-loop pair space)") {
+    val p = explain("d02_ngram_jaccard")
+    assert(!p.contains("CartesianProduct") && !p.contains("BroadcastNestedLoopJoin"),
+      "inverted-index join degenerated to an unkeyed product")
+  }
+
+  test("x02: as-of join plans exactly one data shuffle for the window") {
+    val p = explain("x02_asof_join")
+    assert(!p.contains("CartesianProduct") && !p.contains("SortMergeJoin"),
+      "as-of join must stay union-sort-backfill, not a join product")
+  }
+
+  test("no query plans an accidental CartesianProduct") {
+    // v01/v02 intentionally use BroadcastNestedLoopJoin (brute-force
+    // pair baselines); a CartesianProduct anywhere is always a bug.
+    SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
+      val p = explain(name)
+      assert(!p.contains("CartesianProduct"), s"$name plans CartesianProduct")
+    }
+  }
+}
