@@ -164,6 +164,28 @@ object AnalyticsQueries {
       .orderBy("nationkey")
   }
 
+  // ---------------------------------------------------------------- q31
+  // Set operations beyond UNION: INTERSECT and EXCEPT (Catalyst plans
+  // both as distinct-preserving semi/anti joins — no materialized
+  // temp sets). Cohort algebra: high-value purchasers who also signed
+  // up high-value, minus anyone with a high-value error.
+  val q31SetOps: Q = Q(
+    "q31_set_ops",
+    """(SELECT user_id FROM events WHERE event_type = 'purchase' AND value > 95
+      | INTERSECT
+      | SELECT user_id FROM events WHERE event_type = 'signup' AND value > 95)
+      |EXCEPT
+      |SELECT user_id FROM events WHERE event_type = 'error' AND value > 96
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    val ev = t(s, d, "events")
+    def cohort(tpe: String, cut: Double) =
+      ev.filter(col("event_type") === tpe && col("value") > cut)
+        .select("user_id")
+    cohort("purchase", 95).intersect(cohort("signup", 95))
+      .except(cohort("error", 96))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(q23Rollup, q24Pivot, q25Quantiles, q26Rolling7d,
-    q29UserRolling, q30ArrayAgg)
+    q29UserRolling, q30ArrayAgg, q31SetOps)
 }

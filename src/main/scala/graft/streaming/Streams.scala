@@ -54,6 +54,20 @@ object Streams {
     events.withWatermark("ts", lateness)
       .dropDuplicates(Medallion.naturalKey)
 
+  /** Dedup on a BUSINESS key (no event-time column in the key):
+    * `dropDuplicatesWithinWatermark` expires each key from the state
+    * store once the watermark passes its last-seen time + delay.
+    * `dropDuplicates(businessKey)` alone would keep every key forever —
+    * the state-size difference between "bounded by traffic in the
+    * lateness window" and "bounded by all keys ever seen"; at 100 TB/day
+    * only the former survives. Duplicates arriving within the lateness
+    * window (the at-least-once redelivery case) are dropped; replays
+    * beyond it are the upstream's contract to prevent. */
+  def dedupByKeyWithinWatermark(events: DataFrame, keyCols: Seq[String],
+      lateness: String = "10 seconds"): DataFrame =
+    events.withWatermark("ts", lateness)
+      .dropDuplicatesWithinWatermark(keyCols)
+
   /** ST7 tumbling hourly rollup — the streaming twin of q21 (identical
     * groupBy(window(...)); append mode emits a window once the watermark
     * passes its end). */

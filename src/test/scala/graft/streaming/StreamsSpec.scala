@@ -34,6 +34,23 @@ class StreamsSpec extends SparkSpec {
     assert(spark.read.parquet(out).count() === bronze.count())
   }
 
+  test("dropDuplicatesWithinWatermark collapses redelivered business keys") {
+    // Double every event (at-least-once redelivery) — dedup on the
+    // business key (event_id), with no event-time column in the key.
+    val src = java.nio.file.Files.createTempDirectory("graft-ddw-src").toString
+    val base = Tables.t(spark, sfDir, "events")
+      .select("event_id", "user_id", "event_type", "ts", "value")
+    base.union(base).coalesce(2).write.mode("overwrite").parquet(src)
+    val stream = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+    Streams.runToMemory(
+      Streams.dedupByKeyWithinWatermark(stream, Seq("event_id"), "1 hour"),
+      "ddw_dedup")
+    val got = spark.table("ddw_dedup")
+    assert(got.count() === base.count(), "redelivered duplicates survived")
+    assert(got.groupBy("event_id").count().filter(col("count") > 1).count() === 0)
+  }
+
   test("streaming hourly rollup matches the batch q21 aggregation") {
     Streams.runToMemory(
       Streams.hourlyRollup(Streams.fileSource(spark, srcDir)), "rollup")
