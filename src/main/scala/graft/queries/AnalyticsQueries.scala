@@ -186,6 +186,32 @@ object AnalyticsQueries {
       .orderBy("user_id")
   }
 
+  // ---------------------------------------------------------------- q32
+  // first_value / last_value over a user-partitioned window (full frame
+  // for last_value — the default frame stops at CURRENT ROW and silently
+  // returns the current row's value, a classic window-frame trap). The
+  // (ts, event_id) ordering is unique, so both engines pick identical
+  // rows without an engine-defined tie-break.
+  val q32FirstLast: Q = Q(
+    "q32_first_last",
+    """SELECT DISTINCT user_id,
+      |  first_value(event_type) OVER w AS first_type,
+      |  last_value(event_type) OVER (PARTITION BY user_id ORDER BY ts, event_id
+      |    ROWS BETWEEN UNBOUNDED PRECEDING AND UNBOUNDED FOLLOWING) AS last_type
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id ORDER BY ts, event_id)
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
+    val full = w.rowsBetween(Window.unboundedPreceding, Window.unboundedFollowing)
+    t(s, d, "events")
+      .select(col("user_id"),
+        first("event_type").over(w).as("first_type"),
+        last("event_type").over(full).as("last_type"))
+      .distinct()
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(q23Rollup, q24Pivot, q25Quantiles, q26Rolling7d,
-    q29UserRolling, q30ArrayAgg, q31SetOps)
+    q29UserRolling, q30ArrayAgg, q31SetOps, q32FirstLast)
 }

@@ -38,5 +38,40 @@ object MultimodalQueries {
       .orderBy("media_id")
   }
 
-  val all: Seq[Q] = Seq(m01BinaryMeta, m02DecodeStub)
+  // ---------------------------------------------------------------- m03
+  // Modality routing stats: assign each payload a pseudo-modality from a
+  // content-stable hash bucket (standing in for mime sniffing, which the
+  // env's codec-free container can't do) and aggregate the byte-size
+  // profile per modality — the numbers a multimodal pipeline uses to
+  // pick per-modality batch shapes and executor memory. Average in
+  // integer bytes with explicit half-up division (the q29 lesson:
+  // ROUND on a double quotient diverges at .5 boundaries).
+  val m03ModalityStats: Q = Q(
+    "m03_modality_stats",
+    """WITH m AS (
+      |  SELECT doc_id, octet_length(encode(text)) AS b,
+      |    CASE (('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 8))::BIGINT % 3)
+      |      WHEN 0 THEN 'image' WHEN 1 THEN 'audio' ELSE 'video' END AS modality
+      |  FROM documents)
+      |SELECT modality, COUNT(*) AS n,
+      |  CAST(SUM(b) AS BIGINT) AS total_bytes,
+      |  CAST((2 * SUM(b) + COUNT(*)) // (2 * COUNT(*)) AS BIGINT) AS avg_bytes,
+      |  CAST(MAX(b) AS BIGINT) AS max_bytes
+      |FROM m GROUP BY modality ORDER BY modality""".stripMargin) { (s, d) =>
+    val bucket = conv(substring(md5(col("doc_id").cast("string")), 1, 8), 16, 10)
+      .cast("long") % 3
+    t(s, d, "documents")
+      .select(col("doc_id"),
+        octet_length(col("text")).cast("long").as("b"),
+        when(bucket === 0, "image").when(bucket === 1, "audio")
+          .otherwise("video").as("modality"))
+      .groupBy("modality")
+      .agg(count(lit(1)).as("n"), sum("b").as("s"), max("b").as("max_bytes"))
+      .withColumn("total_bytes", col("s"))
+      .withColumn("avg_bytes", expr("(2 * s + n) DIV (2 * n)"))
+      .select("modality", "n", "total_bytes", "avg_bytes", "max_bytes")
+      .orderBy("modality")
+  }
+
+  val all: Seq[Q] = Seq(m01BinaryMeta, m02DecodeStub, m03ModalityStats)
 }
