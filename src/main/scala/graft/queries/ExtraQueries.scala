@@ -175,6 +175,48 @@ object ExtraQueries {
       .orderBy("event_id")
   }
 
+  // ---------------------------------------------------------------- x07
+  // SCD Type-2 end-to-end, oracle-verified: apply an initial snapshot at
+  // t0 and a mutated snapshot at t1 (every 10th key's balance changes,
+  // every 97th key is deleted), then hash-check the resulting history —
+  // changed keys close at t1 and reopen with the new value, deleted keys
+  // close without a successor, untouched keys stay open from t0. The
+  // oracle CONSTRUCTS the expected history declaratively, so the
+  // mutation path's semantics (not just its row counts) are verified.
+  val x07Scd2History: Q = Q(
+    "x07_scd2_history",
+    """WITH c AS (
+      |  SELECT c_custkey, c_acctbal,
+      |    c_custkey % 10 = 0 AS chg, c_custkey % 97 = 0 AS del
+      |  FROM customer)
+      |SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
+      |  TIMESTAMP '2024-01-01 00:00:00' AS valid_from,
+      |  CASE WHEN chg OR del THEN TIMESTAMP '2024-02-01 00:00:00' END AS valid_to
+      |FROM c
+      |UNION ALL
+      |SELECT c_custkey, CAST(c_acctbal + 100 AS DOUBLE),
+      |  TIMESTAMP '2024-02-01 00:00:00', NULL
+      |FROM c WHERE chg AND NOT del
+      |ORDER BY c_custkey, valid_from""".stripMargin) { (s, d) =>
+    import graft.operators.Mutation
+    val dir = java.nio.file.Files
+      .createTempDirectory("graft-scd2").toString + "/hist"
+    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t1 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+    val cols = Seq("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+    val base = t(s, d, "customer").select(cols.map(col): _*)
+    Mutation.scd2Apply(s, dir, base, Seq("c_custkey"), cols.tail, t0)
+    val snap2 = base.filter(col("c_custkey") % 97 =!= 0)
+      .withColumn("c_acctbal",
+        when(col("c_custkey") % 10 === 0, col("c_acctbal") + 100)
+          .otherwise(col("c_acctbal")))
+    Mutation.scd2Apply(s, dir, snap2, Seq("c_custkey"), cols.tail, t1)
+    s.read.parquet(dir)
+      .select(col("c_custkey"), col("c_acctbal").cast("double").as("acctbal"),
+        col("valid_from"), col("valid_to"))
+      .orderBy("c_custkey", "valid_from")
+  }
+
   val all: Seq[Q] = Seq(x01SeedJoin, x02AsofJoin, x03Duration, x04Sessionize,
-    x05ApproxDistinct, x06RangeJoin)
+    x05ApproxDistinct, x06RangeJoin, x07Scd2History)
 }
