@@ -32,6 +32,17 @@ object ColFns {
   def moneyAvg(c: Column, scale: Int = 2): Column =
     round(moneySum(c) / count(lit(1)), scale)
 
+  /** Half-up integer division of non-negative longs: ⌊(2s + n) / 2n⌋.
+    * ROUND on a double quotient diverges between engines at the .5
+    * boundaries a large row count reliably hits (Spark rounds the
+    * shortest decimal rendering, DuckDB the binary value); integer math
+    * has no boundary. Oracle twin: `(2 * s + n) // (2 * n)` (DuckDB).
+    * Both inputs must be column NAMES already materialized (the expr
+    * parser resolves them). */
+  def halfUpDiv(sumCol: String, countCol: String): Column =
+    org.apache.spark.sql.functions.expr(
+      s"(2 * $sumCol + $countCol) DIV (2 * $countCol)")
+
   /** 0=Sun..6=Sat day-of-week (reference convention, SURVEY F5). */
   def dow(c: Column): Column = dayofweek(c) - lit(1)
 

@@ -140,7 +140,7 @@ object AnalyticsQueries {
         sum(cents).over(w).as("s"),
         count(lit(1)).over(w).as("n"))
       .withColumn("rolling_avg",
-        expr("CAST((2 * s + n) DIV (2 * n) AS DOUBLE) / 100"))
+        graft.functions.ColFns.halfUpDiv("s", "n").cast("double") / 100)
       .drop("s", "n")
       .orderBy("event_id")
   }
@@ -159,8 +159,10 @@ object AnalyticsQueries {
     t(s, d, "customer")
       .groupBy(col("c_nationkey").as("nationkey"))
       .agg(countDistinct(col("c_mktsegment")).as("n_segments"),
-        concat_ws("|", array_sort(collect_set(col("c_mktsegment"))))
-          .as("segments"))
+        // string_agg(DISTINCT ...) is NULL when every input is NULL;
+        // concat_ws over the empty collect_set would be '' — align.
+        nullif(concat_ws("|", array_sort(collect_set(col("c_mktsegment")))),
+          lit("")).as("segments"))
       .orderBy("nationkey")
   }
 

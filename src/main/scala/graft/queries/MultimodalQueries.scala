@@ -68,7 +68,7 @@ object MultimodalQueries {
       .groupBy("modality")
       .agg(count(lit(1)).as("n"), sum("b").as("s"), max("b").as("max_bytes"))
       .withColumn("total_bytes", col("s"))
-      .withColumn("avg_bytes", expr("(2 * s + n) DIV (2 * n)"))
+      .withColumn("avg_bytes", graft.functions.ColFns.halfUpDiv("s", "n"))
       .select("modality", "n", "total_bytes", "avg_bytes", "max_bytes")
       .orderBy("modality")
   }
