@@ -214,6 +214,31 @@ object AnalyticsQueries {
       .orderBy("user_id")
   }
 
+  // ---------------------------------------------------------------- q33
+  // Unpivot (melt): q24's wide day × type matrix back to long form. The
+  // oracle is the DIRECT per-(day, type) aggregate — hash-matching it
+  // proves the pivot → unpivot round trip is the identity (absent-cell
+  // NULLs dropped, as melt semantics prescribe).
+  val q33Unpivot: Q = Q(
+    "q33_unpivot",
+    s"""SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       |  event_type, ${sumd("value")} AS revenue
+       |FROM events
+       |GROUP BY 1, 2 ORDER BY day, event_type""".stripMargin) { (s, d) =>
+    val wide = ev(s, d)
+      .groupBy(date_trunc("DAY", col("ts")).cast("date").as("day"))
+      .pivot("event_type", Seq("click", "error", "purchase", "signup", "view"))
+      .agg(moneySum(col("value")))
+    wide.unpivot(
+        ids = Array(col("day")),
+        values = Array(col("click"), col("error"), col("purchase"),
+          col("signup"), col("view")),
+        variableColumnName = "event_type",
+        valueColumnName = "revenue")
+      .filter(col("revenue").isNotNull)
+      .orderBy("day", "event_type")
+  }
+
   val all: Seq[Q] = Seq(q23Rollup, q24Pivot, q25Quantiles, q26Rolling7d,
-    q29UserRolling, q30ArrayAgg, q31SetOps, q32FirstLast)
+    q29UserRolling, q30ArrayAgg, q31SetOps, q32FirstLast, q33Unpivot)
 }
