@@ -51,6 +51,24 @@ class StreamsSpec extends SparkSpec {
     assert(got.groupBy("event_id").count().filter(col("count") > 1).count() === 0)
   }
 
+  test("stream-static dimension join matches the batch join (x01 analog)") {
+    // The static side (seed lookup) broadcasts into every micro-batch —
+    // no state store involved; the streaming result must equal x01's
+    // batch aggregate exactly.
+    val stream = Streams.fileSource(spark, srcDir)
+      .join(org.apache.spark.sql.functions.broadcast(
+        graft.sources.Seeds.eventTypeLookup(spark)), "event_type")
+      .groupBy("type_name", "is_billable")
+      .agg(count(lit(1)).as("n"),
+        graft.functions.ColFns.moneySum(col("value")).as("total_value"))
+    Streams.runToMemory(stream, "stream_static", outputMode = "complete")
+    val got = spark.table("stream_static")
+    val want = graft.queries.ExtraQueries.x01SeedJoin.fn(spark, sfDir)
+    assert(got.count() === want.count())
+    assert(got.join(want, Seq("type_name", "is_billable", "n", "total_value"))
+      .count() === want.count(), "streamed join diverges from batch")
+  }
+
   test("streaming hourly rollup matches the batch q21 aggregation") {
     Streams.runToMemory(
       Streams.hourlyRollup(Streams.fileSource(spark, srcDir)), "rollup")
