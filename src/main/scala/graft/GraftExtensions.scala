@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{DotProduct, MinHashSignature, SimHash64, WordShingles}
+import graft.functions.expressions.{DotProduct, MinHashSignature, RollingFingerprint, SimHash64, SimHashBits, WordShingles}
 import org.apache.spark.sql.catalyst.expressions.Literal
 
 /** SparkSessionExtensions entry point: registers the engine's native
@@ -41,6 +41,17 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("minhash_signature",
         "minhash_signature(md5_hashes, n) - n-element double-hashed minhash signature"),
       (children: Seq[Expression]) => MinHashSignature(children(0), intArg(children(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("simhash_bits"),
+      info("simhash_bits",
+        "simhash_bits(hashes, width) - SimHash over precomputed array<bigint> hashes"),
+      (children: Seq[Expression]) => SimHashBits(children(0), intArg(children(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("rolling_fingerprint"),
+      info("rolling_fingerprint",
+        "rolling_fingerprint(text, window, stride) - winnowed Rabin-Karp fingerprints"),
+      (children: Seq[Expression]) => RollingFingerprint(children(0),
+        intArg(children(1)), intArg(children(2)))))
   }
 
   /** Constant int argument (k / numHashes must be literal at plan time). */

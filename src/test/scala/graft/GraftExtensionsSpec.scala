@@ -30,6 +30,32 @@ class GraftExtensionsSpec extends AnyFunSuite {
     assert(v === 32.0)
   }
 
+  test("simhash_bits is callable from SQL and matches the Column API") {
+    val sqlV = spark.sql(
+      "SELECT simhash_bits(array(123456789L, 987654321L), 60) AS h")
+      .head().getLong(0)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val colV = Seq(Seq(123456789L, 987654321L)).toDF("h")
+      .select(graft.functions.expressions.SimHashBits.simhash_bits(col("h"), 60))
+      .head().getLong(0)
+    assert(sqlV === colV)
+  }
+
+  test("rolling_fingerprint is callable from SQL and matches the Column API") {
+    val text = "the quick brown fox jumps over the lazy dog"
+    val sqlV = spark.sql(
+      s"SELECT rolling_fingerprint('$text', 16, 8) AS f")
+      .head().getSeq[Long](0)
+    import spark.implicits._
+    import org.apache.spark.sql.functions._
+    val colV = Seq(text).toDF("t")
+      .select(graft.functions.expressions.RollingFingerprint
+        .rolling_fingerprint(col("t"), 16, 8))
+      .head().getSeq[Long](0)
+    assert(sqlV === colV && sqlV.nonEmpty)
+  }
+
   test("simhash64 is callable from SQL and matches the Column API") {
     val sqlV = spark.sql("SELECT simhash64(array('spark', 'engine')) AS h")
       .head().getLong(0)
