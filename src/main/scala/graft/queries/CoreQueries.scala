@@ -17,11 +17,11 @@ import graft.functions.ColFns._
   * plan determinism at scale (SURVEY §4 "Join strategy").
   *
   * Scale posture (100 TB): aggregations are hash partial+final on
-  * high-cardinality keys, dimension joins broadcast, window functions
-  * partition on high-cardinality keys — except the deliberately tiny
-  * global windows (running total over ~30 days, percent-of-total over
-  * 5 groups) which operate on already-aggregated frames, mirroring the
-  * reference (SURVEY §7.5).
+  * high-cardinality keys, dimension joins broadcast, and EVERY window
+  * carries partition keys — global shares and running totals go through
+  * graft.operators.ScalableWindow (broadcast one-row totals, bucketed
+  * prefix offsets) instead of unpartitioned frames (plan-asserted in
+  * ScalableWindowSpec).
   */
 object CoreQueries {
 
