@@ -42,6 +42,22 @@ object TextFns {
     round(length(regexp_replace(text, "[a-z0-9 ]", "")).cast("double")
       / nullif(length(text), lit(0)), 4)
 
+  /** PII patterns — kept inside the Java-regex ∩ RE2 common subset (no
+    * lookaround) so a DuckDB oracle interprets them identically. */
+  val EmailRe = """[a-z0-9._%+-]+@[a-z0-9.-]+\.[a-z]{2,}"""
+  val Ipv4Re = """\b\d{1,3}(\.\d{1,3}){3}\b"""
+  val PhoneRe = """\b\d{3}-\d{3}-\d{4}\b"""
+
+  /** Matches of one PII pattern in `text`, as a bigint count. */
+  def piiCount(text: Column, re: String): Column =
+    size(regexp_extract_all(text, lit(re), lit(0))).cast("bigint")
+
+  /** Full redaction, fixed order email → IPv4 → phone (the order is part
+    * of the semantics: any oracle must chain identically). */
+  def piiRedact(text: Column): Column =
+    regexp_replace(regexp_replace(regexp_replace(text,
+      EmailRe, "[EMAIL]"), Ipv4Re, "[IP]"), PhoneRe, "[PHONE]")
+
   /** Language marker lists (stopword heuristic). Ordered by language code
     * so the argmax tie-break is deterministic and oracle-reproducible. */
   val langMarkers: Seq[(String, Seq[String])] = Seq(

@@ -172,6 +172,61 @@ object Dedup {
         transform(array_distinct(TextFns.tokens(col(textCol))),
           t => conv(substring(md5(t), 1, 15), 16, 10).cast("long"))).as("simhash"))
 
+  /** Connected components over an undirected pair list `(i, j)` —
+    * the pairs→clusters step every dedup pipeline needs before it can
+    * pick one keeper per duplicate group. Min-label propagation: each
+    * node starts labeled with its own id and repeatedly takes the min
+    * of its own and its neighbors' labels until a fixpoint; the final
+    * label is the component's minimum id (deterministic).
+    *
+    * Scale: one equi-join + partial/final min-aggregation per round,
+    * all keyed on node id — no driver-side graph. Rounds needed = graph
+    * diameter, and near-dup clusters are dense (pairs come from shared
+    * buckets), so diameter stays small even when clusters are huge; the
+    * per-round persist keeps lineage flat (the doubled-plan blowup of
+    * naive iteration) and holds only (id, lbl) pairs for docs that
+    * appear in SOME pair — a tiny fraction of the corpus.
+    *
+    * Returns (id, cluster_rep). Singletons (docs in no pair) are not
+    * emitted — they are their own keeper by definition.
+    */
+  def connectedComponents(pairs: DataFrame, maxIter: Int = 64): DataFrame = {
+    import org.apache.spark.storage.StorageLevel
+    val edges = pairs.select(col("i").as("a"), col("j").as("b"))
+      .union(pairs.select(col("j").as("a"), col("i").as("b")))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = edges.select(col("a").as("id")).distinct()
+      .withColumn("lbl", col("id"))
+      .persist(StorageLevel.MEMORY_AND_DISK)
+    var iter = 0
+    var converged = false
+    while (!converged && iter < maxIter) {
+      val nbrMin = edges
+        .join(labels.select(col("id").as("b"), col("lbl").as("nl")), "b")
+        .groupBy(col("a").as("id")).agg(min("nl").as("nbl"))
+      val next = labels.join(nbrMin, Seq("id"), "left")
+        .select(col("id"), col("lbl"),
+          least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("nlbl"))
+        .persist(StorageLevel.MEMORY_AND_DISK)
+      converged = next.filter(col("nlbl") < col("lbl")).isEmpty
+      val prev = labels
+      labels = next.select(col("id"), col("nlbl").as("lbl"))
+      prev.unpersist(false)
+    }
+    edges.unpersist(false)
+    labels
+  }
+
+  /** Duplicate clusters with sizes: (doc_id, cluster_rep, cluster_size)
+    * for every document that participates in at least one near-dup pair. */
+  def dupClusters(pairs: DataFrame): DataFrame = {
+    val cc = connectedComponents(pairs)
+    val sizes = cc.groupBy(col("lbl")).agg(count(lit(1)).as("cluster_size"))
+    cc.join(sizes, "lbl")
+      .select(col("id").as("doc_id"), col("lbl").as("cluster_rep"),
+        col("cluster_size"))
+  }
+
   /** Blocked Hamming self-join: candidates share the signature's top
     * block (a keyed equi-join — near-identical docs agree on the prefix
     * with high probability; multi-block OR-amplification is the scale

@@ -148,6 +148,66 @@ object DedupQueries {
       .orderBy("i", "j")
   }
 
+  /** Shared DuckDB CTE chain: near-dup pairs (d02 semantics) → undirected
+    * edges → transitive closure by recursive CTE → per-node min reachable
+    * id = cluster representative. The recursion replays exactly what the
+    * Spark min-label propagation converges to, so hashes match. */
+  private val CLUSTER_CTES =
+    s"""$SHINGLES_CTE,
+       |$JACCARD_TAIL,
+       |pairs AS (SELECT i, j FROM jac WHERE jaccard >= 0.5),
+       |nodes AS (SELECT i AS id FROM pairs UNION SELECT j AS id FROM pairs),
+       |edges AS (SELECT i AS a, j AS b FROM pairs
+       |          UNION ALL SELECT j AS a, i AS b FROM pairs),
+       |reach(id, lbl) AS (
+       |  SELECT id, id FROM nodes
+       |  UNION
+       |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
+       |cc AS (SELECT id, MIN(lbl) AS cluster_rep FROM reach GROUP BY id)""".stripMargin
+
+  // ---------------------------------------------------------------- d06
+  // Near-dup clusters: connected components over the ≥0.5-Jaccard pair
+  // graph (pairs → clusters → keeper, the step that turns pair lists
+  // into actionable dedup decisions). Spark runs min-label propagation
+  // to a fixpoint; DuckDB replays it as a recursive transitive closure.
+  val d06DupClusters: Q = Q(
+    "d06_dup_clusters",
+    s"""WITH RECURSIVE $CLUSTER_CTES,
+       |szs AS (SELECT cluster_rep, COUNT(*) AS cluster_size
+       |        FROM cc GROUP BY 1)
+       |SELECT cc.id AS doc_id, cc.cluster_rep, szs.cluster_size
+       |FROM cc JOIN szs USING (cluster_rep) ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val pairs = Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", 0.5)
+    Dedup.dupClusters(pairs.select("i", "j")).orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- d07
+  // Dedup applied: per-source corpus summary after dropping every
+  // cluster member that is not its cluster's representative — the
+  // "what did dedup cost me" mart a corpus owner reads.
+  val d07DedupApply: Q = Q(
+    "d07_dedup_apply",
+    s"""WITH RECURSIVE $CLUSTER_CTES,
+       |drops AS (SELECT id AS doc_id FROM cc WHERE id <> cluster_rep)
+       |SELECT source,
+       |  COUNT(*) AS n_docs,
+       |  COUNT(drops.doc_id) AS n_dropped,
+       |  COUNT(*) - COUNT(drops.doc_id) AS n_kept
+       |FROM documents LEFT JOIN drops ON documents.doc_id = drops.doc_id
+       |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+    val drops = Dedup.dupClusters(pairs.select("i", "j"))
+      .filter(col("doc_id") =!= col("cluster_rep"))
+      .select(col("doc_id"), lit(1L).as("dropped"))
+    docs.join(drops, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("dropped")).as("n_dropped"),
+        (count(lit(1)) - count(col("dropped"))).as("n_kept"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(d01ExactDedup, d02NgramJaccard, d03MinhashLsh,
-    d04Simhash, d05SimhashMd5)
+    d04Simhash, d05SimhashMd5, d06DupClusters, d07DedupApply)
 }

@@ -209,7 +209,101 @@ object TextQueries {
       .orderBy("i", "j")
   }
 
+  // ---------------------------------------------------------------- t08
+  // Within-document repetition metrics (the Gopher-rules repetition
+  // filters): most-frequent-token share and duplicate-trigram fraction.
+  // High values flag boilerplate/spam docs a pre-training pipeline drops.
+  /** Repetition metrics for any (doc_id, text) frame — shared by the t08
+    * query and the fixture spec. */
+  def repetitionMetrics(docsDf: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame = {
+    val tc = docsDf
+      .select(col("doc_id"), explode(tokens(col("text"))).as("token"))
+      .groupBy("doc_id", "token").agg(count(lit(1)).as("c"))
+    val agg = tc.groupBy("doc_id")
+      .agg(sum("c").cast("bigint").as("n_tokens"), max("c").as("top_c"))
+    val tri = docsDf
+      .select(col("doc_id"), tokens(col("text")).as("t"),
+        shingles(col("text")).as("sh"))
+      .filter(size(col("t")) >= 3)
+      .select(col("doc_id"),
+        (size(col("t")) - 2).cast("bigint").as("n_tri"),
+        size(col("sh")).cast("bigint").as("n_dtri"))
+    agg.join(tri, "doc_id")
+      .select(col("doc_id"), col("n_tokens"),
+        round(col("top_c") * lit(1.0) / col("n_tokens"), 4).as("top_token_share"),
+        round(lit(1.0) - (col("n_dtri") * lit(1.0) / col("n_tri")), 4)
+          .as("dup_trigram_frac"))
+  }
+
+  val t08Repetition: Q = Q(
+    "t08_repetition",
+    """WITH tc AS (
+      |  SELECT doc_id, token, COUNT(*) AS c
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS token
+      |        FROM documents)
+      |  GROUP BY 1, 2),
+      |agg AS (
+      |  SELECT doc_id, CAST(SUM(c) AS BIGINT) AS n_tokens, MAX(c) AS top_c
+      |  FROM tc GROUP BY 1),
+      |tri AS (
+      |  SELECT doc_id, len(t) - 2 AS n_tri,
+      |    len(list_distinct(list_transform(range(1, len(t) - 1),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2]))) AS n_dtri
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 3)
+      |SELECT agg.doc_id, n_tokens,
+      |  ROUND(top_c * 1.0 / n_tokens, 4) AS top_token_share,
+      |  ROUND(1.0 - (n_dtri * 1.0 / n_tri), 4) AS dup_trigram_frac
+      |FROM agg JOIN tri ON agg.doc_id = tri.doc_id
+      |ORDER BY agg.doc_id""".stripMargin) { (s, d) =>
+    repetitionMetrics(docs(s, d)).orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- t09
+  // PII detection + redaction. The corpus itself is PII-free, so each
+  // doc is augmented with deterministic doc_id-derived PII (email, IPv4,
+  // phone) FIRST — both engines build the identical augmented string,
+  // then must agree on match counts AND the md5 of the fully redacted
+  // text, which verifies the regex semantics end-to-end. Patterns live
+  // in TextFns (Java-regex ∩ RE2 common subset).
+  private val EMAIL_RE = graft.functions.TextFns.EmailRe
+  private val IP_RE = graft.functions.TextFns.Ipv4Re
+  private val PHONE_RE = graft.functions.TextFns.PhoneRe
+
+  val t09PiiScrub: Q = Q(
+    "t09_pii_scrub",
+    s"""WITH aug AS (
+       |  SELECT doc_id,
+       |    text || ' mail user' || doc_id || '@example.org ip 10.'
+       |      || (doc_id % 256) || '.0.7 tel 202-555-'
+       |      || lpad(CAST(doc_id % 10000 AS VARCHAR), 4, '0') AS t
+       |  FROM documents)
+       |SELECT doc_id,
+       |  len(regexp_extract_all(t, '$EMAIL_RE')) AS n_emails,
+       |  len(regexp_extract_all(t, '$IP_RE')) AS n_ips,
+       |  len(regexp_extract_all(t, '$PHONE_RE')) AS n_phones,
+       |  md5(regexp_replace(regexp_replace(regexp_replace(t,
+       |    '$EMAIL_RE', '[EMAIL]', 'g'),
+       |    '$IP_RE', '[IP]', 'g'),
+       |    '$PHONE_RE', '[PHONE]', 'g')) AS redacted_md5
+       |FROM aug ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val aug = docs(s, d).select(col("doc_id"),
+      concat(col("text"), lit(" mail user"), col("doc_id"),
+        lit("@example.org ip 10."), col("doc_id") % 256,
+        lit(".0.7 tel 202-555-"),
+        lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("t"))
+    import graft.functions.TextFns.{piiCount, piiRedact}
+    aug.select(col("doc_id"),
+      piiCount(col("t"), EMAIL_RE).as("n_emails"),
+      piiCount(col("t"), IP_RE).as("n_ips"),
+      piiCount(col("t"), PHONE_RE).as("n_phones"),
+      md5(piiRedact(col("t"))).as("redacted_md5"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
-    t05TokenHistogram, t06BpeTokens, t07RollingFingerprint)
+    t05TokenHistogram, t06BpeTokens, t07RollingFingerprint,
+    t08Repetition, t09PiiScrub)
 }

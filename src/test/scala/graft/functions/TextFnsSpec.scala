@@ -46,4 +46,39 @@ class TextFnsSpec extends SparkSpec {
     val f2 = Seq(Tuple1(t)).toDF("text").select(rolling_fingerprint($"text")).as[Seq[Long]].head()
     assert(f1 === f2)
   }
+
+  test("piiRedact scrubs every email/ip/phone occurrence; counts match") {
+    import graft.functions.TextFns._
+    val t = "write bob.smith@corp.io or 192.168.0.1 then 555-123-4567 " +
+      "again bob.smith@corp.io end"
+    val row = Seq(Tuple1(t)).toDF("text").select(
+      piiCount($"text", EmailRe).as("e"),
+      piiCount($"text", Ipv4Re).as("i"),
+      piiCount($"text", PhoneRe).as("p"),
+      piiRedact($"text").as("r"))
+      .head()
+    assert(row.getAs[Long]("e") === 2L)
+    assert(row.getAs[Long]("i") === 1L)
+    assert(row.getAs[Long]("p") === 1L)
+    assert(row.getAs[String]("r") ===
+      "write [EMAIL] or [IP] then [PHONE] again [EMAIL] end")
+  }
+
+  test("piiRedact leaves clean text untouched") {
+    import graft.functions.TextFns._
+    val t = "no sensitive content here just plain words and a dot."
+    val r = Seq(Tuple1(t)).toDF("text").select(piiRedact($"text")).as[String].head()
+    assert(r === t)
+  }
+
+  test("repetition metrics: hand-computed fixture values") {
+    // "a a a b": top share 3/4; trigrams [a a a, a a b] both distinct → 0.
+    // "a a a a": trigrams [a a a, a a a] → 1 distinct of 2 → 0.5 dup frac.
+    val df = Seq((1L, "a a a b"), (2L, "a a a a")).toDF("doc_id", "text")
+    val m = graft.queries.TextQueries.repetitionMetrics(df).collect()
+      .map(r => r.getLong(0) -> ((r.getLong(1), r.getDouble(2), r.getDouble(3))))
+      .toMap
+    assert(m(1L) === ((4L, 0.75, 0.0)))
+    assert(m(2L) === ((4L, 1.0, 0.5)))
+  }
 }

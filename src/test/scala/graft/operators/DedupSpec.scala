@@ -73,6 +73,25 @@ class DedupSpec extends SparkSpec {
     assert(exact === lsh)
   }
 
+  test("connectedComponents: chain merges transitively, components stay apart") {
+    // 1-2-3-4 is a path (diameter 3 — forces multiple propagation rounds);
+    // 10-11 is a separate component; 99 appears in no pair → not emitted.
+    val pairs = Seq((1L, 2L), (2L, 3L), (3L, 4L), (10L, 11L))
+      .toDF("i", "j")
+    val cc = Dedup.connectedComponents(pairs)
+      .as[(Long, Long)].collect().toMap
+    assert(cc === Map(1L -> 1L, 2L -> 1L, 3L -> 1L, 4L -> 1L,
+      10L -> 10L, 11L -> 10L))
+  }
+
+  test("dupClusters sizes and reps are deterministic") {
+    val pairs = Seq((5L, 3L), (3L, 8L), (20L, 21L)).toDF("i", "j")
+    val cl = Dedup.dupClusters(pairs)
+      .as[(Long, Long, Long)].collect().toSet
+    assert(cl === Set((3L, 3L, 3L), (5L, 3L, 3L), (8L, 3L, 3L),
+      (20L, 20L, 2L), (21L, 20L, 2L)))
+  }
+
   test("simhash: identical texts hash equal; unrelated texts are far") {
     val sh = Dedup.simhash64(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
