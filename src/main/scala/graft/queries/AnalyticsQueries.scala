@@ -239,6 +239,52 @@ object AnalyticsQueries {
       .orderBy("day", "event_type")
   }
 
+  // ---------------------------------------------------------------- q34
+  // CUBE over (segment, nation): all four grouping sets in one expanded
+  // aggregation pass (q23 covers ROLLUP's three); gid disambiguates the
+  // NULLs that are subtotal markers from NULLs in the data.
+  val q34Cube: Q = Q(
+    "q34_cube",
+    s"""SELECT c_mktsegment AS segment, c_nationkey AS nationkey,
+       |  COUNT(*) AS n, ${sumd("c_acctbal")} AS balance,
+       |  CAST(GROUPING(c_mktsegment, c_nationkey) AS BIGINT) AS gid
+       |FROM customer
+       |GROUP BY CUBE(c_mktsegment, c_nationkey)
+       |ORDER BY gid, segment NULLS FIRST, nationkey NULLS FIRST"""
+      .stripMargin) { (s, d) =>
+    t(s, d, "customer").cube("c_mktsegment", "c_nationkey")
+      .agg(count(lit(1)).as("n"),
+        moneySum(col("c_acctbal")).as("balance"),
+        grouping_id().as("gid"))
+      .select(col("c_mktsegment").as("segment"),
+        col("c_nationkey").as("nationkey"), col("n"), col("balance"),
+        col("gid"))
+      .orderBy(col("gid"), col("segment").asc_nulls_first,
+        col("nationkey").asc_nulls_first)
+  }
+
+  // ---------------------------------------------------------------- q35
+  // Multiple DISTINCT aggregates over different columns in ONE GROUP BY
+  // (q30 has a single distinct): Catalyst plans this with Expand — one
+  // input row per distinct group — then a two-phase aggregation, so it
+  // still shuffles keyed and partial-aggregates; no per-group set
+  // materialization on a single node.
+  val q35MultiDistinct: Q = Q(
+    "q35_multi_distinct",
+    s"""SELECT event_type, COUNT(*) AS n_events,
+       |  COUNT(DISTINCT user_id) AS n_users,
+       |  COUNT(DISTINCT CAST(date_trunc('day', ts) AS DATE)) AS n_days,
+       |  ${sumd("value")} AS revenue
+       |FROM events GROUP BY 1 ORDER BY event_type""".stripMargin) { (s, d) =>
+    ev(s, d).groupBy("event_type")
+      .agg(count(lit(1)).as("n_events"),
+        countDistinct(col("user_id")).as("n_users"),
+        countDistinct(date_trunc("DAY", col("ts")).cast("date")).as("n_days"),
+        moneySum(col("value")).as("revenue"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(q23Rollup, q24Pivot, q25Quantiles, q26Rolling7d,
-    q29UserRolling, q30ArrayAgg, q31SetOps, q32FirstLast, q33Unpivot)
+    q29UserRolling, q30ArrayAgg, q31SetOps, q32FirstLast, q33Unpivot,
+    q34Cube, q35MultiDistinct)
 }
