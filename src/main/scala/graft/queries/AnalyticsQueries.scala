@@ -284,7 +284,41 @@ object AnalyticsQueries {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------- q36
+  // Ranking-window family: rank / dense_rank / percent_rank / ntile in
+  // one PARTITIONED window (days ranked by revenue within event_type —
+  // the window key keeps every frame small and distributed; the (revenue,
+  // day) order is total, so ranks and quartiles are deterministic).
+  val q36RankSuite: Q = Q(
+    "q36_rank_suite",
+    s"""WITH daily AS (
+       |  SELECT event_type, CAST(date_trunc('day', ts) AS DATE) AS day,
+       |    ${sumd("value")} AS revenue
+       |  FROM events GROUP BY 1, 2)
+       |SELECT event_type, day, revenue,
+       |  RANK() OVER w AS rnk,
+       |  DENSE_RANK() OVER w AS drnk,
+       |  ROUND(PERCENT_RANK() OVER w, 4) AS prnk,
+       |  CAST(NTILE(4) OVER w AS BIGINT) AS quartile
+       |FROM daily
+       |WINDOW w AS (PARTITION BY event_type ORDER BY revenue DESC, day)
+       |ORDER BY event_type, rnk, day""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val daily = ev(s, d)
+      .groupBy(col("event_type"),
+        date_trunc("DAY", col("ts")).cast("date").as("day"))
+      .agg(moneySum(col("value")).as("revenue"))
+    val w = Window.partitionBy("event_type")
+      .orderBy(col("revenue").desc, col("day"))
+    daily.select(col("event_type"), col("day"), col("revenue"),
+        rank().over(w).cast("bigint").as("rnk"),
+        dense_rank().over(w).cast("bigint").as("drnk"),
+        round(percent_rank().over(w), 4).as("prnk"),
+        ntile(4).over(w).cast("bigint").as("quartile"))
+      .orderBy("event_type", "rnk", "day")
+  }
+
   val all: Seq[Q] = Seq(q23Rollup, q24Pivot, q25Quantiles, q26Rolling7d,
     q29UserRolling, q30ArrayAgg, q31SetOps, q32FirstLast, q33Unpivot,
-    q34Cube, q35MultiDistinct)
+    q34Cube, q35MultiDistinct, q36RankSuite)
 }

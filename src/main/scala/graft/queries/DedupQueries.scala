@@ -208,6 +208,40 @@ object DedupQueries {
       .orderBy("source")
   }
 
+  // ---------------------------------------------------------------- d08
+  // Edit-distance verification: levenshtein over the near-dup candidate
+  // pairs (never all-pairs — O(len²) per comparison is affordable only
+  // AFTER a sub-linear candidate stage; this is the fuzzy-match
+  // verifier layered on the same pair graph d06 clusters). Both engines
+  // implement the standard unit-cost edit distance.
+  val d08EditDistance: Q = Q(
+    "d08_edit_distance",
+    s"""WITH $SHINGLES_CTE,
+       |$JACCARD_TAIL,
+       |pairs AS (SELECT i, j FROM jac WHERE jaccard >= 0.5)
+       |SELECT pairs.i AS i, pairs.j AS j,
+       |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
+       |  ROUND(1.0 - levenshtein(a.text, b.text) * 1.0
+       |    / GREATEST(length(a.text), length(b.text)), 4) AS edit_sim
+       |FROM pairs
+       |JOIN documents a ON a.doc_id = pairs.i
+       |JOIN documents b ON b.doc_id = pairs.j
+       |ORDER BY i, j""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+      .select("i", "j")
+    val lev = levenshtein(col("ta"), col("tb"))
+    pairs
+      .join(docs.select(col("doc_id").as("i"), col("text").as("ta")), "i")
+      .join(docs.select(col("doc_id").as("j"), col("text").as("tb")), "j")
+      .select(col("i"), col("j"),
+        lev.cast("bigint").as("edit_dist"),
+        round(lit(1.0) - lev * lit(1.0)
+          / greatest(length(col("ta")), length(col("tb"))), 4).as("edit_sim"))
+      .orderBy("i", "j")
+  }
+
   val all: Seq[Q] = Seq(d01ExactDedup, d02NgramJaccard, d03MinhashLsh,
-    d04Simhash, d05SimhashMd5, d06DupClusters, d07DedupApply)
+    d04Simhash, d05SimhashMd5, d06DupClusters, d07DedupApply,
+    d08EditDistance)
 }
