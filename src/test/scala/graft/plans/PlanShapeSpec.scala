@@ -63,6 +63,31 @@ class PlanShapeSpec extends SparkSpec {
       "as-of join must stay union-sort-backfill, not a join product")
   }
 
+  test("q35: multi-distinct plans Expand, not repeated scans") {
+    val p = explain("q35_multi_distinct")
+    assert(p.contains("Expand"), p.take(500))
+    assert("""\(\d+\) Scan parquet""".r.findAllIn(p).size === 1,
+      "multi-distinct should scan events exactly once")
+  }
+
+  test("q36: ranking suite runs in ONE partitioned Window node") {
+    val p = explain("q36_rank_suite")
+    assert("""\(\d+\) Window""".r.findAllIn(p).size === 1,
+      "rank/dense_rank/percent_rank/ntile share one window spec — " +
+        "multiple Window nodes mean the specs diverged")
+    assert(p.contains("hashpartitioning(event_type"),
+      "window partition key lost — frame would collapse to one partition")
+  }
+
+  test("d06: cluster propagation joins stay keyed") {
+    val df = graft.queries.DedupQueries.d06DupClusters.fn(spark, sfDir)
+    val p = df.queryExecution.explainString(
+      org.apache.spark.sql.execution.FormattedMode)
+    assert(!p.contains("CartesianProduct") &&
+      !p.contains("BroadcastNestedLoopJoin"),
+      "connected-components join degenerated to an unkeyed product")
+  }
+
   test("no query plans an accidental CartesianProduct") {
     // v01/v02 intentionally use BroadcastNestedLoopJoin (brute-force
     // pair baselines); a CartesianProduct anywhere is always a bug.
