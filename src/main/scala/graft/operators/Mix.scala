@@ -89,6 +89,63 @@ object Mix {
       .filter(col("n_shared") >= minShared)
   }
 
+  /** Deterministic shard assignment from a content-stable hash of the id
+    * (md5 hex chars 9–16, disjoint from [[hashBucket]]'s 1–8 so sampling
+    * and sharding stay independent). A pure projection: the write path
+    * is `repartition(nShards, shard)` + `partitionBy("shard")` — shard
+    * membership never depends on executor count or input order, so a
+    * re-run writes byte-identical shards.
+    */
+  def shardOf(idCol: Column, nShards: Int): Column =
+    conv(substring(md5(idCol.cast("string")), 9, 8), 16, 10)
+      .cast("long") % nShards
+
+  /** GPT-style sequence packing: documents are concatenated in a global
+    * deterministic order (by id) and chunked into fixed `seqLen`-token
+    * training sequences; each document is assigned the sequence its
+    * first token lands in, plus whether it spans into the next one.
+    *
+    * The global prefix sum is the scale problem (a naive
+    * `SUM() OVER (ORDER BY id)` single-partitions the corpus). Same
+    * cure as [[ScalableWindow.runningTotal]]: cumsum inside coarse id
+    * buckets in parallel, then add per-bucket offsets folded driver-side
+    * from one row per bucket. All token arithmetic is exact 64-bit.
+    *
+    * Returns (doc_id, n, prev_cum, seq_id, spans).
+    */
+  def packSequences(docs: DataFrame, idCol: String, tokenCount: Column,
+      seqLen: Long, bucketOf: Column): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    val base = docs.select(col(idCol).as("doc_id"),
+      tokenCount.cast("long").as("n"), bucketOf.cast("long").as("__bucket"))
+    val w = Window.partitionBy("__bucket").orderBy("doc_id")
+    val inBucket = base.withColumn("__cum",
+      sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
+    val perBucket = base.groupBy("__bucket").agg(sum("n").as("__tot"))
+      .orderBy("__bucket")
+      .collect() // one row per id bucket, not per doc
+    var running = 0L
+    val offsets = perBucket.map { r =>
+      val off = running
+      if (!r.isNullAt(1)) running += r.getLong(1)
+      org.apache.spark.sql.Row(r.getLong(0), off)
+    }
+    import scala.jdk.CollectionConverters._
+    val offDf = docs.sparkSession.createDataFrame(
+      offsets.toSeq.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        org.apache.spark.sql.types.StructField("__obucket",
+          org.apache.spark.sql.types.LongType),
+        org.apache.spark.sql.types.StructField("__offset",
+          org.apache.spark.sql.types.LongType))))
+    inBucket.join(broadcast(offDf), col("__bucket") === col("__obucket"))
+      .withColumn("prev_cum", col("__offset") + col("__cum") - col("n"))
+      .withColumn("seq_id", expr(s"prev_cum div $seqLen"))
+      .withColumn("spans",
+        (expr(s"(prev_cum + n - 1) div $seqLen") > col("seq_id")).cast("int"))
+      .drop("__bucket", "__cum", "__obucket", "__offset")
+  }
+
   /** 7-day (or any `windowDays`) rolling aggregate over a date-grain
     * frame via a bounded-fanout self-join — each row joins at most
     * `windowDays` others, so the plan scales with days × window, never

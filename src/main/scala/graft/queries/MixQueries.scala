@@ -135,6 +135,63 @@ object MixQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- s03
+  // Deterministic shard plan: content-stable hash → shard id, then the
+  // per-shard balance profile (docs, tokens, id range) a writer uses to
+  // size output files. Assignment is a pure projection — byte-identical
+  // shards on re-run, any cluster size.
+  val s03ShardPlan: Q = Q(
+    "s03_shard_plan",
+    """WITH a AS (
+      |  SELECT doc_id,
+      |    ('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 9, 8))::BIGINT % 8
+      |      AS shard,
+      |    len(string_split(text, ' ')) AS n
+      |  FROM documents)
+      |SELECT shard, COUNT(*) AS n_docs, CAST(SUM(n) AS BIGINT) AS total_tokens,
+      |  MIN(doc_id) AS first_doc, MAX(doc_id) AS last_doc
+      |FROM a GROUP BY shard ORDER BY shard""".stripMargin) { (s, d) =>
+    docs(s, d)
+      .select(col("doc_id"), Mix.shardOf(col("doc_id"), 8).as("shard"),
+        size(split(col("text"), " ")).cast("long").as("n"))
+      .groupBy("shard")
+      .agg(count(lit(1)).as("n_docs"), sum("n").as("total_tokens"),
+        min("doc_id").as("first_doc"), max("doc_id").as("last_doc"))
+      .orderBy("shard")
+  }
+
+  // ---------------------------------------------------------------- s04
+  // Sequence packing: concat-in-id-order, chunk at 512 tokens, report
+  // per-sequence fill. Spark computes the global prefix sum via
+  // parallel bucketed cumsum + broadcast offsets (no single-partition
+  // window); the oracle's plain SUM() OVER (ORDER BY doc_id) is the
+  // independent formulation the distributed one must hash-match.
+  val s04SequencePacking: Q = Q(
+    "s04_sequence_packing",
+    """WITH tk AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n FROM documents),
+      |c AS (
+      |  SELECT doc_id, n,
+      |    CAST(SUM(n) OVER (ORDER BY doc_id) - n AS BIGINT) AS prev_cum
+      |  FROM tk),
+      |a AS (
+      |  SELECT doc_id, n, prev_cum // 512 AS seq_id,
+      |    CASE WHEN (prev_cum + n - 1) // 512 > prev_cum // 512
+      |         THEN 1 ELSE 0 END AS spans
+      |  FROM c)
+      |SELECT seq_id, COUNT(*) AS n_docs,
+      |  CAST(SUM(n) AS BIGINT) AS tokens_started,
+      |  CAST(SUM(spans) AS BIGINT) AS n_spanning
+      |FROM a GROUP BY seq_id ORDER BY seq_id""".stripMargin) { (s, d) =>
+    Mix.packSequences(docs(s, d), "doc_id",
+        size(split(col("text"), " ")), 512, expr("doc_id div 100"))
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n").as("tokens_started"),
+        sum("spans").cast("bigint").as("n_spanning"))
+      .orderBy("seq_id")
+  }
+
   val all: Seq[Q] = Seq(s01StratifiedSample, s02MixPlan, c01Contamination,
-    g01CorpusGold)
+    g01CorpusGold, s03ShardPlan, s04SequencePacking)
 }

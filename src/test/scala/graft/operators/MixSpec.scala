@@ -1,0 +1,52 @@
+package graft.operators
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Fixture tests for corpus-assembly operators: sequence packing math
+  * (hand-folded expectations) and shard-assignment determinism.
+  */
+class MixSpec extends SparkSpec {
+  import spark.implicits._
+
+  test("packSequences: hand-computed bins, boundary spans, cross-bucket offsets") {
+    // token counts 3,2,4,1; seqLen 4; buckets split 1 | 2,3 | 4 so the
+    // prefix offsets MUST flow across buckets to be right.
+    val docs = Seq(
+      (1L, "a b c"), (2L, "d e"), (3L, "f g h i"), (4L, "j")
+    ).toDF("doc_id", "text")
+    val packed = Mix.packSequences(docs, "doc_id",
+        size(split(col("text"), " ")), 4, expr("doc_id div 2"))
+      .select("doc_id", "n", "prev_cum", "seq_id", "spans")
+      .as[(Long, Long, Long, Long, Int)].collect().sortBy(_._1)
+    assert(packed === Array(
+      (1L, 3L, 0L, 0L, 0),  // tokens 0-2, inside seq 0
+      (2L, 2L, 3L, 0L, 1),  // tokens 3-4, starts seq 0, spills into 1
+      (3L, 4L, 5L, 1L, 1),  // tokens 5-8, starts seq 1, spills into 2
+      (4L, 1L, 9L, 2L, 0))) // token 9, inside seq 2
+  }
+
+  test("packSequences bucket granularity cannot change the result") {
+    val docs = graft.Tables.t(spark, sfDir, "documents")
+    val tok = size(split(col("text"), " "))
+    def run(bucket: String) =
+      Mix.packSequences(docs, "doc_id", tok, 512, expr(bucket))
+        .select("doc_id", "seq_id", "spans")
+        .collect().map(_.toSeq).toSet
+    assert(run("doc_id div 100") === run("doc_id div 7"))
+  }
+
+  test("shardOf is stable, in-range, and independent of hashBucket") {
+    val ids = (0L until 1000L).toDF("id")
+    val s = ids.select(Mix.shardOf(col("id"), 8).as("s"),
+      Mix.hashBucket(col("id")).as("b")).collect()
+    assert(s.forall(r => r.getLong(0) >= 0 && r.getLong(0) < 8))
+    // disjoint hash slices: shard must not be a function of the sample
+    // bucket (a correlated pair would bias per-shard sample rates)
+    val byShard = s.groupBy(_.getLong(0)).view.mapValues(
+      _.map(_.getLong(1)).toSet.size)
+    assert(byShard.values.forall(_ > 50),
+      "each shard should see a wide spread of sample buckets")
+  }
+}
