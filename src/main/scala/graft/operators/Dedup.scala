@@ -64,9 +64,18 @@ object Dedup {
     * document's set size attached BEFORE the explode. Carrying the scalar
     * size through the index join costs 4 bytes per shuffle row and
     * eliminates two whole join stages (plus their recomputation of the
-    * shingle projection) that a separate size lookup would need. */
+    * shingle projection) that a separate size lookup would need.
+    *
+    * Persisted: every caller feeds BOTH legs of a self-join, so without
+    * this the scan + shingle expression evaluates twice. Unlike the
+    * round-2 shingle-ARRAY persist (100k+ array objects → eviction
+    * thrash), the exploded row form is flat columnar bytes — megabytes
+    * at bench scale. At cluster scale the index is ~the tokenized
+    * corpus: MEMORY_AND_DISK spills instead of evicting, and recompute
+    * (the fallback if blocks drop) stays correct. */
   private def invertedIndex(shingled: DataFrame, idCol: String): DataFrame =
     shingled.select(col(idCol), size(col("sh")).as("n"), explode(col("sh")).as("s"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
   /** jaccard = common / (ni + nj − common), given per-pair common counts
     * with both set sizes already aggregated alongside. */

@@ -318,7 +318,37 @@ object AnalyticsQueries {
       .orderBy("event_type", "rnk", "day")
   }
 
+  // ---------------------------------------------------------------- q37
+  // FULL OUTER join: reconcile two independently-aggregated daily frames
+  // (purchases vs errors) keeping days present on either side — the
+  // reconciliation shape (closes the join family: inner/left/semi/anti/
+  // asof/range are covered elsewhere). COALESCE merges the key; null
+  // measures mark which side was absent.
+  val q37FullOuter: Q = Q(
+    "q37_full_outer",
+    s"""WITH p AS (
+       |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       |    COUNT(*) AS n_purch, ${sumd("value")} AS purch_rev
+       |  FROM events WHERE event_type = 'purchase' GROUP BY 1),
+       |e AS (
+       |  SELECT CAST(date_trunc('day', ts) AS DATE) AS day,
+       |    COUNT(*) AS n_err
+       |  FROM events WHERE event_type = 'error' GROUP BY 1)
+       |SELECT COALESCE(p.day, e.day) AS day, n_purch, purch_rev, n_err
+       |FROM p FULL OUTER JOIN e ON p.day = e.day
+       |ORDER BY day""".stripMargin) { (s, d) =>
+    def daily(tpe: String) = ev(s, d).filter(col("event_type") === tpe)
+      .groupBy(date_trunc("DAY", col("ts")).cast("date").as("day"))
+    val p = daily("purchase")
+      .agg(count(lit(1)).as("n_purch"), moneySum(col("value")).as("purch_rev"))
+    val e = daily("error").agg(count(lit(1)).as("n_err"))
+    p.join(e, p("day") === e("day"), "full_outer")
+      .select(coalesce(p("day"), e("day")).as("day"),
+        col("n_purch"), col("purch_rev"), col("n_err"))
+      .orderBy("day")
+  }
+
   val all: Seq[Q] = Seq(q23Rollup, q24Pivot, q25Quantiles, q26Rolling7d,
     q29UserRolling, q30ArrayAgg, q31SetOps, q32FirstLast, q33Unpivot,
-    q34Cube, q35MultiDistinct, q36RankSuite)
+    q34Cube, q35MultiDistinct, q36RankSuite, q37FullOuter)
 }
