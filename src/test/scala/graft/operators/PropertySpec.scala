@@ -53,6 +53,55 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: connected components — labels are component minima, assignment is a fixpoint") {
+    val pairsGen = Gen.chooseNum(1, 15).flatMap(n => Gen.listOfN(n, for {
+      i <- Gen.chooseNum(0L, 9L)
+      j <- Gen.chooseNum(0L, 9L) if i != j
+    } yield (math.min(i, j), math.max(i, j))))
+    samples(pairsGen, 5).foreach { pairs =>
+      val df = pairs.toDF("i", "j")
+      val cc = Dedup.connectedComponents(df)
+        .as[(Long, Long)].collect().toMap
+      // reference implementation: driver-side union-find over the same pairs
+      val parent = scala.collection.mutable.Map[Long, Long]()
+      def find(x: Long): Long = {
+        val p = parent.getOrElseUpdate(x, x)
+        if (p == x) x else { val r = find(p); parent(x) = r; r }
+      }
+      pairs.foreach { case (a, b) =>
+        val (ra, rb) = (find(a), find(b))
+        if (ra != rb) parent(math.max(ra, rb)) = math.min(ra, rb)
+      }
+      val expected = parent.keys.map(x => x -> find(x)).toMap
+      assert(cc === expected, s"pairs=$pairs")
+    }
+  }
+
+  test("property: sequence packing conserves tokens and bins monotonically") {
+    val tokGen = Gen.chooseNum(1, 20).flatMap(n =>
+      Gen.listOfN(n, Gen.chooseNum(1L, 30L)))
+    samples(tokGen, 5).foreach { toks =>
+      val docs = toks.zipWithIndex.map { case (t, i) =>
+        (i.toLong, Seq.fill(t.toInt)("w").mkString(" "))
+      }.toDF("doc_id", "text")
+      val packed = Mix.packSequences(docs, "doc_id",
+          org.apache.spark.sql.functions.size(
+            org.apache.spark.sql.functions.split(
+              org.apache.spark.sql.functions.col("text"), " ")),
+          16, org.apache.spark.sql.functions.expr("doc_id div 3"))
+        .select("doc_id", "n", "prev_cum", "seq_id")
+        .as[(Long, Long, Long, Long)].collect().sortBy(_._1)
+      // conservation: prev_cum of doc k = Σ tokens of docs < k
+      var cum = 0L
+      packed.foreach { case (_, n, prev, seq) =>
+        assert(prev === cum)
+        assert(seq === prev / 16)
+        cum += n
+      }
+      assert(cum === toks.sum)
+    }
+  }
+
   test("property: mergeUpsert is idempotent for any batch") {
     val batchGen = Gen.chooseNum(1, 20).flatMap(n =>
       Gen.listOfN(n, Gen.chooseNum(1L, 8L).map(k => (k, s"v$k"))))
