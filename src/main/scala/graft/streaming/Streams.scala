@@ -168,8 +168,13 @@ object Streams {
     * longer match, so state is O(window × rate), not O(stream). Without
     * the range condition a stream-stream join must buffer both streams
     * forever. */
+  /** `joinType` "left_outer" additionally emits (left, NULL) once the
+    * watermark proves no right row can still arrive for that left row —
+    * the streaming analog of a reconciliation join; state stays bounded
+    * by the same watermark+range eviction as the inner form. */
   def intervalJoin(left: DataFrame, right: DataFrame, key: String,
-      windowSeconds: Int, lateness: String = "10 seconds"): DataFrame = {
+      windowSeconds: Int, lateness: String = "10 seconds",
+      joinType: String = "inner"): DataFrame = {
     val l = left.withWatermark("ts", lateness)
       .select(col(key), col("ts").as("l_ts"),
         col("event_id").as("l_event_id"), col("value").as("l_value"))
@@ -179,7 +184,8 @@ object Streams {
     l.join(r,
       col(key) === col("r_key") &&
         col("r_ts") >= col("l_ts") - expr(s"interval $windowSeconds seconds") &&
-        col("r_ts") <= col("l_ts"))
+        col("r_ts") <= col("l_ts"),
+      joinType)
       .drop("r_key")
   }
 
