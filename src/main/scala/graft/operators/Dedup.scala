@@ -242,8 +242,11 @@ object Dedup {
     * lever, same trade as LSH bands). */
   def simhashPairs(sh: DataFrame, idCol: String, shiftBits: Int,
       maxHamming: Int): DataFrame = {
-    val a = sh.select(col(idCol).as("i"), col("simhash").as("ha"))
-    val b = sh.select(col(idCol).as("j"), col("simhash").as("hb"))
+    // both legs of the self-join read the signatures: persist the tiny
+    // (id, simhash) frame so the per-token hash pass runs once, not twice
+    val cached = sh.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val a = cached.select(col(idCol).as("i"), col("simhash").as("ha"))
+    val b = cached.select(col(idCol).as("j"), col("simhash").as("hb"))
     a.withColumn("blk", shiftright(col("ha"), shiftBits))
       .join(b.withColumn("blk", shiftright(col("hb"), shiftBits)), Seq("blk"))
       .filter(col("i") < col("j"))

@@ -199,8 +199,11 @@ object TextQueries {
        |  GROUP BY 1, 2 HAVING COUNT(*) >= 8)
        |SELECT * FROM pairs ORDER BY i, j""".stripMargin) { (s, d) =>
     import graft.functions.expressions.RollingFingerprint.rolling_fingerprint
+    // persisted: both self-join legs read the fingerprints — without
+    // this the rolling-hash pass over every document runs twice
     val fps = docs(s, d).select(col("doc_id"),
-      explode(rolling_fingerprint(col("text"))).as("fp"))
+        explode(rolling_fingerprint(col("text"))).as("fp"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val a = fps.select(col("doc_id").as("i"), col("fp"))
     val b = fps.select(col("doc_id").as("j"), col("fp"))
     a.join(b, "fp").filter(col("i") < col("j"))
