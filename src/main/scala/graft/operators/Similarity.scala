@@ -116,7 +116,10 @@ object Similarity {
     * of the corpus instead of all of it. */
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    // persisted: the normed corpus feeds the seed, both assignment
+    // passes, and the cell index — four evaluations without it
     val c = withNorm(corpus, "vid")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     // Seed centroids: the nCentroids lowest ids (deterministic).
     val seed = c.orderBy("vid").limit(nCentroids)
       .select(col("vid").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
@@ -147,6 +150,9 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("cv"))
       .withColumn("cn", sqrt(norm2(col("cv"))))
+      // persisted: nCentroids rows, but its lineage is the whole Lloyd
+      // step — both the cell index and the query probes consume it
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
 
     val cells = assign(c, refined)
       .select(col("vid").as("neighbor_id"), col("v").as("cv2"),
