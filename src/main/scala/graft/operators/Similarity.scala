@@ -57,6 +57,46 @@ object Similarity {
       .filter(col("rank") <= k)
   }
 
+  /** Int8 scalar quantization: per-vector scale 127/max|x|, component
+    * floor(x·scale) ∈ [-128, 127]. floor of a double product is the SAME
+    * IEEE op in any engine (unlike round/cast, whose half-way and
+    * truncation rules differ — the q29/m03 lesson), so the oracle
+    * replays quantization exactly. The 100 TB point: int8 vectors are 4×
+    * smaller than float32 — 4× more corpus per executor-memory byte and
+    * per shuffle byte — while integer dot products stay exact, so
+    * ranking is fully deterministic. Zero vectors are dropped (no scale
+    * exists; engines disagree on inf·0).
+    */
+  def quantized(vectors: DataFrame, idAlias: String): DataFrame = {
+    val e = asDouble(col("embedding"))
+    vectors
+      .select(col("vec_id").as(idAlias), e.as("e"))
+      .withColumn("mx", array_max(transform(col("e"), x => abs(x))))
+      .filter(col("mx") > 0)
+      .withColumn("qv",
+        transform(col("e"), x => floor(x * (lit(127.0) / col("mx"))).cast("long")))
+      .withColumn("qn", aggregate(col("qv"), lit(0L), (acc, x) => acc + x * x))
+      .drop("e", "mx")
+  }
+
+  /** Brute-force top-k over int8-quantized vectors: exact integer dot
+    * products, double only at the final normalize — the quantized analog
+    * of [[bruteForceTopK]] (recall vs the float baseline is spec-checked). */
+  def quantizedTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
+    val c = quantized(corpus, "neighbor_id")
+      .withColumnRenamed("qv", "cqv").withColumnRenamed("qn", "cqn")
+    val q = quantized(queries, "query_id")
+      .withColumnRenamed("qv", "qqv").withColumnRenamed("qn", "qqn")
+    val idot = aggregate(zip_with(col("qqv"), col("cqv"), _ * _), lit(0L), _ + _)
+    val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
+      .select(col("query_id"), col("neighbor_id"),
+        round(idot / (sqrt(col("qqn")) * sqrt(col("cqn"))), 6).as("qcos_sim"))
+    val w = Window.partitionBy("query_id")
+      .orderBy(col("qcos_sim").desc, col("neighbor_id"))
+    scored.withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= k)
+  }
+
   /** Deterministic pseudo-random hyperplane weights (trig hash). Public
     * as raw values so the DuckDB oracle can inline the IDENTICAL doubles
     * as literals — the whole LSH construction then replays outside

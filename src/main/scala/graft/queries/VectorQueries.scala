@@ -183,5 +183,48 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
-  val all: Seq[Q] = Seq(v01BruteForceTopK, v02NearDupPairs, v03LshTopK, v04IvfTopK)
+  // ---------------------------------------------------------------- v05
+  // Int8 scalar-quantized ANN: per-vector scale 127/max|x|, components
+  // floor(x·scale) — floor of a double product is the same IEEE op in
+  // both engines, unlike round/cast whose half-way rules diverge — then
+  // EXACT integer dot products, double only at the final normalize.
+  // 4× smaller vectors (the memory/bandwidth lever at corpus scale);
+  // recall vs the float baseline is spec-checked.
+  val v05QuantizedTopK: Q = Q(
+    "v05_ann_quantized_topk",
+    """WITH v AS (
+      |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |m AS (
+      |  SELECT vec_id, e, list_max(list_transform(e, x -> abs(x))) AS mx
+      |  FROM v),
+      |q AS (
+      |  SELECT vec_id,
+      |    list_transform(e, x -> CAST(floor(x * (127.0 / mx)) AS BIGINT)) AS qv
+      |  FROM m WHERE mx > 0),
+      |qq AS (
+      |  SELECT vec_id, qv,
+      |    list_sum(list_transform(qv, x -> x * x)) AS qn
+      |  FROM q),
+      |scored AS (
+      |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+      |    ROUND(list_sum(list_transform(range(1, 65), k -> a.qv[k] * b.qv[k]))
+      |      / (sqrt(a.qn) * sqrt(b.qn)), 6) AS qcos_sim
+      |  FROM qq a JOIN qq b ON b.vec_id <> a.vec_id
+      |  WHERE a.vec_id < 10),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, qcos_sim,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |                       ORDER BY qcos_sim DESC, neighbor_id) AS rank
+      |  FROM scored)
+      |SELECT query_id, neighbor_id, qcos_sim, rank
+      |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val emb = t(s, d, "embeddings")
+    Similarity.quantizedTopK(emb, emb.filter(col("vec_id") < 10), 10)
+      .select("query_id", "neighbor_id", "qcos_sim", "rank")
+      .orderBy("query_id", "rank")
+  }
+
+  val all: Seq[Q] = Seq(v01BruteForceTopK, v02NearDupPairs, v03LshTopK,
+    v04IvfTopK, v05QuantizedTopK)
 }

@@ -56,4 +56,28 @@ class SimilaritySpec extends SparkSpec {
     val recall = (exact intersect approx).size.toDouble / exact.size
     assert(recall > 0.2, s"LSH recall $recall too low — bucketing broken?")
   }
+
+  test("quantizedTopK: int8 ranking closely tracks the float baseline") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val quant = Similarity.quantizedTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect quant).size.toDouble / exact.size
+    // int8 keeps ~2 decimal digits of cosine precision — recall should
+    // be near-perfect, far above the LSH/IVF approximation bands
+    assert(recall > 0.7, s"quantized recall $recall — quantization broken?")
+  }
+
+  test("quantized components stay within int8 range with exact norms") {
+    val q = Similarity.quantized(Tables.t(spark, sfDir, "embeddings"), "id")
+    val bad = q.filter(org.apache.spark.sql.functions.exists(
+      $"qv", x => x < -128 || x > 127)).count()
+    assert(bad === 0L)
+    val mismatch = q.filter($"qn" =!=
+      org.apache.spark.sql.functions.aggregate($"qv",
+        org.apache.spark.sql.functions.lit(0L), (a, x) => a + x * x)).count()
+    assert(mismatch === 0L)
+  }
 }
