@@ -63,4 +63,32 @@ class SessionizeSpec extends SparkSpec {
     assert(closed.contains((2L, 1, 5.0)))
     assert(!closed.exists(_._1 == 9L))
   }
+
+  test("built-in session_window agrees with the custom sessionizer on a fixture") {
+    // Two independent implementations of the same semantics must agree
+    // (timestamps chosen away from exact-gap boundaries, where the
+    // built-in's sub-second precision and the custom path's whole-second
+    // diff legitimately differ — documented trade).
+    import org.apache.spark.sql.functions._
+    val t0 = 1704067200000L // 2024-01-01 00:00:00 UTC
+    def ts(minutes: Long) = new java.sql.Timestamp(t0 + minutes * 60000L)
+    val df = Seq(
+      (1L, ts(0), 1.0), (1L, ts(10), 1.0), (1L, ts(45), 2.0), // gap>30 splits
+      (2L, ts(5), 5.0),                                        // singleton
+      (3L, ts(0), 1.0), (3L, ts(29), 1.0), (3L, ts(58), 1.0)  // chained <30
+    ).toDF("user_id", "ts", "value")
+
+    val custom = Sessionize.sessionsBatch(df, gapMinutes = 30)
+      .select("user_id", "session_start", "n_events")
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    val builtin = df
+      .groupBy(session_window(col("ts"), "30 minutes"), col("user_id"))
+      .agg(count(lit(1)).as("n_events"))
+      .select(col("user_id"), col("session_window.start").as("session_start"),
+        col("n_events"))
+      .as[(Long, java.sql.Timestamp, Long)].collect().toSet
+    assert(custom === builtin)
+    assert(custom.map(_._1) === Set(1L, 2L, 3L))
+    assert(custom.count(_._1 == 1L) === 2) // the >30-minute gap split
+  }
 }
