@@ -96,6 +96,53 @@ object MixQueries {
       .orderBy("train_doc", "bench_doc")
   }
 
+  // ---------------------------------------------------------------- c02
+  // Decontamination report: EVERY benchmark doc with its contamination
+  // status — how many training docs overlap it (≥3 shared 5-grams) and
+  // the worst overlap — the per-eval-set summary a corpus owner signs
+  // off on (c01 lists the pairs; this is the actionable rollup, and the
+  // left join keeps clean docs visible rather than silently absent).
+  val c02ContaminationReport: Q = Q(
+    "c02_contamination_report",
+    """WITH tok AS (
+      |  SELECT doc_id,
+      |    list_distinct(list_transform(range(1, len(t) - 3),
+      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
+      |           || ' ' || t[i+4])) AS sh
+      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
+      |  WHERE len(t) >= 5),
+      |ex AS (SELECT doc_id, unnest(sh) AS s FROM tok),
+      |pairs AS (
+      |  SELECT a.doc_id AS train_doc, b.doc_id AS bench_doc,
+      |    COUNT(*) AS n_shared
+      |  FROM (SELECT * FROM ex WHERE doc_id % 10 <> 0) a
+      |  JOIN (SELECT * FROM ex WHERE doc_id % 10 = 0) b ON a.s = b.s
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
+      |agg AS (
+      |  SELECT bench_doc, COUNT(*) AS n_train_overlaps,
+      |    MAX(n_shared) AS max_shared
+      |  FROM pairs GROUP BY 1)
+      |SELECT d.doc_id AS bench_doc,
+      |  COALESCE(n_train_overlaps, 0) AS n_train_overlaps,
+      |  COALESCE(max_shared, 0) AS max_shared,
+      |  (n_train_overlaps IS NOT NULL) AS contaminated
+      |FROM (SELECT doc_id FROM documents WHERE doc_id % 10 = 0) d
+      |LEFT JOIN agg ON agg.bench_doc = d.doc_id
+      |ORDER BY bench_doc""".stripMargin) { (s, d) =>
+    val pairs = Mix.contaminationPairs(docs(s, d), "doc_id", "text",
+      col("doc_id") % 10 === 0, k = 5, minShared = 3)
+    val agg = pairs.groupBy("bench_doc")
+      .agg(count(lit(1)).as("n_train_overlaps"), max("n_shared").as("max_shared"))
+    docs(s, d).filter(col("doc_id") % 10 === 0)
+      .select(col("doc_id").as("bench_doc"))
+      .join(agg, Seq("bench_doc"), "left")
+      .select(col("bench_doc"),
+        coalesce(col("n_train_overlaps"), lit(0L)).as("n_train_overlaps"),
+        coalesce(col("max_shared"), lit(0L)).as("max_shared"),
+        col("n_train_overlaps").isNotNull.as("contaminated"))
+      .orderBy("bench_doc")
+  }
+
   // ---------------------------------------------------------------- g01
   // End-to-end corpus assembly as ONE declarative plan: quality gate
   // (token count + punctuation ratio) → exact-dedup survivorship
@@ -193,5 +240,5 @@ object MixQueries {
   }
 
   val all: Seq[Q] = Seq(s01StratifiedSample, s02MixPlan, c01Contamination,
-    g01CorpusGold, s03ShardPlan, s04SequencePacking)
+    c02ContaminationReport, g01CorpusGold, s03ShardPlan, s04SequencePacking)
 }
