@@ -239,6 +239,54 @@ object MixQueries {
       .orderBy("seq_id")
   }
 
+  // ---------------------------------------------------------------- s05
+  // Temperature sampling (α = 0.5): the multilingual-mix rebalance —
+  // q_lang ∝ share^α lifts low-resource languages, boost = q/p is the
+  // per-language up/down-sample factor. α fixed at 0.5 because sqrt is
+  // IEEE-correctly-rounded in every engine while pow(x, 0.7) is a libm
+  // call with no such guarantee (same reasoning as v05's floor). The
+  // Σ sqrt(p) sum runs in DECIMAL so partial-aggregation ORDER cannot
+  // wiggle the last float bits (double addition is non-associative).
+  // Global totals via broadcast one-row aggregates, never SUM() OVER ().
+  val s05TemperatureMix: Q = Q(
+    "s05_temperature_mix",
+    """WITH per AS (
+      |  SELECT lang, COUNT(*) AS n_docs,
+      |    CAST(SUM(len(string_split(text, ' '))) AS BIGINT) AS toks
+      |  FROM documents GROUP BY lang),
+      |tot AS (SELECT CAST(SUM(toks) AS BIGINT) AS t FROM per),
+      |shared AS (
+      |  SELECT lang, n_docs, toks,
+      |    toks * 1.0 / t AS p, sqrt(toks * 1.0 / t) AS sp
+      |  FROM per CROSS JOIN tot),
+      |s AS (
+      |  SELECT CAST(SUM(CAST(sp AS DECIMAL(18,12))) AS DOUBLE) AS ssp
+      |  FROM shared)
+      |SELECT lang, n_docs, ROUND(p, 4) AS corpus_share,
+      |  ROUND(sp / ssp, 4) AS temp_weight,
+      |  ROUND((sp / ssp) / p, 4) AS boost
+      |FROM shared CROSS JOIN s ORDER BY lang""".stripMargin) { (s, d) =>
+    import graft.operators.ScalableWindow
+    val per = docs(s, d).groupBy("lang")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(size(split(col("text"), " "))).cast("long").as("toks"))
+    val withP = ScalableWindow.withGlobalShare(
+        per, sum(col("toks")).as("t"), "p",
+        (_, t) => col("toks") * lit(1.0) / t)
+      .withColumn("sp", sqrt(col("p")))
+    ScalableWindow.withGlobalShare(
+        withP,
+        sum(col("sp").cast(org.apache.spark.sql.types.DecimalType(18, 12)))
+          .cast("double"),
+        "temp_weight", (_, ssp) => col("sp") / ssp)
+      .select(col("lang"), col("n_docs"),
+        round(col("p"), 4).as("corpus_share"),
+        round(col("temp_weight"), 4).as("temp_weight"),
+        round(col("temp_weight") / col("p"), 4).as("boost"))
+      .orderBy("lang")
+  }
+
   val all: Seq[Q] = Seq(s01StratifiedSample, s02MixPlan, c01Contamination,
-    c02ContaminationReport, g01CorpusGold, s03ShardPlan, s04SequencePacking)
+    c02ContaminationReport, g01CorpusGold, s03ShardPlan, s04SequencePacking,
+    s05TemperatureMix)
 }
