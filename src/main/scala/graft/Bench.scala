@@ -34,16 +34,37 @@ object Bench {
     // (round-2 driver run measured 40× one-pass outliers on queries
     // that bench at 1–2 s on an idle machine).
     Tables.names.foreach(n => Tables.t(spark, sfDir, n).count())
-    def timedPass(): Seq[(String, Double)] = SparkEntry.catalog.map { q =>
+    // (time, succeeded) per query. clearCache() before EVERY timed query:
+    // operators persist frames internally (dedup index, CC labels, IVF
+    // centroids), and Spark's CacheManager serves any later query whose
+    // plan matches a live cache entry — without the clear, pass 2 (and
+    // same-pass sibling queries like d06/d07) would be timing cache hits
+    // instead of execution, and leaked entries would accumulate across
+    // ~80 queries.
+    def timedPass(): Seq[(String, (Double, Boolean))] = SparkEntry.catalog.map { q =>
+      spark.catalog.clearCache()
       val t0 = System.nanoTime()
-      try q.fn(spark, sfDir).write.format("noop").mode("overwrite").save()
-      catch { case e: Throwable =>
-        System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-      }
-      q.name -> (System.nanoTime() - t0) / 1e9
+      val ok =
+        try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+        catch { case e: Throwable =>
+          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+          false
+        }
+      q.name -> ((System.nanoTime() - t0) / 1e9, ok)
     }
     val warm = timedPass().toMap
-    val results = timedPass().map { case (k, v) => k -> math.min(v, warm(k)) }
+    // Per-query minimum over SUCCESSFUL passes (a fast failure must not
+    // masquerade as a fast run); if both passes failed, report the
+    // longer elapsed time — the honest cost of the attempt.
+    val results = timedPass().map { case (k, (t2, ok2)) =>
+      val (t1, ok1) = warm(k)
+      k -> ((ok1, ok2) match {
+        case (true, true) => math.min(t1, t2)
+        case (true, false) => t1
+        case (false, true) => t2
+        case (false, false) => math.max(t1, t2)
+      })
+    }
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum

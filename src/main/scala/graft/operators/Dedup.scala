@@ -204,12 +204,16 @@ object Dedup {
     val edges = pairs.select(col("i").as("a"), col("j").as("b"))
       .union(pairs.select(col("j").as("a"), col("i").as("b")))
       .persist(StorageLevel.MEMORY_AND_DISK)
-    var labels = edges.select(col("a").as("id")).distinct()
+    // `cached` always holds the ACTUAL persisted Dataset (unpersist on a
+    // derived Projection is a silent no-op — it uncaches nothing).
+    var cached = edges.select(col("a").as("id")).distinct()
       .withColumn("lbl", col("id"))
       .persist(StorageLevel.MEMORY_AND_DISK)
+    var labels = cached
     var iter = 0
     var converged = false
     while (!converged && iter < maxIter) {
+      iter += 1
       val nbrMin = edges
         .join(labels.select(col("id").as("b"), col("lbl").as("nl")), "b")
         .groupBy(col("a").as("id")).agg(min("nl").as("nbl"))
@@ -218,9 +222,9 @@ object Dedup {
           least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("nlbl"))
         .persist(StorageLevel.MEMORY_AND_DISK)
       converged = next.filter(col("nlbl") < col("lbl")).isEmpty
-      val prev = labels
       labels = next.select(col("id"), col("nlbl").as("lbl"))
-      prev.unpersist(false)
+      cached.unpersist(false)
+      cached = next
     }
     edges.unpersist(false)
     labels

@@ -116,8 +116,11 @@ object Mix {
   def packSequences(docs: DataFrame, idCol: String, tokenCount: Column,
       seqLen: Long, bucketOf: Column): DataFrame = {
     import org.apache.spark.sql.expressions.Window
+    // persisted: feeds both the windowed cumsum and the per-bucket
+    // totals — without it the scan + tokenCount expression runs twice
     val base = docs.select(col(idCol).as("doc_id"),
-      tokenCount.cast("long").as("n"), bucketOf.cast("long").as("__bucket"))
+        tokenCount.cast("long").as("n"), bucketOf.cast("long").as("__bucket"))
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = Window.partitionBy("__bucket").orderBy("doc_id")
     val inBucket = base.withColumn("__cum",
       sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))

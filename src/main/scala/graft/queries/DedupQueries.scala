@@ -75,9 +75,15 @@ object DedupQueries {
   // candidates, exact-jaccard verification at 0.5. With ≥0.5-similar
   // pairs the 4×4 scheme's detection probability is 1-(1-s⁴)⁴ ≈ 0.98 at
   // s=0.8 — and the planted dups sit ≥0.8.
-  val d03MinhashLsh: Q = Q(
-    "d03_minhash_lsh",
-    s"""WITH $SHINGLES_CTE,
+  /** Shared DuckDB CTE chain ending in `lshpairs(i, j, jaccard)`: the
+    * full MinHash+LSH pipeline (bucket candidates, exact-jaccard
+    * verified at 0.5). d03 exposes it directly; d06/d07/d08 build on it
+    * — the SUB-LINEAR candidate stage is what those downstream steps
+    * consume at scale, and because the oracle replays the identical LSH
+    * construction, any pair the scheme misses is missed by BOTH engines
+    * (parity holds at every SF). */
+  private val LSH_PAIR_CTES =
+    s"""$SHINGLES_CTE,
        |exm AS (SELECT doc_id, unnest(sh) AS s FROM tok),
        |mh AS (
        |  SELECT doc_id, seed,
@@ -93,10 +99,17 @@ object DedupQueries {
        |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
        |  FROM bands a JOIN bands b
        |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
-       |$JACCARD_TAIL
-       |SELECT cand.i AS i, cand.j AS j, ROUND(jaccard, 4) AS jaccard
-       |FROM cand JOIN jac ON jac.i = cand.i AND jac.j = cand.j
-       |WHERE jaccard >= 0.5 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+       |$JACCARD_TAIL,
+       |lshpairs AS (
+       |  SELECT cand.i AS i, cand.j AS j, jaccard
+       |  FROM cand JOIN jac ON jac.i = cand.i AND jac.j = cand.j
+       |  WHERE jaccard >= 0.5)""".stripMargin
+
+  val d03MinhashLsh: Q = Q(
+    "d03_minhash_lsh",
+    s"""WITH $LSH_PAIR_CTES
+       |SELECT i, j, ROUND(jaccard, 4) AS jaccard
+       |FROM lshpairs ORDER BY 1, 2""".stripMargin) { (s, d) =>
     Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text", 0.5)
       .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("i", "j")
@@ -148,14 +161,15 @@ object DedupQueries {
       .orderBy("i", "j")
   }
 
-  /** Shared DuckDB CTE chain: near-dup pairs (d02 semantics) → undirected
-    * edges → transitive closure by recursive CTE → per-node min reachable
-    * id = cluster representative. The recursion replays exactly what the
-    * Spark min-label propagation converges to, so hashes match. */
+  /** Shared DuckDB CTE chain: LSH near-dup pairs → undirected edges →
+    * transitive closure by recursive CTE → per-node min reachable id =
+    * cluster representative. The recursion replays exactly what the
+    * Spark min-label propagation converges to, so hashes match; pairs
+    * come from the SUB-LINEAR LSH stage (the one that survives at
+    * corpus scale), not the quadratic exact index. */
   private val CLUSTER_CTES =
-    s"""$SHINGLES_CTE,
-       |$JACCARD_TAIL,
-       |pairs AS (SELECT i, j FROM jac WHERE jaccard >= 0.5),
+    s"""$LSH_PAIR_CTES,
+       |pairs AS (SELECT i, j FROM lshpairs),
        |nodes AS (SELECT i AS id FROM pairs UNION SELECT j AS id FROM pairs),
        |edges AS (SELECT i AS a, j AS b FROM pairs
        |          UNION ALL SELECT j AS a, i AS b FROM pairs),
@@ -166,10 +180,11 @@ object DedupQueries {
        |cc AS (SELECT id, MIN(lbl) AS cluster_rep FROM reach GROUP BY id)""".stripMargin
 
   // ---------------------------------------------------------------- d06
-  // Near-dup clusters: connected components over the ≥0.5-Jaccard pair
-  // graph (pairs → clusters → keeper, the step that turns pair lists
-  // into actionable dedup decisions). Spark runs min-label propagation
-  // to a fixpoint; DuckDB replays it as a recursive transitive closure.
+  // Near-dup clusters: connected components over the LSH-verified
+  // ≥0.5-Jaccard pair graph (pairs → clusters → keeper, the step that
+  // turns pair lists into actionable dedup decisions). Spark runs
+  // min-label propagation to a fixpoint; DuckDB replays it as a
+  // recursive transitive closure over the same LSH pairs.
   val d06DupClusters: Q = Q(
     "d06_dup_clusters",
     s"""WITH RECURSIVE $CLUSTER_CTES,
@@ -177,7 +192,7 @@ object DedupQueries {
        |        FROM cc GROUP BY 1)
        |SELECT cc.id AS doc_id, cc.cluster_rep, szs.cluster_size
        |FROM cc JOIN szs USING (cluster_rep) ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val pairs = Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", 0.5)
+    val pairs = Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text", 0.5)
     Dedup.dupClusters(pairs.select("i", "j")).orderBy("doc_id")
   }
 
@@ -196,7 +211,7 @@ object DedupQueries {
        |FROM documents LEFT JOIN drops ON documents.doc_id = drops.doc_id
        |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
     val docs = t(s, d, "documents")
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.5)
     val drops = Dedup.dupClusters(pairs.select("i", "j"))
       .filter(col("doc_id") =!= col("cluster_rep"))
       .select(col("doc_id"), lit(1L).as("dropped"))
@@ -209,26 +224,24 @@ object DedupQueries {
   }
 
   // ---------------------------------------------------------------- d08
-  // Edit-distance verification: levenshtein over the near-dup candidate
-  // pairs (never all-pairs — O(len²) per comparison is affordable only
-  // AFTER a sub-linear candidate stage; this is the fuzzy-match
-  // verifier layered on the same pair graph d06 clusters). Both engines
-  // implement the standard unit-cost edit distance.
+  // Edit-distance verification: levenshtein over the LSH near-dup
+  // candidate pairs (never all-pairs — O(len²) per comparison is
+  // affordable only AFTER a sub-linear candidate stage; this is the
+  // fuzzy-match verifier layered on the same pair graph d06 clusters).
+  // Both engines implement the standard unit-cost edit distance.
   val d08EditDistance: Q = Q(
     "d08_edit_distance",
-    s"""WITH $SHINGLES_CTE,
-       |$JACCARD_TAIL,
-       |pairs AS (SELECT i, j FROM jac WHERE jaccard >= 0.5)
-       |SELECT pairs.i AS i, pairs.j AS j,
+    s"""WITH $LSH_PAIR_CTES
+       |SELECT lshpairs.i AS i, lshpairs.j AS j,
        |  CAST(levenshtein(a.text, b.text) AS BIGINT) AS edit_dist,
        |  ROUND(1.0 - levenshtein(a.text, b.text) * 1.0
        |    / GREATEST(length(a.text), length(b.text)), 4) AS edit_sim
-       |FROM pairs
-       |JOIN documents a ON a.doc_id = pairs.i
-       |JOIN documents b ON b.doc_id = pairs.j
+       |FROM lshpairs
+       |JOIN documents a ON a.doc_id = lshpairs.i
+       |JOIN documents b ON b.doc_id = lshpairs.j
        |ORDER BY i, j""".stripMargin) { (s, d) =>
     val docs = t(s, d, "documents")
-    val pairs = Dedup.ngramJaccardPairs(docs, "doc_id", "text", 0.5)
+    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.5)
       .select("i", "j")
     val lev = levenshtein(col("ta"), col("tb"))
     pairs

@@ -167,8 +167,9 @@ object Streams {
     * the time-range predicate let Spark evict rows once they can no
     * longer match, so state is O(window × rate), not O(stream). Without
     * the range condition a stream-stream join must buffer both streams
-    * forever. */
-  /** `joinType` "left_outer" additionally emits (left, NULL) once the
+    * forever.
+    *
+    * `joinType` "left_outer" additionally emits (left, NULL) once the
     * watermark proves no right row can still arrive for that left row —
     * the streaming analog of a reconciliation join; state stays bounded
     * by the same watermark+range eviction as the inner form. */
