@@ -15,7 +15,8 @@ object Explain {
     val names = if (args.length > 1) args.drop(1).toSeq
       else Seq("q01_pricing_summary", "q02_filter_project", "q03_join_agg",
         "q07_topk", "q08_dedup_rownum", "p02_gold_daily", "d03_minhash_lsh",
-        "v01_ann_bruteforce_topk")
+        "v01_ann_bruteforce_topk", "q35_multi_distinct", "q36_rank_suite",
+        "s04_sequence_packing", "v05_ann_quantized_topk")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
