@@ -41,7 +41,12 @@ object Bench {
     // same-pass sibling queries like d06/d07) would be timing cache hits
     // instead of execution, and leaked entries would accumulate across
     // ~80 queries.
-    def timedPass(): Seq[(String, (Double, Boolean))] = SparkEntry.catalog.map { q =>
+    // SPARK_GRAFT_ONLY=name1,name2 restricts the run (targeted profiling).
+    val only = sys.env.get("SPARK_GRAFT_ONLY")
+      .map(_.split(",").map(_.trim).toSet)
+    val catalog = SparkEntry.catalog
+      .filter(q => only.forall(_.contains(q.name)))
+    def timedPass(): Seq[(String, (Double, Boolean))] = catalog.map { q =>
       spark.catalog.clearCache()
       val t0 = System.nanoTime()
       val ok =

@@ -221,7 +221,11 @@ object Dedup {
         .select(col("id"), col("lbl"),
           least(col("lbl"), coalesce(col("nbl"), col("lbl"))).as("nlbl"))
         .persist(StorageLevel.MEMORY_AND_DISK)
-      converged = next.filter(col("nlbl") < col("lbl")).isEmpty
+      // count(), not isEmpty: take(1) materializes only the partitions
+      // it touches, leaving `next`'s cache partial — every later
+      // iteration then re-derives the missing partitions from lineage.
+      // A count scans (and therefore caches) every partition once.
+      converged = next.filter(col("nlbl") < col("lbl")).count() == 0L
       labels = next.select(col("id"), col("nlbl").as("lbl"))
       cached.unpersist(false)
       cached = next

@@ -212,9 +212,11 @@ object DedupQueries {
        |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
     val docs = t(s, d, "documents")
     val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.5)
-    val drops = Dedup.dupClusters(pairs.select("i", "j"))
-      .filter(col("doc_id") =!= col("cluster_rep"))
-      .select(col("doc_id"), lit(1L).as("dropped"))
+    // connectedComponents directly: the summary needs only non-rep
+    // membership, not the cluster sizes d06 reports
+    val drops = Dedup.connectedComponents(pairs.select("i", "j"))
+      .filter(col("id") =!= col("lbl"))
+      .select(col("id").as("doc_id"), lit(1L).as("dropped"))
     docs.join(drops, Seq("doc_id"), "left")
       .groupBy("source")
       .agg(count(lit(1)).as("n_docs"),
