@@ -348,7 +348,36 @@ object AnalyticsQueries {
       .orderBy("day")
   }
 
+  // ---------------------------------------------------------------- q38
+  // RANGE window frame (value-based, vs q29's ROWS and q26's join form):
+  // per user, activity in the trailing hour of EVENT TIME — rows with
+  // equal timestamps share a frame regardless of physical order, which
+  // is exactly what ROWS frames get wrong on ties. Ordered by epoch
+  // seconds (both engines make the interval arithmetic integer-exact);
+  // partitioned by the high-cardinality user key, so frames distribute.
+  val q38RangeFrame: Q = Q(
+    "q38_range_frame",
+    """SELECT event_id, user_id,
+      |  COUNT(*) OVER w AS n_trailing_hour,
+      |  CAST(SUM(CAST(CAST(value AS DECIMAL(18,2)) * 100 AS BIGINT))
+      |       OVER w AS BIGINT) AS cents_trailing_hour
+      |FROM events
+      |WINDOW w AS (PARTITION BY user_id
+      |             ORDER BY CAST(floor(epoch(ts)) AS BIGINT)
+      |             RANGE BETWEEN 3600 PRECEDING AND CURRENT ROW)
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("user_id")
+      .orderBy(unix_timestamp(col("ts")))
+      .rangeBetween(-3600, Window.currentRow)
+    val cents = (graft.functions.ColFns.dec2(col("value")) * 100).cast("long")
+    ev(s, d).select(col("event_id"), col("user_id"),
+        count(lit(1)).over(w).as("n_trailing_hour"),
+        sum(cents).over(w).as("cents_trailing_hour"))
+      .orderBy("event_id")
+  }
+
   val all: Seq[Q] = Seq(q23Rollup, q24Pivot, q25Quantiles, q26Rolling7d,
     q29UserRolling, q30ArrayAgg, q31SetOps, q32FirstLast, q33Unpivot,
-    q34Cube, q35MultiDistinct, q36RankSuite, q37FullOuter)
+    q34Cube, q35MultiDistinct, q36RankSuite, q37FullOuter, q38RangeFrame)
 }
