@@ -45,6 +45,23 @@ object SqlQueries {
       |  WHERE c2.c_nationkey = c.c_nationkey)
       |GROUP BY n_name ORDER BY n_name""".stripMargin
 
+  /** Correlated LATERAL subquery with ORDER BY + LIMIT: top-1 lineitem
+    * per order (the per-row "top-N lookup" idiom). Catalyst plans the
+    * correlated limited subquery as a LateralJoin — exercising a
+    * decorrelation path neither q28's scalar subquery nor the window
+    * form touches. */
+  private val Q39_SQL =
+    """SELECT o_orderkey, top_part, top_qty
+      |FROM orders o,
+      |LATERAL (
+      |  SELECT l_partkey AS top_part, CAST(l_quantity AS BIGINT) AS top_qty
+      |  FROM lineitem
+      |  WHERE l_orderkey = o.o_orderkey
+      |  ORDER BY l_quantity DESC, l_partkey
+      |  LIMIT 1) t
+      |WHERE o_orderkey <= 100
+      |ORDER BY o_orderkey""".stripMargin
+
   val q27SqlTopRevenue: Q = Q("q27_sql_top_revenue", Q27_SQL) { (s, d) =>
     Tables.registerAll(s, d)
     s.sql(Q27_SQL)
@@ -55,5 +72,10 @@ object SqlQueries {
     s.sql(Q28_SQL)
   }
 
-  val all: Seq[Q] = Seq(q27SqlTopRevenue, q28SqlCorrelated)
+  val q39SqlLateral: Q = Q("q39_sql_lateral", Q39_SQL) { (s, d) =>
+    Tables.registerAll(s, d)
+    s.sql(Q39_SQL)
+  }
+
+  val all: Seq[Q] = Seq(q27SqlTopRevenue, q28SqlCorrelated, q39SqlLateral)
 }
