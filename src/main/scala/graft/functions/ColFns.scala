@@ -25,6 +25,10 @@ object ColFns {
   /** Cast to DECIMAL(18,2) for exact, order-independent aggregation. */
   def dec2(c: Column): Column = c.cast(DecimalType(18, 2))
 
+  /** Money as exact integer cents — the window/rolling-aggregate form
+    * that sidesteps double .xx5-boundary rounding entirely (q29 lesson). */
+  def cents(c: Column): Column = (dec2(c) * 100).cast("long")
+
   /** Exact money sum surfaced as DOUBLE (same expression the oracle uses). */
   def moneySum(c: Column): Column = sum(dec2(c)).cast("double")
 

@@ -134,10 +134,9 @@ object AnalyticsQueries {
     import org.apache.spark.sql.expressions.Window
     val w = Window.partitionBy("user_id").orderBy("ts", "event_id")
       .rowsBetween(-2, Window.currentRow)
-    val cents = (graft.functions.ColFns.dec2(col("value")) * 100).cast("long")
     t(s, d, "events")
       .select(col("event_id"), col("user_id"),
-        sum(cents).over(w).as("s"),
+        sum(cents(col("value"))).over(w).as("s"),
         count(lit(1)).over(w).as("n"))
       .withColumn("rolling_avg",
         graft.functions.ColFns.halfUpDiv("s", "n").cast("double") / 100)
@@ -370,10 +369,9 @@ object AnalyticsQueries {
     val w = Window.partitionBy("user_id")
       .orderBy(unix_timestamp(col("ts")))
       .rangeBetween(-3600, Window.currentRow)
-    val cents = (graft.functions.ColFns.dec2(col("value")) * 100).cast("long")
     ev(s, d).select(col("event_id"), col("user_id"),
         count(lit(1)).over(w).as("n_trailing_hour"),
-        sum(cents).over(w).as("cents_trailing_hour"))
+        sum(cents(col("value"))).over(w).as("cents_trailing_hour"))
       .orderBy("event_id")
   }
 

@@ -71,26 +71,37 @@ object MixQueries {
       .orderBy("lang")
   }
 
-  // ---------------------------------------------------------------- c01
-  // Train/benchmark contamination: training docs sharing ≥3 distinct
-  // word 5-grams with a benchmark doc (doc_id % 10 = 0 plays the held-out
-  // set). The decontamination primitive, as an inverted-index equi-join.
-  val c01Contamination: Q = Q(
-    "c01_contamination",
-    """WITH tok AS (
+  /** Shared DuckDB CTE chain ending in `pairs(train_doc, bench_doc,
+    * n_shared)`: distinct word 5-grams → inverted index → train×bench
+    * pairs sharing ≥3 grams (doc_id % 10 = 0 plays the held-out set).
+    * c01 lists the pairs; c02 rolls them up per benchmark doc. */
+  private val CONTAMINATION_CTES =
+    """tok AS (
       |  SELECT doc_id,
       |    list_distinct(list_transform(range(1, len(t) - 3),
       |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
       |           || ' ' || t[i+4])) AS sh
       |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
       |  WHERE len(t) >= 5),
-      |ex AS (SELECT doc_id, unnest(sh) AS s FROM tok)
-      |SELECT a.doc_id AS train_doc, b.doc_id AS bench_doc,
-      |  COUNT(*) AS n_shared
-      |FROM (SELECT * FROM ex WHERE doc_id % 10 <> 0) a
-      |JOIN (SELECT * FROM ex WHERE doc_id % 10 = 0) b ON a.s = b.s
-      |GROUP BY 1, 2 HAVING COUNT(*) >= 3
-      |ORDER BY train_doc, bench_doc""".stripMargin) { (s, d) =>
+      |ex AS (SELECT doc_id, unnest(sh) AS s FROM tok),
+      |pairs AS (
+      |  SELECT a.doc_id AS train_doc, b.doc_id AS bench_doc,
+      |    COUNT(*) AS n_shared
+      |  FROM (SELECT * FROM ex WHERE doc_id % 10 <> 0) a
+      |  JOIN (SELECT * FROM ex WHERE doc_id % 10 = 0) b ON a.s = b.s
+      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3)""".stripMargin
+
+  // ---------------------------------------------------------------- c01
+  // Train/benchmark contamination: training docs sharing ≥3 distinct
+  // word 5-grams with a benchmark doc. The decontamination primitive,
+  // as an inverted-index equi-join.
+  val c01Contamination: Q = Q(
+    "c01_contamination",
+    // concatenation, not outer stripMargin: the CTE body has SQL `||`
+    // continuation lines a second stripMargin would corrupt
+    s"WITH $CONTAMINATION_CTES\n" +
+      """SELECT train_doc, bench_doc, n_shared FROM pairs
+        |ORDER BY train_doc, bench_doc""".stripMargin) { (s, d) =>
     Mix.contaminationPairs(docs(s, d), "doc_id", "text",
         col("doc_id") % 10 === 0, k = 5, minShared = 3)
       .orderBy("train_doc", "bench_doc")
@@ -104,21 +115,8 @@ object MixQueries {
   // left join keeps clean docs visible rather than silently absent).
   val c02ContaminationReport: Q = Q(
     "c02_contamination_report",
-    """WITH tok AS (
-      |  SELECT doc_id,
-      |    list_distinct(list_transform(range(1, len(t) - 3),
-      |      i -> t[i] || ' ' || t[i+1] || ' ' || t[i+2] || ' ' || t[i+3]
-      |           || ' ' || t[i+4])) AS sh
-      |  FROM (SELECT doc_id, string_split(text, ' ') AS t FROM documents)
-      |  WHERE len(t) >= 5),
-      |ex AS (SELECT doc_id, unnest(sh) AS s FROM tok),
-      |pairs AS (
-      |  SELECT a.doc_id AS train_doc, b.doc_id AS bench_doc,
-      |    COUNT(*) AS n_shared
-      |  FROM (SELECT * FROM ex WHERE doc_id % 10 <> 0) a
-      |  JOIN (SELECT * FROM ex WHERE doc_id % 10 = 0) b ON a.s = b.s
-      |  GROUP BY 1, 2 HAVING COUNT(*) >= 3),
-      |agg AS (
+    s"WITH $CONTAMINATION_CTES,\n" +
+      """agg AS (
       |  SELECT bench_doc, COUNT(*) AS n_train_overlaps,
       |    MAX(n_shared) AS max_shared
       |  FROM pairs GROUP BY 1)
