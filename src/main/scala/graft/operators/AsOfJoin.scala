@@ -49,4 +49,30 @@ object AsOfJoin {
       .select((leftCols.map(col) ++
         rightVals.map(c => col(s"_asof.$c").as(s"asof_$c"))): _*)
   }
+
+  /** Forward as-of join: the EARLIEST right row whose timestamp is ≥ the
+    * left row's (the "next scheduled event" lookup). Mirror of
+    * [[backward]]: probe sorts BEFORE reference at equal ts (so an
+    * equal-timestamp reference row qualifies) and the first reference
+    * struct is pulled from the forward-looking frame. Same single
+    * shuffle, same linear state. */
+  def forward(left: DataFrame, right: DataFrame, key: Seq[String],
+      leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame = {
+    val leftCols = left.columns.toSeq
+    val l = left
+      .withColumn("_ts", col(leftTs))
+      .withColumn("_side", lit(0)) // probe sorts before reference at equal ts
+    val r = right.select(
+      (key.map(col) ++ Seq(col(rightTs).as("_ts"), lit(1).as("_side"),
+        struct(rightVals.map(col): _*).as("_r"))): _*)
+    val unioned = l.unionByName(r, allowMissingColumns = true)
+    val w = Window.partitionBy(key.map(col): _*)
+      .orderBy(col("_ts"), col("_side"))
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    unioned
+      .withColumn("_asof", first(col("_r"), ignoreNulls = true).over(w))
+      .filter(col("_side") === 0)
+      .select((leftCols.map(col) ++
+        rightVals.map(c => col(s"_asof.$c").as(s"asof_$c"))): _*)
+  }
 }

@@ -228,6 +228,35 @@ object ExtraQueries {
   private val scd2HistoryDir =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // ---------------------------------------------------------------- x08
+  // Forward as-of join: each purchase gets the user's NEXT at-or-after
+  // error event (did this purchase precede a failure?) — the mirror of
+  // x02's point-in-time lookup, same union-sort operator with the frame
+  // reversed; oracle is DuckDB's native ASOF with the direction flipped.
+  val x08AsofForward: Q = Q(
+    "x08_asof_forward",
+    """WITH purchases AS (
+      |  SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'),
+      |errors AS (
+      |  SELECT user_id, ts, event_id AS err_event_id
+      |  FROM events WHERE event_type = 'error')
+      |SELECT p.user_id, p.event_id, p.value,
+      |  e.err_event_id AS asof_err_event_id
+      |FROM purchases p ASOF LEFT JOIN errors e
+      |  ON p.user_id = e.user_id AND p.ts <= e.ts
+      |ORDER BY p.user_id, p.event_id""".stripMargin) { (s, d) =>
+    val ev = t(s, d, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts", "value")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id").as("err_event_id"))
+    AsOfJoin.forward(purchases, errors, Seq("user_id"), "ts", "ts",
+        Seq("err_event_id"))
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("asof_err_event_id"))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[Q] = Seq(x01SeedJoin, x02AsofJoin, x03Duration, x04Sessionize,
-    x05ApproxDistinct, x06RangeJoin, x07Scd2History)
+    x05ApproxDistinct, x06RangeJoin, x07Scd2History, x08AsofForward)
 }

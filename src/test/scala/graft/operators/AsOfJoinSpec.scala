@@ -28,6 +28,26 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("T3") === None)        // no quote at or before
   }
 
+  test("forward as-of picks the earliest at-or-after row per key") {
+    val trades = Seq(
+      (1L, ts("2024-01-01 10:00:05"), "T1"),
+      (1L, ts("2024-01-01 10:00:20"), "T2"),
+      (2L, ts("2024-01-01 10:00:10"), "T3")
+    ).toDF("k", "t", "trade")
+    val quotes = Seq(
+      (1L, ts("2024-01-01 10:00:10"), 101.0),
+      (1L, ts("2024-01-01 10:00:20"), 102.0), // equal ts → visible to T2
+      (2L, ts("2024-01-01 10:00:00"), 200.0)  // before T3 → null
+    ).toDF("k", "t", "px")
+
+    val out = AsOfJoin.forward(trades, quotes, Seq("k"), "t", "t", Seq("px"))
+      .select("trade", "asof_px").as[(String, Option[Double])]
+      .collect().toMap
+    assert(out("T1") === Some(101.0)) // earliest at-or-after, not latest
+    assert(out("T2") === Some(102.0)) // equal timestamp counts (<=)
+    assert(out("T3") === None)        // no quote at or after
+  }
+
   test("as-of keeps every probe row exactly once") {
     val probes = Seq((1L, ts("2024-01-01 00:00:01"), "a"),
       (1L, ts("2024-01-01 00:00:01"), "b")).toDF("k", "t", "tag")
