@@ -16,7 +16,7 @@ object DedupQueries {
 
   /** Shared DuckDB CTE: doc_id + distinct 3-shingle set (1-based list
     * indexing; mirrors TextFns.shingles exactly). */
-  private val SHINGLES_CTE =
+  private[queries] val SHINGLES_CTE =
     """tok AS (
       |  SELECT doc_id,
       |    list_distinct(list_transform(range(1, len(t) - 1),

@@ -305,8 +305,39 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- t10
+  // Corpus novelty: per doc, the fraction of its distinct trigrams that
+  // appear NOWHERE else in the corpus — low novelty flags boilerplate /
+  // template families that per-doc repetition (t08) cannot see. One
+  // inverted-index aggregation (df per gram) + a join back: the same
+  // shuffle shape as dedup, keyed on high-cardinality grams.
+  val t10Novelty: Q = Q(
+    "t10_novelty",
+    s"WITH ${DedupQueries.SHINGLES_CTE},\n" +
+      """ex AS (SELECT doc_id, unnest(sh) AS s FROM tok),
+        |df AS (SELECT s, COUNT(*) AS df FROM ex GROUP BY s),
+        |per AS (
+        |  SELECT ex.doc_id, COUNT(*) AS n_grams,
+        |    SUM(CASE WHEN df = 1 THEN 1 ELSE 0 END) AS n_unique
+        |  FROM ex JOIN df ON ex.s = df.s GROUP BY 1)
+        |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
+        |  ROUND(n_unique * 1.0 / n_grams, 4) AS novelty
+        |FROM per ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val ex = graft.operators.Dedup
+      .shingleSets(docs(s, d), "doc_id", "text")
+      .select(col("doc_id"), explode(col("sh")).as("s"))
+    val df = ex.groupBy("s").agg(count(lit(1)).as("df"))
+    ex.join(df, "s")
+      .groupBy("doc_id")
+      .agg(count(lit(1)).as("n_grams"),
+        sum(when(col("df") === 1, 1).otherwise(0)).cast("bigint").as("n_unique"))
+      .select(col("doc_id"), col("n_grams"),
+        round(col("n_unique") * lit(1.0) / col("n_grams"), 4).as("novelty"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
     t05TokenHistogram, t06BpeTokens, t07RollingFingerprint,
-    t08Repetition, t09PiiScrub)
+    t08Repetition, t09PiiScrub, t10Novelty)
 }
