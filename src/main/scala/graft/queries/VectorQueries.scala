@@ -27,24 +27,31 @@ object VectorQueries {
   private val COS =
     "list_sum(list_transform(range(1, 65), k -> a.e[k] * b.e[k])) / (sqrt(a.nn) * sqrt(b.nn))"
 
+  /** CTE chain ending in `exact10(query_id, neighbor_id, cos_sim, rank)`
+    * — the brute-force ground-truth top-10 (v01's body; v06 reuses it as
+    * the recall denominator). */
+  private val EXACT10_CTES =
+    s"""exact_scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
+       |    ROUND($COS, 6) AS cos_sim
+       |  FROM n a JOIN n b ON b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < 10),
+       |exact10 AS (
+       |  SELECT * FROM (
+       |    SELECT query_id, neighbor_id, cos_sim,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |                         ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |    FROM exact_scored) WHERE rank <= 10)""".stripMargin
+
   // ---------------------------------------------------------------- v01
   // Brute-force cosine top-k: 10 query vectors (vec_id < 10) against the
   // full corpus; the correctness baseline every ANN variant is judged by.
   val v01BruteForceTopK: Q = Q(
     "v01_ann_bruteforce_topk",
     s"""WITH $VEC_CTE,
-       |scored AS (
-       |  SELECT a.vec_id AS query_id, b.vec_id AS neighbor_id,
-       |    ROUND($COS, 6) AS cos_sim
-       |  FROM n a JOIN n b ON b.vec_id <> a.vec_id
-       |  WHERE a.vec_id < 10),
-       |ranked AS (
-       |  SELECT query_id, neighbor_id, cos_sim,
-       |    ROW_NUMBER() OVER (PARTITION BY query_id
-       |                       ORDER BY cos_sim DESC, neighbor_id) AS rank
-       |  FROM scored)
+       |$EXACT10_CTES
        |SELECT query_id, neighbor_id, cos_sim, rank
-       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+       |FROM exact10 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
     val emb = t(s, d, "embeddings")
     Similarity.bruteForceTopK(emb, emb.filter(col("vec_id") < 10), 10)
       .select("query_id", "neighbor_id", "cos_sim", "rank")
@@ -84,10 +91,11 @@ object VectorQueries {
       }
     }.mkString(",\n    ")
 
-  val v03LshTopK: Q = Q(
-    "v03_ann_lsh_topk",
-    s"""WITH $VEC_CTE,
-       |planes(tbl, bit, w) AS (VALUES
+  /** CTE chain ending in `lsh10(query_id, neighbor_id, cos_sim, rank)` —
+    * the multi-table sign-LSH top-10 (v03's body; v06 reuses it as the
+    * recall numerator). */
+  private def lsh10Ctes: String =
+    s"""planes(tbl, bit, w) AS (VALUES
        |    $planesSql),
        |sig AS (
        |  SELECT n.vec_id, p.tbl,
@@ -99,18 +107,24 @@ object VectorQueries {
        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
        |  FROM sig q JOIN sig c ON q.tbl = c.tbl AND q.bkt = c.bkt
        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
-       |scored AS (
+       |lsh_scored AS (
        |  SELECT cand.query_id, cand.neighbor_id, ROUND($COS, 6) AS cos_sim
        |  FROM cand
        |  JOIN n a ON a.vec_id = cand.query_id
        |  JOIN n b ON b.vec_id = cand.neighbor_id),
-       |ranked AS (
-       |  SELECT query_id, neighbor_id, cos_sim,
-       |    ROW_NUMBER() OVER (PARTITION BY query_id
-       |                       ORDER BY cos_sim DESC, neighbor_id) AS rank
-       |  FROM scored)
+       |lsh10 AS (
+       |  SELECT * FROM (
+       |    SELECT query_id, neighbor_id, cos_sim,
+       |      ROW_NUMBER() OVER (PARTITION BY query_id
+       |                         ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |    FROM lsh_scored) WHERE rank <= 10)""".stripMargin
+
+  val v03LshTopK: Q = Q(
+    "v03_ann_lsh_topk",
+    s"""WITH $VEC_CTE,
+       |$lsh10Ctes
        |SELECT query_id, neighbor_id, cos_sim, rank
-       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+       |FROM lsh10 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
     val emb = t(s, d, "embeddings")
     Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 10,
         nBits = LSH_BITS, nTables = LSH_TABLES)
@@ -225,6 +239,38 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
+  // ---------------------------------------------------------------- v06
+  // ANN quality evaluation as a first-class mart: recall@10 of the LSH
+  // index against the brute-force ground truth, per query — the number
+  // an index owner tunes tables/bits against. Composes the exact and
+  // LSH CTE chains in ONE statement; both engines replay both pipelines
+  // and must agree on every hit.
+  val v06AnnRecall: Q = Q(
+    "v06_ann_recall",
+    s"""WITH $VEC_CTE,
+       |$EXACT10_CTES,
+       |$lsh10Ctes
+       |SELECT e.query_id,
+       |  CAST(COUNT(l.neighbor_id) AS BIGINT) AS n_hits,
+       |  ROUND(COUNT(l.neighbor_id) * 1.0 / COUNT(*), 4) AS recall_at_10
+       |FROM exact10 e LEFT JOIN lsh10 l
+       |  ON l.query_id = e.query_id AND l.neighbor_id = e.neighbor_id
+       |GROUP BY e.query_id ORDER BY e.query_id""".stripMargin) { (s, d) =>
+    val emb = t(s, d, "embeddings")
+    val q = emb.filter(col("vec_id") < 10)
+    val exact = Similarity.bruteForceTopK(emb, q, 10)
+      .select("query_id", "neighbor_id")
+    val lsh = Similarity.lshTopK(emb, q, 10, nBits = LSH_BITS, nTables = LSH_TABLES)
+      .select(col("query_id").as("lq"), col("neighbor_id").as("ln"))
+    exact.join(lsh,
+        col("query_id") === col("lq") && col("neighbor_id") === col("ln"),
+        "left")
+      .groupBy("query_id")
+      .agg(count(col("ln")).as("n_hits"),
+        round(count(col("ln")) * lit(1.0) / count(lit(1)), 4).as("recall_at_10"))
+      .orderBy("query_id")
+  }
+
   val all: Seq[Q] = Seq(v01BruteForceTopK, v02NearDupPairs, v03LshTopK,
-    v04IvfTopK, v05QuantizedTopK)
+    v04IvfTopK, v05QuantizedTopK, v06AnnRecall)
 }
