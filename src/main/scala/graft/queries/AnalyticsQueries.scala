@@ -375,7 +375,33 @@ object AnalyticsQueries {
       .orderBy("event_id")
   }
 
+  // ---------------------------------------------------------------- q40
+  // Explicit GROUPING SETS: the two single-dimension marginals WITHOUT
+  // the detail or grand-total rows — the arbitrary-set form neither
+  // ROLLUP (q23) nor CUBE (q34) can express, still one Expand + one
+  // aggregation pass.
+  val q40GroupingSets: Q = Q(
+    "q40_grouping_sets",
+    s"""SELECT l_returnflag, l_linestatus, COUNT(*) AS n,
+       |  ${sumd("l_extendedprice")} AS revenue,
+       |  CAST(GROUPING(l_returnflag, l_linestatus) AS BIGINT) AS gid
+       |FROM lineitem
+       |GROUP BY GROUPING SETS ((l_returnflag), (l_linestatus))
+       |ORDER BY gid, l_returnflag NULLS FIRST, l_linestatus NULLS FIRST"""
+      .stripMargin) { (s, d) =>
+    li(s, d)
+      .groupingSets(
+        Seq(Seq(col("l_returnflag")), Seq(col("l_linestatus"))),
+        col("l_returnflag"), col("l_linestatus"))
+      .agg(count(lit(1)).as("n"),
+        moneySum(col("l_extendedprice")).as("revenue"),
+        grouping_id().as("gid"))
+      .orderBy(col("gid"), col("l_returnflag").asc_nulls_first,
+        col("l_linestatus").asc_nulls_first)
+  }
+
   val all: Seq[Q] = Seq(q23Rollup, q24Pivot, q25Quantiles, q26Rolling7d,
     q29UserRolling, q30ArrayAgg, q31SetOps, q32FirstLast, q33Unpivot,
-    q34Cube, q35MultiDistinct, q36RankSuite, q37FullOuter, q38RangeFrame)
+    q34Cube, q35MultiDistinct, q36RankSuite, q37FullOuter, q38RangeFrame,
+    q40GroupingSets)
 }
