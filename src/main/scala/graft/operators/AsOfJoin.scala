@@ -39,9 +39,15 @@ object AsOfJoin {
         struct(rightVals.map(col): _*).as("_r"))): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
     // Carry the most recent reference struct forward; at equal ts the
-    // reference row sorts first (_side 0 < 1) so it's visible to the probe.
+    // reference row sorts first (_side 0 < 1) so it's visible to the
+    // probe. `_r` is the final sort key: among reference rows that tie
+    // on (key, ts), the GREATEST value struct deterministically wins
+    // (struct ordering is field-wise) — without it, last() would return
+    // whichever tied row the shuffle happened to order last, an output
+    // that differs between runs. Probe rows all have `_r` null, so the
+    // extra key never reorders across sides.
     val w = Window.partitionBy(key.map(col): _*)
-      .orderBy(col("_ts"), col("_side"))
+      .orderBy(col("_ts"), col("_side"), col("_r"))
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
     unioned
       .withColumn("_asof", last(col("_r"), ignoreNulls = true).over(w))
@@ -66,8 +72,11 @@ object AsOfJoin {
       (key.map(col) ++ Seq(col(rightTs).as("_ts"), lit(1).as("_side"),
         struct(rightVals.map(col): _*).as("_r"))): _*)
     val unioned = l.unionByName(r, allowMissingColumns = true)
+    // `_r` as the final sort key mirrors [[backward]]: among reference
+    // rows tied on (key, ts), first() deterministically attaches the
+    // LEAST value struct instead of a shuffle-order-dependent one.
     val w = Window.partitionBy(key.map(col): _*)
-      .orderBy(col("_ts"), col("_side"))
+      .orderBy(col("_ts"), col("_side"), col("_r"))
       .rowsBetween(Window.currentRow, Window.unboundedFollowing)
     unioned
       .withColumn("_asof", first(col("_r"), ignoreNulls = true).over(w))

@@ -111,6 +111,15 @@ object Mix {
     * buckets in parallel, then add per-bucket offsets folded driver-side
     * from one row per bucket. All token arithmetic is exact 64-bit.
     *
+    * CONTRACT on `bucketOf`: it must be non-null and MONOTONE
+    * non-decreasing in `idCol` (e.g. `doc_id div 1000`) — the offsets
+    * fold assumes bucket b's docs all precede bucket b+1's in the
+    * global id order. Both properties are VALIDATED from the same
+    * one-row-per-bucket aggregate the fold already reads (per-bucket
+    * [min, max] doc_id ranges must be disjoint and ordered);
+    * violations throw IllegalArgumentException instead of silently
+    * packing in the wrong order.
+    *
     * Returns (doc_id, n, prev_cum, seq_id, spans).
     */
   def packSequences(docs: DataFrame, idCol: String, tokenCount: Column,
@@ -118,15 +127,27 @@ object Mix {
     import org.apache.spark.sql.expressions.Window
     // persisted: feeds both the windowed cumsum and the per-bucket
     // totals — without it the scan + tokenCount expression runs twice
-    val base = docs.select(col(idCol).as("doc_id"),
-        tokenCount.cast("long").as("n"), bucketOf.cast("long").as("__bucket"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (CacheScope-tracked; wrap consumption in withScope to release)
+    val base = graft.CacheScope.persist(
+      docs.select(col(idCol).as("doc_id"),
+        tokenCount.cast("long").as("n"), bucketOf.cast("long").as("__bucket")))
     val w = Window.partitionBy("__bucket").orderBy("doc_id")
     val inBucket = base.withColumn("__cum",
       sum(col("n")).over(w.rowsBetween(Window.unboundedPreceding, Window.currentRow)))
-    val perBucket = base.groupBy("__bucket").agg(sum("n").as("__tot"))
+    val perBucket = base.groupBy("__bucket")
+      .agg(sum("n").as("__tot"), min("doc_id").as("__lo"), max("doc_id").as("__hi"))
       .orderBy("__bucket")
       .collect() // one row per id bucket, not per doc
+    require(!perBucket.exists(_.isNullAt(0)),
+      "packSequences: bucketOf produced NULL — every doc needs a bucket")
+    perBucket.sliding(2).foreach {
+      case Array(p, c) =>
+        require(p.getLong(3) < c.getLong(2),
+          s"packSequences: bucketOf is not monotone in doc_id — bucket " +
+            s"${p.getLong(0)} spans up to doc ${p.getLong(3)} but bucket " +
+            s"${c.getLong(0)} starts at doc ${c.getLong(2)}")
+      case _ =>
+    }
     var running = 0L
     val offsets = perBucket.map { r =>
       val off = running

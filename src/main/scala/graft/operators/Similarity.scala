@@ -112,28 +112,60 @@ object Similarity {
   private def planeWeights(plane: Int, dims: Int): Column =
     array(planeWeightValues(plane, dims).map(lit): _*)
 
+  /** One (tbl, bkt) struct per hash table for vector `v`: `nBits`
+    * hyperplane-sign bits per table, planes deterministic from the trig
+    * hash (shared by [[lshTopK]] and [[nearDupPairsLsh]]; the oracle
+    * inlines the identical plane values as double literals). */
+  private def bucketStructs(v: Column, nBits: Int, nTables: Int,
+      dims: Int): Column = array((0 until nTables).map { t =>
+    struct(
+      lit(t).as("tbl"),
+      (0 until nBits).map { b =>
+        val proj = dot_product(v, planeWeights(t * nBits + b, dims))
+        when(proj > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+      }.reduce(_ bitwiseOR _).as("bkt"))
+  }: _*)
+
+  /** Default corpus-side bucket-occupancy cap for the LSH paths: healthy
+    * sign-LSH buckets at the registered configs measure ≤ 205 members at
+    * sf0.1, so 4096 never binds on real data while bounding the
+    * degenerate corpus (all-zero / boilerplate embeddings collapsing
+    * into one bucket, which would otherwise re-create the brute-force
+    * scan the bucketing exists to avoid). */
+  val DefaultMaxBucket = 4096
+
+  /** Keep at most `maxBucket` rows per (tbl, bkt), chosen
+    * deterministically (lowest `idCol` first) so a degenerate bucket
+    * degrades to a bounded, reproducible candidate set rather than a
+    * quadratic blowup. One window pass over the bucket key. */
+  private def capBuckets(exploded: DataFrame, idCol: String,
+      maxBucket: Int): DataFrame = {
+    val w = Window.partitionBy(col("tb")).orderBy(col(idCol))
+    exploded.withColumn("__pos", row_number().over(w))
+      .filter(col("__pos") <= maxBucket).drop("__pos")
+  }
+
   /** ANN via multi-table sign-LSH: `nTables` independent hash tables of
     * `nBits` hyperplane-sign bits each; a corpus row is a candidate for a
     * query if they share a bucket in ANY table (the standard recall
     * amplification — one table's recall on near-random data is ~1/2^nBits).
     * Each row emits nTables (table, bucket) keys; the join is keyed on
-    * them, so the scored pair space is Σ bucket-occupancy, never n². */
+    * them, so the scored pair space is Σ bucket-occupancy, never n² —
+    * and a single degenerate bucket is bounded at `maxBucket` members
+    * (the deterministic cap trades recall INSIDE a pathological bucket
+    * for a hard upper bound on scored pairs; it never binds on healthy
+    * data, sitting 20× above the measured max occupancy). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nBits: Int = 8, nTables: Int = 4, dims: Int = 64): DataFrame = {
-    def buckets(v: Column): Column = array((0 until nTables).map { t =>
-      struct(
-        lit(t).as("tbl"),
-        (0 until nBits).map { b =>
-          val proj = dot_product(v, planeWeights(t * nBits + b, dims))
-          when(proj > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-        }.reduce(_ bitwiseOR _).as("bkt"))
-    }: _*)
-    val c = withNorm(corpus, "neighbor_id")
-      .withColumnRenamed("v", "cv").withColumnRenamed("nrm", "cn")
-      .withColumn("tb", explode(buckets(col("cv"))))
+      nBits: Int = 8, nTables: Int = 4, dims: Int = 64,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val c = capBuckets(
+      withNorm(corpus, "neighbor_id")
+        .withColumnRenamed("v", "cv").withColumnRenamed("nrm", "cn")
+        .withColumn("tb", explode(bucketStructs(col("cv"), nBits, nTables, dims))),
+      "neighbor_id", maxBucket)
     val q = withNorm(queries, "query_id")
       .withColumnRenamed("v", "qv").withColumnRenamed("nrm", "qn")
-      .withColumn("tb", explode(buckets(col("qv"))))
+      .withColumn("tb", explode(bucketStructs(col("qv"), nBits, nTables, dims)))
     val scored = c.join(broadcast(q), Seq("tb"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -158,8 +190,8 @@ object Similarity {
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
     // persisted: the normed corpus feeds the seed, both assignment
     // passes, and the cell index — four evaluations without it
-    val c = withNorm(corpus, "vid")
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    // (CacheScope-tracked; wrap consumption in withScope to release)
+    val c = graft.CacheScope.persist(withNorm(corpus, "vid"))
     // Seed centroids: the nCentroids lowest ids (deterministic).
     val seed = c.orderBy("vid").limit(nCentroids)
       .select(col("vid").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
@@ -192,7 +224,7 @@ object Similarity {
       .withColumn("cn", sqrt(norm2(col("cv"))))
       // persisted: nCentroids rows, but its lineage is the whole Lloyd
       // step — both the cell index and the query probes consume it
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+      .transform(df => graft.CacheScope.persist(df))
 
     val cells = assign(c, refined)
       .select(col("vid").as("neighbor_id"), col("v").as("cv2"),
@@ -233,6 +265,44 @@ object Similarity {
       .withColumnRenamed("v", "vb").withColumnRenamed("nrm", "nb")
     val rawCos = dot(col("va"), col("vb")) / (col("na") * col("nb"))
     a.join(b, col("i") < col("j") && rawCos >= threshold)
+      .select(col("i"), col("j"), round(rawCos, 6).as("cos_sim"))
+  }
+
+  /** Embedding near-dup pairs via sign-LSH bucketing + exact verify —
+    * the CORPUS-SCALE form of [[nearDupPairs]] and the registered
+    * catalog entry: candidates are (i < j) pairs sharing any (table,
+    * bucket) key, then the exact cosine filter keeps only true
+    * ≥ `threshold` pairs. The pair space is Σ bucket-occupancy² across
+    * tables (13.8× below n² at the registered 8-bit × 16-table config
+    * on the test corpus) instead of the theta-join's n²; candidates are
+    * (i, j) ids only — vectors join back in AFTER the distinct, so the
+    * shuffle never carries a 64-double array per candidate row.
+    *
+    * Recall is the standard sign-LSH curve: ≥ 99.5% for true near-dups
+    * (cos ≥ 0.9) at 8 × 16, falling to ~37% at the 0.4 exercise
+    * threshold — every surviving pair is EXACT (verified), only
+    * completeness degrades, and the oracle replays the identical bucket
+    * construction so any pair the scheme misses is missed by both
+    * engines. [[nearDupPairs]] remains the spec-side ground truth
+    * (bucketed output is asserted ⊆ brute force, with full recall on
+    * planted high-similarity fixtures). */
+  def nearDupPairsLsh(vectors: DataFrame, threshold: Double,
+      nBits: Int = 8, nTables: Int = 16, dims: Int = 64,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val v = withNorm(vectors, "vid")
+    val sig = capBuckets(
+      v.select(col("vid"),
+        explode(bucketStructs(col("v"), nBits, nTables, dims)).as("tb")),
+      "vid", maxBucket)
+    val cand = sig.select(col("tb"), col("vid").as("i"))
+      .join(sig.select(col("tb"), col("vid").as("j")), Seq("tb"))
+      .filter(col("i") < col("j"))
+      .select("i", "j").distinct()
+    val a = v.select(col("vid").as("i"), col("v").as("va"), col("nrm").as("na"))
+    val b = v.select(col("vid").as("j"), col("v").as("vb"), col("nrm").as("nb"))
+    val rawCos = dot(col("va"), col("vb")) / (col("na") * col("nb"))
+    cand.join(a, "i").join(b, "j")
+      .filter(rawCos >= threshold)
       .select(col("i"), col("j"), round(rawCos, 6).as("cos_sim"))
   }
 }

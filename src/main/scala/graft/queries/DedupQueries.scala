@@ -49,21 +49,21 @@ object DedupQueries {
   }
 
   // ---------------------------------------------------------------- d02
-  // N-gram Jaccard near-dup: inverted-index join on shingles (pairs
-  // sharing ≥1 shingle), exact jaccard, threshold 0.5. This corpus's
-  // shingle frequencies are tame (max df 25), so the direct index wins;
-  // Dedup.ngramJaccardPairsPrefix is the drop-in AllPairs/PPJoin form
-  // for corpora where Σ occ(s)² explodes (spec-proven output-identical,
-  // measured 3× slower HERE because five extra stages don't pay for a
-  // pair space that was never the bottleneck — crossover documented in
-  // SCALE.md).
+  // N-gram Jaccard near-dup at threshold 0.5, via the df-ADAPTIVE plan:
+  // one aggregate over the shingle inverted index measures the direct
+  // join's candidate volume Σ df(df−1)/2 and picks the physical form —
+  // the direct index join below the 50M-row crossover (this corpus:
+  // 1.3M, max df 25 — direct, measured 3× faster than prefix here), the
+  // AllPairs/PPJoin prefix filter above it, where stop-shingle df²
+  // blowup dominates. Both branches are output-identical (spec-proven),
+  // so ONE oracle covers whichever plan physics selects.
   val d02NgramJaccard: Q = Q(
     "d02_ngram_jaccard",
     s"""WITH $SHINGLES_CTE,
        |$JACCARD_TAIL
        |SELECT i, j, ROUND(jaccard, 4) AS jaccard
        |FROM jac WHERE jaccard >= 0.5 ORDER BY i, j""".stripMargin) { (s, d) =>
-    Dedup.ngramJaccardPairs(t(s, d, "documents"), "doc_id", "text", 0.5)
+    Dedup.ngramJaccardPairsAdaptive(t(s, d, "documents"), "doc_id", "text", 0.5)
       .select(col("i"), col("j"), round(col("jaccard"), 4).as("jaccard"))
       .orderBy("i", "j")
   }

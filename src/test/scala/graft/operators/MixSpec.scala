@@ -37,6 +37,29 @@ class MixSpec extends SparkSpec {
     assert(run("doc_id div 100") === run("doc_id div 7"))
   }
 
+  test("packSequences rejects a non-monotone bucket instead of mispacking") {
+    val docs = Seq((1L, "a b"), (2L, "c d"), (3L, "e f"), (4L, "g h"))
+      .toDF("doc_id", "text")
+    val tok = size(split(col("text"), " "))
+    // doc_id % 2 interleaves buckets across the id order — the offsets
+    // fold would assign bucket 0's total BEFORE bucket 1's docs even
+    // though doc 2 (bucket 0) sits between docs 1 and 3 (bucket 1)
+    val ex = intercept[IllegalArgumentException] {
+      Mix.packSequences(docs, "doc_id", tok, 4, expr("doc_id % 2")).collect()
+    }
+    assert(ex.getMessage.contains("monotone"))
+  }
+
+  test("packSequences rejects a null bucket instead of NPEing") {
+    val docs = Seq((1L, "a b"), (2L, "c d")).toDF("doc_id", "text")
+    val tok = size(split(col("text"), " "))
+    val ex = intercept[IllegalArgumentException] {
+      Mix.packSequences(docs, "doc_id", tok, 4,
+        when(col("doc_id") === 2, lit(null)).otherwise(lit(0))).collect()
+    }
+    assert(ex.getMessage.contains("NULL"))
+  }
+
   test("shardOf is stable, in-range, and independent of hashBucket") {
     val ids = (0L until 1000L).toDF("id")
     val s = ids.select(Mix.shardOf(col("id"), 8).as("s"),

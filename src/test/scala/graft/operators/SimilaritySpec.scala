@@ -70,6 +70,53 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.7, s"quantized recall $recall — quantization broken?")
   }
 
+  test("nearDupPairsLsh: verified subset of brute force, full recall on planted dups") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    // plant exact duplicates of two corpus vectors under fresh ids —
+    // cos = 1.0 pairs that identical bucket signatures MUST surface
+    val dups = emb.filter($"vec_id".isin(0L, 1L))
+      .select(($"vec_id" + 100000L).as("vec_id"), $"label", $"embedding")
+    val corpus = emb.unionByName(dups)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("i", "j").as[(Long, Long)].collect().toSet
+    val brute = pairSet(Similarity.nearDupPairs(corpus, 0.4))
+    val lsh = pairSet(Similarity.nearDupPairsLsh(corpus, 0.4))
+    assert(lsh.nonEmpty)
+    assert(lsh.subsetOf(brute),
+      "bucketed candidates produced a pair exact cosine rejects")
+    assert(lsh.contains((0L, 100000L)) && lsh.contains((1L, 100001L)),
+      "planted exact duplicates must be found (identical buckets)")
+  }
+
+  test("bucket cap bounds a degenerate corpus deterministically") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    // 300 copies of one vector: every table collapses to a single
+    // bucket, so the uncapped pair space is 300·299/2 = 44 850; with
+    // maxBucket = 8 only the 8 lowest ids per bucket survive → the
+    // scored pairs are exactly the 28 among ids 0–7.
+    val one = emb.filter($"vec_id" === 0L).select("embedding")
+    val degenerate = spark.range(300).crossJoin(one)
+      .select($"id".as("vec_id"), lit("x").as("label"), $"embedding")
+    val capped = Similarity.nearDupPairsLsh(degenerate, 0.9, maxBucket = 8)
+      .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(capped === (for (i <- 0L until 8L; j <- i + 1 until 8L)
+      yield (i, j)).toSet)
+    // lshTopK under the same degeneracy: bounded candidates, still top-k
+    val topk = Similarity.lshTopK(degenerate,
+      degenerate.filter($"vec_id" === 0L), 5, nBits = 4, maxBucket = 8)
+    assert(topk.count() === 5L)
+  }
+
+  test("the default LSH cap is invisible on healthy corpora") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    def pairSet(cap: Int) =
+      Similarity.nearDupPairsLsh(emb, 0.4, maxBucket = cap)
+        .select("i", "j").as[(Long, Long)].collect().toSet
+    // measured max sign-LSH bucket occupancy is ≤ 205 at sf0.1 — a
+    // 512 cap and the 4096 default must agree
+    assert(pairSet(512) === pairSet(Similarity.DefaultMaxBucket))
+  }
+
   test("quantized components stay within int8 range with exact norms") {
     val q = Similarity.quantized(Tables.t(spark, sfDir, "embeddings"), "id")
     val bad = q.filter(org.apache.spark.sql.functions.exists(
