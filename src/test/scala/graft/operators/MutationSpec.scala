@@ -78,4 +78,82 @@ class MutationSpec extends SparkSpec {
     Mutation.build(spark, path, Seq((9L, "z")).toDF("id", "v"), Seq("id"), fullRefresh = true)
     assert(spark.read.parquet(path).count() === 1)
   }
+
+  /** (relative path → md5) of every data file under `root`. */
+  private def fileHashes(root: String): Map[String, String] = {
+    val base = java.nio.file.Paths.get(root)
+    val out = scala.collection.mutable.Map[String, String]()
+    java.nio.file.Files.walk(base).forEach { p =>
+      val rel = base.relativize(p).toString
+      if (java.nio.file.Files.isRegularFile(p) && rel.endsWith(".parquet"))
+        out(rel) = java.security.MessageDigest.getInstance("MD5")
+          .digest(java.nio.file.Files.readAllBytes(p))
+          .map("%02x".format(_)).mkString
+    }
+    out.toMap
+  }
+
+  test("mergeUpsertPruned rewrites ONLY touched partitions (byte-identical rest)") {
+    val path = tmp()
+    def rows(t: (Long, String, Double)*) = t.toDF("id", "day", "v")
+    val seed = rows((1L, "2024-01-01", 1.0), (2L, "2024-01-01", 2.0),
+      (3L, "2024-01-02", 3.0), (4L, "2024-01-03", 4.0))
+    Mutation.mergeUpsertPruned(spark, path, seed, Seq("id"), Seq("day"))
+    val before = fileHashes(path)
+    assert(before.keys.exists(_.startsWith("day=2024-01-02")))
+
+    // batch touches only day=2024-01-01: update id 2, insert id 5
+    val batch = rows((2L, "2024-01-01", 20.0), (5L, "2024-01-01", 5.0))
+    Mutation.mergeUpsertPruned(spark, path, batch, Seq("id"), Seq("day"))
+
+    val after = fileHashes(path)
+    def part(h: Map[String, String], d: String) = h.filter(_._1.startsWith(s"day=$d"))
+    // untouched partitions: identical file SET and identical BYTES
+    assert(part(after, "2024-01-02") === part(before, "2024-01-02"))
+    assert(part(after, "2024-01-03") === part(before, "2024-01-03"))
+    // touched partition: rewritten
+    assert(part(after, "2024-01-01") !== part(before, "2024-01-01"))
+
+    // merge result matches the whole-table mergeUpsert on the same inputs
+    val full = tmp()
+    Mutation.mergeUpsert(spark, full, seed, Seq("id"))
+    Mutation.mergeUpsert(spark, full, batch, Seq("id"))
+    val got = spark.read.parquet(path)
+      .select("id", "day", "v").as[(Long, String, Double)].collect().toSet
+    val want = spark.read.parquet(full)
+      .select("id", "day", "v").as[(Long, String, Double)].collect().toSet
+    assert(got === want)
+    assert(got.contains((2L, "2024-01-01", 20.0)) && got.size === 5)
+
+    // idempotency: replaying the batch changes nothing semantically
+    Mutation.mergeUpsertPruned(spark, path, batch, Seq("id"), Seq("day"))
+    assert(spark.read.parquet(path).count() === 5)
+  }
+
+  test("mergeUpsertPruned: new partitions move in; the scan is partition-pruned") {
+    val path = tmp()
+    def rows(t: (Long, String, Double)*) = t.toDF("id", "day", "v")
+    Mutation.mergeUpsertPruned(spark, path,
+      rows((1L, "2024-01-01", 1.0)), Seq("id"), Seq("day"))
+    Mutation.mergeUpsertPruned(spark, path,
+      rows((9L, "2024-02-09", 9.0)), Seq("id"), Seq("day"))
+    assert(spark.read.parquet(path).count() === 2)
+    assert(fileHashes(path).keys.exists(_.startsWith("day=2024-02-09")))
+
+    // the pruned-read shape: a filter on the partition column reaches
+    // the scan as a PartitionFilter (no data files of other partitions
+    // are listed, the whole point of the pruned merge)
+    val plan = spark.read.parquet(path)
+      .filter($"day" === "2024-02-09").queryExecution.executedPlan.toString
+    assert(plan.contains("PartitionFilters: [isnotnull(day"),
+      s"expected partition filter in:\n$plan")
+  }
+
+  test("mergeUpsertPruned rejects null partition values") {
+    val path = tmp()
+    val bad = Seq((1L, Option.empty[String], 1.0)).toDF("id", "day", "v")
+    intercept[IllegalArgumentException] {
+      Mutation.mergeUpsertPruned(spark, path, bad, Seq("id"), Seq("day"))
+    }
+  }
 }
