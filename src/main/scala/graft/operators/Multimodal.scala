@@ -7,14 +7,17 @@ import org.apache.spark.sql.types._
 /** Multimodal column handling: media as opaque `binary` payloads plus
   * typed metadata, with decode / feature-extract stages.
   *
-  * The real decode step needs image/audio codecs that aren't in this
-  * container, so `decodeStub` derives deterministic fake dimensions from
-  * the payload hash — clearly marked; swap `decodeStub` for a codec call
-  * in production. What IS real and tested here is the Spark-side
-  * plumbing a 100 TB media pipeline needs: the schema shape (binary +
-  * metadata struct), a typed `mapPartitions` decode boundary (one codec
-  * init per partition, not per row — the pattern a JNI/FFI decoder
-  * requires), and batch-friendly partitioning.
+  * The decode step is REAL: `javax.imageio` ships with the JDK (PNG,
+  * GIF, BMP, JPEG readers), so [[decodeMedia]] runs an actual codec —
+  * header-level metadata extraction (dimensions, frame count) through
+  * the reader API, which never materializes pixel buffers and is the
+  * production shape for corpus-wide media profiling; swap
+  * `reader.getWidth(0)` for `reader.read(0)` where a pipeline stage
+  * needs pixels. The Spark-side plumbing a 100 TB media pipeline needs
+  * is the point: the schema shape (binary + metadata struct), a typed
+  * `mapPartitions` decode boundary (one codec init per partition, not
+  * per row — the pattern a JNI/FFI decoder requires), and
+  * batch-friendly partitioning.
   */
 object Multimodal {
 
@@ -36,35 +39,94 @@ object Multimodal {
       octet_length(col(textCol)).cast("long").as("byte_len"),
       md5(col(textCol)).as("content_hash"))
 
+  /** Synthesize a REAL image payload per document: dimensions derived
+    * deterministically from the doc (width from text length, height
+    * from id), pixels from a cheap (x, y, id) hash, encoded as PNG by
+    * the JDK's own ImageIO writer inside the same typed mapPartitions
+    * boundary the decoder uses. This gives the decode path genuine
+    * codec work over the standard test tables — the container ships no
+    * external media files — while staying deterministic per document. */
+  def asImageTable(docs: DataFrame, idCol: String, textCol: String)(
+      implicit spark: SparkSession): DataFrame = {
+    import spark.implicits._
+    docs.select(col(idCol).cast("long"), col(textCol))
+      .as[(Long, String)]
+      .mapPartitions { rows =>
+        javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
+        rows.map { case (id, text) =>
+          val w = 8 + (text.length % 56)
+          val h = 8 + (id % 56).toInt
+          val img = new java.awt.image.BufferedImage(
+            w, h, java.awt.image.BufferedImage.TYPE_INT_RGB)
+          var y = 0
+          while (y < h) {
+            var x = 0
+            while (x < w) {
+              img.setRGB(x, y, (x * 31 + y * 17 + id.toInt * 7) & 0xffffff)
+              x += 1
+            }
+            y += 1
+          }
+          val bos = new java.io.ByteArrayOutputStream()
+          javax.imageio.ImageIO.write(img, "png", bos)
+          (id, bos.toByteArray)
+        }
+      }
+      .toDF("media_id", "content")
+      .select(col("media_id"), col("content"),
+        lit("image/png").as("mime_type"),
+        octet_length(col("content")).cast("long").as("byte_len"),
+        md5(col("content")).as("content_hash"))
+  }
+
   final case class DecodedMedia(
       media_id: Long, byte_len: Long, content_hash: String,
       width: Int, height: Int, n_frames: Int)
 
-  /** STUB decode (???-equivalent): deterministic fake dimensions derived
-    * from the first bytes of the payload hash. Replace the body with a
-    * real codec; the mapPartitions boundary (per-partition init, batch
-    * iteration) is the production shape. */
-  def decodeStub(media: DataFrame)(implicit spark: SparkSession): Dataset[DecodedMedia] = {
+  /** REAL decode via the JDK's ImageIO reader API: per-partition codec
+    * init (`setUseCache(false)` once per task — where a JNI decoder
+    * would load its library), then header-level metadata per payload —
+    * width/height of frame 0 and the true frame count (animated GIFs
+    * report every frame) WITHOUT materializing pixel buffers.
+    * Undecodable payloads (no registered reader / corrupt stream)
+    * degrade to (-1, -1, 0) rows instead of failing the task — a media
+    * crawl always contains garbage, and dropping it silently would
+    * skew downstream stats. */
+  def decodeMedia(media: DataFrame)(implicit spark: SparkSession): Dataset[DecodedMedia] = {
     import spark.implicits._
     media.select("media_id", "content", "byte_len", "content_hash")
       .as[(Long, Array[Byte], Long, String)]
       .mapPartitions { rows =>
-        // Per-partition "codec init" happens here in a real decoder.
+        javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
         rows.map { case (id, content, len, hash) =>
-          val h0 = if (content.nonEmpty) content(0) & 0xff else 0
-          val h1 = if (content.length > 1) content(1) & 0xff else 0
-          DecodedMedia(id, len, hash,
-            width = 32 + (h0 * 7 + h1) % 224,
-            height = 32 + (h1 * 5 + h0) % 224,
-            n_frames = 1 + (len % 16).toInt)
+          var reader: javax.imageio.ImageReader = null
+          try {
+            val iis = javax.imageio.ImageIO.createImageInputStream(
+              new java.io.ByteArrayInputStream(
+                if (content == null) Array.emptyByteArray else content))
+            val readers = javax.imageio.ImageIO.getImageReaders(iis)
+            if (!readers.hasNext) DecodedMedia(id, len, hash, -1, -1, 0)
+            else {
+              reader = readers.next()
+              reader.setInput(iis)
+              DecodedMedia(id, len, hash,
+                reader.getWidth(0), reader.getHeight(0),
+                reader.getNumImages(true))
+            }
+          } catch {
+            case _: java.io.IOException => DecodedMedia(id, len, hash, -1, -1, 0)
+          } finally {
+            if (reader != null) reader.dispose()
+          }
         }
       }
   }
 
-  /** Frame sampling stub: every `stride`-th frame index of a decoded
-    * clip — the explode pattern a video pipeline uses (1 row per frame). */
+  /** Frame sampling: every `stride`-th frame index of a decoded clip —
+    * the explode pattern a video pipeline uses (1 row per frame).
+    * Undecodable media (n_frames 0) contribute no rows. */
   def sampleFrames(decoded: DataFrame, stride: Int): DataFrame =
-    decoded.select(
+    decoded.filter(col("n_frames") > 0).select(
       col("media_id"),
       explode(sequence(lit(0), col("n_frames") - 1, lit(stride))).as("frame_idx"))
 }

@@ -26,15 +26,19 @@ object MultimodalQueries {
   }
 
   // ---------------------------------------------------------------- m02
-  // Typed decode boundary (stubbed codec) + frame-sample explode →
-  // per-mime rollup. Rows-only: fake dims come from JVM byte access.
-  val m02DecodeStub: Q = Q.rowsOnly("m02_decode_stub") { (s, d) =>
+  // REAL codec round-trip: deterministic PNG payloads synthesized from
+  // each document (ImageIO writer), then decoded back through the
+  // ImageIO READER api — header-level width/height/frame-count, no
+  // pixel buffers. Rows-only: binary codec output has no SQL oracle,
+  // but the known-dimension round-trip is spec-asserted
+  // (MultimodalSpec), and the registered output exposes the decoded
+  // dims so the driver's row check sees real codec results.
+  val m02ImageDecode: Q = Q.rowsOnly("m02_image_decode") { (s, d) =>
     implicit val spark: org.apache.spark.sql.SparkSession = s
-    val media = Multimodal.asMediaTable(t(s, d, "documents"), "doc_id", "text")
-    val decoded = Multimodal.decodeStub(media).toDF()
-    Multimodal.sampleFrames(decoded, stride = 4)
-      .groupBy("media_id")
-      .agg(count(lit(1)).as("n_sampled_frames"))
+    val media = Multimodal.asImageTable(t(s, d, "documents"), "doc_id", "text")
+    Multimodal.decodeMedia(media).toDF()
+      .select(col("media_id"), col("width"), col("height"), col("n_frames"),
+        (col("width") * col("height")).as("n_pixels"))
       .orderBy("media_id")
   }
 
@@ -73,5 +77,5 @@ object MultimodalQueries {
       .orderBy("modality")
   }
 
-  val all: Seq[Q] = Seq(m01BinaryMeta, m02DecodeStub, m03ModalityStats)
+  val all: Seq[Q] = Seq(m01BinaryMeta, m02ImageDecode, m03ModalityStats)
 }
