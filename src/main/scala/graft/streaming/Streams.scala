@@ -190,6 +190,74 @@ object Streams {
       .drop("r_key")
   }
 
+  /** Incremental MinHash+LSH near-dup detection over a DOCUMENT stream —
+    * the streaming twin of `Dedup.minhashLshPairs`, proving the flagship
+    * LLM-dedup path works micro-batch by micro-batch (the ST6 pattern
+    * applied to the dedup surface).
+    *
+    * Per batch: the new docs are shingled, signed, and banded exactly as
+    * the batch pipeline; candidates are (new × all-so-far) pairs sharing
+    * an LSH bucket — an equi-join of the new bands against the
+    * accumulated band index, so per-batch work is bounded by the NEW
+    * docs' bucket occupancy, never the corpus pair space — and
+    * survivors are exact-Jaccard-verified against the accumulated
+    * shingle store. A pair is emitted exactly once, in the batch where
+    * its LATER doc arrives (the earlier doc is already state, and
+    * two-old pairs can never form because one join leg is always new).
+    * After draining, `pairsDir` holds EXACTLY the batch pipeline's
+    * output on the full corpus (spec-proven equivalence).
+    *
+    * State = two append-only parquet dirs (band index + shingle sets);
+    * in production those are the same tables a compaction job would
+    * rebuild via the batch path. foreachBatch is at-least-once, so a
+    * batchId marker guards replays (the aggregateMv pattern); the
+    * per-batch caches are scoped and released (CacheScope).
+    */
+  def minhashLshStream(docsStream: DataFrame, idCol: String, textCol: String,
+      threshold: Double, stateDir: String, pairsDir: String,
+      checkpointDir: String, numHashes: Int = 16, bands: Int = 4): StreamingQuery =
+    docsStream.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.operators.{Dedup, Mutation}
+        val spark = batch.sparkSession
+        val marker = new java.io.File(stateDir + ".lastbatch")
+        val lastApplied =
+          if (marker.exists())
+            scala.io.Source.fromFile(marker).mkString.trim.toLong
+          else -1L
+        if (batchId > lastApplied) graft.CacheScope.withScope {
+          val bandsPath = s"$stateDir/bands"
+          val shinglePath = s"$stateDir/shingled"
+          val newShingled = graft.CacheScope.persist(
+            Dedup.shingleSets(batch, idCol, textCol))
+          val newBands = graft.CacheScope.persist(Dedup.lshBuckets(
+            Dedup.withSignature(newShingled, numHashes),
+            idCol, bands, numHashes / bands))
+          val allBands = Mutation.readIfExists(spark, bandsPath)
+            .map(_.unionByName(newBands)).getOrElse(newBands)
+          val cand = newBands
+            .select(col("band"), col("sig"), col(idCol).as("x"))
+            .join(allBands.select(col("band"), col("sig"), col(idCol).as("y")),
+              Seq("band", "sig"))
+            .filter(col("x") =!= col("y"))
+            .select(least(col("x"), col("y")).as("i"),
+              greatest(col("x"), col("y")).as("j"))
+            .distinct()
+          val allShingled = Mutation.readIfExists(spark, shinglePath)
+            .map(_.unionByName(newShingled)).getOrElse(newShingled)
+          Dedup.jaccardFor(cand, allShingled, idCol)
+            .filter(col("jaccard") >= threshold)
+            .write.mode("append").parquet(pairsDir)
+          newBands.write.mode("append").parquet(bandsPath)
+          newShingled.write.mode("append").parquet(shinglePath)
+          val w = new java.io.PrintWriter(marker)
+          try w.print(batchId) finally w.close()
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Run any streaming frame into an in-memory table for deterministic
     * tests (processAllAvailable → stop). */
   def runToMemory(df: DataFrame, name: String, outputMode: String = "append"): Unit = {
