@@ -2,6 +2,8 @@ package graft.operators
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.functions._
+
 import graft.SparkSpec
 
 /** MERGE / incremental / SCD2 semantics + the reference's idempotency
@@ -147,6 +149,56 @@ class MutationSpec extends SparkSpec {
       .filter($"day" === "2024-02-09").queryExecution.executedPlan.toString
     assert(plan.contains("PartitionFilters: [isnotnull(day"),
       s"expected partition filter in:\n$plan")
+  }
+
+  test("mergeUpsertFilePruned rewrites only files whose footer stats overlap the keys") {
+    val path = tmp()
+    // key-clustered layout: 4 files with disjoint id ranges (what
+    // repartitionByRange writes and compaction maintains)
+    spark.range(400).select($"id", ($"id" * 2).as("v"))
+      .repartitionByRange(4, $"id").sortWithinPartitions("id")
+      .write.parquet(path)
+    val before = fileHashes(path)
+    assert(before.size === 4)
+
+    // updates hit ids 10..20 — a single range file's stats interval
+    Mutation.mergeUpsertFilePruned(spark, path,
+      spark.range(10, 21).select($"id", lit(-1L).as("v")), "id")
+    val after = fileHashes(path)
+    val untouched = before.filter { case (k, h) => after.get(k).contains(h) }
+    assert(untouched.size === 3,
+      s"exactly 1 of 4 files should be rewritten; untouched = ${untouched.size}")
+
+    val got = spark.read.parquet(path)
+    assert(got.count() === 400)
+    assert(got.filter($"v" === -1L).count() === 11)
+    assert(got.filter($"id" === 15).select("v").as[Long].head() === -1L)
+    assert(got.select("id").distinct().count() === 400)
+
+    // an out-of-range key appends a fresh file; nothing existing moves
+    val before2 = fileHashes(path)
+    Mutation.mergeUpsertFilePruned(spark, path,
+      Seq((9999L, 0L)).toDF("id", "v"), "id")
+    val after2 = fileHashes(path)
+    assert(before2.forall { case (k, h) => after2.get(k).contains(h) },
+      "an append-only merge must not rewrite any existing file")
+    assert(spark.read.parquet(path).count() === 401)
+  }
+
+  test("mergeUpsertFilePruned prunes on string-key footer stats too") {
+    val path = tmp()
+    spark.range(100)
+      .select(format_string("k%03d", $"id").as("k"), $"id".as("v"))
+      .repartitionByRange(4, $"k").sortWithinPartitions("k")
+      .write.parquet(path)
+    val before = fileHashes(path)
+    Mutation.mergeUpsertFilePruned(spark, path,
+      Seq(("k005", -5L), ("k010", -10L)).toDF("k", "v"), "k")
+    val after = fileHashes(path)
+    assert(before.count { case (k, h) => after.get(k).contains(h) } === 3)
+    val got = spark.read.parquet(path)
+    assert(got.count() === 100)
+    assert(got.filter($"v" < 0).count() === 2)
   }
 
   test("mergeUpsertPruned rejects null partition values") {
