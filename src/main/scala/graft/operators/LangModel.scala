@@ -1,0 +1,80 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.functions._
+import org.apache.spark.sql.types.DecimalType
+
+import graft.functions.TextFns
+
+/** N-gram language-model perplexity filtering — the CCNet-style quality
+  * gate of a training-data pipeline: train a smoothed bigram model on a
+  * trusted REFERENCE slice of the corpus, score every document by its
+  * cross-entropy under that model, and drop the tail. Documents that
+  * look nothing like the reference (boilerplate, gibberish, wrong
+  * register) score high; fluent text scores low.
+  *
+  * Scale design: training is two hash aggregations over the reference's
+  * exploded bigrams (keyed on (w1, w2) / w1 — partial agg halves the
+  * shuffle); scoring joins each document bigram against the model —
+  * both joins keyed, the context side is vocabulary-sized (broadcast
+  * below the threshold, AQE skew-split above: stop-word contexts are
+  * the textbook hot keys). No driver-side model object: the "model" IS
+  * two DataFrames, so a 100 TB corpus scores against a billion-bigram
+  * model exactly like any other join.
+  *
+  * Cross-engine determinism (the oracle replays everything): add-one
+  * probabilities (c+1)/(ctx+V) are one exact IEEE division of integer
+  * operands; the per-document Σ ln p runs over DECIMAL(38,18)-cast
+  * terms, so aggregation order cannot move the sum; only ln itself is
+  * a libm call (≤1 ulp across engines — absorbed by the 4 dp round,
+  * and a plain-Scala recomputation spec pins the values independently
+  * of both engines).
+  */
+object LangModel {
+
+  /** (id, w1, w2): one row per adjacent token pair per document. */
+  def bigrams(docs: DataFrame, idCol: String, textCol: String): DataFrame =
+    docs.select(col(idCol), TextFns.tokens(col(textCol)).as("t"))
+      .filter(size(col("t")) >= 2)
+      .select(col(idCol), col("t"),
+        posexplode(slice(col("t"), lit(1), size(col("t")) - 1)).as(Seq("i", "w1")))
+      .select(col(idCol), col("w1"),
+        element_at(col("t"), col("i") + 2).as("w2"))
+
+  /** Trained bigram model over the `refPred` slice:
+    * (bigram counts (w1, w2, c), context totals (w1, n), vocab size
+    * one-row frame (v)). */
+  def train(docs: DataFrame, idCol: String, textCol: String,
+      refPred: Column): (DataFrame, DataFrame, DataFrame) = {
+    val ref = docs.filter(refPred)
+    val bg = bigrams(ref, idCol, textCol)
+    val counts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
+    val ctx = bg.groupBy("w1").agg(count(lit(1)).as("n"))
+    val vocab = ref
+      .select(explode(TextFns.tokens(col(textCol))).as("u"))
+      .agg(count_distinct(col("u")).as("v"))
+    (counts, ctx, vocab)
+  }
+
+  /** Per-document cross-entropy under the model (add-one smoothing):
+    * xent = −(1/m) Σ ln((c+1)/(ctx+V)), m = the doc's bigram count.
+    * Returns (id, m, xent, ppl = e^xent). Unknown bigrams fall back to
+    * the context's smoothed mass; unknown contexts to 1/V — the same
+    * formula, via coalesce(…, 0). Docs with < 2 tokens emit no row. */
+  def crossEntropy(docs: DataFrame, idCol: String, textCol: String,
+      counts: DataFrame, ctx: DataFrame, vocab: DataFrame): DataFrame = {
+    val lp = log((coalesce(col("c"), lit(0L)) + 1) /
+      (coalesce(col("n"), lit(0L)) + col("v")))
+    bigrams(docs, idCol, textCol)
+      .join(counts, Seq("w1", "w2"), "left")
+      .join(ctx, Seq("w1"), "left")
+      .crossJoin(broadcast(vocab))
+      .select(col(idCol), lp.as("lp"))
+      .groupBy(idCol)
+      .agg(count(lit(1)).as("m"),
+        (negate(sum(col("lp").cast(DecimalType(38, 18)))).cast("double")
+          / count(lit(1))).as("xent"))
+      .select(col(idCol), col("m"), round(col("xent"), 4).as("xent"),
+        round(exp(col("xent")), 2).as("ppl"))
+  }
+}

@@ -336,8 +336,54 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- t11
+  // CCNet-style LM perplexity filtering: a smoothed bigram model
+  // trained on a trusted reference slice (src0/src1 stand in for the
+  // "wikipedia" side of the CCNet recipe) scores every document's
+  // cross-entropy — the quality gate that drops text unlike the
+  // reference. The oracle replays training AND scoring: add-one
+  // probabilities are one exact IEEE division of integer operands, the
+  // per-doc Σ ln p is DECIMAL-summed (order-independent), and the only
+  // libm call (ln, ≤1 ulp across engines) is absorbed by the 4 dp
+  // round; a plain-Scala recomputation spec pins the numbers
+  // independently of both engines.
+  val t11Perplexity: Q = Q(
+    "t11_lm_perplexity",
+    """WITH tok AS (
+      |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      |big AS (
+      |  SELECT doc_id, source, t[i] AS w1, t[i+1] AS w2
+      |  FROM tok, unnest(range(1, len(t))) r(i)
+      |  WHERE len(t) >= 2),
+      |refbig AS (SELECT w1, w2 FROM big WHERE source IN ('src0', 'src1')),
+      |counts AS (SELECT w1, w2, COUNT(*) AS c FROM refbig GROUP BY 1, 2),
+      |ctx AS (SELECT w1, COUNT(*) AS n FROM refbig GROUP BY 1),
+      |vocab AS (
+      |  SELECT COUNT(DISTINCT u) AS v
+      |  FROM (SELECT unnest(t) AS u FROM tok WHERE source IN ('src0', 'src1'))),
+      |scored AS (
+      |  SELECT big.doc_id, COUNT(*) AS m,
+      |    CAST(-SUM(CAST(ln((COALESCE(c, 0) + 1) / (COALESCE(n, 0) + v))
+      |        AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS xent
+      |  FROM big
+      |  LEFT JOIN counts USING (w1, w2)
+      |  LEFT JOIN ctx USING (w1)
+      |  CROSS JOIN vocab
+      |  GROUP BY big.doc_id)
+      |SELECT doc_id, m, ROUND(xent, 4) AS xent
+      |FROM scored ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val all = docs(s, d)
+    val refPred = col("source").isin("src0", "src1")
+    val (counts, ctx, vocab) =
+      graft.operators.LangModel.train(all, "doc_id", "text", refPred)
+    graft.operators.LangModel
+      .crossEntropy(all, "doc_id", "text", counts, ctx, vocab)
+      .select("doc_id", "m", "xent")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
     t05TokenHistogram, t06BpeTokens, t07RollingFingerprint,
-    t08Repetition, t09PiiScrub, t10Novelty)
+    t08Repetition, t09PiiScrub, t10Novelty, t11Perplexity)
 }
