@@ -21,7 +21,15 @@ object ModelGraph {
   sealed trait Materialization
   case object View extends Materialization
   final case class Table(path: String, partitionBy: Seq[String] = Nil) extends Materialization
-  final case class External(path: String) extends Materialization
+  /** Single-file export for downstream consumers that expect ONE file
+    * (the reference's S13 csv/parquet exports). `maxSingleFileRows`
+    * gates the coalesce(1): an export bigger than that funnels the
+    * whole mart through one task — above the gate the write keeps its
+    * natural parallelism (consumers glob the directory instead). The
+    * gate costs one count on the node's (already-built) frame, bounded
+    * by export size. */
+  final case class External(path: String,
+      maxSingleFileRows: Long = 10_000_000L) extends Materialization
 
   final case class Node(
       name: String,
@@ -65,8 +73,29 @@ object ModelGraph {
           // (reference table properties; graft.sources.FileLayout).
           graft.sources.FileLayout.writeTargetSized(df, path, parts)
           spark.read.parquet(path)
-        case External(path) =>
-          df.coalesce(1).write.mode("overwrite").parquet(path)
+        case External(path, maxSingleFileRows) =>
+          // parallel write FIRST, then compact to one file only if the
+          // export is under the gate: the row count comes from parquet
+          // footers (metadata-only) and the compaction re-reads only
+          // the small written export — the node's lineage is never
+          // evaluated twice, and a mart above the gate keeps its
+          // parallel layout (consumers glob the directory)
+          df.write.mode("overwrite").parquet(path)
+          val written = spark.read.parquet(path)
+          val parts = new java.io.File(path).listFiles()
+            .count(f => f.isFile && f.getName.endsWith(".parquet"))
+          if (parts > 1 && written.count() <= maxSingleFileRows) {
+            val tmp = path + ".compact"
+            written.coalesce(1).write.mode("overwrite").parquet(tmp)
+            val dead = new java.io.File(path)
+            def rm(f: java.io.File): Unit = {
+              if (f.isDirectory) f.listFiles().foreach(rm)
+              f.delete(); ()
+            }
+            rm(dead)
+            if (!new java.io.File(tmp).renameTo(dead))
+              throw new java.io.IOException(s"could not publish compacted $path")
+          }
           spark.read.parquet(path)
       }
       frames += node.name -> materialized
