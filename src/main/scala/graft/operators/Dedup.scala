@@ -208,16 +208,33 @@ object Dedup {
     * Both branches are output-identical (spec-proven), so the choice is
     * pure physics; the decision costs one narrow aggregation job whose
     * input the chosen branch rebuilds anyway (a column-only projection —
-    * cheaper to recompute than to persist, the round-2 lesson). */
+    * cheaper to recompute than to persist, the round-2 lesson).
+    *
+    * At 100 TB even the decision pass matters: `statsSampleRate` < 1
+    * runs it on a content-stable hash sample of the DOCUMENTS and
+    * scales the observed volume by 1/rate² (doc-sampling thins each
+    * df binomially, so E[df'(df'−1)/2] = rate²·df(df−1)/2 — an
+    * unbiased estimator). Estimator noise can only flip WHICH plan
+    * runs near the crossover, never what it returns — the branches are
+    * output-identical — so sampling is always safe; the default stays
+    * exact (1.0) to keep the chosen plan run-deterministic. */
   def ngramJaccardPairsAdaptive(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 3,
-      maxDirectPairs: Long = 50_000_000L): DataFrame = {
-    val candVolume = shingleSets(docs, idCol, textCol, k)
+      maxDirectPairs: Long = 50_000_000L,
+      statsSampleRate: Double = 1.0): DataFrame = {
+    require(statsSampleRate > 0 && statsSampleRate <= 1.0,
+      s"statsSampleRate must be in (0, 1]: $statsSampleRate")
+    val statDocs =
+      if (statsSampleRate >= 1.0) docs
+      else docs.filter(
+        Mix.hashBucket(col(idCol)) < lit(statsSampleRate * 100))
+    val observed = shingleSets(statDocs, idCol, textCol, k)
       .select(explode(col("sh")).as("s"))
       .groupBy("s").agg(count(lit(1)).as("df"))
       .agg(coalesce(sum(col("df") * (col("df") - 1) / 2), lit(0L))
         .cast("long").as("vol"))
       .head().getLong(0)
+    val candVolume = (observed / (statsSampleRate * statsSampleRate)).toLong
     if (candVolume <= maxDirectPairs)
       ngramJaccardPairs(docs, idCol, textCol, threshold, k)
     else

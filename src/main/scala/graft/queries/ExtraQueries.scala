@@ -257,6 +257,26 @@ object ExtraQueries {
       .orderBy("user_id", "event_id")
   }
 
+  // ---------------------------------------------------------------- x09
+  // Quantile sketch vs exact percentiles (rows-only: approx_percentile's
+  // KLL/GK-style sketch isn't reproducible in DuckDB; the error bound
+  // is asserted in CatalogSpec against the exact values computed in the
+  // same row). At 100 TB the sketch is the only single-pass, mergeable,
+  // fixed-memory answer to "p50/p95/p99 of value per group" — the exact
+  // percentile needs a per-group sort. Same sketch-family rationale as
+  // x05's HLL.
+  val x09ApproxQuantiles: Q = Q.rowsOnly("x09_approx_quantiles") { (s, d) =>
+    t(s, d, "events")
+      .groupBy("event_type")
+      .agg(
+        percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)),
+          lit(10000)).as("approx_pcts"),
+        expr("percentile(value, array(0.5, 0.95, 0.99))").as("exact_pcts"),
+        count(lit(1)).as("n"))
+      .orderBy("event_type")
+  }
+
   val all: Seq[Q] = Seq(x01SeedJoin, x02AsofJoin, x03Duration, x04Sessionize,
-    x05ApproxDistinct, x06RangeJoin, x07Scd2History, x08AsofForward)
+    x05ApproxDistinct, x06RangeJoin, x07Scd2History, x08AsofForward,
+    x09ApproxQuantiles)
 }

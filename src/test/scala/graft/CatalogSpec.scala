@@ -57,6 +57,32 @@ class CatalogSpec extends SparkSpec {
     }
   }
 
+  test("x09 quantile sketch honors its RANK-error guarantee") {
+    // percentile_approx(accuracy = A) guarantees rank error ≤ n/A; the
+    // value-relative gap to the interpolated exact percentile is NOT
+    // bounded (on small groups nearest-rank vs interpolation differ
+    // freely), so the assertion checks what the sketch promises: the
+    // returned value's rank sits within the tolerance of q·n.
+    val rows = queries.ExtraQueries.x09ApproxQuantiles.fn(spark, sfDir).collect()
+    assert(rows.nonEmpty)
+    val values = graft.Tables.t(spark, sfDir, "events")
+      .select("event_type", "value")
+      .collect().groupBy(_.getString(0))
+      .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
+    val qs = Seq(0.5, 0.95, 0.99)
+    rows.foreach { r =>
+      val vs = values(r.getString(r.fieldIndex("event_type")))
+      val n = vs.length
+      val tol = math.max(1.0, n / 10000.0 * 2) // 2× slack on ceil effects
+      r.getSeq[Double](r.fieldIndex("approx_pcts")).zip(qs).foreach {
+        case (a, q) =>
+          val rank = vs.count(_ <= a)
+          assert(math.abs(rank - q * n) <= tol + 1,
+            s"rank of $a = $rank vs target ${q * n} (n=$n)")
+      }
+    }
+  }
+
   test("q07 topk returns exactly 10 in non-increasing spend order") {
     val spends = CoreQueries.q07TopK.fn(spark, sfDir)
       .collect().map(_.getAs[Double]("spend"))

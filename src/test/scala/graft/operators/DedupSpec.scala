@@ -102,8 +102,13 @@ class DedupSpec extends SparkSpec {
     // maxDirectPairs = 0 forces the prefix branch regardless of stats
     val forcedPrefix = canon(Dedup.ngramJaccardPairsAdaptive(
       real, "doc_id", "text", 0.5, maxDirectPairs = 0L))
+    // sampled decision stats: whichever plan the estimate picks, the
+    // output is identical by construction
+    val sampled = canon(Dedup.ngramJaccardPairsAdaptive(
+      real, "doc_id", "text", 0.5, statsSampleRate = 0.25))
     assert(auto === direct)
     assert(forcedPrefix === direct)
+    assert(sampled === direct)
     assert(direct.nonEmpty)
   }
 

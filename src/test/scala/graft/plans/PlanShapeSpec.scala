@@ -88,9 +88,15 @@ class PlanShapeSpec extends SparkSpec {
       "connected-components join degenerated to an unkeyed product")
   }
 
+  test("v02: the registered near-dup plan is bucket-keyed, not a pair product") {
+    val p = explain("v02_embedding_neardup")
+    assert(!p.contains("BroadcastNestedLoopJoin") && !p.contains("CartesianProduct"),
+      "v02 must run the LSH-bucketed plan — the theta-join is spec-side only")
+  }
+
   test("no query plans an accidental CartesianProduct") {
-    // v01/v02 intentionally use BroadcastNestedLoopJoin (brute-force
-    // pair baselines); a CartesianProduct anywhere is always a bug.
+    // v01 intentionally uses BroadcastNestedLoopJoin (brute-force
+    // baseline); a CartesianProduct anywhere is always a bug.
     SparkEntry.queries.keys.toSeq.sorted.foreach { name =>
       val p = explain(name)
       assert(!p.contains("CartesianProduct"), s"$name plans CartesianProduct")
