@@ -24,6 +24,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     new ExpressionInfo("graft", null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
+    // Scale-safety rewrite: SUM(x) OVER () → broadcast one-row aggregate
+    // (an unpartitioned window serializes the dataset through one task;
+    // see graft.plans.RewriteGlobalWindowTotals).
+    ext.injectOptimizerRule(_ => graft.plans.RewriteGlobalWindowTotals)
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - sequential dot product of two array<double>"),

@@ -23,6 +23,54 @@ class GraftExtensionsSpec extends AnyFunSuite {
     s
   }
 
+  test("global-window totals rewrite to a broadcast aggregate (no Window node)") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = spark.range(1, 101).toDF("x")
+      .withColumn("tot", sum($"x").over(W.partitionBy()))
+      .withColumn("pct", $"x" / $"tot")
+    val optimized = df.queryExecution.optimizedPlan.toString
+    assert(!optimized.contains("Window"),
+      "SUM() OVER () must be rewritten away:\n" + optimized)
+    // values are exactly the naive window's
+    val rows = df.filter($"x" === 10).select("tot", "pct")
+      .as[(Long, Double)].head()
+    assert(rows._1 === 5050L && rows._2 === 10.0 / 5050.0)
+    // full equivalence against the un-extended session's computation
+    val got = df.select("x", "tot").as[(Long, Long)].collect().toSet
+    assert(got === (1L to 100L).map(x => (x, 5050L)).toSet)
+  }
+
+  test("partitioned and running windows are NOT rewritten") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val base = spark.range(1, 11).toDF("x").withColumn("k", $"x" % 2)
+    val partitioned = base.withColumn("t", sum($"x").over(W.partitionBy($"k")))
+    assert(partitioned.queryExecution.optimizedPlan.toString.contains("Window"))
+    val running = base.withColumn("r",
+      sum($"x").over(W.partitionBy($"k").orderBy($"x")))
+    assert(running.queryExecution.optimizedPlan.toString.contains("Window"))
+    // and they still compute correctly in the extended session
+    assert(partitioned.filter($"x" === 2).select("t").as[Long].head() ===
+      (2L + 4 + 6 + 8 + 10))
+  }
+
+  test("mixed global aggregates rewrite together (one aggregate, one join)") {
+    import org.apache.spark.sql.expressions.{Window => W}
+    import org.apache.spark.sql.functions._
+    import spark.implicits._
+    val df = spark.range(1, 6).toDF("x")
+      .withColumn("tot", sum($"x").over(W.partitionBy()))
+      .withColumn("mx", max($"x").over(W.partitionBy()))
+      .withColumn("n", count(lit(1)).over(W.partitionBy()))
+    assert(!df.queryExecution.optimizedPlan.toString.contains("Window"))
+    val r = df.filter($"x" === 3).select("tot", "mx", "n")
+      .as[(Long, Long, Long)].head()
+    assert(r === ((15L, 5L, 5L)))
+  }
+
   test("dot_product is callable from SQL") {
     val v = spark.sql(
       "SELECT dot_product(array(1.0d, 2.0d, 3.0d), array(4.0d, 5.0d, 6.0d)) AS d")
