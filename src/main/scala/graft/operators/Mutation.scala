@@ -230,6 +230,53 @@ object Mutation {
     } finally reader.close()
   }
 
+  /** Small-file compaction — the OPTIMIZE verb of a lakehouse table:
+    * bin-packs a directory of parquet files into ~`targetBytes` files.
+    * Incremental writers (micro-batch sinks, per-batch merges) bleed
+    * small files; at 100 TB the file count itself becomes the
+    * bottleneck (driver listing, scan task scheduling, open() overhead)
+    * — the reference's lake tables set the same 128 MB target this
+    * defaults to.
+    *
+    * With `clusterBy` the rewrite is `repartitionByRange + sort` on the
+    * key, so compaction MAINTAINS the disjoint per-file key ranges that
+    * [[mergeUpsertFilePruned]]'s footer-stats pruning depends on — run
+    * the two together and an incremental pipeline keeps both its file
+    * sizes and its clustering. Without it, round-robin bin-packing.
+    *
+    * No-op (returns false) when the directory already has ≤ 1 file or
+    * every file is already ≥ half the target — rewriting well-sized
+    * files would churn bytes for nothing. Swap is the staged-rename
+    * dance of [[overwriteAtomic]]. */
+  def compact(spark: SparkSession, path: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      clusterBy: Option[String] = None): Boolean = {
+    val dir = new java.io.File(path)
+    if (!dir.isDirectory) return false
+    val files = dir.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    val total = files.map(_.length).sum
+    if (files.length <= 1 || files.forall(_.length >= targetBytes / 2)) return false
+    val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
+    val df = spark.read.parquet(path)
+    val reshaped = clusterBy match {
+      case Some(k) =>
+        df.repartitionByRange(nOut, col(k)).sortWithinPartitions(k)
+      case None => df.repartition(nOut)
+    }
+    val tmp = path + ".compacting"
+    deleteRecursively(new java.io.File(tmp))
+    reshaped.write.mode("overwrite").parquet(tmp)
+    val trash = new java.io.File(path + ".old")
+    deleteRecursively(trash)
+    if (!dir.renameTo(trash))
+      throw new java.io.IOException(s"could not stage out $path")
+    if (!new java.io.File(tmp).renameTo(dir))
+      throw new java.io.IOException(
+        s"could not publish compacted $path; previous data at $trash")
+    deleteRecursively(trash)
+    true
+  }
+
   /** Hive-style partition-value escaping (subset: the characters Spark's
     * own path layer escapes that can appear in typed partition values —
     * everything else round-trips literally). */

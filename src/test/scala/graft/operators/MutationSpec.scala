@@ -201,6 +201,39 @@ class MutationSpec extends SparkSpec {
     assert(got.filter($"v" < 0).count() === 2)
   }
 
+  test("compact bin-packs small files and preserves clustering for file pruning") {
+    val path = tmp()
+    // 16 tiny files from an incremental writer
+    spark.range(1600).select($"id", ($"id" * 3).as("v"))
+      .repartition(16).write.parquet(path)
+    def parquetFiles = new java.io.File(path).listFiles()
+      .filter(f => f.isFile && f.getName.endsWith(".parquet"))
+    assert(parquetFiles.length === 16)
+    val before = spark.read.parquet(path)
+      .select("id", "v").as[(Long, Long)].collect().toSet
+
+    assert(Mutation.compact(spark, path, targetBytes = 1L << 40,
+      clusterBy = Some("id")))
+    assert(parquetFiles.length === 1)
+    val after = spark.read.parquet(path)
+      .select("id", "v").as[(Long, Long)].collect().toSet
+    assert(after === before, "compaction must not change table contents")
+
+    // compaction + clustering keeps file pruning effective: re-split
+    // into 4 clustered files, then a keyed merge touches only 1
+    spark.read.parquet(path).repartitionByRange(4, $"id")
+      .sortWithinPartitions("id")
+      .write.mode("overwrite").parquet(path + "2")
+    val h0 = spark.read.parquet(path + "2").count()
+    assert(h0 === 1600)
+    Mutation.mergeUpsertFilePruned(spark, path + "2",
+      Seq((5L, -1L)).toDF("id", "v"), "id")
+    assert(spark.read.parquet(path + "2").filter($"v" === -1L).count() === 1)
+
+    // already-compact dir: no-op
+    assert(!Mutation.compact(spark, path, targetBytes = 1L << 40))
+  }
+
   test("mergeUpsertPruned rejects null partition values") {
     val path = tmp()
     val bad = Seq((1L, Option.empty[String], 1.0)).toDF("id", "day", "v")
