@@ -98,6 +98,33 @@ object TopicLog {
       }
   }
 
+  /** Streaming sink: append each micro-batch to a topic dir —
+    * topic-to-topic pipelines (S11) then run entirely through the
+    * connector: `readStream.format("graft-topic")` on the source
+    * topic, transforms, [[sink]] on the destination. foreachBatch is
+    * at-least-once, so a batchId marker guards replays (the
+    * aggregateMv pattern): a re-delivered batch is skipped, keeping
+    * the destination log exactly-once. The batch must carry
+    * (key, value, ts) columns — the producer schema. */
+  def sink(df: org.apache.spark.sql.DataFrame, dir: String, nPartitions: Int,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
+    df.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = new java.io.File(dir + ".lastbatch")
+        val lastApplied =
+          if (marker.exists())
+            scala.io.Source.fromFile(marker).mkString.trim.toLong
+          else -1L
+        if (batchId > lastApplied) {
+          append(batch.sparkSession, batch, dir, nPartitions)
+          val w = new java.io.PrintWriter(marker)
+          try w.print(batchId) finally w.close()
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+
   /** URL-style escaping for tab/newline/percent — the only characters
     * that would break the TSV framing. */
   private[sources] def esc(s: String): String =

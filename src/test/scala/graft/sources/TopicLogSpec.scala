@@ -110,6 +110,37 @@ class TopicLogSpec extends SparkSpec {
         q.recentProgress.map(_.numInputRows).mkString(","))
   }
 
+  test("topic-to-topic pipeline: read topic A, transform, sink to topic B") {
+    val root = Files.createTempDirectory("graft-topic").toString
+    val a = root + "/topicA"
+    val b = root + "/topicB"
+    val ck = root + "/ck"
+    TopicLog.append(spark, batch(
+      (0 until 15).map(i => (s"k$i", s"v$i", "2024-01-01 00:00:00")): _*), a, 2)
+
+    def pump(): Unit = {
+      val q = TopicLog.sink(
+        spark.readStream.format(TopicLogSource.Name).option("path", a).load()
+          .select($"key", upper($"value").as("value"), $"ts"),
+        b, nPartitions = 3, checkpointDir = ck)
+      q.awaitTermination()
+    }
+    pump()
+    val got = spark.read.format(TopicLogSource.Name).option("path", b).load()
+    assert(got.count() === 15)
+    assert(got.filter($"value" === "V7").count() === 1, "transform must apply")
+    // replayed drain: destination stays exactly-once
+    pump()
+    assert(spark.read.format(TopicLogSource.Name).option("path", b).load()
+      .count() === 15)
+    // late arrivals flow through end-to-end
+    TopicLog.append(spark, batch(("late", "tail", "2024-01-01 00:01:00")), a, 2)
+    pump()
+    val fin = spark.read.format(TopicLogSource.Name).option("path", b).load()
+    assert(fin.count() === 16)
+    assert(fin.filter($"value" === "TAIL").count() === 1)
+  }
+
   test("per-partition order is preserved through the reader") {
     val dir = Files.createTempDirectory("graft-topic").toString + "/t5"
     // two appends → two segments per partition; reader must walk them
