@@ -168,7 +168,7 @@ object DedupQueries {
     * Spark min-label propagation converges to, so hashes match; pairs
     * come from the SUB-LINEAR LSH stage (the one that survives at
     * corpus scale), not the quadratic exact index. */
-  private val CLUSTER_CTES =
+  private[queries] val CLUSTER_CTES =
     s"""$LSH_PAIR_CTES,
        |pairs AS (SELECT i, j FROM lshpairs),
        |nodes AS (SELECT i AS id FROM pairs UNION SELECT j AS id FROM pairs),

@@ -75,7 +75,7 @@ object MixQueries {
     * n_shared)`: distinct word 5-grams → inverted index → train×bench
     * pairs sharing ≥3 grams (doc_id % 10 = 0 plays the held-out set).
     * c01 lists the pairs; c02 rolls them up per benchmark doc. */
-  private val CONTAMINATION_CTES =
+  private[queries] val CONTAMINATION_CTES =
     """tok AS (
       |  SELECT doc_id,
       |    list_distinct(list_transform(range(1, len(t) - 3),
@@ -178,6 +178,92 @@ object MixQueries {
       .select(col("doc_id"), col("lang"), col("source"),
         col("n_tokens").cast("bigint").as("n_tokens"))
       .orderBy("doc_id")
+  }
+
+  // ---------------------------------------------------------------- g02
+  // The COMPLETE modern LLM corpus pipeline as one oracle-verified
+  // statement — the funnel a training-data owner signs off on:
+  //   training slice → near-dup dedup (MinHash+LSH clusters, drop
+  //   non-representatives) → LM-perplexity quality gate (bigram model
+  //   from the reference slice, xent ≤ 3.6) → benchmark
+  //   decontamination (≥3 shared 5-grams) → per-source survivor and
+  //   token counts at every stage.
+  // Composes THREE independently hash-verified pipelines (d06's LSH
+  // cluster chain, t11's LM chain with a ptok rename, c01's
+  // contamination chain with ctok/cex/cpairs renames) plus the funnel
+  // flags; both engines replay the entire construction, so the whole
+  // corpus build is exact cross-engine.
+  private def renamed(s: String, pairs: (String, String)*): String =
+    pairs.foldLeft(s) { case (acc, (from, to)) =>
+      acc.replaceAll("\\b" + from + "\\b", to)
+    }
+
+  val g02CorpusFunnel: Q = Q(
+    "g02_corpus_funnel",
+    s"WITH RECURSIVE ${DedupQueries.CLUSTER_CTES},\n" +
+      renamed(TextQueries.PPL_CTES, "tok" -> "ptok") + ",\n" +
+      renamed(CONTAMINATION_CTES,
+        "tok" -> "ctok", "ex" -> "cex", "pairs" -> "cpairs") + ",\n" +
+      """train AS (
+        |  SELECT doc_id, source, len(string_split(text, ' ')) AS n_tokens
+        |  FROM documents WHERE doc_id % 10 <> 0),
+        |flags AS (
+        |  SELECT train.source, train.n_tokens,
+        |    CASE WHEN dup.id IS NULL THEN 1 ELSE 0 END AS keep_dedup,
+        |    CASE WHEN s.xent IS NULL OR ROUND(s.xent, 4) <= 3.6
+        |         THEN 1 ELSE 0 END AS keep_ppl,
+        |    CASE WHEN ct.train_doc IS NULL THEN 1 ELSE 0 END AS keep_clean
+        |  FROM train
+        |  LEFT JOIN (SELECT id FROM cc WHERE id <> cluster_rep) dup
+        |    ON dup.id = train.doc_id
+        |  LEFT JOIN scored s ON s.doc_id = train.doc_id
+        |  LEFT JOIN (SELECT DISTINCT train_doc FROM cpairs) ct
+        |    ON ct.train_doc = train.doc_id)
+        |SELECT source,
+        |  COUNT(*) AS n_train,
+        |  CAST(SUM(keep_dedup) AS BIGINT) AS n_after_dedup,
+        |  CAST(SUM(keep_dedup * keep_ppl) AS BIGINT) AS n_after_ppl,
+        |  CAST(SUM(keep_dedup * keep_ppl * keep_clean) AS BIGINT) AS n_final,
+        |  CAST(SUM(keep_dedup * keep_ppl * keep_clean * n_tokens) AS BIGINT)
+        |    AS tokens_final
+        |FROM flags GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    val all = docs(s, d)
+    val train = all.filter(col("doc_id") % 10 =!= 0)
+      .select(col("doc_id"), col("source"),
+        size(split(col("text"), " ")).cast("long").as("n_tokens"))
+    val dups = graft.operators.Dedup.connectedComponents(
+        graft.operators.Dedup
+          .minhashLshPairs(all, "doc_id", "text", 0.5).select("i", "j"))
+      .filter(col("id") =!= col("lbl"))
+      .select(col("id").as("doc_id"), lit(1).as("is_dup"))
+    val (counts, ctx, vocab) = graft.operators.LangModel.train(
+      all, "doc_id", "text", col("source").isin("src0", "src1"))
+    val xent = graft.operators.LangModel
+      .crossEntropy(all, "doc_id", "text", counts, ctx, vocab)
+      .select(col("doc_id"), col("xent"))
+    val contaminated = Mix.contaminationPairs(all, "doc_id", "text",
+        col("doc_id") % 10 === 0, k = 5, minShared = 3)
+      .select(col("train_doc").as("doc_id"), lit(1).as("is_contam"))
+      .distinct()
+    train
+      .join(dups, Seq("doc_id"), "left")
+      .join(xent, Seq("doc_id"), "left")
+      .join(contaminated, Seq("doc_id"), "left")
+      .select(col("source"), col("n_tokens"),
+        when(col("is_dup").isNull, 1).otherwise(0).as("keep_dedup"),
+        when(col("xent").isNull || col("xent") <= 3.6, 1).otherwise(0)
+          .as("keep_ppl"),
+        when(col("is_contam").isNull, 1).otherwise(0).as("keep_clean"))
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_train"),
+        sum("keep_dedup").cast("bigint").as("n_after_dedup"),
+        sum(col("keep_dedup") * col("keep_ppl")).cast("bigint")
+          .as("n_after_ppl"),
+        sum(col("keep_dedup") * col("keep_ppl") * col("keep_clean"))
+          .cast("bigint").as("n_final"),
+        sum(col("keep_dedup") * col("keep_ppl") * col("keep_clean")
+          * col("n_tokens")).cast("bigint").as("tokens_final"))
+      .orderBy("source")
   }
 
   // ---------------------------------------------------------------- s03
@@ -285,6 +371,6 @@ object MixQueries {
   }
 
   val all: Seq[Q] = Seq(s01StratifiedSample, s02MixPlan, c01Contamination,
-    c02ContaminationReport, g01CorpusGold, s03ShardPlan, s04SequencePacking,
-    s05TemperatureMix)
+    c02ContaminationReport, g01CorpusGold, g02CorpusFunnel, s03ShardPlan,
+    s04SequencePacking, s05TemperatureMix)
 }

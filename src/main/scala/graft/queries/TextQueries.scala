@@ -347,9 +347,11 @@ object TextQueries {
   // libm call (ln, ≤1 ulp across engines) is absorbed by the 4 dp
   // round; a plain-Scala recomputation spec pins the numbers
   // independently of both engines.
-  val t11Perplexity: Q = Q(
-    "t11_lm_perplexity",
-    """WITH tok AS (
+  /** CTE chain ending in `scored(doc_id, m, xent)` — the full bigram-LM
+    * train + score pipeline (t11 exposes it directly; g02 composes it
+    * into the corpus funnel with a `ptok` prefix rename). */
+  private[queries] val PPL_CTES =
+    """tok AS (
       |  SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
       |big AS (
       |  SELECT doc_id, source, t[i] AS w1, t[i+1] AS w2
@@ -369,9 +371,13 @@ object TextQueries {
       |  LEFT JOIN counts USING (w1, w2)
       |  LEFT JOIN ctx USING (w1)
       |  CROSS JOIN vocab
-      |  GROUP BY big.doc_id)
-      |SELECT doc_id, m, ROUND(xent, 4) AS xent
-      |FROM scored ORDER BY doc_id""".stripMargin) { (s, d) =>
+      |  GROUP BY big.doc_id)""".stripMargin
+
+  val t11Perplexity: Q = Q(
+    "t11_lm_perplexity",
+    s"WITH $PPL_CTES\n" +
+      """SELECT doc_id, m, ROUND(xent, 4) AS xent
+        |FROM scored ORDER BY doc_id""".stripMargin) { (s, d) =>
     val all = docs(s, d)
     val refPred = col("source").isin("src0", "src1")
     val (counts, ctx, vocab) =
