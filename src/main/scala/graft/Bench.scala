@@ -66,7 +66,9 @@ object Bench {
       "d07_dedup_apply" -> ((s, d) =>
         graft.queries.DedupQueries.d07Body(s, d, s.read.parquet(stagePath))),
       "d08_edit_distance" -> ((s, d) =>
-        graft.queries.DedupQueries.d08Body(s, d, s.read.parquet(stagePath))))
+        graft.queries.DedupQueries.d08Body(s, d, s.read.parquet(stagePath))),
+      "g02_corpus_funnel" -> ((s, d) =>
+        graft.queries.MixQueries.g02Body(s, d, s.read.parquet(stagePath))))
     val stageNeeded = catalog.exists(q => stagedConsumers.contains(q.name))
 
     def timedPass(): Seq[(String, (Double, Boolean))] = {

@@ -62,14 +62,22 @@ object Dedup {
     * docs (degenerate content — empty/boilerplate docs all hashing
     * identically) would contribute O(B²) pairs and go quadratic at
     * corpus scale. Oversized buckets instead emit a STAR — bucket-min
-    * id paired with every other member — so their pair count is O(B)
-    * while every member remains connected to the same component:
-    * downstream clustering (connectedComponents / dupClusters) is
-    * unchanged, and only the exhaustive pair ENUMERATION inside the
-    * degenerate bucket is traded away. Healthy buckets (the measured
-    * max at any test SF is 17, vs the default cap 256) are unaffected,
-    * so the guard is invisible to the oracle until a corpus actually
-    * degenerates. Both occupancy and bucket-min come from one window
+    * id paired with every other member — so their pair count is O(B).
+    *
+    * What the star trade PRESERVES and what it gives up, precisely:
+    * star CANDIDATES keep every member attached to the bucket-min doc,
+    * but downstream verification still applies — so cluster
+    * connectivity survives exactly when the star edges pass the
+    * jaccard threshold. For the degenerate case the cap targets
+    * (identical/near-identical docs flooding one bucket) they do
+    * (jaccard ≈ 1, spec-proven identical clusters); for a merely
+    * LOOSELY similar oversized bucket, pairs not through the bucket
+    * min are not enumerated and clusters can split — the cap is an
+    * explicit work-bound switch, not a free lunch. The DuckDB oracle
+    * replays this exact occ/star construction (bstats CTE), so engine
+    * and oracle agree even at a scale where the cap binds. Healthy
+    * buckets (measured max 17 at any test SF vs the default 256) are
+    * unaffected. Both occupancy and bucket-min come from one window
     * pass over the bucket key — no second aggregate-and-join stage. */
   def lshCandidates(buckets: DataFrame, idCol: String,
       maxBucket: Int = DefaultMaxBucket): DataFrame = {
@@ -222,19 +230,29 @@ object Dedup {
       threshold: Double, k: Int = 3,
       maxDirectPairs: Long = 50_000_000L,
       statsSampleRate: Double = 1.0): DataFrame = {
-    require(statsSampleRate > 0 && statsSampleRate <= 1.0,
-      s"statsSampleRate must be in (0, 1]: $statsSampleRate")
+    require(statsSampleRate >= 0.0001 && statsSampleRate <= 1.0,
+      s"statsSampleRate must be in [0.0001, 1]: $statsSampleRate")
+    // 10 000 hash buckets, not Mix.hashBucket's 100: a rate below (or
+    // between) 1% bucket boundaries would otherwise select a coarser
+    // actual sample than requested while still scaling by 1/rate² —
+    // inflating the estimate by (actual/requested)². With 0.01%
+    // granularity the worst-case mismatch is bounded at rates ≥ 1%.
+    val nBuckets = math.max(1L, (statsSampleRate * 10000).round)
+    // the estimator divides by the rate the filter ACTUALLY selects
+    // (rounded bucket count / 10 000), never the requested one
+    val effRate = if (statsSampleRate >= 1.0) 1.0 else nBuckets / 10000.0
     val statDocs =
       if (statsSampleRate >= 1.0) docs
       else docs.filter(
-        Mix.hashBucket(col(idCol)) < lit(statsSampleRate * 100))
+        conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
+          .cast("long") % 10000 < nBuckets)
     val observed = shingleSets(statDocs, idCol, textCol, k)
       .select(explode(col("sh")).as("s"))
       .groupBy("s").agg(count(lit(1)).as("df"))
       .agg(coalesce(sum(col("df") * (col("df") - 1) / 2), lit(0L))
         .cast("long").as("vol"))
       .head().getLong(0)
-    val candVolume = (observed / (statsSampleRate * statsSampleRate)).toLong
+    val candVolume = (observed / (effRate * effRate)).toLong
     if (candVolume <= maxDirectPairs)
       ngramJaccardPairs(docs, idCol, textCol, threshold, k)
     else

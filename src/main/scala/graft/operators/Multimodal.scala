@@ -100,8 +100,9 @@ object Multimodal {
         javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
         rows.map { case (id, content, len, hash) =>
           var reader: javax.imageio.ImageReader = null
+          var iis: javax.imageio.stream.ImageInputStream = null
           try {
-            val iis = javax.imageio.ImageIO.createImageInputStream(
+            iis = javax.imageio.ImageIO.createImageInputStream(
               new java.io.ByteArrayInputStream(
                 if (content == null) Array.emptyByteArray else content))
             val readers = javax.imageio.ImageIO.getImageReaders(iis)
@@ -114,9 +115,15 @@ object Multimodal {
                 reader.getNumImages(true))
             }
           } catch {
-            case _: java.io.IOException => DecodedMedia(id, len, hash, -1, -1, 0)
+            // NonFatal, not just IOException: codecs throw
+            // IllegalArgument/IndexOutOfBounds/NegativeArraySize on
+            // malformed-but-recognized payloads (hostile headers), and
+            // a media crawl must degrade per-row, not fail the task
+            case scala.util.control.NonFatal(_) =>
+              DecodedMedia(id, len, hash, -1, -1, 0)
           } finally {
             if (reader != null) reader.dispose()
+            if (iis != null) iis.close()
           }
         }
       }

@@ -148,19 +148,29 @@ object Mutation {
             case o => throw new IllegalArgumentException(
               s"unsupported key type for stats pruning: ${o.getClass}")
           }).sorted
-        val keyStrings: Array[String] =
-          if (keyIsString) keys.map(_.getString(0)).sorted else Array.empty
+        // String keys compare as UNSIGNED UTF-8 bytes — parquet's
+        // BINARY stats order. Java String ordering (UTF-16 code units)
+        // disagrees for supplementary characters (e.g. emoji sort
+        // below U+FFFD in UTF-16 but above it in UTF-8), which would
+        // wrongly prune a file that contains the key.
+        val keyBytes: Array[Array[Byte]] =
+          if (keyIsString)
+            keys.map(_.getString(0).getBytes("UTF-8")).sortWith(cmpU(_, _) < 0)
+          else Array.empty
 
         def anyKeyIn(minL: Long, maxL: Long): Boolean = {
           val i = java.util.Arrays.binarySearch(keyLongs, minL)
           val from = if (i >= 0) i else -i - 1
           from < keyLongs.length && keyLongs(from) <= maxL
         }
-        def anyKeyInStr(minS: String, maxS: String): Boolean = {
-          val i = java.util.Arrays.binarySearch(
-            keyStrings.asInstanceOf[Array[AnyRef]], minS)
-          val from = if (i >= 0) i else -i - 1
-          from < keyStrings.length && keyStrings(from) <= maxS
+        def anyKeyInStr(minB: Array[Byte], maxB: Array[Byte]): Boolean = {
+          // first key ≥ min (binary search on the unsigned order)
+          var lo = 0; var hi = keyBytes.length
+          while (lo < hi) {
+            val mid = (lo + hi) >>> 1
+            if (cmpU(keyBytes(mid), minB) < 0) lo = mid + 1 else hi = mid
+          }
+          lo < keyBytes.length && cmpU(keyBytes(lo), maxB) <= 0
         }
 
         val dataFiles = new java.io.File(targetPath).listFiles()
@@ -197,13 +207,25 @@ object Mutation {
     }
   }
 
+  /** Unsigned lexicographic byte comparison — parquet's BINARY order. */
+  private def cmpU(a: Array[Byte], b: Array[Byte]): Int = {
+    val n = math.min(a.length, b.length)
+    var i = 0
+    while (i < n) {
+      val d = (a(i) & 0xff) - (b(i) & 0xff)
+      if (d != 0) return d
+      i += 1
+    }
+    a.length - b.length
+  }
+
   /** Metadata-only overlap probe: open the parquet FOOTER and test every
     * row group's [min, max] for `keyCol` against the update key set.
     * Missing/unusable stats → conservatively true. */
   private def fileMayContainKey(f: java.io.File, keyCol: String,
       conf: org.apache.hadoop.conf.Configuration,
       anyKeyIn: (Long, Long) => Boolean,
-      anyKeyInStr: (String, String) => Boolean): Boolean = {
+      anyKeyInStr: (Array[Byte], Array[Byte]) => Boolean): Boolean = {
     import scala.jdk.CollectionConverters._
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
@@ -222,7 +244,7 @@ object Mutation {
                 anyKeyIn(mn.longValue(), mx.longValue())
               case (mn: org.apache.parquet.io.api.Binary,
                     mx: org.apache.parquet.io.api.Binary) =>
-                anyKeyInStr(mn.toStringUsingUTF8, mx.toStringUsingUTF8)
+                anyKeyInStr(mn.getBytes, mx.getBytes)
               case _ => true
             }
           }

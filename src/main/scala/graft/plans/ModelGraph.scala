@@ -87,14 +87,22 @@ object ModelGraph {
           if (parts > 1 && written.count() <= maxSingleFileRows) {
             val tmp = path + ".compact"
             written.coalesce(1).write.mode("overwrite").parquet(tmp)
-            val dead = new java.io.File(path)
             def rm(f: java.io.File): Unit = {
               if (f.isDirectory) f.listFiles().foreach(rm)
               f.delete(); ()
             }
-            rm(dead)
-            if (!new java.io.File(tmp).renameTo(dead))
-              throw new java.io.IOException(s"could not publish compacted $path")
+            // crash-safe swap: stage the live dir to .old FIRST, publish,
+            // THEN drop the backup — a crash at any point leaves either
+            // the old or the new export readable, never neither
+            val live = new java.io.File(path)
+            val old = new java.io.File(path + ".old")
+            rm(old)
+            if (!live.renameTo(old))
+              throw new java.io.IOException(s"could not stage out $path")
+            if (!new java.io.File(tmp).renameTo(live))
+              throw new java.io.IOException(
+                s"could not publish compacted $path; previous data at $old")
+            rm(old)
           }
           spark.read.parquet(path)
       }

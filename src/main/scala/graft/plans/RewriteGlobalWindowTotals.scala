@@ -36,7 +36,12 @@ object RewriteGlobalWindowTotals extends Rule[LogicalPlan] {
   override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
     case w: Window if w.partitionSpec.isEmpty && w.orderSpec.isEmpty &&
         w.windowExpressions.nonEmpty &&
-        w.windowExpressions.forall(isWholeFrameAggregate) =>
+        w.windowExpressions.forall(isWholeFrameAggregate) &&
+        // the rewrite evaluates w.child TWICE (row leg + total leg); a
+        // nondeterministic subtree (rand(), uuid(), …) would aggregate
+        // a DIFFERENT sample than the emitted rows — the Window form's
+        // same-rows guarantee must win there, so the rule stands down
+        w.child.find(n => !n.expressions.forall(_.deterministic)).isEmpty =>
       val aggAliases: Seq[Alias] = w.windowExpressions.map {
         case a @ Alias(WindowExpression(agg: AggregateExpression, _), _) =>
           Alias(agg, a.name + "__global")()

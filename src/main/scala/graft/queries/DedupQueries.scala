@@ -96,10 +96,22 @@ object DedupQueries {
        |  SELECT doc_id, seed // 4 AS band,
        |    md5(string_agg(CAST(m AS VARCHAR), '|' ORDER BY seed)) AS sig
        |  FROM mh GROUP BY 1, 2),
+       |bstats AS (
+       |  SELECT band, sig, COUNT(*) AS occ, MIN(doc_id) AS mn
+       |  FROM bands GROUP BY 1, 2),
        |cand AS (
-       |  SELECT DISTINCT a.doc_id AS i, b.doc_id AS j
-       |  FROM bands a JOIN bands b
-       |    ON a.band = b.band AND a.sig = b.sig AND a.doc_id < b.doc_id),
+       |  SELECT DISTINCT i, j FROM (
+       |    SELECT a.doc_id AS i, b.doc_id AS j
+       |    FROM bands a
+       |    JOIN bands b ON a.band = b.band AND a.sig = b.sig
+       |      AND a.doc_id < b.doc_id
+       |    JOIN bstats s ON s.band = a.band AND s.sig = a.sig
+       |    WHERE s.occ <= 256
+       |    UNION ALL
+       |    SELECT s.mn AS i, b.doc_id AS j
+       |    FROM bands b
+       |    JOIN bstats s ON s.band = b.band AND s.sig = b.sig
+       |    WHERE s.occ > 256 AND b.doc_id <> s.mn)),
        |$JACCARD_TAIL,
        |lshpairs AS (
        |  SELECT cand.i AS i, cand.j AS j, jaccard

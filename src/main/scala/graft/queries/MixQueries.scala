@@ -227,13 +227,18 @@ object MixQueries {
         |  CAST(SUM(keep_dedup * keep_ppl * keep_clean * n_tokens) AS BIGINT)
         |    AS tokens_final
         |FROM flags GROUP BY source ORDER BY source""".stripMargin) { (s, d) =>
+    g02Body(s, d, DedupQueries.lshPairs(s, d))
+  }
+
+  /** g02 body over an explicit near-dup pair source (the bench feeds
+    * the materialized d00 stage; the catalog entry derives it inline). */
+  def g02Body(s: SparkSession, d: String,
+      pairs: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
     val all = docs(s, d)
     val train = all.filter(col("doc_id") % 10 =!= 0)
       .select(col("doc_id"), col("source"),
         size(split(col("text"), " ")).cast("long").as("n_tokens"))
-    val dups = graft.operators.Dedup.connectedComponents(
-        graft.operators.Dedup
-          .minhashLshPairs(all, "doc_id", "text", 0.5).select("i", "j"))
+    val dups = graft.operators.Dedup.connectedComponents(pairs.select("i", "j"))
       .filter(col("id") =!= col("lbl"))
       .select(col("id").as("doc_id"), lit(1).as("is_dup"))
     val (counts, ctx, vocab) = graft.operators.LangModel.train(

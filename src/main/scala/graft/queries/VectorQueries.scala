@@ -72,19 +72,29 @@ object VectorQueries {
       }
     }.mkString(",\n    ")
 
-  /** CTEs `<p>(tbl, bit, w)` (plane literals) and `<s>(vec_id, tbl,
-    * bkt)` (per-table bucket signatures over CTE `n`) — the shared
-    * sign-LSH construction both ANN (v03/v06) and near-dup (v02)
-    * oracles replay. */
-  private def sigCtes(p: String, s: String, nBits: Int, nTables: Int): String =
+  /** CTEs `<p>(tbl, bit, w)` (plane literals), `<s>_raw(vec_id, tbl,
+    * bkt)` (uncapped per-table signatures over CTE `n`) and
+    * `<s>(…)` (occupancy-capped: lowest `maxBucket` vec_ids per
+    * bucket) — the shared sign-LSH construction both ANN (v03/v06) and
+    * near-dup (v02) oracles replay. The cap replays
+    * `Similarity.capBuckets` EXACTLY, so engine and oracle agree even
+    * at a scale where a degenerate bucket makes the cap bind. */
+  private def sigCtes(p: String, s: String, nBits: Int, nTables: Int,
+      maxBucket: Int): String =
     s"""$p(tbl, bit, w) AS (VALUES
        |    ${planesSql(nBits, nTables)}),
-       |$s AS (
+       |${s}_raw AS (
        |  SELECT n.vec_id, p.tbl,
        |    CAST(SUM(CASE WHEN list_sum(list_transform(range(1, 65),
        |            k -> n.e[k] * p.w[k])) > 0
        |        THEN (CAST(1 AS BIGINT) << p.bit) ELSE 0 END) AS BIGINT) AS bkt
-       |  FROM n CROSS JOIN $p p GROUP BY 1, 2)""".stripMargin
+       |  FROM n CROSS JOIN $p p GROUP BY 1, 2),
+       |$s AS (
+       |  SELECT vec_id, tbl, bkt FROM (
+       |    SELECT vec_id, tbl, bkt,
+       |      ROW_NUMBER() OVER (PARTITION BY tbl, bkt ORDER BY vec_id) AS rn
+       |    FROM ${s}_raw)
+       |  WHERE rn <= $maxBucket)""".stripMargin
 
   // ---------------------------------------------------------------- v02
   // Embedding-cosine near-dup pairs above 0.4 (the corpus has no planted
@@ -102,7 +112,8 @@ object VectorQueries {
   val v02NearDupPairs: Q = Q(
     "v02_embedding_neardup",
     s"""WITH $VEC_CTE,
-       |${sigCtes("nd_planes", "nd_sig", ND_BITS, ND_TABLES)},
+       |${sigCtes("nd_planes", "nd_sig", ND_BITS, ND_TABLES,
+          graft.operators.Similarity.DefaultMaxBucket)},
        |nd_cand AS (
        |  SELECT DISTINCT x.vec_id AS i, y.vec_id AS j
        |  FROM nd_sig x JOIN nd_sig y
@@ -128,10 +139,11 @@ object VectorQueries {
     * the multi-table sign-LSH top-10 (v03's body; v06 reuses it as the
     * recall numerator). */
   private def lsh10Ctes: String =
-    s"""${sigCtes("planes", "sig", LSH_BITS, LSH_TABLES)},
+    s"""${sigCtes("planes", "sig", LSH_BITS, LSH_TABLES,
+        graft.operators.Similarity.DefaultMaxBucket)},
        |cand AS (
        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
-       |  FROM sig q JOIN sig c ON q.tbl = c.tbl AND q.bkt = c.bkt
+       |  FROM sig_raw q JOIN sig c ON q.tbl = c.tbl AND q.bkt = c.bkt
        |  WHERE q.vec_id < 10 AND c.vec_id <> q.vec_id),
        |lsh_scored AS (
        |  SELECT cand.query_id, cand.neighbor_id, ROUND($COS, 6) AS cos_sim

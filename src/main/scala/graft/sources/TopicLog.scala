@@ -34,22 +34,32 @@ object TopicLog {
 
   /** Append `df(key, value, ts)` to the log with Kafka-producer
     * semantics: partition = hash(key) % nPartitions (all records of a
-    * key land in ONE partition, preserving per-key order), offsets
-    * continue from each partition's current end, one new segment file
-    * per non-empty partition, staged + renamed so readers never see a
-    * half-written segment. Single-writer per topic dir (Kafka's
-    * per-partition leader invariant).
+    * key land in ONE partition, preserving per-key order; null keys
+    * route by the empty string — never NPE), offsets continue from each
+    * partition's current end, one new segment file per non-empty
+    * partition, staged + renamed so readers never see a half-written
+    * segment. Single-writer per topic dir (Kafka's per-partition
+    * leader invariant).
+    *
+    * `tag` makes the append IDEMPOTENT per tag (the transactional-
+    * producer analog): segment names carry the tag, and a partition
+    * that already has a segment for this tag is skipped — so a sink
+    * replaying a micro-batch after a crash between partial segment
+    * publishes and the marker commit writes each partition's segment
+    * EXACTLY once (the batch content and ordering are deterministic,
+    * so the re-derived segment is identical).
     *
     * Executors write their own partition's segment (foreachPartition
     * after a repartition on the topic partition) — the driver never
     * holds data rows, only the per-partition end offsets (bounded by
     * nPartitions). */
   def append(spark: SparkSession, df: DataFrame, dir: String,
-      nPartitions: Int): Unit = {
+      nPartitions: Int, tag: Option[String] = None): Unit = {
     val ends = (0 until nPartitions)
       .map(p => p -> endOffset(dir, p)).toMap
     val endsB = spark.sparkContext.broadcast(ends)
     val dirB = dir
+    val tagB = tag
     // deterministic partition + dense per-partition sequence: the order
     // within a partition is (ts, key, value) — content-stable, so a
     // replayed append writes identical segments
@@ -59,7 +69,9 @@ object TopicLog {
       .select(col("key").cast("string").as("key"),
         col("value").cast("string").as("value"),
         col("ts").cast("timestamp").as("ts"))
-      .withColumn("__p", pmod(crc32(col("key").cast("binary")), lit(nPartitions)).cast("int"))
+      .withColumn("__p", pmod(
+        crc32(coalesce(col("key"), lit("")).cast("binary")),
+        lit(nPartitions)).cast("int"))
       .withColumn("__seq", row_number().over(w).cast("long") - 1)
     assigned.select("__p", "__seq", "key", "value", "ts")
       .repartition(nPartitions, col("__p"))
@@ -76,24 +88,30 @@ object TopicLog {
               r.getTimestamp(4)))
         }
         perPart.foreach { case (p, buf) =>
-          val base = endsB.value(p)
-          val sorted = buf.sortBy(_._1)
           val pDir = new java.io.File(s"$dirB/p=$p")
           pDir.mkdirs()
-          val start = base
-          val end = base + sorted.length
-          val tmp = new java.io.File(pDir, s".segment-$start-$end.tsv.tmp")
-          val out = new java.io.PrintWriter(
-            new java.io.OutputStreamWriter(
-              new java.io.FileOutputStream(tmp), "UTF-8"))
-          try sorted.foreach { case (seq, k, v, ts) =>
-            val micros = ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
-            out.println(Seq((base + seq).toString, esc(k), esc(v),
-              micros.toString).mkString("\t"))
-          } finally out.close()
-          val fin = new java.io.File(pDir, s"segment-$start-$end.tsv")
-          if (!tmp.renameTo(fin))
-            throw new java.io.IOException(s"segment publish failed: $fin")
+          val tagSuffix = tagB.map(t => s".t$t").getOrElse("")
+          val alreadyWritten = tagB.isDefined && pDir.listFiles().exists(
+            f => f.getName.startsWith("segment-") &&
+              f.getName.endsWith(s"$tagSuffix.tsv"))
+          if (!alreadyWritten) {
+            val base = endsB.value(p)
+            val sorted = buf.sortBy(_._1)
+            val start = base
+            val end = base + sorted.length
+            val tmp = new java.io.File(pDir, s".segment-$start-$end$tagSuffix.tsv.tmp")
+            val out = new java.io.PrintWriter(
+              new java.io.OutputStreamWriter(
+                new java.io.FileOutputStream(tmp), "UTF-8"))
+            try sorted.foreach { case (seq, k, v, ts) =>
+              val micros = ts.getTime / 1000 * 1000000L + ts.getNanos / 1000
+              out.println(Seq((base + seq).toString, esc(k), esc(v),
+                micros.toString).mkString("\t"))
+            } finally out.close()
+            val fin = new java.io.File(pDir, s"segment-$start-$end$tagSuffix.tsv")
+            if (!tmp.renameTo(fin))
+              throw new java.io.IOException(s"segment publish failed: $fin")
+          }
         }
       }
   }
@@ -102,23 +120,23 @@ object TopicLog {
     * topic-to-topic pipelines (S11) then run entirely through the
     * connector: `readStream.format("graft-topic")` on the source
     * topic, transforms, [[sink]] on the destination. foreachBatch is
-    * at-least-once, so a batchId marker guards replays (the
-    * aggregateMv pattern): a re-delivered batch is skipped, keeping
-    * the destination log exactly-once. The batch must carry
+    * at-least-once; exactly-once comes from TWO layers: the batchId
+    * marker (atomic tmp+rename, lenient — see below) fast-path-skips
+    * completed batches, and the append itself is tagged with the
+    * batchId so a replay after a crash MID-append skips exactly the
+    * partitions whose segments already published and writes the rest —
+    * no duplicate and no lost records in the window between segment
+    * publishes and the marker commit. The batch must carry
     * (key, value, ts) columns — the producer schema. */
   def sink(df: org.apache.spark.sql.DataFrame, dir: String, nPartitions: Int,
       checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery =
     df.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        val marker = new java.io.File(dir + ".lastbatch")
-        val lastApplied =
-          if (marker.exists())
-            scala.io.Source.fromFile(marker).mkString.trim.toLong
-          else -1L
-        if (batchId > lastApplied) {
-          append(batch.sparkSession, batch, dir, nPartitions)
-          val w = new java.io.PrintWriter(marker)
-          try w.print(batchId) finally w.close()
+        val marker = dir + ".lastbatch"
+        if (batchId > graft.streaming.BatchMarker.lastApplied(marker, lenient = true)) {
+          append(batch.sparkSession, batch, dir, nPartitions,
+            tag = Some(batchId.toString))
+          graft.streaming.BatchMarker.commit(marker, batchId)
         }
       }
       .option("checkpointLocation", checkpointDir)
@@ -159,14 +177,14 @@ object TopicLog {
     else pDir.listFiles().toSeq
       .flatMap { f =>
         f.getName match {
-          case SegmentName(s, e) => Some((s.toLong, e.toLong, f))
+          case SegmentName(s, e, _) => Some((s.toLong, e.toLong, f))
           case _ => None
         }
       }
       .sortBy(_._1)
   }
 
-  private val SegmentName = """segment-(\d+)-(\d+)\.tsv""".r
+  private val SegmentName = """segment-(\d+)-(\d+)(\.t[^.]+)?\.tsv""".r
 
   /** Current end offset (exclusive) of a partition. */
   private[sources] def endOffset(dir: String, p: Int): Long =

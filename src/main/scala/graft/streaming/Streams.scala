@@ -123,13 +123,11 @@ object Streams {
         // between the MERGE and the offset commit would be folded in twice.
         // Record the last applied batchId next to the target and skip
         // replays (valid as long as target and checkpoint live and die
-        // together, which mergeUpsert's staging swap preserves).
-        val marker = new java.io.File(targetDir + ".lastbatch")
-        val lastApplied =
-          if (marker.exists())
-            scala.io.Source.fromFile(marker).mkString.trim.toLong
-          else -1L
-        if (batchId > lastApplied) {
+        // together, which mergeUpsert's staging swap preserves). STRICT
+        // marker policy: the MERGE fold is not idempotent, so an
+        // unreadable marker must stop the query, not guess.
+        val marker = targetDir + ".lastbatch"
+        if (batchId > BatchMarker.lastApplied(marker, lenient = false)) {
           val spark = batch.sparkSession
           val delta = batch
             .groupBy(to_date(col("ts")).as("event_date"), col("event_type"))
@@ -153,8 +151,7 @@ object Streams {
           }
           graft.operators.Mutation.mergeUpsert(
             spark, targetDir, affected, Seq("event_date", "event_type"))
-          val w = new java.io.PrintWriter(marker)
-          try w.print(batchId) finally w.close()
+          BatchMarker.commit(marker, batchId)
         }
       }
       .option("checkpointLocation", checkpointDir)
@@ -207,56 +204,81 @@ object Streams {
     * After draining, `pairsDir` holds EXACTLY the batch pipeline's
     * output on the full corpus (spec-proven equivalence).
     *
-    * State = two append-only parquet dirs (band index + shingle sets);
-    * in production those are the same tables a compaction job would
-    * rebuild via the batch path. foreachBatch is at-least-once, so a
-    * batchId marker guards replays (the aggregateMv pattern); the
-    * per-batch caches are scoped and released (CacheScope).
+    * State = two parquet dir trees (band index + shingle sets) with ONE
+    * SUBDIR PER BATCH, written with overwrite — so a replayed batch
+    * (foreachBatch is at-least-once) REPLACES its own partial output
+    * instead of appending a second copy: pairs can't duplicate and,
+    * crucially, the accumulated shingle store can't double (duplicated
+    * (id, n, s) rows would double `common` counts and corrupt every
+    * later batch's jaccard). The batchId marker (atomic tmp+rename,
+    * lenient policy — the writes are idempotent) is a fast-path skip,
+    * not the correctness mechanism. Per-batch caches are scoped and
+    * released (CacheScope). State reads from earlier batches exclude
+    * the in-flight batch's own subdirs, so a replay recomputes against
+    * exactly the pre-batch state.
     */
   def minhashLshStream(docsStream: DataFrame, idCol: String, textCol: String,
       threshold: Double, stateDir: String, pairsDir: String,
       checkpointDir: String, numHashes: Int = 16, bands: Int = 4): StreamingQuery =
     docsStream.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
-        import graft.operators.{Dedup, Mutation}
+        import graft.operators.Dedup
         val spark = batch.sparkSession
-        val marker = new java.io.File(stateDir + ".lastbatch")
-        val lastApplied =
-          if (marker.exists())
-            scala.io.Source.fromFile(marker).mkString.trim.toLong
-          else -1L
-        if (batchId > lastApplied) graft.CacheScope.withScope {
-          val bandsPath = s"$stateDir/bands"
-          val shinglePath = s"$stateDir/shingled"
-          val newShingled = graft.CacheScope.persist(
-            Dedup.shingleSets(batch, idCol, textCol))
-          val newBands = graft.CacheScope.persist(Dedup.lshBuckets(
-            Dedup.withSignature(newShingled, numHashes),
-            idCol, bands, numHashes / bands))
-          val allBands = Mutation.readIfExists(spark, bandsPath)
-            .map(_.unionByName(newBands)).getOrElse(newBands)
-          val cand = newBands
-            .select(col("band"), col("sig"), col(idCol).as("x"))
-            .join(allBands.select(col("band"), col("sig"), col(idCol).as("y")),
-              Seq("band", "sig"))
-            .filter(col("x") =!= col("y"))
-            .select(least(col("x"), col("y")).as("i"),
-              greatest(col("x"), col("y")).as("j"))
-            .distinct()
-          val allShingled = Mutation.readIfExists(spark, shinglePath)
-            .map(_.unionByName(newShingled)).getOrElse(newShingled)
-          Dedup.jaccardFor(cand, allShingled, idCol)
-            .filter(col("jaccard") >= threshold)
-            .write.mode("append").parquet(pairsDir)
-          newBands.write.mode("append").parquet(bandsPath)
-          newShingled.write.mode("append").parquet(shinglePath)
-          val w = new java.io.PrintWriter(marker)
-          try w.print(batchId) finally w.close()
-        }
+        val marker = stateDir + ".lastbatch"
+        if (batchId > BatchMarker.lastApplied(marker, lenient = true))
+          graft.CacheScope.withScope {
+            val bandsPath = s"$stateDir/bands"
+            val shinglePath = s"$stateDir/shingled"
+            // earlier batches' subdirs ONLY — never the in-flight
+            // batch's own (possibly partial, pre-crash) output
+            def readPrior(root: String): Option[DataFrame] = {
+              val dirs = Option(new java.io.File(root).listFiles()).toSeq.flatten
+                .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
+                .filter(_.getName.stripPrefix("batch-").toLong < batchId)
+                .map(_.getPath)
+              if (dirs.isEmpty) None
+              else Some(spark.read.parquet(dirs: _*))
+            }
+            val newShingled = graft.CacheScope.persist(
+              Dedup.shingleSets(batch, idCol, textCol))
+            val newBands = graft.CacheScope.persist(Dedup.lshBuckets(
+              Dedup.withSignature(newShingled, numHashes),
+              idCol, bands, numHashes / bands))
+            val allBands = readPrior(bandsPath)
+              .map(_.unionByName(newBands)).getOrElse(newBands)
+            val cand = newBands
+              .select(col("band"), col("sig"), col(idCol).as("x"))
+              .join(allBands.select(col("band"), col("sig"), col(idCol).as("y")),
+                Seq("band", "sig"))
+              .filter(col("x") =!= col("y"))
+              .select(least(col("x"), col("y")).as("i"),
+                greatest(col("x"), col("y")).as("j"))
+              .distinct()
+            val allShingled = readPrior(shinglePath)
+              .map(_.unionByName(newShingled)).getOrElse(newShingled)
+            Dedup.jaccardFor(cand, allShingled, idCol)
+              .filter(col("jaccard") >= threshold)
+              .write.mode("overwrite").parquet(s"$pairsDir/batch-$batchId")
+            newBands.write.mode("overwrite")
+              .parquet(s"$bandsPath/batch-$batchId")
+            newShingled.write.mode("overwrite")
+              .parquet(s"$shinglePath/batch-$batchId")
+            BatchMarker.commit(marker, batchId)
+          }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())
       .start()
+
+  /** All pairs a [[minhashLshStream]] run emitted (union of the
+    * per-batch subdirs). */
+  def lshStreamPairs(spark: SparkSession, pairsDir: String): DataFrame = {
+    val dirs = Option(new java.io.File(pairsDir).listFiles()).toSeq.flatten
+      .filter(f => f.isDirectory && f.getName.startsWith("batch-"))
+      .map(_.getPath)
+    require(dirs.nonEmpty, s"no batch output under $pairsDir")
+    spark.read.parquet(dirs: _*)
+  }
 
   /** Run any streaming frame into an in-memory table for deterministic
     * tests (processAllAvailable → stop). */

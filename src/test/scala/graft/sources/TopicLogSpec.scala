@@ -141,6 +141,33 @@ class TopicLogSpec extends SparkSpec {
     assert(fin.filter($"value" === "TAIL").count() === 1)
   }
 
+  test("null keys route deterministically instead of NPEing") {
+    val dir = Files.createTempDirectory("graft-topic").toString + "/tnull"
+    val withNull = Seq((Option.empty[String], "orphan", "2024-01-01 00:00:00"),
+      (Some("k1"), "keyed", "2024-01-01 00:00:01"))
+      .toDF("key", "value", "t")
+      .select($"key", $"value", to_timestamp($"t").as("ts"))
+    TopicLog.append(spark, withNull, dir, 2)
+    val got = spark.read.format(TopicLogSource.Name).option("path", dir).load()
+    assert(got.count() === 2)
+    assert(got.filter($"key".isNull).select("value").as[String].head() === "orphan")
+  }
+
+  test("tagged append is idempotent per tag (crash-replay safety)") {
+    val dir = Files.createTempDirectory("graft-topic").toString + "/ttag"
+    val b = batch((0 until 12).map(i => (s"k$i", s"v$i", "2024-01-01 00:00:00")): _*)
+    TopicLog.append(spark, b, dir, 3, tag = Some("7"))
+    // replay of the same batch tag: every partition already has its
+    // segment → nothing written, no duplicates, offsets unchanged
+    TopicLog.append(spark, b, dir, 3, tag = Some("7"))
+    val got = spark.read.format(TopicLogSource.Name).option("path", dir).load()
+    assert(got.count() === 12)
+    // a NEW tag appends normally at the advanced offsets
+    TopicLog.append(spark, b, dir, 3, tag = Some("8"))
+    assert(spark.read.format(TopicLogSource.Name).option("path", dir).load()
+      .count() === 24)
+  }
+
   test("per-partition order is preserved through the reader") {
     val dir = Files.createTempDirectory("graft-topic").toString + "/t5"
     // two appends → two segments per partition; reader must walk them

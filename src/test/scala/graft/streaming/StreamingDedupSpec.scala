@@ -37,12 +37,12 @@ class StreamingDedupSpec extends SparkSpec {
     def canon(df: org.apache.spark.sql.DataFrame) =
       df.select(col("i"), col("j"), round(col("jaccard"), 4))
         .collect().map(_.toSeq).toSet
-    val streamed = canon(spark.read.parquet(pairsDir))
+    val streamedDf = Streams.lshStreamPairs(spark, pairsDir)
+    val streamed = canon(streamedDf)
     val batch = canon(Dedup.minhashLshPairs(docs, "doc_id", "text", 0.5))
     assert(streamed === batch)
     assert(streamed.nonEmpty, "corpus has planted near-dups; empty = vacuous")
     // exactly-once emission: no pair appears twice across batches
-    assert(spark.read.parquet(pairsDir).count() ===
-      spark.read.parquet(pairsDir).distinct().count())
+    assert(streamedDf.count() === streamedDf.distinct().count())
   }
 }
