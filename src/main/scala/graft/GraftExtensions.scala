@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
 
-import graft.functions.expressions.{DotProduct, MinHashSignature, RollingFingerprint, SimHash64, SimHashBits, WordShingles}
+import graft.functions.expressions.{DotProduct, MinHashSignature, RollingFingerprint, SimHash64, SimHashBits, TopKPairs, WordShingles}
 import org.apache.spark.sql.catalyst.expressions.Literal
 
 /** SparkSessionExtensions entry point: registers the engine's native
@@ -50,6 +50,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
       info("simhash_bits",
         "simhash_bits(hashes, width) - SimHash over precomputed array<bigint> hashes"),
       (children: Seq[Expression]) => SimHashBits(children(0), intArg(children(1)))))
+    ext.injectFunction((
+      FunctionIdentifier("topk_pairs"),
+      info("topk_pairs",
+        "topk_pairs(score, id, k) - bounded best-first top-k aggregate of (score, id) pairs"),
+      (children: Seq[Expression]) => TopKPairs(children(0), children(1),
+        intArg(children(2)))))
     ext.injectFunction((
       FunctionIdentifier("rolling_fingerprint"),
       info("rolling_fingerprint",

@@ -41,6 +41,24 @@ object Similarity {
     vectors.select(col("vec_id").as(idAlias), asDouble(col("embedding")).as("v"))
       .withColumn("nrm", sqrt(norm2(col("v"))))
 
+  /** Per-query top-k finisher via the bounded [[graft.functions.expressions.TopKPairs]]
+    * aggregate (score DESC, neighbor_id ASC — identical ordering to the
+    * `row_number()` window form it replaces, spec-asserted equal).
+    *
+    * The window form is the 100 TB trap: PARTITION BY query_id has ~|queries|
+    * distinct keys, so EVERY scored candidate row shuffles into that many
+    * reducer partitions before one row is dropped. The aggregate plans as
+    * ObjectHashAggregate with a partial (map-side) pass — each map task
+    * emits at most k rows per query, so the shuffle is k·|queries| rows per
+    * map partition regardless of corpus size. */
+  private def topKPerQuery(scored: DataFrame, k: Int, scoreCol: String): DataFrame =
+    scored.groupBy("query_id")
+      .agg(graft.functions.expressions.TopKPairs
+        .topk_pairs(col(scoreCol), col("neighbor_id"), k).as("tk"))
+      .select(col("query_id"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("query_id"), col("p.id").as("neighbor_id"),
+        col("p.score").as(scoreCol), (col("pos") + 1).as("rank"))
+
   /** Brute-force top-k: broadcast the query set, score every corpus row,
     * keep k per query with a deterministic tie-break. */
   def bruteForceTopK(corpus: DataFrame, queries: DataFrame, k: Int): DataFrame = {
@@ -51,10 +69,7 @@ object Similarity {
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, k, "cos_sim")
   }
 
   /** Int8 scalar quantization: per-vector scale 127/max|x|, component
@@ -91,10 +106,7 @@ object Similarity {
     val scored = c.join(broadcast(q), col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(idot / (sqrt(col("qqn")) * sqrt(col("cqn"))), 6).as("qcos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("qcos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w))
-      .filter(col("rank") <= k)
+    topKPerQuery(scored, k, "qcos_sim")
   }
 
   /** Deterministic pseudo-random hyperplane weights (trig hash). Public
@@ -171,9 +183,7 @@ object Similarity {
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos_sim"))
       .distinct() // a pair sharing buckets in several tables scores once
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(scored, k, "cos_sim")
   }
 
   /** IVF (inverted-file) ANN: partition the corpus into `nCentroids`
@@ -243,9 +253,7 @@ object Similarity {
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("cv2")) / (col("qn") * col("cn2")), 6).as("cos_sim"))
-    val w = Window.partitionBy("query_id")
-      .orderBy(col("cos_sim").desc, col("neighbor_id"))
-    scored.withColumn("rank", row_number().over(w)).filter(col("rank") <= k)
+    topKPerQuery(scored, k, "cos_sim")
   }
 
   /** All near-dup pairs with cosine ≥ threshold. Brute force over the

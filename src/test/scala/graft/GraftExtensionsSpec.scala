@@ -114,4 +114,15 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .head().getLong(0)
     assert(sqlV === colV)
   }
+
+  test("topk_pairs aggregate is callable from SQL") {
+    import spark.implicits._
+    Seq((1L, 2L, 0.5), (1L, 3L, 0.8), (2L, 9L, 0.1))
+      .toDF("g", "id", "sc").createOrReplaceTempView("tk_in")
+    val rows = spark.sql(
+      "SELECT g, topk_pairs(sc, id, 1) AS tk FROM tk_in GROUP BY g")
+      .selectExpr("g", "tk[0].id AS id", "tk[0].score AS sc")
+      .as[(Long, Long, Double)].collect().toSet
+    assert(rows === Set((1L, 3L, 0.8), (2L, 9L, 0.1)))
+  }
 }
