@@ -100,6 +100,41 @@ object Mix {
     conv(substring(md5(idCol.cast("string")), 9, 8), 16, 10)
       .cast("long") % nShards
 
+  /** Context-window chunking with stride: split each document's token
+    * stream into windows of `window` tokens starting every `stride`
+    * tokens (overlap = window − stride) — the standard prep that turns
+    * variable-length documents into model-context-sized training rows
+    * while the overlap preserves cross-boundary continuations.
+    *
+    * Semantics (deterministic, oracle-replayable): one chunk per start
+    * offset 0, stride, 2·stride, … for every start < n_tokens; the last
+    * chunks are shorter than `window` (truncation is the caller's
+    * policy — a `n_chunk_tokens = window` filter drops ragged tails).
+    *
+    * Scale: explode of a per-row sequence — no shuffle at all; output
+    * rows ≈ corpus_tokens / stride, each carrying one chunk. Returns
+    * (doc_id, chunk_idx, start_token, n_chunk_tokens, chunk_text). */
+  def chunkTokens(docs: DataFrame, idCol: String, textCol: String,
+      window: Int, stride: Int): DataFrame = {
+    require(window > 0 && stride > 0,
+      s"window and stride must be positive: window=$window stride=$stride")
+    docs
+      .select(col(idCol).as("doc_id"),
+        graft.functions.TextFns.tokens(col(textCol)).as("__t"))
+      .withColumn("__n", size(col("__t")))
+      .filter(col("__n") > 0)
+      .select(col("doc_id"), col("__t"),
+        posexplode(sequence(lit(0), col("__n") - 1, lit(stride)))
+          .as(Seq("__pos", "__start")))
+      .select(col("doc_id"),
+        col("__pos").cast("long").as("chunk_idx"),
+        col("__start").cast("long").as("start_token"),
+        slice(col("__t"), col("__start") + 1, lit(window)).as("__ct"))
+      .select(col("doc_id"), col("chunk_idx"), col("start_token"),
+        size(col("__ct")).cast("long").as("n_chunk_tokens"),
+        concat_ws(" ", col("__ct")).as("chunk_text"))
+  }
+
   /** GPT-style sequence packing: documents are concatenated in a global
     * deterministic order (by id) and chunked into fixed `seqLen`-token
     * training sequences; each document is assigned the sequence its

@@ -375,7 +375,34 @@ object MixQueries {
       .orderBy("lang")
   }
 
+  // ---------------------------------------------------------------- s06
+  // Context-window chunking with stride (window 64, stride 48 → 16-token
+  // overlap): turns variable-length documents into model-context-sized
+  // training rows. Pure per-row explode — zero shuffle; the oracle
+  // replays the identical start-offset and slice arithmetic.
+  val s06DocChunks: Q = Q(
+    "s06_doc_chunks",
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t,
+      |         len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |s AS (
+      |  SELECT doc_id, t,
+      |    unnest(generate_series(0, n - 1, 48)) AS start
+      |  FROM d WHERE n > 0)
+      |SELECT doc_id,
+      |  start // 48 AS chunk_idx,
+      |  start AS start_token,
+      |  CAST(len(list_slice(t, CAST(start + 1 AS INT), CAST(start + 64 AS INT))) AS BIGINT)
+      |    AS n_chunk_tokens,
+      |  array_to_string(list_slice(t, CAST(start + 1 AS INT), CAST(start + 64 AS INT)), ' ')
+      |    AS chunk_text
+      |FROM s ORDER BY doc_id, chunk_idx""".stripMargin) { (s, d) =>
+    Mix.chunkTokens(docs(s, d), "doc_id", "text", window = 64, stride = 48)
+      .orderBy("doc_id", "chunk_idx")
+  }
+
   val all: Seq[Q] = Seq(s01StratifiedSample, s02MixPlan, c01Contamination,
     c02ContaminationReport, g01CorpusGold, g02CorpusFunnel, s03ShardPlan,
-    s04SequencePacking, s05TemperatureMix)
+    s04SequencePacking, s05TemperatureMix, s06DocChunks)
 }

@@ -388,8 +388,29 @@ object TextQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- t12
+  // BPE tokenizer training, the distributed kernel: corpus-wide adjacent
+  // character-pair frequencies (the statistics the first merge choice is
+  // made from). Full training iterates this count → merge-argmax loop;
+  // each iteration is this same aggregation, whose shuffle is bounded by
+  // the symbol-pair alphabet, not the corpus. Ordered (cnt DESC, pair)
+  // so the top-50 cut is deterministic — pair is unique after the
+  // group-by, making the boundary tie-free.
+  val t12BpeMerges: Q = Q(
+    "t12_bpe_merges",
+    """WITH words AS (
+      |  SELECT unnest(string_split(text, ' ')) AS w FROM documents),
+      |pairs AS (
+      |  SELECT unnest(list_transform(range(1, length(w)),
+      |    i -> substr(w, CAST(i AS INT), 2))) AS pair
+      |  FROM words WHERE length(w) >= 2)
+      |SELECT pair, COUNT(*) AS cnt FROM pairs
+      |GROUP BY pair ORDER BY cnt DESC, pair LIMIT 50""".stripMargin) { (s, d) =>
+    graft.operators.Tokenizer.pairCounts(docs(s, d), "text", 50)
+  }
+
   val all: Seq[Q] = Seq(
     t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
     t05TokenHistogram, t06BpeTokens, t07RollingFingerprint,
-    t08Repetition, t09PiiScrub, t10Novelty, t11Perplexity)
+    t08Repetition, t09PiiScrub, t10Novelty, t11Perplexity, t12BpeMerges)
 }

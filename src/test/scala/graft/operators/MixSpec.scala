@@ -27,6 +27,27 @@ class MixSpec extends SparkSpec {
       (4L, 1L, 9L, 2L, 0))) // token 9, inside seq 2
   }
 
+  test("chunkTokens: hand-computed windows, stride overlap, ragged tail") {
+    val docs = Seq((7L, "t0 t1 t2 t3 t4 t5 t6 t7 t8 t9"), (8L, "solo"))
+      .toDF("doc_id", "text")
+    val chunks = Mix.chunkTokens(docs, "doc_id", "text", window = 4, stride = 3)
+      .select("doc_id", "chunk_idx", "start_token", "n_chunk_tokens", "chunk_text")
+      .as[(Long, Long, Long, Long, String)].collect()
+      .sortBy(c => (c._1, c._2))
+    assert(chunks === Array(
+      (7L, 0L, 0L, 4L, "t0 t1 t2 t3"),
+      (7L, 1L, 3L, 4L, "t3 t4 t5 t6"),   // 1-token overlap with chunk 0
+      (7L, 2L, 6L, 4L, "t6 t7 t8 t9"),
+      (7L, 3L, 9L, 1L, "t9"),            // ragged tail, shorter than window
+      (8L, 0L, 0L, 1L, "solo")))
+    // every adjacent chunk pair overlaps by exactly window - stride tokens
+    val doc7 = chunks.filter(_._1 == 7L)
+    doc7.sliding(2).foreach {
+      case Array(a, b) => assert(b._3 - a._3 === 3L)
+      case _ =>
+    }
+  }
+
   test("packSequences bucket granularity cannot change the result") {
     val docs = graft.Tables.t(spark, sfDir, "documents")
     val tok = size(split(col("text"), " "))
