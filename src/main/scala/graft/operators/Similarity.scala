@@ -206,14 +206,22 @@ object Similarity {
     val seed = c.orderBy("vid").limit(nCentroids)
       .select(col("vid").as("cid"), col("v").as("cv"), col("nrm").as("cn"))
 
-    def assign(vectors: DataFrame, centroids: DataFrame): DataFrame = {
-      val scored = vectors.crossJoin(broadcast(centroids))
+    // Argmax cell per vector via max_by on the (sim, −cid) key — the
+    // identical tie rule as the oracle's ROW_NUMBER (sim DESC, cid ASC),
+    // deterministic because cid is unique within a vid group. The
+    // aggregate form matters at scale: the crossJoin emits all of a
+    // vector's nCentroids scored rows inside one map partition, so the
+    // partial (map-side) max_by collapses them to ONE row per vector
+    // before the shuffle — where the previous row_number() window
+    // shuffled every (vector × centroid) row to sort it.
+    def assign(vectors: DataFrame, centroids: DataFrame): DataFrame =
+      vectors.crossJoin(broadcast(centroids))
         .withColumn("sim", dot(col("v"), col("cv")) / (col("nrm") * col("cn")))
-      val w = Window.partitionBy("vid").orderBy(col("sim").desc, col("cid"))
-      scored.withColumn("rnk", row_number().over(w))
-        .filter(col("rnk") === 1)
-        .select(col("vid"), col("v"), col("nrm"), col("cid"))
-    }
+        .groupBy("vid")
+        .agg(max_by(struct(col("v"), col("nrm"), col("cid")),
+          struct(col("sim"), negate(col("cid")))).as("b"))
+        .select(col("vid"), col("b.v").as("v"), col("b.nrm").as("nrm"),
+          col("b.cid").as("cid"))
 
     // One Lloyd step: element-wise mean of each cell's members. The mean
     // sums DECIMAL-cast components (a raw double sum varies in the last
