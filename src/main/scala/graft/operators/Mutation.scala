@@ -272,7 +272,18 @@ object Mutation {
     * dance of [[overwriteAtomic]]. */
   def compact(spark: SparkSession, path: String,
       targetBytes: Long = 128L * 1024 * 1024,
-      clusterBy: Option[String] = None): Boolean = {
+      clusterBy: Option[String] = None): Boolean =
+    compactWith(spark, path, targetBytes, (df, nOut) => clusterBy match {
+      case Some(k) =>
+        df.repartitionByRange(nOut, col(k)).sortWithinPartitions(k)
+      case None => df.repartition(nOut)
+    })
+
+  /** [[compact]] with a caller-supplied reshape (e.g. [[ZOrder.cluster]]
+    * for multi-column clustering): same size gate, same staged-rename
+    * publish; `reshape(df, nOut)` decides the physical layout. */
+  def compactWith(spark: SparkSession, path: String, targetBytes: Long,
+      reshape: (org.apache.spark.sql.DataFrame, Int) => org.apache.spark.sql.DataFrame): Boolean = {
     val dir = new java.io.File(path)
     if (!dir.isDirectory) return false
     val files = dir.listFiles().filter(f => f.isFile && f.getName.endsWith(".parquet"))
@@ -280,11 +291,7 @@ object Mutation {
     if (files.length <= 1 || files.forall(_.length >= targetBytes / 2)) return false
     val nOut = math.max(1, math.ceil(total.toDouble / targetBytes).toInt)
     val df = spark.read.parquet(path)
-    val reshaped = clusterBy match {
-      case Some(k) =>
-        df.repartitionByRange(nOut, col(k)).sortWithinPartitions(k)
-      case None => df.repartition(nOut)
-    }
+    val reshaped = reshape(df, nOut)
     val tmp = path + ".compacting"
     deleteRecursively(new java.io.File(tmp))
     reshaped.write.mode("overwrite").parquet(tmp)
