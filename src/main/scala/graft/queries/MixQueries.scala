@@ -402,7 +402,122 @@ object MixQueries {
       .orderBy("doc_id", "chunk_idx")
   }
 
+  // ---------------------------------------------------------------- s07
+  // Per-source document cap: keep the top-5 docs per source by token
+  // count — the per-domain quota every curation pipeline applies so no
+  // single domain dominates the mix. Runs on the bounded topk_pairs
+  // aggregate (map-side k-heap per source), NOT a row_number() window:
+  // source cardinality is small, so the window form would funnel the
+  // whole corpus through a handful of reducers — the exact shuffle
+  // pathology the aggregate was built to remove.
+  val s07SourceCap: Q = Q(
+    "s07_source_cap",
+    """WITH scored AS (
+      |  SELECT source, doc_id,
+      |    CAST(len(string_split(text, ' ')) AS DOUBLE) AS sc
+      |  FROM documents),
+      |ranked AS (
+      |  SELECT source, doc_id, sc,
+      |    ROW_NUMBER() OVER (PARTITION BY source
+      |      ORDER BY sc DESC, doc_id) AS rank
+      |  FROM scored)
+      |SELECT source, doc_id, CAST(sc AS BIGINT) AS n_tokens, rank
+      |FROM ranked WHERE rank <= 5 ORDER BY source, rank""".stripMargin) { (s, d) =>
+    import graft.functions.expressions.TopKPairs.topk_pairs
+    docs(s, d)
+      .select(col("source"), col("doc_id"),
+        size(split(col("text"), " ")).cast("double").as("sc"))
+      .groupBy("source")
+      .agg(topk_pairs(col("sc"), col("doc_id"), 5).as("tk"))
+      .select(col("source"), posexplode(col("tk")).as(Seq("pos", "p")))
+      .select(col("source"), col("p.id").as("doc_id"),
+        col("p.score").cast("bigint").as("n_tokens"),
+        (col("pos") + 1).as("rank"))
+      .orderBy("source", "rank")
+  }
+
+  // ---------------------------------------------------------------- g03
+  // Training-run prep, end to end at the TOKEN level: chunk documents
+  // into 64-token windows (stride 48), keep only full chunks, score
+  // each chunk under the t11 bigram LM (trained on the src0/src1
+  // reference slice), drop high-perplexity chunks (xent > 3.5 on the
+  // 4 dp-rounded value — rounding first makes the cut engine-exact),
+  // and pack survivors into 256-token training sequences in global cid
+  // order via the bucketed prefix sum. Output: one row per training
+  // sequence with its chunk count, token count, and DECIMAL-averaged
+  // chunk cross-entropy. Composes s06 + t11 + s04 — the last mile that
+  // turns a curated corpus into model-ready sequences.
+  val g03TrainingPrep: Q = Q(
+    "g03_training_prep",
+    """WITH d AS (
+      |  SELECT doc_id, string_split(text, ' ') AS t,
+      |         len(string_split(text, ' ')) AS n
+      |  FROM documents),
+      |chunks AS (
+      |  SELECT cid, ct FROM (
+      |    SELECT doc_id * 100 + start // 48 AS cid,
+      |      list_slice(t, CAST(start + 1 AS INT), CAST(start + 64 AS INT)) AS ct
+      |    FROM (SELECT doc_id, t, unnest(generate_series(0, n - 1, 48)) AS start
+      |          FROM d WHERE n > 0))
+      |  WHERE len(ct) = 64),
+      |tok AS (SELECT doc_id, source, string_split(text, ' ') AS t FROM documents),
+      |refbig AS (
+      |  SELECT t[i] AS w1, t[i+1] AS w2
+      |  FROM tok, unnest(range(1, len(t))) r(i)
+      |  WHERE len(t) >= 2 AND source IN ('src0', 'src1')),
+      |counts AS (SELECT w1, w2, COUNT(*) AS c FROM refbig GROUP BY 1, 2),
+      |ctx AS (SELECT w1, COUNT(*) AS n FROM refbig GROUP BY 1),
+      |vocab AS (
+      |  SELECT COUNT(DISTINCT u) AS v
+      |  FROM (SELECT unnest(t) AS u FROM tok WHERE source IN ('src0', 'src1'))),
+      |cbig AS (
+      |  SELECT cid, ct[i] AS w1, ct[i+1] AS w2
+      |  FROM chunks, unnest(range(1, 64)) r(i)),
+      |cscore AS (
+      |  SELECT cid,
+      |    ROUND(CAST(-SUM(CAST(ln((COALESCE(c, 0) + 1) / (COALESCE(n, 0) + v))
+      |        AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 4) AS xent
+      |  FROM cbig
+      |  LEFT JOIN counts USING (w1, w2)
+      |  LEFT JOIN ctx USING (w1)
+      |  CROSS JOIN vocab
+      |  GROUP BY cid),
+      |kept AS (SELECT cid, xent FROM cscore WHERE xent <= 3.5),
+      |packed AS (
+      |  SELECT cid, xent,
+      |    64 * (ROW_NUMBER() OVER (ORDER BY cid) - 1) AS prev_cum
+      |  FROM kept)
+      |SELECT prev_cum // 256 AS seq_id,
+      |  COUNT(*) AS n_chunks,
+      |  CAST(64 * COUNT(*) AS BIGINT) AS n_tokens,
+      |  ROUND(CAST(SUM(CAST(xent AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*), 4)
+      |    AS avg_xent
+      |FROM packed GROUP BY 1 ORDER BY seq_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val all = docs(s, d)
+    val chunks = Mix.chunkTokens(all, "doc_id", "text", window = 64, stride = 48)
+      .filter(col("n_chunk_tokens") === 64)
+      .select((col("doc_id") * 100 + col("chunk_idx")).as("cid"), col("chunk_text"))
+    val refPred = col("source").isin("src0", "src1")
+    val (counts, ctx, vocab) =
+      graft.operators.LangModel.train(all, "doc_id", "text", refPred)
+    val kept = graft.operators.LangModel
+      .crossEntropy(chunks, "cid", "chunk_text", counts, ctx, vocab)
+      .filter(col("xent") <= 3.5)
+      .select(col("cid"), col("xent"))
+    val packed = Mix.packSequences(kept, "cid", lit(64L), 256L,
+      expr("cid div 10000"))
+    packed.join(kept.withColumnRenamed("cid", "doc_id"), "doc_id")
+      .groupBy("seq_id")
+      .agg(count(lit(1)).as("n_chunks"),
+        sum("n").as("n_tokens"),
+        round(sum(col("xent").cast(DecimalType(38, 18))).cast("double")
+          / count(lit(1)), 4).as("avg_xent"))
+      .orderBy("seq_id")
+  }
+
   val all: Seq[Q] = Seq(s01StratifiedSample, s02MixPlan, c01Contamination,
     c02ContaminationReport, g01CorpusGold, g02CorpusFunnel, s03ShardPlan,
-    s04SequencePacking, s05TemperatureMix, s06DocChunks)
+    s04SequencePacking, s05TemperatureMix, s06DocChunks, s07SourceCap,
+    g03TrainingPrep)
 }
