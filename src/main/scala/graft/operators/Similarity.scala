@@ -264,6 +264,49 @@ object Similarity {
     topKPerQuery(scored, k, "cos_sim")
   }
 
+  /** Embedding-space outlier detection: distance of every vector to its
+    * LABEL's centroid, z-scored within the label — the vector-quality
+    * audit that catches corrupt or mislabeled embeddings before they
+    * poison ANN buckets and near-dup clusters.
+    *
+    * Scale: the centroid is the IVF Lloyd-step shape (posexplode →
+    * per-(label, dim) DECIMAL-summed mean — order-independent and
+    * engine-reproducible), the join back is keyed on label, and the
+    * per-label stats are one more keyed aggregate; nothing is ever
+    * collected. Distances fold sequentially through the codegen'd
+    * DotProduct so the oracle's list_sum replays them bit-for-bit;
+    * dist rounds to 6 dp and z to 4 dp BEFORE the outlier cut, making
+    * the flag engine-exact. Returns (vec_id, label, dist, z,
+    * is_outlier = z > zThresh). */
+  def centroidOutliers(vectors: DataFrame, zThresh: Double = 2.5): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val v = graft.CacheScope.persist(
+      vectors.select(col("vec_id"), col("label"),
+        asDouble(col("embedding")).as("e")))
+    val cent = v
+      .select(col("label"), posexplode(col("e")).as(Seq("pos", "x")))
+      .groupBy("label", "pos")
+      .agg((sum(col("x").cast(DecimalType(38, 18))).cast("double")
+        / count(lit(1))).as("m"))
+      .groupBy("label")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("label"), transform(col("pm"), p => p.getField("m")).as("c"))
+    val diff = zip_with(col("e"), col("c"), (a, b) => a - b)
+    val dists = v.join(broadcast(cent), "label")
+      .select(col("vec_id"), col("label"),
+        round(sqrt(dot(diff, diff)), 6).as("dist"))
+    val stats = dists.groupBy("label")
+      .agg((sum(col("dist").cast(DecimalType(38, 18))).cast("double")
+        / count(lit(1))).as("mu"),
+        (sum((col("dist") * col("dist")).cast(DecimalType(38, 18))).cast("double")
+          / count(lit(1))).as("msq"))
+    val z = round((col("dist") - col("mu"))
+      / sqrt(greatest(col("msq") - col("mu") * col("mu"), lit(1e-12))), 4)
+    dists.join(broadcast(stats), "label")
+      .select(col("vec_id"), col("label"), col("dist"),
+        z.as("z"), (z > zThresh).as("is_outlier"))
+  }
+
   /** All near-dup pairs with cosine ≥ threshold. Brute force over the
     * pair space — correct baseline; LSH restricts candidates at scale.
     *

@@ -309,6 +309,45 @@ object VectorQueries {
       .orderBy("query_id")
   }
 
+  // ---------------------------------------------------------------- v07
+  // Embedding outlier audit: distance of every vector to its label's
+  // centroid, z-scored within the label — catches corrupt or mislabeled
+  // embeddings before they poison ANN buckets and near-dup clusters.
+  // DECIMAL-summed centroid and stats (order-independent), sequential
+  // distance fold, dist/z rounded BEFORE the cut → the oracle replays
+  // the whole construction exactly.
+  val v07EmbeddingOutliers: Q = Q(
+    "v07_embedding_outliers",
+    """WITH v AS (
+      |  SELECT vec_id, label,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |cdim AS (
+      |  SELECT label, i,
+      |    CAST(SUM(CAST(e[i] AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+      |  FROM v, unnest(range(1, 65)) r(i)
+      |  GROUP BY label, i),
+      |cent AS (SELECT label, list(m ORDER BY i) AS c FROM cdim GROUP BY label),
+      |dist AS (
+      |  SELECT vec_id, v.label,
+      |    ROUND(sqrt(list_sum(list_transform(range(1, 65),
+      |      k -> (e[k] - c[k]) * (e[k] - c[k])))), 6) AS dist
+      |  FROM v JOIN cent ON v.label = cent.label),
+      |stats AS (
+      |  SELECT label,
+      |    CAST(SUM(CAST(dist AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS mu,
+      |    CAST(SUM(CAST(dist * dist AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS msq
+      |  FROM dist GROUP BY label)
+      |SELECT vec_id, label, dist,
+      |  ROUND((dist - mu) / sqrt(GREATEST(msq - mu * mu, 1e-12)), 4) AS z,
+      |  ROUND((dist - mu) / sqrt(GREATEST(msq - mu * mu, 1e-12)), 4) > 2.5
+      |    AS is_outlier
+      |FROM dist JOIN stats USING (label)
+      |ORDER BY vec_id""".stripMargin) { (s, d) =>
+    Similarity.centroidOutliers(t(s, d, "embeddings"))
+      .orderBy("vec_id")
+  }
+
   val all: Seq[Q] = Seq(v01BruteForceTopK, v02NearDupPairs, v03LshTopK,
-    v04IvfTopK, v05QuantizedTopK, v06AnnRecall)
+    v04IvfTopK, v05QuantizedTopK, v06AnnRecall, v07EmbeddingOutliers)
 }

@@ -117,4 +117,54 @@ class PropertySpec extends SparkSpec {
       assert(c1 === batch.count())
     }
   }
+
+  test("property: topk_pairs equals sorted-take for any scored set and any k") {
+    import graft.functions.expressions.TopKPairs.topk_pairs
+    import org.apache.spark.sql.functions._
+    val scoredGen = for {
+      n <- Gen.chooseNum(0, 60)
+      rows <- Gen.listOfN(n, for {
+        g <- Gen.chooseNum(1L, 4L)
+        id <- Gen.chooseNum(0L, 30L)
+        sc <- Gen.oneOf(0.1, 0.25, 0.25, 0.7, 0.9) // duplicate scores force ties
+      } yield (g, id, sc))
+      k <- Gen.chooseNum(1, 8)
+    } yield (rows.distinctBy(r => (r._1, r._2)), k) // id unique per group
+    samples(scoredGen, 8).foreach { case (rows, k) =>
+      if (rows.nonEmpty) {
+        val df = rows.toDF("query_id", "neighbor_id", "cos_sim")
+        val got = df.groupBy("query_id")
+          .agg(topk_pairs(col("cos_sim"), col("neighbor_id"), k).as("tk"))
+          .select(col("query_id"), explode(col("tk")).as("p"))
+          .select(col("query_id"), col("p.id"), col("p.score"))
+          .as[(Long, Long, Double)].collect().toSet
+        val want = rows.groupBy(_._1).toSeq.flatMap { case (g, rs) =>
+          rs.sortBy(r => (-r._3, r._2)).take(k).map(r => (g, r._2, r._3))
+        }.toSet
+        assert(got === want, s"k=$k rows=$rows")
+      }
+    }
+  }
+
+  test("property: Morton interleave is injective and order-embedding on equal coords") {
+    import org.apache.spark.sql.functions._
+    val coordGen = Gen.listOfN(40, for {
+      x <- Gen.chooseNum(0L, 255L)
+      y <- Gen.chooseNum(0L, 255L)
+    } yield (x, y))
+    samples(coordGen, 4).foreach { coords =>
+      val distinct = coords.distinct
+      val z = distinct.toDF("x", "y")
+        .select(col("x"), col("y"),
+          ZOrder.interleave(Seq(col("x"), col("y")), 8).as("z"))
+        .as[(Long, Long, Long)].collect()
+      // injective: distinct coords → distinct codes
+      assert(z.map(_._3).distinct.length === distinct.length)
+      // diagonal order: z is monotone along equal coordinates
+      val diag = z.filter(p => p._1 == p._2).sortBy(_._1)
+      assert(diag.map(_._3) === diag.map(_._3).sorted)
+      // bounded: 2×8 bits → codes below 2^16
+      assert(z.forall(p => p._3 >= 0 && p._3 < (1L << 16)))
+    }
+  }
 }

@@ -57,6 +57,21 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.2, s"LSH recall $recall too low — bucketing broken?")
   }
 
+  test("centroidOutliers flags a planted far vector, passes the cluster") {
+    // a tight cluster near (1, 0, 0, ...) plus one vector far away
+    val dims = 8
+    val cluster = (0L until 20L).map { i =>
+      (i, 0, Array.tabulate(dims)(d => if (d == 0) 1.0f else 0.001f * i))
+    }
+    val outlier = Seq((99L, 0, Array.tabulate(dims)(_ => -5.0f)))
+    val emb = (cluster ++ outlier).toDF("vec_id", "label", "embedding")
+    val got = Similarity.centroidOutliers(emb)
+      .select("vec_id", "is_outlier").as[(Long, Boolean)].collect().toMap
+    assert(got(99L), "planted far vector must flag")
+    assert((0L until 20L).forall(i => !got(i)), "cluster members must pass")
+    assert(got.size === 21)
+  }
+
   test("quantizedTopK: int8 ranking closely tracks the float baseline") {
     val emb = Tables.t(spark, sfDir, "embeddings")
     val queries = emb.filter($"vec_id" < 5)
