@@ -78,6 +78,20 @@ object Streams {
       .select(col("window.start").as("hour_ts"), col("event_type"),
         col("n"), col("total_value"))
 
+  /** Continuous per-key top-k leaderboard: the bounded
+    * [[graft.functions.expressions.TopKPairs]] aggregate under
+    * incremental execution. The streaming state per group is the
+    * k-element heap BUFFER (serialize/deserialize through the state
+    * store between micro-batches), never the input rows — so state size
+    * is k·|groups| regardless of stream volume, where a dropDuplicates/
+    * window formulation would buffer every row. Complete mode re-emits
+    * the whole leaderboard per micro-batch (it is k·|groups| rows —
+    * cheap by construction). */
+  def topKStream(events: DataFrame, k: Int): DataFrame =
+    events.groupBy(col("event_type"))
+      .agg(graft.functions.expressions.TopKPairs
+        .topk_pairs(col("value"), col("event_id"), k).as("tk"))
+
   /** ST8 DLQ split: per micro-batch, valid rows append to the main sink
     * and invalid rows to the dead-letter sink — one pass, two writes,
     * transactionally scoped to the batch (foreachBatch). */

@@ -85,6 +85,25 @@ class StreamsSpec extends SparkSpec {
     assert(streamed.count() > 800)
   }
 
+  test("streaming topk_pairs leaderboard equals the batch top-k after draining") {
+    import spark.implicits._
+    Streams.runToMemory(
+      Streams.topKStream(Streams.fileSource(spark, srcDir), 5),
+      "topk_stream", outputMode = "complete")
+    val got = spark.table("topk_stream")
+      .select(col("event_type"), explode(col("tk")).as("p"))
+      .select(col("event_type"), col("p.id").as("event_id"), col("p.score").as("value"))
+      .as[(String, Long, Double)].collect().toSet
+    // batch ground truth: top-5 per type by (value DESC, event_id ASC)
+    val want = Tables.t(spark, sfDir, "events")
+      .select("event_type", "event_id", "value")
+      .as[(String, Long, Double)].collect()
+      .groupBy(_._1).toSeq.flatMap { case (_, rows) =>
+        rows.sortBy(r => (-r._3, r._2)).take(5)
+      }.toSet
+    assert(got === want, "streamed leaderboard diverges from batch top-k")
+  }
+
   test("streaming silver MV equals batch silver on a dup-free stream") {
     val bronzeStream = Medallion.bronze(
       Streams.fileSource(spark, srcDir), lit("2024-02-01 00:00:00").cast("timestamp"))
