@@ -409,8 +409,53 @@ object TextQueries {
     graft.operators.Tokenizer.pairCounts(docs(s, d), "text", 50)
   }
 
+  // ---------------------------------------------------------------- t13
+  // TF-IDF keyword extraction: top-3 terms per document by
+  // tf · ln(N/df) — the classic signature-term summary (search indexing,
+  // topic tagging, near-dup triage). Two keyed aggregations (term counts
+  // per doc, document frequency per term) + one keyed join; the ranking
+  // window partitions on doc_id — corpus-cardinality keys, so the sort
+  // state per partition is one document's vocabulary. ln is the only
+  // libm call (≤1 ulp cross-engine, absorbed by the 4 dp round — the
+  // t11 discipline); ties on the ROUNDED score break on term ASC, so
+  // the top-3 cut is engine-exact.
+  val t13Tfidf: Q = Q(
+    "t13_tfidf",
+    """WITH tf AS (
+      |  SELECT doc_id, u AS term, COUNT(*) AS tf
+      |  FROM (SELECT doc_id, unnest(string_split(text, ' ')) AS u FROM documents)
+      |  GROUP BY 1, 2),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |nd AS (SELECT COUNT(*) AS nd FROM documents),
+      |scored AS (
+      |  SELECT doc_id, term, tf, ROUND(tf * ln(nd / df), 4) AS score
+      |  FROM tf JOIN dfreq USING (term) CROSS JOIN nd),
+      |ranked AS (
+      |  SELECT doc_id, term, tf, score,
+      |    ROW_NUMBER() OVER (PARTITION BY doc_id
+      |      ORDER BY score DESC, term) AS rank
+      |  FROM scored)
+      |SELECT doc_id, term, tf, score, rank FROM ranked
+      |WHERE rank <= 3 ORDER BY doc_id, rank""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val tf = docs(s, d)
+      .select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val nd = docs(s, d).agg(count(lit(1)).as("nd"))
+    val w = Window.partitionBy("doc_id")
+      .orderBy(col("score").desc, col("term"))
+    tf.join(dfreq, "term").crossJoin(broadcast(nd))
+      .withColumn("score", round(col("tf") * log(col("nd") / col("df")), 4))
+      .withColumn("rank", row_number().over(w))
+      .filter(col("rank") <= 3)
+      .select("doc_id", "term", "tf", "score", "rank")
+      .orderBy("doc_id", "rank")
+  }
+
   val all: Seq[Q] = Seq(
     t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
     t05TokenHistogram, t06BpeTokens, t07RollingFingerprint,
-    t08Repetition, t09PiiScrub, t10Novelty, t11Perplexity, t12BpeMerges)
+    t08Repetition, t09PiiScrub, t10Novelty, t11Perplexity, t12BpeMerges,
+    t13Tfidf)
 }
