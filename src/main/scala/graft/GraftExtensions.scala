@@ -28,6 +28,10 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (an unpartitioned window serializes the dataset through one task;
     // see graft.plans.RewriteGlobalWindowTotals).
     ext.injectOptimizerRule(_ => graft.plans.RewriteGlobalWindowTotals)
+    // Custom operator tier (c): AsOfJoinNode (LogicalPlan) planned by
+    // AsOfJoinStrategy into AsOfJoinExec — a one-pass sort-merge
+    // point-in-time join over co-partitioned children.
+    ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
     ext.injectFunction((
       FunctionIdentifier("dot_product"),
       info("dot_product", "dot_product(a, b) - sequential dot product of two array<double>"),

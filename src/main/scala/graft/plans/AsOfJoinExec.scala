@@ -1,0 +1,166 @@
+package graft.plans
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{Ascending, Attribute, AttributeReference, BoundReference, GenericInternalRow, JoinedRow, SortOrder, UnsafeProjection}
+import org.apache.spark.sql.catalyst.plans.logical.LogicalPlan
+import org.apache.spark.sql.catalyst.plans.physical.{ClusteredDistribution, Distribution}
+import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
+import org.apache.spark.sql.types._
+import org.apache.spark.unsafe.types.UTF8String
+
+/** Planner strategy for [[AsOfJoinNode]] → [[AsOfJoinExec]]. Register
+  * with `GraftExtensions` (injectPlannerStrategy) or ad hoc via
+  * `spark.experimental.extraStrategies`. */
+object AsOfJoinStrategy extends SparkStrategy {
+  override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
+    case n: AsOfJoinNode =>
+      AsOfJoinExec(n.leftKeys, n.rightKeys, n.leftTs, n.rightTs,
+        n.rightVals, n.outAttrs, planLater(n.left), planLater(n.right)) :: Nil
+    case _ => Nil
+  }
+}
+
+/** Physical backward as-of join: a single merge pass over co-partitioned,
+  * co-sorted children — the one-pass form of the point-in-time lookup.
+  *
+  * Physics: `requiredChildDistribution` hash-clusters both sides on the
+  * equi-keys (EnsureRequirements inserts the two exchanges and keeps
+  * them compatible) and `requiredChildOrdering` sorts each partition by
+  * (keys, ts) — the right side additionally by the value columns, which
+  * bakes the deterministic tie rule (greatest value tuple wins at equal
+  * (key, ts)) into the sort instead of a runtime comparison. doExecute
+  * then zips partitions and streams BOTH sides once: O(|L| + |R|) per
+  * partition, ONE buffered right row, no window state, no row
+  * amplification — at 100 TB this is the floor for this operator's
+  * cost, and it plans exactly two exchanges (spec-asserted).
+  *
+  * Null contract: rows with a null key or null timestamp on the right
+  * never match; a left row with a null key or timestamp gets null
+  * as-of values (matches the window form, where nulls sort first and a
+  * probe sorted before every reference row sees none).
+  */
+case class AsOfJoinExec(
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
+    leftTs: Attribute,
+    rightTs: Attribute,
+    rightVals: Seq[Attribute],
+    outAttrs: Seq[AttributeReference],
+    left: SparkPlan,
+    right: SparkPlan) extends BinaryExecNode {
+
+  override def output: Seq[Attribute] = left.output ++ outAttrs
+
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(outAttrs)
+
+  override def requiredChildDistribution: Seq[Distribution] =
+    ClusteredDistribution(leftKeys) :: ClusteredDistribution(rightKeys) :: Nil
+
+  override def requiredChildOrdering: Seq[Seq[SortOrder]] = Seq(
+    (leftKeys :+ leftTs).map(SortOrder(_, Ascending)),
+    (rightKeys ++ (rightTs +: rightVals)).map(SortOrder(_, Ascending)))
+
+  override def outputPartitioning = left.outputPartitioning
+
+  private def cmpValue(dt: DataType, a: Any, b: Any): Int = dt match {
+    case LongType | TimestampType | TimestampNTZType =>
+      java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case IntegerType | DateType =>
+      java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+    case ShortType => java.lang.Short.compare(a.asInstanceOf[Short], b.asInstanceOf[Short])
+    case DoubleType => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case FloatType => java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
+    case StringType =>
+      a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+    case other => throw new UnsupportedOperationException(
+      s"as-of join key/ts type not supported: ${other.simpleString}")
+  }
+
+  override protected def doExecute(): RDD[InternalRow] = {
+    val lKeyRefs = leftKeys.map(a =>
+      BoundReference(left.output.indexWhere(_.exprId == a.exprId), a.dataType, a.nullable))
+    val rKeyRefs = rightKeys.map(a =>
+      BoundReference(right.output.indexWhere(_.exprId == a.exprId), a.dataType, a.nullable))
+    val lTsRef = BoundReference(
+      left.output.indexWhere(_.exprId == leftTs.exprId), leftTs.dataType, leftTs.nullable)
+    val rTsRef = BoundReference(
+      right.output.indexWhere(_.exprId == rightTs.exprId), rightTs.dataType, rightTs.nullable)
+    val keyTypes = leftKeys.map(_.dataType)
+    val tsType = leftTs.dataType
+    require(tsType == rightTs.dataType, "as-of timestamp types must match")
+    val valsExprs = rightVals
+    val rightOut = right.output
+    val leftOutSize = left.output.size
+    val nVals = rightVals.size
+    val outSchema = output
+
+    left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
+      val valsProj = UnsafeProjection.create(valsExprs, rightOut)
+      val resultProj = UnsafeProjection.create(outSchema, outSchema)
+      val joined = new JoinedRow
+      val nullVals = new GenericInternalRow(nVals)
+
+      // one-row lookahead over the sorted right side
+      var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
+      // latest consumed right row's key (copied) + projected values
+      var heldKey: Array[Any] = null
+      var heldVals: InternalRow = null
+
+      def keyOf(row: InternalRow, refs: Seq[BoundReference]): Array[Any] = {
+        val k = new Array[Any](refs.size)
+        var i = 0
+        while (i < refs.size) { k(i) = refs(i).eval(row); i += 1 }
+        k
+      }
+      // <0 / 0 / >0 for key a vs key b; null keys never equal anything
+      def cmpKeys(a: Array[Any], b: Array[Any]): Int = {
+        var i = 0
+        while (i < a.length) {
+          val (x, y) = (a(i), b(i))
+          if (x == null || y == null) return if (x == null) -1 else 1
+          val c = cmpValue(keyTypes(i), x, y)
+          if (c != 0) return c
+          i += 1
+        }
+        0
+      }
+
+      lIter.map { lRow =>
+        val lKey = keyOf(lRow, lKeyRefs)
+        val lTsV = lTsRef.eval(lRow)
+        val keyUsable = !lKey.contains(null) && lTsV != null
+        if (keyUsable) {
+          // consume right rows ordered ≤ (lKey, lTs)
+          var advance = rRow != null
+          while (advance) {
+            val rKey = keyOf(rRow, rKeyRefs)
+            val rTsV = rTsRef.eval(rRow)
+            val kc = cmpKeys(rKey, lKey)
+            // a null right ts sorts before every value (asc, nulls
+            // first) — consume it, or it would block its key's merge
+            val takes = kc < 0 ||
+              (kc == 0 && (rTsV == null || cmpValue(tsType, rTsV, lTsV) <= 0))
+            if (takes) {
+              // only a usable row can become the held as-of candidate
+              if (!rKey.contains(null) && rTsV != null) {
+                heldKey = rKey
+                heldVals = valsProj(rRow).copy()
+              }
+              rRow = if (rIter.hasNext) rIter.next() else null
+              advance = rRow != null
+            } else advance = false
+          }
+        }
+        val matches = keyUsable && heldKey != null && cmpKeys(heldKey, lKey) == 0
+        joined(lRow, if (matches) heldVals else nullVals)
+        resultProj(joined)
+      }
+    }
+  }
+
+  override protected def withNewChildrenInternal(
+      newLeft: SparkPlan, newRight: SparkPlan): AsOfJoinExec =
+    copy(left = newLeft, right = newRight)
+}

@@ -1,0 +1,83 @@
+package graft.plans
+
+import org.apache.spark.sql.{DataFrame, GraftShims}
+import org.apache.spark.sql.catalyst.expressions.{Attribute, AttributeReference}
+import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
+
+/** Logical backward as-of join — a first-class operator node, planned by
+  * [[AsOfJoinStrategy]] into the custom [[AsOfJoinExec]] physical
+  * operator (the (c)-tier extension path: LogicalPlan + SparkStrategy +
+  * SparkPlan, registered through SparkSessionExtensions).
+  *
+  * Semantics (identical to `graft.operators.AsOfJoin.backward`,
+  * spec-asserted equal): every left row keeps, per equi-key, the value
+  * columns of the LATEST right row with `rightTs` ≤ `leftTs` — ties on
+  * (key, ts) resolve to the greatest value tuple — or nulls when no
+  * such row exists.
+  *
+  * `outAttrs` (the `asof_`-prefixed nullable output attributes) are
+  * fixed at construction: computing them inside `output` would mint
+  * fresh exprIds on every call and break plan resolution.
+  */
+case class AsOfJoinNode(
+    left: LogicalPlan,
+    right: LogicalPlan,
+    leftKeys: Seq[Attribute],
+    rightKeys: Seq[Attribute],
+    leftTs: Attribute,
+    rightTs: Attribute,
+    rightVals: Seq[Attribute],
+    outAttrs: Seq[AttributeReference]) extends BinaryNode {
+
+  require(leftKeys.size == rightKeys.size && leftKeys.nonEmpty,
+    "as-of join needs at least one equi-key on both sides")
+
+  override def output: Seq[Attribute] = left.output ++ outAttrs
+
+  // the asof_* attributes originate HERE, not in a child — without this
+  // CheckAnalysis reports them "missing from input"
+  override def producedAttributes: org.apache.spark.sql.catalyst.expressions.AttributeSet =
+    org.apache.spark.sql.catalyst.expressions.AttributeSet(outAttrs)
+
+  override protected def withNewChildrenInternal(
+      newLeft: LogicalPlan, newRight: LogicalPlan): AsOfJoinNode =
+    copy(left = newLeft, right = newRight)
+}
+
+object AsOfJoinNode {
+
+  private def resolve(plan: LogicalPlan, name: String): Attribute =
+    plan.output.find(_.name == name).getOrElse(
+      throw new IllegalArgumentException(
+        s"column $name not found among ${plan.output.map(_.name).mkString(", ")}"))
+
+  /** Backward as-of join through the custom operator. The session must
+    * have [[AsOfJoinStrategy]] available — via `GraftExtensions`
+    * (injectPlannerStrategy) or `spark.experimental.extraStrategies`.
+    *
+    * The right side is re-aliased to FRESH columns before the node is
+    * built: when both sides derive from the same base relation, their
+    * analyzed plans share exprIds, and the analyzer's
+    * DeduplicateRelations renumbers the right subtree without being
+    * able to remap a custom node's (ambiguous) attribute fields — the
+    * aliases give the node's right-side references unique, stable ids
+    * that survive deduplication. */
+  def backward(left: DataFrame, right: DataFrame, key: Seq[String],
+      leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.col
+    val rPrepped = right.select(
+      key.map(k => col(k).as(s"__asof_k_$k")) ++
+        Seq(col(rightTs).as("__asof_ts")) ++
+        rightVals.map(v => col(v).as(s"__asof_v_$v")): _*)
+    val lp = GraftShims.analyzed(left)
+    val rp = GraftShims.analyzed(rPrepped)
+    val rv = rightVals.map(v => resolve(rp, s"__asof_v_$v"))
+    val out = rightVals.zip(rv).map { case (name, a) =>
+      AttributeReference(s"asof_$name", a.dataType, nullable = true)()
+    }
+    GraftShims.ofRows(left.sparkSession,
+      AsOfJoinNode(lp, rp,
+        key.map(resolve(lp, _)), key.map(k => resolve(rp, s"__asof_k_$k")),
+        resolve(lp, leftTs), resolve(rp, "__asof_ts"), rv, out))
+  }
+}

@@ -276,7 +276,43 @@ object ExtraQueries {
       .orderBy("event_type")
   }
 
+  // ---------------------------------------------------------------- x10
+  // The SAME point-in-time lookup as x02, answered by the CUSTOM
+  // physical operator (AsOfJoinNode → AsOfJoinStrategy → AsOfJoinExec:
+  // one sort-merge pass over co-partitioned children, two exchanges
+  // total) instead of the union-window form. Identical oracle — DuckDB's
+  // native ASOF JOIN — so the custom exec's answers are hash-gated
+  // end-to-end, not just spec-compared.
+  val x10AsofExec: Q = Q(
+    "x10_asof_exec",
+    """WITH purchases AS (
+      |  SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'),
+      |clicks AS (
+      |  SELECT user_id, ts, event_id AS click_event_id, value AS click_value
+      |  FROM events WHERE event_type = 'click')
+      |SELECT p.user_id, p.event_id, p.value,
+      |  c.click_event_id AS asof_click_event_id,
+      |  c.click_value AS asof_click_value
+      |FROM purchases p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.user_id, p.event_id""".stripMargin) { (s, d) =>
+    if (!s.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    val ev = t(s, d, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_event_id"), col("value").as("click_value"))
+    graft.plans.AsOfJoinNode.backward(purchases, clicks, Seq("user_id"),
+        "ts", "ts", Seq("click_event_id", "click_value"))
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("asof_click_event_id"), col("asof_click_value"))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[Q] = Seq(x01SeedJoin, x02AsofJoin, x03Duration, x04Sessionize,
     x05ApproxDistinct, x06RangeJoin, x07Scd2History, x08AsofForward,
-    x09ApproxQuantiles)
+    x09ApproxQuantiles, x10AsofExec)
 }

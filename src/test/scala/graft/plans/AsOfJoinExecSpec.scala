@@ -1,0 +1,102 @@
+package graft.plans
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.AsOfJoin
+
+/** The custom AsOfJoinExec physical operator must be output-identical to
+  * the proven union-window form (AsOfJoin.backward) and plan exactly one
+  * exchange per side with the merge running in a single pass.
+  */
+class AsOfJoinExecSpec extends SparkSpec {
+  import spark.implicits._
+
+  // strategy available on the shared session without rebuilding it
+  private lazy val withStrategy: Unit = {
+    if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
+      spark.experimental.extraStrategies =
+        spark.experimental.extraStrategies :+ AsOfJoinStrategy
+  }
+
+  private def trades = Seq(
+    (1L, 10L, "t1"), (1L, 20L, "t2"), (1L, 30L, "t3"),
+    (2L, 15L, "t4"), (3L, 5L, "t5")
+  ).toDF("k", "ts", "trade")
+
+  private def quotes = Seq(
+    (1L, 8L, 100.0), (1L, 20L, 101.0), (1L, 25L, 102.0),
+    (2L, 16L, 200.0), (9L, 1L, 900.0)
+  ).toDF("k", "ts", "px")
+
+  private def collect(df: org.apache.spark.sql.DataFrame) =
+    df.select("k", "ts", "trade", "asof_px")
+      .as[(Long, Long, String, Option[Double])].collect().toSet
+
+  test("matches the union-window form on fixtures (incl. equal-ts inclusivity)") {
+    withStrategy
+    val exec = AsOfJoinNode.backward(trades, quotes, Seq("k"), "ts", "ts", Seq("px"))
+    val win = AsOfJoin.backward(trades, quotes, Seq("k"), "ts", "ts", Seq("px"))
+    val got = collect(exec)
+    assert(got === collect(win))
+    // hand-checked: t2 at ts=20 sees the EQUAL-ts quote 101 (inclusive);
+    // t4 at 15 predates its key's only quote (16) → null; t5 key 3 → null
+    assert(got === Set(
+      (1L, 10L, "t1", Some(100.0)),
+      (1L, 20L, "t2", Some(101.0)),
+      (1L, 30L, "t3", Some(102.0)),
+      (2L, 15L, "t4", None),
+      (3L, 5L, "t5", None)))
+  }
+
+  test("plans AsOfJoinExec with exactly one exchange per side") {
+    withStrategy
+    val df = AsOfJoinNode.backward(trades, quotes, Seq("k"), "ts", "ts", Seq("px"))
+    df.write.format("noop").mode("overwrite").save()
+    val plan = df.queryExecution.executedPlan.toString
+    // SparkPlan.nodeName strips the Exec suffix → renders as "AsOfJoin"
+    assert(plan.contains("AsOfJoin "), s"custom exec missing:\n$plan")
+    assert("Exchange".r.findAllIn(plan).size === 2,
+      s"expected exactly 2 exchanges:\n$plan")
+    assert(!plan.contains("Window"), s"no window machinery expected:\n$plan")
+  }
+
+  test("null keys and timestamps never match and never block the merge") {
+    withStrategy
+    val l = Seq((Some(1L), Some(10L), "a"), (None, Some(10L), "b"),
+      (Some(1L), None, "c")).toDF("k", "ts", "trade")
+    val r = Seq((Some(1L), None, 50.0), (Some(1L), Some(5L), 99.0),
+      (None, Some(1L), 42.0)).toDF("k", "ts", "px")
+    withStrategy
+    val got = AsOfJoinNode.backward(l, r, Seq("k"), "ts", "ts", Seq("px"))
+      .select("trade", "asof_px").as[(String, Option[Double])].collect().toMap
+    assert(got("a") === Some(99.0)) // the null-ts quote is skipped, not held
+    assert(got("b") === None)       // null left key
+    assert(got("c") === None)       // null left ts
+  }
+
+  test("property: equals the window form on randomized multi-partition data") {
+    withStrategy
+    val rng = new scala.util.Random(7)
+    // 3 rounds of random corpora; unique (k, ts) on the right so the
+    // tie rule can't differ between forms
+    (1 to 3).foreach { round =>
+      val l = (1 to 300).map(_ =>
+        (rng.nextInt(12).toLong, rng.nextInt(500).toLong,
+          rng.nextInt(1000).toString))
+      val rKeys = scala.util.Random.shuffle(
+        (for (k <- 0 until 12; t <- 0 until 500) yield (k.toLong, t.toLong))
+          .toList).take(400)
+      val r = rKeys.map { case (k, t) => (k, t, rng.nextDouble()) }
+      val lDf = l.toDF("k", "ts", "trade").repartition(7)
+      val rDf = r.toDF("k", "ts", "px").repartition(5)
+      val exec = AsOfJoinNode.backward(lDf, rDf, Seq("k"), "ts", "ts", Seq("px"))
+      val win = AsOfJoin.backward(lDf, rDf, Seq("k"), "ts", "ts", Seq("px"))
+      assert(exec.select("k", "ts", "trade", "asof_px")
+        .as[(Long, Long, String, Option[Double])].collect().sorted.toSeq ===
+        win.select("k", "ts", "trade", "asof_px")
+          .as[(Long, Long, String, Option[Double])].collect().sorted.toSeq,
+        s"round $round diverged")
+    }
+  }
+}
