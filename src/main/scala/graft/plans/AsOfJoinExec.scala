@@ -16,7 +16,8 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: AsOfJoinNode =>
       AsOfJoinExec(n.leftKeys, n.rightKeys, n.leftTs, n.rightTs,
-        n.rightVals, n.outAttrs, planLater(n.left), planLater(n.right)) :: Nil
+        n.rightVals, n.outAttrs, n.forwardDir,
+        planLater(n.left), planLater(n.right)) :: Nil
     case _ => Nil
   }
 }
@@ -47,6 +48,7 @@ case class AsOfJoinExec(
     rightTs: Attribute,
     rightVals: Seq[Attribute],
     outAttrs: Seq[AttributeReference],
+    forwardDir: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -127,7 +129,39 @@ case class AsOfJoinExec(
         0
       }
 
-      lIter.map { lRow =>
+      if (forwardDir) {
+        // forward: pure lookahead — discard right rows strictly before
+        // (lKey, lTs); the next remaining row IS the earliest-≥ match
+        // (and the least value tuple among equal-ts rows, by the sort).
+        // Nothing consumed can serve a later left row: left is sorted
+        // ascending, so later probes only ever need later right rows.
+        lIter.map { lRow =>
+          val lKey = keyOf(lRow, lKeyRefs)
+          val lTsV = lTsRef.eval(lRow)
+          val keyUsable = !lKey.contains(null) && lTsV != null
+          if (keyUsable) {
+            var advance = rRow != null
+            while (advance) {
+              val rKey = keyOf(rRow, rKeyRefs)
+              val rTsV = rTsRef.eval(rRow)
+              val kc = cmpKeys(rKey, lKey)
+              val before = kc < 0 ||
+                (kc == 0 && (rTsV == null || cmpValue(tsType, rTsV, lTsV) < 0))
+              if (before) {
+                rRow = if (rIter.hasNext) rIter.next() else null
+                advance = rRow != null
+              } else advance = false
+            }
+          }
+          val matches = keyUsable && rRow != null && {
+            val rKey = keyOf(rRow, rKeyRefs)
+            cmpKeys(rKey, lKey) == 0 && !rKey.contains(null) &&
+              rTsRef.eval(rRow) != null
+          }
+          joined(lRow, if (matches) valsProj(rRow) else nullVals)
+          resultProj(joined)
+        }
+      } else lIter.map { lRow =>
         val lKey = keyOf(lRow, lKeyRefs)
         val lTsV = lTsRef.eval(lRow)
         val keyUsable = !lKey.contains(null) && lTsV != null

@@ -27,7 +27,8 @@ case class AsOfJoinNode(
     leftTs: Attribute,
     rightTs: Attribute,
     rightVals: Seq[Attribute],
-    outAttrs: Seq[AttributeReference]) extends BinaryNode {
+    outAttrs: Seq[AttributeReference],
+    forwardDir: Boolean = false) extends BinaryNode {
 
   require(leftKeys.size == rightKeys.size && leftKeys.nonEmpty,
     "as-of join needs at least one equi-key on both sides")
@@ -63,7 +64,19 @@ object AsOfJoinNode {
     * aliases give the node's right-side references unique, stable ids
     * that survive deduplication. */
   def backward(left: DataFrame, right: DataFrame, key: Seq[String],
-      leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame = {
+      leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame =
+    build(left, right, key, leftTs, rightTs, rightVals, forwardDir = false)
+
+  /** Forward as-of join (earliest right row with ts ≥ the left's; ties
+    * at equal (key, ts) resolve to the least value tuple) through the
+    * custom operator. */
+  def forward(left: DataFrame, right: DataFrame, key: Seq[String],
+      leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame =
+    build(left, right, key, leftTs, rightTs, rightVals, forwardDir = true)
+
+  private def build(left: DataFrame, right: DataFrame, key: Seq[String],
+      leftTs: String, rightTs: String, rightVals: Seq[String],
+      forwardDir: Boolean): DataFrame = {
     import org.apache.spark.sql.functions.col
     val rPrepped = right.select(
       key.map(k => col(k).as(s"__asof_k_$k")) ++
@@ -78,6 +91,6 @@ object AsOfJoinNode {
     GraftShims.ofRows(left.sparkSession,
       AsOfJoinNode(lp, rp,
         key.map(resolve(lp, _)), key.map(k => resolve(rp, s"__asof_k_$k")),
-        resolve(lp, leftTs), resolve(rp, "__asof_ts"), rv, out))
+        resolve(lp, leftTs), resolve(rp, "__asof_ts"), rv, out, forwardDir))
   }
 }

@@ -312,7 +312,38 @@ object ExtraQueries {
       .orderBy("user_id", "event_id")
   }
 
+  // ---------------------------------------------------------------- x11
+  // x08's forward lookup through the custom physical operator — the
+  // forward direction is pure lookahead (no held row at all); same
+  // DuckDB native-ASOF oracle, direction flipped.
+  val x11AsofExecForward: Q = Q(
+    "x11_asof_exec_forward",
+    """WITH purchases AS (
+      |  SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'),
+      |errors AS (
+      |  SELECT user_id, ts, event_id AS err_event_id
+      |  FROM events WHERE event_type = 'error')
+      |SELECT p.user_id, p.event_id, p.value,
+      |  e.err_event_id AS asof_err_event_id
+      |FROM purchases p ASOF LEFT JOIN errors e
+      |  ON p.user_id = e.user_id AND p.ts <= e.ts
+      |ORDER BY p.user_id, p.event_id""".stripMargin) { (s, d) =>
+    if (!s.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    val ev = t(s, d, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts", "value")
+    val errors = ev.filter(col("event_type") === "error")
+      .select(col("user_id"), col("ts"), col("event_id").as("err_event_id"))
+    graft.plans.AsOfJoinNode.forward(purchases, errors, Seq("user_id"),
+        "ts", "ts", Seq("err_event_id"))
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("asof_err_event_id"))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[Q] = Seq(x01SeedJoin, x02AsofJoin, x03Duration, x04Sessionize,
     x05ApproxDistinct, x06RangeJoin, x07Scd2History, x08AsofForward,
-    x09ApproxQuantiles, x10AsofExec)
+    x09ApproxQuantiles, x10AsofExec, x11AsofExecForward)
 }

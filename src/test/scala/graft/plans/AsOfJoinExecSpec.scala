@@ -75,6 +75,37 @@ class AsOfJoinExecSpec extends SparkSpec {
     assert(got("c") === None)       // null left ts
   }
 
+  test("forward direction matches the union-window form (incl. equal-ts)") {
+    withStrategy
+    val exec = AsOfJoinNode.forward(trades, quotes, Seq("k"), "ts", "ts", Seq("px"))
+    val win = AsOfJoin.forward(trades, quotes, Seq("k"), "ts", "ts", Seq("px"))
+    val got = collect(exec)
+    assert(got === collect(win))
+    // hand-checked: t2 at 20 sees the EQUAL-ts quote 101; t3 at 30 has
+    // no later quote → null; t4 at 15 sees 200 at 16
+    assert(got === Set(
+      (1L, 10L, "t1", Some(101.0)),
+      (1L, 20L, "t2", Some(101.0)),
+      (1L, 30L, "t3", None),
+      (2L, 15L, "t4", Some(200.0)),
+      (3L, 5L, "t5", None)))
+  }
+
+  test("property: forward equals the window form on randomized data") {
+    withStrategy
+    val rng = new scala.util.Random(13)
+    val l = (1 to 200).map(_ =>
+      (rng.nextInt(8).toLong, rng.nextInt(300).toLong, rng.nextInt(1000).toString))
+    val r = scala.util.Random.shuffle(
+      (for (k <- 0 until 8; t <- 0 until 300) yield (k.toLong, t.toLong)).toList)
+      .take(250).map { case (k, t) => (k, t, rng.nextDouble()) }
+    val lDf = l.toDF("k", "ts", "trade").repartition(6)
+    val rDf = r.toDF("k", "ts", "px").repartition(4)
+    val exec = AsOfJoinNode.forward(lDf, rDf, Seq("k"), "ts", "ts", Seq("px"))
+    val win = AsOfJoin.forward(lDf, rDf, Seq("k"), "ts", "ts", Seq("px"))
+    assert(collect(exec) === collect(win))
+  }
+
   test("property: equals the window form on randomized multi-partition data") {
     withStrategy
     val rng = new scala.util.Random(7)
