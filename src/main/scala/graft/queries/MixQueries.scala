@@ -516,8 +516,35 @@ object MixQueries {
       .orderBy("seq_id")
   }
 
+  // ---------------------------------------------------------------- s08
+  // Exact-count stratified sample: exactly 30 docs per language (or all
+  // of a smaller stratum), chosen by content-stable md5 order — the
+  // fixed-budget companion to s01's rate-based sampling. A seeded RNG
+  // would not survive engine or partitioning changes; the hash order
+  // is reproducible anywhere and unbiased w.r.t. content. The ranking
+  // window partitions per stratum; at corpus scale the same shape runs
+  // through topk_pairs when strata counts are small.
+  val s08ExactSample: Q = Q(
+    "s08_exact_sample",
+    """WITH ranked AS (
+      |  SELECT doc_id, lang, source, n_chars,
+      |    ROW_NUMBER() OVER (PARTITION BY lang
+      |      ORDER BY md5(CAST(doc_id AS VARCHAR)), doc_id) AS rnk
+      |  FROM documents)
+      |SELECT doc_id, lang, source, n_chars FROM ranked
+      |WHERE rnk <= 30 ORDER BY doc_id""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    val w = Window.partitionBy("lang")
+      .orderBy(md5(col("doc_id").cast("string")), col("doc_id"))
+    docs(s, d)
+      .withColumn("rnk", row_number().over(w))
+      .filter(col("rnk") <= 30)
+      .select("doc_id", "lang", "source", "n_chars")
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(s01StratifiedSample, s02MixPlan, c01Contamination,
     c02ContaminationReport, g01CorpusGold, g02CorpusFunnel, s03ShardPlan,
     s04SequencePacking, s05TemperatureMix, s06DocChunks, s07SourceCap,
-    g03TrainingPrep)
+    g03TrainingPrep, s08ExactSample)
 }
