@@ -453,9 +453,69 @@ object TextQueries {
       .orderBy("doc_id", "rank")
   }
 
+  // ---------------------------------------------------------------- t14
+  // Corpus-law statistics: the Zipf rank-frequency fit (log-log least
+  // squares over the top-100 ranks) plus corpus totals — the one-row
+  // health mart that flags template/spam corpora (slope far from −1) at
+  // a glance. The global rank window runs over the VOCABULARY, which is
+  // aggregation-bounded (Heaps' law: |vocab| ≪ corpus tokens), not over
+  // the corpus — so the unpartitioned window is vocab-sized by
+  // construction. Regression sums are DECIMAL-cast (order-independent);
+  // ln is the only libm call, absorbed by the 4 dp round.
+  val t14CorpusLaws: Q = Q(
+    "t14_corpus_laws",
+    """WITH tf AS (
+      |  SELECT u AS term, COUNT(*) AS cnt
+      |  FROM (SELECT unnest(string_split(text, ' ')) AS u FROM documents)
+      |  GROUP BY 1),
+      |ranked AS (
+      |  SELECT term, cnt, ROW_NUMBER() OVER (ORDER BY cnt DESC, term) AS rnk FROM tf),
+      |zpts AS (
+      |  SELECT CAST(ln(rnk) AS DECIMAL(38,18)) AS x,
+      |         CAST(ln(cnt) AS DECIMAL(38,18)) AS y,
+      |         CAST(ln(rnk) * ln(rnk) AS DECIMAL(38,18)) AS xx,
+      |         CAST(ln(rnk) * ln(cnt) AS DECIMAL(38,18)) AS xy
+      |  FROM ranked WHERE rnk <= 100),
+      |zfit AS (
+      |  SELECT COUNT(*) AS n, CAST(SUM(x) AS DOUBLE) AS sx,
+      |         CAST(SUM(y) AS DOUBLE) AS sy, CAST(SUM(xx) AS DOUBLE) AS sxx,
+      |         CAST(SUM(xy) AS DOUBLE) AS sxy
+      |  FROM zpts),
+      |totals AS (SELECT COUNT(*) AS n_terms, SUM(cnt) AS n_tokens FROM tf)
+      |SELECT n_terms, CAST(n_tokens AS BIGINT) AS n_tokens,
+      |  ROUND((n * sxy - sx * sy) / (n * sxx - sx * sx), 4) AS zipf_slope,
+      |  ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
+      |    AS zipf_intercept
+      |FROM zfit CROSS JOIN totals""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.expressions.Window
+    import org.apache.spark.sql.types.DecimalType
+    val tf = docs(s, d)
+      .select(explode(tokens(col("text"))).as("term"))
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val ranked = tf.withColumn("rnk",
+      row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
+    val lnR = log(col("rnk"))
+    val lnC = log(col("cnt"))
+    val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 18))
+    val zfit = ranked.filter(col("rnk") <= 100)
+      .select(dec(lnR).as("x"), dec(lnC).as("y"),
+        dec(lnR * lnR).as("xx"), dec(lnR * lnC).as("xy"))
+      .agg(count(lit(1)).as("n"), sum("x").cast("double").as("sx"),
+        sum("y").cast("double").as("sy"), sum("xx").cast("double").as("sxx"),
+        sum("xy").cast("double").as("sxy"))
+    val totals = tf.agg(count(lit(1)).as("n_terms"),
+      sum("cnt").cast("bigint").as("n_tokens"))
+    val slope = (col("n") * col("sxy") - col("sx") * col("sy")) /
+      (col("n") * col("sxx") - col("sx") * col("sx"))
+    zfit.crossJoin(totals)
+      .select(col("n_terms"), col("n_tokens"),
+        round(slope, 4).as("zipf_slope"),
+        round((col("sy") - slope * col("sx")) / col("n"), 4).as("zipf_intercept"))
+  }
+
   val all: Seq[Q] = Seq(
     t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
     t05TokenHistogram, t06BpeTokens, t07RollingFingerprint,
     t08Repetition, t09PiiScrub, t10Novelty, t11Perplexity, t12BpeMerges,
-    t13Tfidf)
+    t13Tfidf, t14CorpusLaws)
 }
