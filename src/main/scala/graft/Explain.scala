@@ -16,7 +16,7 @@ object Explain {
       else Seq("q01_pricing_summary", "q02_filter_project", "q03_join_agg",
         "q07_topk", "q08_dedup_rownum", "p02_gold_daily", "d03_minhash_lsh",
         "v01_ann_bruteforce_topk", "q35_multi_distinct", "q36_rank_suite",
-        "s04_sequence_packing", "v05_ann_quantized_topk")
+        "s04_sequence_packing", "v05_ann_quantized_topk", "x10_asof_exec")
     val spark = SparkSession.builder()
       .master("local[4]")
       .config("spark.sql.shuffle.partitions", "4")
