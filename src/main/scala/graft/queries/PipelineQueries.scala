@@ -174,6 +174,47 @@ object PipelineQueries {
       Check("events_fresh_by_cutoff", fresh)))
   }
 
+  // ---------------------------------------------------------------- dq03
+  // Cross-table coverage audit: every document should have an embedding
+  // row (doc_id ↔ vec_id) and vice versa — per-source coverage plus the
+  // orphan counts in both directions. Anti-joins keyed on the id; at
+  // 100 TB both sides partial-aggregate before the join-back, so the
+  // audit costs two keyed joins regardless of corpus size.
+  val dq03EmbeddingCoverage: Q = Q(
+    "dq03_embedding_coverage",
+    """WITH cov AS (
+      |  SELECT d.source, COUNT(*) AS n_docs,
+      |    CAST(SUM(CASE WHEN e.vec_id IS NULL THEN 0 ELSE 1 END) AS BIGINT)
+      |      AS n_with_embedding
+      |  FROM documents d LEFT JOIN embeddings e ON d.doc_id = e.vec_id
+      |  GROUP BY d.source),
+      |orphans AS (
+      |  SELECT CAST(COUNT(*) AS BIGINT) AS n
+      |  FROM embeddings e
+      |  WHERE NOT EXISTS (SELECT 1 FROM documents d WHERE d.doc_id = e.vec_id))
+      |SELECT source, n_docs, n_with_embedding,
+      |  ROUND(CAST(n_with_embedding AS DOUBLE) / n_docs, 4) AS coverage,
+      |  (SELECT n FROM orphans) AS orphan_embeddings
+      |FROM cov ORDER BY source""".stripMargin) { (s, d) =>
+    val docs = t(s, d, "documents")
+    val emb = t(s, d, "embeddings")
+    val cov = docs.join(emb.select(col("vec_id")),
+        col("doc_id") === col("vec_id"), "left")
+      .groupBy("source")
+      .agg(count(lit(1)).as("n_docs"),
+        sum(when(col("vec_id").isNull, 0).otherwise(1)).cast("bigint")
+          .as("n_with_embedding"))
+    val orphans = emb.join(docs.select(col("doc_id")),
+        col("vec_id") === col("doc_id"), "left_anti")
+      .agg(count(lit(1)).as("orphan_embeddings"))
+    cov.crossJoin(broadcast(orphans))
+      .select(col("source"), col("n_docs"), col("n_with_embedding"),
+        round(col("n_with_embedding").cast("double") / col("n_docs"), 4)
+          .as("coverage"),
+        col("orphan_embeddings"))
+      .orderBy("source")
+  }
+
   val all: Seq[Q] = Seq(p01Silver, p02GoldDaily, p03UserStats, dq01Summary,
-    dq02Audit)
+    dq02Audit, dq03EmbeddingCoverage)
 }
