@@ -513,9 +513,56 @@ object TextQueries {
         round((col("sy") - slope * col("sx")) / col("n"), 4).as("zipf_intercept"))
   }
 
+  // ---------------------------------------------------------------- t15
+  // Heaps'-law vocabulary growth: cumulative docs/tokens/vocab at each
+  // corpus decile (by doc_id order). The scale trick: vocab at a prefix
+  // is the count of terms whose FIRST-occurrence doc falls inside it —
+  // one min-aggregate per term plus a 10-row broadcast join, instead of
+  // ten COUNT(DISTINCT) passes over the corpus. A flattening curve on a
+  // growing corpus signals template/duplicated content (vocabulary
+  // stops growing while tokens keep coming).
+  val t15VocabGrowth: Q = Q(
+    "t15_vocab_growth",
+    """WITH docs AS (SELECT doc_id, string_split(text, ' ') AS t FROM documents),
+      |bounds AS (SELECT MAX(doc_id) + 1 AS n FROM docs),
+      |terms AS (
+      |  SELECT u AS term, MIN(doc_id) AS first_doc
+      |  FROM (SELECT doc_id, unnest(t) AS u FROM docs) GROUP BY 1),
+      |per_doc AS (SELECT doc_id, len(t) AS n_tok FROM docs),
+      |curve AS (
+      |  SELECT decile, (n * decile) // 10 AS cutoff
+      |  FROM (SELECT unnest(range(1, 11)) AS decile) CROSS JOIN bounds)
+      |SELECT c.decile,
+      |  CAST((SELECT COUNT(*) FROM per_doc p WHERE p.doc_id < c.cutoff) AS BIGINT)
+      |    AS cum_docs,
+      |  CAST((SELECT COALESCE(SUM(n_tok), 0) FROM per_doc p WHERE p.doc_id < c.cutoff) AS BIGINT)
+      |    AS cum_tokens,
+      |  CAST((SELECT COUNT(*) FROM terms t WHERE t.first_doc < c.cutoff) AS BIGINT)
+      |    AS vocab
+      |FROM curve c ORDER BY decile""".stripMargin) { (s, d) =>
+    val base = docs(s, d).select(col("doc_id"), tokens(col("text")).as("t"))
+    val curve = s.range(1, 11).select(col("id").as("decile"))
+      .crossJoin(broadcast(base.agg((max("doc_id") + 1).as("n"))))
+      .select(col("decile"), expr("(n * decile) div 10").as("cutoff"))
+    val perDoc = base.select(col("doc_id"), size(col("t")).cast("long").as("n_tok"))
+    val terms = base.select(col("doc_id"), explode(col("t")).as("u"))
+      .groupBy("u").agg(min("doc_id").as("first_doc"))
+    val docStats = perDoc.crossJoin(broadcast(curve))
+      .filter(col("doc_id") < col("cutoff"))
+      .groupBy("decile")
+      .agg(count(lit(1)).as("cum_docs"),
+        coalesce(sum("n_tok"), lit(0L)).as("cum_tokens"))
+    val vocabStats = terms.crossJoin(broadcast(curve))
+      .filter(col("first_doc") < col("cutoff"))
+      .groupBy("decile").agg(count(lit(1)).as("vocab"))
+    docStats.join(vocabStats, Seq("decile"))
+      .select("decile", "cum_docs", "cum_tokens", "vocab")
+      .orderBy("decile")
+  }
+
   val all: Seq[Q] = Seq(
     t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
     t05TokenHistogram, t06BpeTokens, t07RollingFingerprint,
     t08Repetition, t09PiiScrub, t10Novelty, t11Perplexity, t12BpeMerges,
-    t13Tfidf, t14CorpusLaws)
+    t13Tfidf, t14CorpusLaws, t15VocabGrowth)
 }
