@@ -389,6 +389,64 @@ object Mutation {
     overwriteAtomic(spark, targetPath, result)
   }
 
+  /** SCD Type-2 from a CHANGE set (the CDC-fed variant of [[scd2Apply]]):
+    * instead of a full snapshot — whose absent keys mean "close" — the
+    * input is the collapsed per-key delta of a CDC micro-batch:
+    * `upserts` (last c/u image per key) and `deleteKeys` (keys whose last
+    * op was d). Untouched open rows stay open; a full snapshot of a
+    * 100 TB dimension per micro-batch is exactly what CDC exists to
+    * avoid. Semantics proven equal to the snapshot path: feeding the
+    * same batch sequence through [[scd2Apply]] (with independently
+    * maintained full snapshots) yields a byte-identical history
+    * (spec: CdcScd2Spec).
+    */
+  def scd2ApplyChanges(spark: SparkSession, targetPath: String,
+      upserts: DataFrame, deleteKeys: DataFrame,
+      key: Seq[String], checkCols: Seq[String],
+      batchTs: java.sql.Timestamp): Unit = {
+    val hashExpr = md5(concat_ws("|",
+      (key ++ checkCols).map(c => coalesce(col(c).cast("string"), lit(""))): _*))
+    val incoming = upserts
+      .withColumn("scd_hash", hashExpr)
+      .withColumn("scd_id", md5(concat_ws("|",
+        (key.map(c => col(c).cast("string")) :+ lit(batchTs.toString)): _*)))
+      .withColumn("valid_from", lit(batchTs))
+      .withColumn("valid_to", lit(null).cast("timestamp"))
+
+    val result = readIfExists(spark, targetPath) match {
+      case None => incoming
+      case Some(existing) =>
+        val open = existing.filter(col("valid_to").isNull)
+        val closed = existing.filter(col("valid_to").isNotNull)
+        val delK = deleteKeys.select(key.map(col): _*)
+        // open rows split three ways: deleted → close; changed → close
+        // (new version arrives below); untouched / same-hash → keep open
+        val openNotDel = open.join(delK, key, "left_anti")
+        val toCloseDel = open.join(delK, key, "left_semi")
+          .withColumn("valid_to", lit(batchTs))
+        val openVsNew = openNotDel.as("o").join(
+          incoming.select((key.map(col) :+ col("scd_hash").as("new_hash")): _*).as("n"),
+          key, "left")
+        val stillCurrent = openVsNew
+          .filter(col("new_hash").isNull || col("new_hash") === col("o.scd_hash"))
+          .select(open.columns.map(c => col(s"o.$c")): _*)
+        val toCloseChanged = openVsNew
+          .filter(col("new_hash").isNotNull && col("new_hash") =!= col("o.scd_hash"))
+          .select(open.columns.map(c => col(s"o.$c")): _*)
+          .withColumn("valid_to", lit(batchTs))
+        // new versions: upserts whose key has no open row or whose hash
+        // changed (an upsert identical to the open row emits nothing)
+        val currentHashes = open.select(
+          (key.map(col) :+ col("scd_hash").as("cur_hash")): _*)
+        val newVersions = incoming.as("n").join(currentHashes.as("c"), key, "left")
+          .filter(col("cur_hash").isNull || col("cur_hash") =!= col("n.scd_hash"))
+          .select(incoming.columns.map(c => col(s"n.$c")): _*)
+        closed.unionByName(toCloseDel).unionByName(toCloseChanged)
+          .unionByName(stillCurrent).unionByName(newVersions)
+    }
+    overwriteAtomic(spark, targetPath, result)
+  }
+
   /** Full-refresh vs incremental behind one flag (M3). */
   def build(spark: SparkSession, targetPath: String, batch: DataFrame,
       key: Seq[String], fullRefresh: Boolean): Unit =

@@ -92,6 +92,55 @@ object Streams {
       .agg(graft.functions.expressions.TopKPairs
         .topk_pairs(col("value"), col("event_id"), k).as("tk"))
 
+  /** Continuously-maintained SCD2 dimension from a CDC stream: each
+    * micro-batch of parsed Debezium envelopes collapses to its per-key
+    * delta (last image per key by ts_ms; last-op-delete keys become
+    * closes) and folds into the history via
+    * [[graft.operators.Mutation.scd2ApplyChanges]] — the CDC-fed SCD2
+    * that never needs the full dimension snapshot a 100 TB table can't
+    * afford per batch. batchTs derives from the batch's max ts_ms, so
+    * restarts reproduce identical valid_from/scd_id values; a STRICT
+    * batch marker guards foreachBatch replays (the history fold is not
+    * idempotent). Spec: the streamed history is byte-identical to
+    * feeding the same batches' FULL snapshots through scd2Apply.
+    */
+  def cdcScd2Stream(envelopes: DataFrame, key: Seq[String],
+      checkCols: Seq[String], targetDir: String,
+      checkpointDir: String): StreamingQuery =
+    envelopes.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = targetDir + ".lastbatch"
+        if (batchId > BatchMarker.lastApplied(marker, lenient = false)) {
+          val spark = batch.sparkSession
+          import org.apache.spark.sql.expressions.Window
+          // last envelope per key in this batch (ts_ms, then op — 'u'
+          // sorts after 'd'/'c', a deterministic tie rule)
+          val keyed = batch.withColumn("_k",
+            when(col("after").isNotNull,
+              struct(key.map(k => col(s"after.$k")): _*))
+              .otherwise(struct(key.map(k => col(s"before.$k")): _*)))
+          val w = Window.partitionBy("_k")
+            .orderBy(col("ts_ms").desc, col("op").desc)
+          val last = keyed.withColumn("_rn", row_number().over(w))
+            .filter(col("_rn") === 1).persist()
+          try {
+            val upserts = last.filter(col("op") =!= "d").select(col("after.*"))
+            val deleteKeys = last.filter(col("op") === "d")
+              .select(key.map(k => col(s"before.$k").as(k)): _*)
+            val maxTs = last.agg(max("ts_ms")).head()
+            if (!maxTs.isNullAt(0)) {
+              val batchTs = new java.sql.Timestamp(maxTs.getLong(0))
+              graft.operators.Mutation.scd2ApplyChanges(spark, targetDir,
+                upserts, deleteKeys, key, checkCols, batchTs)
+            }
+            BatchMarker.commit(marker, batchId)
+          } finally { last.unpersist(); () }
+        }
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** ST8 DLQ split: per micro-batch, valid rows append to the main sink
     * and invalid rows to the dead-letter sink — one pass, two writes,
     * transactionally scoped to the batch (foreachBatch). */
