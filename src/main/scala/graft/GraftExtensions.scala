@@ -2,10 +2,9 @@ package graft
 
 import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
-import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo}
+import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
 import graft.functions.expressions.{DotProduct, MinHashSignature, RollingFingerprint, SimHash64, SimHashBits, TopKPairs, WordShingles}
-import org.apache.spark.sql.catalyst.expressions.Literal
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions so `spark.sql("SELECT dot_product(a, b)")`
@@ -17,11 +16,11 @@ import org.apache.spark.sql.catalyst.expressions.Literal
   *     .withExtensions(new GraftExtensions)           // programmatic
   *   // or: --conf spark.sql.extensions=graft.GraftExtensions
   * }}}
+  * or, on an ALREADY-BUILT session (extensions bind at session build),
+  * `GraftExtensions.registerFunctions(spark)` — same function set, live
+  * immediately (planner strategy via `spark.experimental.extraStrategies`).
   */
 class GraftExtensions extends (SparkSessionExtensions => Unit) {
-
-  private def info(name: String, usage: String) =
-    new ExpressionInfo("graft", null, name, usage, "")
 
   override def apply(ext: SparkSessionExtensions): Unit = {
     // Scale-safety rewrite: SUM(x) OVER () → broadcast one-row aggregate
@@ -32,41 +31,14 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // AsOfJoinStrategy into AsOfJoinExec — a one-pass sort-merge
     // point-in-time join over co-partitioned children.
     ext.injectPlannerStrategy(_ => graft.plans.AsOfJoinStrategy)
-    ext.injectFunction((
-      FunctionIdentifier("dot_product"),
-      info("dot_product", "dot_product(a, b) - sequential dot product of two array<double>"),
-      (children: Seq[Expression]) => DotProduct(children(0), children(1))))
-    ext.injectFunction((
-      FunctionIdentifier("simhash64"),
-      info("simhash64", "simhash64(tokens) - 64-bit SimHash of an array<string>"),
-      (children: Seq[Expression]) => SimHash64(children.head)))
-    ext.injectFunction((
-      FunctionIdentifier("word_shingles"),
-      info("word_shingles", "word_shingles(tokens, k) - distinct word k-shingles"),
-      (children: Seq[Expression]) => WordShingles(children(0), intArg(children(1)))))
-    ext.injectFunction((
-      FunctionIdentifier("minhash_signature"),
-      info("minhash_signature",
-        "minhash_signature(md5_hashes, n) - n-element double-hashed minhash signature"),
-      (children: Seq[Expression]) => MinHashSignature(children(0), intArg(children(1)))))
-    ext.injectFunction((
-      FunctionIdentifier("simhash_bits"),
-      info("simhash_bits",
-        "simhash_bits(hashes, width) - SimHash over precomputed array<bigint> hashes"),
-      (children: Seq[Expression]) => SimHashBits(children(0), intArg(children(1)))))
-    ext.injectFunction((
-      FunctionIdentifier("topk_pairs"),
-      info("topk_pairs",
-        "topk_pairs(score, id, k) - bounded best-first top-k aggregate of (score, id) pairs"),
-      (children: Seq[Expression]) => TopKPairs(children(0), children(1),
-        intArg(children(2)))))
-    ext.injectFunction((
-      FunctionIdentifier("rolling_fingerprint"),
-      info("rolling_fingerprint",
-        "rolling_fingerprint(text, window, stride) - winnowed Rabin-Karp fingerprints"),
-      (children: Seq[Expression]) => RollingFingerprint(children(0),
-        intArg(children(1)), intArg(children(2)))))
+    GraftExtensions.functions.foreach(ext.injectFunction)
   }
+}
+
+object GraftExtensions {
+
+  private def info(name: String, usage: String) =
+    new ExpressionInfo("graft", null, name, usage, "")
 
   /** Constant int argument (k / numHashes must be literal at plan time). */
   private def intArg(e: Expression): Int = e match {
@@ -74,4 +46,42 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     case other => throw new IllegalArgumentException(
       s"expected a literal integer argument, got $other")
   }
+
+  /** The engine's SQL function set — one list feeds BOTH the
+    * SparkSessionExtensions injection and the live-session registry. */
+  val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
+    (FunctionIdentifier("dot_product"),
+      info("dot_product", "dot_product(a, b) - sequential dot product of two array<double>"),
+      (children: Seq[Expression]) => DotProduct(children(0), children(1))),
+    (FunctionIdentifier("simhash64"),
+      info("simhash64", "simhash64(tokens) - 64-bit SimHash of an array<string>"),
+      (children: Seq[Expression]) => SimHash64(children.head)),
+    (FunctionIdentifier("word_shingles"),
+      info("word_shingles", "word_shingles(tokens, k) - distinct word k-shingles"),
+      (children: Seq[Expression]) => WordShingles(children(0), intArg(children(1)))),
+    (FunctionIdentifier("minhash_signature"),
+      info("minhash_signature",
+        "minhash_signature(md5_hashes, n) - n-element double-hashed minhash signature"),
+      (children: Seq[Expression]) => MinHashSignature(children(0), intArg(children(1)))),
+    (FunctionIdentifier("simhash_bits"),
+      info("simhash_bits",
+        "simhash_bits(hashes, width) - SimHash over precomputed array<bigint> hashes"),
+      (children: Seq[Expression]) => SimHashBits(children(0), intArg(children(1)))),
+    (FunctionIdentifier("topk_pairs"),
+      info("topk_pairs",
+        "topk_pairs(score, id, k) - bounded best-first top-k aggregate of (score, id) pairs"),
+      (children: Seq[Expression]) => TopKPairs(children(0), children(1),
+        intArg(children(2)))),
+    (FunctionIdentifier("rolling_fingerprint"),
+      info("rolling_fingerprint",
+        "rolling_fingerprint(text, window, stride) - winnowed Rabin-Karp fingerprints"),
+      (children: Seq[Expression]) => RollingFingerprint(children(0),
+        intArg(children(1)), intArg(children(2)))))
+
+  /** Register the function set on a live session (idempotent — the
+    * registry overwrites by identifier). */
+  def registerFunctions(spark: org.apache.spark.sql.SparkSession): Unit =
+    functions.foreach { case (id, inf, builder) =>
+      org.apache.spark.sql.GraftShims.registerFunction(spark, id, inf, builder)
+    }
 }

@@ -77,5 +77,33 @@ object SqlQueries {
     s.sql(Q39_SQL)
   }
 
-  val all: Seq[Q] = Seq(q27SqlTopRevenue, q28SqlCorrelated, q39SqlLateral)
+  /** q41: the custom `topk_pairs` aggregate through the SQL front door —
+    * the statement a user writes once the extension is installed. The
+    * oracle is the semantically-equal ROW_NUMBER form (DuckDB has no
+    * topk_pairs), so the custom aggregate's SQL path is hash-gated
+    * end-to-end, not just spec-compared. */
+  private val Q41_SPARK_SQL =
+    """SELECT event_type, p.id AS event_id, p.score AS value,
+      |  CAST(pos + 1 AS INT) AS rank
+      |FROM (SELECT event_type, topk_pairs(value, event_id, 3) AS tk
+      |      FROM events GROUP BY event_type)
+      |LATERAL VIEW posexplode(tk) AS pos, p
+      |ORDER BY event_type, rank""".stripMargin
+
+  private val Q41_ORACLE_SQL =
+    """SELECT event_type, event_id, value, rank FROM (
+      |  SELECT event_type, event_id, value,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY event_type
+      |      ORDER BY value DESC, event_id) AS INT) AS rank
+      |  FROM events)
+      |WHERE rank <= 3 ORDER BY event_type, rank""".stripMargin
+
+  val q41SqlTopk: Q = Q("q41_sql_topk", Q41_ORACLE_SQL) { (s, d) =>
+    graft.GraftExtensions.registerFunctions(s)
+    Tables.registerAll(s, d)
+    s.sql(Q41_SPARK_SQL)
+  }
+
+  val all: Seq[Q] = Seq(q27SqlTopRevenue, q28SqlCorrelated, q39SqlLateral,
+    q41SqlTopk)
 }
