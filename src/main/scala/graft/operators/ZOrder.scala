@@ -62,10 +62,12 @@ object ZOrder {
       Seq(min(col(c)).cast("double").as(s"__mn_$c"),
         max(col(c)).cast("double").as(s"__mx_$c")))
     val bounds = df.agg(aggs.head, aggs.tail: _*).head()
+    // an all-null column (or empty df) has null bounds — degrade to the
+    // degenerate rank-0 case instead of NPEing the whole OPTIMIZE job
+    def bound(i: Int): Double =
+      if (bounds.isNullAt(i)) 0.0 else bounds.getDouble(i)
     val scaled = cols.zipWithIndex.map { case (c, i) =>
-      val mn = lit(bounds.getDouble(2 * i))
-      val mx = lit(bounds.getDouble(2 * i + 1))
-      rank(col(c), mn, mx, bits)
+      rank(col(c), lit(bound(2 * i)), lit(bound(2 * i + 1)), bits)
     }
     df.withColumn("__z", interleave(scaled, bits))
       .repartitionByRange(nOut, col("__z"))

@@ -36,10 +36,15 @@ object AsOfJoinStrategy extends SparkStrategy {
   * amplification — at 100 TB this is the floor for this operator's
   * cost, and it plans exactly two exchanges (spec-asserted).
   *
-  * Null contract: rows with a null key or null timestamp on the right
-  * never match; a left row with a null key or timestamp gets null
-  * as-of values (matches the window form, where nulls sort first and a
-  * probe sorted before every reference row sees none).
+  * Null contract (SQL ASOF semantics, matching the DuckDB oracle where
+  * `p.ts >= c.ts` over a NULL is unknown → no match): rows with a null
+  * key or null timestamp on the right NEVER match, and a left row with
+  * a null key or timestamp gets null as-of values. NOTE this is
+  * deliberately STRICTER than the union-window form, which backfills a
+  * null-ts reference row (nulls sort first, `last(ignoreNulls)` still
+  * sees its value struct) and groups null keys together — on null-free
+  * keys/timestamps the two forms are spec-asserted equal; on nulls the
+  * exec follows the SQL standard and the window form does not.
   */
 case class AsOfJoinExec(
     leftKeys: Seq[Attribute],
@@ -177,9 +182,15 @@ case class AsOfJoinExec(
             val takes = kc < 0 ||
               (kc == 0 && (rTsV == null || cmpValue(tsType, rTsV, lTsV) <= 0))
             if (takes) {
-              // only a usable row can become the held as-of candidate
+              // only a usable row can become the held as-of candidate.
+              // Deep-copy the key: UTF8String values point into the sort
+              // iterator's reused buffer — held uncopied, a spill would
+              // silently overwrite them (the vals projection copies).
               if (!rKey.contains(null) && rTsV != null) {
-                heldKey = rKey
+                heldKey = rKey.map {
+                  case s: UTF8String => s.copy()
+                  case v => v
+                }
                 heldVals = valsProj(rRow).copy()
               }
               rRow = if (rIter.hasNext) rIter.next() else null

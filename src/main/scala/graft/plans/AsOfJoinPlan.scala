@@ -9,11 +9,14 @@ import org.apache.spark.sql.catalyst.plans.logical.{BinaryNode, LogicalPlan}
   * operator (the (c)-tier extension path: LogicalPlan + SparkStrategy +
   * SparkPlan, registered through SparkSessionExtensions).
   *
-  * Semantics (identical to `graft.operators.AsOfJoin.backward`,
-  * spec-asserted equal): every left row keeps, per equi-key, the value
-  * columns of the LATEST right row with `rightTs` ≤ `leftTs` — ties on
-  * (key, ts) resolve to the greatest value tuple — or nulls when no
-  * such row exists.
+  * Semantics (identical to `graft.operators.AsOfJoin.backward` on
+  * null-free keys/timestamps, spec-asserted equal): every left row
+  * keeps, per equi-key, the value columns of the LATEST right row with
+  * `rightTs` ≤ `leftTs` — ties on (key, ts) resolve to the greatest
+  * value tuple — or nulls when no such row exists. Null keys or
+  * timestamps never match (SQL ASOF semantics — see the null-contract
+  * note on [[AsOfJoinExec]]; the window form backfills null-ts
+  * reference rows instead).
   *
   * `outAttrs` (the `asof_`-prefixed nullable output attributes) are
   * fixed at construction: computing them inside `output` would mint

@@ -455,7 +455,7 @@ object MixQueries {
       |  FROM documents),
       |chunks AS (
       |  SELECT cid, ct FROM (
-      |    SELECT doc_id * 100 + start // 48 AS cid,
+      |    SELECT doc_id * 1000000 + start // 48 AS cid,
       |      list_slice(t, CAST(start + 1 AS INT), CAST(start + 64 AS INT)) AS ct
       |    FROM (SELECT doc_id, t, unnest(generate_series(0, n - 1, 48)) AS start
       |          FROM d WHERE n > 0))
@@ -495,18 +495,25 @@ object MixQueries {
       |FROM packed GROUP BY 1 ORDER BY seq_id""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.types.DecimalType
     val all = docs(s, d)
+    // cid = doc_id·10⁶ + chunk_idx: collision-free up to a million
+    // chunks per document (≈48M tokens at stride 48) while doc_ids up
+    // to ~9.2·10¹² stay inside a signed 64-bit cid
     val chunks = Mix.chunkTokens(all, "doc_id", "text", window = 64, stride = 48)
       .filter(col("n_chunk_tokens") === 64)
-      .select((col("doc_id") * 100 + col("chunk_idx")).as("cid"), col("chunk_text"))
+      .select((col("doc_id") * 1000000L + col("chunk_idx")).as("cid"),
+        col("chunk_text"))
     val refPred = col("source").isin("src0", "src1")
     val (counts, ctx, vocab) =
       graft.operators.LangModel.train(all, "doc_id", "text", refPred)
-    val kept = graft.operators.LangModel
+    // persisted: packSequences' bucket-offset collect AND the final join
+    // both consume `kept` — unpersisted, the whole chunk + bigram-LM
+    // scoring pipeline (the query's dominant cost) would run twice
+    val kept = graft.CacheScope.persist(graft.operators.LangModel
       .crossEntropy(chunks, "cid", "chunk_text", counts, ctx, vocab)
       .filter(col("xent") <= 3.5)
-      .select(col("cid"), col("xent"))
+      .select(col("cid"), col("xent")))
     val packed = Mix.packSequences(kept, "cid", lit(64L), 256L,
-      expr("cid div 10000"))
+      expr("cid div 100000000"))
     packed.join(kept.withColumnRenamed("cid", "doc_id"), "doc_id")
       .groupBy("seq_id")
       .agg(count(lit(1)).as("n_chunks"),

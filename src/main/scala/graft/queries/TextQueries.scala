@@ -555,8 +555,16 @@ object TextQueries {
     val vocabStats = terms.crossJoin(broadcast(curve))
       .filter(col("first_doc") < col("cutoff"))
       .groupBy("decile").agg(count(lit(1)).as("vocab"))
-    docStats.join(vocabStats, Seq("decile"))
-      .select("decile", "cum_docs", "cum_tokens", "vocab")
+    // LEFT joins from the curve: a decile whose prefix is empty (ids
+    // not starting near 0, or < 10 docs) must still emit its zero row —
+    // the oracle's correlated subqueries always produce all 10
+    curve.select("decile")
+      .join(docStats, Seq("decile"), "left")
+      .join(vocabStats, Seq("decile"), "left")
+      .select(col("decile"),
+        coalesce(col("cum_docs"), lit(0L)).as("cum_docs"),
+        coalesce(col("cum_tokens"), lit(0L)).as("cum_tokens"),
+        coalesce(col("vocab"), lit(0L)).as("vocab"))
       .orderBy("decile")
   }
 

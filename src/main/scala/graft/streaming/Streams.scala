@@ -113,14 +113,18 @@ object Streams {
         if (batchId > BatchMarker.lastApplied(marker, lenient = false)) {
           val spark = batch.sparkSession
           import org.apache.spark.sql.expressions.Window
-          // last envelope per key in this batch (ts_ms, then op — 'u'
-          // sorts after 'd'/'c', a deterministic tie rule)
+          // last envelope per key in this batch. Tie rule at equal
+          // ts_ms: the DELETE wins — Debezium stamps every op of a
+          // transaction with the same commit ts_ms, and a row updated
+          // then deleted in one transaction must end deleted (an
+          // op-alphabetical tie would resurrect it as permanently open)
           val keyed = batch.withColumn("_k",
             when(col("after").isNotNull,
               struct(key.map(k => col(s"after.$k")): _*))
               .otherwise(struct(key.map(k => col(s"before.$k")): _*)))
           val w = Window.partitionBy("_k")
-            .orderBy(col("ts_ms").desc, col("op").desc)
+            .orderBy(col("ts_ms").desc,
+              (col("op") === "d").desc, col("op").desc)
           val last = keyed.withColumn("_rn", row_number().over(w))
             .filter(col("_rn") === 1).persist()
           try {

@@ -40,6 +40,13 @@ class ZOrderSpec extends SparkSpec {
     assert(deg.forall(_ === 0L))
   }
 
+  test("cluster tolerates an all-null column (degenerate rank, no crash)") {
+    val df = spark.range(100).select(col("id").as("x"),
+      lit(null).cast("long").as("y"))
+    val out = ZOrder.cluster(df, Seq("x", "y"), nOut = 2)
+    assert(out.count() === 100)
+  }
+
   test("z-ordered compaction skips files on BOTH columns; single-key sort only on one") {
     // two independent uniform dimensions — the multi-filter workload
     val n = 40000L

@@ -75,6 +75,22 @@ class AsOfJoinExecSpec extends SparkSpec {
     assert(got("c") === None)       // null left ts
   }
 
+  test("string-keyed join matches the window form (held key is deep-copied)") {
+    withStrategy
+    val l = (1 to 500).map(i => (s"key-${i % 7}", i.toLong, s"t$i"))
+      .toDF("k", "ts", "trade").repartition(5)
+    val r = (1 to 400).map(i => (s"key-${i % 9}", (i * 2).toLong, i * 1.0))
+      .toDF("k", "ts", "px").repartition(3)
+    val exec = AsOfJoinNode.backward(l, r, Seq("k"), "ts", "ts", Seq("px"))
+      .select("k", "ts", "trade", "asof_px")
+      .as[(String, Long, String, Option[Double])].collect().toSet
+    val win = graft.operators.AsOfJoin
+      .backward(l, r, Seq("k"), "ts", "ts", Seq("px"))
+      .select("k", "ts", "trade", "asof_px")
+      .as[(String, Long, String, Option[Double])].collect().toSet
+    assert(exec === win)
+  }
+
   test("forward direction matches the union-window form (incl. equal-ts)") {
     withStrategy
     val exec = AsOfJoinNode.forward(trades, quotes, Seq("k"), "ts", "ts", Seq("px"))
