@@ -264,6 +264,95 @@ object Similarity {
     topKPerQuery(scored, k, "cos_sim")
   }
 
+  /** Product-quantization ANN (the memory-bound scale path): split each
+    * UNIT-NORMALIZED vector into `m` subvectors, learn `ksub` codewords
+    * per subspace (deterministic seeding from the lowest vec_ids + one
+    * Lloyd step — the ivfTopK discipline), store each vector as m small
+    * codes, and answer queries by asymmetric distance: per query, one
+    * (m × ksub) lookup table of exact subspace distances, then the
+    * approximate distance of a corpus vector is the DECIMAL-summed
+    * table entries its codes select. On unit vectors L2² = 2 − 2·cos,
+    * so ascending distance IS descending cosine.
+    *
+    * Why this matters at 100 TB: the scored representation is m
+    * small-int codes per vector (64 floats → 8 codes = 32× less state
+    * through memory and shuffle), and scoring never touches the
+    * original vectors — the classic IVF-PQ memory trade. Every step is
+    * engine-replayable: seeding is id-ordered, means are DECIMAL-summed,
+    * code assignment breaks distance ties toward the lower code, and
+    * the ADC sum is DECIMAL — the DuckDB oracle replays codebook
+    * training, encoding, and ranking end-to-end. */
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 16, dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val sub = dims / m
+    require(m * sub == dims, s"dims=$dims must split into m=$m subspaces")
+
+    def unit(df: DataFrame, idAlias: String): DataFrame =
+      df.select(col("vec_id").as(idAlias), asDouble(col("embedding")).as("v"))
+        .withColumn("nrm", sqrt(norm2(col("v"))))
+        .filter(col("nrm") > 0) // zero vectors have no direction
+        .select(col(idAlias), transform(col("v"), x => x / col("nrm")).as("vn"))
+
+    def subvectors(df: DataFrame, idCol: String, out: String): DataFrame = {
+      val js = (0 until m).map(j =>
+        struct(lit(j).as("j"), slice(col("vn"), j * sub + 1, sub).as(out)))
+      df.select(col(idCol), explode(array(js: _*)).as("s"))
+        .select(col(idCol), col("s.j").as("j"), col(s"s.$out").as(out))
+    }
+
+    def d2(a: Column, b: Column): Column = {
+      val diff = zip_with(a, b, (x, y) => x - y)
+      dot(diff, diff)
+    }
+
+    // persisted: feeds seeding, two assignment passes, and the Lloyd mean
+    val subv = graft.CacheScope.persist(
+      subvectors(unit(corpus, "vec_id"), "vec_id", "sv"))
+
+    val wSeed = Window.partitionBy("j").orderBy("vec_id")
+    val seed = subv.withColumn("c", row_number().over(wSeed) - 1)
+      .filter(col("c") < ksub)
+      .select(col("j"), col("c"), col("sv").as("cw"))
+
+    def assign(codebook: DataFrame): DataFrame =
+      subv.join(broadcast(codebook), Seq("j"))
+        .withColumn("dd", d2(col("sv"), col("cw")))
+        .groupBy("vec_id", "j")
+        .agg(min_by(col("c"), struct(col("dd"), col("c"))).as("c"))
+
+    // one Lloyd step per subspace: DECIMAL-summed component means
+    val refined = graft.CacheScope.persist(
+      assign(seed).join(subv, Seq("vec_id", "j"))
+        .select(col("j"), col("c"), posexplode(col("sv")).as(Seq("pos", "x")))
+        .groupBy("j", "c", "pos")
+        .agg((sum(col("x").cast(DecimalType(38, 18))).cast("double")
+          / count(lit(1))).as("mc"))
+        .groupBy("j", "c")
+        .agg(array_sort(collect_list(struct(col("pos"), col("mc")))).as("pm"))
+        .select(col("j"), col("c"),
+          transform(col("pm"), p => p.getField("mc")).as("cw")))
+
+    val codes = assign(refined)
+
+    // per-query subspace distance tables against the refined codebook
+    val tables = subvectors(unit(queries, "query_id"), "query_id", "qv")
+      .join(broadcast(refined), Seq("j"))
+      .select(col("query_id"), col("j"), col("c"),
+        d2(col("qv"), col("cw")).as("dd"))
+
+    // ADC: a corpus vector's approximate distance = Σ over subspaces of
+    // the table entry its code selects (DECIMAL sum — order-independent)
+    val scored = codes.join(tables, Seq("j", "c"))
+      .filter(col("query_id") =!= col("vec_id"))
+      .groupBy(col("query_id"), col("vec_id").as("neighbor_id"))
+      .agg(sum(col("dd").cast(DecimalType(38, 18))).cast("double").as("ad"))
+      .select(col("query_id"), col("neighbor_id"), negate(col("ad")).as("nad"))
+    topKPerQuery(scored, k, "nad")
+      .select(col("query_id"), col("neighbor_id"),
+        round(negate(col("nad")), 6).as("approx_d2"), col("rank"))
+  }
+
   /** Embedding-space outlier detection: distance of every vector to its
     * LABEL's centroid, z-scored within the label — the vector-quality
     * audit that catches corrupt or mislabeled embeddings before they

@@ -348,6 +348,85 @@ object VectorQueries {
       .orderBy("vec_id")
   }
 
+  // ---------------------------------------------------------------- v08
+  // Product-quantization ANN: unit-normalize, split into 8 subspaces,
+  // 16 codewords each (id-seeded + one DECIMAL-mean Lloyd step), encode
+  // the corpus as 8 codes/vector, score queries by asymmetric distance
+  // over per-query lookup tables. The oracle replays codebook training,
+  // encoding, and ADC ranking end-to-end in SQL.
+  val v08PqTopK: Q = Q(
+    "v08_ann_pq_topk",
+    """WITH u AS (
+      |  SELECT vec_id,
+      |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+      |  FROM embeddings),
+      |n0 AS (
+      |  SELECT vec_id, e,
+      |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+      |  FROM u),
+      |vn AS (
+      |  SELECT vec_id, list_transform(e, x -> x / nrm) AS vn
+      |  FROM n0 WHERE nrm > 0),
+      |subv AS (
+      |  SELECT vec_id, j,
+      |    list_slice(vn, CAST(j * 8 + 1 AS INT), CAST(j * 8 + 8 AS INT)) AS sv
+      |  FROM vn, unnest(range(0, 8)) r(j)),
+      |seed AS (
+      |  SELECT j, c, sv AS cw FROM (
+      |    SELECT j, sv,
+      |      ROW_NUMBER() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS c
+      |    FROM subv) WHERE c < 16),
+      |a0 AS (
+      |  SELECT vec_id, j, c FROM (
+      |    SELECT s.vec_id, s.j, d.c,
+      |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+      |        list_sum(list_transform(range(1, 9),
+      |          i -> (s.sv[i] - d.cw[i]) * (s.sv[i] - d.cw[i]))), d.c) AS rn
+      |    FROM subv s JOIN seed d ON s.j = d.j)
+      |  WHERE rn = 1),
+      |lloyd AS (
+      |  SELECT j, c, list(mc ORDER BY pos) AS cw FROM (
+      |    SELECT s.j, a0.c, pos,
+      |      CAST(SUM(CAST(s.sv[CAST(pos AS INT)] AS DECIMAL(38,18))) AS DOUBLE)
+      |        / COUNT(*) AS mc
+      |    FROM subv s
+      |    JOIN a0 ON s.vec_id = a0.vec_id AND s.j = a0.j,
+      |    unnest(range(1, 9)) r(pos)
+      |    GROUP BY s.j, a0.c, pos)
+      |  GROUP BY j, c),
+      |codes AS (
+      |  SELECT vec_id, j, c FROM (
+      |    SELECT s.vec_id, s.j, d.c,
+      |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+      |        list_sum(list_transform(range(1, 9),
+      |          i -> (s.sv[i] - d.cw[i]) * (s.sv[i] - d.cw[i]))), d.c) AS rn
+      |    FROM subv s JOIN lloyd d ON s.j = d.j)
+      |  WHERE rn = 1),
+      |tables AS (
+      |  SELECT s.vec_id AS query_id, s.j, d.c,
+      |    list_sum(list_transform(range(1, 9),
+      |      i -> (s.sv[i] - d.cw[i]) * (s.sv[i] - d.cw[i]))) AS dd
+      |  FROM subv s JOIN lloyd d ON s.j = d.j
+      |  WHERE s.vec_id < 10),
+      |approx AS (
+      |  SELECT t.query_id, codes.vec_id AS neighbor_id,
+      |    CAST(SUM(CAST(t.dd AS DECIMAL(38,18))) AS DOUBLE) AS ad
+      |  FROM codes JOIN tables t ON codes.j = t.j AND codes.c = t.c
+      |  WHERE t.query_id <> codes.vec_id
+      |  GROUP BY t.query_id, codes.vec_id),
+      |ranked AS (
+      |  SELECT query_id, neighbor_id, ad,
+      |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+      |      ORDER BY ad, neighbor_id) AS INT) AS rank
+      |  FROM approx)
+      |SELECT query_id, neighbor_id, ROUND(ad, 6) AS approx_d2, rank
+      |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val emb = t(s, d, "embeddings")
+    Similarity.pqTopK(emb, emb.filter(col("vec_id") < 10), 10)
+      .orderBy("query_id", "rank")
+  }
+
   val all: Seq[Q] = Seq(v01BruteForceTopK, v02NearDupPairs, v03LshTopK,
-    v04IvfTopK, v05QuantizedTopK, v06AnnRecall, v07EmbeddingOutliers)
+    v04IvfTopK, v05QuantizedTopK, v06AnnRecall, v07EmbeddingOutliers,
+    v08PqTopK)
 }

@@ -57,6 +57,24 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.2, s"LSH recall $recall too low — bucketing broken?")
   }
 
+  test("pqTopK: ADC ranking recalls a real fraction of the exact top-10") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val pq = Similarity.pqTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect pq).size.toDouble / exact.size
+    // 8×16 PQ on adversarially random 64-dim vectors is the worst case
+    // for quantization — clustered real embeddings recall far higher
+    assert(recall > 0.15, s"PQ recall $recall — codebook/ADC broken?")
+    // exact self-distance sanity: a vector is its own nearest neighbor
+    // apart from the identity exclusion, so distances must be finite ≥ 0
+    val dists = Similarity.pqTopK(emb, queries, 10)
+      .select("approx_d2").as[Double].collect()
+    assert(dists.forall(d => d >= 0 && !d.isNaN))
+  }
+
   test("centroidOutliers flags a planted far vector, passes the cluster") {
     // a tight cluster near (1, 0, 0, ...) plus one vector far away
     val dims = 8
