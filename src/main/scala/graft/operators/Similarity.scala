@@ -282,64 +282,81 @@ object Similarity {
     * code assignment breaks distance ties toward the lower code, and
     * the ADC sum is DECIMAL — the DuckDB oracle replays codebook
     * training, encoding, and ranking end-to-end. */
-  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      m: Int = 8, ksub: Int = 16, dims: Int = 64): DataFrame = {
+  private def unitVectors(df: DataFrame, idAlias: String): DataFrame =
+    df.select(col("vec_id").as(idAlias), asDouble(col("embedding")).as("v"))
+      .withColumn("nrm", sqrt(norm2(col("v"))))
+      .filter(col("nrm") > 0) // zero vectors have no direction
+      .select(col(idAlias), transform(col("v"), x => x / col("nrm")).as("vn"))
+
+  private def subvectors(df: DataFrame, idCol: String, out: String,
+      m: Int, sub: Int): DataFrame = {
+    val js = (0 until m).map(j =>
+      struct(lit(j).as("j"), slice(col("vn"), j * sub + 1, sub).as(out)))
+    df.select(col(idCol), explode(array(js: _*)).as("s"))
+      .select(col(idCol), col("s.j").as("j"), col(s"s.$out").as(out))
+  }
+
+  private def sqDist(a: Column, b: Column): Column = {
+    val diff = zip_with(a, b, (x, y) => x - y)
+    dot(diff, diff)
+  }
+
+  /** PQ codebook: (j, c, cw) — `ksub` codewords per subspace, id-seeded
+    * + one DECIMAL-mean Lloyd step (see [[pqTopK]]). Train once on a
+    * corpus (or sample), then FREEZE it: [[pqEncode]] and the streaming
+    * encoder consume it unchanged, so codes stay comparable over time. */
+  def pqCodebook(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
+      dims: Int = 64): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val sub = dims / m
     require(m * sub == dims, s"dims=$dims must split into m=$m subspaces")
-
-    def unit(df: DataFrame, idAlias: String): DataFrame =
-      df.select(col("vec_id").as(idAlias), asDouble(col("embedding")).as("v"))
-        .withColumn("nrm", sqrt(norm2(col("v"))))
-        .filter(col("nrm") > 0) // zero vectors have no direction
-        .select(col(idAlias), transform(col("v"), x => x / col("nrm")).as("vn"))
-
-    def subvectors(df: DataFrame, idCol: String, out: String): DataFrame = {
-      val js = (0 until m).map(j =>
-        struct(lit(j).as("j"), slice(col("vn"), j * sub + 1, sub).as(out)))
-      df.select(col(idCol), explode(array(js: _*)).as("s"))
-        .select(col(idCol), col("s.j").as("j"), col(s"s.$out").as(out))
-    }
-
-    def d2(a: Column, b: Column): Column = {
-      val diff = zip_with(a, b, (x, y) => x - y)
-      dot(diff, diff)
-    }
-
-    // persisted: feeds seeding, two assignment passes, and the Lloyd mean
     val subv = graft.CacheScope.persist(
-      subvectors(unit(corpus, "vec_id"), "vec_id", "sv"))
-
+      subvectors(unitVectors(corpus, "vec_id"), "vec_id", "sv", m, sub))
     val wSeed = Window.partitionBy("j").orderBy("vec_id")
     val seed = subv.withColumn("c", row_number().over(wSeed) - 1)
       .filter(col("c") < ksub)
       .select(col("j"), col("c"), col("sv").as("cw"))
+    val assigned = subv.join(broadcast(seed), Seq("j"))
+      .withColumn("dd", sqDist(col("sv"), col("cw")))
+      .groupBy("vec_id", "j")
+      .agg(min_by(col("c"), struct(col("dd"), col("c"))).as("c"))
+    assigned.join(subv, Seq("vec_id", "j"))
+      .select(col("j"), col("c"), posexplode(col("sv")).as(Seq("pos", "x")))
+      .groupBy("j", "c", "pos")
+      .agg((sum(col("x").cast(DecimalType(38, 18))).cast("double")
+        / count(lit(1))).as("mc"))
+      .groupBy("j", "c")
+      .agg(array_sort(collect_list(struct(col("pos"), col("mc")))).as("pm"))
+      .select(col("j"), col("c"),
+        transform(col("pm"), p => p.getField("mc")).as("cw"))
+  }
 
-    def assign(codebook: DataFrame): DataFrame =
-      subv.join(broadcast(codebook), Seq("j"))
-        .withColumn("dd", d2(col("sv"), col("cw")))
-        .groupBy("vec_id", "j")
-        .agg(min_by(col("c"), struct(col("dd"), col("c"))).as("c"))
+  /** Encode vectors against a FROZEN codebook: (vec_id, j, c) — nearest
+    * codeword per subspace, distance ties toward the lower code. Pure
+    * broadcast-join + aggregate: the incremental half of PQ (new
+    * vectors encode against the trained codebook without retraining —
+    * spec: streaming encode ≡ batch encode). */
+  def pqEncode(vectors: DataFrame, codebook: DataFrame,
+      m: Int = 8, dims: Int = 64): DataFrame = {
+    val sub = dims / m
+    subvectors(unitVectors(vectors, "vec_id"), "vec_id", "sv", m, sub)
+      .join(broadcast(codebook), Seq("j"))
+      .withColumn("dd", sqDist(col("sv"), col("cw")))
+      .groupBy("vec_id", "j")
+      .agg(min_by(col("c"), struct(col("dd"), col("c"))).as("c"))
+  }
 
-    // one Lloyd step per subspace: DECIMAL-summed component means
-    val refined = graft.CacheScope.persist(
-      assign(seed).join(subv, Seq("vec_id", "j"))
-        .select(col("j"), col("c"), posexplode(col("sv")).as(Seq("pos", "x")))
-        .groupBy("j", "c", "pos")
-        .agg((sum(col("x").cast(DecimalType(38, 18))).cast("double")
-          / count(lit(1))).as("mc"))
-        .groupBy("j", "c")
-        .agg(array_sort(collect_list(struct(col("pos"), col("mc")))).as("pm"))
-        .select(col("j"), col("c"),
-          transform(col("pm"), p => p.getField("mc")).as("cw")))
-
-    val codes = assign(refined)
-
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 16, dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val sub = dims / m
+    val refined = graft.CacheScope.persist(pqCodebook(corpus, m, ksub, dims))
+    val codes = pqEncode(corpus, refined, m, dims)
     // per-query subspace distance tables against the refined codebook
-    val tables = subvectors(unit(queries, "query_id"), "query_id", "qv")
+    val tables = subvectors(unitVectors(queries, "query_id"), "query_id", "qv", m, sub)
       .join(broadcast(refined), Seq("j"))
       .select(col("query_id"), col("j"), col("c"),
-        d2(col("qv"), col("cw")).as("dd"))
+        sqDist(col("qv"), col("cw")).as("dd"))
 
     // ADC: a corpus vector's approximate distance = Σ over subspaces of
     // the table entry its code selects (DECIMAL sum — order-independent)

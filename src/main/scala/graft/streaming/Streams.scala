@@ -145,6 +145,23 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Incremental PQ encoding: new embedding rows stream in and encode
+    * against a FROZEN codebook (trained once on the initial corpus —
+    * retraining per batch would make old and new codes incomparable).
+    * Pure broadcast-join per micro-batch, append sink: the streaming
+    * half of the v08 memory-bound ANN path. Spec: drained stream codes
+    * ≡ batch [[graft.operators.Similarity.pqEncode]] on the same rows. */
+  def pqEncodeStream(vectors: DataFrame, codebook: DataFrame,
+      targetDir: String, checkpointDir: String): StreamingQuery =
+    vectors.writeStream
+      .foreachBatch { (batch: DataFrame, _: Long) =>
+        graft.operators.Similarity.pqEncode(batch, codebook)
+          .write.mode("append").parquet(targetDir)
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** ST8 DLQ split: per micro-batch, valid rows append to the main sink
     * and invalid rows to the dead-letter sink — one pass, two writes,
     * transactionally scoped to the batch (foreachBatch). */

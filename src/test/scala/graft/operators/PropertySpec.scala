@@ -146,6 +146,35 @@ class PropertySpec extends SparkSpec {
     }
   }
 
+  test("property: chunkTokens covers every token and respects the stride grid") {
+    import org.apache.spark.sql.functions._
+    samples(corpusGen, 5).foreach { texts =>
+      val docs = texts.zipWithIndex.map { case (t, i) => (i.toLong, t) }
+        .toDF("doc_id", "text")
+      val window = 5
+      val stride = 3
+      val chunks = Mix.chunkTokens(docs, "doc_id", "text", window, stride)
+        .select("doc_id", "chunk_idx", "start_token", "n_chunk_tokens")
+        .as[(Long, Long, Long, Long)].collect()
+      val nTokens = texts.zipWithIndex
+        .map { case (t, i) => i.toLong -> t.split(" ").length.toLong }.toMap
+      chunks.groupBy(_._1).foreach { case (docId, cs) =>
+        val n = nTokens(docId)
+        // starts are exactly 0, stride, 2·stride, … < n (no gaps, no extras)
+        assert(cs.map(_._3).sorted.toSeq ===
+          (0L until n by stride.toLong).toSeq, s"doc $docId starts")
+        // chunk lengths: min(window, n - start), all positive
+        cs.foreach { c =>
+          assert(c._4 === math.min(window.toLong, n - c._3))
+          assert(c._4 > 0)
+        }
+        // every token position is covered by at least one chunk
+        val covered = cs.flatMap(c => c._3 until (c._3 + c._4)).toSet
+        assert(covered === (0L until n).toSet, s"doc $docId coverage")
+      }
+    }
+  }
+
   test("property: Morton interleave is injective and order-embedding on equal coords") {
     import org.apache.spark.sql.functions._
     val coordGen = Gen.listOfN(40, for {

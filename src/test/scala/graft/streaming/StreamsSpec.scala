@@ -104,6 +104,26 @@ class StreamsSpec extends SparkSpec {
     assert(got === want, "streamed leaderboard diverges from batch top-k")
   }
 
+  test("streaming PQ encode against a frozen codebook equals batch encode") {
+    import spark.implicits._
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val codebook = graft.operators.Similarity.pqCodebook(emb)
+      .persist() // frozen — both paths consume the same instance
+    val srcDir = Files.createTempDirectory("pq-src").toString
+    emb.coalesce(3).write.mode("overwrite").parquet(srcDir)
+    val out = Files.createTempDirectory("pq-out").toString + "/codes"
+    val ck = Files.createTempDirectory("pq-ck").toString
+    val stream = spark.readStream
+      .schema(emb.schema).option("maxFilesPerTrigger", 1).parquet(srcDir)
+    Streams.pqEncodeStream(stream, codebook, out, ck).awaitTermination()
+    val streamed = spark.read.parquet(out)
+      .as[(Long, Int, Int)].collect().toSet
+    val batch = graft.operators.Similarity.pqEncode(emb, codebook)
+      .as[(Long, Int, Int)].collect().toSet
+    assert(streamed === batch, "incremental PQ codes diverge from batch")
+    codebook.unpersist()
+  }
+
   test("streaming silver MV equals batch silver on a dup-free stream") {
     val bronzeStream = Medallion.bronze(
       Streams.fileSource(spark, srcDir), lit("2024-02-01 00:00:00").cast("timestamp"))
