@@ -199,7 +199,7 @@ object Similarity {
   /** IVF routing, shared by [[ivfTopK]] (exact in-cell scoring) and
     * [[ivfPqTopK]] (ADC in-cell scoring): returns
     * (cells(neighbor_id, cv2, cn2, cid), probed(query_id, qv, qn, cid)). */
-  private def ivfRouting(corpus: DataFrame, queries: DataFrame,
+  private[operators] def ivfRouting(corpus: DataFrame, queries: DataFrame,
       nCentroids: Int, nProbe: Int): (DataFrame, DataFrame) = {
     // persisted: the normed corpus feeds the seed, both assignment
     // passes, and the cell index — four evaluations without it

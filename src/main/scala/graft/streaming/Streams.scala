@@ -106,25 +106,30 @@ object Streams {
     */
   def cdcScd2Stream(envelopes: DataFrame, key: Seq[String],
       checkCols: Seq[String], targetDir: String,
-      checkpointDir: String): StreamingQuery =
+      checkpointDir: String, seqCol: Option[String] = None): StreamingQuery =
     envelopes.writeStream
       .foreachBatch { (batch: DataFrame, batchId: Long) =>
         val marker = targetDir + ".lastbatch"
         if (batchId > BatchMarker.lastApplied(marker, lenient = false)) {
           val spark = batch.sparkSession
           import org.apache.spark.sql.expressions.Window
-          // last envelope per key in this batch. Tie rule at equal
-          // ts_ms: the DELETE wins — Debezium stamps every op of a
-          // transaction with the same commit ts_ms, and a row updated
-          // then deleted in one transaction must end deleted (an
-          // op-alphabetical tie would resurrect it as permanently open)
+          // Last envelope per key in this batch. The authoritative order
+          // within equal ts_ms is `seqCol` (wire it to the envelope's
+          // LSN/pos — Debezium stamps every op of a transaction with one
+          // commit ts_ms, so ONLY a sequence can order intra-transaction
+          // ops). Without a sequence the residual tie rule is documented
+          // and conservative: the DELETE wins (an updated-then-deleted
+          // row must end deleted; the cost is that a same-ts
+          // delete-then-reinsert also resolves to deleted), and u/u ties
+          // break on the greatest after-image for run-determinism.
           val keyed = batch.withColumn("_k",
             when(col("after").isNotNull,
               struct(key.map(k => col(s"after.$k")): _*))
               .otherwise(struct(key.map(k => col(s"before.$k")): _*)))
-          val w = Window.partitionBy("_k")
-            .orderBy(col("ts_ms").desc,
-              (col("op") === "d").desc, col("op").desc)
+          val order = Seq(col("ts_ms").desc) ++
+            seqCol.map(c => col(c).desc).toSeq ++
+            Seq((col("op") === "d").desc, col("op").desc, col("after").desc)
+          val w = Window.partitionBy("_k").orderBy(order: _*)
           val last = keyed.withColumn("_rn", row_number().over(w))
             .filter(col("_rn") === 1).persist()
           try {
@@ -148,15 +153,23 @@ object Streams {
   /** Incremental PQ encoding: new embedding rows stream in and encode
     * against a FROZEN codebook (trained once on the initial corpus —
     * retraining per batch would make old and new codes incomparable).
-    * Pure broadcast-join per micro-batch, append sink: the streaming
-    * half of the v08 memory-bound ANN path. Spec: drained stream codes
+    * Pure broadcast-join per micro-batch, append sink guarded by a
+    * strict batch marker — foreachBatch is at-least-once, and a
+    * replayed append would duplicate code rows. `m`/`dims` MUST match
+    * the geometry the codebook was trained with (a mismatch would
+    * silently join partial subspaces). Spec: drained stream codes
     * ≡ batch [[graft.operators.Similarity.pqEncode]] on the same rows. */
   def pqEncodeStream(vectors: DataFrame, codebook: DataFrame,
-      targetDir: String, checkpointDir: String): StreamingQuery =
+      targetDir: String, checkpointDir: String,
+      m: Int = 8, dims: Int = 64): StreamingQuery =
     vectors.writeStream
-      .foreachBatch { (batch: DataFrame, _: Long) =>
-        graft.operators.Similarity.pqEncode(batch, codebook)
-          .write.mode("append").parquet(targetDir)
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val marker = targetDir + ".lastbatch"
+        if (batchId > BatchMarker.lastApplied(marker, lenient = false)) {
+          graft.operators.Similarity.pqEncode(batch, codebook, m, dims)
+            .write.mode("append").parquet(targetDir)
+          BatchMarker.commit(marker, batchId)
+        }
       }
       .option("checkpointLocation", checkpointDir)
       .trigger(Trigger.AvailableNow())

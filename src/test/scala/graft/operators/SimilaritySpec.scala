@@ -62,32 +62,37 @@ class SimilaritySpec extends SparkSpec {
     val queries = emb.filter($"vec_id" < 5)
     val exact = Similarity.bruteForceTopK(emb, queries, 10)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    val pq = Similarity.pqTopK(emb, queries, 10)
-      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    // one pipeline run serves both the pair-set and distance assertions
+    val rows = Similarity.pqTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id", "approx_d2")
+      .as[(Long, Long, Double)].collect()
+    val pq = rows.map(r => (r._1, r._2)).toSet
     val recall = (exact intersect pq).size.toDouble / exact.size
     // 8×16 PQ on adversarially random 64-dim vectors is the worst case
     // for quantization — clustered real embeddings recall far higher
     assert(recall > 0.15, s"PQ recall $recall — codebook/ADC broken?")
-    // exact self-distance sanity: a vector is its own nearest neighbor
-    // apart from the identity exclusion, so distances must be finite ≥ 0
-    val dists = Similarity.pqTopK(emb, queries, 10)
-      .select("approx_d2").as[Double].collect()
-    assert(dists.forall(d => d >= 0 && !d.isNaN))
+    assert(rows.forall(r => r._3 >= 0 && !r._3.isNaN))
   }
 
-  test("ivfPqTopK: candidates are cell-restricted, ranking stays sane") {
+  test("ivfPqTopK: every hit lies in a probed cell; recall stays sane") {
     val emb = Tables.t(spark, sfDir, "embeddings")
     val queries = emb.filter($"vec_id" < 5)
     val ivfpq = Similarity.ivfPqTopK(emb, queries, 10)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
-    // the composition can only SHRINK PQ's candidate pool: every IVF-PQ
-    // hit must also appear when the same ADC scores the probed cells —
-    // cross-check against the exact IVF candidate set
+    // cell restriction is the operator's defining property: a returned
+    // neighbor MUST live in one of its query's probed Voronoi cells —
+    // a routing bug that scored the whole corpus would pass a pure
+    // recall check but fail this
+    val (cells, probed) = Similarity.ivfRouting(emb, queries,
+      nCentroids = 16, nProbe = 4)
+    val allowed = probed.select("query_id", "cid")
+      .join(cells.select("neighbor_id", "cid"), "cid")
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    assert(ivfpq.subsetOf(allowed), "IVF-PQ returned a non-probed-cell hit")
     val exact = Similarity.bruteForceTopK(emb, queries, 10)
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact intersect ivfpq).size.toDouble / exact.size
     assert(recall > 0.1, s"IVF-PQ recall $recall — routing or ADC broken?")
-    assert(ivfpq.nonEmpty && ivfpq.size <= 50)
   }
 
   test("centroidOutliers flags a planted far vector, passes the cluster") {
