@@ -258,22 +258,32 @@ object ExtraQueries {
   }
 
   // ---------------------------------------------------------------- x09
-  // Quantile sketch vs exact percentiles (rows-only: approx_percentile's
-  // KLL/GK-style sketch isn't reproducible in DuckDB; the error bound
-  // is asserted in CatalogSpec against the exact values computed in the
-  // same row). At 100 TB the sketch is the only single-pass, mergeable,
-  // fixed-memory answer to "p50/p95/p99 of value per group" — the exact
-  // percentile needs a per-group sort. Same sketch-family rationale as
-  // x05's HLL.
+  // Quantile sketch vs exact percentiles, one SCALAR row per
+  // (event_type, pct) — approx_val from percentile_approx's GK-style
+  // sketch (engine-native, not reproducible in DuckDB → rows-only;
+  // the rank-error bound is asserted in CatalogSpec against exact_val
+  // in the same row; exact-quantile SQL parity itself is oracle-gated
+  // by q25, and the mergeable-sketch family gets its true hash oracle
+  // from x13's deterministic histogram sketch). At 100 TB the sketch
+  // is the only single-pass, mergeable, fixed-memory answer to
+  // "p50/p95/p99 of value per group" — the exact percentile needs a
+  // per-group sort. Same sketch-family rationale as x05's HLL.
   val x09ApproxQuantiles: Q = Q.rowsOnly("x09_approx_quantiles") { (s, d) =>
+    val pcts = array(lit(0.5), lit(0.95), lit(0.99))
     t(s, d, "events")
       .groupBy("event_type")
       .agg(
-        percentile_approx(col("value"), array(lit(0.5), lit(0.95), lit(0.99)),
-          lit(10000)).as("approx_pcts"),
+        percentile_approx(col("value"), pcts, lit(10000)).as("approx_pcts"),
         expr("percentile(value, array(0.5, 0.95, 0.99))").as("exact_pcts"),
         count(lit(1)).as("n"))
-      .orderBy("event_type")
+      .select(col("event_type"), col("n"),
+        posexplode(pcts).as(Seq("pos", "pct")),
+        col("approx_pcts"), col("exact_pcts"))
+      .select(col("event_type"), col("pct"),
+        element_at(col("approx_pcts"), col("pos") + 1).as("approx_val"),
+        element_at(col("exact_pcts"), col("pos") + 1).as("exact_val"),
+        col("n"))
+      .orderBy("event_type", "pct")
   }
 
   // ---------------------------------------------------------------- x10

@@ -64,22 +64,28 @@ class CatalogSpec extends SparkSpec {
     // freely), so the assertion checks what the sketch promises: the
     // returned value's rank sits within the tolerance of q·n.
     val rows = queries.ExtraQueries.x09ApproxQuantiles.fn(spark, sfDir).collect()
-    assert(rows.nonEmpty)
+    // 5 event types × 3 pcts, every column scalar (the round-4 array
+    // shape crashed the driver's pandas compare; this guards the shape).
+    assert(rows.length === 15)
     val values = graft.Tables.t(spark, sfDir, "events")
       .select("event_type", "value")
       .collect().groupBy(_.getString(0))
       .view.mapValues(_.map(_.getDouble(1)).sorted).toMap
-    val qs = Seq(0.5, 0.95, 0.99)
     rows.foreach { r =>
       val vs = values(r.getString(r.fieldIndex("event_type")))
       val n = vs.length
+      assert(r.getAs[Long]("n") === n)
+      val q = r.getAs[Double]("pct")
       val tol = math.max(1.0, n / 10000.0 * 2) // 2× slack on ceil effects
-      r.getSeq[Double](r.fieldIndex("approx_pcts")).zip(qs).foreach {
-        case (a, q) =>
-          val rank = vs.count(_ <= a)
-          assert(math.abs(rank - q * n) <= tol + 1,
-            s"rank of $a = $rank vs target ${q * n} (n=$n)")
-      }
+      val a = r.getAs[Double]("approx_val")
+      val rank = vs.count(_ <= a)
+      assert(math.abs(rank - q * n) <= tol + 1,
+        s"rank of $a = $rank vs target ${q * n} (n=$n)")
+      // exact_val is the interpolated percentile — rank-bounded too.
+      val e = r.getAs[Double]("exact_val")
+      val erank = vs.count(_ <= e)
+      assert(math.abs(erank - q * n) <= tol + 1,
+        s"exact rank of $e = $erank vs target ${q * n} (n=$n)")
     }
   }
 
