@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.{DotProduct, MinHashSignature, RollingFingerprint, SimHash64, SimHashBits, TopKPairs, WordShingles}
+import graft.functions.expressions.{DotProduct, HistQuantile, MinHashSignature, RollingFingerprint, SimHash64, SimHashBits, TopKPairs, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions so `spark.sql("SELECT dot_product(a, b)")`
@@ -47,6 +47,32 @@ object GraftExtensions {
       s"expected a literal integer argument, got $other")
   }
 
+  /** Constant double argument (histogram boundaries bind at plan time) —
+    * any foldable numeric (covers `CAST(0 AS DOUBLE)` etc.). */
+  private def doubleArg(e: Expression): Double =
+    (if (e.foldable) e.eval(null) else null) match {
+      case d: java.lang.Double => d
+      case f: java.lang.Float => f.toDouble
+      case i: java.lang.Integer => i.toDouble
+      case l: java.lang.Long => l.toDouble
+      case s: java.lang.Short => s.toDouble
+      case d: org.apache.spark.sql.types.Decimal => d.toDouble
+      case _ => throw new IllegalArgumentException(
+        s"expected a constant numeric argument, got $e")
+    }
+
+  /** Constant array<double> argument (quantile targets bind at plan time). */
+  private def doubleArrayArg(e: Expression): Seq[Double] =
+    if (e.foldable && e.dataType.isInstanceOf[org.apache.spark.sql.types.ArrayType]) {
+      e.eval(null) match {
+        case a: org.apache.spark.sql.catalyst.util.ArrayData =>
+          a.toDoubleArray().toSeq
+        case other => throw new IllegalArgumentException(
+          s"expected a literal array<double> argument, got $other")
+      }
+    } else throw new IllegalArgumentException(
+      s"expected a literal array<double> argument, got $e")
+
   /** The engine's SQL function set — one list feeds BOTH the
     * SparkSessionExtensions injection and the live-session registry. */
   val functions: Seq[(FunctionIdentifier, ExpressionInfo, Seq[Expression] => Expression)] = Seq(
@@ -72,6 +98,14 @@ object GraftExtensions {
         "topk_pairs(score, id, k) - bounded best-first top-k aggregate of (score, id) pairs"),
       (children: Seq[Expression]) => TopKPairs(children(0), children(1),
         intArg(children(2)))),
+    (FunctionIdentifier("hist_quantile"),
+      info("hist_quantile",
+        "hist_quantile(value, lo, width, nbuckets, percentages) - deterministic " +
+          "fixed-boundary histogram quantile sketch; returns array<double> " +
+          "aligned with percentages"),
+      (children: Seq[Expression]) => HistQuantile(children(0),
+        doubleArg(children(1)), doubleArg(children(2)), intArg(children(3)),
+        doubleArrayArg(children(4)))),
     (FunctionIdentifier("rolling_fingerprint"),
       info("rolling_fingerprint",
         "rolling_fingerprint(text, window, stride) - winnowed Rabin-Karp fingerprints"),

@@ -353,7 +353,59 @@ object ExtraQueries {
       .orderBy("user_id", "event_id")
   }
 
+  // ---------------------------------------------------------------- x13
+  // Deterministic mergeable quantile sketch with a TRUE hash oracle —
+  // the upgrade d05 gave SimHash, applied to the quantile family:
+  // x09's percentile_approx keeps the engine-native GK sketch
+  // (rows-only by nature), while this entry's fixed-boundary histogram
+  // sketch (graft.functions.expressions.HistQuantile, a
+  // TypedImperativeAggregate: Array[Long] bucket counts, element-wise
+  // merge, nBuckets longs of shuffle per group at any input size) uses
+  // plain-arithmetic construction that DuckDB replays verbatim —
+  // bucket = clamp(floor(value/width)), cumulative counts, linear
+  // interpolation at rank pct*n.
+  val x13HistQuantiles: Q = Q(
+    "x13_hist_quantiles",
+    """WITH b AS (
+      |  SELECT event_type,
+      |    LEAST(GREATEST(CAST(FLOOR(value / 1.0) AS BIGINT), 0), 1023) AS bucket,
+      |    COUNT(*) AS c
+      |  FROM events GROUP BY 1, 2),
+      |cum AS (
+      |  SELECT event_type, bucket, c,
+      |    SUM(c) OVER (PARTITION BY event_type ORDER BY bucket) AS cum,
+      |    SUM(c) OVER (PARTITION BY event_type) AS n
+      |  FROM b),
+      |p AS (SELECT UNNEST([0.5, 0.95, 0.99]) AS pct),
+      |hit AS (
+      |  SELECT cum.event_type, p.pct, CAST(cum.n AS BIGINT) AS n,
+      |    cum.bucket, cum.c, cum.cum,
+      |    ROW_NUMBER() OVER (PARTITION BY cum.event_type, p.pct
+      |                       ORDER BY cum.bucket) AS rn
+      |  FROM cum CROSS JOIN p
+      |  WHERE cum.cum >= p.pct * cum.n)
+      |SELECT event_type, pct,
+      |  ROUND(1.0 * (bucket + (pct * n - (cum - c)) / c), 4) AS sketch_val,
+      |  n
+      |FROM hit WHERE rn = 1
+      |ORDER BY event_type, pct""".stripMargin) { (s, d) =>
+    import graft.functions.expressions.HistQuantile.hist_quantile
+    val pcts = Seq(0.5, 0.95, 0.99)
+    t(s, d, "events")
+      .groupBy("event_type")
+      .agg(
+        hist_quantile(col("value"), 0.0, 1.0, 1024, pcts).as("qs"),
+        count(lit(1)).as("n"))
+      .select(col("event_type"), col("n"),
+        posexplode(col("qs")).as(Seq("pos", "sketch_val")))
+      .select(col("event_type"),
+        element_at(array(pcts.map(lit): _*), col("pos") + 1).as("pct"),
+        round(col("sketch_val"), 4).as("sketch_val"),
+        col("n"))
+      .orderBy("event_type", "pct")
+  }
+
   val all: Seq[Q] = Seq(x01SeedJoin, x02AsofJoin, x03Duration, x04Sessionize,
     x05ApproxDistinct, x06RangeJoin, x07Scd2History, x08AsofForward,
-    x09ApproxQuantiles, x10AsofExec, x11AsofExecForward)
+    x09ApproxQuantiles, x10AsofExec, x11AsofExecForward, x13HistQuantiles)
 }
