@@ -95,7 +95,9 @@ object GraftExtensions {
       (children: Seq[Expression]) => SimHashBits(children(0), intArg(children(1)))),
     (FunctionIdentifier("topk_pairs"),
       info("topk_pairs",
-        "topk_pairs(score, id, k) - bounded best-first top-k aggregate of (score, id) pairs"),
+        "topk_pairs(score, id, k) - bounded best-first top-k aggregate of " +
+          "(score, id) pairs; duplicate pairs rank with multiplicity, like " +
+          "row_number() over (order by score desc, id)"),
       (children: Seq[Expression]) => TopKPairs(children(0), children(1),
         intArg(children(2)))),
     (FunctionIdentifier("hist_quantile"),

@@ -28,7 +28,11 @@ import org.apache.spark.sql.types._
   * to k · |groups| · |map partitions|, independent of corpus size.
   *
   * Ordering contract (must match the window form it replaces): higher
-  * score first; ties broken by LOWER id first. Null scores/ids are
+  * score first; ties broken by LOWER id first. Duplicate (score, id)
+  * pairs are counted with MULTIPLICITY — an input containing the same
+  * pair twice yields it twice, exactly as `row_number()` would — so the
+  * function is safe for non-key ids fed through its public SQL
+  * registration, not just the unique-id ANN callers. Null scores/ids are
   * ignored. Result: `array<struct<score:double, id:bigint>>` sorted
   * best-first — `posexplode` it and add `pos + 1` as the rank.
   */
@@ -38,7 +42,7 @@ case class TopKPairs(
     k: Int,
     mutableAggBufferOffset: Int = 0,
     inputAggBufferOffset: Int = 0)
-  extends TypedImperativeAggregate[java.util.TreeSet[(Double, Long)]] {
+  extends TypedImperativeAggregate[TopKPairs.Buffer] {
 
   require(k > 0, s"k must be positive, got $k")
 
@@ -63,71 +67,66 @@ case class TopKPairs(
           s"topk_pairs requires (double, bigint), got (${s.simpleString}, ${i.simpleString})")
     }
 
-  /** Best-first total order: score DESC, id ASC. A TreeSet under this
-    * ordering keeps the k best at the head and the evictable worst at
-    * the tail; (score, id) duplicates collapse, which is harmless here
-    * because id is a key in every caller. */
-  private object BestFirst extends Ordering[(Double, Long)] {
-    def compare(a: (Double, Long), b: (Double, Long)): Int = {
-      val c = java.lang.Double.compare(b._1, a._1)
-      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
-    }
-  }
+  override def createAggregationBuffer(): TopKPairs.Buffer =
+    new TopKPairs.Buffer(k)
 
-  override def createAggregationBuffer(): java.util.TreeSet[(Double, Long)] =
-    new java.util.TreeSet[(Double, Long)](BestFirst)
-
-  override def update(buf: java.util.TreeSet[(Double, Long)], input: InternalRow): java.util.TreeSet[(Double, Long)] = {
+  override def update(buf: TopKPairs.Buffer, input: InternalRow): TopKPairs.Buffer = {
     val s = scoreExpr.eval(input)
     val i = idExpr.eval(input)
-    if (s != null && i != null) {
-      buf.add((s.asInstanceOf[Double], i.asInstanceOf[Long]))
-      if (buf.size > k) buf.pollLast()
-    }
+    if (s != null && i != null)
+      buf.add(s.asInstanceOf[Double], i.asInstanceOf[Long], 1)
     buf
   }
 
-  override def merge(buf: java.util.TreeSet[(Double, Long)], other: java.util.TreeSet[(Double, Long)]): java.util.TreeSet[(Double, Long)] = {
-    val it = other.iterator()
+  override def merge(buf: TopKPairs.Buffer, other: TopKPairs.Buffer): TopKPairs.Buffer = {
+    val it = other.m.entrySet().iterator()
     while (it.hasNext) {
-      buf.add(it.next())
-      if (buf.size > k) buf.pollLast()
+      val e = it.next()
+      buf.add(e.getKey._1, e.getKey._2, e.getValue)
     }
     buf
   }
 
-  override def eval(buf: java.util.TreeSet[(Double, Long)]): Any = {
-    val out = new Array[Any](buf.size)
-    val it = buf.iterator()
+  override def eval(buf: TopKPairs.Buffer): Any = {
+    val out = new Array[Any](buf.n)
+    val it = buf.m.entrySet().iterator()
     var n = 0
     while (it.hasNext) {
-      val (s, i) = it.next()
-      out(n) = InternalRow(s, i)
-      n += 1
+      val e = it.next()
+      var c = e.getValue
+      while (c > 0) {
+        out(n) = InternalRow(e.getKey._1, e.getKey._2)
+        n += 1
+        c -= 1
+      }
     }
     new GenericArrayData(out)
   }
 
-  override def serialize(buf: java.util.TreeSet[(Double, Long)]): Array[Byte] = {
+  override def serialize(buf: TopKPairs.Buffer): Array[Byte] = {
     val bos = new ByteArrayOutputStream()
     val out = new DataOutputStream(bos)
-    out.writeInt(buf.size)
-    val it = buf.iterator()
+    out.writeInt(buf.m.size())
+    val it = buf.m.entrySet().iterator()
     while (it.hasNext) {
-      val (s, i) = it.next()
-      out.writeDouble(s)
-      out.writeLong(i)
+      val e = it.next()
+      out.writeDouble(e.getKey._1)
+      out.writeLong(e.getKey._2)
+      out.writeInt(e.getValue)
     }
     out.flush()
     bos.toByteArray
   }
 
-  override def deserialize(bytes: Array[Byte]): java.util.TreeSet[(Double, Long)] = {
+  override def deserialize(bytes: Array[Byte]): TopKPairs.Buffer = {
     val in = new DataInputStream(new ByteArrayInputStream(bytes))
     val buf = createAggregationBuffer()
-    val n = in.readInt()
+    val entries = in.readInt()
     var j = 0
-    while (j < n) { buf.add((in.readDouble(), in.readLong())); j += 1 }
+    while (j < entries) {
+      buf.add(in.readDouble(), in.readLong(), in.readInt())
+      j += 1
+    }
     buf
   }
 
@@ -142,6 +141,44 @@ case class TopKPairs(
 }
 
 object TopKPairs {
+
+  /** Best-first total order: score DESC, id ASC. */
+  private object BestFirst extends Ordering[(Double, Long)] {
+    def compare(a: (Double, Long), b: (Double, Long)): Int = {
+      val c = java.lang.Double.compare(b._1, a._1)
+      if (c != 0) c else java.lang.Long.compare(a._2, b._2)
+    }
+  }
+
+  /** Bounded multiset of (score, id) pairs under the best-first order:
+    * a TreeMap of occurrence counts (so duplicate pairs rank with
+    * multiplicity, like the window form) capped at k total occurrences —
+    * the worst occurrence is evicted when a better one arrives. */
+  final class Buffer(k: Int) {
+    val m = new java.util.TreeMap[(Double, Long), Int](BestFirst)
+    var n: Int = 0
+
+    def add(score: Double, id: Long, count: Int): Unit = {
+      var c = count
+      val key = (score, id)
+      // take occurrences while capacity remains
+      if (n < k) {
+        val take = math.min(c, k - n)
+        m.put(key, m.getOrDefault(key, 0) + take)
+        n += take
+        c -= take
+      }
+      // replace worst occurrences while strictly better than the worst
+      while (c > 0 && BestFirst.compare(key, m.lastKey()) < 0) {
+        m.put(key, m.getOrDefault(key, 0) + 1)
+        val worst = m.lastKey()
+        val wc = m.get(worst)
+        if (wc == 1) m.remove(worst) else m.put(worst, wc - 1)
+        c -= 1
+      }
+    }
+  }
+
   /** Column API: bounded best-first top-k of (score, id) per group. */
   def topk_pairs(score: Column, id: Column, k: Int): Column =
     GraftShims.column(

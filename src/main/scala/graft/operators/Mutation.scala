@@ -406,7 +406,14 @@ object Mutation {
       batchTs: java.sql.Timestamp): Unit = {
     val hashExpr = md5(concat_ws("|",
       (key ++ checkCols).map(c => coalesce(col(c).cast("string"), lit(""))): _*))
-    val incoming = upserts
+    val delK = deleteKeys.select(key.map(col): _*)
+    // DELETE WINS when a key appears in both inputs (the tie rule
+    // cdcScd2Stream establishes when collapsing a batch) — enforced
+    // structurally here by anti-joining upserts against deleteKeys, so
+    // a caller handing in overlapping sets cannot resurrect a deleted
+    // key with a same-batch insert.
+    val liveUpserts = upserts.join(delK, key, "left_anti")
+    val incoming = liveUpserts
       .withColumn("scd_hash", hashExpr)
       .withColumn("scd_id", md5(concat_ws("|",
         (key.map(c => col(c).cast("string")) :+ lit(batchTs.toString)): _*)))
@@ -418,7 +425,6 @@ object Mutation {
       case Some(existing) =>
         val open = existing.filter(col("valid_to").isNull)
         val closed = existing.filter(col("valid_to").isNotNull)
-        val delK = deleteKeys.select(key.map(col): _*)
         // open rows split three ways: deleted → close; changed → close
         // (new version arrives below); untouched / same-hash → keep open
         val openNotDel = open.join(delK, key, "left_anti")

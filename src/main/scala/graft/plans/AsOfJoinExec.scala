@@ -16,7 +16,7 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: AsOfJoinNode =>
       AsOfJoinExec(n.leftKeys, n.rightKeys, n.leftTs, n.rightTs,
-        n.rightVals, n.outAttrs, n.forwardDir,
+        n.rightVals, n.outAttrs, n.forwardDir, n.maxGap,
         planLater(n.left), planLater(n.right)) :: Nil
     case _ => Nil
   }
@@ -54,6 +54,7 @@ case class AsOfJoinExec(
     rightVals: Seq[Attribute],
     outAttrs: Seq[AttributeReference],
     forwardDir: Boolean,
+    maxGap: Option[Long],
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -102,6 +103,17 @@ case class AsOfJoinExec(
     val leftOutSize = left.output.size
     val nVals = rightVals.size
     val outSchema = output
+    // TTL: gap measured in the ts type's integer units (micros for
+    // timestamps, days for dates — node validated integral at build)
+    val ttlOn = maxGap.isDefined
+    val gapLimit = maxGap.getOrElse(Long.MaxValue)
+    def tsLong(v: Any): Long = v match {
+      case l: java.lang.Long => l
+      case i: java.lang.Integer => i.toLong
+      case s: java.lang.Short => s.toLong
+      case other => throw new IllegalStateException(
+        s"non-integral as-of ts under maxGap: $other") // unreachable: node validates
+    }
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val valsProj = UnsafeProjection.create(valsExprs, rightOut)
@@ -111,9 +123,10 @@ case class AsOfJoinExec(
 
       // one-row lookahead over the sorted right side
       var rRow: InternalRow = if (rIter.hasNext) rIter.next() else null
-      // latest consumed right row's key (copied) + projected values
+      // latest consumed right row's key (copied) + projected values + ts
       var heldKey: Array[Any] = null
       var heldVals: InternalRow = null
+      var heldTs: Long = 0L
 
       def keyOf(row: InternalRow, refs: Seq[BoundReference]): Array[Any] = {
         val k = new Array[Any](refs.size)
@@ -160,8 +173,10 @@ case class AsOfJoinExec(
           }
           val matches = keyUsable && rRow != null && {
             val rKey = keyOf(rRow, rKeyRefs)
+            val rTsV = rTsRef.eval(rRow)
             cmpKeys(rKey, lKey) == 0 && !rKey.contains(null) &&
-              rTsRef.eval(rRow) != null
+              rTsV != null &&
+              (!ttlOn || tsLong(rTsV) - tsLong(lTsV) <= gapLimit)
           }
           joined(lRow, if (matches) valsProj(rRow) else nullVals)
           resultProj(joined)
@@ -192,13 +207,16 @@ case class AsOfJoinExec(
                   case v => v
                 }
                 heldVals = valsProj(rRow).copy()
+                if (ttlOn) heldTs = tsLong(rTsV)
               }
               rRow = if (rIter.hasNext) rIter.next() else null
               advance = rRow != null
             } else advance = false
           }
         }
-        val matches = keyUsable && heldKey != null && cmpKeys(heldKey, lKey) == 0
+        val matches = keyUsable && heldKey != null &&
+          cmpKeys(heldKey, lKey) == 0 &&
+          (!ttlOn || tsLong(lTsV) - heldTs <= gapLimit)
         joined(lRow, if (matches) heldVals else nullVals)
         resultProj(joined)
       }

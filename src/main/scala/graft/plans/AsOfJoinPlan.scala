@@ -31,10 +31,41 @@ case class AsOfJoinNode(
     rightTs: Attribute,
     rightVals: Seq[Attribute],
     outAttrs: Seq[AttributeReference],
-    forwardDir: Boolean = false) extends BinaryNode {
+    forwardDir: Boolean = false,
+    maxGap: Option[Long] = None) extends BinaryNode {
 
   require(leftKeys.size == rightKeys.size && leftKeys.nonEmpty,
     "as-of join needs at least one equi-key on both sides")
+
+  // Key/timestamp types are validated HERE so an unsupported or
+  // mismatched column fails at plan construction with a clear message,
+  // not per-row inside doExecute as a mid-job task failure.
+  {
+    import org.apache.spark.sql.types._
+    def comparable(dt: DataType): Boolean = dt match {
+      case LongType | IntegerType | ShortType | DoubleType | FloatType |
+           DateType | TimestampType | TimestampNTZType | StringType => true
+      case _ => false
+    }
+    leftKeys.zip(rightKeys).foreach { case (l, r) =>
+      require(comparable(l.dataType) && l.dataType == r.dataType,
+        s"as-of join key type not supported or mismatched: " +
+          s"${l.name}: ${l.dataType.simpleString} vs ${r.name}: ${r.dataType.simpleString}")
+    }
+    require(comparable(leftTs.dataType) && leftTs.dataType == rightTs.dataType,
+      s"as-of timestamp type not supported or mismatched: " +
+        s"${leftTs.dataType.simpleString} vs ${rightTs.dataType.simpleString}")
+    // a TTL needs integer time arithmetic (micros / days / raw longs)
+    maxGap.foreach { g =>
+      require(g >= 0, s"as-of maxGap must be non-negative, got $g")
+      require(leftTs.dataType match {
+        case LongType | IntegerType | ShortType | DateType |
+             TimestampType | TimestampNTZType => true
+        case _ => false
+      }, s"as-of maxGap needs an integer-unit timestamp type, " +
+        s"got ${leftTs.dataType.simpleString}")
+    }
+  }
 
   override def output: Seq[Attribute] = left.output ++ outAttrs
 
@@ -51,9 +82,16 @@ case class AsOfJoinNode(
 object AsOfJoinNode {
 
   private def resolve(plan: LogicalPlan, name: String): Attribute =
-    plan.output.find(_.name == name).getOrElse(
-      throw new IllegalArgumentException(
-        s"column $name not found among ${plan.output.map(_.name).mkString(", ")}"))
+    plan.output.filter(_.name == name) match {
+      case Seq(one) => one
+      case Seq() => throw new IllegalArgumentException(
+        s"column $name not found among ${plan.output.map(_.name).mkString(", ")}")
+      case many => throw new IllegalArgumentException(
+        // mirror the analyzer's ambiguity error instead of silently
+        // binding the first occurrence
+        s"ambiguous column $name: ${many.size} matches " +
+          s"(${many.map(_.exprId).mkString(", ")})")
+    }
 
   /** Backward as-of join through the custom operator. The session must
     * have [[AsOfJoinStrategy]] available — via `GraftExtensions`
@@ -67,19 +105,23 @@ object AsOfJoinNode {
     * aliases give the node's right-side references unique, stable ids
     * that survive deduplication. */
   def backward(left: DataFrame, right: DataFrame, key: Seq[String],
-      leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame =
-    build(left, right, key, leftTs, rightTs, rightVals, forwardDir = false)
+      leftTs: String, rightTs: String, rightVals: Seq[String],
+      maxGap: Option[Long] = None): DataFrame =
+    build(left, right, key, leftTs, rightTs, rightVals, forwardDir = false,
+      maxGap)
 
   /** Forward as-of join (earliest right row with ts ≥ the left's; ties
     * at equal (key, ts) resolve to the least value tuple) through the
     * custom operator. */
   def forward(left: DataFrame, right: DataFrame, key: Seq[String],
-      leftTs: String, rightTs: String, rightVals: Seq[String]): DataFrame =
-    build(left, right, key, leftTs, rightTs, rightVals, forwardDir = true)
+      leftTs: String, rightTs: String, rightVals: Seq[String],
+      maxGap: Option[Long] = None): DataFrame =
+    build(left, right, key, leftTs, rightTs, rightVals, forwardDir = true,
+      maxGap)
 
   private def build(left: DataFrame, right: DataFrame, key: Seq[String],
       leftTs: String, rightTs: String, rightVals: Seq[String],
-      forwardDir: Boolean): DataFrame = {
+      forwardDir: Boolean, maxGap: Option[Long]): DataFrame = {
     import org.apache.spark.sql.functions.col
     val rPrepped = right.select(
       key.map(k => col(k).as(s"__asof_k_$k")) ++
@@ -94,6 +136,7 @@ object AsOfJoinNode {
     GraftShims.ofRows(left.sparkSession,
       AsOfJoinNode(lp, rp,
         key.map(resolve(lp, _)), key.map(k => resolve(rp, s"__asof_k_$k")),
-        resolve(lp, leftTs), resolve(rp, "__asof_ts"), rv, out, forwardDir))
+        resolve(lp, leftTs), resolve(rp, "__asof_ts"), rv, out, forwardDir,
+        maxGap))
   }
 }

@@ -353,6 +353,49 @@ object ExtraQueries {
       .orderBy("user_id", "event_id")
   }
 
+  // ---------------------------------------------------------------- x12
+  // TTL-bounded as-of join (the reference's Feast point-in-time join
+  // bounds lookback with a feature TTL —
+  // reference pipelines/21-feast-feature-store/feast/features.py:25-62):
+  // each purchase gets its most recent at-or-before click ONLY if that
+  // click is within 1 hour; staler matches yield nulls. Runs through the
+  // CUSTOM physical operator (AsOfJoinExec with maxGap), so the exec's
+  // TTL path is hash-gated against DuckDB's native ASOF plus the same
+  // inclusive gap filter. The TTL costs nothing extra at scale: the
+  // as-of match is by definition nearest-in-time, so one per-row gap
+  // check after the same one-pass merge decides it.
+  val x12AsofTtl: Q = Q(
+    "x12_asof_ttl",
+    """WITH purchases AS (
+      |  SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'),
+      |clicks AS (
+      |  SELECT user_id, ts, event_id AS click_event_id, value AS click_value
+      |  FROM events WHERE event_type = 'click')
+      |SELECT p.user_id, p.event_id, p.value,
+      |  CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+      |       THEN c.click_event_id END AS asof_click_event_id,
+      |  CASE WHEN epoch_us(p.ts) - epoch_us(c.ts) <= 3600000000
+      |       THEN c.click_value END AS asof_click_value
+      |FROM purchases p ASOF LEFT JOIN clicks c
+      |  ON p.user_id = c.user_id AND p.ts >= c.ts
+      |ORDER BY p.user_id, p.event_id""".stripMargin) { (s, d) =>
+    if (!s.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    val ev = t(s, d, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts", "value")
+    val clicks = ev.filter(col("event_type") === "click")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("click_event_id"), col("value").as("click_value"))
+    graft.plans.AsOfJoinNode.backward(purchases, clicks, Seq("user_id"),
+        "ts", "ts", Seq("click_event_id", "click_value"),
+        maxGap = Some(3600L * 1000000L)) // 1 h in micros
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("asof_click_event_id"), col("asof_click_value"))
+      .orderBy("user_id", "event_id")
+  }
+
   // ---------------------------------------------------------------- x13
   // Deterministic mergeable quantile sketch with a TRUE hash oracle —
   // the upgrade d05 gave SimHash, applied to the quantile family:
@@ -407,5 +450,6 @@ object ExtraQueries {
 
   val all: Seq[Q] = Seq(x01SeedJoin, x02AsofJoin, x03Duration, x04Sessionize,
     x05ApproxDistinct, x06RangeJoin, x07Scd2History, x08AsofForward,
-    x09ApproxQuantiles, x10AsofExec, x11AsofExecForward, x13HistQuantiles)
+    x09ApproxQuantiles, x10AsofExec, x11AsofExecForward, x12AsofTtl,
+    x13HistQuantiles)
 }

@@ -45,6 +45,27 @@ class TopKPairsSpec extends SparkSpec {
     assert(asSet(aggTopK(scored, 10)) === asSet(windowTopK(scored, 10)))
   }
 
+  test("duplicate (score, id) pairs rank with multiplicity, like the window") {
+    // non-key ids: the same pair appears several times; row_number gives
+    // each occurrence its own rank, so the top-k must too (a set-based
+    // buffer would collapse them and pull worse pairs into the k)
+    val scored = Seq(
+      (1L, 5L, 0.9), (1L, 5L, 0.9), (1L, 5L, 0.9),
+      (1L, 2L, 0.8), (1L, 2L, 0.8), (1L, 9L, 0.7), (1L, 1L, 0.6)
+    ).toDF("query_id", "neighbor_id", "cos_sim").repartition(4)
+    for (k <- Seq(2, 4, 6, 7)) {
+      val agg = aggTopK(scored, k)
+        .select("query_id", "neighbor_id", "cos_sim")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+      val win = windowTopK(scored, k)
+        .select("query_id", "neighbor_id", "cos_sim")
+        .collect().map(r => (r.getLong(0), r.getLong(1), r.getDouble(2)))
+        .sorted.toSeq
+      assert(agg === win, s"k=$k")
+    }
+  }
+
   test("ties on score break toward the lower id, matching the window") {
     val scored = Seq(
       (1L, 10L, 0.5), (1L, 3L, 0.5), (1L, 7L, 0.5), (1L, 2L, 0.9),

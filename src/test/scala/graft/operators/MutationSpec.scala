@@ -72,6 +72,27 @@ class MutationSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() === 3)
   }
 
+  test("scd2ApplyChanges: delete wins when a key is in both upserts and deleteKeys") {
+    val path = tmp()
+    val t1 = java.sql.Timestamp.valueOf("2024-01-01 00:00:00")
+    val t2 = java.sql.Timestamp.valueOf("2024-01-02 00:00:00")
+    Mutation.scd2ApplyChanges(spark, path,
+      Seq((1L, "NYC"), (2L, "LA")).toDF("loc_id", "zone"),
+      Seq.empty[Long].toDF("loc_id"), Seq("loc_id"), Seq("zone"), t1)
+    // Key 1 arrives in BOTH inputs: the delete must close its open row
+    // and the overlapping upsert must NOT mint a fresh open version.
+    Mutation.scd2ApplyChanges(spark, path,
+      Seq((1L, "Brooklyn")).toDF("loc_id", "zone"),
+      Seq(1L).toDF("loc_id"), Seq("loc_id"), Seq("zone"), t2)
+    val all = spark.read.parquet(path)
+    val k1 = all.filter($"loc_id" === 1).collect()
+    assert(k1.length === 1, "overlapping upsert resurrected a deleted key")
+    assert(k1.head.getAs[java.sql.Timestamp]("valid_to") === t2)
+    assert(k1.head.getAs[String]("zone") === "NYC")
+    // untouched key stays open
+    assert(all.filter($"loc_id" === 2 && $"valid_to".isNull).count() === 1)
+  }
+
   test("build: full refresh replaces, incremental merges (M3)") {
     val path = tmp()
     Mutation.build(spark, path, Seq((1L, "x")).toDF("id", "v"), Seq("id"), fullRefresh = false)

@@ -122,6 +122,73 @@ class AsOfJoinExecSpec extends SparkSpec {
     assert(collect(exec) === collect(win))
   }
 
+  test("maxGap TTL boundary is inclusive, backward and forward") {
+    withStrategy
+    // backward: t1 at ts=10 vs quote at ts=8 → gap 2
+    def back(ttl: Long) = collect(AsOfJoinNode.backward(
+      trades, quotes, Seq("k"), "ts", "ts", Seq("px"), maxGap = Some(ttl)))
+    assert(back(2L).contains((1L, 10L, "t1", Some(100.0)))) // gap == TTL matches
+    assert(back(1L).contains((1L, 10L, "t1", None)))        // gap > TTL nulls
+    // forward: t4 at ts=15 vs quote at ts=16 → gap 1
+    def fwd(ttl: Long) = collect(AsOfJoinNode.forward(
+      trades, quotes, Seq("k"), "ts", "ts", Seq("px"), maxGap = Some(ttl)))
+    assert(fwd(1L).contains((2L, 15L, "t4", Some(200.0))))
+    assert(fwd(0L).contains((2L, 15L, "t4", None)))
+    // the window form draws the same boundary
+    assert(back(2L) === collect(AsOfJoin.backward(
+      trades, quotes, Seq("k"), "ts", "ts", Seq("px"), maxGap = Some(2L))))
+    assert(back(1L) === collect(AsOfJoin.backward(
+      trades, quotes, Seq("k"), "ts", "ts", Seq("px"), maxGap = Some(1L))))
+  }
+
+  test("property: TTL'd exec equals the TTL'd window form, both directions") {
+    withStrategy
+    val rng = new scala.util.Random(29)
+    val l = (1 to 300).map(_ =>
+      (rng.nextInt(10).toLong, rng.nextInt(400).toLong, rng.nextInt(1000).toString))
+    val rKeys = scala.util.Random.shuffle(
+      (for (k <- 0 until 10; t <- 0 until 400) yield (k.toLong, t.toLong))
+        .toList).take(300)
+    val r = rKeys.map { case (k, t) => (k, t, rng.nextDouble()) }
+    val lDf = l.toDF("k", "ts", "trade").repartition(6)
+    val rDf = r.toDF("k", "ts", "px").repartition(4)
+    for (ttl <- Seq(0L, 7L, 50L)) {
+      assert(collect(AsOfJoinNode.backward(lDf, rDf, Seq("k"), "ts", "ts",
+          Seq("px"), maxGap = Some(ttl))) ===
+        collect(AsOfJoin.backward(lDf, rDf, Seq("k"), "ts", "ts",
+          Seq("px"), maxGap = Some(ttl))), s"backward ttl=$ttl")
+      assert(collect(AsOfJoinNode.forward(lDf, rDf, Seq("k"), "ts", "ts",
+          Seq("px"), maxGap = Some(ttl))) ===
+        collect(AsOfJoin.forward(lDf, rDf, Seq("k"), "ts", "ts",
+          Seq("px"), maxGap = Some(ttl))), s"forward ttl=$ttl")
+    }
+  }
+
+  test("unsupported or mismatched key/ts types fail at node build, not mid-job") {
+    val boolKeyed = Seq((true, 10L, "a")).toDF("k", "ts", "trade")
+    val boolQuotes = Seq((true, 8L, 1.0)).toDF("k", "ts", "px")
+    val e1 = intercept[IllegalArgumentException] {
+      AsOfJoinNode.backward(boolKeyed, boolQuotes, Seq("k"), "ts", "ts", Seq("px"))
+    }
+    assert(e1.getMessage.contains("key type not supported"))
+    // a TTL over a non-integer timestamp type is rejected up front
+    val dblTs = Seq((1L, 10.5, "a")).toDF("k", "ts", "trade")
+    val dblQs = Seq((1L, 8.5, 1.0)).toDF("k", "ts", "px")
+    val e2 = intercept[IllegalArgumentException] {
+      AsOfJoinNode.backward(dblTs, dblQs, Seq("k"), "ts", "ts", Seq("px"),
+        maxGap = Some(1L))
+    }
+    assert(e2.getMessage.contains("maxGap"))
+  }
+
+  test("duplicate column names on a side raise an ambiguity error") {
+    val dup = trades.select(col("k"), col("k"), col("ts"), col("trade"))
+    val e = intercept[IllegalArgumentException] {
+      AsOfJoinNode.backward(dup, quotes, Seq("k"), "ts", "ts", Seq("px"))
+    }
+    assert(e.getMessage.contains("ambiguous"))
+  }
+
   test("property: equals the window form on randomized multi-partition data") {
     withStrategy
     val rng = new scala.util.Random(7)
