@@ -196,11 +196,12 @@ object Similarity {
     * no driver-side collect anywhere). At 100 TB: same plan, with
     * centroids trained on a sample; scoring touches ~nProbe/nCentroids
     * of the corpus instead of all of it. */
-  /** IVF routing, shared by [[ivfTopK]] (exact in-cell scoring) and
-    * [[ivfPqTopK]] (ADC in-cell scoring): returns
-    * (cells(neighbor_id, cv2, cn2, cid), probed(query_id, qv, qn, cid)). */
+  /** IVF routing, shared by [[ivfTopK]] (exact in-cell scoring),
+    * [[ivfPqTopK]] (ADC in-cell scoring) and [[ivfPqResidualTopK]]
+    * (residual ADC): returns (cells(neighbor_id, cv2, cn2, cid),
+    * probed(query_id, qv, qn, cid), refined(cid, cv, cn)). */
   private[operators] def ivfRouting(corpus: DataFrame, queries: DataFrame,
-      nCentroids: Int, nProbe: Int): (DataFrame, DataFrame) = {
+      nCentroids: Int, nProbe: Int): (DataFrame, DataFrame, DataFrame) = {
     // persisted: the normed corpus feeds the seed, both assignment
     // passes, and the cell index — four evaluations without it
     // (CacheScope-tracked; wrap consumption in withScope to release)
@@ -259,12 +260,12 @@ object Similarity {
     val probed = probes.withColumn("rnk", row_number().over(wp))
       .filter(col("rnk") <= nProbe)
       .select("query_id", "qv", "qn", "cid")
-    (cells, probed)
+    (cells, probed, refined)
   }
 
   def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val (cells, probed) = ivfRouting(corpus, queries, nCentroids, nProbe)
+    val (cells, probed, _) = ivfRouting(corpus, queries, nCentroids, nProbe)
     val scored = probed.join(cells, "cid")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
@@ -285,7 +286,7 @@ object Similarity {
       m: Int = 8, ksub: Int = 16, dims: Int = 64): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val sub = dims / m
-    val (cells, probed) = ivfRouting(corpus, queries, nCentroids, nProbe)
+    val (cells, probed, _) = ivfRouting(corpus, queries, nCentroids, nProbe)
     val cand = probed.select("query_id", "cid")
       .join(cells.select("neighbor_id", "cid"), "cid")
       .filter(col("query_id") =!= col("neighbor_id"))
@@ -293,12 +294,91 @@ object Similarity {
     val codebook = graft.CacheScope.persist(pqCodebook(corpus, m, ksub, dims))
     val codes = pqEncode(corpus, codebook, m, dims)
       .withColumnRenamed("vec_id", "neighbor_id")
-    val tables = subvectors(unitVectors(queries, "query_id"), "query_id", "qv", m, sub)
+    val tables = subvectors(unitVectors(queries, "query_id"), Seq("query_id"), "qv", m, sub)
       .join(broadcast(codebook), Seq("j"))
       .select(col("query_id"), col("j"), col("c"),
         sqDist(col("qv"), col("cw")).as("dd"))
     val scored = cand.join(codes, "neighbor_id")
       .join(tables, Seq("query_id", "j", "c"))
+      .groupBy("query_id", "neighbor_id")
+      .agg(sum(col("dd").cast(DecimalType(38, 18))).cast("double").as("ad"))
+      .select(col("query_id"), col("neighbor_id"), negate(col("ad")).as("nad"))
+    topKPerQuery(scored, k, "nad")
+      .select(col("query_id"), col("neighbor_id"),
+        round(negate(col("nad")), 6).as("approx_d2"), col("rank"))
+  }
+
+  /** RESIDUAL IVF-PQ — the canonical composition from Jégou et al.,
+    * "Product Quantization for Nearest Neighbor Search" (TPAMI 2011,
+    * §IV.A): identical IVF routing and ADC mechanics to [[ivfPqTopK]],
+    * but PQ quantizes each unit vector's RESIDUAL from its cell's
+    * anchor (the mean of the cell's unit members) instead of the vector
+    * itself. Residuals
+    * concentrate in a far smaller ball than raw vectors (the centroid
+    * already explains the coarse position), so the same m × ksub code
+    * budget spends its resolution on fine structure — materially better
+    * recall at IDENTICAL storage, shuffle, and scoring cost
+    * (recall ≥ the non-residual form is spec-asserted). The geometry
+    * stays exact per cell: query and candidate share the cell anchor c,
+    * so ‖(q̂−c) − (x̂−c)‖² = ‖q̂ − x̂‖² and ADC still estimates the
+    * unit-space L2² (= 2 − 2·cos). The one structural change is that a
+    * query's lookup table is per PROBED CELL, not global — nProbe small
+    * tables per query instead of one, still broadcast-joined.
+    *
+    * 100 TB posture unchanged from v09: candidates travel as id pairs,
+    * scoring reads 8 codes per candidate, the codebook/centroids are
+    * broadcast, and the top-k finisher is the bounded aggregate. */
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      m: Int = 8, ksub: Int = 16, dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val sub = dims / m
+    val (cells, probed, _) = ivfRouting(corpus, queries, nCentroids, nProbe)
+    // Residual ANCHOR per cell: the DECIMAL-mean of the cell's UNIT
+    // members — the L2-optimal anchor in the space being quantized
+    // (the routing centroid lives in raw space; re-deriving the anchor
+    // in unit space is what makes residual balls genuinely smaller).
+    // Any per-cell anchor keeps ADC exact — q and x share it — so the
+    // choice only moves quantization error, and the mean minimizes it.
+    val cUnit = cells.filter(col("cn2") > 0)
+      .select(col("cid"),
+        posexplode(transform(col("cv2"), x => x / col("cn2")))
+          .as(Seq("pos", "x")))
+      .groupBy("cid", "pos")
+      .agg((sum(col("x").cast(DecimalType(38, 18))).cast("double")
+        / count(lit(1))).as("m"))
+      .groupBy("cid")
+      .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
+      .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("cu"))
+      .transform(df => graft.CacheScope.persist(df))
+    // candidates carry their CELL: the residual score is cell-relative
+    val cand = probed.select("query_id", "cid")
+      .join(cells.select("neighbor_id", "cid"), "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "cid")
+    // member residuals: unit member − unit cell centroid
+    val res = cells.join(broadcast(cUnit), "cid")
+      .filter(col("cn2") > 0)
+      .select(col("neighbor_id").as("vec_id"),
+        zip_with(transform(col("cv2"), x => x / col("cn2")), col("cu"),
+          (x, c) => x - c).as("vn"))
+    val rsub = graft.CacheScope.persist(
+      subvectors(res, Seq("vec_id"), "sv", m, sub))
+    val codebook = graft.CacheScope.persist(codebookFromSubv(rsub, ksub))
+    val codes = encodeSubv(rsub, codebook)
+      .withColumnRenamed("vec_id", "neighbor_id")
+    // per-(query, probed cell) residual lookup tables
+    val qres = probed.join(broadcast(cUnit), "cid")
+      .filter(col("qn") > 0)
+      .select(col("query_id"), col("cid"),
+        zip_with(transform(col("qv"), x => x / col("qn")), col("cu"),
+          (x, c) => x - c).as("vn"))
+    val tables = subvectors(qres, Seq("query_id", "cid"), "qv", m, sub)
+      .join(broadcast(codebook), Seq("j"))
+      .select(col("query_id"), col("cid"), col("j"), col("c"),
+        sqDist(col("qv"), col("cw")).as("dd"))
+    val scored = cand.join(codes, "neighbor_id")
+      .join(tables, Seq("query_id", "cid", "j", "c"))
       .groupBy("query_id", "neighbor_id")
       .agg(sum(col("dd").cast(DecimalType(38, 18))).cast("double").as("ad"))
       .select(col("query_id"), col("neighbor_id"), negate(col("ad")).as("nad"))
@@ -331,12 +411,13 @@ object Similarity {
       .filter(col("nrm") > 0) // zero vectors have no direction
       .select(col(idAlias), transform(col("v"), x => x / col("nrm")).as("vn"))
 
-  private def subvectors(df: DataFrame, idCol: String, out: String,
+  private def subvectors(df: DataFrame, idCols: Seq[String], out: String,
       m: Int, sub: Int): DataFrame = {
     val js = (0 until m).map(j =>
       struct(lit(j).as("j"), slice(col("vn"), j * sub + 1, sub).as(out)))
-    df.select(col(idCol), explode(array(js: _*)).as("s"))
-      .select(col(idCol), col("s.j").as("j"), col(s"s.$out").as(out))
+    df.select((idCols.map(col) :+ explode(array(js: _*)).as("s")): _*)
+      .select((idCols.map(col) ++
+        Seq(col("s.j").as("j"), col(s"s.$out").as(out))): _*)
   }
 
   private def sqDist(a: Column, b: Column): Column = {
@@ -350,19 +431,24 @@ object Similarity {
     * encoder consume it unchanged, so codes stay comparable over time. */
   def pqCodebook(corpus: DataFrame, m: Int = 8, ksub: Int = 16,
       dims: Int = 64): DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
     val sub = dims / m
     require(m * sub == dims, s"dims=$dims must split into m=$m subspaces")
-    val subv = graft.CacheScope.persist(
-      subvectors(unitVectors(corpus, "vec_id"), "vec_id", "sv", m, sub))
+    codebookFromSubv(graft.CacheScope.persist(
+      subvectors(unitVectors(corpus, "vec_id"), Seq("vec_id"), "sv", m, sub)),
+      ksub)
+  }
+
+  /** Codebook training over an already-split (vec_id, j, sv) frame —
+    * shared by [[pqCodebook]] (unit-vector subspaces) and
+    * [[ivfPqResidualTopK]] (residual subspaces). Id-seeded, one
+    * DECIMAL-mean Lloyd step; persist the input, it is read twice. */
+  private def codebookFromSubv(subv: DataFrame, ksub: Int): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
     val wSeed = Window.partitionBy("j").orderBy("vec_id")
     val seed = subv.withColumn("c", row_number().over(wSeed) - 1)
       .filter(col("c") < ksub)
       .select(col("j"), col("c"), col("sv").as("cw"))
-    val assigned = subv.join(broadcast(seed), Seq("j"))
-      .withColumn("dd", sqDist(col("sv"), col("cw")))
-      .groupBy("vec_id", "j")
-      .agg(min_by(col("c"), struct(col("dd"), col("c"))).as("c"))
+    val assigned = encodeSubv(subv, seed)
     assigned.join(subv, Seq("vec_id", "j"))
       .select(col("j"), col("c"), posexplode(col("sv")).as(Seq("pos", "x")))
       .groupBy("j", "c", "pos")
@@ -374,6 +460,14 @@ object Similarity {
         transform(col("pm"), p => p.getField("mc")).as("cw"))
   }
 
+  /** Nearest-codeword assignment of an already-split (vec_id, j, sv)
+    * frame against a codebook — distance ties toward the lower code. */
+  private def encodeSubv(subv: DataFrame, codebook: DataFrame): DataFrame =
+    subv.join(broadcast(codebook), Seq("j"))
+      .withColumn("dd", sqDist(col("sv"), col("cw")))
+      .groupBy("vec_id", "j")
+      .agg(min_by(col("c"), struct(col("dd"), col("c"))).as("c"))
+
   /** Encode vectors against a FROZEN codebook: (vec_id, j, c) — nearest
     * codeword per subspace, distance ties toward the lower code. Pure
     * broadcast-join + aggregate: the incremental half of PQ (new
@@ -382,11 +476,9 @@ object Similarity {
   def pqEncode(vectors: DataFrame, codebook: DataFrame,
       m: Int = 8, dims: Int = 64): DataFrame = {
     val sub = dims / m
-    subvectors(unitVectors(vectors, "vec_id"), "vec_id", "sv", m, sub)
-      .join(broadcast(codebook), Seq("j"))
-      .withColumn("dd", sqDist(col("sv"), col("cw")))
-      .groupBy("vec_id", "j")
-      .agg(min_by(col("c"), struct(col("dd"), col("c"))).as("c"))
+    encodeSubv(
+      subvectors(unitVectors(vectors, "vec_id"), Seq("vec_id"), "sv", m, sub),
+      codebook)
   }
 
   def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
@@ -396,7 +488,7 @@ object Similarity {
     val refined = graft.CacheScope.persist(pqCodebook(corpus, m, ksub, dims))
     val codes = pqEncode(corpus, refined, m, dims)
     // per-query subspace distance tables against the refined codebook
-    val tables = subvectors(unitVectors(queries, "query_id"), "query_id", "qv", m, sub)
+    val tables = subvectors(unitVectors(queries, "query_id"), Seq("query_id"), "qv", m, sub)
       .join(broadcast(refined), Seq("j"))
       .select(col("query_id"), col("j"), col("c"),
         sqDist(col("qv"), col("cw")).as("dd"))

@@ -525,7 +525,129 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
+  // ---------------------------------------------------------------- v10
+  // RESIDUAL IVF-PQ (Jégou et al. §IV.A, the canonical form): v09's
+  // routing and ADC, but PQ quantizes each unit vector's residual from
+  // its cell's ANCHOR — the DECIMAL-mean of the cell's unit members,
+  // the L2-optimal anchor in the quantized space — same code budget on
+  // a far smaller ball, better recall at identical cost (spec-asserted
+  // ≥ v09). The query's lookup table becomes per-(query, probed cell);
+  // the oracle replays anchor derivation, residual construction,
+  // codebook training, encoding, and cell-keyed ADC end-to-end.
+  val v10IvfPqResidualTopK: Q = Q(
+    "v10_ann_ivfpq_residual_topk",
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, e,
+       |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+       |  FROM v),
+       |seed AS (SELECT vec_id AS cid, e AS cv, nrm AS cn
+       |         FROM n ORDER BY vec_id LIMIT 16),
+       |a0 AS (
+       |  ${assignSql("seed", "", "rnk = 1", "vec_id")}),
+       |comp AS (
+       |  SELECT a0.cid, r.j AS pos,
+       |    CAST(SUM(CAST(n.e[r.j] AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM a0 JOIN n USING (vec_id), unnest(range(1, 65)) r(j)
+       |  GROUP BY 1, 2),
+       |refined AS (SELECT cid, list(m ORDER BY pos) AS cv FROM comp GROUP BY cid),
+       |refined2 AS (
+       |  SELECT cid, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn
+       |  FROM refined),
+       |cells AS (
+       |  ${assignSql("refined2", "", "rnk = 1", "neighbor_id")}),
+       |probes AS (
+       |  ${assignSql("refined2", " WHERE n.vec_id < 10", "rnk <= 4", "query_id")}),
+       |cand AS (
+       |  SELECT p.query_id, c.neighbor_id, c.cid
+       |  FROM probes p JOIN cells c USING (cid)
+       |  WHERE c.neighbor_id <> p.query_id),
+       |vn AS (
+       |  SELECT vec_id, list_transform(e, x -> x / nrm) AS vn
+       |  FROM n WHERE nrm > 0),
+       |cum AS (
+       |  SELECT c.cid, r.k AS pos,
+       |    CAST(SUM(CAST(vn.vn[r.k] AS DECIMAL(38,18))) AS DOUBLE)
+       |      / COUNT(*) AS m
+       |  FROM cells c JOIN vn ON vn.vec_id = c.neighbor_id,
+       |  unnest(range(1, 65)) r(k)
+       |  GROUP BY 1, 2),
+       |cu AS (SELECT cid, list(m ORDER BY pos) AS cu FROM cum GROUP BY cid),
+       |rres AS (
+       |  SELECT c.neighbor_id AS vec_id,
+       |    list_transform(range(1, 65), k -> vn.vn[k] - cu.cu[k]) AS rv
+       |  FROM cells c JOIN vn ON vn.vec_id = c.neighbor_id JOIN cu USING (cid)),
+       |rsub AS (
+       |  SELECT vec_id, j,
+       |    list_slice(rv, CAST(j * 8 + 1 AS INT), CAST(j * 8 + 8 AS INT)) AS sv
+       |  FROM rres, unnest(range(0, 8)) r(j)),
+       |pseed AS (
+       |  SELECT j, c, sv AS cw FROM (
+       |    SELECT j, sv,
+       |      ROW_NUMBER() OVER (PARTITION BY j ORDER BY vec_id) - 1 AS c
+       |    FROM rsub) WHERE c < 16),
+       |pa0 AS (
+       |  SELECT vec_id, j, c FROM (
+       |    SELECT s.vec_id, s.j, d.c,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+       |        list_sum(list_transform(range(1, 9),
+       |          i -> (s.sv[i] - d.cw[i]) * (s.sv[i] - d.cw[i]))), d.c) AS rn
+       |    FROM rsub s JOIN pseed d ON s.j = d.j)
+       |  WHERE rn = 1),
+       |lloyd AS (
+       |  SELECT j, c, list(mc ORDER BY pos) AS cw FROM (
+       |    SELECT s.j, pa0.c, pos,
+       |      CAST(SUM(CAST(s.sv[CAST(pos AS INT)] AS DECIMAL(38,18))) AS DOUBLE)
+       |        / COUNT(*) AS mc
+       |    FROM rsub s
+       |    JOIN pa0 ON s.vec_id = pa0.vec_id AND s.j = pa0.j,
+       |    unnest(range(1, 9)) r(pos)
+       |    GROUP BY s.j, pa0.c, pos)
+       |  GROUP BY j, c),
+       |codes AS (
+       |  SELECT vec_id, j, c FROM (
+       |    SELECT s.vec_id, s.j, d.c,
+       |      ROW_NUMBER() OVER (PARTITION BY s.vec_id, s.j ORDER BY
+       |        list_sum(list_transform(range(1, 9),
+       |          i -> (s.sv[i] - d.cw[i]) * (s.sv[i] - d.cw[i]))), d.c) AS rn
+       |    FROM rsub s JOIN lloyd d ON s.j = d.j)
+       |  WHERE rn = 1),
+       |qres AS (
+       |  SELECT p.query_id, p.cid,
+       |    list_transform(range(1, 65), k -> vn.vn[k] - cu.cu[k]) AS rv
+       |  FROM probes p JOIN vn ON vn.vec_id = p.query_id JOIN cu USING (cid)),
+       |qsub AS (
+       |  SELECT query_id, cid, j,
+       |    list_slice(rv, CAST(j * 8 + 1 AS INT), CAST(j * 8 + 8 AS INT)) AS sv
+       |  FROM qres, unnest(range(0, 8)) r(j)),
+       |tables AS (
+       |  SELECT q.query_id, q.cid, q.j, d.c,
+       |    list_sum(list_transform(range(1, 9),
+       |      i -> (q.sv[i] - d.cw[i]) * (q.sv[i] - d.cw[i]))) AS dd
+       |  FROM qsub q JOIN lloyd d ON q.j = d.j),
+       |approx AS (
+       |  SELECT cand.query_id, cand.neighbor_id,
+       |    CAST(SUM(CAST(t.dd AS DECIMAL(38,18))) AS DOUBLE) AS ad
+       |  FROM cand
+       |  JOIN codes ON codes.vec_id = cand.neighbor_id
+       |  JOIN tables t ON t.query_id = cand.query_id AND t.cid = cand.cid
+       |    AND t.j = codes.j AND t.c = codes.c
+       |  GROUP BY 1, 2),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, ad,
+       |    CAST(ROW_NUMBER() OVER (PARTITION BY query_id
+       |      ORDER BY ad, neighbor_id) AS INT) AS rank
+       |  FROM approx)
+       |SELECT query_id, neighbor_id, ROUND(ad, 6) AS approx_d2, rank
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    val emb = t(s, d, "embeddings")
+    Similarity.ivfPqResidualTopK(emb, emb.filter(col("vec_id") < 10), 10)
+      .orderBy("query_id", "rank")
+  }
+
   val all: Seq[Q] = Seq(v01BruteForceTopK, v02NearDupPairs, v03LshTopK,
     v04IvfTopK, v05QuantizedTopK, v06AnnRecall, v07EmbeddingOutliers,
-    v08PqTopK, v09IvfPqTopK)
+    v08PqTopK, v09IvfPqTopK, v10IvfPqResidualTopK)
 }

@@ -83,7 +83,7 @@ class SimilaritySpec extends SparkSpec {
     // neighbor MUST live in one of its query's probed Voronoi cells —
     // a routing bug that scored the whole corpus would pass a pure
     // recall check but fail this
-    val (cells, probed) = Similarity.ivfRouting(emb, queries,
+    val (cells, probed, _) = Similarity.ivfRouting(emb, queries,
       nCentroids = 16, nProbe = 4)
     val allowed = probed.select("query_id", "cid")
       .join(cells.select("neighbor_id", "cid"), "cid")
@@ -93,6 +93,26 @@ class SimilaritySpec extends SparkSpec {
       .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
     val recall = (exact intersect ivfpq).size.toDouble / exact.size
     assert(recall > 0.1, s"IVF-PQ recall $recall — routing or ADC broken?")
+  }
+
+  test("residual IVF-PQ: recall ≥ plain IVF-PQ at identical config") {
+    // Jégou §IV.A: quantizing residuals spends the same code budget on
+    // a smaller ball — recall must not regress vs the global-codebook
+    // form (same routing, same candidates, only the quantization target
+    // changes).
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" < 10)
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def recallOf(df: org.apache.spark.sql.DataFrame) = {
+      val hits = df.select("query_id", "neighbor_id")
+        .as[(Long, Long)].collect().toSet
+      (exact intersect hits).size.toDouble / exact.size
+    }
+    val plain = recallOf(Similarity.ivfPqTopK(emb, queries, 10))
+    val residual = recallOf(Similarity.ivfPqResidualTopK(emb, queries, 10))
+    assert(residual >= plain,
+      s"residual recall $residual regressed below plain IVF-PQ $plain")
   }
 
   test("centroidOutliers flags a planted far vector, passes the cluster") {
