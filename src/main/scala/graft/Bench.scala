@@ -71,6 +71,46 @@ object Bench {
         graft.queries.MixQueries.g02Body(s, d, s.read.parquet(stagePath))))
     val stageNeeded = catalog.exists(q => stagedConsumers.contains(q.name))
 
+    // v04/v08/v09/v10 each train the SAME IVF centroids / PQ codebooks
+    // from scratch under the honest-cache protocol — but production
+    // trains ONCE and freezes (the pqCodebook/pqEncode + *Serve split).
+    // Same treatment as the LSH stage: one timed entry trains and
+    // MATERIALIZES the frozen index (centroids, cells, codebooks,
+    // codes, residual anchors — compute + parquet write, the real cost
+    // of sharing), and the four consumers run their serve paths reading
+    // it back. Correctness still gates on the self-contained catalog
+    // plans (Verify runs those; serve ≡ self-contained is spec-proven).
+    val annRoot = java.nio.file.Files
+      .createTempDirectory("graft-bench-ann").toString
+    def annP(n: String) = s"$annRoot/$n"
+    import graft.operators.Similarity
+    import org.apache.spark.sql.functions.col
+    def annQueries(s: org.apache.spark.sql.SparkSession, d: String) =
+      Tables.t(s, d, "embeddings").filter(col("vec_id") < 10)
+    val annConsumers: Map[String, (org.apache.spark.sql.SparkSession, String) =>
+        org.apache.spark.sql.DataFrame] = Map(
+      "v04_ann_ivf_topk" -> ((s, d) =>
+        Similarity.ivfTopKServe(s.read.parquet(annP("centroids")),
+            s.read.parquet(annP("cells")), annQueries(s, d), 10)
+          .select("query_id", "neighbor_id", "cos_sim", "rank")
+          .orderBy("query_id", "rank")),
+      "v08_ann_pq_topk" -> ((s, d) =>
+        Similarity.pqTopKServe(s.read.parquet(annP("pq_codebook")),
+            s.read.parquet(annP("pq_codes")), annQueries(s, d), 10)
+          .orderBy("query_id", "rank")),
+      "v09_ann_ivfpq_topk" -> ((s, d) =>
+        Similarity.ivfPqTopKServe(s.read.parquet(annP("centroids")),
+            s.read.parquet(annP("cells")), s.read.parquet(annP("pq_codebook")),
+            s.read.parquet(annP("pq_codes")), annQueries(s, d), 10)
+          .orderBy("query_id", "rank")),
+      "v10_ann_ivfpq_residual_topk" -> ((s, d) =>
+        Similarity.ivfPqResidualServe(s.read.parquet(annP("centroids")),
+            s.read.parquet(annP("cells")), s.read.parquet(annP("res_anchors")),
+            s.read.parquet(annP("res_codebook")), s.read.parquet(annP("res_codes")),
+            annQueries(s, d), 10)
+          .orderBy("query_id", "rank")))
+    val annNeeded = catalog.exists(q => annConsumers.contains(q.name))
+
     def timedPass(): Seq[(String, (Double, Boolean))] = {
       val stage = if (!stageNeeded) Nil else {
         spark.catalog.clearCache()
@@ -86,9 +126,36 @@ object Bench {
           }
         Seq("d00_lsh_pair_stage" -> (((System.nanoTime() - t0) / 1e9, ok)))
       }
-      stage ++ catalog.map { q =>
+      val annStage = if (!annNeeded) Nil else {
         spark.catalog.clearCache()
-        val fn = stagedConsumers.getOrElse(q.name, q.fn)
+        val t0 = System.nanoTime()
+        val ok =
+          try {
+            val emb = Tables.t(spark, sfDir, "embeddings")
+            val (centroids, cells) = Similarity.ivfIndex(emb)
+            centroids.write.mode("overwrite").parquet(annP("centroids"))
+            cells.write.mode("overwrite").parquet(annP("cells"))
+            val cb = graft.CacheScope.persist(Similarity.pqCodebook(emb))
+            cb.write.mode("overwrite").parquet(annP("pq_codebook"))
+            Similarity.pqEncode(emb, cb)
+              .write.mode("overwrite").parquet(annP("pq_codes"))
+            val cellsBack = spark.read.parquet(annP("cells"))
+            val anchors = Similarity.residualAnchors(cellsBack)
+            anchors.write.mode("overwrite").parquet(annP("res_anchors"))
+            val (rcb, rcodes) = Similarity.residualPqModel(cellsBack, anchors)
+            rcb.write.mode("overwrite").parquet(annP("res_codebook"))
+            rcodes.write.mode("overwrite").parquet(annP("res_codes"))
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] ann model stage failed: ${e.getMessage}")
+            false
+          }
+        Seq("v00_ann_model_stage" -> (((System.nanoTime() - t0) / 1e9, ok)))
+      }
+      stage ++ annStage ++ catalog.map { q =>
+        spark.catalog.clearCache()
+        val fn = stagedConsumers.getOrElse(q.name,
+          annConsumers.getOrElse(q.name, q.fn))
         val t0 = System.nanoTime()
         val ok =
           try { fn(spark, sfDir).write.format("noop").mode("overwrite").save(); true }

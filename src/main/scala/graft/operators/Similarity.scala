@@ -196,12 +196,12 @@ object Similarity {
     * no driver-side collect anywhere). At 100 TB: same plan, with
     * centroids trained on a sample; scoring touches ~nProbe/nCentroids
     * of the corpus instead of all of it. */
-  /** IVF routing, shared by [[ivfTopK]] (exact in-cell scoring),
-    * [[ivfPqTopK]] (ADC in-cell scoring) and [[ivfPqResidualTopK]]
-    * (residual ADC): returns (cells(neighbor_id, cv2, cn2, cid),
-    * probed(query_id, qv, qn, cid), refined(cid, cv, cn)). */
-  private[operators] def ivfRouting(corpus: DataFrame, queries: DataFrame,
-      nCentroids: Int, nProbe: Int): (DataFrame, DataFrame, DataFrame) = {
+  /** Train the IVF INDEX once and freeze it: returns
+    * (centroids(cid, cv, cn), cells(neighbor_id, cv2, cn2, cid)) — the
+    * production train/serve split (store both as parquet, serve many
+    * query batches through [[ivfTopKServe]] / [[ivfPqTopKServe]] /
+    * [[ivfPqResidualServe]] without retraining). */
+  def ivfIndex(corpus: DataFrame, nCentroids: Int = 16): (DataFrame, DataFrame) = {
     // persisted: the normed corpus feeds the seed, both assignment
     // passes, and the cell index — four evaluations without it
     // (CacheScope-tracked; wrap consumption in withScope to release)
@@ -251,26 +251,49 @@ object Similarity {
     val cells = assign(c, refined)
       .select(col("vid").as("neighbor_id"), col("v").as("cv2"),
         col("nrm").as("cn2"), col("cid"))
-    // Queries probe their nProbe nearest refined centroids.
-    val q = withNorm(queries, "query_id")
-      .withColumnRenamed("v", "qv").withColumnRenamed("nrm", "qn")
-    val probes = q.crossJoin(broadcast(refined))
-      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
-    val wp = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cid"))
-    val probed = probes.withColumn("rnk", row_number().over(wp))
-      .filter(col("rnk") <= nProbe)
-      .select("query_id", "qv", "qn", "cid")
-    (cells, probed, refined)
+    (refined, cells)
   }
 
-  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
-    val (cells, probed, _) = ivfRouting(corpus, queries, nCentroids, nProbe)
+  /** Probe a frozen IVF index: each query's `nProbe` nearest centroids.
+    * Returns (query_id, qv, qn, cid). */
+  def ivfProbe(queries: DataFrame, centroids: DataFrame,
+      nProbe: Int = 4): DataFrame = {
+    val q = withNorm(queries, "query_id")
+      .withColumnRenamed("v", "qv").withColumnRenamed("nrm", "qn")
+    val probes = q.crossJoin(broadcast(centroids))
+      .withColumn("sim", dot(col("qv"), col("cv")) / (col("qn") * col("cn")))
+    val wp = Window.partitionBy("query_id").orderBy(col("sim").desc, col("cid"))
+    probes.withColumn("rnk", row_number().over(wp))
+      .filter(col("rnk") <= nProbe)
+      .select("query_id", "qv", "qn", "cid")
+  }
+
+  /** IVF routing, shared by [[ivfTopK]] (exact in-cell scoring),
+    * [[ivfPqTopK]] (ADC in-cell scoring) and [[ivfPqResidualTopK]]
+    * (residual ADC): returns (cells(neighbor_id, cv2, cn2, cid),
+    * probed(query_id, qv, qn, cid), refined(cid, cv, cn)). */
+  private[operators] def ivfRouting(corpus: DataFrame, queries: DataFrame,
+      nCentroids: Int, nProbe: Int): (DataFrame, DataFrame, DataFrame) = {
+    val (refined, cells) = ivfIndex(corpus, nCentroids)
+    (cells, ivfProbe(queries, refined, nProbe), refined)
+  }
+
+  /** Exact in-cell scoring over a FROZEN IVF index — the serve path of
+    * [[ivfTopK]]. */
+  def ivfTopKServe(centroids: DataFrame, cells: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int = 4): DataFrame = {
+    val probed = ivfProbe(queries, centroids, nProbe)
     val scored = probed.join(cells, "cid")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("cv2")) / (col("qn") * col("cn2")), 6).as("cos_sim"))
     topKPerQuery(scored, k, "cos_sim")
+  }
+
+  def ivfTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val (refined, cells) = ivfIndex(corpus, nCentroids)
+    ivfTopKServe(refined, cells, queries, k, nProbe)
   }
 
   /** IVF-PQ — the canonical production ANN architecture: IVF routing
@@ -281,24 +304,27 @@ object Similarity {
     * candidate + a per-query lookup table). The two halves are exactly
     * [[ivfTopK]]'s routing and [[pqTopK]]'s ADC, both independently
     * oracle-proven; the composition is one keyed join between them. */
-  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4,
-      m: Int = 8, ksub: Int = 16, dims: Int = 64): DataFrame = {
+  /** ADC scoring over FROZEN IVF + PQ structures — the serve path of
+    * [[ivfPqTopK]]: centroids/cells/codebook/codes come pre-trained (in
+    * memory or read back from parquet), only the query-side probing,
+    * lookup tables, and the candidate ADC run per call. */
+  def ivfPqTopKServe(centroids: DataFrame, cells: DataFrame,
+      codebook: DataFrame, codes: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int = 4,
+      m: Int = 8, dims: Int = 64): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val sub = dims / m
-    val (cells, probed, _) = ivfRouting(corpus, queries, nCentroids, nProbe)
+    val probed = ivfProbe(queries, centroids, nProbe)
     val cand = probed.select("query_id", "cid")
       .join(cells.select("neighbor_id", "cid"), "cid")
       .filter(col("query_id") =!= col("neighbor_id"))
       .select("query_id", "neighbor_id")
-    val codebook = graft.CacheScope.persist(pqCodebook(corpus, m, ksub, dims))
-    val codes = pqEncode(corpus, codebook, m, dims)
-      .withColumnRenamed("vec_id", "neighbor_id")
+    val nCodes = codes.withColumnRenamed("vec_id", "neighbor_id")
     val tables = subvectors(unitVectors(queries, "query_id"), Seq("query_id"), "qv", m, sub)
       .join(broadcast(codebook), Seq("j"))
       .select(col("query_id"), col("j"), col("c"),
         sqDist(col("qv"), col("cw")).as("dd"))
-    val scored = cand.join(codes, "neighbor_id")
+    val scored = cand.join(nCodes, "neighbor_id")
       .join(tables, Seq("query_id", "j", "c"))
       .groupBy("query_id", "neighbor_id")
       .agg(sum(col("dd").cast(DecimalType(38, 18))).cast("double").as("ad"))
@@ -306,6 +332,15 @@ object Similarity {
     topKPerQuery(scored, k, "nad")
       .select(col("query_id"), col("neighbor_id"),
         round(negate(col("nad")), 6).as("approx_d2"), col("rank"))
+  }
+
+  def ivfPqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      m: Int = 8, ksub: Int = 16, dims: Int = 64): DataFrame = {
+    val (refined, cells) = ivfIndex(corpus, nCentroids)
+    val codebook = graft.CacheScope.persist(pqCodebook(corpus, m, ksub, dims))
+    val codes = pqEncode(corpus, codebook, m, dims)
+    ivfPqTopKServe(refined, cells, codebook, codes, queries, k, nProbe, m, dims)
   }
 
   /** RESIDUAL IVF-PQ — the canonical composition from Jégou et al.,
@@ -328,19 +363,16 @@ object Similarity {
     * 100 TB posture unchanged from v09: candidates travel as id pairs,
     * scoring reads 8 codes per candidate, the codebook/centroids are
     * broadcast, and the top-k finisher is the bounded aggregate. */
-  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      nCentroids: Int = 16, nProbe: Int = 4,
-      m: Int = 8, ksub: Int = 16, dims: Int = 64): DataFrame = {
+  /** Residual ANCHOR per cell of a frozen IVF index: the DECIMAL-mean
+    * of the cell's UNIT members — the L2-optimal anchor in the space
+    * being quantized (the routing centroid lives in raw space;
+    * re-deriving the anchor in unit space is what makes residual balls
+    * genuinely smaller). Any per-cell anchor keeps ADC exact — q and x
+    * share it — so the choice only moves quantization error, and the
+    * mean minimizes it. Returns (cid, cu). */
+  def residualAnchors(cells: DataFrame): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
-    val sub = dims / m
-    val (cells, probed, _) = ivfRouting(corpus, queries, nCentroids, nProbe)
-    // Residual ANCHOR per cell: the DECIMAL-mean of the cell's UNIT
-    // members — the L2-optimal anchor in the space being quantized
-    // (the routing centroid lives in raw space; re-deriving the anchor
-    // in unit space is what makes residual balls genuinely smaller).
-    // Any per-cell anchor keeps ADC exact — q and x share it — so the
-    // choice only moves quantization error, and the mean minimizes it.
-    val cUnit = cells.filter(col("cn2") > 0)
+    cells.filter(col("cn2") > 0)
       .select(col("cid"),
         posexplode(transform(col("cv2"), x => x / col("cn2")))
           .as(Seq("pos", "x")))
@@ -351,13 +383,15 @@ object Similarity {
       .agg(array_sort(collect_list(struct(col("pos"), col("m")))).as("pm"))
       .select(col("cid"), transform(col("pm"), p => p.getField("m")).as("cu"))
       .transform(df => graft.CacheScope.persist(df))
-    // candidates carry their CELL: the residual score is cell-relative
-    val cand = probed.select("query_id", "cid")
-      .join(cells.select("neighbor_id", "cid"), "cid")
-      .filter(col("query_id") =!= col("neighbor_id"))
-      .select("query_id", "neighbor_id", "cid")
-    // member residuals: unit member − unit cell centroid
-    val res = cells.join(broadcast(cUnit), "cid")
+  }
+
+  /** Residual PQ model over a frozen IVF index: codebook trained on and
+    * codes assigned to each member's residual (unit member − its cell's
+    * anchor). Returns (codebook(j, c, cw), codes(vec_id, j, c)). */
+  def residualPqModel(cells: DataFrame, anchors: DataFrame,
+      m: Int = 8, ksub: Int = 16, dims: Int = 64): (DataFrame, DataFrame) = {
+    val sub = dims / m
+    val res = cells.join(broadcast(anchors), "cid")
       .filter(col("cn2") > 0)
       .select(col("neighbor_id").as("vec_id"),
         zip_with(transform(col("cv2"), x => x / col("cn2")), col("cu"),
@@ -365,10 +399,26 @@ object Similarity {
     val rsub = graft.CacheScope.persist(
       subvectors(res, Seq("vec_id"), "sv", m, sub))
     val codebook = graft.CacheScope.persist(codebookFromSubv(rsub, ksub))
-    val codes = encodeSubv(rsub, codebook)
-      .withColumnRenamed("vec_id", "neighbor_id")
+    (codebook, encodeSubv(rsub, codebook))
+  }
+
+  /** Cell-keyed residual ADC over FROZEN structures — the serve path of
+    * [[ivfPqResidualTopK]]. */
+  def ivfPqResidualServe(centroids: DataFrame, cells: DataFrame,
+      anchors: DataFrame, codebook: DataFrame, codes: DataFrame,
+      queries: DataFrame, k: Int, nProbe: Int = 4,
+      m: Int = 8, dims: Int = 64): DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    val sub = dims / m
+    val probed = ivfProbe(queries, centroids, nProbe)
+    // candidates carry their CELL: the residual score is cell-relative
+    val cand = probed.select("query_id", "cid")
+      .join(cells.select("neighbor_id", "cid"), "cid")
+      .filter(col("query_id") =!= col("neighbor_id"))
+      .select("query_id", "neighbor_id", "cid")
+    val nCodes = codes.withColumnRenamed("vec_id", "neighbor_id")
     // per-(query, probed cell) residual lookup tables
-    val qres = probed.join(broadcast(cUnit), "cid")
+    val qres = probed.join(broadcast(anchors), "cid")
       .filter(col("qn") > 0)
       .select(col("query_id"), col("cid"),
         zip_with(transform(col("qv"), x => x / col("qn")), col("cu"),
@@ -377,7 +427,7 @@ object Similarity {
       .join(broadcast(codebook), Seq("j"))
       .select(col("query_id"), col("cid"), col("j"), col("c"),
         sqDist(col("qv"), col("cw")).as("dd"))
-    val scored = cand.join(codes, "neighbor_id")
+    val scored = cand.join(nCodes, "neighbor_id")
       .join(tables, Seq("query_id", "cid", "j", "c"))
       .groupBy("query_id", "neighbor_id")
       .agg(sum(col("dd").cast(DecimalType(38, 18))).cast("double").as("ad"))
@@ -385,6 +435,16 @@ object Similarity {
     topKPerQuery(scored, k, "nad")
       .select(col("query_id"), col("neighbor_id"),
         round(negate(col("nad")), 6).as("approx_d2"), col("rank"))
+  }
+
+  def ivfPqResidualTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4,
+      m: Int = 8, ksub: Int = 16, dims: Int = 64): DataFrame = {
+    val (refined, cells) = ivfIndex(corpus, nCentroids)
+    val anchors = residualAnchors(cells)
+    val (codebook, codes) = residualPqModel(cells, anchors, m, ksub, dims)
+    ivfPqResidualServe(refined, cells, anchors, codebook, codes,
+      queries, k, nProbe, m, dims)
   }
 
   /** Product-quantization ANN (the memory-bound scale path): split each
@@ -481,15 +541,16 @@ object Similarity {
       codebook)
   }
 
-  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
-      m: Int = 8, ksub: Int = 16, dims: Int = 64): DataFrame = {
+  /** ADC scoring over a FROZEN codebook + code set — the serve path of
+    * [[pqTopK]] (train once with [[pqCodebook]] + [[pqEncode]], store,
+    * serve many query batches). */
+  def pqTopKServe(codebook: DataFrame, codes: DataFrame,
+      queries: DataFrame, k: Int, m: Int = 8, dims: Int = 64): DataFrame = {
     import org.apache.spark.sql.types.DecimalType
     val sub = dims / m
-    val refined = graft.CacheScope.persist(pqCodebook(corpus, m, ksub, dims))
-    val codes = pqEncode(corpus, refined, m, dims)
-    // per-query subspace distance tables against the refined codebook
+    // per-query subspace distance tables against the frozen codebook
     val tables = subvectors(unitVectors(queries, "query_id"), Seq("query_id"), "qv", m, sub)
-      .join(broadcast(refined), Seq("j"))
+      .join(broadcast(codebook), Seq("j"))
       .select(col("query_id"), col("j"), col("c"),
         sqDist(col("qv"), col("cw")).as("dd"))
 
@@ -503,6 +564,12 @@ object Similarity {
     topKPerQuery(scored, k, "nad")
       .select(col("query_id"), col("neighbor_id"),
         round(negate(col("nad")), 6).as("approx_d2"), col("rank"))
+  }
+
+  def pqTopK(corpus: DataFrame, queries: DataFrame, k: Int,
+      m: Int = 8, ksub: Int = 16, dims: Int = 64): DataFrame = {
+    val refined = graft.CacheScope.persist(pqCodebook(corpus, m, ksub, dims))
+    pqTopKServe(refined, pqEncode(corpus, refined, m, dims), queries, k, m, dims)
   }
 
   /** Embedding-space outlier detection: distance of every vector to its

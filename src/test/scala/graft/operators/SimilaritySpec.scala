@@ -95,6 +95,43 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.1, s"IVF-PQ recall $recall — routing or ADC broken?")
   }
 
+  test("frozen-index serve paths ≡ the self-contained operators (parquet round-trip)") {
+    // The bench's shared ANN model stage (and any production deployment)
+    // trains once, writes the index to parquet, and serves from the
+    // frozen copy — these must be output-IDENTICAL to the train-inline
+    // operators (training is deterministic; parquet round-trips doubles
+    // exactly), or the bench would be timing a different computation.
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val q = emb.filter($"vec_id" < 10)
+    val root = java.nio.file.Files.createTempDirectory("graft-ann-ix").toString
+    val (centroids, cells) = Similarity.ivfIndex(emb)
+    centroids.write.parquet(s"$root/centroids")
+    cells.write.parquet(s"$root/cells")
+    val cb = Similarity.pqCodebook(emb)
+    cb.write.parquet(s"$root/cb")
+    Similarity.pqEncode(emb, cb).write.parquet(s"$root/codes")
+    val cellsBack = spark.read.parquet(s"$root/cells")
+    val anchors = Similarity.residualAnchors(cellsBack)
+    anchors.write.parquet(s"$root/anchors")
+    val (rcb, rcodes) = Similarity.residualPqModel(cellsBack, anchors)
+    rcb.write.parquet(s"$root/rcb")
+    rcodes.write.parquet(s"$root/rcodes")
+    spark.catalog.clearCache() // serve must not lean on training caches
+    def rp(n: String) = spark.read.parquet(s"$root/$n")
+    def rows(df: org.apache.spark.sql.DataFrame) =
+      df.collect().map(_.toString).sorted.toSeq
+    assert(rows(Similarity.ivfTopKServe(rp("centroids"), rp("cells"), q, 10)) ===
+      rows(Similarity.ivfTopK(emb, q, 10)))
+    assert(rows(Similarity.pqTopKServe(rp("cb"), rp("codes"), q, 10)) ===
+      rows(Similarity.pqTopK(emb, q, 10)))
+    assert(rows(Similarity.ivfPqTopKServe(rp("centroids"), rp("cells"),
+        rp("cb"), rp("codes"), q, 10)) ===
+      rows(Similarity.ivfPqTopK(emb, q, 10)))
+    assert(rows(Similarity.ivfPqResidualServe(rp("centroids"), rp("cells"),
+        rp("anchors"), rp("rcb"), rp("rcodes"), q, 10)) ===
+      rows(Similarity.ivfPqResidualTopK(emb, q, 10)))
+  }
+
   test("residual IVF-PQ: recall ≥ plain IVF-PQ at identical config") {
     // Jégou §IV.A: quantizing residuals spends the same code budget on
     // a smaller ball — recall must not regress vs the global-codebook
