@@ -16,7 +16,7 @@ object AsOfJoinStrategy extends SparkStrategy {
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: AsOfJoinNode =>
       AsOfJoinExec(n.leftKeys, n.rightKeys, n.leftTs, n.rightTs,
-        n.rightVals, n.outAttrs, n.forwardDir, n.maxGap,
+        n.rightVals, n.outAttrs, n.forwardDir, n.maxGap, n.nullParity,
         planLater(n.left), planLater(n.right)) :: Nil
     case _ => Nil
   }
@@ -36,15 +36,24 @@ object AsOfJoinStrategy extends SparkStrategy {
   * amplification — at 100 TB this is the floor for this operator's
   * cost, and it plans exactly two exchanges (spec-asserted).
   *
-  * Null contract (SQL ASOF semantics, matching the DuckDB oracle where
-  * `p.ts >= c.ts` over a NULL is unknown → no match): rows with a null
-  * key or null timestamp on the right NEVER match, and a left row with
-  * a null key or timestamp gets null as-of values. NOTE this is
-  * deliberately STRICTER than the union-window form, which backfills a
-  * null-ts reference row (nulls sort first, `last(ignoreNulls)` still
-  * sees its value struct) and groups null keys together — on null-free
-  * keys/timestamps the two forms are spec-asserted equal; on nulls the
-  * exec follows the SQL standard and the window form does not.
+  * Null contract (default, SQL ASOF semantics, matching the DuckDB
+  * oracle where `p.ts >= c.ts` over a NULL is unknown → no match): rows
+  * with a null key or null timestamp on the right NEVER match, and a
+  * left row with a null key or timestamp gets null as-of values. NOTE
+  * this is deliberately STRICTER than the union-window form, which
+  * backfills a null-ts reference row (nulls sort first,
+  * `last(ignoreNulls)` still sees its value struct) and groups null
+  * keys together — on null-free keys/timestamps the two forms are
+  * spec-asserted equal; on nulls the exec follows the SQL standard and
+  * the window form does not.
+  *
+  * `nullParity = true` switches to EXACT window-form semantics: null
+  * keys join each other like values (the window's PARTITION BY groups
+  * nulls), and a null timestamp orders as -infinity (nulls-first sort:
+  * a null-ts reference row is the earliest candidate; a null-ts probe
+  * matches only null-ts reference rows). [[graft.plans.RewriteAsOfWindow]]
+  * plans THIS mode, which is what makes the automatic rewrite
+  * semantics-preserving on any data.
   */
 case class AsOfJoinExec(
     leftKeys: Seq[Attribute],
@@ -55,6 +64,7 @@ case class AsOfJoinExec(
     outAttrs: Seq[AttributeReference],
     forwardDir: Boolean,
     maxGap: Option[Long],
+    nullParity: Boolean,
     left: SparkPlan,
     right: SparkPlan) extends BinaryExecNode {
 
@@ -134,18 +144,37 @@ case class AsOfJoinExec(
         while (i < refs.size) { k(i) = refs(i).eval(row); i += 1 }
         k
       }
-      // <0 / 0 / >0 for key a vs key b; null keys never equal anything
+      // <0 / 0 / >0 for key a vs key b. Nulls order FIRST (matching the
+      // children's NULLS FIRST sort, so the merge advances in step). In
+      // SQL mode a null key never equals anything — two nulls compare
+      // "unequal but stably ordered"; in nullParity mode null == null
+      // (the window's PARTITION BY groups null keys like values).
       def cmpKeys(a: Array[Any], b: Array[Any]): Int = {
         var i = 0
         while (i < a.length) {
           val (x, y) = (a(i), b(i))
-          if (x == null || y == null) return if (x == null) -1 else 1
-          val c = cmpValue(keyTypes(i), x, y)
-          if (c != 0) return c
+          if (x == null || y == null) {
+            if (x == null && y == null) {
+              if (!nullParity) return -1 // unequal; order stable (nulls first)
+              // parity: equal on this component — compare the rest
+            } else return if (x == null) -1 else 1
+          } else {
+            val c = cmpValue(keyTypes(i), x, y)
+            if (c != 0) return c
+          }
           i += 1
         }
         0
       }
+      // ts comparison with NULLS FIRST ordering: a null ts sorts before
+      // every value. In nullParity mode that makes null a real
+      // -infinity (null == null matches); in SQL mode the callers
+      // additionally keep null-ts rows out of matching.
+      def cmpTs(a: Any, b: Any): Int =
+        if (a == null && b == null) 0
+        else if (a == null) -1
+        else if (b == null) 1
+        else cmpValue(tsType, a, b)
 
       if (forwardDir) {
         // forward: pure lookahead — discard right rows strictly before
@@ -156,15 +185,14 @@ case class AsOfJoinExec(
         lIter.map { lRow =>
           val lKey = keyOf(lRow, lKeyRefs)
           val lTsV = lTsRef.eval(lRow)
-          val keyUsable = !lKey.contains(null) && lTsV != null
+          val keyUsable = nullParity || (!lKey.contains(null) && lTsV != null)
           if (keyUsable) {
             var advance = rRow != null
             while (advance) {
               val rKey = keyOf(rRow, rKeyRefs)
               val rTsV = rTsRef.eval(rRow)
               val kc = cmpKeys(rKey, lKey)
-              val before = kc < 0 ||
-                (kc == 0 && (rTsV == null || cmpValue(tsType, rTsV, lTsV) < 0))
+              val before = kc < 0 || (kc == 0 && cmpTs(rTsV, lTsV) < 0)
               if (before) {
                 rRow = if (rIter.hasNext) rIter.next() else null
                 advance = rRow != null
@@ -174,8 +202,8 @@ case class AsOfJoinExec(
           val matches = keyUsable && rRow != null && {
             val rKey = keyOf(rRow, rKeyRefs)
             val rTsV = rTsRef.eval(rRow)
-            cmpKeys(rKey, lKey) == 0 && !rKey.contains(null) &&
-              rTsV != null &&
+            cmpKeys(rKey, lKey) == 0 &&
+              (nullParity || (!rKey.contains(null) && rTsV != null)) &&
               (!ttlOn || tsLong(rTsV) - tsLong(lTsV) <= gapLimit)
           }
           joined(lRow, if (matches) valsProj(rRow) else nullVals)
@@ -184,7 +212,7 @@ case class AsOfJoinExec(
       } else lIter.map { lRow =>
         val lKey = keyOf(lRow, lKeyRefs)
         val lTsV = lTsRef.eval(lRow)
-        val keyUsable = !lKey.contains(null) && lTsV != null
+        val keyUsable = nullParity || (!lKey.contains(null) && lTsV != null)
         if (keyUsable) {
           // consume right rows ordered ≤ (lKey, lTs)
           var advance = rRow != null
@@ -194,14 +222,14 @@ case class AsOfJoinExec(
             val kc = cmpKeys(rKey, lKey)
             // a null right ts sorts before every value (asc, nulls
             // first) — consume it, or it would block its key's merge
-            val takes = kc < 0 ||
-              (kc == 0 && (rTsV == null || cmpValue(tsType, rTsV, lTsV) <= 0))
+            val takes = kc < 0 || (kc == 0 && cmpTs(rTsV, lTsV) <= 0)
             if (takes) {
-              // only a usable row can become the held as-of candidate.
+              // only a usable row can become the held as-of candidate
+              // (in parity mode every row is usable).
               // Deep-copy the key: UTF8String values point into the sort
               // iterator's reused buffer — held uncopied, a spill would
               // silently overwrite them (the vals projection copies).
-              if (!rKey.contains(null) && rTsV != null) {
+              if (nullParity || (!rKey.contains(null) && rTsV != null)) {
                 heldKey = rKey.map {
                   case s: UTF8String => s.copy()
                   case v => v

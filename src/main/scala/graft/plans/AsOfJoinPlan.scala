@@ -32,10 +32,18 @@ case class AsOfJoinNode(
     rightVals: Seq[Attribute],
     outAttrs: Seq[AttributeReference],
     forwardDir: Boolean = false,
-    maxGap: Option[Long] = None) extends BinaryNode {
+    maxGap: Option[Long] = None,
+    nullParity: Boolean = false) extends BinaryNode {
 
   require(leftKeys.size == rightKeys.size && leftKeys.nonEmpty,
     "as-of join needs at least one equi-key on both sides")
+
+  // nullParity reproduces the union-window form's null semantics (null
+  // keys group like values, null timestamps order as -infinity) so the
+  // RewriteAsOfWindow rule is exactly semantics-preserving. A TTL needs
+  // integer gap arithmetic on the timestamps, which -infinity breaks.
+  require(!(nullParity && maxGap.isDefined),
+    "as-of nullParity and maxGap cannot be combined")
 
   // Key/timestamp types are validated HERE so an unsupported or
   // mismatched column fails at plan construction with a clear message,

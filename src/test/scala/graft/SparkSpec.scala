@@ -11,6 +11,13 @@ trait SparkSpec extends AnyFunSuite {
 
 object SparkSpec {
   lazy val session: SparkSession = {
+    // Suites that need GraftExtensions build their own sessions and may
+    // have left one as the JVM default — getOrCreate would return it and
+    // silently give the "plain" specs extension rules (breaking e.g.
+    // window-form baselines that the as-of rewrite would transform).
+    // Force a genuinely extension-free session.
+    SparkSession.clearActiveSession()
+    SparkSession.clearDefaultSession()
     val s = SparkSession.builder()
       .master("local[4]")
       .appName("graft-test")
