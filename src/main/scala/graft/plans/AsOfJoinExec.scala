@@ -9,15 +9,60 @@ import org.apache.spark.sql.execution.{BinaryExecNode, SparkPlan, SparkStrategy}
 import org.apache.spark.sql.types._
 import org.apache.spark.unsafe.types.UTF8String
 
-/** Planner strategy for [[AsOfJoinNode]] → [[AsOfJoinExec]]. Register
-  * with `GraftExtensions` (injectPlannerStrategy) or ad hoc via
+/** Shared scalar comparison for the as-of operators (merge + broadcast). */
+private[plans] object AsOfOrd {
+  def cmpValue(dt: DataType, a: Any, b: Any): Int = dt match {
+    case LongType | TimestampType | TimestampNTZType =>
+      java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
+    case IntegerType | DateType =>
+      java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
+    case ShortType => java.lang.Short.compare(a.asInstanceOf[Short], b.asInstanceOf[Short])
+    case DoubleType => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
+    case FloatType => java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
+    case StringType =>
+      a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
+    case other => throw new UnsupportedOperationException(
+      s"as-of join key/ts type not supported: ${other.simpleString}")
+  }
+
+  /** ts comparison with NULLS FIRST ordering (null = -infinity). */
+  def cmpTs(dt: DataType, a: Any, b: Any): Int =
+    if (a == null && b == null) 0
+    else if (a == null) -1
+    else if (b == null) 1
+    else cmpValue(dt, a, b)
+}
+
+/** Planner strategy for [[AsOfJoinNode]]: [[BroadcastAsOfJoinExec]] when
+  * the reference side's estimated size fits under the broadcast
+  * threshold (`spark.graft.asof.broadcastThreshold`, defaulting to
+  * `spark.sql.autoBroadcastJoinThreshold`; set -1 to disable), else the
+  * co-partitioned merge [[AsOfJoinExec]] — the BroadcastHashJoin vs
+  * SortMergeJoin decision, applied to the as-of operator. Register with
+  * `GraftExtensions` (injectPlannerStrategy) or ad hoc via
   * `spark.experimental.extraStrategies`. */
 object AsOfJoinStrategy extends SparkStrategy {
+  val ThresholdKey = "spark.graft.asof.broadcastThreshold"
+
   override def apply(plan: LogicalPlan): Seq[SparkPlan] = plan match {
     case n: AsOfJoinNode =>
-      AsOfJoinExec(n.leftKeys, n.rightKeys, n.leftTs, n.rightTs,
-        n.rightVals, n.outAttrs, n.forwardDir, n.maxGap, n.nullParity,
-        planLater(n.left), planLater(n.right)) :: Nil
+      val sqlConf = org.apache.spark.sql.internal.SQLConf.get
+      val threshold = sqlConf.getConfString(ThresholdKey, "") match {
+        case "" => sqlConf.autoBroadcastJoinThreshold
+        case s => s.toLong
+      }
+      val useBroadcast = n.broadcastHint.getOrElse(
+        threshold > 0 && n.right.stats.sizeInBytes <= threshold)
+      val exec =
+        if (useBroadcast)
+          BroadcastAsOfJoinExec(n.leftKeys, n.rightKeys, n.leftTs, n.rightTs,
+            n.rightVals, n.outAttrs, n.forwardDir, n.maxGap, n.nullParity,
+            planLater(n.left), planLater(n.right))
+        else
+          AsOfJoinExec(n.leftKeys, n.rightKeys, n.leftTs, n.rightTs,
+            n.rightVals, n.outAttrs, n.forwardDir, n.maxGap, n.nullParity,
+            planLater(n.left), planLater(n.right))
+      exec :: Nil
     case _ => Nil
   }
 }
@@ -82,19 +127,12 @@ case class AsOfJoinExec(
 
   override def outputPartitioning = left.outputPartitioning
 
-  private def cmpValue(dt: DataType, a: Any, b: Any): Int = dt match {
-    case LongType | TimestampType | TimestampNTZType =>
-      java.lang.Long.compare(a.asInstanceOf[Long], b.asInstanceOf[Long])
-    case IntegerType | DateType =>
-      java.lang.Integer.compare(a.asInstanceOf[Int], b.asInstanceOf[Int])
-    case ShortType => java.lang.Short.compare(a.asInstanceOf[Short], b.asInstanceOf[Short])
-    case DoubleType => java.lang.Double.compare(a.asInstanceOf[Double], b.asInstanceOf[Double])
-    case FloatType => java.lang.Float.compare(a.asInstanceOf[Float], b.asInstanceOf[Float])
-    case StringType =>
-      a.asInstanceOf[UTF8String].compareTo(b.asInstanceOf[UTF8String])
-    case other => throw new UnsupportedOperationException(
-      s"as-of join key/ts type not supported: ${other.simpleString}")
-  }
+  // streaming the probe iterator preserves its sort (keys, ts) — declare
+  // it so a downstream sort on the same prefix is elided
+  override def outputOrdering: Seq[SortOrder] = requiredChildOrdering.head
+
+  private def cmpValue(dt: DataType, a: Any, b: Any): Int =
+    AsOfOrd.cmpValue(dt, a, b)
 
   override protected def doExecute(): RDD[InternalRow] = {
     val lKeyRefs = leftKeys.map(a =>

@@ -33,7 +33,8 @@ case class AsOfJoinNode(
     outAttrs: Seq[AttributeReference],
     forwardDir: Boolean = false,
     maxGap: Option[Long] = None,
-    nullParity: Boolean = false) extends BinaryNode {
+    nullParity: Boolean = false,
+    broadcastHint: Option[Boolean] = None) extends BinaryNode {
 
   require(leftKeys.size == rightKeys.size && leftKeys.nonEmpty,
     "as-of join needs at least one equi-key on both sides")
@@ -105,6 +106,12 @@ object AsOfJoinNode {
     * have [[AsOfJoinStrategy]] available — via `GraftExtensions`
     * (injectPlannerStrategy) or `spark.experimental.extraStrategies`.
     *
+    * `broadcast`: Some(true) forces [[BroadcastAsOfJoinExec]] (reference
+    * side collected + broadcast, probe side never moves), Some(false)
+    * forces the co-partitioned merge [[AsOfJoinExec]], None (default)
+    * lets the strategy decide from the reference side's size estimate —
+    * the join-hint contract, applied to the as-of operator.
+    *
     * The right side is re-aliased to FRESH columns before the node is
     * built: when both sides derive from the same base relation, their
     * analyzed plans share exprIds, and the analyzer's
@@ -114,22 +121,25 @@ object AsOfJoinNode {
     * that survive deduplication. */
   def backward(left: DataFrame, right: DataFrame, key: Seq[String],
       leftTs: String, rightTs: String, rightVals: Seq[String],
-      maxGap: Option[Long] = None): DataFrame =
+      maxGap: Option[Long] = None,
+      broadcast: Option[Boolean] = None): DataFrame =
     build(left, right, key, leftTs, rightTs, rightVals, forwardDir = false,
-      maxGap)
+      maxGap, broadcast)
 
   /** Forward as-of join (earliest right row with ts ≥ the left's; ties
     * at equal (key, ts) resolve to the least value tuple) through the
     * custom operator. */
   def forward(left: DataFrame, right: DataFrame, key: Seq[String],
       leftTs: String, rightTs: String, rightVals: Seq[String],
-      maxGap: Option[Long] = None): DataFrame =
+      maxGap: Option[Long] = None,
+      broadcast: Option[Boolean] = None): DataFrame =
     build(left, right, key, leftTs, rightTs, rightVals, forwardDir = true,
-      maxGap)
+      maxGap, broadcast)
 
   private def build(left: DataFrame, right: DataFrame, key: Seq[String],
       leftTs: String, rightTs: String, rightVals: Seq[String],
-      forwardDir: Boolean, maxGap: Option[Long]): DataFrame = {
+      forwardDir: Boolean, maxGap: Option[Long],
+      broadcast: Option[Boolean] = None): DataFrame = {
     import org.apache.spark.sql.functions.col
     val rPrepped = right.select(
       key.map(k => col(k).as(s"__asof_k_$k")) ++
@@ -145,6 +155,6 @@ object AsOfJoinNode {
       AsOfJoinNode(lp, rp,
         key.map(resolve(lp, _)), key.map(k => resolve(rp, s"__asof_k_$k")),
         resolve(lp, leftTs), resolve(rp, "__asof_ts"), rv, out, forwardDir,
-        maxGap))
+        maxGap, broadcastHint = broadcast))
   }
 }

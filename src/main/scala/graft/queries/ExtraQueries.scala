@@ -316,7 +316,8 @@ object ExtraQueries {
       .select(col("user_id"), col("ts"),
         col("event_id").as("click_event_id"), col("value").as("click_value"))
     graft.plans.AsOfJoinNode.backward(purchases, clicks, Seq("user_id"),
-        "ts", "ts", Seq("click_event_id", "click_value"))
+        "ts", "ts", Seq("click_event_id", "click_value"),
+        broadcast = Some(false)) // pinned: this entry gates the MERGE exec
       .select(col("user_id"), col("event_id"), col("value"),
         col("asof_click_event_id"), col("asof_click_value"))
       .orderBy("user_id", "event_id")
@@ -347,7 +348,8 @@ object ExtraQueries {
     val errors = ev.filter(col("event_type") === "error")
       .select(col("user_id"), col("ts"), col("event_id").as("err_event_id"))
     graft.plans.AsOfJoinNode.forward(purchases, errors, Seq("user_id"),
-        "ts", "ts", Seq("err_event_id"))
+        "ts", "ts", Seq("err_event_id"),
+        broadcast = Some(false)) // pinned: this entry gates the MERGE exec
       .select(col("user_id"), col("event_id"), col("value"),
         col("asof_err_event_id"))
       .orderBy("user_id", "event_id")
@@ -448,8 +450,49 @@ object ExtraQueries {
       .orderBy("event_type", "pct")
   }
 
+  // ---------------------------------------------------------------- x14
+  // The BROADCAST as-of join: each purchase gets the user's most recent
+  // at-or-before signup — a dimension-sized reference side (one-ish row
+  // per user, the Feast feature-table shape), forced through
+  // BroadcastAsOfJoinExec via the hint. The probe side never shuffles
+  // and never sorts (plan-asserted exchange-free in
+  // BroadcastAsOfJoinSpec); at 100 TB that shuffle IS the merge exec's
+  // dominant cost, so this is the plan a production point-in-time
+  // lookup against a small feature table should run. Same DuckDB
+  // native-ASOF oracle as x02/x10, so the broadcast path is hash-gated
+  // end-to-end.
+  val x14AsofBroadcast: Q = Q(
+    "x14_asof_broadcast",
+    """WITH purchases AS (
+      |  SELECT user_id, event_id, ts, value FROM events WHERE event_type = 'purchase'),
+      |signups AS (
+      |  SELECT user_id, ts, event_id AS signup_event_id, value AS signup_value
+      |  FROM events WHERE event_type = 'signup')
+      |SELECT p.user_id, p.event_id, p.value,
+      |  s.signup_event_id AS asof_signup_event_id,
+      |  s.signup_value AS asof_signup_value
+      |FROM purchases p ASOF LEFT JOIN signups s
+      |  ON p.user_id = s.user_id AND p.ts >= s.ts
+      |ORDER BY p.user_id, p.event_id""".stripMargin) { (s, d) =>
+    if (!s.experimental.extraStrategies.contains(graft.plans.AsOfJoinStrategy))
+      s.experimental.extraStrategies =
+        s.experimental.extraStrategies :+ graft.plans.AsOfJoinStrategy
+    val ev = t(s, d, "events")
+    val purchases = ev.filter(col("event_type") === "purchase")
+      .select("user_id", "event_id", "ts", "value")
+    val signups = ev.filter(col("event_type") === "signup")
+      .select(col("user_id"), col("ts"),
+        col("event_id").as("signup_event_id"), col("value").as("signup_value"))
+    graft.plans.AsOfJoinNode.backward(purchases, signups, Seq("user_id"),
+        "ts", "ts", Seq("signup_event_id", "signup_value"),
+        broadcast = Some(true))
+      .select(col("user_id"), col("event_id"), col("value"),
+        col("asof_signup_event_id"), col("asof_signup_value"))
+      .orderBy("user_id", "event_id")
+  }
+
   val all: Seq[Q] = Seq(x01SeedJoin, x02AsofJoin, x03Duration, x04Sessionize,
     x05ApproxDistinct, x06RangeJoin, x07Scd2History, x08AsofForward,
     x09ApproxQuantiles, x10AsofExec, x11AsofExecForward, x12AsofTtl,
-    x13HistQuantiles)
+    x13HistQuantiles, x14AsofBroadcast)
 }

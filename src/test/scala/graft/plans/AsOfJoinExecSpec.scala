@@ -17,6 +17,11 @@ class AsOfJoinExecSpec extends SparkSpec {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
+    // pin the MERGE exec: this suite gates the co-partitioned path's
+    // physics (fixtures are broadcast-sized, so the auto decision would
+    // otherwise always pick BroadcastAsOfJoinExec — that path has its
+    // own suite, BroadcastAsOfJoinSpec)
+    spark.conf.set(AsOfJoinStrategy.ThresholdKey, "-1")
   }
 
   private def trades = Seq(

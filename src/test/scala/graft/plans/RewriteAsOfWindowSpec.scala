@@ -115,6 +115,23 @@ class RewriteAsOfWindowSpec extends AnyFunSuite {
       ("b", None),        // no null-key quote at ts >= 10
       ("c", Some(50.0)),  // null-ts probe: first following is the null-ts quote
       ("d", Some(7.0))))
+
+    // parity must hold on BOTH physical paths: the broadcast-sized
+    // fixtures above exercised BroadcastAsOfJoinExec; pin the threshold
+    // off and replay through the co-partitioned merge exec
+    val prev = spark.conf.getOption(AsOfJoinStrategy.ThresholdKey)
+    try {
+      spark.conf.set(AsOfJoinStrategy.ThresholdKey, "-1")
+      val mergeB = AsOfJoin.backward(l, r, Seq("k"), "ts", "ts", Seq("px"))
+      assert(planOf(mergeB).contains("AsOfJoin ") &&
+        !planOf(mergeB).contains("BroadcastAsOfJoin"), planOf(mergeB))
+      assert(collect(mergeB) === gotB, "merge-path backward null parity broken")
+      val mergeF = AsOfJoin.forward(l, r, Seq("k"), "ts", "ts", Seq("px"))
+      assert(collect(mergeF) === gotF, "merge-path forward null parity broken")
+    } finally prev match {
+      case Some(v) => spark.conf.set(AsOfJoinStrategy.ThresholdKey, v)
+      case None => spark.conf.unset(AsOfJoinStrategy.ThresholdKey)
+    }
   }
 
   test("TTL'd (maxGap) shape rewrites too, gap guard preserved") {
