@@ -1,0 +1,365 @@
+package graft.operators
+
+import java.io.File
+import java.nio.file.{Files, Paths}
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Versioned parquet table — the transaction-log economics of a
+  * lakehouse format (Delta/Iceberg, whose jars this environment lacks)
+  * rebuilt on plain parquet + a manifest log:
+  *
+  * {{{
+  *   table/
+  *     data/<batch-uuid>/part-*.parquet   immutable data files
+  *     _graft_log/v<0-padded>.json        one manifest per version
+  * }}}
+  *
+  * Each manifest lists the table's LIVE files (with per-file row counts,
+  * byte sizes, and parquet-footer min/max stats for requested columns).
+  * That buys, at 100 TB scale:
+  *
+  *  - **Reads never list directories.** A snapshot is one small JSON
+  *    read + a direct-file-list scan — object-store LIST over millions
+  *    of files is the classic lakehouse killer, and manifests are how
+  *    every production format avoids it.
+  *  - **Time travel**: every version's file list is retained until
+  *    [[vacuum]]; `readVersion(v)` reproduces the exact snapshot.
+  *  - **Atomic commits + optimistic concurrency**: a manifest is
+  *    written to a temp file and published with `Files.createLink` —
+  *    hard-link creation is create-EXCLUSIVE on POSIX (unlike rename,
+  *    which silently replaces), so two writers racing to publish the
+  *    same version get exactly one winner; the loser throws
+  *    [[Versioned.VersionConflictException]] and retries against the
+  *    new snapshot. This is Delta's log-protocol commit, minus the
+  *    cloud-store LWT shims.
+  *  - **Stats pruning before the scan**: [[readPruned]] drops files
+  *    whose manifest min/max can't overlap the predicate — the
+  *    manifest-level half of the footer-pruning [[Mutation]] does, now
+  *    without even opening the files.
+  *
+  * Readers of version N see an immutable file set; writers never mutate
+  * published files (append/overwrite/compact all write NEW batch dirs).
+  * Scoped out, documented: schema evolution and multi-table
+  * transactions.
+  *
+  * Reference analog: the lake-table layer under the reference's Silver
+  * writes (pipelines/02-kafka-spark-iceberg/spark/jobs/
+  * silver_transform.py:132 `writeTo(...).overwritePartitions()`;
+  * pipelines/22-hudi-cdc-storage Hudi upsert + time-travel reads).
+  */
+object Versioned {
+
+  final class VersionConflictException(msg: String)
+    extends RuntimeException(msg)
+
+  private case class FileEntry(
+      path: String, // relative to table root
+      rows: Long,
+      bytes: Long,
+      // col -> (typeTag, min, max) with typeTag in {"long","double","string"}
+      stats: Map[String, (String, String, String)])
+
+  private case class Manifest(
+      version: Long,
+      action: String,
+      files: Seq[FileEntry])
+
+  private def logDir(root: String) = new File(root, "_graft_log")
+  private def manifestFile(root: String, v: Long) =
+    new File(logDir(root), f"v$v%012d.json")
+
+  /** All published versions, ascending (possibly non-contiguous after
+    * vacuum). */
+  def versions(root: String): Seq[Long] = {
+    val d = logDir(root)
+    if (!d.isDirectory) Seq.empty
+    else d.listFiles().toSeq
+      .filter(f => f.getName.matches("v\\d{12}\\.json"))
+      .map(_.getName.drop(1).dropRight(5).toLong).sorted
+  }
+
+  def latestVersion(root: String): Option[Long] = versions(root).lastOption
+
+  // ------------------------------------------------------------ commit
+
+  /** Write `df` as a new batch and publish the next version.
+    *
+    * @param mode           "append" (new files join the live set) or
+    *                       "overwrite" (new files REPLACE the live set)
+    * @param statsCols      columns whose parquet-footer min/max are
+    *                       recorded per file (enables [[readPruned]])
+    * @param expectedVersion optimistic-concurrency guard: fail with
+    *                       [[VersionConflictException]] if the table has
+    *                       moved past this snapshot version (compare-and
+    *                       -swap semantics). None = publish after
+    *                       whatever is latest, still atomic.
+    * @return the published version number
+    */
+  def commit(spark: SparkSession, root: String, df: DataFrame,
+      mode: String = "append", statsCols: Seq[String] = Nil,
+      expectedVersion: Option[Long] = None): Long = {
+    require(mode == "append" || mode == "overwrite",
+      s"unknown commit mode: $mode")
+    val batch = java.util.UUID.randomUUID().toString
+    val batchDir = new File(new File(root, "data"), batch)
+    df.write.parquet(batchDir.getPath)
+    val newEntries = batchDir.listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(f => fileEntry(spark, root, f, statsCols)).toSeq
+    publish(root, mode, newEntries, expectedVersion, action = mode)
+  }
+
+  /** Publish a manifest for `newEntries` (plus the live set when
+    * appending) as the next version, atomically. */
+  private def publish(root: String, mode: String,
+      newEntries: Seq[FileEntry], expectedVersion: Option[Long],
+      action: String): Long = {
+    logDir(root).mkdirs()
+    val latest = latestVersion(root)
+    expectedVersion.foreach { ev =>
+      if (latest.exists(_ != ev))
+        throw new VersionConflictException(
+          s"table at $root is at version ${latest.get}, expected $ev")
+      if (latest.isEmpty && ev != 0)
+        throw new VersionConflictException(
+          s"table at $root is empty, expected version $ev")
+    }
+    val base = if (mode == "append") currentFiles(root, latest) else Seq.empty
+    val next = latest.getOrElse(0L) + 1
+    val manifest = Manifest(next, action, base ++ newEntries)
+    val tmp = File.createTempFile(s".v$next-", ".json", logDir(root))
+    Files.writeString(tmp.toPath, renderJson(manifest))
+    try {
+      // hard-link creation is atomic and create-exclusive: exactly one
+      // of two racing writers publishes v<next>; rename would silently
+      // replace on POSIX and lose a commit
+      Files.createLink(manifestFile(root, next).toPath, tmp.toPath)
+      next
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new VersionConflictException(
+          s"concurrent writer published v$next at $root first; " +
+            "re-read the table and retry")
+    } finally Files.deleteIfExists(tmp.toPath)
+  }
+
+  private def currentFiles(root: String, v: Option[Long]): Seq[FileEntry] =
+    v.map(ver => readManifest(root, ver).files).getOrElse(Seq.empty)
+
+  // ------------------------------------------------------------ read
+
+  /** Latest snapshot. */
+  def read(spark: SparkSession, root: String): DataFrame =
+    readVersion(spark, root,
+      latestVersion(root).getOrElse(
+        throw new IllegalArgumentException(s"no versions at $root")))
+
+  /** Time travel: the exact file set published as version `v`. */
+  def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
+    val m = readManifest(root, v)
+    val paths = m.files.map(f => new File(root, f.path).getPath)
+    if (paths.isEmpty) emptyLike(spark, root)
+    else spark.read.parquet(paths: _*)
+  }
+
+  // an overwrite to zero rows still needs a schema; read any retained
+  // file's schema with a false filter (rare path: empty table)
+  private def emptyLike(spark: SparkSession, root: String): DataFrame = {
+    val any = versions(root).reverseIterator
+      .map(readManifest(root, _)).find(_.files.nonEmpty)
+      .getOrElse(throw new IllegalArgumentException(
+        s"table at $root has no data files in any retained version"))
+    spark.read.parquet(new File(root, any.files.head.path).getPath)
+      .limit(0)
+  }
+
+  /** The manifest-level file pruning: files whose recorded [min, max]
+    * for `col` cannot intersect [lo, hi] are never handed to the scan.
+    * Returns the snapshot ALREADY filtered exactly (`col BETWEEN lo AND
+    * hi`), so callers get correct rows regardless of stats coverage —
+    * files without stats for `col` are conservatively kept. */
+  def readPruned(spark: SparkSession, root: String, col: String,
+      lo: Any, hi: Any, version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    val v = version.orElse(latestVersion(root)).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    val keep = candidateFiles(root, v, col, lo, hi)
+    val df =
+      if (keep.isEmpty) readVersion(spark, root, v).limit(0)
+      else spark.read.parquet(keep.map(p => new File(root, p).getPath): _*)
+    df.filter(c(col) >= lit(lo) && c(col) <= lit(hi))
+  }
+
+  /** The relative paths [[readPruned]] would scan (exposed so specs and
+    * operators can assert the pruning itself). */
+  def candidateFiles(root: String, version: Long, col: String,
+      lo: Any, hi: Any): Seq[String] =
+    readManifest(root, version).files.filter { f =>
+      f.stats.get(col) match {
+        case None => true // no stats recorded → must scan
+        case Some((tpe, mn, mx)) => tpe match {
+          case "long" =>
+            val (l, h) = (toLong(lo), toLong(hi))
+            !(mx.toLong < l || mn.toLong > h)
+          case "double" =>
+            val (l, h) = (toDouble(lo), toDouble(hi))
+            !(mx.toDouble < l || mn.toDouble > h)
+          case _ =>
+            val (l, h) = (lo.toString, hi.toString)
+            !(mx < l || mn > h)
+        }
+      }
+    }.map(_.path)
+
+  private def toLong(v: Any): Long = v match {
+    case n: Number => n.longValue()
+    case s: String => s.toLong
+  }
+  private def toDouble(v: Any): Double = v match {
+    case n: Number => n.doubleValue()
+    case s: String => s.toDouble
+  }
+
+  // ------------------------------------------------------- maintenance
+
+  /** OPTIMIZE for the versioned table: bin-pack the live set into
+    * `targetFiles` files as a NEW version (action "compact"). Rows are
+    * identical; prior versions stay readable until vacuum. */
+  def compact(spark: SparkSession, root: String,
+      targetFiles: Int = 1, statsCols: Seq[String] = Nil): Long = {
+    val snapshot = read(spark, root).coalesce(targetFiles)
+    commit(spark, root, snapshot, mode = "overwrite",
+      statsCols = statsCols)
+  }
+
+  /** Drop all but the last `keepVersions` manifests and delete data
+    * files no retained manifest references. Time travel keeps working
+    * for every retained version. Returns deleted file count. */
+  def vacuum(root: String, keepVersions: Int): Int = {
+    require(keepVersions >= 1, "must keep at least the latest version")
+    val all = versions(root)
+    val (drop, keep) = all.splitAt(math.max(0, all.size - keepVersions))
+    val referenced = keep.flatMap(v => readManifest(root, v).files)
+      .map(_.path).toSet
+    var deleted = 0
+    val dataRoot = new File(root, "data")
+    if (dataRoot.isDirectory) {
+      dataRoot.listFiles().foreach { batchDir =>
+        if (batchDir.isDirectory) {
+          batchDir.listFiles().foreach { f =>
+            val rel = s"data/${batchDir.getName}/${f.getName}"
+            if (f.getName.endsWith(".parquet") && !referenced.contains(rel)) {
+              Files.deleteIfExists(f.toPath); deleted += 1
+            }
+          }
+          if (batchDir.listFiles().forall(f =>
+            !f.getName.endsWith(".parquet"))) deleteRecursively(batchDir)
+        }
+      }
+    }
+    drop.foreach(v => Files.deleteIfExists(manifestFile(root, v).toPath))
+    deleted
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory) f.listFiles().foreach(deleteRecursively)
+    Files.deleteIfExists(f.toPath)
+  }
+
+  // ------------------------------------------------- manifest (de)ser
+
+  private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
+
+  private def renderJson(m: Manifest): String = {
+    val filesNode = m.files.map { f =>
+      val stats = f.stats.map { case (k, (t, mn, mx)) =>
+        k -> Map("type" -> t, "min" -> mn, "max" -> mx).asJava
+      }.asJava
+      Map[String, Any]("path" -> f.path, "rows" -> f.rows,
+        "bytes" -> f.bytes, "stats" -> stats).asJava
+    }.asJava
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(
+      Map[String, Any]("version" -> m.version, "action" -> m.action,
+        "files" -> filesNode).asJava)
+  }
+
+  private def readManifest(root: String, v: Long): Manifest = {
+    val f = manifestFile(root, v)
+    require(f.isFile, s"version $v does not exist (or was vacuumed) at $root")
+    val node = mapper.readTree(Files.readString(f.toPath))
+    val files = node.get("files").elements().asScala.map { fn =>
+      val stats = Option(fn.get("stats")).map { sn =>
+        sn.properties().asScala.map { e =>
+          val v = e.getValue
+          e.getKey -> ((v.get("type").asText(), v.get("min").asText(),
+            v.get("max").asText()))
+        }.toMap
+      }.getOrElse(Map.empty[String, (String, String, String)])
+      FileEntry(fn.get("path").asText(), fn.get("rows").asLong(),
+        fn.get("bytes").asLong(), stats)
+    }.toSeq
+    Manifest(node.get("version").asLong(), node.get("action").asText(), files)
+  }
+
+  // --------------------------------------------------- footer stats
+
+  /** One manifest entry for a freshly written file: row count and byte
+    * size from the footer, plus min/max for each requested stats column
+    * (metadata-only read — the data pages are never touched). */
+  private def fileEntry(spark: SparkSession, root: String, f: File,
+      statsCols: Seq[String]): FileEntry = {
+    val conf = spark.sessionState.newHadoopConf()
+    val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
+      org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
+        new org.apache.hadoop.fs.Path(f.getPath), conf))
+    try {
+      val blocks = reader.getFooter.getBlocks.asScala
+      val rows = blocks.map(_.getRowCount).sum
+      val stats = statsCols.flatMap { col =>
+        val perBlock = blocks.flatMap { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == col)
+            .map(_.getStatistics).filter(s => s != null && s.hasNonNullValue)
+        }
+        if (perBlock.isEmpty || perBlock.size != blocks.size) None
+        else {
+          val typed = perBlock.map(s => (s.genericGetMin, s.genericGetMax))
+          typed.head match {
+            case (_: java.lang.Long, _) | (_: java.lang.Integer, _) =>
+              val mns = typed.map(_._1 match {
+                case l: java.lang.Long => l.longValue()
+                case i: java.lang.Integer => i.longValue()
+              })
+              val mxs = typed.map(_._2 match {
+                case l: java.lang.Long => l.longValue()
+                case i: java.lang.Integer => i.longValue()
+              })
+              Some(col -> (("long", mns.min.toString, mxs.max.toString)))
+            case (_: java.lang.Double, _) | (_: java.lang.Float, _) =>
+              val mns = typed.map(_._1 match {
+                case d: java.lang.Double => d.doubleValue()
+                case fl: java.lang.Float => fl.doubleValue()
+              })
+              val mxs = typed.map(_._2 match {
+                case d: java.lang.Double => d.doubleValue()
+                case fl: java.lang.Float => fl.doubleValue()
+              })
+              Some(col -> (("double", mns.min.toString, mxs.max.toString)))
+            case (_: org.apache.parquet.io.api.Binary, _) =>
+              val mns = typed.map(_._1.asInstanceOf[org.apache.parquet.io.api.Binary]
+                .toStringUsingUTF8)
+              val mxs = typed.map(_._2.asInstanceOf[org.apache.parquet.io.api.Binary]
+                .toStringUsingUTF8)
+              Some(col -> (("string", mns.min, mxs.max)))
+            case _ => None // unsupported stats type → no pruning for col
+          }
+        }
+      }.toMap
+      val rel = Paths.get(root).toAbsolutePath.normalize()
+        .relativize(f.toPath.toAbsolutePath.normalize()).toString
+      FileEntry(rel, rows, f.length(), stats)
+    } finally reader.close()
+  }
+}

@@ -1,0 +1,122 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The versioned table must give exact time travel, atomic optimistic
+  * commits (one winner per version), stats-pruned reads that stay
+  * row-exact, compaction that preserves rows AND history, and a vacuum
+  * that deletes only unreferenced files. */
+class VersionedSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft-versioned").toString + "/t"
+
+  private def batch(ids: Range, tag: String) =
+    ids.map(i => (i.toLong, tag, i * 1.5)).toDF("id", "tag", "score")
+
+  test("append commits build versions; time travel reproduces snapshots") {
+    val root = freshRoot()
+    assert(Versioned.versions(root).isEmpty)
+    val v1 = Versioned.commit(spark, root, batch(1 to 100, "a"))
+    val v2 = Versioned.commit(spark, root, batch(101 to 150, "b"))
+    val v3 = Versioned.commit(spark, root, batch(151 to 160, "c"))
+    assert(Seq(v1, v2, v3) === Seq(1L, 2L, 3L))
+    assert(Versioned.versions(root) === Seq(1L, 2L, 3L))
+    assert(Versioned.read(spark, root).count() === 160)
+    assert(Versioned.readVersion(spark, root, 1).count() === 100)
+    assert(Versioned.readVersion(spark, root, 2)
+      .select("tag").distinct().as[String].collect().toSet === Set("a", "b"))
+    // snapshot 1 is EXACTLY batch 1, not "first 100 of current"
+    assert(Versioned.readVersion(spark, root, 1)
+      .agg(sum("id")).as[Long].head() === (1 to 100).map(_.toLong).sum)
+  }
+
+  test("overwrite replaces the live set; history stays readable") {
+    val root = freshRoot()
+    Versioned.commit(spark, root, batch(1 to 50, "old"))
+    Versioned.commit(spark, root, batch(1 to 10, "new"), mode = "overwrite")
+    assert(Versioned.read(spark, root).count() === 10)
+    assert(Versioned.read(spark, root)
+      .select("tag").distinct().as[String].head() === "new")
+    assert(Versioned.readVersion(spark, root, 1).count() === 50)
+  }
+
+  test("optimistic concurrency: exactly one winner per version") {
+    val root = freshRoot()
+    Versioned.commit(spark, root, batch(1 to 10, "base"))
+    // writer A read the table at v1 and commits
+    Versioned.commit(spark, root, batch(11 to 20, "A"),
+      expectedVersion = Some(1L))
+    // writer B ALSO read at v1 — its compare-and-swap must fail
+    val e = intercept[Versioned.VersionConflictException] {
+      Versioned.commit(spark, root, batch(21 to 30, "B"),
+        expectedVersion = Some(1L))
+    }
+    assert(e.getMessage.contains("version"))
+    // B retries against the current snapshot and succeeds
+    Versioned.commit(spark, root, batch(21 to 30, "B"))
+    assert(Versioned.read(spark, root).count() === 30)
+  }
+
+  test("stats pruning skips non-overlapping files and stays row-exact") {
+    val root = freshRoot()
+    // three disjoint id ranges, one commit each, single-file batches
+    Versioned.commit(spark, root, batch(1 to 1000, "a").coalesce(1),
+      statsCols = Seq("id", "tag"))
+    Versioned.commit(spark, root, batch(1001 to 2000, "b").coalesce(1),
+      statsCols = Seq("id", "tag"))
+    Versioned.commit(spark, root, batch(2001 to 3000, "c").coalesce(1),
+      statsCols = Seq("id", "tag"))
+    val v = Versioned.latestVersion(root).get
+    val candidates = Versioned.candidateFiles(root, v, "id", 1200, 1300)
+    assert(candidates.size === 1, s"expected 1 candidate file: $candidates")
+    val pruned = Versioned.readPruned(spark, root, "id", 1200, 1300)
+    val full = Versioned.read(spark, root)
+      .filter(col("id") >= 1200 && col("id") <= 1300)
+    assert(pruned.as[(Long, String, Double)].collect().sorted.toSeq ===
+      full.as[(Long, String, Double)].collect().sorted.toSeq)
+    // string stats prune too
+    val tagHits = Versioned.candidateFiles(root, v, "tag", "b", "b")
+    assert(tagHits.size === 1)
+  }
+
+  test("compact shrinks the file count, keeps rows and history") {
+    val root = freshRoot()
+    (1 to 5).foreach(i =>
+      Versioned.commit(spark, root,
+        batch(i * 100 until (i + 1) * 100, s"b$i").repartition(4),
+        statsCols = Seq("id")))
+    val before = Versioned.read(spark, root)
+    val beforeRows = before.as[(Long, String, Double)].collect().sorted.toSeq
+    val cv = Versioned.compact(spark, root, targetFiles = 1,
+      statsCols = Seq("id"))
+    assert(cv === 6L)
+    val after = Versioned.read(spark, root)
+    assert(after.rdd.getNumPartitions <= 2)
+    assert(after.as[(Long, String, Double)].collect().sorted.toSeq ===
+      beforeRows)
+    // pre-compaction version still time-travels
+    assert(Versioned.readVersion(spark, root, 3).count() === 300)
+  }
+
+  test("vacuum deletes only unreferenced files; retained versions intact") {
+    val root = freshRoot()
+    Versioned.commit(spark, root, batch(1 to 100, "a").coalesce(1))
+    Versioned.commit(spark, root, batch(1 to 40, "b").coalesce(1),
+      mode = "overwrite")
+    Versioned.commit(spark, root, batch(41 to 60, "c").coalesce(1))
+    val deleted = Versioned.vacuum(root, keepVersions = 2)
+    assert(deleted === 1, "only batch-a's file is unreferenced by v2/v3")
+    assert(Versioned.versions(root) === Seq(2L, 3L))
+    assert(Versioned.read(spark, root).count() === 60)
+    assert(Versioned.readVersion(spark, root, 2).count() === 40)
+    intercept[IllegalArgumentException] {
+      Versioned.readVersion(spark, root, 1)
+    }
+  }
+}
