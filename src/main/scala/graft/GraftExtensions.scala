@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.{DotProduct, HistQuantile, MinHashSignature, RollingFingerprint, SimHash64, SimHashBits, TopKPairs, WordShingles}
+import graft.functions.expressions.{CmsSketch, DotProduct, HistQuantile, MinHashSignature, RollingFingerprint, SimHash64, SimHashBits, TopKPairs, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions so `spark.sql("SELECT dot_product(a, b)")`
@@ -117,6 +117,14 @@ object GraftExtensions {
       info("rolling_fingerprint",
         "rolling_fingerprint(text, window, stride) - winnowed Rabin-Karp fingerprints"),
       (children: Seq[Expression]) => RollingFingerprint(children(0),
+        intArg(children(1)), intArg(children(2)))),
+    (FunctionIdentifier("cms_sketch"),
+      info("cms_sketch",
+        "cms_sketch(value, depth, width) - deterministic md5-hashed " +
+          "count-min sketch over a string column; returns the flat " +
+          "depth*width counter array (row d, bucket w at d*width+w, " +
+          "1-indexed for element_at)"),
+      (children: Seq[Expression]) => CmsSketch(children(0),
         intArg(children(1)), intArg(children(2)))))
 
   /** Register the function set on a live session (idempotent — the

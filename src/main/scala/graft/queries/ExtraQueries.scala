@@ -491,8 +491,54 @@ object ExtraQueries {
       .orderBy("user_id", "event_id")
   }
 
+  // ---------------------------------------------------------------- x15
+  // Deterministic count-min sketch with a TRUE hash oracle — the
+  // frequency-estimation sibling of x13's quantile sketch. x05's HLL is
+  // the engine-native cardinality sketch (rows-only by nature); this
+  // entry's md5-hashed CMS (graft.functions.expressions.CmsSketch, a
+  // TypedImperativeAggregate: depth×width Array[Long], element-wise
+  // merge — 16 KB of shuffle per group at ANY input size or key
+  // cardinality) uses plain-arithmetic hashing DuckDB replays verbatim.
+  // Output per user: exact count vs CMS point estimate; the sketch's
+  // one-sided guarantee (cms_n >= exact_n, error bounded by collisions)
+  // is spec-asserted, the exact construction is hash-gated here.
+  val x15CmsFrequency: Q = Q(
+    "x15_cms_frequency",
+    """WITH occ AS (
+      |  SELECT CAST(user_id AS VARCHAR) AS uid FROM events
+      |  WHERE user_id IS NOT NULL),
+      |ds AS (SELECT UNNEST(range(0, 4)) AS d),
+      |cells AS (
+      |  SELECT d,
+      |    ('0x' || substr(md5(uid || '#' || CAST(d AS VARCHAR)), 1, 15))::BIGINT % 512 AS w,
+      |    COUNT(*) AS c
+      |  FROM occ CROSS JOIN ds GROUP BY 1, 2),
+      |keys AS (SELECT DISTINCT uid FROM occ),
+      |est AS (
+      |  SELECT k.uid, CAST(MIN(COALESCE(c.c, 0)) AS BIGINT) AS cms_n
+      |  FROM keys k CROSS JOIN ds r
+      |  LEFT JOIN cells c ON c.d = r.d
+      |   AND c.w = ('0x' || substr(md5(k.uid || '#' || CAST(r.d AS VARCHAR)), 1, 15))::BIGINT % 512
+      |  GROUP BY 1),
+      |ex AS (SELECT uid, COUNT(*) AS exact_n FROM occ GROUP BY 1)
+      |SELECT CAST(e.uid AS BIGINT) AS user_id, ex.exact_n, e.cms_n
+      |FROM est e JOIN ex ON e.uid = ex.uid
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    import graft.functions.expressions.CmsSketch.{cms_estimate, cms_sketch}
+    val depth = 4
+    val width = 512
+    val ev = t(s, d, "events").filter(col("user_id").isNotNull)
+      .select(col("user_id").cast("string").as("uid"))
+    val sketch = ev.agg(cms_sketch(col("uid"), depth, width).as("cms"))
+    val exact = ev.groupBy("uid").agg(count(lit(1)).as("exact_n"))
+    exact.crossJoin(broadcast(sketch))
+      .select(col("uid").cast("long").as("user_id"), col("exact_n"),
+        cms_estimate(col("cms"), col("uid"), depth, width).as("cms_n"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(x01SeedJoin, x02AsofJoin, x03Duration, x04Sessionize,
     x05ApproxDistinct, x06RangeJoin, x07Scd2History, x08AsofForward,
     x09ApproxQuantiles, x10AsofExec, x11AsofExecForward, x12AsofTtl,
-    x13HistQuantiles, x14AsofBroadcast)
+    x13HistQuantiles, x14AsofBroadcast, x15CmsFrequency)
 }
