@@ -128,22 +128,7 @@ object Versioned {
           s"table at $root is empty, expected version $ev")
     }
     val base = if (mode == "append") currentFiles(root, latest) else Seq.empty
-    val next = latest.getOrElse(0L) + 1
-    val manifest = Manifest(next, action, base ++ newEntries)
-    val tmp = File.createTempFile(s".v$next-", ".json", logDir(root))
-    Files.writeString(tmp.toPath, renderJson(manifest))
-    try {
-      // hard-link creation is atomic and create-exclusive: exactly one
-      // of two racing writers publishes v<next>; rename would silently
-      // replace on POSIX and lose a commit
-      Files.createLink(manifestFile(root, next).toPath, tmp.toPath)
-      next
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new VersionConflictException(
-          s"concurrent writer published v$next at $root first; " +
-            "re-read the table and retry")
-    } finally Files.deleteIfExists(tmp.toPath)
+    publishEntries(root, base ++ newEntries, latest.getOrElse(0L), action)
   }
 
   private def currentFiles(root: String, v: Option[Long]): Seq[FileEntry] =
@@ -221,6 +206,98 @@ object Versioned {
   private def toDouble(v: Any): Double = v match {
     case n: Number => n.doubleValue()
     case s: String => s.toDouble
+  }
+
+  // ------------------------------------------------------------ merge
+
+  /** Copy-on-write MERGE (upsert by unique `key`) with the full
+    * lakehouse economics the plain-parquet [[Mutation]] variants can
+    * only approximate:
+    *
+    *  - files whose manifest min/max for `key` cannot contain ANY
+    *    update key are carried into the new version BY REFERENCE —
+    *    zero bytes rewritten, zero bytes copied (Mutation's dir-swap
+    *    must at least relink whole directories; a manifest just keeps
+    *    the old path). Files without recorded stats are conservatively
+    *    rewritten.
+    *  - touched files are anti-joined against the updates, unioned
+    *    with them, and written as ONE new batch; the new manifest =
+    *    untouched entries + new batch.
+    *  - the pre-merge version stays readable (time travel) and the
+    *    publish is the same create-exclusive CAS commit, so a
+    *    concurrent writer cannot silently lose the race.
+    *
+    * The update key set is collected to the driver — bounded by the
+    * incremental batch, the same bound Delta's predicate collection
+    * has (and [[Mutation.mergeUpsertFilePruned]] documents).
+    * `updates` must carry the table's full schema; last-write-wins is
+    * the caller's contract (one row per key in `updates`).
+    *
+    * @return the published version
+    */
+  def mergeUpsert(spark: SparkSession, root: String, updates: DataFrame,
+      key: String, statsCols: Seq[String] = Nil,
+      expectedVersion: Option[Long] = None): Long = {
+    import org.apache.spark.sql.functions.{col => c}
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root to merge into"))
+    expectedVersion.foreach { ev =>
+      if (ev != latest) throw new VersionConflictException(
+        s"table at $root is at version $latest, expected $ev")
+    }
+    val m = readManifest(root, latest)
+    val keys = updates.select(c(key)).distinct().collect().map(_.get(0)).toSeq
+    val (touched, untouched) = m.files.partition(f => f.stats.get(key) match {
+      case None => true // no stats → must assume it may contain a key
+      case Some((tpe, mn, mx)) => tpe match {
+        case "long" => keys.exists { k =>
+          val v = toLong(k); mn.toLong <= v && v <= mx.toLong
+        }
+        case "double" => keys.exists { k =>
+          val v = toDouble(k); mn.toDouble <= v && v <= mx.toDouble
+        }
+        case _ => keys.exists { k =>
+          val v = k.toString; mn <= v && v <= mx
+        }
+      }
+    })
+    val rewritten =
+      if (touched.isEmpty) updates
+      else {
+        val base = spark.read.parquet(
+          touched.map(f => new File(root, f.path).getPath): _*)
+        base.join(updates.select(c(key)).distinct(), Seq(key), "left_anti")
+          .unionByName(updates.select(base.columns.map(c): _*))
+      }
+    val batch = java.util.UUID.randomUUID().toString
+    val batchDir = new File(new File(root, "data"), batch)
+    rewritten.write.parquet(batchDir.getPath)
+    val newEntries = batchDir.listFiles()
+      .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(f => fileEntry(spark, root, f, statsCols)).toSeq
+    publishEntries(root, untouched ++ newEntries, latest, "merge")
+  }
+
+  /** Publish an explicit file set as the version after `parent`,
+    * CAS-atomic like every other commit. */
+  private def publishEntries(root: String, files: Seq[FileEntry],
+      parent: Long, action: String): Long = {
+    val next = parent + 1
+    val manifest = Manifest(next, action, files)
+    val tmp = File.createTempFile(s".v$next-", ".json", logDir(root))
+    Files.writeString(tmp.toPath, renderJson(manifest))
+    try {
+      // hard-link creation is atomic and create-exclusive: exactly one
+      // of two racing writers publishes v<next>; rename would silently
+      // replace on POSIX and lose a commit
+      Files.createLink(manifestFile(root, next).toPath, tmp.toPath)
+      next
+    } catch {
+      case _: java.nio.file.FileAlreadyExistsException =>
+        throw new VersionConflictException(
+          s"concurrent writer published v$next at $root first; " +
+            "re-read the table and retry")
+    } finally Files.deleteIfExists(tmp.toPath)
   }
 
   // ------------------------------------------------------- maintenance

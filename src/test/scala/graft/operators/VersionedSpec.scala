@@ -104,6 +104,49 @@ class VersionedSpec extends SparkSpec {
     assert(Versioned.readVersion(spark, root, 3).count() === 300)
   }
 
+  test("copy-on-write merge rewrites only key-overlapping files") {
+    val root = freshRoot()
+    Versioned.commit(spark, root, batch(1 to 1000, "a").coalesce(1),
+      statsCols = Seq("id"))
+    Versioned.commit(spark, root, batch(1001 to 2000, "b").coalesce(1),
+      statsCols = Seq("id"))
+    Versioned.commit(spark, root, batch(2001 to 3000, "c").coalesce(1),
+      statsCols = Seq("id"))
+    val preMergeFiles = Versioned.candidateFiles(root, 3L, "id",
+      Long.MinValue, Long.MaxValue).toSet
+    // updates hit file 2's range (plus one brand-new key = pure insert)
+    val updates = Seq((1500L, "UPDATED", -1.0), (9999L, "INSERTED", -2.0))
+      .toDF("id", "tag", "score")
+    val v = Versioned.mergeUpsert(spark, root, updates, "id",
+      statsCols = Seq("id"))
+    assert(v === 4L)
+    val postFiles = Versioned.candidateFiles(root, 4L, "id",
+      Long.MinValue, Long.MaxValue).toSet
+    // files 1 and 3 carried BY REFERENCE: same relative paths survive
+    val carried = preMergeFiles.intersect(postFiles)
+    assert(carried.size === 2, s"expected 2 untouched files: $carried")
+    // rows: update applied, insert present, everything else intact
+    val after = Versioned.read(spark, root)
+    assert(after.count() === 3001)
+    assert(after.filter(col("id") === 1500).select("tag")
+      .as[String].head() === "UPDATED")
+    assert(after.filter(col("id") === 9999).count() === 1)
+    assert(after.filter(col("tag") === "b").count() === 999)
+    // time travel: the pre-merge snapshot is untouched
+    assert(Versioned.readVersion(spark, root, 3)
+      .filter(col("id") === 1500).select("tag").as[String].head() === "b")
+    // idempotency: re-merging the same batch changes no row values
+    Versioned.mergeUpsert(spark, root, updates, "id", statsCols = Seq("id"))
+    val again = Versioned.read(spark, root)
+    assert(again.count() === 3001)
+    assert(again.filter(col("tag").isin("UPDATED", "INSERTED")).count() === 2)
+    // CAS guard: merging against a stale snapshot version fails
+    intercept[Versioned.VersionConflictException] {
+      Versioned.mergeUpsert(spark, root, updates, "id",
+        expectedVersion = Some(3L))
+    }
+  }
+
   test("vacuum deletes only unreferenced files; retained versions intact") {
     val root = freshRoot()
     Versioned.commit(spark, root, batch(1 to 100, "a").coalesce(1))
