@@ -65,7 +65,13 @@ object Versioned {
   private case class Manifest(
       version: Long,
       action: String,
-      files: Seq[FileEntry])
+      files: Seq[FileEntry],
+      // streaming exactly-once: the (appId, batchId) this commit carries.
+      // Riding IN the manifest means the data and its replay guard
+      // publish in the same atomic hard-link — no side marker file that
+      // can diverge from the table under a crash between two writes.
+      txnApp: Option[String] = None,
+      txnBatch: Option[Long] = None)
 
   private def logDir(root: String) = new File(root, "_graft_log")
   private def manifestFile(root: String, v: Long) =
@@ -100,7 +106,8 @@ object Versioned {
     */
   def commit(spark: SparkSession, root: String, df: DataFrame,
       mode: String = "append", statsCols: Seq[String] = Nil,
-      expectedVersion: Option[Long] = None): Long = {
+      expectedVersion: Option[Long] = None,
+      txn: Option[(String, Long)] = None): Long = {
     require(mode == "append" || mode == "overwrite",
       s"unknown commit mode: $mode")
     val batch = java.util.UUID.randomUUID().toString
@@ -109,14 +116,44 @@ object Versioned {
     val newEntries = batchDir.listFiles()
       .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
       .map(f => fileEntry(spark, root, f, statsCols)).toSeq
-    publish(root, mode, newEntries, expectedVersion, action = mode)
+    publish(root, mode, newEntries, expectedVersion, action = mode, txn)
+  }
+
+  /** The streaming exactly-once commit (Delta's `txnAppId`/`txnVersion`
+    * dedup): commit `df` tagged (appId, batchId) unless a retained
+    * manifest already carries a batchId ≥ this one for `appId` — a
+    * foreachBatch replay after checkpoint recovery then becomes a no-op
+    * instead of a duplicate append. Returns true if the batch was
+    * committed, false if it was a recognized replay.
+    *
+    * Caveat (documented, same shape as Delta's txn retention): the
+    * guard scans RETAINED manifests, so vacuum must keep at least the
+    * versions spanning the stream's possible replay window. */
+  def commitIfNew(spark: SparkSession, root: String, df: DataFrame,
+      appId: String, batchId: Long,
+      statsCols: Seq[String] = Nil): Boolean = {
+    if (lastCommittedBatch(root, appId).exists(_ >= batchId)) false
+    else {
+      commit(spark, root, df, mode = "append", statsCols = statsCols,
+        txn = Some((appId, batchId)))
+      true
+    }
+  }
+
+  /** Highest batchId any retained manifest carries for `appId`. */
+  def lastCommittedBatch(root: String, appId: String): Option[Long] = {
+    val ids = versions(root).flatMap { v =>
+      val m = readManifest(root, v)
+      if (m.txnApp.contains(appId)) m.txnBatch else None
+    }
+    if (ids.isEmpty) None else Some(ids.max)
   }
 
   /** Publish a manifest for `newEntries` (plus the live set when
     * appending) as the next version, atomically. */
   private def publish(root: String, mode: String,
       newEntries: Seq[FileEntry], expectedVersion: Option[Long],
-      action: String): Long = {
+      action: String, txn: Option[(String, Long)] = None): Long = {
     logDir(root).mkdirs()
     val latest = latestVersion(root)
     expectedVersion.foreach { ev =>
@@ -128,7 +165,7 @@ object Versioned {
           s"table at $root is empty, expected version $ev")
     }
     val base = if (mode == "append") currentFiles(root, latest) else Seq.empty
-    publishEntries(root, base ++ newEntries, latest.getOrElse(0L), action)
+    publishEntries(root, base ++ newEntries, latest.getOrElse(0L), action, txn)
   }
 
   private def currentFiles(root: String, v: Option[Long]): Seq[FileEntry] =
@@ -281,9 +318,11 @@ object Versioned {
   /** Publish an explicit file set as the version after `parent`,
     * CAS-atomic like every other commit. */
   private def publishEntries(root: String, files: Seq[FileEntry],
-      parent: Long, action: String): Long = {
+      parent: Long, action: String,
+      txn: Option[(String, Long)] = None): Long = {
     val next = parent + 1
-    val manifest = Manifest(next, action, files)
+    val manifest = Manifest(next, action, files,
+      txnApp = txn.map(_._1), txnBatch = txn.map(_._2))
     val tmp = File.createTempFile(s".v$next-", ".json", logDir(root))
     Files.writeString(tmp.toPath, renderJson(manifest))
     try {
@@ -358,9 +397,11 @@ object Versioned {
       Map[String, Any]("path" -> f.path, "rows" -> f.rows,
         "bytes" -> f.bytes, "stats" -> stats).asJava
     }.asJava
-    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(
-      Map[String, Any]("version" -> m.version, "action" -> m.action,
-        "files" -> filesNode).asJava)
+    val base = Map[String, Any]("version" -> m.version,
+      "action" -> m.action, "files" -> filesNode)
+    val withTxn = base ++
+      m.txnApp.map("txnApp" -> _) ++ m.txnBatch.map("txnBatch" -> (_: Any))
+    mapper.writerWithDefaultPrettyPrinter().writeValueAsString(withTxn.asJava)
   }
 
   private def readManifest(root: String, v: Long): Manifest = {
@@ -378,7 +419,9 @@ object Versioned {
       FileEntry(fn.get("path").asText(), fn.get("rows").asLong(),
         fn.get("bytes").asLong(), stats)
     }.toSeq
-    Manifest(node.get("version").asLong(), node.get("action").asText(), files)
+    Manifest(node.get("version").asLong(), node.get("action").asText(), files,
+      txnApp = Option(node.get("txnApp")).map(_.asText()),
+      txnBatch = Option(node.get("txnBatch")).map(_.asLong()))
   }
 
   // --------------------------------------------------- footer stats

@@ -255,6 +255,28 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Exactly-once streaming sink onto a [[graft.operators.Versioned]]
+    * table. Unlike the marker-file guard above, the replay guard rides
+    * IN the table's manifest (`Versioned.commitIfNew`, Delta's
+    * `txnAppId`/`txnVersion` dedup): the batch's data files and its
+    * (appId, batchId) tag publish in ONE atomic hard-link, so there is
+    * no crash window where data landed but the guard didn't (or vice
+    * versa). A foreachBatch redelivery after checkpoint recovery
+    * recognizes its batchId and no-ops. Bonus of the manifest log:
+    * every micro-batch is a table version — the stream's history is
+    * time-travelable per batch. */
+  def versionedSink(events: DataFrame, root: String, checkpointDir: String,
+      appId: String, statsCols: Seq[String] = Nil): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        graft.operators.Versioned.commitIfNew(
+          batch.sparkSession, root, batch, appId, batchId, statsCols)
+        () // discard: StreamingQuery progress is the caller's signal
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Stream-stream interval join (beyond-reference): correlate two live
     * streams — e.g. each purchase with the same user's clicks in the
     * preceding `windowSeconds` — with BOUNDED state: the watermarks plus
