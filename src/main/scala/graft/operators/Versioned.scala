@@ -130,11 +130,11 @@ object Versioned {
     * guard scans RETAINED manifests, so vacuum must keep at least the
     * versions spanning the stream's possible replay window. */
   def commitIfNew(spark: SparkSession, root: String, df: DataFrame,
-      appId: String, batchId: Long,
-      statsCols: Seq[String] = Nil): Boolean = {
+      appId: String, batchId: Long, statsCols: Seq[String] = Nil,
+      mode: String = "append"): Boolean = {
     if (lastCommittedBatch(root, appId).exists(_ >= batchId)) false
     else {
-      commit(spark, root, df, mode = "append", statsCols = statsCols,
+      commit(spark, root, df, mode = mode, statsCols = statsCols,
         txn = Some((appId, batchId)))
       true
     }

@@ -277,6 +277,43 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming sketch MV: maintain a count-min sketch of `keyCol` over
+    * an unbounded stream, incrementally and exactly-once. Per batch the
+    * NEW rows are sketched (one fixed-size array — the only state this
+    * MV ever shuffles, at any stream length or key cardinality) and
+    * folded into the table's current sketch with an element-wise
+    * `zip_with` add; because the sketch is deterministic and its merge
+    * is associative+commutative addition, the streamed result is
+    * BIT-IDENTICAL to the batch sketch over the same rows
+    * (spec-asserted). Commits ride [[graft.operators.Versioned]] in
+    * overwrite mode with the in-manifest replay guard, so a redelivered
+    * batch can't double-fold — and the sketch's history is
+    * time-travelable per micro-batch, which turns "how did the key
+    * distribution evolve" into a readVersion loop. */
+  def cmsMv(events: DataFrame, root: String, checkpointDir: String,
+      appId: String, keyCol: String, depth: Int, width: Int): StreamingQuery =
+    events.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        import graft.functions.expressions.CmsSketch.cms_sketch
+        val spark = batch.sparkSession
+        val fresh = batch.filter(col(keyCol).isNotNull)
+          .agg(cms_sketch(col(keyCol).cast("string"), depth, width).as("cms"))
+        val merged = graft.operators.Versioned.latestVersion(root) match {
+          case None => fresh
+          case Some(_) =>
+            graft.operators.Versioned.read(spark, root)
+              .select(col("cms").as("prev")).crossJoin(fresh)
+              .select(zip_with(col("prev"), col("cms"),
+                (a, b) => a + b).as("cms"))
+        }
+        graft.operators.Versioned.commitIfNew(
+          spark, root, merged, appId, batchId, mode = "overwrite")
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Stream-stream interval join (beyond-reference): correlate two live
     * streams — e.g. each purchase with the same user's clicks in the
     * preceding `windowSeconds` — with BOUNDED state: the watermarks plus
