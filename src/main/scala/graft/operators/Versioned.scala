@@ -71,7 +71,10 @@ object Versioned {
       // publish in the same atomic hard-link — no side marker file that
       // can diverge from the table under a crash between two writes.
       txnApp: Option[String] = None,
-      txnBatch: Option[Long] = None)
+      txnBatch: Option[Long] = None,
+      // schema JSON of the committed DataFrame: keeps a zero-file
+      // snapshot (empty first batch, overwrite-to-empty) readable
+      schemaJson: Option[String] = None)
 
   private def logDir(root: String) = new File(root, "_graft_log")
   private def manifestFile(root: String, v: Long) =
@@ -110,13 +113,23 @@ object Versioned {
       txn: Option[(String, Long)] = None): Long = {
     require(mode == "append" || mode == "overwrite",
       s"unknown commit mode: $mode")
+    val (newEntries, schema) = writeBatch(spark, root, df, statsCols)
+    publish(root, mode, newEntries, expectedVersion, action = mode, txn,
+      schema)
+  }
+
+  /** Write `df` as one immutable batch dir and return its manifest
+    * entries (plus the schema JSON every manifest records so an empty
+    * snapshot stays readable). Shared by every committing verb. */
+  private def writeBatch(spark: SparkSession, root: String, df: DataFrame,
+      statsCols: Seq[String]): (Seq[FileEntry], String) = {
     val batch = java.util.UUID.randomUUID().toString
     val batchDir = new File(new File(root, "data"), batch)
     df.write.parquet(batchDir.getPath)
-    val newEntries = batchDir.listFiles()
+    val entries = batchDir.listFiles()
       .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
       .map(f => fileEntry(spark, root, f, statsCols)).toSeq
-    publish(root, mode, newEntries, expectedVersion, action = mode, txn)
+    (entries, df.schema.json)
   }
 
   /** The streaming exactly-once commit (Delta's `txnAppId`/`txnVersion`
@@ -126,34 +139,58 @@ object Versioned {
     * instead of a duplicate append. Returns true if the batch was
     * committed, false if it was a recognized replay.
     *
+    * The guard is evaluated INSIDE the CAS loop: the publish pins the
+    * snapshot the guard was checked against, so two zombie writers
+    * racing the same (appId, batchId) serialize on the hard link and
+    * the loser RE-CHECKS the guard against the winner's manifest —
+    * exactly one copy of the batch can ever land (a plain
+    * check-then-commit would let both pass the check and double-append).
+    *
     * Caveat (documented, same shape as Delta's txn retention): the
     * guard scans RETAINED manifests, so vacuum must keep at least the
     * versions spanning the stream's possible replay window. */
   def commitIfNew(spark: SparkSession, root: String, df: DataFrame,
       appId: String, batchId: Long, statsCols: Seq[String] = Nil,
       mode: String = "append"): Boolean = {
-    if (lastCommittedBatch(root, appId).exists(_ >= batchId)) false
-    else {
-      commit(spark, root, df, mode = mode, statsCols = statsCols,
-        txn = Some((appId, batchId)))
-      true
+    require(mode == "append" || mode == "overwrite",
+      s"unknown commit mode: $mode")
+    var written: Option[(Seq[FileEntry], String)] = None
+    while (true) {
+      if (lastCommittedBatch(root, appId).exists(_ >= batchId)) return false
+      val parent = latestVersion(root)
+      // the batch data is written at most once; only the publish retries
+      val (entries, schema) = written.getOrElse {
+        val w = writeBatch(spark, root, df, statsCols); written = Some(w); w
+      }
+      val base =
+        if (mode == "append") currentFiles(root, parent) else Seq.empty
+      try {
+        publishEntries(root, base ++ entries, parent.getOrElse(0L), mode,
+          Some((appId, batchId)), schema)
+        return true
+      } catch {
+        case _: VersionConflictException => // table moved: re-check guard
+      }
     }
+    false // unreachable
   }
 
-  /** Highest batchId any retained manifest carries for `appId`. */
-  def lastCommittedBatch(root: String, appId: String): Option[Long] = {
-    val ids = versions(root).flatMap { v =>
-      val m = readManifest(root, v)
-      if (m.txnApp.contains(appId)) m.txnBatch else None
-    }
-    if (ids.isEmpty) None else Some(ids.max)
-  }
+  /** Highest batchId any retained manifest carries for `appId` —
+    * scanned newest-first: a given app's batchIds only grow with the
+    * version (commitIfNew enforces it), so the first manifest carrying
+    * the app answers in O(1) manifest reads on an active stream
+    * instead of re-parsing the whole log every micro-batch. */
+  def lastCommittedBatch(root: String, appId: String): Option[Long] =
+    versions(root).reverseIterator
+      .map(readManifest(root, _))
+      .collectFirst { case m if m.txnApp.contains(appId) => m.txnBatch.get }
 
   /** Publish a manifest for `newEntries` (plus the live set when
     * appending) as the next version, atomically. */
   private def publish(root: String, mode: String,
       newEntries: Seq[FileEntry], expectedVersion: Option[Long],
-      action: String, txn: Option[(String, Long)] = None): Long = {
+      action: String, txn: Option[(String, Long)] = None,
+      schemaJson: String = null): Long = {
     logDir(root).mkdirs()
     val latest = latestVersion(root)
     expectedVersion.foreach { ev =>
@@ -165,7 +202,8 @@ object Versioned {
           s"table at $root is empty, expected version $ev")
     }
     val base = if (mode == "append") currentFiles(root, latest) else Seq.empty
-    publishEntries(root, base ++ newEntries, latest.getOrElse(0L), action, txn)
+    publishEntries(root, base ++ newEntries, latest.getOrElse(0L), action,
+      txn, schemaJson)
   }
 
   private def currentFiles(root: String, v: Option[Long]): Seq[FileEntry] =
@@ -187,15 +225,24 @@ object Versioned {
     else spark.read.parquet(paths: _*)
   }
 
-  // an overwrite to zero rows still needs a schema; read any retained
-  // file's schema with a false filter (rare path: empty table)
+  // a zero-file snapshot (empty first batch, overwrite-to-empty) still
+  // needs a schema: every manifest records the committed schema JSON,
+  // falling back to any retained data file for pre-schema manifests
   private def emptyLike(spark: SparkSession, root: String): DataFrame = {
-    val any = versions(root).reverseIterator
-      .map(readManifest(root, _)).find(_.files.nonEmpty)
-      .getOrElse(throw new IllegalArgumentException(
-        s"table at $root has no data files in any retained version"))
-    spark.read.parquet(new File(root, any.files.head.path).getPath)
-      .limit(0)
+    val manifests = versions(root).reverseIterator.map(readManifest(root, _))
+    manifests.flatMap(m => m.schemaJson.map(Left(_)) orElse
+        m.files.headOption.map(f => Right(f.path)))
+      .nextOption() match {
+      case Some(Left(json)) =>
+        spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          org.apache.spark.sql.types.DataType.fromJson(json)
+            .asInstanceOf[org.apache.spark.sql.types.StructType])
+      case Some(Right(path)) =>
+        spark.read.parquet(new File(root, path).getPath).limit(0)
+      case None => throw new IllegalArgumentException(
+        s"table at $root has no schema in any retained version")
+    }
   }
 
   /** The manifest-level file pruning: files whose recorded [min, max]
@@ -236,13 +283,26 @@ object Versioned {
       }
     }.map(_.path)
 
+  // external values (Row.get, caller literals) → the integer scale the
+  // parquet footer stats use: dates are epoch days (INT32), timestamps
+  // epoch micros (INT64) — without these a DateType merge key would
+  // MatchError on the driver
   private def toLong(v: Any): Long = v match {
     case n: Number => n.longValue()
+    case d: java.sql.Date => d.toLocalDate.toEpochDay
+    case d: java.time.LocalDate => d.toEpochDay
+    case t: java.sql.Timestamp => t.getTime * 1000L + t.getNanos / 1000 % 1000
+    case i: java.time.Instant =>
+      i.getEpochSecond * 1000000L + i.getNano / 1000
     case s: String => s.toLong
+    case other => throw new IllegalArgumentException(
+      s"unsupported stats comparison value: $other (${other.getClass})")
   }
   private def toDouble(v: Any): Double = v match {
     case n: Number => n.doubleValue()
     case s: String => s.toDouble
+    case other => throw new IllegalArgumentException(
+      s"unsupported stats comparison value: $other (${other.getClass})")
   }
 
   // ------------------------------------------------------------ merge
@@ -283,7 +343,11 @@ object Versioned {
         s"table at $root is at version $latest, expected $ev")
     }
     val m = readManifest(root, latest)
-    val keys = updates.select(c(key)).distinct().collect().map(_.get(0)).toSeq
+    // null update keys never equi-match an existing row (the anti-join
+    // below keeps everything), and footer min/max never cover nulls —
+    // they are pure inserts, so they touch no file
+    val keys = updates.select(c(key)).distinct().collect().map(_.get(0))
+      .toSeq.filter(_ != null)
     val (touched, untouched) = m.files.partition(f => f.stats.get(key) match {
       case None => true // no stats → must assume it may contain a key
       case Some((tpe, mn, mx)) => tpe match {
@@ -306,23 +370,22 @@ object Versioned {
         base.join(updates.select(c(key)).distinct(), Seq(key), "left_anti")
           .unionByName(updates.select(base.columns.map(c): _*))
       }
-    val batch = java.util.UUID.randomUUID().toString
-    val batchDir = new File(new File(root, "data"), batch)
-    rewritten.write.parquet(batchDir.getPath)
-    val newEntries = batchDir.listFiles()
-      .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
-      .map(f => fileEntry(spark, root, f, statsCols)).toSeq
-    publishEntries(root, untouched ++ newEntries, latest, "merge")
+    val (newEntries, schema) = writeBatch(spark, root, rewritten, statsCols)
+    publishEntries(root, untouched ++ newEntries, latest, "merge",
+      schemaJson = schema)
   }
 
   /** Publish an explicit file set as the version after `parent`,
     * CAS-atomic like every other commit. */
   private def publishEntries(root: String, files: Seq[FileEntry],
       parent: Long, action: String,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      schemaJson: String = null): Long = {
+    logDir(root).mkdirs()
     val next = parent + 1
     val manifest = Manifest(next, action, files,
-      txnApp = txn.map(_._1), txnBatch = txn.map(_._2))
+      txnApp = txn.map(_._1), txnBatch = txn.map(_._2),
+      schemaJson = Option(schemaJson))
     val tmp = File.createTempFile(s".v$next-", ".json", logDir(root))
     Files.writeString(tmp.toPath, renderJson(manifest))
     try {
@@ -353,13 +416,22 @@ object Versioned {
 
   /** Drop all but the last `keepVersions` manifests and delete data
     * files no retained manifest references. Time travel keeps working
-    * for every retained version. Returns deleted file count. */
-  def vacuum(root: String, keepVersions: Int): Int = {
+    * for every retained version. Returns deleted file count.
+    *
+    * `minAgeMs` is the in-flight-commit guard (Delta's vacuum retention,
+    * same reason): a writer stages its batch dir BEFORE the manifest
+    * hard-link publishes, so a concurrent vacuum would see those files
+    * as unreferenced and delete them out from under the winning commit.
+    * Files younger than `minAgeMs` are never touched; pass 0 only when
+    * the table is known quiescent (tests, maintenance windows). */
+  def vacuum(root: String, keepVersions: Int,
+      minAgeMs: Long = 15L * 60 * 1000): Int = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val all = versions(root)
     val (drop, keep) = all.splitAt(math.max(0, all.size - keepVersions))
     val referenced = keep.flatMap(v => readManifest(root, v).files)
       .map(_.path).toSet
+    val cutoff = System.currentTimeMillis() - minAgeMs
     var deleted = 0
     val dataRoot = new File(root, "data")
     if (dataRoot.isDirectory) {
@@ -367,12 +439,16 @@ object Versioned {
         if (batchDir.isDirectory) {
           batchDir.listFiles().foreach { f =>
             val rel = s"data/${batchDir.getName}/${f.getName}"
-            if (f.getName.endsWith(".parquet") && !referenced.contains(rel)) {
+            if (f.getName.endsWith(".parquet") && !referenced.contains(rel) &&
+                f.lastModified() <= cutoff) {
               Files.deleteIfExists(f.toPath); deleted += 1
             }
           }
-          if (batchDir.listFiles().forall(f =>
-            !f.getName.endsWith(".parquet"))) deleteRecursively(batchDir)
+          // the dir itself gets the same age guard: a just-created batch
+          // dir may not have its parquet parts yet
+          if (batchDir.lastModified() <= cutoff && batchDir.listFiles()
+            .forall(f => !f.getName.endsWith(".parquet")))
+            deleteRecursively(batchDir)
         }
       }
     }
@@ -400,7 +476,8 @@ object Versioned {
     val base = Map[String, Any]("version" -> m.version,
       "action" -> m.action, "files" -> filesNode)
     val withTxn = base ++
-      m.txnApp.map("txnApp" -> _) ++ m.txnBatch.map("txnBatch" -> (_: Any))
+      m.txnApp.map("txnApp" -> _) ++ m.txnBatch.map("txnBatch" -> (_: Any)) ++
+      m.schemaJson.map("schema" -> _)
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(withTxn.asJava)
   }
 
@@ -421,7 +498,8 @@ object Versioned {
     }.toSeq
     Manifest(node.get("version").asLong(), node.get("action").asText(), files,
       txnApp = Option(node.get("txnApp")).map(_.asText()),
-      txnBatch = Option(node.get("txnBatch")).map(_.asLong()))
+      txnBatch = Option(node.get("txnBatch")).map(_.asLong()),
+      schemaJson = Option(node.get("schema")).map(_.asText()))
   }
 
   // --------------------------------------------------- footer stats

@@ -31,6 +31,16 @@ private[plans] object AsOfOrd {
     else if (a == null) -1
     else if (b == null) 1
     else cmpValue(dt, a, b)
+
+  /** A TTL'd timestamp in its integer units (micros / days / raw —
+    * the node validated integrality at build). */
+  def tsLong(v: Any): Long = v match {
+    case l: java.lang.Long => l
+    case i: java.lang.Integer => i.toLong
+    case s: java.lang.Short => s.toLong
+    case other => throw new IllegalStateException(
+      s"non-integral as-of ts under maxGap: $other") // unreachable: node validates
+  }
 }
 
 /** Planner strategy for [[AsOfJoinNode]]: [[BroadcastAsOfJoinExec]] when
@@ -155,13 +165,7 @@ case class AsOfJoinExec(
     // timestamps, days for dates — node validated integral at build)
     val ttlOn = maxGap.isDefined
     val gapLimit = maxGap.getOrElse(Long.MaxValue)
-    def tsLong(v: Any): Long = v match {
-      case l: java.lang.Long => l
-      case i: java.lang.Integer => i.toLong
-      case s: java.lang.Short => s.toLong
-      case other => throw new IllegalStateException(
-        s"non-integral as-of ts under maxGap: $other") // unreachable: node validates
-    }
+    def tsLong(v: Any): Long = AsOfOrd.tsLong(v)
 
     left.execute().zipPartitions(right.execute()) { (lIter, rIter) =>
       val valsProj = UnsafeProjection.create(valsExprs, rightOut)
@@ -204,15 +208,11 @@ case class AsOfJoinExec(
         }
         0
       }
-      // ts comparison with NULLS FIRST ordering: a null ts sorts before
-      // every value. In nullParity mode that makes null a real
-      // -infinity (null == null matches); in SQL mode the callers
-      // additionally keep null-ts rows out of matching.
-      def cmpTs(a: Any, b: Any): Int =
-        if (a == null && b == null) 0
-        else if (a == null) -1
-        else if (b == null) 1
-        else cmpValue(tsType, a, b)
+      // ts comparison with NULLS FIRST ordering (AsOfOrd.cmpTs): a null
+      // ts sorts before every value. In nullParity mode that makes null
+      // a real -infinity (null == null matches); in SQL mode the
+      // callers additionally keep null-ts rows out of matching.
+      def cmpTs(a: Any, b: Any): Int = AsOfOrd.cmpTs(tsType, a, b)
 
       if (forwardDir) {
         // forward: pure lookahead — discard right rows strictly before

@@ -118,13 +118,7 @@ case class BroadcastAsOfJoinExec(
     val parity = nullParity
     val ttlOn = maxGap.isDefined
     val gapLimit = maxGap.getOrElse(Long.MaxValue)
-    def tsLong(v: Any): Long = v match {
-      case l: java.lang.Long => l
-      case i: java.lang.Integer => i.toLong
-      case s: java.lang.Short => s.toLong
-      case other => throw new IllegalStateException(
-        s"non-integral as-of ts under maxGap: $other") // unreachable: node validates
-    }
+    def tsLong(v: Any): Long = AsOfOrd.tsLong(v)
 
     left.execute().mapPartitions { lIter =>
       val resultProj = UnsafeProjection.create(outSchema, outSchema)

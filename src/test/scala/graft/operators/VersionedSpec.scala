@@ -153,7 +153,9 @@ class VersionedSpec extends SparkSpec {
     Versioned.commit(spark, root, batch(1 to 40, "b").coalesce(1),
       mode = "overwrite")
     Versioned.commit(spark, root, batch(41 to 60, "c").coalesce(1))
-    val deleted = Versioned.vacuum(root, keepVersions = 2)
+    // minAgeMs=0: the table is quiescent here; the default retention
+    // exists to protect in-flight commits from a concurrent vacuum
+    val deleted = Versioned.vacuum(root, keepVersions = 2, minAgeMs = 0L)
     assert(deleted === 1, "only batch-a's file is unreferenced by v2/v3")
     assert(Versioned.versions(root) === Seq(2L, 3L))
     assert(Versioned.read(spark, root).count() === 60)

@@ -17,12 +17,23 @@ class AsOfJoinExecSpec extends SparkSpec {
     if (!spark.experimental.extraStrategies.contains(AsOfJoinStrategy))
       spark.experimental.extraStrategies =
         spark.experimental.extraStrategies :+ AsOfJoinStrategy
-    // pin the MERGE exec: this suite gates the co-partitioned path's
-    // physics (fixtures are broadcast-sized, so the auto decision would
-    // otherwise always pick BroadcastAsOfJoinExec — that path has its
-    // own suite, BroadcastAsOfJoinSpec)
-    spark.conf.set(AsOfJoinStrategy.ThresholdKey, "-1")
   }
+
+  // every node in this suite pins the MERGE exec via the hint: the suite
+  // gates the co-partitioned path's physics, and the fixtures are
+  // broadcast-sized so the auto decision would otherwise always pick
+  // BroadcastAsOfJoinExec (which has its own suite). A session-wide
+  // threshold pin would leak config into suites that run later.
+  private def backward(l: org.apache.spark.sql.DataFrame,
+      r: org.apache.spark.sql.DataFrame,
+      maxGap: Option[Long] = None): org.apache.spark.sql.DataFrame =
+    AsOfJoinNode.backward(l, r, Seq("k"), "ts", "ts", Seq("px"), maxGap,
+      broadcast = Some(false))
+  private def forward(l: org.apache.spark.sql.DataFrame,
+      r: org.apache.spark.sql.DataFrame,
+      maxGap: Option[Long] = None): org.apache.spark.sql.DataFrame =
+    AsOfJoinNode.forward(l, r, Seq("k"), "ts", "ts", Seq("px"), maxGap,
+      broadcast = Some(false))
 
   private def trades = Seq(
     (1L, 10L, "t1"), (1L, 20L, "t2"), (1L, 30L, "t3"),
@@ -40,7 +51,7 @@ class AsOfJoinExecSpec extends SparkSpec {
 
   test("matches the union-window form on fixtures (incl. equal-ts inclusivity)") {
     withStrategy
-    val exec = AsOfJoinNode.backward(trades, quotes, Seq("k"), "ts", "ts", Seq("px"))
+    val exec = backward(trades, quotes)
     val win = AsOfJoin.backward(trades, quotes, Seq("k"), "ts", "ts", Seq("px"))
     val got = collect(exec)
     assert(got === collect(win))
@@ -56,7 +67,7 @@ class AsOfJoinExecSpec extends SparkSpec {
 
   test("plans AsOfJoinExec with exactly one exchange per side") {
     withStrategy
-    val df = AsOfJoinNode.backward(trades, quotes, Seq("k"), "ts", "ts", Seq("px"))
+    val df = backward(trades, quotes)
     df.write.format("noop").mode("overwrite").save()
     val plan = df.queryExecution.executedPlan.toString
     // SparkPlan.nodeName strips the Exec suffix → renders as "AsOfJoin"
@@ -73,7 +84,7 @@ class AsOfJoinExecSpec extends SparkSpec {
     val r = Seq((Some(1L), None, 50.0), (Some(1L), Some(5L), 99.0),
       (None, Some(1L), 42.0)).toDF("k", "ts", "px")
     withStrategy
-    val got = AsOfJoinNode.backward(l, r, Seq("k"), "ts", "ts", Seq("px"))
+    val got = backward(l, r)
       .select("trade", "asof_px").as[(String, Option[Double])].collect().toMap
     assert(got("a") === Some(99.0)) // the null-ts quote is skipped, not held
     assert(got("b") === None)       // null left key
@@ -86,7 +97,7 @@ class AsOfJoinExecSpec extends SparkSpec {
       .toDF("k", "ts", "trade").repartition(5)
     val r = (1 to 400).map(i => (s"key-${i % 9}", (i * 2).toLong, i * 1.0))
       .toDF("k", "ts", "px").repartition(3)
-    val exec = AsOfJoinNode.backward(l, r, Seq("k"), "ts", "ts", Seq("px"))
+    val exec = backward(l, r)
       .select("k", "ts", "trade", "asof_px")
       .as[(String, Long, String, Option[Double])].collect().toSet
     val win = graft.operators.AsOfJoin
@@ -98,7 +109,7 @@ class AsOfJoinExecSpec extends SparkSpec {
 
   test("forward direction matches the union-window form (incl. equal-ts)") {
     withStrategy
-    val exec = AsOfJoinNode.forward(trades, quotes, Seq("k"), "ts", "ts", Seq("px"))
+    val exec = forward(trades, quotes)
     val win = AsOfJoin.forward(trades, quotes, Seq("k"), "ts", "ts", Seq("px"))
     val got = collect(exec)
     assert(got === collect(win))
@@ -122,7 +133,7 @@ class AsOfJoinExecSpec extends SparkSpec {
       .take(250).map { case (k, t) => (k, t, rng.nextDouble()) }
     val lDf = l.toDF("k", "ts", "trade").repartition(6)
     val rDf = r.toDF("k", "ts", "px").repartition(4)
-    val exec = AsOfJoinNode.forward(lDf, rDf, Seq("k"), "ts", "ts", Seq("px"))
+    val exec = forward(lDf, rDf)
     val win = AsOfJoin.forward(lDf, rDf, Seq("k"), "ts", "ts", Seq("px"))
     assert(collect(exec) === collect(win))
   }
@@ -130,13 +141,11 @@ class AsOfJoinExecSpec extends SparkSpec {
   test("maxGap TTL boundary is inclusive, backward and forward") {
     withStrategy
     // backward: t1 at ts=10 vs quote at ts=8 → gap 2
-    def back(ttl: Long) = collect(AsOfJoinNode.backward(
-      trades, quotes, Seq("k"), "ts", "ts", Seq("px"), maxGap = Some(ttl)))
+    def back(ttl: Long) = collect(backward(trades, quotes, maxGap = Some(ttl)))
     assert(back(2L).contains((1L, 10L, "t1", Some(100.0)))) // gap == TTL matches
     assert(back(1L).contains((1L, 10L, "t1", None)))        // gap > TTL nulls
     // forward: t4 at ts=15 vs quote at ts=16 → gap 1
-    def fwd(ttl: Long) = collect(AsOfJoinNode.forward(
-      trades, quotes, Seq("k"), "ts", "ts", Seq("px"), maxGap = Some(ttl)))
+    def fwd(ttl: Long) = collect(forward(trades, quotes, maxGap = Some(ttl)))
     assert(fwd(1L).contains((2L, 15L, "t4", Some(200.0))))
     assert(fwd(0L).contains((2L, 15L, "t4", None)))
     // the window form draws the same boundary
@@ -158,12 +167,10 @@ class AsOfJoinExecSpec extends SparkSpec {
     val lDf = l.toDF("k", "ts", "trade").repartition(6)
     val rDf = r.toDF("k", "ts", "px").repartition(4)
     for (ttl <- Seq(0L, 7L, 50L)) {
-      assert(collect(AsOfJoinNode.backward(lDf, rDf, Seq("k"), "ts", "ts",
-          Seq("px"), maxGap = Some(ttl))) ===
+      assert(collect(backward(lDf, rDf, maxGap = Some(ttl))) ===
         collect(AsOfJoin.backward(lDf, rDf, Seq("k"), "ts", "ts",
           Seq("px"), maxGap = Some(ttl))), s"backward ttl=$ttl")
-      assert(collect(AsOfJoinNode.forward(lDf, rDf, Seq("k"), "ts", "ts",
-          Seq("px"), maxGap = Some(ttl))) ===
+      assert(collect(forward(lDf, rDf, maxGap = Some(ttl))) ===
         collect(AsOfJoin.forward(lDf, rDf, Seq("k"), "ts", "ts",
           Seq("px"), maxGap = Some(ttl))), s"forward ttl=$ttl")
     }
@@ -173,14 +180,14 @@ class AsOfJoinExecSpec extends SparkSpec {
     val boolKeyed = Seq((true, 10L, "a")).toDF("k", "ts", "trade")
     val boolQuotes = Seq((true, 8L, 1.0)).toDF("k", "ts", "px")
     val e1 = intercept[IllegalArgumentException] {
-      AsOfJoinNode.backward(boolKeyed, boolQuotes, Seq("k"), "ts", "ts", Seq("px"))
+      backward(boolKeyed, boolQuotes)
     }
     assert(e1.getMessage.contains("key type not supported"))
     // a TTL over a non-integer timestamp type is rejected up front
     val dblTs = Seq((1L, 10.5, "a")).toDF("k", "ts", "trade")
     val dblQs = Seq((1L, 8.5, 1.0)).toDF("k", "ts", "px")
     val e2 = intercept[IllegalArgumentException] {
-      AsOfJoinNode.backward(dblTs, dblQs, Seq("k"), "ts", "ts", Seq("px"),
+      backward(dblTs, dblQs,
         maxGap = Some(1L))
     }
     assert(e2.getMessage.contains("maxGap"))
@@ -189,7 +196,7 @@ class AsOfJoinExecSpec extends SparkSpec {
   test("duplicate column names on a side raise an ambiguity error") {
     val dup = trades.select(col("k"), col("k"), col("ts"), col("trade"))
     val e = intercept[IllegalArgumentException] {
-      AsOfJoinNode.backward(dup, quotes, Seq("k"), "ts", "ts", Seq("px"))
+      backward(dup, quotes)
     }
     assert(e.getMessage.contains("ambiguous"))
   }
@@ -209,7 +216,7 @@ class AsOfJoinExecSpec extends SparkSpec {
       val r = rKeys.map { case (k, t) => (k, t, rng.nextDouble()) }
       val lDf = l.toDF("k", "ts", "trade").repartition(7)
       val rDf = r.toDF("k", "ts", "px").repartition(5)
-      val exec = AsOfJoinNode.backward(lDf, rDf, Seq("k"), "ts", "ts", Seq("px"))
+      val exec = backward(lDf, rDf)
       val win = AsOfJoin.backward(lDf, rDf, Seq("k"), "ts", "ts", Seq("px"))
       assert(exec.select("k", "ts", "trade", "asof_px")
         .as[(Long, Long, String, Option[Double])].collect().sorted.toSeq ===
