@@ -35,7 +35,12 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     // (one merge pass, no window machinery; ~30% faster, widening with
     // size). Semantics-preserving incl. nulls via the node's nullParity
     // mode; disable with SET spark.graft.asof.rewrite=false.
+    // Registered TWICE on purpose (the rule is structural + idempotent):
+    // post-hoc resolution catches the DataFrame API path on the pristine
+    // analyzed shape; the optimizer pass catches SQL written with WITH
+    // CTEs, which only inline during optimization.
     ext.injectPostHocResolutionRule(_ => graft.plans.RewriteAsOfWindow)
+    ext.injectOptimizerRule(_ => graft.plans.RewriteAsOfWindow)
     GraftExtensions.functions.foreach(ext.injectFunction)
   }
 }

@@ -84,19 +84,22 @@ object RewriteAsOfWindow extends Rule[LogicalPlan] {
   }
 
   /** Strip pure-attribute pass-through Projects (withColumn / window
-    * extraction insert them between the structural nodes). */
+    * extraction insert them between the structural nodes) and
+    * SubqueryAliases (SQL-authored forms wrap every nesting level). */
   @annotation.tailrec
   private def stripAttrProjects(p: LogicalPlan): LogicalPlan = p match {
     case Project(pl, child) if pl.forall(_.isInstanceOf[AttributeReference]) =>
       stripAttrProjects(child)
+    case SubqueryAlias(_, child) => stripAttrProjects(child)
     case other => other
   }
 
   /** The defining expression of attribute `id` inside `plan`, chasing
-    * attribute/alias chains down through Projects. */
+    * attribute/alias chains down through Projects/SubqueryAliases. */
   @annotation.tailrec
   private def origin(plan: LogicalPlan, id: ExprId): Option[Expression] =
     plan match {
+      case SubqueryAlias(_, child) => origin(child, id)
       case Project(pl, child) =>
         pl.find(_.exprId == id) match {
           case Some(a: AttributeReference) => origin(child, a.exprId)

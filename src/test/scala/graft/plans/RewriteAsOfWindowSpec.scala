@@ -184,6 +184,43 @@ class RewriteAsOfWindowSpec extends AnyFunSuite {
       !planOf(wholeStruct).contains("AsOfJoin "), planOf(wholeStruct))
   }
 
+  test("hand-written SQL (WITH CTEs) gets the exec through the optimizer pass") {
+    // parquet-backed views: literal fixtures would be constant-folded
+    // into LocalRelations before the optimizer pass sees the idiom's
+    // side markers (at which point the rule rightly stands down) — real
+    // tables keep the structure, which is the case that matters
+    val dir = java.nio.file.Files.createTempDirectory("graft-rw-sql").toString
+    trades.write.mode("overwrite").parquet(s"$dir/trades")
+    quotes.write.mode("overwrite").parquet(s"$dir/quotes")
+    spark.read.parquet(s"$dir/trades").createOrReplaceTempView("rw_trades")
+    spark.read.parquet(s"$dir/quotes").createOrReplaceTempView("rw_quotes")
+    val sql = spark.sql(
+      """WITH l AS (
+        |  SELECT k, trade, ts AS _ts, 1 AS _side,
+        |         CAST(NULL AS STRUCT<px: DOUBLE>) AS _r
+        |  FROM rw_trades),
+        |r AS (
+        |  SELECT k, CAST(NULL AS STRING) AS trade, ts AS _ts, 0 AS _side,
+        |         named_struct('px', px) AS _r
+        |  FROM rw_quotes),
+        |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+        |w AS (
+        |  SELECT *, last(_r, true) OVER (
+        |    PARTITION BY k ORDER BY _ts, _side, _r
+        |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _asof
+        |  FROM u)
+        |SELECT k, trade, _asof.px AS asof_px FROM w WHERE _side = 1
+        |""".stripMargin)
+    val plan = planOf(sql)
+    assert(plan.contains("AsOfJoin ") && !plan.contains("Window"),
+      s"SQL idiom did not plan the exec:\n$plan")
+    import spark.implicits._
+    val got = sql.as[(Long, String, Option[Double])].collect().toSet
+    assert(got === Set(
+      (1L, "t1", Some(100.0)), (1L, "t2", Some(101.0)),
+      (1L, "t3", Some(102.0)), (2L, "t4", None), (3L, "t5", None)))
+  }
+
   test("x02/x08's declared window-form queries plan the exec automatically") {
     val x02 = graft.SparkEntry.queries("x02_asof_join")(spark, sfDir)
     val p02 = planOf(x02)
