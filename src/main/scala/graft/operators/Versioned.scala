@@ -5,7 +5,11 @@ import java.nio.file.{Files, Paths}
 
 import scala.jdk.CollectionConverters._
 
-import org.apache.spark.sql.{DataFrame, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+import org.apache.spark.sql.catalyst.expressions.{And => CatAnd, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or => CatOr}
+import org.apache.spark.sql.types.Decimal
+import org.apache.spark.unsafe.types.UTF8String
 
 /** Versioned parquet table — the transaction-log economics of a
   * lakehouse format (Delta/Iceberg, whose jars this environment lacks)
@@ -375,6 +379,161 @@ object Versioned {
       schemaJson = schema)
   }
 
+  // ------------------------------------------------------------ delete
+
+  /** Copy-on-write DELETE (the third lakehouse DML verb, after append
+    * and merge): remove every row satisfying `cond`, rewriting ONLY the
+    * files whose manifest min/max stats could possibly contain a
+    * matching row — the file-skipping derivation Delta's
+    * DataSkippingReader does, applied to the delete predicate itself:
+    *
+    *  - `cond` is interval-analyzed against each file's recorded stats
+    *    (=, <, <=, >, >=, IN, AND, OR over stats columns vs literals;
+    *    anything else is conservatively "may match"). Files that
+    *    provably contain no matching row are carried into the new
+    *    version BY REFERENCE — zero bytes read or written.
+    *  - touched files are rewritten keeping rows where `cond` is NOT
+    *    true — SQL DELETE semantics: a NULL predicate does not delete,
+    *    so null-keyed rows survive (`!coalesce(cond, false)`).
+    *  - if NO file can match, this is a no-op: no new version is
+    *    published and the current version is returned unchanged.
+    *  - the pre-delete snapshot stays time-travelable until vacuum
+    *    (which is also what makes this GDPR-shaped only after vacuum:
+    *    physical erasure happens when the old versions are dropped).
+    *
+    * @return the version containing the result (a new version, or the
+    *         current one when the predicate provably matches nothing)
+    */
+  def delete(spark: SparkSession, root: String, cond: Column,
+      statsCols: Seq[String] = Nil,
+      expectedVersion: Option[Long] = None): Long = {
+    import org.apache.spark.sql.functions.{coalesce, lit, not}
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root to delete from"))
+    expectedVersion.foreach { ev =>
+      if (ev != latest) throw new VersionConflictException(
+        s"table at $root is at version $latest, expected $ev")
+    }
+    val m = readManifest(root, latest)
+    val condExpr = resolvedPredicate(spark, root, cond)
+    val (touched, untouched) =
+      m.files.partition(f => mayMatch(f.stats, condExpr))
+    if (touched.isEmpty) return latest
+    val base = spark.read.parquet(
+      touched.map(f => new File(root, f.path).getPath): _*)
+    val kept = base.filter(not(coalesce(cond, lit(false))))
+    val (newEntries, schema) = writeBatch(spark, root, kept, statsCols)
+    publishEntries(root, untouched ++ newEntries, latest, "delete",
+      schemaJson = schema)
+  }
+
+  // --------------------------------------- predicate interval analysis
+
+  /** The ANALYZED Catalyst form of `cond` against this table's schema.
+    * Spark 4's Column DSL carries a ColumnNode tree (`UnresolvedFunction
+    * ("and", …)`), not Catalyst operators — running the predicate
+    * through the analyzer on a zero-row frame with the table's schema
+    * yields typed `And`/comparison nodes with `AttributeReference`
+    * children (and fails fast, at delete time, on columns the table
+    * doesn't have). The probe frame is empty: nothing is scanned. */
+  private def resolvedPredicate(spark: SparkSession, root: String,
+      cond: Column): Expression = {
+    val probe = emptyLike(spark, root).filter(cond)
+    org.apache.spark.sql.GraftShims.analyzed(probe)
+      .collectFirst {
+        case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
+          f.condition
+      }
+      .getOrElse(Literal(true)) // analyzer elided the filter → no skip
+  }
+
+  /** Can a row of a file with these stats satisfy `e`? Conservative:
+    * anything the analysis doesn't understand answers true (the file is
+    * then rewritten, never wrongly skipped). Three-valued-logic safe:
+    * "true" here means "may be TRUE for some row" — NULL outcomes never
+    * delete, and stats never cover nulls, so treating unknown as
+    * may-match errs only toward extra rewrites. */
+  private def mayMatch(stats: Map[String, (String, String, String)],
+      e: Expression): Boolean = e match {
+    case CatAnd(a, b) => mayMatch(stats, a) && mayMatch(stats, b)
+    case CatOr(a, b) => mayMatch(stats, a) || mayMatch(stats, b)
+    case EqualTo(l, r) => cmpMayMatch(stats, l, r, "=")
+    case EqualNullSafe(l, r) => cmpMayMatch(stats, l, r, "=")
+    case LessThan(l, r) => cmpMayMatch(stats, l, r, "<")
+    case LessThanOrEqual(l, r) => cmpMayMatch(stats, l, r, "<=")
+    case GreaterThan(l, r) => cmpMayMatch(stats, l, r, ">")
+    case GreaterThanOrEqual(l, r) => cmpMayMatch(stats, l, r, ">=")
+    case In(a, list) if list.forall(_.foldable) =>
+      list.exists(v => cmpMayMatch(stats, a, v, "="))
+    case _ => true
+  }
+
+  /** One comparison leaf, attribute-vs-literal either way round. */
+  private def cmpMayMatch(stats: Map[String, (String, String, String)],
+      l: Expression, r: Expression, op: String): Boolean = {
+    val flipped = Map("=" -> "=", "<" -> ">", "<=" -> ">=",
+      ">" -> "<", ">=" -> "<=")
+    (attrName(l), litValue(r)) match {
+      case (Some(n), Some(v)) => rangeMayMatch(stats, n, op, v)
+      case _ => (attrName(r), litValue(l)) match {
+        case (Some(n), Some(v)) => rangeMayMatch(stats, n, flipped(op), v)
+        case _ => true // not a recognizable attr-vs-literal leaf
+      }
+    }
+  }
+
+  private def attrName(e: Expression): Option[String] = e match {
+    case a: AttributeReference => Some(a.name)
+    case u: UnresolvedAttribute => Some(u.name)
+    case _ => None
+  }
+
+  /** External Scala value of a constant expression — the analyzer wraps
+    * comparison literals in type-coercion Casts, so any foldable node
+    * is evaluated, not just bare Literals. None for null (a null
+    * comparison is never TRUE, but stats don't cover nulls — callers
+    * treat None as unanalyzable and stay conservative). */
+  private def litValue(e: Expression): Option[Any] = {
+    val v = e match {
+      case Literal(value, _) => value
+      case c if c.foldable =>
+        try c.eval(org.apache.spark.sql.catalyst.InternalRow.empty)
+        catch { case _: Exception => null }
+      case _ => null
+    }
+    v match {
+      case null => None
+      case u: UTF8String => Some(u.toString)
+      case d: Decimal => Some(d.toBigDecimal.doubleValue)
+      case other => Some(other) // numerics; date=epoch-day Int,
+                                // timestamp=epoch-micro Long — the
+                                // exact scales the footer stats use
+    }
+  }
+
+  /** `op` over [min, max]: could any in-range value satisfy it? */
+  private def rangeMayMatch(stats: Map[String, (String, String, String)],
+      name: String, op: String, v: Any): Boolean = stats.get(name) match {
+    case None => true // no stats recorded for the column → must rewrite
+    case Some((tpe, mn, mx)) =>
+      def check[T](mnT: T, mxT: T, vT: T)(implicit ord: Ordering[T]) =
+        op match {
+          case "=" => ord.lteq(mnT, vT) && ord.lteq(vT, mxT)
+          case "<" => ord.lt(mnT, vT)   // some row < v ⟺ min < v
+          case "<=" => ord.lteq(mnT, vT)
+          case ">" => ord.gt(mxT, vT)   // some row > v ⟺ max > v
+          case ">=" => ord.gteq(mxT, vT)
+        }
+      try tpe match {
+        case "long" => check(mn.toLong, mx.toLong, toLong(v))
+        case "double" => check(mn.toDouble, mx.toDouble, toDouble(v))
+        case _ => v match {
+          case s: String => check(mn, mx, s)
+          case _ => true // non-string literal vs string stats
+        }
+      } catch { case _: Exception => true } // unconvertible → conservative
+  }
+
   /** Publish an explicit file set as the version after `parent`,
     * CAS-atomic like every other commit. */
   private def publishEntries(root: String, files: Seq[FileEntry],
@@ -400,6 +559,90 @@ object Versioned {
           s"concurrent writer published v$next at $root first; " +
             "re-read the table and retry")
     } finally Files.deleteIfExists(tmp.toPath)
+  }
+
+  // ------------------------------------------------------- change feed
+
+  /** Relative data-file paths of version `v` (exposed for specs and
+    * operators that reason about file-level carry/skip behavior). */
+  def files(root: String, v: Long): Seq[String] =
+    readManifest(root, v).files.map(_.path)
+
+  /** The append-only change feed: rows added by versions in
+    * `(afterVersion, untilVersion]` — read directly from the files each
+    * append commit introduced, so a consumer processes ONLY the new
+    * data regardless of table size (the Delta/Iceberg incremental-read
+    * economics: a 100 TB table with a 1 GB append feeds 1 GB
+    * downstream).
+    *
+    * Non-append commits in the range (overwrite/compact/merge/delete)
+    * rewrite or remove rows and cannot be represented as appended rows:
+    * the default is to fail loudly; `skipChangeCommits = true` skips
+    * them (Delta's `skipChangeCommits` contract) — compactions are
+    * row-identical so skipping them is lossless, but skipped
+    * merges/deletes mean downstream won't see those changes.
+    *
+    * Requires the manifests in `[afterVersion, untilVersion]` to still
+    * be retained — vacuum must keep the consumer's window (the same
+    * retention contract [[commitIfNew]] documents for replay guards).
+    * `afterVersion = 0` means "from the beginning". */
+  def changesSince(spark: SparkSession, root: String, afterVersion: Long,
+      untilVersion: Option[Long] = None,
+      skipChangeCommits: Boolean = false): DataFrame = {
+    val upTo = untilVersion.orElse(latestVersion(root)).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    val vs = versions(root).filter(v => v > afterVersion && v <= upTo)
+    var prev: Set[String] =
+      if (afterVersion == 0L) Set.empty else files(root, afterVersion).toSet
+    val added = Seq.newBuilder[String]
+    vs.foreach { v =>
+      val man = readManifest(root, v)
+      val cur = man.files.map(_.path)
+      if (man.action == "append")
+        added ++= cur.filterNot(prev)
+      else if (!skipChangeCommits)
+        throw new IllegalArgumentException(
+          s"version $v at $root is a '${man.action}' commit — the change " +
+            "feed is append-only; pass skipChangeCommits=true to skip " +
+            "(lossless for compactions, lossy for merge/delete)")
+      prev = cur.toSet
+    }
+    val paths = added.result()
+    if (paths.isEmpty) emptyLike(spark, root)
+    else spark.read.parquet(paths.map(p => new File(root, p).getPath): _*)
+  }
+
+  /** One exactly-once incremental run of a table-to-table pipeline:
+    * read the source rows appended since the last run, apply
+    * `transform`, append the result to `dstRoot`. The high-watermark
+    * (last consumed SOURCE version) rides in the DESTINATION's manifest
+    * txn field under `pipelineId` — the watermark and the output
+    * publish in one atomic commit, so a crash between "processed" and
+    * "recorded" is impossible and a re-run after any failure resumes
+    * exactly where the last PUBLISHED output left off. Two racing
+    * runners serialize on the CAS commit; the loser's batch is
+    * recognized as a replay and dropped (unreferenced files are
+    * vacuum's job).
+    *
+    * `transform` must be per-row (project/filter/flatMap-shaped) for
+    * "dst ≡ transform(full source)" to hold — incremental aggregation
+    * is the materialized-view path (`Streams.cmsMv` et al.), not this.
+    *
+    * @return the source version consumed, or None if already caught up
+    *         (or another runner won the race for this window)
+    */
+  def incrementalRun(spark: SparkSession, srcRoot: String, dstRoot: String,
+      pipelineId: String, transform: DataFrame => DataFrame,
+      statsCols: Seq[String] = Nil,
+      skipChangeCommits: Boolean = false): Option[Long] = {
+    val srcLatest = latestVersion(srcRoot).getOrElse(return None)
+    val consumed = lastCommittedBatch(dstRoot, pipelineId).getOrElse(0L)
+    if (srcLatest <= consumed) return None
+    val delta = changesSince(spark, srcRoot, consumed, Some(srcLatest),
+      skipChangeCommits)
+    if (commitIfNew(spark, dstRoot, transform(delta), pipelineId,
+        batchId = srcLatest, statsCols = statsCols)) Some(srcLatest)
+    else None
   }
 
   // ------------------------------------------------------- maintenance

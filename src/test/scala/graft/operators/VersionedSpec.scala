@@ -147,6 +147,61 @@ class VersionedSpec extends SparkSpec {
     }
   }
 
+  test("copy-on-write delete rewrites only files the predicate may touch") {
+    val root = freshRoot()
+    Versioned.commit(spark, root, batch(1 to 1000, "a").coalesce(1),
+      statsCols = Seq("id", "tag"))
+    Versioned.commit(spark, root, batch(1001 to 2000, "b").coalesce(1),
+      statsCols = Seq("id", "tag"))
+    Versioned.commit(spark, root, batch(2001 to 3000, "c").coalesce(1),
+      statsCols = Seq("id", "tag"))
+    val before = Versioned.files(root, 3L).toSet
+    // range predicate inside file 2 only
+    val v = Versioned.delete(spark, root,
+      col("id") >= 1200 && col("id") <= 1300, statsCols = Seq("id", "tag"))
+    assert(v === 4L)
+    val after = Versioned.files(root, 4L).toSet
+    assert(before.intersect(after).size === 2,
+      s"files 1 and 3 must carry by reference: ${before.intersect(after)}")
+    val snap = Versioned.read(spark, root)
+    assert(snap.count() === 3000 - 101)
+    assert(snap.filter(col("id").between(1200, 1300)).count() === 0)
+    // time travel: pre-delete snapshot intact
+    assert(Versioned.readVersion(spark, root, 3).count() === 3000)
+    // OR over two disjoint ranges touches two files, carries one
+    val v2 = Versioned.delete(spark, root,
+      (col("id") === 1L) || (col("id") === 2500L), statsCols = Seq("id"))
+    assert(v2 === 5L)
+    assert(Versioned.read(spark, root).count() === 3000 - 101 - 2)
+    assert(after.intersect(Versioned.files(root, 5L).toSet).size === 1)
+    // string-stats predicate: IN over tags prunes to the matching file
+    val v3 = Versioned.delete(spark, root,
+      col("tag").isin("c", "zzz") && col("id") > 2990L,
+      statsCols = Seq("id", "tag"))
+    assert(Versioned.read(spark, root)
+      .filter(col("id") > 2990L).count() === 0)
+    // provably-unmatchable predicate is a published no-op
+    val versionsBefore = Versioned.versions(root)
+    val same = Versioned.delete(spark, root, col("id") === 999999L)
+    assert(same === v3 && Versioned.versions(root) === versionsBefore)
+    // CAS guard
+    intercept[Versioned.VersionConflictException] {
+      Versioned.delete(spark, root, col("id") === 5L,
+        expectedVersion = Some(1L))
+    }
+  }
+
+  test("delete keeps NULL-predicate rows (SQL DELETE semantics)") {
+    val root = freshRoot()
+    val withNulls = Seq((Some(1L), "a"), (None, "n"), (Some(2L), "a"))
+      .toDF("id", "tag")
+    Versioned.commit(spark, root, withNulls, statsCols = Seq("id"))
+    Versioned.delete(spark, root, col("id") === 1L)
+    val rows = Versioned.read(spark, root)
+      .select("tag").as[String].collect().sorted.toSeq
+    assert(rows === Seq("a", "n"), "null-id row must survive the delete")
+  }
+
   test("vacuum deletes only unreferenced files; retained versions intact") {
     val root = freshRoot()
     Versioned.commit(spark, root, batch(1 to 100, "a").coalesce(1))
