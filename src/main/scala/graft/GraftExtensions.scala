@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.{CmsSketch, DotProduct, HistQuantile, MinHashSignature, RollingFingerprint, SimHash64, SimHashBits, TopKPairs, WordShingles}
+import graft.functions.expressions.{BloomFilter, CmsSketch, DotProduct, HistQuantile, MinHashSignature, RollingFingerprint, SimHash64, SimHashBits, TopKPairs, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions so `spark.sql("SELECT dot_product(a, b)")`
@@ -130,6 +130,14 @@ object GraftExtensions {
           "depth*width counter array (row d, bucket w at d*width+w, " +
           "1-indexed for element_at)"),
       (children: Seq[Expression]) => CmsSketch(children(0),
+        intArg(children(1)), intArg(children(2)))),
+    (FunctionIdentifier("bloom_build"),
+      info("bloom_build",
+        "bloom_build(value, numBits, numHashes) - deterministic md5-hashed " +
+          "Bloom filter over a string column; returns the bit-set as an " +
+          "array<bigint> of 64-bit words (bit p = word p/64, bit p%64, " +
+          "1-indexed for element_at)"),
+      (children: Seq[Expression]) => BloomFilter(children(0),
         intArg(children(1)), intArg(children(2)))))
 
   /** Register the function set on a live session (idempotent — the

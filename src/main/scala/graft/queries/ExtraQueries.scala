@@ -537,8 +537,61 @@ object ExtraQueries {
       .orderBy("user_id")
   }
 
+  // ---------------------------------------------------------------- x16
+  // Deterministic Bloom filter with a TRUE hash oracle — the membership
+  // sibling of x13 (quantiles) and x15 (frequencies). The md5-position
+  // construction (graft.functions.expressions.BloomFilter: fixed
+  // numBits/64 longs, bitwise-OR merge) is replayed verbatim in DuckDB:
+  // the set bits are the distinct positions of the corpus keys, and a
+  // probe answers true iff ALL of its positions are set. Corpus =
+  // purchase users; probes = all users — so true members, true
+  // negatives, AND the construction's false positives must agree
+  // bit-for-bit across engines. The semi-join prefilter economics
+  // (probe is map-only, no false negatives) are spec-asserted.
+  val x16BloomMembership: Q = Q(
+    "x16_bloom_membership",
+    """WITH corpus AS (
+      |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS ck FROM events
+      |  WHERE event_type = 'purchase' AND user_id IS NOT NULL),
+      |hs AS (SELECT UNNEST(range(0, 3)) AS i),
+      |bits AS (
+      |  SELECT DISTINCT
+      |    ('0x' || substr(md5(ck || '#' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 4096 AS p
+      |  FROM corpus CROSS JOIN hs),
+      |probes AS (
+      |  SELECT DISTINCT CAST(user_id AS VARCHAR) AS pk FROM events
+      |  WHERE user_id IS NOT NULL),
+      |probe_bits AS (
+      |  SELECT pk,
+      |    ('0x' || substr(md5(pk || '#' || CAST(i AS VARCHAR)), 1, 15))::BIGINT % 4096 AS p
+      |  FROM probes CROSS JOIN hs),
+      |might AS (
+      |  SELECT pb.pk, BOOL_AND(b.p IS NOT NULL) AS might
+      |  FROM probe_bits pb LEFT JOIN bits b ON b.p = pb.p
+      |  GROUP BY 1)
+      |SELECT CAST(m.pk AS BIGINT) AS user_id,
+      |  (c.ck IS NOT NULL) AS present, m.might
+      |FROM might m LEFT JOIN corpus c ON c.ck = m.pk
+      |ORDER BY user_id""".stripMargin) { (s, d) =>
+    import graft.functions.expressions.BloomFilter.{bloom_build, bloom_might_contain}
+    val bits = 4096
+    val k = 3
+    val ev = t(s, d, "events").filter(col("user_id").isNotNull)
+    val corpus = ev.filter(col("event_type") === "purchase")
+      .select(col("user_id").cast("string").as("pk")).distinct()
+    val bloom = corpus.agg(bloom_build(col("pk"), bits, k).as("bloom"))
+    val probes = ev.select(col("user_id").cast("string").as("pk")).distinct()
+    probes.crossJoin(broadcast(bloom))
+      .select(col("pk"),
+        bloom_might_contain(col("bloom"), col("pk"), bits, k).as("might"))
+      .join(corpus.withColumn("present", lit(true)), Seq("pk"), "left")
+      .select(col("pk").cast("long").as("user_id"),
+        coalesce(col("present"), lit(false)).as("present"), col("might"))
+      .orderBy("user_id")
+  }
+
   val all: Seq[Q] = Seq(x01SeedJoin, x02AsofJoin, x03Duration, x04Sessionize,
     x05ApproxDistinct, x06RangeJoin, x07Scd2History, x08AsofForward,
     x09ApproxQuantiles, x10AsofExec, x11AsofExecForward, x12AsofTtl,
-    x13HistQuantiles, x14AsofBroadcast, x15CmsFrequency)
+    x13HistQuantiles, x14AsofBroadcast, x15CmsFrequency, x16BloomMembership)
 }
