@@ -8,7 +8,7 @@ import scala.jdk.CollectionConverters._
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
 import org.apache.spark.sql.catalyst.expressions.{And => CatAnd, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or => CatOr}
-import org.apache.spark.sql.types.Decimal
+import org.apache.spark.sql.types.{DataType, Decimal, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
 /** Versioned parquet table — the transaction-log economics of a
@@ -46,7 +46,9 @@ import org.apache.spark.unsafe.types.UTF8String
   *
   * Readers of version N see an immutable file set; writers never mutate
   * published files (append/overwrite/compact all write NEW batch dirs).
-  * Scoped out, documented: schema evolution and multi-table
+  * Schema is enforced by default and evolves with `mergeSchema = true`
+  * (see [[evolvedSchema]]); snapshots keep their OWN schema, so time
+  * travel predates later columns. Scoped out, documented: multi-table
   * transactions.
   *
   * Reference analog: the lake-table layer under the reference's Silver
@@ -114,12 +116,61 @@ object Versioned {
   def commit(spark: SparkSession, root: String, df: DataFrame,
       mode: String = "append", statsCols: Seq[String] = Nil,
       expectedVersion: Option[Long] = None,
-      txn: Option[(String, Long)] = None): Long = {
+      txn: Option[(String, Long)] = None,
+      mergeSchema: Boolean = false): Long = {
     require(mode == "append" || mode == "overwrite",
       s"unknown commit mode: $mode")
-    val (newEntries, schema) = writeBatch(spark, root, df, statsCols)
+    val schema = evolvedSchema(root, df, mode, mergeSchema)
+    val (newEntries, _) = writeBatch(spark, root, df, statsCols)
     publish(root, mode, newEntries, expectedVersion, action = mode, txn,
       schema)
+  }
+
+  /** Schema enforcement + evolution (Delta's contract): the incoming
+    * frame may always OMIT existing columns (they read back as null —
+    * parquet is columnar, absence is free); it may ADD columns or leave
+    * the schema unchanged only per the rules below. Returns the table
+    * schema the new manifest records.
+    *
+    *  - same column set + types → unchanged.
+    *  - new columns, `mergeSchema = false` → REJECTED (enforcement:
+    *    accidental producer drift must not silently widen the table).
+    *  - new columns, `mergeSchema = true` → table schema gains them
+    *    (appended in the incoming frame's order).
+    *  - a type change for an existing column → always rejected; columnar
+    *    files with two types for one name cannot be read together
+    *    (rewrite the table via overwrite to re-type).
+    *  - `mode = "overwrite"` replaces rows AND schema: the incoming
+    *    schema simply becomes the table schema.
+    */
+  private def evolvedSchema(root: String, df: DataFrame, mode: String,
+      mergeSchema: Boolean): String = {
+    import org.apache.spark.sql.types.StructType
+    val incoming = df.schema
+    if (mode == "overwrite") return incoming.json
+    val currentJson = latestVersion(root)
+      .flatMap(v => readManifest(root, v).schemaJson)
+    currentJson match {
+      case None => incoming.json
+      case Some(json) =>
+        val current = DataType.fromJson(json).asInstanceOf[StructType]
+        val curByName = current.fields.map(f => f.name -> f).toMap
+        val mismatched = incoming.fields.filter(f =>
+          curByName.get(f.name).exists(_.dataType != f.dataType))
+        if (mismatched.nonEmpty) throw new IllegalArgumentException(
+          s"incompatible type change for column(s) " +
+            mismatched.map(f => s"${f.name}: ${curByName(f.name).dataType
+              .simpleString} -> ${f.dataType.simpleString}").mkString(", ") +
+            s" at $root — retype requires an overwrite")
+        val added = incoming.fields.filterNot(f => curByName.contains(f.name))
+        if (added.isEmpty) json
+        else if (!mergeSchema) throw new IllegalArgumentException(
+          s"schema enforcement: incoming columns ${added.map(_.name)
+            .mkString(", ")} are not in the table at $root — pass " +
+            "mergeSchema=true to evolve the schema")
+        else StructType(current.fields ++
+          added.map(_.copy(nullable = true))).json
+    }
   }
 
   /** Write `df` as one immutable batch dir and return its manifest
@@ -155,15 +206,17 @@ object Versioned {
     * versions spanning the stream's possible replay window. */
   def commitIfNew(spark: SparkSession, root: String, df: DataFrame,
       appId: String, batchId: Long, statsCols: Seq[String] = Nil,
-      mode: String = "append"): Boolean = {
+      mode: String = "append", mergeSchema: Boolean = false): Boolean = {
     require(mode == "append" || mode == "overwrite",
       s"unknown commit mode: $mode")
     var written: Option[(Seq[FileEntry], String)] = None
     while (true) {
       if (lastCommittedBatch(root, appId).exists(_ >= batchId)) return false
       val parent = latestVersion(root)
+      // schema rules re-check against the CURRENT snapshot each retry
+      val schema = evolvedSchema(root, df, mode, mergeSchema)
       // the batch data is written at most once; only the publish retries
-      val (entries, schema) = written.getOrElse {
+      val (entries, _) = written.getOrElse {
         val w = writeBatch(spark, root, df, statsCols); written = Some(w); w
       }
       val base =
@@ -221,12 +274,36 @@ object Versioned {
       latestVersion(root).getOrElse(
         throw new IllegalArgumentException(s"no versions at $root")))
 
-  /** Time travel: the exact file set published as version `v`. */
+  /** Time travel: the exact file set published as version `v`, under
+    * version `v`'s OWN schema (evolution is versioned too: a snapshot
+    * from before a column existed doesn't have it). */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
     val m = readManifest(root, v)
     val paths = m.files.map(f => new File(root, f.path).getPath)
     if (paths.isEmpty) emptyLike(spark, root)
-    else spark.read.parquet(paths: _*)
+    else readAligned(spark, paths, m.schemaJson)
+  }
+
+  /** Read parquet `paths` under the manifest's table schema: files
+    * written before a column was added simply lack it (parquet
+    * mergeSchema reads them as null), and a column NO live file carries
+    * is null-filled explicitly — so every reader sees one stable
+    * schema, in manifest order, regardless of which files survive. */
+  private def readAligned(spark: SparkSession, paths: Seq[String],
+      schemaJson: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    import org.apache.spark.sql.types.StructType
+    val raw = spark.read.option("mergeSchema", "true").parquet(paths: _*)
+    schemaJson match {
+      case None => raw // pre-evolution manifest: files are homogeneous
+      case Some(json) =>
+        val schema = DataType.fromJson(json).asInstanceOf[StructType]
+        val have = raw.columns.toSet
+        raw.select(schema.fields.toSeq.map { f =>
+          if (have(f.name)) c(f.name)
+          else lit(null).cast(f.dataType).as(f.name)
+        }: _*)
+    }
   }
 
   // a zero-file snapshot (empty first batch, overwrite-to-empty) still
@@ -262,7 +339,8 @@ object Versioned {
     val keep = candidateFiles(root, v, col, lo, hi)
     val df =
       if (keep.isEmpty) readVersion(spark, root, v).limit(0)
-      else spark.read.parquet(keep.map(p => new File(root, p).getPath): _*)
+      else readAligned(spark, keep.map(p => new File(root, p).getPath),
+        readManifest(root, v).schemaJson)
     df.filter(c(col) >= lit(lo) && c(col) <= lit(hi))
   }
 
@@ -369,8 +447,8 @@ object Versioned {
     val rewritten =
       if (touched.isEmpty) updates
       else {
-        val base = spark.read.parquet(
-          touched.map(f => new File(root, f.path).getPath): _*)
+        val base = readAligned(spark,
+          touched.map(f => new File(root, f.path).getPath), m.schemaJson)
         base.join(updates.select(c(key)).distinct(), Seq(key), "left_anti")
           .unionByName(updates.select(base.columns.map(c): _*))
       }
@@ -419,8 +497,8 @@ object Versioned {
     val (touched, untouched) =
       m.files.partition(f => mayMatch(f.stats, condExpr))
     if (touched.isEmpty) return latest
-    val base = spark.read.parquet(
-      touched.map(f => new File(root, f.path).getPath): _*)
+    val base = readAligned(spark,
+      touched.map(f => new File(root, f.path).getPath), m.schemaJson)
     val kept = base.filter(not(coalesce(cond, lit(false))))
     val (newEntries, schema) = writeBatch(spark, root, kept, statsCols)
     publishEntries(root, untouched ++ newEntries, latest, "delete",
@@ -609,7 +687,8 @@ object Versioned {
     }
     val paths = added.result()
     if (paths.isEmpty) emptyLike(spark, root)
-    else spark.read.parquet(paths.map(p => new File(root, p).getPath): _*)
+    else readAligned(spark, paths.map(p => new File(root, p).getPath),
+      readManifest(root, upTo).schemaJson) // the window's latest schema
   }
 
   /** One exactly-once incremental run of a table-to-table pipeline:
