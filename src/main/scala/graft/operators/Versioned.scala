@@ -80,7 +80,10 @@ object Versioned {
       txnBatch: Option[Long] = None,
       // schema JSON of the committed DataFrame: keeps a zero-file
       // snapshot (empty first batch, overwrite-to-empty) readable
-      schemaJson: Option[String] = None)
+      schemaJson: Option[String] = None,
+      // row-level change files (Delta CDF): written by merge/delete when
+      // cdf=true, read by changeFeed; relative paths like data files
+      cdf: Seq[String] = Nil)
 
   private def logDir(root: String) = new File(root, "_graft_log")
   private def manifestFile(root: String, v: Long) =
@@ -171,6 +174,21 @@ object Versioned {
         else StructType(current.fields ++
           added.map(_.copy(nullable = true))).json
     }
+  }
+
+  /** Write a change-file dataset (table schema + `_change_type`) under
+    * `cdf/<uuid>/` and return the relative parquet paths for the
+    * manifest. Change files are NOT data files: no stats, never part of
+    * a snapshot, vacuumed with their version. */
+  private def writeCdf(spark: SparkSession, root: String,
+      df: DataFrame): Seq[String] = {
+    val dir = new File(new File(root, "cdf"),
+      java.util.UUID.randomUUID().toString)
+    df.write.parquet(dir.getPath)
+    val rootPath = Paths.get(root).toAbsolutePath.normalize()
+    dir.listFiles().filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+      .map(f => rootPath.relativize(f.toPath.toAbsolutePath.normalize())
+        .toString).toSeq
   }
 
   /** Write `df` as one immutable batch dir and return its manifest
@@ -416,8 +434,9 @@ object Versioned {
     */
   def mergeUpsert(spark: SparkSession, root: String, updates: DataFrame,
       key: String, statsCols: Seq[String] = Nil,
-      expectedVersion: Option[Long] = None): Long = {
-    import org.apache.spark.sql.functions.{col => c}
+      expectedVersion: Option[Long] = None,
+      cdf: Boolean = false): Long = {
+    import org.apache.spark.sql.functions.{col => c, lit}
     val latest = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root to merge into"))
     expectedVersion.foreach { ev =>
@@ -444,17 +463,41 @@ object Versioned {
         }
       }
     })
-    val rewritten =
-      if (touched.isEmpty) updates
+    val base: Option[DataFrame] =
+      if (touched.isEmpty) None
+      else Some(readAligned(spark,
+        touched.map(f => new File(root, f.path).getPath), m.schemaJson))
+    val rewritten = base match {
+      case None => updates
+      case Some(b) =>
+        b.join(updates.select(c(key)).distinct(), Seq(key), "left_anti")
+          .unionByName(updates.select(b.columns.map(c): _*))
+    }
+    // CDF envelopes (Delta's change types): a matched key emits its old
+    // row as update_preimage and its new row as update_postimage (even
+    // when values are identical — no-op suppression is the caller's
+    // concern); an unmatched (or null) key emits insert. Untouched files
+    // provably contain no update key, so `base` covers every match.
+    val cdfPaths =
+      if (!cdf) Nil
       else {
-        val base = readAligned(spark,
-          touched.map(f => new File(root, f.path).getPath), m.schemaJson)
-        base.join(updates.select(c(key)).distinct(), Seq(key), "left_anti")
-          .unionByName(updates.select(base.columns.map(c): _*))
+        val keys = base.map(_.select(c(key)).distinct())
+        val pre = base.map(b =>
+          b.join(updates.select(c(key)).distinct(), Seq(key), "left_semi")
+            .withColumn("_change_type", lit("update_preimage")))
+        val post = keys.map(ks =>
+          updates.join(ks, Seq(key), "left_semi")
+            .withColumn("_change_type", lit("update_postimage")))
+        val ins = keys.map(ks => updates.join(ks, Seq(key), "left_anti"))
+          .getOrElse(updates)
+          .withColumn("_change_type", lit("insert"))
+        val all = (pre.toSeq ++ post.toSeq :+ ins)
+          .reduce(_ unionByName _)
+        writeCdf(spark, root, all)
       }
     val (newEntries, schema) = writeBatch(spark, root, rewritten, statsCols)
     publishEntries(root, untouched ++ newEntries, latest, "merge",
-      schemaJson = schema)
+      schemaJson = schema, cdf = cdfPaths)
   }
 
   // ------------------------------------------------------------ delete
@@ -484,7 +527,8 @@ object Versioned {
     */
   def delete(spark: SparkSession, root: String, cond: Column,
       statsCols: Seq[String] = Nil,
-      expectedVersion: Option[Long] = None): Long = {
+      expectedVersion: Option[Long] = None,
+      cdf: Boolean = false): Long = {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     val latest = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root to delete from"))
@@ -500,9 +544,13 @@ object Versioned {
     val base = readAligned(spark,
       touched.map(f => new File(root, f.path).getPath), m.schemaJson)
     val kept = base.filter(not(coalesce(cond, lit(false))))
+    val cdfPaths =
+      if (!cdf) Nil
+      else writeCdf(spark, root, base.filter(coalesce(cond, lit(false)))
+        .withColumn("_change_type", lit("delete")))
     val (newEntries, schema) = writeBatch(spark, root, kept, statsCols)
     publishEntries(root, untouched ++ newEntries, latest, "delete",
-      schemaJson = schema)
+      schemaJson = schema, cdf = cdfPaths)
   }
 
   // --------------------------------------- predicate interval analysis
@@ -617,12 +665,13 @@ object Versioned {
   private def publishEntries(root: String, files: Seq[FileEntry],
       parent: Long, action: String,
       txn: Option[(String, Long)] = None,
-      schemaJson: String = null): Long = {
+      schemaJson: String = null,
+      cdf: Seq[String] = Nil): Long = {
     logDir(root).mkdirs()
     val next = parent + 1
     val manifest = Manifest(next, action, files,
       txnApp = txn.map(_._1), txnBatch = txn.map(_._2),
-      schemaJson = Option(schemaJson))
+      schemaJson = Option(schemaJson), cdf = cdf)
     val tmp = File.createTempFile(s".v$next-", ".json", logDir(root))
     Files.writeString(tmp.toPath, renderJson(manifest))
     try {
@@ -691,6 +740,77 @@ object Versioned {
       readManifest(root, upTo).schemaJson) // the window's latest schema
   }
 
+  /** The ROW-LEVEL change feed (Delta CDF semantics): every change in
+    * `(afterVersion, untilVersion]` as envelope rows under the window's
+    * latest schema plus `_change_type` ('insert', 'update_preimage',
+    * 'update_postimage', 'delete') and `_commit_version`. Appends
+    * synthesize insert envelopes straight from the version's new data
+    * files (no extra storage); merge/delete versions read the change
+    * files they wrote at commit time (`cdf = true` — a merge/delete
+    * committed WITHOUT it fails here, loudly: row-level changes cannot
+    * be reconstructed after the fact). Compactions are row-identical
+    * and skip losslessly; overwrites fail (not representable as row
+    * changes — an overwritten table isn't a CDC source).
+    *
+    * This is what [[changesSince]] (append-only, file-level) cannot
+    * give: a downstream consumer — an incremental SCD2 fold, a search
+    * index, a cache — can replay EXACTLY what merge and delete did,
+    * version by version, and the feed is itself deterministic (the
+    * change files are immutable commit artifacts). */
+  def changeFeed(spark: SparkSession, root: String, afterVersion: Long,
+      untilVersion: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    val upTo = untilVersion.orElse(latestVersion(root)).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    val vs = versions(root).filter(v => v > afterVersion && v <= upTo)
+    val schemaJson = readManifest(root, upTo).schemaJson
+    var prev: Set[String] =
+      if (afterVersion == 0L) Set.empty else files(root, afterVersion).toSet
+    val pieces = Seq.newBuilder[DataFrame]
+    vs.foreach { v =>
+      val man = readManifest(root, v)
+      val cur = man.files.map(_.path)
+      man.action match {
+        case "append" =>
+          val added = cur.filterNot(prev)
+          if (added.nonEmpty)
+            pieces += readAligned(spark,
+              added.map(p => new File(root, p).getPath), schemaJson)
+              .withColumn("_change_type", lit("insert"))
+              .withColumn("_commit_version", lit(v))
+        case "compact" => // row-identical: nothing to emit
+        case "merge" | "delete" =>
+          if (man.cdf.isEmpty) throw new IllegalArgumentException(
+            s"version $v at $root is a '${man.action}' committed without " +
+              "cdf=true — row-level changes cannot be reconstructed; " +
+              "enable cdf on merge/delete to feed changeFeed")
+          val raw = spark.read.option("mergeSchema", "true").parquet(
+            man.cdf.map(p => new File(root, p).getPath): _*)
+          val aligned = schemaJson match {
+            case None => raw
+            case Some(json) =>
+              val schema = DataType.fromJson(json).asInstanceOf[StructType]
+              val have = raw.columns.toSet
+              raw.select(schema.fields.toSeq.map { f =>
+                if (have(f.name)) c(f.name)
+                else lit(null).cast(f.dataType).as(f.name)
+              } :+ c("_change_type"): _*)
+          }
+          pieces += aligned.withColumn("_commit_version", lit(v))
+        case other => throw new IllegalArgumentException(
+          s"version $v at $root is a '$other' commit — not representable " +
+            "as row-level changes (an overwritten table isn't a CDC source)")
+      }
+      prev = cur.toSet
+    }
+    val all = pieces.result()
+    if (all.isEmpty)
+      emptyLike(spark, root)
+        .withColumn("_change_type", lit(null).cast("string"))
+        .withColumn("_commit_version", lit(null).cast("long"))
+    else all.reduce(_ unionByName _)
+  }
+
   /** One exactly-once incremental run of a table-to-table pipeline:
     * read the source rows appended since the last run, apply
     * `transform`, append the result to `dstRoot`. The high-watermark
@@ -732,8 +852,12 @@ object Versioned {
   def compact(spark: SparkSession, root: String,
       targetFiles: Int = 1, statsCols: Seq[String] = Nil): Long = {
     val snapshot = read(spark, root).coalesce(targetFiles)
-    commit(spark, root, snapshot, mode = "overwrite",
-      statsCols = statsCols)
+    // overwrite MECHANICS (new files replace the live set) but its own
+    // manifest ACTION: a compaction is row-identical, so the change
+    // feeds may skip it losslessly where a true overwrite must fail
+    val (entries, _) = writeBatch(spark, root, snapshot, statsCols)
+    publish(root, "overwrite", entries, expectedVersion = None,
+      action = "compact", txn = None, schemaJson = snapshot.schema.json)
   }
 
   /** Drop all but the last `keepVersions` manifests and delete data
@@ -751,26 +875,31 @@ object Versioned {
     require(keepVersions >= 1, "must keep at least the latest version")
     val all = versions(root)
     val (drop, keep) = all.splitAt(math.max(0, all.size - keepVersions))
-    val referenced = keep.flatMap(v => readManifest(root, v).files)
-      .map(_.path).toSet
+    val keptManifests = keep.map(readManifest(root, _))
+    val referenced = (keptManifests.flatMap(_.files.map(_.path)) ++
+      keptManifests.flatMap(_.cdf)).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     var deleted = 0
-    val dataRoot = new File(root, "data")
-    if (dataRoot.isDirectory) {
-      dataRoot.listFiles().foreach { batchDir =>
-        if (batchDir.isDirectory) {
-          batchDir.listFiles().foreach { f =>
-            val rel = s"data/${batchDir.getName}/${f.getName}"
-            if (f.getName.endsWith(".parquet") && !referenced.contains(rel) &&
-                f.lastModified() <= cutoff) {
-              Files.deleteIfExists(f.toPath); deleted += 1
+    // data files AND change files share the sweep: anything no retained
+    // manifest references (as a live file or its version's cdf) goes
+    Seq("data", "cdf").foreach { sub =>
+      val subRoot = new File(root, sub)
+      if (subRoot.isDirectory) {
+        subRoot.listFiles().foreach { batchDir =>
+          if (batchDir.isDirectory) {
+            batchDir.listFiles().foreach { f =>
+              val rel = s"$sub/${batchDir.getName}/${f.getName}"
+              if (f.getName.endsWith(".parquet") && !referenced.contains(rel) &&
+                  f.lastModified() <= cutoff) {
+                Files.deleteIfExists(f.toPath); deleted += 1
+              }
             }
+            // the dir itself gets the same age guard: a just-created batch
+            // dir may not have its parquet parts yet
+            if (batchDir.lastModified() <= cutoff && batchDir.listFiles()
+              .forall(f => !f.getName.endsWith(".parquet")))
+              deleteRecursively(batchDir)
           }
-          // the dir itself gets the same age guard: a just-created batch
-          // dir may not have its parquet parts yet
-          if (batchDir.lastModified() <= cutoff && batchDir.listFiles()
-            .forall(f => !f.getName.endsWith(".parquet")))
-            deleteRecursively(batchDir)
         }
       }
     }
@@ -799,7 +928,8 @@ object Versioned {
       "action" -> m.action, "files" -> filesNode)
     val withTxn = base ++
       m.txnApp.map("txnApp" -> _) ++ m.txnBatch.map("txnBatch" -> (_: Any)) ++
-      m.schemaJson.map("schema" -> _)
+      m.schemaJson.map("schema" -> _) ++
+      (if (m.cdf.isEmpty) Nil else Seq("cdf" -> m.cdf.asJava))
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(withTxn.asJava)
   }
 
@@ -821,7 +951,9 @@ object Versioned {
     Manifest(node.get("version").asLong(), node.get("action").asText(), files,
       txnApp = Option(node.get("txnApp")).map(_.asText()),
       txnBatch = Option(node.get("txnBatch")).map(_.asLong()),
-      schemaJson = Option(node.get("schema")).map(_.asText()))
+      schemaJson = Option(node.get("schema")).map(_.asText()),
+      cdf = Option(node.get("cdf")).map(_.elements().asScala
+        .map(_.asText()).toSeq).getOrElse(Nil))
   }
 
   // --------------------------------------------------- footer stats

@@ -590,8 +590,74 @@ object ExtraQueries {
       .orderBy("user_id")
   }
 
+  // ---------------------------------------------------------------- x17
+  // The versioned table's row-level change feed, hash-gated end-to-end:
+  // build a lakehouse table from `customer` in four commits (two
+  // appends, a CDF merge with updates + inserts, a CDF delete), then
+  // read the FULL change history — and DuckDB replays every envelope
+  // with set logic over the same raw table: appends are inserts, the
+  // merge's matched keys emit preimage/postimage pairs, its new keys
+  // emit inserts, and the delete's envelopes carry the post-merge
+  // values. One hash mismatch anywhere in commit/merge/delete/feed
+  // machinery fails the row. (x07 gave SCD2 this treatment; this is the
+  // same for the Delta-CDF layer itself.)
+  val x17VersionedCdf: Q = Q(
+    "x17_versioned_cdf",
+    """WITH c AS (
+      |  SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal FROM customer),
+      |merged AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 10 = 0 THEN acctbal + 100 ELSE acctbal END AS acctbal
+      |  FROM c
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, acctbal FROM c WHERE c_custkey % 97 = 0)
+      |SELECT CAST(1 AS BIGINT) AS commit_version, 'insert' AS change_type,
+      |  c_custkey, acctbal FROM c WHERE c_custkey % 2 = 1
+      |UNION ALL
+      |SELECT 2, 'insert', c_custkey, acctbal FROM c WHERE c_custkey % 2 = 0
+      |UNION ALL
+      |SELECT 3, 'update_preimage', c_custkey, acctbal FROM c WHERE c_custkey % 10 = 0
+      |UNION ALL
+      |SELECT 3, 'update_postimage', c_custkey, acctbal + 100 FROM c WHERE c_custkey % 10 = 0
+      |UNION ALL
+      |SELECT 3, 'insert', c_custkey + 1000000, acctbal FROM c WHERE c_custkey % 97 = 0
+      |UNION ALL
+      |SELECT 4, 'delete', c_custkey, acctbal FROM merged WHERE c_custkey % 7 = 0
+      |ORDER BY commit_version, change_type, c_custkey""".stripMargin) { (s, d) =>
+    import graft.operators.Versioned
+    val dir = versionedCdfDir.getOrElseUpdate(d, {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-vcdf").toString + "/t"
+      val c = t(s, d, "customer").select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("acctbal"))
+      Versioned.commit(s, root, c.filter(col("c_custkey") % 2 === 1),
+        statsCols = Seq("c_custkey"))
+      Versioned.commit(s, root, c.filter(col("c_custkey") % 2 === 0),
+        statsCols = Seq("c_custkey"))
+      val updates = c.filter(col("c_custkey") % 10 === 0)
+          .withColumn("acctbal", col("acctbal") + 100)
+        .unionByName(c.filter(col("c_custkey") % 97 === 0)
+          .withColumn("c_custkey", col("c_custkey") + 1000000))
+      Versioned.mergeUpsert(s, root, updates, "c_custkey",
+        statsCols = Seq("c_custkey"), cdf = true)
+      Versioned.delete(s, root, col("c_custkey") % 7 === 0,
+        statsCols = Seq("c_custkey"), cdf = true)
+      root
+    })
+    Versioned.changeFeed(s, dir, 0L)
+      .select(col("_commit_version").as("commit_version"),
+        col("_change_type").as("change_type"),
+        col("c_custkey"), col("acctbal"))
+      .orderBy("commit_version", "change_type", "c_custkey")
+  }
+
+  /** x17's materialized versioned table per sfDir (one per JVM). */
+  private val versionedCdfDir =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   val all: Seq[Q] = Seq(x01SeedJoin, x02AsofJoin, x03Duration, x04Sessionize,
     x05ApproxDistinct, x06RangeJoin, x07Scd2History, x08AsofForward,
     x09ApproxQuantiles, x10AsofExec, x11AsofExecForward, x12AsofTtl,
-    x13HistQuantiles, x14AsofBroadcast, x15CmsFrequency, x16BloomMembership)
+    x13HistQuantiles, x14AsofBroadcast, x15CmsFrequency, x16BloomMembership,
+    x17VersionedCdf)
 }
