@@ -366,22 +366,68 @@ object Versioned {
     * operators can assert the pruning itself). */
   def candidateFiles(root: String, version: Long, col: String,
       lo: Any, hi: Any): Seq[String] =
+    candidateFilesForBounds(root, version,
+      Seq(ColumnBound(col, Some(lo), Some(hi))))
+
+  /** An inclusive per-column interval constraint; a `None` side is
+    * unbounded. ANDed across a `Seq[ColumnBound]` — the shape a
+    * conjunctive pushed-filter set reduces to. */
+  case class ColumnBound(col: String, lo: Option[Any], hi: Option[Any])
+
+  /** Multi-column stats pruning: a file survives only if, for EVERY
+    * bound, its recorded [min, max] can intersect the bound's interval.
+    * Files without stats for a bound's column are conservatively kept,
+    * so callers must still re-apply the predicates to rows. */
+  def candidateFilesForBounds(root: String, version: Long,
+      bounds: Seq[ColumnBound]): Seq[String] =
     readManifest(root, version).files.filter { f =>
-      f.stats.get(col) match {
-        case None => true // no stats recorded → must scan
-        case Some((tpe, mn, mx)) => tpe match {
-          case "long" =>
-            val (l, h) = (toLong(lo), toLong(hi))
-            !(mx.toLong < l || mn.toLong > h)
-          case "double" =>
-            val (l, h) = (toDouble(lo), toDouble(hi))
-            !(mx.toDouble < l || mn.toDouble > h)
-          case _ =>
-            val (l, h) = (lo.toString, hi.toString)
-            !(mx < l || mn > h)
+      bounds.forall { b =>
+        f.stats.get(b.col) match {
+          case None => true // no stats recorded → must scan
+          case Some((tpe, mn, mx)) => tpe match {
+            case "long" =>
+              b.lo.forall(l => mx.toLong >= toLong(l)) &&
+                b.hi.forall(h => mn.toLong <= toLong(h))
+            case "double" =>
+              b.lo.forall(l => mx.toDouble >= toDouble(l)) &&
+                b.hi.forall(h => mn.toDouble <= toDouble(h))
+            case _ =>
+              b.lo.forall(l => mx >= l.toString) &&
+                b.hi.forall(h => mn <= h.toString)
+          }
         }
       }
     }.map(_.path)
+
+  /** The table schema of `version` (latest when `None`) straight from
+    * the manifest — no file listing or footer read on the hot path. */
+  def tableSchema(spark: SparkSession, root: String,
+      version: Option[Long] = None): StructType = {
+    val v = version.orElse(latestVersion(root)).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    readManifest(root, v).schemaJson match {
+      case Some(json) => DataType.fromJson(json).asInstanceOf[StructType]
+      case None => readVersion(spark, root, v).schema
+    }
+  }
+
+  /** Total live bytes of `version` per the manifest — the exact number
+    * a relation's `sizeInBytes` should report so Catalyst can make the
+    * broadcast decision from commit-time metadata instead of a guess. */
+  def tableBytes(root: String, version: Long): Long =
+    readManifest(root, version).files.map(_.bytes).sum
+
+  /** Read a pruned subset of `version`'s live files (relative paths from
+    * [[candidateFilesForBounds]]) under the version's aligned schema; an
+    * empty subset still yields the right (empty) shape. */
+  def readVersionFiles(spark: SparkSession, root: String, version: Long,
+      relPaths: Seq[String]): DataFrame =
+    if (relPaths.isEmpty)
+      spark.createDataFrame(
+        spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+        tableSchema(spark, root, Some(version)))
+    else readAligned(spark, relPaths.map(p => new File(root, p).getPath),
+      readManifest(root, version).schemaJson)
 
   // external values (Row.get, caller literals) → the integer scale the
   // parquet footer stats use: dates are epoch days (INT32), timestamps
@@ -858,6 +904,34 @@ object Versioned {
     val (entries, _) = writeBatch(spark, root, snapshot, statsCols)
     publish(root, "overwrite", entries, expectedVersion = None,
       action = "compact", txn = None, schemaJson = snapshot.schema.json)
+  }
+
+  /** Zero-copy RESTORE (Delta's `RESTORE TABLE … TO VERSION`): publish
+    * a NEW version whose manifest references `toVersion`'s exact file
+    * set and schema BY REFERENCE. No data is read, copied, or moved —
+    * the rollback is one atomic manifest link — and the intermediate
+    * history stays fully time-travelable (and vacuum-protected, since
+    * the new head re-references the old files). Metadata-only: needs no
+    * SparkSession. */
+  def restore(root: String, toVersion: Long): Long = {
+    val m = readManifest(root, toVersion)
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    publishEntries(root, m.files, latest, "restore",
+      schemaJson = m.schemaJson.orNull)
+  }
+
+  /** DESCRIBE HISTORY: one row per retained version, straight from the
+    * manifest log. Driver-side by design — the log is O(versions) of
+    * small JSON, never O(data). */
+  def history(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    versions(root).map { v =>
+      val m = readManifest(root, v)
+      (v, m.action, m.files.size.toLong, m.files.map(_.rows).sum,
+        m.files.map(_.bytes).sum, m.txnApp, m.txnBatch, m.cdf.size.toLong)
+    }.toDF("version", "action", "num_files", "num_rows", "num_bytes",
+      "txn_app", "txn_batch", "num_change_files")
   }
 
   /** Drop all but the last `keepVersions` manifests and delete data

@@ -625,25 +625,7 @@ object ExtraQueries {
       |SELECT 4, 'delete', c_custkey, acctbal FROM merged WHERE c_custkey % 7 = 0
       |ORDER BY commit_version, change_type, c_custkey""".stripMargin) { (s, d) =>
     import graft.operators.Versioned
-    val dir = versionedCdfDir.getOrElseUpdate(d, {
-      val root = java.nio.file.Files
-        .createTempDirectory("graft-vcdf").toString + "/t"
-      val c = t(s, d, "customer").select(col("c_custkey"),
-        col("c_acctbal").cast("double").as("acctbal"))
-      Versioned.commit(s, root, c.filter(col("c_custkey") % 2 === 1),
-        statsCols = Seq("c_custkey"))
-      Versioned.commit(s, root, c.filter(col("c_custkey") % 2 === 0),
-        statsCols = Seq("c_custkey"))
-      val updates = c.filter(col("c_custkey") % 10 === 0)
-          .withColumn("acctbal", col("acctbal") + 100)
-        .unionByName(c.filter(col("c_custkey") % 97 === 0)
-          .withColumn("c_custkey", col("c_custkey") + 1000000))
-      Versioned.mergeUpsert(s, root, updates, "c_custkey",
-        statsCols = Seq("c_custkey"), cdf = true)
-      Versioned.delete(s, root, col("c_custkey") % 7 === 0,
-        statsCols = Seq("c_custkey"), cdf = true)
-      root
-    })
+    val dir = versionedCdfDir.getOrElseUpdate(d, buildVersionedCdfTable(s, d))
     Versioned.changeFeed(s, dir, 0L)
       .select(col("_commit_version").as("commit_version"),
         col("_change_type").as("change_type"),
@@ -651,13 +633,67 @@ object ExtraQueries {
       .orderBy("commit_version", "change_type", "c_custkey")
   }
 
-  /** x17's materialized versioned table per sfDir (one per JVM). */
+  /** x17/x18's materialized versioned table per sfDir (one per JVM):
+    * customer in four commits — two appends (odd then even keys), a CDF
+    * merge (+100 on %10 keys, %97 keys re-inserted shifted), a CDF
+    * delete of %7 keys. */
   private val versionedCdfDir =
     scala.collection.concurrent.TrieMap.empty[String, String]
+
+  private def buildVersionedCdfTable(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    import graft.operators.Versioned
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-vcdf").toString + "/t"
+    val c = t(s, d, "customer").select(col("c_custkey"),
+      col("c_acctbal").cast("double").as("acctbal"))
+    Versioned.commit(s, root, c.filter(col("c_custkey") % 2 === 1),
+      statsCols = Seq("c_custkey"))
+    Versioned.commit(s, root, c.filter(col("c_custkey") % 2 === 0),
+      statsCols = Seq("c_custkey"))
+    val updates = c.filter(col("c_custkey") % 10 === 0)
+        .withColumn("acctbal", col("acctbal") + 100)
+      .unionByName(c.filter(col("c_custkey") % 97 === 0)
+        .withColumn("c_custkey", col("c_custkey") + 1000000))
+    Versioned.mergeUpsert(s, root, updates, "c_custkey",
+      statsCols = Seq("c_custkey"), cdf = true)
+    Versioned.delete(s, root, col("c_custkey") % 7 === 0,
+      statsCols = Seq("c_custkey"), cdf = true)
+    root
+  }
+
+  // ---------------------------------------------------------------- x18
+  // The graft-versioned DataFrame reader, hash-gated: time travel to
+  // version 3 (post-merge, pre-delete) of the x17 table THROUGH
+  // `spark.read.format("graft-versioned")` with a range filter the
+  // relation turns into manifest-stats file pruning. DuckDB replays the
+  // version-3 state (appends + merge, no delete) with the same range.
+  // One wrong row from pruning, time travel, or schema alignment fails
+  // the hash.
+  val x18VersionedRead: Q = Q(
+    "x18_versioned_read",
+    """WITH c AS (
+      |  SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal FROM customer),
+      |merged AS (
+      |  SELECT c_custkey,
+      |    CASE WHEN c_custkey % 10 = 0 THEN acctbal + 100 ELSE acctbal END AS acctbal
+      |  FROM c
+      |  UNION ALL
+      |  SELECT c_custkey + 1000000, acctbal FROM c WHERE c_custkey % 97 = 0)
+      |SELECT c_custkey, acctbal FROM merged
+      |WHERE c_custkey BETWEEN 100 AND 400
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val dir = versionedCdfDir.getOrElseUpdate(d, buildVersionedCdfTable(s, d))
+    s.read.format(graft.sources.VersionedSource.Name)
+      .option("path", dir).option("versionAsOf", 3).load()
+      .filter(col("c_custkey").between(100, 400))
+      .select("c_custkey", "acctbal")
+      .orderBy("c_custkey")
+  }
 
   val all: Seq[Q] = Seq(x01SeedJoin, x02AsofJoin, x03Duration, x04Sessionize,
     x05ApproxDistinct, x06RangeJoin, x07Scd2History, x08AsofForward,
     x09ApproxQuantiles, x10AsofExec, x11AsofExecForward, x12AsofTtl,
     x13HistQuantiles, x14AsofBroadcast, x15CmsFrequency, x16BloomMembership,
-    x17VersionedCdf)
+    x17VersionedCdf, x18VersionedRead)
 }

@@ -1,0 +1,296 @@
+package graft.sources
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{Column, DataFrame, GraftShims, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
+import org.apache.spark.sql.functions.{col, lit}
+import org.apache.spark.sql.sources._
+import org.apache.spark.sql.streaming.OutputMode
+import org.apache.spark.sql.types.{LongType, StringType, StructType}
+
+import graft.operators.Versioned
+
+/** `spark.read`/`readStream.format("graft-versioned")` over a
+  * [[Versioned]] manifest-log table — the lakehouse-connector surface
+  * (reference: `pipelines/02-kafka-spark-iceberg/spark/jobs/
+  * silver_transform.py:118-136` reads Iceberg tables through the
+  * DataFrame reader the same way).
+  *
+  * Batch:
+  * {{{
+  *   spark.read.format("graft-versioned").option("path", root)
+  *     .option("versionAsOf", 3)            // optional time travel
+  *     .load().filter($"k" between (10, 20))
+  * }}}
+  * The relation prunes FILES from pushed filters against commit-time
+  * manifest stats before Spark ever lists them (conjunctive
+  * equality/range bounds → [[Versioned.candidateFilesForBounds]]), then
+  * re-applies the full predicates so stats gaps can't change results.
+  * It also reports `sizeInBytes` from the manifest, so a small
+  * versioned dimension auto-broadcasts on metadata instead of a guess.
+  *
+  * Streaming (the "table as a stream" lakehouse pattern):
+  * {{{
+  *   spark.readStream.format("graft-versioned").option("path", root)
+  *     .option("startingVersion", 0)        // default 0: full history
+  *     .option("maxVersionsPerTrigger", 1)  // optional admission cap
+  *     .load()                              // table cols + _change_type
+  * }}}                                      //            + _commit_version
+  * Offsets are manifest versions — already atomic, totally ordered, and
+  * checkpoint-serializable — so a micro-batch is exactly the change
+  * feed of `(start, end]` and replays are version-exact. Merge/delete
+  * versions must have been committed with `cdf = true` (enforced by
+  * [[Versioned.changeFeed]]).
+  *
+  * V1 `Source` on purpose: `getBatch` returns a DataFrame, so the feed
+  * rides Catalyst's whole parquet scan stack (pushdown, vectorized
+  * read, arbitrary schemas) instead of a hand-rolled row reader.
+  */
+class VersionedSource extends RelationProvider
+    with StreamSourceProvider with StreamSinkProvider
+    with DataSourceRegister {
+
+  override def shortName(): String = VersionedSource.Name
+
+  // ------------------------------------------------------------ batch
+  override def createRelation(sqlContext: SQLContext,
+      parameters: Map[String, String]): BaseRelation = {
+    val opts = VersionedSource.normalize(parameters)
+    new VersionedRelation(sqlContext, VersionedSource.path(opts),
+      opts.get("versionasof").map(_.toLong))
+  }
+
+  // -------------------------------------------------------- streaming
+  override def sourceSchema(sqlContext: SQLContext,
+      schema: Option[StructType], providerName: String,
+      parameters: Map[String, String]): (String, StructType) = {
+    val opts = VersionedSource.normalize(parameters)
+    val root = VersionedSource.path(opts)
+    (s"${VersionedSource.Name}:$root",
+      VersionedSource.feedSchema(sqlContext.sparkSession, root))
+  }
+
+  override def createSource(sqlContext: SQLContext,
+      metadataPath: String, schema: Option[StructType],
+      providerName: String, parameters: Map[String, String]): Source = {
+    val opts = VersionedSource.normalize(parameters)
+    new VersionedFeedSource(sqlContext.sparkSession,
+      VersionedSource.path(opts),
+      opts.get("startingversion").map(_.toLong).getOrElse(0L),
+      opts.get("maxversionspertrigger").map(_.toLong))
+  }
+
+  /** `writeStream.format("graft-versioned")` — exactly-once commits via
+    * the in-manifest (appId, batchId) guard. Append mode appends;
+    * Complete mode overwrites (each trigger replaces the snapshot — the
+    * aggregate-MV shape). The replay-guard identity defaults to the
+    * checkpoint location, which is exactly the stream identity a
+    * restart reuses; `.option("appId", …)` overrides it. */
+  override def createSink(sqlContext: SQLContext,
+      parameters: Map[String, String], partitionColumns: Seq[String],
+      outputMode: OutputMode): Sink = {
+    val opts = VersionedSource.normalize(parameters)
+    require(partitionColumns.isEmpty,
+      s"${VersionedSource.Name} sink does not support partitionBy")
+    val mode =
+      if (outputMode == OutputMode.Append()) "append"
+      else if (outputMode == OutputMode.Complete()) "overwrite"
+      else throw new IllegalArgumentException(
+        s"${VersionedSource.Name} sink supports Append and Complete, " +
+          s"got $outputMode")
+    val appId = opts.get("appid").orElse(opts.get("checkpointlocation"))
+      .getOrElse(throw new IllegalArgumentException(
+        s"""${VersionedSource.Name} sink needs a replay-guard identity: set
+           |.option("checkpointLocation", …) or .option("appId", …)"""
+          .stripMargin))
+    new VersionedTableSink(sqlContext.sparkSession,
+      VersionedSource.path(opts), appId, mode,
+      opts.get("statscols").map(_.split(",").map(_.trim).toSeq
+        .filter(_.nonEmpty)).getOrElse(Nil),
+      opts.get("mergeschema").exists(_.toBoolean))
+  }
+}
+
+object VersionedSource {
+  val Name = "graft-versioned"
+
+  private def normalize(parameters: Map[String, String]): Map[String, String] =
+    parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
+
+  private def path(opts: Map[String, String]): String =
+    opts.getOrElse("path", throw new IllegalArgumentException(
+      s"""$Name needs .option("path", <table root>)"""))
+
+  /** Stream schema = the table's latest schema + the CDC envelope. */
+  def feedSchema(spark: SparkSession, root: String): StructType =
+    Versioned.tableSchema(spark, root)
+      .add("_change_type", StringType, nullable = true)
+      .add("_commit_version", LongType, nullable = true)
+
+  /** Pushed conjunctive filters → inclusive per-column intervals for
+    * manifest-stats pruning. Only shapes that IMPLY a bound survive
+    * (`Or` never does; a strict `>` is safely widened to `>=`); values
+    * the stats comparator can't type are skipped. Package-visible so
+    * the spec asserts the translation on raw `Filter` trees. */
+  private[sources] def bounds(filters: Seq[Filter]): Seq[Versioned.ColumnBound] = {
+    def ok(v: Any): Boolean = v match {
+      case null => false
+      case _: Number | _: String | _: java.sql.Date | _: java.sql.Timestamp |
+           _: java.time.LocalDate | _: java.time.Instant => true
+      case _ => false
+    }
+    def leaves(f: Filter): Seq[Filter] = f match {
+      case And(l, r) => leaves(l) ++ leaves(r)
+      case other => Seq(other)
+    }
+    filters.flatMap(leaves).collect {
+      case EqualTo(a, v) if ok(v) => Versioned.ColumnBound(a, Some(v), Some(v))
+      case GreaterThan(a, v) if ok(v) => Versioned.ColumnBound(a, Some(v), None)
+      case GreaterThanOrEqual(a, v) if ok(v) =>
+        Versioned.ColumnBound(a, Some(v), None)
+      case LessThan(a, v) if ok(v) => Versioned.ColumnBound(a, None, Some(v))
+      case LessThanOrEqual(a, v) if ok(v) =>
+        Versioned.ColumnBound(a, None, Some(v))
+    }
+  }
+
+  /** Source `Filter` → `Column`, where expressible — re-applied inside
+    * the scan so parquet row-group pruning sees the predicates too.
+    * A partially-translatable `And` keeps the translatable side (still
+    * a superset); a partially-translatable `Or`/`Not` is dropped. */
+  private[sources] def toColumn(f: Filter): Option[Column] = f match {
+    case EqualTo(a, v) => Some(col(a) === lit(v))
+    case EqualNullSafe(a, v) => Some(col(a) <=> lit(v))
+    case GreaterThan(a, v) => Some(col(a) > lit(v))
+    case GreaterThanOrEqual(a, v) => Some(col(a) >= lit(v))
+    case LessThan(a, v) => Some(col(a) < lit(v))
+    case LessThanOrEqual(a, v) => Some(col(a) <= lit(v))
+    case In(a, vs) => Some(col(a).isin(vs.toIndexedSeq: _*))
+    case IsNull(a) => Some(col(a).isNull)
+    case IsNotNull(a) => Some(col(a).isNotNull)
+    case StringStartsWith(a, v) => Some(col(a).startsWith(v))
+    case StringEndsWith(a, v) => Some(col(a).endsWith(v))
+    case StringContains(a, v) => Some(col(a).contains(v))
+    case Not(c) => toColumn(c).map(!_)
+    case And(l, r) => (toColumn(l), toColumn(r)) match {
+      case (Some(a), Some(b)) => Some(a && b)
+      case (a, b) => a.orElse(b)
+    }
+    case Or(l, r) => for { a <- toColumn(l); b <- toColumn(r) } yield a || b
+    case _ => None
+  }
+}
+
+/** Batch relation over one pinned version of the table. */
+final class VersionedRelation(override val sqlContext: SQLContext,
+    root: String, versionAsOf: Option[Long])
+    extends BaseRelation with PrunedFilteredScan {
+
+  private val spark = sqlContext.sparkSession
+  private val version: Long = versionAsOf
+    .orElse(Versioned.latestVersion(root))
+    .getOrElse(throw new IllegalArgumentException(s"no versions at $root"))
+
+  override val schema: StructType =
+    Versioned.tableSchema(spark, root, Some(version))
+
+  // commit-time truth, not an estimate: Σ live file bytes from the
+  // manifest — this is what lets Catalyst broadcast a small versioned
+  // dimension without AQE having to discover the size at runtime
+  override def sizeInBytes: Long = Versioned.tableBytes(root, version)
+
+  // every filter is re-applied by Spark above the scan: stats pruning
+  // (files) and the translated in-scan predicates (row groups) are
+  // both strictly advisory, so stats gaps can never change results
+  override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
+
+  override def buildScan(requiredColumns: Array[String],
+      filters: Array[Filter]): RDD[Row] = {
+    val pruned = Versioned.candidateFilesForBounds(root, version,
+      VersionedSource.bounds(filters.toIndexedSeq))
+    val base = Versioned.readVersionFiles(spark, root, version, pruned)
+    val filtered = filters.toIndexedSeq.flatMap(VersionedSource.toColumn)
+      .foldLeft(base)(_ filter _)
+    filtered.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
+  }
+
+  override def toString: String =
+    s"VersionedRelation($root, v$version)"
+}
+
+/** Version offset: the manifest version the batch read UP TO
+  * (inclusive) — the table's own commit log is the stream's WAL. */
+final case class VersionOffset(v: Long) extends OffsetV1 {
+  override def json(): String = v.toString
+}
+
+/** The V1 streaming source over [[Versioned.changeFeed]]. A micro-batch
+  * `(start, end]` is the exact row-level change feed of those versions;
+  * `maxVersionsPerTrigger` caps how many versions one trigger admits. */
+final class VersionedFeedSource(spark: SparkSession, root: String,
+    startingVersion: Long, maxVersionsPerTrigger: Option[Long])
+    extends Source {
+
+  override val schema: StructType = VersionedSource.feedSchema(spark, root)
+
+  // the highest version already handed to the engine (planned or
+  // recovered); the engine re-calls getBatch for the last batch on
+  // restart BEFORE polling getOffset again — the documented V1
+  // contract Kafka's source relies on — so this re-syncs past the
+  // checkpoint and a rate-limited restart can never re-admit or skip
+  @volatile private var lastPlanned: Long = startingVersion
+
+  private def ver(o: OffsetV1): Long = o.json().toLong
+
+  override def getOffset: Option[OffsetV1] = {
+    val latest = Versioned.latestVersion(root).getOrElse(return None)
+    val target = maxVersionsPerTrigger
+      .map(n => math.min(latest, lastPlanned + math.max(1L, n)))
+      .getOrElse(latest)
+    if (target > lastPlanned) lastPlanned = target
+    if (lastPlanned > startingVersion) Some(VersionOffset(lastPlanned))
+    else None
+  }
+
+  override def getBatch(start: Option[OffsetV1], end: OffsetV1): DataFrame = {
+    val from = start.map(ver).getOrElse(startingVersion)
+    val to = ver(end)
+    lastPlanned = math.max(lastPlanned, to) // restart re-sync
+    val feed = Versioned.changeFeed(spark, root, from, Some(to))
+      // pin the declared schema: an evolved table fails the run loudly
+      // here (restart picks up the new schema), never emits drift
+      .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    GraftShims.internalCreateDataFrame(spark,
+      feed.queryExecution.toRdd, schema, isStreaming = true)
+  }
+
+  override def stop(): Unit = ()
+
+  override def toString: String =
+    s"VersionedFeedSource($root, from=$startingVersion)"
+}
+
+/** The V1 streaming sink: every micro-batch is one atomic manifest
+  * commit with the (appId, batchId) replay guard riding IN it
+  * ([[Versioned.commitIfNew]]) — a replayed batch is recognized from
+  * the table's own log and skipped, so the sink is exactly-once with
+  * no side ledger that could diverge from the data under a crash. */
+final class VersionedTableSink(spark: SparkSession, root: String,
+    appId: String, mode: String, statsCols: Seq[String],
+    mergeSchema: Boolean) extends Sink {
+
+  override def addBatch(batchId: Long, data: DataFrame): Unit = {
+    // the incremental frame arrives isStreaming=true and can't be
+    // written directly; re-wrap its physical plan as a batch frame
+    // (the standard V1 sink hop — toRdd executes lazily, once)
+    val batch = GraftShims.internalCreateDataFrame(spark,
+      data.queryExecution.toRdd, data.schema, isStreaming = false)
+    Versioned.commitIfNew(spark, root, batch, appId, batchId,
+      statsCols = statsCols, mode = mode, mergeSchema = mergeSchema)
+  }
+
+  override def name(): String = s"${VersionedSource.Name}:$root"
+
+  override def toString: String =
+    s"VersionedTableSink($root, $mode, appId=$appId)"
+}

@@ -22,6 +22,16 @@ object GraftShims {
       plan: org.apache.spark.sql.catalyst.plans.logical.LogicalPlan): DataFrame =
     classic.Dataset.ofRows(spark.asInstanceOf[classic.SparkSession], plan)
 
+  /** DataFrame over an InternalRow RDD with `isStreaming` set — the
+    * contract a V1 streaming `Source.getBatch` must satisfy (the engine
+    * asserts it); same hop `FileStreamSource` takes internally. */
+  def internalCreateDataFrame(spark: SparkSession,
+      rdd: org.apache.spark.rdd.RDD[org.apache.spark.sql.catalyst.InternalRow],
+      schema: org.apache.spark.sql.types.StructType,
+      isStreaming: Boolean): DataFrame =
+    spark.asInstanceOf[classic.SparkSession]
+      .internalCreateDataFrame(rdd, schema, isStreaming)
+
   /** Register a SQL function on a LIVE session's function registry —
     * extensions bind at session build; this is the post-hoc path. */
   def registerFunction(spark: SparkSession,

@@ -219,4 +219,39 @@ class VersionedSpec extends SparkSpec {
       Versioned.readVersion(spark, root, 1)
     }
   }
+
+  test("restore is zero-copy rollback; history describes the log") {
+    val root = freshRoot()
+    Versioned.commit(spark, root, batch(1 to 10, "a"), statsCols = Seq("id"))
+    Versioned.commit(spark, root, batch(11 to 20, "a"), statsCols = Seq("id"))
+    Versioned.delete(spark, root, col("id") <= 5, statsCols = Seq("id"))
+    assert(Versioned.read(spark, root).count() === 15)
+    val dataFilesBefore = {
+      val d = new java.io.File(root, "data")
+      d.listFiles().flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    }
+    val v = Versioned.restore(root, 2) // back to pre-delete
+    assert(v === 4L)
+    assert(Versioned.read(spark, root).as[(Long, String, Double)]
+      .collect().toSet ===
+      batch(1 to 20, "a").as[(Long, String, Double)].collect().toSet)
+    // zero-copy: not one new data file was written for the rollback
+    val dataFilesAfter = {
+      val d = new java.io.File(root, "data")
+      d.listFiles().flatMap(_.listFiles()).count(_.getName.endsWith(".parquet"))
+    }
+    assert(dataFilesAfter === dataFilesBefore)
+    // the rolled-back state stays time-travelable
+    assert(Versioned.readVersion(spark, root, 3).count() === 15)
+
+    val h = Versioned.history(spark, root)
+      .select("version", "action", "num_rows")
+      .as[(Long, String, Long)].collect().toSeq
+    assert(h === Seq((1L, "append", 10L), (2L, "append", 20L),
+      (3L, "delete", 15L), (4L, "restore", 20L)))
+
+    // and vacuum keeps the restored head's files
+    Versioned.vacuum(root, keepVersions = 1, minAgeMs = 0L)
+    assert(Versioned.read(spark, root).count() === 20)
+  }
 }
