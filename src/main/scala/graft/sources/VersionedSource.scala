@@ -121,9 +121,11 @@ object VersionedSource {
     opts.getOrElse("path", throw new IllegalArgumentException(
       s"""$Name needs .option("path", <table root>)"""))
 
-  /** Stream schema = the table's latest schema + the CDC envelope. */
-  def feedSchema(spark: SparkSession, root: String): StructType =
-    Versioned.tableSchema(spark, root)
+  /** Stream schema = the table's schema at `version` (latest when
+    * `None`) + the CDC envelope. */
+  def feedSchema(spark: SparkSession, root: String,
+      version: Option[Long] = None): StructType =
+    Versioned.tableSchema(spark, root, version)
       .add("_change_type", StringType, nullable = true)
       .add("_commit_version", LongType, nullable = true)
 
@@ -204,6 +206,12 @@ final class VersionedRelation(override val sqlContext: SQLContext,
   // both strictly advisory, so stats gaps can never change results
   override def unhandledFilters(filters: Array[Filter]): Array[Filter] = filters
 
+  // the scan below already produces InternalRows from the native
+  // parquet exec; declaring needConversion=false skips the per-row
+  // external↔internal round-trip the V1 default would add (the
+  // documented BaseRelation contract for exactly this case)
+  override def needConversion: Boolean = false
+
   override def buildScan(requiredColumns: Array[String],
       filters: Array[Filter]): RDD[Row] = {
     val pruned = Versioned.candidateFilesForBounds(root, version,
@@ -211,7 +219,8 @@ final class VersionedRelation(override val sqlContext: SQLContext,
     val base = Versioned.readVersionFiles(spark, root, version, pruned)
     val filtered = filters.toIndexedSeq.flatMap(VersionedSource.toColumn)
       .foldLeft(base)(_ filter _)
-    filtered.select(requiredColumns.toIndexedSeq.map(col): _*).rdd
+    filtered.select(requiredColumns.toIndexedSeq.map(col): _*)
+      .queryExecution.toRdd.asInstanceOf[RDD[Row]]
   }
 
   override def toString: String =
@@ -256,10 +265,28 @@ final class VersionedFeedSource(spark: SparkSession, root: String,
     val from = start.map(ver).getOrElse(startingVersion)
     val to = ver(end)
     lastPlanned = math.max(lastPlanned, to) // restart re-sync
-    val feed = Versioned.changeFeed(spark, root, from, Some(to))
-      // pin the declared schema: an evolved table fails the run loudly
-      // here (restart picks up the new schema), never emits drift
-      .select(schema.fieldNames.toIndexedSeq.map(col): _*)
+    // schema is pinned at stream start. HISTORY older than the pin is
+    // fine — versions from before a column existed null-fill into the
+    // pinned schema, exactly like time travel. But once a version
+    // EVOLVES PAST the pin (a column or type the pinned schema doesn't
+    // have), the run must FAIL (a restart re-pins), never silently
+    // drop or mistype drifted columns — the lakehouse-source contract.
+    // Shapes are (name, type) pairs: nullability flags legitimately
+    // drift between manifests (joins/unions relax them).
+    def shape(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType.sql))
+    val pinned = shape(schema).toSet
+    val now = VersionedSource.feedSchema(spark, root, Some(to))
+    if (!shape(now).forall(pinned.contains)) throw new IllegalStateException(
+      s"schema of versioned table at $root changed by version $to " +
+        s"(stream started on ${schema.simpleString}, table is now " +
+        s"${now.simpleString}); restart the streaming query to pick " +
+        "up the new schema")
+    val raw = Versioned.changeFeed(spark, root, from, Some(to))
+    val have = raw.columns.toSet
+    val feed = raw.select(schema.fields.toSeq.map { f =>
+      if (have(f.name)) col(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    }: _*)
     GraftShims.internalCreateDataFrame(spark,
       feed.queryExecution.toRdd, schema, isStreaming = true)
   }

@@ -161,6 +161,57 @@ class VersionedSourceSpec extends SparkSpec {
     assert(rows.count(_ == (4L, "insert", 20L, "z")) === 1)
   }
 
+  test("mid-stream schema evolution fails the run; a restart recovers") {
+    val root = freshRoot()
+    Versioned.commit(spark, root, Seq((1L, "a")).toDF("id", "tag"),
+      statsCols = Seq("id"))
+    val q = spark.readStream.format(VersionedSource.Name)
+      .option("path", root).load()
+      .writeStream.format("memory").queryName("vfeed_evo").start()
+    try {
+      q.processAllAvailable() // drains v1 under the pinned schema
+      Versioned.commit(spark, root,
+        Seq((2L, "b", 1.5)).toDF("id", "tag", "w"), mergeSchema = true)
+      val e = intercept[org.apache.spark.sql.streaming.StreamingQueryException] {
+        q.processAllAvailable()
+      }
+      assert(e.getMessage.contains("restart the streaming query"),
+        s"unexpected failure: ${e.getMessage}")
+    } finally q.stop()
+    // a fresh start sees the evolved schema and replays the history
+    // aligned to it (v1's insert null-fills the new column)
+    val q2 = spark.readStream.format(VersionedSource.Name)
+      .option("path", root).load()
+      .writeStream.format("memory").queryName("vfeed_evo2")
+      .trigger(Trigger.AvailableNow()).start()
+    q2.processAllAvailable(); q2.stop()
+    val got = spark.table("vfeed_evo2")
+      .select("_commit_version", "id", "tag", "w")
+      .as[(Long, Long, String, Option[Double])].collect().toSet
+    assert(got === Set((1L, 1L, "a", None), (2L, 2L, "b", Some(1.5))))
+  }
+
+  test("pre-pin history null-fills into the pinned schema, one version at a time") {
+    // the table evolved BEFORE the stream started; a rate-limited
+    // stream must still drain the old-schema versions (null-filled),
+    // exactly like time travel under the latest schema
+    val root = freshRoot()
+    Versioned.commit(spark, root, Seq((1L, "a")).toDF("id", "tag"),
+      statsCols = Seq("id"))
+    Versioned.commit(spark, root,
+      Seq((2L, "b", 1.5)).toDF("id", "tag", "w"), mergeSchema = true)
+    val q = spark.readStream.format(VersionedSource.Name)
+      .option("path", root).option("maxVersionsPerTrigger", 1).load()
+      .writeStream.format("memory").queryName("vfeed_prepin").start()
+    try {
+      q.processAllAvailable()
+      val got = spark.table("vfeed_prepin")
+        .select("_commit_version", "id", "tag", "w")
+        .as[(Long, Long, String, Option[Double])].collect().toSet
+      assert(got === Set((1L, 1L, "a", None), (2L, 2L, "b", Some(1.5))))
+    } finally q.stop()
+  }
+
   test("maxVersionsPerTrigger admits one version per micro-batch") {
     val root = cdcTable()
     val q = spark.readStream.format(VersionedSource.Name)
