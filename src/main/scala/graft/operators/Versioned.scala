@@ -83,7 +83,13 @@ object Versioned {
       schemaJson: Option[String] = None,
       // row-level change files (Delta CDF): written by merge/delete when
       // cdf=true, read by changeFeed; relative paths like data files
-      cdf: Seq[String] = Nil)
+      cdf: Seq[String] = Nil,
+      // merge-on-read deletes still pending materialization: each entry
+      // is a predicate plus the EXACT files it applies to (the live set
+      // at delete time), so later appends are never retro-deleted
+      mor: Seq[MorDelete] = Nil)
+
+  private case class MorDelete(pred: String, files: Seq[String])
 
   private def logDir(root: String) = new File(root, "_graft_log")
   private def manifestFile(root: String, v: Long) =
@@ -241,7 +247,7 @@ object Versioned {
         if (mode == "append") currentFiles(root, parent) else Seq.empty
       try {
         publishEntries(root, base ++ entries, parent.getOrElse(0L), mode,
-          Some((appId, batchId)), schema)
+          Some((appId, batchId)), schema, mor = carriedMor(root, parent, mode))
         return true
       } catch {
         case _: VersionConflictException => // table moved: re-check guard
@@ -278,11 +284,19 @@ object Versioned {
     }
     val base = if (mode == "append") currentFiles(root, latest) else Seq.empty
     publishEntries(root, base ++ newEntries, latest.getOrElse(0L), action,
-      txn, schemaJson)
+      txn, schemaJson, mor = carriedMor(root, latest, mode))
   }
 
   private def currentFiles(root: String, v: Option[Long]): Seq[FileEntry] =
     v.map(ver => readManifest(root, ver).files).getOrElse(Seq.empty)
+
+  // appends CARRY pending merge-on-read deletes forward (they apply to
+  // the files they were recorded against, never the new ones);
+  // overwrite/compact replace the live set, so pending deletes die
+  private def carriedMor(root: String, parent: Option[Long],
+      mode: String): Seq[MorDelete] =
+    if (mode != "append") Nil
+    else parent.map(readManifest(root, _).mor).getOrElse(Nil)
 
   // ------------------------------------------------------------ read
 
@@ -294,12 +308,32 @@ object Versioned {
 
   /** Time travel: the exact file set published as version `v`, under
     * version `v`'s OWN schema (evolution is versioned too: a snapshot
-    * from before a column existed doesn't have it). */
+    * from before a column existed doesn't have it), minus any pending
+    * merge-on-read deletes recorded as of `v`. */
   def readVersion(spark: SparkSession, root: String, v: Long): DataFrame = {
     val m = readManifest(root, v)
-    val paths = m.files.map(f => new File(root, f.path).getPath)
-    if (paths.isEmpty) emptyLike(spark, root)
-    else readAligned(spark, paths, m.schemaJson)
+    if (m.files.isEmpty) emptyLike(spark, root)
+    else readLive(spark, root, m, m.files.map(_.path))
+  }
+
+  /** Read `relPaths` of manifest `m`, aligned to its schema, with each
+    * file anti-filtered by exactly the pending merge-on-read predicates
+    * that apply to IT (files are grouped by applicable predicate set,
+    * so an appended-after-delete file is never retro-deleted and the
+    * union stays a few-way plan, not per-file). */
+  private def readLive(spark: SparkSession, root: String, m: Manifest,
+      relPaths: Seq[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val predFiles = m.mor.map(d => (d.pred, d.files.toSet))
+    val groups = relPaths.groupBy(p =>
+      predFiles.collect { case (pred, fs) if fs(p) => pred })
+    groups.map { case (preds, paths) =>
+      val df = readAligned(spark, paths.map(p => new File(root, p).getPath),
+        m.schemaJson)
+      // SQL DELETE semantics per predicate: remove cond=true, KEEP null
+      preds.foldLeft(df)((d, p) =>
+        d.filter(not(coalesce(expr(p), lit(false)))))
+    }.reduce(_ unionByName _)
   }
 
   /** Read parquet `paths` under the manifest's table schema: files
@@ -357,8 +391,7 @@ object Versioned {
     val keep = candidateFiles(root, v, col, lo, hi)
     val df =
       if (keep.isEmpty) readVersion(spark, root, v).limit(0)
-      else readAligned(spark, keep.map(p => new File(root, p).getPath),
-        readManifest(root, v).schemaJson)
+      else readLive(spark, root, readManifest(root, v), keep)
     df.filter(c(col) >= lit(lo) && c(col) <= lit(hi))
   }
 
@@ -418,16 +451,16 @@ object Versioned {
     readManifest(root, version).files.map(_.bytes).sum
 
   /** Read a pruned subset of `version`'s live files (relative paths from
-    * [[candidateFilesForBounds]]) under the version's aligned schema; an
-    * empty subset still yields the right (empty) shape. */
+    * [[candidateFilesForBounds]]) under the version's aligned schema,
+    * pending merge-on-read deletes applied; an empty subset still
+    * yields the right (empty) shape. */
   def readVersionFiles(spark: SparkSession, root: String, version: Long,
       relPaths: Seq[String]): DataFrame =
     if (relPaths.isEmpty)
       spark.createDataFrame(
         spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
         tableSchema(spark, root, Some(version)))
-    else readAligned(spark, relPaths.map(p => new File(root, p).getPath),
-      readManifest(root, version).schemaJson)
+    else readLive(spark, root, readManifest(root, version), relPaths)
 
   // external values (Row.get, caller literals) → the integer scale the
   // parquet footer stats use: dates are epoch days (INT32), timestamps
@@ -490,6 +523,10 @@ object Versioned {
         s"table at $root is at version $latest, expected $ev")
     }
     val m = readManifest(root, latest)
+    require(m.mor.isEmpty, s"table at $root has ${m.mor.size} pending " +
+      "merge-on-read delete(s); compact to materialize them before a " +
+      "copy-on-write merge (its by-reference file carry would resurrect " +
+      "deleted rows)")
     // null update keys never equi-match an existing row (the anti-join
     // below keeps everything), and footer min/max never cover nulls —
     // they are pure inserts, so they touch no file
@@ -583,6 +620,10 @@ object Versioned {
         s"table at $root is at version $latest, expected $ev")
     }
     val m = readManifest(root, latest)
+    require(m.mor.isEmpty, s"table at $root has ${m.mor.size} pending " +
+      "merge-on-read delete(s); compact to materialize them before a " +
+      "copy-on-write delete (its by-reference file carry would resurrect " +
+      "deleted rows)")
     val condExpr = resolvedPredicate(spark, root, cond)
     val (touched, untouched) =
       m.files.partition(f => mayMatch(f.stats, condExpr))
@@ -597,6 +638,53 @@ object Versioned {
     val (newEntries, schema) = writeBatch(spark, root, kept, statsCols)
     publishEntries(root, untouched ++ newEntries, latest, "delete",
       schemaJson = schema, cdf = cdfPaths)
+  }
+
+  /** Merge-on-read DELETE: record the predicate in the manifest instead
+    * of rewriting any data — the deletion-vector economics in predicate
+    * form. The commit is O(manifest): no data file is read, written, or
+    * moved, at ANY table size (a copy-on-write delete is O(matching
+    * files) of read+write; at 100 TB that difference is the whole
+    * point). Readers anti-filter exactly the files the predicate may
+    * touch — scoped HERE at commit time from manifest stats, so a
+    * pending delete adds zero cost to reads of files it provably
+    * can't affect, and later appends are never retro-deleted.
+    *
+    * Pending deletes survive appends, streaming-sink commits, restore,
+    * and time travel; `compact` (or any overwrite) materializes and
+    * clears them. Copy-on-write [[mergeUpsert]]/[[delete]] refuse while
+    * deletes are pending — compact first. [[changeFeed]] replays a
+    * pending delete's row envelopes LAZILY from the immutable files it
+    * applies to (deterministic, no change files needed).
+    *
+    * The predicate must round-trip as SQL text (validated against the
+    * table schema here, so a typo fails at delete time, not read time).
+    *
+    * @return the new version, or the current one when manifest stats
+    *         prove no file could match (a provable no-op)
+    */
+  def deleteDeferred(spark: SparkSession, root: String, cond: Column,
+      expectedVersion: Option[Long] = None): Long = {
+    import org.apache.spark.sql.functions.expr
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root to delete from"))
+    expectedVersion.foreach { ev =>
+      if (ev != latest) throw new VersionConflictException(
+        s"table at $root is at version $latest, expected $ev")
+    }
+    val m = readManifest(root, latest)
+    // analyzer-resolved against the table schema (fails fast on unknown
+    // columns); the RESOLVED expression's .sql is the text that
+    // round-trips through expr() at read time
+    val condExpr = resolvedPredicate(spark, root, cond)
+    val predSql = condExpr.sql
+    readVersion(spark, root, latest).limit(0).filter(expr(predSql))
+      .queryExecution.analyzed // prove the round-trip parses, at delete time
+    val touched = m.files.filter(f => mayMatch(f.stats, condExpr)).map(_.path)
+    if (touched.isEmpty) return latest
+    publishEntries(root, m.files, latest, "mor-delete",
+      schemaJson = m.schemaJson.orNull,
+      mor = m.mor :+ MorDelete(predSql, touched))
   }
 
   // --------------------------------------- predicate interval analysis
@@ -712,12 +800,13 @@ object Versioned {
       parent: Long, action: String,
       txn: Option[(String, Long)] = None,
       schemaJson: String = null,
-      cdf: Seq[String] = Nil): Long = {
+      cdf: Seq[String] = Nil,
+      mor: Seq[MorDelete] = Nil): Long = {
     logDir(root).mkdirs()
     val next = parent + 1
     val manifest = Manifest(next, action, files,
       txnApp = txn.map(_._1), txnBatch = txn.map(_._2),
-      schemaJson = Option(schemaJson), cdf = cdf)
+      schemaJson = Option(schemaJson), cdf = cdf, mor = mor)
     val tmp = File.createTempFile(s".v$next-", ".json", logDir(root))
     Files.writeString(tmp.toPath, renderJson(manifest))
     try {
@@ -805,7 +894,7 @@ object Versioned {
     * change files are immutable commit artifacts). */
   def changeFeed(spark: SparkSession, root: String, afterVersion: Long,
       untilVersion: Option[Long] = None): DataFrame = {
-    import org.apache.spark.sql.functions.{col => c, lit}
+    import org.apache.spark.sql.functions.{coalesce, col => c, expr, lit}
     val upTo = untilVersion.orElse(latestVersion(root)).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root"))
     val vs = versions(root).filter(v => v > afterVersion && v <= upTo)
@@ -825,6 +914,19 @@ object Versioned {
               .withColumn("_change_type", lit("insert"))
               .withColumn("_commit_version", lit(v))
         case "compact" => // row-identical: nothing to emit
+        case "mor-delete" =>
+          // replay LAZILY from the immutable files the predicate was
+          // scoped to: those files under the PARENT's pending
+          // predicates, matching the one this version added. No change
+          // files exist or are needed — the construction is
+          // deterministic from the manifest alone.
+          val d = man.mor.last
+          val parentLike = man.copy(mor = man.mor.dropRight(1),
+            schemaJson = schemaJson)
+          pieces += readLive(spark, root, parentLike, d.files)
+            .filter(coalesce(expr(d.pred), lit(false)))
+            .withColumn("_change_type", lit("delete"))
+            .withColumn("_commit_version", lit(v))
         case "merge" | "delete" =>
           if (man.cdf.isEmpty) throw new IllegalArgumentException(
             s"version $v at $root is a '${man.action}' committed without " +
@@ -918,20 +1020,23 @@ object Versioned {
     val latest = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root"))
     publishEntries(root, m.files, latest, "restore",
-      schemaJson = m.schemaJson.orNull)
+      schemaJson = m.schemaJson.orNull, mor = m.mor)
   }
 
   /** DESCRIBE HISTORY: one row per retained version, straight from the
     * manifest log. Driver-side by design — the log is O(versions) of
-    * small JSON, never O(data). */
+    * small JSON, never O(data). `num_rows`/`num_bytes` are file-level
+    * manifest sums (rows a pending merge-on-read delete will remove
+    * are still counted until compact materializes them). */
   def history(spark: SparkSession, root: String): DataFrame = {
     import spark.implicits._
     versions(root).map { v =>
       val m = readManifest(root, v)
       (v, m.action, m.files.size.toLong, m.files.map(_.rows).sum,
-        m.files.map(_.bytes).sum, m.txnApp, m.txnBatch, m.cdf.size.toLong)
+        m.files.map(_.bytes).sum, m.txnApp, m.txnBatch, m.cdf.size.toLong,
+        m.mor.size.toLong)
     }.toDF("version", "action", "num_files", "num_rows", "num_bytes",
-      "txn_app", "txn_batch", "num_change_files")
+      "txn_app", "txn_batch", "num_change_files", "num_pending_deletes")
   }
 
   /** Drop all but the last `keepVersions` manifests and delete data
@@ -1003,7 +1108,10 @@ object Versioned {
     val withTxn = base ++
       m.txnApp.map("txnApp" -> _) ++ m.txnBatch.map("txnBatch" -> (_: Any)) ++
       m.schemaJson.map("schema" -> _) ++
-      (if (m.cdf.isEmpty) Nil else Seq("cdf" -> m.cdf.asJava))
+      (if (m.cdf.isEmpty) Nil else Seq("cdf" -> m.cdf.asJava)) ++
+      (if (m.mor.isEmpty) Nil else Seq("mor" -> m.mor.map(d =>
+        Map[String, Any]("pred" -> d.pred,
+          "files" -> d.files.asJava).asJava).asJava))
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(withTxn.asJava)
   }
 
@@ -1027,7 +1135,11 @@ object Versioned {
       txnBatch = Option(node.get("txnBatch")).map(_.asLong()),
       schemaJson = Option(node.get("schema")).map(_.asText()),
       cdf = Option(node.get("cdf")).map(_.elements().asScala
-        .map(_.asText()).toSeq).getOrElse(Nil))
+        .map(_.asText()).toSeq).getOrElse(Nil),
+      mor = Option(node.get("mor")).map(_.elements().asScala.map { d =>
+        MorDelete(d.get("pred").asText(), d.get("files").elements()
+          .asScala.map(_.asText()).toSeq)
+      }.toSeq).getOrElse(Nil))
   }
 
   // --------------------------------------------------- footer stats

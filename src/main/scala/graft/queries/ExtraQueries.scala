@@ -691,9 +691,45 @@ object ExtraQueries {
       .orderBy("c_custkey")
   }
 
+  // ---------------------------------------------------------------- x19
+  // Merge-on-read DELETE, hash-gated: customer lands in two appends,
+  // then ONE metadata-only deleteDeferred (no data file read or
+  // written — the deletion-vector economics) records the predicate in
+  // the manifest; the read through the registered data source must
+  // anti-filter exactly those rows. DuckDB replays with a plain WHERE
+  // NOT over the raw table — one row resurrected or over-deleted
+  // anywhere in the predicate scoping, per-file application, or SQL
+  // round-trip fails the hash.
+  val x19MorDelete: Q = Q(
+    "x19_mor_delete",
+    """SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal FROM customer
+      |WHERE NOT (c_custkey % 7 = 0)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    import graft.operators.Versioned
+    val dir = morDeleteDir.getOrElseUpdate(d, {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-vmor").toString + "/t"
+      val c = t(s, d, "customer").select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("acctbal"))
+      Versioned.commit(s, root, c.filter(col("c_custkey") % 2 === 1),
+        statsCols = Seq("c_custkey"))
+      Versioned.commit(s, root, c.filter(col("c_custkey") % 2 === 0),
+        statsCols = Seq("c_custkey"))
+      Versioned.deleteDeferred(s, root, col("c_custkey") % 7 === 0)
+      root
+    })
+    s.read.format(graft.sources.VersionedSource.Name)
+      .option("path", dir).load()
+      .select("c_custkey", "acctbal")
+      .orderBy("c_custkey")
+  }
+
+  private val morDeleteDir =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   val all: Seq[Q] = Seq(x01SeedJoin, x02AsofJoin, x03Duration, x04Sessionize,
     x05ApproxDistinct, x06RangeJoin, x07Scd2History, x08AsofForward,
     x09ApproxQuantiles, x10AsofExec, x11AsofExecForward, x12AsofTtl,
     x13HistQuantiles, x14AsofBroadcast, x15CmsFrequency, x16BloomMembership,
-    x17VersionedCdf, x18VersionedRead)
+    x17VersionedCdf, x18VersionedRead, x19MorDelete)
 }
