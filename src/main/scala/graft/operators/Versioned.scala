@@ -1008,6 +1008,46 @@ object Versioned {
       action = "compact", txn = None, schemaJson = snapshot.schema.json)
   }
 
+  /** Incremental OPTIMIZE: bin-pack only files SMALLER than
+    * `targetBytes` into ~targetBytes outputs; files already at or above
+    * the target are carried BY REFERENCE — zero bytes read or written
+    * for them. Cost is O(small-file debt), not O(table): on a 100 TB
+    * table fed by streaming micro-batches this is the difference
+    * between a routine maintenance tick and a full rewrite
+    * ([[compact]] remains the full rewrite).
+    *
+    * Pending merge-on-read deletes interact exactly right: predicates
+    * touching REWRITTEN files are materialized by the rewrite (the
+    * pack reads through [[readLive]]) and dropped for those files;
+    * predicates scoped to carried files stay pending, still scoped to
+    * them. Live rows are identical before and after, so the action is
+    * "compact" and change feeds skip it losslessly.
+    *
+    * @return the new version, or the current one when there is nothing
+    *         to pack (≤1 small file and no pending delete to fold in)
+    */
+  def optimize(spark: SparkSession, root: String,
+      targetBytes: Long = 128L * 1024 * 1024,
+      statsCols: Seq[String] = Nil): Long = {
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    val m = readManifest(root, latest)
+    val (small, big) = m.files.partition(_.bytes < targetBytes)
+    val smallSet = small.map(_.path).toSet
+    val predOnSmall = m.mor.exists(_.files.exists(smallSet))
+    if (small.isEmpty || (small.size == 1 && !predOnSmall)) return latest
+    val packed = readLive(spark, root, m, small.map(_.path))
+    val nOut = math.max(1L, math.ceil(
+      small.map(_.bytes).sum.toDouble / targetBytes).toLong).toInt
+    val (entries, _) = writeBatch(spark, root, packed.coalesce(nOut), statsCols)
+    val carried = big.map(_.path).toSet
+    val stillPending = m.mor
+      .map(d => d.copy(files = d.files.filter(carried)))
+      .filter(_.files.nonEmpty)
+    publishEntries(root, big ++ entries, latest, "compact",
+      schemaJson = m.schemaJson.orNull, mor = stillPending)
+  }
+
   /** Zero-copy RESTORE (Delta's `RESTORE TABLE … TO VERSION`): publish
     * a NEW version whose manifest references `toVersion`'s exact file
     * set and schema BY REFERENCE. No data is read, copied, or moved —

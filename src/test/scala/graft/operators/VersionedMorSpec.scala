@@ -112,6 +112,41 @@ class VersionedMorSpec extends SparkSpec {
     assert(feed(a).count(_._2 == "delete") === 3)
   }
 
+  test("optimize packs only small files and folds in their pending deletes") {
+    val root = freshRoot()
+    // one "big" file (1000 rows) + two tiny ones
+    Versioned.commit(spark, root,
+      (1L to 1000L).map(i => (i, s"r$i")).toDF("id", "tag").coalesce(1),
+      statsCols = Seq("id"))
+    Versioned.commit(spark, root,
+      Seq((2001L, "s"), (2002L, "s")).toDF("id", "tag").coalesce(1),
+      statsCols = Seq("id"))
+    Versioned.commit(spark, root,
+      Seq((2005L, "s")).toDF("id", "tag").coalesce(1),
+      statsCols = Seq("id"))
+    // stats scope: one pred only touches the big file, one only small
+    Versioned.deleteDeferred(spark, root, col("id") === 5L)
+    Versioned.deleteDeferred(spark, root, col("id") === 2005L)
+    val files3 = Versioned.files(root, 3)
+    val bigPath = files3.head // v1's single file listed first
+    val bigBytes = new java.io.File(root, bigPath).length()
+    // threshold at the big file's size: big carried, tiny ones packed
+    val v = Versioned.optimize(spark, root, targetBytes = bigBytes,
+      statsCols = Seq("id"))
+    val after = Versioned.files(root, v)
+    assert(after.contains(bigPath), "big file was rewritten, not carried")
+    assert(after.size === 2, s"expected big + one packed file: $after")
+    // the small-file pred materialized; the big-file pred stays pending
+    assert(Versioned.history(spark, root).filter(col("version") === v)
+      .select("num_pending_deletes").as[Long].head() === 1L)
+    // and rows are exactly the MOR-filtered set: 1000 - {5} + 3 - {2005}
+    assert(Versioned.read(spark, root).count() === 1001L)
+    assert(Versioned.read(spark, root)
+      .filter(col("id").isin(5L, 2005L)).count() === 0L)
+    // optimizing again with nothing to pack is a no-op version-wise
+    assert(Versioned.optimize(spark, root, targetBytes = 1L) === v)
+  }
+
   test("pruned, source, and restored reads respect pending deletes") {
     val root = freshRoot()
     Seq(1L to 10L, 11L to 20L).foreach { r =>
