@@ -672,4 +672,44 @@ object Similarity {
       .filter(rawCos >= threshold)
       .select(col("i"), col("j"), round(rawCos, 6).as("cos_sim"))
   }
+
+  /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic
+    * deduplication by embedding clusters — the published LLM-curation
+    * technique. K-means cells come from the deterministic [[ivfIndex]]
+    * Lloyd step; near-dup pairs are found ONLY within a cell (the
+    * paper's complexity lever: nCentroids scales with the corpus —
+    * ~50k clusters on LAION — so cell size, and with it the per-cell
+    * quadratic, stays bounded); per duplicate relation the KEPT member
+    * is the one FARTHEST from its cell centroid (the paper's
+    * keep-lowest-centroid-similarity rule: the most atypical exemplar
+    * carries the most information), ties by lower id.
+    *
+    * The keep rule is a declarative TOURNAMENT — a vector is dropped
+    * iff some cell-mate with better keep-rank (lower rounded
+    * centroid-cosine, then lower id) is its ≥ `threshold` neighbor —
+    * so there is no iterative component labeling, just one cell-keyed
+    * self-join and an anti-join. Returns the kept rows
+    * (vid, cid, cent_sim). */
+  def semDedup(vectors: DataFrame, threshold: Double,
+      nCentroids: Int = 16): DataFrame = {
+    val (refined, cells) = ivfIndex(vectors, nCentroids)
+    val members = cells.join(broadcast(refined), "cid")
+      .select(col("neighbor_id").as("vid"), col("cv2").as("v"),
+        col("cn2").as("nrm"), col("cid"),
+        round(dot(col("cv2"), col("cv")) / (col("cn2") * col("cn")), 6)
+          .as("cent_sim"))
+    val a = members.select(col("cid"), col("vid").as("i"), col("v").as("vi"),
+      col("nrm").as("ni"), col("cent_sim").as("ci"))
+    val b = members.select(col("cid"), col("vid").as("j"), col("v").as("vj"),
+      col("nrm").as("nj"), col("cent_sim").as("cj"))
+    val rawCos = dot(col("vi"), col("vj")) / (col("ni") * col("nj"))
+    val dominated = a.join(b, "cid")
+      .filter(col("i") =!= col("j"))
+      .filter(col("cj") < col("ci") ||
+        (col("cj") === col("ci") && col("j") < col("i")))
+      .filter(rawCos >= threshold)
+      .select(col("i").as("vid")).distinct()
+    members.join(dominated, Seq("vid"), "left_anti")
+      .select("vid", "cid", "cent_sim")
+  }
 }

@@ -647,7 +647,63 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
+  // ---------------------------------------------------------------- v11
+  // SemDeDup (Abbas et al. 2023): semantic dedup by embedding clusters
+  // — the published LLM-curation technique. Clusters are v04's exact
+  // Lloyd construction (seed → assign → DECIMAL-mean refine → assign);
+  // near-dup pairs form only within a cell; per duplicate relation the
+  // keeper is the member FARTHEST from its centroid (the paper's
+  // keep-lowest-centroid-similarity rule), ties by id, expressed as a
+  // declarative tournament (dropped iff a better-ranked cell-mate is a
+  // ≥ 0.4 neighbor — 0.4 for the same no-planted-dups reason as v02).
+  // DuckDB replays clustering, centroid similarities, the tournament,
+  // and the anti-join verbatim.
+  val v11SemDedup: Q = Q(
+    "v11_semantic_dedup",
+    s"""WITH v AS (
+       |  SELECT vec_id, list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, e,
+       |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+       |  FROM v),
+       |seed AS (SELECT vec_id AS cid, e AS cv, nrm AS cn
+       |         FROM n ORDER BY vec_id LIMIT 16),
+       |a0 AS (
+       |  ${assignSql("seed", "", "rnk = 1", "vec_id")}),
+       |comp AS (
+       |  SELECT a0.cid, r.j AS pos,
+       |    CAST(SUM(CAST(n.e[r.j] AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM a0 JOIN n USING (vec_id), unnest(range(1, 65)) r(j)
+       |  GROUP BY 1, 2),
+       |refined AS (SELECT cid, list(m ORDER BY pos) AS cv FROM comp GROUP BY cid),
+       |refined2 AS (
+       |  SELECT cid, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn
+       |  FROM refined),
+       |cells AS (
+       |  ${assignSql("refined2", "", "rnk = 1", "neighbor_id")}),
+       |members AS (
+       |  SELECT c.neighbor_id AS vid, c.cid, n.e, n.nrm,
+       |    ROUND(list_sum(list_transform(range(1, 65), k -> n.e[k] * r.cv[k]))
+       |          / (n.nrm * r.cn), 6) AS cent_sim
+       |  FROM cells c JOIN n ON n.vec_id = c.neighbor_id
+       |  JOIN refined2 r USING (cid)),
+       |dominated AS (
+       |  SELECT DISTINCT a.vid
+       |  FROM members a JOIN members b
+       |    ON a.cid = b.cid AND a.vid <> b.vid
+       |   AND (b.cent_sim < a.cent_sim
+       |        OR (b.cent_sim = a.cent_sim AND b.vid < a.vid))
+       |  WHERE list_sum(list_transform(range(1, 65), k -> a.e[k] * b.e[k]))
+       |        / (a.nrm * b.nrm) >= 0.4)
+       |SELECT vid, cid, cent_sim FROM members
+       |WHERE vid NOT IN (SELECT vid FROM dominated)
+       |ORDER BY vid""".stripMargin) { (s, d) =>
+    Similarity.semDedup(t(s, d, "embeddings"), 0.4)
+      .orderBy("vid")
+  }
+
   val all: Seq[Q] = Seq(v01BruteForceTopK, v02NearDupPairs, v03LshTopK,
     v04IvfTopK, v05QuantizedTopK, v06AnnRecall, v07EmbeddingOutliers,
-    v08PqTopK, v09IvfPqTopK, v10IvfPqResidualTopK)
+    v08PqTopK, v09IvfPqTopK, v10IvfPqResidualTopK, v11SemDedup)
 }
