@@ -336,6 +336,21 @@ object Versioned {
     }.reduce(_ unionByName _)
   }
 
+  /** Align `df` to `schema`: present columns pass through, missing ones
+    * null-fill with the declared type, order follows `schema`; `extra`
+    * columns (envelope fields etc.) are carried after, as-is. THE
+    * single alignment rule — batch reads, the change feed, and the
+    * streaming source must never diverge on it. */
+  def alignTo(df: DataFrame, schema: org.apache.spark.sql.types.StructType,
+      extra: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c, lit}
+    val have = df.columns.toSet
+    df.select(schema.fields.toSeq.map { f =>
+      if (have(f.name)) c(f.name)
+      else lit(null).cast(f.dataType).as(f.name)
+    } ++ extra.map(c): _*)
+  }
+
   /** Read parquet `paths` under the manifest's table schema: files
     * written before a column was added simply lack it (parquet
     * mergeSchema reads them as null), and a column NO live file carries
@@ -343,18 +358,12 @@ object Versioned {
     * schema, in manifest order, regardless of which files survive. */
   private def readAligned(spark: SparkSession, paths: Seq[String],
       schemaJson: Option[String]): DataFrame = {
-    import org.apache.spark.sql.functions.{col => c, lit}
     import org.apache.spark.sql.types.StructType
     val raw = spark.read.option("mergeSchema", "true").parquet(paths: _*)
     schemaJson match {
       case None => raw // pre-evolution manifest: files are homogeneous
       case Some(json) =>
-        val schema = DataType.fromJson(json).asInstanceOf[StructType]
-        val have = raw.columns.toSet
-        raw.select(schema.fields.toSeq.map { f =>
-          if (have(f.name)) c(f.name)
-          else lit(null).cast(f.dataType).as(f.name)
-        }: _*)
+        alignTo(raw, DataType.fromJson(json).asInstanceOf[StructType])
     }
   }
 
@@ -506,8 +515,9 @@ object Versioned {
     * The update key set is collected to the driver — bounded by the
     * incremental batch, the same bound Delta's predicate collection
     * has (and [[Mutation.mergeUpsertFilePruned]] documents).
-    * `updates` must carry the table's full schema; last-write-wins is
-    * the caller's contract (one row per key in `updates`).
+    * `updates` is schema-ENFORCED like commit: new columns and type
+    * changes are rejected; omitted columns null-fill. Last-write-wins
+    * is the caller's contract (one row per key in `updates`).
     *
     * @return the published version
     */
@@ -527,10 +537,20 @@ object Versioned {
       "merge-on-read delete(s); compact to materialize them before a " +
       "copy-on-write merge (its by-reference file carry would resurrect " +
       "deleted rows)")
+    // schema ENFORCEMENT, the same contract commit/commitIfNew apply:
+    // new columns and type changes are rejected (a merge whose keys
+    // happen to miss every file must NOT silently replace the table
+    // schema with the updates frame's); omitted columns null-fill —
+    // the parquet-absence contract every read path already honors
+    val tableSchemaJson = evolvedSchema(root, updates, "append",
+      mergeSchema = false)
+    val aligned = alignTo(updates,
+      DataType.fromJson(tableSchemaJson)
+        .asInstanceOf[org.apache.spark.sql.types.StructType])
     // null update keys never equi-match an existing row (the anti-join
     // below keeps everything), and footer min/max never cover nulls —
     // they are pure inserts, so they touch no file
-    val keys = updates.select(c(key)).distinct().collect().map(_.get(0))
+    val keys = aligned.select(c(key)).distinct().collect().map(_.get(0))
       .toSeq.filter(_ != null)
     val (touched, untouched) = m.files.partition(f => f.stats.get(key) match {
       case None => true // no stats → must assume it may contain a key
@@ -546,41 +566,52 @@ object Versioned {
         }
       }
     })
-    val base: Option[DataFrame] =
+    val base0: Option[DataFrame] =
       if (touched.isEmpty) None
       else Some(readAligned(spark,
         touched.map(f => new File(root, f.path).getPath), m.schemaJson))
-    val rewritten = base match {
-      case None => updates
-      case Some(b) =>
-        b.join(updates.select(c(key)).distinct(), Seq(key), "left_anti")
-          .unionByName(updates.select(b.columns.map(c): _*))
-    }
-    // CDF envelopes (Delta's change types): a matched key emits its old
-    // row as update_preimage and its new row as update_postimage (even
-    // when values are identical — no-op suppression is the caller's
-    // concern); an unmatched (or null) key emits insert. Untouched files
-    // provably contain no update key, so `base` covers every match.
-    val cdfPaths =
-      if (!cdf) Nil
-      else {
-        val keys = base.map(_.select(c(key)).distinct())
-        val pre = base.map(b =>
-          b.join(updates.select(c(key)).distinct(), Seq(key), "left_semi")
-            .withColumn("_change_type", lit("update_preimage")))
-        val post = keys.map(ks =>
-          updates.join(ks, Seq(key), "left_semi")
-            .withColumn("_change_type", lit("update_postimage")))
-        val ins = keys.map(ks => updates.join(ks, Seq(key), "left_anti"))
-          .getOrElse(updates)
-          .withColumn("_change_type", lit("insert"))
-        val all = (pre.toSeq ++ post.toSeq :+ ins)
-          .reduce(_ unionByName _)
-        writeCdf(spark, root, all)
+    // with cdf the touched files and the key set each feed 2–3 branches
+    // (rewrite + preimage; anti + semi joins) — persist them so the
+    // merge reads each touched file once, not three times; both are
+    // fully consumed by the write actions below, so unpersist is safe
+    val base = if (cdf) base0.map(_.persist()) else base0
+    val keySet0 = aligned.select(c(key)).distinct()
+    val keySet = if (cdf) keySet0.persist() else keySet0
+    try {
+      val rewritten = base match {
+        case None => aligned
+        case Some(b) =>
+          b.join(keySet, Seq(key), "left_anti").unionByName(aligned)
       }
-    val (newEntries, schema) = writeBatch(spark, root, rewritten, statsCols)
-    publishEntries(root, untouched ++ newEntries, latest, "merge",
-      schemaJson = schema, cdf = cdfPaths)
+      // CDF envelopes (Delta's change types): a matched key emits its
+      // old row as update_preimage and its new row as update_postimage
+      // (even when values are identical — no-op suppression is the
+      // caller's concern); an unmatched (or null) key emits insert.
+      // Untouched files provably contain no update key, so `base`
+      // covers every match.
+      val cdfPaths =
+        if (!cdf) Nil
+        else {
+          val matched = base.map(_.select(c(key)).distinct())
+          val pre = base.map(b =>
+            b.join(keySet, Seq(key), "left_semi")
+              .withColumn("_change_type", lit("update_preimage")))
+          val post = matched.map(ks =>
+            aligned.join(ks, Seq(key), "left_semi")
+              .withColumn("_change_type", lit("update_postimage")))
+          val ins = matched.map(ks => aligned.join(ks, Seq(key), "left_anti"))
+            .getOrElse(aligned)
+            .withColumn("_change_type", lit("insert"))
+          val all = (pre.toSeq ++ post.toSeq :+ ins)
+            .reduce(_ unionByName _)
+          writeCdf(spark, root, all)
+        }
+      val (newEntries, _) = writeBatch(spark, root, rewritten, statsCols)
+      publishEntries(root, untouched ++ newEntries, latest, "merge",
+        schemaJson = tableSchemaJson, cdf = cdfPaths)
+    } finally {
+      if (cdf) { base.foreach(_.unpersist()); keySet.unpersist() }
+    }
   }
 
   // ------------------------------------------------------------ delete
@@ -937,12 +968,8 @@ object Versioned {
           val aligned = schemaJson match {
             case None => raw
             case Some(json) =>
-              val schema = DataType.fromJson(json).asInstanceOf[StructType]
-              val have = raw.columns.toSet
-              raw.select(schema.fields.toSeq.map { f =>
-                if (have(f.name)) c(f.name)
-                else lit(null).cast(f.dataType).as(f.name)
-              } :+ c("_change_type"): _*)
+              alignTo(raw, DataType.fromJson(json).asInstanceOf[StructType],
+                extra = Seq("_change_type"))
           }
           pieces += aligned.withColumn("_commit_version", lit(v))
         case other => throw new IllegalArgumentException(
@@ -952,11 +979,19 @@ object Versioned {
       prev = cur.toSet
     }
     val all = pieces.result()
-    if (all.isEmpty)
-      emptyLike(spark, root)
-        .withColumn("_change_type", lit(null).cast("string"))
+    if (all.isEmpty) {
+      // empty window: still the WINDOW's pinned schema (untilVersion's
+      // manifest), not whatever the newest retained manifest carries —
+      // a caller unioning per-window feeds must get one stable shape
+      val base = schemaJson match {
+        case Some(json) => spark.createDataFrame(
+          spark.sparkContext.emptyRDD[org.apache.spark.sql.Row],
+          DataType.fromJson(json).asInstanceOf[StructType])
+        case None => emptyLike(spark, root)
+      }
+      base.withColumn("_change_type", lit(null).cast("string"))
         .withColumn("_commit_version", lit(null).cast("long"))
-    else all.reduce(_ unionByName _)
+    } else all.reduce(_ unionByName _)
   }
 
   /** One exactly-once incremental run of a table-to-table pipeline:

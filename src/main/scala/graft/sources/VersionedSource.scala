@@ -281,12 +281,8 @@ final class VersionedFeedSource(spark: SparkSession, root: String,
         s"(stream started on ${schema.simpleString}, table is now " +
         s"${now.simpleString}); restart the streaming query to pick " +
         "up the new schema")
-    val raw = Versioned.changeFeed(spark, root, from, Some(to))
-    val have = raw.columns.toSet
-    val feed = raw.select(schema.fields.toSeq.map { f =>
-      if (have(f.name)) col(f.name)
-      else lit(null).cast(f.dataType).as(f.name)
-    }: _*)
+    val feed = Versioned.alignTo(
+      Versioned.changeFeed(spark, root, from, Some(to)), schema)
     GraftShims.internalCreateDataFrame(spark,
       feed.queryExecution.toRdd, schema, isStreaming = true)
   }

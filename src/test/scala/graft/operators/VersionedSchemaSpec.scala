@@ -75,6 +75,56 @@ class VersionedSchemaSpec extends SparkSpec {
       (("one", "b")))
   }
 
+  test("merge enforces the table schema even when no file is touched") {
+    val root = freshRoot()
+    Versioned.commit(spark, root, Seq((1L, "a")).toDF("id", "tag"),
+      statsCols = Seq("id"))
+    // new column in updates → rejected, same as commit enforcement
+    val e1 = intercept[IllegalArgumentException] {
+      Versioned.mergeUpsert(spark, root,
+        Seq((2L, "b", 1.0)).toDF("id", "tag", "w"), "id",
+        statsCols = Seq("id"))
+    }
+    assert(e1.getMessage.contains("schema enforcement"))
+    // type change → rejected
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.mergeUpsert(spark, root, Seq((2L, 5L)).toDF("id", "tag"),
+        "id", statsCols = Seq("id"))
+    }
+    assert(e2.getMessage.contains("type change"))
+    // pure-insert merge (keys outside every file's stats) keeps the
+    // TABLE schema — the regression: it used to publish updates' schema
+    Versioned.mergeUpsert(spark, root, Seq((100L, "z")).toDF("id", "tag"),
+      "id", statsCols = Seq("id"))
+    assert(Versioned.read(spark, root).columns.toSeq === Seq("id", "tag"))
+    assert(Versioned.read(spark, root).count() === 2)
+    // updates may omit columns: they null-fill (with cdf on, whose
+    // envelope union used to crash on ragged schemas)
+    Versioned.mergeUpsert(spark, root, Seq(Tuple1(1L)).toDF("id"), "id",
+      statsCols = Seq("id"), cdf = true)
+    val row1 = Versioned.read(spark, root).filter(col("id") === 1L)
+      .as[(Long, Option[String])].head()
+    assert(row1 === ((1L, None)))
+    val env = Versioned.changeFeed(spark, root, 2L)
+      .select("_change_type").as[String].collect().sorted
+    assert(env.toSeq === Seq("update_postimage", "update_preimage"))
+  }
+
+  test("an empty change-feed window keeps the window's pinned schema") {
+    val root = freshRoot()
+    Versioned.commit(spark, root, Seq((1L, "a")).toDF("id", "tag"),
+      statsCols = Seq("id"))
+    Versioned.commit(spark, root,
+      Seq((2L, "b", 9.9)).toDF("id", "tag", "score"),
+      statsCols = Seq("id"), mergeSchema = true)
+    // window (1, 1] is empty and pinned BEFORE the evolution: its
+    // schema must be version 1's, not the newest manifest's
+    val empty = Versioned.changeFeed(spark, root, 1L, Some(1L))
+    assert(empty.count() === 0L)
+    assert(empty.columns.toSeq ===
+      Seq("id", "tag", "_change_type", "_commit_version"))
+  }
+
   test("change feed and delete operate under the evolved schema") {
     val root = freshRoot()
     Versioned.commit(spark, root, Seq((1L, "a")).toDF("id", "tag"),
