@@ -35,10 +35,16 @@ import org.apache.spark.unsafe.types.UTF8String
   *    written to a temp file and published with `Files.createLink` —
   *    hard-link creation is create-EXCLUSIVE on POSIX (unlike rename,
   *    which silently replaces), so two writers racing to publish the
-  *    same version get exactly one winner; the loser throws
-  *    [[Versioned.VersionConflictException]] and retries against the
-  *    new snapshot. This is Delta's log-protocol commit, minus the
-  *    cloud-store LWT shims.
+  *    same version get exactly one winner. Every DML verb pins the
+  *    snapshot it READ as the parent it publishes against, so any
+  *    interleaved commit surfaces as a version conflict — and the
+  *    loser automatically RE-RUNS its body against the winner's
+  *    published snapshot (serializable by construction: commits
+  *    linearize on the hard-link CAS, and each retry recomputes from
+  *    committed state). Callers that pin `expectedVersion` opt into
+  *    manual CAS and get [[Versioned.VersionConflictException]]
+  *    unretried. This is Delta's log-protocol commit + retry loop,
+  *    minus the cloud-store LWT shims.
   *  - **Stats pruning before the scan**: [[readPruned]] drops files
   *    whose manifest min/max can't overlap the predicate — the
   *    manifest-level half of the footer-pruning [[Mutation]] does, now
@@ -107,6 +113,39 @@ object Versioned {
 
   def latestVersion(root: String): Option[Long] = versions(root).lastOption
 
+  // ------------------------------------------- optimistic concurrency
+
+  private val occMaxRetries = 20
+
+  /** The optimistic-concurrency driver every DML verb runs under:
+    * `body` reads the CURRENT snapshot, pins its version as the
+    * publish parent, and loses the create-exclusive hard-link race iff
+    * a concurrent writer committed first — in which case the body is
+    * simply RE-RUN against the winner's published snapshot. This is
+    * serializable by construction: the CAS linearizes commits, and a
+    * retry recomputes everything (touched-file partition, schema
+    * rules, merge-on-read guards) from committed state, so no
+    * interleaving can lose an update. Retries re-run Spark jobs and
+    * may orphan the failed attempt's batch dir — [[vacuum]] sweeps
+    * unreferenced files, the same economics as Delta's aborted-commit
+    * data files.
+    *
+    * A caller that pinned `expectedVersion` asked for manual CAS
+    * semantics (fail fast, let the application reconcile) and gets the
+    * conflict exception unretried. */
+  private def withOccRetry[T](expectedVersion: Option[Long])(body: => T): T = {
+    var attempt = 0
+    while (true) {
+      try return body
+      catch {
+        case e: VersionConflictException =>
+          if (expectedVersion.isDefined || attempt >= occMaxRetries) throw e
+          attempt += 1
+      }
+    }
+    sys.error("unreachable")
+  }
+
   // ------------------------------------------------------------ commit
 
   /** Write `df` as a new batch and publish the next version.
@@ -129,10 +168,29 @@ object Versioned {
       mergeSchema: Boolean = false): Long = {
     require(mode == "append" || mode == "overwrite",
       s"unknown commit mode: $mode")
-    val schema = evolvedSchema(root, df, mode, mergeSchema)
-    val (newEntries, _) = writeBatch(spark, root, df, statsCols)
-    publish(root, mode, newEntries, expectedVersion, action = mode, txn,
-      schema)
+    // the batch data is snapshot-independent: written at most once;
+    // only the schema rules + publish re-run on a version conflict
+    var written: Option[Seq[FileEntry]] = None
+    withOccRetry(expectedVersion) {
+      val latest = latestVersion(root)
+      expectedVersion.foreach { ev =>
+        if (latest.exists(_ != ev))
+          throw new VersionConflictException(
+            s"table at $root is at version ${latest.get}, expected $ev")
+        if (latest.isEmpty && ev != 0)
+          throw new VersionConflictException(
+            s"table at $root is empty, expected version $ev")
+      }
+      val schema = evolvedSchema(root, df, mode, mergeSchema)
+      val entries = written.getOrElse {
+        val (e, _) = writeBatch(spark, root, df, statsCols)
+        written = Some(e); e
+      }
+      val base =
+        if (mode == "append") currentFiles(root, latest) else Seq.empty
+      publishEntries(root, base ++ entries, latest.getOrElse(0L),
+        action = mode, txn, schema, mor = carriedMor(root, latest, mode))
+    }
   }
 
   /** Schema enforcement + evolution (Delta's contract): the incoming
@@ -265,27 +323,6 @@ object Versioned {
     versions(root).reverseIterator
       .map(readManifest(root, _))
       .collectFirst { case m if m.txnApp.contains(appId) => m.txnBatch.get }
-
-  /** Publish a manifest for `newEntries` (plus the live set when
-    * appending) as the next version, atomically. */
-  private def publish(root: String, mode: String,
-      newEntries: Seq[FileEntry], expectedVersion: Option[Long],
-      action: String, txn: Option[(String, Long)] = None,
-      schemaJson: String = null): Long = {
-    logDir(root).mkdirs()
-    val latest = latestVersion(root)
-    expectedVersion.foreach { ev =>
-      if (latest.exists(_ != ev))
-        throw new VersionConflictException(
-          s"table at $root is at version ${latest.get}, expected $ev")
-      if (latest.isEmpty && ev != 0)
-        throw new VersionConflictException(
-          s"table at $root is empty, expected version $ev")
-    }
-    val base = if (mode == "append") currentFiles(root, latest) else Seq.empty
-    publishEntries(root, base ++ newEntries, latest.getOrElse(0L), action,
-      txn, schemaJson, mor = carriedMor(root, latest, mode))
-  }
 
   private def currentFiles(root: String, v: Option[Long]): Seq[FileEntry] =
     v.map(ver => readManifest(root, ver).files).getOrElse(Seq.empty)
@@ -524,7 +561,7 @@ object Versioned {
   def mergeUpsert(spark: SparkSession, root: String, updates: DataFrame,
       key: String, statsCols: Seq[String] = Nil,
       expectedVersion: Option[Long] = None,
-      cdf: Boolean = false): Long = {
+      cdf: Boolean = false): Long = withOccRetry(expectedVersion) {
     import org.apache.spark.sql.functions.{col => c, lit}
     val latest = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root to merge into"))
@@ -642,7 +679,7 @@ object Versioned {
   def delete(spark: SparkSession, root: String, cond: Column,
       statsCols: Seq[String] = Nil,
       expectedVersion: Option[Long] = None,
-      cdf: Boolean = false): Long = {
+      cdf: Boolean = false): Long = withOccRetry(expectedVersion) {
     import org.apache.spark.sql.functions.{coalesce, lit, not}
     val latest = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root to delete from"))
@@ -658,17 +695,19 @@ object Versioned {
     val condExpr = resolvedPredicate(spark, root, cond)
     val (touched, untouched) =
       m.files.partition(f => mayMatch(f.stats, condExpr))
-    if (touched.isEmpty) return latest
-    val base = readAligned(spark,
-      touched.map(f => new File(root, f.path).getPath), m.schemaJson)
-    val kept = base.filter(not(coalesce(cond, lit(false))))
-    val cdfPaths =
-      if (!cdf) Nil
-      else writeCdf(spark, root, base.filter(coalesce(cond, lit(false)))
-        .withColumn("_change_type", lit("delete")))
-    val (newEntries, schema) = writeBatch(spark, root, kept, statsCols)
-    publishEntries(root, untouched ++ newEntries, latest, "delete",
-      schemaJson = schema, cdf = cdfPaths)
+    if (touched.isEmpty) latest
+    else {
+      val base = readAligned(spark,
+        touched.map(f => new File(root, f.path).getPath), m.schemaJson)
+      val kept = base.filter(not(coalesce(cond, lit(false))))
+      val cdfPaths =
+        if (!cdf) Nil
+        else writeCdf(spark, root, base.filter(coalesce(cond, lit(false)))
+          .withColumn("_change_type", lit("delete")))
+      val (newEntries, schema) = writeBatch(spark, root, kept, statsCols)
+      publishEntries(root, untouched ++ newEntries, latest, "delete",
+        schemaJson = schema, cdf = cdfPaths)
+    }
   }
 
   /** Merge-on-read DELETE: record the predicate in the manifest instead
@@ -695,7 +734,8 @@ object Versioned {
     *         prove no file could match (a provable no-op)
     */
   def deleteDeferred(spark: SparkSession, root: String, cond: Column,
-      expectedVersion: Option[Long] = None): Long = {
+      expectedVersion: Option[Long] = None): Long =
+    withOccRetry(expectedVersion) {
     import org.apache.spark.sql.functions.expr
     val latest = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root to delete from"))
@@ -712,8 +752,8 @@ object Versioned {
     readVersion(spark, root, latest).limit(0).filter(expr(predSql))
       .queryExecution.analyzed // prove the round-trip parses, at delete time
     val touched = m.files.filter(f => mayMatch(f.stats, condExpr)).map(_.path)
-    if (touched.isEmpty) return latest
-    publishEntries(root, m.files, latest, "mor-delete",
+    if (touched.isEmpty) latest
+    else publishEntries(root, m.files, latest, "mor-delete",
       schemaJson = m.schemaJson.orNull,
       mor = m.mor :+ MorDelete(predSql, touched))
   }
@@ -1033,15 +1073,23 @@ object Versioned {
     * `targetFiles` files as a NEW version (action "compact"). Rows are
     * identical; prior versions stay readable until vacuum. */
   def compact(spark: SparkSession, root: String,
-      targetFiles: Int = 1, statsCols: Seq[String] = Nil): Long = {
-    val snapshot = read(spark, root).coalesce(targetFiles)
-    // overwrite MECHANICS (new files replace the live set) but its own
-    // manifest ACTION: a compaction is row-identical, so the change
-    // feeds may skip it losslessly where a true overwrite must fail
-    val (entries, _) = writeBatch(spark, root, snapshot, statsCols)
-    publish(root, "overwrite", entries, expectedVersion = None,
-      action = "compact", txn = None, schemaJson = snapshot.schema.json)
-  }
+      targetFiles: Int = 1, statsCols: Seq[String] = Nil): Long =
+    withOccRetry(None) {
+      // the publish parent is PINNED to the version the snapshot was
+      // read at: a concurrent append landing between read and publish
+      // loses nothing — it wins or forces this compaction to re-run
+      // (previously compact re-read `latest` at publish time, which
+      // would have silently overwritten such an append)
+      val latest = latestVersion(root).getOrElse(
+        throw new IllegalArgumentException(s"no versions at $root"))
+      val snapshot = readVersion(spark, root, latest).coalesce(targetFiles)
+      // overwrite MECHANICS (new files replace the live set) but its own
+      // manifest ACTION: a compaction is row-identical, so the change
+      // feeds may skip it losslessly where a true overwrite must fail
+      val (entries, _) = writeBatch(spark, root, snapshot, statsCols)
+      publishEntries(root, entries, latest, action = "compact",
+        schemaJson = snapshot.schema.json)
+    }
 
   /** Incremental OPTIMIZE: bin-pack only files SMALLER than
     * `targetBytes` into ~targetBytes outputs; files already at or above
@@ -1063,24 +1111,27 @@ object Versioned {
     */
   def optimize(spark: SparkSession, root: String,
       targetBytes: Long = 128L * 1024 * 1024,
-      statsCols: Seq[String] = Nil): Long = {
+      statsCols: Seq[String] = Nil): Long = withOccRetry(None) {
     val latest = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root"))
     val m = readManifest(root, latest)
     val (small, big) = m.files.partition(_.bytes < targetBytes)
     val smallSet = small.map(_.path).toSet
     val predOnSmall = m.mor.exists(_.files.exists(smallSet))
-    if (small.isEmpty || (small.size == 1 && !predOnSmall)) return latest
-    val packed = readLive(spark, root, m, small.map(_.path))
-    val nOut = math.max(1L, math.ceil(
-      small.map(_.bytes).sum.toDouble / targetBytes).toLong).toInt
-    val (entries, _) = writeBatch(spark, root, packed.coalesce(nOut), statsCols)
-    val carried = big.map(_.path).toSet
-    val stillPending = m.mor
-      .map(d => d.copy(files = d.files.filter(carried)))
-      .filter(_.files.nonEmpty)
-    publishEntries(root, big ++ entries, latest, "compact",
-      schemaJson = m.schemaJson.orNull, mor = stillPending)
+    if (small.isEmpty || (small.size == 1 && !predOnSmall)) latest
+    else {
+      val packed = readLive(spark, root, m, small.map(_.path))
+      val nOut = math.max(1L, math.ceil(
+        small.map(_.bytes).sum.toDouble / targetBytes).toLong).toInt
+      val (entries, _) =
+        writeBatch(spark, root, packed.coalesce(nOut), statsCols)
+      val carried = big.map(_.path).toSet
+      val stillPending = m.mor
+        .map(d => d.copy(files = d.files.filter(carried)))
+        .filter(_.files.nonEmpty)
+      publishEntries(root, big ++ entries, latest, "compact",
+        schemaJson = m.schemaJson.orNull, mor = stillPending)
+    }
   }
 
   /** Zero-copy RESTORE (Delta's `RESTORE TABLE … TO VERSION`): publish
@@ -1090,7 +1141,7 @@ object Versioned {
     * history stays fully time-travelable (and vacuum-protected, since
     * the new head re-references the old files). Metadata-only: needs no
     * SparkSession. */
-  def restore(root: String, toVersion: Long): Long = {
+  def restore(root: String, toVersion: Long): Long = withOccRetry(None) {
     val m = readManifest(root, toVersion)
     val latest = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root"))
