@@ -93,7 +93,12 @@ object Versioned {
       // merge-on-read deletes still pending materialization: each entry
       // is a predicate plus the EXACT files it applies to (the live set
       // at delete time), so later appends are never retro-deleted
-      mor: Seq[MorDelete] = Nil)
+      mor: Seq[MorDelete] = Nil,
+      // hive-layout partition columns: every data file holds exactly one
+      // partition tuple, recorded as min==max stats for these columns —
+      // partition pruning IS stats pruning, and [[overwritePartitions]]
+      // swaps whole file sets by tuple
+      partitionBy: Seq[String] = Nil)
 
   private case class MorDelete(pred: String, files: Seq[String])
 
@@ -165,12 +170,15 @@ object Versioned {
       mode: String = "append", statsCols: Seq[String] = Nil,
       expectedVersion: Option[Long] = None,
       txn: Option[(String, Long)] = None,
-      mergeSchema: Boolean = false): Long = {
+      mergeSchema: Boolean = false,
+      partitionBy: Seq[String] = Nil): Long = {
     require(mode == "append" || mode == "overwrite",
       s"unknown commit mode: $mode")
-    // the batch data is snapshot-independent: written at most once;
-    // only the schema rules + publish re-run on a version conflict
-    var written: Option[Seq[FileEntry]] = None
+    // the batch data is snapshot-independent: written at most once
+    // PER LAYOUT (a concurrent overwrite can re-partition the table
+    // mid-retry, invalidating the staged batch); only the schema rules
+    // + publish re-run on a version conflict
+    var written: Option[(Seq[String], Seq[FileEntry])] = None
     withOccRetry(expectedVersion) {
       val latest = latestVersion(root)
       expectedVersion.foreach { ev =>
@@ -181,15 +189,31 @@ object Versioned {
           throw new VersionConflictException(
             s"table at $root is empty, expected version $ev")
       }
+      // partitioning is sticky: appends inherit the table layout (an
+      // explicit mismatch is an error, never a silent re-layout);
+      // overwrite replaces rows AND layout, like it replaces schema
+      val parentPart = latest.map(readManifest(root, _).partitionBy)
+        .getOrElse(Seq.empty)
+      val partCols =
+        if (mode == "overwrite") partitionBy
+        else if (partitionBy.isEmpty) parentPart
+        else {
+          require(parentPart.isEmpty || parentPart == partitionBy,
+            s"table at $root is partitioned by ${parentPart.mkString(",")}" +
+              s"; an append cannot re-partition by ${partitionBy.mkString(",")}")
+          partitionBy
+        }
       val schema = evolvedSchema(root, df, mode, mergeSchema)
-      val entries = written.getOrElse {
-        val (e, _) = writeBatch(spark, root, df, statsCols)
-        written = Some(e); e
-      }
+      val entries = written.collect { case (p, e) if p == partCols => e }
+        .getOrElse {
+          val (e, _) = writeBatch(spark, root, df, statsCols, partCols)
+          written = Some((partCols, e)); e
+        }
       val base =
         if (mode == "append") currentFiles(root, latest) else Seq.empty
       publishEntries(root, base ++ entries, latest.getOrElse(0L),
-        action = mode, txn, schema, mor = carriedMor(root, latest, mode))
+        action = mode, txn, schema, mor = carriedMor(root, latest, mode),
+        partitionBy = Some(partCols))
     }
   }
 
@@ -257,16 +281,78 @@ object Versioned {
 
   /** Write `df` as one immutable batch dir and return its manifest
     * entries (plus the schema JSON every manifest records so an empty
-    * snapshot stays readable). Shared by every committing verb. */
+    * snapshot stays readable). Shared by every committing verb.
+    *
+    * With `partitionBy` set, the batch is written hive-layout (one
+    * dynamic-partition job, `data/<uuid>/__p_day=.../part-*.parquet`)
+    * via SHADOW columns, so the real partition columns stay IN the
+    * data files — readers read explicit file lists and never
+    * reconstruct values from directory names. Each file then provably
+    * holds ONE partition tuple, recorded as min==max footer stats:
+    * partition pruning needs no machinery beyond stats pruning, and
+    * [[overwritePartitions]] can swap file sets by tuple. Partition
+    * values must be non-null and of a stats-supported type (integral,
+    * floating, string, date, timestamp) — enforced here so the
+    * invariant holds for every later reader. */
   private def writeBatch(spark: SparkSession, root: String, df: DataFrame,
-      statsCols: Seq[String]): (Seq[FileEntry], String) = {
+      statsCols: Seq[String],
+      partitionBy: Seq[String] = Nil): (Seq[FileEntry], String) = {
+    import org.apache.spark.sql.functions.{col => c}
     val batch = java.util.UUID.randomUUID().toString
     val batchDir = new File(new File(root, "data"), batch)
-    df.write.parquet(batchDir.getPath)
-    val entries = batchDir.listFiles()
-      .filter(f => f.getName.endsWith(".parquet")).sortBy(_.getName)
-      .map(f => fileEntry(spark, root, f, statsCols)).toSeq
+    val parquetFiles: Seq[File] =
+      if (partitionBy.isEmpty) {
+        df.write.parquet(batchDir.getPath)
+        batchDir.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
+      } else {
+        val shadow = partitionBy.map(p => s"__p_$p")
+        val w = partitionBy.zip(shadow)
+          .foldLeft(df)((d, p) => d.withColumn(p._2, c(p._1)))
+        w.write.partitionBy(shadow: _*).parquet(batchDir.getPath)
+        val found = walkParquet(batchDir)
+        found.filter(_.getPath.contains("__HIVE_DEFAULT_PARTITION__"))
+          .foreach { f =>
+            throw new IllegalArgumentException(
+              s"null value in partition column(s) ${partitionBy.mkString(",")}" +
+                " — partitioned tables require non-null partition values")
+          }
+        found
+      }
+    val entries = parquetFiles.sortBy(_.getPath)
+      .map(f => fileEntry(spark, root, f, (statsCols ++ partitionBy).distinct))
+    entries.foreach { e =>
+      partitionBy.foreach { pc =>
+        require(e.stats.get(pc).exists(s => s._2 == s._3),
+          s"partition column $pc has no single-valued footer stats in " +
+            s"${e.path} — partition columns must be non-null and of a " +
+            "stats-supported type (integral, floating, string, date, " +
+            "timestamp)")
+      }
+    }
     (entries, df.schema.json)
+  }
+
+  private def walkParquet(dir: File): Seq[File] = {
+    val out = Seq.newBuilder[File]
+    def go(f: File): Unit =
+      if (f.isDirectory) f.listFiles().foreach(go)
+      else if (f.getName.endsWith(".parquet")) out += f
+    go(dir)
+    out.result()
+  }
+
+  /** The single partition tuple a file provably holds: for each
+    * partition column, its min==max stats value (typed tag included so
+    * `1` as long never collides with `"1"` as string). None when any
+    * column's stats are absent or span a range — such a file may mix
+    * partitions and must be handled conservatively. */
+  private def partitionTuple(e: FileEntry,
+      cols: Seq[String]): Option[Seq[(String, String)]] = {
+    val vs = cols.flatMap(pc => e.stats.get(pc) match {
+      case Some((tpe, mn, mx)) if mn == mx => Some((tpe, mn))
+      case _ => None
+    })
+    if (vs.size == cols.size) Some(vs) else None
   }
 
   /** The streaming exactly-once commit (Delta's `txnAppId`/`txnVersion`
@@ -291,21 +377,29 @@ object Versioned {
       mode: String = "append", mergeSchema: Boolean = false): Boolean = {
     require(mode == "append" || mode == "overwrite",
       s"unknown commit mode: $mode")
-    var written: Option[(Seq[FileEntry], String)] = None
+    var written: Option[(Seq[String], Seq[FileEntry])] = None
     while (true) {
       if (lastCommittedBatch(root, appId).exists(_ >= batchId)) return false
       val parent = latestVersion(root)
       // schema rules re-check against the CURRENT snapshot each retry
       val schema = evolvedSchema(root, df, mode, mergeSchema)
-      // the batch data is written at most once; only the publish retries
-      val (entries, _) = written.getOrElse {
-        val w = writeBatch(spark, root, df, statsCols); written = Some(w); w
-      }
+      // appends inherit the table's partition layout (streaming sinks
+      // into a partitioned table keep the per-file-tuple invariant);
+      // the batch data is written at most once per layout
+      val partCols =
+        if (mode == "overwrite") Seq.empty[String]
+        else parent.map(readManifest(root, _).partitionBy).getOrElse(Nil)
+      val entries = written.collect { case (p, e) if p == partCols => e }
+        .getOrElse {
+          val (e, _) = writeBatch(spark, root, df, statsCols, partCols)
+          written = Some((partCols, e)); e
+        }
       val base =
         if (mode == "append") currentFiles(root, parent) else Seq.empty
       try {
         publishEntries(root, base ++ entries, parent.getOrElse(0L), mode,
-          Some((appId, batchId)), schema, mor = carriedMor(root, parent, mode))
+          Some((appId, batchId)), schema, mor = carriedMor(root, parent, mode),
+          partitionBy = Some(partCols))
         return true
       } catch {
         case _: VersionConflictException => // table moved: re-check guard
@@ -478,6 +572,36 @@ object Versioned {
       }
     }.map(_.path)
 
+  /** SHOW PARTITIONS: the distinct partition tuples of `version`'s
+    * live files with file/row/byte rollups — straight from the
+    * manifest, no file listing or footer read. Values are the recorded
+    * stats strings (dates surface as epoch days, timestamps as epoch
+    * micros — the footer encoding); a file whose tuple can't be proven
+    * single-valued groups under null. */
+  def partitions(spark: SparkSession, root: String,
+      version: Option[Long] = None): DataFrame = {
+    import org.apache.spark.sql.Row
+    import org.apache.spark.sql.types.{LongType, StringType, StructField}
+    val v = version.orElse(latestVersion(root)).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    val m = readManifest(root, v)
+    require(m.partitionBy.nonEmpty,
+      s"table at $root is not partitioned")
+    val grouped = m.files.groupBy(f => m.partitionBy.map(pc =>
+      f.stats.get(pc).collect { case (_, mn, mx) if mn == mx => mn }
+        .orNull)).toSeq
+    val rows = grouped.map { case (tuple, fs) =>
+      Row.fromSeq(tuple ++
+        Seq(fs.size.toLong, fs.map(_.rows).sum, fs.map(_.bytes).sum))
+    }
+    val schema = StructType(
+      m.partitionBy.map(pc => StructField(pc, StringType)) ++
+        Seq(StructField("num_files", LongType),
+          StructField("num_rows", LongType),
+          StructField("num_bytes", LongType)))
+    spark.createDataFrame(spark.sparkContext.parallelize(rows, 1), schema)
+  }
+
   /** The table schema of `version` (latest when `None`) straight from
     * the manifest — no file listing or footer read on the hot path. */
   def tableSchema(spark: SparkSession, root: String,
@@ -643,13 +767,93 @@ object Versioned {
             .reduce(_ unionByName _)
           writeCdf(spark, root, all)
         }
-      val (newEntries, _) = writeBatch(spark, root, rewritten, statsCols)
+      val (newEntries, _) =
+        writeBatch(spark, root, rewritten, statsCols, m.partitionBy)
       publishEntries(root, untouched ++ newEntries, latest, "merge",
         schemaJson = tableSchemaJson, cdf = cdfPaths)
     } finally {
       if (cdf) { base.foreach(_.unpersist()); keySet.unpersist() }
     }
   }
+
+  // ---------------------------------------------- partition overwrite
+
+  /** Dynamic partition overwrite (the reference Silver pass's
+    * `writeTo(...).overwritePartitions()` — pipelines/02-kafka-spark-
+    * iceberg/spark/jobs/silver_transform.py:132): partitions PRESENT in
+    * `df` are replaced wholesale; every other partition is carried by
+    * reference, zero bytes read or written. This is the idempotent-
+    * backfill verb: re-running a day's pipeline replaces exactly that
+    * day, at O(changed partitions) cost regardless of table size.
+    *
+    * Mechanics: `df` is written as a partitioned batch (each new file
+    * provably holds one partition tuple); a live file whose recorded
+    * tuple matches a new tuple is dropped, others are carried. A file
+    * whose tuple can't be proven from stats (possible only on tables
+    * with a damaged-stats history — every write path here preserves the
+    * per-file-tuple invariant) is conservatively rewritten minus the
+    * replaced partitions.
+    *
+    * Schema follows the append rules (enforced, null-fill on omitted
+    * columns); the action is "overwrite-partitions", which change feeds
+    * refuse (like overwrite — replaced rows aren't row-level changes).
+    *
+    * @return the new version, or the current one when `df` is empty
+    */
+  def overwritePartitions(spark: SparkSession, root: String, df: DataFrame,
+      statsCols: Seq[String] = Nil,
+      expectedVersion: Option[Long] = None): Long =
+    withOccRetry(expectedVersion) {
+      import org.apache.spark.sql.functions.{col => c}
+      val latest = latestVersion(root).getOrElse(
+        throw new IllegalArgumentException(
+          s"no versions at $root to overwrite into"))
+      expectedVersion.foreach { ev =>
+        if (ev != latest) throw new VersionConflictException(
+          s"table at $root is at version $latest, expected $ev")
+      }
+      val m = readManifest(root, latest)
+      require(m.partitionBy.nonEmpty, s"table at $root is not " +
+        "partitioned — overwritePartitions needs a partitionBy'd table " +
+        "(use commit(mode=\"overwrite\") for a full overwrite)")
+      require(m.mor.isEmpty, s"table at $root has ${m.mor.size} pending " +
+        "merge-on-read delete(s); compact to materialize them before a " +
+        "partition overwrite (its by-reference file carry would " +
+        "resurrect deleted rows)")
+      val tableSchemaJson = evolvedSchema(root, df, "append",
+        mergeSchema = false)
+      val aligned = alignTo(df,
+        DataType.fromJson(tableSchemaJson).asInstanceOf[StructType])
+      val (newEntries, _) =
+        writeBatch(spark, root, aligned, statsCols, m.partitionBy)
+      if (newEntries.isEmpty) latest // empty frame: nothing to replace
+      else {
+        // writeBatch guarantees every new file is single-tuple, so the
+        // flatMap is total; old files classify by their recorded tuple
+        val newTuples = newEntries
+          .flatMap(partitionTuple(_, m.partitionBy)).toSet
+        val (replaced, carried) = m.files.partition(f =>
+          partitionTuple(f, m.partitionBy) match {
+            case Some(t) => newTuples.contains(t)
+            case None => true // unproven tuple: rewrite its remainder
+          })
+        val mixed = replaced.filter(f =>
+          partitionTuple(f, m.partitionBy).isEmpty)
+        val rescued =
+          if (mixed.isEmpty) Nil
+          else {
+            val base = readAligned(spark,
+              mixed.map(f => new File(root, f.path).getPath), m.schemaJson)
+            val kept = base.join(
+              aligned.select(m.partitionBy.map(c): _*).distinct(),
+              m.partitionBy, "left_anti")
+            writeBatch(spark, root, kept, statsCols, m.partitionBy)._1
+          }
+        publishEntries(root, carried ++ rescued ++ newEntries, latest,
+          "overwrite-partitions", schemaJson = tableSchemaJson,
+          partitionBy = Some(m.partitionBy))
+      }
+    }
 
   // ------------------------------------------------------------ delete
 
@@ -704,7 +908,8 @@ object Versioned {
         if (!cdf) Nil
         else writeCdf(spark, root, base.filter(coalesce(cond, lit(false)))
           .withColumn("_change_type", lit("delete")))
-      val (newEntries, schema) = writeBatch(spark, root, kept, statsCols)
+      val (newEntries, schema) =
+        writeBatch(spark, root, kept, statsCols, m.partitionBy)
       publishEntries(root, untouched ++ newEntries, latest, "delete",
         schemaJson = schema, cdf = cdfPaths)
     }
@@ -872,12 +1077,19 @@ object Versioned {
       txn: Option[(String, Long)] = None,
       schemaJson: String = null,
       cdf: Seq[String] = Nil,
-      mor: Seq[MorDelete] = Nil): Long = {
+      mor: Seq[MorDelete] = Nil,
+      partitionBy: Option[Seq[String]] = None): Long = {
     logDir(root).mkdirs()
     val next = parent + 1
+    // partitioning is a table property: inherited from the parent
+    // manifest unless the verb explicitly sets it (overwrite commits
+    // may re-layout; restore reinstates the restored version's)
+    val partCols = partitionBy.getOrElse(
+      if (parent >= 1L) readManifest(root, parent).partitionBy else Nil)
     val manifest = Manifest(next, action, files,
       txnApp = txn.map(_._1), txnBatch = txn.map(_._2),
-      schemaJson = Option(schemaJson), cdf = cdf, mor = mor)
+      schemaJson = Option(schemaJson), cdf = cdf, mor = mor,
+      partitionBy = partCols)
     val tmp = File.createTempFile(s".v$next-", ".json", logDir(root))
     Files.writeString(tmp.toPath, renderJson(manifest))
     try {
@@ -1082,11 +1294,12 @@ object Versioned {
       // would have silently overwritten such an append)
       val latest = latestVersion(root).getOrElse(
         throw new IllegalArgumentException(s"no versions at $root"))
+      val part = readManifest(root, latest).partitionBy
       val snapshot = readVersion(spark, root, latest).coalesce(targetFiles)
       // overwrite MECHANICS (new files replace the live set) but its own
       // manifest ACTION: a compaction is row-identical, so the change
       // feeds may skip it losslessly where a true overwrite must fail
-      val (entries, _) = writeBatch(spark, root, snapshot, statsCols)
+      val (entries, _) = writeBatch(spark, root, snapshot, statsCols, part)
       publishEntries(root, entries, latest, action = "compact",
         schemaJson = snapshot.schema.json)
     }
@@ -1124,7 +1337,8 @@ object Versioned {
       val nOut = math.max(1L, math.ceil(
         small.map(_.bytes).sum.toDouble / targetBytes).toLong).toInt
       val (entries, _) =
-        writeBatch(spark, root, packed.coalesce(nOut), statsCols)
+        writeBatch(spark, root, packed.coalesce(nOut), statsCols,
+          m.partitionBy)
       val carried = big.map(_.path).toSet
       val stillPending = m.mor
         .map(d => d.copy(files = d.files.filter(carried)))
@@ -1146,7 +1360,8 @@ object Versioned {
     val latest = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root"))
     publishEntries(root, m.files, latest, "restore",
-      schemaJson = m.schemaJson.orNull, mor = m.mor)
+      schemaJson = m.schemaJson.orNull, mor = m.mor,
+      partitionBy = Some(m.partitionBy))
   }
 
   /** DESCRIBE HISTORY: one row per retained version, straight from the
@@ -1187,22 +1402,24 @@ object Versioned {
     var deleted = 0
     // data files AND change files share the sweep: anything no retained
     // manifest references (as a live file or its version's cdf) goes
+    val rootPath = Paths.get(root).toAbsolutePath.normalize()
     Seq("data", "cdf").foreach { sub =>
       val subRoot = new File(root, sub)
       if (subRoot.isDirectory) {
         subRoot.listFiles().foreach { batchDir =>
           if (batchDir.isDirectory) {
-            batchDir.listFiles().foreach { f =>
-              val rel = s"$sub/${batchDir.getName}/${f.getName}"
-              if (f.getName.endsWith(".parquet") && !referenced.contains(rel) &&
-                  f.lastModified() <= cutoff) {
+            // batches may nest hive-layout partition dirs — walk fully
+            walkParquet(batchDir).foreach { f =>
+              val rel = rootPath.relativize(
+                f.toPath.toAbsolutePath.normalize()).toString
+              if (!referenced.contains(rel) && f.lastModified() <= cutoff) {
                 Files.deleteIfExists(f.toPath); deleted += 1
               }
             }
             // the dir itself gets the same age guard: a just-created batch
             // dir may not have its parquet parts yet
-            if (batchDir.lastModified() <= cutoff && batchDir.listFiles()
-              .forall(f => !f.getName.endsWith(".parquet")))
+            if (batchDir.lastModified() <= cutoff &&
+                walkParquet(batchDir).isEmpty)
               deleteRecursively(batchDir)
           }
         }
@@ -1237,7 +1454,9 @@ object Versioned {
       (if (m.cdf.isEmpty) Nil else Seq("cdf" -> m.cdf.asJava)) ++
       (if (m.mor.isEmpty) Nil else Seq("mor" -> m.mor.map(d =>
         Map[String, Any]("pred" -> d.pred,
-          "files" -> d.files.asJava).asJava).asJava))
+          "files" -> d.files.asJava).asJava).asJava)) ++
+      (if (m.partitionBy.isEmpty) Nil
+       else Seq("partitionBy" -> m.partitionBy.asJava))
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(withTxn.asJava)
   }
 
@@ -1265,7 +1484,9 @@ object Versioned {
       mor = Option(node.get("mor")).map(_.elements().asScala.map { d =>
         MorDelete(d.get("pred").asText(), d.get("files").elements()
           .asScala.map(_.asText()).toSeq)
-      }.toSeq).getOrElse(Nil))
+      }.toSeq).getOrElse(Nil),
+      partitionBy = Option(node.get("partitionBy")).map(_.elements()
+        .asScala.map(_.asText()).toSeq).getOrElse(Nil))
   }
 
   // --------------------------------------------------- footer stats

@@ -727,9 +727,51 @@ object ExtraQueries {
   private val morDeleteDir =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // ---------------------------------------------------------------- x20
+  // Dynamic partition overwrite, hash-gated: orders lands as a
+  // partitioned versioned table (hive layout by o_orderstatus, one
+  // tuple per file, recorded as min==max manifest stats), then ONE
+  // overwritePartitions backfills the 'P' partition with doubled
+  // prices — every other partition is carried by reference, zero bytes
+  // rewritten. The read goes through the registered data source.
+  // DuckDB replays the final state as a CASE over the raw table: a row
+  // leaked from a replaced file, a partition dropped by the carry
+  // logic, or a misclassified tuple fails the hash. (The reference's
+  // `writeTo(...).overwritePartitions()` Silver pass, end-to-end.)
+  val x20PartitionOverwrite: Q = Q(
+    "x20_partition_overwrite",
+    """SELECT o_orderkey, o_orderstatus,
+      |  CASE WHEN o_orderstatus = 'P' THEN CAST(o_totalprice AS DOUBLE) * 2
+      |       ELSE CAST(o_totalprice AS DOUBLE) END AS totalprice
+      |FROM orders
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    import graft.operators.Versioned
+    val dir = partOverwriteDir.getOrElseUpdate(d, {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-vpo").toString + "/t"
+      val o = t(s, d, "orders").select(col("o_orderkey"),
+        col("o_orderstatus"), col("o_totalprice").cast("double")
+          .as("totalprice"))
+      Versioned.commit(s, root, o, statsCols = Seq("o_orderkey"),
+        partitionBy = Seq("o_orderstatus"))
+      val redo = o.filter(col("o_orderstatus") === "P")
+        .withColumn("totalprice", col("totalprice") * 2)
+      Versioned.overwritePartitions(s, root, redo,
+        statsCols = Seq("o_orderkey"))
+      root
+    })
+    s.read.format(graft.sources.VersionedSource.Name)
+      .option("path", dir).load()
+      .select("o_orderkey", "o_orderstatus", "totalprice")
+      .orderBy("o_orderkey")
+  }
+
+  private val partOverwriteDir =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   val all: Seq[Q] = Seq(x01SeedJoin, x02AsofJoin, x03Duration, x04Sessionize,
     x05ApproxDistinct, x06RangeJoin, x07Scd2History, x08AsofForward,
     x09ApproxQuantiles, x10AsofExec, x11AsofExecForward, x12AsofTtl,
     x13HistQuantiles, x14AsofBroadcast, x15CmsFrequency, x16BloomMembership,
-    x17VersionedCdf, x18VersionedRead, x19MorDelete)
+    x17VersionedCdf, x18VersionedRead, x19MorDelete, x20PartitionOverwrite)
 }
