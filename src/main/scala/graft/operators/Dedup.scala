@@ -380,4 +380,63 @@ object Dedup {
         hamming(col("ha"), col("hb")).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)
   }
+
+  /** Cross-document shared-substring spans — the Lee et al. 2022
+    * ("Deduplicating Training Data Makes Language Models Better")
+    * primitive, winnowed instead of suffix-array'd so it stays
+    * Spark-shaped. One scan computes positioned winnowing fingerprints
+    * ([[graft.functions.expressions.RollingFingerprintPos]]: t07's exact
+    * hash stream + the leftmost-of-min position rule), one keyed join on
+    * fp aligns documents, and spans fall out of grouping matches by
+    * position offset (pi − pj is constant along a shared substring) and
+    * merging runs with gaps ≤ `maxGap` (window+stride: consecutive
+    * selected fingerprints of one substring can sit at most that far
+    * apart).
+    *
+    * Scale: candidates exist only where fingerprints collide — never an
+    * all-pairs stage. Boilerplate fingerprints (occurring more than
+    * `maxOcc` times corpus-wide) are dropped before pairing, the same
+    * occupancy-cap move as the LSH buckets (Dedup.scala:82), bounding any
+    * single fp's pair fan-out at maxOcc²/2. The span window partitions on
+    * (i, j, offset) — per-pair state, trivially balanced.
+    *
+    * Output: (i, j, start_i, start_j, span_len, n_fps) — doc j's
+    * substring [start_j, start_j+span_len) repeats doc i's
+    * [start_i, start_i+span_len) (0-based bytes; i < j), witnessed by
+    * n_fps ≥ `minFps` aligned fingerprints.
+    */
+  def substringSpans(docs: DataFrame, idCol: String = "doc_id",
+      textCol: String = "text", window: Int = 16, stride: Int = 8,
+      maxOcc: Int = 64, maxGap: Int = 24, minFps: Int = 3): DataFrame = {
+    import org.apache.spark.sql.expressions.Window
+    import graft.functions.expressions.RollingFingerprint.rolling_fingerprint_pos
+    // persisted: the occurrence-cap aggregate and both join legs read the
+    // positioned fingerprints — three evaluations of the scan without it
+    val fps = graft.CacheScope.persist(
+      docs.select(col(idCol).as("doc_id"),
+          explode(rolling_fingerprint_pos(col(textCol), window, stride)).as("sp"))
+        .select(col("doc_id"), col("sp.fp").as("fp"), col("sp.pos").as("p")))
+    val hot = fps.groupBy("fp").agg(count(lit(1)).as("occ"))
+      .filter(col("occ") > maxOcc).select("fp")
+    val cool = fps.join(hot, Seq("fp"), "left_anti")
+    val a = cool.select(col("doc_id").as("i"), col("fp"), col("p").as("pi"))
+    val b = cool.select(col("doc_id").as("j"), col("fp"), col("p").as("pj"))
+    val w = Window.partitionBy("i", "j", "off").orderBy("pi")
+    val cum = w.rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    a.join(b, "fp").filter(col("i") < col("j"))
+      .select(col("i"), col("j"), col("pi"),
+        (col("pi") - col("pj")).as("off"))
+      .withColumn("prev", lag("pi", 1).over(w))
+      .withColumn("brk",
+        when(col("prev").isNull || col("pi") - col("prev") > maxGap, 1)
+          .otherwise(0))
+      .withColumn("span_id", sum("brk").over(cum))
+      .groupBy("i", "j", "off", "span_id")
+      .agg(min("pi").as("mn"), max("pi").as("mx"), count(lit(1)).as("n_fps"))
+      .filter(col("n_fps") >= minFps)
+      .select(col("i"), col("j"), col("mn").cast("long").as("start_i"),
+        (col("mn") - col("off")).cast("long").as("start_j"),
+        (col("mx") + lit(window) - col("mn")).cast("long").as("span_len"),
+        col("n_fps"))
+  }
 }

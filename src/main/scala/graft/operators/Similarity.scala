@@ -296,6 +296,32 @@ object Similarity {
     ivfTopKServe(refined, cells, queries, k, nProbe)
   }
 
+  /** Filtered vector search: top-k restricted to candidates in
+    * `allowedIds` (first column = neighbor id) — the metadata-predicate +
+    * similarity composition every retrieval/curation stack needs ("nearest
+    * English docs", "neighbors not in my shard"). Pre-filter semantics:
+    * the predicate lands on the CELL INDEX via a keyed semi-join BEFORE
+    * any dot product runs, so cost scales with the filtered occupancy of
+    * the probed cells, not the corpus — and the IVF index itself stays
+    * shared across predicates (one index at 100 TB, per-query filters at
+    * serve time; the alternative — an index per predicate — doesn't
+    * scale). The allowed set stays distributed: a semi-join, never a
+    * collected id list, so data-sized predicates (e.g. "ids that survived
+    * dedup") cost one keyed shuffle.
+    *
+    * Ref behavior: the reference serves label-scoped similarity from its
+    * warehouse marts (reference `shared/` query surface); this is the
+    * index-native form. */
+  def ivfTopKFiltered(corpus: DataFrame, queries: DataFrame,
+      allowedIds: DataFrame, k: Int,
+      nCentroids: Int = 16, nProbe: Int = 4): DataFrame = {
+    val (refined, cells) = ivfIndex(corpus, nCentroids)
+    val allowed = allowedIds
+      .select(col(allowedIds.columns.head).as("neighbor_id")).distinct()
+    ivfTopKServe(refined, cells.join(allowed, Seq("neighbor_id"), "left_semi"),
+      queries, k, nProbe)
+  }
+
   /** IVF-PQ — the canonical production ANN architecture: IVF routing
     * restricts each query to its `nProbe` nearest Voronoi cells, and
     * scoring inside those cells is the PQ asymmetric distance over the

@@ -288,7 +288,75 @@ object DedupQueries {
     d08Body(s, d, lshPairs(s, d))
   }
 
+  // ---------------------------------------------------------------- d09
+  // Cross-document SHARED SUBSTRING SPANS — the Lee et al. 2022
+  // ("Deduplicating Training Data Makes Language Models Better")
+  // primitive, winnowed instead of suffix-array'd so it stays Spark-shaped:
+  // one scan computes positioned winnowing fingerprints (t07's exact hash
+  // stream + the leftmost-of-min position rule), one keyed join on fp
+  // aligns documents, and spans fall out of grouping matches by position
+  // offset (pi − pj constant along a shared substring) and merging runs
+  // with gaps ≤ window+stride. Sub-linear in pair space: candidates exist
+  // only where fingerprints collide; boilerplate fingerprints (> 64
+  // occurrences) are dropped before pairing — the same occupancy-cap move
+  // as LSH buckets, bounding any single fp's pair fan-out at 64²/2.
+  // At 100 TB this is scan + keyed join + bounded window; no all-pairs
+  // stage anywhere. DuckDB replays the hash stream (HUGEINT polynomial),
+  // the winnowing argmin-position selection, the cap, and the span
+  // segmentation verbatim.
+  val d09SubstringSpans: Q = Q(
+    "d09_substring_spans",
+    s"""WITH pos AS (
+       |  SELECT doc_id, text, len(text) - 15 AS nw,
+       |    unnest(range(1, len(text) - 14)) AS i
+       |  FROM documents WHERE len(text) >= 16),
+       |win AS (
+       |  SELECT doc_id, i, nw,
+       |    CAST(list_sum(list_transform(range(0, 16),
+       |      j -> ord(substr(text, CAST(i + j AS INT), 1))::HUGEINT
+       |           * (${TextQueries.FP_POWS})[j + 1]))
+       |      % ${TextQueries.FP_M} AS BIGINT) AS h
+       |  FROM pos),
+       |runs AS (
+       |  SELECT doc_id, i AS rs, nw,
+       |    MIN(h) OVER (PARTITION BY doc_id ORDER BY i
+       |      ROWS BETWEEN CURRENT ROW AND 7 FOLLOWING) AS mn
+       |  FROM win),
+       |sel AS (
+       |  SELECT DISTINCT r.doc_id, r.mn AS fp, MIN(w.i) - 1 AS p
+       |  FROM runs r JOIN win w
+       |    ON w.doc_id = r.doc_id AND w.h = r.mn
+       |   AND w.i BETWEEN r.rs AND r.rs + 7
+       |  WHERE r.rs <= GREATEST(r.nw - 8, 0) + 1
+       |  GROUP BY r.doc_id, r.rs, r.mn),
+       |hot AS (SELECT fp FROM sel GROUP BY fp HAVING COUNT(*) > 64),
+       |cool AS (SELECT * FROM sel WHERE fp NOT IN (SELECT fp FROM hot)),
+       |m AS (
+       |  SELECT a.doc_id AS i, b.doc_id AS j, a.p AS pi, a.p - b.p AS off
+       |  FROM cool a JOIN cool b ON a.fp = b.fp AND a.doc_id < b.doc_id),
+       |seg AS (
+       |  SELECT i, j, off, pi,
+       |    CASE WHEN LAG(pi) OVER w IS NULL
+       |           OR pi - LAG(pi) OVER w > 24 THEN 1 ELSE 0 END AS brk
+       |  FROM m WINDOW w AS (PARTITION BY i, j, off ORDER BY pi)),
+       |sid AS (
+       |  SELECT i, j, off, pi,
+       |    SUM(brk) OVER (PARTITION BY i, j, off ORDER BY pi
+       |      ROWS UNBOUNDED PRECEDING) AS span_id
+       |  FROM seg),
+       |spans AS (
+       |  SELECT i, j, CAST(MIN(pi) AS BIGINT) AS start_i,
+       |    CAST(MIN(pi) - off AS BIGINT) AS start_j,
+       |    CAST(MAX(pi) + 16 - MIN(pi) AS BIGINT) AS span_len,
+       |    COUNT(*) AS n_fps
+       |  FROM sid GROUP BY i, j, off, span_id HAVING COUNT(*) >= 3)
+       |SELECT i, j, start_i, start_j, span_len, n_fps
+       |FROM spans ORDER BY i, j, start_i, start_j""".stripMargin) { (s, d) =>
+    Dedup.substringSpans(t(s, d, "documents"))
+      .orderBy("i", "j", "start_i", "start_j")
+  }
+
   val all: Seq[Q] = Seq(d01ExactDedup, d02NgramJaccard, d03MinhashLsh,
     d04Simhash, d05SimhashMd5, d06DupClusters, d07DedupApply,
-    d08EditDistance)
+    d08EditDistance, d09SubstringSpans)
 }

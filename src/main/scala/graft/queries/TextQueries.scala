@@ -167,8 +167,8 @@ object TextQueries {
   // update is an optimization, not a semantic, so both forms agree
   // bit-for-bit on ASCII text), and winnowing is a sliding MIN window
   // with the same run-boundary rule as the native expression.
-  private val FP_M = (BigInt(1) << 61) - 1
-  private val FP_POWS = (0 until 16)
+  private[queries] val FP_M = (BigInt(1) << 61) - 1
+  private[queries] val FP_POWS = (0 until 16)
     .map(j => BigInt(257).modPow(BigInt(15 - j), FP_M))
     .map(p => s"$p::HUGEINT").mkString("[", ", ", "]")
 

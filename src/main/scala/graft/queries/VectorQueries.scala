@@ -703,7 +703,68 @@ object VectorQueries {
       .orderBy("vid")
   }
 
+  // ---------------------------------------------------------------- v12
+  // Filtered vector search: top-k among candidates passing a metadata
+  // predicate (label < 5 here) — "nearest English docs" / "neighbors
+  // outside my shard", the retrieval-stack composition. PRE-filter
+  // semantics: the predicate semi-joins the cell index before any dot
+  // product; the IVF index itself is built on the FULL corpus and shared
+  // across predicates (one index at 100 TB, per-query filters at serve).
+  // DuckDB replays v04's exact IVF construction with the label carried
+  // through and the predicate applied at the same point (candidates, not
+  // training).
+  val v12FilteredTopK: Q = Q(
+    "v12_ann_filtered_topk",
+    s"""WITH v AS (
+       |  SELECT vec_id, label,
+       |    list_transform(embedding, x -> CAST(x AS DOUBLE)) AS e
+       |  FROM embeddings),
+       |n AS (
+       |  SELECT vec_id, label, e,
+       |    sqrt(list_sum(list_transform(e, x -> x * x))) AS nrm
+       |  FROM v),
+       |seed AS (SELECT vec_id AS cid, e AS cv, nrm AS cn
+       |         FROM n ORDER BY vec_id LIMIT 16),
+       |a0 AS (
+       |  ${assignSql("seed", "", "rnk = 1", "vec_id")}),
+       |comp AS (
+       |  SELECT a0.cid, r.j AS pos,
+       |    CAST(SUM(CAST(n.e[r.j] AS DECIMAL(38,18))) AS DOUBLE) / COUNT(*) AS m
+       |  FROM a0 JOIN n USING (vec_id), unnest(range(1, 65)) r(j)
+       |  GROUP BY 1, 2),
+       |refined AS (SELECT cid, list(m ORDER BY pos) AS cv FROM comp GROUP BY cid),
+       |refined2 AS (
+       |  SELECT cid, cv, sqrt(list_sum(list_transform(cv, x -> x * x))) AS cn
+       |  FROM refined),
+       |cells AS (
+       |  ${assignSql("refined2", "", "rnk = 1", "neighbor_id")}),
+       |probes AS (
+       |  ${assignSql("refined2", " WHERE n.vec_id < 10", "rnk <= 4", "query_id")}),
+       |scored AS (
+       |  SELECT p.query_id, c.neighbor_id,
+       |    ROUND(list_sum(list_transform(range(1, 65), k -> a.e[k] * b.e[k]))
+       |          / (a.nrm * b.nrm), 6) AS cos_sim
+       |  FROM probes p JOIN cells c USING (cid)
+       |  JOIN n a ON a.vec_id = p.query_id
+       |  JOIN n b ON b.vec_id = c.neighbor_id
+       |  WHERE c.neighbor_id <> p.query_id AND b.label < 5),
+       |ranked AS (
+       |  SELECT query_id, neighbor_id, cos_sim,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cos_sim DESC, neighbor_id) AS rank
+       |  FROM scored)
+       |SELECT query_id, neighbor_id, cos_sim, rank
+       |FROM ranked WHERE rank <= 10 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.functions.col
+    val emb = t(s, d, "embeddings")
+    Similarity.ivfTopKFiltered(emb, emb.filter(col("vec_id") < 10),
+        emb.filter(col("label") < 5).select("vec_id"), 10)
+      .select("query_id", "neighbor_id", "cos_sim", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   val all: Seq[Q] = Seq(v01BruteForceTopK, v02NearDupPairs, v03LshTopK,
     v04IvfTopK, v05QuantizedTopK, v06AnnRecall, v07EmbeddingOutliers,
-    v08PqTopK, v09IvfPqTopK, v10IvfPqResidualTopK, v11SemDedup)
+    v08PqTopK, v09IvfPqTopK, v10IvfPqResidualTopK, v11SemDedup,
+    v12FilteredTopK)
 }

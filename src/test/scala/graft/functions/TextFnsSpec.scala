@@ -47,6 +47,33 @@ class TextFnsSpec extends SparkSpec {
     assert(f1 === f2)
   }
 
+  test("rolling_fingerprint_pos: fp set equals the set form; positions hash back to their fp") {
+    import graft.functions.expressions.RollingFingerprint.rolling_fingerprint_pos
+    val t = "the quick brown fox jumps over the lazy dog and then some more text to fingerprint"
+    val pairs = Seq(Tuple1(t)).toDF("text")
+      .select(rolling_fingerprint_pos($"text").as("sp"))
+      .as[Seq[(Long, Int)]].head()
+    val plain = Seq(Tuple1(t)).toDF("text")
+      .select(rolling_fingerprint($"text")).as[Seq[Long]].head()
+    // same winnowing selection, position-annotated
+    assert(pairs.map(_._1).toSet === plain.toSet)
+    // every position points at the window that hashes to its fp
+    val M = (BigInt(1) << 61) - 1
+    def hashAt(pos: Int): Long =
+      t.substring(pos, pos + 16).getBytes("UTF-8").zipWithIndex
+        .map { case (b, j) => BigInt(b & 0xff) * BigInt(257).modPow(BigInt(15 - j), M) }
+        .sum.mod(M).toLong
+    pairs.foreach { case (fp, pos) => assert(hashAt(pos) === fp) }
+  }
+
+  test("rolling_fingerprint_pos of short text is empty") {
+    import graft.functions.expressions.RollingFingerprint.rolling_fingerprint_pos
+    val sp = Seq(Tuple1("tiny")).toDF("text")
+      .select(rolling_fingerprint_pos($"text").as("sp"))
+      .as[Seq[(Long, Int)]].head()
+    assert(sp.isEmpty)
+  }
+
   test("piiRedact scrubs every email/ip/phone occurrence; counts match") {
     import graft.functions.TextFns._
     val t = "write bob.smith@corp.io or 192.168.0.1 then 555-123-4567 " +

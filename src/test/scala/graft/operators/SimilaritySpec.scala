@@ -46,6 +46,46 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.3, s"IVF recall $recall too low — cell probing broken?")
   }
 
+  test("ivfTopKFiltered: every neighbor satisfies the predicate") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    val allowedSet = emb.filter($"label" < 3).select("vec_id")
+      .as[Long].collect().toSet
+    val got = Similarity.ivfTopKFiltered(emb, queries,
+        emb.filter($"label" < 3).select("vec_id"), 10)
+      .select("neighbor_id").as[Long].collect()
+    assert(got.nonEmpty)
+    got.foreach(id => assert(allowedSet.contains(id),
+      s"neighbor $id violates the label predicate"))
+  }
+
+  test("ivfTopKFiltered with allow-everything equals plain ivfTopK") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    val plain = Similarity.ivfTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    val filt = Similarity.ivfTopKFiltered(emb, queries,
+        emb.select("vec_id"), 10)
+      .select("query_id", "neighbor_id", "rank")
+      .as[(Long, Long, Int)].collect().toSet
+    assert(filt === plain)
+  }
+
+  test("ivfTopKFiltered recall vs the filtered brute-force ground truth") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    val allowed = emb.filter($"label" < 5)
+    // ground truth: exact top-10 over the ALREADY-filtered corpus
+    val exact = Similarity.bruteForceTopK(allowed, queries, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val filt = Similarity.ivfTopKFiltered(emb, queries,
+        allowed.select("vec_id"), 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val recall = (exact intersect filt).size.toDouble / exact.size
+    assert(recall > 0.3, s"filtered recall $recall too low")
+  }
+
   test("lshTopK achieves reasonable recall vs brute force on real embeddings") {
     val emb = Tables.t(spark, sfDir, "embeddings")
     val queries = emb.filter($"vec_id" < 5)
