@@ -16,18 +16,25 @@ object Tables {
 
   /** Read one table from a scale-factor directory.
     *
-    * `events.ts` is INT64 TIMESTAMP(NANOS) parquet, which Spark's reader
-    * rejects; read it as a raw long (legacy conf) and truncate to
-    * microsecond precision — exactly what DuckDB does on read (its parquet
-    * reader surfaces the column as µs TIMESTAMP), so oracle parity holds.
-    * Integer `div` keeps the arithmetic exact (ns epoch values exceed
-    * double's 2^53 integer range).
+    * `events.ts` has shipped in two generations of the driver's testdata:
+    * INT64 TIMESTAMP(NANOS) (which Spark's reader rejects — read raw via
+    * the legacy conf and integer-truncate ns→µs, matching DuckDB's µs
+    * surfacing; `div` because ns epochs exceed double's 2^53) and plain
+    * µs TIMESTAMP (isAdjustedToUTC=false → TIMESTAMP_NTZ in Spark 4).
+    * Adapt on the observed type; both paths end in session-zone
+    * TimestampType with identical µs values, so every downstream query
+    * and oracle is generation-independent.
     */
   def t(spark: SparkSession, sfDir: String, name: String): DataFrame = {
     if (name == "events") {
       spark.conf.set("spark.sql.legacy.parquet.nanosAsLong", "true")
-      spark.read.parquet(s"$sfDir/$name.parquet")
-        .withColumn("ts", timestamp_micros(expr("ts div 1000")))
+      val df = spark.read.parquet(s"$sfDir/$name.parquet")
+      df.schema("ts").dataType match {
+        case org.apache.spark.sql.types.LongType =>
+          df.withColumn("ts", timestamp_micros(expr("ts div 1000")))
+        case _ =>
+          df.withColumn("ts", col("ts").cast("timestamp"))
+      }
     } else spark.read.parquet(s"$sfDir/$name.parquet")
   }
 

@@ -568,9 +568,122 @@ object TextQueries {
       .orderBy("decile")
   }
 
+  // ---------------------------------------------------------------- t16
+  // BM25 lexical retrieval: Okapi BM25(k1=1.2, b=0.75) top-5 documents
+  // per query for a fixed multi-term query set — the canonical sparse
+  // retrieval operator (search serving, RAG candidate generation, and
+  // the lexical leg of hybrid search). Scale shape: the query-term set
+  // is tiny and broadcast, so the per-doc term-frequency aggregation is
+  // pre-filtered to query terms BEFORE grouping — the shuffle carries
+  // only rows whose term is in some query, not the corpus vocabulary.
+  // df per term is computed from that same filtered tf (filtering by
+  // term before the doc-count grouping cannot change a retained term's
+  // df). Per-term partial scores are DECIMAL-summed (order-independent
+  // across the 3-term fold), rounded to 4 dp, and the per-query top-5
+  // finisher is `topk_pairs` — map-side k-heap, shuffle = 5·|queries|
+  // rows per partition regardless of corpus size (the v01 finisher
+  // discipline; a window here would funnel every scored doc through
+  // |queries| reducer tasks). Lucene-style idf = ln(1 + (N-df+.5)/(df+.5))
+  // keeps scores positive; ties on the ROUNDED score break doc_id ASC in
+  // both engines, so the cut is engine-exact.
+  /** The fixed retrieval query set: (query_id, term) rows. Tiny by
+    * construction — always broadcast, inlined as VALUES in the oracle. */
+  val BM25_QUERIES: Seq[(Long, String)] = Seq(
+    0L -> "join", 0L -> "hash", 0L -> "merge",
+    1L -> "stream", 1L -> "window", 1L -> "batch",
+    2L -> "vector", 2L -> "scan", 2L -> "filter")
+
+  private def BM25_QUERY_VALUES: String =
+    BM25_QUERIES.map { case (q, t) => s"($q, '$t')" }.mkString(", ")
+
+  /** DuckDB CTE chain ending in `bm25_ranked(query_id, doc_id, score,
+    * rank)` — the full-corpus BM25 ranking both t16 and the hybrid
+    * fusion (v13) oracles consume; each applies its own rank cut. */
+  def BM25_ORACLE_CTES: String =
+    s"""qterms(query_id, term) AS (VALUES $BM25_QUERY_VALUES),
+      |tok AS (SELECT doc_id, unnest(string_split(text, ' ')) AS term
+      |        FROM documents),
+      |dlen AS (SELECT doc_id, COUNT(*) AS dl FROM tok GROUP BY 1),
+      |stats AS (SELECT CAST(COUNT(*) AS DOUBLE) AS nd,
+      |                 CAST(SUM(dl) AS DOUBLE) / COUNT(*) AS avgdl
+      |          FROM dlen),
+      |tf AS (
+      |  SELECT t.doc_id, t.term, COUNT(*) AS tf
+      |  FROM tok t WHERE t.term IN (SELECT DISTINCT term FROM qterms)
+      |  GROUP BY 1, 2),
+      |dfreq AS (SELECT term, COUNT(*) AS df FROM tf GROUP BY 1),
+      |bm25_scored AS (
+      |  SELECT q.query_id, f.doc_id,
+      |    CAST(ln(1 + (s.nd - d.df + 0.5) / (d.df + 0.5))
+      |      * (f.tf * 2.2) / (f.tf + 1.2 * (0.25 + 0.75 * l.dl / s.avgdl))
+      |      AS DECIMAL(38, 18)) AS part
+      |  FROM qterms q
+      |  JOIN tf f ON f.term = q.term
+      |  JOIN dfreq d ON d.term = q.term
+      |  JOIN dlen l ON l.doc_id = f.doc_id
+      |  CROSS JOIN stats s),
+      |bm25_summed AS (
+      |  SELECT query_id, doc_id, ROUND(CAST(SUM(part) AS DOUBLE), 4) AS score
+      |  FROM bm25_scored GROUP BY 1, 2),
+      |bm25_ranked AS (
+      |  SELECT query_id, doc_id, score,
+      |    ROW_NUMBER() OVER (PARTITION BY query_id
+      |                       ORDER BY score DESC, doc_id) AS rank
+      |  FROM bm25_summed)""".stripMargin
+
+  val t16Bm25: Q = Q(
+    "t16_bm25",
+    s"""WITH $BM25_ORACLE_CTES
+      |SELECT query_id, doc_id, score, rank FROM bm25_ranked
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    bm25TopK(s, docs(s, d), 5)
+      .orderBy("query_id", "rank")
+  }
+
+  /** BM25(k1=1.2, b=0.75) top-k per query over `docs`; emits
+    * (query_id, doc_id, score, rank). Shared by t16 and the hybrid
+    * fusion (v13): the lexical leg of retrieval. */
+  def bm25TopK(
+      s: org.apache.spark.sql.SparkSession,
+      docsDf: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.expressions.TopKPairs.topk_pairs
+    val qterms = s.createDataFrame(BM25_QUERIES).toDF("query_id", "term")
+    val tok = docsDf.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val dlen = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    val stats = dlen.agg(
+      count(lit(1)).cast("double").as("nd"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    // pre-filter to query terms before grouping: shuffle is query-term
+    // rows only, and df per retained term is unchanged by the filter
+    val tf = tok
+      .join(broadcast(qterms.select("term").distinct()), "term")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
+    val part = (
+      log(lit(1) + (col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))
+        * (col("tf") * lit(2.2))
+        / (col("tf") + lit(1.2) * (lit(0.25) + lit(0.75) * col("dl") / col("avgdl")))
+      ).cast(DecimalType(38, 18))
+    val scored = broadcast(qterms)
+      .join(tf, "term")
+      .join(broadcast(dfreq), "term")
+      .join(dlen, "doc_id")
+      .crossJoin(broadcast(stats))
+      .select(col("query_id"), col("doc_id"), part.as("part"))
+    val summed = scored.groupBy("query_id", "doc_id")
+      .agg(round(sum("part").cast("double"), 4).as("score"))
+    summed.groupBy("query_id")
+      .agg(topk_pairs(col("score"), col("doc_id"), k).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("doc_id"),
+        col("col.score").as("score"), (col("pos") + 1).as("rank"))
+  }
+
   val all: Seq[Q] = Seq(
     t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
     t05TokenHistogram, t06BpeTokens, t07RollingFingerprint,
     t08Repetition, t09PiiScrub, t10Novelty, t11Perplexity, t12BpeMerges,
-    t13Tfidf, t14CorpusLaws, t15VocabGrowth)
+    t13Tfidf, t14CorpusLaws, t15VocabGrowth, t16Bm25)
 }

@@ -763,8 +763,88 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
+  // ---------------------------------------------------------------- v13
+  // Hybrid retrieval: reciprocal-rank fusion of the lexical leg (BM25
+  // top-20, t16's shared query set — query_id 0..2) and the vector leg
+  // (cosine top-20 for query vectors vec_id 0..2, v01's construction).
+  // RRF(d) = Σ_legs 1/(60 + rank_leg(d)), the standard k=60 fusion —
+  // rank-only, so it needs NO score normalization across legs, which is
+  // what makes it the production default for hybrid search. Scale shape:
+  // each leg is already a bounded top-k (5·|queries| rows shuffled by
+  // `topk_pairs`); the fusion join and re-rank run on ≤ 2k rows per
+  // query — driver-light, corpus-independent. Absent legs contribute 0
+  // (outer join, rank 0 = "not retrieved"); fused score rounds to 6 dp,
+  // ties break doc_id ASC in both engines.
+  val v13HybridRrf: Q = Q(
+    "v13_hybrid_rrf",
+    s"""WITH ${TextQueries.BM25_ORACLE_CTES},
+       |$VEC_CTE,
+       |vec_scored AS (
+       |  SELECT a.vec_id AS query_id, b.vec_id AS id,
+       |    ROUND($COS, 6) AS cos_sim
+       |  FROM n a JOIN n b ON b.vec_id <> a.vec_id
+       |  WHERE a.vec_id < 3),
+       |vec_ranked AS (
+       |  SELECT query_id, id,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY cos_sim DESC, id) AS vrank
+       |  FROM vec_scored),
+       |lex AS (SELECT query_id, doc_id AS id, rank AS lrank
+       |        FROM bm25_ranked WHERE rank <= 20),
+       |vec20 AS (SELECT query_id, id, vrank FROM vec_ranked
+       |          WHERE vrank <= 20),
+       |fused AS (
+       |  SELECT COALESCE(l.query_id, v.query_id) AS query_id,
+       |    COALESCE(l.id, v.id) AS id,
+       |    COALESCE(l.lrank, 0) AS lex_rank,
+       |    COALESCE(v.vrank, 0) AS vec_rank,
+       |    ROUND(
+       |      CASE WHEN l.lrank IS NULL THEN 0
+       |           ELSE CAST(1 AS DOUBLE) / (60 + l.lrank) END +
+       |      CASE WHEN v.vrank IS NULL THEN 0
+       |           ELSE CAST(1 AS DOUBLE) / (60 + v.vrank) END, 6) AS rrf
+       |  FROM lex l
+       |  FULL OUTER JOIN vec20 v
+       |    ON v.query_id = l.query_id AND v.id = l.id),
+       |final_ranked AS (
+       |  SELECT query_id, id, rrf, lex_rank, vec_rank,
+       |    ROW_NUMBER() OVER (PARTITION BY query_id
+       |                       ORDER BY rrf DESC, id) AS rank
+       |  FROM fused)
+       |SELECT query_id, id, rrf, lex_rank, vec_rank, rank
+       |FROM final_ranked WHERE rank <= 10
+       |ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    import graft.functions.expressions.TopKPairs.topk_pairs
+    val emb = t(s, d, "embeddings")
+    val lex = TextQueries.bm25TopK(s, t(s, d, "documents"), 20)
+      .select(col("query_id"), col("doc_id").as("id"),
+        col("rank").cast("long").as("lex_rank"))
+    val vec = Similarity
+      .bruteForceTopK(emb, emb.filter(col("vec_id") < 3), 20)
+      .select(col("query_id"), col("neighbor_id").as("id"),
+        col("rank").cast("long").as("vec_rank"))
+    val fused = lex.join(vec, Seq("query_id", "id"), "full_outer")
+      .select(col("query_id"), col("id"),
+        coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
+        coalesce(col("vec_rank"), lit(0L)).as("vec_rank"),
+        round(
+          when(col("lex_rank").isNull, lit(0.0))
+            .otherwise(lit(1.0) / (lit(60) + col("lex_rank"))) +
+          when(col("vec_rank").isNull, lit(0.0))
+            .otherwise(lit(1.0) / (lit(60) + col("vec_rank"))), 6).as("rrf"))
+    fused.groupBy("query_id")
+      .agg(topk_pairs(col("rrf"), col("id"), 10).as("top"))
+      .select(col("query_id"), posexplode(col("top")))
+      .select(col("query_id"), col("col.id").as("id"),
+        col("col.score").as("rrf"), (col("pos") + 1).as("rank"))
+      .join(fused.select("query_id", "id", "lex_rank", "vec_rank"),
+        Seq("query_id", "id"))
+      .select("query_id", "id", "rrf", "lex_rank", "vec_rank", "rank")
+      .orderBy("query_id", "rank")
+  }
+
   val all: Seq[Q] = Seq(v01BruteForceTopK, v02NearDupPairs, v03LshTopK,
     v04IvfTopK, v05QuantizedTopK, v06AnnRecall, v07EmbeddingOutliers,
     v08PqTopK, v09IvfPqTopK, v10IvfPqResidualTopK, v11SemDedup,
-    v12FilteredTopK)
+    v12FilteredTopK, v13HybridRrf)
 }
