@@ -4,7 +4,7 @@ import org.apache.spark.sql.SparkSessionExtensions
 import org.apache.spark.sql.catalyst.FunctionIdentifier
 import org.apache.spark.sql.catalyst.expressions.{Expression, ExpressionInfo, Literal}
 
-import graft.functions.expressions.{BloomFilter, CmsSketch, DotProduct, HistQuantile, MinHashSignature, RollingFingerprint, SimHash64, SimHashBits, TopKPairs, WordShingles}
+import graft.functions.expressions.{BloomFilter, CmsSketch, DotProduct, HistQuantile, MgSketch, MinHashSignature, RollingFingerprint, SimHash64, SimHashBits, TopKPairs, WordShingles}
 
 /** SparkSessionExtensions entry point: registers the engine's native
   * expressions as SQL functions so `spark.sql("SELECT dot_product(a, b)")`
@@ -138,7 +138,16 @@ object GraftExtensions {
           "array<bigint> of 64-bit words (bit p = word p/64, bit p%64, " +
           "1-indexed for element_at)"),
       (children: Seq[Expression]) => BloomFilter(children(0),
-        intArg(children(1)), intArg(children(2)))))
+        intArg(children(1)), intArg(children(2)))),
+    (FunctionIdentifier("mg_sketch"),
+      info("mg_sketch",
+        "mg_sketch(value, k) - Misra-Gries heavy-hitters summary over a " +
+          "string column: at most k-1 (item, est) pairs; guaranteed to " +
+          "contain every item with frequency > n/k, with " +
+          "true-n/k <= est <= true. Counter values depend on merge order " +
+          "- recount candidates exactly for a deterministic answer"),
+      (children: Seq[Expression]) => MgSketch(children(0),
+        intArg(children(1)))))
 
   /** Register the function set on a live session (idempotent — the
     * registry overwrites by identifier). */

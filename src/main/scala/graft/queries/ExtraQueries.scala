@@ -769,9 +769,53 @@ object ExtraQueries {
   private val partOverwriteDir =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // ---------------------------------------------------------------- x21
+  // Heavy hitters, the two-pass sketch-then-verify pattern: pass 1 runs
+  // the Misra-Gries summary (mg_sketch, ≤ k-1 counters, map-side
+  // partial — shuffle carries at most k-1 pairs per partition, never
+  // the key cardinality) to get a candidate set GUARANTEED to contain
+  // every token with frequency > n/k; pass 2 exact-counts ONLY the
+  // candidates (broadcast semi-join prefilter) and applies the strict
+  // integer threshold cnt·k > n. MG counter values depend on merge
+  // order, but the final answer doesn't — false positives die in the
+  // recount, false negatives can't exist — so the query is hash-exact
+  // against DuckDB's full GROUP BY even though the sketch itself isn't
+  // replayable. At 100 TB this is the only shape that works when key
+  // cardinality exceeds executor memory: the sketch never holds more
+  // than k-1 keys, and the exact pass touches ≤ k-1 keys' rows.
+  val x21HeavyHitters: Q = Q(
+    "x21_heavy_hitters",
+    """WITH tok AS (SELECT unnest(string_split(text, ' ')) AS term
+      |            FROM documents),
+      |n AS (SELECT COUNT(*) AS n FROM tok),
+      |tf AS (SELECT term, COUNT(*) AS cnt FROM tok GROUP BY 1)
+      |SELECT term, cnt, ROUND(CAST(cnt AS DOUBLE) / n, 6) AS share
+      |FROM tf CROSS JOIN n WHERE cnt * 31 > n
+      |ORDER BY cnt DESC, term""".stripMargin) { (s, d) =>
+    import graft.functions.TextFns.tokens
+    import graft.functions.expressions.MgSketch.mg_sketch
+    val k = 31
+    val tok = t(s, d, "documents")
+      .select(explode(tokens(col("text"))).as("term"))
+    val sketch = tok.agg(
+      mg_sketch(col("term"), k).as("sk"), count(lit(1)).as("n"))
+    val cand = sketch
+      .select(explode(col("sk")).as("c"))
+      .select(col("c.item").as("term"))
+    val exact = tok
+      .join(broadcast(cand), "term")
+      .groupBy("term").agg(count(lit(1)).as("cnt"))
+    exact.crossJoin(broadcast(sketch.select("n")))
+      .filter(col("cnt") * k > col("n"))
+      .select(col("term"), col("cnt"),
+        round(col("cnt").cast("double") / col("n"), 6).as("share"))
+      .orderBy(col("cnt").desc, col("term"))
+  }
+
   val all: Seq[Q] = Seq(x01SeedJoin, x02AsofJoin, x03Duration, x04Sessionize,
     x05ApproxDistinct, x06RangeJoin, x07Scd2History, x08AsofForward,
     x09ApproxQuantiles, x10AsofExec, x11AsofExecForward, x12AsofTtl,
     x13HistQuantiles, x14AsofBroadcast, x15CmsFrequency, x16BloomMembership,
-    x17VersionedCdf, x18VersionedRead, x19MorDelete, x20PartitionOverwrite)
+    x17VersionedCdf, x18VersionedRead, x19MorDelete, x20PartitionOverwrite,
+    x21HeavyHitters)
 }
