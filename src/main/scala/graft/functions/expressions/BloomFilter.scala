@@ -167,6 +167,37 @@ object BloomFilter {
         call_function("shiftleft", lit(1L), (pos % 64).cast("int"))) =!= lit(0L)
     }.reduce(_ && _)
 
+  /** JVM-side mirror of the expression's md5 bit positions, for
+    * consumers that probe a PERSISTED word array without running a
+    * Spark plan — e.g. the versioned table's per-file manifest blooms,
+    * where the probe happens at planning time on the driver. Must stay
+    * bit-identical to [[BloomFilter.position]] (spec-asserted). */
+  def positions(value: String, numBits: Int, numHashes: Int): Array[Int] = {
+    val md5 = java.security.MessageDigest.getInstance("MD5")
+    val out = new Array[Int](numHashes)
+    var i = 0
+    while (i < numHashes) {
+      md5.reset()
+      md5.update(value.getBytes("UTF-8"))
+      md5.update('#'.toByte)
+      md5.update(String.valueOf(i).getBytes("UTF-8"))
+      val h = md5.digest()
+      var be = 0L
+      var j = 0
+      while (j < 8) { be = (be << 8) | (h(j) & 0xffL); j += 1 }
+      out(i) = ((be >>> 4) % numBits).toInt
+      i += 1
+    }
+    out
+  }
+
+  /** Driver-side membership probe over a persisted word array. */
+  def mightContain(words: IndexedSeq[Long], value: String,
+      numBits: Int, numHashes: Int): Boolean =
+    positions(value, numBits, numHashes).forall { p =>
+      (words(p >>> 6) & (1L << (p & 63))) != 0L
+    }
+
   /** The semi-join prefilter: keep only `large` rows whose `largeKey`
     * MIGHT be in `small`'s `smallKey` set. The filter aggregate runs
     * over the small side, broadcasts as one row, and the probe is a

@@ -72,7 +72,15 @@ object Versioned {
       rows: Long,
       bytes: Long,
       // col -> (typeTag, min, max) with typeTag in {"long","double","string"}
-      stats: Map[String, (String, String, String)])
+      stats: Map[String, (String, String, String)],
+      // col -> per-file Bloom filter over CAST(col AS STRING) — the
+      // point-lookup complement to min/max stats: ranges prune scans
+      // when data is clustered, blooms prune them when overlapping key
+      // ranges hide a sparse membership (the Delta/Hudi bloom-index
+      // economics). Absent = no pruning for that column, always safe.
+      blooms: Map[String, BloomStat] = Map.empty)
+
+  private case class BloomStat(bits: Int, hashes: Int, words: IndexedSeq[Long])
 
   private case class Manifest(
       version: Long,
@@ -171,7 +179,10 @@ object Versioned {
       expectedVersion: Option[Long] = None,
       txn: Option[(String, Long)] = None,
       mergeSchema: Boolean = false,
-      partitionBy: Seq[String] = Nil): Long = {
+      partitionBy: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      bloomBits: Int = 1 << 15,
+      bloomHashes: Int = 3): Long = {
     require(mode == "append" || mode == "overwrite",
       s"unknown commit mode: $mode")
     // the batch data is snapshot-independent: written at most once
@@ -206,7 +217,8 @@ object Versioned {
       val schema = evolvedSchema(root, df, mode, mergeSchema)
       val entries = written.collect { case (p, e) if p == partCols => e }
         .getOrElse {
-          val (e, _) = writeBatch(spark, root, df, statsCols, partCols)
+          val (e, _) = writeBatch(spark, root, df, statsCols, partCols,
+            bloomCols, bloomBits, bloomHashes)
           written = Some((partCols, e)); e
         }
       val base =
@@ -296,7 +308,10 @@ object Versioned {
     * invariant holds for every later reader. */
   private def writeBatch(spark: SparkSession, root: String, df: DataFrame,
       statsCols: Seq[String],
-      partitionBy: Seq[String] = Nil): (Seq[FileEntry], String) = {
+      partitionBy: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil,
+      bloomBits: Int = 1 << 15,
+      bloomHashes: Int = 3): (Seq[FileEntry], String) = {
     import org.apache.spark.sql.functions.{col => c}
     val batch = java.util.UUID.randomUUID().toString
     val batchDir = new File(new File(root, "data"), batch)
@@ -329,7 +344,45 @@ object Versioned {
             "timestamp)")
       }
     }
-    (entries, df.schema.json)
+    val withBlooms =
+      if (bloomCols.isEmpty) entries
+      else {
+        val blooms = batchBlooms(spark, parquetFiles, bloomCols,
+          bloomBits, bloomHashes)
+        entries.map { e =>
+          val abs = new File(root, e.path).getCanonicalPath
+          blooms.get(abs).map(b => e.copy(blooms = b)).getOrElse(e)
+        }
+      }
+    (withBlooms, df.schema.json)
+  }
+
+  /** Per-file Bloom filters for a freshly written batch, in ONE extra
+    * Spark pass: group rows by `input_file_name` and fold each bloom
+    * column through the deterministic [[graft.functions.expressions.BloomFilter]]
+    * aggregate over `CAST(col AS STRING)`. The pass reads only the
+    * bloom columns (column-pruned scan of the batch just written) —
+    * the same one-extra-pass economics as a lake engine's stats/index
+    * collection. Returns canonical-absolute-path → col → bloom. */
+  private def batchBlooms(spark: SparkSession, files: Seq[File],
+      bloomCols: Seq[String], bits: Int,
+      hashes: Int): Map[String, Map[String, BloomStat]] = {
+    import org.apache.spark.sql.functions.{col => c, input_file_name}
+    import graft.functions.expressions.BloomFilter.bloom_build
+    val aggs = bloomCols.map(bc =>
+      bloom_build(c(bc).cast("string"), bits, hashes).as(s"__bloom_$bc"))
+    spark.read.parquet(files.map(_.getPath): _*)
+      .groupBy(input_file_name().as("__file"))
+      .agg(aggs.head, aggs.tail: _*)
+      .collect()
+      .map { row =>
+        val abs = new File(new java.net.URI(row.getString(0)).getPath)
+          .getCanonicalPath
+        abs -> bloomCols.zipWithIndex.map { case (bc, i) =>
+          bc -> BloomStat(bits, hashes,
+            row.getSeq[Long](i + 1).toIndexedSeq)
+        }.toMap
+      }.toMap
   }
 
   private def walkParquet(dir: File): Seq[File] = {
@@ -374,7 +427,10 @@ object Versioned {
     * versions spanning the stream's possible replay window. */
   def commitIfNew(spark: SparkSession, root: String, df: DataFrame,
       appId: String, batchId: Long, statsCols: Seq[String] = Nil,
-      mode: String = "append", mergeSchema: Boolean = false): Boolean = {
+      mode: String = "append", mergeSchema: Boolean = false,
+      bloomCols: Seq[String] = Nil,
+      bloomBits: Int = 1 << 15,
+      bloomHashes: Int = 3): Boolean = {
     require(mode == "append" || mode == "overwrite",
       s"unknown commit mode: $mode")
     var written: Option[(Seq[String], Seq[FileEntry])] = None
@@ -391,7 +447,8 @@ object Versioned {
         else parent.map(readManifest(root, _).partitionBy).getOrElse(Nil)
       val entries = written.collect { case (p, e) if p == partCols => e }
         .getOrElse {
-          val (e, _) = writeBatch(spark, root, df, statsCols, partCols)
+          val (e, _) = writeBatch(spark, root, df, statsCols, partCols,
+            bloomCols, bloomBits, bloomHashes)
           written = Some((partCols, e)); e
         }
       val base =
@@ -550,12 +607,23 @@ object Versioned {
   /** Multi-column stats pruning: a file survives only if, for EVERY
     * bound, its recorded [min, max] can intersect the bound's interval.
     * Files without stats for a bound's column are conservatively kept,
-    * so callers must still re-apply the predicates to rows. */
+    * so callers must still re-apply the predicates to rows.
+    *
+    * A POINT bound (lo == hi, integral or string) additionally probes
+    * the file's manifest Bloom filter when one was recorded at commit
+    * time (`bloomCols`): a "definitely absent" answer prunes the file
+    * even when its [min, max] range covers the key — the case range
+    * stats can't help with once key ranges overlap across files
+    * (upserted tables, interleaved writers). False positives keep the
+    * file (scan + exact filter stays correct); false negatives cannot
+    * occur, so pruning never changes results. Probe input is the same
+    * `CAST(col AS STRING)` the build used — integral and string keys
+    * round-trip exactly; other types skip the bloom probe. */
   def candidateFilesForBounds(root: String, version: Long,
       bounds: Seq[ColumnBound]): Seq[String] =
     readManifest(root, version).files.filter { f =>
       bounds.forall { b =>
-        f.stats.get(b.col) match {
+        val rangeOk = f.stats.get(b.col) match {
           case None => true // no stats recorded → must scan
           case Some((tpe, mn, mx)) => tpe match {
             case "long" =>
@@ -569,8 +637,35 @@ object Versioned {
                 b.hi.forall(h => mn <= h.toString)
           }
         }
+        rangeOk && bloomKeeps(f, b)
       }
     }.map(_.path)
+
+  /** Bloom probe for a point bound; true (keep) unless the file's
+    * bloom PROVES the key absent. */
+  private def bloomKeeps(f: FileEntry, b: ColumnBound): Boolean =
+    (b.lo, b.hi) match {
+      case (Some(lo), Some(hi)) if lo == hi =>
+        bloomProbeString(lo) match {
+          case None => true
+          case Some(key) => f.blooms.get(b.col).forall(bl =>
+            graft.functions.expressions.BloomFilter.mightContain(
+              bl.words, key, bl.bits, bl.hashes))
+        }
+      case _ => true
+    }
+
+  /** The canonical string a bloom probe hashes for a point value —
+    * must agree with `CAST(col AS STRING)` at build time. Integral and
+    * string types round-trip exactly; everything else is None (no
+    * bloom pruning — float/decimal/date formatting is cast-rule
+    * dependent and a wrong canonicalization would false-negative). */
+  private def bloomProbeString(v: Any): Option[String] = v match {
+    case s: String => Some(s)
+    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+         _: java.lang.Byte => Some(v.toString)
+    case _ => None
+  }
 
   /** SHOW PARTITIONS: the distinct partition tuples of `version`'s
     * live files with file/row/byte rollups — straight from the
@@ -1443,8 +1538,15 @@ object Versioned {
       val stats = f.stats.map { case (k, (t, mn, mx)) =>
         k -> Map("type" -> t, "min" -> mn, "max" -> mx).asJava
       }.asJava
-      Map[String, Any]("path" -> f.path, "rows" -> f.rows,
-        "bytes" -> f.bytes, "stats" -> stats).asJava
+      val base = Map[String, Any]("path" -> f.path, "rows" -> f.rows,
+        "bytes" -> f.bytes, "stats" -> stats)
+      val withBlooms =
+        if (f.blooms.isEmpty) base
+        else base + ("blooms" -> f.blooms.map { case (k, b) =>
+          k -> Map[String, Any]("bits" -> b.bits, "hashes" -> b.hashes,
+            "words" -> b.words.map(java.lang.Long.valueOf).asJava).asJava
+        }.asJava)
+      withBlooms.asJava
     }.asJava
     val base = Map[String, Any]("version" -> m.version,
       "action" -> m.action, "files" -> filesNode)
@@ -1472,8 +1574,15 @@ object Versioned {
             v.get("max").asText()))
         }.toMap
       }.getOrElse(Map.empty[String, (String, String, String)])
+      val blooms = Option(fn.get("blooms")).map { bn =>
+        bn.properties().asScala.map { e =>
+          val b = e.getValue
+          e.getKey -> BloomStat(b.get("bits").asInt(), b.get("hashes").asInt(),
+            b.get("words").elements().asScala.map(_.asLong()).toIndexedSeq)
+        }.toMap
+      }.getOrElse(Map.empty[String, BloomStat])
       FileEntry(fn.get("path").asText(), fn.get("rows").asLong(),
-        fn.get("bytes").asLong(), stats)
+        fn.get("bytes").asLong(), stats, blooms)
     }.toSeq
     Manifest(node.get("version").asLong(), node.get("action").asText(), files,
       txnApp = Option(node.get("txnApp")).map(_.asText()),

@@ -1,0 +1,124 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.functions.expressions.BloomFilter
+
+/** Per-file manifest Bloom filters must prune point lookups that range
+  * stats cannot (fully overlapping key ranges), while NEVER producing a
+  * false negative — pruned reads stay row-exact for every present and
+  * absent key, through both the operator API and the registered data
+  * source. */
+class VersionedBloomSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft-vbloom").toString + "/t"
+
+  // two batches with FULLY overlapping id ranges: odds then evens —
+  // min/max stats are useless here, only the bloom can tell them apart
+  private def oddEvenTable(): String = {
+    val root = freshRoot()
+    val odds = (1 to 2000 by 2).map(i => (i.toLong, s"odd-$i"))
+      .toDF("id", "payload").coalesce(1)
+    val evens = (2 to 2000 by 2).map(i => (i.toLong, s"even-$i"))
+      .toDF("id", "payload").coalesce(1)
+    Versioned.commit(spark, root, odds,
+      statsCols = Seq("id"), bloomCols = Seq("id"))
+    Versioned.commit(spark, root, evens,
+      statsCols = Seq("id"), bloomCols = Seq("id"))
+    root
+  }
+
+  test("bloom prunes files whose key range overlaps but key is absent") {
+    val root = oddEvenTable()
+    val v = Versioned.latestVersion(root).get
+    assert(Versioned.candidateFiles(root, v, "id", 1L, 2000L).size === 2,
+      "both files cover the full range — range pruning alone keeps both")
+    // point lookups: the file NOT holding the parity must usually go
+    val prunedCounts = (2 to 100 by 2).map { k =>
+      Versioned.candidateFiles(root, v, "id", k.toLong, k.toLong).size
+    }
+    assert(prunedCounts.forall(_ >= 1), "a held key must keep its file")
+    assert(prunedCounts.count(_ == 1) >= 45,
+      s"bloom should prune the odd file for nearly all even keys; " +
+        s"sizes were ${prunedCounts.groupBy(identity).view.mapValues(_.size).toMap}")
+  }
+
+  test("no false negatives: every present key reads back, pruned") {
+    val root = oddEvenTable()
+    (1 to 50).foreach { k =>
+      val got = Versioned.readPruned(spark, root, "id", k.toLong, k.toLong)
+        .select("payload").as[String].collect().toSeq
+      val expect = if (k % 2 == 1) Seq(s"odd-$k") else Seq(s"even-$k")
+      assert(got === expect, s"key $k must read back exactly")
+    }
+    // absent keys (outside the domain) return nothing — often with
+    // ZERO files scanned (both blooms answer definitely-absent)
+    val v = Versioned.latestVersion(root).get
+    val absent = (3001L to 3020L)
+    absent.foreach { k =>
+      assert(Versioned.readPruned(spark, root, "id", k, k).count() === 0)
+    }
+    assert(absent.map(k =>
+      Versioned.candidateFiles(root, v, "id", k, k).size).sum === 0,
+      "absent keys outside min/max prune by range alone")
+  }
+
+  test("registered data source point query bloom-prunes and stays exact") {
+    val root = oddEvenTable()
+    val df = spark.read.format(graft.sources.VersionedSource.Name)
+      .option("path", root).load()
+    df.createOrReplaceTempView("vbloom")
+    val row = spark.sql("SELECT payload FROM vbloom WHERE id = 42")
+      .as[String].collect().toSeq
+    assert(row === Seq("even-42"))
+    // the scan uses the same candidateFilesForBounds the assert does
+    val v = Versioned.latestVersion(root).get
+    assert(Versioned.candidateFilesForBounds(root, v,
+      Seq(Versioned.ColumnBound("id", Some(42L), Some(42L)))).size === 1,
+      "the DSv2 EqualTo pushdown path must see the bloom-pruned set")
+  }
+
+  test("driver-side probe is bit-identical to the SQL probe") {
+    val bits = 1 << 12
+    val hashes = 3
+    val keys = (1 to 500).map(i => s"key-$i")
+    val words = keys.toDF("k")
+      .agg(BloomFilter.bloom_build(col("k"), bits, hashes))
+      .as[Seq[Long]].head().toIndexedSeq
+    val probes = (1 to 500).map(i => s"key-$i") ++
+      (1 to 500).map(i => s"other-$i")
+    val sqlAnswers = probes.toDF("k")
+      .withColumn("words", typedLit(words))
+      .select(col("k"), BloomFilter.bloom_might_contain(
+        col("words"), col("k"), bits, hashes).as("hit"))
+      .as[(String, Boolean)].collect().toMap
+    probes.foreach { p =>
+      assert(BloomFilter.mightContain(words, p, bits, hashes)
+        === sqlAnswers(p), s"driver and SQL probes disagree on $p")
+    }
+    keys.foreach(p =>
+      assert(BloomFilter.mightContain(words, p, bits, hashes),
+        s"present key $p must always hit"))
+  }
+
+  test("blooms survive compaction-free verbs and absent blooms stay safe") {
+    val root = freshRoot()
+    // one bloomed commit, one un-bloomed append: mixed manifests must
+    // keep un-bloomed files for any point probe
+    Versioned.commit(spark, root,
+      (1 to 100).map(i => (i.toLong, "a")).toDF("id", "tag").coalesce(1),
+      statsCols = Seq("id"), bloomCols = Seq("id"))
+    Versioned.commit(spark, root,
+      (1 to 100).map(i => (i.toLong, "b")).toDF("id", "tag").coalesce(1),
+      statsCols = Seq("id"))
+    val v = Versioned.latestVersion(root).get
+    assert(Versioned.candidateFiles(root, v, "id", 7L, 7L).size === 2,
+      "un-bloomed file is conservatively kept")
+    assert(Versioned.readPruned(spark, root, "id", 7L, 7L).count() === 2)
+  }
+}
