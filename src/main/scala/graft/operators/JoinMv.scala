@@ -1,0 +1,98 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, SparkSession}
+
+/** Incrementally-maintained JOIN materialized view over two
+  * [[Versioned]] tables (ST6's hard sibling: the aggregate MV updates
+  * groups in place; a join MV must emit the CROSS-SIDE effects of each
+  * side's delta).
+  *
+  * Maintenance algebra for append-only sides (the streaming fact ⋈
+  * growing-dim case — the reference's enrichment joins):
+  *
+  *   A_new ⋈ B_new − A_old ⋈ B_old  =  ΔA ⋈ B_new  ∪  A_old ⋈ ΔB
+  *
+  * (expand (A_old+ΔA)⋈(B_old+ΔB): the ΔA⋈ΔB cross term lands inside
+  * ΔA⋈B_new; the two legs are disjoint because ΔA ∩ A_old = ∅). Each
+  * refresh therefore scans the DELTAS in full but the bases only as
+  * join probes — on a 100 TB fact table with a 1 GB append, the
+  * refresh is 1 GB ⋈ dim plus old-fact ⋈ dim-delta, never a full MV
+  * rebuild; when a side didn't move its leg vanishes entirely.
+  *
+  * Consistency contract: the MV is itself a Versioned table, and the
+  * (aVersion, bVersion) watermarks the refresh folded up to ride IN
+  * the MV's commit manifest (`props`) — data and state publish in one
+  * atomic hard-link, so there is no crash window where rows landed but
+  * the watermark didn't. The commit pins `expectedVersion`, so two
+  * racing refreshes serialize: the loser fails its CAS and re-reads
+  * BOTH the watermarks and the source versions before retrying.
+  * Re-running refresh after success is a no-op (watermarks current).
+  *
+  * Sides must be append-only over the refresh window: the change feed
+  * is consulted with the same fail-loudly contract `changeFeed` has —
+  * an overwrite/merge/delete in the window throws rather than silently
+  * corrupting the MV (deletes would need MV tombstones; see
+  * [[Versioned.changeFeed]] for the CDC escalation path).
+  */
+object JoinMv {
+
+  private val PropA = "joinmv.aVersion"
+  private val PropB = "joinmv.bVersion"
+
+  /** The MV's recorded source watermarks: the (aVersion, bVersion) the
+    * last refresh folded up to. None before the initial build. */
+  def watermarks(mvRoot: String): Option[(Long, Long)] =
+    Versioned.lastProps(mvRoot, Seq(PropA, PropB))
+      .map(p => (p(PropA).toLong, p(PropB).toLong))
+
+  /** One refresh step: fold everything the sources appended since the
+    * recorded watermarks into the MV, equi-joined on `keys`. Returns
+    * the MV version published (the current one when nothing moved).
+    *
+    * First call (no watermarks) performs the initial full build. */
+  def refresh(spark: SparkSession, aRoot: String, bRoot: String,
+      mvRoot: String, keys: Seq[String]): Long = {
+    require(keys.nonEmpty, "join keys must be non-empty")
+    val aNow = Versioned.latestVersion(aRoot).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $aRoot"))
+    val bNow = Versioned.latestVersion(bRoot).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $bRoot"))
+    watermarks(mvRoot) match {
+      case None =>
+        val full = Versioned.readVersion(spark, aRoot, aNow)
+          .join(Versioned.readVersion(spark, bRoot, bNow), keys)
+        Versioned.commit(spark, mvRoot, full, mode = "overwrite",
+          props = Map(PropA -> aNow.toString, PropB -> bNow.toString))
+      case Some((a0, b0)) =>
+        val mvV = Versioned.latestVersion(mvRoot).get
+        if (a0 == aNow && b0 == bNow) return mvV // nothing to fold
+        require(a0 <= aNow && b0 <= bNow,
+          s"MV watermarks (a=$a0, b=$b0) are ahead of the sources " +
+            s"(a=$aNow, b=$bNow) — was a source table restored/vacuumed?")
+        val legs = Seq.newBuilder[DataFrame]
+        if (aNow > a0)
+          legs += appendsOnly(spark, aRoot, a0, aNow)
+            .join(Versioned.readVersion(spark, bRoot, bNow), keys)
+        if (bNow > b0)
+          legs += Versioned.readVersion(spark, aRoot, a0)
+            .join(appendsOnly(spark, bRoot, b0, bNow), keys)
+        val delta = legs.result().reduce(_ unionByName _)
+        // CAS on the MV version observed WITH the watermarks: a racing
+        // refresh that published first fails this commit, and the
+        // caller retries from fresh watermarks — never a double fold
+        Versioned.commit(spark, mvRoot, delta, mode = "append",
+          expectedVersion = Some(mvV),
+          props = Map(PropA -> aNow.toString, PropB -> bNow.toString))
+    }
+  }
+
+  /** The rows versions `(from, to]` appended — [[Versioned.changesSince]]
+    * in STRICT mode: any non-append commit in the window (overwrite,
+    * merge, delete, mor-delete, compact) throws rather than silently
+    * corrupting the MV. (A compaction between refreshes is row-identical
+    * but shuffles rows across files; supporting it needs the row-level
+    * feed + MV tombstones — the documented CDC escalation path.) */
+  private def appendsOnly(spark: SparkSession, root: String,
+      from: Long, to: Long): DataFrame =
+    Versioned.changesSince(spark, root, from, Some(to))
+}

@@ -106,7 +106,12 @@ object Versioned {
       // partition tuple, recorded as min==max stats for these columns —
       // partition pruning IS stats pruning, and [[overwritePartitions]]
       // swaps whole file sets by tuple
-      partitionBy: Seq[String] = Nil)
+      partitionBy: Seq[String] = Nil,
+      // free-form commit metadata (Delta's commitInfo): written by the
+      // verb that publishes, read back newest-first via [[lastProps]] —
+      // incremental-maintenance watermarks ride here so state and data
+      // publish in the same atomic hard-link
+      props: Map[String, String] = Map.empty)
 
   private case class MorDelete(pred: String, files: Seq[String])
 
@@ -182,7 +187,8 @@ object Versioned {
       partitionBy: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
       bloomBits: Int = 1 << 15,
-      bloomHashes: Int = 3): Long = {
+      bloomHashes: Int = 3,
+      props: Map[String, String] = Map.empty): Long = {
     require(mode == "append" || mode == "overwrite",
       s"unknown commit mode: $mode")
     // the batch data is snapshot-independent: written at most once
@@ -225,9 +231,18 @@ object Versioned {
         if (mode == "append") currentFiles(root, latest) else Seq.empty
       publishEntries(root, base ++ entries, latest.getOrElse(0L),
         action = mode, txn, schema, mor = carriedMor(root, latest, mode),
-        partitionBy = Some(partCols))
+        partitionBy = Some(partCols), props = props)
     }
   }
+
+  /** Newest-first scan of retained manifests for the first one carrying
+    * ALL of `keys` in its props — the read side of commit metadata
+    * (same retention caveat as [[lastCommittedBatch]]: vacuum must keep
+    * the consumer's window). */
+  def lastProps(root: String, keys: Seq[String]): Option[Map[String, String]] =
+    versions(root).reverseIterator
+      .map(v => readManifest(root, v).props)
+      .find(p => keys.forall(p.contains))
 
   /** Schema enforcement + evolution (Delta's contract): the incoming
     * frame may always OMIT existing columns (they read back as null —
@@ -1173,7 +1188,8 @@ object Versioned {
       schemaJson: String = null,
       cdf: Seq[String] = Nil,
       mor: Seq[MorDelete] = Nil,
-      partitionBy: Option[Seq[String]] = None): Long = {
+      partitionBy: Option[Seq[String]] = None,
+      props: Map[String, String] = Map.empty): Long = {
     logDir(root).mkdirs()
     val next = parent + 1
     // partitioning is a table property: inherited from the parent
@@ -1184,7 +1200,7 @@ object Versioned {
     val manifest = Manifest(next, action, files,
       txnApp = txn.map(_._1), txnBatch = txn.map(_._2),
       schemaJson = Option(schemaJson), cdf = cdf, mor = mor,
-      partitionBy = partCols)
+      partitionBy = partCols, props = props)
     val tmp = File.createTempFile(s".v$next-", ".json", logDir(root))
     Files.writeString(tmp.toPath, renderJson(manifest))
     try {
@@ -1558,7 +1574,8 @@ object Versioned {
         Map[String, Any]("pred" -> d.pred,
           "files" -> d.files.asJava).asJava).asJava)) ++
       (if (m.partitionBy.isEmpty) Nil
-       else Seq("partitionBy" -> m.partitionBy.asJava))
+       else Seq("partitionBy" -> m.partitionBy.asJava)) ++
+      (if (m.props.isEmpty) Nil else Seq("props" -> m.props.asJava))
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(withTxn.asJava)
   }
 
@@ -1595,7 +1612,10 @@ object Versioned {
           .asScala.map(_.asText()).toSeq)
       }.toSeq).getOrElse(Nil),
       partitionBy = Option(node.get("partitionBy")).map(_.elements()
-        .asScala.map(_.asText()).toSeq).getOrElse(Nil))
+        .asScala.map(_.asText()).toSeq).getOrElse(Nil),
+      props = Option(node.get("props")).map(_.properties().asScala
+        .map(e => e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(Map.empty))
   }
 
   // --------------------------------------------------- footer stats

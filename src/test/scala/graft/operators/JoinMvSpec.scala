@@ -1,0 +1,101 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** The incrementally-maintained join MV must equal the full recompute
+  * after every refresh — including the both-sides-moved step whose
+  * ΔA⋈ΔB cross term a naive delta-join drops — publish watermarks
+  * atomically with the data, no-op when nothing moved, and refuse
+  * non-append source changes. */
+class JoinMvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String =
+    Files.createTempDirectory(s"graft-joinmv-$tag").toString + "/t"
+
+  private def facts(ids: Range): DataFrame =
+    ids.map(i => (i.toLong, i % 7L, i * 2.0)).toDF("fact_id", "k", "v")
+
+  private def dims(ks: Range): DataFrame =
+    ks.map(k => (k.toLong, s"dim-$k")).toDF("k", "name")
+
+  private def recompute(aRoot: String, bRoot: String): Set[(Long, Long, Double, String)] =
+    Versioned.read(spark, aRoot).join(Versioned.read(spark, bRoot), Seq("k"))
+      .select("k", "fact_id", "v", "name")
+      .as[(Long, Long, Double, String)].collect().toSet
+
+  private def mvRows(mvRoot: String): Set[(Long, Long, Double, String)] =
+    Versioned.read(spark, mvRoot)
+      .select("k", "fact_id", "v", "name")
+      .as[(Long, Long, Double, String)].collect().toSet
+
+  test("initial build, then one-side and both-side deltas all match recompute") {
+    val (a, b, mv) = (freshRoot("a"), freshRoot("b"), freshRoot("mv"))
+    Versioned.commit(spark, a, facts(1 to 100))
+    Versioned.commit(spark, b, dims(0 to 4)) // keys 5, 6 dangle for now
+    JoinMv.refresh(spark, a, b, mv, Seq("k"))
+    assert(mvRows(mv) === recompute(a, b), "initial build")
+
+    // fact-side append only
+    Versioned.commit(spark, a, facts(101 to 180))
+    JoinMv.refresh(spark, a, b, mv, Seq("k"))
+    assert(mvRows(mv) === recompute(a, b), "fact delta")
+
+    // dim-side append only: key 5 arrives late — old facts must join it
+    Versioned.commit(spark, b, dims(5 to 5))
+    JoinMv.refresh(spark, a, b, mv, Seq("k"))
+    assert(mvRows(mv) === recompute(a, b), "dim delta back-joins old facts")
+
+    // BOTH sides move in one refresh window: the ΔA⋈ΔB cross term
+    // (new facts with k=6 joining the new dim 6) must appear exactly once
+    Versioned.commit(spark, a, facts(181 to 260))
+    Versioned.commit(spark, b, dims(6 to 6))
+    JoinMv.refresh(spark, a, b, mv, Seq("k"))
+    assert(mvRows(mv) === recompute(a, b), "both-sides delta incl. cross term")
+  }
+
+  test("refresh is incremental: no-op version when nothing moved") {
+    val (a, b, mv) = (freshRoot("a2"), freshRoot("b2"), freshRoot("mv2"))
+    Versioned.commit(spark, a, facts(1 to 50))
+    Versioned.commit(spark, b, dims(0 to 6))
+    val v1 = JoinMv.refresh(spark, a, b, mv, Seq("k"))
+    val v2 = JoinMv.refresh(spark, a, b, mv, Seq("k"))
+    assert(v1 === v2, "idle refresh must not publish a new version")
+    assert(JoinMv.watermarks(mv) === Some((1L, 1L)))
+  }
+
+  test("watermarks publish atomically with the fold and advance per refresh") {
+    val (a, b, mv) = (freshRoot("a3"), freshRoot("b3"), freshRoot("mv3"))
+    Versioned.commit(spark, a, facts(1 to 10))
+    Versioned.commit(spark, b, dims(0 to 6))
+    JoinMv.refresh(spark, a, b, mv, Seq("k"))
+    Versioned.commit(spark, a, facts(11 to 20))
+    Versioned.commit(spark, a, facts(21 to 30))
+    JoinMv.refresh(spark, a, b, mv, Seq("k"))
+    assert(JoinMv.watermarks(mv) === Some((3L, 1L)),
+      "watermarks must record the exact versions folded")
+    // the delta commit carries ONLY the new facts' join rows
+    val lastVersion = Versioned.latestVersion(mv).get
+    val deltaRows = Versioned.readVersion(spark, mv, lastVersion).count() -
+      Versioned.readVersion(spark, mv, lastVersion - 1).count()
+    assert(deltaRows === 20, s"refresh appended $deltaRows rows, want 20")
+  }
+
+  test("non-append source changes are refused, not silently folded") {
+    val (a, b, mv) = (freshRoot("a4"), freshRoot("b4"), freshRoot("mv4"))
+    Versioned.commit(spark, a, facts(1 to 50))
+    Versioned.commit(spark, b, dims(0 to 6))
+    JoinMv.refresh(spark, a, b, mv, Seq("k"))
+    Versioned.commit(spark, a, facts(1 to 10), mode = "overwrite")
+    val e = intercept[IllegalArgumentException] {
+      JoinMv.refresh(spark, a, b, mv, Seq("k"))
+    }
+    assert(e.getMessage.contains("append-only"),
+      s"error must name the append-only contract, got: ${e.getMessage}")
+  }
+}
