@@ -812,10 +812,59 @@ object ExtraQueries {
       .orderBy(col("cnt").desc, col("term"))
   }
 
+  // ---------------------------------------------------------------- x22
+  // KMV distinct sketch: the deterministic, hash-oracle complement to
+  // x05's engine-native HLL (the d05/x13/x15/x16 discipline — every
+  // sketch family gets one engine-replayable member). K-minimum-values
+  // (Bar-Yossef et al. 2002): hash each value to the top 60 md5 bits,
+  // keep the k smallest DISTINCT hashes; if fewer than k exist the
+  // sketch IS the distinct set (exact count), else estimate
+  // (k-1) / (h_k / 2^60). Mergeable by construction (union the hash
+  // sets, re-take the k smallest — min-k of a union is the min-k of
+  // min-ks, the same algebra topk_pairs partials use). Scale shape:
+  // the hash is a map-only projection, distinct is a shuffle on
+  // 60-bit keys with map-side combine, and the k-smallest cut is
+  // TakeOrdered (per-partition heads, never a global sort). Every
+  // arithmetic step is exact-integer or one double division rounded
+  // to 4 dp, so the estimate hash-matches DuckDB's replay verbatim.
+  val x22KmvDistinct: Q = Q(
+    "x22_kmv_distinct",
+    """WITH hashes AS (
+      |  SELECT DISTINCT CAST(('0x' || substr(md5(CAST(user_id AS VARCHAR)
+      |    || '#' || CAST(event_id AS VARCHAR)), 1, 15)) AS BIGINT) AS h
+      |  FROM events),
+      |n AS (SELECT COUNT(*) AS n_exact FROM hashes),
+      |kth AS (SELECT h AS h_k, 256 AS k
+      |        FROM hashes ORDER BY h LIMIT 256),
+      |top AS (SELECT MAX(h_k) AS h_k, COUNT(*) AS k_used FROM kth)
+      |SELECT n_exact, k_used,
+      |  CASE WHEN k_used < 256 THEN CAST(k_used AS DOUBLE)
+      |       ELSE ROUND((k_used - 1) / (h_k / CAST(1152921504606846976 AS DOUBLE)), 4)
+      |  END AS kmv_estimate
+      |FROM n CROSS JOIN top""".stripMargin) { (s, d) =>
+    val k = 256
+    // 2^60: hashes are the top 60 bits of md5, uniform in [0, 2^60)
+    val scale = 1152921504606846976.0
+    val hashes = t(s, d, "events")
+      .select(conv(substring(md5(concat(
+        col("user_id").cast("string"), lit("#"),
+        col("event_id").cast("string"))), 1, 15), 16, 10)
+        .cast("long").as("h"))
+      .distinct()
+    val n = hashes.agg(count(lit(1)).as("n_exact"))
+    val topK = hashes.orderBy("h").limit(k)
+      .agg(max("h").as("h_k"), count(lit(1)).as("k_used"))
+    n.crossJoin(broadcast(topK))
+      .select(col("n_exact"), col("k_used"),
+        when(col("k_used") < k, col("k_used").cast("double"))
+          .otherwise(round((col("k_used") - 1) / (col("h_k") / scale), 4))
+          .as("kmv_estimate"))
+  }
+
   val all: Seq[Q] = Seq(x01SeedJoin, x02AsofJoin, x03Duration, x04Sessionize,
     x05ApproxDistinct, x06RangeJoin, x07Scd2History, x08AsofForward,
     x09ApproxQuantiles, x10AsofExec, x11AsofExecForward, x12AsofTtl,
     x13HistQuantiles, x14AsofBroadcast, x15CmsFrequency, x16BloomMembership,
     x17VersionedCdf, x18VersionedRead, x19MorDelete, x20PartitionOverwrite,
-    x21HeavyHitters)
+    x21HeavyHitters, x22KmvDistinct)
 }
