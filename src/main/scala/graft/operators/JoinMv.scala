@@ -95,4 +95,33 @@ object JoinMv {
   private def appendsOnly(spark: SparkSession, root: String,
       from: Long, to: Long): DataFrame =
     Versioned.changesSince(spark, root, from, Some(to))
+
+  /** Stream-driven maintenance: subscribe to BOTH sources' version
+    * feeds (unioned as bare ticks) and run [[refresh]] once per
+    * micro-batch. The feed is only the TRIGGER — refresh reads its own
+    * exact (aVersion, bVersion) watermarks from the MV manifest, so
+    * coalesced triggers fold everything pending in one step, replayed
+    * triggers after checkpoint recovery no-op, and a racing manual
+    * refresh serializes on the MV's CAS. Source offsets are manifest
+    * versions (the versioned source's contract), so the checkpoint is
+    * version-granular metadata. */
+  def stream(spark: SparkSession, aRoot: String, bRoot: String,
+      mvRoot: String, keys: Seq[String],
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.lit
+    def ticks(root: String) = spark.readStream
+      .format(graft.sources.VersionedSource.Name)
+      .option("path", root)
+      .load()
+      .select(lit(1).as("tick"))
+    ticks(aRoot).unionByName(ticks(bRoot))
+      .writeStream
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        refresh(spark, aRoot, bRoot, mvRoot, keys)
+        () // refresh is idempotent; its CAS is the consistency guard
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
 }

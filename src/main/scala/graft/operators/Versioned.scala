@@ -1396,7 +1396,9 @@ object Versioned {
     * `targetFiles` files as a NEW version (action "compact"). Rows are
     * identical; prior versions stay readable until vacuum. */
   def compact(spark: SparkSession, root: String,
-      targetFiles: Int = 1, statsCols: Seq[String] = Nil): Long =
+      targetFiles: Int = 1, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 15,
+      bloomHashes: Int = 3): Long =
     withOccRetry(None) {
       // the publish parent is PINNED to the version the snapshot was
       // read at: a concurrent append landing between read and publish
@@ -1410,7 +1412,8 @@ object Versioned {
       // overwrite MECHANICS (new files replace the live set) but its own
       // manifest ACTION: a compaction is row-identical, so the change
       // feeds may skip it losslessly where a true overwrite must fail
-      val (entries, _) = writeBatch(spark, root, snapshot, statsCols, part)
+      val (entries, _) = writeBatch(spark, root, snapshot, statsCols, part,
+        bloomCols, bloomBits, bloomHashes)
       publishEntries(root, entries, latest, action = "compact",
         schemaJson = snapshot.schema.json)
     }
@@ -1435,7 +1438,9 @@ object Versioned {
     */
   def optimize(spark: SparkSession, root: String,
       targetBytes: Long = 128L * 1024 * 1024,
-      statsCols: Seq[String] = Nil): Long = withOccRetry(None) {
+      statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 15,
+      bloomHashes: Int = 3): Long = withOccRetry(None) {
     val latest = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root"))
     val m = readManifest(root, latest)
@@ -1449,7 +1454,7 @@ object Versioned {
         small.map(_.bytes).sum.toDouble / targetBytes).toLong).toInt
       val (entries, _) =
         writeBatch(spark, root, packed.coalesce(nOut), statsCols,
-          m.partitionBy)
+          m.partitionBy, bloomCols, bloomBits, bloomHashes)
       val carried = big.map(_.path).toSet
       val stillPending = m.mor
         .map(d => d.copy(files = d.files.filter(carried)))

@@ -861,10 +861,45 @@ object ExtraQueries {
           .as("kmv_estimate"))
   }
 
+  // ---------------------------------------------------------------- x23
+  // Bloom-index point lookups through the versioned table, hash-gated:
+  // customer lands as two commits with FULLY overlapping key ranges
+  // (odds then evens — range stats keep both files for any point), each
+  // file carrying a manifest Bloom on c_custkey. Three point lookups
+  // read through `readPruned`, whose bloom probe skips the wrong-parity
+  // file (spec-asserted; here the ORACLE gates that pruning never
+  // changes answers — DuckDB replays the lookups on the raw table).
+  val x23BloomLookup: Q = Q(
+    "x23_bloom_lookup",
+    """SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal FROM customer
+      |WHERE c_custkey IN (7, 42, 301)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    import graft.operators.Versioned
+    val dir = bloomLookupDir.getOrElseUpdate(d, {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-vbl").toString + "/t"
+      val c = t(s, d, "customer").select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("acctbal"))
+      Versioned.commit(s, root, c.filter(col("c_custkey") % 2 === 1),
+        statsCols = Seq("c_custkey"), bloomCols = Seq("c_custkey"))
+      Versioned.commit(s, root, c.filter(col("c_custkey") % 2 === 0),
+        statsCols = Seq("c_custkey"), bloomCols = Seq("c_custkey"))
+      root
+    })
+    Seq(7L, 42L, 301L)
+      .map(k => Versioned.readPruned(s, dir, "c_custkey", k, k))
+      .reduce(_ unionByName _)
+      .select("c_custkey", "acctbal")
+      .orderBy("c_custkey")
+  }
+
+  private val bloomLookupDir =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   val all: Seq[Q] = Seq(x01SeedJoin, x02AsofJoin, x03Duration, x04Sessionize,
     x05ApproxDistinct, x06RangeJoin, x07Scd2History, x08AsofForward,
     x09ApproxQuantiles, x10AsofExec, x11AsofExecForward, x12AsofTtl,
     x13HistQuantiles, x14AsofBroadcast, x15CmsFrequency, x16BloomMembership,
     x17VersionedCdf, x18VersionedRead, x19MorDelete, x20PartitionOverwrite,
-    x21HeavyHitters, x22KmvDistinct)
+    x21HeavyHitters, x22KmvDistinct, x23BloomLookup)
 }

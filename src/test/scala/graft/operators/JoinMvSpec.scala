@@ -86,6 +86,25 @@ class JoinMvSpec extends SparkSpec {
     assert(deltaRows === 20, s"refresh appended $deltaRows rows, want 20")
   }
 
+  test("stream-driven maintenance converges to recompute across restarts") {
+    val (a, b, mv) = (freshRoot("a5"), freshRoot("b5"), freshRoot("mv5"))
+    val ckpt = Files.createTempDirectory("graft-joinmv-ckpt").toString
+    Versioned.commit(spark, a, facts(1 to 60))
+    Versioned.commit(spark, b, dims(0 to 4))
+    val q1 = JoinMv.stream(spark, a, b, mv, Seq("k"), ckpt)
+    q1.awaitTermination()
+    assert(mvRows(mv) === recompute(a, b), "first drain builds the MV")
+
+    // more commits on both sides, then a RESTART from the checkpoint:
+    // new versions admit as new micro-batches, replays no-op
+    Versioned.commit(spark, a, facts(61 to 120))
+    Versioned.commit(spark, b, dims(5 to 6))
+    val q2 = JoinMv.stream(spark, a, b, mv, Seq("k"), ckpt)
+    q2.awaitTermination()
+    assert(mvRows(mv) === recompute(a, b), "restart folds only the delta")
+    assert(JoinMv.watermarks(mv) === Some((2L, 2L)))
+  }
+
   test("non-append source changes are refused, not silently folded") {
     val (a, b, mv) = (freshRoot("a4"), freshRoot("b4"), freshRoot("mv4"))
     Versioned.commit(spark, a, facts(1 to 50))

@@ -106,6 +106,33 @@ class VersionedBloomSpec extends SparkSpec {
         s"present key $p must always hit"))
   }
 
+  test("optimize re-blooms packed files when asked; lookups stay exact") {
+    val root = freshRoot()
+    // keys ≡ 0 and ≡ 1 (mod 3) in two small bloomed commits; keys ≡ 2
+    // are IN-RANGE but absent — after packing, only the rebuilt bloom
+    // can prune those point probes (range covers everything)
+    val zeros = (0 to 3000 by 3).map(i => (i.toLong, s"z-$i"))
+      .toDF("id", "payload").coalesce(1)
+    val ones = (1 to 3000 by 3).map(i => (i.toLong, s"o-$i"))
+      .toDF("id", "payload").coalesce(1)
+    Versioned.commit(spark, root, zeros,
+      statsCols = Seq("id"), bloomCols = Seq("id"))
+    Versioned.commit(spark, root, ones,
+      statsCols = Seq("id"), bloomCols = Seq("id"))
+    val v = Versioned.optimize(spark, root, targetBytes = 1L << 30,
+      statsCols = Seq("id"), bloomCols = Seq("id"))
+    assert(Versioned.files(root, v).size === 1, "packed into one file")
+    val absentPruned = (2 to 300 by 3).count { k =>
+      Versioned.candidateFiles(root, v, "id", k.toLong, k.toLong).isEmpty
+    }
+    assert(absentPruned >= 90,
+      s"rebuilt bloom should prune nearly all in-range absent keys, got $absentPruned/100")
+    (0 to 30).foreach { k =>
+      val n = Versioned.readPruned(spark, root, "id", k.toLong, k.toLong).count()
+      assert(n === (if (k % 3 == 2) 0L else 1L), s"key $k row count")
+    }
+  }
+
   test("blooms survive compaction-free verbs and absent blooms stay safe") {
     val root = freshRoot()
     // one bloomed commit, one un-bloomed append: mixed manifests must
