@@ -128,4 +128,51 @@ object ScalableWindow {
       .drop("__bucket", "__cum_in_bucket", "__lag_in_bucket",
         "__rn_in_bucket", "__obucket", "__offset", "__prev_last")
   }
+
+  /** Exact global `ROW_NUMBER() OVER (ORDER BY orderCols…)` (ascending)
+    * without an unpartitioned window: rank inside coarse buckets in
+    * parallel, then add per-bucket COUNT prefix offsets — the
+    * [[runningTotal]] trick applied to ranking. The driver fold
+    * collects one (bucket, count) row per bucket, bounded by bucket
+    * cardinality, never rows.
+    *
+    * Contract: `bucketCol` must be MONOTONE NON-DECREASING in the
+    * global order — every row of a lesser bucket precedes every row of
+    * a greater bucket (e.g. the leading order expression coarsened:
+    * `score div 100` for `ORDER BY score, id`). Buckets compare by
+    * their natural Scala ordering in the driver fold; a NULL bucket is
+    * rejected (order its rows explicitly instead). */
+  def globalRank(
+      df: DataFrame,
+      bucketCol: Column,
+      orderCols: Seq[Column],
+      rankCol: String): DataFrame = {
+    val bucketed = df.withColumn("__bucket", bucketCol)
+    val w = Window.partitionBy("__bucket").orderBy(orderCols: _*)
+    val local = bucketed.withColumn("__rn", row_number().over(w))
+    val perBucket = bucketed.groupBy("__bucket")
+      .agg(count(lit(1)).as("__cnt"))
+      .orderBy("__bucket")
+      .collect() // one row per bucket — bucket cardinality, not data
+    require(!perBucket.exists(_.isNullAt(0)),
+      "globalRank: NULL bucket key — bucketCol must be total on the data")
+    var running = 0L
+    val offsets = perBucket.map { r =>
+      val off = running
+      running += r.getLong(1)
+      (r.get(0), off)
+    }.toSeq
+    import scala.jdk.CollectionConverters._
+    val offDf = df.sparkSession.createDataFrame(
+      offsets.map { case (b, off) =>
+        org.apache.spark.sql.Row(b, java.lang.Long.valueOf(off))
+      }.asJava,
+      org.apache.spark.sql.types.StructType(Seq(
+        bucketed.schema("__bucket").copy(name = "__obucket"),
+        org.apache.spark.sql.types.StructField("__offset",
+          org.apache.spark.sql.types.LongType, nullable = false))))
+    local.join(broadcast(offDf), col("__bucket") === col("__obucket"))
+      .withColumn(rankCol, (col("__rn") + col("__offset")).cast("long"))
+      .drop("__bucket", "__rn", "__obucket", "__offset")
+  }
 }

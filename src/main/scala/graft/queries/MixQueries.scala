@@ -550,8 +550,44 @@ object MixQueries {
       .orderBy("doc_id")
   }
 
+  // ---------------------------------------------------------------- s09
+  // Curriculum sharding: order the corpus easy→hard (here: by n_chars —
+  // the classic short-first curriculum — with doc_id as the total-order
+  // tiebreak) and cut it into K contiguous difficulty shards. The rank
+  // is an EXACT global ROW_NUMBER computed WITHOUT an unpartitioned
+  // window: `ScalableWindow.globalRank` ranks inside `n_chars div 100`
+  // buckets in parallel and adds per-bucket count offsets (driver fold
+  // = one row per bucket — the runningTotal trick applied to ranking;
+  // a naive ROW_NUMBER() OVER (ORDER BY …) funnels 100 TB through one
+  // task). Output is every 50th curriculum checkpoint — thin enough to
+  // read, dense enough that ANY off-by-one anywhere in the distributed
+  // rank breaks the hash against DuckDB's true global window.
+  val s09Curriculum: Q = Q(
+    "s09_curriculum",
+    """WITH ranked AS (
+      |  SELECT doc_id, n_chars,
+      |    ROW_NUMBER() OVER (ORDER BY n_chars, doc_id) AS rank,
+      |    COUNT(*) OVER () AS n
+      |  FROM documents)
+      |SELECT rank, doc_id, n_chars,
+      |  CAST(((rank - 1) * 8) // n AS BIGINT) AS shard
+      |FROM ranked WHERE rank % 50 = 0
+      |ORDER BY rank""".stripMargin) { (s, d) =>
+    import graft.operators.ScalableWindow
+    val base = docs(s, d).select(col("doc_id"), col("n_chars"))
+    val ranked = ScalableWindow.globalRank(
+      base, expr("n_chars div 100"),
+      Seq(col("n_chars"), col("doc_id")), "rank")
+    val n = base.agg(count(lit(1)).as("n"))
+    ranked.crossJoin(broadcast(n))
+      .filter(col("rank") % 50 === 0)
+      .select(col("rank"), col("doc_id"), col("n_chars"),
+        expr("((rank - 1) * 8) div n").cast("long").as("shard"))
+      .orderBy("rank")
+  }
+
   val all: Seq[Q] = Seq(s01StratifiedSample, s02MixPlan, c01Contamination,
     c02ContaminationReport, g01CorpusGold, g02CorpusFunnel, s03ShardPlan,
     s04SequencePacking, s05TemperatureMix, s06DocChunks, s07SourceCap,
-    g03TrainingPrep, s08ExactSample)
+    g03TrainingPrep, s08ExactSample, s09Curriculum)
 }

@@ -89,6 +89,48 @@ class ScalableWindowSpec extends SparkSpec {
       "NULL previous value must not be replaced by the prior bucket's last")
   }
 
+  test("globalRank equals the global window row_number, any partitioning") {
+    import spark.implicits._
+    import org.apache.spark.sql.expressions.Window
+    // collisions across buckets + duplicate order values inside buckets
+    val df = (1 to 500).map(i => ((i * 37) % 211, i.toLong))
+      .toDF("score", "id")
+    val expect = df
+      .withColumn("rank",
+        row_number().over(Window.orderBy(col("score"), col("id"))))
+      .as[(Int, Long, Int)].collect().toSet
+    for (p <- Seq(1, 7)) {
+      val got = ScalableWindow.globalRank(
+          df.repartition(p), expr("score div 20"),
+          Seq(col("score"), col("id")), "rank")
+        .select(col("score"), col("id"), col("rank").cast("int"))
+        .as[(Int, Long, Int)].collect().toSet
+      assert(got === expect, s"p=$p: distributed rank diverged")
+    }
+  }
+
+  test("globalRank ranks are a permutation and bucket-monotone") {
+    import spark.implicits._
+    val df = (1 to 300).map(i => (i % 13, i.toLong)).toDF("score", "id")
+    val ranks = ScalableWindow.globalRank(
+        df, col("score"), Seq(col("score"), col("id")), "rank")
+      .select("rank").as[Long].collect().sorted
+    assert(ranks.toSeq === (1L to 300L).toSeq,
+      "ranks must be exactly 1..N with no gaps or duplicates")
+  }
+
+  test("globalRank plans no unpartitioned window") {
+    import spark.implicits._
+    import org.apache.spark.sql.catalyst.plans.logical.{Window => LWindow}
+    val df = (1 to 50).map(i => (i % 7, i.toLong)).toDF("score", "id")
+    val plan = ScalableWindow.globalRank(
+        df, col("score"), Seq(col("score"), col("id")), "rank")
+      .queryExecution.optimizedPlan
+    val windows = plan.collect { case w: LWindow => w }
+    assert(windows.nonEmpty)
+    windows.foreach(w => assert(w.partitionSpec.nonEmpty, plan.toString))
+  }
+
   test("runningTotal plans no unpartitioned window") {
     // Every Window node must carry partition keys: the unpartitioned
     // form funnels the whole frame through one task (and WARNs at
