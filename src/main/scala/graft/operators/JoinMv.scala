@@ -96,6 +96,96 @@ object JoinMv {
       from: Long, to: Long): DataFrame =
     Versioned.changesSince(spark, root, from, Some(to))
 
+  /** CDC-capable refresh: maintains the join MV under INSERTS, UPDATES,
+    * and DELETES on both sides — the escalation path [[refresh]]
+    * documents. Requires each side to carry a UNIQUE single-column row
+    * id (`aId`, `bId`) surviving into the MV output, and every
+    * merge/delete on the sources committed with `cdf = true` (the
+    * row-level feed is the only honest source of which keys changed).
+    *
+    * Changed-key algebra (the keyed IVM formulation): let cA/cB be the
+    * distinct ids the window's row feed touched on each side. Then
+    *
+    *   1. DELETE from the MV every row with aId ∈ cA OR bId ∈ cB
+    *   2. APPEND  (A_new ⋉ cA) ⋈ B_new
+    *          ∪  (A_new ▷ cA) ⋈ (B_new ⋉ cB)
+    *
+    * — the two legs are disjoint (the anti-join), their union restores
+    * exactly the join rows any changed key participates in, and net-nil
+    * keys (insert+delete inside one window) fall out naturally. The
+    * MV delete is `Versioned.delete` with an id-IN-set predicate:
+    * manifest stats scope the rewrite to files that can contain a
+    * changed id — O(affected files), not O(MV). The changed-id sets
+    * collect to the driver, bounded by the WINDOW's change volume
+    * (the same bound the pruned-MERGE key collection has), never by
+    * table size.
+    *
+    * Crash contract: watermarks ride on the APPEND commit (published
+    * even when the insert delta is empty, so pure-delete windows still
+    * advance). A crash between delete and append leaves old watermarks;
+    * the retry re-runs the delete (id-set already gone → no-op rewrite)
+    * and the append folds once — exactly-once without a side ledger.
+    * Do not mix with [[refresh]] on the same MV: the append-only verb
+    * assumes its deltas were never retro-deleted. */
+  def refreshCdc(spark: SparkSession, aRoot: String, bRoot: String,
+      mvRoot: String, keys: Seq[String], aId: String, bId: String): Long = {
+    import org.apache.spark.sql.functions.{col, lit}
+    require(keys.nonEmpty, "join keys must be non-empty")
+    val aNow = Versioned.latestVersion(aRoot).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $aRoot"))
+    val bNow = Versioned.latestVersion(bRoot).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $bRoot"))
+    watermarks(mvRoot) match {
+      case None =>
+        val full = Versioned.readVersion(spark, aRoot, aNow)
+          .join(Versioned.readVersion(spark, bRoot, bNow), keys)
+        Versioned.commit(spark, mvRoot, full, mode = "overwrite",
+          props = Map(PropA -> aNow.toString, PropB -> bNow.toString))
+      case Some((a0, b0)) =>
+        if (a0 == aNow && b0 == bNow)
+          return Versioned.latestVersion(mvRoot).get
+        require(a0 <= aNow && b0 <= bNow,
+          s"MV watermarks (a=$a0, b=$b0) are ahead of the sources " +
+            s"(a=$aNow, b=$bNow) — was a source table restored/vacuumed?")
+        def changedIds(root: String, from: Long, to: Long,
+            id: String): Seq[Any] =
+          if (to == from) Seq.empty
+          else Versioned.changeFeed(spark, root, from, Some(to))
+            .select(id).distinct()
+            .collect().map(_.get(0)).toSeq // bounded by window change volume
+        val cA = changedIds(aRoot, a0, aNow, aId)
+        val cB = changedIds(bRoot, b0, bNow, bId)
+        // 1. delete every MV row a changed id participates in
+        val mvAfterDelete =
+          if (cA.nonEmpty || cB.nonEmpty) {
+            val pred =
+              (if (cA.nonEmpty) col(aId).isin(cA: _*) else lit(false)) ||
+              (if (cB.nonEmpty) col(bId).isin(cB: _*) else lit(false))
+            Versioned.delete(spark, mvRoot, pred)
+          } else Versioned.latestVersion(mvRoot).get
+        // 2. re-derive those keys' join rows from the NEW snapshots
+        val aNew = Versioned.readVersion(spark, aRoot, aNow)
+        val bNew = Versioned.readVersion(spark, bRoot, bNow)
+        val legs = Seq.newBuilder[DataFrame]
+        if (cA.nonEmpty)
+          legs += aNew.filter(col(aId).isin(cA: _*)).join(bNew, keys)
+        if (cB.nonEmpty)
+          legs += aNew.filter(if (cA.nonEmpty) !col(aId).isin(cA: _*)
+                              else lit(true))
+            .join(bNew.filter(col(bId).isin(cB: _*)), keys)
+        val delta = legs.result()
+          .reduceOption(_ unionByName _)
+          .getOrElse(Versioned.read(spark, mvRoot).limit(0))
+        // watermark commit publishes even for an empty delta, so
+        // pure-delete (and source-noop) windows still advance; pinned
+        // to the post-delete version so racing refreshers serialize
+        // (the loser's CAS fails and it retries from fresh watermarks)
+        Versioned.commit(spark, mvRoot, delta, mode = "append",
+          expectedVersion = Some(mvAfterDelete),
+          props = Map(PropA -> aNow.toString, PropB -> bNow.toString))
+    }
+  }
+
   /** Stream-driven maintenance: subscribe to BOTH sources' version
     * feeds (unioned as bare ticks) and run [[refresh]] once per
     * micro-batch. The feed is only the TRIGGER — refresh reads its own

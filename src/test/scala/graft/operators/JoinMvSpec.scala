@@ -105,6 +105,44 @@ class JoinMvSpec extends SparkSpec {
     assert(JoinMv.watermarks(mv) === Some((2L, 2L)))
   }
 
+  test("CDC refresh maintains the MV under inserts, updates, and deletes") {
+    val (a, b, mv) = (freshRoot("a6"), freshRoot("b6"), freshRoot("mv6"))
+    Versioned.commit(spark, a, facts(1 to 100), statsCols = Seq("fact_id"))
+    Versioned.commit(spark, b, dims(0 to 6), statsCols = Seq("k"))
+    JoinMv.refreshCdc(spark, a, b, mv, Seq("k"), "fact_id", "k")
+    assert(mvRows(mv) === recompute(a, b), "initial build")
+
+    // inserts on A
+    Versioned.commit(spark, a, facts(101 to 140))
+    JoinMv.refreshCdc(spark, a, b, mv, Seq("k"), "fact_id", "k")
+    assert(mvRows(mv) === recompute(a, b), "insert window")
+
+    // dim UPDATE: rename k=3 — every MV row with k=3 must repoint
+    Versioned.mergeUpsert(spark, b,
+      Seq((3L, "dim-3-renamed")).toDF("k", "name"), "k", cdf = true)
+    JoinMv.refreshCdc(spark, a, b, mv, Seq("k"), "fact_id", "k")
+    assert(mvRows(mv) === recompute(a, b), "dim update propagates")
+    assert(mvRows(mv).exists(_._4 == "dim-3-renamed"))
+
+    // fact DELETE: drop fact_ids 1..30 — their MV rows must vanish
+    Versioned.delete(spark, a, col("fact_id") <= 30, cdf = true)
+    JoinMv.refreshCdc(spark, a, b, mv, Seq("k"), "fact_id", "k")
+    assert(mvRows(mv) === recompute(a, b), "fact delete window")
+
+    // MIXED single window: append A + update B + delete A
+    Versioned.commit(spark, a, facts(141 to 170))
+    Versioned.mergeUpsert(spark, b,
+      Seq((5L, "dim-5-v2")).toDF("k", "name"), "k", cdf = true)
+    Versioned.delete(spark, a,
+      col("fact_id").between(50, 60), cdf = true)
+    JoinMv.refreshCdc(spark, a, b, mv, Seq("k"), "fact_id", "k")
+    assert(mvRows(mv) === recompute(a, b), "mixed insert/update/delete window")
+
+    // idle: watermarks current, no new version
+    val v = Versioned.latestVersion(mv).get
+    assert(JoinMv.refreshCdc(spark, a, b, mv, Seq("k"), "fact_id", "k") === v)
+  }
+
   test("non-append source changes are refused, not silently folded") {
     val (a, b, mv) = (freshRoot("a4"), freshRoot("b4"), freshRoot("mv4"))
     Versioned.commit(spark, a, facts(1 to 50))
