@@ -214,4 +214,27 @@ object JoinMv {
       .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
       .start()
   }
+
+  /** [[stream]]'s CDC-capable sibling: same trigger plumbing, each
+    * micro-batch runs [[refreshCdc]] — so dim updates and fact deletes
+    * flow into the MV continuously, not just appends. */
+  def streamCdc(spark: SparkSession, aRoot: String, bRoot: String,
+      mvRoot: String, keys: Seq[String], aId: String, bId: String,
+      checkpointDir: String): org.apache.spark.sql.streaming.StreamingQuery = {
+    import org.apache.spark.sql.functions.lit
+    def ticks(root: String) = spark.readStream
+      .format(graft.sources.VersionedSource.Name)
+      .option("path", root)
+      .load()
+      .select(lit(1).as("tick"))
+    ticks(aRoot).unionByName(ticks(bRoot))
+      .writeStream
+      .foreachBatch { (_: DataFrame, _: Long) =>
+        refreshCdc(spark, aRoot, bRoot, mvRoot, keys, aId, bId)
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .start()
+  }
 }

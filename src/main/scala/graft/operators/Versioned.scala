@@ -616,8 +616,18 @@ object Versioned {
 
   /** An inclusive per-column interval constraint; a `None` side is
     * unbounded. ANDed across a `Seq[ColumnBound]` — the shape a
-    * conjunctive pushed-filter set reduces to. */
-  case class ColumnBound(col: String, lo: Option[Any], hi: Option[Any])
+    * conjunctive pushed-filter set reduces to.
+    *
+    * `values` (set membership, `IN (…)`): the file survives the bound
+    * if ANY value could be present — each value checked as its own
+    * point (range containment + bloom probe), so an IN-list point
+    * lookup prunes exactly like a union of equality lookups. */
+  case class ColumnBound(col: String, lo: Option[Any], hi: Option[Any],
+      values: Option[Seq[Any]] = None)
+
+  /** Set-membership bound constructor (the `In` pushdown shape). */
+  def inBound(col: String, vs: Seq[Any]): ColumnBound =
+    ColumnBound(col, None, None, values = Some(vs))
 
   /** Multi-column stats pruning: a file survives only if, for EVERY
     * bound, its recorded [min, max] can intersect the bound's interval.
@@ -637,7 +647,17 @@ object Versioned {
   def candidateFilesForBounds(root: String, version: Long,
       bounds: Seq[ColumnBound]): Seq[String] =
     readManifest(root, version).files.filter { f =>
-      bounds.forall { b =>
+      bounds.forall(b => boundKeeps(f, b))
+    }.map(_.path)
+
+  /** One bound against one file: interval bounds check range ∩ bloom;
+    * an IN-set bound keeps the file iff ANY value survives its own
+    * point check. */
+  private def boundKeeps(f: FileEntry, b: ColumnBound): Boolean =
+    b.values match {
+      case Some(vs) => vs.exists(v =>
+        boundKeeps(f, ColumnBound(b.col, Some(v), Some(v))))
+      case None =>
         val rangeOk = f.stats.get(b.col) match {
           case None => true // no stats recorded → must scan
           case Some((tpe, mn, mx)) => tpe match {
@@ -653,8 +673,7 @@ object Versioned {
           }
         }
         rangeOk && bloomKeeps(f, b)
-      }
-    }.map(_.path)
+    }
 
   /** Bloom probe for a point bound; true (keep) unless the file's
     * bloom PROVES the key absent. */

@@ -832,6 +832,10 @@ object VectorQueries {
             .otherwise(lit(1.0) / (lit(60) + col("lex_rank"))) +
           when(col("vec_rank").isNull, lit(0.0))
             .otherwise(lit(1.0) / (lit(60) + col("vec_rank"))), 6).as("rrf"))
+      // feeds BOTH the top-k cut and the rank join-back: without the
+      // persist each consumer re-runs both retrieval legs (≤ 2k rows
+      // per query by construction — bounded)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     fused.groupBy("query_id")
       .agg(topk_pairs(col("rrf"), col("id"), 10).as("top"))
       .select(col("query_id"), posexplode(col("top")))

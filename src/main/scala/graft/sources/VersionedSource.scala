@@ -153,6 +153,11 @@ object VersionedSource {
       case LessThan(a, v) if ok(v) => Versioned.ColumnBound(a, None, Some(v))
       case LessThanOrEqual(a, v) if ok(v) =>
         Versioned.ColumnBound(a, None, Some(v))
+      // IN-list: each value prunes as its own point (range + bloom);
+      // capped so a pathological thousand-value IN stays a scan choice,
+      // not a per-file thousand-probe planning stall
+      case In(a, vs) if vs.nonEmpty && vs.length <= 64 && vs.forall(ok) =>
+        Versioned.inBound(a, vs.toIndexedSeq)
     }
   }
 

@@ -143,6 +143,26 @@ class JoinMvSpec extends SparkSpec {
     assert(JoinMv.refreshCdc(spark, a, b, mv, Seq("k"), "fact_id", "k") === v)
   }
 
+  test("CDC stream driver folds deletes and updates continuously") {
+    val (a, b, mv) = (freshRoot("a7"), freshRoot("b7"), freshRoot("mv7"))
+    val ckpt = Files.createTempDirectory("graft-joinmv-cdc-ckpt").toString
+    Versioned.commit(spark, a, facts(1 to 80), statsCols = Seq("fact_id"))
+    Versioned.commit(spark, b, dims(0 to 6), statsCols = Seq("k"))
+    JoinMv.streamCdc(spark, a, b, mv, Seq("k"), "fact_id", "k", ckpt)
+      .awaitTermination()
+    assert(mvRows(mv) === recompute(a, b), "initial drain")
+
+    Versioned.delete(spark, a, col("fact_id") <= 20, cdf = true)
+    Versioned.mergeUpsert(spark, b,
+      Seq((2L, "dim-2-v2")).toDF("k", "name"), "k", cdf = true)
+    JoinMv.streamCdc(spark, a, b, mv, Seq("k"), "fact_id", "k", ckpt)
+      .awaitTermination()
+    assert(mvRows(mv) === recompute(a, b),
+      "restarted stream folds the delete + update window")
+    assert(mvRows(mv).exists(_._4 == "dim-2-v2"))
+    assert(!mvRows(mv).exists(_._2 <= 20))
+  }
+
   test("non-append source changes are refused, not silently folded") {
     val (a, b, mv) = (freshRoot("a4"), freshRoot("b4"), freshRoot("mv4"))
     Versioned.commit(spark, a, facts(1 to 50))

@@ -106,6 +106,28 @@ class VersionedBloomSpec extends SparkSpec {
         s"present key $p must always hit"))
   }
 
+  test("IN-list point lookups prune per value through the data source") {
+    val root = oddEvenTable()
+    val v = Versioned.latestVersion(root).get
+    // all-even IN list: the odd file should fall to the blooms
+    assert(Versioned.candidateFilesForBounds(root, v,
+      Seq(Versioned.inBound("id", Seq(2L, 44L, 666L)))).size === 1,
+      "every IN value is even — blooms must drop the odd file")
+    // mixed parity keeps both; out-of-range values prune by stats alone
+    assert(Versioned.candidateFilesForBounds(root, v,
+      Seq(Versioned.inBound("id", Seq(2L, 3L)))).size === 2)
+    assert(Versioned.candidateFilesForBounds(root, v,
+      Seq(Versioned.inBound("id", Seq(5000L, 6000L)))).isEmpty)
+    // end-to-end through the registered source: rows exact
+    val df = spark.read.format(graft.sources.VersionedSource.Name)
+      .option("path", root).load()
+    df.createOrReplaceTempView("vbloom_in")
+    val got = spark.sql(
+      "SELECT payload FROM vbloom_in WHERE id IN (2, 44, 666) ORDER BY payload")
+      .as[String].collect().toSeq
+    assert(got === Seq("even-2", "even-44", "even-666"))
+  }
+
   test("optimize re-blooms packed files when asked; lookups stay exact") {
     val root = freshRoot()
     // keys ≡ 0 and ≡ 1 (mod 3) in two small bloomed commits; keys ≡ 2
