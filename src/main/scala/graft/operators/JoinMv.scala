@@ -87,14 +87,15 @@ object JoinMv {
   }
 
   /** The rows versions `(from, to]` appended — [[Versioned.changesSince]]
-    * in STRICT mode: any non-append commit in the window (overwrite,
-    * merge, delete, mor-delete, compact) throws rather than silently
-    * corrupting the MV. (A compaction between refreshes is row-identical
-    * but shuffles rows across files; supporting it needs the row-level
-    * feed + MV tombstones — the documented CDC escalation path.) */
+    * allowing ONLY row-identical compactions in the window (its
+    * file-diff keeps tracking the repacked live set, so an OPTIMIZE on
+    * a source never breaks the MV); any row-CHANGING commit
+    * (overwrite, merge, delete, mor-delete) still throws rather than
+    * silently corrupting the MV — that's [[refreshCdc]]'s job. */
   private def appendsOnly(spark: SparkSession, root: String,
       from: Long, to: Long): DataFrame =
-    Versioned.changesSince(spark, root, from, Some(to))
+    Versioned.changesSince(spark, root, from, Some(to),
+      skipCompactions = true)
 
   /** CDC-capable refresh: maintains the join MV under INSERTS, UPDATES,
     * and DELETES on both sides — the escalation path [[refresh]]

@@ -1263,7 +1263,8 @@ object Versioned {
     * `afterVersion = 0` means "from the beginning". */
   def changesSince(spark: SparkSession, root: String, afterVersion: Long,
       untilVersion: Option[Long] = None,
-      skipChangeCommits: Boolean = false): DataFrame = {
+      skipChangeCommits: Boolean = false,
+      skipCompactions: Boolean = false): DataFrame = {
     val upTo = untilVersion.orElse(latestVersion(root)).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root"))
     val vs = versions(root).filter(v => v > afterVersion && v <= upTo)
@@ -1275,11 +1276,17 @@ object Versioned {
       val cur = man.files.map(_.path)
       if (man.action == "append")
         added ++= cur.filterNot(prev)
-      else if (!skipChangeCommits)
+      // compactions are row-identical: skipping ONLY them is lossless
+      // (the file-diff below keeps tracking the repacked live set), so
+      // consumers can allow them without opening the lossy
+      // skipChangeCommits door for merge/delete
+      else if (!(skipChangeCommits ||
+          (skipCompactions && man.action == "compact")))
         throw new IllegalArgumentException(
           s"version $v at $root is a '${man.action}' commit — the change " +
-            "feed is append-only; pass skipChangeCommits=true to skip " +
-            "(lossless for compactions, lossy for merge/delete)")
+            "feed is append-only; pass skipCompactions=true to allow " +
+            "row-identical compactions, or skipChangeCommits=true to " +
+            "skip everything (lossy for merge/delete)")
       prev = cur.toSet
     }
     val paths = added.result()
@@ -1436,6 +1443,34 @@ object Versioned {
       publishEntries(root, entries, latest, action = "compact",
         schemaJson = snapshot.schema.json)
     }
+
+  /** OPTIMIZE ZORDER for the versioned table: a full rewrite (same
+    * action and history semantics as [[compact]] — row-identical, so
+    * change feeds skip it losslessly, pending merge-on-read deletes
+    * materialize) whose layout is the Morton curve over `cols`
+    * ([[ZOrder.cluster]]): every output file covers one contiguous
+    * Z-range, so the manifest min/max recorded for EACH clustered
+    * column is partially tight and [[candidateFilesForBounds]] prunes
+    * on any of them — the multi-column data-skipping a single-key sort
+    * can't give. `cols` are recorded as stats columns automatically;
+    * pass `bloomCols` to rebuild point-lookup blooms in the same pass. */
+  def zorder(spark: SparkSession, root: String, cols: Seq[String],
+      nOut: Int = 8, statsCols: Seq[String] = Nil,
+      bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 15,
+      bloomHashes: Int = 3): Long = withOccRetry(None) {
+    require(cols.nonEmpty, "zorder needs at least one clustering column")
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    val m = readManifest(root, latest)
+    val clustered = ZOrder.cluster(
+      readVersion(spark, root, latest), cols, nOut)
+    val (entries, _) = writeBatch(spark, root, clustered,
+      (statsCols ++ cols).distinct, m.partitionBy,
+      bloomCols, bloomBits, bloomHashes)
+    publishEntries(root, entries, latest, action = "compact",
+      schemaJson = m.schemaJson.orNull,
+      partitionBy = Some(m.partitionBy))
+  }
 
   /** Incremental OPTIMIZE: bin-pack only files SMALLER than
     * `targetBytes` into ~targetBytes outputs; files already at or above

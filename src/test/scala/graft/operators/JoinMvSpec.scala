@@ -59,6 +59,20 @@ class JoinMvSpec extends SparkSpec {
     assert(mvRows(mv) === recompute(a, b), "both-sides delta incl. cross term")
   }
 
+  test("a source compaction in the window is skipped losslessly") {
+    val (a, b, mv) = (freshRoot("a8"), freshRoot("b8"), freshRoot("mv8"))
+    Versioned.commit(spark, a, facts(1 to 50))
+    Versioned.commit(spark, b, dims(0 to 6))
+    JoinMv.refresh(spark, a, b, mv, Seq("k"))
+    // OPTIMIZE on the fact table, then more appends — the MV must fold
+    // only the appends and not re-emit (or lose) compacted rows
+    Versioned.compact(spark, a, targetFiles = 1)
+    Versioned.commit(spark, a, facts(51 to 90))
+    JoinMv.refresh(spark, a, b, mv, Seq("k"))
+    assert(mvRows(mv) === recompute(a, b),
+      "compaction inside the refresh window must be transparent")
+  }
+
   test("refresh is incremental: no-op version when nothing moved") {
     val (a, b, mv) = (freshRoot("a2"), freshRoot("b2"), freshRoot("mv2"))
     Versioned.commit(spark, a, facts(1 to 50))
