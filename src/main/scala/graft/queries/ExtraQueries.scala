@@ -896,10 +896,71 @@ object ExtraQueries {
   private val bloomLookupDir =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // ---------------------------------------------------------------- x24
+  // Incrementally-maintained join MV, hash-gated end-to-end: orders ⋈
+  // customer built as two versioned tables, then a scripted CDC history
+  // — fact append, dim upsert (account balances doubled for custkey %
+  // 7 = 0), fact delete (orderkey % 10 = 0) — folded by THREE
+  // `JoinMv.refreshCdc` steps (never a rebuild: each step deletes the
+  // changed ids' MV rows stats-scoped and re-derives only those keys'
+  // joins). The oracle replays the NET state in DuckDB with the same
+  // mutations as SQL — so the whole IVM algebra (changed-key delete,
+  // disjoint re-insert legs, watermark advancement) is verified by
+  // value hash, not just the ≡-recompute spec.
+  val x24JoinMv: Q = Q(
+    "x24_join_mv",
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(o_totalprice AS DOUBLE) AS totalprice,
+      |  c_name,
+      |  CASE WHEN c_custkey % 7 = 0 THEN CAST(c_acctbal AS DOUBLE) * 2
+      |       ELSE CAST(c_acctbal AS DOUBLE) END AS acctbal
+      |FROM orders JOIN customer ON o_custkey = c_custkey
+      |WHERE NOT (o_orderkey % 10 = 0)
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    import graft.operators.{JoinMv, Versioned}
+    val dir = joinMvDir.getOrElseUpdate(d, {
+      val aRoot = java.nio.file.Files
+        .createTempDirectory("graft-xjmv-a").toString + "/t"
+      val bRoot = java.nio.file.Files
+        .createTempDirectory("graft-xjmv-b").toString + "/t"
+      val mvRoot = java.nio.file.Files
+        .createTempDirectory("graft-xjmv-mv").toString + "/t"
+      val o = t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("double").as("totalprice"))
+      val c = t(s, d, "customer").select(col("c_custkey"), col("c_name"),
+        col("c_acctbal").cast("double").as("acctbal"))
+      val keys = Seq("o_custkey")
+      val cKeyed = c.withColumnRenamed("c_custkey", "o_custkey")
+      Versioned.commit(s, aRoot, o.filter(col("o_orderkey") % 3 =!= 0),
+        statsCols = Seq("o_orderkey"))
+      Versioned.commit(s, bRoot, cKeyed, statsCols = Seq("o_custkey"))
+      JoinMv.refreshCdc(s, aRoot, bRoot, mvRoot, keys, "o_orderkey", "o_custkey")
+      // window 2: fact append + dim upsert, one refresh
+      Versioned.commit(s, aRoot, o.filter(col("o_orderkey") % 3 === 0),
+        statsCols = Seq("o_orderkey"))
+      Versioned.mergeUpsert(s, bRoot,
+        cKeyed.filter(col("o_custkey") % 7 === 0)
+          .withColumn("acctbal", col("acctbal") * 2),
+        "o_custkey", cdf = true)
+      JoinMv.refreshCdc(s, aRoot, bRoot, mvRoot, keys, "o_orderkey", "o_custkey")
+      // window 3: fact delete, one refresh
+      Versioned.delete(s, aRoot, col("o_orderkey") % 10 === 0, cdf = true)
+      JoinMv.refreshCdc(s, aRoot, bRoot, mvRoot, keys, "o_orderkey", "o_custkey")
+      mvRoot
+    })
+    Versioned.read(s, dir)
+      .select(col("o_orderkey"), col("o_custkey"), col("totalprice"),
+        col("c_name"), col("acctbal"))
+      .orderBy("o_orderkey")
+  }
+
+  private val joinMvDir =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   val all: Seq[Q] = Seq(x01SeedJoin, x02AsofJoin, x03Duration, x04Sessionize,
     x05ApproxDistinct, x06RangeJoin, x07Scd2History, x08AsofForward,
     x09ApproxQuantiles, x10AsofExec, x11AsofExecForward, x12AsofTtl,
     x13HistQuantiles, x14AsofBroadcast, x15CmsFrequency, x16BloomMembership,
     x17VersionedCdf, x18VersionedRead, x19MorDelete, x20PartitionOverwrite,
-    x21HeavyHitters, x22KmvDistinct, x23BloomLookup)
+    x21HeavyHitters, x22KmvDistinct, x23BloomLookup, x24JoinMv)
 }
