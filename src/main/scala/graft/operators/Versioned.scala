@@ -1462,8 +1462,16 @@ object Versioned {
     val latest = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root"))
     val m = readManifest(root, latest)
-    val clustered = ZOrder.cluster(
-      readVersion(spark, root, latest), cols, nOut)
+    val snapshot = readVersion(spark, root, latest)
+    // one column: the Z curve degenerates to a plain sort — range-
+    // repartition on the RAW column, which (unlike the Morton rank's
+    // numeric scaling) also orders strings/dates correctly
+    val clustered =
+      if (cols.size == 1) {
+        import org.apache.spark.sql.functions.{col => c}
+        snapshot.repartitionByRange(nOut, c(cols.head))
+          .sortWithinPartitions(cols.head)
+      } else ZOrder.cluster(snapshot, cols, nOut)
     val (entries, _) = writeBatch(spark, root, clustered,
       (statsCols ++ cols).distinct, m.partitionBy,
       bloomCols, bloomBits, bloomHashes)

@@ -647,19 +647,35 @@ object TextQueries {
       s: org.apache.spark.sql.SparkSession,
       docsDf: org.apache.spark.sql.DataFrame,
       k: Int): org.apache.spark.sql.DataFrame = {
-    import org.apache.spark.sql.types.DecimalType
-    import graft.functions.expressions.TopKPairs.topk_pairs
-    val qterms = s.createDataFrame(BM25_QUERIES).toDF("query_id", "term")
     val tok = docsDf.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
     val dlen = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    val stats = dlen.agg(
-      count(lit(1)).cast("double").as("nd"),
-      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
     // pre-filter to query terms before grouping: shuffle is query-term
     // rows only, and df per retained term is unchanged by the filter
+    val qterms = s.createDataFrame(BM25_QUERIES).toDF("query_id", "term")
     val tf = tok
       .join(broadcast(qterms.select("term").distinct()), "term")
       .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    bm25Score(s, tf, dlen, k)
+  }
+
+  /** The BM25 scoring tail over an INDEX: `postings(doc_id, term, tf)`
+    * (may be pre-filtered to query terms) and `dlen(doc_id, dl)`. This
+    * is what serves from a materialized index — the streaming-
+    * maintained postings tables ([[graft.streaming.Streams.bm25IndexSink]])
+    * plug in here with no re-tokenization. */
+  def bm25Score(
+      s: org.apache.spark.sql.SparkSession,
+      postings: org.apache.spark.sql.DataFrame,
+      dlen: org.apache.spark.sql.DataFrame,
+      k: Int): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.types.DecimalType
+    import graft.functions.expressions.TopKPairs.topk_pairs
+    val qterms = s.createDataFrame(BM25_QUERIES).toDF("query_id", "term")
+    val stats = dlen.agg(
+      count(lit(1)).cast("double").as("nd"),
+      (sum("dl").cast("double") / count(lit(1))).as("avgdl"))
+    val tf = postings
+      .join(broadcast(qterms.select("term").distinct()), "term")
     val dfreq = tf.groupBy("term").agg(count(lit(1)).as("df"))
     val part = (
       log(lit(1) + (col("nd") - col("df") + lit(0.5)) / (col("df") + lit(0.5)))

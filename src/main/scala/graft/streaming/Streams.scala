@@ -314,6 +314,42 @@ object Streams {
       .trigger(Trigger.AvailableNow())
       .start()
 
+  /** Streaming BM25 index maintenance (beyond-reference): each
+    * micro-batch of documents appends its postings (doc_id, term, tf)
+    * and its doc lengths (doc_id, dl) into TWO versioned tables,
+    * exactly-once via the in-manifest (appId, batchId) guard per
+    * table. A crash between the two commits replays the batch: the
+    * already-committed table recognizes its batchId and no-ops, the
+    * other commits — each table folds every batch exactly once.
+    *
+    * Append-only is CORRECT here, not a simplification: documents are
+    * immutable rows, so the inverted index only ever grows, df per
+    * term is a count over postings, and corpus stats derive from dlen
+    * — the serve path ([[graft.queries.TextQueries.bm25Score]]) needs
+    * no maintained aggregates at all. Postings commit with `term`
+    * footer stats so a query-term scan prunes files at the manifest
+    * (z-order by term via `Versioned.zorder` to tighten further). */
+  def bm25IndexSink(docs: DataFrame, postingsRoot: String,
+      dlenRoot: String, checkpointDir: String,
+      appId: String): StreamingQuery =
+    docs.writeStream
+      .foreachBatch { (batch: DataFrame, batchId: Long) =>
+        val spark = batch.sparkSession
+        val tok = batch.select(col("doc_id"),
+          explode(graft.functions.TextFns.tokens(col("text"))).as("term"))
+        val postings = tok.groupBy("doc_id", "term")
+          .agg(count(lit(1)).as("tf"))
+        val dlen = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+        graft.operators.Versioned.commitIfNew(spark, postingsRoot,
+          postings, s"$appId:postings", batchId, statsCols = Seq("term"))
+        graft.operators.Versioned.commitIfNew(spark, dlenRoot,
+          dlen, s"$appId:dlen", batchId, statsCols = Seq("doc_id"))
+        ()
+      }
+      .option("checkpointLocation", checkpointDir)
+      .trigger(Trigger.AvailableNow())
+      .start()
+
   /** Stream-stream interval join (beyond-reference): correlate two live
     * streams — e.g. each purchase with the same user's clicks in the
     * preceding `windowSeconds` — with BOUNDED state: the watermarks plus

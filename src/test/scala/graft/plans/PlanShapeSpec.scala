@@ -94,6 +94,22 @@ class PlanShapeSpec extends SparkSpec {
       "v02 must run the LSH-bucketed plan — the theta-join is spec-side only")
   }
 
+  test("t16: BM25 broadcasts the query-term set and finishes map-side") {
+    val p = explain("t16_bm25")
+    assert(p.contains("BroadcastHashJoin"),
+      "query-term semi-join must broadcast — a shuffle here moves the corpus")
+    assert(p.contains("ObjectHashAggregate"),
+      "topk_pairs finisher must plan as ObjectHashAggregate (map-side k-heap)")
+  }
+
+  test("x21: heavy hitters sketches map-side and recounts only candidates") {
+    val p = explain("x21_heavy_hitters")
+    assert(p.contains("ObjectHashAggregate"),
+      "mg_sketch must plan as ObjectHashAggregate with a partial stage")
+    assert(p.contains("BroadcastHashJoin"),
+      "candidate recount must broadcast the ≤ k-1 candidate set")
+  }
+
   test("no query plans an accidental CartesianProduct") {
     // v01 intentionally uses BroadcastNestedLoopJoin (brute-force
     // baseline); a CartesianProduct anywhere is always a bug.
