@@ -586,8 +586,60 @@ object MixQueries {
       .orderBy("rank")
   }
 
+  // ---------------------------------------------------------------- s10
+  // Token-budget corpus selection: take documents in best-first
+  // quality-per-token order until 40% of the corpus token budget is
+  // spent — the greedy knapsack every curated-pretraining mix runs.
+  // Composes the two scale-safe global-window replacements end to end:
+  // `globalRank` (bucketed exact ROW_NUMBER over (qpt DESC, doc_id) —
+  // the bucket is the DESCENDING qpt coarsened, so it stays monotone in
+  // the order) feeds `runningTotal` (bucketed exact cumulative tokens
+  // in rank order) — no unpartitioned window anywhere, yet the
+  // selection boundary is bit-exact against DuckDB's true global
+  // SUM OVER. One summary row: any rank or cumulative error anywhere
+  // in the corpus moves the boundary and fails the hash.
+  val s10TokenBudget: Q = Q(
+    "s10_token_budget",
+    """WITH q AS (
+      |  SELECT doc_id, len(string_split(text, ' ')) AS n_tok,
+      |    ROUND(CAST(n_chars AS DOUBLE) / len(string_split(text, ' ')), 4)
+      |      AS qpt
+      |  FROM documents),
+      |total AS (SELECT SUM(n_tok) AS total_tok FROM q),
+      |ranked AS (
+      |  SELECT doc_id, n_tok, qpt,
+      |    SUM(n_tok) OVER (ORDER BY qpt DESC, doc_id) AS cum
+      |  FROM q),
+      |sel AS (SELECT * FROM ranked CROSS JOIN total
+      |        WHERE cum <= 0.4 * total_tok)
+      |SELECT COUNT(*) AS n_selected,
+      |  CAST(SUM(n_tok) AS BIGINT) AS tokens_used,
+      |  MIN(qpt) AS min_qpt_selected,
+      |  CAST(MAX(cum) AS BIGINT) AS boundary_cum
+      |FROM sel""".stripMargin) { (s, d) =>
+    import graft.operators.ScalableWindow
+    val q = docs(s, d).select(col("doc_id"),
+        size(graft.functions.TextFns.tokens(col("text"))).as("n_tok"),
+        col("n_chars"))
+      .withColumn("qpt",
+        round(col("n_chars").cast("double") / col("n_tok"), 4))
+      .select("doc_id", "n_tok", "qpt")
+    val total = q.agg(sum("n_tok").as("total_tok"))
+    val ranked = ScalableWindow.globalRank(
+      q, expr("cast(-ceil(qpt * 10) as long)"),
+      Seq(col("qpt").desc, col("doc_id")), "rank")
+    val withCum = ScalableWindow.runningTotal(
+      ranked, "rank", "n_tok", expr("rank div 500"), "cum", "__lag")
+    withCum.crossJoin(broadcast(total))
+      .filter(col("cum") <= lit(0.4) * col("total_tok"))
+      .agg(count(lit(1)).as("n_selected"),
+        sum("n_tok").cast("bigint").as("tokens_used"),
+        min("qpt").as("min_qpt_selected"),
+        max("cum").cast("bigint").as("boundary_cum"))
+  }
+
   val all: Seq[Q] = Seq(s01StratifiedSample, s02MixPlan, c01Contamination,
     c02ContaminationReport, g01CorpusGold, g02CorpusFunnel, s03ShardPlan,
     s04SequencePacking, s05TemperatureMix, s06DocChunks, s07SourceCap,
-    g03TrainingPrep, s08ExactSample, s09Curriculum)
+    g03TrainingPrep, s08ExactSample, s09Curriculum, s10TokenBudget)
 }
