@@ -957,10 +957,56 @@ object ExtraQueries {
   private val joinMvDir =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // ---------------------------------------------------------------- x25
+  // Index-served BM25, hash-gated: documents stream through
+  // `bm25IndexSink` (micro-batched postings + doc lengths into two
+  // versioned tables, exactly-once per table), the postings table gets
+  // a term-clustered OPTIMIZE, and the ranking is answered from the
+  // MATERIALIZED index (`bm25Score` — no re-tokenization) — yet the
+  // oracle is t16's plain-SQL BM25 over the raw corpus. Any drift
+  // anywhere in the pipeline (a lost/duplicated batch, a zorder row
+  // error, a serve-path formula difference) breaks the hash.
+  val x25Bm25Serve: Q = Q(
+    "x25_bm25_serve",
+    s"""WITH ${TextQueries.BM25_ORACLE_CTES}
+      |SELECT query_id, doc_id, score, rank FROM bm25_ranked
+      |WHERE rank <= 5 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
+    import graft.operators.Versioned
+    val roots = bm25IndexDir.getOrElseUpdate(d, {
+      val src = java.nio.file.Files
+        .createTempDirectory("graft-xbm25-src").toString
+      val postings = java.nio.file.Files
+        .createTempDirectory("graft-xbm25-p").toString + "/t"
+      val dlen = java.nio.file.Files
+        .createTempDirectory("graft-xbm25-l").toString + "/t"
+      val ck = java.nio.file.Files
+        .createTempDirectory("graft-xbm25-ck").toString
+      t(s, d, "documents").repartition(4)
+        .write.mode("overwrite").parquet(src)
+      val stream = s.readStream
+        .schema(t(s, d, "documents").schema)
+        .option("maxFilesPerTrigger", 2)
+        .parquet(src)
+      graft.streaming.Streams
+        .bm25IndexSink(stream, postings, dlen, ck, "x25")
+        .awaitTermination()
+      Versioned.zorder(s, postings, Seq("term"), nOut = 4)
+      (postings, dlen)
+    })
+    TextQueries.bm25Score(s,
+        Versioned.read(s, roots._1), Versioned.read(s, roots._2), 5)
+      .select(col("query_id"), col("doc_id"), col("score"), col("rank"))
+      .orderBy("query_id", "rank")
+  }
+
+  private val bm25IndexDir =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
   val all: Seq[Q] = Seq(x01SeedJoin, x02AsofJoin, x03Duration, x04Sessionize,
     x05ApproxDistinct, x06RangeJoin, x07Scd2History, x08AsofForward,
     x09ApproxQuantiles, x10AsofExec, x11AsofExecForward, x12AsofTtl,
     x13HistQuantiles, x14AsofBroadcast, x15CmsFrequency, x16BloomMembership,
     x17VersionedCdf, x18VersionedRead, x19MorDelete, x20PartitionOverwrite,
-    x21HeavyHitters, x22KmvDistinct, x23BloomLookup, x24JoinMv)
+    x21HeavyHitters, x22KmvDistinct, x23BloomLookup, x24JoinMv,
+    x25Bm25Serve)
 }
