@@ -638,8 +638,111 @@ object MixQueries {
         max("cum").cast("bigint").as("boundary_cum"))
   }
 
+  // ---------------------------------------------------------------- g04
+  // The COMPLETE curation pass in one statement, every stage a proven
+  // operator: model-scored quality filter (t17's LR) → exact dedup
+  // (d01's md5-group, keep min doc_id) → greedy token budget at 60% of
+  // the surviving corpus (s10's knapsack) → curriculum sharding of the
+  // selection (s09's rank). The output is the 4-row per-shard
+  // manifest a training run consumes. Scale shape: one map-only scoring
+  // scan, one hash dedup, then every global ordering runs through the
+  // bucketed `globalRank`/`runningTotal` primitives — the whole
+  // pipeline has no unpartitioned window and exactly three shuffles
+  // (dedup group, budget rank, shard rank). Any error in ANY stage —
+  // a mis-scored doc, a surviving duplicate, a budget off-by-one, a
+  // shard misassignment — moves a rollup cell and fails the hash.
+  val g04CurationPipeline: Q = Q(
+    "g04_curation_pipeline",
+    """WITH f AS (
+      |  SELECT doc_id, text, n_chars, string_split(text, ' ') AS tok,
+      |    ROUND(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+      |          / NULLIF(length(text), 0), 4) AS punct_ratio
+      |  FROM documents),
+      |feat AS (
+      |  SELECT doc_id, text, n_chars, len(tok) AS n_tok, punct_ratio,
+      |    ROUND(CAST(len(list_filter(tok, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+      |          / NULLIF(len(tok), 0), 4) AS stopword_ratio,
+      |    ROUND(ln(1 + len(tok)), 4) AS log_len
+      |  FROM f),
+      |kept AS (
+      |  SELECT doc_id, text, n_chars, n_tok FROM feat
+      |  WHERE ROUND(1 / (1 + exp(-(-2.0 + 0.55 * log_len
+      |    - 6.0 * punct_ratio + 9.0 * stopword_ratio))), 4) >= 0.5),
+      |dedup AS (
+      |  SELECT MIN(doc_id) AS doc_id, MIN(n_chars) AS n_chars,
+      |         MIN(n_tok) AS n_tok
+      |  FROM kept GROUP BY md5(text)),
+      |scored AS (
+      |  SELECT doc_id, n_tok,
+      |    ROUND(CAST(n_chars AS DOUBLE) / n_tok, 4) AS qpt
+      |  FROM dedup),
+      |total AS (SELECT SUM(n_tok) AS t FROM scored),
+      |ranked AS (
+      |  SELECT doc_id, n_tok,
+      |    SUM(n_tok) OVER (ORDER BY qpt DESC, doc_id) AS cum
+      |  FROM scored),
+      |sel AS (SELECT doc_id, n_tok FROM ranked CROSS JOIN total
+      |        WHERE cum <= 0.6 * t),
+      |nsel AS (SELECT COUNT(*) AS n FROM sel),
+      |shards AS (
+      |  SELECT doc_id, n_tok,
+      |    ROW_NUMBER() OVER (ORDER BY n_tok, doc_id) AS rank
+      |  FROM sel)
+      |SELECT CAST(((rank - 1) * 4) // n AS BIGINT) AS shard,
+      |  COUNT(*) AS n_docs, CAST(SUM(n_tok) AS BIGINT) AS tokens,
+      |  CAST(MIN(n_tok) AS BIGINT) AS min_tok,
+      |  CAST(MAX(n_tok) AS BIGINT) AS max_tok
+      |FROM shards CROSS JOIN nsel
+      |GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    import graft.operators.ScalableWindow
+    import graft.functions.TextFns.{tokens, punctRatio, markerHits}
+    val stops = Seq("the", "a", "of", "and", "to")
+    val base = docs(s, d).select(
+      col("doc_id"), col("text"), col("n_chars"),
+      tokens(col("text")).as("tok"),
+      punctRatio(col("text")).as("punct_ratio"))
+    val feat = base.select(
+      col("doc_id"), col("text"), col("n_chars"),
+      size(col("tok")).as("n_tok"), col("punct_ratio"),
+      round(markerHits(col("tok"), stops).cast("double")
+        / nullif(size(col("tok")).cast("bigint"), lit(0)), 4)
+        .as("stopword_ratio"),
+      round(log(lit(1) + size(col("tok"))), 4).as("log_len"))
+    val z = lit(-2.0) + lit(0.55) * col("log_len") -
+      lit(6.0) * col("punct_ratio") + lit(9.0) * col("stopword_ratio")
+    val kept = feat
+      .filter(round(lit(1) / (lit(1) + exp(-z)), 4) >= 0.5)
+    val dedup = kept.groupBy(md5(col("text")))
+      .agg(min("doc_id").as("doc_id"), min("n_chars").as("n_chars"),
+        min("n_tok").as("n_tok"))
+    val scored = dedup.select(col("doc_id"), col("n_tok"),
+      round(col("n_chars").cast("double") / col("n_tok"), 4).as("qpt"))
+    val total = scored.agg(sum("n_tok").as("t"))
+    val budgetRanked = ScalableWindow.globalRank(
+      scored, expr("cast(-ceil(qpt * 10) as long)"),
+      Seq(col("qpt").desc, col("doc_id")), "brank")
+    val withCum = ScalableWindow.runningTotal(
+      budgetRanked, "brank", "n_tok", expr("brank div 500"),
+      "cum", "__lag")
+    val sel = withCum.crossJoin(broadcast(total))
+      .filter(col("cum") <= lit(0.6) * col("t"))
+      .select("doc_id", "n_tok")
+    val nsel = sel.agg(count(lit(1)).as("n"))
+    val shards = ScalableWindow.globalRank(
+      sel, expr("n_tok div 50"),
+      Seq(col("n_tok"), col("doc_id")), "rank")
+    shards.crossJoin(broadcast(nsel))
+      .groupBy(expr("((rank - 1) * 4) div n").cast("long").as("shard"))
+      .agg(count(lit(1)).as("n_docs"),
+        sum("n_tok").cast("bigint").as("tokens"),
+        min("n_tok").cast("bigint").as("min_tok"),
+        max("n_tok").cast("bigint").as("max_tok"))
+      .orderBy("shard")
+  }
+
   val all: Seq[Q] = Seq(s01StratifiedSample, s02MixPlan, c01Contamination,
     c02ContaminationReport, g01CorpusGold, g02CorpusFunnel, s03ShardPlan,
     s04SequencePacking, s05TemperatureMix, s06DocChunks, s07SourceCap,
-    g03TrainingPrep, s08ExactSample, s09Curriculum, s10TokenBudget)
+    g03TrainingPrep, s08ExactSample, s09Curriculum, s10TokenBudget,
+    g04CurationPipeline)
 }

@@ -697,9 +697,69 @@ object TextQueries {
         col("col.score").as("score"), (col("pos") + 1).as("rank"))
   }
 
+  // ---------------------------------------------------------------- t17
+  // Model-scored quality filtering: a logistic regression over the t02
+  // feature vector with FIXED weights — the modern replacement for
+  // hand-threshold heuristics (fastText/LR quality classifiers in
+  // production curation stacks; here the weights are illustrative
+  // constants, the PLUMBING is the operator). Pure column math —
+  // map-only, embarrassingly parallel, the score is one fused
+  // expression inside whole-stage codegen; at 100 TB this is a
+  // streaming-friendly scan with zero shuffle before the final sort.
+  // Cross-engine float discipline: features round to 4 dp FIRST (so
+  // both engines feed identical doubles into the link function), the
+  // single exp() is ≤1 ulp cross-engine and the 4 dp round of the
+  // probability absorbs it (the t11/t13 ln discipline, applied to
+  // exp). Ties on the ROUNDED probability can't flip the boolean
+  // (threshold 0.5 is never a 4 dp rounding boundary of a tie here —
+  // and the decision column replays in SQL identically either way).
+  val t17QualityModel: Q = Q(
+    "t17_quality_model",
+    """WITH f AS (
+      |  SELECT doc_id, string_split(text, ' ') AS tok,
+      |    ROUND(CAST(length(regexp_replace(text, '[a-z0-9 ]', '', 'g')) AS DOUBLE)
+      |          / NULLIF(length(text), 0), 4) AS punct_ratio
+      |  FROM documents),
+      |feat AS (
+      |  SELECT doc_id,
+      |    len(tok) AS n_tokens, punct_ratio,
+      |    ROUND(CAST(len(list_filter(tok, x -> x IN ('the', 'a', 'of', 'and', 'to'))) AS DOUBLE)
+      |          / NULLIF(len(tok), 0), 4) AS stopword_ratio,
+      |    ROUND(ln(1 + len(tok)), 4) AS log_len
+      |  FROM f),
+      |scored AS (
+      |  SELECT doc_id, n_tokens, punct_ratio, stopword_ratio,
+      |    ROUND(1 / (1 + exp(-(-2.0 + 0.55 * log_len
+      |      - 6.0 * punct_ratio + 9.0 * stopword_ratio))), 4) AS p_quality
+      |  FROM feat)
+      |SELECT doc_id, n_tokens, punct_ratio, stopword_ratio, p_quality,
+      |  p_quality >= 0.5 AS keep
+      |FROM scored ORDER BY doc_id""".stripMargin) { (s, d) =>
+    val stops = Seq("the", "a", "of", "and", "to")
+    val base = docs(s, d).select(
+      col("doc_id"), tokens(col("text")).as("tok"),
+      punctRatio(col("text")).as("punct_ratio"))
+    val feat = base.select(
+      col("doc_id"),
+      size(col("tok")).cast("bigint").as("n_tokens"),
+      col("punct_ratio"),
+      round(markerHits(col("tok"), stops).cast("double")
+        / nullif(size(col("tok")).cast("bigint"), lit(0)), 4)
+        .as("stopword_ratio"),
+      round(log(lit(1) + size(col("tok"))), 4).as("log_len"))
+    val z = lit(-2.0) + lit(0.55) * col("log_len") -
+      lit(6.0) * col("punct_ratio") + lit(9.0) * col("stopword_ratio")
+    feat
+      .withColumn("p_quality", round(lit(1) / (lit(1) + exp(-z)), 4))
+      .select(col("doc_id"), col("n_tokens"), col("punct_ratio"),
+        col("stopword_ratio"), col("p_quality"),
+        (col("p_quality") >= 0.5).as("keep"))
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(
     t01TokenStats, t02QualityScore, t03LangId, t04Fingerprint,
     t05TokenHistogram, t06BpeTokens, t07RollingFingerprint,
     t08Repetition, t09PiiScrub, t10Novelty, t11Perplexity, t12BpeMerges,
-    t13Tfidf, t14CorpusLaws, t15VocabGrowth, t16Bm25)
+    t13Tfidf, t14CorpusLaws, t15VocabGrowth, t16Bm25, t17QualityModel)
 }
