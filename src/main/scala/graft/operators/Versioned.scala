@@ -680,7 +680,7 @@ object Versioned {
   private def bloomKeeps(f: FileEntry, b: ColumnBound): Boolean =
     (b.lo, b.hi) match {
       case (Some(lo), Some(hi)) if lo == hi =>
-        bloomProbeString(lo) match {
+        bloomProbeString(f, b.col, lo) match {
           case None => true
           case Some(key) => f.blooms.get(b.col).forall(bl =>
             graft.functions.expressions.BloomFilter.mightContain(
@@ -690,16 +690,22 @@ object Versioned {
     }
 
   /** The canonical string a bloom probe hashes for a point value —
-    * must agree with `CAST(col AS STRING)` at build time. Integral and
-    * string types round-trip exactly; everything else is None (no
-    * bloom pruning — float/decimal/date formatting is cast-rule
-    * dependent and a wrong canonicalization would false-negative). */
-  private def bloomProbeString(v: Any): Option[String] = v match {
-    case s: String => Some(s)
-    case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
-         _: java.lang.Byte => Some(v.toString)
-    case _ => None
-  }
+    * must agree byte-for-byte with what `CAST(col AS STRING)` produced
+    * at build time, which depends on the COLUMN's type, not the probe
+    * value's: a long column renders 42, a double column "42.0". The
+    * file's stats tag is the column-type witness — probe only when it
+    * proves the rendering (integral column × integral probe, string ×
+    * string); any other combination (double columns, missing stats,
+    * cross-typed probes) skips the bloom, because a mis-canonicalized
+    * key would FALSE-NEGATIVE and wrongly prune a live file. */
+  private def bloomProbeString(f: FileEntry, col: String,
+      v: Any): Option[String] =
+    (f.stats.get(col).map(_._1), v) match {
+      case (Some("string"), s: String) => Some(s)
+      case (Some("long"), _: java.lang.Long | _: java.lang.Integer |
+           _: java.lang.Short | _: java.lang.Byte) => Some(v.toString)
+      case _ => None
+    }
 
   /** SHOW PARTITIONS: the distinct partition tuples of `version`'s
     * live files with file/row/byte rollups — straight from the

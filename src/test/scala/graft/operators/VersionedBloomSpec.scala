@@ -155,6 +155,21 @@ class VersionedBloomSpec extends SparkSpec {
     }
   }
 
+  test("cross-typed probes never consult the bloom (false-negative guard)") {
+    // a DOUBLE column renders "42.0" at build time; a long-valued probe
+    // would hash "42" — the type-witness check must skip the bloom and
+    // keep the file rather than wrongly prune it
+    val root = freshRoot()
+    val df = (1 to 100).map(i => (i.toDouble, s"d-$i")).toDF("dv", "payload")
+      .coalesce(1)
+    Versioned.commit(spark, root, df,
+      statsCols = Seq("dv"), bloomCols = Seq("dv"))
+    val v = Versioned.latestVersion(root).get
+    assert(Versioned.candidateFiles(root, v, "dv", 42L, 42L).size === 1,
+      "double-column point probe must keep the file (bloom skipped)")
+    assert(Versioned.readPruned(spark, root, "dv", 42.0, 42.0).count() === 1)
+  }
+
   test("blooms survive compaction-free verbs and absent blooms stay safe") {
     val root = freshRoot()
     // one bloomed commit, one un-bloomed append: mixed manifests must
