@@ -99,10 +99,13 @@ object JoinMv {
 
   /** CDC-capable refresh: maintains the join MV under INSERTS, UPDATES,
     * and DELETES on both sides — the escalation path [[refresh]]
-    * documents. Requires each side to carry a UNIQUE single-column row
-    * id (`aId`, `bId`) surviving into the MV output, and every
-    * merge/delete on the sources committed with `cdf = true` (the
-    * row-level feed is the only honest source of which keys changed).
+    * documents. Requires each side to carry a UNIQUE, NON-NULL
+    * single-column row id (`aId`, `bId`) surviving into the MV output
+    * (a null id can neither be matched by the id-IN-set delete nor by
+    * the re-insert semi-join — such rows would silently stop being
+    * maintained), and every merge/delete on the sources committed with
+    * `cdf = true` (the row-level feed is the only honest source of
+    * which keys changed).
     *
     * Changed-key algebra (the keyed IVM formulation): let cA/cB be the
     * distinct ids the window's row feed touched on each side. Then

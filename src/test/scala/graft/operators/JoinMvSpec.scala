@@ -157,6 +157,31 @@ class JoinMvSpec extends SparkSpec {
     assert(JoinMv.refreshCdc(spark, a, b, mv, Seq("k"), "fact_id", "k") === v)
   }
 
+  test("CDC refresh recovers from a crash between delete and append") {
+    val (a, b, mv) = (freshRoot("a9"), freshRoot("b9"), freshRoot("mv9"))
+    Versioned.commit(spark, a, facts(1 to 60), statsCols = Seq("fact_id"))
+    Versioned.commit(spark, b, dims(0 to 6), statsCols = Seq("k"))
+    JoinMv.refreshCdc(spark, a, b, mv, Seq("k"), "fact_id", "k")
+
+    // window: delete some facts, update a dim
+    Versioned.delete(spark, a, col("fact_id") <= 15, cdf = true)
+    Versioned.mergeUpsert(spark, b,
+      Seq((4L, "dim-4-v2")).toDF("k", "name"), "k", cdf = true)
+
+    // simulate the crash: the MV delete landed (the exact id-set a
+    // refresh would compute) but the append + watermark never did
+    Versioned.delete(spark, mv,
+      col("fact_id").isin((1L to 15L): _*) || col("k") === 4L)
+    assert(JoinMv.watermarks(mv) === Some((1L, 1L)),
+      "watermarks must still be pre-crash")
+
+    // the retry re-runs the (now no-op) delete and folds exactly once
+    JoinMv.refreshCdc(spark, a, b, mv, Seq("k"), "fact_id", "k")
+    assert(mvRows(mv) === recompute(a, b),
+      "post-crash refresh must converge without double-folding")
+    assert(JoinMv.watermarks(mv) === Some((2L, 2L)))
+  }
+
   test("CDC stream driver folds deletes and updates continuously") {
     val (a, b, mv) = (freshRoot("a7"), freshRoot("b7"), freshRoot("mv7"))
     val ckpt = Files.createTempDirectory("graft-joinmv-cdc-ckpt").toString
