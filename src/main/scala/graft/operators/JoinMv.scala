@@ -165,7 +165,10 @@ object JoinMv {
             val pred =
               (if (cA.nonEmpty) col(aId).isin(cA: _*) else lit(false)) ||
               (if (cB.nonEmpty) col(bId).isin(cB: _*) else lit(false))
-            Versioned.delete(spark, mvRoot, pred)
+            // cdf = true: the MV's own maintenance is then row-level
+            // representable, so the MV is ITSELF a valid CDC source —
+            // a downstream refreshCdc can chain on it (MV-over-MV)
+            Versioned.delete(spark, mvRoot, pred, cdf = true)
           } else Versioned.latestVersion(mvRoot).get
         // 2. re-derive those keys' join rows from the NEW snapshots
         val aNew = Versioned.readVersion(spark, aRoot, aNow)

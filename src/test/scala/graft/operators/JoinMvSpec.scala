@@ -202,6 +202,42 @@ class JoinMvSpec extends SparkSpec {
     assert(!mvRows(mv).exists(_._2 <= 20))
   }
 
+  test("MVs chain: a CDC join MV is itself a valid CDC source") {
+    val (a, b, c) = (freshRoot("a10"), freshRoot("b10"), freshRoot("c10"))
+    val (mv1, mv2) = (freshRoot("mv10a"), freshRoot("mv10b"))
+    Versioned.commit(spark, a, facts(1 to 60), statsCols = Seq("fact_id"))
+    Versioned.commit(spark, b, dims(0 to 6), statsCols = Seq("k"))
+    // third table keyed by the fact id: per-fact annotations
+    val notes = (1 to 60).map(i => (i.toLong, s"note-$i")).toDF("fact_id", "note")
+    Versioned.commit(spark, c, notes, statsCols = Seq("fact_id"))
+
+    // MV1 = A ⋈ B; MV2 = MV1 ⋈ C (initialized after MV1's build)
+    JoinMv.refreshCdc(spark, a, b, mv1, Seq("k"), "fact_id", "k")
+    JoinMv.refreshCdc(spark, mv1, c, mv2, Seq("fact_id"), "fact_id", "fact_id")
+
+    def recompute3: Set[(Long, String, String)] =
+      Versioned.read(spark, a).join(Versioned.read(spark, b), Seq("k"))
+        .join(Versioned.read(spark, c), Seq("fact_id"))
+        .select("fact_id", "name", "note")
+        .as[(Long, String, String)].collect().toSet
+    def mv2Rows: Set[(Long, String, String)] =
+      Versioned.read(spark, mv2).select("fact_id", "name", "note")
+        .as[(Long, String, String)].collect().toSet
+    assert(mv2Rows === recompute3, "chained initial build")
+
+    // mutate the BASE tables; refresh MV1 (its maintenance emits
+    // cdf-backed deletes + appends), then MV2 folds MV1's feed
+    Versioned.delete(spark, a, col("fact_id") <= 10, cdf = true)
+    Versioned.mergeUpsert(spark, b,
+      Seq((3L, "dim-3-new")).toDF("k", "name"), "k", cdf = true)
+    JoinMv.refreshCdc(spark, a, b, mv1, Seq("k"), "fact_id", "k")
+    JoinMv.refreshCdc(spark, mv1, c, mv2, Seq("fact_id"), "fact_id", "fact_id")
+    assert(mv2Rows === recompute3,
+      "downstream MV must fold the upstream MV's own maintenance")
+    assert(mv2Rows.exists(_._2 == "dim-3-new"))
+    assert(!mv2Rows.exists(_._1 <= 10))
+  }
+
   test("non-append source changes are refused, not silently folded") {
     val (a, b, mv) = (freshRoot("a4"), freshRoot("b4"), freshRoot("mv4"))
     Versioned.commit(spark, a, facts(1 to 50))
