@@ -111,9 +111,19 @@ object Versioned {
       // verb that publishes, read back newest-first via [[lastProps]] —
       // incremental-maintenance watermarks ride here so state and data
       // publish in the same atomic hard-link
-      props: Map[String, String] = Map.empty)
+      props: Map[String, String] = Map.empty,
+      // ACCUMULATED positional deletion vectors (per live file) as of
+      // this version; a dv-delete version's own delta is this minus
+      // the parent's (the feed derives it — no redundant storage)
+      dvs: Seq[DvEntry] = Nil)
 
   private case class MorDelete(pred: String, files: Seq[String])
+
+  /** Positional deletion vector: row positions (parquet row_index) of
+    * ONE immutable data file that are deleted — the Delta/Iceberg DV
+    * mechanism. Exact row-level merge-on-read: no predicate
+    * re-evaluation at read time, no data rewrite at delete time. */
+  private case class DvEntry(file: String, positions: Seq[Long])
 
   private def logDir(root: String) = new File(root, "_graft_log")
   private def manifestFile(root: String, v: Long) =
@@ -231,7 +241,8 @@ object Versioned {
         if (mode == "append") currentFiles(root, latest) else Seq.empty
       publishEntries(root, base ++ entries, latest.getOrElse(0L),
         action = mode, txn, schema, mor = carriedMor(root, latest, mode),
-        partitionBy = Some(partCols), props = props)
+        partitionBy = Some(partCols), props = props,
+        dvs = carriedDvs(root, latest, mode))
     }
   }
 
@@ -471,7 +482,7 @@ object Versioned {
       try {
         publishEntries(root, base ++ entries, parent.getOrElse(0L), mode,
           Some((appId, batchId)), schema, mor = carriedMor(root, parent, mode),
-          partitionBy = Some(partCols))
+          partitionBy = Some(partCols), dvs = carriedDvs(root, parent, mode))
         return true
       } catch {
         case _: VersionConflictException => // table moved: re-check guard
@@ -501,6 +512,14 @@ object Versioned {
     if (mode != "append") Nil
     else parent.map(readManifest(root, _).mor).getOrElse(Nil)
 
+  // deletion vectors ride with their files exactly like mor predicates:
+  // appends carry them (they index EXISTING files' rows; new files have
+  // none), overwrite/compact replace the live set and clear them
+  private def carriedDvs(root: String, parent: Option[Long],
+      mode: String): Seq[DvEntry] =
+    if (mode != "append") Nil
+    else parent.map(readManifest(root, _).dvs).getOrElse(Nil)
+
   // ------------------------------------------------------------ read
 
   /** Latest snapshot. */
@@ -527,16 +546,45 @@ object Versioned {
   private def readLive(spark: SparkSession, root: String, m: Manifest,
       relPaths: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val dvByFile = m.dvs.map(d => d.file -> d.positions).toMap
     val predFiles = m.mor.map(d => (d.pred, d.files.toSet))
     val groups = relPaths.groupBy(p =>
       predFiles.collect { case (pred, fs) if fs(p) => pred })
     groups.map { case (preds, paths) =>
-      val df = readAligned(spark, paths.map(p => new File(root, p).getPath),
-        m.schemaJson)
+      // deletion-vector'd files read row positions and anti-join their
+      // deleted set; clean files take the plain vectorized path
+      val (dvd, clean) = paths.partition(dvByFile.contains)
+      val pieces = Seq.newBuilder[DataFrame]
+      if (clean.nonEmpty)
+        pieces += readAligned(spark,
+          clean.map(p => new File(root, p).getPath), m.schemaJson)
+      dvd.foreach { p =>
+        pieces += antiDv(spark, root, p, dvByFile(p), m.schemaJson)
+      }
+      val df = pieces.result().reduce(_ unionByName _)
       // SQL DELETE semantics per predicate: remove cond=true, KEEP null
       preds.foldLeft(df)((d, p) =>
         d.filter(not(coalesce(expr(p), lit(false)))))
     }.reduce(_ unionByName _)
+  }
+
+  /** One file minus its deletion vector: read with the parquet
+    * `_metadata.row_index`, anti-join the deleted positions (a keyed
+    * join, never a giant IN literal), drop the index. */
+  private def antiDv(spark: SparkSession, root: String, relPath: String,
+      positions: Seq[Long], schemaJson: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    import spark.implicits._
+    val raw = spark.read.parquet(new File(root, relPath).getPath)
+      .withColumn("__ri", c("_metadata.row_index"))
+    val pos = positions.toDF("__dpos")
+    val kept = raw.join(pos, c("__ri") === c("__dpos"), "left_anti")
+      .drop("__ri")
+    schemaJson match {
+      case Some(json) => alignTo(kept,
+        DataType.fromJson(json).asInstanceOf[org.apache.spark.sql.types.StructType])
+      case None => kept
+    }
   }
 
   /** Align `df` to `schema`: present columns pass through, missing ones
@@ -833,6 +881,9 @@ object Versioned {
       "merge-on-read delete(s); compact to materialize them before a " +
       "copy-on-write merge (its by-reference file carry would resurrect " +
       "deleted rows)")
+    require(m.dvs.isEmpty, s"table at $root has pending deletion " +
+      "vector(s); compact to materialize them before a copy-on-write " +
+      "merge (its by-reference file carry would resurrect deleted rows)")
     // schema ENFORCEMENT, the same contract commit/commitIfNew apply:
     // new columns and type changes are rejected (a merge whose keys
     // happen to miss every file must NOT silently replace the table
@@ -955,6 +1006,9 @@ object Versioned {
         "merge-on-read delete(s); compact to materialize them before a " +
         "partition overwrite (its by-reference file carry would " +
         "resurrect deleted rows)")
+      require(m.dvs.isEmpty, s"table at $root has pending deletion " +
+        "vector(s); compact to materialize them before a partition " +
+        "overwrite")
       val tableSchemaJson = evolvedSchema(root, df, "append",
         mergeSchema = false)
       val aligned = alignTo(df,
@@ -1031,6 +1085,9 @@ object Versioned {
       "merge-on-read delete(s); compact to materialize them before a " +
       "copy-on-write delete (its by-reference file carry would resurrect " +
       "deleted rows)")
+    require(m.dvs.isEmpty, s"table at $root has pending deletion " +
+      "vector(s); compact to materialize them before a copy-on-write " +
+      "delete (its by-reference file carry would resurrect deleted rows)")
     val condExpr = resolvedPredicate(spark, root, cond)
     val (touched, untouched) =
       m.files.partition(f => mayMatch(f.stats, condExpr))
@@ -1084,6 +1141,9 @@ object Versioned {
         s"table at $root is at version $latest, expected $ev")
     }
     val m = readManifest(root, latest)
+    require(m.dvs.isEmpty, s"table at $root has pending deletion " +
+      "vector(s); one pending row-removal algebra at a time — compact " +
+      "before predicate merge-on-read deletes")
     // analyzer-resolved against the table schema (fails fast on unknown
     // columns); the RESOLVED expression's .sql is the text that
     // round-trips through expr() at read time
@@ -1095,7 +1155,81 @@ object Versioned {
     if (touched.isEmpty) latest
     else publishEntries(root, m.files, latest, "mor-delete",
       schemaJson = m.schemaJson.orNull,
-      mor = m.mor :+ MorDelete(predSql, touched))
+      mor = m.mor :+ MorDelete(predSql, touched), dvs = m.dvs)
+  }
+
+  /** POSITIONAL merge-on-read delete — the Delta/Iceberg
+    * deletion-vector mechanism: evaluate `cond` ONCE at delete time,
+    * record the matching (file, row_index) positions in the manifest,
+    * touch no data file. Compared to [[deleteDeferred]] (predicate
+    * form): reads pay an integer anti-join instead of re-evaluating
+    * the predicate per row forever, the deleted set is FROZEN at
+    * delete time (a later row that would now match the predicate is
+    * unaffected — exact row semantics), and conditions that aren't
+    * SQL-round-trippable (e.g. derived from a driver-side sample)
+    * work, because only their RESULT is stored.
+    *
+    * Scale shape: the matching scan is stats-pruned to candidate
+    * files and reads only the predicate's columns + the metadata row
+    * index; positions collect to the driver bounded by MATCH count
+    * (the delete's own size, not the table's — the same bound the
+    * pruned-MERGE key collection has). Reads of un-vectored files are
+    * untouched; a vectored file pays one keyed anti-join on row_index.
+    *
+    * Coexists with appends/streaming/restore/time travel (vectors ride
+    * the manifest, scoped to their immutable files); `compact`/
+    * `optimize`/`zorder`/overwrite materialize and clear them.
+    * Copy-on-write merge/delete refuse while vectors are pending (the
+    * by-reference carry would resurrect rows); predicate-MoR and
+    * positional-MoR are mutually exclusive while pending (one pending
+    * row-removal algebra at a time — compact to switch).
+    * SQL DELETE null semantics: cond=NULL rows are kept. */
+  def deleteRows(spark: SparkSession, root: String, cond: Column,
+      expectedVersion: Option[Long] = None): Long =
+    withOccRetry(expectedVersion) {
+    import org.apache.spark.sql.functions.{coalesce, col => c, lit}
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root to delete from"))
+    expectedVersion.foreach { ev =>
+      if (ev != latest) throw new VersionConflictException(
+        s"table at $root is at version $latest, expected $ev")
+    }
+    val m = readManifest(root, latest)
+    require(m.mor.isEmpty, s"table at $root has ${m.mor.size} pending " +
+      "predicate merge-on-read delete(s); compact before positional deletes")
+    val condExpr = resolvedPredicate(spark, root, cond)
+    val candidates = m.files.filter(f => mayMatch(f.stats, condExpr)).map(_.path)
+    if (candidates.isEmpty) return latest
+    val dvByFile = m.dvs.map(d => d.file -> d.positions.toSet).toMap
+    val rootPath = new File(root).getCanonicalFile.toPath
+    // one stats-pruned scan: (file, row_index) of every matching row
+    val matches = spark.read
+      .parquet(candidates.map(p => new File(root, p).getPath): _*)
+      .filter(coalesce(cond, lit(false)))
+      .select(c("_metadata.file_path").as("__fp"),
+        c("_metadata.row_index").as("__ri"))
+      .collect() // bounded by the delete's match count
+    if (matches.isEmpty) return latest
+    // positions already vectored are logically gone — only TRULY new
+    // positions justify a version (re-deleting deleted rows is a no-op)
+    val newPositions = matches.groupBy { r =>
+        val abs = new File(new java.net.URI(r.getString(0)).getPath)
+          .getCanonicalFile.toPath
+        rootPath.relativize(abs).toString
+      }
+      .map { case (rel, rows) =>
+        rel -> (rows.map(_.getLong(1)).toSet --
+          dvByFile.getOrElse(rel, Set.empty))
+      }
+      .filter(_._2.nonEmpty)
+    if (newPositions.isEmpty) return latest
+    val mergedDvs = (dvByFile.keySet ++ newPositions.keySet).toSeq.sorted
+      .map { f =>
+        DvEntry(f, (dvByFile.getOrElse(f, Set.empty) ++
+          newPositions.getOrElse(f, Set.empty)).toSeq.sorted)
+      }
+    publishEntries(root, m.files, latest, "dv-delete",
+      schemaJson = m.schemaJson.orNull, dvs = mergedDvs)
   }
 
   // --------------------------------------- predicate interval analysis
@@ -1214,7 +1348,8 @@ object Versioned {
       cdf: Seq[String] = Nil,
       mor: Seq[MorDelete] = Nil,
       partitionBy: Option[Seq[String]] = None,
-      props: Map[String, String] = Map.empty): Long = {
+      props: Map[String, String] = Map.empty,
+      dvs: Seq[DvEntry] = Nil): Long = {
     logDir(root).mkdirs()
     val next = parent + 1
     // partitioning is a table property: inherited from the parent
@@ -1225,7 +1360,7 @@ object Versioned {
     val manifest = Manifest(next, action, files,
       txnApp = txn.map(_._1), txnBatch = txn.map(_._2),
       schemaJson = Option(schemaJson), cdf = cdf, mor = mor,
-      partitionBy = partCols, props = props)
+      partitionBy = partCols, props = props, dvs = dvs)
     val tmp = File.createTempFile(s".v$next-", ".json", logDir(root))
     Files.writeString(tmp.toPath, renderJson(manifest))
     try {
@@ -1327,6 +1462,10 @@ object Versioned {
     val schemaJson = readManifest(root, upTo).schemaJson
     var prev: Set[String] =
       if (afterVersion == 0L) Set.empty else files(root, afterVersion).toSet
+    var prevDvs: Map[String, Set[Long]] =
+      if (afterVersion == 0L) Map.empty
+      else readManifest(root, afterVersion).dvs
+        .map(d => d.file -> d.positions.toSet).toMap
     val pieces = Seq.newBuilder[DataFrame]
     vs.foreach { v =>
       val man = readManifest(root, v)
@@ -1353,6 +1492,30 @@ object Versioned {
             .filter(coalesce(expr(d.pred), lit(false)))
             .withColumn("_change_type", lit("delete"))
             .withColumn("_commit_version", lit(v))
+        case "dv-delete" =>
+          // replay LAZILY like mor-delete: the rows AT this version's
+          // newly-added positions, read from the immutable files —
+          // deterministic from the manifest alone, no change files
+          import spark.implicits._
+          man.dvs.foreach { d =>
+            val fresh = d.positions.toSet -- prevDvs.getOrElse(d.file, Set.empty)
+            if (fresh.nonEmpty) {
+              val raw = spark.read
+                .parquet(new File(root, d.file).getPath)
+                .withColumn("__ri", c("_metadata.row_index"))
+              val pos = fresh.toSeq.sorted.toDF("__dpos")
+              val hit = raw.join(pos, c("__ri") === c("__dpos"), "left_semi")
+                .drop("__ri")
+              val aligned = schemaJson match {
+                case Some(json) => alignTo(hit,
+                  DataType.fromJson(json).asInstanceOf[StructType])
+                case None => hit
+              }
+              pieces += aligned
+                .withColumn("_change_type", lit("delete"))
+                .withColumn("_commit_version", lit(v))
+            }
+          }
         case "merge" | "delete" =>
           if (man.cdf.isEmpty) throw new IllegalArgumentException(
             s"version $v at $root is a '${man.action}' committed without " +
@@ -1372,6 +1535,7 @@ object Versioned {
             "as row-level changes (an overwritten table isn't a CDC source)")
       }
       prev = cur.toSet
+      prevDvs = man.dvs.map(d => d.file -> d.positions.toSet).toMap
     }
     val all = pieces.result()
     if (all.isEmpty) {
@@ -1527,8 +1691,13 @@ object Versioned {
       val stillPending = m.mor
         .map(d => d.copy(files = d.files.filter(carried)))
         .filter(_.files.nonEmpty)
+      // deletion vectors follow the same carry/materialize split:
+      // packed files materialized theirs through readLive; carried
+      // files keep their vectors scoped exactly as before
+      val stillDvs = m.dvs.filter(d => carried(d.file))
       publishEntries(root, big ++ entries, latest, "compact",
-        schemaJson = m.schemaJson.orNull, mor = stillPending)
+        schemaJson = m.schemaJson.orNull, mor = stillPending,
+        dvs = stillDvs)
     }
   }
 
@@ -1545,7 +1714,7 @@ object Versioned {
       throw new IllegalArgumentException(s"no versions at $root"))
     publishEntries(root, m.files, latest, "restore",
       schemaJson = m.schemaJson.orNull, mor = m.mor,
-      partitionBy = Some(m.partitionBy))
+      partitionBy = Some(m.partitionBy), dvs = m.dvs)
   }
 
   /** DESCRIBE HISTORY: one row per retained version, straight from the
@@ -1648,7 +1817,11 @@ object Versioned {
           "files" -> d.files.asJava).asJava).asJava)) ++
       (if (m.partitionBy.isEmpty) Nil
        else Seq("partitionBy" -> m.partitionBy.asJava)) ++
-      (if (m.props.isEmpty) Nil else Seq("props" -> m.props.asJava))
+      (if (m.props.isEmpty) Nil else Seq("props" -> m.props.asJava)) ++
+      (if (m.dvs.isEmpty) Nil else Seq("dvs" -> m.dvs.map(d =>
+        Map[String, Any]("file" -> d.file,
+          "positions" -> d.positions.map(java.lang.Long.valueOf).asJava)
+          .asJava).asJava))
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(withTxn.asJava)
   }
 
@@ -1688,7 +1861,11 @@ object Versioned {
         .asScala.map(_.asText()).toSeq).getOrElse(Nil),
       props = Option(node.get("props")).map(_.properties().asScala
         .map(e => e.getKey -> e.getValue.asText()).toMap)
-        .getOrElse(Map.empty))
+        .getOrElse(Map.empty),
+      dvs = Option(node.get("dvs")).map(_.elements().asScala.map { d =>
+        DvEntry(d.get("file").asText(), d.get("positions").elements()
+          .asScala.map(_.asLong()).toSeq)
+      }.toSeq).getOrElse(Nil))
   }
 
   // --------------------------------------------------- footer stats

@@ -1,0 +1,153 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Positional deletion vectors must remove exactly the rows matching
+  * the condition AT DELETE TIME (frozen set — later appends that would
+  * match are untouched), write zero data files, merge across repeated
+  * deletes, materialize on compact, refuse copy-on-write verbs while
+  * pending, replay as row-level delete envelopes in the change feed,
+  * and hold through the registered data source. */
+class VersionedDvSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft-vdv").toString + "/t"
+
+  private def dataFiles(root: String): Int = {
+    def walk(f: java.io.File): Int =
+      if (f.isDirectory) f.listFiles().map(walk).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    walk(new java.io.File(root, "data"))
+  }
+
+  private def rows(ids: Range, tag: String) =
+    ids.map(i => (i.toLong, tag, i * 1.0)).toDF("id", "tag", "v")
+
+  test("exact rows vanish, zero files written, nulls kept, time travel intact") {
+    val root = freshRoot()
+    Versioned.commit(spark, root, rows(1 to 100, "a").coalesce(1),
+      statsCols = Seq("id"))
+    Versioned.commit(spark, root,
+      Seq((200L, null.asInstanceOf[String], 1.0), (201L, "b", 2.0))
+        .toDF("id", "tag", "v").coalesce(1), statsCols = Seq("id"))
+    val before = dataFiles(root)
+    val v = Versioned.deleteRows(spark, root,
+      col("id") % 10 === 0 && col("tag") === "a")
+    assert(dataFiles(root) === before, "DV delete must write no data file")
+    val got = Versioned.read(spark, root)
+    assert(got.count() === 92, "10 matched rows removed of 102")
+    assert(got.filter(col("id") % 10 === 0 && col("id") <= 100).count() === 0)
+    // cond = NULL (null tag) keeps the row — SQL DELETE semantics
+    assert(got.filter(col("id") === 200).count() === 1)
+    assert(Versioned.readVersion(spark, root, v - 1).count() === 102,
+      "pre-delete snapshot unchanged")
+  }
+
+  test("the deleted set is FROZEN: later matching appends are untouched") {
+    val root = freshRoot()
+    Versioned.commit(spark, root, rows(1 to 50, "a").coalesce(1),
+      statsCols = Seq("id"))
+    Versioned.deleteRows(spark, root, col("v") < 10.0)
+    assert(Versioned.read(spark, root).count() === 41)
+    // rows that WOULD match the predicate arrive later — a positional
+    // delete must not touch them (contrast: deleteDeferred's pending
+    // predicate would; its spec proves scoping instead)
+    Versioned.commit(spark, root, rows(51 to 60, "late")
+      .withColumn("v", lit(1.0)).coalesce(1))
+    assert(Versioned.read(spark, root)
+      .filter(col("tag") === "late").count() === 10,
+      "late matching rows must survive a frozen positional delete")
+  }
+
+  test("repeated deletes merge vectors; no-op match publishes nothing") {
+    val root = freshRoot()
+    Versioned.commit(spark, root, rows(1 to 30, "a").coalesce(1),
+      statsCols = Seq("id"))
+    val v1 = Versioned.deleteRows(spark, root, col("id") <= 5)
+    val v2 = Versioned.deleteRows(spark, root, col("id") > 25)
+    assert(v2 === v1 + 1)
+    assert(Versioned.read(spark, root).as[(Long, String, Double)]
+      .collect().map(_._1).sorted.toSeq === (6L to 25L))
+    // provably out-of-range: stats prune every candidate, nothing publishes
+    assert(Versioned.deleteRows(spark, root, col("id") > 1000) === v2)
+    // already-deleted rows: candidates survive stats but no row matches
+    assert(Versioned.deleteRows(spark, root, col("id") <= 5) === v2)
+  }
+
+  test("compact materializes vectors; CoW verbs refuse while pending") {
+    val root = freshRoot()
+    Versioned.commit(spark, root, rows(1 to 40, "a").coalesce(1),
+      statsCols = Seq("id"))
+    Versioned.deleteRows(spark, root, col("id") <= 10)
+    val eM = intercept[IllegalArgumentException] {
+      Versioned.mergeUpsert(spark, root,
+        Seq((20L, "x", 0.0)).toDF("id", "tag", "v"), "id")
+    }
+    assert(eM.getMessage.contains("deletion vector"))
+    val eD = intercept[IllegalArgumentException] {
+      Versioned.delete(spark, root, col("id") === 20L)
+    }
+    assert(eD.getMessage.contains("deletion vector"))
+    val eP = intercept[IllegalArgumentException] {
+      Versioned.deleteDeferred(spark, root, col("id") === 20L)
+    }
+    assert(eP.getMessage.contains("deletion vector"))
+    Versioned.compact(spark, root)
+    assert(Versioned.read(spark, root).count() === 30)
+    // cleared: CoW works again and rows stay gone
+    Versioned.delete(spark, root, col("id") === 20L)
+    assert(Versioned.read(spark, root).count() === 29)
+  }
+
+  test("optimize carries vectors on carried files, materializes packed ones") {
+    val root = freshRoot()
+    Versioned.commit(spark, root, rows(1 to 2000, "big").coalesce(1),
+      statsCols = Seq("id"))
+    Versioned.commit(spark, root, rows(2001 to 2010, "small1").coalesce(1))
+    Versioned.commit(spark, root, rows(2011 to 2020, "small2").coalesce(1))
+    Versioned.deleteRows(spark, root,
+      col("id").isin(5L, 2005L, 2015L))
+    // pack only the small files; the big file (with a vector) carries
+    val bigBytes = new java.io.File(root, Versioned.files(root, 1).head)
+      .length()
+    Versioned.optimize(spark, root, targetBytes = bigBytes)
+    val got = Versioned.read(spark, root)
+    assert(got.count() === 2017)
+    assert(got.filter(col("id").isin(5L, 2005L, 2015L)).count() === 0,
+      "deletes must hold through carried AND packed files")
+  }
+
+  test("change feed replays dv deletes as row-level envelopes, per window") {
+    val root = freshRoot()
+    Versioned.commit(spark, root, rows(1 to 20, "a").coalesce(1),
+      statsCols = Seq("id"))
+    val v2 = Versioned.deleteRows(spark, root, col("id") <= 3)
+    val v3 = Versioned.deleteRows(spark, root, col("id") === 10L)
+    val w1 = Versioned.changeFeed(spark, root, 1, Some(v2))
+      .filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().sorted.toSeq
+    assert(w1 === Seq(1L, 2L, 3L), "window 1 emits exactly its delta")
+    val w2 = Versioned.changeFeed(spark, root, v2, Some(v3))
+      .filter(col("_change_type") === "delete")
+      .select("id").as[Long].collect().toSeq
+    assert(w2 === Seq(10L), "window 2 emits only the new positions")
+  }
+
+  test("the registered data source honors deletion vectors") {
+    val root = freshRoot()
+    Versioned.commit(spark, root, rows(1 to 50, "a").coalesce(1),
+      statsCols = Seq("id"))
+    Versioned.deleteRows(spark, root, col("id").between(10, 19))
+    val df = spark.read.format(graft.sources.VersionedSource.Name)
+      .option("path", root).load()
+    assert(df.count() === 40)
+    assert(df.filter(col("id") === 15).count() === 0)
+    // pushed point lookup on a surviving row still works
+    assert(df.filter(col("id") === 25).count() === 1)
+  }
+}
