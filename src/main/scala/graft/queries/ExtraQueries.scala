@@ -1002,11 +1002,48 @@ object ExtraQueries {
   private val bm25IndexDir =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
+  // ---------------------------------------------------------------- x26
+  // Positional deletion vectors, hash-gated end-to-end: customer lands
+  // as two overlapping-range commits, TWO deleteRows calls record
+  // frozen (file, row_index) vectors (x19's predicate-MoR sibling —
+  // here the predicate is evaluated once and only positions persist),
+  // and the read goes through the registered data source. DuckDB
+  // replays the NET state with plain WHERE NOT — one row resurrected
+  // by the anti-join, a mis-relativized path, or a lost vector in the
+  // manifest round-trip fails the hash.
+  val x26DvDelete: Q = Q(
+    "x26_dv_delete",
+    """SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal FROM customer
+      |WHERE NOT (c_custkey % 5 = 0) AND NOT (c_custkey % 7 = 1)
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    import graft.operators.Versioned
+    val dir = dvDeleteDir.getOrElseUpdate(d, {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-vdv-q").toString + "/t"
+      val c = t(s, d, "customer").select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("acctbal"))
+      Versioned.commit(s, root, c.filter(col("c_custkey") % 2 === 1),
+        statsCols = Seq("c_custkey"))
+      Versioned.commit(s, root, c.filter(col("c_custkey") % 2 === 0),
+        statsCols = Seq("c_custkey"))
+      Versioned.deleteRows(s, root, col("c_custkey") % 5 === 0)
+      Versioned.deleteRows(s, root, col("c_custkey") % 7 === 1)
+      root
+    })
+    s.read.format(graft.sources.VersionedSource.Name)
+      .option("path", dir).load()
+      .select("c_custkey", "acctbal")
+      .orderBy("c_custkey")
+  }
+
+  private val dvDeleteDir =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   val all: Seq[Q] = Seq(x01SeedJoin, x02AsofJoin, x03Duration, x04Sessionize,
     x05ApproxDistinct, x06RangeJoin, x07Scd2History, x08AsofForward,
     x09ApproxQuantiles, x10AsofExec, x11AsofExecForward, x12AsofTtl,
     x13HistQuantiles, x14AsofBroadcast, x15CmsFrequency, x16BloomMembership,
     x17VersionedCdf, x18VersionedRead, x19MorDelete, x20PartitionOverwrite,
     x21HeavyHitters, x22KmvDistinct, x23BloomLookup, x24JoinMv,
-    x25Bm25Serve)
+    x25Bm25Serve, x26DvDelete)
 }
