@@ -457,10 +457,12 @@ object TextQueries {
   // Corpus-law statistics: the Zipf rank-frequency fit (log-log least
   // squares over the top-100 ranks) plus corpus totals — the one-row
   // health mart that flags template/spam corpora (slope far from −1) at
-  // a glance. The global rank window runs over the VOCABULARY, which is
+  // a glance. The global rank runs over the VOCABULARY, which is
   // aggregation-bounded (Heaps' law: |vocab| ≪ corpus tokens), not over
-  // the corpus — so the unpartitioned window is vocab-sized by
-  // construction. Regression sums are DECIMAL-cast (order-independent);
+  // the corpus — and since round 5 it runs through `globalRank`
+  // (bucket = -cnt: one bucket per distinct frequency, vocab-bounded
+  // driver fold), so even this bounded case plans ZERO unpartitioned
+  // windows. Regression sums are DECIMAL-cast (order-independent);
   // ln is the only libm call, absorbed by the 4 dp round.
   val t14CorpusLaws: Q = Q(
     "t14_corpus_laws",
@@ -487,13 +489,12 @@ object TextQueries {
       |  ROUND((sy - ((n * sxy - sx * sy) / (n * sxx - sx * sx)) * sx) / n, 4)
       |    AS zipf_intercept
       |FROM zfit CROSS JOIN totals""".stripMargin) { (s, d) =>
-    import org.apache.spark.sql.expressions.Window
     import org.apache.spark.sql.types.DecimalType
     val tf = docs(s, d)
       .select(explode(tokens(col("text"))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
-    val ranked = tf.withColumn("rnk",
-      row_number().over(Window.orderBy(col("cnt").desc, col("term"))))
+    val ranked = graft.operators.ScalableWindow.globalRank(
+      tf, expr("-cnt"), Seq(col("cnt").desc, col("term")), "rnk")
     val lnR = log(col("rnk"))
     val lnC = log(col("cnt"))
     val dec = (c: org.apache.spark.sql.Column) => c.cast(DecimalType(38, 18))
