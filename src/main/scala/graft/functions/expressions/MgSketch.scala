@@ -147,7 +147,11 @@ case class MgSketch(
     val it = buf.entrySet().iterator()
     while (it.hasNext) {
       val e = it.next()
-      out.writeUTF(e.getKey)
+      // length-prefixed UTF-8, not writeUTF: writeUTF throws on keys
+      // over 65535 bytes, and a tracked key can be an arbitrary token
+      val kb = e.getKey.getBytes(java.nio.charset.StandardCharsets.UTF_8)
+      out.writeInt(kb.length)
+      out.write(kb)
       out.writeLong(e.getValue)
     }
     out.flush()
@@ -160,7 +164,10 @@ case class MgSketch(
     val n = in.readInt()
     var i = 0
     while (i < n) {
-      buf.put(in.readUTF(), in.readLong())
+      val kb = new Array[Byte](in.readInt())
+      in.readFully(kb)
+      buf.put(new String(kb, java.nio.charset.StandardCharsets.UTF_8),
+        in.readLong())
       i += 1
     }
     buf

@@ -70,7 +70,12 @@ object ScalableWindow {
       cumCol: String,
       lagCol: String,
       scale: Int = 2): DataFrame = {
+    // Persist: the bucketed frame feeds BOTH the in-bucket window and
+    // the per-bucket offset collect below — without it a
+    // nondeterministic upstream (sample, repartition-race) could make
+    // the offsets diverge from the ranked rows.
     val bucketed = df.withColumn("__bucket", bucketCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = Window.partitionBy("__bucket").orderBy(orderCol)
     val inBucket = bucketed
       .withColumn("__cum_in_bucket",
@@ -147,7 +152,10 @@ object ScalableWindow {
       bucketCol: Column,
       orderCols: Seq[Column],
       rankCol: String): DataFrame = {
+    // Same double-evaluation persist as runningTotal/withGlobalShare:
+    // the local ranks and the per-bucket counts must see ONE snapshot.
     val bucketed = df.withColumn("__bucket", bucketCol)
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     val w = Window.partitionBy("__bucket").orderBy(orderCols: _*)
     val local = bucketed.withColumn("__rn", row_number().over(w))
     val perBucket = bucketed.groupBy("__bucket")

@@ -122,8 +122,19 @@ object Versioned {
   /** Positional deletion vector: row positions (parquet row_index) of
     * ONE immutable data file that are deleted — the Delta/Iceberg DV
     * mechanism. Exact row-level merge-on-read: no predicate
-    * re-evaluation at read time, no data rewrite at delete time. */
-  private case class DvEntry(file: String, positions: Seq[Long])
+    * re-evaluation at read time, no data rewrite at delete time.
+    *
+    * Two storage forms, composable per file:
+    *  - `positions`: inline in the manifest (point deletes — small,
+    *    zero extra files);
+    *  - `sidecars`: relative paths of parquet position files
+    *    (`file: string, pos: long`) written BY EXECUTORS at delete
+    *    time — a wide delete's positions never pass through the
+    *    driver or bloat the manifest (Delta/Iceberg's DV-file
+    *    economics). A sidecar may cover many data files; the entry's
+    *    effective set is positions ∪ {pos | (file, pos) ∈ sidecars}. */
+  private case class DvEntry(file: String, positions: Seq[Long],
+      sidecars: Seq[String] = Nil)
 
   private def logDir(root: String) = new File(root, "_graft_log")
   private def manifestFile(root: String, v: Long) =
@@ -546,20 +557,27 @@ object Versioned {
   private def readLive(spark: SparkSession, root: String, m: Manifest,
       relPaths: Seq[String]): DataFrame = {
     import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
-    val dvByFile = m.dvs.map(d => d.file -> d.positions).toMap
+    val dvFiles = m.dvs.map(_.file).toSet
     val predFiles = m.mor.map(d => (d.pred, d.files.toSet))
     val groups = relPaths.groupBy(p =>
       predFiles.collect { case (pred, fs) if fs(p) => pred })
     groups.map { case (preds, paths) =>
       // deletion-vector'd files read row positions and anti-join their
       // deleted set; clean files take the plain vectorized path
-      val (dvd, clean) = paths.partition(dvByFile.contains)
+      val (dvd, clean) = paths.partition(dvFiles)
       val pieces = Seq.newBuilder[DataFrame]
       if (clean.nonEmpty)
         pieces += readAligned(spark,
           clean.map(p => new File(root, p).getPath), m.schemaJson)
-      dvd.foreach { p =>
-        pieces += antiDv(spark, root, p, dvByFile(p), m.schemaJson)
+      if (dvd.nonEmpty) {
+        // ONE scan of all vectored files + ONE distributed anti-join
+        // keyed on (file, position) — never a per-file plan branch or
+        // a positions IN-literal, so a thousand-file wide delete reads
+        // as a single hash join, not a thousand-way union
+        val raw = readWithPositions(spark, root, dvd, m.schemaJson)
+        pieces += raw.join(dvPositions(spark, root, m.dvs),
+            Seq("__vfile", "__vpos"), "left_anti")
+          .drop("__vfile", "__vpos")
       }
       val df = pieces.result().reduce(_ unionByName _)
       // SQL DELETE semantics per predicate: remove cond=true, KEEP null
@@ -568,23 +586,52 @@ object Versioned {
     }.reduce(_ unionByName _)
   }
 
-  /** One file minus its deletion vector: read with the parquet
-    * `_metadata.row_index`, anti-join the deleted positions (a keyed
-    * join, never a giant IN literal), drop the index. */
-  private def antiDv(spark: SparkSession, root: String, relPath: String,
-      positions: Seq[Long], schemaJson: Option[String]): DataFrame = {
+  /** Read manifest-relative `relPaths` aligned to the table schema,
+    * carrying each row's identity as `__vfile` (manifest-relative data
+    * file path) and `__vpos` (parquet `_metadata.row_index`) — the
+    * (file, position) key every deletion-vector verb joins on. The
+    * file column comes from an exact join against the candidate list
+    * (bounded by file count), not path string surgery. */
+  private def readWithPositions(spark: SparkSession, root: String,
+      relPaths: Seq[String], schemaJson: Option[String]): DataFrame = {
+    import org.apache.spark.sql.functions.{broadcast, col => c, regexp_replace}
+    import spark.implicits._
+    val lookup = relPaths.map { p =>
+      (new File(root, p).toPath.toAbsolutePath.normalize().toString, p)
+    }.toDF("__vabs", "__vfile")
+    val raw = spark.read.option("mergeSchema", "true")
+      .parquet(relPaths.map(p => new File(root, p).getPath): _*)
+      .withColumn("__vabs",
+        regexp_replace(c("_metadata.file_path"), "^file:/+", "/"))
+      .withColumn("__vpos", c("_metadata.row_index"))
+    val keyed = raw.join(broadcast(lookup), Seq("__vabs")).drop("__vabs")
+    schemaJson match {
+      case Some(json) => alignTo(keyed,
+        DataType.fromJson(json).asInstanceOf[org.apache.spark.sql.types.StructType],
+        extra = Seq("__vfile", "__vpos"))
+      case None => keyed
+    }
+  }
+
+  /** Every deleted (file, position) of `dvs` as a DataFrame
+    * (`__vfile`, `__vpos`): inline positions from the manifest (small
+    * by construction — the inline threshold bounds them) unioned with
+    * the executor-written sidecar parquet files. */
+  private def dvPositions(spark: SparkSession, root: String,
+      dvs: Seq[DvEntry]): DataFrame = {
     import org.apache.spark.sql.functions.{col => c}
     import spark.implicits._
-    val raw = spark.read.parquet(new File(root, relPath).getPath)
-      .withColumn("__ri", c("_metadata.row_index"))
-    val pos = positions.toDF("__dpos")
-    val kept = raw.join(pos, c("__ri") === c("__dpos"), "left_anti")
-      .drop("__ri")
-    schemaJson match {
-      case Some(json) => alignTo(kept,
-        DataType.fromJson(json).asInstanceOf[org.apache.spark.sql.types.StructType])
-      case None => kept
-    }
+    val pieces = Seq.newBuilder[DataFrame]
+    val inline = dvs.flatMap(d => d.positions.map(p => (d.file, p)))
+    if (inline.nonEmpty)
+      pieces += inline.toDF("__vfile", "__vpos")
+    val sidecars = dvs.flatMap(_.sidecars).distinct
+    if (sidecars.nonEmpty)
+      pieces += spark.read
+        .parquet(sidecars.map(p => new File(root, p).getPath): _*)
+        .select(c("file").as("__vfile"), c("pos").as("__vpos"))
+    pieces.result().reduceOption(_ unionByName _)
+      .getOrElse(Seq.empty[(String, Long)].toDF("__vfile", "__vpos"))
   }
 
   /** Align `df` to `schema`: present columns pass through, missing ones
@@ -1170,11 +1217,17 @@ object Versioned {
     * work, because only their RESULT is stored.
     *
     * Scale shape: the matching scan is stats-pruned to candidate
-    * files and reads only the predicate's columns + the metadata row
-    * index; positions collect to the driver bounded by MATCH count
-    * (the delete's own size, not the table's — the same bound the
-    * pruned-MERGE key collection has). Reads of un-vectored files are
-    * untouched; a vectored file pays one keyed anti-join on row_index.
+    * files (read under the table schema — a schema-evolved table's
+    * older files align like every other read path) and carries only
+    * the (file, position) key; already-vectored positions are removed
+    * by a DISTRIBUTED anti-join. Deletes of ≤ `inlineThreshold` total
+    * positions inline them in the manifest via a per-file grouped
+    * collect (bounded by file count, never rows); anything wider is
+    * written BY EXECUTORS as parquet position sidecars and the
+    * manifest records only their paths — a GDPR-scale 10⁸-row delete
+    * never materializes a position on the driver. Reads of
+    * un-vectored files are untouched; vectored files pay one keyed
+    * anti-join on (file, row_index).
     *
     * Coexists with appends/streaming/restore/time travel (vectors ride
     * the manifest, scoped to their immutable files); `compact`/
@@ -1185,9 +1238,11 @@ object Versioned {
     * row-removal algebra at a time — compact to switch).
     * SQL DELETE null semantics: cond=NULL rows are kept. */
   def deleteRows(spark: SparkSession, root: String, cond: Column,
-      expectedVersion: Option[Long] = None): Long =
+      expectedVersion: Option[Long] = None,
+      inlineThreshold: Int = 4096): Long =
     withOccRetry(expectedVersion) {
-    import org.apache.spark.sql.functions.{coalesce, col => c, lit}
+    import org.apache.spark.sql.functions.{coalesce, collect_list, count,
+      lit, sort_array}
     val latest = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root to delete from"))
     expectedVersion.foreach { ev =>
@@ -1200,36 +1255,63 @@ object Versioned {
     val condExpr = resolvedPredicate(spark, root, cond)
     val candidates = m.files.filter(f => mayMatch(f.stats, condExpr)).map(_.path)
     if (candidates.isEmpty) return latest
-    val dvByFile = m.dvs.map(d => d.file -> d.positions.toSet).toMap
-    val rootPath = new File(root).getCanonicalFile.toPath
-    // one stats-pruned scan: (file, row_index) of every matching row
-    val matches = spark.read
-      .parquet(candidates.map(p => new File(root, p).getPath): _*)
+    // one stats-pruned scan: the (file, position) key of every matching
+    // row, minus positions already vectored (logically gone — only
+    // TRULY new positions justify a version); both sides distributed
+    val fresh = readWithPositions(spark, root, candidates, m.schemaJson)
       .filter(coalesce(cond, lit(false)))
-      .select(c("_metadata.file_path").as("__fp"),
-        c("_metadata.row_index").as("__ri"))
-      .collect() // bounded by the delete's match count
-    if (matches.isEmpty) return latest
-    // positions already vectored are logically gone — only TRULY new
-    // positions justify a version (re-deleting deleted rows is a no-op)
-    val newPositions = matches.groupBy { r =>
-        val abs = new File(new java.net.URI(r.getString(0)).getPath)
-          .getCanonicalFile.toPath
-        rootPath.relativize(abs).toString
-      }
-      .map { case (rel, rows) =>
-        rel -> (rows.map(_.getLong(1)).toSet --
-          dvByFile.getOrElse(rel, Set.empty))
-      }
-      .filter(_._2.nonEmpty)
-    if (newPositions.isEmpty) return latest
-    val mergedDvs = (dvByFile.keySet ++ newPositions.keySet).toSeq.sorted
-      .map { f =>
-        DvEntry(f, (dvByFile.getOrElse(f, Set.empty) ++
-          newPositions.getOrElse(f, Set.empty)).toSeq.sorted)
-      }
-    publishEntries(root, m.files, latest, "dv-delete",
-      schemaJson = m.schemaJson.orNull, dvs = mergedDvs)
+      .select("__vfile", "__vpos")
+      .join(dvPositions(spark, root, m.dvs),
+        Seq("__vfile", "__vpos"), "left_anti")
+      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    try {
+      // one row per touched file — bounded by candidate file count
+      val perFile = fresh.groupBy("__vfile").agg(count(lit(1)).as("__n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      if (perFile.isEmpty) return latest
+      val dvByFile = m.dvs.map(d => d.file -> d).toMap
+      val mergedDvs: Seq[DvEntry] =
+        if (perFile.values.sum <= inlineThreshold) {
+          // small delete: inline, via a per-file GROUPED collect (one
+          // row per file with its position list, never per-row rows)
+          val grouped = fresh.groupBy("__vfile")
+            .agg(sort_array(collect_list("__vpos")).as("__ps"))
+            .collect()
+            .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
+          (dvByFile.keySet ++ grouped.keySet).toSeq.sorted.map { f =>
+            val prev = dvByFile.get(f)
+            DvEntry(f,
+              ((prev.map(_.positions).getOrElse(Nil)) ++
+                grouped.getOrElse(f, Nil)).sorted,
+              prev.map(_.sidecars).getOrElse(Nil))
+          }
+        } else {
+          // wide delete: executors write the position sidecars; the
+          // driver sees only per-file counts and the sidecar paths
+          val dvDir = new File(new File(root, "dv"),
+            java.util.UUID.randomUUID().toString)
+          fresh
+            .repartition(math.max(1, math.min(32, perFile.size)),
+              org.apache.spark.sql.functions.col("__vfile"))
+            .sortWithinPartitions("__vfile", "__vpos")
+            .select(org.apache.spark.sql.functions.col("__vfile").as("file"),
+              org.apache.spark.sql.functions.col("__vpos").as("pos"))
+            .write.parquet(dvDir.getPath)
+          val rootPath = Paths.get(root).toAbsolutePath.normalize()
+          val parts = dvDir.listFiles()
+            .filter(_.getName.endsWith(".parquet")).sortBy(_.getName)
+            .map(f => rootPath.relativize(
+              f.toPath.toAbsolutePath.normalize()).toString).toSeq
+          (dvByFile.keySet ++ perFile.keySet).toSeq.sorted.map { f =>
+            val prev = dvByFile.get(f)
+            DvEntry(f, prev.map(_.positions).getOrElse(Nil),
+              prev.map(_.sidecars).getOrElse(Nil) ++
+                (if (perFile.contains(f)) parts else Nil))
+          }
+        }
+      publishEntries(root, m.files, latest, "dv-delete",
+        schemaJson = m.schemaJson.orNull, dvs = mergedDvs)
+    } finally fresh.unpersist()
   }
 
   // --------------------------------------- predicate interval analysis
@@ -1462,10 +1544,9 @@ object Versioned {
     val schemaJson = readManifest(root, upTo).schemaJson
     var prev: Set[String] =
       if (afterVersion == 0L) Set.empty else files(root, afterVersion).toSet
-    var prevDvs: Map[String, Set[Long]] =
-      if (afterVersion == 0L) Map.empty
+    var prevDvs: Seq[DvEntry] =
+      if (afterVersion == 0L) Nil
       else readManifest(root, afterVersion).dvs
-        .map(d => d.file -> d.positions.toSet).toMap
     val pieces = Seq.newBuilder[DataFrame]
     vs.foreach { v =>
       val man = readManifest(root, v)
@@ -1494,28 +1575,23 @@ object Versioned {
             .withColumn("_commit_version", lit(v))
         case "dv-delete" =>
           // replay LAZILY like mor-delete: the rows AT this version's
-          // newly-added positions, read from the immutable files —
-          // deterministic from the manifest alone, no change files
-          import spark.implicits._
-          man.dvs.foreach { d =>
-            val fresh = d.positions.toSet -- prevDvs.getOrElse(d.file, Set.empty)
-            if (fresh.nonEmpty) {
-              val raw = spark.read
-                .parquet(new File(root, d.file).getPath)
-                .withColumn("__ri", c("_metadata.row_index"))
-              val pos = fresh.toSeq.sorted.toDF("__dpos")
-              val hit = raw.join(pos, c("__ri") === c("__dpos"), "left_semi")
-                .drop("__ri")
-              val aligned = schemaJson match {
-                case Some(json) => alignTo(hit,
-                  DataType.fromJson(json).asInstanceOf[StructType])
-                case None => hit
-              }
-              pieces += aligned
-                .withColumn("_change_type", lit("delete"))
-                .withColumn("_commit_version", lit(v))
-            }
-          }
+          // newly-added positions (this version's position frame minus
+          // the parent's — inline and sidecar forms both), read from
+          // the immutable files. Deterministic from the manifest +
+          // immutable sidecars alone, no change files; double
+          // evaluation (file-list collect + lazy semi-join) is safe
+          // for exactly that reason.
+          val freshPos = dvPositions(spark, root, man.dvs)
+            .join(dvPositions(spark, root, prevDvs),
+              Seq("__vfile", "__vpos"), "left_anti")
+          val affected = freshPos.select("__vfile").distinct()
+            .collect().map(_.getString(0)).toSeq.sorted // ≤ file count
+          if (affected.nonEmpty)
+            pieces += readWithPositions(spark, root, affected, schemaJson)
+              .join(freshPos, Seq("__vfile", "__vpos"), "left_semi")
+              .drop("__vfile", "__vpos")
+              .withColumn("_change_type", lit("delete"))
+              .withColumn("_commit_version", lit(v))
         case "merge" | "delete" =>
           if (man.cdf.isEmpty) throw new IllegalArgumentException(
             s"version $v at $root is a '${man.action}' committed without " +
@@ -1535,7 +1611,7 @@ object Versioned {
             "as row-level changes (an overwritten table isn't a CDC source)")
       }
       prev = cur.toSet
-      prevDvs = man.dvs.map(d => d.file -> d.positions.toSet).toMap
+      prevDvs = man.dvs
     }
     val all = pieces.result()
     if (all.isEmpty) {
@@ -1750,13 +1826,14 @@ object Versioned {
     val (drop, keep) = all.splitAt(math.max(0, all.size - keepVersions))
     val keptManifests = keep.map(readManifest(root, _))
     val referenced = (keptManifests.flatMap(_.files.map(_.path)) ++
-      keptManifests.flatMap(_.cdf)).toSet
+      keptManifests.flatMap(_.cdf) ++
+      keptManifests.flatMap(_.dvs.flatMap(_.sidecars))).toSet
     val cutoff = System.currentTimeMillis() - minAgeMs
     var deleted = 0
-    // data files AND change files share the sweep: anything no retained
-    // manifest references (as a live file or its version's cdf) goes
+    // data files, change files AND dv sidecars share the sweep:
+    // anything no retained manifest references goes
     val rootPath = Paths.get(root).toAbsolutePath.normalize()
-    Seq("data", "cdf").foreach { sub =>
+    Seq("data", "cdf", "dv").foreach { sub =>
       val subRoot = new File(root, sub)
       if (subRoot.isDirectory) {
         subRoot.listFiles().foreach { batchDir =>
@@ -1818,10 +1895,12 @@ object Versioned {
       (if (m.partitionBy.isEmpty) Nil
        else Seq("partitionBy" -> m.partitionBy.asJava)) ++
       (if (m.props.isEmpty) Nil else Seq("props" -> m.props.asJava)) ++
-      (if (m.dvs.isEmpty) Nil else Seq("dvs" -> m.dvs.map(d =>
-        Map[String, Any]("file" -> d.file,
+      (if (m.dvs.isEmpty) Nil else Seq("dvs" -> m.dvs.map { d =>
+        val base = Map[String, Any]("file" -> d.file,
           "positions" -> d.positions.map(java.lang.Long.valueOf).asJava)
-          .asJava).asJava))
+        (if (d.sidecars.isEmpty) base
+         else base + ("sidecars" -> d.sidecars.asJava)).asJava
+      }.asJava))
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(withTxn.asJava)
   }
 
@@ -1864,7 +1943,9 @@ object Versioned {
         .getOrElse(Map.empty),
       dvs = Option(node.get("dvs")).map(_.elements().asScala.map { d =>
         DvEntry(d.get("file").asText(), d.get("positions").elements()
-          .asScala.map(_.asLong()).toSeq)
+          .asScala.map(_.asLong()).toSeq,
+          Option(d.get("sidecars")).map(_.elements().asScala
+            .map(_.asText()).toSeq).getOrElse(Nil))
       }.toSeq).getOrElse(Nil))
   }
 

@@ -59,7 +59,13 @@ object RewriteAsOfWindow extends Rule[LogicalPlan] {
 
   override def apply(plan: LogicalPlan): LogicalPlan =
     if (!conf.getConfString(ConfKey, "true").toBoolean) plan
-    else plan.transformUp {
+    // tree-pattern pruned: this rule runs on EVERY analysis pass (and
+    // classic Datasets re-analyze the whole tree per transformation), so
+    // subtrees without a Window/Filter pair skip in O(1) via the cached
+    // pattern bits instead of paying a full transformUp visit
+    else plan.transformUpWithPruning(t => t.containsAllPatterns(
+        org.apache.spark.sql.catalyst.trees.TreePattern.WINDOW,
+        org.apache.spark.sql.catalyst.trees.TreePattern.FILTER)) {
       case p @ Project(_, _: Filter) => rewrite(p).getOrElse(p)
     }
 

@@ -33,7 +33,12 @@ import org.apache.spark.sql.catalyst.rules.Rule
   */
 object RewriteGlobalWindowTotals extends Rule[LogicalPlan] {
 
-  override def apply(plan: LogicalPlan): LogicalPlan = plan.transformUp {
+  // tree-pattern pruned: subtrees without a Window skip in O(1) via the
+  // cached pattern bits (this runs inside the fixed-point operator
+  // optimization batch — several times per query)
+  override def apply(plan: LogicalPlan): LogicalPlan =
+    plan.transformUpWithPruning(_.containsPattern(
+        org.apache.spark.sql.catalyst.trees.TreePattern.WINDOW)) {
     case w: Window if w.partitionSpec.isEmpty && w.orderSpec.isEmpty &&
         w.windowExpressions.nonEmpty &&
         w.windowExpressions.forall(isWholeFrameAggregate) &&

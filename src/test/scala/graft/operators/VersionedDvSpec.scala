@@ -138,6 +138,59 @@ class VersionedDvSpec extends SparkSpec {
     assert(w2 === Seq(10L), "window 2 emits only the new positions")
   }
 
+  test("wide deletes write executor sidecars — positions never inline " +
+      "in the manifest, rows exact, feed and source unaffected") {
+    val root = freshRoot()
+    // 30k rows across several files; delete 15k of them — far past the
+    // inline threshold, so the positions MUST land in dv/ parquet
+    // sidecars written by executors, and the manifest must carry only
+    // their paths (the driver sees per-file entries, never positions)
+    Versioned.commit(spark, root,
+      rows(1 to 30000, "a").repartition(4), statsCols = Seq("id"))
+    val before = dataFiles(root)
+    val v = Versioned.deleteRows(spark, root, col("id") % 2 === 0)
+    assert(dataFiles(root) === before, "DV delete writes no DATA file")
+    val dvDir = new java.io.File(root, "dv")
+    assert(dvDir.isDirectory && dvDir.listFiles().nonEmpty,
+      "wide delete must write position sidecars under dv/")
+    val manifest = Files.readString(
+      new java.io.File(root, f"_graft_log/v$v%012d.json").toPath)
+    assert(manifest.contains("\"sidecars\""),
+      "manifest must reference sidecar paths")
+    assert(!manifest.contains("\"positions\" : [ 1,"),
+      "wide positions must not inline")
+    // the manifest JSON itself stays O(files), not O(deleted rows)
+    assert(manifest.length < 100 * 1024,
+      s"manifest must stay small (got ${manifest.length} bytes)")
+    val got = Versioned.read(spark, root)
+    assert(got.count() === 15000)
+    assert(got.filter(col("id") % 2 === 0).count() === 0)
+    // a later INLINE point delete merges with the sidecar vectors
+    val v2 = Versioned.deleteRows(spark, root, col("id") === 7L)
+    assert(Versioned.read(spark, root).count() === 14999)
+    // change feed windows: wide sidecar window then point window
+    val w1 = Versioned.changeFeed(spark, root, 1, Some(v))
+      .filter(col("_change_type") === "delete").count()
+    assert(w1 === 15000L, "wide window replays every sidecar position")
+    val w2 = Versioned.changeFeed(spark, root, v, Some(v2))
+      .select("id").as[Long].collect().toSeq
+    assert(w2 === Seq(7L), "point window replays only the new position")
+    // registered source sees the same live set
+    val src = spark.read.format(graft.sources.VersionedSource.Name)
+      .option("path", root).load()
+    assert(src.count() === 14999)
+    // compact materializes; vacuum then sweeps the unreferenced sidecars
+    Versioned.compact(spark, root)
+    assert(Versioned.read(spark, root).count() === 14999)
+    Versioned.vacuum(root, keepVersions = 1, minAgeMs = 0)
+    def walkCount(f: java.io.File): Int =
+      if (!f.exists()) 0
+      else if (f.isDirectory) f.listFiles().map(walkCount).sum
+      else if (f.getName.endsWith(".parquet")) 1 else 0
+    assert(walkCount(dvDir) === 0,
+      "vacuum must sweep sidecars no retained manifest references")
+  }
+
   test("the registered data source honors deletion vectors") {
     val root = freshRoot()
     Versioned.commit(spark, root, rows(1 to 50, "a").coalesce(1),
