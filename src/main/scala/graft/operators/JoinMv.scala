@@ -117,12 +117,16 @@ object JoinMv {
     * — the two legs are disjoint (the anti-join), their union restores
     * exactly the join rows any changed key participates in, and net-nil
     * keys (insert+delete inside one window) fall out naturally. The
-    * MV delete is `Versioned.delete` with an id-IN-set predicate:
-    * manifest stats scope the rewrite to files that can contain a
-    * changed id — O(affected files), not O(MV). The changed-id sets
-    * collect to the driver, bounded by the WINDOW's change volume
-    * (the same bound the pruned-MERGE key collection has), never by
-    * table size.
+    * changed-id sets stay DISTRIBUTED frames end-to-end: the MV delete
+    * is [[Versioned.deleteKeys]] (keys-frame semi-join delete, file
+    * pruning via a key-range aggregate + broadcast interval join
+    * against manifest stats — O(affected files), not O(MV)), and the
+    * legs are semi/anti joins against the same frames. A backfill
+    * window touching 10⁷ keys never materializes an id on the driver
+    * or builds a literal `isin` tree. A null id in a window's feed
+    * fails LOUDLY (the documented non-null-id precondition — a null
+    * can neither be matched by the keyed delete nor the re-insert
+    * semi-join, so it would silently stop being maintained).
     *
     * Crash contract: watermarks ride on the APPEND commit (published
     * even when the insert delta is empty, so pure-delete windows still
@@ -151,45 +155,70 @@ object JoinMv {
         require(a0 <= aNow && b0 <= bNow,
           s"MV watermarks (a=$a0, b=$b0) are ahead of the sources " +
             s"(a=$aNow, b=$bNow) — was a source table restored/vacuumed?")
+        // the window's changed ids, as a DISTRIBUTED distinct frame
+        // (persisted: it feeds the keyed delete, the file pruning and
+        // the re-insert legs). One aggregate answers both "is the
+        // window empty" and the loud null-id guard.
         def changedIds(root: String, from: Long, to: Long,
-            id: String): Seq[Any] =
-          if (to == from) Seq.empty
-          else Versioned.changeFeed(spark, root, from, Some(to))
-            .select(id).distinct()
-            .collect().map(_.get(0)).toSeq // bounded by window change volume
+            id: String): Option[DataFrame] =
+          if (to == from) None
+          else {
+            import org.apache.spark.sql.functions.count
+            val ids = Versioned.changeFeed(spark, root, from, Some(to))
+              .select(col(id)).distinct()
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            val agg = ids.agg(count(lit(1)).as("n"),
+              count(col(id)).as("nn")).head()
+            val (total, nonNull) = (agg.getLong(0), agg.getLong(1))
+            if (total != nonNull) {
+              ids.unpersist()
+              throw new IllegalArgumentException(
+                s"null $id in the change window ($from, $to] of $root — " +
+                  "refreshCdc requires a non-null unique row id on each " +
+                  "side (a null id would silently stop being maintained)")
+            }
+            if (total == 0L) { ids.unpersist(); None } else Some(ids)
+          }
         val cA = changedIds(aRoot, a0, aNow, aId)
         val cB = changedIds(bRoot, b0, bNow, bId)
-        // 1. delete every MV row a changed id participates in
-        val mvAfterDelete =
-          if (cA.nonEmpty || cB.nonEmpty) {
-            val pred =
-              (if (cA.nonEmpty) col(aId).isin(cA: _*) else lit(false)) ||
-              (if (cB.nonEmpty) col(bId).isin(cB: _*) else lit(false))
-            // cdf = true: the MV's own maintenance is then row-level
-            // representable, so the MV is ITSELF a valid CDC source —
-            // a downstream refreshCdc can chain on it (MV-over-MV)
-            Versioned.delete(spark, mvRoot, pred, cdf = true)
-          } else Versioned.latestVersion(mvRoot).get
-        // 2. re-derive those keys' join rows from the NEW snapshots
-        val aNew = Versioned.readVersion(spark, aRoot, aNow)
-        val bNew = Versioned.readVersion(spark, bRoot, bNow)
-        val legs = Seq.newBuilder[DataFrame]
-        if (cA.nonEmpty)
-          legs += aNew.filter(col(aId).isin(cA: _*)).join(bNew, keys)
-        if (cB.nonEmpty)
-          legs += aNew.filter(if (cA.nonEmpty) !col(aId).isin(cA: _*)
-                              else lit(true))
-            .join(bNew.filter(col(bId).isin(cB: _*)), keys)
-        val delta = legs.result()
-          .reduceOption(_ unionByName _)
-          .getOrElse(Versioned.read(spark, mvRoot).limit(0))
-        // watermark commit publishes even for an empty delta, so
-        // pure-delete (and source-noop) windows still advance; pinned
-        // to the post-delete version so racing refreshers serialize
-        // (the loser's CAS fails and it retries from fresh watermarks)
-        Versioned.commit(spark, mvRoot, delta, mode = "append",
-          expectedVersion = Some(mvAfterDelete),
-          props = Map(PropA -> aNow.toString, PropB -> bNow.toString))
+        try {
+          // 1. delete every MV row a changed id participates in —
+          // keys-frame semi-join delete, never a collected isin list.
+          // cdf = true: the MV's own maintenance is then row-level
+          // representable, so the MV is ITSELF a valid CDC source —
+          // a downstream refreshCdc can chain on it (MV-over-MV)
+          val mvAfterDelete =
+            if (cA.isDefined || cB.isDefined)
+              Versioned.deleteKeys(spark, mvRoot,
+                cA.map(aId -> _).toSeq ++ cB.map(bId -> _).toSeq,
+                cdf = true)
+            else Versioned.latestVersion(mvRoot).get
+          // 2. re-derive those keys' join rows from the NEW snapshots
+          val aNew = Versioned.readVersion(spark, aRoot, aNow)
+          val bNew = Versioned.readVersion(spark, bRoot, bNow)
+          val legs = Seq.newBuilder[DataFrame]
+          cA.foreach { ka =>
+            legs += aNew.join(ka, Seq(aId), "left_semi").join(bNew, keys)
+          }
+          cB.foreach { kb =>
+            val aRest = cA.fold(aNew)(ka =>
+              aNew.join(ka, Seq(aId), "left_anti"))
+            legs += aRest.join(bNew.join(kb, Seq(bId), "left_semi"), keys)
+          }
+          val delta = legs.result()
+            .reduceOption(_ unionByName _)
+            .getOrElse(Versioned.read(spark, mvRoot).limit(0))
+          // watermark commit publishes even for an empty delta, so
+          // pure-delete (and source-noop) windows still advance; pinned
+          // to the post-delete version so racing refreshers serialize
+          // (the loser's CAS fails and it retries from fresh watermarks)
+          Versioned.commit(spark, mvRoot, delta, mode = "append",
+            expectedVersion = Some(mvAfterDelete),
+            props = Map(PropA -> aNow.toString, PropB -> bNow.toString))
+        } finally {
+          cA.foreach(_.unpersist())
+          cB.foreach(_.unpersist())
+        }
     }
   }
 

@@ -802,6 +802,173 @@ object Versioned {
       case _ => None
     }
 
+  /** Partition `files` into (may-contain-a-key, provably-key-free)
+    * against a DISTRIBUTED single-column keys frame — the keys-frame
+    * replacement for collecting update/delete keys to the driver.
+    *
+    * Mechanics: one aggregate gives the keys' global [min, max, count]
+    * (three scalars to the driver); files outside the global range
+    * drop immediately; the survivors get an exact per-file membership
+    * test via a broadcast interval join (each key probes the
+    * broadcast (path, min, max) list; distinct hit paths come back —
+    * bounded by FILE count, never key count). When keyCount ×
+    * survivorFiles would exceed the probe budget the join is skipped
+    * and range-pruning alone stands (still correct, just coarser —
+    * the same stance Delta takes with partition-only pruning on
+    * MERGE). Files without usable stats for `col` are conservatively
+    * kept whenever any non-null key exists. Date/timestamp keys
+    * normalize to the footer's integer scale (epoch days / micros),
+    * matching [[toLong]]'s driver-side convention. */
+  private def partitionFilesByKeys(spark: SparkSession,
+      files: Seq[FileEntry], keys: DataFrame,
+      col: String): (Seq[FileEntry], Seq[FileEntry]) = {
+    import org.apache.spark.sql.functions.{broadcast, col => c, count, lit,
+      max => fmax, min => fmin, unix_date, unix_micros}
+    import org.apache.spark.sql.types.{DateType, TimestampNTZType, TimestampType}
+    import spark.implicits._
+    val kcol = keys.columns.head
+    val tagOf = files.flatMap(_.stats.get(col).map(_._1)).headOption
+    val (stated, statless) = files.partition(f =>
+      tagOf.exists(t => f.stats.get(col).exists(_._1 == t)))
+    def anyKey: Boolean = !keys.filter(c(kcol).isNotNull).limit(1).isEmpty
+    if (stated.isEmpty)
+      return if (anyKey) (files, Nil) else (Nil, files)
+    val tag = tagOf.get
+    val keyNorm = (tag, keys.schema.head.dataType) match {
+      case ("long", DateType) => unix_date(c(kcol)).cast("long")
+      case ("long", TimestampType) => unix_micros(c(kcol))
+      case ("long", TimestampNTZType) =>
+        unix_micros(c(kcol).cast("timestamp"))
+      case ("long", _) => c(kcol).cast("long")
+      case ("double", _) => c(kcol).cast("double")
+      case _ => c(kcol).cast("string")
+    }
+    val nn = keys.filter(c(kcol).isNotNull).select(keyNorm.as("__k"))
+    val agg = nn.agg(fmin("__k"), fmax("__k"), count(lit(1))).head()
+    if (agg.getLong(2) == 0L) return (Nil, files) // no key matches anything
+    val (kmin, kmax, kcnt) = (agg.get(0), agg.get(1), agg.getLong(2))
+    def rangeOverlaps(f: FileEntry): Boolean = {
+      val (_, mn, mx) = f.stats(col)
+      tag match {
+        case "long" => mx.toLong >= toLong(kmin) && mn.toLong <= toLong(kmax)
+        case "double" =>
+          mx.toDouble >= toDouble(kmin) && mn.toDouble <= toDouble(kmax)
+        case _ => mx >= kmin.toString && mn <= kmax.toString
+      }
+    }
+    val survivors = stated.filter(rangeOverlaps)
+    val hit: Set[String] =
+      if (survivors.isEmpty) Set.empty
+      else if (kcnt.toDouble * survivors.size > 1e9) survivors.map(_.path).toSet
+      else {
+        val candDf = survivors
+          .map(f => (f.path, f.stats(col)._2, f.stats(col)._3))
+          .toDF("__kpath", "__kmn", "__kmx")
+        val (mnC, mxC) = tag match {
+          case "long" => (c("__kmn").cast("long"), c("__kmx").cast("long"))
+          case "double" =>
+            (c("__kmn").cast("double"), c("__kmx").cast("double"))
+          case _ => (c("__kmn"), c("__kmx"))
+        }
+        nn.join(broadcast(candDf), c("__k") >= mnC && c("__k") <= mxC)
+          .select("__kpath").distinct()
+          .collect().map(_.getString(0)).toSet // bounded by file count
+      }
+    // past the kcnt == 0 return, a non-null key exists: statless files
+    // are conservatively touched
+    val touched = (statless ++ stated.filter(f => hit(f.path)))
+      .map(_.path).toSet
+    files.partition(f => touched(f.path))
+  }
+
+  /** Copy-on-write DELETE by KEY MEMBERSHIP — the Delta
+    * MERGE-with-source shape: remove every row whose `col` appears in
+    * the paired single-column keys DataFrame, for ANY of `keySets`
+    * (OR across sets — the changed-key shape an incremental
+    * join-MV maintains: `aId ∈ ΔA OR bId ∈ ΔB`).
+    *
+    * Everything stays distributed: file pruning via
+    * [[partitionFilesByKeys]] (key-range aggregate + broadcast
+    * interval join, per-file rows only), the delete itself via
+    * left-anti joins against the keys frames — no collected id list,
+    * no `isin` literal tree, at ANY change volume. Null keys never
+    * match (SQL IN semantics); rows with a null `col` are kept.
+    *
+    * Same pending-MoR guards, schema carry, CDF contract (`cdf=true`
+    * writes delete envelopes) and CAS publish as [[delete]].
+    *
+    * @return the version containing the result (a new version, or the
+    *         current one when no file can hold any key)
+    */
+  def deleteKeys(spark: SparkSession, root: String,
+      keySets: Seq[(String, DataFrame)],
+      statsCols: Seq[String] = Nil,
+      expectedVersion: Option[Long] = None,
+      cdf: Boolean = false): Long = withOccRetry(expectedVersion) {
+    import org.apache.spark.sql.functions.lit
+    require(keySets.nonEmpty, "deleteKeys needs at least one key set")
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root to delete from"))
+    expectedVersion.foreach { ev =>
+      if (ev != latest) throw new VersionConflictException(
+        s"table at $root is at version $latest, expected $ev")
+    }
+    val m = readManifest(root, latest)
+    require(m.mor.isEmpty, s"table at $root has ${m.mor.size} pending " +
+      "merge-on-read delete(s); compact to materialize them before a " +
+      "copy-on-write delete (its by-reference file carry would resurrect " +
+      "deleted rows)")
+    require(m.dvs.isEmpty, s"table at $root has pending deletion " +
+      "vector(s); compact to materialize them before a copy-on-write " +
+      "delete (its by-reference file carry would resurrect deleted rows)")
+    val sets = keySets.map { case (cn, df) =>
+      require(df.columns.length == 1,
+        s"keys frame for $cn must have exactly one column, " +
+          s"got ${df.columns.mkString(",")}")
+      cn -> df.toDF(cn)
+        .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    }
+    try {
+      // a file is touched if ANY set may hit it
+      val touchedPaths = sets.flatMap { case (cn, k) =>
+        partitionFilesByKeys(spark, m.files, k, cn)._1.map(_.path)
+      }.toSet
+      val (touched, untouched) =
+        m.files.partition(f => touchedPaths(f.path))
+      if (touched.isEmpty) latest
+      else {
+        val base0 = readAligned(spark,
+          touched.map(f => new File(root, f.path).getPath), m.schemaJson)
+        // the touched files feed one anti leg per set (plus semi legs
+        // under cdf) — persist so they read once
+        val base = base0
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+        try {
+          var kept = base
+          val cdfPieces = Seq.newBuilder[DataFrame]
+          sets.foreach { case (cn, k) =>
+            if (cdf) cdfPieces += kept.join(k, Seq(cn), "left_semi")
+            kept = kept.join(k, Seq(cn), "left_anti")
+          }
+          val cdfPaths =
+            if (!cdf) Nil
+            else writeCdf(spark, root,
+              cdfPieces.result().reduce(_ unionByName _)
+                .withColumn("_change_type", lit("delete")))
+          // rewritten files INHERIT the table's recorded stats columns
+          // (plus any extra requested): a keyed delete must not erase
+          // the very stats the NEXT keyed delete prunes by
+          val effStats =
+            (statsCols ++ m.files.flatMap(_.stats.keys)).distinct
+          val (newEntries, schema) =
+            writeBatch(spark, root, kept, effStats, m.partitionBy)
+          publishEntries(root, untouched ++ newEntries, latest, "delete",
+            schemaJson = schema, cdf = cdfPaths)
+        } finally base.unpersist()
+      }
+    } finally sets.foreach(_._2.unpersist())
+  }
+
   /** SHOW PARTITIONS: the distinct partition tuples of `version`'s
     * live files with file/row/byte rollups — straight from the
     * manifest, no file listing or footer read. Values are the recorded
@@ -903,9 +1070,11 @@ object Versioned {
     *    publish is the same create-exclusive CAS commit, so a
     *    concurrent writer cannot silently lose the race.
     *
-    * The update key set is collected to the driver — bounded by the
-    * incremental batch, the same bound Delta's predicate collection
-    * has (and [[Mutation.mergeUpsertFilePruned]] documents).
+    * The update key set stays a DISTRIBUTED frame end-to-end: file
+    * pruning runs as a key-range aggregate plus a broadcast interval
+    * join against the manifest stats ([[partitionFilesByKeys]]) — a
+    * backfill-sized update batch never materializes its keys on the
+    * driver or builds a giant literal predicate.
     * `updates` is schema-ENFORCED like commit: new columns and type
     * changes are rejected; omitted columns null-fill. Last-write-wins
     * is the caller's contract (one row per key in `updates`).
@@ -943,23 +1112,10 @@ object Versioned {
         .asInstanceOf[org.apache.spark.sql.types.StructType])
     // null update keys never equi-match an existing row (the anti-join
     // below keeps everything), and footer min/max never cover nulls —
-    // they are pure inserts, so they touch no file
-    val keys = aligned.select(c(key)).distinct().collect().map(_.get(0))
-      .toSeq.filter(_ != null)
-    val (touched, untouched) = m.files.partition(f => f.stats.get(key) match {
-      case None => true // no stats → must assume it may contain a key
-      case Some((tpe, mn, mx)) => tpe match {
-        case "long" => keys.exists { k =>
-          val v = toLong(k); mn.toLong <= v && v <= mx.toLong
-        }
-        case "double" => keys.exists { k =>
-          val v = toDouble(k); mn.toDouble <= v && v <= mx.toDouble
-        }
-        case _ => keys.exists { k =>
-          val v = k.toString; mn <= v && v <= mx
-        }
-      }
-    })
+    // they are pure inserts, so they touch no file. The keys frame
+    // stays distributed; only per-file hit rows come back.
+    val (touched, untouched) =
+      partitionFilesByKeys(spark, m.files, aligned.select(c(key)), key)
     val base0: Option[DataFrame] =
       if (touched.isEmpty) None
       else Some(readAligned(spark,

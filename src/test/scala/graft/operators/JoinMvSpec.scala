@@ -238,6 +238,43 @@ class JoinMvSpec extends SparkSpec {
     assert(!mv2Rows.exists(_._1 <= 10))
   }
 
+  test("CDC refresh survives a 10^5-key change window (keys stay frames)") {
+    val (a, b, mv) = (freshRoot("a11"), freshRoot("b11"), freshRoot("mv11"))
+    Versioned.commit(spark, a,
+      (1 to 150000).map(i => (i.toLong, i % 7L, i * 2.0))
+        .toDF("fact_id", "k", "v").repartition(4),
+      statsCols = Seq("fact_id"))
+    Versioned.commit(spark, b, dims(0 to 6), statsCols = Seq("k"))
+    JoinMv.refreshCdc(spark, a, b, mv, Seq("k"), "fact_id", "k")
+
+    // a backfill-sized window: delete 100k facts in one commit — the
+    // round-5 implementation would have collected the ids and built a
+    // 10^5-literal isin predicate; the keys-frame path must fold it
+    Versioned.delete(spark, a, col("fact_id") <= 100000, cdf = true)
+    JoinMv.refreshCdc(spark, a, b, mv, Seq("k"), "fact_id", "k")
+    assert(Versioned.read(spark, mv).count() === 50000)
+    assert(mvRows(mv) === recompute(a, b), "100k-key window folds exactly")
+  }
+
+  test("a null row id in the change window fails loudly, not silently") {
+    val (a, b, mv) = (freshRoot("a12"), freshRoot("b12"), freshRoot("mv12"))
+    Versioned.commit(spark, a,
+      (1 to 20).map(i => (Option(i.toLong), i % 7L, i * 2.0))
+        .toDF("fact_id", "k", "v"),
+      statsCols = Seq("k"))
+    Versioned.commit(spark, b, dims(0 to 6), statsCols = Seq("k"))
+    JoinMv.refreshCdc(spark, a, b, mv, Seq("k"), "fact_id", "k")
+    // a null-id fact arrives — the documented precondition is violated;
+    // such a row can never be re-matched, so the refresh must throw
+    Versioned.commit(spark, a,
+      Seq((None: Option[Long], 1L, 0.0)).toDF("fact_id", "k", "v"))
+    val e = intercept[IllegalArgumentException] {
+      JoinMv.refreshCdc(spark, a, b, mv, Seq("k"), "fact_id", "k")
+    }
+    assert(e.getMessage.contains("null fact_id"),
+      s"error must name the null id, got: ${e.getMessage}")
+  }
+
   test("non-append source changes are refused, not silently folded") {
     val (a, b, mv) = (freshRoot("a4"), freshRoot("b4"), freshRoot("mv4"))
     Versioned.commit(spark, a, facts(1 to 50))

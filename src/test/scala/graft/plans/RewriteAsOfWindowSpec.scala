@@ -214,11 +214,50 @@ class RewriteAsOfWindowSpec extends AnyFunSuite {
     val plan = planOf(sql)
     assert(plan.contains("AsOfJoin ") && !plan.contains("Window"),
       s"SQL idiom did not plan the exec:\n$plan")
+    // the broadcast physical path must be reachable from REWRITTEN SQL
+    // too (not just the DataFrame API): the reference side here is
+    // tiny, so the strategy must pick BroadcastAsOfJoinExec — zero
+    // exchanges, zero sorts
+    assert(plan.contains("BroadcastAsOfJoin"),
+      s"small reference side must take the broadcast exec from SQL:\n$plan")
+    assert(!plan.toLowerCase.contains("sort "),
+      s"broadcast as-of must not sort:\n$plan")
     import spark.implicits._
-    val got = sql.as[(Long, String, Option[Double])].collect().toSet
-    assert(got === Set(
+    val expected = Set(
       (1L, "t1", Some(100.0)), (1L, "t2", Some(101.0)),
-      (1L, "t3", Some(102.0)), (2L, "t4", None), (3L, "t5", None)))
+      (1L, "t3", Some(102.0)), (2L, "t4", None), (3L, "t5", None))
+    val got = sql.as[(Long, String, Option[Double])].collect().toSet
+    assert(got === expected)
+    // same SQL through the co-partitioned merge exec (threshold off)
+    val prev = spark.conf.getOption(AsOfJoinStrategy.ThresholdKey)
+    try {
+      spark.conf.set(AsOfJoinStrategy.ThresholdKey, "-1")
+      val replay = spark.sql(
+        """WITH l AS (
+          |  SELECT k, trade, ts AS _ts, 1 AS _side,
+          |         CAST(NULL AS STRUCT<px: DOUBLE>) AS _r
+          |  FROM rw_trades),
+          |r AS (
+          |  SELECT k, CAST(NULL AS STRING) AS trade, ts AS _ts, 0 AS _side,
+          |         named_struct('px', px) AS _r
+          |  FROM rw_quotes),
+          |u AS (SELECT * FROM l UNION ALL SELECT * FROM r),
+          |w AS (
+          |  SELECT *, last(_r, true) OVER (
+          |    PARTITION BY k ORDER BY _ts, _side, _r
+          |    ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS _asof
+          |  FROM u)
+          |SELECT k, trade, _asof.px AS asof_px FROM w WHERE _side = 1
+          |""".stripMargin)
+      val mPlan = planOf(replay)
+      assert(mPlan.contains("AsOfJoin ") &&
+        !mPlan.contains("BroadcastAsOfJoin"), mPlan)
+      assert(replay.as[(Long, String, Option[Double])].collect().toSet
+        === expected, "merge-path SQL rows must agree")
+    } finally prev match {
+      case Some(v) => spark.conf.set(AsOfJoinStrategy.ThresholdKey, v)
+      case None => spark.conf.unset(AsOfJoinStrategy.ThresholdKey)
+    }
   }
 
   test("x02/x08's declared window-form queries plan the exec automatically") {
