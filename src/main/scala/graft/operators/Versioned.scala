@@ -599,7 +599,12 @@ object Versioned {
     val lookup = relPaths.map { p =>
       (new File(root, p).toPath.toAbsolutePath.normalize().toString, p)
     }.toDF("__vabs", "__vfile")
-    val raw = spark.read.option("mergeSchema", "true")
+    val reader = schemaJson match {
+      case Some(json) => spark.read.schema(
+        DataType.fromJson(json).asInstanceOf[org.apache.spark.sql.types.StructType])
+      case None => spark.read.option("mergeSchema", "true")
+    }
+    val raw = reader
       .parquet(relPaths.map(p => new File(root, p).getPath): _*)
       .withColumn("__vabs",
         regexp_replace(c("_metadata.file_path"), "^file:/+", "/"))
@@ -650,18 +655,24 @@ object Versioned {
   }
 
   /** Read parquet `paths` under the manifest's table schema: files
-    * written before a column was added simply lack it (parquet
-    * mergeSchema reads them as null), and a column NO live file carries
-    * is null-filled explicitly — so every reader sees one stable
-    * schema, in manifest order, regardless of which files survive. */
+    * written before a column was added simply lack it (the reader
+    * null-fills columns absent from a file when the schema is given
+    * explicitly), and a column NO live file carries is null-filled the
+    * same way — so every reader sees one stable schema, in manifest
+    * order, regardless of which files survive. Passing the MANIFEST
+    * schema instead of mergeSchema=true also skips the per-file footer
+    * schema merge at planning time — the manifest is the source of
+    * truth, so a snapshot read costs one manifest fetch plus the scan,
+    * never an extra footer pass (the lake-format read economics). */
   private def readAligned(spark: SparkSession, paths: Seq[String],
       schemaJson: Option[String]): DataFrame = {
     import org.apache.spark.sql.types.StructType
-    val raw = spark.read.option("mergeSchema", "true").parquet(paths: _*)
     schemaJson match {
-      case None => raw // pre-evolution manifest: files are homogeneous
+      case None => // pre-schema manifest: merge the (homogeneous) footers
+        spark.read.option("mergeSchema", "true").parquet(paths: _*)
       case Some(json) =>
-        alignTo(raw, DataType.fromJson(json).asInstanceOf[StructType])
+        val schema = DataType.fromJson(json).asInstanceOf[StructType]
+        alignTo(spark.read.schema(schema).parquet(paths: _*), schema)
     }
   }
 
@@ -740,10 +751,169 @@ object Versioned {
     * `CAST(col AS STRING)` the build used — integral and string keys
     * round-trip exactly; other types skip the bloom probe. */
   def candidateFilesForBounds(root: String, version: Long,
-      bounds: Seq[ColumnBound]): Seq[String] =
+      bounds: Seq[ColumnBound]): Seq[String] = {
+    // each bound compiles ONCE (typed sorted value arrays, memoized
+    // bloom positions); the per-file loop then pays binary searches
+    // and word lookups, never per-(value × file) hashing — a
+    // 10⁴-value IN prunes as fast as a point lookup
+    val probes = bounds.map(compileBound)
     readManifest(root, version).files.filter { f =>
-      bounds.forall(b => boundKeeps(f, b))
+      probes.forall(p => p(f))
     }.map(_.path)
+  }
+
+  /** Compile one bound into a per-file predicate. Interval bounds and
+    * small IN-sets keep the direct path; large IN-sets get the sorted
+    * array + position-cache treatment ([[compileInProbe]]). */
+  private def compileBound(b: ColumnBound): FileEntry => Boolean =
+    b.values match {
+      case Some(vs) if vs.size > 8 => compileInProbe(b.col, vs)
+      case _ => f => boundKeeps(f, b)
+    }
+
+  /** Large-IN file probe: values sort ONCE into typed arrays, so the
+    * per-file range check is two binary searches for the window of
+    * values inside [min, max]; the bloom probe hashes each value's
+    * positions ONCE per (bits, hashes) config (memoized) and then
+    * tests 3 bits per candidate value per file. Total planning cost
+    * O(V log V + V·hashes md5 + files·(log V + window·hashes)) — no
+    * per-(value × file) md5, which is what made the old per-point
+    * path a planning stall past ~64 values. Falls back to the exact
+    * per-point check for mixed-typed value lists (not produced by
+    * any SQL IN). Above 100k values bloom probing is skipped
+    * (range-window pruning alone — still correct, coarser). */
+  private def compileInProbe(col: String,
+      vs: Seq[Any]): FileEntry => Boolean = {
+    val isIntegral = vs.forall {
+      case _: java.lang.Long | _: java.lang.Integer | _: java.lang.Short |
+           _: java.lang.Byte => true
+      case _ => false
+    }
+    val isString = vs.forall(_.isInstanceOf[String])
+    val isNumeric = vs.forall(_.isInstanceOf[Number])
+    val longs: Array[Long] =
+      if (isIntegral) vs.map(v => v.asInstanceOf[Number].longValue())
+        .distinct.sorted.toArray
+      else Array.emptyLongArray
+    val strings: Array[String] =
+      if (isString) vs.map(_.asInstanceOf[String]).distinct.sorted.toArray
+      else Array.empty
+    val doubles: Array[Double] =
+      if (isNumeric)
+        vs.map(v => v.asInstanceOf[Number].doubleValue())
+          .distinct.sorted.toArray
+      else Array.emptyDoubleArray
+    // canonical bloom probe strings, aligned to the sorted arrays
+    // (long columns hashed value.toString, string columns the value
+    // itself — the same build-time CAST(col AS STRING) contract
+    // bloomProbeString documents)
+    def canon(tag: String): Array[String] = tag match {
+      case "long" if longs.nonEmpty => longs.map(_.toString)
+      case "string" if strings.nonEmpty => strings
+      case _ => Array.empty
+    }
+    val bloomable = vs.size <= 100000
+    val posCache =
+      new java.util.concurrent.ConcurrentHashMap[(String, Int, Int),
+        Array[Array[Int]]]()
+    def positionsFor(tag: String, bits: Int, hashes: Int): Array[Array[Int]] =
+      posCache.computeIfAbsent((tag, bits, hashes), _ =>
+        canon(tag).map(s => graft.functions.expressions.BloomFilter
+          .positions(s, bits, hashes)))
+    // first index with arr(i) >= x (standard lower bound)
+    def lowerL(arr: Array[Long], x: Long): Int = {
+      var lo = 0; var hi = arr.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (arr(mid) < x) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    def upperL(arr: Array[Long], x: Long): Int = {
+      var lo = 0; var hi = arr.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (arr(mid) <= x) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    def lowerS(arr: Array[String], x: String): Int = {
+      var lo = 0; var hi = arr.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (arr(mid) < x) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    def upperS(arr: Array[String], x: String): Int = {
+      var lo = 0; var hi = arr.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (arr(mid) <= x) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    def lowerD(arr: Array[Double], x: Double): Int = {
+      var lo = 0; var hi = arr.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (arr(mid) < x) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    def upperD(arr: Array[Double], x: Double): Int = {
+      var lo = 0; var hi = arr.length
+      while (lo < hi) {
+        val mid = (lo + hi) >>> 1
+        if (arr(mid) <= x) lo = mid + 1 else hi = mid
+      }
+      lo
+    }
+    def bloomSurvives(f: FileEntry, tag: String, lo: Int, hi: Int): Boolean =
+      if (!bloomable) true
+      else f.blooms.get(col) match {
+        case None => true
+        case Some(bl) =>
+          val poss = positionsFor(tag, bl.bits, bl.hashes)
+          if (poss.isEmpty) true // type combination the bloom can't prove
+          else {
+            var i = lo
+            var found = false
+            while (i < hi && !found) {
+              val ps = poss(i)
+              var j = 0
+              var all = true
+              while (j < ps.length && all) {
+                val p = ps(j)
+                all = (bl.words(p >>> 6) & (1L << (p & 63))) != 0L
+                j += 1
+              }
+              found = all
+              i += 1
+            }
+            found
+          }
+      }
+    (f: FileEntry) => f.stats.get(col) match {
+      case None => true // no stats → must scan
+      case Some((tag, mn, mx)) => tag match {
+        case "long" if longs.nonEmpty =>
+          val lo = lowerL(longs, mn.toLong)
+          val hi = upperL(longs, mx.toLong)
+          lo < hi && bloomSurvives(f, tag, lo, hi)
+        case "double" if doubles.nonEmpty =>
+          val lo = lowerD(doubles, mn.toDouble)
+          val hi = upperD(doubles, mx.toDouble)
+          lo < hi // double columns never bloom-probe (canonicalization)
+        case "string" if strings.nonEmpty =>
+          val lo = lowerS(strings, mn)
+          val hi = upperS(strings, mx)
+          lo < hi && bloomSurvives(f, tag, lo, hi)
+        case _ => // mixed/cross-typed list: exact per-point fallback
+          vs.exists(v => boundKeeps(f, ColumnBound(col, Some(v), Some(v))))
+      }
+    }
+  }
 
   /** One bound against one file: interval bounds check range ∩ bloom;
     * an IN-set bound keeps the file iff ANY value survives its own

@@ -153,10 +153,15 @@ object VersionedSource {
       case LessThan(a, v) if ok(v) => Versioned.ColumnBound(a, None, Some(v))
       case LessThanOrEqual(a, v) if ok(v) =>
         Versioned.ColumnBound(a, None, Some(v))
-      // IN-list: each value prunes as its own point (range + bloom);
-      // capped so a pathological thousand-value IN stays a scan choice,
-      // not a per-file thousand-probe planning stall
-      case In(a, vs) if vs.nonEmpty && vs.length <= 64 && vs.forall(ok) =>
+      // IN-list: prunes like a union of point lookups. No practical
+      // cap — past 8 values the bound compiles to sorted arrays with
+      // binary-search range windows and ONCE-per-value memoized bloom
+      // positions (Versioned.compileInProbe), so a 10⁴-value IN costs
+      // O(V log V) planning, not per-(value × file) hashing; past 10⁵
+      // values bloom probing drops out and range windows still prune.
+      // The 2²⁰ guard only bounds planner memory on adversarial lists.
+      case In(a, vs) if vs.nonEmpty && vs.length <= (1 << 20) &&
+          vs.forall(ok) =>
         Versioned.inBound(a, vs.toIndexedSeq)
     }
   }

@@ -128,6 +128,50 @@ class VersionedBloomSpec extends SparkSpec {
     assert(got === Seq("even-2", "even-44", "even-666"))
   }
 
+  test("a 10^4-value IN prunes like the 64-value path, rows exact") {
+    val root = oddEvenTable()
+    val v = Versioned.latestVersion(root).get
+    // 10^4 values, ALL even (in-domain evens + out-of-range evens):
+    // pre-round-6 this list was past the pushdown cap and pruned
+    // NOTHING; the compiled probe must drop the odd file via blooms
+    // exactly like the 3-value list does
+    val bigEven: Seq[Long] =
+      (2L to 2000L by 2) ++ (100000L until 109000L by 1).map(_ * 2 + 100000)
+    assert(bigEven.size > 9000)
+    val t0 = System.nanoTime()
+    val cand = Versioned.candidateFilesForBounds(root, v,
+      Seq(Versioned.inBound("id", bigEven)))
+    val planMs = (System.nanoTime() - t0) / 1e6
+    assert(cand.size === 1,
+      s"10^4-value all-even IN must bloom-prune the odd file, got $cand")
+    assert(planMs < 2000.0,
+      s"compiled IN probe must not stall planning (took $planMs ms)")
+    // out-of-range-only big list prunes everything by range windows
+    assert(Versioned.candidateFilesForBounds(root, v,
+      Seq(Versioned.inBound("id", (500000L to 510000L).toSeq))).isEmpty)
+    // end-to-end through the registered source with the big IN: the
+    // pushed filter survives (no 64-value cap) and rows are exact
+    val df = spark.read.format(graft.sources.VersionedSource.Name)
+      .option("path", root).load()
+    val got = df.filter(col("id").isin(bigEven: _*))
+      .select("payload").as[String].collect().sorted
+    assert(got.length === 1000, s"all 1000 in-domain evens, got ${got.length}")
+    assert(got.forall(_.startsWith("even-")))
+    // and a big STRING IN probes string blooms the same way
+    val sroot = freshRoot()
+    Versioned.commit(spark, sroot,
+      (1 to 500).map(i => (s"odd-$i", i)).toDF("k", "n").coalesce(1),
+      statsCols = Seq("k"), bloomCols = Seq("k"))
+    Versioned.commit(spark, sroot,
+      (1 to 500).map(i => (s"even-$i", i)).toDF("k", "n").coalesce(1),
+      statsCols = Seq("k"), bloomCols = Seq("k"))
+    val sv = Versioned.latestVersion(sroot).get
+    val bigStr = (1 to 5000).map(i => s"even-$i") // only 500 exist
+    assert(Versioned.candidateFilesForBounds(sroot, sv,
+      Seq(Versioned.inBound("k", bigStr))).size === 1,
+      "string blooms must drop the odd file for an all-even string IN")
+  }
+
   test("optimize re-blooms packed files when asked; lookups stay exact") {
     val root = freshRoot()
     // keys ≡ 0 and ≡ 1 (mod 3) in two small bloomed commits; keys ≡ 2
