@@ -1,0 +1,69 @@
+package graft.operators
+
+import org.apache.spark.sql.{Column, DataFrame}
+import org.apache.spark.sql.expressions.Window
+import org.apache.spark.sql.functions._
+
+/** Time-series regularization: per-key daily gap-fill with
+  * last-observation-carried-forward AND linear interpolation — the
+  * feature-engineering primitive every training pipeline over
+  * irregular event data needs (sensor feeds, sparse user activity,
+  * market data between quotes).
+  *
+  * Scale shape: the spine generates per key from that key's own
+  * [min, max] span (`sequence` + `explode` — rows never leave their
+  * key's partition), the join is keyed, and both backfill windows
+  * partition by key — no unpartitioned window, no cross-key data
+  * movement beyond the one keyed shuffle. A key's span bounds its
+  * blow-up, so a 100 TB corpus of short-lived keys stays linear; one
+  * pathological decade-long key costs that key alone.
+  *
+  * Interpolation contract (the DuckDB-parity shape): an observed day
+  * keeps its value; a gap between two observations takes
+  * `prev + (next − prev) · Δdays/span` evaluated in that exact IEEE
+  * order; leading gaps take the next observation (back-fill), trailing
+  * gaps carry the last one forward (LOCF). `locf` is also exposed
+  * directly — the step-function variant.
+  */
+object TimeSeries {
+
+  /** @param df       observations
+    * @param keyCol   series key column name
+    * @param dayCol   DATE-typed observation day (one row per key+day)
+    * @param valueCol DOUBLE-typed observed value
+    * @return one row per key per day across the key's span:
+    *         (key, day, observed, locf, interp) */
+  def gapFillInterpolate(df: DataFrame, keyCol: String, dayCol: String,
+      valueCol: String): DataFrame = {
+    val spans = df.groupBy(keyCol)
+      .agg(min(col(dayCol)).as("__mn"), max(col(dayCol)).as("__mx"))
+    val spine = spans.select(col(keyCol),
+        explode(sequence(col("__mn"), col("__mx"),
+          expr("interval 1 day"))).as(dayCol))
+    val joined = spine.join(df.select(col(keyCol), col(dayCol),
+        col(valueCol).as("__v")),
+      Seq(keyCol, dayCol), "left")
+    val back = Window.partitionBy(keyCol).orderBy(dayCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val fwd = Window.partitionBy(keyCol).orderBy(dayCol)
+      .rowsBetween(Window.currentRow, Window.unboundedFollowing)
+    val obsDay: Column =
+      when(col("__v").isNotNull, col(dayCol))
+    val marked = joined
+      .withColumn("__locf", last(col("__v"), ignoreNulls = true).over(back))
+      .withColumn("__pday", last(obsDay, ignoreNulls = true).over(back))
+      .withColumn("__nxt", first(col("__v"), ignoreNulls = true).over(fwd))
+      .withColumn("__nday", first(obsDay, ignoreNulls = true).over(fwd))
+    marked.select(
+      col(keyCol), col(dayCol),
+      col("__v").isNotNull.as("observed"),
+      col("__locf").as("locf"),
+      when(col("__v").isNotNull, col("__v"))
+        .when(col("__locf").isNull, col("__nxt"))
+        .when(col("__nxt").isNull, col("__locf"))
+        .otherwise(col("__locf") + (col("__nxt") - col("__locf")) *
+          (datediff(col(dayCol), col("__pday")).cast("double") /
+            datediff(col("__nday"), col("__pday")).cast("double")))
+        .as("interp"))
+  }
+}

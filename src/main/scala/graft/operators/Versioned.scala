@@ -115,7 +115,13 @@ object Versioned {
       // ACCUMULATED positional deletion vectors (per live file) as of
       // this version; a dv-delete version's own delta is this minus
       // the parent's (the feed derives it — no redundant storage)
-      dvs: Seq[DvEntry] = Nil)
+      dvs: Seq[DvEntry] = Nil,
+      // publish wall-clock (epoch millis) — TIMESTAMP AS OF resolution
+      // and history. Absent on pre-round-6 manifests (the file's mtime
+      // stands in). Commit clocks may skew; resolution takes the LAST
+      // version at-or-before the asked instant in version order, the
+      // Delta convention.
+      ts: Option[Long] = None)
 
   private case class MorDelete(pred: String, files: Seq[String])
 
@@ -538,6 +544,32 @@ object Versioned {
     readVersion(spark, root,
       latestVersion(root).getOrElse(
         throw new IllegalArgumentException(s"no versions at $root")))
+
+  /** TIMESTAMP AS OF resolution: the version that was CURRENT at
+    * `tsMillis` — the last version whose publish instant is
+    * at-or-before it, in version order (clock-skewed commit times
+    * cannot reorder history). Pre-round-6 manifests without a
+    * recorded instant fall back to the manifest file's mtime. Fails
+    * loudly when `tsMillis` predates the first retained version (the
+    * Delta contract — an instant before history has no snapshot). */
+  def versionAsOfTimestamp(root: String, tsMillis: Long): Long = {
+    val vs = versions(root)
+    require(vs.nonEmpty, s"no versions at $root")
+    def instant(v: Long): Long =
+      readManifest(root, v).ts.getOrElse(manifestFile(root, v).lastModified())
+    val hit = vs.foldLeft(Option.empty[Long]) { (acc, v) =>
+      if (instant(v) <= tsMillis) Some(v) else acc
+    }
+    hit.getOrElse(throw new IllegalArgumentException(
+      s"timestamp $tsMillis predates the first retained version of $root " +
+        s"(v${vs.head} published at ${instant(vs.head)})"))
+  }
+
+  /** Time travel by wall clock: the snapshot that was current at
+    * `tsMillis` (see [[versionAsOfTimestamp]]). */
+  def readTimestampAsOf(spark: SparkSession, root: String,
+      tsMillis: Long): DataFrame =
+    readVersion(spark, root, versionAsOfTimestamp(root, tsMillis))
 
   /** Time travel: the exact file set published as version `v`, under
     * version `v`'s OWN schema (evolution is versioned too: a snapshot
@@ -1768,7 +1800,8 @@ object Versioned {
     val manifest = Manifest(next, action, files,
       txnApp = txn.map(_._1), txnBatch = txn.map(_._2),
       schemaJson = Option(schemaJson), cdf = cdf, mor = mor,
-      partitionBy = partCols, props = props, dvs = dvs)
+      partitionBy = partCols, props = props, dvs = dvs,
+      ts = Some(System.currentTimeMillis()))
     val tmp = File.createTempFile(s".v$next-", ".json", logDir(root))
     Files.writeString(tmp.toPath, renderJson(manifest))
     try {
@@ -2128,11 +2161,14 @@ object Versioned {
     import spark.implicits._
     versions(root).map { v =>
       val m = readManifest(root, v)
-      (v, m.action, m.files.size.toLong, m.files.map(_.rows).sum,
+      (v, m.action,
+        m.ts.getOrElse(manifestFile(root, v).lastModified()),
+        m.files.size.toLong, m.files.map(_.rows).sum,
         m.files.map(_.bytes).sum, m.txnApp, m.txnBatch, m.cdf.size.toLong,
         m.mor.size.toLong)
-    }.toDF("version", "action", "num_files", "num_rows", "num_bytes",
-      "txn_app", "txn_batch", "num_change_files", "num_pending_deletes")
+    }.toDF("version", "action", "timestamp_millis", "num_files", "num_rows",
+      "num_bytes", "txn_app", "txn_batch", "num_change_files",
+      "num_pending_deletes")
   }
 
   /** Drop all but the last `keepVersions` manifests and delete data
@@ -2221,6 +2257,7 @@ object Versioned {
       (if (m.partitionBy.isEmpty) Nil
        else Seq("partitionBy" -> m.partitionBy.asJava)) ++
       (if (m.props.isEmpty) Nil else Seq("props" -> m.props.asJava)) ++
+      m.ts.map("ts" -> java.lang.Long.valueOf(_)) ++
       (if (m.dvs.isEmpty) Nil else Seq("dvs" -> m.dvs.map { d =>
         val base = Map[String, Any]("file" -> d.file,
           "positions" -> d.positions.map(java.lang.Long.valueOf).asJava)
@@ -2272,7 +2309,8 @@ object Versioned {
           .asScala.map(_.asLong()).toSeq,
           Option(d.get("sidecars")).map(_.elements().asScala
             .map(_.asText()).toSeq).getOrElse(Nil))
-      }.toSeq).getOrElse(Nil))
+      }.toSeq).getOrElse(Nil),
+      ts = Option(node.get("ts")).map(_.asLong()))
   }
 
   // --------------------------------------------------- footer stats

@@ -1039,11 +1039,65 @@ object ExtraQueries {
   private val dvDeleteDir =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // ---------------------------------------------------------------- x27
+  // Time-series gap-fill: per-user daily purchase revenue regularized
+  // onto each user's own day span, with LOCF and linear interpolation
+  // (graft.operators.TimeSeries). Gaps are real in the data (sparse
+  // purchase activity), so the oracle exercises all four arms:
+  // observed pass-through, leading back-fill, trailing carry-forward,
+  // and the interpolated middle. Both sides evaluate
+  // prev + (next − prev) · Δ/span in the same IEEE order — exact hash
+  // parity, no rounding crutch.
+  val x27GapFill: Q = Q(
+    "x27_gapfill_interp",
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |         CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DOUBLE) AS v
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |spans AS (
+      |  SELECT user_id, MIN(day) AS mn, MAX(day) AS mx FROM daily GROUP BY 1),
+      |spine AS (
+      |  SELECT user_id,
+      |         CAST(unnest(generate_series(mn, mx, INTERVAL 1 DAY)) AS DATE) AS day
+      |  FROM spans),
+      |joined AS (
+      |  SELECT s.user_id, s.day, d.v FROM spine s
+      |  LEFT JOIN daily d ON s.user_id = d.user_id AND s.day = d.day),
+      |marked AS (
+      |  SELECT user_id, day, v,
+      |    last_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS locf,
+      |    last_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS prev_day,
+      |    first_value(v IGNORE NULLS) OVER (PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt,
+      |    first_value(CASE WHEN v IS NOT NULL THEN day END IGNORE NULLS)
+      |      OVER (PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN CURRENT ROW AND UNBOUNDED FOLLOWING) AS nxt_day
+      |  FROM joined)
+      |SELECT user_id, day, v IS NOT NULL AS observed, locf,
+      |  CASE
+      |    WHEN v IS NOT NULL THEN v
+      |    WHEN locf IS NULL THEN nxt
+      |    WHEN nxt IS NULL THEN locf
+      |    ELSE locf + (nxt - locf) *
+      |      (CAST(day - prev_day AS DOUBLE) / CAST(nxt_day - prev_day AS DOUBLE))
+      |  END AS interp
+      |FROM marked ORDER BY user_id, day""".stripMargin) { (s, d) =>
+    val daily = t(s, d, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(moneySum(col("value")).as("v"))
+    graft.operators.TimeSeries.gapFillInterpolate(daily, "user_id", "day", "v")
+      .orderBy("user_id", "day")
+  }
+
   val all: Seq[Q] = Seq(x01SeedJoin, x02AsofJoin, x03Duration, x04Sessionize,
     x05ApproxDistinct, x06RangeJoin, x07Scd2History, x08AsofForward,
     x09ApproxQuantiles, x10AsofExec, x11AsofExecForward, x12AsofTtl,
     x13HistQuantiles, x14AsofBroadcast, x15CmsFrequency, x16BloomMembership,
     x17VersionedCdf, x18VersionedRead, x19MorDelete, x20PartitionOverwrite,
     x21HeavyHitters, x22KmvDistinct, x23BloomLookup, x24JoinMv,
-    x25Bm25Serve, x26DvDelete)
+    x25Bm25Serve, x26DvDelete, x27GapFill)
 }

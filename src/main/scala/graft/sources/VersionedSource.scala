@@ -56,8 +56,20 @@ class VersionedSource extends RelationProvider
   override def createRelation(sqlContext: SQLContext,
       parameters: Map[String, String]): BaseRelation = {
     val opts = VersionedSource.normalize(parameters)
-    new VersionedRelation(sqlContext, VersionedSource.path(opts),
-      opts.get("versionasof").map(_.toLong))
+    val root = VersionedSource.path(opts)
+    // timestampAsOf (epoch millis or "yyyy-MM-dd HH:mm:ss" UTC)
+    // resolves to a pinned version at planning time — the Delta
+    // TIMESTAMP AS OF surface; exclusive with versionAsOf
+    val byTs = opts.get("timestampasof").map { s =>
+      val millis = s.toLongOption.getOrElse(
+        java.time.LocalDateTime.parse(s.replace(' ', 'T'))
+          .toInstant(java.time.ZoneOffset.UTC).toEpochMilli)
+      graft.operators.Versioned.versionAsOfTimestamp(root, millis)
+    }
+    require(byTs.isEmpty || !opts.contains("versionasof"),
+      "set versionAsOf OR timestampAsOf, not both")
+    new VersionedRelation(sqlContext, root,
+      byTs.orElse(opts.get("versionasof").map(_.toLong)))
   }
 
   // -------------------------------------------------------- streaming
