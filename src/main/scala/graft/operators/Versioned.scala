@@ -19,11 +19,15 @@ import org.apache.spark.unsafe.types.UTF8String
   *   table/
   *     data/<batch-uuid>/part-*.parquet   immutable data files
   *     _graft_log/v<0-padded>.json        one manifest per version
+  *     _graft_log/segments/seg-*.json     immutable file-list segments
   * }}}
   *
   * Each manifest lists the table's LIVE files (with per-file row counts,
-  * byte sizes, and parquet-footer min/max stats for requested columns).
-  * That buys, at 100 TB scale:
+  * byte sizes, and parquet-footer min/max stats for requested columns) —
+  * small inline, large via immutable SEGMENT files that unchanged-file
+  * commits carry by reference (the Iceberg manifest-list economics: an
+  * append to a million-file table writes O(delta) metadata bytes, not a
+  * million re-serialized entries). That buys, at 100 TB scale:
   *
   *  - **Reads never list directories.** A snapshot is one small JSON
   *    read + a direct-file-list scan — object-store LIST over millions
@@ -121,7 +125,16 @@ object Versioned {
       // stands in). Commit clocks may skew; resolution takes the LAST
       // version at-or-before the asked instant in version order, the
       // Delta convention.
-      ts: Option[Long] = None)
+      ts: Option[Long] = None,
+      // immutable file-list SEGMENTS this manifest references (relative
+      // paths under _graft_log/segments/). The manifest's live set is
+      // `files` (inline entries) ∪ the segments' entries; a commit that
+      // doesn't touch a segment's files carries the segment BY
+      // REFERENCE, so commit write-amplification is O(changed files +
+      // segment count), never O(table files) — the Iceberg
+      // manifest-list economics. After [[readManifest]], `files` is the
+      // RESOLVED union; `segments` is kept for carry and vacuum.
+      segments: Seq[String] = Nil)
 
   private case class MorDelete(pred: String, files: Seq[String])
 
@@ -143,6 +156,15 @@ object Versioned {
       sidecars: Seq[String] = Nil)
 
   private def logDir(root: String) = new File(root, "_graft_log")
+
+  /** Manifest path → filesystem file. Entries are root-relative for
+    * files the table owns; a shallow clone ([[cloneShallow]]) records
+    * the SOURCE table's files as absolute paths, which resolve as-is —
+    * one branch point instead of clone-awareness in every reader. */
+  private def resolve(root: String, path: String): File = {
+    val f = new File(path)
+    if (f.isAbsolute) f else new File(root, path)
+  }
   private def manifestFile(root: String, v: Long) =
     new File(logDir(root), f"v$v%012d.json")
 
@@ -393,7 +415,7 @@ object Versioned {
         val blooms = batchBlooms(spark, parquetFiles, bloomCols,
           bloomBits, bloomHashes)
         entries.map { e =>
-          val abs = new File(root, e.path).getCanonicalPath
+          val abs = resolve(root, e.path).getCanonicalPath
           blooms.get(abs).map(b => e.copy(blooms = b)).getOrElse(e)
         }
       }
@@ -600,7 +622,7 @@ object Versioned {
       val pieces = Seq.newBuilder[DataFrame]
       if (clean.nonEmpty)
         pieces += readAligned(spark,
-          clean.map(p => new File(root, p).getPath), m.schemaJson)
+          clean.map(p => resolve(root, p).getPath), m.schemaJson)
       if (dvd.nonEmpty) {
         // ONE scan of all vectored files + ONE distributed anti-join
         // keyed on (file, position) — never a per-file plan branch or
@@ -629,7 +651,7 @@ object Versioned {
     import org.apache.spark.sql.functions.{broadcast, col => c, regexp_replace}
     import spark.implicits._
     val lookup = relPaths.map { p =>
-      (new File(root, p).toPath.toAbsolutePath.normalize().toString, p)
+      (resolve(root, p).toPath.toAbsolutePath.normalize().toString, p)
     }.toDF("__vabs", "__vfile")
     val reader = schemaJson match {
       case Some(json) => spark.read.schema(
@@ -637,7 +659,7 @@ object Versioned {
       case None => spark.read.option("mergeSchema", "true")
     }
     val raw = reader
-      .parquet(relPaths.map(p => new File(root, p).getPath): _*)
+      .parquet(relPaths.map(p => resolve(root, p).getPath): _*)
       .withColumn("__vabs",
         regexp_replace(c("_metadata.file_path"), "^file:/+", "/"))
       .withColumn("__vpos", c("_metadata.row_index"))
@@ -665,7 +687,7 @@ object Versioned {
     val sidecars = dvs.flatMap(_.sidecars).distinct
     if (sidecars.nonEmpty)
       pieces += spark.read
-        .parquet(sidecars.map(p => new File(root, p).getPath): _*)
+        .parquet(sidecars.map(p => resolve(root, p).getPath): _*)
         .select(c("file").as("__vfile"), c("pos").as("__vpos"))
     pieces.result().reduceOption(_ unionByName _)
       .getOrElse(Seq.empty[(String, Long)].toDF("__vfile", "__vpos"))
@@ -722,7 +744,7 @@ object Versioned {
           org.apache.spark.sql.types.DataType.fromJson(json)
             .asInstanceOf[org.apache.spark.sql.types.StructType])
       case Some(Right(path)) =>
-        spark.read.parquet(new File(root, path).getPath).limit(0)
+        spark.read.parquet(resolve(root, path).getPath).limit(0)
       case None => throw new IllegalArgumentException(
         s"table at $root has no schema in any retained version")
     }
@@ -1140,7 +1162,7 @@ object Versioned {
       if (touched.isEmpty) latest
       else {
         val base0 = readAligned(spark,
-          touched.map(f => new File(root, f.path).getPath), m.schemaJson)
+          touched.map(f => resolve(root, f.path).getPath), m.schemaJson)
         // the touched files feed one anti leg per set (plus semi legs
         // under cdf) — persist so they read once
         val base = base0
@@ -1321,7 +1343,7 @@ object Versioned {
     val base0: Option[DataFrame] =
       if (touched.isEmpty) None
       else Some(readAligned(spark,
-        touched.map(f => new File(root, f.path).getPath), m.schemaJson))
+        touched.map(f => resolve(root, f.path).getPath), m.schemaJson))
     // with cdf the touched files and the key set each feed 2–3 branches
     // (rewrite + preimage; anti + semi joins) — persist them so the
     // merge reads each touched file once, not three times; both are
@@ -1437,7 +1459,7 @@ object Versioned {
           if (mixed.isEmpty) Nil
           else {
             val base = readAligned(spark,
-              mixed.map(f => new File(root, f.path).getPath), m.schemaJson)
+              mixed.map(f => resolve(root, f.path).getPath), m.schemaJson)
             val kept = base.join(
               aligned.select(m.partitionBy.map(c): _*).distinct(),
               m.partitionBy, "left_anti")
@@ -1499,7 +1521,7 @@ object Versioned {
     if (touched.isEmpty) latest
     else {
       val base = readAligned(spark,
-        touched.map(f => new File(root, f.path).getPath), m.schemaJson)
+        touched.map(f => resolve(root, f.path).getPath), m.schemaJson)
       val kept = base.filter(not(coalesce(cond, lit(false))))
       val cdfPaths =
         if (!cdf) Nil
@@ -1780,7 +1802,16 @@ object Versioned {
   }
 
   /** Publish an explicit file set as the version after `parent`,
-    * CAS-atomic like every other commit. */
+    * CAS-atomic like every other commit.
+    *
+    * Segment carry keeps the write bounded: any segment of the
+    * carry-source manifest (`carryFrom`, default the parent) whose
+    * entries ALL appear unchanged in `files` is referenced, not
+    * re-serialized; only the residue is inlined, and a residue larger
+    * than [[segmentSpill]] spills into fresh immutable segments of at
+    * most [[segmentMaxEntries]] entries each. An append to (or a
+    * point-delete from) a million-file table therefore writes O(delta +
+    * segment count) manifest bytes, never O(table files). */
   private def publishEntries(root: String, files: Seq[FileEntry],
       parent: Long, action: String,
       txn: Option[(String, Long)] = None,
@@ -1789,7 +1820,8 @@ object Versioned {
       mor: Seq[MorDelete] = Nil,
       partitionBy: Option[Seq[String]] = None,
       props: Map[String, String] = Map.empty,
-      dvs: Seq[DvEntry] = Nil): Long = {
+      dvs: Seq[DvEntry] = Nil,
+      carryFrom: Option[Long] = None): Long = {
     logDir(root).mkdirs()
     val next = parent + 1
     // partitioning is a table property: inherited from the parent
@@ -1797,11 +1829,26 @@ object Versioned {
     // may re-layout; restore reinstates the restored version's)
     val partCols = partitionBy.getOrElse(
       if (parent >= 1L) readManifest(root, parent).partitionBy else Nil)
-    val manifest = Manifest(next, action, files,
+    val byPath = files.iterator.map(f => f.path -> f).toMap
+    val carried = carryFrom.orElse(Some(parent)).filter(_ >= 1L)
+      .filter(v => manifestFile(root, v).isFile)
+      .map(readManifest(root, _).segments).getOrElse(Nil)
+      .filter { s =>
+        val es = readSegment(root, s)
+        es.nonEmpty && es.forall(e => byPath.get(e.path).contains(e))
+      }
+    val covered = carried.flatMap(readSegment(root, _)).map(_.path).toSet
+    val residue = files.filterNot(f => covered(f.path))
+    val (inline, segments) =
+      if (residue.size <= segmentSpill) (residue, carried)
+      else (Seq.empty[FileEntry],
+        carried ++ residue.grouped(segmentMaxEntries)
+          .map(writeSegment(root, _)))
+    val manifest = Manifest(next, action, inline,
       txnApp = txn.map(_._1), txnBatch = txn.map(_._2),
       schemaJson = Option(schemaJson), cdf = cdf, mor = mor,
       partitionBy = partCols, props = props, dvs = dvs,
-      ts = Some(System.currentTimeMillis()))
+      ts = Some(System.currentTimeMillis()), segments = segments)
     val tmp = File.createTempFile(s".v$next-", ".json", logDir(root))
     Files.writeString(tmp.toPath, renderJson(manifest))
     try {
@@ -1873,7 +1920,7 @@ object Versioned {
     }
     val paths = added.result()
     if (paths.isEmpty) emptyLike(spark, root)
-    else readAligned(spark, paths.map(p => new File(root, p).getPath),
+    else readAligned(spark, paths.map(p => resolve(root, p).getPath),
       readManifest(root, upTo).schemaJson) // the window's latest schema
   }
 
@@ -1915,7 +1962,7 @@ object Versioned {
           val added = cur.filterNot(prev)
           if (added.nonEmpty)
             pieces += readAligned(spark,
-              added.map(p => new File(root, p).getPath), schemaJson)
+              added.map(p => resolve(root, p).getPath), schemaJson)
               .withColumn("_change_type", lit("insert"))
               .withColumn("_commit_version", lit(v))
         case "compact" => // row-identical: nothing to emit
@@ -1957,7 +2004,7 @@ object Versioned {
               "cdf=true — row-level changes cannot be reconstructed; " +
               "enable cdf on merge/delete to feed changeFeed")
           val raw = spark.read.option("mergeSchema", "true").parquet(
-            man.cdf.map(p => new File(root, p).getPath): _*)
+            man.cdf.map(p => resolve(root, p).getPath): _*)
           val aligned = schemaJson match {
             case None => raw
             case Some(json) =>
@@ -2149,7 +2196,49 @@ object Versioned {
       throw new IllegalArgumentException(s"no versions at $root"))
     publishEntries(root, m.files, latest, "restore",
       schemaJson = m.schemaJson.orNull, mor = m.mor,
-      partitionBy = Some(m.partitionBy), dvs = m.dvs)
+      partitionBy = Some(m.partitionBy), dvs = m.dvs,
+      // the restored version's segments are the ones re-referenced —
+      // the rollback stays one small manifest even on a huge table
+      carryFrom = Some(toVersion))
+  }
+
+  /** Zero-copy SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE`):
+    * publish version 1 of a NEW table at `dstRoot` whose manifest
+    * references the source's current (or `asOfVersion`) snapshot —
+    * data files, pending merge-on-read predicates, and deletion
+    * vectors — by ABSOLUTE path. No data is read, copied, or moved;
+    * the clone is one metadata write regardless of table size.
+    *
+    * The clone then evolves independently: every write lands under its
+    * OWN root, copy-on-write verbs that rewrite a source file drop the
+    * foreign reference in the same commit, and [[compact]]/[[optimize]]
+    * sever the source dependency entirely (rows re-land in own files).
+    * The clone's [[vacuum]] never touches source data — its sweep
+    * walks only the clone's directories, and foreign absolute paths
+    * can't match. Caveat (exactly Delta's): vacuuming the SOURCE can
+    * remove files a live shallow clone still references — retain the
+    * cloned source version, or compact the clone to cut the tie.
+    *
+    * Dev/test branching at 100 TB: experiment on a writable copy of a
+    * production table for the cost of one manifest. */
+  def cloneShallow(spark: SparkSession, srcRoot: String, dstRoot: String,
+      asOfVersion: Option[Long] = None): Long = {
+    val v = asOfVersion.orElse(latestVersion(srcRoot)).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $srcRoot"))
+    require(latestVersion(dstRoot).isEmpty,
+      s"clone destination $dstRoot already has a manifest log")
+    val m = readManifest(srcRoot, v)
+    def abs(rel: String): String =
+      resolve(srcRoot, rel).getAbsolutePath
+    publishEntries(dstRoot,
+      m.files.map(f => f.copy(path = abs(f.path))),
+      parent = 0L, action = "clone",
+      schemaJson = m.schemaJson.orNull,
+      mor = m.mor.map(d => d.copy(files = d.files.map(abs))),
+      partitionBy = Some(m.partitionBy),
+      props = Map("cloneSource" -> srcRoot, "cloneVersion" -> v.toString),
+      dvs = m.dvs.map(d =>
+        d.copy(file = abs(d.file), sidecars = d.sidecars.map(abs))))
   }
 
   /** DESCRIBE HISTORY: one row per retained version, straight from the
@@ -2190,6 +2279,20 @@ object Versioned {
     val referenced = (keptManifests.flatMap(_.files.map(_.path)) ++
       keptManifests.flatMap(_.cdf) ++
       keptManifests.flatMap(_.dvs.flatMap(_.sidecars))).toSet
+    // file-list segments share the sweep: keep any segment a retained
+    // manifest references (segments are shared across versions, so one
+    // keeper protects it for all); orphans — from dropped versions or
+    // commits that lost the CAS race — age out like batch dirs
+    val keptSegs = keptManifests.flatMap(_.segments).toSet
+    val segRoot = new File(logDir(root), "segments")
+    val segCutoff = System.currentTimeMillis() - minAgeMs
+    if (segRoot.isDirectory) segRoot.listFiles().foreach { f =>
+      val rel = s"_graft_log/segments/${f.getName}"
+      if (!keptSegs.contains(rel) && f.lastModified() <= segCutoff) {
+        segmentCache.remove(f.getAbsolutePath)
+        Files.deleteIfExists(f.toPath); ()
+      }
+    }
     val cutoff = System.currentTimeMillis() - minAgeMs
     var deleted = 0
     // data files, change files AND dv sidecars share the sweep:
@@ -2230,23 +2333,92 @@ object Versioned {
 
   private val mapper = new com.fasterxml.jackson.databind.ObjectMapper()
 
-  private def renderJson(m: Manifest): String = {
-    val filesNode = m.files.map { f =>
-      val stats = f.stats.map { case (k, (t, mn, mx)) =>
-        k -> Map("type" -> t, "min" -> mn, "max" -> mx).asJava
-      }.asJava
-      val base = Map[String, Any]("path" -> f.path, "rows" -> f.rows,
-        "bytes" -> f.bytes, "stats" -> stats)
-      val withBlooms =
-        if (f.blooms.isEmpty) base
-        else base + ("blooms" -> f.blooms.map { case (k, b) =>
-          k -> Map[String, Any]("bits" -> b.bits, "hashes" -> b.hashes,
-            "words" -> b.words.map(java.lang.Long.valueOf).asJava).asJava
-        }.asJava)
-      withBlooms.asJava
+  private def fileEntryNode(f: FileEntry): java.util.Map[String, Any] = {
+    val stats = f.stats.map { case (k, (t, mn, mx)) =>
+      k -> Map("type" -> t, "min" -> mn, "max" -> mx).asJava
     }.asJava
+    val base = Map[String, Any]("path" -> f.path, "rows" -> f.rows,
+      "bytes" -> f.bytes, "stats" -> stats)
+    val withBlooms =
+      if (f.blooms.isEmpty) base
+      else base + ("blooms" -> f.blooms.map { case (k, b) =>
+        k -> Map[String, Any]("bits" -> b.bits, "hashes" -> b.hashes,
+          "words" -> b.words.map(java.lang.Long.valueOf).asJava).asJava
+      }.asJava)
+    withBlooms.asJava
+  }
+
+  private def parseFileEntry(
+      fn: com.fasterxml.jackson.databind.JsonNode): FileEntry = {
+    val stats = Option(fn.get("stats")).map { sn =>
+      sn.properties().asScala.map { e =>
+        val v = e.getValue
+        e.getKey -> ((v.get("type").asText(), v.get("min").asText(),
+          v.get("max").asText()))
+      }.toMap
+    }.getOrElse(Map.empty[String, (String, String, String)])
+    val blooms = Option(fn.get("blooms")).map { bn =>
+      bn.properties().asScala.map { e =>
+        val b = e.getValue
+        e.getKey -> BloomStat(b.get("bits").asInt(), b.get("hashes").asInt(),
+          b.get("words").elements().asScala.map(_.asLong()).toIndexedSeq)
+      }.toMap
+    }.getOrElse(Map.empty[String, BloomStat])
+    FileEntry(fn.get("path").asText(), fn.get("rows").asLong(),
+      fn.get("bytes").asLong(), stats, blooms)
+  }
+
+  // ------------------------------------------------ manifest segments
+
+  /** Inline entries above this spill into a segment file at publish.
+    * Overridable (system property) so specs can exercise the rolling
+    * behavior without hundreds of commits. */
+  private def segmentSpill: Int =
+    sys.props.getOrElse("graft.versioned.segmentSpill", "64").toInt
+
+  /** Spilled entry lists chunk into segments of at most this many
+    * entries, so a later delete that touches one file re-inlines (and
+    * re-spills) one bounded chunk — not the whole table's metadata. */
+  private def segmentMaxEntries: Int =
+    sys.props.getOrElse("graft.versioned.segmentMaxEntries", "1024").toInt
+
+  /** Segments are immutable and uuid-named, so caching by absolute path
+    * is safe: repeated snapshot reads parse each segment once per JVM,
+    * and the resolved-manifest cost amortizes to O(new segments). */
+  private val segmentCache =
+    new java.util.concurrent.ConcurrentHashMap[String, Seq[FileEntry]]()
+
+  private def readSegment(root: String, rel: String): Seq[FileEntry] = {
+    val f = new File(root, rel)
+    val key = f.getAbsolutePath
+    val hit = segmentCache.get(key)
+    if (hit != null) hit
+    else {
+      val node = mapper.readTree(Files.readString(f.toPath))
+      val entries =
+        node.get("files").elements().asScala.map(parseFileEntry).toSeq
+      segmentCache.put(key, entries)
+      entries
+    }
+  }
+
+  private def writeSegment(root: String, entries: Seq[FileEntry]): String = {
+    val dir = new File(logDir(root), "segments")
+    dir.mkdirs()
+    val name = s"seg-${java.util.UUID.randomUUID()}.json"
+    val f = new File(dir, name)
+    Files.writeString(f.toPath, mapper.writeValueAsString(
+      Map[String, Any]("files" -> entries.map(fileEntryNode).asJava).asJava))
+    segmentCache.put(f.getAbsolutePath, entries)
+    s"_graft_log/segments/$name"
+  }
+
+  private def renderJson(m: Manifest): String = {
+    val filesNode = m.files.map(fileEntryNode).asJava
     val base = Map[String, Any]("version" -> m.version,
-      "action" -> m.action, "files" -> filesNode)
+      "action" -> m.action, "files" -> filesNode) ++
+      (if (m.segments.isEmpty) Nil
+       else Seq("segments" -> m.segments.asJava))
     val withTxn = base ++
       m.txnApp.map("txnApp" -> _) ++ m.txnBatch.map("txnBatch" -> (_: Any)) ++
       m.schemaJson.map("schema" -> _) ++
@@ -2271,25 +2443,16 @@ object Versioned {
     val f = manifestFile(root, v)
     require(f.isFile, s"version $v does not exist (or was vacuumed) at $root")
     val node = mapper.readTree(Files.readString(f.toPath))
-    val files = node.get("files").elements().asScala.map { fn =>
-      val stats = Option(fn.get("stats")).map { sn =>
-        sn.properties().asScala.map { e =>
-          val v = e.getValue
-          e.getKey -> ((v.get("type").asText(), v.get("min").asText(),
-            v.get("max").asText()))
-        }.toMap
-      }.getOrElse(Map.empty[String, (String, String, String)])
-      val blooms = Option(fn.get("blooms")).map { bn =>
-        bn.properties().asScala.map { e =>
-          val b = e.getValue
-          e.getKey -> BloomStat(b.get("bits").asInt(), b.get("hashes").asInt(),
-            b.get("words").elements().asScala.map(_.asLong()).toIndexedSeq)
-        }.toMap
-      }.getOrElse(Map.empty[String, BloomStat])
-      FileEntry(fn.get("path").asText(), fn.get("rows").asLong(),
-        fn.get("bytes").asLong(), stats, blooms)
-    }.toSeq
+    val inline =
+      node.get("files").elements().asScala.map(parseFileEntry).toSeq
+    val segs = Option(node.get("segments")).map(_.elements().asScala
+      .map(_.asText()).toSeq).getOrElse(Nil)
+    // `files` is the RESOLVED live set (inline ∪ segments) — every
+    // reader keeps working on the full list; `segments` rides along for
+    // carry-by-reference at publish and for vacuum's reference sweep
+    val files = inline ++ segs.flatMap(readSegment(root, _))
     Manifest(node.get("version").asLong(), node.get("action").asText(), files,
+      segments = segs,
       txnApp = Option(node.get("txnApp")).map(_.asText()),
       txnBatch = Option(node.get("txnBatch")).map(_.asLong()),
       schemaJson = Option(node.get("schema")).map(_.asText()),
