@@ -1093,11 +1093,57 @@ object ExtraQueries {
       .orderBy("user_id", "day")
   }
 
+  // ---------------------------------------------------------------- x28
+  // Zero-copy branching, hash-gated end-to-end: customer lands in a
+  // versioned table, cloneShallow branches it WITHOUT copying a byte,
+  // and the branch takes a deletion-vector delete that must not leak
+  // into the source (snapshot isolation across branches over SHARED
+  // immutable files). Both branches read through the registered data
+  // source; DuckDB replays the pair as plain SELECTs — a clone that
+  // mutated its source, a DV applied to the wrong branch, or a
+  // mis-resolved absolute path each breaks the hash.
+  val x28CloneBranch: Q = Q(
+    "x28_clone_branch",
+    """SELECT 'dev' AS branch, c_custkey,
+      |       CAST(c_acctbal AS DOUBLE) AS acctbal
+      |FROM customer WHERE NOT (c_custkey % 3 = 0)
+      |UNION ALL
+      |SELECT 'main' AS branch, c_custkey,
+      |       CAST(c_acctbal AS DOUBLE) AS acctbal
+      |FROM customer
+      |ORDER BY branch, c_custkey""".stripMargin) { (s, d) =>
+    import graft.operators.Versioned
+    val (srcRoot, devRoot) = cloneBranchDirs.getOrElseUpdate(d, {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-clone-q").toString
+      val src = s"$base/main"
+      val dev = s"$base/dev"
+      val c = t(s, d, "customer").select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("acctbal"))
+      Versioned.commit(s, src, c, statsCols = Seq("c_custkey"))
+      Versioned.cloneShallow(s, src, dev)
+      // the branch delete rides a deletion vector over the SOURCE's
+      // files — zero data copied even for the divergence
+      Versioned.deleteRows(s, dev, col("c_custkey") % 3 === 0)
+      (src, dev)
+    })
+    def readBranch(root: String, name: String) =
+      s.read.format(graft.sources.VersionedSource.Name)
+        .option("path", root).load()
+        .select(lit(name).as("branch"), col("c_custkey"), col("acctbal"))
+    readBranch(devRoot, "dev")
+      .unionByName(readBranch(srcRoot, "main"))
+      .orderBy("branch", "c_custkey")
+  }
+
+  private val cloneBranchDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String)]
+
   val all: Seq[Q] = Seq(x01SeedJoin, x02AsofJoin, x03Duration, x04Sessionize,
     x05ApproxDistinct, x06RangeJoin, x07Scd2History, x08AsofForward,
     x09ApproxQuantiles, x10AsofExec, x11AsofExecForward, x12AsofTtl,
     x13HistQuantiles, x14AsofBroadcast, x15CmsFrequency, x16BloomMembership,
     x17VersionedCdf, x18VersionedRead, x19MorDelete, x20PartitionOverwrite,
     x21HeavyHitters, x22KmvDistinct, x23BloomLookup, x24JoinMv,
-    x25Bm25Serve, x26DvDelete, x27GapFill)
+    x25Bm25Serve, x26DvDelete, x27GapFill, x28CloneBranch)
 }
