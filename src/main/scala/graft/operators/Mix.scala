@@ -27,6 +27,33 @@ object Mix {
     conv(substring(md5(idCol.cast("string")), 1, 8), 16, 10)
       .cast("long") % 100
 
+  /** Weighted sample WITHOUT replacement (Efraimidis & Spirakis, IPL
+    * 97(5) 2006, exponential-clocks form): each row draws
+    * `key = −ln(u) / w` with `u` a content-stable md5-derived uniform
+    * in (0, 1], and the k SMALLEST keys win — inclusion probability
+    * proportional to weight, one pass, no replacement bookkeeping.
+    *
+    * Scale shape: the selection is a top-k (TakeOrderedAndProject —
+    * per-partition k-heaps, one k-row merge on the driver), NEVER a
+    * global sort or unpartitioned window. The md5 uniform makes the
+    * draw reproducible across engines, partitionings, and task
+    * retries — a seeded RNG is none of those. (ln is the one
+    * non-correctly-rounded IEEE op in the key; engines may disagree in
+    * the last ulp, which matters only if the k-th and k+1-th keys
+    * collide within ~1e-16 relative — vanishing for continuous keys.)
+    *
+    * @param weight strictly positive weight column (rows with larger
+    *               weight are proportionally more likely to be kept) */
+  def weightedSample(df: DataFrame, idCol: String, weight: Column,
+      k: Int): DataFrame = {
+    val u = (conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
+      .cast("long").cast("double") + lit(1.0)) / lit(1152921504606846976.0)
+    df.withColumn("__wkey", -log(u) / weight.cast("double"))
+      .orderBy(col("__wkey"), col(idCol))
+      .limit(k)
+      .drop("__wkey")
+  }
+
   /** Keep a deterministic `rate(stratum)` fraction of rows per stratum.
     * `rates` maps stratum value → keep-rate in [0,1]; absent strata keep
     * everything. One narrow projection + filter: fully pushable, no

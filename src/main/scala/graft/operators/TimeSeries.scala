@@ -66,4 +66,41 @@ object TimeSeries {
             datediff(col("__nday"), col("__pday")).cast("double")))
         .as("interp"))
   }
+
+  /** Downsample an irregular event series into fixed calendar bars —
+    * the OHLC/volume resample (`resample().ohlc()` in dataframe
+    * libraries, candlestick bars in market data): per key per
+    * `date_trunc(unit)` bucket, the FIRST and LAST value in strict
+    * (ts, tieCol) event order plus min/max/sum/count.
+    *
+    * Scale shape: both rank windows partition by (key, bucket) — the
+    * natural grain, never unpartitioned — and the final aggregate
+    * reuses the same keys, so the whole resample is ONE keyed shuffle
+    * (windows and groupBy share the partitioning). First/last are
+    * exact under the total (ts, tieCol) order, not `first()`'s
+    * partition-order nondeterminism.
+    *
+    * @param tieCol total-order tiebreak for equal timestamps (an event
+    *               id) — without it, open/close of a bucket with tied
+    *               timestamps would be nondeterministic */
+  def resampleOhlc(df: DataFrame, keyCol: String, tsCol: String,
+      valueCol: String, tieCol: String, unit: String = "week"): DataFrame = {
+    val bucket = date_trunc(unit, col(tsCol)).cast("date")
+    val asc = Window.partitionBy(col(keyCol), col("__bucket"))
+      .orderBy(col(tsCol).asc, col(tieCol).asc)
+    val desc = Window.partitionBy(col(keyCol), col("__bucket"))
+      .orderBy(col(tsCol).desc, col(tieCol).desc)
+    df.select(col(keyCol), bucket.as("__bucket"), col(tsCol), col(tieCol),
+        col(valueCol).as("__v"))
+      .withColumn("__ra", row_number().over(asc))
+      .withColumn("__rd", row_number().over(desc))
+      .groupBy(col(keyCol), col("__bucket").as("bucket"))
+      .agg(
+        min(when(col("__ra") === 1, col("__v"))).as("open"),
+        max(col("__v")).as("high"),
+        min(col("__v")).as("low"),
+        min(when(col("__rd") === 1, col("__v"))).as("close"),
+        sum(col("__v")).as("volume"),
+        count(lit(1)).as("n_events"))
+  }
 }

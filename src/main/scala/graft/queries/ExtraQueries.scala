@@ -1139,11 +1139,56 @@ object ExtraQueries {
   private val cloneBranchDirs =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
+  // ---------------------------------------------------------------- x29
+  // OHLC resample (graft.operators.TimeSeries.resampleOhlc): weekly
+  // open/high/low/close/volume bars per user over purchase values —
+  // the downsampling companion to x27's up-filling. Open/close are
+  // exact firsts/lasts under the total (ts, event_id) order (never
+  // `first()`'s partition-order roulette); the rank windows partition
+  // by (user, week) and the aggregate reuses the same keys, so the
+  // whole resample is one keyed shuffle. Money flows through
+  // DECIMAL(18,2) and surfaces as DOUBLE on both sides.
+  val x29OhlcResample: Q = Q(
+    "x29_ohlc_resample",
+    """WITH pe AS (
+      |  SELECT user_id, CAST(DATE_TRUNC('week', ts) AS DATE) AS bucket,
+      |         ts, event_id, CAST(value AS DECIMAL(18,2)) AS v
+      |  FROM events WHERE event_type = 'purchase'),
+      |r AS (
+      |  SELECT user_id, bucket, v,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+      |      ORDER BY ts, event_id) AS ra,
+      |    ROW_NUMBER() OVER (PARTITION BY user_id, bucket
+      |      ORDER BY ts DESC, event_id DESC) AS rd
+      |  FROM pe)
+      |SELECT user_id, bucket,
+      |  CAST(MIN(CASE WHEN ra = 1 THEN v END) AS DOUBLE) AS open,
+      |  CAST(MAX(v) AS DOUBLE) AS high,
+      |  CAST(MIN(v) AS DOUBLE) AS low,
+      |  CAST(MIN(CASE WHEN rd = 1 THEN v END) AS DOUBLE) AS close,
+      |  CAST(SUM(v) AS DOUBLE) AS volume,
+      |  COUNT(*) AS n_events
+      |FROM r GROUP BY 1, 2 ORDER BY user_id, bucket""".stripMargin) { (s, d) =>
+    val pe = t(s, d, "events")
+      .filter(col("event_type") === "purchase")
+      .withColumn("__val", dec2(col("value")))
+    graft.operators.TimeSeries
+      .resampleOhlc(pe, "user_id", "ts", "__val", "event_id")
+      .select(col("user_id"), col("bucket"),
+        col("open").cast("double").as("open"),
+        col("high").cast("double").as("high"),
+        col("low").cast("double").as("low"),
+        col("close").cast("double").as("close"),
+        col("volume").cast("double").as("volume"),
+        col("n_events"))
+      .orderBy("user_id", "bucket")
+  }
+
   val all: Seq[Q] = Seq(x01SeedJoin, x02AsofJoin, x03Duration, x04Sessionize,
     x05ApproxDistinct, x06RangeJoin, x07Scd2History, x08AsofForward,
     x09ApproxQuantiles, x10AsofExec, x11AsofExecForward, x12AsofTtl,
     x13HistQuantiles, x14AsofBroadcast, x15CmsFrequency, x16BloomMembership,
     x17VersionedCdf, x18VersionedRead, x19MorDelete, x20PartitionOverwrite,
     x21HeavyHitters, x22KmvDistinct, x23BloomLookup, x24JoinMv,
-    x25Bm25Serve, x26DvDelete, x27GapFill, x28CloneBranch)
+    x25Bm25Serve, x26DvDelete, x27GapFill, x28CloneBranch, x29OhlcResample)
 }

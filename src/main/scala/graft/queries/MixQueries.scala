@@ -740,9 +740,33 @@ object MixQueries {
       .orderBy("shard")
   }
 
+  // ---------------------------------------------------------------- s11
+  // Weighted sample without replacement (Mix.weightedSample —
+  // Efraimidis–Spirakis exponential clocks): 200 docs drawn with
+  // inclusion probability ∝ n_chars, the "sample long documents more"
+  // draw a token-budgeted mix uses. The uniform is md5-derived so both
+  // engines replay the identical draw; the selection is a top-k
+  // (per-partition heaps), never a global sort. DuckDB recomputes
+  // −ln(u)/w from the same md5 and must select the same 200 ids.
+  val s11WeightedSample: Q = Q(
+    "s11_weighted_sample",
+    """SELECT doc_id, lang, source, n_chars FROM (
+      |  SELECT doc_id, lang, source, n_chars,
+      |    -ln((('0x' || substr(md5(CAST(doc_id AS VARCHAR)), 1, 15))::BIGINT
+      |         + 1.0) / 1152921504606846976.0)
+      |      / CAST(n_chars AS DOUBLE) AS wkey
+      |  FROM documents
+      |  ORDER BY wkey, doc_id LIMIT 200)
+      |ORDER BY doc_id""".stripMargin) { (s, d) =>
+    graft.operators.Mix.weightedSample(
+        docs(s, d).select("doc_id", "lang", "source", "n_chars"),
+        "doc_id", col("n_chars"), 200)
+      .orderBy("doc_id")
+  }
+
   val all: Seq[Q] = Seq(s01StratifiedSample, s02MixPlan, c01Contamination,
     c02ContaminationReport, g01CorpusGold, g02CorpusFunnel, s03ShardPlan,
     s04SequencePacking, s05TemperatureMix, s06DocChunks, s07SourceCap,
     g03TrainingPrep, s08ExactSample, s09Curriculum, s10TokenBudget,
-    g04CurationPipeline)
+    g04CurationPipeline, s11WeightedSample)
 }

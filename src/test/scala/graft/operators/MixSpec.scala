@@ -93,4 +93,23 @@ class MixSpec extends SparkSpec {
     assert(byShard.values.forall(_ > 50),
       "each shard should see a wide spread of sample buckets")
   }
+
+  test("weightedSample: exact k, repartition-invariant, and biased " +
+      "toward heavy weights in proportion") {
+    // two weight classes: ids 0..999 weight 1, ids 1000..1999 weight 9.
+    // E-S inclusion ∝ weight, so a 200-draw should land ~90% heavy.
+    val rows = (0L until 2000L)
+      .map(i => (i, if (i < 1000) 1.0 else 9.0)).toDF("id", "w")
+    val a = Mix.weightedSample(rows.coalesce(1), "id", col("w"), 200)
+      .collect().map(_.getLong(0)).toSeq
+    val b = Mix.weightedSample(rows.repartition(17), "id", col("w"), 200)
+      .collect().map(_.getLong(0)).toSeq
+    assert(a.size === 200)
+    assert(a.sorted === b.sorted,
+      "the md5 draw must not depend on partitioning")
+    val heavy = a.count(_ >= 1000L)
+    // E[heavy] = 200·0.9 = 180; allow a generous deterministic band
+    assert(heavy > 150 && heavy < 200,
+      s"9:1 weights should dominate the sample (heavy=$heavy/200)")
+  }
 }

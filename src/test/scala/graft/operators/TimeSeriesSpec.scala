@@ -55,4 +55,43 @@ class TimeSeriesSpec extends SparkSpec {
     assert(observed > 0 && filled > 0,
       s"fixture must contain real gaps (observed=$observed filled=$filled)")
   }
+
+  test("resampleOhlc: hand-computed weekly bars, ties broken by event id") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = Seq(
+      // week of 2024-01-01 (Mon): open = 5.0 (earliest ts, 01-02),
+      // close = 7.0 (latest ts 01-05 23:00; the eid tiebreak picks
+      // id 5 over id 3 — same value here, so the bar is tie-stable)
+      ("u1", ts("2024-01-03 10:00:00"), 2L, 5.0),
+      ("u1", ts("2024-01-02 09:00:00"), 9L, 5.0),
+      ("u1", ts("2024-01-03 10:00:00"), 1L, 100.0), // intraweek high
+      ("u1", ts("2024-01-05 23:00:00"), 3L, 7.0),
+      ("u1", ts("2024-01-05 23:00:00"), 5L, 7.0),
+      // next week
+      ("u1", ts("2024-01-09 08:00:00"), 6L, 1.0),
+      ("u2", ts("2024-01-04 12:00:00"), 7L, 3.0)
+    ).toDF("k", "ts", "eid", "v")
+    val got = TimeSeries.resampleOhlc(events, "k", "ts", "v", "eid")
+      .orderBy("k", "bucket")
+      .as[(String, Date, Double, Double, Double, Double, Double, Long)]
+      .collect().toSeq
+    assert(got === Seq(
+      ("u1", d("2024-01-01"), 5.0, 100.0, 5.0, 7.0, 124.0, 5L),
+      ("u1", d("2024-01-08"), 1.0, 1.0, 1.0, 1.0, 1.0, 1L),
+      ("u2", d("2024-01-01"), 3.0, 3.0, 3.0, 3.0, 3.0, 1L)))
+  }
+
+  test("resampleOhlc is invariant under repartitioning (total order, " +
+      "not partition order)") {
+    def ts(s: String) = java.sql.Timestamp.valueOf(s)
+    val events = (1 to 500).map { i =>
+      ("u" + (i % 7), ts(f"2024-01-${1 + i % 28}%02d 0${i % 9}:00:00"),
+        i.toLong, (i % 13) * 1.0)
+    }.toDF("k", "ts", "eid", "v")
+    val a = TimeSeries.resampleOhlc(events.coalesce(1), "k", "ts", "v", "eid")
+      .orderBy("k", "bucket").collect().toSeq
+    val b = TimeSeries.resampleOhlc(events.repartition(13), "k", "ts", "v", "eid")
+      .orderBy("k", "bucket").collect().toSeq
+    assert(a === b)
+  }
 }
