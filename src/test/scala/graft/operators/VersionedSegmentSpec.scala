@@ -161,6 +161,42 @@ class VersionedSegmentSpec extends SparkSpec {
     }
   }
 
+  test("8 concurrent appenders all land under OCC retry with segment " +
+      "carry in play; the final state is a serial history") {
+    withTinySegments {
+      val root = freshRoot()
+      // seed past the spill threshold so every contended commit runs
+      // the carry logic (and losers orphan freshly written segments,
+      // which vacuum's age sweep owns)
+      (1 to 6).foreach { i =>
+        Versioned.commit(spark, root,
+          rows(i * 1000 until i * 1000 + 5, s"seed$i").coalesce(1))
+      }
+      val pool = java.util.concurrent.Executors.newFixedThreadPool(8)
+      try {
+        val futs = (1 to 8).map { w =>
+          pool.submit(new java.util.concurrent.Callable[Long] {
+            def call(): Long = Versioned.commit(spark, root,
+              rows(w * 100 until w * 100 + 10, s"w$w").coalesce(1))
+          })
+        }
+        val published = futs.map(_.get(120, java.util.concurrent.TimeUnit.SECONDS))
+        assert(published.toSet.size === 8,
+          "each retried writer must publish its own distinct version")
+      } finally pool.shutdown()
+      val got = Versioned.read(spark, root)
+      assert(got.count() === 110, "6×5 seed rows + 8×10 writer rows")
+      (1 to 8).foreach { w =>
+        assert(got.filter(col("tag") === s"w$w").count() === 10,
+          s"writer $w's batch must be fully present after OCC retries")
+      }
+      // serial history: versions are dense 1..14 and each append adds
+      // exactly its own rows
+      assert(Versioned.latestVersion(root).get === 14L)
+      assert(Versioned.readVersion(spark, root, 6).count() === 30)
+    }
+  }
+
   test("default thresholds: small tables stay fully inline (no segment " +
       "files), and behavior is unchanged") {
     val root = freshRoot()
