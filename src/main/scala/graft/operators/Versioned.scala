@@ -134,7 +134,13 @@ object Versioned {
       // segment count), never O(table files) — the Iceberg
       // manifest-list economics. After [[readManifest]], `files` is the
       // RESOLVED union; `segments` is kept for carry and vacuum.
-      segments: Seq[String] = Nil)
+      segments: Seq[String] = Nil,
+      // CHECK constraints (name → SQL predicate), a table property
+      // inherited commit-to-commit like partitionBy: every verb that
+      // writes NEW rows evaluates them IN the write job (rows that
+      // fail abort the commit — Delta's invariant enforcement), and
+      // [[addConstraint]] validates existing data before publishing
+      constraints: Map[String, String] = Map.empty)
 
   private case class MorDelete(pred: String, files: Seq[String])
 
@@ -371,13 +377,26 @@ object Versioned {
     * values must be non-null and of a stats-supported type (integral,
     * floating, string, date, timestamp) — enforced here so the
     * invariant holds for every later reader. */
-  private def writeBatch(spark: SparkSession, root: String, df: DataFrame,
+  private def writeBatch(spark: SparkSession, root: String, df0: DataFrame,
       statsCols: Seq[String],
       partitionBy: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
       bloomBits: Int = 1 << 15,
       bloomHashes: Int = 3): (Seq[FileEntry], String) = {
     import org.apache.spark.sql.functions.{col => c}
+    // CHECK constraints ride the write job itself (no second pass):
+    // each row is filtered through assert_true(coalesce(cond, true)) —
+    // SQL CHECK semantics, NULL passes — so one violating row aborts
+    // the write before anything publishes. Rewrite paths (delete
+    // survivors, compaction) re-check committed rows, which is
+    // consistent because addConstraint validated them at add time.
+    val df = latestVersion(root).map(readManifest(root, _).constraints)
+      .getOrElse(Map.empty).foldLeft(df0) { case (d, (name, cond)) =>
+        import org.apache.spark.sql.functions.{assert_true, coalesce, expr,
+          isnull, lit}
+        d.filter(isnull(assert_true(coalesce(expr(cond), lit(true)),
+          lit(s"CHECK constraint '$name' violated: $cond"))))
+      }
     val batch = java.util.UUID.randomUUID().toString
     val batchDir = new File(new File(root, "data"), batch)
     val parquetFiles: Seq[File] =
@@ -1534,6 +1553,102 @@ object Versioned {
     }
   }
 
+  /** Atomic predicate-scoped overwrite (Delta's `replaceWhere`): ONE
+    * commit that removes every row matching `cond` and inserts `df` in
+    * its place — the idempotent-backfill verb ("recompute region X and
+    * swap it in") that a delete-then-append pair cannot provide,
+    * because readers between the two commits would see the region
+    * missing and a crash between them loses it.
+    *
+    * Scale shape, exactly [[delete]]'s: `cond` interval-analyzes
+    * against manifest stats, provably-unaffected files carry by
+    * reference (zero bytes moved), only may-match files rewrite. The
+    * replacement frame must itself satisfy `cond` (enforced in the
+    * write job — Delta's contract: data landing outside the replaced
+    * region would silently widen the overwrite), and CHECK constraints
+    * apply as on any write. */
+  def replaceWhere(spark: SparkSession, root: String, cond: Column,
+      df: DataFrame, statsCols: Seq[String] = Nil,
+      expectedVersion: Option[Long] = None): Long =
+    withOccRetry(expectedVersion) {
+    import org.apache.spark.sql.functions.{assert_true, coalesce, isnull,
+      lit, not}
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root to replace"))
+    expectedVersion.foreach { ev =>
+      if (ev != latest) throw new VersionConflictException(
+        s"table at $root is at version $latest, expected $ev")
+    }
+    val m = readManifest(root, latest)
+    require(m.mor.isEmpty && m.dvs.isEmpty, s"table at $root has pending " +
+      "merge-on-read state; compact to materialize it before replaceWhere " +
+      "(its by-reference file carry would resurrect deleted rows)")
+    val schema = evolvedSchema(root, df, "append", mergeSchema = false)
+    // rows outside the replaced region are a contract violation, not a
+    // silent widen — checked in the same job that writes them
+    val fenced = alignTo(df, org.apache.spark.sql.types.DataType
+        .fromJson(schema).asInstanceOf[org.apache.spark.sql.types.StructType])
+      .filter(isnull(assert_true(coalesce(cond, lit(false)),
+        lit(s"replaceWhere: replacement row does not satisfy the predicate"))))
+    val condExpr = resolvedPredicate(spark, root, cond)
+    val (touched, untouched) =
+      m.files.partition(f => mayMatch(f.stats, condExpr))
+    val survivors =
+      if (touched.isEmpty) None
+      else Some(readAligned(spark,
+          touched.map(f => resolve(root, f.path).getPath), m.schemaJson)
+        .filter(not(coalesce(cond, lit(false)))))
+    val toWrite = survivors.map(_.unionByName(fenced, allowMissingColumns = true))
+      .getOrElse(fenced)
+    val (newEntries, outSchema) =
+      writeBatch(spark, root, toWrite, statsCols, m.partitionBy)
+    publishEntries(root, untouched ++ newEntries, latest, "replace",
+      schemaJson = outSchema)
+  }
+
+  /** CHECK constraints currently in force (name → SQL predicate). */
+  def constraintsOf(root: String): Map[String, String] =
+    latestVersion(root).map(readManifest(root, _).constraints)
+      .getOrElse(Map.empty)
+
+  /** Add a CHECK constraint (Delta's `ALTER TABLE … ADD CONSTRAINT`):
+    * one full validation scan proves EXISTING rows satisfy `cond`
+    * (SQL CHECK semantics — NULL passes), then a metadata-only commit
+    * publishes it; every later write evaluates it in the write job and
+    * aborts on the first violating row. The constraint is a table
+    * property: it survives appends, overwrites, restore, and rides
+    * into shallow clones. */
+  def addConstraint(spark: SparkSession, root: String, name: String,
+      cond: String): Long = withOccRetry(None) {
+    import org.apache.spark.sql.functions.{coalesce, expr, lit, not}
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    val m = readManifest(root, latest)
+    require(!m.constraints.contains(name),
+      s"constraint '$name' already exists on $root")
+    val bad = read(spark, root)
+      .filter(not(coalesce(expr(cond), lit(true)))).count()
+    require(bad == 0L, s"cannot add CHECK constraint '$name' ($cond): " +
+      s"$bad existing row(s) violate it")
+    publishEntries(root, m.files, latest, "constraint",
+      schemaJson = m.schemaJson.orNull, mor = m.mor, dvs = m.dvs,
+      carryFrom = Some(latest),
+      constraints = Some(m.constraints + (name -> cond)))
+  }
+
+  /** Drop a CHECK constraint — metadata-only, needs no SparkSession. */
+  def dropConstraint(root: String, name: String): Long = withOccRetry(None) {
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    val m = readManifest(root, latest)
+    require(m.constraints.contains(name),
+      s"no constraint '$name' on $root (have: ${m.constraints.keys.mkString(", ")})")
+    publishEntries(root, m.files, latest, "constraint",
+      schemaJson = m.schemaJson.orNull, mor = m.mor, dvs = m.dvs,
+      carryFrom = Some(latest),
+      constraints = Some(m.constraints - name))
+  }
+
   /** Merge-on-read DELETE: record the predicate in the manifest instead
     * of rewriting any data — the deletion-vector economics in predicate
     * form. The commit is O(manifest): no data file is read, written, or
@@ -1821,14 +1936,20 @@ object Versioned {
       partitionBy: Option[Seq[String]] = None,
       props: Map[String, String] = Map.empty,
       dvs: Seq[DvEntry] = Nil,
-      carryFrom: Option[Long] = None): Long = {
+      carryFrom: Option[Long] = None,
+      constraints: Option[Map[String, String]] = None): Long = {
     logDir(root).mkdirs()
     val next = parent + 1
-    // partitioning is a table property: inherited from the parent
-    // manifest unless the verb explicitly sets it (overwrite commits
-    // may re-layout; restore reinstates the restored version's)
+    // partitioning and CHECK constraints are table properties:
+    // inherited from the parent manifest unless the verb explicitly
+    // sets them (overwrite may re-layout; restore/clone reinstate the
+    // source version's)
+    val parentM =
+      if (parent >= 1L) Some(readManifest(root, parent)) else None
     val partCols = partitionBy.getOrElse(
-      if (parent >= 1L) readManifest(root, parent).partitionBy else Nil)
+      parentM.map(_.partitionBy).getOrElse(Nil))
+    val tableConstraints = constraints.getOrElse(
+      parentM.map(_.constraints).getOrElse(Map.empty))
     val byPath = files.iterator.map(f => f.path -> f).toMap
     val carried = carryFrom.orElse(Some(parent)).filter(_ >= 1L)
       .filter(v => manifestFile(root, v).isFile)
@@ -1848,7 +1969,8 @@ object Versioned {
       txnApp = txn.map(_._1), txnBatch = txn.map(_._2),
       schemaJson = Option(schemaJson), cdf = cdf, mor = mor,
       partitionBy = partCols, props = props, dvs = dvs,
-      ts = Some(System.currentTimeMillis()), segments = segments)
+      ts = Some(System.currentTimeMillis()), segments = segments,
+      constraints = tableConstraints)
     val tmp = File.createTempFile(s".v$next-", ".json", logDir(root))
     Files.writeString(tmp.toPath, renderJson(manifest))
     try {
@@ -2199,7 +2321,8 @@ object Versioned {
       partitionBy = Some(m.partitionBy), dvs = m.dvs,
       // the restored version's segments are the ones re-referenced —
       // the rollback stays one small manifest even on a huge table
-      carryFrom = Some(toVersion))
+      carryFrom = Some(toVersion),
+      constraints = Some(m.constraints))
   }
 
   /** Zero-copy SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE`):
@@ -2238,7 +2361,8 @@ object Versioned {
       partitionBy = Some(m.partitionBy),
       props = Map("cloneSource" -> srcRoot, "cloneVersion" -> v.toString),
       dvs = m.dvs.map(d =>
-        d.copy(file = abs(d.file), sidecars = d.sidecars.map(abs))))
+        d.copy(file = abs(d.file), sidecars = d.sidecars.map(abs))),
+      constraints = Some(m.constraints))
   }
 
   /** DESCRIBE HISTORY: one row per retained version, straight from the
@@ -2429,6 +2553,8 @@ object Versioned {
       (if (m.partitionBy.isEmpty) Nil
        else Seq("partitionBy" -> m.partitionBy.asJava)) ++
       (if (m.props.isEmpty) Nil else Seq("props" -> m.props.asJava)) ++
+      (if (m.constraints.isEmpty) Nil
+       else Seq("constraints" -> m.constraints.asJava)) ++
       m.ts.map("ts" -> java.lang.Long.valueOf(_)) ++
       (if (m.dvs.isEmpty) Nil else Seq("dvs" -> m.dvs.map { d =>
         val base = Map[String, Any]("file" -> d.file,
@@ -2466,6 +2592,10 @@ object Versioned {
         .asScala.map(_.asText()).toSeq).getOrElse(Nil),
       props = Option(node.get("props")).map(_.properties().asScala
         .map(e => e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(Map.empty),
+      constraints = Option(node.get("constraints"))
+        .map(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap)
         .getOrElse(Map.empty),
       dvs = Option(node.get("dvs")).map(_.elements().asScala.map { d =>
         DvEntry(d.get("file").asText(), d.get("positions").elements()

@@ -1139,6 +1139,45 @@ object ExtraQueries {
   private val cloneBranchDirs =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
+  // ---------------------------------------------------------------- x30
+  // Atomic predicate-scoped overwrite (Versioned.replaceWhere — Delta's
+  // replaceWhere): customers land range-clustered by nation, then the
+  // nation-3 region is swapped for a recomputed frame (+1000 acctbal)
+  // in ONE commit — stats carry every other nation's files by
+  // reference. DuckDB replays the swap as a CASE: a row that leaked
+  // out of the region, a resurrected pre-swap row, or a lost carry
+  // file all break the hash through the registered source.
+  val x30ReplaceWhere: Q = Q(
+    "x30_replace_where",
+    """SELECT c_custkey, c_nationkey,
+      |  CASE WHEN c_nationkey = 3
+      |       THEN CAST(c_acctbal AS DOUBLE) + 1000.0
+      |       ELSE CAST(c_acctbal AS DOUBLE) END AS acctbal
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    import graft.operators.Versioned
+    val dir = replaceWhereDirs.getOrElseUpdate(d, {
+      val root = java.nio.file.Files
+        .createTempDirectory("graft-rw-q").toString + "/t"
+      val c = t(s, d, "customer").select(col("c_custkey"),
+        col("c_nationkey"), col("c_acctbal").cast("double").as("acctbal"))
+      Versioned.commit(s, root,
+        c.repartitionByRange(4, col("c_nationkey")),
+        statsCols = Seq("c_nationkey"))
+      Versioned.replaceWhere(s, root, col("c_nationkey") === 3,
+        c.filter(col("c_nationkey") === 3)
+          .withColumn("acctbal", col("acctbal") + lit(1000.0)),
+        statsCols = Seq("c_nationkey"))
+      root
+    })
+    s.read.format(graft.sources.VersionedSource.Name)
+      .option("path", dir).load()
+      .select("c_custkey", "c_nationkey", "acctbal")
+      .orderBy("c_custkey")
+  }
+
+  private val replaceWhereDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   // ---------------------------------------------------------------- x29
   // OHLC resample (graft.operators.TimeSeries.resampleOhlc): weekly
   // open/high/low/close/volume bars per user over purchase values —
@@ -1190,5 +1229,6 @@ object ExtraQueries {
     x13HistQuantiles, x14AsofBroadcast, x15CmsFrequency, x16BloomMembership,
     x17VersionedCdf, x18VersionedRead, x19MorDelete, x20PartitionOverwrite,
     x21HeavyHitters, x22KmvDistinct, x23BloomLookup, x24JoinMv,
-    x25Bm25Serve, x26DvDelete, x27GapFill, x28CloneBranch, x29OhlcResample)
+    x25Bm25Serve, x26DvDelete, x27GapFill, x28CloneBranch, x29OhlcResample,
+    x30ReplaceWhere)
 }
