@@ -7,7 +7,7 @@ import scala.jdk.CollectionConverters._
 
 import org.apache.spark.sql.{Column, DataFrame, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
-import org.apache.spark.sql.catalyst.expressions.{And => CatAnd, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, LessThan, LessThanOrEqual, Literal, Or => CatOr}
+import org.apache.spark.sql.catalyst.expressions.{And => CatAnd, AttributeReference, EqualNullSafe, EqualTo, Expression, GreaterThan, GreaterThanOrEqual, In, IsNotNull, IsNull, LessThan, LessThanOrEqual, Literal, Or => CatOr}
 import org.apache.spark.sql.types.{DataType, Decimal, StructType}
 import org.apache.spark.unsafe.types.UTF8String
 
@@ -82,7 +82,12 @@ object Versioned {
       // when data is clustered, blooms prune them when overlapping key
       // ranges hide a sparse membership (the Delta/Hudi bloom-index
       // economics). Absent = no pruning for that column, always safe.
-      blooms: Map[String, BloomStat] = Map.empty)
+      blooms: Map[String, BloomStat] = Map.empty,
+      // per-stats-column null counts (Delta's nullCount): prunes
+      // IS NULL (no nulls here) and IS NOT NULL (all-null file)
+      // predicates, and is recorded even for all-null files, which
+      // have NO min/max. Absent = no null pruning, always safe.
+      nulls: Map[String, Long] = Map.empty)
 
   private case class BloomStat(bits: Int, hashes: Int, words: IndexedSeq[Long])
 
@@ -1536,7 +1541,7 @@ object Versioned {
       "delete (its by-reference file carry would resurrect deleted rows)")
     val condExpr = resolvedPredicate(spark, root, cond)
     val (touched, untouched) =
-      m.files.partition(f => mayMatch(f.stats, condExpr))
+      m.files.partition(f => mayMatch(f, condExpr))
     if (touched.isEmpty) latest
     else {
       val base = readAligned(spark,
@@ -1592,7 +1597,7 @@ object Versioned {
         lit(s"replaceWhere: replacement row does not satisfy the predicate"))))
     val condExpr = resolvedPredicate(spark, root, cond)
     val (touched, untouched) =
-      m.files.partition(f => mayMatch(f.stats, condExpr))
+      m.files.partition(f => mayMatch(f, condExpr))
     val survivors =
       if (touched.isEmpty) None
       else Some(readAligned(spark,
@@ -1693,7 +1698,7 @@ object Versioned {
     val predSql = condExpr.sql
     readVersion(spark, root, latest).limit(0).filter(expr(predSql))
       .queryExecution.analyzed // prove the round-trip parses, at delete time
-    val touched = m.files.filter(f => mayMatch(f.stats, condExpr)).map(_.path)
+    val touched = m.files.filter(f => mayMatch(f, condExpr)).map(_.path)
     if (touched.isEmpty) latest
     else publishEntries(root, m.files, latest, "mor-delete",
       schemaJson = m.schemaJson.orNull,
@@ -1748,7 +1753,7 @@ object Versioned {
     require(m.mor.isEmpty, s"table at $root has ${m.mor.size} pending " +
       "predicate merge-on-read delete(s); compact before positional deletes")
     val condExpr = resolvedPredicate(spark, root, cond)
-    val candidates = m.files.filter(f => mayMatch(f.stats, condExpr)).map(_.path)
+    val candidates = m.files.filter(f => mayMatch(f, condExpr)).map(_.path)
     if (candidates.isEmpty) return latest
     // one stats-pruned scan: the (file, position) key of every matching
     // row, minus positions already vectored (logically gone — only
@@ -1835,19 +1840,32 @@ object Versioned {
     * "true" here means "may be TRUE for some row" — NULL outcomes never
     * delete, and stats never cover nulls, so treating unknown as
     * may-match errs only toward extra rewrites. */
-  private def mayMatch(stats: Map[String, (String, String, String)],
-      e: Expression): Boolean = e match {
-    case CatAnd(a, b) => mayMatch(stats, a) && mayMatch(stats, b)
-    case CatOr(a, b) => mayMatch(stats, a) || mayMatch(stats, b)
-    case EqualTo(l, r) => cmpMayMatch(stats, l, r, "=")
-    case EqualNullSafe(l, r) => cmpMayMatch(stats, l, r, "=")
-    case LessThan(l, r) => cmpMayMatch(stats, l, r, "<")
-    case LessThanOrEqual(l, r) => cmpMayMatch(stats, l, r, "<=")
-    case GreaterThan(l, r) => cmpMayMatch(stats, l, r, ">")
-    case GreaterThanOrEqual(l, r) => cmpMayMatch(stats, l, r, ">=")
-    case In(a, list) if list.forall(_.foldable) =>
-      list.exists(v => cmpMayMatch(stats, a, v, "="))
-    case _ => true
+  private def mayMatch(f: FileEntry, e: Expression): Boolean = {
+    val stats = f.stats
+    e match {
+      case CatAnd(a, b) => mayMatch(f, a) && mayMatch(f, b)
+      case CatOr(a, b) => mayMatch(f, a) || mayMatch(f, b)
+      case EqualTo(l, r) => cmpMayMatch(stats, l, r, "=")
+      case EqualNullSafe(l, r) => cmpMayMatch(stats, l, r, "=")
+      case LessThan(l, r) => cmpMayMatch(stats, l, r, "<")
+      case LessThanOrEqual(l, r) => cmpMayMatch(stats, l, r, "<=")
+      case GreaterThan(l, r) => cmpMayMatch(stats, l, r, ">")
+      case GreaterThanOrEqual(l, r) => cmpMayMatch(stats, l, r, ">=")
+      case In(a, list) if list.forall(_.foldable) =>
+        list.exists(v => cmpMayMatch(stats, a, v, "="))
+      // null-count pruning (Delta's nullCount stats): IS NULL can't
+      // match a file with zero recorded nulls; IS NOT NULL can't match
+      // an all-null file. Unrecorded column → conservative.
+      case IsNull(a) => attrName(a) match {
+        case Some(n) => f.nulls.get(n).forall(_ > 0L)
+        case None => true
+      }
+      case IsNotNull(a) => attrName(a) match {
+        case Some(n) => f.nulls.get(n).forall(_ < f.rows)
+        case None => true
+      }
+      case _ => true
+    }
   }
 
   /** One comparison leaf, attribute-vs-literal either way round. */
@@ -2469,7 +2487,12 @@ object Versioned {
         k -> Map[String, Any]("bits" -> b.bits, "hashes" -> b.hashes,
           "words" -> b.words.map(java.lang.Long.valueOf).asJava).asJava
       }.asJava)
-    withBlooms.asJava
+    val withNulls =
+      if (f.nulls.isEmpty) withBlooms
+      else withBlooms + ("nulls" -> f.nulls.map { case (k, n) =>
+        k -> java.lang.Long.valueOf(n)
+      }.asJava)
+    withNulls.asJava
   }
 
   private def parseFileEntry(
@@ -2488,8 +2511,11 @@ object Versioned {
           b.get("words").elements().asScala.map(_.asLong()).toIndexedSeq)
       }.toMap
     }.getOrElse(Map.empty[String, BloomStat])
+    val nulls = Option(fn.get("nulls")).map { nn =>
+      nn.properties().asScala.map(e => e.getKey -> e.getValue.asLong()).toMap
+    }.getOrElse(Map.empty[String, Long])
     FileEntry(fn.get("path").asText(), fn.get("rows").asLong(),
-      fn.get("bytes").asLong(), stats, blooms)
+      fn.get("bytes").asLong(), stats, blooms, nulls)
   }
 
   // ------------------------------------------------ manifest segments
@@ -2659,9 +2685,20 @@ object Versioned {
           }
         }
       }.toMap
+      // null counts come from the same footer read; unlike min/max they
+      // exist even for all-null files (which have NO non-null values)
+      val nulls = statsCols.flatMap { col =>
+        val perBlock = blocks.flatMap { b =>
+          b.getColumns.asScala.find(_.getPath.toDotString == col)
+            .map(_.getStatistics)
+            .filter(s => s != null && s.isNumNullsSet && s.getNumNulls >= 0)
+        }
+        if (perBlock.size != blocks.size) None
+        else Some(col -> perBlock.map(_.getNumNulls).sum)
+      }.toMap
       val rel = Paths.get(root).toAbsolutePath.normalize()
         .relativize(f.toPath.toAbsolutePath.normalize()).toString
-      FileEntry(rel, rows, f.length(), stats)
+      FileEntry(rel, rows, f.length(), stats, nulls = nulls)
     } finally reader.close()
   }
 }

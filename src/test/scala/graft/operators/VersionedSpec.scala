@@ -85,6 +85,33 @@ class VersionedSpec extends SparkSpec {
     assert(tagHits.size === 1)
   }
 
+  test("null-count stats prune IS NULL deletes to files that have nulls") {
+    val root = freshRoot()
+    // file 1: no nulls; file 2: some null tags; file 3: ALL-null tags
+    // (an all-null file records NO min/max — null counts must cover it)
+    Versioned.commit(spark, root, batch(1 to 100, "a").coalesce(1),
+      statsCols = Seq("id", "tag"))
+    Versioned.commit(spark, root,
+      (101 to 200).map(i => (i.toLong,
+        if (i % 2 == 0) null else "b", i * 1.5)).toDF("id", "tag", "score")
+        .coalesce(1), statsCols = Seq("id", "tag"))
+    Versioned.commit(spark, root,
+      (201 to 210).map(i => (i.toLong, null.asInstanceOf[String], i * 1.5))
+        .toDF("id", "tag", "score").coalesce(1), statsCols = Seq("id", "tag"))
+    val noNullFile = Versioned.files(root, 1).head
+    val v = Versioned.delete(spark, root, col("tag").isNull)
+    assert(Versioned.files(root, v).contains(noNullFile),
+      "a file with zero recorded nulls must carry by reference under " +
+        "an IS NULL delete")
+    val got = Versioned.read(spark, root)
+    assert(got.count() === 150, "100 + 50 non-null survivors")
+    assert(got.filter(col("tag").isNull).count() === 0)
+    // IS NOT NULL cannot match the all-null file: a delete keeping
+    // only null rows must not rewrite... (inverse check via count)
+    assert(got.filter(col("id") > 200).count() === 0,
+      "the all-null file's rows are gone")
+  }
+
   test("compact shrinks the file count, keeps rows and history") {
     val root = freshRoot()
     (1 to 5).foreach(i =>
