@@ -400,8 +400,96 @@ object AnalyticsQueries {
         col("l_linestatus").asc_nulls_first)
   }
 
+  // ---------------------------------------------------------------- q42
+  // Retention cohorts: users grouped by first-seen week, tracked by
+  // weeks-since-cohort — the canonical product-analytics mart. Scale
+  // shape: one distinct (user, week) pass, then keyed joins on
+  // user_id and cohort; the retention denominator arrives as a
+  // cohort-keyed aggregate, never a global collect.
+  val q42RetentionCohorts: Q = Q(
+    "q42_retention_cohorts",
+    """WITH act AS (
+      |  SELECT DISTINCT user_id,
+      |    CAST(DATE_TRUNC('week', ts) AS DATE) AS wk
+      |  FROM events),
+      |firstw AS (
+      |  SELECT user_id, MIN(wk) AS cohort FROM act GROUP BY 1),
+      |sizes AS (
+      |  SELECT cohort, COUNT(*) AS cohort_users FROM firstw GROUP BY 1)
+      |SELECT f.cohort, CAST((a.wk - f.cohort) // 7 AS BIGINT) AS week_n,
+      |  COUNT(*) AS active_users,
+      |  ROUND(COUNT(*) * 1.0 / MIN(z.cohort_users), 4) AS retention
+      |FROM act a JOIN firstw f USING (user_id) JOIN sizes z USING (cohort)
+      |GROUP BY 1, 2 ORDER BY 1, 2""".stripMargin) { (s, d) =>
+    val act = ev(s, d).select(col("user_id"),
+      expr("cast(date_trunc('week', ts) as date)").as("wk")).distinct()
+    val firstw = act.groupBy("user_id").agg(min("wk").as("cohort"))
+    val sizes = firstw.groupBy("cohort").agg(count(lit(1)).as("cohort_users"))
+    act.join(firstw, "user_id").join(sizes, "cohort")
+      .groupBy(col("cohort"),
+        expr("datediff(wk, cohort) div 7").cast("long").as("week_n"))
+      .agg(count(lit(1)).as("active_users"),
+        round(count(lit(1)) * lit(1.0) / min("cohort_users"), 4)
+          .as("retention"))
+      .orderBy("cohort", "week_n")
+  }
+
+  // ---------------------------------------------------------------- q43
+  // Ordered conversion funnel: view → click-after-view →
+  // purchase-after-click, each step gated on happening strictly AFTER
+  // the user's entry into the previous one (a same-user click before
+  // their first view does not convert). Step frames are keyed
+  // user-grain aggregates chained by keyed joins; the three step
+  // counts land as one broadcastable row.
+  val q43Funnel: Q = Q(
+    "q43_funnel",
+    """WITH v AS (
+      |  SELECT user_id, MIN(ts) AS t FROM events
+      |  WHERE event_type = 'view' GROUP BY 1),
+      |c AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN v USING (user_id)
+      |  WHERE e.event_type = 'click' AND e.ts > v.t GROUP BY 1),
+      |p AS (
+      |  SELECT e.user_id, MIN(e.ts) AS t FROM events e JOIN c USING (user_id)
+      |  WHERE e.event_type = 'purchase' AND e.ts > c.t GROUP BY 1),
+      |n AS (SELECT (SELECT COUNT(*) FROM v) AS nv,
+      |             (SELECT COUNT(*) FROM c) AS nc,
+      |             (SELECT COUNT(*) FROM p) AS np)
+      |SELECT * FROM (
+      |  SELECT CAST(1 AS BIGINT) AS step_n, 'view' AS step, nv AS users,
+      |         CAST(1.0 AS DOUBLE) AS conversion FROM n
+      |  UNION ALL SELECT CAST(2 AS BIGINT), 'click', nc,
+      |         ROUND(nc * 1.0 / NULLIF(nv, 0), 4) FROM n
+      |  UNION ALL SELECT CAST(3 AS BIGINT), 'purchase', np,
+      |         ROUND(np * 1.0 / NULLIF(nc, 0), 4) FROM n)
+      |ORDER BY step_n""".stripMargin) { (s, d) =>
+    val e = ev(s, d)
+    val v = e.filter(col("event_type") === "view")
+      .groupBy("user_id").agg(min("ts").as("vt"))
+    val c = e.filter(col("event_type") === "click")
+      .join(v, "user_id").filter(col("ts") > col("vt"))
+      .groupBy("user_id").agg(min("ts").as("ct"))
+    val p = e.filter(col("event_type") === "purchase")
+      .join(c, "user_id").filter(col("ts") > col("ct"))
+      .groupBy("user_id").agg(min("ts").as("pt"))
+    val n = v.agg(count(lit(1)).as("nv"))
+      .crossJoin(c.agg(count(lit(1)).as("nc")))
+      .crossJoin(p.agg(count(lit(1)).as("np")))
+    n.select(lit(1L).as("step_n"), lit("view").as("step"),
+        col("nv").as("users"), lit(1.0).as("conversion"))
+      .unionByName(n.select(lit(2L).as("step_n"), lit("click").as("step"),
+        col("nc").as("users"),
+        round(col("nc") * lit(1.0) / nullif(col("nv"), lit(0)), 4)
+          .as("conversion")))
+      .unionByName(n.select(lit(3L).as("step_n"), lit("purchase").as("step"),
+        col("np").as("users"),
+        round(col("np") * lit(1.0) / nullif(col("nc"), lit(0)), 4)
+          .as("conversion")))
+      .orderBy("step_n")
+  }
+
   val all: Seq[Q] = Seq(q23Rollup, q24Pivot, q25Quantiles, q26Rolling7d,
     q29UserRolling, q30ArrayAgg, q31SetOps, q32FirstLast, q33Unpivot,
     q34Cube, q35MultiDistinct, q36RankSuite, q37FullOuter, q38RangeFrame,
-    q40GroupingSets)
+    q40GroupingSets, q42RetentionCohorts, q43Funnel)
 }
