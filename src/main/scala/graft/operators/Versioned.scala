@@ -807,11 +807,19 @@ object Versioned {
     * point (range containment + bloom probe), so an IN-list point
     * lookup prunes exactly like a union of equality lookups. */
   case class ColumnBound(col: String, lo: Option[Any], hi: Option[Any],
-      values: Option[Seq[Any]] = None)
+      values: Option[Seq[Any]] = None,
+      // Some(true) = IS NULL (file must have nulls recorded > 0),
+      // Some(false) = IS NOT NULL (file must not be all-null) —
+      // the null-count-stats pushdown shape
+      nullness: Option[Boolean] = None)
 
   /** Set-membership bound constructor (the `In` pushdown shape). */
   def inBound(col: String, vs: Seq[Any]): ColumnBound =
     ColumnBound(col, None, None, values = Some(vs))
+
+  /** Nullness bound constructor (the IS [NOT] NULL pushdown shape). */
+  def nullBound(col: String, isNull: Boolean): ColumnBound =
+    ColumnBound(col, None, None, nullness = Some(isNull))
 
   /** Multi-column stats pruning: a file survives only if, for EVERY
     * bound, its recorded [min, max] can intersect the bound's interval.
@@ -844,9 +852,14 @@ object Versioned {
     * small IN-sets keep the direct path; large IN-sets get the sorted
     * array + position-cache treatment ([[compileInProbe]]). */
   private def compileBound(b: ColumnBound): FileEntry => Boolean =
-    b.values match {
-      case Some(vs) if vs.size > 8 => compileInProbe(b.col, vs)
-      case _ => f => boundKeeps(f, b)
+    b.nullness match {
+      // null-count pruning: unrecorded column → conservative keep
+      case Some(true) => f => f.nulls.get(b.col).forall(_ > 0L)
+      case Some(false) => f => f.nulls.get(b.col).forall(_ < f.rows)
+      case None => b.values match {
+        case Some(vs) if vs.size > 8 => compileInProbe(b.col, vs)
+        case _ => f => boundKeeps(f, b)
+      }
     }
 
   /** Large-IN file probe: values sort ONCE into typed arrays, so the

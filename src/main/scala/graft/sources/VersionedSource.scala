@@ -175,6 +175,14 @@ object VersionedSource {
       case In(a, vs) if vs.nonEmpty && vs.length <= (1 << 20) &&
           vs.forall(ok) =>
         Versioned.inBound(a, vs.toIndexedSeq)
+      // null-count stats: IS NULL skips files with zero recorded
+      // nulls; IS NOT NULL skips all-null files (Spark pushes an
+      // IsNotNull alongside almost every comparison, so this engages
+      // on ordinary filters for free)
+      case org.apache.spark.sql.sources.IsNull(a) =>
+        Versioned.nullBound(a, isNull = true)
+      case org.apache.spark.sql.sources.IsNotNull(a) =>
+        Versioned.nullBound(a, isNull = false)
     }
   }
 

@@ -57,7 +57,8 @@ class VersionedSourceSpec extends SparkSpec {
       StringStartsWith("tag", "row")))          // no bound either
     assert(b === Seq(
       Versioned.ColumnBound("id", Some(10L), None),
-      Versioned.ColumnBound("id", None, Some(12L))))
+      Versioned.ColumnBound("id", None, Some(12L)),
+      Versioned.nullBound("id", isNull = false)))
     // the candidate set those bounds select: only the middle file
     val v = Versioned.latestVersion(root).get
     val all = Versioned.candidateFilesForBounds(root, v, Nil)
@@ -76,6 +77,28 @@ class VersionedSourceSpec extends SparkSpec {
     // a filter excluding every file yields empty, not an error
     assert(spark.read.format(VersionedSource.Name).option("path", root)
       .load().filter(col("id") > 1000L).count() === 0L)
+  }
+
+  test("IS NULL pushes down to null-count stats and prunes null-free files") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-vsrc-null").toString + "/t"
+    Versioned.commit(spark, root,
+      (1 to 50).map(i => (i.toLong, s"t$i")).toDF("id", "tag").coalesce(1),
+      statsCols = Seq("id", "tag"))
+    Versioned.commit(spark, root,
+      (51 to 60).map(i => (i.toLong,
+        if (i % 2 == 0) null else s"t$i")).toDF("id", "tag").coalesce(1),
+      statsCols = Seq("id", "tag"))
+    val v = Versioned.latestVersion(root).get
+    val pruned = Versioned.candidateFilesForBounds(root, v,
+      Seq(Versioned.nullBound("tag", isNull = true)))
+    assert(pruned.size === 1,
+      s"IS NULL must prune the null-free file, got $pruned")
+    // end-to-end: exact rows through the reader
+    val got = spark.read.format(VersionedSource.Name).option("path", root)
+      .load().filter(col("tag").isNull)
+    assert(got.as[(Long, String)].collect().map(_._1).sorted.toSeq ===
+      (51 to 60).filter(_ % 2 == 0).map(_.toLong))
   }
 
   test("projection narrows the scan schema") {
