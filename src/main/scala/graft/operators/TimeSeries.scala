@@ -67,6 +67,42 @@ object TimeSeries {
         .as("interp"))
   }
 
+  /** Exponentially weighted moving average with a one-day half-life —
+    * the adjusted (normalized) EWMA every feature pipeline smooths
+    * with: `s_t = Σ_{i≤t} v_i·2^(d_i−d_t) / Σ_{i≤t} 2^(d_i−d_t)`.
+    *
+    * Exact cross-engine parity by construction: anchoring each key at
+    * its own first day turns every weight into an INTEGER power of two
+    * (`1L << Δdays`), the numerator/denominator prefix sums run in
+    * DECIMAL (exact, ORDER-FREE — a float prefix sum would round
+    * differently under DuckDB's segment-tree window evaluation), the
+    * shared `2^(−d_t)` factor cancels in the ratio, and only the final
+    * division rounds — once, identically, on both engines.
+    *
+    * Scale shape: one per-key anchor window + two cumulative windows,
+    * all partitioned by key — never unpartitioned. The shift bound
+    * (span ≤ 62 days per key) is enforced loudly; longer spans belong
+    * to a block-re-anchored variant (the weights below 2^-62 are zero
+    * in double anyway — the window is effectively 62 half-lives). */
+  def ewmaDaily(df: DataFrame, keyCol: String, dayCol: String,
+      valueCol: String): DataFrame = {
+    val perKey = Window.partitionBy(keyCol)
+    val prefix = Window.partitionBy(keyCol).orderBy(dayCol)
+      .rowsBetween(Window.unboundedPreceding, Window.currentRow)
+    val di = datediff(col(dayCol), min(col(dayCol)).over(perKey))
+    val wt = expr("shiftleft(cast(1 as bigint), cast(case when __di > 62 " +
+      "then raise_error('ewmaDaily: key span exceeds 62 days — " +
+      "re-anchor in blocks') else __di end as int))")
+    df.withColumn("__di", di)
+      .withColumn("__wt", wt)
+      .withColumn("__num",
+        sum(col(valueCol).cast("decimal(18,2)") * col("__wt")).over(prefix))
+      .withColumn("__den", sum(col("__wt")).over(prefix))
+      .select(col(keyCol), col(dayCol), col(valueCol),
+        (col("__num").cast("double") / col("__den").cast("double"))
+          .as("ewma"))
+  }
+
   /** Downsample an irregular event series into fixed calendar bars —
     * the OHLC/volume resample (`resample().ohlc()` in dataframe
     * libraries, candlestick bars in market data): per key per

@@ -1178,6 +1178,50 @@ object ExtraQueries {
   private val replaceWhereDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // ---------------------------------------------------------------- x31
+  // Exponentially weighted moving average (TimeSeries.ewmaDaily):
+  // per-user daily purchase revenue smoothed with a one-day half-life.
+  // Exact parity without a rounding crutch: per-key day anchoring
+  // makes every weight an integer power of two (1L << Δdays), the
+  // prefix sums run in DECIMAL (exact and ORDER-FREE — DuckDB's
+  // segment-tree window evaluation may add in a different order than
+  // Spark's running accumulator, which would break a float sum), and
+  // only the final double division rounds, once, identically.
+  val x31Ewma: Q = Q(
+    "x31_ewma",
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |a AS (
+      |  SELECT user_id, day, v,
+      |    (day - MIN(day) OVER (PARTITION BY user_id)) AS di
+      |  FROM daily),
+      |w AS (
+      |  SELECT user_id, day, v,
+      |    v * (CAST(1 AS BIGINT) << di) AS wv,
+      |    (CAST(1 AS BIGINT) << di) AS wt
+      |  FROM a),
+      |e AS (
+      |  SELECT user_id, day, v,
+      |    SUM(wv) OVER (PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS num,
+      |    SUM(wt) OVER (PARTITION BY user_id ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS den
+      |  FROM w)
+      |SELECT user_id, day, CAST(v AS DOUBLE) AS v,
+      |  CAST(num AS DOUBLE) / CAST(den AS DOUBLE) AS ewma
+      |FROM e ORDER BY user_id, day""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val daily = t(s, d, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(sum(dec2(col("value"))).cast(DecimalType(18, 2)).as("v"))
+    graft.operators.TimeSeries.ewmaDaily(daily, "user_id", "day", "v")
+      .withColumn("v", col("v").cast("double"))
+      .orderBy("user_id", "day")
+  }
+
   // ---------------------------------------------------------------- x29
   // OHLC resample (graft.operators.TimeSeries.resampleOhlc): weekly
   // open/high/low/close/volume bars per user over purchase values —
@@ -1230,5 +1274,5 @@ object ExtraQueries {
     x17VersionedCdf, x18VersionedRead, x19MorDelete, x20PartitionOverwrite,
     x21HeavyHitters, x22KmvDistinct, x23BloomLookup, x24JoinMv,
     x25Bm25Serve, x26DvDelete, x27GapFill, x28CloneBranch, x29OhlcResample,
-    x30ReplaceWhere)
+    x30ReplaceWhere, x31Ewma)
 }

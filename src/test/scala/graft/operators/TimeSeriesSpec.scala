@@ -81,6 +81,27 @@ class TimeSeriesSpec extends SparkSpec {
       ("u2", d("2024-01-01"), 3.0, 3.0, 3.0, 3.0, 3.0, 1L)))
   }
 
+  test("ewmaDaily: hand-computed exact fractions; span guard trips") {
+    val obs = Seq(
+      ("a", d("2024-01-01"), 10.0),
+      ("a", d("2024-01-02"), 20.0),
+      ("a", d("2024-01-04"), 0.0), // gap day: weight doubles twice
+      ("b", d("2024-03-01"), 7.0)  // independent anchor
+    ).toDF("k", "day", "v")
+    val got = TimeSeries.ewmaDaily(obs, "k", "day", "v")
+      .orderBy("k", "day").select("ewma").as[Double].collect().toSeq
+    // a@d1: 10; a@d2: (10·1+20·2)/(1+2); a@d4: (10·1+20·2+0·8)/(1+2+8)
+    assert(got === Seq(10.0, 50.0 / 3.0, 50.0 / 11.0, 7.0))
+    val wide = Seq(("a", d("2024-01-01"), 1.0),
+      ("a", d("2024-03-15"), 1.0)).toDF("k", "day", "v") // 74-day span
+    val e = intercept[Throwable] {
+      TimeSeries.ewmaDaily(wide, "k", "day", "v").collect()
+    }
+    def msgs(t: Throwable): Seq[String] =
+      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
+    assert(msgs(e).exists(_.contains("62 days")), msgs(e).mkString("; "))
+  }
+
   test("resampleOhlc is invariant under repartitioning (total order, " +
       "not partition order)") {
     def ts(s: String) = java.sql.Timestamp.valueOf(s)
