@@ -1,7 +1,7 @@
 package graft.sources
 
 import org.apache.spark.rdd.RDD
-import org.apache.spark.sql.{Column, DataFrame, GraftShims, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.{Column, DataFrame, GraftShims, Row, SQLContext, SaveMode, SparkSession}
 import org.apache.spark.sql.execution.streaming.{Offset => OffsetV1, Sink, Source}
 import org.apache.spark.sql.functions.{col, lit}
 import org.apache.spark.sql.sources._
@@ -47,10 +47,48 @@ import graft.operators.Versioned
   * read, arbitrary schemas) instead of a hand-rolled row reader.
   */
 class VersionedSource extends RelationProvider
+    with CreatableRelationProvider
     with StreamSourceProvider with StreamSinkProvider
     with DataSourceRegister {
 
   override def shortName(): String = VersionedSource.Name
+
+  /** `df.write.format("graft-versioned")` — the batch write path a
+    * Delta switcher expects. SaveMode maps onto the commit verbs:
+    * Append appends a version, Overwrite replaces the snapshot,
+    * ErrorIfExists (the `save()` default) refuses a non-empty table,
+    * Ignore is a no-op on one. Options: `statsCols`/`bloomCols`
+    * (comma-separated — data-skipping stats for later reads),
+    * `partitionBy` (hive-layout table partitioning; the V1 writer
+    * path rejects `.partitionBy(...)` for relation providers, so it
+    * rides an option), `mergeSchema`. Every write is one atomic CAS
+    * manifest commit with OCC retry — concurrent writers serialize,
+    * none is lost. */
+  override def createRelation(sqlContext: SQLContext, mode: SaveMode,
+      parameters: Map[String, String], data: DataFrame): BaseRelation = {
+    val opts = VersionedSource.normalize(parameters)
+    val root = VersionedSource.path(opts)
+    val exists = Versioned.latestVersion(root).isDefined
+    def csv(k: String): Seq[String] =
+      opts.get(k).map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty))
+        .getOrElse(Nil)
+    mode match {
+      case SaveMode.ErrorIfExists if exists =>
+        throw new IllegalArgumentException(
+          s"versioned table at $root already exists (SaveMode.ErrorIfExists" +
+            " is save()'s default — use .mode(\"append\") or" +
+            " .mode(\"overwrite\"))")
+      case SaveMode.Ignore if exists => // no-op, like INSERT IF NOT EXISTS
+      case m =>
+        Versioned.commit(sqlContext.sparkSession, root, data,
+          mode = if (m == SaveMode.Overwrite) "overwrite" else "append",
+          statsCols = csv("statscols"),
+          partitionBy = csv("partitionby"),
+          bloomCols = csv("bloomcols"),
+          mergeSchema = opts.get("mergeschema").exists(_.toBoolean))
+    }
+    createRelation(sqlContext, parameters)
+  }
 
   // ------------------------------------------------------------ batch
   override def createRelation(sqlContext: SQLContext,

@@ -79,6 +79,54 @@ class VersionedSourceSpec extends SparkSpec {
       .load().filter(col("id") > 1000L).count() === 0L)
   }
 
+  test("df.write.format(...) batch writes: append, overwrite, " +
+      "ErrorIfExists default, Ignore, and option-carried stats") {
+    import java.nio.file.Files
+    val root = Files.createTempDirectory("graft-vsrc-w").toString + "/t"
+    def w(df: org.apache.spark.sql.DataFrame) =
+      df.write.format(VersionedSource.Name).option("path", root)
+        .option("statsCols", "id")
+    w((1 to 50).map(i => (i.toLong, s"t$i")).toDF("id", "tag").coalesce(1))
+      .mode("append").save()
+    w((51 to 60).map(i => (i.toLong, s"t$i")).toDF("id", "tag").coalesce(1))
+      .mode("append").save()
+    val back = spark.read.format(VersionedSource.Name)
+      .option("path", root).load()
+    assert(back.count() === 60)
+    // save()'s DEFAULT mode refuses an existing table loudly
+    val e = intercept[Throwable] {
+      ((1 to 5).map(i => (i.toLong, "x")).toDF("id", "tag").write
+        .format(VersionedSource.Name).option("path", root).save())
+    }
+    assert(e.getMessage.contains("already exists"))
+    // Ignore is a no-op on an existing table
+    ((1 to 5).map(i => (i.toLong, "x")).toDF("id", "tag").write
+      .format(VersionedSource.Name).option("path", root)
+      .mode("ignore").save())
+    assert(spark.read.format(VersionedSource.Name).option("path", root)
+      .load().count() === 60)
+    // stats carried through the option prune reads
+    val v = Versioned.latestVersion(root).get
+    assert(Versioned.candidateFiles(root, v, "id", 55L, 58L).size === 1)
+    // overwrite replaces the snapshot; history stays travelable
+    ((100 to 109).map(i => (i.toLong, "ow")).toDF("id", "tag").write
+      .format(VersionedSource.Name).option("path", root)
+      .mode("overwrite").save())
+    assert(spark.read.format(VersionedSource.Name).option("path", root)
+      .load().count() === 10)
+    assert(spark.read.format(VersionedSource.Name).option("path", root)
+      .option("versionAsOf", v.toString).load().count() === 60)
+    // option-carried hive partitioning
+    val proot = Files.createTempDirectory("graft-vsrc-wp").toString + "/t"
+    ((1 to 20).map(i => (i.toLong, s"p${i % 2}")).toDF("id", "part").write
+      .format(VersionedSource.Name).option("path", proot)
+      .option("partitionBy", "part").mode("append").save())
+    val pv = Versioned.latestVersion(proot).get
+    assert(Versioned.candidateFiles(proot, pv, "part", "p1", "p1")
+      .size < Versioned.files(proot, pv).size,
+      "partition tuples must prune like stats")
+  }
+
   test("IS NULL pushes down to null-count stats and prunes null-free files") {
     import java.nio.file.Files
     val root = Files.createTempDirectory("graft-vsrc-null").toString + "/t"
