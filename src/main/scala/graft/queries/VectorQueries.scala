@@ -847,8 +847,45 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
+  // ---------------------------------------------------------------- c03
+  // Embedding-space contamination: the semantic complement to the
+  // n-gram checks c01/c02 — paraphrased or lightly-edited benchmark
+  // leaks share no 5-gram but sit at high cosine. Benchmark = vec_id
+  // < 25 (the held-out set), corpus = the rest; per benchmark vector,
+  // the single nearest corpus vector and a ≥0.9 contamination flag.
+  // The query side is bounded (25 vectors broadcast against the
+  // corpus, map-side k=1 heaps — v01's machinery); at 100 TB the same
+  // report runs through ivfTopKFiltered with the benchmark set as the
+  // query batch.
+  val c03EmbeddingContamination: Q = Q(
+    "c03_embedding_contamination",
+    s"""WITH $VEC_CTE,
+       |scored AS (
+       |  SELECT a.vec_id AS bench_id, b.vec_id AS corpus_id,
+       |    ROUND($COS, 6) AS cs
+       |  FROM n a JOIN n b ON b.vec_id >= 25
+       |  WHERE a.vec_id < 25),
+       |top1 AS (
+       |  SELECT bench_id, corpus_id, cs,
+       |    ROW_NUMBER() OVER (PARTITION BY bench_id
+       |      ORDER BY cs DESC, corpus_id) AS rnk
+       |  FROM scored)
+       |SELECT bench_id, corpus_id AS nearest_id, cs AS max_cos,
+       |  cs >= 0.9 AS contaminated
+       |FROM top1 WHERE rnk = 1 ORDER BY bench_id""".stripMargin) { (s, d) =>
+    val emb = t(s, d, "embeddings")
+    Similarity.bruteForceTopK(
+        emb.filter(col("vec_id") >= 25),
+        emb.filter(col("vec_id") < 25), 1)
+      .select(col("query_id").as("bench_id"),
+        col("neighbor_id").as("nearest_id"),
+        col("cos_sim").as("max_cos"),
+        (col("cos_sim") >= 0.9).as("contaminated"))
+      .orderBy("bench_id")
+  }
+
   val all: Seq[Q] = Seq(v01BruteForceTopK, v02NearDupPairs, v03LshTopK,
     v04IvfTopK, v05QuantizedTopK, v06AnnRecall, v07EmbeddingOutliers,
     v08PqTopK, v09IvfPqTopK, v10IvfPqResidualTopK, v11SemDedup,
-    v12FilteredTopK, v13HybridRrf)
+    v12FilteredTopK, v13HybridRrf, c03EmbeddingContamination)
 }
