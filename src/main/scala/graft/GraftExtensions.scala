@@ -42,6 +42,7 @@ class GraftExtensions extends (SparkSessionExtensions => Unit) {
     ext.injectPostHocResolutionRule(_ => graft.plans.RewriteAsOfWindow)
     ext.injectOptimizerRule(_ => graft.plans.RewriteAsOfWindow)
     GraftExtensions.functions.foreach(ext.injectFunction)
+    GraftExtensions.tableFunctions.foreach(ext.injectTableFunction)
   }
 }
 
@@ -155,4 +156,88 @@ object GraftExtensions {
     functions.foreach { case (id, inf, builder) =>
       org.apache.spark.sql.GraftShims.registerFunction(spark, id, inf, builder)
     }
+
+  // --------------------------------------------- table-valued functions
+
+  /** Constant string argument (table paths bind at plan time). */
+  private def stringArg(e: Expression): String =
+    (if (e.foldable) e.eval(null) else null) match {
+      case s: org.apache.spark.unsafe.types.UTF8String => s.toString
+      case s: String => s
+      case _ => throw new IllegalArgumentException(
+        s"expected a literal string argument, got $e")
+    }
+
+  private def longArg(e: Expression): Long =
+    (if (e.foldable) e.eval(null) else null) match {
+      case i: java.lang.Integer => i.toLong
+      case l: java.lang.Long => l
+      case _ => throw new IllegalArgumentException(
+        s"expected a literal integer argument, got $e")
+    }
+
+  /** SQL surface for the versioned lake layer (Delta's
+    * `DESCRIBE HISTORY` / `table_changes` shapes as TVFs):
+    *
+    * {{{
+    *   SELECT * FROM graft_table('/path/t')           -- snapshot
+    *   SELECT * FROM graft_table('/path/t', 3)        -- VERSION AS OF
+    *   SELECT * FROM graft_history('/path/t')         -- commit log
+    *   SELECT * FROM graft_files('/path/t')           -- live files
+    *   SELECT * FROM graft_changes('/path/t', 2)      -- feed (2, head]
+    *   SELECT * FROM graft_changes('/path/t', 2, 5)   -- feed (2, 5]
+    * }}}
+    *
+    * Arguments are plan-time literals; each TVF resolves to the same
+    * logical plan the library API builds (parquet scans for data,
+    * local metadata relations for history/files), so pushdown and
+    * pruning apply unchanged. */
+  val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
+      Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = {
+    import graft.operators.Versioned
+    def session = org.apache.spark.sql.SparkSession.active
+    def plan(df: org.apache.spark.sql.DataFrame) =
+      df.queryExecution.logical
+    Seq(
+      (FunctionIdentifier("graft_table"),
+        info("graft_table",
+          "graft_table(path[, version]) - versioned-table snapshot, " +
+            "optionally VERSION AS OF"),
+        (args: Seq[Expression]) => plan(args match {
+          case Seq(p) => Versioned.read(session, stringArg(p))
+          case Seq(p, v) =>
+            Versioned.readVersion(session, stringArg(p), longArg(v))
+          case other => throw new IllegalArgumentException(
+            s"graft_table takes (path[, version]), got ${other.size} args")
+        })),
+      (FunctionIdentifier("graft_history"),
+        info("graft_history",
+          "graft_history(path) - one row per retained version"),
+        (args: Seq[Expression]) =>
+          plan(Versioned.history(session, stringArg(args.head)))),
+      (FunctionIdentifier("graft_files"),
+        info("graft_files",
+          "graft_files(path) - the current snapshot's live files"),
+        (args: Seq[Expression]) => {
+          val root = stringArg(args.head)
+          val spark = session
+          import spark.implicits._
+          val v = Versioned.latestVersion(root).getOrElse(
+            throw new IllegalArgumentException(s"no versions at $root"))
+          plan(Versioned.files(root, v).toDF("path"))
+        }),
+      (FunctionIdentifier("graft_changes"),
+        info("graft_changes",
+          "graft_changes(path, afterVersion[, untilVersion]) - " +
+            "append-only change feed rows"),
+        (args: Seq[Expression]) => plan(args match {
+          case Seq(p, a) =>
+            Versioned.changesSince(session, stringArg(p), longArg(a))
+          case Seq(p, a, u) => Versioned.changesSince(session, stringArg(p),
+            longArg(a), untilVersion = Some(longArg(u)))
+          case other => throw new IllegalArgumentException(
+            "graft_changes takes (path, afterVersion[, untilVersion]), " +
+              s"got ${other.size} args")
+        })))
+  }
 }

@@ -125,4 +125,39 @@ class GraftExtensionsSpec extends AnyFunSuite {
       .as[(Long, Long, Double)].collect().toSet
     assert(rows === Set((1L, 3L, 0.8), (2L, 9L, 0.1)))
   }
+
+  test("lake TVFs: graft_table/history/files/changes from pure SQL") {
+    import spark.implicits._
+    import graft.operators.Versioned
+    val root = java.nio.file.Files
+      .createTempDirectory("graft-tvf").toString + "/t"
+    Versioned.commit(spark, root,
+      (1 to 30).map(i => (i.toLong, s"a$i")).toDF("id", "tag").coalesce(1),
+      statsCols = Seq("id"))
+    Versioned.commit(spark, root,
+      (31 to 40).map(i => (i.toLong, s"b$i")).toDF("id", "tag").coalesce(1),
+      statsCols = Seq("id"))
+    // snapshot + VERSION AS OF
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft_table('$root')")
+      .as[Long].head() === 40L)
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft_table('$root', 1)")
+      .as[Long].head() === 30L)
+    // predicates compose — the TVF is a real relation, not a dump
+    assert(spark.sql(
+      s"SELECT SUM(id) FROM graft_table('$root') WHERE id > 35")
+      .as[Long].head() === (36 to 40).sum.toLong)
+    // history and files are queryable metadata
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft_history('$root')")
+      .as[Long].head() === 2L)
+    assert(spark.sql(
+      s"SELECT version FROM graft_history('$root') ORDER BY version DESC " +
+        "LIMIT 1").as[Long].head() === 2L)
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft_files('$root')")
+      .as[Long].head() === 2L)
+    // the append-only change feed window
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft_changes('$root', 1)")
+      .as[Long].head() === 10L)
+    assert(spark.sql(s"SELECT COUNT(*) FROM graft_changes('$root', 0, 1)")
+      .as[Long].head() === 30L)
+  }
 }
