@@ -1139,6 +1139,41 @@ object ExtraQueries {
   private val cloneBranchDirs =
     scala.collection.concurrent.TrieMap.empty[String, (String, String)]
 
+  // ---------------------------------------------------------------- x32
+  // The SQL TVF surface, hash-gated: odd customers land as v1, even as
+  // v2, and the QUERY IS PURE SQL — two graft_table() relations (head
+  // and VERSION AS OF 1) anti-joined to answer "what arrived since
+  // v1". DuckDB replays the expected state arithmetic; a TVF that
+  // resolved the wrong version, dropped pushdown, or double-read a
+  // snapshot breaks the hash.
+  val x32SqlTimeTravel: Q = Q(
+    "x32_sql_time_travel",
+    """SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal
+      |FROM customer WHERE c_custkey % 2 = 0
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    import graft.operators.Versioned
+    val root = sqlTravelDirs.getOrElseUpdate(d, {
+      val r = java.nio.file.Files
+        .createTempDirectory("graft-tvf-q").toString + "/t"
+      val c = t(s, d, "customer").select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("acctbal"))
+      Versioned.commit(s, r, c.filter(col("c_custkey") % 2 === 1),
+        statsCols = Seq("c_custkey"))
+      Versioned.commit(s, r, c.filter(col("c_custkey") % 2 === 0),
+        statsCols = Seq("c_custkey"))
+      r
+    })
+    s.sql(
+      s"""SELECT t.c_custkey, t.acctbal
+         |FROM graft_table('$root') t
+         |LEFT ANTI JOIN graft_table('$root', 1) o
+         |  ON t.c_custkey = o.c_custkey
+         |ORDER BY t.c_custkey""".stripMargin)
+  }
+
+  private val sqlTravelDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   // ---------------------------------------------------------------- x30
   // Atomic predicate-scoped overwrite (Versioned.replaceWhere — Delta's
   // replaceWhere): customers land range-clustered by nation, then the
@@ -1274,5 +1309,5 @@ object ExtraQueries {
     x17VersionedCdf, x18VersionedRead, x19MorDelete, x20PartitionOverwrite,
     x21HeavyHitters, x22KmvDistinct, x23BloomLookup, x24JoinMv,
     x25Bm25Serve, x26DvDelete, x27GapFill, x28CloneBranch, x29OhlcResample,
-    x30ReplaceWhere, x31Ewma)
+    x30ReplaceWhere, x31Ewma, x32SqlTimeTravel)
 }
