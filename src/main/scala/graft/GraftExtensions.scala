@@ -152,10 +152,15 @@ object GraftExtensions {
 
   /** Register the function set on a live session (idempotent — the
     * registry overwrites by identifier). */
-  def registerFunctions(spark: org.apache.spark.sql.SparkSession): Unit =
+  def registerFunctions(spark: org.apache.spark.sql.SparkSession): Unit = {
     functions.foreach { case (id, inf, builder) =>
       org.apache.spark.sql.GraftShims.registerFunction(spark, id, inf, builder)
     }
+    tableFunctions.foreach { case (id, inf, builder) =>
+      org.apache.spark.sql.GraftShims.registerTableFunction(
+        spark, id, inf, builder)
+    }
+  }
 
   // --------------------------------------------- table-valued functions
 

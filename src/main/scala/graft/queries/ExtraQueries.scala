@@ -1163,6 +1163,9 @@ object ExtraQueries {
         statsCols = Seq("c_custkey"))
       r
     })
+    // sessions built without GraftExtensions (plan-shape/smoke specs)
+    // get the TVFs live-registered — idempotent, same builders
+    graft.GraftExtensions.registerFunctions(s)
     s.sql(
       s"""SELECT t.c_custkey, t.acctbal
          |FROM graft_table('$root') t
