@@ -34,6 +34,24 @@ class PlanShapeSpec extends SparkSpec {
     assert(p.contains("TakeOrderedAndProject"), p.take(500))
   }
 
+  test("s11: the weighted sample is a top-k heap merge, never a global sort") {
+    val p = explain("s11_weighted_sample")
+    assert(p.contains("TakeOrderedAndProject"), p.take(500))
+    // no Exchange may move corpus rows before the k-row selection: the
+    // only exchange allowed is the trivial one under the 200-row result
+    assert(!p.contains("Exchange hashpartitioning"), p.take(800))
+  }
+
+  test("x29: both OHLC rank windows and the bar aggregate share ONE " +
+      "keyed exchange") {
+    val p = explain("x29_ohlc_resample")
+    // FormattedMode headers are bare "(n) Exchange"; the partitioning
+    // kind lives in the Arguments detail line
+    assert("Arguments: hashpartitioning".r.findAllIn(p).size === 1,
+      "the windows and the aggregate must reuse one partitioning:\n" +
+        p.take(1200))
+  }
+
   test("q23: rollup is ONE Expand + one partial/final aggregation") {
     val p = explain("q23_rollup")
     assert(p.contains("Expand"), p.take(500))
