@@ -1,0 +1,129 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** Model-based random-walk check: a seeded random sequence of table
+  * verbs (append, copy-on-write delete, deletion-vector delete,
+  * overwrite, restore, compact, replaceWhere) runs against BOTH the
+  * versioned table and a trivial in-memory set model. After every
+  * published version the live read must equal the model, and at the
+  * end EVERY retained version must time-travel to exactly the model
+  * state recorded when it was published — the cross-verb interaction
+  * surface (segment carry × restore × pending DVs × replace) that
+  * single-verb specs cannot reach. */
+class VersionedModelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(): String =
+    Files.createTempDirectory("graft-vmodel").toString + "/t"
+
+  private type RowT = (Long, String)
+
+  private def df(rows: Iterable[RowT]) =
+    rows.toSeq.toDF("id", "tag").coalesce(1)
+
+  private def readSet(root: String): Set[RowT] =
+    Versioned.read(spark, root).as[RowT].collect().toSet
+
+  test("25-step random verb walks match the model at head and at every " +
+      "retained version (two seeds)") {
+    for (seed <- Seq(7, 1234)) {
+      val rnd = new scala.util.Random(seed)
+      val root = freshRoot()
+      var nextId = 0L
+      var model = Set.empty[RowT]
+      val history = scala.collection.mutable.Map.empty[Long, Set[RowT]]
+      // whether the version has live deletion vectors (CoW verbs refuse)
+      val dvAt = scala.collection.mutable.Map.empty[Long, Boolean]
+      var pendingDv = false
+
+      def fresh(n: Int, tag: String): Seq[RowT] = {
+        val rows = (0 until n).map(i => (nextId + i, tag))
+        nextId += n
+        rows
+      }
+      def record(v: Long): Unit = {
+        history(v) = model
+        dvAt(v) = pendingDv
+        assert(readSet(root) === model,
+          s"seed $seed: live read diverged from the model at v$v")
+      }
+      def compactNow(): Unit = {
+        val v = Versioned.compact(spark, root)
+        pendingDv = false
+        record(v)
+      }
+
+      // seed version
+      model = fresh(10, "seed").toSet
+      record(Versioned.commit(spark, root, df(model),
+        statsCols = Seq("id", "tag")))
+
+      for (step <- 1 to 25) {
+        rnd.nextInt(10) match {
+          case 0 | 1 | 2 =>
+            val rows = fresh(1 + rnd.nextInt(15), s"s$step")
+            model = model ++ rows
+            record(Versioned.commit(spark, root, df(rows),
+              statsCols = Seq("id", "tag")))
+          case 3 | 4 =>
+            // copy-on-write delete of a random id suffix
+            if (pendingDv) compactNow()
+            val cut = math.abs(rnd.nextLong()) % math.max(1L, nextId)
+            model = model.filterNot(_._1 >= cut)
+            record(Versioned.delete(spark, root, col("id") >= cut,
+              statsCols = Seq("id", "tag")))
+          case 5 =>
+            // deletion-vector delete of a residue class
+            val k = 2 + rnd.nextInt(5)
+            val before = model
+            model = model.filterNot(_._1 % k == 0)
+            val v = Versioned.deleteRows(spark, root, col("id") % k === 0)
+            if (model != before) pendingDv = true
+            record(v)
+          case 6 =>
+            val rows = fresh(5 + rnd.nextInt(10), s"ow$step")
+            model = rows.toSet
+            pendingDv = false // overwrite replaces the live set wholesale
+            record(Versioned.commit(spark, root, df(rows),
+              mode = "overwrite", statsCols = Seq("id", "tag")))
+          case 7 =>
+            // restore to a random retained version (model = its state)
+            val vs = history.keys.toSeq.sorted
+            val target = vs(rnd.nextInt(vs.size))
+            model = history(target)
+            pendingDv = dvAt(target)
+            record(Versioned.restore(root, target))
+          case 8 =>
+            compactNow()
+          case 9 =>
+            // replaceWhere on one step's tag with a recomputed frame
+            if (pendingDv) compactNow()
+            val tags = model.map(_._2)
+            if (tags.nonEmpty) {
+              val t = tags.toSeq.sorted.apply(rnd.nextInt(tags.size))
+              val repl = fresh(1 + rnd.nextInt(5), t)
+              model = model.filterNot(_._2 == t) ++ repl
+              record(Versioned.replaceWhere(spark, root, col("tag") === t,
+                df(repl), statsCols = Seq("id", "tag")))
+            }
+        }
+      }
+
+      // every retained version time-travels to its recorded model state
+      Versioned.versions(root).foreach { v =>
+        history.get(v).foreach { expect =>
+          val got = Versioned.readVersion(spark, root, v).as[RowT]
+            .collect().toSet
+          assert(got === expect,
+            s"seed $seed: time travel to v$v diverged " +
+              s"(${got.size} vs ${expect.size} rows)")
+        }
+      }
+    }
+  }
+}
