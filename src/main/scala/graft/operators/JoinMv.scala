@@ -121,9 +121,16 @@ object JoinMv {
     * is [[Versioned.deleteKeys]] (keys-frame semi-join delete, file
     * pruning via a key-range aggregate + broadcast interval join
     * against manifest stats — O(affected files), not O(MV)), and the
-    * legs are semi/anti joins against the same frames. A backfill
-    * window touching 10⁷ keys never materializes an id on the driver
-    * or builds a literal `isin` tree. A null id in a window's feed
+    * legs are semi/anti joins against the same frames. The re-insert
+    * legs' BASE reads are stats-pruned too ([[Versioned.readVersionForKeys]]):
+    * each changed side reads only the files its row-id frame can
+    * touch, and the OPPOSITE side reads only the files the changed
+    * rows' join-key frame can touch — so a dim-only change window
+    * costs O(affected fact files), not a full fact-table scan (and
+    * degrades to the full snapshot only when the probe columns carry
+    * no stats). A backfill window touching 10⁷ keys never
+    * materializes an id on the driver or builds a literal `isin`
+    * tree. A null id in a window's feed
     * fails LOUDLY (the documented non-null-id precondition — a null
     * can neither be matched by the keyed delete nor the re-insert
     * semi-join, so it would silently stop being maintained).
@@ -181,6 +188,7 @@ object JoinMv {
           }
         val cA = changedIds(aRoot, a0, aNow, aId)
         val cB = changedIds(bRoot, b0, bNow, bId)
+        val scratch = Seq.newBuilder[DataFrame]
         try {
           // 1. delete every MV row a changed id participates in —
           // keys-frame semi-join delete, never a collected isin list.
@@ -193,17 +201,40 @@ object JoinMv {
                 cA.map(aId -> _).toSeq ++ cB.map(bId -> _).toSeq,
                 cdf = true)
             else Versioned.latestVersion(mvRoot).get
-          // 2. re-derive those keys' join rows from the NEW snapshots
-          val aNew = Versioned.readVersion(spark, aRoot, aNow)
-          val bNew = Versioned.readVersion(spark, bRoot, bNow)
+          // 2. re-derive those keys' join rows from the NEW snapshots.
+          // EVERY base read here is stats-pruned to the files its probe
+          // keys can touch (Versioned.readVersionForKeys): the changed
+          // side by its row-id frame, the OTHER side by the changed
+          // rows' join-key frame — so a dim-only change window reads
+          // O(affected files) of a 100 TB fact table, never the table
+          // (and vice versa), falling back to the full snapshot only
+          // when the probe columns have no recorded stats.
+          val keyCols = keys.map(col)
+          def changedRows(root: String, now: Long, id: String,
+              ids: DataFrame): DataFrame = {
+            // persisted: feeds its own leg AND the other side's
+            // join-key pruning aggregate — one scan, two consumers
+            val rows = Versioned.readVersionForKeys(spark, root, now,
+                ids, Seq(id))
+              .join(ids, Seq(id), "left_semi")
+              .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            scratch += rows
+            rows
+          }
           val legs = Seq.newBuilder[DataFrame]
           cA.foreach { ka =>
-            legs += aNew.join(ka, Seq(aId), "left_semi").join(bNew, keys)
+            val aChanged = changedRows(aRoot, aNow, aId, ka)
+            val bSide = Versioned.readVersionForKeys(spark, bRoot, bNow,
+              aChanged.select(keyCols: _*), keys)
+            legs += aChanged.join(bSide, keys)
           }
           cB.foreach { kb =>
-            val aRest = cA.fold(aNew)(ka =>
-              aNew.join(ka, Seq(aId), "left_anti"))
-            legs += aRest.join(bNew.join(kb, Seq(bId), "left_semi"), keys)
+            val bChanged = changedRows(bRoot, bNow, bId, kb)
+            val aSide = Versioned.readVersionForKeys(spark, aRoot, aNow,
+              bChanged.select(keyCols: _*), keys)
+            val aRest = cA.fold(aSide)(ka =>
+              aSide.join(ka, Seq(aId), "left_anti"))
+            legs += aRest.join(bChanged, keys)
           }
           val delta = legs.result()
             .reduceOption(_ unionByName _)
@@ -216,6 +247,7 @@ object JoinMv {
             expectedVersion = Some(mvAfterDelete),
             props = Map(PropA -> aNow.toString, PropB -> bNow.toString))
         } finally {
+          scratch.result().foreach(_.unpersist())
           cA.foreach(_.unpersist())
           cB.foreach(_.unpersist())
         }

@@ -798,6 +798,51 @@ object Versioned {
     candidateFilesForBounds(root, version,
       Seq(ColumnBound(col, Some(lo), Some(hi))))
 
+  /** The relative paths a keys-FRAME probe must scan: a file survives
+    * only if, for EVERY column in `cols`, its recorded stats admit at
+    * least one of the frame's values for that column (conjunctive —
+    * the equi-join shape: a joining row matches on ALL keys, so a file
+    * any key column provably excludes can hold no match). Per-column
+    * pruning is [[partitionFilesByKeys]]: a three-scalar range
+    * aggregate over the keys, then an exact per-file membership test
+    * via a broadcast interval join — driver traffic bounded by FILE
+    * count, never key count. Files without stats for a column are
+    * conservatively kept (the no-stats fallback is the full file
+    * list), so callers must still join/filter rows exactly. */
+  def candidateFilesForKeys(spark: SparkSession, root: String,
+      version: Long, keys: DataFrame, cols: Seq[String]): Seq[String] = {
+    require(cols.nonEmpty, "candidateFilesForKeys needs at least one column")
+    import org.apache.spark.sql.functions.{col => c}
+    val all = readManifest(root, version).files
+    val kept = cols.foldLeft(all) { (remaining, cn) =>
+      if (remaining.isEmpty) remaining
+      else partitionFilesByKeys(spark, remaining,
+        keys.select(c(cn)).distinct(), cn)._1
+    }.map(_.path)
+    onKeyPrune(root, version, kept.size, all.size)
+    kept
+  }
+
+  /** Observability hook: every [[candidateFilesForKeys]] decision
+    * reports `(root, version, filesKept, filesTotal)` — lets specs
+    * (and diagnostics) assert that a keyed probe read scanned a
+    * strict subset of a table's files without plan surgery. */
+  @volatile private[graft] var onKeyPrune:
+    (String, Long, Int, Int) => Unit = (_, _, _, _) => ()
+
+  /** Read `root`@`version` restricted to the files that may contain a
+    * row matching SOME tuple of the `keys` frame on `cols`
+    * ([[candidateFilesForKeys]]) — the probe-side read an incremental
+    * join maintainer needs: against a 100 TB base with a narrow change
+    * window, only the files whose stats overlap the changed keys are
+    * scanned, degrading to the full snapshot when the key columns have
+    * no recorded stats. Rows are NOT filtered — the caller's join is
+    * the exact membership test. */
+  def readVersionForKeys(spark: SparkSession, root: String, version: Long,
+      keys: DataFrame, cols: Seq[String]): DataFrame =
+    readVersionFiles(spark, root, version,
+      candidateFilesForKeys(spark, root, version, keys, cols))
+
   /** An inclusive per-column interval constraint; a `None` side is
     * unbounded. ANDed across a `Seq[ColumnBound]` — the shape a
     * conjunctive pushed-filter set reduces to.

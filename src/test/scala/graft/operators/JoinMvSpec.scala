@@ -256,6 +256,43 @@ class JoinMvSpec extends SparkSpec {
     assert(mvRows(mv) === recompute(a, b), "100k-key window folds exactly")
   }
 
+  test("CDC refresh: a dim-only window scans a strict subset of fact files") {
+    val (a, b, mv) = (freshRoot("a13"), freshRoot("b13"), freshRoot("mv13"))
+    // three fact files with DISJOINT join-key ranges so the re-insert
+    // leg's stats pruning is observable: [0,9], [10,19], [20,29]
+    for (lo <- Seq(0, 10, 20))
+      Versioned.commit(spark, a,
+        (1 to 50).map(i => ((lo * 1000 + i).toLong, (lo + i % 10).toLong, i * 1.0))
+          .toDF("fact_id", "k", "v").coalesce(1),
+        statsCols = Seq("fact_id", "k"))
+    Versioned.commit(spark, b,
+      (0 to 29).map(k => (k.toLong, s"dim-$k")).toDF("k", "name"),
+      statsCols = Seq("k"))
+    JoinMv.refreshCdc(spark, a, b, mv, Seq("k"), "fact_id", "k")
+    assert(mvRows(mv) === recompute(a, b), "initial build")
+
+    // dim-ONLY window: rename k=5 — only the first fact file's key
+    // range can hold joining rows; the other two must not be read
+    Versioned.mergeUpsert(spark, b,
+      Seq((5L, "dim-5-renamed")).toDF("k", "name"), "k", cdf = true)
+    val events = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
+    Versioned.onKeyPrune = (root, _, kept, total) =>
+      events.synchronized { events += ((root, kept, total)) }
+    try JoinMv.refreshCdc(spark, a, b, mv, Seq("k"), "fact_id", "k")
+    finally Versioned.onKeyPrune = (_, _, _, _) => ()
+
+    val aScans = events.synchronized(events.filter(_._1 == a).toList)
+    assert(aScans.nonEmpty,
+      "the fact-side re-insert read must go through keys-frame pruning")
+    assert(aScans.forall { case (_, kept, total) =>
+      total === 3 && kept < total },
+      s"dim-only window must scan a STRICT subset of fact files: $aScans")
+    assert(aScans.exists(_._2 === 1),
+      s"only the [0,9] fact file overlaps k=5, got $aScans")
+    assert(mvRows(mv).exists(_._4 == "dim-5-renamed"))
+    assert(mvRows(mv) === recompute(a, b), "pruned refresh stays exact")
+  }
+
   test("a null row id in the change window fails loudly, not silently") {
     val (a, b, mv) = (freshRoot("a12"), freshRoot("b12"), freshRoot("mv12"))
     Versioned.commit(spark, a,
