@@ -251,11 +251,15 @@ object Versioned {
       props: Map[String, String] = Map.empty): Long = {
     require(mode == "append" || mode == "overwrite",
       s"unknown commit mode: $mode")
-    // the batch data is snapshot-independent: written at most once
-    // PER LAYOUT (a concurrent overwrite can re-partition the table
-    // mid-retry, invalidating the staged batch); only the schema rules
-    // + publish re-run on a version conflict
-    var written: Option[(Seq[String], Seq[FileEntry])] = None
+    // the batch data is written at most once PER (LAYOUT, CONSTRAINT
+    // SET): a concurrent overwrite can re-partition the table
+    // mid-retry, and a concurrent ADD CONSTRAINT changes what the
+    // write job must validate — either invalidates the staged batch
+    // (its rows were checked against the OLD constraints; republishing
+    // them would let the manifest claim a constraint the data may
+    // violate, the concurrent-metadata-change abort Delta does). Only
+    // the schema rules + publish re-run on a clean version conflict.
+    var written: Option[(Seq[String], Map[String, String], Seq[FileEntry])] = None
     withOccRetry(expectedVersion) {
       val latest = latestVersion(root)
       expectedVersion.foreach { ev =>
@@ -281,11 +285,15 @@ object Versioned {
           partitionBy
         }
       val schema = evolvedSchema(root, df, mode, mergeSchema)
-      val entries = written.collect { case (p, e) if p == partCols => e }
+      val constraints = latest.map(readManifest(root, _).constraints)
+        .getOrElse(Map.empty[String, String])
+      val entries = written.collect {
+          case (p, cs, e) if p == partCols && cs == constraints => e
+        }
         .getOrElse {
           val (e, _) = writeBatch(spark, root, df, statsCols, partCols,
             bloomCols, bloomBits, bloomHashes)
-          written = Some((partCols, e)); e
+          written = Some((partCols, constraints, e)); e
         }
       val base =
         if (mode == "append") currentFiles(root, latest) else Seq.empty
@@ -522,7 +530,7 @@ object Versioned {
       bloomHashes: Int = 3): Boolean = {
     require(mode == "append" || mode == "overwrite",
       s"unknown commit mode: $mode")
-    var written: Option[(Seq[String], Seq[FileEntry])] = None
+    var written: Option[(Seq[String], Map[String, String], Seq[FileEntry])] = None
     while (true) {
       if (lastCommittedBatch(root, appId).exists(_ >= batchId)) return false
       val parent = latestVersion(root)
@@ -530,15 +538,21 @@ object Versioned {
       val schema = evolvedSchema(root, df, mode, mergeSchema)
       // appends inherit the table's partition layout (streaming sinks
       // into a partitioned table keep the per-file-tuple invariant);
-      // the batch data is written at most once per layout
+      // the batch data is written at most once per (layout, constraint
+      // set) — a concurrent ADD CONSTRAINT invalidates the staged
+      // batch, same as in commit()
       val partCols =
         if (mode == "overwrite") Seq.empty[String]
         else parent.map(readManifest(root, _).partitionBy).getOrElse(Nil)
-      val entries = written.collect { case (p, e) if p == partCols => e }
+      val constraints = parent.map(readManifest(root, _).constraints)
+        .getOrElse(Map.empty[String, String])
+      val entries = written.collect {
+          case (p, cs, e) if p == partCols && cs == constraints => e
+        }
         .getOrElse {
           val (e, _) = writeBatch(spark, root, df, statsCols, partCols,
             bloomCols, bloomBits, bloomHashes)
-          written = Some((partCols, e)); e
+          written = Some((partCols, constraints, e)); e
         }
       val base =
         if (mode == "append") currentFiles(root, parent) else Seq.empty
@@ -1462,8 +1476,11 @@ object Versioned {
             .reduce(_ unionByName _)
           writeCdf(spark, root, all)
         }
+      // rewritten files inherit the table's recorded stats columns —
+      // a merge must not erase the stats the next pruned verb needs
+      val effStats = (statsCols ++ m.files.flatMap(_.stats.keys)).distinct
       val (newEntries, _) =
-        writeBatch(spark, root, rewritten, statsCols, m.partitionBy)
+        writeBatch(spark, root, rewritten, effStats, m.partitionBy)
       publishEntries(root, untouched ++ newEntries, latest, "merge",
         schemaJson = tableSchemaJson, cdf = cdfPaths)
     } finally {
@@ -1609,10 +1626,106 @@ object Versioned {
         if (!cdf) Nil
         else writeCdf(spark, root, base.filter(coalesce(cond, lit(false)))
           .withColumn("_change_type", lit("delete")))
+      // rewritten files inherit the table's recorded stats columns —
+      // a delete must not erase the stats the next pruned verb needs
+      val effStats = (statsCols ++ m.files.flatMap(_.stats.keys)).distinct
       val (newEntries, schema) =
-        writeBatch(spark, root, kept, statsCols, m.partitionBy)
+        writeBatch(spark, root, kept, effStats, m.partitionBy)
       publishEntries(root, untouched ++ newEntries, latest, "delete",
         schemaJson = schema, cdf = cdfPaths)
+    }
+  }
+
+  /** Copy-on-write UPDATE (the SQL `UPDATE … SET … WHERE …` verb):
+    * apply `assignments` (column → new-value expression) to every row
+    * satisfying `cond`, with [[delete]]'s exact scale shape — `cond`
+    * interval-analyzes against manifest stats, provably-unaffected
+    * files carry by reference (zero bytes moved), only may-match
+    * files rewrite. SQL UPDATE semantics throughout: every
+    * right-hand side evaluates against the PRE-update row (so
+    * `SET a = b, b = a` swaps), assigned values cast to the column's
+    * declared type (an UPDATE never changes the table schema), and a
+    * NULL predicate updates nothing. CHECK constraints evaluate in
+    * the write job like any write. With `cdf = true` the commit
+    * records update_preimage/update_postimage envelopes for every
+    * updated row ([[changeFeed]] replays them).
+    *
+    * @return the version containing the result (a new version, or the
+    *         current one when the predicate provably matches nothing)
+    */
+  def updateRows(spark: SparkSession, root: String,
+      assignments: Seq[(String, Column)], cond: Column,
+      statsCols: Seq[String] = Nil,
+      expectedVersion: Option[Long] = None,
+      cdf: Boolean = false): Long = withOccRetry(expectedVersion) {
+    import org.apache.spark.sql.functions.{coalesce, col => c, lit, when}
+    require(assignments.nonEmpty, "updateRows needs at least one assignment")
+    require(assignments.map(_._1).distinct.size == assignments.size,
+      "duplicate UPDATE assignment targets: " +
+        assignments.map(_._1).diff(assignments.map(_._1).distinct).mkString(", "))
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root to update"))
+    expectedVersion.foreach { ev =>
+      if (ev != latest) throw new VersionConflictException(
+        s"table at $root is at version $latest, expected $ev")
+    }
+    val m = readManifest(root, latest)
+    require(m.mor.isEmpty, s"table at $root has ${m.mor.size} pending " +
+      "merge-on-read delete(s); compact to materialize them before a " +
+      "copy-on-write update (its by-reference file carry would resurrect " +
+      "deleted rows)")
+    require(m.dvs.isEmpty, s"table at $root has pending deletion " +
+      "vector(s); compact to materialize them before a copy-on-write " +
+      "update (its by-reference file carry would resurrect deleted rows)")
+    val schema = tableSchema(spark, root, Some(latest))
+    val unknown = assignments.map(_._1)
+      .filterNot(schema.fieldNames.contains)
+    require(unknown.isEmpty, s"UPDATE assigns unknown column(s) " +
+      s"${unknown.mkString(", ")} — the table schema is " +
+      schema.fieldNames.mkString(", "))
+    val condExpr = resolvedPredicate(spark, root, cond)
+    val (touched, untouched) =
+      m.files.partition(f => mayMatch(f, condExpr))
+    if (touched.isEmpty) latest
+    else {
+      val base0 = readAligned(spark,
+        touched.map(f => resolve(root, f.path).getPath), m.schemaJson)
+      val base = if (cdf) base0.persist() else base0
+      try {
+        val asg = assignments.toMap
+        // the hit flag is computed against the PRE-update row ONCE,
+        // then ONE projection rewrites all assigned columns — no
+        // sequential withColumn chain where a later RHS would see an
+        // earlier assignment's value
+        val flagged = base.withColumn("__hit", coalesce(cond, lit(false)))
+        def project(df: DataFrame): DataFrame =
+          df.select(schema.fields.toSeq.map { f =>
+            asg.get(f.name) match {
+              case Some(v) =>
+                when(c("__hit"), v.cast(f.dataType))
+                  .otherwise(c(f.name)).as(f.name)
+              case None => c(f.name)
+            }
+          }: _*)
+        val cdfPaths =
+          if (!cdf) Nil
+          else {
+            val hits = flagged.filter(c("__hit"))
+            writeCdf(spark, root,
+              hits.drop("__hit")
+                .withColumn("_change_type", lit("update_preimage"))
+                .unionByName(project(hits)
+                  .withColumn("_change_type", lit("update_postimage"))))
+          }
+        // rewritten files INHERIT the table's recorded stats columns
+        // (plus any extra requested): an UPDATE must not erase the
+        // very stats the next pruned verb skips files by
+        val effStats = (statsCols ++ m.files.flatMap(_.stats.keys)).distinct
+        val (newEntries, outSchema) =
+          writeBatch(spark, root, project(flagged), effStats, m.partitionBy)
+        publishEntries(root, untouched ++ newEntries, latest, "update",
+          schemaJson = outSchema, cdf = cdfPaths)
+      } finally if (cdf) base.unpersist()
     }
   }
 
@@ -1663,11 +1776,20 @@ object Versioned {
         .filter(not(coalesce(cond, lit(false)))))
     val toWrite = survivors.map(_.unionByName(fenced, allowMissingColumns = true))
       .getOrElse(fenced)
+    // rewritten files inherit the table's recorded stats columns
+    val effStats = (statsCols ++ m.files.flatMap(_.stats.keys)).distinct
     val (newEntries, outSchema) =
-      writeBatch(spark, root, toWrite, statsCols, m.partitionBy)
+      writeBatch(spark, root, toWrite, effStats, m.partitionBy)
     publishEntries(root, untouched ++ newEntries, latest, "replace",
       schemaJson = outSchema)
   }
+
+  /** SQL DML entry point — MERGE INTO / UPDATE / DELETE / ALTER TABLE
+    * ADD|DROP CONSTRAINT against versioned-table paths, parsed with
+    * Spark's own parser and dispatched onto the verbs above; see
+    * [[VersionedSql]] for the supported forms. */
+  def sql(spark: SparkSession, stmt: String, cdf: Boolean = false): DataFrame =
+    VersionedSql(spark, stmt, cdf)
 
   /** CHECK constraints currently in force (name → SQL predicate). */
   def constraintsOf(root: String): Map[String, String] =
@@ -2101,8 +2223,14 @@ object Versioned {
     vs.foreach { v =>
       val man = readManifest(root, v)
       val cur = man.files.map(_.path)
-      if (man.action == "append")
+      // a clone's v1 introduces its whole (shared) file set — the
+      // file-diff against the empty parent is exactly its content
+      if (man.action == "append" || man.action == "clone")
         added ++= cur.filterNot(prev)
+      // metadata-only commits (add/drop constraint) are file-identical
+      // by construction: nothing to emit, never an error — a schema
+      // policy change must not wedge an append-only consumer
+      else if (man.action == "constraint") ()
       // compactions are row-identical: skipping ONLY them is lossless
       // (the file-diff below keeps tracking the repacked live set), so
       // consumers can allow them without opening the lossy
@@ -2156,7 +2284,9 @@ object Versioned {
       val man = readManifest(root, v)
       val cur = man.files.map(_.path)
       man.action match {
-        case "append" =>
+        // a clone's v1 is its full shared file set diffed against the
+        // empty parent — honest insert envelopes, not an error
+        case "append" | "clone" =>
           val added = cur.filterNot(prev)
           if (added.nonEmpty)
             pieces += readAligned(spark,
@@ -2164,6 +2294,7 @@ object Versioned {
               .withColumn("_change_type", lit("insert"))
               .withColumn("_commit_version", lit(v))
         case "compact" => // row-identical: nothing to emit
+        case "constraint" => // metadata-only, zero row delta: skip
         case "mor-delete" =>
           // replay LAZILY from the immutable files the predicate was
           // scoped to: those files under the PARENT's pending
@@ -2196,11 +2327,11 @@ object Versioned {
               .drop("__vfile", "__vpos")
               .withColumn("_change_type", lit("delete"))
               .withColumn("_commit_version", lit(v))
-        case "merge" | "delete" =>
+        case "merge" | "delete" | "update" =>
           if (man.cdf.isEmpty) throw new IllegalArgumentException(
             s"version $v at $root is a '${man.action}' committed without " +
               "cdf=true — row-level changes cannot be reconstructed; " +
-              "enable cdf on merge/delete to feed changeFeed")
+              "enable cdf on merge/delete/update to feed changeFeed")
           val raw = spark.read.option("mergeSchema", "true").parquet(
             man.cdf.map(p => resolve(root, p).getPath): _*)
           val aligned = schemaJson match {

@@ -1,0 +1,186 @@
+package graft.operators
+
+import org.apache.spark.sql.{DataFrame, GraftShims, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation, UnresolvedTable}
+import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression}
+import org.apache.spark.sql.catalyst.plans.logical._
+import org.apache.spark.sql.functions.lit
+
+/** SQL DML for the versioned lake table — the WRITE half of the SQL
+  * surface (x32's TVFs made reads pure SQL; this makes mutation pure
+  * SQL, the shape the reference's whole mutation layer takes — dbt
+  * incremental MERGE, `shared/dbt-models/models/marts/core/
+  * fct_trips.sql:6-13`).
+  *
+  * Statements parse with SPARK'S OWN parser (same dialect, same
+  * escaping, same expression language as every other query) and the
+  * resulting command plan dispatches onto the library verbs — the SQL
+  * layer adds zero new semantics, so every scale property of the
+  * verbs (stats-pruned file rewrites, keys-frame joins, CAS publish,
+  * CDF envelopes) holds identically from SQL:
+  *
+  * {{{
+  *   VersionedSql(spark, """
+  *     MERGE INTO `/lake/t` t USING src s ON t.id = s.id
+  *     WHEN MATCHED THEN UPDATE SET *
+  *     WHEN NOT MATCHED THEN INSERT *""")          // → mergeUpsert
+  *   VersionedSql(spark,
+  *     "MERGE INTO `/lake/t` t USING src s ON t.id = s.id " +
+  *     "WHEN MATCHED THEN DELETE")                 // → deleteKeys
+  *   VersionedSql(spark,
+  *     "MERGE INTO `/lake/t` t USING src s ON t.id = s.id " +
+  *     "WHEN NOT MATCHED THEN INSERT *")           // → dedup append
+  *   VersionedSql(spark,
+  *     "UPDATE `/lake/t` SET v = v + 1 WHERE k = 3")  // → updateRows
+  *   VersionedSql(spark,
+  *     "DELETE FROM `/lake/t` WHERE k = 3")           // → delete
+  *   VersionedSql(spark, "ALTER TABLE `/lake/t` " +
+  *     "ADD CONSTRAINT pos CHECK (v > 0)")         // → addConstraint
+  * }}}
+  *
+  * The target table is named by its PATH as one backquoted
+  * identifier. The MERGE source is any relation or subquery Spark can
+  * resolve — a temp view, `parquet.`…``, or a `graft_table(…)` TVF
+  * (registered here, so MERGE-from-time-travel works out of the box).
+  * UPDATE/DELETE predicates use bare column names (no alias
+  * qualification — the predicate evaluates against the table frame).
+  *
+  * Anything that is not a recognized DML command falls through to
+  * plain `spark.sql` with the graft TVFs registered — one entry point
+  * serves the whole SQL surface, reads and writes.
+  *
+  * DML returns a one-row `(path, verb, version)` frame (the version
+  * containing the result); reads return their result frame.
+  */
+object VersionedSql {
+
+  def apply(spark: SparkSession, stmt: String,
+      cdf: Boolean = false): DataFrame = {
+    // TVFs + native functions live for both the fall-through path and
+    // MERGE sources written against graft_table(...) (idempotent)
+    graft.GraftExtensions.registerFunctions(spark)
+    spark.sessionState.sqlParser.parsePlan(stmt) match {
+
+      case m: MergeIntoTable =>
+        val root = pathOf(m.targetTable)
+        val source = GraftShims.ofRows(spark, m.sourceTable)
+        val key = equiKey(m.mergeCondition)
+        require(m.notMatchedBySourceActions.isEmpty,
+          "WHEN NOT MATCHED BY SOURCE is not supported — express a " +
+            "source-driven purge as a separate MERGE … WHEN MATCHED " +
+            "THEN DELETE against the complement")
+        (m.matchedActions, m.notMatchedActions) match {
+          // the dbt-incremental shape: full-row upsert by key
+          case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
+            result(spark, root, "merge",
+              Versioned.mergeUpsert(spark, root, source, key, cdf = cdf))
+          // keyed purge: delete every target row matching a source key
+          case (Seq(DeleteAction(None)), Seq()) =>
+            result(spark, root, "delete",
+              Versioned.deleteKeys(spark, root,
+                Seq(key -> source.select(key)), cdf = cdf))
+          // dedup append: insert only keys the target doesn't have;
+          // the existence probe reads ONLY the files the source keys
+          // can touch (keys-frame pruning), never the table
+          case (Seq(), Seq(InsertStarAction(None))) =>
+            val latest = Versioned.latestVersion(root).getOrElse(
+              throw new IllegalArgumentException(
+                s"no versions at $root to merge into"))
+            val existing = Versioned.readVersionForKeys(spark, root,
+              latest, source.select(key), Seq(key)).select(key)
+            result(spark, root, "append",
+              Versioned.commit(spark, root,
+                source.join(existing, Seq(key), "left_anti"),
+                expectedVersion = Some(latest)))
+          case (ma, nma) => throw new IllegalArgumentException(
+            "unsupported MERGE form — supported: WHEN MATCHED THEN " +
+              "UPDATE SET * + WHEN NOT MATCHED THEN INSERT * (upsert), " +
+              "WHEN MATCHED THEN DELETE (keyed purge), WHEN NOT " +
+              "MATCHED THEN INSERT * (dedup append); got matched=" +
+              s"$ma notMatched=$nma (conditional clauses and " +
+              "column-level SET are the library API's territory)")
+        }
+
+      case UpdateTable(table, assignments, condition) =>
+        val root = pathOf(table)
+        val asg = assignments.map { a =>
+          nameOf(a.key) -> GraftShims.column(a.value)
+        }
+        val cond = condition.map(GraftShims.column).getOrElse(lit(true))
+        result(spark, root, "update",
+          Versioned.updateRows(spark, root, asg, cond, cdf = cdf))
+
+      case DeleteFromTable(table, condition) =>
+        val root = pathOf(table)
+        result(spark, root, "delete",
+          Versioned.delete(spark, root, GraftShims.column(condition),
+            cdf = cdf))
+
+      case AddCheckConstraint(table, cc) =>
+        val root = pathOf(table)
+        result(spark, root, "constraint",
+          Versioned.addConstraint(spark, root, cc.userProvidedName,
+            cc.condition))
+
+      case a: AddConstraint => throw new IllegalArgumentException(
+        s"only CHECK constraints are supported, got ${a.tableConstraint}")
+
+      case DropConstraint(table, name, ifExists, _) =>
+        val root = pathOf(table)
+        if (ifExists && !Versioned.constraintsOf(root).contains(name))
+          result(spark, root, "constraint",
+            Versioned.latestVersion(root).getOrElse(
+              throw new IllegalArgumentException(s"no versions at $root")))
+        else
+          result(spark, root, "constraint",
+            Versioned.dropConstraint(root, name))
+
+      case _ => spark.sql(stmt) // reads (TVFs already registered)
+    }
+  }
+
+  /** The target path: one backquoted identifier, through any alias. */
+  private def pathOf(plan: LogicalPlan): String = plan match {
+    case SubqueryAlias(_, child) => pathOf(child)
+    // AddCheckConstraint's child is the VALIDATION query (a filter for
+    // violating rows over the relation) — look through it
+    case f: Filter => pathOf(f.child)
+    case r: UnresolvedRelation => ident(r.multipartIdentifier)
+    case t: UnresolvedTable => ident(t.multipartIdentifier)
+    case other => throw new IllegalArgumentException(
+      s"cannot resolve a versioned-table path from $other — name the " +
+        "table by its filesystem path as one backquoted identifier, " +
+        "e.g. MERGE INTO `/lake/events` t …")
+  }
+
+  private def ident(parts: Seq[String]): String = {
+    require(parts.size == 1,
+      s"versioned tables are named by PATH as one backquoted " +
+        s"identifier (got ${parts.mkString(".")}) — write `" +
+        parts.mkString(".") + "` with backquotes around the whole path")
+    parts.head
+  }
+
+  /** MERGE key: a single same-named equi-column condition
+    * (`t.k = s.k`) — the [[Versioned.mergeUpsert]] contract. */
+  private def equiKey(cond: Expression): String = cond match {
+    case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+        if a.nameParts.last == b.nameParts.last => a.nameParts.last
+    case other => throw new IllegalArgumentException(
+      "MERGE ON must be one equality over a same-named key column " +
+        s"(t.k = s.k); got ${other.sql} — composite or renamed keys " +
+        "go through the library API")
+  }
+
+  private def nameOf(e: Expression): String = e match {
+    case a: UnresolvedAttribute => a.nameParts.last
+    case other => throw new IllegalArgumentException(
+      s"SET target must be a column name, got $other")
+  }
+
+  private def result(spark: SparkSession, root: String, verb: String,
+      version: Long): DataFrame = {
+    import spark.implicits._
+    Seq((root, verb, version)).toDF("path", "verb", "version")
+  }
+}

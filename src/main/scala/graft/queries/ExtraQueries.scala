@@ -1177,6 +1177,53 @@ object ExtraQueries {
   private val sqlTravelDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // ---------------------------------------------------------------- x33
+  // SQL DML, hash-gated end-to-end (the write half of x32's TVF
+  // surface — the reference's whole mutation layer is SQL: dbt's
+  // incremental MERGE, shared/dbt-models/models/marts/core/
+  // fct_trips.sql:6-13): odd customers land as v1, then ONE pure-SQL
+  // MERGE statement upserts even customers (inserts) plus +500
+  // adjustments for custkey % 10 = 1 (updates) in a single commit.
+  // DuckDB replays the expected end state as a CASE; a MERGE that
+  // dropped an insert, double-applied an update, or rewrote the wrong
+  // file breaks the hash through the registered source.
+  val x33SqlMerge: Q = Q(
+    "x33_sql_merge",
+    """SELECT c_custkey,
+      |  CASE WHEN c_custkey % 10 = 1
+      |       THEN CAST(c_acctbal AS DOUBLE) + 500.0
+      |       ELSE CAST(c_acctbal AS DOUBLE) END AS acctbal
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    import graft.operators.Versioned
+    val root = sqlMergeDirs.getOrElseUpdate(d, {
+      val r = java.nio.file.Files
+        .createTempDirectory("graft-sqlmerge-q").toString + "/t"
+      val c = t(s, d, "customer").select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("acctbal"))
+      Versioned.commit(s, r, c.filter(col("c_custkey") % 2 === 1),
+        statsCols = Seq("c_custkey"))
+      c.filter(col("c_custkey") % 2 === 0)
+        .unionByName(c.filter(col("c_custkey") % 10 === 1)
+          .withColumn("acctbal", col("acctbal") + lit(500.0)))
+        .createOrReplaceTempView("x33_merge_src")
+      // the mutation is ONE SQL statement — parsed by Spark's parser,
+      // dispatched onto the keys-frame-pruned mergeUpsert
+      Versioned.sql(s,
+        s"""MERGE INTO `$r` t USING x33_merge_src s
+           |ON t.c_custkey = s.c_custkey
+           |WHEN MATCHED THEN UPDATE SET *
+           |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+      r
+    })
+    s.read.format(graft.sources.VersionedSource.Name)
+      .option("path", root).load()
+      .select("c_custkey", "acctbal")
+      .orderBy("c_custkey")
+  }
+
+  private val sqlMergeDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   // ---------------------------------------------------------------- x30
   // Atomic predicate-scoped overwrite (Versioned.replaceWhere — Delta's
   // replaceWhere): customers land range-clustered by nation, then the
@@ -1312,5 +1359,5 @@ object ExtraQueries {
     x17VersionedCdf, x18VersionedRead, x19MorDelete, x20PartitionOverwrite,
     x21HeavyHitters, x22KmvDistinct, x23BloomLookup, x24JoinMv,
     x25Bm25Serve, x26DvDelete, x27GapFill, x28CloneBranch, x29OhlcResample,
-    x30ReplaceWhere, x31Ewma, x32SqlTimeTravel)
+    x30ReplaceWhere, x31Ewma, x32SqlTimeTravel, x33SqlMerge)
 }

@@ -1,0 +1,199 @@
+package graft.operators
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+
+/** SQL DML against versioned tables (VersionedSql): every statement
+  * must dispatch onto the library verb with identical semantics —
+  * UPDATE evaluates right-hand sides against the pre-update row and
+  * carries provably-unaffected files by reference; MERGE covers the
+  * upsert / keyed-purge / dedup-append forms; constraint DDL
+  * round-trips; and metadata-only commits no longer wedge the change
+  * feed. */
+class VersionedSqlSpec extends SparkSpec {
+  import spark.implicits._
+
+  private def freshRoot(tag: String): String =
+    Files.createTempDirectory(s"graft-vsql-$tag").toString + "/t"
+
+  test("UPDATE: RHS sees the pre-update row, pruned carry, null-pred keeps") {
+    val root = freshRoot("upd")
+    // two files with disjoint id ranges so pruning is observable
+    Versioned.commit(spark, root,
+      (1 to 50).map(i => (i.toLong, i.toLong, i * 10.0)).toDF("id", "a", "b")
+        .coalesce(1),
+      statsCols = Seq("id"))
+    Versioned.commit(spark, root,
+      ((100 to 120).map(i => (Some(i.toLong): Option[Long], i.toLong, i * 10.0)) :+
+        ((None: Option[Long], 0L, 0.0)))
+        .toDF("id", "a", "b").coalesce(1),
+      statsCols = Seq("id"))
+    val before = Versioned.files(root, 2).toSet
+
+    // swap semantics: SET a = b, b = a must use the OLD row for both
+    val v = Versioned.sql(spark,
+      s"UPDATE `$root` SET a = CAST(b AS BIGINT), b = CAST(a AS DOUBLE) " +
+        "WHERE id <= 10").select("version").as[Long].head()
+    val got = Versioned.read(spark, root)
+    assert(got.filter(col("id") <= 10).count() === 10)
+    (1 to 10).foreach { i =>
+      val r = got.filter(col("id") === i).select("a", "b")
+        .as[(Long, Double)].head()
+      assert(r === ((i * 10L, i.toDouble)),
+        s"id=$i must swap to (a=${i * 10}, b=$i), got $r")
+    }
+    // untouched rows identical; the null-id row survives (NULL pred)
+    assert(got.filter(col("id") === 100).select("a").as[Long].head() === 100L)
+    assert(got.filter(col("id").isNull).count() === 1)
+    // the second file is provably out of range: carried by reference
+    val after = Versioned.files(root, v).toSet
+    assert(before.intersect(after).nonEmpty,
+      "the un-hit file must carry by reference, not rewrite")
+    // a provably-no-match update publishes nothing
+    assert(Versioned.updateRows(spark, root,
+      Seq("a" -> lit(0L)), col("id") === 99999L) === v)
+  }
+
+  test("UPDATE with cdf records pre/postimage pairs; changeFeed replays") {
+    val root = freshRoot("cdf")
+    Versioned.commit(spark, root,
+      (1 to 20).map(i => (i.toLong, i * 1.0)).toDF("id", "v"),
+      statsCols = Seq("id"))
+    Versioned.sql(spark,
+      s"UPDATE `$root` SET v = v + 100.0 WHERE id <= 5", cdf = true)
+    val feed = Versioned.changeFeed(spark, root, 1)
+    assert(feed.filter(col("_change_type") === "update_preimage")
+      .count() === 5)
+    assert(feed.filter(col("_change_type") === "update_postimage")
+      .count() === 5)
+    assert(feed.filter(col("_change_type") === "update_postimage")
+      .agg(sum("v")).as[Double].head() === (1 to 5).map(_ + 100.0).sum)
+    // an UPDATE without cdf cannot feed changeFeed — loudly
+    Versioned.updateRows(spark, root, Seq("v" -> lit(0.0)), col("id") === 9L)
+    val e = intercept[IllegalArgumentException] {
+      Versioned.changeFeed(spark, root, 2).count()
+    }
+    assert(e.getMessage.contains("update"))
+  }
+
+  test("UPDATE rejects unknown columns and keeps the declared type") {
+    val root = freshRoot("ty")
+    Versioned.commit(spark, root,
+      Seq((1L, 5)).toDF("id", "n"))
+    val e = intercept[IllegalArgumentException] {
+      Versioned.sql(spark, s"UPDATE `$root` SET nope = 1")
+    }
+    assert(e.getMessage.contains("nope"))
+    // assigned value casts to the column's declared type (int stays int)
+    Versioned.sql(spark, s"UPDATE `$root` SET n = 7.9 WHERE id = 1")
+    val f = Versioned.read(spark, root).schema("n")
+    assert(f.dataType === org.apache.spark.sql.types.IntegerType)
+  }
+
+  test("DELETE FROM dispatches to the pruned copy-on-write delete") {
+    val root = freshRoot("del")
+    Versioned.commit(spark, root,
+      (1 to 30).map(i => (i.toLong, s"r$i")).toDF("id", "tag"),
+      statsCols = Seq("id"))
+    Versioned.sql(spark, s"DELETE FROM `$root` WHERE id % 3 = 0")
+    val got = Versioned.read(spark, root)
+    assert(got.count() === 20)
+    assert(got.filter(col("id") % 3 === 0).count() === 0)
+  }
+
+  test("MERGE upsert form ≡ mergeUpsert; source may be a TVF") {
+    val root = freshRoot("mrg")
+    Versioned.commit(spark, root,
+      (1 to 10).map(i => (i.toLong, s"v1-$i")).toDF("id", "payload"),
+      statsCols = Seq("id"))
+    Seq((5L, "v2-5"), (11L, "v2-11")).toDF("id", "payload")
+      .createOrReplaceTempView("vsql_merge_src")
+    Versioned.sql(spark,
+      s"""MERGE INTO `$root` t USING vsql_merge_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = Versioned.read(spark, root)
+    assert(got.count() === 11)
+    assert(got.filter(col("id") === 5).select("payload")
+      .as[String].head() === "v2-5")
+    assert(got.filter(col("id") === 11).count() === 1)
+
+    // keyed purge
+    Seq(1L, 2L).toDF("id").createOrReplaceTempView("vsql_purge_src")
+    Versioned.sql(spark,
+      s"MERGE INTO `$root` t USING vsql_purge_src s ON t.id = s.id " +
+        "WHEN MATCHED THEN DELETE")
+    assert(Versioned.read(spark, root).count() === 9)
+
+    // dedup append: only genuinely-new keys land
+    Seq((5L, "dup"), (20L, "new")).toDF("id", "payload")
+      .createOrReplaceTempView("vsql_ins_src")
+    Versioned.sql(spark,
+      s"MERGE INTO `$root` t USING vsql_ins_src s ON t.id = s.id " +
+        "WHEN NOT MATCHED THEN INSERT *")
+    val after = Versioned.read(spark, root)
+    assert(after.count() === 10)
+    assert(after.filter(col("id") === 5).select("payload")
+      .as[String].head() === "v2-5", "matched key must NOT re-insert")
+    assert(after.filter(col("id") === 20).count() === 1)
+
+    // unsupported forms fail loudly, naming the supported set
+    val e = intercept[IllegalArgumentException] {
+      Versioned.sql(spark,
+        s"MERGE INTO `$root` t USING vsql_ins_src s ON t.id = s.id " +
+          "WHEN MATCHED THEN UPDATE SET payload = 'x'")
+    }
+    assert(e.getMessage.contains("unsupported MERGE form"))
+  }
+
+  test("constraint DDL round-trips and the feed skips metadata commits") {
+    val root = freshRoot("ddl")
+    Versioned.commit(spark, root,
+      (1 to 10).map(i => (i.toLong, i * 1.0)).toDF("id", "v"),
+      statsCols = Seq("id"))
+    Versioned.sql(spark,
+      s"ALTER TABLE `$root` ADD CONSTRAINT pos CHECK (v > 0)")
+    assert(Versioned.constraintsOf(root) === Map("pos" -> "v > 0"))
+    // a violating append aborts
+    intercept[Exception] {
+      Versioned.commit(spark, root, Seq((99L, -1.0)).toDF("id", "v"))
+    }
+    // append across the constraint commit: the feeds must SKIP the
+    // metadata-only version, not throw (the wedge ADVICE flagged)
+    Versioned.commit(spark, root, Seq((11L, 1.0)).toDF("id", "v"))
+    val feed = Versioned.changeFeed(spark, root, 1)
+    assert(feed.count() === 1, "only the post-constraint append emits")
+    assert(Versioned.changesSince(spark, root, 1).count() === 1)
+    Versioned.sql(spark, s"ALTER TABLE `$root` DROP CONSTRAINT pos")
+    assert(Versioned.constraintsOf(root).isEmpty)
+    // DROP IF EXISTS on a missing constraint is a no-op, not an error
+    val v0 = Versioned.latestVersion(root).get
+    Versioned.sql(spark,
+      s"ALTER TABLE `$root` DROP CONSTRAINT IF EXISTS nope")
+    assert(Versioned.latestVersion(root).get === v0)
+  }
+
+  test("a clone's v1 feeds as inserts instead of wedging the feed") {
+    val src = freshRoot("cls")
+    val dst = freshRoot("cld")
+    Versioned.commit(spark, src,
+      (1 to 15).map(i => (i.toLong, s"r$i")).toDF("id", "tag"),
+      statsCols = Seq("id"))
+    Versioned.cloneShallow(spark, src, dst)
+    val feed = Versioned.changeFeed(spark, dst, 0)
+    assert(feed.filter(col("_change_type") === "insert").count() === 15,
+      "the clone's v1 is its full content as insert envelopes")
+    assert(Versioned.changesSince(spark, dst, 0).count() === 15)
+  }
+
+  test("fall-through: a plain read statement runs with the TVFs live") {
+    val root = freshRoot("ro")
+    Versioned.commit(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
+    val got = Versioned.sql(spark,
+      s"SELECT count(*) AS n FROM graft_table('$root')")
+    assert(got.as[Long].head() === 2L)
+  }
+}
