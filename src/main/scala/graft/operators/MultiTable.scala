@@ -82,8 +82,9 @@ object MultiTable {
     }
 
   /** Atomically publish `newPins` MERGED over the current pin set
-    * (tables not mentioned keep their pins). Create-exclusive
-    * hard-link CAS: exactly one of two racing publishers wins a
+    * (tables not mentioned keep their pins). Put-if-absent CAS via
+    * [[Versioned.coordinator]] (hard link locally, conditional put on
+    * object stores): exactly one of two racing publishers wins a
     * version; the loser gets [[Versioned.VersionConflictException]].
     *
     * @param expectedVersion manual CAS: fail if the coordinator moved
@@ -109,16 +110,11 @@ object MultiTable {
         "pins" -> merged.map { case (k, v) =>
           k -> java.lang.Long.valueOf(v)
         }.asJava).asJava)
-    val tmp = File.createTempFile(s".p$next-", ".json", logDir(coordRoot))
-    Files.writeString(tmp.toPath, json)
-    try {
-      Files.createLink(pinFile(coordRoot, next).toPath, tmp.toPath)
+    // same pluggable put-if-absent primitive as every table commit
+    if (Versioned.coordinator.putIfAbsent(pinFile(coordRoot, next), json))
       next
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new Versioned.VersionConflictException(
-          s"concurrent coordinator publish of p$next at $coordRoot; retry")
-    } finally Files.deleteIfExists(tmp.toPath)
+    else throw new Versioned.VersionConflictException(
+      s"concurrent coordinator publish of p$next at $coordRoot; retry")
   }
 
   /** Run a multi-table transaction: `body` commits each participating

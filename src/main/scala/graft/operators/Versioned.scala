@@ -2169,21 +2169,22 @@ object Versioned {
       partitionBy = partCols, props = props, dvs = dvs,
       ts = Some(System.currentTimeMillis()), segments = segments,
       constraints = tableConstraints)
-    val tmp = File.createTempFile(s".v$next-", ".json", logDir(root))
-    Files.writeString(tmp.toPath, renderJson(manifest))
-    try {
-      // hard-link creation is atomic and create-exclusive: exactly one
-      // of two racing writers publishes v<next>; rename would silently
-      // replace on POSIX and lose a commit
-      Files.createLink(manifestFile(root, next).toPath, tmp.toPath)
-      next
-    } catch {
-      case _: java.nio.file.FileAlreadyExistsException =>
-        throw new VersionConflictException(
-          s"concurrent writer published v$next at $root first; " +
-            "re-read the table and retry")
-    } finally Files.deleteIfExists(tmp.toPath)
+    // the publish itself is the pluggable put-if-absent primitive:
+    // exactly one of two racing writers lands v<next>, whatever the
+    // backend (POSIX hard link, object-store conditional put)
+    if (coordinator.putIfAbsent(manifestFile(root, next),
+        renderJson(manifest))) next
+    else throw new VersionConflictException(
+      s"concurrent writer published v$next at $root first; " +
+        "re-read the table and retry")
   }
+
+  /** The commit-publish primitive in force — every table commit and
+    * coordinator pin funnels through it; swap for an object-store
+    * backend (see [[CommitCoordinator]]). Process-wide by design: the
+    * backend is a property of the STORAGE the process talks to, not
+    * of any one table. */
+  @volatile var coordinator: CommitCoordinator = PosixLinkCoordinator
 
   // ------------------------------------------------------- change feed
 

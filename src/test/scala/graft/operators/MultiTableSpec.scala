@@ -12,9 +12,19 @@ import graft.SparkSpec
   * the commits and the pin publish) leaves every table readable at
   * the old pinned pair; the pin-set swap is one atomic link; racing
   * transactions serialize on the coordinator CAS; and the join-MV
-  * chain stays source-consistent when driven through it. */
-class MultiTableSpec extends SparkSpec {
+  * chain stays source-consistent when driven through it. Runs against
+  * BOTH commit coordinators (POSIX link + conditional-put mock). */
+abstract class MultiTableSpecBase(
+    coordName: String,
+    mkCoordinator: () => CommitCoordinator) extends SparkSpec {
   import spark.implicits._
+
+  override protected def withFixture(test: NoArgTest) = {
+    val prev = Versioned.coordinator
+    Versioned.coordinator = mkCoordinator()
+    try super.withFixture(test)
+    finally Versioned.coordinator = prev
+  }
 
   private def fresh(tag: String): String =
     Files.createTempDirectory(s"graft-mt-$tag").toString + "/t"
@@ -136,3 +146,9 @@ class MultiTableSpec extends SparkSpec {
       .filter(col("fact_id") <= 10).count() === 0)
   }
 }
+
+class MultiTableSpec extends MultiTableSpecBase(
+  "posix-link", () => PosixLinkCoordinator)
+
+class MultiTableCondPutSpec extends MultiTableSpecBase(
+  "conditional-put", () => new ConditionalPutCoordinator())

@@ -17,9 +17,23 @@ import graft.SparkSpec
   * actual threads (not simulated interleavings): each run exercises
   * some real subset of the race windows, and the invariants asserted
   * (dense versions, exact final state) must hold under ALL of them.
+  *
+  * The whole suite runs against BOTH commit coordinators (the POSIX
+  * hard-link CAS and the object-store conditional-put mock) — the OCC
+  * story must be a property of the protocol, not of one backend's
+  * atomic primitive.
   */
-class VersionedConcurrencySpec extends SparkSpec {
+abstract class VersionedConcurrencySpecBase(
+    coordName: String,
+    mkCoordinator: () => CommitCoordinator) extends SparkSpec {
   import spark.implicits._
+
+  override protected def withFixture(test: NoArgTest) = {
+    val prev = Versioned.coordinator
+    Versioned.coordinator = mkCoordinator()
+    try super.withFixture(test)
+    finally Versioned.coordinator = prev
+  }
 
   private def freshRoot(): String =
     Files.createTempDirectory("graft-vconc").toString + "/t"
@@ -145,3 +159,9 @@ class VersionedConcurrencySpec extends SparkSpec {
     assert(Versioned.latestVersion(root) === Some(2L))
   }
 }
+
+class VersionedConcurrencySpec extends VersionedConcurrencySpecBase(
+  "posix-link", () => PosixLinkCoordinator)
+
+class VersionedConcurrencyCondPutSpec extends VersionedConcurrencySpecBase(
+  "conditional-put", () => new ConditionalPutCoordinator())
