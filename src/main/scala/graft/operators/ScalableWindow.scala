@@ -46,7 +46,7 @@ object ScalableWindow {
     // BOTH the one-row total and the probe side, and without this the
     // caller's whole upstream aggregation evaluates twice. MEMORY_AND_DISK
     // keeps the contract safe if a caller passes a larger frame.
-    val shared = df.persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val shared = graft.CacheScope.persist(df)
     val total = shared.agg(totalAgg.as("__global_total"))
     val joined = shared.crossJoin(broadcast(total))
     joined.withColumn(outCol, share(joined, col("__global_total")))
@@ -74,8 +74,8 @@ object ScalableWindow {
     // the per-bucket offset collect below — without it a
     // nondeterministic upstream (sample, repartition-race) could make
     // the offsets diverge from the ranked rows.
-    val bucketed = df.withColumn("__bucket", bucketCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketed = graft.CacheScope.persist(
+      df.withColumn("__bucket", bucketCol))
     val w = Window.partitionBy("__bucket").orderBy(orderCol)
     val inBucket = bucketed
       .withColumn("__cum_in_bucket",
@@ -154,8 +154,8 @@ object ScalableWindow {
       rankCol: String): DataFrame = {
     // Same double-evaluation persist as runningTotal/withGlobalShare:
     // the local ranks and the per-bucket counts must see ONE snapshot.
-    val bucketed = df.withColumn("__bucket", bucketCol)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val bucketed = graft.CacheScope.persist(
+      df.withColumn("__bucket", bucketCol))
     val w = Window.partitionBy("__bucket").orderBy(orderCols: _*)
     val local = bucketed.withColumn("__rn", row_number().over(w))
     val perBucket = bucketed.groupBy("__bucket")

@@ -201,9 +201,9 @@ object TextQueries {
     import graft.functions.expressions.RollingFingerprint.rolling_fingerprint
     // persisted: both self-join legs read the fingerprints — without
     // this the rolling-hash pass over every document runs twice
-    val fps = docs(s, d).select(col("doc_id"),
-        explode(rolling_fingerprint(col("text"))).as("fp"))
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+    val fps = graft.CacheScope.persist(
+      docs(s, d).select(col("doc_id"),
+        explode(rolling_fingerprint(col("text"))).as("fp")))
     val a = fps.select(col("doc_id").as("i"), col("fp"))
     val b = fps.select(col("doc_id").as("j"), col("fp"))
     a.join(b, "fp").filter(col("i") < col("j"))

@@ -823,7 +823,11 @@ object VectorQueries {
       .bruteForceTopK(emb, emb.filter(col("vec_id") < 3), 20)
       .select(col("query_id"), col("neighbor_id").as("id"),
         col("rank").cast("long").as("vec_rank"))
-    val fused = lex.join(vec, Seq("query_id", "id"), "full_outer")
+    // persisted (scope-aware): feeds BOTH the top-k cut and the rank
+    // join-back — without it each consumer re-runs both retrieval legs
+    // (≤ 2k rows per query by construction — bounded)
+    val fused = graft.CacheScope.persist(
+      lex.join(vec, Seq("query_id", "id"), "full_outer")
       .select(col("query_id"), col("id"),
         coalesce(col("lex_rank"), lit(0L)).as("lex_rank"),
         coalesce(col("vec_rank"), lit(0L)).as("vec_rank"),
@@ -831,11 +835,7 @@ object VectorQueries {
           when(col("lex_rank").isNull, lit(0.0))
             .otherwise(lit(1.0) / (lit(60) + col("lex_rank"))) +
           when(col("vec_rank").isNull, lit(0.0))
-            .otherwise(lit(1.0) / (lit(60) + col("vec_rank"))), 6).as("rrf"))
-      // feeds BOTH the top-k cut and the rank join-back: without the
-      // persist each consumer re-runs both retrieval legs (≤ 2k rows
-      // per query by construction — bounded)
-      .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+            .otherwise(lit(1.0) / (lit(60) + col("vec_rank"))), 6).as("rrf")))
     fused.groupBy("query_id")
       .agg(topk_pairs(col("rrf"), col("id"), 10).as("top"))
       .select(col("query_id"), posexplode(col("top")))

@@ -35,6 +35,27 @@ class CacheScopeSpec extends SparkSpec {
     assert(spark.sparkContext.getPersistentRDDs.isEmpty)
   }
 
+  test("window operators and query internals release at scope exit") {
+    spark.catalog.clearCache()
+    val rows = (1 to 100).map(i => (i.toLong, (i % 7).toLong, i * 1.0))
+      .toDF("id", "g", "v")
+    CacheScope.withScope {
+      // globalRank persists its bucketed frame; withGlobalShare its
+      // group-grain input — both must register with the scope
+      graft.operators.ScalableWindow.globalRank(rows,
+        col("g"), Seq(col("v"), col("id")), "rank").count()
+      graft.operators.ScalableWindow.withGlobalShare(
+        rows.groupBy("g").agg(sum("v").as("t")), sum(col("t")), "share",
+        (df, tot) => col("t") / tot).count()
+      graft.operators.ScalableWindow.runningTotal(rows,
+        "id", "v", col("g"), "rt", "delta").count()
+      assert(spark.sparkContext.getPersistentRDDs.nonEmpty,
+        "operator caches should be live inside the scope")
+    }
+    assert(spark.sparkContext.getPersistentRDDs.isEmpty,
+      "scope exit must release the window operators' internals")
+  }
+
   test("outside a scope the caller owns the lifecycle (plain persist)") {
     spark.catalog.clearCache()
     val df = CacheScope.persist(Seq(1, 2, 3).toDF("x"))
