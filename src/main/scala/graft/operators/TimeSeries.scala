@@ -69,37 +69,73 @@ object TimeSeries {
 
   /** Exponentially weighted moving average with a one-day half-life —
     * the adjusted (normalized) EWMA every feature pipeline smooths
-    * with: `s_t = Σ_{i≤t} v_i·2^(d_i−d_t) / Σ_{i≤t} 2^(d_i−d_t)`.
+    * with: `s_t = Σ_{i≤t} v_i·2^(d_i−d_t) / Σ_{i≤t} 2^(d_i−d_t)` —
+    * at ANY key span (block-re-anchored; no 62-day limit).
     *
-    * Exact cross-engine parity by construction: anchoring each key at
-    * its own first day turns every weight into an INTEGER power of two
-    * (`1L << Δdays`), the numerator/denominator prefix sums run in
-    * DECIMAL (exact, ORDER-FREE — a float prefix sum would round
-    * differently under DuckDB's segment-tree window evaluation), the
-    * shared `2^(−d_t)` factor cancels in the ratio, and only the final
-    * division rounds — once, identically, on both engines.
+    * Exact cross-engine parity by construction: each key's days split
+    * into 62-day BLOCKS anchored at the key's first day; within a
+    * block every weight is an INTEGER power of two (`1L << (Δdays mod
+    * 62)`), and the numerator/denominator prefix sums run in DECIMAL
+    * (exact, ORDER-FREE — a float prefix sum would round differently
+    * under DuckDB's segment-tree window evaluation). The previous
+    * block's exact (num, den) totals carry across the boundary scaled
+    * by the block shift — a division by 2^62, EXACT in double (a
+    * power-of-two rescale never rounds) — and only the two additions
+    * and the final division round, in a fixed shape, identically on
+    * both engines.
     *
-    * Scale shape: one per-key anchor window + two cumulative windows,
-    * all partitioned by key — never unpartitioned. The shift bound
-    * (span ≤ 62 days per key) is enforced loudly; longer spans belong
-    * to a block-re-anchored variant (the weights below 2^-62 are zero
-    * in double anyway — the window is effectively 62 half-lives). */
+    * Blocks two or more back (≥ 63 days old under the 1-day
+    * half-life) are folded as zero: their relative weight is ≤ 2^-63,
+    * below the 2^-53 ulp of the double result — for nonnegative
+    * values the returned EWMA is within 1 ulp of the untruncated
+    * definition, and the truncation itself is part of the definition
+    * both engines replay (parity is exact regardless of sign).
+    *
+    * Value contract: `valueCol` is evaluated at DECIMAL(18,2) — more
+    * than 2 decimal places quantize (half-up), and |Σ v·2^61| must fit
+    * decimal(38,2) (values to ~1e3 with 62 daily rows are fine;
+    * ≥ 1e16 inputs overflow to NULL under non-ANSI semantics). This
+    * is the price of order-free exact prefix sums; a looser float
+    * variant would not hash-match across engines.
+    *
+    * Scale shape: one per-key anchor window, two cumulative windows
+    * and one block aggregate, all partitioned by key (or key+block) —
+    * never unpartitioned; the carry join is a per-(key, block)
+    * broadcast-sized frame. */
   def ewmaDaily(df: DataFrame, keyCol: String, dayCol: String,
       valueCol: String): DataFrame = {
+    val B = 62
+    val twoB = lit(4611686018427387904L).cast("double") // 2^62, exact
     val perKey = Window.partitionBy(keyCol)
-    val prefix = Window.partitionBy(keyCol).orderBy(dayCol)
+    val prefix = Window.partitionBy(keyCol, "__b").orderBy(dayCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val di = datediff(col(dayCol), min(col(dayCol)).over(perKey))
-    val wt = expr("shiftleft(cast(1 as bigint), cast(case when __di > 62 " +
-      "then raise_error('ewmaDaily: key span exceeds 62 days — " +
-      "re-anchor in blocks') else __di end as int))")
-    df.withColumn("__di", di)
-      .withColumn("__wt", wt)
-      .withColumn("__num",
-        sum(col(valueCol).cast("decimal(18,2)") * col("__wt")).over(prefix))
-      .withColumn("__den", sum(col("__wt")).over(prefix))
+    val rows = df
+      .withColumn("__di", datediff(col(dayCol), min(col(dayCol)).over(perKey)))
+      .withColumn("__b", floor(col("__di") / B))
+      .withColumn("__wt",
+        expr(s"shiftleft(cast(1 as bigint), cast(__di % $B as int))"))
+      .withColumn("__wv", col(valueCol).cast("decimal(18,2)") * col("__wt"))
+      .withColumn("__pnum", sum(col("__wv")).over(prefix))
+      .withColumn("__pden",
+        sum(col("__wt").cast("decimal(20,0)")).over(prefix))
+    // previous block's exact totals (only an ADJACENT block carries:
+    // a gap block means everything older is ≥ 63 days back — folded
+    // as zero, see above)
+    val wb = Window.partitionBy(keyCol).orderBy("__b")
+    val carries = rows.groupBy(col(keyCol), col("__b"))
+      .agg(sum(col("__wv")).as("__bnum"),
+        sum(col("__wt").cast("decimal(20,0)")).as("__bden"))
+      .select(col(keyCol), col("__b"),
+        when(lag(col("__b"), 1).over(wb) === col("__b") - 1,
+          lag(col("__bnum"), 1).over(wb)).as("__cnum"),
+        when(lag(col("__b"), 1).over(wb) === col("__b") - 1,
+          lag(col("__bden"), 1).over(wb)).as("__cden"))
+    rows.join(carries, Seq(keyCol, "__b"))
       .select(col(keyCol), col(dayCol), col(valueCol),
-        (col("__num").cast("double") / col("__den").cast("double"))
+        ((col("__pnum").cast("double") +
+            coalesce(col("__cnum").cast("double") / twoB, lit(0.0))) /
+          (col("__pden").cast("double") +
+            coalesce(col("__cden").cast("double") / twoB, lit(0.0))))
           .as("ewma"))
   }
 

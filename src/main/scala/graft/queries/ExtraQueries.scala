@@ -1307,6 +1307,85 @@ object ExtraQueries {
       .orderBy("user_id", "day")
   }
 
+  // ---------------------------------------------------------------- x34
+  // Block-re-anchored EWMA past the old 62-day limit: each user's
+  // daily series is deterministically stretched ×7 (day + 6·Δdays, up
+  // to a 203-day span — three 62-day blocks), and the oracle replays
+  // the EXACT block formula: in-block decimal prefix sums under
+  // power-of-two weights, the adjacent block's exact totals carried
+  // across the boundary scaled by 2^-62 (an exact power-of-two double
+  // rescale; non-adjacent blocks are ≥63 days old — weight below the
+  // double ulp, folded as zero BY DEFINITION on both engines). Only
+  // the two additions and the final division round, identically — a
+  // carry dropped, double-counted, or scaled inexactly breaks the
+  // hash. The wide scale-2 decimals (pnum/cnum, > 2^53 cents) cast to
+  // double THROUGH VARCHAR on the DuckDB side: its direct
+  // DECIMAL(38,2)→DOUBLE is int128-then-divide (two roundings) where
+  // Spark/JDK round once — strtod restores the correctly-rounded
+  // single conversion.
+  val x34EwmaLong: Q = Q(
+    "x34_ewma_long",
+    """WITH daily AS (
+      |  SELECT user_id, CAST(ts AS DATE) AS day,
+      |    CAST(SUM(CAST(value AS DECIMAL(18,2))) AS DECIMAL(18,2)) AS v
+      |  FROM events WHERE event_type = 'purchase' GROUP BY 1, 2),
+      |st AS (
+      |  SELECT user_id,
+      |    day + CAST(6 * (day - MIN(day) OVER (PARTITION BY user_id))
+      |          AS INTEGER) AS day,
+      |    v,
+      |    7 * (day - MIN(day) OVER (PARTITION BY user_id)) AS di
+      |  FROM daily),
+      |p AS (
+      |  SELECT user_id, day, v, di // 62 AS b,
+      |    v * (CAST(1 AS BIGINT) << CAST(di % 62 AS INT)) AS wv,
+      |    CAST((CAST(1 AS BIGINT) << CAST(di % 62 AS INT))
+      |      AS DECIMAL(20,0)) AS wt
+      |  FROM st),
+      |c AS (
+      |  SELECT user_id, b, SUM(wv) AS bnum, SUM(wt) AS bden
+      |  FROM p GROUP BY 1, 2),
+      |l AS (
+      |  SELECT user_id, b,
+      |    CASE WHEN lag(b) OVER (PARTITION BY user_id ORDER BY b) = b - 1
+      |         THEN lag(bnum) OVER (PARTITION BY user_id ORDER BY b)
+      |    END AS cnum,
+      |    CASE WHEN lag(b) OVER (PARTITION BY user_id ORDER BY b) = b - 1
+      |         THEN lag(bden) OVER (PARTITION BY user_id ORDER BY b)
+      |    END AS cden
+      |  FROM c),
+      |e AS (
+      |  SELECT user_id, day, v, b,
+      |    SUM(wv) OVER (PARTITION BY user_id, b ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pnum,
+      |    SUM(wt) OVER (PARTITION BY user_id, b ORDER BY day
+      |      ROWS BETWEEN UNBOUNDED PRECEDING AND CURRENT ROW) AS pden
+      |  FROM p)
+      |SELECT e.user_id, e.day, CAST(e.v AS DOUBLE) AS v,
+      |  (CAST(CAST(pnum AS VARCHAR) AS DOUBLE) +
+      |     COALESCE(CAST(CAST(cnum AS VARCHAR) AS DOUBLE) /
+      |       CAST(4611686018427387904 AS DOUBLE), 0.0)) /
+      |  (CAST(pden AS DOUBLE) +
+      |     COALESCE(CAST(cden AS DOUBLE) /
+      |       CAST(4611686018427387904 AS DOUBLE), 0.0)) AS ewma
+      |FROM e JOIN l ON e.user_id = l.user_id AND e.b = l.b
+      |ORDER BY e.user_id, e.day""".stripMargin) { (s, d) =>
+    import org.apache.spark.sql.types.DecimalType
+    val daily = t(s, d, "events")
+      .filter(col("event_type") === "purchase")
+      .groupBy(col("user_id"), col("ts").cast("date").as("day"))
+      .agg(sum(dec2(col("value"))).cast(DecimalType(18, 2)).as("v"))
+    val stretched = daily
+      .withColumn("__di0", datediff(col("day"),
+        min(col("day")).over(org.apache.spark.sql.expressions.Window
+          .partitionBy("user_id"))))
+      .withColumn("day", date_add(col("day"), (col("__di0") * 6).cast("int")))
+      .drop("__di0")
+    graft.operators.TimeSeries.ewmaDaily(stretched, "user_id", "day", "v")
+      .withColumn("v", col("v").cast("double"))
+      .orderBy("user_id", "day")
+  }
+
   // ---------------------------------------------------------------- x29
   // OHLC resample (graft.operators.TimeSeries.resampleOhlc): weekly
   // open/high/low/close/volume bars per user over purchase values —
@@ -1359,5 +1438,5 @@ object ExtraQueries {
     x17VersionedCdf, x18VersionedRead, x19MorDelete, x20PartitionOverwrite,
     x21HeavyHitters, x22KmvDistinct, x23BloomLookup, x24JoinMv,
     x25Bm25Serve, x26DvDelete, x27GapFill, x28CloneBranch, x29OhlcResample,
-    x30ReplaceWhere, x31Ewma, x32SqlTimeTravel, x33SqlMerge)
+    x30ReplaceWhere, x31Ewma, x32SqlTimeTravel, x33SqlMerge, x34EwmaLong)
 }

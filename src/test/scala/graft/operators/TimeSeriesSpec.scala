@@ -81,7 +81,7 @@ class TimeSeriesSpec extends SparkSpec {
       ("u2", d("2024-01-01"), 3.0, 3.0, 3.0, 3.0, 3.0, 1L)))
   }
 
-  test("ewmaDaily: hand-computed exact fractions; span guard trips") {
+  test("ewmaDaily: hand-computed exact fractions within one block") {
     val obs = Seq(
       ("a", d("2024-01-01"), 10.0),
       ("a", d("2024-01-02"), 20.0),
@@ -92,14 +92,54 @@ class TimeSeriesSpec extends SparkSpec {
       .orderBy("k", "day").select("ewma").as[Double].collect().toSeq
     // a@d1: 10; a@d2: (10·1+20·2)/(1+2); a@d4: (10·1+20·2+0·8)/(1+2+8)
     assert(got === Seq(10.0, 50.0 / 3.0, 50.0 / 11.0, 7.0))
-    val wide = Seq(("a", d("2024-01-01"), 1.0),
-      ("a", d("2024-03-15"), 1.0)).toDF("k", "day", "v") // 74-day span
-    val e = intercept[Throwable] {
-      TimeSeries.ewmaDaily(wide, "k", "day", "v").collect()
+  }
+
+  test("ewmaDaily: block re-anchoring matches the direct definition on " +
+      "a 200-day span (the old 62-day limit is gone)") {
+    // daily observations over 201 days — crosses three 62-day blocks
+    val days = (0 until 201 by 3) :+ 200
+    val obs = days.map(i =>
+      ("a", Date.valueOf(java.time.LocalDate.of(2024, 1, 1).plusDays(i)),
+        (1 + i % 17) * 1.0)).toDF("k", "day", "v")
+    val got = TimeSeries.ewmaDaily(obs, "k", "day", "v")
+      .orderBy("day").select("ewma").as[Double].collect().toSeq
+    // direct (untruncated) reference in double: s_t = Σ v_j 2^(d_j−d_t)
+    // / Σ 2^(d_j−d_t) — the operator folds blocks ≥ 2 back as zero,
+    // which is below 1 ulp for nonnegative values, so a 1e-12 relative
+    // tolerance is generous
+    val ds = days.toIndexedSeq
+    val vs = ds.map(i => (1 + i % 17).toDouble)
+    val ref = ds.indices.map { t =>
+      val num = (0 to t).map(j => vs(j) * math.pow(2.0, ds(j) - ds(t))).sum
+      val den = (0 to t).map(j => math.pow(2.0, ds(j) - ds(t))).sum
+      num / den
     }
-    def msgs(t: Throwable): Seq[String] =
-      Option(t).toSeq.flatMap(x => Option(x.getMessage).toSeq ++ msgs(x.getCause))
-    assert(msgs(e).exists(_.contains("62 days")), msgs(e).mkString("; "))
+    assert(got.size === ref.size)
+    got.zip(ref).zipWithIndex.foreach { case ((g, r), i) =>
+      assert(math.abs(g - r) <= 1e-12 * math.abs(r),
+        s"row $i (day ${ds(i)}): got $g, ref $r")
+    }
+    // boundary sanity: the first row of block 1 (day 63 here) must
+    // still see block 0's mass (carry ≠ truncation to the block)
+    val day63Idx = ds.indexOf(63)
+    assert(math.abs(got(day63Idx) - ref(day63Idx)) <=
+      1e-12 * ref(day63Idx))
+  }
+
+  test("ewmaDaily: an empty gap block drops sub-ulp history, stays finite") {
+    // two clusters 130 days apart: block 0 and block 2, block 1 empty —
+    // the older cluster's weight is ≤ 2^-130, folded as zero
+    val obs = Seq(
+      ("a", d("2024-01-01"), 100.0),
+      ("a", d("2024-01-02"), 100.0),
+      ("a", d("2024-05-11"), 3.0), // day 131: block 2
+      ("a", d("2024-05-12"), 5.0)
+    ).toDF("k", "day", "v")
+    val got = TimeSeries.ewmaDaily(obs, "k", "day", "v")
+      .orderBy("day").select("ewma").as[Double].collect().toSeq
+    assert(got(0) === 100.0 && got(1) === 100.0)
+    assert(got(2) === 3.0, "fresh block after a gap re-anchors cleanly")
+    assert(got(3) === (3.0 + 2 * 5.0) / 3.0)
   }
 
   test("resampleOhlc is invariant under repartitioning (total order, " +
