@@ -183,7 +183,19 @@ object Bench {
     val qs = results.map { case (k, v) => "\"" + k + "\":" + v }
       .mkString("{", ",", "}")
     val total = results.map(_._2).sum
-    println(s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}""")
+    val line =
+      s"""{"metric":"total","value":$total,"unit":"sec","queries":$qs,"sf":"$sfDir"}"""
+    println(line)
+    // self-contained artifact: the driver's BENCH_r*.json keeps only a
+    // truncated tail of stdout, losing the per-query map — persist the
+    // full line where the record survives the round
+    try {
+      val out = java.nio.file.Paths.get("bench")
+      java.nio.file.Files.createDirectories(out)
+      java.nio.file.Files.writeString(out.resolve("latest.json"), line + "\n")
+    } catch { case e: Throwable =>
+      System.err.println(s"[bench] could not write bench/latest.json: $e")
+    }
     spark.stop()
   }
 }

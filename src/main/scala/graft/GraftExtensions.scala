@@ -231,6 +231,39 @@ object GraftExtensions {
             throw new IllegalArgumentException(s"no versions at $root"))
           plan(Versioned.files(root, v).toDF("path"))
         }),
+      (FunctionIdentifier("graft_pins"),
+        info("graft_pins",
+          "graft_pins(coordRoot) - the multi-table coordinator's pin " +
+            "set: one row per (coord_version, table, version); fetch " +
+            "max(coord_version) once to anchor consistent reads"),
+        (args: Seq[Expression]) => {
+          import graft.operators.MultiTable
+          val coord = stringArg(args.head)
+          val spark = session
+          import spark.implicits._
+          val cv = MultiTable.latestVersion(coord).getOrElse(
+            throw new IllegalArgumentException(
+              s"no coordinator versions at $coord"))
+          plan(MultiTable.pins(coord, Some(cv)).toSeq
+            .map { case (t, v) => (cv, t, v) }
+            .toDF("coord_version", "table", "version"))
+        }),
+      (FunctionIdentifier("graft_pinned"),
+        info("graft_pinned",
+          "graft_pinned(coordRoot, tableRoot[, coordVersion]) - " +
+            "coordinated read: the table AT its pinned version. Each " +
+            "call resolves one immutable pin file atomically; anchor " +
+            "multi-table joins to one explicit coordVersion for " +
+            "cross-table consistency under racing transactions"),
+        (args: Seq[Expression]) => plan(args match {
+          case Seq(c, t) => graft.operators.MultiTable.read(
+            session, stringArg(c), stringArg(t))
+          case Seq(c, t, v) => graft.operators.MultiTable.read(
+            session, stringArg(c), stringArg(t), Some(longArg(v)))
+          case other => throw new IllegalArgumentException(
+            "graft_pinned takes (coordRoot, tableRoot[, coordVersion])" +
+              s", got ${other.size} args")
+        })),
       (FunctionIdentifier("graft_changes"),
         info("graft_changes",
           "graft_changes(path, afterVersion[, untilVersion]) - " +

@@ -42,13 +42,23 @@ object Mix {
     * the last ulp, which matters only if the k-th and k+1-th keys
     * collide within ~1e-16 relative — vanishing for continuous keys.)
     *
-    * @param weight strictly positive weight column (rows with larger
-    *               weight are proportionally more likely to be kept) */
+    * @param weight strictly positive weight column — ENFORCED in the
+    *               key expression: a null/zero/negative weight (or a
+    *               null id) would otherwise produce a null/-Inf sort
+    *               key that silently dominates the draw, so contract
+    *               violations fail the job loudly instead of biasing
+    *               the sample */
   def weightedSample(df: DataFrame, idCol: String, weight: Column,
       k: Int): DataFrame = {
     val u = (conv(substring(md5(col(idCol).cast("string")), 1, 15), 16, 10)
       .cast("long").cast("double") + lit(1.0)) / lit(1152921504606846976.0)
-    df.withColumn("__wkey", -log(u) / weight.cast("double"))
+    val w = weight.cast("double")
+    val guarded = when(isnull(assert_true(
+        w.isNotNull && w > 0.0 && col(idCol).isNotNull,
+        lit("weightedSample: weight must be a strictly positive " +
+          "non-null value and the id non-null — a violating row would " +
+          "silently dominate the draw"))), w)
+    df.withColumn("__wkey", -log(u) / guarded)
       .orderBy(col("__wkey"), col(idCol))
       .limit(k)
       .drop("__wkey")

@@ -148,13 +148,21 @@ object MultiTable {
   /** Coordinated read: `tableRoot` AT its pinned version — never
     * "latest", so concurrent transactions can commit (but not yet
     * pin) new table versions without a coordinated reader ever seeing
-    * a torn cross-table state. */
-  def read(spark: SparkSession, coordRoot: String,
-      tableRoot: String): DataFrame = {
-    val p = pins(coordRoot)
+    * a torn cross-table state.
+    *
+    * Each call resolves ONE immutable pin file atomically. For a
+    * MULTI-table read that must be consistent ACROSS tables under
+    * racing transactions, anchor every read to one explicit
+    * `coordVersion` (fetch it once via [[latestVersion]] / the
+    * `graft_pins` TVF): pin files are immutable, so version-anchored
+    * reads can never straddle a pin-set swap. */
+  def read(spark: SparkSession, coordRoot: String, tableRoot: String,
+      coordVersion: Option[Long] = None): DataFrame = {
+    val p = pins(coordRoot, coordVersion)
     val v = p.getOrElse(tableRoot, throw new IllegalArgumentException(
-      s"$tableRoot is not pinned by the coordinator at $coordRoot " +
-        s"(pinned: ${p.keys.mkString(", ")})"))
+      s"$tableRoot is not pinned by the coordinator at $coordRoot" +
+        coordVersion.fold("")(cv => s" (version $cv)") +
+        s" (pinned: ${p.keys.mkString(", ")})"))
     Versioned.readVersion(spark, tableRoot, v)
   }
 }

@@ -2753,9 +2753,18 @@ object Versioned {
     s"_graft_log/segments/$name"
   }
 
+  /** Manifest FORMAT version (Delta's minReaderVersion / Iceberg's
+    * format-version): stamped into every manifest written; readers
+    * REJECT formats newer than they understand, so a future extension
+    * (as the segmented log was) fails loudly on an old reader instead
+    * of silently returning partial data. Bump when a change makes old
+    * readers return WRONG results rather than error. */
+  val ManifestFormat = 2 // 1 = inline files only; 2 = + segmented log
+
   private def renderJson(m: Manifest): String = {
     val filesNode = m.files.map(fileEntryNode).asJava
     val base = Map[String, Any]("version" -> m.version,
+      "format" -> ManifestFormat,
       "action" -> m.action, "files" -> filesNode) ++
       (if (m.segments.isEmpty) Nil
        else Seq("segments" -> m.segments.asJava))
@@ -2785,6 +2794,14 @@ object Versioned {
     val f = manifestFile(root, v)
     require(f.isFile, s"version $v does not exist (or was vacuumed) at $root")
     val node = mapper.readTree(Files.readString(f.toPath))
+    // format gate: a manifest written by a NEWER format must fail
+    // loudly — parsing only the fields this reader knows could
+    // silently drop files (absent field = format 1, pre-gate era)
+    val fmt = Option(node.get("format")).map(_.asInt()).getOrElse(1)
+    require(fmt <= ManifestFormat,
+      s"manifest v$v at $root has format $fmt, newer than this " +
+        s"reader's $ManifestFormat — upgrade the reader (parsing a " +
+        "newer format could silently return partial data)")
     val inline =
       node.get("files").elements().asScala.map(parseFileEntry).toSeq
     val segs = Option(node.get("segments")).map(_.elements().asScala

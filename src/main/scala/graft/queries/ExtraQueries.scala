@@ -1224,6 +1224,51 @@ object ExtraQueries {
   private val sqlMergeDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // ---------------------------------------------------------------- x35
+  // Coordinated multi-table read, pure SQL and hash-gated: customer
+  // and nation land as versioned tables pinned by ONE multi-table
+  // transaction, then both take UNPINNED poison commits (+999
+  // balances, clobbered names). The query joins the two tables
+  // through graft_pinned() — resolution goes through the
+  // coordinator's pin set, never "latest", so DuckDB's replay of the
+  // ORIGINAL join is the hash oracle: a TVF that leaked an unpinned
+  // version into either side breaks it.
+  val x35PinnedJoin: Q = Q(
+    "x35_pinned_join",
+    """SELECT c.c_custkey, n.n_name,
+      |       CAST(c.c_acctbal AS DOUBLE) AS acctbal
+      |FROM customer c JOIN nation n ON c.c_nationkey = n.n_nationkey
+      |ORDER BY c.c_custkey""".stripMargin) { (s, d) =>
+    import graft.operators.{MultiTable, Versioned}
+    val (coord, cRoot, nRoot) = pinnedJoinDirs.getOrElseUpdate(d, {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-pin-q").toString
+      val (co, cr, nr) = (s"$base/coord", s"$base/cust", s"$base/nat")
+      val cust = t(s, d, "customer").select(col("c_custkey"),
+        col("c_nationkey"), col("c_acctbal").cast("double").as("acctbal"))
+      val nat = t(s, d, "nation").select(col("n_nationkey"), col("n_name"))
+      MultiTable.transact(co) { _ =>
+        Seq(cr -> Versioned.commit(s, cr, cust, statsCols = Seq("c_custkey")),
+          nr -> Versioned.commit(s, nr, nat))
+      }
+      // poison: unpinned later versions must stay invisible
+      Versioned.commit(s, cr,
+        cust.withColumn("acctbal", col("acctbal") + lit(999.0)))
+      Versioned.commit(s, nr, nat.withColumn("n_name", lit("WRONG")))
+      (co, cr, nr)
+    })
+    graft.GraftExtensions.registerFunctions(s)
+    s.sql(
+      s"""SELECT c.c_custkey, n.n_name, c.acctbal
+         |FROM graft_pinned('$coord', '$cRoot') c
+         |JOIN graft_pinned('$coord', '$nRoot') n
+         |  ON c.c_nationkey = n.n_nationkey
+         |ORDER BY c.c_custkey""".stripMargin)
+  }
+
+  private val pinnedJoinDirs =
+    scala.collection.concurrent.TrieMap.empty[String, (String, String, String)]
+
   // ---------------------------------------------------------------- x30
   // Atomic predicate-scoped overwrite (Versioned.replaceWhere — Delta's
   // replaceWhere): customers land range-clustered by nation, then the
@@ -1438,5 +1483,6 @@ object ExtraQueries {
     x17VersionedCdf, x18VersionedRead, x19MorDelete, x20PartitionOverwrite,
     x21HeavyHitters, x22KmvDistinct, x23BloomLookup, x24JoinMv,
     x25Bm25Serve, x26DvDelete, x27GapFill, x28CloneBranch, x29OhlcResample,
-    x30ReplaceWhere, x31Ewma, x32SqlTimeTravel, x33SqlMerge, x34EwmaLong)
+    x30ReplaceWhere, x31Ewma, x32SqlTimeTravel, x33SqlMerge, x34EwmaLong,
+    x35PinnedJoin)
 }
