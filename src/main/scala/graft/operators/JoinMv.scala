@@ -69,20 +69,39 @@ object JoinMv {
         require(a0 <= aNow && b0 <= bNow,
           s"MV watermarks (a=$a0, b=$b0) are ahead of the sources " +
             s"(a=$aNow, b=$bNow) — was a source table restored/vacuumed?")
-        val legs = Seq.newBuilder[DataFrame]
-        if (aNow > a0)
-          legs += appendsOnly(spark, aRoot, a0, aNow)
-            .join(Versioned.readVersion(spark, bRoot, bNow), keys)
-        if (bNow > b0)
-          legs += Versioned.readVersion(spark, aRoot, a0)
-            .join(appendsOnly(spark, bRoot, b0, bNow), keys)
-        val delta = legs.result().reduce(_ unionByName _)
-        // CAS on the MV version observed WITH the watermarks: a racing
-        // refresh that published first fails this commit, and the
-        // caller retries from fresh watermarks — never a double fold
-        Versioned.commit(spark, mvRoot, delta, mode = "append",
-          expectedVersion = Some(mvV),
-          props = Map(PropA -> aNow.toString, PropB -> bNow.toString))
+        // each leg scans its DELTA in full but the opposite BASE only
+        // where manifest stats admit the delta's join keys
+        // ([[Versioned.readVersionForKeys]]) — a dim-only append
+        // window probes O(affected fact files), never the fact table
+        import org.apache.spark.sql.functions.col
+        val keyCols = keys.map(col)
+        val scratch = Seq.newBuilder[DataFrame]
+        def delta(root: String, from: Long, to: Long): DataFrame = {
+          val d = appendsOnly(spark, root, from, to)
+            .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
+          scratch += d
+          d
+        }
+        try {
+          val legs = Seq.newBuilder[DataFrame]
+          if (aNow > a0) {
+            val dA = delta(aRoot, a0, aNow)
+            legs += dA.join(Versioned.readVersionForKeys(spark, bRoot,
+              bNow, dA.select(keyCols: _*), keys), keys)
+          }
+          if (bNow > b0) {
+            val dB = delta(bRoot, b0, bNow)
+            legs += Versioned.readVersionForKeys(spark, aRoot, a0,
+              dB.select(keyCols: _*), keys).join(dB, keys)
+          }
+          val folded = legs.result().reduce(_ unionByName _)
+          // CAS on the MV version observed WITH the watermarks: a racing
+          // refresh that published first fails this commit, and the
+          // caller retries from fresh watermarks — never a double fold
+          Versioned.commit(spark, mvRoot, folded, mode = "append",
+            expectedVersion = Some(mvV),
+            props = Map(PropA -> aNow.toString, PropB -> bNow.toString))
+        } finally scratch.result().foreach(_.unpersist())
     }
   }
 

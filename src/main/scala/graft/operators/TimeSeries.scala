@@ -109,7 +109,9 @@ object TimeSeries {
     val perKey = Window.partitionBy(keyCol)
     val prefix = Window.partitionBy(keyCol, "__b").orderBy(dayCol)
       .rowsBetween(Window.unboundedPreceding, Window.currentRow)
-    val rows = df
+    // persisted (scope-aware): feeds both the per-row prefixes and the
+    // block-total carry build — one upstream evaluation, two consumers
+    val rows = graft.CacheScope.persist(df
       .withColumn("__di", datediff(col(dayCol), min(col(dayCol)).over(perKey)))
       .withColumn("__b", floor(col("__di") / B))
       .withColumn("__wt",
@@ -117,7 +119,7 @@ object TimeSeries {
       .withColumn("__wv", col(valueCol).cast("decimal(18,2)") * col("__wt"))
       .withColumn("__pnum", sum(col("__wv")).over(prefix))
       .withColumn("__pden",
-        sum(col("__wt").cast("decimal(20,0)")).over(prefix))
+        sum(col("__wt").cast("decimal(20,0)")).over(prefix)))
     // previous block's exact totals (only an ADJACENT block carries:
     // a gap block means everything older is ≥ 63 days back — folded
     // as zero, see above)

@@ -31,6 +31,8 @@ import org.apache.spark.sql.functions.lit
   *     "MERGE INTO `/lake/t` t USING src s ON t.id = s.id " +
   *     "WHEN NOT MATCHED THEN INSERT *")           // → dedup append
   *   VersionedSql(spark,
+  *     "INSERT INTO `/lake/t` SELECT * FROM src")  // → commit(append)
+  *   VersionedSql(spark,
   *     "UPDATE `/lake/t` SET v = v + 1 WHERE k = 3")  // → updateRows
   *   VersionedSql(spark,
   *     "DELETE FROM `/lake/t` WHERE k = 3")           // → delete
@@ -100,6 +102,17 @@ object VersionedSql {
               s"$ma notMatched=$nma (conditional clauses and " +
               "column-level SET are the library API's territory)")
         }
+
+      case ins: InsertIntoStatement =>
+        val root = pathOf(ins.table)
+        require(ins.partitionSpec.isEmpty && !ins.ifPartitionNotExists,
+          "static PARTITION clauses are not supported — the versioned " +
+            "table derives partitions from the data (dynamic overwrite " +
+            "is Versioned.overwritePartitions)")
+        val source = GraftShims.ofRows(spark, ins.query)
+        val mode = if (ins.overwrite) "overwrite" else "append"
+        result(spark, root, mode,
+          Versioned.commit(spark, root, source, mode = mode))
 
       case UpdateTable(table, assignments, condition) =>
         val root = pathOf(table)

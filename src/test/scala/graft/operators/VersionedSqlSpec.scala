@@ -189,6 +189,20 @@ class VersionedSqlSpec extends SparkSpec {
     assert(Versioned.changesSince(spark, dst, 0).count() === 15)
   }
 
+  test("INSERT INTO appends; INSERT OVERWRITE replaces") {
+    val root = freshRoot("ins")
+    Versioned.commit(spark, root, Seq((1L, "a")).toDF("id", "s"))
+    Versioned.sql(spark,
+      s"INSERT INTO `$root` SELECT 2L AS id, 'b' AS s")
+    assert(Versioned.read(spark, root).count() === 2)
+    Versioned.sql(spark,
+      s"INSERT OVERWRITE `$root` SELECT 9L AS id, 'z' AS s")
+    val got = Versioned.read(spark, root).as[(Long, String)].collect().toSeq
+    assert(got === Seq((9L, "z")))
+    // history keeps all three versions time-travelable
+    assert(Versioned.versions(root) === Seq(1L, 2L, 3L))
+  }
+
   test("fall-through: a plain read statement runs with the TVFs live") {
     val root = freshRoot("ro")
     Versioned.commit(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
