@@ -116,17 +116,20 @@ object VersionedSql {
 
       case UpdateTable(table, assignments, condition) =>
         val root = pathOf(table)
+        val alias = aliasOf(table)
         val asg = assignments.map { a =>
-          nameOf(a.key) -> GraftShims.column(a.value)
+          nameOf(a.key) -> GraftShims.column(stripAlias(a.value, alias))
         }
-        val cond = condition.map(GraftShims.column).getOrElse(lit(true))
+        val cond = condition.map(c => GraftShims.column(stripAlias(c, alias)))
+          .getOrElse(lit(true))
         result(spark, root, "update",
           Versioned.updateRows(spark, root, asg, cond, cdf = cdf))
 
       case DeleteFromTable(table, condition) =>
         val root = pathOf(table)
         result(spark, root, "delete",
-          Versioned.delete(spark, root, GraftShims.column(condition),
+          Versioned.delete(spark, root,
+            GraftShims.column(stripAlias(condition, aliasOf(table))),
             cdf = cdf))
 
       case AddCheckConstraint(table, cc) =>
@@ -184,6 +187,22 @@ object VersionedSql {
         s"(t.k = s.k); got ${other.sql} — composite or renamed keys " +
         "go through the library API")
   }
+
+  /** The target's declared alias, when one was written. */
+  private def aliasOf(plan: LogicalPlan): Option[String] = plan match {
+    case SubqueryAlias(id, _) => Some(id.name)
+    case _ => None
+  }
+
+  /** Strip the target alias's qualifier from attribute references so
+    * `DELETE FROM \`/p\` t WHERE t.c < 5` resolves against the table
+    * frame (which carries no alias). */
+  private def stripAlias(e: Expression, alias: Option[String]): Expression =
+    alias.fold(e)(a => e.transform {
+      case ua: UnresolvedAttribute if ua.nameParts.length > 1 &&
+          ua.nameParts.head.equalsIgnoreCase(a) =>
+        UnresolvedAttribute(ua.nameParts.tail)
+    })
 
   private def nameOf(e: Expression): String = e match {
     case a: UnresolvedAttribute => a.nameParts.last

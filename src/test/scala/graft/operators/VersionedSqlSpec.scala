@@ -189,6 +189,18 @@ class VersionedSqlSpec extends SparkSpec {
     assert(Versioned.changesSince(spark, dst, 0).count() === 15)
   }
 
+  test("alias-qualified UPDATE/DELETE predicates resolve") {
+    val root = freshRoot("ali")
+    Versioned.commit(spark, root,
+      (1 to 10).map(i => (i.toLong, i * 1.0)).toDF("id", "v"))
+    Versioned.sql(spark,
+      s"UPDATE `$root` t SET v = t.v + 1.0 WHERE t.id <= 3")
+    assert(Versioned.read(spark, root).filter(col("id") <= 3)
+      .agg(sum("v")).as[Double].head() === (1 + 2 + 3 + 3.0))
+    Versioned.sql(spark, s"DELETE FROM `$root` t WHERE t.id > 8")
+    assert(Versioned.read(spark, root).count() === 8)
+  }
+
   test("INSERT INTO appends; INSERT OVERWRITE replaces") {
     val root = freshRoot("ins")
     Versioned.commit(spark, root, Seq((1L, "a")).toDF("id", "s"))
