@@ -8,13 +8,14 @@ import graft.SparkSpec
 
 /** Model-based random-walk check: a seeded random sequence of table
   * verbs (append, copy-on-write delete, deletion-vector delete,
-  * overwrite, restore, compact, replaceWhere) runs against BOTH the
-  * versioned table and a trivial in-memory set model. After every
-  * published version the live read must equal the model, and at the
-  * end EVERY retained version must time-travel to exactly the model
-  * state recorded when it was published — the cross-verb interaction
-  * surface (segment carry × restore × pending DVs × replace) that
-  * single-verb specs cannot reach. */
+  * overwrite, restore, compact, replaceWhere, copy-on-write UPDATE,
+  * and SQL-dispatched UPDATE/MERGE) runs against BOTH the versioned
+  * table and a trivial in-memory set model. After every published
+  * version the live read must equal the model, and at the end EVERY
+  * retained version must time-travel to exactly the model state
+  * recorded when it was published — the cross-verb interaction
+  * surface (segment carry × restore × pending DVs × replace × update)
+  * that single-verb specs cannot reach. */
 class VersionedModelSpec extends SparkSpec {
   import spark.implicits._
 
@@ -64,7 +65,7 @@ class VersionedModelSpec extends SparkSpec {
         statsCols = Seq("id", "tag")))
 
       for (step <- 1 to 25) {
-        rnd.nextInt(10) match {
+        rnd.nextInt(13) match {
           case 0 | 1 | 2 =>
             val rows = fresh(1 + rnd.nextInt(15), s"s$step")
             model = model ++ rows
@@ -111,6 +112,46 @@ class VersionedModelSpec extends SparkSpec {
               record(Versioned.replaceWhere(spark, root, col("tag") === t,
                 df(repl), statsCols = Seq("id", "tag")))
             }
+          case 10 =>
+            // copy-on-write UPDATE of a residue class (round 7)
+            if (pendingDv) compactNow()
+            val k = 2 + rnd.nextInt(5)
+            model = model.map { case (id, tag) =>
+              if (id % k == 0) (id, s"u$step") else (id, tag)
+            }
+            record(Versioned.updateRows(spark, root,
+              Seq("tag" -> lit(s"u$step")), col("id") % k === 0,
+              statsCols = Seq("id", "tag")))
+          case 11 =>
+            // the same UPDATE through the SQL dispatcher
+            if (pendingDv) compactNow()
+            val k = 2 + rnd.nextInt(5)
+            model = model.map { case (id, tag) =>
+              if (id % k == 1) (id, s"q$step") else (id, tag)
+            }
+            val v = Versioned.sql(spark,
+              s"UPDATE `$root` SET tag = 'q$step' WHERE id % $k = 1")
+              .select("version").as[Long].head()
+            record(v)
+          case 12 =>
+            // SQL MERGE upsert: half updates of random survivors, half
+            // fresh inserts — full-row replace by id
+            if (pendingDv) compactNow()
+            val survivors = model.toSeq.sortBy(_._1)
+            val upd = rnd.shuffle(survivors).take(rnd.nextInt(4))
+              .map { case (id, _) => (id, s"m$step") }
+            val ins = fresh(1 + rnd.nextInt(4), s"m$step")
+            val src = (upd ++ ins).toSeq
+            val ids = src.map(_._1).toSet
+            model = model.filterNot(r => ids(r._1)) ++ src
+            df(src).createOrReplaceTempView(s"vmodel_merge_$step")
+            val v = Versioned.sql(spark,
+              s"""MERGE INTO `$root` t USING vmodel_merge_$step s
+                 |ON t.id = s.id
+                 |WHEN MATCHED THEN UPDATE SET *
+                 |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+              .select("version").as[Long].head()
+            record(v)
         }
       }
 
