@@ -38,6 +38,10 @@ import org.apache.spark.sql.functions.lit
   *     "DELETE FROM `/lake/t` WHERE k = 3")           // → delete
   *   VersionedSql(spark, "ALTER TABLE `/lake/t` " +
   *     "ADD CONSTRAINT pos CHECK (v > 0)")         // → addConstraint
+  *   VersionedSql(spark,
+  *     "OPTIMIZE `/lake/t` ZORDER BY (k, ts)")     // → zorder
+  *   VersionedSql(spark,
+  *     "VACUUM `/lake/t` RETAIN 5 VERSIONS")       // → vacuum
   * }}}
   *
   * The target table is named by its PATH as one backquoted
@@ -56,11 +60,38 @@ import org.apache.spark.sql.functions.lit
   */
 object VersionedSql {
 
+  // maintenance verbs Spark's grammar doesn't know — hand-parsed ahead
+  // of the parser, the same slot Delta's parser extension fills:
+  //   OPTIMIZE `path` [INTO n FILES] [ZORDER BY (c1, c2, …)]
+  //   VACUUM `path` RETAIN n VERSIONS
+  private val OptimizeRe =
+    """(?is)\s*OPTIMIZE\s+`([^`]+)`(?:\s+INTO\s+(\d+)\s+FILES)?(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?\s*;?\s*""".r
+  private val VacuumRe =
+    """(?is)\s*VACUUM\s+`([^`]+)`\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
+
   def apply(spark: SparkSession, stmt: String,
       cdf: Boolean = false): DataFrame = {
     // TVFs + native functions live for both the fall-through path and
     // MERGE sources written against graft_table(...) (idempotent)
     graft.GraftExtensions.registerFunctions(spark)
+    stmt match {
+      case OptimizeRe(root, n, zcols) =>
+        val nOut = Option(n).map(_.toInt)
+        return result(spark, root, "optimize",
+          Option(zcols) match {
+            case Some(cs) => Versioned.zorder(spark, root,
+              cs.split(",").map(_.trim).toSeq.filter(_.nonEmpty),
+              nOut = nOut.getOrElse(8))
+            case None =>
+              Versioned.compact(spark, root, targetFiles = nOut.getOrElse(1))
+          })
+      case VacuumRe(root, keep) =>
+        Versioned.vacuum(root, keepVersions = keep.toInt)
+        return result(spark, root, "vacuum",
+          Versioned.latestVersion(root).getOrElse(
+            throw new IllegalArgumentException(s"no versions at $root")))
+      case _ => ()
+    }
     spark.sessionState.sqlParser.parsePlan(stmt) match {
 
       case m: MergeIntoTable =>

@@ -1269,6 +1269,45 @@ object ExtraQueries {
   private val pinnedJoinDirs =
     scala.collection.concurrent.TrieMap.empty[String, (String, String, String)]
 
+  // ---------------------------------------------------------------- x36
+  // SQL UPDATE + DELETE end-to-end (the remaining DML verbs after
+  // x33's MERGE): customers land versioned, then ONE pure-SQL UPDATE
+  // (+500 for nation 3, RHS over the pre-update row) and ONE pure-SQL
+  // DELETE (custkey % 7 = 0) mutate the table through the dispatcher's
+  // stats-pruned copy-on-write verbs. DuckDB replays the end state as
+  // CASE + filter: an update leaking outside its predicate, a deleted
+  // row resurrected by a bad file carry, or a post-update RHS breaks
+  // the hash through the registered source.
+  val x36SqlUpdateDelete: Q = Q(
+    "x36_sql_update_delete",
+    """SELECT c_custkey, c_nationkey,
+      |  CASE WHEN c_nationkey = 3
+      |       THEN CAST(c_acctbal AS DOUBLE) + 500.0
+      |       ELSE CAST(c_acctbal AS DOUBLE) END AS acctbal
+      |FROM customer WHERE c_custkey % 7 <> 0
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    import graft.operators.Versioned
+    val root = sqlUpdDelDirs.getOrElseUpdate(d, {
+      val r = java.nio.file.Files
+        .createTempDirectory("graft-sqlupd-q").toString + "/t"
+      val c = t(s, d, "customer").select(col("c_custkey"),
+        col("c_nationkey"), col("c_acctbal").cast("double").as("acctbal"))
+      Versioned.commit(s, r, c.repartitionByRange(4, col("c_custkey")),
+        statsCols = Seq("c_custkey", "c_nationkey"))
+      Versioned.sql(s,
+        s"UPDATE `$r` SET acctbal = acctbal + 500.0 WHERE c_nationkey = 3")
+      Versioned.sql(s, s"DELETE FROM `$r` WHERE c_custkey % 7 = 0")
+      r
+    })
+    s.read.format(graft.sources.VersionedSource.Name)
+      .option("path", root).load()
+      .select("c_custkey", "c_nationkey", "acctbal")
+      .orderBy("c_custkey")
+  }
+
+  private val sqlUpdDelDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   // ---------------------------------------------------------------- x30
   // Atomic predicate-scoped overwrite (Versioned.replaceWhere — Delta's
   // replaceWhere): customers land range-clustered by nation, then the
@@ -1484,5 +1523,5 @@ object ExtraQueries {
     x21HeavyHitters, x22KmvDistinct, x23BloomLookup, x24JoinMv,
     x25Bm25Serve, x26DvDelete, x27GapFill, x28CloneBranch, x29OhlcResample,
     x30ReplaceWhere, x31Ewma, x32SqlTimeTravel, x33SqlMerge, x34EwmaLong,
-    x35PinnedJoin)
+    x35PinnedJoin, x36SqlUpdateDelete)
 }

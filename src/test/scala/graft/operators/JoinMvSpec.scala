@@ -293,6 +293,36 @@ class JoinMvSpec extends SparkSpec {
     assert(mvRows(mv) === recompute(a, b), "pruned refresh stays exact")
   }
 
+  test("append-only refresh: a dim-only append probes a strict subset " +
+      "of fact files") {
+    val (a, b, mv) = (freshRoot("a14"), freshRoot("b14"), freshRoot("mv14"))
+    // three fact files with disjoint join-key ranges (as in the CDC case)
+    for (lo <- Seq(0, 10, 20))
+      Versioned.commit(spark, a,
+        (1 to 50).map(i => ((lo * 1000 + i).toLong, (lo + i % 10).toLong, i * 1.0))
+          .toDF("fact_id", "k", "v").coalesce(1),
+        statsCols = Seq("fact_id", "k"))
+    Versioned.commit(spark, b,
+      (0 to 29).map(k => (k.toLong, s"dim-$k")).toDF("k", "name"),
+      statsCols = Seq("k"))
+    JoinMv.refresh(spark, a, b, mv, Seq("k"))
+    assert(mvRows(mv) === recompute(a, b), "initial build")
+
+    // dim-only APPEND: a late dim row for k=15 — only the second fact
+    // file's range can hold back-joining facts
+    Versioned.commit(spark, b, Seq((15L, "dim-15-late")).toDF("k", "name"))
+    val events = scala.collection.mutable.ArrayBuffer[(String, Int, Int)]()
+    Versioned.onKeyPrune = (root, _, kept, total) =>
+      events.synchronized { events += ((root, kept, total)) }
+    try JoinMv.refresh(spark, a, b, mv, Seq("k"))
+    finally Versioned.onKeyPrune = (_, _, _, _) => ()
+    val aScans = events.synchronized(events.filter(_._1 == a).toList)
+    assert(aScans.nonEmpty && aScans.forall { case (_, kept, total) =>
+      total === 3 && kept < total },
+      s"dim-only append must probe a strict subset of fact files: $aScans")
+    assert(mvRows(mv) === recompute(a, b), "pruned refresh stays exact")
+  }
+
   test("a null row id in the change window fails loudly, not silently") {
     val (a, b, mv) = (freshRoot("a12"), freshRoot("b12"), freshRoot("mv12"))
     Versioned.commit(spark, a,

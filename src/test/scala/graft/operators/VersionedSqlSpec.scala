@@ -215,6 +215,25 @@ class VersionedSqlSpec extends SparkSpec {
     assert(Versioned.versions(root) === Seq(1L, 2L, 3L))
   }
 
+  test("OPTIMIZE and VACUUM maintenance verbs dispatch") {
+    val root = freshRoot("opt")
+    (1 to 4).foreach { i =>
+      Versioned.commit(spark, root,
+        Seq((i.toLong, i * 2.0)).toDF("id", "v").coalesce(1),
+        statsCols = Seq("id"))
+    }
+    val v = Versioned.sql(spark, s"OPTIMIZE `$root` INTO 1 FILES")
+      .select("version").as[Long].head()
+    assert(Versioned.files(root, v).size === 1, "bin-packed to one file")
+    assert(Versioned.read(spark, root).count() === 4)
+    // ZORDER form records stats for the clustered columns
+    Versioned.sql(spark, s"OPTIMIZE `$root` ZORDER BY (id, v)")
+    assert(Versioned.read(spark, root).count() === 4)
+    Versioned.sql(spark, s"VACUUM `$root` RETAIN 2 VERSIONS")
+    assert(Versioned.versions(root).size === 2, "only two versions retained")
+    assert(Versioned.read(spark, root).count() === 4)
+  }
+
   test("fall-through: a plain read statement runs with the TVFs live") {
     val root = freshRoot("ro")
     Versioned.commit(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))

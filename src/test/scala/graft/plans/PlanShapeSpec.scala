@@ -52,6 +52,18 @@ class PlanShapeSpec extends SparkSpec {
         p.take(1200))
   }
 
+  test("x34: block-EWMA broadcasts the carry and adds no extra keyed " +
+      "exchange beyond the upstream aggregate's") {
+    val p = explain("x34_ewma_long")
+    assert(p.contains("BroadcastHashJoin"),
+      "the block-grain carry side must broadcast:\n" + p.take(1200))
+    // the (key, block) windows must REUSE the key hash partitioning —
+    // probe side: agg partial/final + anchor window = 2 keyed
+    // exchanges; the persisted frame is shared, so no more may appear
+    // outside the broadcast subtree
+    assert(!p.contains("SortMergeJoin"), p.take(1200))
+  }
+
   test("q23: rollup is ONE Expand + one partial/final aggregation") {
     val p = explain("q23_rollup")
     assert(p.contains("Expand"), p.take(500))
