@@ -1821,6 +1821,38 @@ object Versioned {
       constraints = Some(m.constraints + (name -> cond)))
   }
 
+  /** ALTER TABLE ADD COLUMNS — METADATA-ONLY (the Delta semantics: no
+    * data file is read, written, or moved at any table size): the
+    * commit carries the parent's file set by reference under an
+    * EXTENDED schema. Every read path already null-fills columns a
+    * file lacks (the parquet-absence contract `alignTo` enforces), so
+    * existing rows surface the new columns as NULL; time travel to
+    * pre-change versions shows the old schema (evolution is versioned
+    * too). New columns must be nullable — existing rows have no value
+    * to give them. The action is "schema": zero row delta, skipped
+    * losslessly by both change feeds (like constraint commits). */
+  def addColumns(spark: SparkSession, root: String,
+      cols: Seq[org.apache.spark.sql.types.StructField]): Long =
+    withOccRetry(None) {
+      require(cols.nonEmpty, "addColumns needs at least one column")
+      val latest = latestVersion(root).getOrElse(
+        throw new IllegalArgumentException(s"no versions at $root"))
+      val m = readManifest(root, latest)
+      val schema = tableSchema(spark, root, Some(latest))
+      val dup = cols.map(_.name)
+        .filter(n => schema.fieldNames.exists(_.equalsIgnoreCase(n)))
+      require(dup.isEmpty,
+        s"column(s) ${dup.mkString(", ")} already exist on $root")
+      require(cols.forall(_.nullable),
+        "added columns must be nullable — existing rows null-fill them")
+      val extended = org.apache.spark.sql.types.StructType(
+        schema.fields ++ cols)
+      publishEntries(root, m.files, latest, "schema",
+        schemaJson = extended.json, mor = m.mor, dvs = m.dvs,
+        carryFrom = Some(latest),
+        constraints = Some(m.constraints))
+    }
+
   /** Drop a CHECK constraint — metadata-only, needs no SparkSession. */
   def dropConstraint(root: String, name: String): Long = withOccRetry(None) {
     val latest = latestVersion(root).getOrElse(
@@ -2228,10 +2260,11 @@ object Versioned {
       // file-diff against the empty parent is exactly its content
       if (man.action == "append" || man.action == "clone")
         added ++= cur.filterNot(prev)
-      // metadata-only commits (add/drop constraint) are file-identical
-      // by construction: nothing to emit, never an error — a schema
-      // policy change must not wedge an append-only consumer
-      else if (man.action == "constraint") ()
+      // metadata-only commits (add/drop constraint, add columns) are
+      // file-identical by construction: nothing to emit, never an
+      // error — a policy/schema change must not wedge an append-only
+      // consumer
+      else if (man.action == "constraint" || man.action == "schema") ()
       // compactions are row-identical: skipping ONLY them is lossless
       // (the file-diff below keeps tracking the repacked live set), so
       // consumers can allow them without opening the lossy
@@ -2295,7 +2328,7 @@ object Versioned {
               .withColumn("_change_type", lit("insert"))
               .withColumn("_commit_version", lit(v))
         case "compact" => // row-identical: nothing to emit
-        case "constraint" => // metadata-only, zero row delta: skip
+        case "constraint" | "schema" => // metadata-only: zero row delta
         case "mor-delete" =>
           // replay LAZILY from the immutable files the predicate was
           // scoped to: those files under the PARENT's pending

@@ -38,10 +38,16 @@ import org.apache.spark.sql.functions.lit
   *     "DELETE FROM `/lake/t` WHERE k = 3")           // → delete
   *   VersionedSql(spark, "ALTER TABLE `/lake/t` " +
   *     "ADD CONSTRAINT pos CHECK (v > 0)")         // → addConstraint
+  *   VersionedSql(spark, "ALTER TABLE `/lake/t` " +
+  *     "ADD COLUMNS (score DOUBLE)")               // → addColumns
   *   VersionedSql(spark,
   *     "OPTIMIZE `/lake/t` ZORDER BY (k, ts)")     // → zorder
   *   VersionedSql(spark,
   *     "VACUUM `/lake/t` RETAIN 5 VERSIONS")       // → vacuum
+  *   VersionedSql(spark,
+  *     "RESTORE `/lake/t` TO VERSION 3")           // → restore
+  *   VersionedSql(spark,
+  *     "CLONE `/lake/t` TO `/lake/dev` VERSION 3") // → cloneShallow
   * }}}
   *
   * The target table is named by its PATH as one backquoted
@@ -68,6 +74,10 @@ object VersionedSql {
     """(?is)\s*OPTIMIZE\s+`([^`]+)`(?:\s+INTO\s+(\d+)\s+FILES)?(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?\s*;?\s*""".r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+`([^`]+)`\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
+  private val RestoreRe =
+    """(?is)\s*RESTORE\s+`([^`]+)`\s+TO\s+VERSION\s+(\d+)\s*;?\s*""".r
+  private val CloneRe =
+    """(?is)\s*CLONE\s+`([^`]+)`\s+TO\s+`([^`]+)`(?:\s+VERSION\s+(\d+))?\s*;?\s*""".r
 
   def apply(spark: SparkSession, stmt: String,
       cdf: Boolean = false): DataFrame = {
@@ -90,6 +100,13 @@ object VersionedSql {
         return result(spark, root, "vacuum",
           Versioned.latestVersion(root).getOrElse(
             throw new IllegalArgumentException(s"no versions at $root")))
+      case RestoreRe(root, v) =>
+        return result(spark, root, "restore",
+          Versioned.restore(root, v.toLong))
+      case CloneRe(src, dst, v) =>
+        return result(spark, dst, "clone",
+          Versioned.cloneShallow(spark, src, dst,
+            Option(v).map(_.toLong)))
       case _ => ()
     }
     spark.sessionState.sqlParser.parsePlan(stmt) match {
@@ -162,6 +179,21 @@ object VersionedSql {
           Versioned.delete(spark, root,
             GraftShims.column(stripAlias(condition, aliasOf(table))),
             cdf = cdf))
+
+      case AddColumns(table, colsToAdd) =>
+        val root = pathOf(table)
+        val fields = colsToAdd.map { c =>
+          require(c.name.size == 1,
+            s"nested column paths are not supported: ${c.name.mkString(".")}")
+          require(c.position.isEmpty,
+            "column positions are not supported — new columns append")
+          require(c.default.isEmpty,
+            "column DEFAULTs are not supported — added columns null-fill")
+          org.apache.spark.sql.types.StructField(
+            c.name.head, c.dataType, nullable = true)
+        }
+        result(spark, root, "schema",
+          Versioned.addColumns(spark, root, fields))
 
       case AddCheckConstraint(table, cc) =>
         val root = pathOf(table)

@@ -234,6 +234,43 @@ class VersionedSqlSpec extends SparkSpec {
     assert(Versioned.read(spark, root).count() === 4)
   }
 
+  test("ADD COLUMNS is metadata-only; RESTORE and CLONE verbs dispatch") {
+    val root = freshRoot("sch")
+    Versioned.commit(spark, root, Seq((1L, "a")).toDF("id", "s"),
+      statsCols = Seq("id"))
+    val filesBefore = Versioned.files(root, 1)
+    Versioned.sql(spark,
+      s"ALTER TABLE `$root` ADD COLUMNS (score DOUBLE, note STRING)")
+    // zero data movement: the parent's files carry by reference
+    assert(Versioned.files(root, 2) === filesBefore)
+    val got = Versioned.read(spark, root)
+    assert(got.columns.toSeq === Seq("id", "s", "score", "note"))
+    assert(got.filter(col("score").isNull && col("note").isNull)
+      .count() === 1, "existing rows null-fill the new columns")
+    // appends may now carry the new columns; time travel shows the
+    // OLD schema at the old version; the feed skips the schema commit
+    Versioned.commit(spark, root,
+      Seq((2L, "b", 1.5, "n")).toDF("id", "s", "score", "note"))
+    assert(Versioned.read(spark, root).count() === 2)
+    assert(!Versioned.readVersion(spark, root, 1).columns.contains("score"))
+    assert(Versioned.changeFeed(spark, root, 1).count() === 1,
+      "only the post-schema append emits")
+    // duplicate add fails loudly
+    val e = intercept[IllegalArgumentException] {
+      Versioned.sql(spark, s"ALTER TABLE `$root` ADD COLUMNS (SCORE INT)")
+    }
+    assert(e.getMessage.contains("already exist"))
+    // RESTORE via SQL reinstates the pre-schema state (schema included)
+    Versioned.sql(spark, s"RESTORE `$root` TO VERSION 1")
+    assert(Versioned.read(spark, root).columns.toSeq === Seq("id", "s"))
+    // CLONE via SQL branches the post-append version
+    val dst = freshRoot("schc")
+    Versioned.sql(spark, s"CLONE `$root` TO `$dst` VERSION 3")
+    assert(Versioned.read(spark, dst).count() === 2)
+    assert(Versioned.read(spark, dst).columns.toSeq ===
+      Seq("id", "s", "score", "note"))
+  }
+
   test("fall-through: a plain read statement runs with the TVFs live") {
     val root = freshRoot("ro")
     Versioned.commit(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
