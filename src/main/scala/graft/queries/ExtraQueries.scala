@@ -1308,6 +1308,49 @@ object ExtraQueries {
   private val sqlUpdDelDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // ---------------------------------------------------------------- x37
+  // Metadata-only schema evolution, pure SQL and hash-gated: odd
+  // customers land as v1 (two columns), ONE pure-SQL ALTER TABLE ADD
+  // COLUMNS extends the schema with ZERO data movement (the commit
+  // carries v1's files by reference), then ONE pure-SQL INSERT appends
+  // even customers carrying the new column. DuckDB replays the end
+  // state with a CASE that null-fills the pre-schema rows: a reader
+  // that dropped the carried files, resurrected the old schema, or
+  // back-filled old rows with anything but NULL breaks the hash
+  // through the registered source.
+  val x37SqlSchemaEvolution: Q = Q(
+    "x37_sql_schema_evolution",
+    """SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal,
+      |  CASE WHEN c_custkey % 2 = 0 THEN
+      |    CASE WHEN CAST(c_acctbal AS DOUBLE) >= 5000.0
+      |         THEN 'gold' ELSE 'std' END
+      |  ELSE NULL END AS tier
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    import graft.operators.Versioned
+    val root = sqlSchemaDirs.getOrElseUpdate(d, {
+      val r = java.nio.file.Files
+        .createTempDirectory("graft-sqlsch-q").toString + "/t"
+      val c = t(s, d, "customer").select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("acctbal"))
+      Versioned.commit(s, r, c.filter(col("c_custkey") % 2 === 1),
+        statsCols = Seq("c_custkey"))
+      Versioned.sql(s, s"ALTER TABLE `$r` ADD COLUMNS (tier STRING)")
+      c.filter(col("c_custkey") % 2 === 0)
+        .withColumn("tier",
+          when(col("acctbal") >= 5000.0, "gold").otherwise("std"))
+        .createOrReplaceTempView("x37_ins_src")
+      Versioned.sql(s, s"INSERT INTO `$r` SELECT * FROM x37_ins_src")
+      r
+    })
+    s.read.format(graft.sources.VersionedSource.Name)
+      .option("path", root).load()
+      .select("c_custkey", "acctbal", "tier")
+      .orderBy("c_custkey")
+  }
+
+  private val sqlSchemaDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   // ---------------------------------------------------------------- x30
   // Atomic predicate-scoped overwrite (Versioned.replaceWhere — Delta's
   // replaceWhere): customers land range-clustered by nation, then the
@@ -1523,5 +1566,5 @@ object ExtraQueries {
     x21HeavyHitters, x22KmvDistinct, x23BloomLookup, x24JoinMv,
     x25Bm25Serve, x26DvDelete, x27GapFill, x28CloneBranch, x29OhlcResample,
     x30ReplaceWhere, x31Ewma, x32SqlTimeTravel, x33SqlMerge, x34EwmaLong,
-    x35PinnedJoin, x36SqlUpdateDelete)
+    x35PinnedJoin, x36SqlUpdateDelete, x37SqlSchemaEvolution)
 }
