@@ -145,7 +145,17 @@ object Versioned {
       // writes NEW rows evaluates them IN the write job (rows that
       // fail abort the commit — Delta's invariant enforcement), and
       // [[addConstraint]] validates existing data before publishing
-      constraints: Map[String, String] = Map.empty)
+      constraints: Map[String, String] = Map.empty,
+      // DROP COLUMN tombstones (lowercased name → version the drop
+      // published FROM): files live at that version may still
+      // physically carry the column, so re-ADDing the name would
+      // resurrect stale values through parquet name resolution.
+      // [[addColumns]] gates on live ∩ live-at-drop = ∅ (files written
+      // post-drop align to a schema without the column, so they can
+      // never carry it); [[publishEntries]] auto-clears a tombstone the
+      // moment a commit retires the last pre-drop file — OPTIMIZE or a
+      // full overwrite heals the table with no special-casing.
+      dropped: Map[String, Long] = Map.empty)
 
   private case class MorDelete(pred: String, files: Seq[String])
 
@@ -1845,13 +1855,113 @@ object Versioned {
         s"column(s) ${dup.mkString(", ")} already exist on $root")
       require(cols.forall(_.nullable),
         "added columns must be nullable — existing rows null-fill them")
+      // re-ADD-after-DROP gate: a live file that predates the drop may
+      // still physically carry the column, and reading it under a
+      // schema that names the column again would resurrect the stale
+      // values (parquet resolves by name). Files written AFTER the
+      // drop aligned to a schema without the column, so live ∩
+      // live-at-drop = ∅ proves the name is physically gone — the
+      // tombstone clears and the add proceeds as a fresh column.
+      val live = m.files.map(_.path).toSet
+      cols.map(_.name.toLowerCase(java.util.Locale.ROOT)).foreach { n =>
+        m.dropped.get(n).foreach { dv =>
+          require(manifestFile(root, dv).isFile,
+            s"column '$n' was dropped at a version whose manifest is " +
+              s"no longer retained — cannot prove no live file still " +
+              s"carries it; OPTIMIZE (full rewrite) clears the " +
+              "tombstone, then re-add")
+          val hazard =
+            readManifest(root, dv).files.count(f => live(f.path))
+          require(hazard == 0,
+            s"column '$n' was dropped at v$dv and $hazard live " +
+              "file(s) predate the drop (they may still physically " +
+              "carry it — re-adding would resurrect stale values); " +
+              "OPTIMIZE rewrites them under the current schema, " +
+              "then re-add")
+        }
+      }
+      val cleared = m.dropped --
+        cols.map(_.name.toLowerCase(java.util.Locale.ROOT))
       val extended = org.apache.spark.sql.types.StructType(
         schema.fields ++ cols)
       publishEntries(root, m.files, latest, "schema",
         schemaJson = extended.json, mor = m.mor, dvs = m.dvs,
         carryFrom = Some(latest),
-        constraints = Some(m.constraints))
+        constraints = Some(m.constraints), dropped = Some(cleared))
     }
+
+  /** ALTER TABLE DROP COLUMNS — METADATA-ONLY, the mirror of
+    * [[addColumns]]: the commit carries the parent's file set by
+    * reference under a NARROWED schema. No data file is read, written,
+    * or moved at any table size — readers resolve parquet columns
+    * through the manifest schema, so a physically-present-but-dropped
+    * column is simply never projected. Time travel to pre-drop
+    * versions still shows (and reads) the column.
+    *
+    * The drop records a TOMBSTONE (name → this version): re-adding the
+    * same name is rejected until every file that was live at the drop
+    * has been rewritten (see [[addColumns]]), because such files still
+    * physically carry the old values. OPTIMIZE clears the hazard
+    * naturally; [[publishEntries]] removes the tombstone the moment
+    * the last pre-drop file is retired.
+    *
+    * Rejected loudly: partition columns (the layout is derived from
+    * them), columns referenced by a CHECK constraint (drop the
+    * constraint first), and columns referenced by a pending
+    * merge-on-read delete predicate (compact first) — each would make
+    * an existing manifest obligation unevaluable. */
+  def dropColumns(spark: SparkSession, root: String,
+      names: Seq[String]): Long = withOccRetry(None) {
+    require(names.nonEmpty, "dropColumns needs at least one column")
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    val m = readManifest(root, latest)
+    val schema = tableSchema(spark, root, Some(latest))
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val missing = names.filterNot(n =>
+      schema.fieldNames.exists(_.equalsIgnoreCase(n)))
+    require(missing.isEmpty,
+      s"column(s) ${missing.mkString(", ")} do not exist on $root " +
+        s"(have: ${schema.fieldNames.mkString(", ")})")
+    val dropSet = names.map(lc).toSet
+    require(schema.fields.count(f => !dropSet(lc(f.name))) > 0,
+      s"cannot drop every column of $root")
+    val partHit = m.partitionBy.filter(p => dropSet(lc(p)))
+    require(partHit.isEmpty,
+      s"cannot drop partition column(s) ${partHit.mkString(", ")} — " +
+        "the table layout is derived from them (re-layout via " +
+        "overwrite first)")
+    // a predicate the manifest must keep evaluating (CHECK constraint,
+    // pending merge-on-read delete) that references a dropped column
+    // would break every future read/write: reject, pointing at the
+    // verb that removes the obligation
+    def refs(pred: String): Set[String] =
+      spark.sessionState.sqlParser.parseExpression(pred).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          lc(a.nameParts.last)
+      }.toSet
+    m.constraints.foreach { case (cn, pred) =>
+      val hit = refs(pred).intersect(dropSet)
+      require(hit.isEmpty,
+        s"CHECK constraint '$cn' references ${hit.mkString(", ")} — " +
+          "drop the constraint first")
+    }
+    m.mor.foreach { d =>
+      val hit = refs(d.pred).intersect(dropSet)
+      require(hit.isEmpty,
+        s"pending merge-on-read delete '${d.pred}' references " +
+          s"${hit.mkString(", ")} — compact the table first")
+    }
+    val narrowed = org.apache.spark.sql.types.StructType(
+      schema.fields.filterNot(f => dropSet(lc(f.name))))
+    publishEntries(root, m.files, latest, "schema",
+      schemaJson = narrowed.json, mor = m.mor, dvs = m.dvs,
+      carryFrom = Some(latest),
+      constraints = Some(m.constraints),
+      // the hazard set is the live set at THIS commit's parent — the
+      // drop itself is file-identical, so `latest` names it exactly
+      dropped = Some(m.dropped ++ names.map(n => lc(n) -> latest)))
+  }
 
   /** Drop a CHECK constraint — metadata-only, needs no SparkSession. */
   def dropConstraint(root: String, name: String): Long = withOccRetry(None) {
@@ -2167,7 +2277,8 @@ object Versioned {
       props: Map[String, String] = Map.empty,
       dvs: Seq[DvEntry] = Nil,
       carryFrom: Option[Long] = None,
-      constraints: Option[Map[String, String]] = None): Long = {
+      constraints: Option[Map[String, String]] = None,
+      dropped: Option[Map[String, Long]] = None): Long = {
     logDir(root).mkdirs()
     val next = parent + 1
     // partitioning and CHECK constraints are table properties:
@@ -2180,6 +2291,19 @@ object Versioned {
       parentM.map(_.partitionBy).getOrElse(Nil))
     val tableConstraints = constraints.getOrElse(
       parentM.map(_.constraints).getOrElse(Map.empty))
+    // drop-column tombstones inherit like constraints, then AUTO-CLEAR:
+    // a tombstone whose last pre-drop file this commit retires (its
+    // hazard set — live files that predate the drop — went empty) is
+    // removed, so OPTIMIZE/overwrite heal the table without knowing
+    // about schema history. An unreadable drop-version manifest keeps
+    // the tombstone (conservative: can't prove the hazard empty).
+    val newLive = files.iterator.map(_.path).toSet
+    val tombstones = dropped.orElse(parentM.map(_.dropped))
+      .getOrElse(Map.empty)
+      .filter { case (_, dv) =>
+        !manifestFile(root, dv).isFile ||
+          readManifest(root, dv).files.exists(f => newLive(f.path))
+      }
     val byPath = files.iterator.map(f => f.path -> f).toMap
     val carried = carryFrom.orElse(Some(parent)).filter(_ >= 1L)
       .filter(v => manifestFile(root, v).isFile)
@@ -2200,7 +2324,7 @@ object Versioned {
       schemaJson = Option(schemaJson), cdf = cdf, mor = mor,
       partitionBy = partCols, props = props, dvs = dvs,
       ts = Some(System.currentTimeMillis()), segments = segments,
-      constraints = tableConstraints)
+      constraints = tableConstraints, dropped = tombstones)
     // the publish itself is the pluggable put-if-absent primitive:
     // exactly one of two racing writers lands v<next>, whatever the
     // backend (POSIX hard link, object-store conditional put)
@@ -2563,7 +2687,9 @@ object Versioned {
       // the restored version's segments are the ones re-referenced —
       // the rollback stays one small manifest even on a huge table
       carryFrom = Some(toVersion),
-      constraints = Some(m.constraints))
+      // schema history travels with the snapshot: the target version's
+      // tombstones (consistent with its schema) are reinstated too
+      constraints = Some(m.constraints), dropped = Some(m.dropped))
   }
 
   /** Zero-copy SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE`):
@@ -2603,7 +2729,12 @@ object Versioned {
       props = Map("cloneSource" -> srcRoot, "cloneVersion" -> v.toString),
       dvs = m.dvs.map(d =>
         d.copy(file = abs(d.file), sidecars = d.sidecars.map(abs))),
-      constraints = Some(m.constraints))
+      constraints = Some(m.constraints),
+      // the source's drop-version numbers mean nothing in the clone's
+      // log — re-anchor every tombstone to the clone's v1, whose file
+      // set (the cloned snapshot) is a superset of the true hazard
+      // set: conservative, and structurally evaluable here
+      dropped = Some(m.dropped.map { case (c, _) => c -> 1L }))
   }
 
   /** DESCRIBE HISTORY: one row per retained version, straight from the
@@ -2639,16 +2770,29 @@ object Versioned {
       minAgeMs: Long = 15L * 60 * 1000): Int = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val all = versions(root)
-    val (drop, keep) = all.splitAt(math.max(0, all.size - keepVersions))
-    val keptManifests = keep.map(readManifest(root, _))
+    val (drop0, keep0) = all.splitAt(math.max(0, all.size - keepVersions))
+    // an ACTIVE drop-column tombstone pins its drop-version manifest
+    // (one small JSON): the re-add gate needs that version's live set
+    // to prove the hazard empty, and losing it would wedge re-adds
+    // until a full rewrite. Data files of pinned manifests are NOT
+    // retained — only the manifest itself survives the sweep.
+    val pinned = keep0.lastOption
+      .map(readManifest(root, _).dropped.values.toSet)
+      .getOrElse(Set.empty)
+    val (keepExtra, drop) = drop0.partition(pinned)
+    val keptManifests = keep0.map(readManifest(root, _))
     val referenced = (keptManifests.flatMap(_.files.map(_.path)) ++
       keptManifests.flatMap(_.cdf) ++
       keptManifests.flatMap(_.dvs.flatMap(_.sidecars))).toSet
     // file-list segments share the sweep: keep any segment a retained
     // manifest references (segments are shared across versions, so one
     // keeper protects it for all); orphans — from dropped versions or
-    // commits that lost the CAS race — age out like batch dirs
-    val keptSegs = keptManifests.flatMap(_.segments).toSet
+    // commits that lost the CAS race — age out like batch dirs.
+    // Tombstone-pinned manifests keep their segments too (the re-add
+    // gate resolves the pinned version's FILE LIST through them — all
+    // small JSON; the data files themselves still age out normally)
+    val keptSegs = (keptManifests ++ keepExtra.map(readManifest(root, _)))
+      .flatMap(_.segments).toSet
     val segRoot = new File(logDir(root), "segments")
     val segCutoff = System.currentTimeMillis() - minAgeMs
     if (segRoot.isDirectory) segRoot.listFiles().foreach { f =>
@@ -2792,12 +2936,18 @@ object Versioned {
     * (as the segmented log was) fails loudly on an old reader instead
     * of silently returning partial data. Bump when a change makes old
     * readers return WRONG results rather than error. */
-  val ManifestFormat = 2 // 1 = inline files only; 2 = + segmented log
+  // 1 = inline files only; 2 = + segmented log; 3 = + drop-column
+  // tombstones. A manifest is stamped with the LOWEST format that
+  // expresses it (Delta's feature-gated protocol bump): a table that
+  // never dropped a column keeps publishing format 2, readable by any
+  // format-2 reader — only an ACTIVE tombstone (whose gate an old
+  // reader would not enforce on ADD COLUMNS) forces 3.
+  val ManifestFormat = 3
 
   private def renderJson(m: Manifest): String = {
     val filesNode = m.files.map(fileEntryNode).asJava
     val base = Map[String, Any]("version" -> m.version,
-      "format" -> ManifestFormat,
+      "format" -> (if (m.dropped.nonEmpty) 3 else 2),
       "action" -> m.action, "files" -> filesNode) ++
       (if (m.segments.isEmpty) Nil
        else Seq("segments" -> m.segments.asJava))
@@ -2813,6 +2963,10 @@ object Versioned {
       (if (m.props.isEmpty) Nil else Seq("props" -> m.props.asJava)) ++
       (if (m.constraints.isEmpty) Nil
        else Seq("constraints" -> m.constraints.asJava)) ++
+      (if (m.dropped.isEmpty) Nil
+       else Seq("dropped" -> m.dropped.map { case (c, v) =>
+         c -> java.lang.Long.valueOf(v)
+       }.asJava)) ++
       m.ts.map("ts" -> java.lang.Long.valueOf(_)) ++
       (if (m.dvs.isEmpty) Nil else Seq("dvs" -> m.dvs.map { d =>
         val base = Map[String, Any]("file" -> d.file,
@@ -2862,6 +3016,10 @@ object Versioned {
       constraints = Option(node.get("constraints"))
         .map(_.properties().asScala
           .map(e => e.getKey -> e.getValue.asText()).toMap)
+        .getOrElse(Map.empty),
+      dropped = Option(node.get("dropped"))
+        .map(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.asLong()).toMap)
         .getOrElse(Map.empty),
       dvs = Option(node.get("dvs")).map(_.elements().asScala.map { d =>
         DvEntry(d.get("file").asText(), d.get("positions").elements()

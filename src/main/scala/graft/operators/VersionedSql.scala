@@ -195,6 +195,19 @@ object VersionedSql {
         result(spark, root, "schema",
           Versioned.addColumns(spark, root, fields))
 
+      case DropColumns(table, colsToDrop, ifExists) =>
+        val root = pathOf(table)
+        require(!ifExists,
+          "IF EXISTS is not supported — a drop of a missing column " +
+            "should fail loudly")
+        val names = colsToDrop.map { f =>
+          require(f.name.size == 1,
+            s"nested column paths are not supported: ${f.name.mkString(".")}")
+          f.name.head
+        }
+        result(spark, root, "schema",
+          Versioned.dropColumns(spark, root, names))
+
       case AddCheckConstraint(table, cc) =>
         val root = pathOf(table)
         result(spark, root, "constraint",

@@ -271,6 +271,62 @@ class VersionedSqlSpec extends SparkSpec {
       Seq("id", "s", "score", "note"))
   }
 
+  test("DROP COLUMNS is metadata-only; re-add gated until rewrite") {
+    val root = freshRoot("drop")
+    Versioned.commit(spark, root,
+      Seq((1L, "a", 10.0), (2L, "b", 20.0)).toDF("id", "s", "score"),
+      statsCols = Seq("id"))
+    val filesBefore = Versioned.files(root, 1)
+    Versioned.sql(spark, s"ALTER TABLE `$root` DROP COLUMN score")
+    // zero data movement: the parent's files carry by reference
+    assert(Versioned.files(root, 2) === filesBefore)
+    assert(Versioned.read(spark, root).columns.toSeq === Seq("id", "s"))
+    // time travel still shows (and reads) the dropped column
+    assert(Versioned.readVersion(spark, root, 1)
+      .select("score").as[Double].collect().sorted === Array(10.0, 20.0))
+    // appends under the narrowed schema work; the feed skips the
+    // schema commit instead of wedging
+    Versioned.commit(spark, root, Seq((3L, "c")).toDF("id", "s"))
+    assert(Versioned.changeFeed(spark, root, 1).count() === 1)
+    // re-ADD of the dropped name is REJECTED while a pre-drop file is
+    // live: parquet name resolution would resurrect the stale 10.0/20.0
+    val e = intercept[IllegalArgumentException] {
+      Versioned.sql(spark, s"ALTER TABLE `$root` ADD COLUMNS (score DOUBLE)")
+    }
+    assert(e.getMessage.contains("predate the drop"))
+    // a DIFFERENT name is fine
+    Versioned.sql(spark, s"ALTER TABLE `$root` ADD COLUMNS (rank INT)")
+    // full rewrite retires the pre-drop files → tombstone auto-clears
+    // → re-add succeeds and existing rows are NULL, never stale values
+    Versioned.compact(spark, root, targetFiles = 1)
+    Versioned.sql(spark, s"ALTER TABLE `$root` ADD COLUMNS (score DOUBLE)")
+    val got = Versioned.read(spark, root)
+    assert(got.columns.toSeq === Seq("id", "s", "rank", "score"))
+    assert(got.filter(col("score").isNotNull).count() === 0,
+      "re-added column must null-fill, not resurrect pre-drop values")
+  }
+
+  test("DROP COLUMNS rejects partition and constraint-referenced columns") {
+    val root = freshRoot("dropg")
+    Versioned.commit(spark, root,
+      Seq((1L, "a", 5.0), (2L, "b", 6.0)).toDF("id", "part", "v"),
+      partitionBy = Seq("part"))
+    val ep = intercept[IllegalArgumentException] {
+      Versioned.sql(spark, s"ALTER TABLE `$root` DROP COLUMN part")
+    }
+    assert(ep.getMessage.contains("partition column"))
+    Versioned.sql(spark,
+      s"ALTER TABLE `$root` ADD CONSTRAINT pos CHECK (v > 0)")
+    val ec = intercept[IllegalArgumentException] {
+      Versioned.sql(spark, s"ALTER TABLE `$root` DROP COLUMN v")
+    }
+    assert(ec.getMessage.contains("drop the constraint first"))
+    // dropping the constraint unblocks the column drop
+    Versioned.sql(spark, s"ALTER TABLE `$root` DROP CONSTRAINT pos")
+    Versioned.sql(spark, s"ALTER TABLE `$root` DROP COLUMN v")
+    assert(Versioned.read(spark, root).columns.toSeq === Seq("id", "part"))
+  }
+
   test("fall-through: a plain read statement runs with the TVFs live") {
     val root = freshRoot("ro")
     Versioned.commit(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
