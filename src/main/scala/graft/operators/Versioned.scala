@@ -155,7 +155,20 @@ object Versioned {
       // never carry it); [[publishEntries]] auto-clears a tombstone the
       // moment a commit retires the last pre-drop file — OPTIMIZE or a
       // full overwrite heals the table with no special-casing.
-      dropped: Map[String, Long] = Map.empty)
+      dropped: Map[String, Long] = Map.empty,
+      // COLUMN MAPPING (Delta's column-mapping mode, Iceberg's field
+      // IDs): logical column name → the PHYSICAL parquet name it is
+      // stored under. A column's physical name is fixed at creation
+      // (its then-current name) and NEVER changes — RENAME COLUMN only
+      // updates this map, so it is one metadata commit at any table
+      // size. Absent entry = identity. Readers project files under the
+      // physical schema and alias back to logical; writers alias
+      // logical → physical just before the parquet write; file stats
+      // are keyed PHYSICAL (immutable across renames, so stats
+      // recorded before a rename keep pruning after it). [[compact]]
+      // rewrites every file under logical names and clears the map
+      // (canonicalization).
+      physNames: Map[String, String] = Map.empty)
 
   private case class MorDelete(pred: String, files: Seq[String])
 
@@ -269,7 +282,8 @@ object Versioned {
     // them would let the manifest claim a constraint the data may
     // violate, the concurrent-metadata-change abort Delta does). Only
     // the schema rules + publish re-run on a clean version conflict.
-    var written: Option[(Seq[String], Map[String, String], Seq[FileEntry])] = None
+    var written: Option[(Seq[String], Map[String, String],
+      Map[String, String], Seq[FileEntry])] = None
     withOccRetry(expectedVersion) {
       val latest = latestVersion(root)
       expectedVersion.foreach { ev =>
@@ -297,20 +311,32 @@ object Versioned {
       val schema = evolvedSchema(root, df, mode, mergeSchema)
       val constraints = latest.map(readManifest(root, _).constraints)
         .getOrElse(Map.empty[String, String])
+      // an overwrite replaces every file, so it CANONICALIZES the
+      // column mapping away (files land under logical names); appends
+      // write under the table's current mapping. Staged batches are
+      // keyed on the mapping too: a concurrent rename between staging
+      // and retry must force a rewrite, or the manifest would claim
+      // physical names the staged files don't use.
+      val phys =
+        if (mode == "overwrite") Map.empty[String, String]
+        else latest.map(readManifest(root, _).physNames)
+          .getOrElse(Map.empty[String, String])
       val entries = written.collect {
-          case (p, cs, e) if p == partCols && cs == constraints => e
+          case (p, cs, ph, e)
+            if p == partCols && cs == constraints && ph == phys => e
         }
         .getOrElse {
           val (e, _) = writeBatch(spark, root, df, statsCols, partCols,
-            bloomCols, bloomBits, bloomHashes)
-          written = Some((partCols, constraints, e)); e
+            bloomCols, bloomBits, bloomHashes, physOverride = Some(phys))
+          written = Some((partCols, constraints, phys, e)); e
         }
       val base =
         if (mode == "append") currentFiles(root, latest) else Seq.empty
       publishEntries(root, base ++ entries, latest.getOrElse(0L),
         action = mode, txn, schema, mor = carriedMor(root, latest, mode),
         partitionBy = Some(partCols), props = props,
-        dvs = carriedDvs(root, latest, mode))
+        dvs = carriedDvs(root, latest, mode),
+        physNames = if (mode == "overwrite") Some(Map.empty) else None)
     }
   }
 
@@ -365,8 +391,14 @@ object Versioned {
           s"schema enforcement: incoming columns ${added.map(_.name)
             .mkString(", ")} are not in the table at $root — pass " +
             "mergeSchema=true to evolve the schema")
-        else StructType(current.fields ++
-          added.map(_.copy(nullable = true))).json
+        else {
+          // a mergeSchema append is an ADD COLUMNS in disguise — it
+          // must pass the same stale-resurrection gates
+          latestVersion(root).foreach(v =>
+            requireAddable(root, readManifest(root, v), added.map(_.name)))
+          StructType(current.fields ++
+            added.map(_.copy(nullable = true))).json
+        }
     }
   }
 
@@ -405,31 +437,47 @@ object Versioned {
       partitionBy: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil,
       bloomBits: Int = 1 << 15,
-      bloomHashes: Int = 3): (Seq[FileEntry], String) = {
+      bloomHashes: Int = 3,
+      // column-mapping override: None = the latest manifest's mapping
+      // (every incremental verb), Some(Map.empty) = write under
+      // logical names (compact/overwrite canonicalization)
+      physOverride: Option[Map[String, String]] = None): (Seq[FileEntry], String) = {
     import org.apache.spark.sql.functions.{col => c}
+    val latestM = latestVersion(root).map(readManifest(root, _))
     // CHECK constraints ride the write job itself (no second pass):
     // each row is filtered through assert_true(coalesce(cond, true)) —
     // SQL CHECK semantics, NULL passes — so one violating row aborts
     // the write before anything publishes. Rewrite paths (delete
     // survivors, compaction) re-check committed rows, which is
     // consistent because addConstraint validated them at add time.
-    val df = latestVersion(root).map(readManifest(root, _).constraints)
+    val df = latestM.map(_.constraints)
       .getOrElse(Map.empty).foldLeft(df0) { case (d, (name, cond)) =>
         import org.apache.spark.sql.functions.{assert_true, coalesce, expr,
           isnull, lit}
         d.filter(isnull(assert_true(coalesce(expr(cond), lit(true)),
           lit(s"CHECK constraint '$name' violated: $cond"))))
       }
+    // COLUMN MAPPING write edge: alias logical → physical just before
+    // the parquet write (constraints above evaluated on the logical
+    // frame). Everything below — the write, footer stats, blooms —
+    // sees physical names; the manifest schema stays LOGICAL.
+    val phys = physOverride.getOrElse(
+      latestM.map(_.physNames).getOrElse(Map.empty))
+    def p(n: String): String = phys.getOrElse(n, n)
+    val physDf =
+      if (phys.isEmpty) df
+      else df.select(df.columns.toSeq.map(n => c(n).as(p(n))): _*)
+    val physPart = partitionBy.map(p)
     val batch = java.util.UUID.randomUUID().toString
     val batchDir = new File(new File(root, "data"), batch)
     val parquetFiles: Seq[File] =
-      if (partitionBy.isEmpty) {
-        df.write.parquet(batchDir.getPath)
+      if (physPart.isEmpty) {
+        physDf.write.parquet(batchDir.getPath)
         batchDir.listFiles().filter(_.getName.endsWith(".parquet")).toSeq
       } else {
-        val shadow = partitionBy.map(p => s"__p_$p")
-        val w = partitionBy.zip(shadow)
-          .foldLeft(df)((d, p) => d.withColumn(p._2, c(p._1)))
+        val shadow = physPart.map(pc => s"__p_$pc")
+        val w = physPart.zip(shadow)
+          .foldLeft(physDf)((d, pp) => d.withColumn(pp._2, c(pp._1)))
         w.write.partitionBy(shadow: _*).parquet(batchDir.getPath)
         val found = walkParquet(batchDir)
         found.filter(_.getPath.contains("__HIVE_DEFAULT_PARTITION__"))
@@ -440,10 +488,13 @@ object Versioned {
           }
         found
       }
+    // stats and blooms are keyed PHYSICAL: immutable across renames,
+    // so entries recorded before a rename keep pruning after it
     val entries = parquetFiles.sortBy(_.getPath)
-      .map(f => fileEntry(spark, root, f, (statsCols ++ partitionBy).distinct))
+      .map(f => fileEntry(spark, root, f,
+        (statsCols.map(p) ++ physPart).distinct))
     entries.foreach { e =>
-      partitionBy.foreach { pc =>
+      physPart.foreach { pc =>
         require(e.stats.get(pc).exists(s => s._2 == s._3),
           s"partition column $pc has no single-valued footer stats in " +
             s"${e.path} — partition columns must be non-null and of a " +
@@ -454,7 +505,7 @@ object Versioned {
     val withBlooms =
       if (bloomCols.isEmpty) entries
       else {
-        val blooms = batchBlooms(spark, parquetFiles, bloomCols,
+        val blooms = batchBlooms(spark, parquetFiles, bloomCols.map(p),
           bloomBits, bloomHashes)
         entries.map { e =>
           val abs = resolve(root, e.path).getCanonicalPath
@@ -540,7 +591,8 @@ object Versioned {
       bloomHashes: Int = 3): Boolean = {
     require(mode == "append" || mode == "overwrite",
       s"unknown commit mode: $mode")
-    var written: Option[(Seq[String], Map[String, String], Seq[FileEntry])] = None
+    var written: Option[(Seq[String], Map[String, String],
+      Map[String, String], Seq[FileEntry])] = None
     while (true) {
       if (lastCommittedBatch(root, appId).exists(_ >= batchId)) return false
       val parent = latestVersion(root)
@@ -549,27 +601,33 @@ object Versioned {
       // appends inherit the table's partition layout (streaming sinks
       // into a partitioned table keep the per-file-tuple invariant);
       // the batch data is written at most once per (layout, constraint
-      // set) — a concurrent ADD CONSTRAINT invalidates the staged
-      // batch, same as in commit()
+      // set, column mapping) — a concurrent ADD CONSTRAINT or RENAME
+      // invalidates the staged batch, same as in commit()
       val partCols =
         if (mode == "overwrite") Seq.empty[String]
         else parent.map(readManifest(root, _).partitionBy).getOrElse(Nil)
       val constraints = parent.map(readManifest(root, _).constraints)
         .getOrElse(Map.empty[String, String])
+      val phys =
+        if (mode == "overwrite") Map.empty[String, String]
+        else parent.map(readManifest(root, _).physNames)
+          .getOrElse(Map.empty[String, String])
       val entries = written.collect {
-          case (p, cs, e) if p == partCols && cs == constraints => e
+          case (p, cs, ph, e)
+            if p == partCols && cs == constraints && ph == phys => e
         }
         .getOrElse {
           val (e, _) = writeBatch(spark, root, df, statsCols, partCols,
-            bloomCols, bloomBits, bloomHashes)
-          written = Some((partCols, constraints, e)); e
+            bloomCols, bloomBits, bloomHashes, physOverride = Some(phys))
+          written = Some((partCols, constraints, phys, e)); e
         }
       val base =
         if (mode == "append") currentFiles(root, parent) else Seq.empty
       try {
         publishEntries(root, base ++ entries, parent.getOrElse(0L), mode,
           Some((appId, batchId)), schema, mor = carriedMor(root, parent, mode),
-          partitionBy = Some(partCols), dvs = carriedDvs(root, parent, mode))
+          partitionBy = Some(partCols), dvs = carriedDvs(root, parent, mode),
+          physNames = if (mode == "overwrite") Some(Map.empty) else None)
         return true
       } catch {
         case _: VersionConflictException => // table moved: re-check guard
@@ -670,13 +728,13 @@ object Versioned {
       val pieces = Seq.newBuilder[DataFrame]
       if (clean.nonEmpty)
         pieces += readAligned(spark,
-          clean.map(p => resolve(root, p).getPath), m.schemaJson)
+          clean.map(p => resolve(root, p).getPath), m.schemaJson, m.physNames)
       if (dvd.nonEmpty) {
         // ONE scan of all vectored files + ONE distributed anti-join
         // keyed on (file, position) — never a per-file plan branch or
         // a positions IN-literal, so a thousand-file wide delete reads
         // as a single hash join, not a thousand-way union
-        val raw = readWithPositions(spark, root, dvd, m.schemaJson)
+        val raw = readWithPositions(spark, root, dvd, m.schemaJson, m.physNames)
         pieces += raw.join(dvPositions(spark, root, m.dvs),
             Seq("__vfile", "__vpos"), "left_anti")
           .drop("__vfile", "__vpos")
@@ -695,15 +753,25 @@ object Versioned {
     * file column comes from an exact join against the candidate list
     * (bounded by file count), not path string surgery. */
   private def readWithPositions(spark: SparkSession, root: String,
-      relPaths: Seq[String], schemaJson: Option[String]): DataFrame = {
+      relPaths: Seq[String], schemaJson: Option[String],
+      physNames: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.functions.{broadcast, col => c, regexp_replace}
     import spark.implicits._
+    import org.apache.spark.sql.types.StructType
     val lookup = relPaths.map { p =>
       (resolve(root, p).toPath.toAbsolutePath.normalize().toString, p)
     }.toDF("__vabs", "__vfile")
-    val reader = schemaJson match {
-      case Some(json) => spark.read.schema(
-        DataType.fromJson(json).asInstanceOf[org.apache.spark.sql.types.StructType])
+    // under a column mapping the files are projected PHYSICAL and
+    // aliased back to logical after the position join (same edge as
+    // [[readAligned]])
+    val logical = schemaJson.map(j =>
+      DataType.fromJson(j).asInstanceOf[StructType])
+    val physical = logical.map(s =>
+      if (physNames.isEmpty) s
+      else StructType(s.fields.map(f =>
+        f.copy(name = physNames.getOrElse(f.name, f.name)))))
+    val reader = physical match {
+      case Some(ps) => spark.read.schema(ps)
       case None => spark.read.option("mergeSchema", "true")
     }
     val raw = reader
@@ -712,11 +780,12 @@ object Versioned {
         regexp_replace(c("_metadata.file_path"), "^file:/+", "/"))
       .withColumn("__vpos", c("_metadata.row_index"))
     val keyed = raw.join(broadcast(lookup), Seq("__vabs")).drop("__vabs")
-    schemaJson match {
-      case Some(json) => alignTo(keyed,
-        DataType.fromJson(json).asInstanceOf[org.apache.spark.sql.types.StructType],
-        extra = Seq("__vfile", "__vpos"))
-      case None => keyed
+    (logical, physical) match {
+      case (Some(ls), Some(ps)) =>
+        keyed.select(ls.fields.toSeq.zip(ps.fields).map {
+          case (lf, pf) => c(s"`${pf.name}`").as(lf.name)
+        } ++ Seq(c("__vfile"), c("__vpos")): _*)
+      case _ => keyed
     }
   }
 
@@ -767,14 +836,30 @@ object Versioned {
     * truth, so a snapshot read costs one manifest fetch plus the scan,
     * never an extra footer pass (the lake-format read economics). */
   private def readAligned(spark: SparkSession, paths: Seq[String],
-      schemaJson: Option[String]): DataFrame = {
+      schemaJson: Option[String],
+      physNames: Map[String, String] = Map.empty): DataFrame = {
     import org.apache.spark.sql.types.StructType
     schemaJson match {
       case None => // pre-schema manifest: merge the (homogeneous) footers
         spark.read.option("mergeSchema", "true").parquet(paths: _*)
       case Some(json) =>
         val schema = DataType.fromJson(json).asInstanceOf[StructType]
-        alignTo(spark.read.schema(schema).parquet(paths: _*), schema)
+        if (physNames.isEmpty)
+          alignTo(spark.read.schema(schema).parquet(paths: _*), schema)
+        else {
+          // COLUMN MAPPING read edge: project the files under the
+          // PHYSICAL schema (one scan — physical names are immutable,
+          // so every file era agrees on them), then alias back to
+          // logical. Files written before a column existed null-fill
+          // exactly as in the identity path.
+          import org.apache.spark.sql.functions.{col => c}
+          val physical = StructType(schema.fields.map(f =>
+            f.copy(name = physNames.getOrElse(f.name, f.name))))
+          val raw = spark.read.schema(physical).parquet(paths: _*)
+          raw.select(schema.fields.toSeq.zip(physical.fields).map {
+            case (lf, pf) => c(s"`${pf.name}`").as(lf.name)
+          }: _*)
+        }
     }
   }
 
@@ -837,11 +922,14 @@ object Versioned {
       version: Long, keys: DataFrame, cols: Seq[String]): Seq[String] = {
     require(cols.nonEmpty, "candidateFilesForKeys needs at least one column")
     import org.apache.spark.sql.functions.{col => c}
-    val all = readManifest(root, version).files
+    val m = readManifest(root, version)
+    val all = m.files
     val kept = cols.foldLeft(all) { (remaining, cn) =>
+      // stats are keyed PHYSICAL — probe under the storage name
+      val pn = m.physNames.getOrElse(cn, cn)
       if (remaining.isEmpty) remaining
       else partitionFilesByKeys(spark, remaining,
-        keys.select(c(cn)).distinct(), cn)._1
+        keys.select(c(cn).as(pn)).distinct(), pn)._1
     }.map(_.path)
     onKeyPrune(root, version, kept.size, all.size)
     kept
@@ -911,8 +999,14 @@ object Versioned {
     // bloom positions); the per-file loop then pays binary searches
     // and word lookups, never per-(value × file) hashing — a
     // 10⁴-value IN prunes as fast as a point lookup
-    val probes = bounds.map(compileBound)
-    readManifest(root, version).files.filter { f =>
+    val m = readManifest(root, version)
+    // stats are keyed PHYSICAL — translate bound columns through the
+    // version's column mapping before compiling probes
+    val mapped =
+      if (m.physNames.isEmpty) bounds
+      else bounds.map(b => b.copy(col = m.physNames.getOrElse(b.col, b.col)))
+    val probes = mapped.map(compileBound)
+    m.files.filter { f =>
       probes.forall(p => p(f))
     }.map(_.path)
   }
@@ -1259,16 +1353,17 @@ object Versioned {
         .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK)
     }
     try {
-      // a file is touched if ANY set may hit it
+      // a file is touched if ANY set may hit it (stats keyed PHYSICAL)
       val touchedPaths = sets.flatMap { case (cn, k) =>
-        partitionFilesByKeys(spark, m.files, k, cn)._1.map(_.path)
+        val pn = m.physNames.getOrElse(cn, cn)
+        partitionFilesByKeys(spark, m.files, k.toDF(pn), pn)._1.map(_.path)
       }.toSet
       val (touched, untouched) =
         m.files.partition(f => touchedPaths(f.path))
       if (touched.isEmpty) latest
       else {
         val base0 = readAligned(spark,
-          touched.map(f => resolve(root, f.path).getPath), m.schemaJson)
+          touched.map(f => resolve(root, f.path).getPath), m.schemaJson, m.physNames)
         // the touched files feed one anti leg per set (plus semi legs
         // under cdf) — persist so they read once
         val base = base0
@@ -1444,12 +1539,13 @@ object Versioned {
     // below keeps everything), and footer min/max never cover nulls —
     // they are pure inserts, so they touch no file. The keys frame
     // stays distributed; only per-file hit rows come back.
-    val (touched, untouched) =
-      partitionFilesByKeys(spark, m.files, aligned.select(c(key)), key)
+    val physKey = m.physNames.getOrElse(key, key)
+    val (touched, untouched) = partitionFilesByKeys(spark, m.files,
+      aligned.select(c(key).as(physKey)), physKey)
     val base0: Option[DataFrame] =
       if (touched.isEmpty) None
       else Some(readAligned(spark,
-        touched.map(f => resolve(root, f.path).getPath), m.schemaJson))
+        touched.map(f => resolve(root, f.path).getPath), m.schemaJson, m.physNames))
     // with cdf the touched files and the key set each feed 2–3 branches
     // (rewrite + preimage; anti + semi joins) — persist them so the
     // merge reads each touched file once, not three times; both are
@@ -1568,7 +1664,7 @@ object Versioned {
           if (mixed.isEmpty) Nil
           else {
             val base = readAligned(spark,
-              mixed.map(f => resolve(root, f.path).getPath), m.schemaJson)
+              mixed.map(f => resolve(root, f.path).getPath), m.schemaJson, m.physNames)
             val kept = base.join(
               aligned.select(m.partitionBy.map(c): _*).distinct(),
               m.partitionBy, "left_anti")
@@ -1630,7 +1726,7 @@ object Versioned {
     if (touched.isEmpty) latest
     else {
       val base = readAligned(spark,
-        touched.map(f => resolve(root, f.path).getPath), m.schemaJson)
+        touched.map(f => resolve(root, f.path).getPath), m.schemaJson, m.physNames)
       val kept = base.filter(not(coalesce(cond, lit(false))))
       val cdfPaths =
         if (!cdf) Nil
@@ -1699,7 +1795,7 @@ object Versioned {
     if (touched.isEmpty) latest
     else {
       val base0 = readAligned(spark,
-        touched.map(f => resolve(root, f.path).getPath), m.schemaJson)
+        touched.map(f => resolve(root, f.path).getPath), m.schemaJson, m.physNames)
       val base = if (cdf) base0.persist() else base0
       try {
         val asg = assignments.toMap
@@ -1782,7 +1878,7 @@ object Versioned {
     val survivors =
       if (touched.isEmpty) None
       else Some(readAligned(spark,
-          touched.map(f => resolve(root, f.path).getPath), m.schemaJson)
+          touched.map(f => resolve(root, f.path).getPath), m.schemaJson, m.physNames)
         .filter(not(coalesce(cond, lit(false)))))
     val toWrite = survivors.map(_.unionByName(fenced, allowMissingColumns = true))
       .getOrElse(fenced)
@@ -1855,31 +1951,7 @@ object Versioned {
         s"column(s) ${dup.mkString(", ")} already exist on $root")
       require(cols.forall(_.nullable),
         "added columns must be nullable — existing rows null-fill them")
-      // re-ADD-after-DROP gate: a live file that predates the drop may
-      // still physically carry the column, and reading it under a
-      // schema that names the column again would resurrect the stale
-      // values (parquet resolves by name). Files written AFTER the
-      // drop aligned to a schema without the column, so live ∩
-      // live-at-drop = ∅ proves the name is physically gone — the
-      // tombstone clears and the add proceeds as a fresh column.
-      val live = m.files.map(_.path).toSet
-      cols.map(_.name.toLowerCase(java.util.Locale.ROOT)).foreach { n =>
-        m.dropped.get(n).foreach { dv =>
-          require(manifestFile(root, dv).isFile,
-            s"column '$n' was dropped at a version whose manifest is " +
-              s"no longer retained — cannot prove no live file still " +
-              s"carries it; OPTIMIZE (full rewrite) clears the " +
-              "tombstone, then re-add")
-          val hazard =
-            readManifest(root, dv).files.count(f => live(f.path))
-          require(hazard == 0,
-            s"column '$n' was dropped at v$dv and $hazard live " +
-              "file(s) predate the drop (they may still physically " +
-              "carry it — re-adding would resurrect stale values); " +
-              "OPTIMIZE rewrites them under the current schema, " +
-              "then re-add")
-        }
-      }
+      requireAddable(root, m, cols.map(_.name))
       val cleared = m.dropped --
         cols.map(_.name.toLowerCase(java.util.Locale.ROOT))
       val extended = org.apache.spark.sql.types.StructType(
@@ -1889,6 +1961,121 @@ object Versioned {
         carryFrom = Some(latest),
         constraints = Some(m.constraints), dropped = Some(cleared))
     }
+
+  /** A predicate the manifest must keep evaluating (CHECK constraint,
+    * pending merge-on-read delete) that references a dropped or renamed
+    * column would break every future read/write: reject, pointing at
+    * the verb that removes the obligation. `cols` are lowercased. */
+  private def requirePredsFree(spark: SparkSession, m: Manifest,
+      cols: Set[String]): Unit = {
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    def refs(pred: String): Set[String] =
+      spark.sessionState.sqlParser.parseExpression(pred).collect {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+          lc(a.nameParts.last)
+      }.toSet
+    m.constraints.foreach { case (cn, pred) =>
+      val hit = refs(pred).intersect(cols)
+      require(hit.isEmpty,
+        s"CHECK constraint '$cn' references ${hit.mkString(", ")} — " +
+          "drop the constraint first")
+    }
+    m.mor.foreach { d =>
+      val hit = refs(d.pred).intersect(cols)
+      require(hit.isEmpty,
+        s"pending merge-on-read delete '${d.pred}' references " +
+          s"${hit.mkString(", ")} — compact the table first")
+    }
+  }
+
+  /** ALTER TABLE RENAME COLUMN — METADATA-ONLY at any table size, via
+    * COLUMN MAPPING (Delta's column-mapping mode, Iceberg's field-ID
+    * indirection): a column's PHYSICAL parquet name is fixed at
+    * creation and never changes, so a rename is one manifest commit
+    * that updates only the logical→physical map. Readers project files
+    * under physical names and alias back; writers alias logical →
+    * physical at the write edge; file stats stay keyed physical, so
+    * stats recorded before the rename keep pruning after it. Time
+    * travel shows each version's own logical name. [[compact]]
+    * rewrites every file under the current logical names and clears
+    * the mapping (canonicalization).
+    *
+    * Rejected loudly (same reasons as [[dropColumns]]): partition
+    * columns, and columns referenced by a CHECK constraint or a
+    * pending merge-on-read predicate — each names the column by its
+    * logical text and would silently stop resolving. */
+  def renameColumn(spark: SparkSession, root: String, from: String,
+      to: String): Long = withOccRetry(None) {
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    val m = readManifest(root, latest)
+    val schema = tableSchema(spark, root, Some(latest))
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val field = schema.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
+      throw new IllegalArgumentException(
+        s"column '$from' does not exist on $root " +
+          s"(have: ${schema.fieldNames.mkString(", ")})"))
+    require(!schema.fieldNames.exists(_.equalsIgnoreCase(to)),
+      s"column '$to' already exists on $root")
+    require(!m.partitionBy.exists(_.equalsIgnoreCase(from)),
+      s"cannot rename partition column '$from' — the table layout is " +
+        "derived from it (re-layout via overwrite first)")
+    requirePredsFree(spark, m, Set(lc(field.name)))
+    val physical = m.physNames.getOrElse(field.name, field.name)
+    val renamed = org.apache.spark.sql.types.StructType(schema.fields.map(
+      f => if (f.name == field.name) f.copy(name = to) else f))
+    // renaming BACK to the physical name restores identity — the
+    // mapping entry (and with it the format bump) retires
+    val base = m.physNames - field.name
+    val newMap =
+      if (physical.equalsIgnoreCase(to)) base else base + (to -> physical)
+    publishEntries(root, m.files, latest, "schema",
+      schemaJson = renamed.json, mor = m.mor, dvs = m.dvs,
+      carryFrom = Some(latest), constraints = Some(m.constraints),
+      physNames = Some(newMap))
+  }
+
+  /** The stale-resurrection gates every column ADDITION must pass —
+    * explicit [[addColumns]] and mergeSchema appends alike. A new
+    * column's PHYSICAL storage name is its own name, so: (1) re-ADD
+    * after DROP — a live file that predates the drop may still
+    * physically carry the name, and reading it under a schema that
+    * names the column again would resurrect the stale values (parquet
+    * resolves by name). Files written AFTER the drop aligned to a
+    * schema without the column, so live ∩ live-at-drop = ∅ proves the
+    * name is physically gone. (2) a name that is the physical storage
+    * name of a RENAMED live column would make two logical columns
+    * share one parquet column. */
+  private def requireAddable(root: String, m: Manifest,
+      names: Seq[String]): Unit = {
+    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+    val physInUse = m.physNames.map { case (l, p) => lc(p) -> l }
+    val live = m.files.map(_.path).toSet
+    names.foreach { n0 =>
+      val n = lc(n0)
+      physInUse.get(n).foreach { logical =>
+        throw new IllegalArgumentException(
+          s"column name '$n0' is the physical storage name of column " +
+            s"'$logical' (renamed) — OPTIMIZE normalizes physical " +
+            "names, then re-add")
+      }
+      m.dropped.get(n).foreach { dv =>
+        require(manifestFile(root, dv).isFile,
+          s"column '$n0' was dropped at a version whose manifest is " +
+            "no longer retained — cannot prove no live file still " +
+            "carries it; OPTIMIZE (full rewrite) clears the " +
+            "tombstone, then re-add")
+        val hazard =
+          readManifest(root, dv).files.count(f => live(f.path))
+        require(hazard == 0,
+          s"column '$n0' was dropped at v$dv and $hazard live " +
+            "file(s) predate the drop (they may still physically " +
+            "carry it — re-adding would resurrect stale values); " +
+            "OPTIMIZE rewrites them under the current schema, " +
+            "then re-add")
+      }
+    }
+  }
 
   /** ALTER TABLE DROP COLUMNS — METADATA-ONLY, the mirror of
     * [[addColumns]]: the commit carries the parent's file set by
@@ -1931,36 +2118,23 @@ object Versioned {
       s"cannot drop partition column(s) ${partHit.mkString(", ")} — " +
         "the table layout is derived from them (re-layout via " +
         "overwrite first)")
-    // a predicate the manifest must keep evaluating (CHECK constraint,
-    // pending merge-on-read delete) that references a dropped column
-    // would break every future read/write: reject, pointing at the
-    // verb that removes the obligation
-    def refs(pred: String): Set[String] =
-      spark.sessionState.sqlParser.parseExpression(pred).collect {
-        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
-          lc(a.nameParts.last)
-      }.toSet
-    m.constraints.foreach { case (cn, pred) =>
-      val hit = refs(pred).intersect(dropSet)
-      require(hit.isEmpty,
-        s"CHECK constraint '$cn' references ${hit.mkString(", ")} — " +
-          "drop the constraint first")
-    }
-    m.mor.foreach { d =>
-      val hit = refs(d.pred).intersect(dropSet)
-      require(hit.isEmpty,
-        s"pending merge-on-read delete '${d.pred}' references " +
-          s"${hit.mkString(", ")} — compact the table first")
-    }
+    requirePredsFree(spark, m, dropSet)
     val narrowed = org.apache.spark.sql.types.StructType(
       schema.fields.filterNot(f => dropSet(lc(f.name))))
+    // tombstones record the PHYSICAL storage name (what the files
+    // actually carry — for a renamed column that differs from the
+    // logical name being dropped); its mapping entry retires with it
+    val droppedFields = schema.fields.filter(f => dropSet(lc(f.name)))
+    val physTombs = droppedFields.map(f =>
+      lc(m.physNames.getOrElse(f.name, f.name)) -> latest)
     publishEntries(root, m.files, latest, "schema",
       schemaJson = narrowed.json, mor = m.mor, dvs = m.dvs,
       carryFrom = Some(latest),
       constraints = Some(m.constraints),
       // the hazard set is the live set at THIS commit's parent — the
       // drop itself is file-identical, so `latest` names it exactly
-      dropped = Some(m.dropped ++ names.map(n => lc(n) -> latest)))
+      dropped = Some(m.dropped ++ physTombs),
+      physNames = Some(m.physNames -- droppedFields.map(_.name)))
   }
 
   /** Drop a CHECK constraint — metadata-only, needs no SparkSession. */
@@ -2080,7 +2254,7 @@ object Versioned {
     // one stats-pruned scan: the (file, position) key of every matching
     // row, minus positions already vectored (logically gone — only
     // TRULY new positions justify a version); both sides distributed
-    val fresh = readWithPositions(spark, root, candidates, m.schemaJson)
+    val fresh = readWithPositions(spark, root, candidates, m.schemaJson, m.physNames)
       .filter(coalesce(cond, lit(false)))
       .select("__vfile", "__vpos")
       .join(dvPositions(spark, root, m.dvs),
@@ -2148,12 +2322,22 @@ object Versioned {
   private def resolvedPredicate(spark: SparkSession, root: String,
       cond: Column): Expression = {
     val probe = emptyLike(spark, root).filter(cond)
-    org.apache.spark.sql.GraftShims.analyzed(probe)
+    val resolved = org.apache.spark.sql.GraftShims.analyzed(probe)
       .collectFirst {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
           f.condition
       }
       .getOrElse(Literal(true)) // analyzer elided the filter → no skip
+    // COLUMN MAPPING: [[mayMatch]] consults file stats, which are keyed
+    // by PHYSICAL name — rewrite attribute references before any stats
+    // probe (every consumer evaluates against the latest version)
+    val phys = latestVersion(root)
+      .map(readManifest(root, _).physNames).getOrElse(Map.empty)
+    if (phys.isEmpty) resolved
+    else resolved.transform {
+      case a: AttributeReference if phys.contains(a.name) =>
+        a.withName(phys(a.name))
+    }
   }
 
   /** Can a row of a file with these stats satisfy `e`? Conservative:
@@ -2278,7 +2462,8 @@ object Versioned {
       dvs: Seq[DvEntry] = Nil,
       carryFrom: Option[Long] = None,
       constraints: Option[Map[String, String]] = None,
-      dropped: Option[Map[String, Long]] = None): Long = {
+      dropped: Option[Map[String, Long]] = None,
+      physNames: Option[Map[String, String]] = None): Long = {
     logDir(root).mkdirs()
     val next = parent + 1
     // partitioning and CHECK constraints are table properties:
@@ -2291,6 +2476,12 @@ object Versioned {
       parentM.map(_.partitionBy).getOrElse(Nil))
     val tableConstraints = constraints.getOrElse(
       parentM.map(_.constraints).getOrElse(Map.empty))
+    // the column mapping inherits like constraints: physical names are
+    // immutable, so only RENAME (sets it), compact/overwrite
+    // (canonicalize it away), and restore/clone (reinstate the
+    // source's) ever pass an explicit value
+    val tablePhys = physNames.getOrElse(
+      parentM.map(_.physNames).getOrElse(Map.empty))
     // drop-column tombstones inherit like constraints, then AUTO-CLEAR:
     // a tombstone whose last pre-drop file this commit retires (its
     // hazard set — live files that predate the drop — went empty) is
@@ -2324,7 +2515,8 @@ object Versioned {
       schemaJson = Option(schemaJson), cdf = cdf, mor = mor,
       partitionBy = partCols, props = props, dvs = dvs,
       ts = Some(System.currentTimeMillis()), segments = segments,
-      constraints = tableConstraints, dropped = tombstones)
+      constraints = tableConstraints, dropped = tombstones,
+      physNames = tablePhys)
     // the publish itself is the pluggable put-if-absent primitive:
     // exactly one of two racing writers lands v<next>, whatever the
     // backend (POSIX hard link, object-store conditional put)
@@ -2404,8 +2596,13 @@ object Versioned {
     }
     val paths = added.result()
     if (paths.isEmpty) emptyLike(spark, root)
-    else readAligned(spark, paths.map(p => resolve(root, p).getPath),
-      readManifest(root, upTo).schemaJson) // the window's latest schema
+    else {
+      // the window's latest schema + mapping (physical names are
+      // immutable, so the latest mapping reads every file era)
+      val upM = readManifest(root, upTo)
+      readAligned(spark, paths.map(p => resolve(root, p).getPath),
+        upM.schemaJson, upM.physNames)
+    }
   }
 
   /** The ROW-LEVEL change feed (Delta CDF semantics): every change in
@@ -2431,7 +2628,9 @@ object Versioned {
     val upTo = untilVersion.orElse(latestVersion(root)).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root"))
     val vs = versions(root).filter(v => v > afterVersion && v <= upTo)
-    val schemaJson = readManifest(root, upTo).schemaJson
+    val upM = readManifest(root, upTo)
+    val schemaJson = upM.schemaJson
+    val physNames = upM.physNames
     var prev: Set[String] =
       if (afterVersion == 0L) Set.empty else files(root, afterVersion).toSet
     var prevDvs: Seq[DvEntry] =
@@ -2448,7 +2647,7 @@ object Versioned {
           val added = cur.filterNot(prev)
           if (added.nonEmpty)
             pieces += readAligned(spark,
-              added.map(p => resolve(root, p).getPath), schemaJson)
+              added.map(p => resolve(root, p).getPath), schemaJson, physNames)
               .withColumn("_change_type", lit("insert"))
               .withColumn("_commit_version", lit(v))
         case "compact" => // row-identical: nothing to emit
@@ -2480,7 +2679,7 @@ object Versioned {
           val affected = freshPos.select("__vfile").distinct()
             .collect().map(_.getString(0)).toSeq.sorted // ≤ file count
           if (affected.nonEmpty)
-            pieces += readWithPositions(spark, root, affected, schemaJson)
+            pieces += readWithPositions(spark, root, affected, schemaJson, physNames)
               .join(freshPos, Seq("__vfile", "__vpos"), "left_semi")
               .drop("__vfile", "__vpos")
               .withColumn("_change_type", lit("delete"))
@@ -2577,10 +2776,13 @@ object Versioned {
       // overwrite MECHANICS (new files replace the live set) but its own
       // manifest ACTION: a compaction is row-identical, so the change
       // feeds may skip it losslessly where a true overwrite must fail
+      // a full rewrite CANONICALIZES the column mapping: every row
+      // re-lands under logical names, so the mapping (and, via the
+      // publish-time auto-clear, any drop tombstone) retires here
       val (entries, _) = writeBatch(spark, root, snapshot, statsCols, part,
-        bloomCols, bloomBits, bloomHashes)
+        bloomCols, bloomBits, bloomHashes, physOverride = Some(Map.empty))
       publishEntries(root, entries, latest, action = "compact",
-        schemaJson = snapshot.schema.json)
+        schemaJson = snapshot.schema.json, physNames = Some(Map.empty))
     }
 
   /** OPTIMIZE ZORDER for the versioned table: a full rewrite (same
@@ -2611,12 +2813,13 @@ object Versioned {
         snapshot.repartitionByRange(nOut, c(cols.head))
           .sortWithinPartitions(cols.head)
       } else ZOrder.cluster(snapshot, cols, nOut)
+    // full rewrite: canonicalize the column mapping like [[compact]]
     val (entries, _) = writeBatch(spark, root, clustered,
       (statsCols ++ cols).distinct, m.partitionBy,
-      bloomCols, bloomBits, bloomHashes)
+      bloomCols, bloomBits, bloomHashes, physOverride = Some(Map.empty))
     publishEntries(root, entries, latest, action = "compact",
       schemaJson = m.schemaJson.orNull,
-      partitionBy = Some(m.partitionBy))
+      partitionBy = Some(m.partitionBy), physNames = Some(Map.empty))
   }
 
   /** Incremental OPTIMIZE: bin-pack only files SMALLER than
@@ -2688,8 +2891,10 @@ object Versioned {
       // the rollback stays one small manifest even on a huge table
       carryFrom = Some(toVersion),
       // schema history travels with the snapshot: the target version's
-      // tombstones (consistent with its schema) are reinstated too
-      constraints = Some(m.constraints), dropped = Some(m.dropped))
+      // tombstones and column mapping (consistent with its schema) are
+      // reinstated too
+      constraints = Some(m.constraints), dropped = Some(m.dropped),
+      physNames = Some(m.physNames))
   }
 
   /** Zero-copy SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE`):
@@ -2733,8 +2938,11 @@ object Versioned {
       // the source's drop-version numbers mean nothing in the clone's
       // log — re-anchor every tombstone to the clone's v1, whose file
       // set (the cloned snapshot) is a superset of the true hazard
-      // set: conservative, and structurally evaluable here
-      dropped = Some(m.dropped.map { case (c, _) => c -> 1L }))
+      // set: conservative, and structurally evaluable here. The column
+      // mapping carries verbatim: physical names are properties of the
+      // shared files themselves.
+      dropped = Some(m.dropped.map { case (c, _) => c -> 1L }),
+      physNames = Some(m.physNames))
   }
 
   /** DESCRIBE HISTORY: one row per retained version, straight from the
@@ -2937,17 +3145,20 @@ object Versioned {
     * of silently returning partial data. Bump when a change makes old
     * readers return WRONG results rather than error. */
   // 1 = inline files only; 2 = + segmented log; 3 = + drop-column
-  // tombstones. A manifest is stamped with the LOWEST format that
-  // expresses it (Delta's feature-gated protocol bump): a table that
-  // never dropped a column keeps publishing format 2, readable by any
-  // format-2 reader — only an ACTIVE tombstone (whose gate an old
-  // reader would not enforce on ADD COLUMNS) forces 3.
-  val ManifestFormat = 3
+  // tombstones; 4 = + column mapping. A manifest is stamped with the
+  // LOWEST format that expresses it (Delta's feature-gated protocol
+  // bump): a table that never dropped or renamed a column keeps
+  // publishing format 2, readable by any format-2 reader — only an
+  // ACTIVE tombstone (whose gate an old reader would not enforce on
+  // ADD COLUMNS) forces 3, and an active column mapping (which an old
+  // reader would misread as null columns) forces 4.
+  val ManifestFormat = 4
 
   private def renderJson(m: Manifest): String = {
     val filesNode = m.files.map(fileEntryNode).asJava
     val base = Map[String, Any]("version" -> m.version,
-      "format" -> (if (m.dropped.nonEmpty) 3 else 2),
+      "format" -> (if (m.physNames.nonEmpty) 4
+                   else if (m.dropped.nonEmpty) 3 else 2),
       "action" -> m.action, "files" -> filesNode) ++
       (if (m.segments.isEmpty) Nil
        else Seq("segments" -> m.segments.asJava))
@@ -2967,6 +3178,8 @@ object Versioned {
        else Seq("dropped" -> m.dropped.map { case (c, v) =>
          c -> java.lang.Long.valueOf(v)
        }.asJava)) ++
+      (if (m.physNames.isEmpty) Nil
+       else Seq("physNames" -> m.physNames.asJava)) ++
       m.ts.map("ts" -> java.lang.Long.valueOf(_)) ++
       (if (m.dvs.isEmpty) Nil else Seq("dvs" -> m.dvs.map { d =>
         val base = Map[String, Any]("file" -> d.file,
@@ -3020,6 +3233,10 @@ object Versioned {
       dropped = Option(node.get("dropped"))
         .map(_.properties().asScala
           .map(e => e.getKey -> e.getValue.asLong()).toMap)
+        .getOrElse(Map.empty),
+      physNames = Option(node.get("physNames"))
+        .map(_.properties().asScala
+          .map(e => e.getKey -> e.getValue.asText()).toMap)
         .getOrElse(Map.empty),
       dvs = Option(node.get("dvs")).map(_.elements().asScala.map { d =>
         DvEntry(d.get("file").asText(), d.get("positions").elements()

@@ -195,6 +195,13 @@ object VersionedSql {
         result(spark, root, "schema",
           Versioned.addColumns(spark, root, fields))
 
+      case RenameColumn(table, column, newName) =>
+        val root = pathOf(table)
+        require(column.name.size == 1,
+          s"nested column paths are not supported: ${column.name.mkString(".")}")
+        result(spark, root, "schema",
+          Versioned.renameColumn(spark, root, column.name.head, newName))
+
       case DropColumns(table, colsToDrop, ifExists) =>
         val root = pathOf(table)
         require(!ifExists,

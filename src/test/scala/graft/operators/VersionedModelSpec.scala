@@ -65,7 +65,7 @@ class VersionedModelSpec extends SparkSpec {
         statsCols = Seq("id", "tag")))
 
       for (step <- 1 to 25) {
-        rnd.nextInt(13) match {
+        rnd.nextInt(15) match {
           case 0 | 1 | 2 =>
             val rows = fresh(1 + rnd.nextInt(15), s"s$step")
             model = model ++ rows
@@ -152,6 +152,26 @@ class VersionedModelSpec extends SparkSpec {
                  |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
               .select("version").as[Long].head()
             record(v)
+          case 13 =>
+            // column-mapping round-trip (round 7): rename tag → a
+            // step-unique name, append THROUGH the mapping, rename
+            // back — values must survive, and the interleaved write
+            // must land under the immutable physical name
+            Versioned.renameColumn(spark, root, "tag", s"label$step")
+            val rows = fresh(1 + rnd.nextInt(5), s"r$step")
+            model = model ++ rows
+            Versioned.commit(spark, root,
+              rows.toSeq.toDF("id", s"label$step").coalesce(1),
+              statsCols = Seq("id", s"label$step"))
+            record(Versioned.renameColumn(spark, root, s"label$step", "tag"))
+          case 14 =>
+            // metadata-only ADD then DROP of a throwaway column
+            // (round 7): schema commits interleave with every other
+            // verb's segment carry / restore / compact machinery
+            Versioned.addColumns(spark, root, Seq(
+              org.apache.spark.sql.types.StructField(s"x$step",
+                org.apache.spark.sql.types.DoubleType)))
+            record(Versioned.dropColumns(spark, root, Seq(s"x$step")))
         }
       }
 
