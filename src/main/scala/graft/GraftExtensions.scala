@@ -220,6 +220,13 @@ object GraftExtensions {
           "graft_history(path) - one row per retained version"),
         (args: Seq[Expression]) =>
           plan(Versioned.history(session, stringArg(args.head)))),
+      (FunctionIdentifier("graft_schema"),
+        info("graft_schema",
+          "graft_schema(path) - one row per (retained version, column): " +
+            "the schema-evolution history, physical storage names " +
+            "included"),
+        (args: Seq[Expression]) =>
+          plan(Versioned.schemaHistory(session, stringArg(args.head)))),
       (FunctionIdentifier("graft_files"),
         info("graft_files",
           "graft_files(path) - the current snapshot's live files"),

@@ -2945,6 +2945,77 @@ object Versioned {
       physNames = Some(m.physNames))
   }
 
+  /** CREATE TABLE: publish version 1 of an EMPTY table — zero data
+    * files, just the declared schema (and optional hive-layout
+    * partition columns) in the manifest. The empty snapshot reads as
+    * a zero-row frame of exactly this schema; the first real append
+    * inherits the layout. Idempotent via `ifNotExists` (returns the
+    * existing latest version instead of failing). The action is
+    * "append" (of nothing): change-feed consumers see an empty window,
+    * never a wedge. */
+  def createTable(spark: SparkSession, root: String,
+      schema: org.apache.spark.sql.types.StructType,
+      partitionBy: Seq[String] = Nil,
+      ifNotExists: Boolean = false): Long = withOccRetry(None) {
+    latestVersion(root) match {
+      case Some(v) =>
+        if (ifNotExists) v
+        else throw new IllegalArgumentException(
+          s"table at $root already exists (latest version $v)")
+      case None =>
+        require(schema.fields.nonEmpty, "CREATE TABLE needs columns")
+        val missing = partitionBy.filterNot(p =>
+          schema.fieldNames.exists(_.equalsIgnoreCase(p)))
+        require(missing.isEmpty,
+          s"partition column(s) ${missing.mkString(", ")} are not in " +
+            "the declared schema")
+        publishEntries(root, Nil, 0L, "append",
+          schemaJson = schema.json, partitionBy = Some(partitionBy))
+        // a racing CREATE loses the CAS and retries into the
+        // Some(v) branch above — ifNotExists decides noop vs error
+    }
+  }
+
+  /** TRUNCATE TABLE — METADATA-ONLY at any table size: one manifest
+    * commit whose live set is empty (action "overwrite", so change
+    * feeds treat it exactly like any other full replacement). Schema,
+    * partition layout, and CHECK constraints survive; pending
+    * merge-on-read deletes and deletion vectors are moot and dropped;
+    * drop-column tombstones auto-clear (no live file can carry
+    * anything). The truncated-away files stay referenced by RETAINED
+    * history (time travel still works) and age out through vacuum. */
+  def truncate(root: String): Long = withOccRetry(None) {
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    val m = readManifest(root, latest)
+    publishEntries(root, Nil, latest, "overwrite",
+      schemaJson = m.schemaJson.orNull,
+      partitionBy = Some(m.partitionBy),
+      constraints = Some(m.constraints),
+      physNames = Some(Map.empty))
+  }
+
+  /** Schema history: one row per (retained version, column) — the SQL
+    * window into schema evolution (which version added, dropped, or
+    * renamed what; which physical name a logical column resolves to).
+    * Driver-side like [[history]]: the log is O(versions) of small
+    * JSON. Pre-schema manifests (no recorded schemaJson) are skipped. */
+  def schemaHistory(spark: SparkSession, root: String): DataFrame = {
+    import spark.implicits._
+    versions(root).flatMap { v =>
+      val m = readManifest(root, v)
+      m.schemaJson.toSeq.flatMap { json =>
+        val s = org.apache.spark.sql.types.DataType.fromJson(json)
+          .asInstanceOf[org.apache.spark.sql.types.StructType]
+        s.fields.toSeq.zipWithIndex.map { case (f, i) =>
+          (v, m.action, i, f.name, f.dataType.sql, f.nullable,
+            m.physNames.getOrElse(f.name, f.name))
+        }
+      }
+    }.toDF("version", "action", "ordinal", "column", "type", "nullable",
+      "physical_name")
+  }
+
   /** DESCRIBE HISTORY: one row per retained version, straight from the
     * manifest log. Driver-side by design — the log is O(versions) of
     * small JSON, never O(data). `num_rows`/`num_bytes` are file-level

@@ -195,6 +195,40 @@ object VersionedSql {
         result(spark, root, "schema",
           Versioned.addColumns(spark, root, fields))
 
+      case CreateTable(name, columns, partitioning, _, ignoreIfExists) =>
+        val root = pathOf(name)
+        val fields = columns.map { cd =>
+          require(cd.defaultValue.isEmpty && cd.generationExpression.isEmpty,
+            s"column '${cd.name}': DEFAULT and GENERATED columns are " +
+              "not supported")
+          org.apache.spark.sql.types.StructField(
+            cd.name, cd.dataType, cd.nullable)
+        }
+        result(spark, root, "create",
+          Versioned.createTable(spark, root,
+            org.apache.spark.sql.types.StructType(fields),
+            partitionColsOf(partitioning), ifNotExists = ignoreIfExists))
+
+      case CreateTableAsSelect(name, partitioning, query, _, writeOptions,
+          ignoreIfExists, _) =>
+        val root = pathOf(name)
+        require(writeOptions.isEmpty,
+          "CTAS write OPTIONS are not supported")
+        Versioned.latestVersion(root) match {
+          case Some(v) =>
+            require(ignoreIfExists,
+              s"table at $root already exists (latest version $v)")
+            result(spark, root, "create", v)
+          case None =>
+            result(spark, root, "create",
+              Versioned.commit(spark, root, GraftShims.ofRows(spark, query),
+                partitionBy = partitionColsOf(partitioning)))
+        }
+
+      case TruncateTable(table) =>
+        val root = pathOf(table)
+        result(spark, root, "truncate", Versioned.truncate(root))
+
       case RenameColumn(table, column, newName) =>
         val root = pathOf(table)
         require(column.name.size == 1,
@@ -246,6 +280,8 @@ object VersionedSql {
     case f: Filter => pathOf(f.child)
     case r: UnresolvedRelation => ident(r.multipartIdentifier)
     case t: UnresolvedTable => ident(t.multipartIdentifier)
+    case i: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+      ident(i.nameParts)
     case other => throw new IllegalArgumentException(
       s"cannot resolve a versioned-table path from $other — name the " +
         "table by its filesystem path as one backquoted identifier, " +
@@ -272,6 +308,21 @@ object VersionedSql {
   }
 
   /** The target's declared alias, when one was written. */
+  /** Hive-layout partition columns from DSv2 transforms: only identity
+    * partitioning maps onto the versioned table's per-file-tuple
+    * layout; bucket/temporal transforms are rejected loudly. */
+  private def partitionColsOf(
+      ts: Seq[org.apache.spark.sql.connector.expressions.Transform])
+      : Seq[String] = ts.map { t =>
+    require(t.name == "identity",
+      s"unsupported PARTITIONED BY transform: $t — only identity " +
+        "(plain column) partitioning maps onto the hive-layout table")
+    val parts = t.references()(0).fieldNames.toSeq
+    require(parts.size == 1,
+      s"nested partition column not supported: ${parts.mkString(".")}")
+    parts.head
+  }
+
   private def aliasOf(plan: LogicalPlan): Option[String] = plan match {
     case SubqueryAlias(id, _) => Some(id.name)
     case _ => None

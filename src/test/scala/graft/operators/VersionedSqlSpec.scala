@@ -327,6 +327,54 @@ class VersionedSqlSpec extends SparkSpec {
     assert(Versioned.read(spark, root).columns.toSeq === Seq("id", "part"))
   }
 
+  test("CREATE TABLE / CTAS / TRUNCATE dispatch; graft_schema shows " +
+      "evolution") {
+    val root = freshRoot("ct")
+    Versioned.sql(spark,
+      s"CREATE TABLE `$root` (id BIGINT, part STRING, v DOUBLE) " +
+        "PARTITIONED BY (part)")
+    // the empty table reads as zero rows of exactly the declared shape
+    val empty = Versioned.read(spark, root)
+    assert(empty.columns.toSeq === Seq("id", "part", "v"))
+    assert(empty.count() === 0)
+    // duplicate CREATE fails; IF NOT EXISTS is a noop
+    intercept[IllegalArgumentException] {
+      Versioned.sql(spark, s"CREATE TABLE `$root` (x INT)")
+    }
+    Versioned.sql(spark, s"CREATE TABLE IF NOT EXISTS `$root` (x INT)")
+    assert(Versioned.read(spark, root).columns.toSeq ===
+      Seq("id", "part", "v"))
+    // the first append inherits the declared partition layout
+    Versioned.commit(spark, root,
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "part", "v"))
+    assert(Versioned.read(spark, root).count() === 2)
+    // TRUNCATE: metadata-only, schema + layout survive, rows gone
+    Versioned.sql(spark, s"TRUNCATE TABLE `$root`")
+    assert(Versioned.read(spark, root).count() === 0)
+    assert(Versioned.read(spark, root).columns.toSeq ===
+      Seq("id", "part", "v"))
+    Versioned.commit(spark, root, Seq((3L, "c", 3.0)).toDF("id", "part", "v"))
+    assert(Versioned.read(spark, root).count() === 1)
+    // CTAS from a view
+    val dst = freshRoot("ctas")
+    Seq((1L, 10.0), (2L, 20.0)).toDF("k", "w")
+      .createOrReplaceTempView("vsql_ctas_src")
+    Versioned.sql(spark,
+      s"CREATE TABLE `$dst` AS SELECT * FROM vsql_ctas_src")
+    assert(Versioned.read(spark, dst).orderBy("k").as[(Long, Double)]
+      .collect().toSeq === Seq((1L, 10.0), (2L, 20.0)))
+    // graft_schema: the evolution history is pure SQL, physical names
+    // included
+    graft.GraftExtensions.registerFunctions(spark)
+    Versioned.sql(spark, s"ALTER TABLE `$dst` RENAME COLUMN w TO weight")
+    val hist = spark.sql(
+      s"SELECT version, column, physical_name FROM graft_schema('$dst')")
+      .collect().map(r => (r.getLong(0), r.getString(1), r.getString(2)))
+    assert(hist.contains((1L, "w", "w")))
+    assert(hist.contains((2L, "weight", "w")),
+      "the renamed column must surface its physical storage name")
+  }
+
   test("fall-through: a plain read statement runs with the TVFs live") {
     val root = freshRoot("ro")
     Versioned.commit(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "s"))
