@@ -1351,6 +1351,51 @@ object ExtraQueries {
   private val sqlSchemaDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // ---------------------------------------------------------------- x38
+  // RENAME COLUMN end-to-end through column mapping, pure SQL and
+  // hash-gated: odd customers land under the ORIGINAL name, ONE
+  // pure-SQL RENAME flips the logical name with zero data movement,
+  // then an INSERT writes even customers THROUGH the mapping (stored
+  // under the immutable physical name) and an UPDATE mutates through
+  // it (predicate pruning translated to physical stats). DuckDB
+  // replays the end state: a reader that null-filled the renamed
+  // column, resurrected the old name, or lost the mapped writes
+  // breaks the hash through the registered source.
+  val x38SqlRename: Q = Q(
+    "x38_sql_rename",
+    """SELECT c_custkey,
+      |  CASE WHEN c_custkey % 10 = 3
+      |       THEN CAST(c_acctbal AS DOUBLE) + 100.0
+      |       ELSE CAST(c_acctbal AS DOUBLE) END AS balance
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    import graft.operators.Versioned
+    val root = sqlRenameDirs.getOrElseUpdate(d, {
+      val r = java.nio.file.Files
+        .createTempDirectory("graft-sqlren-q").toString + "/t"
+      val c = t(s, d, "customer").select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("acctbal"))
+      Versioned.commit(s, r, c.filter(col("c_custkey") % 2 === 1),
+        statsCols = Seq("c_custkey", "acctbal"))
+      Versioned.sql(s,
+        s"ALTER TABLE `$r` RENAME COLUMN acctbal TO balance")
+      c.filter(col("c_custkey") % 2 === 0)
+        .withColumnRenamed("acctbal", "balance")
+        .createOrReplaceTempView("x38_ins_src")
+      Versioned.sql(s, s"INSERT INTO `$r` SELECT * FROM x38_ins_src")
+      Versioned.sql(s,
+        s"UPDATE `$r` SET balance = balance + 100.0 " +
+          "WHERE c_custkey % 10 = 3")
+      r
+    })
+    s.read.format(graft.sources.VersionedSource.Name)
+      .option("path", root).load()
+      .select("c_custkey", "balance")
+      .orderBy("c_custkey")
+  }
+
+  private val sqlRenameDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   // ---------------------------------------------------------------- x30
   // Atomic predicate-scoped overwrite (Versioned.replaceWhere — Delta's
   // replaceWhere): customers land range-clustered by nation, then the
@@ -1566,5 +1611,6 @@ object ExtraQueries {
     x21HeavyHitters, x22KmvDistinct, x23BloomLookup, x24JoinMv,
     x25Bm25Serve, x26DvDelete, x27GapFill, x28CloneBranch, x29OhlcResample,
     x30ReplaceWhere, x31Ewma, x32SqlTimeTravel, x33SqlMerge, x34EwmaLong,
-    x35PinnedJoin, x36SqlUpdateDelete, x37SqlSchemaEvolution)
+    x35PinnedJoin, x36SqlUpdateDelete, x37SqlSchemaEvolution,
+    x38SqlRename)
 }

@@ -79,6 +79,36 @@ class CommitCoordinatorSpec extends SparkSpec {
     }
   }
 
+  test("a canonicalizing compact racing an append invalidates the " +
+      "staged batch (column mapping)") {
+    val root = freshRoot("mapr")
+    Versioned.commit(spark, root, Seq((1L, 10.0)).toDF("id", "score"),
+      statsCols = Seq("id"))
+    // v2: rename → active mapping {points → score}; appends now stage
+    // their parquet under the PHYSICAL name "score"
+    Versioned.renameColumn(spark, root, "score", "points")
+    // the sniper is a COMPACT: it rewrites the rows under logical
+    // names and clears the mapping. If the appender's retry reused its
+    // staged batch (written physical "score"), the new manifest
+    // (mapping empty) would read that file's points as NULL — silent
+    // data loss. The staged-batch key includes the mapping precisely
+    // to force the rewrite.
+    var armed = true
+    val coord = new ConditionalPutCoordinator(raceHook = { _ =>
+      if (armed) { armed = false; Versioned.compact(spark, root) }
+    })
+    withCoordinator(coord) {
+      val v = Versioned.commit(spark, root,
+        Seq((2L, 20.0)).toDF("id", "points"), statsCols = Seq("id"))
+      assert(v === 4L, "append must land AFTER the sniping compact")
+    }
+    val got = Versioned.read(spark, root)
+    assert(got.filter(col("points").isNull).count() === 0,
+      "a stale staged batch would surface the appended row as NULL")
+    assert(got.orderBy("id").select("points").as[Double].collect().toSeq
+      === Seq(10.0, 20.0))
+  }
+
   test("injected race on the multi-table pin: transact retries to a sane set") {
     val (a, coord) = (freshRoot("mta"), freshRoot("mtc"))
     Versioned.commit(spark, a, Seq((1L, "x")).toDF("id", "tag"))
