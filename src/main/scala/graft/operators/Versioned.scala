@@ -294,11 +294,13 @@ object Versioned {
           throw new VersionConflictException(
             s"table at $root is empty, expected version $ev")
       }
+      // ONE parent-manifest read per OCC attempt feeds every inherited
+      // table property below (the hot commit path re-parses nothing)
+      val parentM = latest.map(readManifest(root, _))
       // partitioning is sticky: appends inherit the table layout (an
       // explicit mismatch is an error, never a silent re-layout);
       // overwrite replaces rows AND layout, like it replaces schema
-      val parentPart = latest.map(readManifest(root, _).partitionBy)
-        .getOrElse(Seq.empty)
+      val parentPart = parentM.map(_.partitionBy).getOrElse(Seq.empty)
       val partCols =
         if (mode == "overwrite") partitionBy
         else if (partitionBy.isEmpty) parentPart
@@ -309,7 +311,7 @@ object Versioned {
           partitionBy
         }
       val schema = evolvedSchema(root, df, mode, mergeSchema)
-      val constraints = latest.map(readManifest(root, _).constraints)
+      val constraints = parentM.map(_.constraints)
         .getOrElse(Map.empty[String, String])
       // an overwrite replaces every file, so it CANONICALIZES the
       // column mapping away (files land under logical names); appends
@@ -319,7 +321,7 @@ object Versioned {
       // physical names the staged files don't use.
       val phys =
         if (mode == "overwrite") Map.empty[String, String]
-        else latest.map(readManifest(root, _).physNames)
+        else parentM.map(_.physNames)
           .getOrElse(Map.empty[String, String])
       val entries = written.collect {
           case (p, cs, ph, e)
@@ -336,6 +338,7 @@ object Versioned {
         action = mode, txn, schema, mor = carriedMor(root, latest, mode),
         partitionBy = Some(partCols), props = props,
         dvs = carriedDvs(root, latest, mode),
+        dropped = if (mode == "overwrite") Some(Map.empty) else None,
         physNames = if (mode == "overwrite") Some(Map.empty) else None)
     }
   }
@@ -603,14 +606,15 @@ object Versioned {
       // the batch data is written at most once per (layout, constraint
       // set, column mapping) — a concurrent ADD CONSTRAINT or RENAME
       // invalidates the staged batch, same as in commit()
+      val parentM = parent.map(readManifest(root, _))
       val partCols =
         if (mode == "overwrite") Seq.empty[String]
-        else parent.map(readManifest(root, _).partitionBy).getOrElse(Nil)
-      val constraints = parent.map(readManifest(root, _).constraints)
+        else parentM.map(_.partitionBy).getOrElse(Nil)
+      val constraints = parentM.map(_.constraints)
         .getOrElse(Map.empty[String, String])
       val phys =
         if (mode == "overwrite") Map.empty[String, String]
-        else parent.map(readManifest(root, _).physNames)
+        else parentM.map(_.physNames)
           .getOrElse(Map.empty[String, String])
       val entries = written.collect {
           case (p, cs, ph, e)
@@ -627,6 +631,7 @@ object Versioned {
         publishEntries(root, base ++ entries, parent.getOrElse(0L), mode,
           Some((appId, batchId)), schema, mor = carriedMor(root, parent, mode),
           partitionBy = Some(partCols), dvs = carriedDvs(root, parent, mode),
+          dropped = if (mode == "overwrite") Some(Map.empty) else None,
           physNames = if (mode == "overwrite") Some(Map.empty) else None)
         return true
       } catch {
@@ -767,9 +772,7 @@ object Versioned {
     val logical = schemaJson.map(j =>
       DataType.fromJson(j).asInstanceOf[StructType])
     val physical = logical.map(s =>
-      if (physNames.isEmpty) s
-      else StructType(s.fields.map(f =>
-        f.copy(name = physNames.getOrElse(f.name, f.name)))))
+      if (physNames.isEmpty) s else physSchema(s, physNames))
     val reader = physical match {
       case Some(ps) => spark.read.schema(ps)
       case None => spark.read.option("mergeSchema", "true")
@@ -782,9 +785,7 @@ object Versioned {
     val keyed = raw.join(broadcast(lookup), Seq("__vabs")).drop("__vabs")
     (logical, physical) match {
       case (Some(ls), Some(ps)) =>
-        keyed.select(ls.fields.toSeq.zip(ps.fields).map {
-          case (lf, pf) => c(s"`${pf.name}`").as(lf.name)
-        } ++ Seq(c("__vfile"), c("__vpos")): _*)
+        aliasToLogical(keyed, ls, ps, extra = Seq("__vfile", "__vpos"))
       case _ => keyed
     }
   }
@@ -808,6 +809,30 @@ object Versioned {
         .select(c("file").as("__vfile"), c("pos").as("__vpos"))
     pieces.result().reduceOption(_ unionByName _)
       .getOrElse(Seq.empty[(String, Long)].toDF("__vfile", "__vpos"))
+  }
+
+  private def lc(s: String): String = s.toLowerCase(java.util.Locale.ROOT)
+
+  /** The physical parquet schema a logical schema reads/writes under a
+    * column mapping: same fields, storage names substituted. */
+  private def physSchema(
+      schema: org.apache.spark.sql.types.StructType,
+      phys: Map[String, String]): org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(schema.fields.map(f =>
+      f.copy(name = phys.getOrElse(f.name, f.name))))
+
+  /** Alias a physically-projected frame back to logical names, in
+    * schema order; `extra` columns (position/envelope fields) carry
+    * through as-is. The single mapping read edge — [[readAligned]] and
+    * [[readWithPositions]] must never diverge on it. */
+  private def aliasToLogical(df: DataFrame,
+      logical: org.apache.spark.sql.types.StructType,
+      physical: org.apache.spark.sql.types.StructType,
+      extra: Seq[String] = Nil): DataFrame = {
+    import org.apache.spark.sql.functions.{col => c}
+    df.select(logical.fields.toSeq.zip(physical.fields).map {
+      case (lf, pf) => c(s"`${pf.name}`").as(lf.name)
+    } ++ extra.map(c): _*)
   }
 
   /** Align `df` to `schema`: present columns pass through, missing ones
@@ -852,13 +877,9 @@ object Versioned {
           // so every file era agrees on them), then alias back to
           // logical. Files written before a column existed null-fill
           // exactly as in the identity path.
-          import org.apache.spark.sql.functions.{col => c}
-          val physical = StructType(schema.fields.map(f =>
-            f.copy(name = physNames.getOrElse(f.name, f.name))))
-          val raw = spark.read.schema(physical).parquet(paths: _*)
-          raw.select(schema.fields.toSeq.zip(physical.fields).map {
-            case (lf, pf) => c(s"`${pf.name}`").as(lf.name)
-          }: _*)
+          val physical = physSchema(schema, physNames)
+          aliasToLogical(spark.read.schema(physical).parquet(paths: _*),
+            schema, physical)
         }
     }
   }
@@ -1722,7 +1743,10 @@ object Versioned {
       "delete (its by-reference file carry would resurrect deleted rows)")
     val condExpr = resolvedPredicate(spark, root, cond)
     val (touched, untouched) =
-      m.files.partition(f => mayMatch(f, condExpr))
+      {
+      val statsExpr = physForStats(condExpr, m.physNames)
+      m.files.partition(f => mayMatch(f, statsExpr))
+    }
     if (touched.isEmpty) latest
     else {
       val base = readAligned(spark,
@@ -1791,7 +1815,10 @@ object Versioned {
       schema.fieldNames.mkString(", "))
     val condExpr = resolvedPredicate(spark, root, cond)
     val (touched, untouched) =
-      m.files.partition(f => mayMatch(f, condExpr))
+      {
+      val statsExpr = physForStats(condExpr, m.physNames)
+      m.files.partition(f => mayMatch(f, statsExpr))
+    }
     if (touched.isEmpty) latest
     else {
       val base0 = readAligned(spark,
@@ -1874,7 +1901,10 @@ object Versioned {
         lit(s"replaceWhere: replacement row does not satisfy the predicate"))))
     val condExpr = resolvedPredicate(spark, root, cond)
     val (touched, untouched) =
-      m.files.partition(f => mayMatch(f, condExpr))
+      {
+      val statsExpr = physForStats(condExpr, m.physNames)
+      m.files.partition(f => mayMatch(f, statsExpr))
+    }
     val survivors =
       if (touched.isEmpty) None
       else Some(readAligned(spark,
@@ -1968,7 +1998,6 @@ object Versioned {
     * the verb that removes the obligation. `cols` are lowercased. */
   private def requirePredsFree(spark: SparkSession, m: Manifest,
       cols: Set[String]): Unit = {
-    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
     def refs(pred: String): Set[String] =
       spark.sessionState.sqlParser.parseExpression(pred).collect {
         case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
@@ -2010,7 +2039,6 @@ object Versioned {
       throw new IllegalArgumentException(s"no versions at $root"))
     val m = readManifest(root, latest)
     val schema = tableSchema(spark, root, Some(latest))
-    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
     val field = schema.fields.find(_.name.equalsIgnoreCase(from)).getOrElse(
       throw new IllegalArgumentException(
         s"column '$from' does not exist on $root " +
@@ -2048,7 +2076,6 @@ object Versioned {
     * share one parquet column. */
   private def requireAddable(root: String, m: Manifest,
       names: Seq[String]): Unit = {
-    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
     val physInUse = m.physNames.map { case (l, p) => lc(p) -> l }
     val live = m.files.map(_.path).toSet
     names.foreach { n0 =>
@@ -2104,7 +2131,6 @@ object Versioned {
       throw new IllegalArgumentException(s"no versions at $root"))
     val m = readManifest(root, latest)
     val schema = tableSchema(spark, root, Some(latest))
-    def lc(s: String) = s.toLowerCase(java.util.Locale.ROOT)
     val missing = names.filterNot(n =>
       schema.fieldNames.exists(_.equalsIgnoreCase(n)))
     require(missing.isEmpty,
@@ -2194,7 +2220,8 @@ object Versioned {
     val predSql = condExpr.sql
     readVersion(spark, root, latest).limit(0).filter(expr(predSql))
       .queryExecution.analyzed // prove the round-trip parses, at delete time
-    val touched = m.files.filter(f => mayMatch(f, condExpr)).map(_.path)
+    val statsExpr = physForStats(condExpr, m.physNames)
+    val touched = m.files.filter(f => mayMatch(f, statsExpr)).map(_.path)
     if (touched.isEmpty) latest
     else publishEntries(root, m.files, latest, "mor-delete",
       schemaJson = m.schemaJson.orNull,
@@ -2249,7 +2276,8 @@ object Versioned {
     require(m.mor.isEmpty, s"table at $root has ${m.mor.size} pending " +
       "predicate merge-on-read delete(s); compact before positional deletes")
     val condExpr = resolvedPredicate(spark, root, cond)
-    val candidates = m.files.filter(f => mayMatch(f, condExpr)).map(_.path)
+    val statsExpr = physForStats(condExpr, m.physNames)
+    val candidates = m.files.filter(f => mayMatch(f, statsExpr)).map(_.path)
     if (candidates.isEmpty) return latest
     // one stats-pruned scan: the (file, position) key of every matching
     // row, minus positions already vectored (logically gone — only
@@ -2322,23 +2350,27 @@ object Versioned {
   private def resolvedPredicate(spark: SparkSession, root: String,
       cond: Column): Expression = {
     val probe = emptyLike(spark, root).filter(cond)
-    val resolved = org.apache.spark.sql.GraftShims.analyzed(probe)
+    org.apache.spark.sql.GraftShims.analyzed(probe)
       .collectFirst {
         case f: org.apache.spark.sql.catalyst.plans.logical.Filter =>
           f.condition
       }
       .getOrElse(Literal(true)) // analyzer elided the filter → no skip
-    // COLUMN MAPPING: [[mayMatch]] consults file stats, which are keyed
-    // by PHYSICAL name — rewrite attribute references before any stats
-    // probe (every consumer evaluates against the latest version)
-    val phys = latestVersion(root)
-      .map(readManifest(root, _).physNames).getOrElse(Map.empty)
-    if (phys.isEmpty) resolved
-    else resolved.transform {
+  }
+
+  /** COLUMN MAPPING stats edge: [[mayMatch]] consults file stats keyed
+    * by PHYSICAL name, so attribute references translate through the
+    * manifest's mapping RIGHT AT the probe — never earlier: the
+    * logical expression is what round-trips into stored predicates
+    * (merge-on-read deletes) and row filters, and a physically-rewritten
+    * predicate there would resolve against the wrong (or no) column. */
+  private def physForStats(e: Expression,
+      phys: Map[String, String]): Expression =
+    if (phys.isEmpty) e
+    else e.transform {
       case a: AttributeReference if phys.contains(a.name) =>
         a.withName(phys(a.name))
     }
-  }
 
   /** Can a row of a file with these stats satisfy `e`? Conservative:
     * anything the analysis doesn't understand answers true (the file is
@@ -2541,6 +2573,22 @@ object Versioned {
   def files(root: String, v: Long): Seq[String] =
     readManifest(root, v).files.map(_.path)
 
+  /** Both change feeds read every contributed file under the
+    * window-LATEST (schema, mapping); that is only sound while the
+    * mapping is stable across the window. Thrown mid-iteration so the
+    * failure names the exact offending version. */
+  private def requireMappingStable(root: String, v: Long,
+      cur: Map[String, String], prev: Option[Map[String, String]]): Unit =
+    prev.foreach { p =>
+      if (p != cur) throw new IllegalArgumentException(
+        s"change-feed window at $root crosses a column-mapping change " +
+          s"at v$v (a RENAME COLUMN, or a rewrite canonicalizing one " +
+          "away) — files from different mapping eras cannot be read " +
+          "under one physical schema (Delta blocks CDC across " +
+          "column-mapping changes for the same reason). Read up to " +
+          s"v${v - 1}, then from v$v onward, as separate windows")
+    }
+
   /** The append-only change feed: rows added by versions in
     * `(afterVersion, untilVersion]` — read directly from the files each
     * append commit introduced, so a consumer processes ONLY the new
@@ -2568,10 +2616,22 @@ object Versioned {
     val vs = versions(root).filter(v => v > afterVersion && v <= upTo)
     var prev: Set[String] =
       if (afterVersion == 0L) Set.empty else files(root, afterVersion).toSet
+    var prevPhys: Option[Map[String, String]] =
+      if (afterVersion == 0L) None
+      else Some(readManifest(root, afterVersion).physNames)
     val added = Seq.newBuilder[String]
     vs.foreach { v =>
       val man = readManifest(root, v)
       val cur = man.files.map(_.path)
+      // COLUMN MAPPING guard (Delta blocks CDC across column-mapping
+      // changes for exactly this reason): files contributed by
+      // different eras of the mapping cannot be read under ONE
+      // physical schema — a window crossing a rename (or a compact
+      // that canonicalizes one away) must fail loudly, never
+      // silently null-fill the renamed column. Re-window on either
+      // side of the change: both sub-windows are mapping-stable.
+      requireMappingStable(root, v, man.physNames, prevPhys)
+      prevPhys = Some(man.physNames)
       // a clone's v1 introduces its whole (shared) file set — the
       // file-diff against the empty parent is exactly its content
       if (man.action == "append" || man.action == "clone")
@@ -2636,10 +2696,18 @@ object Versioned {
     var prevDvs: Seq[DvEntry] =
       if (afterVersion == 0L) Nil
       else readManifest(root, afterVersion).dvs
+    var prevPhys: Option[Map[String, String]] =
+      if (afterVersion == 0L) None
+      else Some(readManifest(root, afterVersion).physNames)
     val pieces = Seq.newBuilder[DataFrame]
     vs.foreach { v =>
       val man = readManifest(root, v)
       val cur = man.files.map(_.path)
+      // a window crossing a column-mapping change cannot read all its
+      // eras under one physical schema — fail loudly (see
+      // [[requireMappingStable]]); re-window on either side
+      requireMappingStable(root, v, man.physNames, prevPhys)
+      prevPhys = Some(man.physNames)
       man.action match {
         // a clone's v1 is its full shared file set diffed against the
         // empty parent — honest insert envelopes, not an error
@@ -2782,7 +2850,11 @@ object Versioned {
       val (entries, _) = writeBatch(spark, root, snapshot, statsCols, part,
         bloomCols, bloomBits, bloomHashes, physOverride = Some(Map.empty))
       publishEntries(root, entries, latest, action = "compact",
-        schemaJson = snapshot.schema.json, physNames = Some(Map.empty))
+        schemaJson = snapshot.schema.json,
+        // a full rewrite provably retires every pre-drop file, so
+        // tombstones clear here even when vacuum has dropped the
+        // drop-version manifest the lazy gate would need
+        dropped = Some(Map.empty), physNames = Some(Map.empty))
     }
 
   /** OPTIMIZE ZORDER for the versioned table: a full rewrite (same
@@ -2819,7 +2891,8 @@ object Versioned {
       bloomCols, bloomBits, bloomHashes, physOverride = Some(Map.empty))
     publishEntries(root, entries, latest, action = "compact",
       schemaJson = m.schemaJson.orNull,
-      partitionBy = Some(m.partitionBy), physNames = Some(Map.empty))
+      partitionBy = Some(m.partitionBy),
+      dropped = Some(Map.empty), physNames = Some(Map.empty))
   }
 
   /** Incremental OPTIMIZE: bin-pack only files SMALLER than
@@ -2992,7 +3065,7 @@ object Versioned {
       schemaJson = m.schemaJson.orNull,
       partitionBy = Some(m.partitionBy),
       constraints = Some(m.constraints),
-      physNames = Some(Map.empty))
+      dropped = Some(Map.empty), physNames = Some(Map.empty))
   }
 
   /** Schema history: one row per (retained version, column) — the SQL
@@ -3049,29 +3122,16 @@ object Versioned {
       minAgeMs: Long = 15L * 60 * 1000): Int = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val all = versions(root)
-    val (drop0, keep0) = all.splitAt(math.max(0, all.size - keepVersions))
-    // an ACTIVE drop-column tombstone pins its drop-version manifest
-    // (one small JSON): the re-add gate needs that version's live set
-    // to prove the hazard empty, and losing it would wedge re-adds
-    // until a full rewrite. Data files of pinned manifests are NOT
-    // retained — only the manifest itself survives the sweep.
-    val pinned = keep0.lastOption
-      .map(readManifest(root, _).dropped.values.toSet)
-      .getOrElse(Set.empty)
-    val (keepExtra, drop) = drop0.partition(pinned)
-    val keptManifests = keep0.map(readManifest(root, _))
+    val (drop, keep) = all.splitAt(math.max(0, all.size - keepVersions))
+    val keptManifests = keep.map(readManifest(root, _))
     val referenced = (keptManifests.flatMap(_.files.map(_.path)) ++
       keptManifests.flatMap(_.cdf) ++
       keptManifests.flatMap(_.dvs.flatMap(_.sidecars))).toSet
     // file-list segments share the sweep: keep any segment a retained
     // manifest references (segments are shared across versions, so one
     // keeper protects it for all); orphans — from dropped versions or
-    // commits that lost the CAS race — age out like batch dirs.
-    // Tombstone-pinned manifests keep their segments too (the re-add
-    // gate resolves the pinned version's FILE LIST through them — all
-    // small JSON; the data files themselves still age out normally)
-    val keptSegs = (keptManifests ++ keepExtra.map(readManifest(root, _)))
-      .flatMap(_.segments).toSet
+    // commits that lost the CAS race — age out like batch dirs
+    val keptSegs = keptManifests.flatMap(_.segments).toSet
     val segRoot = new File(logDir(root), "segments")
     val segCutoff = System.currentTimeMillis() - minAgeMs
     if (segRoot.isDirectory) segRoot.listFiles().foreach { f =>

@@ -189,6 +189,10 @@ object VersionedSql {
             "column positions are not supported — new columns append")
           require(c.default.isEmpty,
             "column DEFAULTs are not supported — added columns null-fill")
+          require(c.nullable,
+            s"column '${c.name.head}' declared NOT NULL — an added " +
+              "column must be nullable: existing rows have no value " +
+              "to give it")
           org.apache.spark.sql.types.StructField(
             c.name.head, c.dataType, nullable = true)
         }
@@ -220,9 +224,14 @@ object VersionedSql {
               s"table at $root already exists (latest version $v)")
             result(spark, root, "create", v)
           case None =>
+            // expectedVersion = 0 routes the existence race through the
+            // CAS: two concurrent CTAS both observing "no table" cannot
+            // both land — the loser gets a clean conflict instead of
+            // silently appending its result onto the winner's
             result(spark, root, "create",
               Versioned.commit(spark, root, GraftShims.ofRows(spark, query),
-                partitionBy = partitionColsOf(partitioning)))
+                partitionBy = partitionColsOf(partitioning),
+                expectedVersion = Some(0L)))
         }
 
       case TruncateTable(table) =>

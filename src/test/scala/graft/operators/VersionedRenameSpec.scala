@@ -64,11 +64,21 @@ class VersionedRenameSpec extends SparkSpec {
       cdf = true)
     assert(Versioned.read(spark, root).orderBy("id")
       .select("points").as[Double].collect().toSeq === Seq(11.0, 20.0))
-    // the change feed spans the rename (schema commits skip; envelopes
-    // surface under the window-latest logical names)
-    val feed = Versioned.changeFeed(spark, root, 0)
-    assert(feed.columns.contains("points"))
-    assert(feed.filter(col("_change_type") === "insert").count() === 3)
+    // a feed window CROSSING the rename fails loudly (Delta blocks CDC
+    // across column-mapping changes — mixed eras cannot share one
+    // physical schema); each side of the change reads fine
+    val ef = intercept[IllegalArgumentException] {
+      Versioned.changeFeed(spark, root, 0).collect()
+    }
+    assert(ef.getMessage.contains("column-mapping change"))
+    val pre = Versioned.changeFeed(spark, root, 0, untilVersion = Some(1))
+    assert(pre.columns.contains("score"))
+    assert(pre.filter(col("_change_type") === "insert").count() === 2)
+    val post = Versioned.changeFeed(spark, root, 2)
+    assert(post.columns.contains("points"))
+    assert(post.filter(col("_change_type") === "insert").count() === 1)
+    assert(post.filter(col("_change_type") === "update_postimage")
+      .count() === 1)
   }
 
   test("physical-name collision gates; compact canonicalizes") {
@@ -113,6 +123,29 @@ class VersionedRenameSpec extends SparkSpec {
         org.apache.spark.sql.types.DoubleType)))
     assert(Versioned.read(spark, root)
       .filter(col("points").isNotNull).count() === 0)
+  }
+
+  test("feed windows crossing a canonicalizing compact fail loudly") {
+    val root = freshRoot("era")
+    Versioned.commit(spark, root, Seq((1L, 10.0)).toDF("id", "score"),
+      statsCols = Seq("id"))
+    Versioned.renameColumn(spark, root, "score", "points")
+    // this append's file physically stores "score" (the mapping era)
+    Versioned.commit(spark, root, Seq((2L, 20.0)).toDF("id", "points"))
+    // the compact rewrites live rows under "points" and CLEARS the
+    // mapping — the v3 file's era mapping no longer matches the head
+    Versioned.compact(spark, root, targetFiles = 1)
+    // a window holding the v3 file but ending at the cleared mapping
+    // would null-fill points if read naively — it must throw instead
+    val e = intercept[IllegalArgumentException] {
+      Versioned.changesSince(spark, root, 2, skipCompactions = true)
+        .collect()
+    }
+    assert(e.getMessage.contains("column-mapping change"))
+    // the mapping-stable sub-window replays the REAL values
+    val sub = Versioned.changesSince(spark, root, 2,
+      untilVersion = Some(3))
+    assert(sub.select("points").as[Double].collect().toSeq === Seq(20.0))
   }
 
   test("rename back to the physical name retires the mapping") {

@@ -306,6 +306,35 @@ class VersionedSqlSpec extends SparkSpec {
       "re-added column must null-fill, not resurrect pre-drop values")
   }
 
+  test("compact clears a tombstone even after vacuum dropped the drop-" +
+      "version manifest") {
+    val root = freshRoot("tombvac")
+    Versioned.commit(spark, root, Seq((1L, 1.0)).toDF("id", "score"),
+      statsCols = Seq("id"))
+    Versioned.dropColumns(spark, root, Seq("score"))
+    Versioned.commit(spark, root, Seq((2L)).toDF("id"))
+    Versioned.commit(spark, root, Seq((3L)).toDF("id"))
+    // retain only the last two versions: the drop-version manifest
+    // (v1, the tombstone's hazard anchor) is gone
+    Versioned.vacuum(root, keepVersions = 2, minAgeMs = 0L)
+    // the lazy gate can no longer prove safety — loud, with the cure
+    val e = intercept[IllegalArgumentException] {
+      Versioned.addColumns(spark, root, Seq(
+        org.apache.spark.sql.types.StructField("score",
+          org.apache.spark.sql.types.DoubleType)))
+    }
+    assert(e.getMessage.contains("no longer retained"))
+    // the cure: a full rewrite provably retires every pre-drop file,
+    // so the tombstone force-clears without needing that manifest
+    Versioned.compact(spark, root, targetFiles = 1)
+    Versioned.addColumns(spark, root, Seq(
+      org.apache.spark.sql.types.StructField("score",
+        org.apache.spark.sql.types.DoubleType)))
+    val got = Versioned.read(spark, root)
+    assert(got.count() === 3)
+    assert(got.filter(col("score").isNotNull).count() === 0)
+  }
+
   test("DROP COLUMNS rejects partition and constraint-referenced columns") {
     val root = freshRoot("dropg")
     Versioned.commit(spark, root,
