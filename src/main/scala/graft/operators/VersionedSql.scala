@@ -157,7 +157,47 @@ object VersionedSql {
           "static PARTITION clauses are not supported — the versioned " +
             "table derives partitions from the data (dynamic overwrite " +
             "is Versioned.overwritePartitions)")
-        val source = GraftShims.ofRows(spark, ins.query)
+        val raw = GraftShims.ofRows(spark, ins.query)
+        // positional binding (the ANSI INSERT contract): an explicit
+        // column list renames the source to it; a bare VALUES row
+        // (whose inline-table default names are col1..colN) binds to
+        // the full table schema in order — both require exact arity,
+        // never silent truncation or reorder
+        val bound =
+          if (ins.userSpecifiedCols.nonEmpty) {
+            require(ins.userSpecifiedCols.size == raw.columns.length,
+              s"INSERT column list has ${ins.userSpecifiedCols.size} " +
+                s"column(s) but the query produces ${raw.columns.length}")
+            raw.toDF(ins.userSpecifiedCols: _*)
+          } else if (raw.columns.zipWithIndex.forall {
+              case (c, i) => c == s"col${i + 1}" }) {
+            val ts = Versioned.tableSchema(spark, root)
+            require(raw.columns.length == ts.fields.length,
+              s"positional INSERT needs all ${ts.fields.length} table " +
+                s"column(s), got ${raw.columns.length} — name the " +
+                "columns (INSERT INTO t (a, b) ...) to insert a subset")
+            raw.toDF(ts.fieldNames.toIndexedSeq: _*)
+          } else raw
+        // ANSI store-assignment: literals arrive as their natural type
+        // (VALUES (1) is an INT); UP-casts to the declared column type
+        // are implicit, anything lossy stays a loud error
+        val source = Versioned.latestVersion(root) match {
+          case None => bound
+          case Some(_) =>
+            val declared = Versioned.tableSchema(spark, root)
+              .fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f)
+              .toMap
+            import org.apache.spark.sql.functions.col
+            bound.select(bound.schema.fields.toSeq.map { sf =>
+              declared.get(sf.name.toLowerCase(java.util.Locale.ROOT)) match {
+                case Some(tf) if tf.dataType != sf.dataType &&
+                    org.apache.spark.sql.catalyst.expressions.Cast
+                      .canUpCast(sf.dataType, tf.dataType) =>
+                  col(s"`${sf.name}`").cast(tf.dataType).as(sf.name)
+                case _ => col(s"`${sf.name}`")
+              }
+            }: _*)
+        }
         val mode = if (ins.overwrite) "overwrite" else "append"
         result(spark, root, mode,
           Versioned.commit(spark, root, source, mode = mode))

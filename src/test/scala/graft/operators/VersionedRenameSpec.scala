@@ -125,6 +125,33 @@ class VersionedRenameSpec extends SparkSpec {
       .filter(col("points").isNotNull).count() === 0)
   }
 
+  test("filters on a renamed column still reach the parquet scan") {
+    val root = freshRoot("push")
+    Versioned.commit(spark, root,
+      (1 to 60).map(i => (i.toLong, i * 1.0)).toDF("id", "score")
+        .repartitionByRange(3, col("id")), statsCols = Seq("id", "score"))
+    Versioned.renameColumn(spark, root, "score", "points")
+    // manifest-level: bounds phrased in the NEW logical name prune via
+    // the PHYSICAL-keyed stats
+    val pruned = Versioned.candidateFilesForBounds(root, 2,
+      Seq(Versioned.ColumnBound("points", Some(25.0), Some(30.0))))
+    assert(pruned.size === 1, s"expected 1 candidate, got $pruned")
+    // parquet-level: a logical-name filter above the mapping's alias
+    // projection must still push down to the PHYSICAL column in the
+    // scan — the alias is transparent to Catalyst's pushdown
+    val df = Versioned.read(spark, root)
+      .filter(col("points") >= 25.0 && col("points") <= 30.0)
+    val plan = df.queryExecution.executedPlan.toString
+    assert(plan.contains("PushedFilters") && plan.contains("score"),
+      s"expected a physical-name pushed filter, got:\n${plan.take(800)}")
+    assert(df.select("id").as[Long].collect().sorted === (25L to 30L).toArray)
+    // end-to-end through the registered source
+    val got = spark.read.format(graft.sources.VersionedSource.Name)
+      .option("path", root).load()
+      .filter(col("points") === 42.0)
+    assert(got.select("id").as[Long].collect().toSeq === Seq(42L))
+  }
+
   test("feed windows crossing a canonicalizing compact fail loudly") {
     val root = freshRoot("era")
     Versioned.commit(spark, root, Seq((1L, 10.0)).toDF("id", "score"),

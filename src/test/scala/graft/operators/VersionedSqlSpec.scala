@@ -356,6 +356,24 @@ class VersionedSqlSpec extends SparkSpec {
     assert(Versioned.read(spark, root).columns.toSeq === Seq("id", "part"))
   }
 
+  test("INSERT INTO VALUES binds positionally; column lists rename") {
+    val root = freshRoot("insv")
+    Versioned.sql(spark, s"CREATE TABLE `$root` (id BIGINT, tag STRING)")
+    // bare VALUES: inline-table default names bind to the table order
+    Versioned.sql(spark, s"INSERT INTO `$root` VALUES (1, 'a'), (2, 'b')")
+    // explicit column list, reordered: names win over position; the
+    // INT literal up-casts to the declared BIGINT implicitly
+    Versioned.sql(spark, s"INSERT INTO `$root` (tag, id) VALUES ('c', 3)")
+    assert(Versioned.read(spark, root).orderBy("id")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c")))
+    // partial positional insert fails loudly, naming the cure
+    val e = intercept[IllegalArgumentException] {
+      Versioned.sql(spark, s"INSERT INTO `$root` VALUES (4)")
+    }
+    assert(e.getMessage.contains("name the"))
+  }
+
   test("CREATE TABLE / CTAS / TRUNCATE dispatch; graft_schema shows " +
       "evolution") {
     val root = freshRoot("ct")
