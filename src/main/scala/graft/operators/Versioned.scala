@@ -2063,6 +2063,53 @@ object Versioned {
       physNames = Some(newMap))
   }
 
+  /** ALTER COLUMN … TYPE — METADATA-ONLY type WIDENING (Delta 3.x's
+    * type-widening feature): the commit carries the parent's files by
+    * reference under a schema whose column type is WIDER. Sound
+    * because Spark's parquet reader up-converts a narrower physical
+    * type to the declared wider read type (probe-spec'd:
+    * byte/short/int → wider integral, int → double, float → double),
+    * so files written before the widening read back exactly; files
+    * written after carry the wide type natively. Only LOSSLESS
+    * widenings on that reader-supported list are accepted — anything
+    * else (narrowing, long → double's precision loss, string casts)
+    * needs an explicit rewrite via overwrite. Appends after the
+    * widening must supply the wide type (schema enforcement is
+    * unchanged — SQL INSERT up-casts literals automatically).
+    * Composes with column mapping (the physical name is untouched);
+    * change feeds replay old appends under the widened type, and the
+    * old files' integer-typed stats keep pruning (comparisons stay
+    * conservative across the type tags). */
+  def widenColumn(spark: SparkSession, root: String, name: String,
+      to: org.apache.spark.sql.types.DataType): Long = withOccRetry(None) {
+    import org.apache.spark.sql.types._
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    val m = readManifest(root, latest)
+    val schema = tableSchema(spark, root, Some(latest))
+    val field = schema.fields.find(_.name.equalsIgnoreCase(name)).getOrElse(
+      throw new IllegalArgumentException(
+        s"column '$name' does not exist on $root " +
+          s"(have: ${schema.fieldNames.mkString(", ")})"))
+    val widenable: Boolean = (field.dataType, to) match {
+      case (ByteType, ShortType | IntegerType | LongType) => true
+      case (ShortType, IntegerType | LongType) => true
+      case (IntegerType, LongType | DoubleType) => true
+      case (FloatType, DoubleType) => true
+      case _ => false
+    }
+    require(widenable,
+      s"cannot widen ${field.dataType.simpleString} to ${to.simpleString}" +
+        " — supported (lossless, parquet-reader-verified): byte/short/" +
+        "int -> wider integral, int -> double, float -> double; " +
+        "anything else requires a rewrite (overwrite)")
+    val widened = org.apache.spark.sql.types.StructType(schema.fields.map(
+      f => if (f.name == field.name) f.copy(dataType = to) else f))
+    publishEntries(root, m.files, latest, "schema",
+      schemaJson = widened.json, mor = m.mor, dvs = m.dvs,
+      carryFrom = Some(latest), constraints = Some(m.constraints))
+  }
+
   /** The stale-resurrection gates every column ADDITION must pass —
     * explicit [[addColumns]] and mergeSchema appends alike. A new
     * column's PHYSICAL storage name is its own name, so: (1) re-ADD

@@ -285,6 +285,22 @@ object VersionedSql {
         result(spark, root, "schema",
           Versioned.renameColumn(spark, root, column.name.head, newName))
 
+      case AlterColumns(table, specs) =>
+        val root = pathOf(table)
+        require(specs.size == 1,
+          "one ALTER COLUMN per statement")
+        val sp = specs.head
+        require(sp.newDataType.isDefined && sp.newNullability.isEmpty &&
+            sp.newComment.isEmpty && sp.newPosition.isEmpty &&
+            sp.newDefaultExpression.isEmpty && !sp.dropDefault,
+          "only ALTER COLUMN ... TYPE <wider type> is supported " +
+            "(metadata-only lossless widening)")
+        require(sp.column.name.size == 1,
+          s"nested column paths are not supported: ${sp.column.name.mkString(".")}")
+        result(spark, root, "schema",
+          Versioned.widenColumn(spark, root, sp.column.name.head,
+            sp.newDataType.get))
+
       case DropColumns(table, colsToDrop, ifExists) =>
         val root = pathOf(table)
         require(!ifExists,
