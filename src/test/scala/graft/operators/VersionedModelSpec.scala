@@ -65,7 +65,7 @@ class VersionedModelSpec extends SparkSpec {
         statsCols = Seq("id", "tag")))
 
       for (step <- 1 to 25) {
-        rnd.nextInt(15) match {
+        rnd.nextInt(16) match {
           case 0 | 1 | 2 =>
             val rows = fresh(1 + rnd.nextInt(15), s"s$step")
             model = model ++ rows
@@ -172,6 +172,13 @@ class VersionedModelSpec extends SparkSpec {
               org.apache.spark.sql.types.StructField(s"x$step",
                 org.apache.spark.sql.types.DoubleType)))
             record(Versioned.dropColumns(spark, root, Seq(s"x$step")))
+          case 15 =>
+            // metadata-only TRUNCATE (round 7): the live set empties in
+            // one manifest commit; schema and layout survive, pending
+            // row-removal state is moot, and history stays readable
+            model = Set.empty
+            pendingDv = false
+            record(Versioned.truncate(root))
         }
       }
 
