@@ -457,8 +457,22 @@ object Versioned {
       .getOrElse(Map.empty).foldLeft(df0) { case (d, (name, cond)) =>
         import org.apache.spark.sql.functions.{assert_true, coalesce, expr,
           isnull, lit}
-        d.filter(isnull(assert_true(coalesce(expr(cond), lit(true)),
+        // SQL CHECK semantics: a row that OMITS a referenced column
+        // inserts NULL there, and NULL passes CHECK — pad the missing
+        // columns with null literals for the evaluation only (they are
+        // dropped again, so the written file still omits them)
+        val have = d.columns.map(lc).toSet
+        val missing = spark.sessionState.sqlParser.parseExpression(cond)
+          .collect {
+            case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute =>
+              a.nameParts.last
+          }.distinct.filterNot(r => have(lc(r)))
+        val padded = missing.foldLeft(d)((dd, mc) =>
+          dd.withColumn(mc, lit(null)))
+        val checked = padded.filter(isnull(assert_true(
+          coalesce(expr(cond), lit(true)),
           lit(s"CHECK constraint '$name' violated: $cond"))))
+        missing.foldLeft(checked)((dd, mc) => dd.drop(mc))
       }
     // COLUMN MAPPING write edge: alias logical → physical just before
     // the parquet write (constraints above evaluated on the logical

@@ -158,43 +158,54 @@ object VersionedSql {
             "table derives partitions from the data (dynamic overwrite " +
             "is Versioned.overwritePartitions)")
         val raw = GraftShims.ofRows(spark, ins.query)
-        // positional binding (the ANSI INSERT contract): an explicit
-        // column list renames the source to it; a bare VALUES row
-        // (whose inline-table default names are col1..colN) binds to
-        // the full table schema in order — both require exact arity,
-        // never silent truncation or reorder
-        val bound =
-          if (ins.userSpecifiedCols.nonEmpty) {
-            require(ins.userSpecifiedCols.size == raw.columns.length,
-              s"INSERT column list has ${ins.userSpecifiedCols.size} " +
-                s"column(s) but the query produces ${raw.columns.length}")
-            raw.toDF(ins.userSpecifiedCols: _*)
-          } else if (raw.columns.zipWithIndex.forall {
-              case (c, i) => c == s"col${i + 1}" }) {
-            val ts = Versioned.tableSchema(spark, root)
-            require(raw.columns.length == ts.fields.length,
-              s"positional INSERT needs all ${ts.fields.length} table " +
-                s"column(s), got ${raw.columns.length} — name the " +
-                "columns (INSERT INTO t (a, b) ...) to insert a subset")
-            raw.toDF(ts.fieldNames.toIndexedSeq: _*)
-          } else raw
+        // ONE schema read serves binding and casts (None = the table
+        // doesn't exist yet: the source's shape simply becomes v1)
+        val declared = Versioned.latestVersion(root)
+          .map(_ => Versioned.tableSchema(spark, root))
+        def lcase(s: String) = s.toLowerCase(java.util.Locale.ROOT)
+        def canon(n: String): String = declared
+          .flatMap(_.fields.find(_.name.equalsIgnoreCase(n)).map(_.name))
+          .getOrElse(n)
+        // target column list: the explicit list (canonicalized to the
+        // declared casing) or the full table schema
+        val targets: Option[Seq[String]] =
+          if (ins.userSpecifiedCols.nonEmpty)
+            Some(ins.userSpecifiedCols.map(canon))
+          else declared.map(_.fieldNames.toSeq)
+        val bound = (targets, ins.byName) match {
+          case (Some(ts), false) =>
+            // default INSERT is POSITIONAL (the ANSI contract, and
+            // Spark's own): the query's columns map to the target list
+            // left-to-right; arity must match exactly — never silent
+            // truncation or reorder
+            require(raw.columns.length == ts.length,
+              s"INSERT provides ${raw.columns.length} column(s) but " +
+                s"the target list has ${ts.length}" +
+                (if (ins.userSpecifiedCols.isEmpty)
+                   " — name the columns (INSERT INTO t (a, b) ...) to " +
+                     "insert a subset"
+                 else ""))
+            raw.toDF(ts: _*)
+          case (Some(_), true) => // INSERT ... BY NAME
+            raw.select(raw.columns.toSeq.map(c0 =>
+              raw.col(c0).as(canon(c0))): _*)
+          case (None, _) => raw
+        }
         // ANSI store-assignment: literals arrive as their natural type
         // (VALUES (1) is an INT); UP-casts to the declared column type
         // are implicit, anything lossy stays a loud error
-        val source = Versioned.latestVersion(root) match {
+        val source = declared match {
           case None => bound
-          case Some(_) =>
-            val declared = Versioned.tableSchema(spark, root)
-              .fields.map(f => f.name.toLowerCase(java.util.Locale.ROOT) -> f)
-              .toMap
-            import org.apache.spark.sql.functions.col
+          case Some(ts0) =>
+            val byLc = ts0.fields.map(f => lcase(f.name) -> f).toMap
             bound.select(bound.schema.fields.toSeq.map { sf =>
-              declared.get(sf.name.toLowerCase(java.util.Locale.ROOT)) match {
+              byLc.get(lcase(sf.name)) match {
                 case Some(tf) if tf.dataType != sf.dataType &&
                     org.apache.spark.sql.catalyst.expressions.Cast
                       .canUpCast(sf.dataType, tf.dataType) =>
-                  col(s"`${sf.name}`").cast(tf.dataType).as(sf.name)
-                case _ => col(s"`${sf.name}`")
+                  bound.col(sf.name).cast(tf.dataType).as(tf.name)
+                case Some(tf) => bound.col(sf.name).as(tf.name)
+                case None => bound.col(sf.name)
               }
             }: _*)
         }

@@ -372,6 +372,33 @@ class VersionedSqlSpec extends SparkSpec {
       Versioned.sql(spark, s"INSERT INTO `$root` VALUES (4)")
     }
     assert(e.getMessage.contains("name the"))
+    // a differently-CASED column list resolves (canonicalized to the
+    // declared casing, Spark's default case-insensitive resolution)
+    Versioned.sql(spark, s"INSERT INTO `$root` (ID, TAG) VALUES (4, 'd')")
+    // bare INSERT ... SELECT binds POSITIONALLY (the ANSI contract):
+    // the source's names don't matter, order does
+    Versioned.sql(spark,
+      s"INSERT INTO `$root` SELECT CAST(5 AS BIGINT) AS x, 'e' AS y")
+    assert(Versioned.read(spark, root).orderBy("id")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b"), (3L, "c"), (4L, "d"), (5L, "e")))
+  }
+
+  test("subset INSERT passes a CHECK on the omitted column (NULL passes)") {
+    val root = freshRoot("insc")
+    Versioned.sql(spark, s"CREATE TABLE `$root` (a BIGINT, b BIGINT)")
+    Versioned.commit(spark, root, Seq((1L, 5L)).toDF("a", "b"))
+    Versioned.sql(spark, s"ALTER TABLE `$root` ADD CONSTRAINT pos CHECK (b > 0)")
+    // SQL semantics: the omitted b inserts NULL, and NULL passes CHECK
+    Versioned.sql(spark, s"INSERT INTO `$root` (a) VALUES (2)")
+    val got = Versioned.read(spark, root).orderBy("a")
+    assert(got.as[(Long, Option[Long])].collect().toSeq ===
+      Seq((1L, Some(5L)), (2L, None)))
+    // a PRESENT violating value still aborts
+    val e = intercept[Exception] {
+      Versioned.sql(spark, s"INSERT INTO `$root` (a, b) VALUES (3, -1)")
+    }
+    assert(e.getMessage.contains("pos") || e.toString.contains("CHECK"))
   }
 
   test("CREATE TABLE / CTAS / TRUNCATE dispatch; graft_schema shows " +
