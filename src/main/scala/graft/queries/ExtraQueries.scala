@@ -1396,6 +1396,45 @@ object ExtraQueries {
   private val sqlRenameDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // ---------------------------------------------------------------- x39
+  // Metadata-only TYPE WIDENING end-to-end, pure SQL and hash-gated:
+  // odd customers land with an INT key, ONE pure-SQL ALTER COLUMN TYPE
+  // widens it to BIGINT with zero data movement (the parquet reader
+  // up-converts the narrow files at scan time), then an INSERT appends
+  // even customers carrying native BIGINT keys — both eras read in one
+  // scan. DuckDB replays the union at BIGINT: a reader that mistyped,
+  // nulled, or truncated either era breaks the hash through the
+  // registered source.
+  val x39SqlWiden: Q = Q(
+    "x39_sql_widen",
+    """SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS acctbal
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    import graft.operators.Versioned
+    val root = sqlWidenDirs.getOrElseUpdate(d, {
+      val r = java.nio.file.Files
+        .createTempDirectory("graft-sqlwid-q").toString + "/t"
+      val c = t(s, d, "customer").select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("acctbal"))
+      Versioned.commit(s, r,
+        c.filter(col("c_custkey") % 2 === 1)
+          .withColumn("c_custkey", col("c_custkey").cast("int")),
+        statsCols = Seq("c_custkey"))
+      Versioned.sql(s,
+        s"ALTER TABLE `$r` ALTER COLUMN c_custkey TYPE BIGINT")
+      c.filter(col("c_custkey") % 2 === 0)
+        .createOrReplaceTempView("x39_ins_src")
+      Versioned.sql(s, s"INSERT INTO `$r` SELECT * FROM x39_ins_src")
+      r
+    })
+    s.read.format(graft.sources.VersionedSource.Name)
+      .option("path", root).load()
+      .select("c_custkey", "acctbal")
+      .orderBy("c_custkey")
+  }
+
+  private val sqlWidenDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   // ---------------------------------------------------------------- x30
   // Atomic predicate-scoped overwrite (Versioned.replaceWhere — Delta's
   // replaceWhere): customers land range-clustered by nation, then the
@@ -1612,5 +1651,5 @@ object ExtraQueries {
     x25Bm25Serve, x26DvDelete, x27GapFill, x28CloneBranch, x29OhlcResample,
     x30ReplaceWhere, x31Ewma, x32SqlTimeTravel, x33SqlMerge, x34EwmaLong,
     x35PinnedJoin, x36SqlUpdateDelete, x37SqlSchemaEvolution,
-    x38SqlRename)
+    x38SqlRename, x39SqlWiden)
 }
