@@ -1477,6 +1477,14 @@ object Versioned {
   def tableBytes(root: String, version: Long): Long =
     readManifest(root, version).files.map(_.bytes).sum
 
+  /** The table's declared hive-layout partition columns at `version`
+    * (latest when `None`); empty for an unpartitioned table. Manifest
+    * metadata only — SQL INSERT OVERWRITE reads this to preserve the
+    * declared layout through a full replacement, like Spark/Delta. */
+  def partitionByOf(root: String, version: Option[Long] = None): Seq[String] =
+    version.orElse(latestVersion(root))
+      .map(readManifest(root, _).partitionBy).getOrElse(Nil)
+
   /** Read a pruned subset of `version`'s live files (relative paths from
     * [[candidateFilesForBounds]]) under the version's aligned schema,
     * pending merge-on-read deletes applied; an empty subset still
@@ -1822,11 +1830,21 @@ object Versioned {
       "vector(s); compact to materialize them before a copy-on-write " +
       "update (its by-reference file carry would resurrect deleted rows)")
     val schema = tableSchema(spark, root, Some(latest))
-    val unknown = assignments.map(_._1)
+    // assignment targets resolve case-insensitively, like every other
+    // verb on this surface (rename/widen/drop/INSERT canon): the
+    // declared casing wins so the projection map below hits
+    val canonAsg = assignments.map { case (n, v) =>
+      schema.fields.find(_.name.equalsIgnoreCase(n))
+        .map(_.name).getOrElse(n) -> v
+    }
+    val unknown = canonAsg.map(_._1)
       .filterNot(schema.fieldNames.contains)
     require(unknown.isEmpty, s"UPDATE assigns unknown column(s) " +
       s"${unknown.mkString(", ")} — the table schema is " +
       schema.fieldNames.mkString(", "))
+    require(canonAsg.map(_._1).distinct.size == canonAsg.size,
+      "duplicate UPDATE assignment targets (case-insensitive): " +
+        canonAsg.map(_._1).diff(canonAsg.map(_._1).distinct).mkString(", "))
     val condExpr = resolvedPredicate(spark, root, cond)
     val (touched, untouched) =
       {
@@ -1839,7 +1857,7 @@ object Versioned {
         touched.map(f => resolve(root, f.path).getPath), m.schemaJson, m.physNames)
       val base = if (cdf) base0.persist() else base0
       try {
-        val asg = assignments.toMap
+        val asg = canonAsg.toMap
         // the hit flag is computed against the PRE-update row ONCE,
         // then ONE projection rewrites all assigned columns — no
         // sequential withColumn chain where a later RHS would see an
@@ -2105,6 +2123,17 @@ object Versioned {
       throw new IllegalArgumentException(
         s"column '$name' does not exist on $root " +
           s"(have: ${schema.fieldNames.mkString(", ")})"))
+    // partition columns carry their identity in the per-file stats
+    // TYPE TAG ('long' vs 'double'): widening int -> double would make
+    // pre-widen files' partition tuples ('long','5') never compare
+    // equal to post-widen tuples ('double','5.0'), so a later
+    // overwritePartitions would classify old files as carried instead
+    // of replaced and silently duplicate rows — same guard class as
+    // rename/drop of partition columns
+    require(!m.partitionBy.exists(_.equalsIgnoreCase(field.name)),
+      s"cannot widen partition column '${field.name}' — the table " +
+        "layout (and per-file partition-tuple stats) is derived from " +
+        "it; re-layout via overwrite first")
     val widenable: Boolean = (field.dataType, to) match {
       case (ByteType, ShortType | IntegerType | LongType) => true
       case (ShortType, IntegerType | LongType) => true
@@ -2586,7 +2615,7 @@ object Versioned {
       .getOrElse(Map.empty)
       .filter { case (_, dv) =>
         !manifestFile(root, dv).isFile ||
-          readManifest(root, dv).files.exists(f => newLive(f.path))
+          dropVersionPaths(root, dv).exists(newLive)
       }
     val byPath = files.iterator.map(f => f.path -> f).toMap
     val carried = carryFrom.orElse(Some(parent)).filter(_ >= 1L)
@@ -2618,6 +2647,30 @@ object Versioned {
     else throw new VersionConflictException(
       s"concurrent writer published v$next at $root first; " +
         "re-read the table and retry")
+  }
+
+  /** Drop-version live-file paths, cached: the tombstone auto-clear
+    * above probes this set on EVERY commit while a tombstone is
+    * active, and manifests are immutable once published (CAS
+    * create-exclusive), so one parse per drop version serves the
+    * table's whole tombstone lifetime instead of O(tombstones)
+    * manifest re-reads on the hot commit path. Keyed on (path, size,
+    * mtime) so a wiped-and-recreated test root can never serve stale
+    * sets. */
+  private val dropFilesCache =
+    new java.util.concurrent.ConcurrentHashMap[(String, Long, Long),
+      Set[String]]()
+
+  private def dropVersionPaths(root: String, dv: Long): Set[String] = {
+    val f = manifestFile(root, dv)
+    val key = (f.getAbsolutePath, f.length(), f.lastModified())
+    val hit = dropFilesCache.get(key)
+    if (hit != null) hit
+    else {
+      val paths = readManifest(root, dv).files.iterator.map(_.path).toSet
+      dropFilesCache.put(key, paths)
+      paths
+    }
   }
 
   /** The commit-publish primitive in force — every table commit and

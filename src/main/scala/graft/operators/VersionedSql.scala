@@ -68,10 +68,13 @@ object VersionedSql {
 
   // maintenance verbs Spark's grammar doesn't know — hand-parsed ahead
   // of the parser, the same slot Delta's parser extension fills:
-  //   OPTIMIZE `path` [INTO n FILES] [ZORDER BY (c1, c2, …)]
+  //   OPTIMIZE `path` [INTO n FILES | TARGET n BYTES]
+  //                   [ZORDER BY (c1, c2, …)]
   //   VACUUM `path` RETAIN n VERSIONS
   private val OptimizeRe =
-    """(?is)\s*OPTIMIZE\s+`([^`]+)`(?:\s+INTO\s+(\d+)\s+FILES)?(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?\s*;?\s*""".r
+    ("""(?is)\s*OPTIMIZE\s+`([^`]+)`(?:\s+INTO\s+(\d+)\s+FILES|""" +
+      """\s+TARGET\s+(\d+)\s+BYTES)?""" +
+      """(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?\s*;?\s*""").r
   private val VacuumRe =
     """(?is)\s*VACUUM\s+`([^`]+)`\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
   private val RestoreRe =
@@ -85,15 +88,26 @@ object VersionedSql {
     // MERGE sources written against graft_table(...) (idempotent)
     graft.GraftExtensions.registerFunctions(spark)
     stmt match {
-      case OptimizeRe(root, n, zcols) =>
+      case OptimizeRe(root, n, tgt, zcols) =>
         val nOut = Option(n).map(_.toInt)
+        // bare OPTIMIZE is the INCREMENTAL bin-pack (Delta's bare-
+        // OPTIMIZE semantics: O(small-file debt), big files carried by
+        // reference — on a 100 TB streaming-fed table the verb a user
+        // reaches for first must never be a full rewrite through one
+        // task). Explicit INTO n FILES stays the full rewrite; TARGET
+        // n BYTES tunes the incremental pack's output size.
         return result(spark, root, "optimize",
           Option(zcols) match {
             case Some(cs) => Versioned.zorder(spark, root,
               cs.split(",").map(_.trim).toSeq.filter(_.nonEmpty),
               nOut = nOut.getOrElse(8))
-            case None =>
-              Versioned.compact(spark, root, targetFiles = nOut.getOrElse(1))
+            case None => nOut match {
+              case Some(files) =>
+                Versioned.compact(spark, root, targetFiles = files)
+              case None => Versioned.optimize(spark, root,
+                targetBytes = Option(tgt).map(_.toLong)
+                  .getOrElse(128L * 1024 * 1024))
+            }
           })
       case VacuumRe(root, keep) =>
         Versioned.vacuum(root, keepVersions = keep.toInt)
@@ -210,8 +224,18 @@ object VersionedSql {
             }: _*)
         }
         val mode = if (ins.overwrite) "overwrite" else "append"
+        // INSERT OVERWRITE preserves the table's DECLARED partition
+        // layout (the Spark/Delta contract): commit's overwrite mode
+        // replaces layout along with rows, so the parent's partitionBy
+        // must be passed through explicitly or a partitioned table
+        // would silently flatten to unpartitioned (breaking later
+        // overwritePartitions calls and partition pruning). Appends
+        // inherit the layout inside commit already.
+        val keepLayout =
+          if (ins.overwrite) Versioned.partitionByOf(root) else Nil
         result(spark, root, mode,
-          Versioned.commit(spark, root, source, mode = mode))
+          Versioned.commit(spark, root, source, mode = mode,
+            partitionBy = keepLayout))
 
       case UpdateTable(table, assignments, condition) =>
         val root = pathOf(table)
@@ -278,11 +302,21 @@ object VersionedSql {
             // expectedVersion = 0 routes the existence race through the
             // CAS: two concurrent CTAS both observing "no table" cannot
             // both land — the loser gets a clean conflict instead of
-            // silently appending its result onto the winner's
-            result(spark, root, "create",
-              Versioned.commit(spark, root, GraftShims.ofRows(spark, query),
+            // silently appending its result onto the winner's. Under
+            // IF NOT EXISTS the loser then honors the clause: the
+            // winner's table IS the "exists" case, so re-resolve and
+            // return its version instead of surfacing the conflict.
+            val v =
+              try Versioned.commit(spark, root,
+                GraftShims.ofRows(spark, query),
                 partitionBy = partitionColsOf(partitioning),
-                expectedVersion = Some(0L)))
+                expectedVersion = Some(0L))
+              catch {
+                case e: Versioned.VersionConflictException =>
+                  if (!ignoreIfExists) throw e
+                  Versioned.latestVersion(root).getOrElse(throw e)
+              }
+            result(spark, root, "create", v)
         }
 
       case TruncateTable(table) =>

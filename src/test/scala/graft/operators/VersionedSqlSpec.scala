@@ -456,4 +456,121 @@ class VersionedSqlSpec extends SparkSpec {
       s"SELECT count(*) AS n FROM graft_table('$root')")
     assert(got.as[Long].head() === 2L)
   }
+
+  test("bare OPTIMIZE is the incremental bin-pack; TARGET n BYTES " +
+      "carries at-target files by reference") {
+    val root = freshRoot("binpack")
+    // one "big" file (10k rows) + four tiny ones
+    Versioned.commit(spark, root,
+      (1 to 10000).map(i => (i.toLong, i * 2.0)).toDF("id", "v")
+        .coalesce(1), statsCols = Seq("id"))
+    val bigPath = Versioned.files(root, 1).head
+    (1 to 4).foreach { i =>
+      Versioned.commit(spark, root,
+        Seq((100000L + i, i.toDouble)).toDF("id", "v").coalesce(1))
+    }
+    // TARGET n BYTES: the big file stays BY REFERENCE (path unchanged
+    // in the new manifest) — O(small-file debt), never a full rewrite
+    val tgt = 20000L // tiny files ~1 KB, the 10k-row file is well past
+    val v = Versioned.sql(spark, s"OPTIMIZE `$root` TARGET $tgt BYTES")
+      .select("version").as[Long].head()
+    val after = Versioned.files(root, v)
+    assert(after.contains(bigPath),
+      "the at-target file must carry by reference, not rewrite")
+    assert(after.size === 2, s"4 smalls pack into one output, got $after")
+    assert(Versioned.read(spark, root).count() === 10004)
+    // bare OPTIMIZE now dispatches to the same incremental pack: on an
+    // already-packed table (nothing under the 128 MB default target
+    // except one file... every file here is "small" but only the pack
+    // set matters) — a table with ONE live small file is a no-op,
+    // where the old compact(1) dispatch always published a rewrite
+    val root2 = freshRoot("binpack2")
+    Versioned.commit(spark, root2,
+      Seq((1L, 1.0)).toDF("id", "v").coalesce(1))
+    val v2 = Versioned.sql(spark, s"OPTIMIZE `$root2`")
+      .select("version").as[Long].head()
+    assert(v2 === 1L,
+      "bare OPTIMIZE on a single-file table must be the incremental " +
+        "no-op, not compact(1)'s full rewrite")
+    // explicit INTO n FILES stays the full rewrite
+    val v3 = Versioned.sql(spark, s"OPTIMIZE `$root` INTO 1 FILES")
+      .select("version").as[Long].head()
+    assert(Versioned.files(root, v3).size === 1)
+  }
+
+  test("INSERT OVERWRITE preserves the declared partition layout") {
+    val root = freshRoot("inso")
+    Versioned.commit(spark, root,
+      Seq((1L, "a", 1.0), (2L, "b", 2.0)).toDF("id", "part", "v"),
+      partitionBy = Seq("part"))
+    assert(Versioned.partitionByOf(root) === Seq("part"))
+    Seq((9L, "a", 9.0), (10L, "c", 10.0)).toDF("id", "part", "v")
+      .createOrReplaceTempView("vsql_inso_src")
+    Versioned.sql(spark,
+      s"INSERT OVERWRITE `$root` SELECT * FROM vsql_inso_src")
+    // the layout survived the full replacement (Spark/Delta contract)
+    assert(Versioned.partitionByOf(root) === Seq("part"),
+      "INSERT OVERWRITE must not strip the hive layout")
+    // and partition-scoped verbs still work on the new snapshot
+    Versioned.overwritePartitions(spark, root,
+      Seq((99L, "c", 99.0)).toDF("id", "part", "v"))
+    val got = Versioned.read(spark, root).orderBy("id")
+      .select("id", "part").as[(Long, String)].collect().toSeq
+    assert(got === Seq((9L, "a"), (99L, "c")))
+  }
+
+  test("UPDATE assignment targets resolve case-insensitively") {
+    val root = freshRoot("updcase")
+    Versioned.commit(spark, root,
+      Seq((1L, 10.0), (2L, 20.0)).toDF("id", "acctbal"))
+    Versioned.sql(spark,
+      s"UPDATE `$root` SET ACCTBAL = ACCTBAL + 5.0 WHERE ID = 1")
+    assert(Versioned.read(spark, root).orderBy("id")
+      .select("acctbal").as[Double].collect().toSeq === Seq(15.0, 20.0))
+    // duplicate targets differing only by case still fail loudly
+    val e = intercept[IllegalArgumentException] {
+      Versioned.updateRows(spark, root,
+        Seq("acctbal" -> lit(0.0), "ACCTBAL" -> lit(1.0)), lit(true))
+    }
+    assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("CTAS IF NOT EXISTS honors a lost creation race") {
+    val root = freshRoot("ctasrace")
+    Seq((1L, "w")).toDF("id", "s").createOrReplaceTempView("vsql_race_src")
+    // deterministic race: inside the CTAS publish's critical window a
+    // competing writer lands v1 first (reentrant — java monitors), so
+    // the CTAS's pinned expectedVersion=0 commit loses the CAS; IF NOT
+    // EXISTS must then return the winner's version, not throw
+    val prev = Versioned.coordinator
+    var fired = false
+    Versioned.coordinator = new ConditionalPutCoordinator(raceHook = { _ =>
+      if (!fired) {
+        fired = true
+        Versioned.commit(spark, root, Seq((42L, "winner")).toDF("id", "s"))
+      }
+    })
+    try {
+      val v = Versioned.sql(spark,
+        s"CREATE TABLE IF NOT EXISTS `$root` AS SELECT * FROM vsql_race_src")
+        .select("version").as[Long].head()
+      assert(v === 1L, "the loser must return the winner's version")
+      assert(Versioned.read(spark, root).select("s").as[String]
+        .collect().toSeq === Seq("winner"),
+        "IF NOT EXISTS keeps the winner's table")
+    } finally Versioned.coordinator = prev
+    // without IF NOT EXISTS the same race surfaces as a loud conflict
+    val root2 = freshRoot("ctasrace2")
+    var fired2 = false
+    Versioned.coordinator = new ConditionalPutCoordinator(raceHook = { _ =>
+      if (!fired2) {
+        fired2 = true
+        Versioned.commit(spark, root2, Seq((42L, "winner")).toDF("id", "s"))
+      }
+    })
+    try intercept[Versioned.VersionConflictException] {
+      Versioned.sql(spark,
+        s"CREATE TABLE `$root2` AS SELECT * FROM vsql_race_src")
+    } finally Versioned.coordinator = prev
+  }
 }
