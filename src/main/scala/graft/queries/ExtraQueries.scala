@@ -1435,6 +1435,61 @@ object ExtraQueries {
   private val sqlWidenDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // ---------------------------------------------------------------- x40
+  // The DSv2 CATALOG end-to-end, pure SQL and hash-gated: versioned
+  // tables addressed by NAME through spark.sql.catalog.graft (the
+  // reference's whole Gold layer speaks named relations — every dbt
+  // ref(); the Spark path's toTable(), pipelines/02-kafka-spark-
+  // iceberg/spark/jobs/bronze_ingest.py:173-183). CREATE TABLE …
+  // PARTITIONED BY, INSERT INTO, and a PARTITION-scoped INSERT
+  // OVERWRITE (→ replaceWhere: one partition rewritten, the rest
+  // carried by reference) all run through Spark's own analyzer against
+  // the catalog; the read resolves the same name through the DSv2→V1
+  // scan bridge. DuckDB replays the end state as a CASE: a write
+  // landing in the wrong partition, an overwrite leaking outside its
+  // partition, or a catalog read resolving a stale snapshot breaks
+  // the hash.
+  val x40CatalogSql: Q = Q(
+    "x40_catalog_sql",
+    """SELECT c_custkey,
+      |  CASE WHEN c_mktsegment = 'BUILDING'
+      |       THEN CAST(c_acctbal AS DOUBLE) + 100.0
+      |       ELSE CAST(c_acctbal AS DOUBLE) END AS acctbal,
+      |  c_mktsegment AS seg
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val wh = catalogSqlDirs.getOrElseUpdate(d, {
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-catalog-q").toString
+      s.conf.set("spark.sql.catalog.graft",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graft.warehouse", w)
+      t(s, d, "customer").select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("acctbal"),
+        col("c_mktsegment").as("seg"))
+        .createOrReplaceTempView("x40_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gold")
+      s.sql("CREATE TABLE graft.gold.cust " +
+        "(c_custkey BIGINT, acctbal DOUBLE, seg STRING) " +
+        "PARTITIONED BY (seg)")
+      s.sql("INSERT INTO graft.gold.cust " +
+        "SELECT c_custkey, acctbal, seg FROM x40_src")
+      s.sql("INSERT OVERWRITE graft.gold.cust PARTITION (seg = 'BUILDING') " +
+        "SELECT c_custkey, acctbal + 100.0 FROM x40_src " +
+        "WHERE seg = 'BUILDING'")
+      w
+    })
+    // re-point the session at the warm warehouse (a fresh session may
+    // arrive with the dirs map already populated)
+    s.conf.set("spark.sql.catalog.graft",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
+    s.sql("SELECT c_custkey, acctbal, seg FROM graft.gold.cust " +
+      "ORDER BY c_custkey")
+  }
+
+  private val catalogSqlDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   // ---------------------------------------------------------------- x30
   // Atomic predicate-scoped overwrite (Versioned.replaceWhere — Delta's
   // replaceWhere): customers land range-clustered by nation, then the
@@ -1651,5 +1706,5 @@ object ExtraQueries {
     x25Bm25Serve, x26DvDelete, x27GapFill, x28CloneBranch, x29OhlcResample,
     x30ReplaceWhere, x31Ewma, x32SqlTimeTravel, x33SqlMerge, x34EwmaLong,
     x35PinnedJoin, x36SqlUpdateDelete, x37SqlSchemaEvolution,
-    x38SqlRename, x39SqlWiden)
+    x38SqlRename, x39SqlWiden, x40CatalogSql)
 }

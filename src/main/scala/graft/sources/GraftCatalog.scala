@@ -1,0 +1,468 @@
+package graft.sources
+
+import java.io.File
+import java.util
+
+import scala.jdk.CollectionConverters._
+
+import org.apache.spark.rdd.RDD
+import org.apache.spark.sql.{DataFrame, Row, SQLContext, SparkSession}
+import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, NoSuchNamespaceException, NoSuchTableException, TableAlreadyExistsException}
+import org.apache.spark.sql.connector.catalog._
+import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
+import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.functions.col
+import org.apache.spark.sql.sources.{AlwaysTrue, And, BaseRelation, Filter, InsertableRelation, TableScan}
+import org.apache.spark.sql.types.StructType
+import org.apache.spark.sql.util.CaseInsensitiveStringMap
+
+import graft.operators.Versioned
+
+/** A DSv2 `TableCatalog` over [[Versioned]] lake tables — catalog
+  * NAMES for what was previously only path-addressable:
+  *
+  * {{{
+  *   spark.conf: spark.sql.catalog.graft = graft.sources.GraftCatalog
+  *               spark.sql.catalog.graft.warehouse = /lake/warehouse
+  *
+  *   CREATE TABLE graft.gold.daily (day DATE, rev DOUBLE)
+  *     PARTITIONED BY (day)
+  *   INSERT INTO graft.gold.daily SELECT …
+  *   SELECT * FROM graft.gold.daily VERSION AS OF 3   -- time travel
+  *   ALTER TABLE graft.gold.daily ADD COLUMNS (n BIGINT)
+  *   SHOW TABLES IN graft.gold / DESCRIBE graft.gold.daily
+  * }}}
+  *
+  * The reference's whole Gold layer speaks named relations (every dbt
+  * `ref()`; the Spark path writes `toTable(...)` against a catalog —
+  * `pipelines/02-kafka-spark-iceberg/spark/jobs/bronze_ingest.py:
+  * 173-183`); this closes that gap without a metastore: the warehouse
+  * DIRECTORY is the catalog (namespace = subdirectory, table = a
+  * directory with a `_graft_log`), so catalog state shares the
+  * manifest log's CAS atomicity instead of adding a second source of
+  * truth that could diverge from it.
+  *
+  * Reads and writes reuse the battle-tested V1 machinery through the
+  * DSv2→V1 bridge Spark itself ships for exactly this (`V1Scan` /
+  * `V1Write`, the JDBC connector's path): scans get manifest-stats
+  * file pruning + commit-time `sizeInBytes` (auto-broadcast), writes
+  * are atomic CAS manifest commits — identical plans and identical
+  * commit semantics to the path-addressed API, just named.
+  */
+class GraftCatalog extends TableCatalog with SupportsNamespaces {
+
+  private var catalogName: String = _
+  private var warehouse: File = _
+
+  override def initialize(name: String,
+      options: CaseInsensitiveStringMap): Unit = {
+    catalogName = name
+    val w = options.get("warehouse")
+    require(w != null && w.nonEmpty,
+      s"catalog '$name' needs spark.sql.catalog.$name.warehouse=<dir>")
+    warehouse = new File(w).getAbsoluteFile
+    warehouse.mkdirs()
+  }
+
+  override def name(): String = catalogName
+
+  private def spark: SparkSession = SparkSession.active
+
+  // identifiers map 1:1 onto warehouse-relative paths; reject path
+  // metacharacters so an identifier can never escape the warehouse
+  private def checkPart(p: String): String = {
+    require(p.nonEmpty && !p.contains("/") && !p.contains("\\") &&
+        p != "." && p != ".." && !p.startsWith("_"),
+      s"invalid catalog name part: '$p'")
+    p
+  }
+
+  private def nsDir(namespace: Array[String]): File =
+    namespace.foldLeft(warehouse)((d, p) => new File(d, checkPart(p)))
+
+  private[sources] def rootOf(ident: Identifier): String =
+    new File(nsDir(ident.namespace), checkPart(ident.name)).getPath
+
+  private def isTableDir(f: File): Boolean =
+    new File(f, "_graft_log").isDirectory
+
+  // ------------------------------------------------------------ tables
+
+  override def listTables(namespace: Array[String]): Array[Identifier] = {
+    val dir = nsDir(namespace)
+    if (!dir.isDirectory) throw new NoSuchNamespaceException(namespace)
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(isTableDir).map(f => Identifier.of(namespace, f.getName))
+      .sortBy(_.name)
+  }
+
+  override def tableExists(ident: Identifier): Boolean =
+    isTableDir(new File(rootOf(ident)))
+
+  override def loadTable(ident: Identifier): Table =
+    loadPinned(ident, None)
+
+  /** `VERSION AS OF n` time travel — the version string is the
+    * manifest version number. */
+  override def loadTable(ident: Identifier, version: String): Table =
+    loadPinned(ident, Some(version.toLong))
+
+  /** `TIMESTAMP AS OF` time travel — micros since epoch (Spark's
+    * contract for this overload) resolve to the newest commit at or
+    * before that wall-clock instant. */
+  override def loadTable(ident: Identifier, timestamp: Long): Table = {
+    val root = rootOf(ident)
+    if (!isTableDir(new File(root))) throw new NoSuchTableException(ident)
+    loadPinned(ident,
+      Some(Versioned.versionAsOfTimestamp(root, timestamp / 1000L)))
+  }
+
+  private def loadPinned(ident: Identifier, v: Option[Long]): Table = {
+    val root = rootOf(ident)
+    if (!isTableDir(new File(root)) ||
+        Versioned.latestVersion(root).isEmpty)
+      throw new NoSuchTableException(ident)
+    new GraftTable(spark, fullName(ident), root, v)
+  }
+
+  private def fullName(ident: Identifier): String =
+    (catalogName +: ident.namespace.toSeq :+ ident.name).mkString(".")
+
+  override def createTable(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String]): Table = {
+    val root = rootOf(ident)
+    if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
+    val dir = new File(root).getParentFile
+    if (!dir.isDirectory) throw new NoSuchNamespaceException(ident.namespace)
+    val partCols = partitions.map { t =>
+      require(t.name == "identity",
+        s"unsupported PARTITIONED BY transform: $t — only identity " +
+          "(plain column) partitioning maps onto the hive-layout table")
+      val parts = t.references()(0).fieldNames.toSeq
+      require(parts.size == 1,
+        s"nested partition column not supported: ${parts.mkString(".")}")
+      parts.head
+    }.toSeq
+    // Spark passes bookkeeping properties (provider, owner, location)
+    // on every CREATE — those are derivable or implied here; anything
+    // a USER declared would be silently lost, so reject it loudly
+    val userProps = properties.asScala.keys
+      .filterNot(Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER,
+        TableCatalog.PROP_LOCATION, TableCatalog.PROP_EXTERNAL,
+        TableCatalog.PROP_TABLE_TYPE, TableCatalog.PROP_COMMENT))
+    require(userProps.isEmpty,
+      s"TBLPROPERTIES are not supported: ${userProps.mkString(", ")}")
+    Versioned.createTable(spark, root, schema, partCols)
+    new GraftTable(spark, fullName(ident), root, None)
+  }
+
+  override def alterTable(ident: Identifier,
+      changes: TableChange*): Table = {
+    val root = rootOf(ident)
+    if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    changes.foreach {
+      case a: TableChange.AddColumn =>
+        require(a.fieldNames.length == 1,
+          s"nested column paths are not supported: " +
+            a.fieldNames.mkString("."))
+        require(a.position() == null,
+          "column positions are not supported — new columns append")
+        require(a.defaultValue() == null,
+          "column DEFAULTs are not supported — added columns null-fill")
+        require(a.isNullable,
+          s"column '${a.fieldNames.head}' declared NOT NULL — an " +
+            "added column must be nullable: existing rows have no " +
+            "value to give it")
+        Versioned.addColumns(spark, root, Seq(
+          org.apache.spark.sql.types.StructField(
+            a.fieldNames.head, a.dataType, nullable = true)))
+      case r: TableChange.RenameColumn =>
+        require(r.fieldNames.length == 1,
+          s"nested column paths are not supported: " +
+            r.fieldNames.mkString("."))
+        Versioned.renameColumn(spark, root, r.fieldNames.head, r.newName)
+      case d: TableChange.DeleteColumn =>
+        require(d.fieldNames.length == 1,
+          s"nested column paths are not supported: " +
+            d.fieldNames.mkString("."))
+        Versioned.dropColumns(spark, root, Seq(d.fieldNames.head))
+      case u: TableChange.UpdateColumnType =>
+        require(u.fieldNames.length == 1,
+          s"nested column paths are not supported: " +
+            u.fieldNames.mkString("."))
+        Versioned.widenColumn(spark, root, u.fieldNames.head,
+          u.newDataType)
+      case other => throw new UnsupportedOperationException(
+        s"unsupported ALTER TABLE change: $other — supported: ADD " +
+          "COLUMNS, RENAME COLUMN, DROP COLUMN, ALTER COLUMN TYPE " +
+          "(lossless widening)")
+    }
+    loadTable(ident)
+  }
+
+  override def dropTable(ident: Identifier): Boolean = {
+    val f = new File(rootOf(ident))
+    if (!isTableDir(f)) false
+    else { deleteRecursively(f); true }
+  }
+
+  override def renameTable(from: Identifier, to: Identifier): Unit = {
+    val src = new File(rootOf(from))
+    if (!isTableDir(src)) throw new NoSuchTableException(from)
+    val dst = new File(rootOf(to))
+    if (dst.exists()) throw new TableAlreadyExistsException(to)
+    if (!dst.getParentFile.isDirectory)
+      throw new NoSuchNamespaceException(to.namespace)
+    // manifests reference data files by RELATIVE path, so a directory
+    // move is complete and atomic on one filesystem; shallow clones of
+    // this table hold absolute refs and would dangle — refuse is not
+    // detectable from here, so the vacuum-class caveat is documented
+    if (!src.renameTo(dst)) throw new IllegalStateException(
+      s"rename $src -> $dst failed (cross-device move?)")
+  }
+
+  // -------------------------------------------------------- namespaces
+
+  override def listNamespaces(): Array[Array[String]] =
+    Option(warehouse.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !f.getName.startsWith("_") &&
+        !isTableDir(f))
+      .map(f => Array(f.getName)).sortBy(_.head)
+
+  override def listNamespaces(
+      namespace: Array[String]): Array[Array[String]] = {
+    if (namespace.isEmpty) return listNamespaces()
+    val dir = nsDir(namespace)
+    if (!dir.isDirectory) throw new NoSuchNamespaceException(namespace)
+    Option(dir.listFiles()).getOrElse(Array.empty)
+      .filter(f => f.isDirectory && !f.getName.startsWith("_") &&
+        !isTableDir(f))
+      .map(f => namespace :+ f.getName).sortBy(_.mkString("."))
+  }
+
+  override def namespaceExists(namespace: Array[String]): Boolean =
+    namespace.isEmpty || {
+      val dir = nsDir(namespace)
+      dir.isDirectory && !isTableDir(dir)
+    }
+
+  override def loadNamespaceMetadata(
+      namespace: Array[String]): util.Map[String, String] = {
+    if (!namespaceExists(namespace))
+      throw new NoSuchNamespaceException(namespace)
+    Map(SupportsNamespaces.PROP_LOCATION ->
+      nsDir(namespace).getPath).asJava
+  }
+
+  override def createNamespace(namespace: Array[String],
+      metadata: util.Map[String, String]): Unit = {
+    if (namespaceExists(namespace) && namespace.nonEmpty)
+      throw new NamespaceAlreadyExistsException(namespace)
+    nsDir(namespace).mkdirs()
+  }
+
+  override def alterNamespace(namespace: Array[String],
+      changes: NamespaceChange*): Unit =
+    throw new UnsupportedOperationException(
+      "namespace properties are not supported")
+
+  override def dropNamespace(namespace: Array[String],
+      cascade: Boolean): Boolean = {
+    val dir = nsDir(namespace)
+    if (!dir.isDirectory) false
+    else {
+      val nonEmpty = Option(dir.listFiles()).exists(_.nonEmpty)
+      if (nonEmpty && !cascade)
+        throw org.apache.spark.sql.catalyst.analysis
+          .NonEmptyNamespaceException(namespace,
+            s"namespace ${namespace.mkString(".")} is not empty", None)
+      deleteRecursively(dir)
+      true
+    }
+  }
+
+  private def deleteRecursively(f: File): Unit = {
+    if (f.isDirectory)
+      Option(f.listFiles()).getOrElse(Array.empty)
+        .foreach(deleteRecursively)
+    f.delete()
+  }
+}
+
+/** One catalog-addressed versioned table, pinned to `versionAsOf`
+  * (time travel) or floating at latest. */
+final class GraftTable(spark: SparkSession, fullName: String,
+    root: String, versionAsOf: Option[Long])
+    extends Table with SupportsRead with SupportsWrite {
+
+  // pin ONCE at load: the scan's file set and the reported schema must
+  // come from the same manifest or a concurrent commit could tear them
+  private val pinned: Long = versionAsOf
+    .orElse(Versioned.latestVersion(root))
+    .getOrElse(throw new IllegalArgumentException(s"no versions at $root"))
+
+  override def name(): String = fullName
+
+  override lazy val schema: StructType =
+    Versioned.tableSchema(spark, root, Some(pinned))
+
+  override def partitioning(): Array[Transform] =
+    Versioned.partitionByOf(root, Some(pinned))
+      .map(Expressions.identity).toArray
+
+  override def properties(): util.Map[String, String] =
+    Map(TableCatalog.PROP_LOCATION -> root,
+      TableCatalog.PROP_PROVIDER -> VersionedSource.Name).asJava
+
+  override def version(): String = pinned.toString
+
+  // no OVERWRITE_DYNAMIC: Spark has no V1 write bridge for the
+  // dynamic-overwrite exec, so that mode would need a from-scratch
+  // distributed BatchWrite — partition-scoped replacement is served
+  // by OVERWRITE_BY_FILTER (INSERT OVERWRITE … PARTITION (p=…) /
+  // writeTo.overwrite(cond) → replaceWhere) and the library's
+  // Versioned.overwritePartitions
+  override def capabilities(): util.Set[TableCapability] =
+    util.EnumSet.of(TableCapability.BATCH_READ,
+      TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new GraftScanBuilder(spark, root, pinned, schema)
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new GraftWriteBuilder(spark, root)
+
+  override def toString: String = s"GraftTable($fullName, v$pinned)"
+}
+
+/** Pushdown capture: filters feed manifest-stats FILE pruning (plus
+  * in-scan re-application for parquet row-group pruning), required
+  * columns the projection — both strictly advisory, all filters are
+  * re-applied by Spark above the scan so stats gaps can't change
+  * results (the same contract as the path-addressed V1 relation). */
+final class GraftScanBuilder(spark: SparkSession, root: String,
+    version: Long, tableSchema: StructType) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = tableSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters // all re-evaluated above the scan (advisory pruning)
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new GraftV1ScanBridge(spark, root, version, pushed.toIndexedSeq,
+      required)
+}
+
+/** The DSv2→V1 scan bridge (`V1Scan`, the JDBC connector's own path):
+  * planning stays DSv2 (catalog identity, pushdown negotiation, time
+  * travel), execution is the pruned V1 scan — one code path serves
+  * both addressing modes, so every stats-pruning property the V1 spec
+  * suite pins holds verbatim for catalog reads. */
+final class GraftV1ScanBridge(spark: SparkSession, root: String,
+    version: Long, filters: Seq[Filter], required: StructType)
+    extends V1Scan {
+
+  override def readSchema(): StructType = required
+
+  override def toV1TableScan[T <: BaseRelation with TableScan](
+      context: SQLContext): T =
+    new GraftV1Relation(context, root, version, filters, required)
+      .asInstanceOf[T]
+
+  override def description(): String =
+    s"GraftScan($root, v$version, ${filters.mkString(", ")})"
+}
+
+final class GraftV1Relation(override val sqlContext: SQLContext,
+    root: String, version: Long, filters: Seq[Filter],
+    required: StructType) extends BaseRelation with TableScan {
+
+  override def schema: StructType = required
+
+  // commit-time truth from the manifest — a small catalog-named
+  // dimension auto-broadcasts on metadata, no AQE runtime discovery
+  override def sizeInBytes: Long = Versioned.tableBytes(root, version)
+
+  // buildScan below emits InternalRows straight from the native
+  // parquet exec; declaring needConversion=false skips the per-row
+  // external-internal round-trip (documented BaseRelation contract)
+  override def needConversion: Boolean = false
+
+  override def buildScan(): RDD[Row] = {
+    val spark = sqlContext.sparkSession
+    val pruned = Versioned.candidateFilesForBounds(root, version,
+      VersionedSource.bounds(filters))
+    val base = Versioned.readVersionFiles(spark, root, version, pruned)
+    val filtered = filters.flatMap(VersionedSource.toColumn)
+      .foldLeft(base)(_ filter _)
+    filtered.select(required.fieldNames.toIndexedSeq.map(col): _*)
+      .queryExecution.toRdd.asInstanceOf[RDD[Row]]
+  }
+
+  override def toString: String = s"GraftV1Relation($root, v$version)"
+}
+
+/** The DSv2→V1 write bridge: INSERT INTO appends, INSERT OVERWRITE
+  * truncate-replaces (preserving the declared partition layout — the
+  * Spark/Delta contract), and INSERT OVERWRITE … PARTITION (p=…) /
+  * `writeTo.overwrite(cond)` replaces exactly the rows matching the
+  * filter ([[Versioned.replaceWhere]] — touched files only, the rest
+  * carried by reference). Every mode is one atomic CAS manifest
+  * commit with OCC retry. */
+final class GraftWriteBuilder(spark: SparkSession, root: String)
+    extends WriteBuilder with SupportsOverwrite {
+
+  // None = append; Some(None) = truncate-replace; Some(Some(c)) =
+  // replace rows matching c
+  private var overwriteCond: Option[Option[
+    org.apache.spark.sql.Column]] = None
+
+  override def overwrite(filters: Array[Filter]): WriteBuilder = {
+    overwriteCond =
+      if (filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue]))
+        Some(None)
+      else Some(Some(filters.toSeq.map(exact).reduce(_ && _)))
+    this
+  }
+
+  // the overwrite condition defines what gets DELETED, so unlike the
+  // advisory read-path translation it must be EXACT — an
+  // untranslatable leaf is a loud error, never a wider predicate
+  private def exact(f: Filter): org.apache.spark.sql.Column = f match {
+    case And(l, r) => exact(l) && exact(r)
+    case other => VersionedSource.toColumn(other).getOrElse(
+      throw new UnsupportedOperationException(
+        s"cannot overwrite by filter $other — not exactly " +
+          "translatable to a table predicate"))
+  }
+
+  override def build(): Write = new V1Write {
+    override def toInsertableRelation: InsertableRelation =
+      new InsertableRelation {
+        override def insert(data: DataFrame, overwrite: Boolean): Unit =
+          overwriteCond match {
+            case None =>
+              Versioned.commit(spark, root, data)
+            case Some(None) =>
+              Versioned.commit(spark, root, data, mode = "overwrite",
+                partitionBy = Versioned.partitionByOf(root))
+            case Some(Some(cond)) =>
+              Versioned.replaceWhere(spark, root, cond, data)
+          }
+      }
+    override def toString: String = s"GraftV1Write($root)"
+  }
+}
