@@ -1637,6 +1637,271 @@ object Versioned {
     }
   }
 
+  // -------------------------------------------------- general merge
+
+  /** WHEN MATCHED clause of a general [[merge]]: UPDATE (with explicit
+    * assignments, or `set = None` for `SET *` — same-named source
+    * columns) or DELETE, each optionally guarded by an extra
+    * condition. Clause order is ANSI: the FIRST applicable clause
+    * wins per row. */
+  sealed trait MatchedClause { def cond: Option[Column] }
+  final case class MatchedUpdate(cond: Option[Column],
+      set: Option[Seq[(String, Column)]]) extends MatchedClause
+  final case class MatchedDelete(cond: Option[Column]) extends MatchedClause
+
+  /** WHEN NOT MATCHED clause: INSERT with explicit per-column values
+    * (unassigned columns null-fill) or `values = None` for
+    * `INSERT *` (same-named source columns). */
+  final case class NotMatchedInsert(cond: Option[Column],
+      values: Option[Seq[(String, Column)]])
+
+  /** WHEN NOT MATCHED BY SOURCE clause: UPDATE or DELETE applied to
+    * target rows no source row matches. */
+  sealed trait BySourceClause { def cond: Option[Column] }
+  final case class BySourceUpdate(cond: Option[Column],
+      set: Seq[(String, Column)]) extends BySourceClause
+  final case class BySourceDelete(cond: Option[Column])
+      extends BySourceClause
+
+  /** General ANSI MERGE — the full grammar [[mergeUpsert]]'s fast
+    * path doesn't cover: composite (and renamed) equi-keys,
+    * conditional WHEN clauses, column-level `SET`, multiple clauses
+    * per side, and `WHEN NOT MATCHED BY SOURCE`.
+    *
+    * Semantics (ANSI / Delta): target rows join source rows on the
+    * `keys` equi-pairs (target column, source column); per target
+    * row the FIRST matched clause whose condition holds applies; per
+    * unmatched source row the first not-matched clause that holds
+    * inserts; per target row with no source match the first
+    * by-source clause that holds applies. A target row matched by
+    * MORE THAN ONE source row while update/delete clauses exist is
+    * an error (the Delta ambiguity contract), checked distributed —
+    * duplicate-keyed sources are detected with one aggregate, never
+    * collected.
+    *
+    * Scale shape: the join is keys-frame FILE-PRUNED like
+    * [[mergeUpsert]] (files whose stats exclude every source key
+    * carry by reference, zero bytes moved) — EXCEPT when
+    * `notMatchedBySource` is non-empty, which by definition can touch
+    * every target row, so every file rewrites (inherent to the verb,
+    * exactly Delta's cost model). Conditions and assignment
+    * right-hand sides reference the target as `t.<col>` and the
+    * source as `s.<col>`; RHS evaluate against the PRE-merge row.
+    *
+    * Cites the reference's keyed-upsert contract (Hudi RECORDKEY +
+    * precombine — `pipelines/22-hudi-cdc-storage/spark/jobs/
+    * silver_transform.py:101-114`): a two-field merge key with
+    * conditional update is exactly this verb.
+    *
+    * @param keys equi-join pairs as (target column, source column)
+    * @return the version containing the result
+    */
+  def merge(spark: SparkSession, root: String, source: DataFrame,
+      keys: Seq[(String, String)],
+      matched: Seq[MatchedClause] = Nil,
+      notMatched: Seq[NotMatchedInsert] = Nil,
+      notMatchedBySource: Seq[BySourceClause] = Nil,
+      statsCols: Seq[String] = Nil,
+      expectedVersion: Option[Long] = None,
+      cdf: Boolean = false): Long = withOccRetry(expectedVersion) {
+    import org.apache.spark.sql.functions.{col => c, count, lit, when}
+    require(keys.nonEmpty, "merge needs at least one ON key pair")
+    require(matched.nonEmpty || notMatched.nonEmpty ||
+      notMatchedBySource.nonEmpty, "merge needs at least one clause")
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root to merge into"))
+    expectedVersion.foreach { ev =>
+      if (ev != latest) throw new VersionConflictException(
+        s"table at $root is at version $latest, expected $ev")
+    }
+    val m = readManifest(root, latest)
+    require(m.mor.isEmpty && m.dvs.isEmpty, s"table at $root has pending " +
+      "merge-on-read state; compact to materialize it before a " +
+      "copy-on-write merge (its by-reference file carry would resurrect " +
+      "deleted rows)")
+    val schema = tableSchema(spark, root, Some(latest))
+    // canonicalize key / assignment target names against the declared
+    // schema (case-insensitive, like every verb on this surface)
+    def canon(n: String): String = schema.fields
+      .find(_.name.equalsIgnoreCase(n)).map(_.name).getOrElse(
+        throw new IllegalArgumentException(s"unknown target column " +
+          s"'$n' — the table schema is ${schema.fieldNames.mkString(", ")}"))
+    val keyPairs = keys.map { case (tk, sk) => (canon(tk), sk) }
+    val srcCols = source.columns.toSeq
+    keyPairs.foreach { case (_, sk) =>
+      require(srcCols.exists(_.equalsIgnoreCase(sk)),
+        s"unknown source key column '$sk' — the source has " +
+          srcCols.mkString(", "))
+    }
+    // every SET / INSERT target must be a declared column — a typo'd
+    // assignment silently keeping the old value would be a data bug
+    matched.foreach {
+      case MatchedUpdate(_, Some(set)) => set.foreach(a => canon(a._1))
+      case _ => ()
+    }
+    notMatchedBySource.foreach {
+      case BySourceUpdate(_, set) => set.foreach(a => canon(a._1))
+      case _ => ()
+    }
+    notMatched.foreach(_.values.foreach(_.foreach(a => canon(a._1))))
+    // NOT MATCHED BY SOURCE can touch any target row — no file can be
+    // proven unaffected, so the prune degenerates to a full rewrite
+    // (the verb's inherent cost model); otherwise files whose stats
+    // exclude every source first-key value carry by reference
+    val (touched, untouched) =
+      if (notMatchedBySource.nonEmpty) (m.files, Nil)
+      else {
+        val (tk, sk) = keyPairs.head
+        val physKey = m.physNames.getOrElse(tk, tk)
+        partitionFilesByKeys(spark, m.files,
+          source.select(c(sk).as(physKey)), physKey)
+      }
+    if (touched.isEmpty && notMatched.isEmpty) return latest
+    val src = source.persist() // feeds join, ambiguity guard, inserts
+    try {
+      val base: Option[DataFrame] =
+        if (touched.isEmpty) None
+        else Some(readAligned(spark,
+          touched.map(f => resolve(root, f.path).getPath),
+          m.schemaJson, m.physNames))
+      val joinCond = keyPairs.map { case (tk, sk) =>
+        c(s"t.$tk") === c(s"s.$sk")
+      }.reduce(_ && _)
+      // ambiguity guard (only when a matched clause could apply):
+      // a duplicate-keyed source that matches ANY target row would
+      // update/delete the same row twice — one aggregate over the
+      // source + one pruned semi-join, no driver-side collection
+      if (matched.nonEmpty && base.isDefined) {
+        val dups = src.groupBy(keyPairs.map(p => c(p._2)): _*)
+          .agg(count(lit(1)).as("__n")).filter(c("__n") > 1)
+        require(base.get.as("t").join(dups.as("s"), joinCond, "left_semi")
+          .limit(1).isEmpty,
+          "MERGE: multiple source rows match the same target row " +
+            "while UPDATE/DELETE clauses exist — deduplicate the " +
+            "source on the ON keys first (the Delta ambiguity contract)")
+      }
+      // ---- rewrite pass over touched target rows: one left-outer
+      // join, one action column (first applicable clause wins), one
+      // projection — no per-clause rescans of the base
+      val matchedFlag = c("s.__m").isNotNull
+      def guard(cond: Option[Column], base: Column): Column =
+        cond.map(base && _).getOrElse(base)
+      val nMatched = matched.size
+      val actionExpr = (matched.zipWithIndex.map { case (cl, i) =>
+        guard(cl.cond, matchedFlag) -> lit(i + 1)
+      } ++ notMatchedBySource.zipWithIndex.map { case (cl, j) =>
+        guard(cl.cond, !matchedFlag) -> lit(nMatched + j + 1)
+      }).foldRight(lit(0): Column) { case ((g, v), acc) =>
+        when(g, v).otherwise(acc)
+      }
+      val deleteIdx: Seq[Int] =
+        matched.zipWithIndex.collect {
+          case (_: MatchedDelete, i) => i + 1 } ++
+        notMatchedBySource.zipWithIndex.collect {
+          case (_: BySourceDelete, j) => nMatched + j + 1 }
+      // per-field update expression: fold the update clauses' whens
+      // over the pre-merge value (indices are mutually exclusive)
+      def sCol(name: String): Option[Column] =
+        srcCols.find(_.equalsIgnoreCase(name)).map(n => c(s"s.$n"))
+      def outField(f: org.apache.spark.sql.types.StructField): Column = {
+        val whens: Seq[(Int, Column)] =
+          matched.zipWithIndex.collect {
+            case (MatchedUpdate(_, Some(set)), i)
+                if set.exists(_._1.equalsIgnoreCase(f.name)) =>
+              (i + 1) -> set.find(_._1.equalsIgnoreCase(f.name)).get._2
+            case (MatchedUpdate(_, None), i)
+                if sCol(f.name).isDefined =>
+              (i + 1) -> sCol(f.name).get
+          } ++
+          notMatchedBySource.zipWithIndex.collect {
+            case (BySourceUpdate(_, set), j)
+                if set.exists(_._1.equalsIgnoreCase(f.name)) =>
+              (nMatched + j + 1) ->
+                set.find(_._1.equalsIgnoreCase(f.name)).get._2
+          }
+        whens.foldLeft(c(s"t.${f.name}")) { case (acc, (i, rhs)) =>
+          when(c("__action") === i, rhs.cast(f.dataType)).otherwise(acc)
+        }.as(f.name)
+      }
+      val flagged0 = base.map(_.as("t")
+        .join(src.withColumn("__m", lit(1)).as("s"), joinCond, "left_outer")
+        .withColumn("__action", actionExpr))
+      val flagged = if (cdf) flagged0.map(_.persist()) else flagged0
+      try {
+        val rewritten = flagged.map { j =>
+          val kept = if (deleteIdx.isEmpty) j
+            else j.filter(!c("__action").isin(deleteIdx: _*))
+          kept.select(schema.fields.toSeq.map(outField): _*)
+        }
+        // ---- insert pass: source rows with no target match anywhere
+        // (untouched files provably hold no source key, so the anti
+        // probe reads only touched rows); first applicable clause wins
+        val inserts: Option[DataFrame] =
+          if (notMatched.isEmpty) None
+          else {
+            val anti = base match {
+              case Some(b) => src.as("s").join(
+                b.select(keyPairs.map(p => c(p._1)): _*).as("t"),
+                joinCond, "left_anti")
+              case None => src.as("s")
+            }
+            val insAction = notMatched.zipWithIndex
+              .foldRight(lit(0): Column) { case ((cl, i), acc) =>
+                when(cl.cond.getOrElse(lit(true)), lit(i + 1))
+                  .otherwise(acc)
+              }
+            val tagged = anti.withColumn("__ins", insAction)
+              .filter(c("__ins") > 0)
+            def insField(i: Int,
+                f: org.apache.spark.sql.types.StructField): Column =
+              (notMatched(i).values match {
+                case Some(vs) => vs.find(_._1.equalsIgnoreCase(f.name))
+                  .map(_._2)
+                case None => sCol(f.name)
+              }).getOrElse(lit(null)).cast(f.dataType).as(f.name)
+            Some(notMatched.indices.map { i =>
+              tagged.filter(c("__ins") === i + 1)
+                .select(schema.fields.toSeq.map(insField(i, _)): _*)
+            }.reduce(_ unionByName _))
+          }
+        val toWrite = (rewritten.toSeq ++ inserts.toSeq)
+          .reduceOption(_ unionByName _)
+          .getOrElse(return latest)
+        val cdfPaths =
+          if (!cdf) Nil
+          else {
+            val updIdx = (1 to nMatched + notMatchedBySource.size)
+              .filterNot(deleteIdx.contains)
+            def tRow(j: DataFrame) =
+              j.select(schema.fields.toSeq.map(f =>
+                c(s"t.${f.name}").as(f.name)): _*)
+            val parts =
+              flagged.toSeq.flatMap { j =>
+                (if (updIdx.isEmpty) Nil else {
+                  val upd = j.filter(c("__action").isin(updIdx: _*))
+                  Seq(
+                    tRow(upd).withColumn("_change_type",
+                      lit("update_preimage")),
+                    upd.select(schema.fields.toSeq.map(outField): _*)
+                      .withColumn("_change_type", lit("update_postimage")))
+                }) ++ (if (deleteIdx.isEmpty) Nil else Seq(
+                  tRow(j.filter(c("__action").isin(deleteIdx: _*)))
+                    .withColumn("_change_type", lit("delete"))))
+              } ++ inserts.map(
+                _.withColumn("_change_type", lit("insert"))).toSeq
+            if (parts.isEmpty) Nil
+            else writeCdf(spark, root, parts.reduce(_ unionByName _))
+          }
+        // rewritten files inherit the table's recorded stats columns
+        val effStats = (statsCols ++ m.files.flatMap(_.stats.keys)).distinct
+        val (newEntries, outSchema) =
+          writeBatch(spark, root, toWrite, effStats, m.partitionBy)
+        publishEntries(root, untouched ++ newEntries, latest, "merge",
+          schemaJson = outSchema, cdf = cdfPaths)
+      } finally if (cdf) flagged.foreach(_.unpersist())
+    } finally src.unpersist()
+  }
+
   // ---------------------------------------------- partition overwrite
 
   /** Dynamic partition overwrite (the reference Silver pass's

@@ -128,41 +128,75 @@ object VersionedSql {
       case m: MergeIntoTable =>
         val root = pathOf(m.targetTable)
         val source = GraftShims.ofRows(spark, m.sourceTable)
-        val key = equiKey(m.mergeCondition)
-        require(m.notMatchedBySourceActions.isEmpty,
-          "WHEN NOT MATCHED BY SOURCE is not supported — express a " +
-            "source-driven purge as a separate MERGE … WHEN MATCHED " +
-            "THEN DELETE against the complement")
-        (m.matchedActions, m.notMatchedActions) match {
-          // the dbt-incremental shape: full-row upsert by key
-          case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None))) =>
+        val tAlias = aliasOf(m.targetTable)
+        val sAlias = aliasOf(m.sourceTable).orElse(m.sourceTable match {
+          case r: UnresolvedRelation => Some(r.multipartIdentifier.last)
+          case _ => None
+        })
+        val keys = equiKeys(m.mergeCondition, tAlias, sAlias)
+        (m.matchedActions, m.notMatchedActions,
+          m.notMatchedBySourceActions, keys) match {
+          // fast paths — single same-named key, star actions, no
+          // conditions: these map onto the specialized pruned verbs
+          // (identical results; fewer joins than the general planner)
+          case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)),
+              Seq(), Seq((tk, sk))) if tk == sk =>
             result(spark, root, "merge",
-              Versioned.mergeUpsert(spark, root, source, key, cdf = cdf))
+              Versioned.mergeUpsert(spark, root, source, tk, cdf = cdf))
           // keyed purge: delete every target row matching a source key
-          case (Seq(DeleteAction(None)), Seq()) =>
+          case (Seq(DeleteAction(None)), Seq(), Seq(), Seq((tk, sk)))
+              if tk == sk =>
             result(spark, root, "delete",
               Versioned.deleteKeys(spark, root,
-                Seq(key -> source.select(key)), cdf = cdf))
+                Seq(tk -> source.select(tk)), cdf = cdf))
           // dedup append: insert only keys the target doesn't have;
           // the existence probe reads ONLY the files the source keys
           // can touch (keys-frame pruning), never the table
-          case (Seq(), Seq(InsertStarAction(None))) =>
+          case (Seq(), Seq(InsertStarAction(None)), Seq(), Seq((tk, sk)))
+              if tk == sk =>
             val latest = Versioned.latestVersion(root).getOrElse(
               throw new IllegalArgumentException(
                 s"no versions at $root to merge into"))
             val existing = Versioned.readVersionForKeys(spark, root,
-              latest, source.select(key), Seq(key)).select(key)
+              latest, source.select(tk), Seq(tk)).select(tk)
             result(spark, root, "append",
               Versioned.commit(spark, root,
-                source.join(existing, Seq(key), "left_anti"),
+                source.join(existing, Seq(tk), "left_anti"),
                 expectedVersion = Some(latest)))
-          case (ma, nma) => throw new IllegalArgumentException(
-            "unsupported MERGE form — supported: WHEN MATCHED THEN " +
-              "UPDATE SET * + WHEN NOT MATCHED THEN INSERT * (upsert), " +
-              "WHEN MATCHED THEN DELETE (keyed purge), WHEN NOT " +
-              "MATCHED THEN INSERT * (dedup append); got matched=" +
-              s"$ma notMatched=$nma (conditional clauses and " +
-              "column-level SET are the library API's territory)")
+          // the full ANSI grammar: composite/renamed keys, conditional
+          // WHEN clauses, column-level SET, WHEN NOT MATCHED BY SOURCE
+          case _ =>
+            def cnd(o: Option[Expression]) =
+              o.map(e => GraftShims.column(requalify(e, tAlias, sAlias)))
+            def asg(as: Seq[Assignment]) = as.map(a => nameOf(a.key) ->
+              GraftShims.column(requalify(a.value, tAlias, sAlias)))
+            val matched = m.matchedActions.map {
+              case UpdateAction(c0, as, _) =>
+                Versioned.MatchedUpdate(cnd(c0), Some(asg(as)))
+              case UpdateStarAction(c0) =>
+                Versioned.MatchedUpdate(cnd(c0), None)
+              case DeleteAction(c0) => Versioned.MatchedDelete(cnd(c0))
+              case other => throw new IllegalArgumentException(
+                s"unsupported WHEN MATCHED action: $other")
+            }
+            val notMatched = m.notMatchedActions.map {
+              case InsertAction(c0, as) =>
+                Versioned.NotMatchedInsert(cnd(c0), Some(asg(as)))
+              case InsertStarAction(c0) =>
+                Versioned.NotMatchedInsert(cnd(c0), None)
+              case other => throw new IllegalArgumentException(
+                s"unsupported WHEN NOT MATCHED action: $other")
+            }
+            val bySource = m.notMatchedBySourceActions.map {
+              case UpdateAction(c0, as, _) =>
+                Versioned.BySourceUpdate(cnd(c0), asg(as))
+              case DeleteAction(c0) => Versioned.BySourceDelete(cnd(c0))
+              case other => throw new IllegalArgumentException(
+                s"unsupported WHEN NOT MATCHED BY SOURCE action: $other")
+            }
+            result(spark, root, "merge",
+              Versioned.merge(spark, root, source, keys,
+                matched, notMatched, bySource, cdf = cdf))
         }
 
       case ins: InsertIntoStatement =>
@@ -406,15 +440,51 @@ object VersionedSql {
     parts.head
   }
 
-  /** MERGE key: a single same-named equi-column condition
-    * (`t.k = s.k`) — the [[Versioned.mergeUpsert]] contract. */
-  private def equiKey(cond: Expression): String = cond match {
-    case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
-        if a.nameParts.last == b.nameParts.last => a.nameParts.last
-    case other => throw new IllegalArgumentException(
-      "MERGE ON must be one equality over a same-named key column " +
-        s"(t.k = s.k); got ${other.sql} — composite or renamed keys " +
-        "go through the library API")
+  /** MERGE ON → equi-key pairs (target column, source column): a
+    * conjunction of `t.k = s.k` equalities, with sides recognized by
+    * the written aliases (either order per equality; an unqualified
+    * same-named pair is accepted as that column on both sides). */
+  private def equiKeys(cond: Expression, tAlias: Option[String],
+      sAlias: Option[String]): Seq[(String, String)] = {
+    def split(e: Expression): Seq[Expression] = e match {
+      case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+        split(l) ++ split(r)
+      case o => Seq(o)
+    }
+    def side(u: UnresolvedAttribute): Option[String] =
+      if (u.nameParts.length < 2) None
+      else if (tAlias.exists(_.equalsIgnoreCase(u.nameParts.head)))
+        Some("t")
+      else if (sAlias.exists(_.equalsIgnoreCase(u.nameParts.head)))
+        Some("s")
+      else None
+    split(cond).map {
+      case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute) =>
+        (side(a), side(b)) match {
+          case (Some("t"), Some("s")) => a.nameParts.last -> b.nameParts.last
+          case (Some("s"), Some("t")) => b.nameParts.last -> a.nameParts.last
+          case (None, None) if a.nameParts.last == b.nameParts.last =>
+            a.nameParts.last -> a.nameParts.last
+          case _ => throw new IllegalArgumentException(
+            s"MERGE ON equality ${EqualTo(a, b).sql} — qualify each " +
+              "side with the target/source alias (t.k = s.k)")
+        }
+      case other => throw new IllegalArgumentException(
+        "MERGE ON must be a conjunction of column equalities " +
+          s"(t.k1 = s.k1 AND …); got ${other.sql}")
+    }
+  }
+
+  /** Requalify t/s-aliased attribute references onto the literal
+    * `t`/`s` aliases [[Versioned.merge]]'s internal join uses. */
+  private def requalify(e: Expression, tAlias: Option[String],
+      sAlias: Option[String]): Expression = e.transform {
+    case ua: UnresolvedAttribute if ua.nameParts.length > 1 &&
+        tAlias.exists(_.equalsIgnoreCase(ua.nameParts.head)) =>
+      UnresolvedAttribute("t" +: ua.nameParts.tail)
+    case ua: UnresolvedAttribute if ua.nameParts.length > 1 &&
+        sAlias.exists(_.equalsIgnoreCase(ua.nameParts.head)) =>
+      UnresolvedAttribute("s" +: ua.nameParts.tail)
   }
 
   /** The target's declared alias, when one was written. */

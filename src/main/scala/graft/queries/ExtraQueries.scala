@@ -1490,6 +1490,82 @@ object ExtraQueries {
   private val catalogSqlDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // ---------------------------------------------------------------- x41
+  // The FULL ANSI MERGE grammar in one statement, hash-gated:
+  // composite (ok, ln) keys, a conditional DELETE, a column-level
+  // UPDATE whose RHS reads the PRE-merge target row (t.qty + s.q), a
+  // guarded explicit-VALUES INSERT, and WHEN NOT MATCHED BY SOURCE —
+  // the two-field keyed contract the reference's Hudi variant needs
+  // (RECORDKEY trip_id + precombine, pipelines/22-hudi-cdc-storage/
+  // spark/jobs/silver_transform.py:101-114). DuckDB replays the end
+  // state clause by clause: a clause applied out of ANSI order, a
+  // post-update RHS, a DELETE leaking past its guard, or a by-source
+  // update touching a matched row all break the hash.
+  val x41SqlMergeFull: Q = Q(
+    "x41_sql_merge_full",
+    """WITH t AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS qty,
+      |    'O' AS flag FROM lineitem GROUP BY 1, 2),
+      |  u AS (SELECT l_orderkey AS ok, l_linenumber AS ln,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) AS q
+      |    FROM lineitem WHERE l_orderkey % 4 = 0 GROUP BY 1, 2),
+      |  ins AS (SELECT l_orderkey AS ok, l_linenumber + 10 AS ln,
+      |    CAST(SUM(CAST(l_quantity AS DECIMAL(18,2))) AS DOUBLE) + 1.0 AS q
+      |    FROM lineitem WHERE l_orderkey % 10 = 2 AND l_linenumber = 1
+      |    GROUP BY 1, 2)
+      |SELECT t.ok, t.ln,
+      |  CASE WHEN u.ok IS NOT NULL AND NOT (u.q < 30.0)
+      |       THEN t.qty + u.q ELSE t.qty END AS qty,
+      |  CASE WHEN u.ok IS NOT NULL AND NOT (u.q < 30.0) THEN 'U'
+      |       WHEN u.ok IS NULL AND t.qty > 100.0 THEN 'S'
+      |       ELSE t.flag END AS flag
+      |FROM t LEFT JOIN u ON t.ok = u.ok AND t.ln = u.ln
+      |WHERE NOT (u.ok IS NOT NULL AND u.q < 30.0)
+      |UNION ALL
+      |SELECT ok, ln, q AS qty, 'I' AS flag FROM ins WHERE q > 60.0
+      |ORDER BY ok, ln""".stripMargin) { (s, d) =>
+    import graft.operators.Versioned
+    val root = generalMergeDirs.getOrElseUpdate(d, {
+      val r = java.nio.file.Files
+        .createTempDirectory("graft-gmerge-q").toString + "/t"
+      // the synthetic lineitem repeats (ok, ln) pairs — group to a
+      // unique-keyed frame (exact decimal sums; MERGE's ambiguity
+      // contract rejects duplicate-keyed sources by design)
+      val li = t(s, d, "lineitem")
+      Versioned.commit(s, r,
+        li.groupBy(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+          .agg(moneySum(col("l_quantity")).as("qty"))
+          .withColumn("flag", lit("O")),
+        statsCols = Seq("ok"))
+      li.filter(col("l_orderkey") % 4 === 0)
+        .groupBy(col("l_orderkey").as("ok"), col("l_linenumber").as("ln"))
+        .agg(moneySum(col("l_quantity")).as("q"))
+        .unionByName(li.filter(col("l_orderkey") % 10 === 2 &&
+            col("l_linenumber") === 1)
+          .groupBy(col("l_orderkey").as("ok"),
+            (col("l_linenumber") + lit(10)).as("ln"))
+          .agg((moneySum(col("l_quantity")) + lit(1.0)).as("q")))
+        .createOrReplaceTempView("x41_src")
+      // ONE statement exercises every clause family the grammar has
+      Versioned.sql(s,
+        s"""MERGE INTO `$r` t USING x41_src s
+           |ON t.ok = s.ok AND t.ln = s.ln
+           |WHEN MATCHED AND s.q < 30.0 THEN DELETE
+           |WHEN MATCHED THEN UPDATE SET qty = t.qty + s.q, flag = 'U'
+           |WHEN NOT MATCHED AND s.q > 60.0 THEN
+           |  INSERT (ok, ln, qty, flag) VALUES (s.ok, s.ln, s.q, 'I')
+           |WHEN NOT MATCHED BY SOURCE AND t.qty > 100.0 THEN
+           |  UPDATE SET flag = 'S'""".stripMargin)
+      r
+    })
+    s.read.format(graft.sources.VersionedSource.Name)
+      .option("path", root).load()
+      .select("ok", "ln", "qty", "flag").orderBy("ok", "ln")
+  }
+
+  private val generalMergeDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   // ---------------------------------------------------------------- x30
   // Atomic predicate-scoped overwrite (Versioned.replaceWhere — Delta's
   // replaceWhere): customers land range-clustered by nation, then the
@@ -1706,5 +1782,5 @@ object ExtraQueries {
     x25Bm25Serve, x26DvDelete, x27GapFill, x28CloneBranch, x29OhlcResample,
     x30ReplaceWhere, x31Ewma, x32SqlTimeTravel, x33SqlMerge, x34EwmaLong,
     x35PinnedJoin, x36SqlUpdateDelete, x37SqlSchemaEvolution,
-    x38SqlRename, x39SqlWiden, x40CatalogSql)
+    x38SqlRename, x39SqlWiden, x40CatalogSql, x41SqlMergeFull)
 }

@@ -140,13 +140,16 @@ class VersionedSqlSpec extends SparkSpec {
       .as[String].head() === "v2-5", "matched key must NOT re-insert")
     assert(after.filter(col("id") === 20).count() === 1)
 
-    // unsupported forms fail loudly, naming the supported set
-    val e = intercept[IllegalArgumentException] {
-      Versioned.sql(spark,
-        s"MERGE INTO `$root` t USING vsql_ins_src s ON t.id = s.id " +
-          "WHEN MATCHED THEN UPDATE SET payload = 'x'")
-    }
-    assert(e.getMessage.contains("unsupported MERGE form"))
+    // column-level SET routes through the general merge verb
+    Versioned.sql(spark,
+      s"MERGE INTO `$root` t USING vsql_ins_src s ON t.id = s.id " +
+        "WHEN MATCHED THEN UPDATE SET payload = 'x'")
+    val seen = Versioned.read(spark, root)
+    assert(seen.filter(col("id") === 5).select("payload")
+      .as[String].head() === "x")
+    assert(seen.filter(col("id") === 20).select("payload")
+      .as[String].head() === "x")
+    assert(seen.count() === 10, "column-level SET must not insert")
   }
 
   test("constraint DDL round-trips and the feed skips metadata commits") {
@@ -533,6 +536,99 @@ class VersionedSqlSpec extends SparkSpec {
         Seq("acctbal" -> lit(0.0), "ACCTBAL" -> lit(1.0)), lit(true))
     }
     assert(e.getMessage.contains("duplicate"))
+  }
+
+  test("general MERGE: composite keys, conditional clauses, " +
+      "column-level SET, NOT MATCHED BY SOURCE") {
+    val root = freshRoot("gmerge")
+    // target keyed on (k1, k2)
+    Versioned.commit(spark, root,
+      Seq((1L, "a", 10.0, "old"), (1L, "b", 2.0, "old"),
+        (2L, "a", 30.0, "old"), (3L, "a", 1.0, "old"))
+        .toDF("k1", "k2", "v", "tag"),
+      statsCols = Seq("k1"))
+    Seq((1L, "a", 100.0), (1L, "b", 200.0), (9L, "z", 5.0),
+      (9L, "y", 50.0))
+      .toDF("k1", "k2", "nv").createOrReplaceTempView("gmerge_src")
+    Versioned.sql(spark,
+      s"""MERGE INTO `$root` t USING gmerge_src s
+         |ON t.k1 = s.k1 AND t.k2 = s.k2
+         |WHEN MATCHED AND s.nv > 150.0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.nv + t.v, tag = 'upd'
+         |WHEN NOT MATCHED AND s.nv > 10.0 THEN
+         |  INSERT (k1, k2, v, tag) VALUES (s.k1, s.k2, s.nv, 'ins')
+         |WHEN NOT MATCHED BY SOURCE AND t.v < 5.0 THEN
+         |  UPDATE SET tag = 'stale'""".stripMargin)
+    val got = Versioned.read(spark, root)
+      .orderBy("k1", "k2")
+      .as[(Long, String, Double, String)].collect().toSeq
+    assert(got === Seq(
+      (1L, "a", 110.0, "upd"),   // matched, second clause (nv <= 150)
+      // (1,b) deleted: matched, first clause nv=200 > 150
+      (2L, "a", 30.0, "old"),    // not matched by source, v >= 5 → keep
+      (3L, "a", 1.0, "stale"),   // not matched by source, v < 5
+      (9L, "y", 50.0, "ins")))   // insert (9,z nv=5 fails the guard)
+  }
+
+  test("general MERGE: ambiguous duplicate source keys fail loudly; " +
+      "unknown SET targets fail loudly") {
+    val root = freshRoot("gmergeamb")
+    Versioned.commit(spark, root,
+      Seq((1L, 10.0)).toDF("k", "v"))
+    Seq((1L, 1.0), (1L, 2.0)).toDF("k", "nv")
+      .createOrReplaceTempView("gmergeamb_src")
+    val e = intercept[IllegalArgumentException] {
+      Versioned.sql(spark,
+        s"""MERGE INTO `$root` t USING gmergeamb_src s ON t.k = s.k
+           |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+    }
+    assert(e.getMessage.contains("multiple source rows"))
+    // duplicates that match no target row are fine for insert-only
+    Seq((7L, 1.0), (7L, 2.0)).toDF("k", "nv")
+      .createOrReplaceTempView("gmergeamb_src2")
+    Versioned.sql(spark,
+      s"""MERGE INTO `$root` t USING gmergeamb_src2 s ON t.k = s.k
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)""".stripMargin)
+    assert(Versioned.read(spark, root).count() === 3)
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.merge(spark, root,
+        Seq((1L, 1.0)).toDF("k", "nv"), Seq("k" -> "k"),
+        matched = Seq(Versioned.MatchedUpdate(None,
+          Some(Seq("nope" -> lit(1.0))))))
+    }
+    assert(e2.getMessage.contains("unknown target column"))
+  }
+
+  test("general MERGE prunes files by source keys and records CDF") {
+    val root = freshRoot("gmergeprune")
+    // two files with disjoint k ranges
+    Versioned.commit(spark, root,
+      (1 to 50).map(i => (i.toLong, i * 1.0)).toDF("k", "v").coalesce(1),
+      statsCols = Seq("k"))
+    Versioned.commit(spark, root,
+      (1000 to 1050).map(i => (i.toLong, i * 1.0)).toDF("k", "v")
+        .coalesce(1), statsCols = Seq("k"))
+    val before = Versioned.files(root, 2).toSet
+    Seq((10L, 99.0), (20L, -1.0)).toDF("k", "nv")
+      .createOrReplaceTempView("gmergeprune_src")
+    val v = Versioned.sql(spark,
+      s"""MERGE INTO `$root` t USING gmergeprune_src s ON t.k = s.k
+         |WHEN MATCHED AND s.nv < 0.0 THEN DELETE
+         |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin,
+      cdf = true).select("version").as[Long].head()
+    val after = Versioned.files(root, v).toSet
+    // the 1000-range file provably holds no source key → carried
+    assert((before intersect after).nonEmpty,
+      s"high-range file must carry by reference: $before vs $after")
+    assert(Versioned.read(spark, root).count() === 100) // 101 - 1 delete
+    assert(Versioned.read(spark, root).filter($"k" === 10L)
+      .select("v").as[Double].head() === 99.0)
+    // CDF envelopes: one pre+post pair for the update, one delete
+    val feed = Versioned.changeFeed(spark, root, v - 1, Some(v))
+    val types = feed.groupBy("_change_type").count()
+      .as[(String, Long)].collect().toMap
+    assert(types === Map("update_preimage" -> 1L,
+      "update_postimage" -> 1L, "delete" -> 1L))
   }
 
   test("CTAS IF NOT EXISTS honors a lost creation race") {
