@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, GraftShims, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation, UnresolvedTable}
-import org.apache.spark.sql.catalyst.expressions.{EqualTo, Expression}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, InSubquery, ListQuery, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.functions.lit
 
@@ -274,20 +274,60 @@ object VersionedSql {
       case UpdateTable(table, assignments, condition) =>
         val root = pathOf(table)
         val alias = aliasOf(table)
-        val asg = assignments.map { a =>
-          nameOf(a.key) -> GraftShims.column(stripAlias(a.value, alias))
+        val (keySet, residual) = condition
+          .map(splitKeysSubquery(spark, _, alias))
+          .getOrElse((None, None))
+        keySet match {
+          case None =>
+            val asg = assignments.map { a =>
+              nameOf(a.key) -> GraftShims.column(stripAlias(a.value, alias))
+            }
+            val cond = residual
+              .map(c => GraftShims.column(stripAlias(c, alias)))
+              .getOrElse(lit(true))
+            result(spark, root, "update",
+              Versioned.updateRows(spark, root, asg, cond, cdf = cdf))
+          case Some((k, keys)) =>
+            // UPDATE … WHERE k IN (SELECT …): the subquery frame
+            // drives merge's keys-based FILE pruning (stats-excluded
+            // files carry by reference); the residual conjuncts ride
+            // the WHEN MATCHED guard, RHS over the pre-update row
+            val asg = assignments.map { a =>
+              nameOf(a.key) -> GraftShims.column(qualifyT(a.value, alias))
+            }
+            result(spark, root, "update",
+              Versioned.merge(spark, root, keys.distinct(),
+                Seq(k -> keys.columns.head),
+                matched = Seq(Versioned.MatchedUpdate(
+                  residual.map(r => GraftShims.column(qualifyT(r, alias))),
+                  Some(asg))),
+                cdf = cdf))
         }
-        val cond = condition.map(c => GraftShims.column(stripAlias(c, alias)))
-          .getOrElse(lit(true))
-        result(spark, root, "update",
-          Versioned.updateRows(spark, root, asg, cond, cdf = cdf))
 
       case DeleteFromTable(table, condition) =>
         val root = pathOf(table)
-        result(spark, root, "delete",
-          Versioned.delete(spark, root,
-            GraftShims.column(stripAlias(condition, aliasOf(table))),
-            cdf = cdf))
+        val alias = aliasOf(table)
+        splitKeysSubquery(spark, condition, alias) match {
+          case (None, _) =>
+            result(spark, root, "delete",
+              Versioned.delete(spark, root,
+                GraftShims.column(stripAlias(condition, alias)),
+                cdf = cdf))
+          // the dbt delete+insert shape — DELETE WHERE id IN
+          // (SELECT id FROM src …) — lands on the keys-frame-pruned
+          // anti-join verb, never a full-table predicate scan
+          case (Some((k, keys)), None) =>
+            result(spark, root, "delete",
+              Versioned.deleteKeys(spark, root, Seq(k -> keys),
+                cdf = cdf))
+          case (Some((k, keys)), Some(res)) =>
+            result(spark, root, "delete",
+              Versioned.merge(spark, root, keys.distinct(),
+                Seq(k -> keys.columns.head),
+                matched = Seq(Versioned.MatchedDelete(
+                  Some(GraftShims.column(qualifyT(res, alias))))),
+                cdf = cdf))
+        }
 
       case AddColumns(table, colsToAdd) =>
         val root = pathOf(table)
@@ -517,6 +557,67 @@ object VersionedSql {
           ua.nameParts.head.equalsIgnoreCase(a) =>
         UnresolvedAttribute(ua.nameParts.tail)
     })
+
+  /** Split an UPDATE/DELETE predicate into an optional single
+    * top-level `col IN (subquery)` conjunct — returned as a keys
+    * frame that drives keys-based FILE pruning — and the residual
+    * literal conjuncts. Subqueries anywhere else (under OR/NOT,
+    * EXISTS, multi-column IN, more than one IN) are rejected loudly:
+    * resolving them without pruning would hide a full-scan verb
+    * behind pruned-verb syntax. */
+  private def splitKeysSubquery(spark: SparkSession, cond: Expression,
+      alias: Option[String])
+      : (Option[(String, DataFrame)], Option[Expression]) = {
+    def conjuncts(e: Expression): Seq[Expression] = e match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case o => Seq(o)
+    }
+    val cs = conjuncts(cond)
+    val (subs, rest) = cs.partition(_.isInstanceOf[InSubquery])
+    require(rest.forall(r => !r.exists(_.isInstanceOf[SubqueryExpression])),
+      "subquery predicates are supported only as ONE top-level AND-ed " +
+        "`col IN (SELECT …)` conjunct (the keys-frame-pruned shape); " +
+        s"got: ${cond.sql}")
+    if (subs.isEmpty) (None, Some(cond))
+    else {
+      require(subs.size == 1,
+        "at most one `col IN (SELECT …)` conjunct is supported — " +
+          "ANDed IN-subqueries intersect; pre-join them into one " +
+          s"subquery instead: ${cond.sql}")
+      subs.head match {
+        case InSubquery(Seq(v), lq: ListQuery) =>
+          val colName = stripAlias(v, alias) match {
+            case ua: UnresolvedAttribute => ua.nameParts.last
+            case other => throw new IllegalArgumentException(
+              s"IN (subquery) left side must be a column, got ${other.sql}")
+          }
+          val keys = GraftShims.ofRows(spark, lq.plan)
+          require(keys.columns.length == 1,
+            "IN (subquery) must select exactly one column, got " +
+              keys.columns.mkString(", "))
+          (Some(colName -> keys), rest.reduceOption(And.apply))
+        case other => throw new IllegalArgumentException(
+          s"unsupported IN (subquery) form: ${other.sql} — the left " +
+            "side must be a single column")
+      }
+    }
+  }
+
+  /** Qualify attribute references onto the `t` alias [[Versioned
+    * .merge]]'s internal join gives the target (stripping the
+    * statement's declared table alias first), so residual predicates
+    * and SET right-hand sides stay unambiguous next to the keys
+    * frame. */
+  private def qualifyT(e: Expression, alias: Option[String]): Expression =
+    e.transform {
+      case ua: UnresolvedAttribute =>
+        val stripped =
+          if (ua.nameParts.length > 1 &&
+              alias.exists(_.equalsIgnoreCase(ua.nameParts.head)))
+            ua.nameParts.tail
+          else ua.nameParts
+        UnresolvedAttribute("t" +: stripped)
+    }
 
   private def nameOf(e: Expression): String = e match {
     case a: UnresolvedAttribute => a.nameParts.last

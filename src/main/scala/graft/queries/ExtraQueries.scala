@@ -1566,6 +1566,60 @@ object ExtraQueries {
   private val generalMergeDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // ---------------------------------------------------------------- x42
+  // Subquery predicates in SQL UPDATE/DELETE, hash-gated: the dbt
+  // delete+insert incremental shape (`DELETE FROM t WHERE id IN
+  // (SELECT id FROM new_batch)`) lands on the keys-frame-pruned
+  // anti-join verb, and an UPDATE whose IN-subquery rides with a
+  // residual conjunct routes through the general merge — files whose
+  // stats exclude every subquery key carry by reference in both.
+  // DuckDB replays the two mutations as anti-join + CASE: a delete
+  // leaking past its subquery, a resurrected carried row, or a
+  // residual applied to the wrong side breaks the hash.
+  val x42SqlDeleteIn: Q = Q(
+    "x42_sql_delete_in",
+    """WITH del AS (SELECT DISTINCT o_custkey FROM orders
+      |    WHERE CAST(o_totalprice AS DOUBLE) > 480000.0),
+      |  upd AS (SELECT DISTINCT o_custkey FROM orders
+      |    WHERE CAST(o_totalprice AS DOUBLE) < 20000.0)
+      |SELECT c.c_custkey, c.c_nationkey AS nat,
+      |  CASE WHEN u.o_custkey IS NOT NULL AND c.c_nationkey < 10
+      |       THEN CAST(c.c_acctbal AS DOUBLE) + 10.0
+      |       ELSE CAST(c.c_acctbal AS DOUBLE) END AS bal
+      |FROM customer c
+      |LEFT JOIN upd u ON c.c_custkey = u.o_custkey
+      |WHERE NOT EXISTS (SELECT 1 FROM del d
+      |                  WHERE d.o_custkey = c.c_custkey)
+      |ORDER BY c.c_custkey""".stripMargin) { (s, d) =>
+    import graft.operators.Versioned
+    val root = deleteInDirs.getOrElseUpdate(d, {
+      val r = java.nio.file.Files
+        .createTempDirectory("graft-delin-q").toString + "/t"
+      Versioned.commit(s, r,
+        t(s, d, "customer").select(col("c_custkey"),
+          col("c_nationkey").as("nat"),
+          col("c_acctbal").cast("double").as("bal")),
+        statsCols = Seq("c_custkey"))
+      t(s, d, "orders").select(col("o_custkey"), col("o_totalprice"))
+        .createOrReplaceTempView("x42_ords")
+      Versioned.sql(s,
+        s"DELETE FROM `$r` WHERE c_custkey IN " +
+          "(SELECT o_custkey FROM x42_ords " +
+          "WHERE CAST(o_totalprice AS DOUBLE) > 480000.0)")
+      Versioned.sql(s,
+        s"UPDATE `$r` SET bal = bal + 10.0 WHERE c_custkey IN " +
+          "(SELECT o_custkey FROM x42_ords " +
+          "WHERE CAST(o_totalprice AS DOUBLE) < 20000.0) AND nat < 10")
+      r
+    })
+    s.read.format(graft.sources.VersionedSource.Name)
+      .option("path", root).load()
+      .select("c_custkey", "nat", "bal").orderBy("c_custkey")
+  }
+
+  private val deleteInDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   // ---------------------------------------------------------------- x30
   // Atomic predicate-scoped overwrite (Versioned.replaceWhere — Delta's
   // replaceWhere): customers land range-clustered by nation, then the
@@ -1782,5 +1836,6 @@ object ExtraQueries {
     x25Bm25Serve, x26DvDelete, x27GapFill, x28CloneBranch, x29OhlcResample,
     x30ReplaceWhere, x31Ewma, x32SqlTimeTravel, x33SqlMerge, x34EwmaLong,
     x35PinnedJoin, x36SqlUpdateDelete, x37SqlSchemaEvolution,
-    x38SqlRename, x39SqlWiden, x40CatalogSql, x41SqlMergeFull)
+    x38SqlRename, x39SqlWiden, x40CatalogSql, x41SqlMergeFull,
+    x42SqlDeleteIn)
 }

@@ -631,6 +631,55 @@ class VersionedSqlSpec extends SparkSpec {
       "update_postimage" -> 1L, "delete" -> 1L))
   }
 
+  test("DELETE WHERE id IN (subquery) routes to the keys-frame-pruned " +
+      "verb and carries unaffected files by reference") {
+    val root = freshRoot("delin")
+    // two files with disjoint id ranges, stats on id
+    Versioned.commit(spark, root,
+      (1 to 50).map(i => (i.toLong, i * 1.0)).toDF("id", "v").coalesce(1),
+      statsCols = Seq("id"))
+    Versioned.commit(spark, root,
+      (1000 to 1050).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+        .coalesce(1), statsCols = Seq("id"))
+    val before = Versioned.files(root, 2).toSet
+    Seq(10L, 20L, 10L).toDF("id").createOrReplaceTempView("delin_src")
+    val v = Versioned.sql(spark,
+      s"DELETE FROM `$root` WHERE id IN " +
+        "(SELECT id FROM delin_src WHERE id < 15)")
+      .select("version").as[Long].head()
+    assert(Versioned.read(spark, root).count() === 100) // only id=10 went
+    assert(Versioned.read(spark, root).filter($"id" === 10L).count() === 0)
+    // the 1000-range file provably holds no subquery key → carried
+    assert((before intersect Versioned.files(root, v).toSet).nonEmpty,
+      "high-range file must carry by reference")
+  }
+
+  test("DELETE and UPDATE with IN (subquery) plus residual conjuncts") {
+    val root = freshRoot("dmlin")
+    Versioned.commit(spark, root,
+      Seq((1L, 5, 10.0), (2L, 5, 20.0), (3L, 50, 30.0), (4L, 5, 40.0))
+        .toDF("id", "nat", "bal"), statsCols = Seq("id"))
+    Seq(1L, 3L, 4L).toDF("k").createOrReplaceTempView("dmlin_src")
+    // residual rides the WHEN MATCHED guard: only id=4 (nat<10, in set)
+    Versioned.sql(spark,
+      s"DELETE FROM `$root` WHERE id IN (SELECT k FROM dmlin_src) " +
+        "AND bal > 35.0")
+    assert(Versioned.read(spark, root).orderBy("id")
+      .select("id").as[Long].collect().toSeq === Seq(1L, 2L, 3L))
+    // UPDATE: in set AND nat < 10 → only id=1; RHS over pre-update row
+    Versioned.sql(spark,
+      s"UPDATE `$root` SET bal = bal + 100.0 " +
+        "WHERE id IN (SELECT k FROM dmlin_src) AND nat < 10")
+    assert(Versioned.read(spark, root).orderBy("id")
+      .select("bal").as[Double].collect().toSeq === Seq(110.0, 20.0, 30.0))
+    // subqueries outside the supported shape fail loudly
+    val e = intercept[IllegalArgumentException] {
+      Versioned.sql(spark,
+        s"DELETE FROM `$root` WHERE id NOT IN (SELECT k FROM dmlin_src)")
+    }
+    assert(e.getMessage.contains("top-level AND-ed"))
+  }
+
   test("CTAS IF NOT EXISTS honors a lost creation race") {
     val root = freshRoot("ctasrace")
     Seq((1L, "w")).toDF("id", "s").createOrReplaceTempView("vsql_race_src")
