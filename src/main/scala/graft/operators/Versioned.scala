@@ -352,6 +352,90 @@ object Versioned {
       .map(v => readManifest(root, v).props)
       .find(p => keys.forall(p.contains))
 
+  // ----------------------------------------------------- COPY INTO
+
+  private val CopyLedgerKey = "graft.copyInto.ledger"
+
+  /** Idempotent batch file ingestion (the `COPY INTO` verb — the
+    * batch analog of the reference's Kafka-offset bronze ingest,
+    * `pipelines/02-kafka-spark-iceberg/spark/jobs/bronze_ingest.py:
+    * 121-183`, where exactly-once comes from offsets + checkpoints;
+    * a batch loader needs the file-identity equivalent). Lists data
+    * files under `sourceDir` (recursively, skipping `_`/`.`-prefixed
+    * names, the Spark convention), ingests only files whose identity
+    * `(absolute path, length, mtime)` no prior copy recorded, and
+    * appends them as ONE commit.
+    *
+    * The ingestion ledger (the cumulative identity set) is written as
+    * a sidecar under `_graft_log/copy/` and referenced from the
+    * commit's props — ledger and data publish in the SAME atomic
+    * manifest CAS, so every crash window is safe: a crash between
+    * ledger write and publish leaves an unreferenced ledger + staged
+    * data files (tiny debris a retry never reads and [[vacuum]]'s
+    * sweep ages out); there is NO window where files count as
+    * ingested with their rows unpublished, or vice versa.
+    *
+    * A re-run over an unchanged directory is a NO-OP returning the
+    * current version (no new manifest). A file APPENDED to the
+    * directory between runs ingests alone; a file REWRITTEN in place
+    * (new length/mtime) counts as new — the Delta COPY INTO contract.
+    *
+    * Scale shape: the ledger probe is ONE `lastProps` scan + one
+    * sidecar read; the ingest reads ONLY the fresh files (never the
+    * table); ledger size is O(total ingested files) — line-per-file
+    * text, ~100 bytes/file.
+    *
+    * @return the version containing the result
+    */
+  def copyInto(spark: SparkSession, root: String, sourceDir: String,
+      format: String = "parquet",
+      options: Map[String, String] = Map.empty,
+      statsCols: Seq[String] = Nil,
+      mergeSchema: Boolean = false): Long = {
+    def walk(d: File): Seq[File] =
+      d.listFiles().toSeq.sortBy(_.getName).flatMap {
+        case f if f.getName.startsWith("_") ||
+            f.getName.startsWith(".") => Nil
+        case f if f.isDirectory => walk(f)
+        case f => Seq(f)
+      }
+    val srcDir = new File(sourceDir)
+    require(srcDir.isDirectory,
+      s"COPY INTO source is not a directory: $sourceDir")
+    val listed = walk(srcDir)
+    def ident(f: File) =
+      s"${f.getAbsolutePath}|${f.length()}|${f.lastModified()}"
+    val prior: Set[String] = lastProps(root, Seq(CopyLedgerKey))
+      .map { p =>
+        val lf = resolve(root, p(CopyLedgerKey))
+        require(lf.isFile, s"COPY INTO ledger missing: ${lf.getPath}")
+        Files.readAllLines(lf.toPath).asScala.toSet
+      }.getOrElse(Set.empty)
+    val fresh = listed.filterNot(f => prior(ident(f)))
+    if (fresh.isEmpty)
+      return latestVersion(root).getOrElse(
+        throw new IllegalArgumentException("COPY INTO from an empty " +
+          s"source into a non-existent table: $sourceDir -> $root"))
+    val df = spark.read.format(format).options(options)
+      .load(fresh.map(_.getAbsolutePath): _*)
+    // cumulative ledger sidecar: unique name, live only once the
+    // commit below publishes the props reference
+    val copyDir = new File(logDir(root), "copy")
+    copyDir.mkdirs()
+    val name = s"ledger-${java.util.UUID.randomUUID().toString.take(12)}.txt"
+    Files.write(new File(copyDir, name).toPath,
+      (prior.toSeq.sorted ++ fresh.map(ident)).mkString("\n")
+        .getBytes("UTF-8"))
+    copyIntoCrashHook()
+    commit(spark, root, df, mode = "append", statsCols = statsCols,
+      mergeSchema = mergeSchema,
+      props = Map(CopyLedgerKey -> s"_graft_log/copy/$name"))
+  }
+
+  /** Test hook: fires between the ledger sidecar write and the data
+    * commit — the COPY INTO crash window. */
+  @volatile private[graft] var copyIntoCrashHook: () => Unit = () => ()
+
   /** Schema enforcement + evolution (Delta's contract): the incoming
     * frame may always OMIT existing columns (they read back as null —
     * parquet is columnar, absence is free); it may ADD columns or leave

@@ -81,6 +81,13 @@ object VersionedSql {
     """(?is)\s*RESTORE\s+`([^`]+)`\s+TO\s+VERSION\s+(\d+)\s*;?\s*""".r
   private val CloneRe =
     """(?is)\s*CLONE\s+`([^`]+)`\s+TO\s+`([^`]+)`(?:\s+VERSION\s+(\d+))?\s*;?\s*""".r
+  //   COPY INTO `path` FROM 'dir' FILEFORMAT = PARQUET|CSV|JSON
+  //             [FORMAT_OPTIONS ('k' = 'v', …)]
+  private val CopyIntoRe =
+    ("""(?is)\s*COPY\s+INTO\s+`([^`]+)`\s+FROM\s+'([^']+)'\s+""" +
+      """FILEFORMAT\s*=\s*(\w+)""" +
+      """(?:\s+FORMAT_OPTIONS\s*\(([^)]*)\))?\s*;?\s*""").r
+  private val FormatOptionRe = """\s*'([^']+)'\s*=\s*'([^']*)'\s*""".r
 
   def apply(spark: SparkSession, stmt: String,
       cdf: Boolean = false): DataFrame = {
@@ -121,6 +128,15 @@ object VersionedSql {
         return result(spark, dst, "clone",
           Versioned.cloneShallow(spark, src, dst,
             Option(v).map(_.toLong)))
+      case CopyIntoRe(root, src, fmt, opts) =>
+        val options = Option(opts).map(_.trim).filter(_.nonEmpty)
+          .map(_.split(",").map {
+            case FormatOptionRe(k, v) => k -> v
+            case other => throw new IllegalArgumentException(
+              s"bad FORMAT_OPTIONS entry: $other — expected 'key' = 'value'")
+          }.toMap).getOrElse(Map.empty[String, String])
+        return result(spark, root, "copy",
+          Versioned.copyInto(spark, root, src, fmt.toLowerCase, options))
       case _ => ()
     }
     spark.sessionState.sqlParser.parsePlan(stmt) match {

@@ -1620,6 +1620,47 @@ object ExtraQueries {
   private val deleteInDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // ---------------------------------------------------------------- x43
+  // COPY INTO — idempotent batch file ingestion, hash-gated: customers
+  // land in a staging directory in two file batches; pure-SQL COPY
+  // INTO runs THREE times (initial, a no-op re-run, then after the
+  // second batch arrives). The ingestion ledger publishes in the same
+  // atomic CAS as the data, so the table must hold customer exactly
+  // once — a re-ingested first batch (duplicates), a missed second
+  // file, or ledger/data divergence breaks the DuckDB hash.
+  val x43CopyInto: Q = Q(
+    "x43_copy_into",
+    """SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    import graft.operators.Versioned
+    val root = copyIntoDirs.getOrElseUpdate(d, {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-copy-q").toString
+      val (r, landing) = (s"$base/t", s"$base/landing")
+      val cust = t(s, d, "customer").select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("bal"))
+      cust.filter(col("c_custkey") % 2 === 1).coalesce(1)
+        .write.parquet(s"$landing/batch1.parquet")
+      Versioned.sql(s,
+        s"COPY INTO `$r` FROM '$landing' FILEFORMAT = PARQUET")
+      // unchanged directory → no-op (re-ingest would double the rows)
+      Versioned.sql(s,
+        s"COPY INTO `$r` FROM '$landing' FILEFORMAT = PARQUET")
+      cust.filter(col("c_custkey") % 2 === 0).coalesce(1)
+        .write.parquet(s"$landing/batch2.parquet")
+      // only the new file ingests
+      Versioned.sql(s,
+        s"COPY INTO `$r` FROM '$landing' FILEFORMAT = PARQUET")
+      r
+    })
+    s.read.format(graft.sources.VersionedSource.Name)
+      .option("path", root).load()
+      .select("c_custkey", "bal").orderBy("c_custkey")
+  }
+
+  private val copyIntoDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   // ---------------------------------------------------------------- x30
   // Atomic predicate-scoped overwrite (Versioned.replaceWhere — Delta's
   // replaceWhere): customers land range-clustered by nation, then the
@@ -1837,5 +1878,5 @@ object ExtraQueries {
     x30ReplaceWhere, x31Ewma, x32SqlTimeTravel, x33SqlMerge, x34EwmaLong,
     x35PinnedJoin, x36SqlUpdateDelete, x37SqlSchemaEvolution,
     x38SqlRename, x39SqlWiden, x40CatalogSql, x41SqlMergeFull,
-    x42SqlDeleteIn)
+    x42SqlDeleteIn, x43CopyInto)
 }
