@@ -3632,6 +3632,17 @@ object Versioned {
       }
     }
     drop.foreach(v => Files.deleteIfExists(manifestFile(root, v).toPath))
+    // coordinator temp siblings: a crash between temp staging and the
+    // CAS link/move leaves a hidden `.v…-….tmp` beside the manifests —
+    // never a commit ([[versions]] matches published names only) and
+    // never read, but debris; the same age guard sweeps it
+    val ld = logDir(root)
+    if (ld.isDirectory) ld.listFiles().foreach { f =>
+      if (f.isFile && f.getName.startsWith(".") &&
+          f.getName.endsWith(".tmp") && f.lastModified() <= cutoff) {
+        Files.deleteIfExists(f.toPath); ()
+      }
+    }
     deleted
   }
 
@@ -3786,7 +3797,31 @@ object Versioned {
 
   private def readManifest(root: String, v: Long): Manifest = {
     val f = manifestFile(root, v)
-    require(f.isFile, s"version $v does not exist (or was vacuumed) at $root")
+    // the safety rail every reader shares (time travel, changesSince/
+    // changeFeed, the streaming source): a missing manifest names its
+    // CAUSE — in particular, a version dropped by VACUUM retention
+    // tells the stuck consumer how to recover instead of surfacing a
+    // bare missing-file read error
+    if (!f.isFile) {
+      val vs = versions(root)
+      val hint =
+        if (vs.isEmpty) "the table has no versions"
+        else if (v < vs.head)
+          s"version $v was removed by VACUUM retention (earliest " +
+            s"retained is ${vs.head}, head is ${vs.last}) — an " +
+            "incremental reader or feed positioned there cannot " +
+            "resume; restart it from the latest snapshot (read " +
+            s"version ${vs.last}, then follow changes after it) or " +
+            "re-run VACUUM with a larger RETAIN window before the " +
+            "history is needed"
+        else if (v > vs.last)
+          s"version $v does not exist yet (head is ${vs.last})"
+        else
+          s"version $v was removed by VACUUM retention (retained " +
+            s"range is ${vs.head}..${vs.last}, non-contiguous)"
+      throw new IllegalArgumentException(
+        s"cannot read version $v at $root: $hint")
+    }
     val node = mapper.readTree(Files.readString(f.toPath))
     // format gate: a manifest written by a NEWER format must fail
     // loudly — parsing only the fields this reader knows could

@@ -109,6 +109,69 @@ class CommitCoordinatorSpec extends SparkSpec {
       === Seq(10.0, 20.0))
   }
 
+  test("crash between data staging and CAS, both backends: nothing " +
+      "counts as a commit, retry is clean, vacuum sweeps the orphans") {
+    for (inner <- Seq[CommitCoordinator](PosixLinkCoordinator,
+        new ConditionalPutCoordinator())) {
+      val root = freshRoot("crash")
+      withCoordinator(inner) {
+        Versioned.commit(spark, root, Seq((1L, "a")).toDF("id", "tag"),
+          statsCols = Seq("id"))
+      }
+      // deterministic kill in the exact window: the data batch is
+      // fully staged (writeBatch ran), the manifest CAS has not
+      def countData = {
+        val d = new java.io.File(root, "data")
+        if (!d.isDirectory) 0
+        else d.listFiles().flatMap(f =>
+          if (f.isDirectory) f.listFiles() else Array(f))
+          .count(_.getName.endsWith(".parquet"))
+      }
+      val staged = countData
+      var armed = true
+      val killer = new CommitCoordinator {
+        override def putIfAbsent(t: java.io.File, c: String): Boolean =
+          if (armed) { armed = false
+            throw new RuntimeException("injected crash before CAS")
+          } else inner.putIfAbsent(t, c)
+      }
+      withCoordinator(killer) {
+        intercept[RuntimeException] {
+          Versioned.commit(spark, root, Seq((2L, "b")).toDF("id", "tag"),
+            statsCols = Seq("id"))
+        }
+        // the crashed attempt left staged files but NO commit
+        assert(Versioned.versions(root) === Seq(1L),
+          s"${inner.getClass.getSimpleName}: a crashed attempt must " +
+            "never count as a commit")
+        assert(countData > staged, "the crash window must leave " +
+          "staged data to prove the sweep below does something")
+        assert(Versioned.read(spark, root).count() === 1)
+        // retry publishes cleanly, exactly once
+        Versioned.commit(spark, root, Seq((2L, "b")).toDF("id", "tag"),
+          statsCols = Seq("id"))
+      }
+      assert(Versioned.read(spark, root).orderBy("id")
+        .select("id").as[Long].collect().toSeq === Seq(1L, 2L))
+      // the coordinator's OWN crash window (temp staged, link/move
+      // not reached) leaves a hidden tmp beside the manifests
+      val logDir = new java.io.File(root, "_graft_log")
+      Files.write(new java.io.File(logDir,
+        ".v000000000003-crashed.tmp").toPath, "junk".getBytes("UTF-8"))
+      assert(Versioned.versions(root) === Seq(1L, 2L),
+        "a tmp sibling must never be parsed as a version")
+      // vacuum's age sweep collects BOTH orphan classes; live state
+      // and manifests survive
+      val before = countData
+      Versioned.vacuum(root, keepVersions = 10, minAgeMs = 0L)
+      assert(countData < before, "orphaned staged files must age out")
+      assert(!logDir.listFiles().exists(_.getName.endsWith(".tmp")),
+        "orphaned coordinator temps must age out")
+      assert(Versioned.versions(root) === Seq(1L, 2L))
+      assert(Versioned.read(spark, root).count() === 2)
+    }
+  }
+
   test("injected race on the multi-table pin: transact retries to a sane set") {
     val (a, coord) = (freshRoot("mta"), freshRoot("mtc"))
     Versioned.commit(spark, a, Seq((1L, "x")).toDF("id", "tag"))

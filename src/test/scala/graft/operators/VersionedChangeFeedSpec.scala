@@ -84,6 +84,36 @@ class VersionedChangeFeedSpec extends SparkSpec {
     assert(Versioned.read(spark, root).count() === 2)
   }
 
+  test("a feed or time-travel read positioned on a vacuumed version " +
+      "fails naming VACUUM retention and the recovery path") {
+    val root = freshRoot()
+    (1 to 5).foreach { i =>
+      Versioned.commit(spark, root, Seq((i.toLong, "v")).toDF("id", "tag"),
+        statsCols = Seq("id"))
+    }
+    Versioned.vacuum(root, keepVersions = 2, minAgeMs = 0L)
+    assert(Versioned.versions(root) === Seq(4L, 5L))
+    // a feed resuming from a pre-retention position: (1, head] needs
+    // manifest 2, which retention dropped
+    val e = intercept[IllegalArgumentException] {
+      Versioned.changesSince(spark, root, afterVersion = 1L).count()
+    }
+    assert(e.getMessage.contains("VACUUM retention"), e.getMessage)
+    assert(e.getMessage.contains("restart"), e.getMessage)
+    assert(e.getMessage.contains("5"), "must name the latest snapshot")
+    // time travel to a dropped version: same rail
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.readVersion(spark, root, 2L)
+    }
+    assert(e2.getMessage.contains("VACUUM retention"), e2.getMessage)
+    // a version beyond head is diagnosed as not-yet-existing, not
+    // blamed on vacuum
+    val e3 = intercept[IllegalArgumentException] {
+      Versioned.readVersion(spark, root, 99L)
+    }
+    assert(e3.getMessage.contains("does not exist yet"), e3.getMessage)
+  }
+
   test("feed-driven SCD2 is byte-identical to snapshot-driven SCD2") {
     val root = freshRoot()
     val tmp = Files.createTempDirectory("graft-cf-scd2")
