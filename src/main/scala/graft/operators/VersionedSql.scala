@@ -71,23 +71,33 @@ object VersionedSql {
   //   OPTIMIZE `path` [INTO n FILES | TARGET n BYTES]
   //                   [ZORDER BY (c1, c2, …)]
   //   VACUUM `path` RETAIN n VERSIONS
+  // a table reference token: a backquoted PATH or a catalog-qualified
+  // NAME (resolved by [[refRoot]] through a registered GraftCatalog)
+  private val Ref = """(`[^`]+`|[\w.]+)"""
   private val OptimizeRe =
-    ("""(?is)\s*OPTIMIZE\s+`([^`]+)`(?:\s+INTO\s+(\d+)\s+FILES|""" +
+    (s"""(?is)\\s*OPTIMIZE\\s+$Ref(?:\\s+INTO\\s+(\\d+)\\s+FILES|""" +
       """\s+TARGET\s+(\d+)\s+BYTES)?""" +
       """(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?\s*;?\s*""").r
   private val VacuumRe =
-    """(?is)\s*VACUUM\s+`([^`]+)`\s+RETAIN\s+(\d+)\s+VERSIONS\s*;?\s*""".r
+    s"""(?is)\\s*VACUUM\\s+$Ref\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*""".r
   private val RestoreRe =
-    """(?is)\s*RESTORE\s+`([^`]+)`\s+TO\s+VERSION\s+(\d+)\s*;?\s*""".r
+    s"""(?is)\\s*RESTORE\\s+$Ref\\s+TO\\s+VERSION\\s+(\\d+)\\s*;?\\s*""".r
   private val CloneRe =
-    """(?is)\s*CLONE\s+`([^`]+)`\s+TO\s+`([^`]+)`(?:\s+VERSION\s+(\d+))?\s*;?\s*""".r
-  //   COPY INTO `path` FROM 'dir' FILEFORMAT = PARQUET|CSV|JSON
+    (s"""(?is)\\s*CLONE\\s+$Ref\\s+TO\\s+$Ref""" +
+      """(?:\s+VERSION\s+(\d+))?\s*;?\s*""").r
+  //   COPY INTO `path`|cat.ns.t FROM 'dir' FILEFORMAT = PARQUET|CSV|…
   //             [FORMAT_OPTIONS ('k' = 'v', …)]
   private val CopyIntoRe =
-    ("""(?is)\s*COPY\s+INTO\s+`([^`]+)`\s+FROM\s+'([^']+)'\s+""" +
+    (s"""(?is)\\s*COPY\\s+INTO\\s+$Ref\\s+FROM\\s+'([^']+)'\\s+""" +
       """FILEFORMAT\s*=\s*(\w+)""" +
       """(?:\s+FORMAT_OPTIONS\s*\(([^)]*)\))?\s*;?\s*""").r
   private val FormatOptionRe = """\s*'([^']+)'\s*=\s*'([^']*)'\s*""".r
+
+  /** A matched [[Ref]] token → table root: strip backquotes for the
+    * path form; resolve `cat.ns.t` through the registered catalog. */
+  private def refRoot(spark: SparkSession, ref: String): String =
+    if (ref.startsWith("`")) ref.stripPrefix("`").stripSuffix("`")
+    else ident(spark, ref.split('.').toSeq)
 
   def apply(spark: SparkSession, stmt: String,
       cdf: Boolean = false): DataFrame = {
@@ -95,7 +105,8 @@ object VersionedSql {
     // MERGE sources written against graft_table(...) (idempotent)
     graft.GraftExtensions.registerFunctions(spark)
     stmt match {
-      case OptimizeRe(root, n, tgt, zcols) =>
+      case OptimizeRe(ref, n, tgt, zcols) =>
+        val root = refRoot(spark, ref)
         val nOut = Option(n).map(_.toInt)
         // bare OPTIMIZE is the INCREMENTAL bin-pack (Delta's bare-
         // OPTIMIZE semantics: O(small-file debt), big files carried by
@@ -116,19 +127,23 @@ object VersionedSql {
                   .getOrElse(128L * 1024 * 1024))
             }
           })
-      case VacuumRe(root, keep) =>
+      case VacuumRe(ref, keep) =>
+        val root = refRoot(spark, ref)
         Versioned.vacuum(root, keepVersions = keep.toInt)
         return result(spark, root, "vacuum",
           Versioned.latestVersion(root).getOrElse(
             throw new IllegalArgumentException(s"no versions at $root")))
-      case RestoreRe(root, v) =>
+      case RestoreRe(ref, v) =>
+        val root = refRoot(spark, ref)
         return result(spark, root, "restore",
           Versioned.restore(root, v.toLong))
-      case CloneRe(src, dst, v) =>
+      case CloneRe(srcRef, dstRef, v) =>
+        val dst = refRoot(spark, dstRef)
         return result(spark, dst, "clone",
-          Versioned.cloneShallow(spark, src, dst,
+          Versioned.cloneShallow(spark, refRoot(spark, srcRef), dst,
             Option(v).map(_.toLong)))
-      case CopyIntoRe(root, src, fmt, opts) =>
+      case CopyIntoRe(ref, src, fmt, opts) =>
+        val root = refRoot(spark, ref)
         val options = Option(opts).map(_.trim).filter(_.nonEmpty)
           .map(_.split(",").map {
             case FormatOptionRe(k, v) => k -> v
@@ -142,7 +157,7 @@ object VersionedSql {
     spark.sessionState.sqlParser.parsePlan(stmt) match {
 
       case m: MergeIntoTable =>
-        val root = pathOf(m.targetTable)
+        val root = pathOf(spark, m.targetTable)
         val source = GraftShims.ofRows(spark, m.sourceTable)
         val tAlias = aliasOf(m.targetTable)
         val sAlias = aliasOf(m.sourceTable).orElse(m.sourceTable match {
@@ -216,7 +231,7 @@ object VersionedSql {
         }
 
       case ins: InsertIntoStatement =>
-        val root = pathOf(ins.table)
+        val root = pathOf(spark, ins.table)
         require(ins.partitionSpec.isEmpty && !ins.ifPartitionNotExists,
           "static PARTITION clauses are not supported — the versioned " +
             "table derives partitions from the data (dynamic overwrite " +
@@ -288,7 +303,7 @@ object VersionedSql {
             partitionBy = keepLayout))
 
       case UpdateTable(table, assignments, condition) =>
-        val root = pathOf(table)
+        val root = pathOf(spark, table)
         val alias = aliasOf(table)
         val (keySet, residual) = condition
           .map(splitKeysSubquery(spark, _, alias))
@@ -321,7 +336,7 @@ object VersionedSql {
         }
 
       case DeleteFromTable(table, condition) =>
-        val root = pathOf(table)
+        val root = pathOf(spark, table)
         val alias = aliasOf(table)
         splitKeysSubquery(spark, condition, alias) match {
           case (None, _) =>
@@ -346,7 +361,7 @@ object VersionedSql {
         }
 
       case AddColumns(table, colsToAdd) =>
-        val root = pathOf(table)
+        val root = pathOf(spark, table)
         val fields = colsToAdd.map { c =>
           require(c.name.size == 1,
             s"nested column paths are not supported: ${c.name.mkString(".")}")
@@ -365,7 +380,7 @@ object VersionedSql {
           Versioned.addColumns(spark, root, fields))
 
       case CreateTable(name, columns, partitioning, _, ignoreIfExists) =>
-        val root = pathOf(name)
+        val root = pathOf(spark, name)
         val fields = columns.map { cd =>
           require(cd.defaultValue.isEmpty && cd.generationExpression.isEmpty,
             s"column '${cd.name}': DEFAULT and GENERATED columns are " +
@@ -380,7 +395,7 @@ object VersionedSql {
 
       case CreateTableAsSelect(name, partitioning, query, _, writeOptions,
           ignoreIfExists, _) =>
-        val root = pathOf(name)
+        val root = pathOf(spark, name)
         require(writeOptions.isEmpty,
           "CTAS write OPTIONS are not supported")
         Versioned.latestVersion(root) match {
@@ -410,18 +425,18 @@ object VersionedSql {
         }
 
       case TruncateTable(table) =>
-        val root = pathOf(table)
+        val root = pathOf(spark, table)
         result(spark, root, "truncate", Versioned.truncate(root))
 
       case RenameColumn(table, column, newName) =>
-        val root = pathOf(table)
+        val root = pathOf(spark, table)
         require(column.name.size == 1,
           s"nested column paths are not supported: ${column.name.mkString(".")}")
         result(spark, root, "schema",
           Versioned.renameColumn(spark, root, column.name.head, newName))
 
       case AlterColumns(table, specs) =>
-        val root = pathOf(table)
+        val root = pathOf(spark, table)
         require(specs.size == 1,
           "one ALTER COLUMN per statement")
         val sp = specs.head
@@ -437,7 +452,7 @@ object VersionedSql {
             sp.newDataType.get))
 
       case DropColumns(table, colsToDrop, ifExists) =>
-        val root = pathOf(table)
+        val root = pathOf(spark, table)
         require(!ifExists,
           "IF EXISTS is not supported — a drop of a missing column " +
             "should fail loudly")
@@ -450,7 +465,7 @@ object VersionedSql {
           Versioned.dropColumns(spark, root, names))
 
       case AddCheckConstraint(table, cc) =>
-        val root = pathOf(table)
+        val root = pathOf(spark, table)
         result(spark, root, "constraint",
           Versioned.addConstraint(spark, root, cc.userProvidedName,
             cc.condition))
@@ -459,7 +474,7 @@ object VersionedSql {
         s"only CHECK constraints are supported, got ${a.tableConstraint}")
 
       case DropConstraint(table, name, ifExists, _) =>
-        val root = pathOf(table)
+        val root = pathOf(spark, table)
         if (ifExists && !Versioned.constraintsOf(root).contains(name))
           result(spark, root, "constraint",
             Versioned.latestVersion(root).getOrElse(
@@ -472,28 +487,50 @@ object VersionedSql {
     }
   }
 
-  /** The target path: one backquoted identifier, through any alias. */
-  private def pathOf(plan: LogicalPlan): String = plan match {
-    case SubqueryAlias(_, child) => pathOf(child)
-    // AddCheckConstraint's child is the VALIDATION query (a filter for
-    // violating rows over the relation) — look through it
-    case f: Filter => pathOf(f.child)
-    case r: UnresolvedRelation => ident(r.multipartIdentifier)
-    case t: UnresolvedTable => ident(t.multipartIdentifier)
-    case i: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
-      ident(i.nameParts)
-    case other => throw new IllegalArgumentException(
-      s"cannot resolve a versioned-table path from $other — name the " +
-        "table by its filesystem path as one backquoted identifier, " +
-        "e.g. MERGE INTO `/lake/events` t …")
-  }
+  /** The target path: one backquoted identifier (or a catalog-named
+    * `cat.ns.table` resolving through a registered [[graft.sources
+    * .GraftCatalog]]), through any alias. */
+  private def pathOf(spark: SparkSession, plan: LogicalPlan): String =
+    plan match {
+      case SubqueryAlias(_, child) => pathOf(spark, child)
+      // AddCheckConstraint's child is the VALIDATION query (a filter
+      // for violating rows over the relation) — look through it
+      case f: Filter => pathOf(spark, f.child)
+      case r: UnresolvedRelation => ident(spark, r.multipartIdentifier)
+      case t: UnresolvedTable => ident(spark, t.multipartIdentifier)
+      case i: org.apache.spark.sql.catalyst.analysis.UnresolvedIdentifier =>
+        ident(spark, i.nameParts)
+      case other => throw new IllegalArgumentException(
+        s"cannot resolve a versioned-table path from $other — name the " +
+          "table by its filesystem path as one backquoted identifier, " +
+          "e.g. MERGE INTO `/lake/events` t …")
+    }
 
-  private def ident(parts: Seq[String]): String = {
-    require(parts.size == 1,
-      s"versioned tables are named by PATH as one backquoted " +
-        s"identifier (got ${parts.mkString(".")}) — write `" +
-        parts.mkString(".") + "` with backquotes around the whole path")
-    parts.head
+  private def ident(spark: SparkSession, parts: Seq[String]): String = {
+    // a multipart name resolves through a registered GraftCatalog —
+    // the row-level verbs Spark's DSv2 analyzer won't plan for the
+    // catalog (MERGE/UPDATE/DELETE/COPY/maintenance) work by NAME
+    // through the dispatcher against the same warehouse layout
+    if (parts.size > 1) {
+      val cat = parts.head
+      val cls =
+        try spark.conf.get(s"spark.sql.catalog.$cat")
+        catch { case _: Exception => "" }
+      require(cls == classOf[graft.sources.GraftCatalog].getName,
+        s"'${parts.mkString(".")}' is not a versioned table: '$cat' " +
+          "is not a registered graft catalog — name the table by " +
+          "path as one backquoted identifier, or register " +
+          s"spark.sql.catalog.$cat")
+      val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
+      // the catalog's own identifier rule: a name part can never
+      // escape the warehouse
+      parts.tail.foreach { p =>
+        require(p.nonEmpty && !p.contains("/") && !p.contains("\\") &&
+          p != "." && p != ".." && !p.startsWith("_"),
+          s"invalid catalog name part: '$p'")
+      }
+      (wh +: parts.tail).mkString("/")
+    } else parts.head
   }
 
   /** MERGE ON → equi-key pairs (target column, source column): a

@@ -145,6 +145,35 @@ class GraftCatalogSpec extends SparkSpec {
       s"small catalog dim must broadcast on manifest sizeInBytes:\n$plan")
   }
 
+  test("row-level and maintenance verbs work by catalog NAME through " +
+      "the SQL dispatcher") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graftc.dml")
+    sql("CREATE TABLE graftc.dml.t (id BIGINT, v DOUBLE)")
+    sql("INSERT INTO graftc.dml.t VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    Seq((2L, 20.0), (4L, 40.0)).toDF("id", "nv")
+      .createOrReplaceTempView("cat_dml_src")
+    // MERGE/UPDATE/DELETE are the verbs Spark's DSv2 analyzer won't
+    // plan without SupportsRowLevelOperations — the dispatcher
+    // resolves the catalog name onto the same warehouse root
+    Versioned.sql(spark,
+      """MERGE INTO graftc.dml.t t USING cat_dml_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.nv
+        |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.nv)"""
+        .stripMargin)
+    Versioned.sql(spark, "DELETE FROM graftc.dml.t WHERE id = 1")
+    assert(sql("SELECT id, v FROM graftc.dml.t ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((2L, 20.0), (3L, 3.0), (4L, 40.0)))
+    val verb = Versioned.sql(spark, "OPTIMIZE graftc.dml.t")
+      .select("verb").as[String].head()
+    assert(verb === "optimize")
+    // an unregistered catalog prefix fails loudly, naming the fix
+    val e = intercept[IllegalArgumentException] {
+      Versioned.sql(spark, "DELETE FROM nosuch.ns.t WHERE id = 1")
+    }
+    assert(e.getMessage.contains("not a registered graft catalog"))
+  }
+
   test("a second CREATE fails; IF NOT EXISTS is a no-op; bad idents " +
       "are rejected") {
     sql("CREATE NAMESPACE IF NOT EXISTS graftc.guard")
