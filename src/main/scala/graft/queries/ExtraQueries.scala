@@ -1661,6 +1661,62 @@ object ExtraQueries {
   private val copyIntoDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // ---------------------------------------------------------------- x44
+  // Catalog-named DML end-to-end, hash-gated: the table exists ONLY
+  // under a catalog name (no path ever written in a statement).
+  // CREATE/INSERT ride Spark's own analyzer through the DSv2 plugin;
+  // the conditional-clause MERGE and the DELETE ride the dispatcher's
+  // name resolution onto the same warehouse root. DuckDB replays the
+  // whole mutation sequence: a name resolving to the wrong root, a
+  // MERGE clause misapplied, or a DELETE leaking its predicate breaks
+  // the hash.
+  val x44CatalogDml: Q = Q(
+    "x44_catalog_dml",
+    """WITH c AS (SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal
+      |           FROM customer)
+      |SELECT c_custkey,
+      |  CASE WHEN c_custkey % 2 = 1 THEN bal + bal ELSE bal END AS bal
+      |FROM c
+      |WHERE NOT (c_custkey % 2 = 1 AND bal < 0.0)
+      |  AND c_custkey % 100 <> 7
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    import graft.operators.Versioned
+    val wh = catalogDmlDirs.getOrElseUpdate(d, {
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-catdml-q").toString
+      s.conf.set("spark.sql.catalog.graftdml",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set("spark.sql.catalog.graftdml.warehouse", w)
+      t(s, d, "customer").select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("bal"))
+        .createOrReplaceTempView("x44_src")
+      s.sql("CREATE NAMESPACE IF NOT EXISTS graftdml.r8")
+      s.sql("CREATE TABLE graftdml.r8.cust (c_custkey BIGINT, bal DOUBLE)")
+      // odd custkeys land through the catalog's own INSERT path
+      s.sql("INSERT INTO graftdml.r8.cust " +
+        "SELECT c_custkey, bal FROM x44_src WHERE c_custkey % 2 = 1")
+      // one MERGE by NAME: negative-balance odds delete, other odds
+      // double (RHS over the pre-merge row), evens insert
+      Versioned.sql(s,
+        """MERGE INTO graftdml.r8.cust t USING x44_src s
+          |ON t.c_custkey = s.c_custkey
+          |WHEN MATCHED AND s.bal < 0.0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET bal = t.bal + s.bal
+          |WHEN NOT MATCHED THEN
+          |  INSERT (c_custkey, bal) VALUES (s.c_custkey, s.bal)"""
+          .stripMargin)
+      Versioned.sql(s, "DELETE FROM graftdml.r8.cust WHERE c_custkey % 100 = 7")
+      w
+    })
+    s.conf.set("spark.sql.catalog.graftdml",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set("spark.sql.catalog.graftdml.warehouse", wh)
+    s.sql("SELECT c_custkey, bal FROM graftdml.r8.cust ORDER BY c_custkey")
+  }
+
+  private val catalogDmlDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   // ---------------------------------------------------------------- x30
   // Atomic predicate-scoped overwrite (Versioned.replaceWhere — Delta's
   // replaceWhere): customers land range-clustered by nation, then the
@@ -1878,5 +1934,5 @@ object ExtraQueries {
     x30ReplaceWhere, x31Ewma, x32SqlTimeTravel, x33SqlMerge, x34EwmaLong,
     x35PinnedJoin, x36SqlUpdateDelete, x37SqlSchemaEvolution,
     x38SqlRename, x39SqlWiden, x40CatalogSql, x41SqlMergeFull,
-    x42SqlDeleteIn, x43CopyInto)
+    x42SqlDeleteIn, x43CopyInto, x44CatalogDml)
 }

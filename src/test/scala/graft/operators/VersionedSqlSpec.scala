@@ -631,6 +631,20 @@ class VersionedSqlSpec extends SparkSpec {
       "update_postimage" -> 1L, "delete" -> 1L))
   }
 
+  test("general MERGE that provably touches nothing is a no-op version") {
+    val root = freshRoot("gmnoop")
+    Versioned.commit(spark, root, Seq((1L, 1.0)).toDF("k", "v"),
+      statsCols = Seq("k"))
+    // every source key is outside every file's stats range and there
+    // is no insert clause: no file reads, no new version
+    val v = Versioned.merge(spark, root,
+      Seq((99L, 9.0)).toDF("k", "nv"), Seq("k" -> "k"),
+      matched = Seq(Versioned.MatchedUpdate(None,
+        Some(Seq("v" -> lit(0.0))))))
+    assert(v === 1L)
+    assert(Versioned.versions(root) === Seq(1L))
+  }
+
   test("DELETE WHERE id IN (subquery) routes to the keys-frame-pruned " +
       "verb and carries unaffected files by reference") {
     val root = freshRoot("delin")
