@@ -379,8 +379,18 @@ object Versioned {
     * current version (no new manifest). A file APPENDED to the
     * directory between runs ingests alone; a file REWRITTEN in place
     * (new length/mtime) counts as new — the Delta COPY INTO contract.
+    * `force = true` ignores the ledger and re-ingests everything
+    * (Delta's COPY_OPTIONS force). Concurrent copies over one
+    * directory serialize on the version pin — exactly one ingests.
     *
-    * Scale shape: the ledger probe is ONE `lastProps` scan + one
+    * The ledger reference INHERITS commit-to-commit like constraints
+    * (see [[publishEntries]]), so ingestion memory survives unrelated
+    * commits, vacuum retention, overwrite and restore — the Delta
+    * contract (restore rolls back DATA, never COPY INTO history; use
+    * `force` to re-ingest deliberately). Vacuum sweeps ledger files
+    * no retained manifest references.
+    *
+    * Scale shape: the ledger probe is ONE head-manifest read + one
     * sidecar read; the ingest reads ONLY the fresh files (never the
     * table); ledger size is O(total ingested files) — line-per-file
     * text, ~100 bytes/file.
@@ -391,7 +401,8 @@ object Versioned {
       format: String = "parquet",
       options: Map[String, String] = Map.empty,
       statsCols: Seq[String] = Nil,
-      mergeSchema: Boolean = false): Long = {
+      mergeSchema: Boolean = false,
+      force: Boolean = false): Long = {
     def walk(d: File): Seq[File] =
       d.listFiles().toSeq.sortBy(_.getName).flatMap {
         case f if f.getName.startsWith("_") ||
@@ -405,31 +416,52 @@ object Versioned {
     val listed = walk(srcDir)
     def ident(f: File) =
       s"${f.getAbsolutePath}|${f.length()}|${f.lastModified()}"
-    val prior: Set[String] = lastProps(root, Seq(CopyLedgerKey))
-      .map { p =>
-        val lf = resolve(root, p(CopyLedgerKey))
-        require(lf.isFile, s"COPY INTO ledger missing: ${lf.getPath}")
-        Files.readAllLines(lf.toPath).asScala.toSet
-      }.getOrElse(Set.empty)
-    val fresh = listed.filterNot(f => prior(ident(f)))
-    if (fresh.isEmpty)
-      return latestVersion(root).getOrElse(
-        throw new IllegalArgumentException("COPY INTO from an empty " +
-          s"source into a non-existent table: $sourceDir -> $root"))
-    val df = spark.read.format(format).options(options)
-      .load(fresh.map(_.getAbsolutePath): _*)
-    // cumulative ledger sidecar: unique name, live only once the
-    // commit below publishes the props reference
-    val copyDir = new File(logDir(root), "copy")
-    copyDir.mkdirs()
-    val name = s"ledger-${java.util.UUID.randomUUID().toString.take(12)}.txt"
-    Files.write(new File(copyDir, name).toPath,
-      (prior.toSeq.sorted ++ fresh.map(ident)).mkString("\n")
-        .getBytes("UTF-8"))
-    copyIntoCrashHook()
-    commit(spark, root, df, mode = "append", statsCols = statsCols,
-      mergeSchema = mergeSchema,
-      props = Map(CopyLedgerKey -> s"_graft_log/copy/$name"))
+    // OCC loop: the ledger read and the commit pin the SAME version,
+    // so two concurrent copies over one directory serialize — the
+    // loser re-reads the winner's ledger and finds nothing fresh
+    // (without the pin, both would observe the empty ledger and
+    // double-ingest every file)
+    var attempt = 0
+    while (true) {
+      val headV = latestVersion(root)
+      val prior: Set[String] =
+        if (force) Set.empty
+        else headV.map(readManifest(root, _).props)
+          .filter(_.contains(CopyLedgerKey))
+          .map { p =>
+            val lf = resolve(root, p(CopyLedgerKey))
+            require(lf.isFile, s"COPY INTO ledger missing: ${lf.getPath}")
+            Files.readAllLines(lf.toPath).asScala.toSet
+          }.getOrElse(Set.empty)
+      val fresh = listed.filterNot(f => prior(ident(f)))
+      if (fresh.isEmpty)
+        return headV.getOrElse(
+          throw new IllegalArgumentException("COPY INTO from an empty " +
+            s"source into a non-existent table: $sourceDir -> $root"))
+      val df = spark.read.format(format).options(options)
+        .load(fresh.map(_.getAbsolutePath): _*)
+      // cumulative ledger sidecar: unique name, live only once the
+      // commit below publishes the props reference
+      val copyDir = new File(logDir(root), "copy")
+      copyDir.mkdirs()
+      val name =
+        s"ledger-${java.util.UUID.randomUUID().toString.take(12)}.txt"
+      Files.write(new File(copyDir, name).toPath,
+        (prior.toSeq.sorted ++ fresh.map(ident)).mkString("\n")
+          .getBytes("UTF-8"))
+      copyIntoCrashHook()
+      try {
+        return commit(spark, root, df, mode = "append",
+          statsCols = statsCols, mergeSchema = mergeSchema,
+          expectedVersion = Some(headV.getOrElse(0L)),
+          props = Map(CopyLedgerKey -> s"_graft_log/copy/$name"))
+      } catch {
+        case e: VersionConflictException =>
+          if (attempt >= occMaxRetries) throw e
+          attempt += 1 // stale ledger + stale pin: re-read and retry
+      }
+    }
+    sys.error("unreachable")
   }
 
   /** Test hook: fires between the ledger sidecar write and the data
@@ -1841,21 +1873,32 @@ object Versioned {
           source.select(c(sk).as(physKey)), physKey)
       }
     if (touched.isEmpty && notMatched.isEmpty) return latest
+    // an INSERT-ONLY merge never modifies an existing row: every file
+    // carries by reference (zero rewrites — Delta's insert-only fast
+    // path) and the touched set serves ONLY as the pruned anti-probe;
+    // duplicate-keyed sources are legal there (each row inserts or
+    // not independently), exactly Delta's contract
+    val rewriteNeeded = matched.nonEmpty || notMatchedBySource.nonEmpty
     val src = source.persist() // feeds join, ambiguity guard, inserts
     try {
       val base: Option[DataFrame] =
         if (touched.isEmpty) None
         else Some(readAligned(spark,
           touched.map(f => resolve(root, f.path).getPath),
-          m.schemaJson, m.physNames))
+          m.schemaJson, m.physNames)
+          // the probe set feeds the ambiguity guard, the rewrite join
+          // and the insert anti-probe — read the parquet once
+          .persist(org.apache.spark.storage.StorageLevel.MEMORY_AND_DISK))
+      try {
       val joinCond = keyPairs.map { case (tk, sk) =>
         c(s"t.$tk") === c(s"s.$sk")
       }.reduce(_ && _)
-      // ambiguity guard (only when a matched clause could apply):
-      // a duplicate-keyed source that matches ANY target row would
-      // update/delete the same row twice — one aggregate over the
+      // ambiguity guard (whenever existing rows can be REWRITTEN —
+      // matched OR by-source clauses; the left-outer rewrite join
+      // would silently duplicate a target row matched by two source
+      // rows, even if no clause fires for it): one aggregate over the
       // source + one pruned semi-join, no driver-side collection
-      if (matched.nonEmpty && base.isDefined) {
+      if (rewriteNeeded && base.isDefined) {
         val dups = src.groupBy(keyPairs.map(p => c(p._2)): _*)
           .agg(count(lit(1)).as("__n")).filter(c("__n") > 1)
         require(base.get.as("t").join(dups.as("s"), joinCond, "left_semi")
@@ -1907,9 +1950,12 @@ object Versioned {
           when(c("__action") === i, rhs.cast(f.dataType)).otherwise(acc)
         }.as(f.name)
       }
-      val flagged0 = base.map(_.as("t")
-        .join(src.withColumn("__m", lit(1)).as("s"), joinCond, "left_outer")
-        .withColumn("__action", actionExpr))
+      val flagged0 =
+        if (!rewriteNeeded) None // insert-only: no rewrite join at all
+        else base.map(_.as("t")
+          .join(src.withColumn("__m", lit(1)).as("s"), joinCond,
+            "left_outer")
+          .withColumn("__action", actionExpr))
       val flagged = if (cdf) flagged0.map(_.persist()) else flagged0
       try {
         val rewritten = flagged.map { j =>
@@ -1980,9 +2026,13 @@ object Versioned {
         val effStats = (statsCols ++ m.files.flatMap(_.stats.keys)).distinct
         val (newEntries, outSchema) =
           writeBatch(spark, root, toWrite, effStats, m.partitionBy)
-        publishEntries(root, untouched ++ newEntries, latest, "merge",
+        // insert-only merges never rewrote the touched files — they
+        // carry by reference alongside the untouched set
+        val carried = if (rewriteNeeded) untouched else m.files
+        publishEntries(root, carried ++ newEntries, latest, "merge",
           schemaJson = outSchema, cdf = cdfPaths)
       } finally if (cdf) flagged.foreach(_.unpersist())
+      } finally base.foreach(_.unpersist())
     } finally src.unpersist()
   }
 
@@ -2981,10 +3031,19 @@ object Versioned {
       else (Seq.empty[FileEntry],
         carried ++ residue.grouped(segmentMaxEntries)
           .map(writeSegment(root, _)))
+    // COPY INTO's ingestion ledger is table STATE, not per-commit
+    // metadata: it inherits like constraints, so the LATEST manifest
+    // always carries the current ledger reference and vacuum dropping
+    // old manifests never forgets what was ingested (and the probe in
+    // [[copyInto]] is O(1) — the head manifest, not a history scan)
+    val effProps =
+      if (props.contains(CopyLedgerKey)) props
+      else parentM.flatMap(_.props.get(CopyLedgerKey))
+        .fold(props)(v => props + (CopyLedgerKey -> v))
     val manifest = Manifest(next, action, inline,
       txnApp = txn.map(_._1), txnBatch = txn.map(_._2),
       schemaJson = Option(schemaJson), cdf = cdf, mor = mor,
-      partitionBy = partCols, props = props, dvs = dvs,
+      partitionBy = partCols, props = effProps, dvs = dvs,
       ts = Some(System.currentTimeMillis()), segments = segments,
       constraints = tableConstraints, dropped = tombstones,
       physNames = tablePhys)
@@ -3632,6 +3691,19 @@ object Versioned {
       }
     }
     drop.foreach(v => Files.deleteIfExists(manifestFile(root, v).toPath))
+    // COPY INTO ledgers: keep any a retained manifest references (the
+    // head always references the CURRENT one via prop inheritance);
+    // orphans from crashed attempts and ledgers referenced only by
+    // dropped manifests age out
+    val keptLedgers =
+      keptManifests.flatMap(_.props.get(CopyLedgerKey)).toSet
+    val copyDir = new File(logDir(root), "copy")
+    if (copyDir.isDirectory) copyDir.listFiles().foreach { f =>
+      if (!keptLedgers.contains(s"_graft_log/copy/${f.getName}") &&
+          f.lastModified() <= cutoff) {
+        Files.deleteIfExists(f.toPath); ()
+      }
+    }
     // coordinator temp siblings: a crash between temp staging and the
     // CAS link/move leaves a hidden `.v…-….tmp` beside the manifests —
     // never a commit ([[versions]] matches published names only) and

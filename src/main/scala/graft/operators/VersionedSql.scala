@@ -87,11 +87,32 @@ object VersionedSql {
       """(?:\s+VERSION\s+(\d+))?\s*;?\s*""").r
   //   COPY INTO `path`|cat.ns.t FROM 'dir' FILEFORMAT = PARQUET|CSV|…
   //             [FORMAT_OPTIONS ('k' = 'v', …)]
+  //             [COPY_OPTIONS ('force' = 'true')]
+  // the option-list captures admit quoted ')' and ',' — `'sep' = ','`
+  // is an ordinary CSV option, not a parse error
+  private val OptList = """((?:'[^']*'|[^)])*)"""
   private val CopyIntoRe =
     (s"""(?is)\\s*COPY\\s+INTO\\s+$Ref\\s+FROM\\s+'([^']+)'\\s+""" +
       """FILEFORMAT\s*=\s*(\w+)""" +
-      """(?:\s+FORMAT_OPTIONS\s*\(([^)]*)\))?\s*;?\s*""").r
-  private val FormatOptionRe = """\s*'([^']+)'\s*=\s*'([^']*)'\s*""".r
+      s"""(?:\\s+FORMAT_OPTIONS\\s*\\($OptList\\))?""" +
+      s"""(?:\\s+COPY_OPTIONS\\s*\\($OptList\\))?\\s*;?\\s*""").r
+  private val FormatOptionRe = """'([^']+)'\s*=\s*'([^']*)'""".r
+
+  /** `'k' = 'v', …` → map; every non-whitespace/comma character must
+    * belong to a matched pair (a typo never silently drops). */
+  private def optionPairs(clause: String, raw: String)
+      : Map[String, String] = {
+    val r = Option(raw).map(_.trim).getOrElse("")
+    if (r.isEmpty) Map.empty
+    else {
+      val leftover = FormatOptionRe.replaceAllIn(r, "")
+        .replaceAll("[\\s,]+", "")
+      require(leftover.isEmpty,
+        s"bad $clause: $raw — expected 'key' = 'value' pairs")
+      FormatOptionRe.findAllMatchIn(r)
+        .map(m => m.group(1) -> m.group(2)).toMap
+    }
+  }
 
   /** A matched [[Ref]] token → table root: strip backquotes for the
     * path form; resolve `cat.ns.t` through the registered catalog. */
@@ -116,9 +137,13 @@ object VersionedSql {
         // n BYTES tunes the incremental pack's output size.
         return result(spark, root, "optimize",
           Option(zcols) match {
-            case Some(cs) => Versioned.zorder(spark, root,
-              cs.split(",").map(_.trim).toSeq.filter(_.nonEmpty),
-              nOut = nOut.getOrElse(8))
+            case Some(cs) =>
+              require(tgt == null,
+                "TARGET n BYTES cannot combine with ZORDER BY — a " +
+                  "Z-order rewrite is sized with INTO n FILES")
+              Versioned.zorder(spark, root,
+                cs.split(",").map(_.trim).toSeq.filter(_.nonEmpty),
+                nOut = nOut.getOrElse(8))
             case None => nOut match {
               case Some(files) =>
                 Versioned.compact(spark, root, targetFiles = files)
@@ -142,16 +167,16 @@ object VersionedSql {
         return result(spark, dst, "clone",
           Versioned.cloneShallow(spark, refRoot(spark, srcRef), dst,
             Option(v).map(_.toLong)))
-      case CopyIntoRe(ref, src, fmt, opts) =>
+      case CopyIntoRe(ref, src, fmt, opts, copyOpts) =>
         val root = refRoot(spark, ref)
-        val options = Option(opts).map(_.trim).filter(_.nonEmpty)
-          .map(_.split(",").map {
-            case FormatOptionRe(k, v) => k -> v
-            case other => throw new IllegalArgumentException(
-              s"bad FORMAT_OPTIONS entry: $other — expected 'key' = 'value'")
-          }.toMap).getOrElse(Map.empty[String, String])
+        val options = optionPairs("FORMAT_OPTIONS", opts)
+        val cOpts = optionPairs("COPY_OPTIONS", copyOpts)
+        cOpts.keys.foreach(k => require(k.equalsIgnoreCase("force"),
+          s"unknown COPY_OPTIONS key: '$k' — supported: 'force'"))
         return result(spark, root, "copy",
-          Versioned.copyInto(spark, root, src, fmt.toLowerCase, options))
+          Versioned.copyInto(spark, root, src, fmt.toLowerCase, options,
+            force = cOpts.exists(kv => kv._1.equalsIgnoreCase("force") &&
+              kv._2.equalsIgnoreCase("true"))))
       case _ => ()
     }
     spark.sessionState.sqlParser.parsePlan(stmt) match {
@@ -522,14 +547,9 @@ object VersionedSql {
           "path as one backquoted identifier, or register " +
           s"spark.sql.catalog.$cat")
       val wh = spark.conf.get(s"spark.sql.catalog.$cat.warehouse")
-      // the catalog's own identifier rule: a name part can never
-      // escape the warehouse
-      parts.tail.foreach { p =>
-        require(p.nonEmpty && !p.contains("/") && !p.contains("\\") &&
-          p != "." && p != ".." && !p.startsWith("_"),
-          s"invalid catalog name part: '$p'")
-      }
-      (wh +: parts.tail).mkString("/")
+      // the catalog's OWN identifier→path rule (shared helper — the
+      // two surfaces can never desynchronize on escaping/normalizing)
+      graft.sources.GraftCatalog.resolveRoot(wh, parts.tail)
     } else parts.head
   }
 

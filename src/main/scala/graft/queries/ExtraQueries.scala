@@ -1457,33 +1457,37 @@ object ExtraQueries {
       |       ELSE CAST(c_acctbal AS DOUBLE) END AS acctbal,
       |  c_mktsegment AS seg
       |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    // catalog instances are CACHED per session once resolved, so the
+    // name is derived from the dataset dir — a second dataset in one
+    // session gets a fresh instance instead of the first's warehouse
+    val cat = s"graft${math.abs(d.hashCode)}"
     val wh = catalogSqlDirs.getOrElseUpdate(d, {
       val w = java.nio.file.Files
         .createTempDirectory("graft-catalog-q").toString
-      s.conf.set("spark.sql.catalog.graft",
+      s.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graft.warehouse", w)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
       t(s, d, "customer").select(col("c_custkey"),
         col("c_acctbal").cast("double").as("acctbal"),
         col("c_mktsegment").as("seg"))
         .createOrReplaceTempView("x40_src")
-      s.sql("CREATE NAMESPACE IF NOT EXISTS graft.gold")
-      s.sql("CREATE TABLE graft.gold.cust " +
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.gold")
+      s.sql(s"CREATE TABLE $cat.gold.cust " +
         "(c_custkey BIGINT, acctbal DOUBLE, seg STRING) " +
         "PARTITIONED BY (seg)")
-      s.sql("INSERT INTO graft.gold.cust " +
+      s.sql(s"INSERT INTO $cat.gold.cust " +
         "SELECT c_custkey, acctbal, seg FROM x40_src")
-      s.sql("INSERT OVERWRITE graft.gold.cust PARTITION (seg = 'BUILDING') " +
+      s.sql(s"INSERT OVERWRITE $cat.gold.cust PARTITION (seg = 'BUILDING') " +
         "SELECT c_custkey, acctbal + 100.0 FROM x40_src " +
         "WHERE seg = 'BUILDING'")
       w
     })
     // re-point the session at the warm warehouse (a fresh session may
     // arrive with the dirs map already populated)
-    s.conf.set("spark.sql.catalog.graft",
+    s.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.sources.GraftCatalog].getName)
-    s.conf.set("spark.sql.catalog.graft.warehouse", wh)
-    s.sql("SELECT c_custkey, acctbal, seg FROM graft.gold.cust " +
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"SELECT c_custkey, acctbal, seg FROM $cat.gold.cust " +
       "ORDER BY c_custkey")
   }
 
@@ -1681,37 +1685,38 @@ object ExtraQueries {
       |  AND c_custkey % 100 <> 7
       |ORDER BY c_custkey""".stripMargin) { (s, d) =>
     import graft.operators.Versioned
+    val cat = s"graftdml${math.abs(d.hashCode)}"
     val wh = catalogDmlDirs.getOrElseUpdate(d, {
       val w = java.nio.file.Files
         .createTempDirectory("graft-catdml-q").toString
-      s.conf.set("spark.sql.catalog.graftdml",
+      s.conf.set(s"spark.sql.catalog.$cat",
         classOf[graft.sources.GraftCatalog].getName)
-      s.conf.set("spark.sql.catalog.graftdml.warehouse", w)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
       t(s, d, "customer").select(col("c_custkey"),
         col("c_acctbal").cast("double").as("bal"))
         .createOrReplaceTempView("x44_src")
-      s.sql("CREATE NAMESPACE IF NOT EXISTS graftdml.r8")
-      s.sql("CREATE TABLE graftdml.r8.cust (c_custkey BIGINT, bal DOUBLE)")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.r8")
+      s.sql(s"CREATE TABLE $cat.r8.cust (c_custkey BIGINT, bal DOUBLE)")
       // odd custkeys land through the catalog's own INSERT path
-      s.sql("INSERT INTO graftdml.r8.cust " +
+      s.sql(s"INSERT INTO $cat.r8.cust " +
         "SELECT c_custkey, bal FROM x44_src WHERE c_custkey % 2 = 1")
       // one MERGE by NAME: negative-balance odds delete, other odds
       // double (RHS over the pre-merge row), evens insert
       Versioned.sql(s,
-        """MERGE INTO graftdml.r8.cust t USING x44_src s
+        s"""MERGE INTO $cat.r8.cust t USING x44_src s
           |ON t.c_custkey = s.c_custkey
           |WHEN MATCHED AND s.bal < 0.0 THEN DELETE
           |WHEN MATCHED THEN UPDATE SET bal = t.bal + s.bal
           |WHEN NOT MATCHED THEN
           |  INSERT (c_custkey, bal) VALUES (s.c_custkey, s.bal)"""
           .stripMargin)
-      Versioned.sql(s, "DELETE FROM graftdml.r8.cust WHERE c_custkey % 100 = 7")
+      Versioned.sql(s, s"DELETE FROM $cat.r8.cust WHERE c_custkey % 100 = 7")
       w
     })
-    s.conf.set("spark.sql.catalog.graftdml",
+    s.conf.set(s"spark.sql.catalog.$cat",
       classOf[graft.sources.GraftCatalog].getName)
-    s.conf.set("spark.sql.catalog.graftdml.warehouse", wh)
-    s.sql("SELECT c_custkey, bal FROM graftdml.r8.cust ORDER BY c_custkey")
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"SELECT c_custkey, bal FROM $cat.r8.cust ORDER BY c_custkey")
   }
 
   private val catalogDmlDirs =

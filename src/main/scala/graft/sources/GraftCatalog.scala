@@ -50,6 +50,26 @@ import graft.operators.Versioned
   * are atomic CAS manifest commits — identical plans and identical
   * commit semantics to the path-addressed API, just named.
   */
+object GraftCatalog {
+  /** The one identifier→path rule both surfaces share — the catalog's
+    * own DDL resolution AND the SQL dispatcher's `cat.ns.table`
+    * targets ([[graft.operators.VersionedSql]]) — so the two can
+    * never desynchronize on escaping or normalization. Identifiers
+    * map 1:1 onto warehouse-relative paths; path metacharacters are
+    * rejected so a name can never escape the warehouse. */
+  private[graft] def checkPart(p: String): String = {
+    require(p.nonEmpty && !p.contains("/") && !p.contains("\\") &&
+        p != "." && p != ".." && !p.startsWith("_"),
+      s"invalid catalog name part: '$p'")
+    p
+  }
+
+  private[graft] def resolveRoot(warehouse: String,
+      parts: Seq[String]): String =
+    parts.foldLeft(new File(warehouse).getAbsoluteFile)(
+      (d, p) => new File(d, checkPart(p))).getPath
+}
+
 class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private var catalogName: String = _
@@ -69,14 +89,7 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 
   private def spark: SparkSession = SparkSession.active
 
-  // identifiers map 1:1 onto warehouse-relative paths; reject path
-  // metacharacters so an identifier can never escape the warehouse
-  private def checkPart(p: String): String = {
-    require(p.nonEmpty && !p.contains("/") && !p.contains("\\") &&
-        p != "." && p != ".." && !p.startsWith("_"),
-      s"invalid catalog name part: '$p'")
-    p
-  }
+  private def checkPart(p: String): String = GraftCatalog.checkPart(p)
 
   private def nsDir(namespace: Array[String]): File =
     namespace.foldLeft(warehouse)((d, p) => new File(d, checkPart(p)))

@@ -62,6 +62,60 @@ class CopyIntoSpec extends SparkSpec {
     assert(Versioned.copyInto(spark, root, src.getPath) === v)
   }
 
+  test("ingestion memory survives unrelated commits AND vacuum " +
+      "retention; force re-ingests; unreferenced ledgers sweep") {
+    val (root, src) = freshDirs("vac")
+    land(src, "a.parquet", Seq((1L, "x"), (2L, "y")))
+    Versioned.copyInto(spark, root, src.getPath)
+    // bury the copy commit under unrelated appends, then vacuum past it
+    (1 to 4).foreach { i =>
+      Versioned.commit(spark, root, Seq((100L + i, "z")).toDF("id", "s"))
+    }
+    Versioned.vacuum(root, keepVersions = 2, minAgeMs = 0L)
+    assert(Versioned.versions(root) === Seq(4L, 5L))
+    // the ledger reference INHERITED into the retained head — the
+    // re-run is still a no-op (no silent re-ingest after maintenance)
+    assert(Versioned.copyInto(spark, root, src.getPath) === 5L)
+    assert(Versioned.read(spark, root).filter($"id" <= 2L).count() === 2)
+    // the current ledger file survived the sweep; a planted orphan goes
+    val copyDir = new java.io.File(root, "_graft_log/copy")
+    val before = copyDir.listFiles().length
+    java.nio.file.Files.write(
+      new java.io.File(copyDir, "ledger-orphan.txt").toPath,
+      "junk".getBytes("UTF-8"))
+    Versioned.vacuum(root, keepVersions = 2, minAgeMs = 0L)
+    assert(copyDir.listFiles().length === before,
+      "referenced ledger must survive; orphan must sweep")
+    assert(Versioned.copyInto(spark, root, src.getPath) ===
+      Versioned.latestVersion(root).get)
+    // force ignores the ledger: everything re-ingests deliberately
+    Versioned.copyInto(spark, root, src.getPath, force = true)
+    assert(Versioned.read(spark, root).filter($"id" <= 2L).count() === 4)
+  }
+
+  test("concurrent copies over one directory serialize: exactly one " +
+      "ingests") {
+    val (root, src) = freshDirs("occ")
+    land(src, "a.parquet", Seq((1L, "x"), (2L, "y")))
+    // the sniper runs a full competing COPY INTO inside the loser's
+    // crash window (after its ledger staging, before its commit) —
+    // the loser's pinned commit conflicts, retries, and finds the
+    // winner already ingested everything
+    var armed = true
+    Versioned.copyIntoCrashHook = () => {
+      if (armed) { armed = false
+        Versioned.copyInto(spark, root, src.getPath)
+      }
+    }
+    try {
+      val v = Versioned.copyInto(spark, root, src.getPath)
+      assert(v === 1L, "loser must settle on the winner's version")
+    } finally Versioned.copyIntoCrashHook = () => ()
+    assert(Versioned.versions(root) === Seq(1L))
+    assert(Versioned.read(spark, root).count() === 2,
+      "a lost race must never double-ingest")
+  }
+
   test("a file rewritten in place re-ingests; SQL verb + CSV options") {
     val (root, src) = freshDirs("sql")
     src.mkdirs()
@@ -89,5 +143,38 @@ class CopyIntoSpec extends SparkSpec {
       .select("verb").as[String].head()
     assert(verb === "copy")
     assert(Versioned.read(spark, root).count() === 6)
+  }
+
+  test("option values may contain ',' and ')'; COPY_OPTIONS force; " +
+      "typo'd options fail loudly") {
+    val (root, src) = freshDirs("opts")
+    src.mkdirs()
+    // a comma SEPARATOR — the canonical quoted-comma option value
+    java.nio.file.Files.write(new java.io.File(src, "a.csv").toPath,
+      "id,s\n1,x\n2,(y)\n".getBytes("UTF-8"))
+    Versioned.sql(spark,
+      s"COPY INTO `$root` FROM '${src.getPath}' FILEFORMAT = CSV " +
+        "FORMAT_OPTIONS ('header' = 'true', 'inferSchema' = 'true', " +
+        "'sep' = ',', 'comment' = ')')")
+    assert(Versioned.read(spark, root).count() === 2)
+    // COPY_OPTIONS force re-ingests through SQL
+    Versioned.sql(spark,
+      s"COPY INTO `$root` FROM '${src.getPath}' FILEFORMAT = CSV " +
+        "FORMAT_OPTIONS ('header' = 'true', 'inferSchema' = 'true', " +
+        "'sep' = ',') COPY_OPTIONS ('force' = 'true')")
+    assert(Versioned.read(spark, root).count() === 4)
+    // malformed pairs and unknown copy options never silently drop
+    val e = intercept[IllegalArgumentException] {
+      Versioned.sql(spark,
+        s"COPY INTO `$root` FROM '${src.getPath}' FILEFORMAT = CSV " +
+          "FORMAT_OPTIONS (header = true)")
+    }
+    assert(e.getMessage.contains("FORMAT_OPTIONS"))
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.sql(spark,
+        s"COPY INTO `$root` FROM '${src.getPath}' FILEFORMAT = CSV " +
+          "COPY_OPTIONS ('nope' = 'true')")
+    }
+    assert(e2.getMessage.contains("unknown COPY_OPTIONS"))
   }
 }

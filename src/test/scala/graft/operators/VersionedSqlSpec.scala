@@ -499,6 +499,13 @@ class VersionedSqlSpec extends SparkSpec {
     val v3 = Versioned.sql(spark, s"OPTIMIZE `$root` INTO 1 FILES")
       .select("version").as[Long].head()
     assert(Versioned.files(root, v3).size === 1)
+    // TARGET sizes the incremental pack only — combined with ZORDER
+    // it would be silently ignored, so it is rejected loudly
+    val e = intercept[IllegalArgumentException] {
+      Versioned.sql(spark,
+        s"OPTIMIZE `$root` TARGET 1000 BYTES ZORDER BY (id)")
+    }
+    assert(e.getMessage.contains("INTO n FILES"))
   }
 
   test("INSERT OVERWRITE preserves the declared partition layout") {
@@ -590,6 +597,32 @@ class VersionedSqlSpec extends SparkSpec {
       s"""MERGE INTO `$root` t USING gmergeamb_src2 s ON t.k = s.k
          |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)""".stripMargin)
     assert(Versioned.read(spark, root).count() === 3)
+    // duplicates that DO match a target row are ALSO fine for
+    // insert-only (Delta's contract) — and must never duplicate the
+    // matched target row through the rewrite join
+    val beforeFiles = Versioned.files(root,
+      Versioned.latestVersion(root).get).toSet
+    Seq((1L, 5.0), (1L, 6.0), (8L, 8.0)).toDF("k", "nv")
+      .createOrReplaceTempView("gmergeamb_src3")
+    val v3 = Versioned.sql(spark,
+      s"""MERGE INTO `$root` t USING gmergeamb_src3 s ON t.k = s.k
+         |WHEN NOT MATCHED THEN INSERT (k, v) VALUES (s.k, s.nv)"""
+        .stripMargin).select("version").as[Long].head()
+    val got3 = Versioned.read(spark, root)
+    assert(got3.filter($"k" === 1L).count() === 1,
+      "insert-only merge must NEVER duplicate a matched target row")
+    assert(got3.filter($"k" === 8L).count() === 1)
+    // and it never rewrites: every pre-merge file carried by reference
+    assert(beforeFiles.subsetOf(Versioned.files(root, v3).toSet),
+      "insert-only merge must carry every file by reference")
+    // a BY SOURCE clause makes duplicate-matching sources ambiguous
+    // again — the guard must fire there too, not just for WHEN MATCHED
+    val e3 = intercept[IllegalArgumentException] {
+      Versioned.merge(spark, root,
+        Seq((1L, 1.0), (1L, 2.0)).toDF("k", "nv"), Seq("k" -> "k"),
+        notMatchedBySource = Seq(Versioned.BySourceDelete(None)))
+    }
+    assert(e3.getMessage.contains("multiple source rows"))
     val e2 = intercept[IllegalArgumentException] {
       Versioned.merge(spark, root,
         Seq((1L, 1.0)).toDF("k", "nv"), Seq("k" -> "k"),
