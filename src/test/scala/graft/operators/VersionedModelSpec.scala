@@ -9,7 +9,8 @@ import graft.SparkSpec
 /** Model-based random-walk check: a seeded random sequence of table
   * verbs (append, copy-on-write delete, deletion-vector delete,
   * overwrite, restore, compact, replaceWhere, copy-on-write UPDATE,
-  * and SQL-dispatched UPDATE/MERGE) runs against BOTH the versioned
+  * SQL-dispatched UPDATE/MERGE, the general-grammar MERGE, and COPY
+  * INTO) runs against BOTH the versioned
   * table and a trivial in-memory set model. After every published
   * version the live read must equal the model, and at the end EVERY
   * retained version must time-travel to exactly the model state
@@ -31,8 +32,8 @@ class VersionedModelSpec extends SparkSpec {
     Versioned.read(spark, root).as[RowT].collect().toSet
 
   test("25-step random verb walks match the model at head and at every " +
-      "retained version (two seeds)") {
-    for (seed <- Seq(7, 1234)) {
+      "retained version (four seeds)") {
+    for (seed <- Seq(7, 1234, 99, 2025)) {
       val rnd = new scala.util.Random(seed)
       val root = freshRoot()
       var nextId = 0L
@@ -63,9 +64,11 @@ class VersionedModelSpec extends SparkSpec {
       model = fresh(10, "seed").toSet
       record(Versioned.commit(spark, root, df(model),
         statsCols = Seq("id", "tag")))
+      val landing = root + "-landing"
+      new java.io.File(landing).mkdirs()
 
       for (step <- 1 to 25) {
-        rnd.nextInt(16) match {
+        rnd.nextInt(18) match {
           case 0 | 1 | 2 =>
             val rows = fresh(1 + rnd.nextInt(15), s"s$step")
             model = model ++ rows
@@ -179,6 +182,50 @@ class VersionedModelSpec extends SparkSpec {
             model = Set.empty
             pendingDv = false
             record(Versioned.truncate(root))
+          case 16 =>
+            // the general-grammar MERGE (round 8): conditional DELETE,
+            // column-level UPDATE, guarded INSERT and NOT MATCHED BY
+            // SOURCE in one statement — every clause family interacting
+            // with whatever state the walk built up
+            if (pendingDv) compactNow()
+            val survivors = model.toSeq.sortBy(_._1)
+            val touchedIds = rnd.shuffle(survivors)
+              .take(rnd.nextInt(4)).map(_._1)
+            val ins = fresh(1 + rnd.nextInt(3), s"g$step")
+            val src = touchedIds.map(id => (id, s"g$step")) ++ ins
+            val srcIds = src.map(_._1).toSet
+            model = model.flatMap[RowT] { case (id, tag) =>
+              if (srcIds(id)) {
+                if (id % 2 == 0) None else Some((id, s"g$step"))
+              } else if (id % 7 == 3) Some((id, s"b$step"))
+              else Some((id, tag))
+            } ++ ins.filter(_._1 % 3 != 0)
+            record(Versioned.merge(spark, root,
+              src.toSeq.toDF("id", "nv").coalesce(1), Seq("id" -> "id"),
+              matched = Seq(
+                Versioned.MatchedDelete(Some(col("t.id") % 2 === 0)),
+                Versioned.MatchedUpdate(None,
+                  Some(Seq("tag" -> col("s.nv"))))),
+              notMatched = Seq(Versioned.NotMatchedInsert(
+                Some(col("s.id") % 3 =!= 0),
+                Some(Seq("id" -> col("s.id"), "tag" -> col("s.nv"))))),
+              notMatchedBySource = Seq(Versioned.BySourceUpdate(
+                Some(col("t.id") % 7 === 3),
+                Seq("tag" -> lit(s"b$step")))),
+              statsCols = Seq("id", "tag")))
+          case 17 =>
+            // COPY INTO (round 8): a fresh batch lands as a parquet
+            // file; the copy ingests it exactly once and the immediate
+            // re-run is a version-identical no-op, whatever mapping /
+            // DV / restore state the walk is in
+            val rows = fresh(1 + rnd.nextInt(5), s"c$step")
+            df(rows).write.parquet(s"$landing/b$step.parquet")
+            model = model ++ rows
+            record(Versioned.copyInto(spark, root, landing,
+              statsCols = Seq("id", "tag")))
+            assert(Versioned.copyInto(spark, root, landing) ===
+              Versioned.latestVersion(root).get,
+              s"seed $seed: COPY INTO re-run must be a no-op")
         }
       }
 
