@@ -2,7 +2,7 @@ package graft.operators
 
 import org.apache.spark.sql.{DataFrame, GraftShims, SparkSession}
 import org.apache.spark.sql.catalyst.analysis.{UnresolvedAttribute, UnresolvedRelation, UnresolvedTable}
-import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Expression, InSubquery, ListQuery, SubqueryExpression}
+import org.apache.spark.sql.catalyst.expressions.{And, EqualTo, Exists, Expression, InSubquery, ListQuery, SubqueryExpression}
 import org.apache.spark.sql.catalyst.plans.logical._
 import org.apache.spark.sql.functions.lit
 
@@ -330,10 +330,10 @@ object VersionedSql {
       case UpdateTable(table, assignments, condition) =>
         val root = pathOf(spark, table)
         val alias = aliasOf(table)
-        val (keySet, residual) = condition
-          .map(splitKeysSubquery(spark, _, alias))
+        val (subq, residual) = condition
+          .map(splitSubqueryPredicate(spark, _, alias))
           .getOrElse((None, None))
-        keySet match {
+        subq match {
           case None =>
             val asg = assignments.map { a =>
               nameOf(a.key) -> GraftShims.column(stripAlias(a.value, alias))
@@ -343,46 +343,63 @@ object VersionedSql {
               .getOrElse(lit(true))
             result(spark, root, "update",
               Versioned.updateRows(spark, root, asg, cond, cdf = cdf))
-          case Some((k, keys)) =>
-            // UPDATE … WHERE k IN (SELECT …): the subquery frame
-            // drives merge's keys-based FILE pruning (stats-excluded
-            // files carry by reference); the residual conjuncts ride
-            // the WHEN MATCHED guard, RHS over the pre-update row
+          case Some(sp) =>
+            // UPDATE … WHERE [NOT] IN/EXISTS (SELECT …): the subquery
+            // frame drives merge's keys-based FILE pruning for the
+            // positive forms (stats-excluded files carry by
+            // reference); NOT EXISTS is merge's NOT MATCHED BY SOURCE
+            // (anti-join null semantics — inherently a full pass, the
+            // verb's own cost model). Residual conjuncts ride the
+            // clause guard; RHS see the pre-update row.
             val asg = assignments.map { a =>
               nameOf(a.key) -> GraftShims.column(qualifyT(a.value, alias))
             }
+            val guard = residual
+              .map(r => GraftShims.column(qualifyT(r, alias)))
             result(spark, root, "update",
-              Versioned.merge(spark, root, keys.distinct(),
-                Seq(k -> keys.columns.head),
-                matched = Seq(Versioned.MatchedUpdate(
-                  residual.map(r => GraftShims.column(qualifyT(r, alias))),
-                  Some(asg))),
-                cdf = cdf))
+              if (!sp.negated)
+                Versioned.merge(spark, root, sp.frame.distinct(), sp.keys,
+                  matched = Seq(Versioned.MatchedUpdate(guard, Some(asg))),
+                  cdf = cdf)
+              else
+                Versioned.merge(spark, root, sp.frame.distinct(), sp.keys,
+                  notMatchedBySource =
+                    Seq(Versioned.BySourceUpdate(guard, asg)),
+                  cdf = cdf))
         }
 
       case DeleteFromTable(table, condition) =>
         val root = pathOf(spark, table)
         val alias = aliasOf(table)
-        splitKeysSubquery(spark, condition, alias) match {
+        splitSubqueryPredicate(spark, condition, alias) match {
           case (None, _) =>
             result(spark, root, "delete",
               Versioned.delete(spark, root,
                 GraftShims.column(stripAlias(condition, alias)),
                 cdf = cdf))
           // the dbt delete+insert shape — DELETE WHERE id IN
-          // (SELECT id FROM src …) — lands on the keys-frame-pruned
-          // anti-join verb, never a full-table predicate scan
-          case (Some((k, keys)), None) =>
+          // (SELECT id FROM src …) / correlated EXISTS — lands on the
+          // keys-frame-pruned anti-join verb, never a full-table
+          // predicate scan
+          case (Some(sp), None) if !sp.negated && sp.keys.size == 1 =>
             result(spark, root, "delete",
-              Versioned.deleteKeys(spark, root, Seq(k -> keys),
-                cdf = cdf))
-          case (Some((k, keys)), Some(res)) =>
+              Versioned.deleteKeys(spark, root,
+                Seq(sp.keys.head._1 -> sp.frame), cdf = cdf))
+          case (Some(sp), res) =>
+            val guard = res.map(r => GraftShims.column(qualifyT(r, alias)))
             result(spark, root, "delete",
-              Versioned.merge(spark, root, keys.distinct(),
-                Seq(k -> keys.columns.head),
-                matched = Seq(Versioned.MatchedDelete(
-                  Some(GraftShims.column(qualifyT(res, alias))))),
-                cdf = cdf))
+              if (!sp.negated)
+                Versioned.merge(spark, root, sp.frame.distinct(), sp.keys,
+                  matched = Seq(Versioned.MatchedDelete(guard)),
+                  cdf = cdf)
+              else
+                // NOT EXISTS: delete rows NO subquery row matches —
+                // merge's NOT MATCHED BY SOURCE, exact anti-join
+                // null semantics
+                Versioned.merge(spark, root, sp.frame.distinct(), sp.keys,
+                  notMatchedBySource =
+                    Seq(Versioned.BySourceDelete(guard)),
+                  cdf = cdf))
         }
 
       case AddColumns(table, colsToAdd) =>
@@ -631,48 +648,118 @@ object VersionedSql {
         UnresolvedAttribute(ua.nameParts.tail)
     })
 
+  /** A normalized subquery conjunct from an UPDATE/DELETE predicate:
+    * equi-key pairs (target column → frame column) plus the keys
+    * frame. `negated = true` is the NOT EXISTS form (anti-join
+    * semantics → merge's NOT MATCHED BY SOURCE). */
+  private final case class SubPred(keys: Seq[(String, String)],
+      frame: DataFrame, negated: Boolean)
+
   /** Split an UPDATE/DELETE predicate into an optional single
-    * top-level `col IN (subquery)` conjunct — returned as a keys
-    * frame that drives keys-based FILE pruning — and the residual
-    * literal conjuncts. Subqueries anywhere else (under OR/NOT,
-    * EXISTS, multi-column IN, more than one IN) are rejected loudly:
-    * resolving them without pruning would hide a full-scan verb
-    * behind pruned-verb syntax. */
-  private def splitKeysSubquery(spark: SparkSession, cond: Expression,
-      alias: Option[String])
-      : (Option[(String, DataFrame)], Option[Expression]) = {
+    * top-level subquery conjunct — `col IN (SELECT …)`,
+    * `(a, b) IN (SELECT …)`, a correlated `EXISTS (…)` or
+    * `NOT EXISTS (…)` — and the residual literal conjuncts. The
+    * positive forms drive keys-based FILE pruning; subqueries
+    * anywhere else (under OR, `NOT IN` with its null footgun, more
+    * than one conjunct) are rejected loudly: resolving them without
+    * pruning would hide a full-scan verb behind pruned-verb syntax,
+    * and `NOT IN` over a nullable subquery silently matches nothing
+    * (write NOT EXISTS for the anti semantics instead). */
+  private def splitSubqueryPredicate(spark: SparkSession,
+      cond: Expression, alias: Option[String])
+      : (Option[SubPred], Option[Expression]) = {
+    import org.apache.spark.sql.catalyst.expressions.Not
     def conjuncts(e: Expression): Seq[Expression] = e match {
       case And(l, r) => conjuncts(l) ++ conjuncts(r)
       case o => Seq(o)
     }
+    def isSub(e: Expression): Boolean = e match {
+      case _: InSubquery => true
+      case _: Exists => true
+      case Not(_: Exists) => true
+      case _ => false
+    }
     val cs = conjuncts(cond)
-    val (subs, rest) = cs.partition(_.isInstanceOf[InSubquery])
+    val (subs, rest) = cs.partition(isSub)
     require(rest.forall(r => !r.exists(_.isInstanceOf[SubqueryExpression])),
       "subquery predicates are supported only as ONE top-level AND-ed " +
-        "`col IN (SELECT …)` conjunct (the keys-frame-pruned shape); " +
-        s"got: ${cond.sql}")
+        "`col IN (SELECT …)`, `EXISTS (…)` or `NOT EXISTS (…)` " +
+        "conjunct (the keys-frame shapes; for NOT IN write NOT EXISTS " +
+        s"— anti-join semantics without the null footgun); got: ${cond.sql}")
     if (subs.isEmpty) (None, Some(cond))
     else {
       require(subs.size == 1,
-        "at most one `col IN (SELECT …)` conjunct is supported — " +
-          "ANDed IN-subqueries intersect; pre-join them into one " +
-          s"subquery instead: ${cond.sql}")
-      subs.head match {
-        case InSubquery(Seq(v), lq: ListQuery) =>
-          val colName = stripAlias(v, alias) match {
+        "at most one subquery conjunct is supported — ANDed subqueries " +
+          s"intersect; pre-join them into one subquery instead: ${cond.sql}")
+      val sp = subs.head match {
+        case InSubquery(values, lq: ListQuery) =>
+          val cols = values.map(v => stripAlias(v, alias) match {
             case ua: UnresolvedAttribute => ua.nameParts.last
             case other => throw new IllegalArgumentException(
-              s"IN (subquery) left side must be a column, got ${other.sql}")
-          }
+              s"IN (subquery) left side must be columns, got ${other.sql}")
+          })
           val keys = GraftShims.ofRows(spark, lq.plan)
-          require(keys.columns.length == 1,
-            "IN (subquery) must select exactly one column, got " +
-              keys.columns.mkString(", "))
-          (Some(colName -> keys), rest.reduceOption(And.apply))
+          require(keys.columns.length == cols.size,
+            s"IN (subquery) arity mismatch: ${cols.size} left-side " +
+              s"columns vs ${keys.columns.length} selected")
+          SubPred(cols.zip(keys.columns.toSeq), keys, negated = false)
+        case e: Exists => existsPred(spark, e, alias, negated = false)
+        case Not(e: Exists) => existsPred(spark, e, alias, negated = true)
         case other => throw new IllegalArgumentException(
-          s"unsupported IN (subquery) form: ${other.sql} — the left " +
-            "side must be a single column")
+          s"unsupported subquery form: ${other.sql}")
       }
+      (Some(sp), rest.reduceOption(And.apply))
+    }
+  }
+
+  /** `EXISTS (SELECT … FROM rel WHERE t.k = s.k AND inner…)` → the
+    * alias-qualified correlation equalities become the key pairs;
+    * inner conjuncts (no target references) stay INSIDE the subquery
+    * frame, so the keys frame is already filtered when it prunes. */
+  private def existsPred(spark: SparkSession, e: Exists,
+      alias: Option[String], negated: Boolean): SubPred = {
+    def refsTarget(x: Expression): Boolean = x.exists {
+      case ua: UnresolvedAttribute => ua.nameParts.length > 1 &&
+        alias.exists(_.equalsIgnoreCase(ua.nameParts.head))
+      case _ => false
+    }
+    // the SELECT list of an EXISTS is irrelevant — peel to the filter
+    def peel(p: LogicalPlan): LogicalPlan = p match {
+      case Project(_, child) => peel(child)
+      case Distinct(child) => peel(child)
+      case other => other
+    }
+    def conjuncts(x: Expression): Seq[Expression] = x match {
+      case And(l, r) => conjuncts(l) ++ conjuncts(r)
+      case o => Seq(o)
+    }
+    peel(e.plan) match {
+      case Filter(fc, rel) =>
+        val (corr0, inner) = conjuncts(fc).partition(refsTarget)
+        require(corr0.nonEmpty,
+          "EXISTS must correlate with the target through its alias " +
+            s"(${alias.getOrElse("t")}.col = subquery.col); got: ${fc.sql}")
+        val corr = corr0.map {
+          case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+              if refsTarget(a) && !refsTarget(b) =>
+            (a.nameParts.last, b)
+          case EqualTo(a: UnresolvedAttribute, b: UnresolvedAttribute)
+              if refsTarget(b) && !refsTarget(a) =>
+            (b.nameParts.last, a)
+          case other => throw new IllegalArgumentException(
+            "EXISTS correlation must be a conjunction of target-vs-" +
+              s"subquery column equalities; got: ${other.sql}")
+        }
+        val filtered = inner.reduceOption(And.apply)
+          .map(Filter(_, rel)).getOrElse(rel)
+        val frame = GraftShims.ofRows(spark, filtered)
+          .select(corr.zipWithIndex.map { case ((_, ia), i) =>
+            GraftShims.column(ia).as(s"__k$i") }: _*)
+        SubPred(corr.zipWithIndex.map { case ((t, _), i) => t -> s"__k$i" },
+          frame, negated)
+      case other => throw new IllegalArgumentException(
+        "EXISTS subquery must be a relation filtered on a correlation " +
+          s"with the target; got: $other")
     }
   }
 

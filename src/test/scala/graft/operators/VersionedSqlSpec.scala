@@ -727,6 +727,57 @@ class VersionedSqlSpec extends SparkSpec {
     assert(e.getMessage.contains("top-level AND-ed"))
   }
 
+  test("correlated EXISTS / NOT EXISTS and multi-column IN route to " +
+      "the keys-frame verbs") {
+    val root = freshRoot("exin")
+    Versioned.commit(spark, root,
+      Seq((1L, 5, 10.0), (2L, 5, 20.0), (3L, 50, 30.0), (4L, 5, 40.0))
+        .toDF("id", "nat", "bal"), statsCols = Seq("id"))
+    Seq((1L, 1.0), (3L, 99.0), (9L, 1.0)).toDF("k", "w")
+      .createOrReplaceTempView("exin_src")
+    // EXISTS with an inner residual: only subquery rows with w > 50
+    // correlate → k=3 → exactly id 3 deletes
+    Versioned.sql(spark,
+      s"DELETE FROM `$root` t WHERE EXISTS " +
+        "(SELECT 1 FROM exin_src s WHERE s.k = t.id AND s.w > 50.0)")
+    assert(Versioned.read(spark, root).orderBy("id")
+      .select("id").as[Long].collect().toSeq === Seq(1L, 2L, 4L))
+    // NOT EXISTS + outer residual rides merge's NOT MATCHED BY
+    // SOURCE: rows with NO subquery match AND nat < 10 update; the
+    // matched row (id=1) must stay untouched
+    Versioned.sql(spark,
+      s"UPDATE `$root` t SET bal = bal + 100.0 WHERE NOT EXISTS " +
+        "(SELECT 1 FROM exin_src s WHERE s.k = t.id) AND nat < 10")
+    assert(Versioned.read(spark, root).orderBy("id")
+      .select("bal").as[Double].collect().toSeq ===
+      Seq(10.0, 120.0, 140.0))
+    // NOT EXISTS DELETE: anti-join semantics — only the matched row
+    // survives
+    Versioned.sql(spark,
+      s"DELETE FROM `$root` t WHERE NOT EXISTS " +
+        "(SELECT 1 FROM exin_src s WHERE s.k = t.id)")
+    assert(Versioned.read(spark, root).select("id").as[Long]
+      .collect().toSeq === Seq(1L))
+    // multi-column IN: composite keys through the general merge
+    val root2 = freshRoot("exin2")
+    Versioned.commit(spark, root2,
+      Seq((1L, "a", 1.0), (1L, "b", 2.0), (2L, "a", 3.0))
+        .toDF("k1", "k2", "v"), statsCols = Seq("k1"))
+    Seq((1L, "b"), (2L, "a")).toDF("k1", "k2")
+      .createOrReplaceTempView("exin_src2")
+    Versioned.sql(spark,
+      s"DELETE FROM `$root2` WHERE (k1, k2) IN " +
+        "(SELECT k1, k2 FROM exin_src2)")
+    assert(Versioned.read(spark, root2).select("v").as[Double]
+      .collect().toSeq === Seq(1.0))
+    // NOT IN keeps its loud rejection, pointing at NOT EXISTS
+    val e = intercept[IllegalArgumentException] {
+      Versioned.sql(spark,
+        s"DELETE FROM `$root2` WHERE k1 NOT IN (SELECT k1 FROM exin_src2)")
+    }
+    assert(e.getMessage.contains("NOT EXISTS"))
+  }
+
   test("CTAS IF NOT EXISTS honors a lost creation race") {
     val root = freshRoot("ctasrace")
     Seq((1L, "w")).toDF("id", "s").createOrReplaceTempView("vsql_race_src")
