@@ -51,11 +51,23 @@ import org.apache.spark.sql.functions.lit
   * }}}
   *
   * The target table is named by its PATH as one backquoted
-  * identifier. The MERGE source is any relation or subquery Spark can
-  * resolve — a temp view, `parquet.`…``, or a `graft_table(…)` TVF
-  * (registered here, so MERGE-from-time-travel works out of the box).
-  * UPDATE/DELETE predicates use bare column names (no alias
-  * qualification — the predicate evaluates against the table frame).
+  * identifier, or by a catalog-qualified NAME (`cat.ns.table`)
+  * resolving through a registered [[graft.sources.GraftCatalog]] —
+  * the row-level verbs Spark's DSv2 analyzer won't plan for a
+  * catalog work by name through this dispatcher. The MERGE grammar
+  * is the full ANSI surface (composite/renamed keys, conditional
+  * clauses, column-level SET, `WHEN NOT MATCHED BY SOURCE`) via
+  * [[Versioned.merge]], with the single-key star forms kept on the
+  * specialized pruned verbs. The MERGE source is any relation or
+  * subquery Spark can resolve — a temp view, `parquet.`…``, or a
+  * `graft_table(…)` TVF (registered here, so MERGE-from-time-travel
+  * works out of the box). UPDATE/DELETE predicates may use the
+  * declared table alias, and accept ONE top-level `col IN (SELECT…)`,
+  * `(a, b) IN (SELECT …)`, correlated `EXISTS` or `NOT EXISTS`
+  * conjunct — routed to the keys-frame-pruned verbs (NOT EXISTS to
+  * merge's by-source pass). `COPY INTO t FROM 'dir' FILEFORMAT = fmt
+  * [FORMAT_OPTIONS (…)] [COPY_OPTIONS ('force'='true')]` is the
+  * idempotent batch file ingest ([[Versioned.copyInto]]).
   *
   * Anything that is not a recognized DML command falls through to
   * plain `spark.sql` with the graft TVFs registered — one entry point
