@@ -1819,7 +1819,8 @@ object Versioned {
       notMatchedBySource: Seq[BySourceClause] = Nil,
       statsCols: Seq[String] = Nil,
       expectedVersion: Option[Long] = None,
-      cdf: Boolean = false): Long = withOccRetry(expectedVersion) {
+      cdf: Boolean = false,
+      mergeSchema: Boolean = false): Long = withOccRetry(expectedVersion) {
     import org.apache.spark.sql.functions.{col => c, count, lit, when}
     require(keys.nonEmpty, "merge needs at least one ON key pair")
     require(matched.nonEmpty || notMatched.nonEmpty ||
@@ -1835,14 +1836,36 @@ object Versioned {
       "merge-on-read state; compact to materialize it before a " +
       "copy-on-write merge (its by-reference file carry would resurrect " +
       "deleted rows)")
-    val schema = tableSchema(spark, root, Some(latest))
+    val schema0 = tableSchema(spark, root, Some(latest))
+    // schema EVOLUTION (Delta's merge autoMerge): with
+    // `mergeSchema = true`, source columns absent from the target
+    // join the table schema — star actions copy them, explicit SET
+    // may target them, existing rows null-fill (carried files align
+    // through the manifest schema like ADD COLUMNS); the drop-column
+    // tombstone gate applies exactly as it does for addColumns
+    val extra: Seq[org.apache.spark.sql.types.StructField] =
+      if (!mergeSchema) Nil
+      else source.schema.fields.toSeq.filterNot(sf =>
+        schema0.fieldNames.exists(_.equalsIgnoreCase(sf.name)))
+        .map(_.copy(nullable = true))
+    if (extra.nonEmpty) requireAddable(root, m, extra.map(_.name))
+    val schema = org.apache.spark.sql.types.StructType(
+      schema0.fields.toSeq ++ extra)
+    val extraNames = extra.map(f => lc(f.name)).toSet
     // canonicalize key / assignment target names against the declared
     // schema (case-insensitive, like every verb on this surface)
     def canon(n: String): String = schema.fields
       .find(_.name.equalsIgnoreCase(n)).map(_.name).getOrElse(
         throw new IllegalArgumentException(s"unknown target column " +
           s"'$n' — the table schema is ${schema.fieldNames.mkString(", ")}"))
-    val keyPairs = keys.map { case (tk, sk) => (canon(tk), sk) }
+    val keyPairs = keys.map { case (tk, sk) =>
+      (canon(tk), sk)
+    }
+    keyPairs.foreach { case (tk, _) =>
+      require(!extraNames(lc(tk)),
+        s"MERGE ON key '$tk' is a NEW column under schema evolution — " +
+          "keys must already exist on the target")
+    }
     val srcCols = source.columns.toSeq
     keyPairs.foreach { case (_, sk) =>
       require(srcCols.exists(_.equalsIgnoreCase(sk)),
@@ -1927,9 +1950,13 @@ object Versioned {
         notMatchedBySource.zipWithIndex.collect {
           case (_: BySourceDelete, j) => nMatched + j + 1 }
       // per-field update expression: fold the update clauses' whens
-      // over the pre-merge value (indices are mutually exclusive)
+      // over the pre-merge value (indices are mutually exclusive);
+      // an evolution-added column has no pre-merge value — NULL
       def sCol(name: String): Option[Column] =
         srcCols.find(_.equalsIgnoreCase(name)).map(n => c(s"s.$n"))
+      def tBase(f: org.apache.spark.sql.types.StructField): Column =
+        if (extraNames(lc(f.name))) lit(null).cast(f.dataType)
+        else c(s"t.${f.name}")
       def outField(f: org.apache.spark.sql.types.StructField): Column = {
         val whens: Seq[(Int, Column)] =
           matched.zipWithIndex.collect {
@@ -1946,7 +1973,7 @@ object Versioned {
               (nMatched + j + 1) ->
                 set.find(_._1.equalsIgnoreCase(f.name)).get._2
           }
-        whens.foldLeft(c(s"t.${f.name}")) { case (acc, (i, rhs)) =>
+        whens.foldLeft(tBase(f)) { case (acc, (i, rhs)) =>
           when(c("__action") === i, rhs.cast(f.dataType)).otherwise(acc)
         }.as(f.name)
       }
@@ -2004,7 +2031,7 @@ object Versioned {
               .filterNot(deleteIdx.contains)
             def tRow(j: DataFrame) =
               j.select(schema.fields.toSeq.map(f =>
-                c(s"t.${f.name}").as(f.name)): _*)
+                tBase(f).as(f.name)): _*)
             val parts =
               flagged.toSeq.flatMap { j =>
                 (if (updIdx.isEmpty) Nil else {

@@ -202,13 +202,24 @@ object VersionedSql {
           case _ => None
         })
         val keys = equiKeys(m.mergeCondition, tAlias, sAlias)
+        // schema evolution (Delta's autoMerge conf): when enabled AND
+        // the source carries columns the target lacks, route around
+        // the schema-ENFORCING fast paths to the general merge, which
+        // evolves the table (star actions copy the new columns)
+        val autoMerge = spark.conf
+          .getOption("spark.graft.merge.autoMerge").exists(_.toBoolean)
+        lazy val evolving = autoMerge && {
+          val ts = Versioned.tableSchema(spark, root, None)
+          source.schema.fieldNames.exists(n =>
+            !ts.fieldNames.exists(_.equalsIgnoreCase(n)))
+        }
         (m.matchedActions, m.notMatchedActions,
           m.notMatchedBySourceActions, keys) match {
           // fast paths — single same-named key, star actions, no
           // conditions: these map onto the specialized pruned verbs
           // (identical results; fewer joins than the general planner)
           case (Seq(UpdateStarAction(None)), Seq(InsertStarAction(None)),
-              Seq(), Seq((tk, sk))) if tk == sk =>
+              Seq(), Seq((tk, sk))) if tk == sk && !evolving =>
             result(spark, root, "merge",
               Versioned.mergeUpsert(spark, root, source, tk, cdf = cdf))
           // keyed purge: delete every target row matching a source key
@@ -221,7 +232,7 @@ object VersionedSql {
           // the existence probe reads ONLY the files the source keys
           // can touch (keys-frame pruning), never the table
           case (Seq(), Seq(InsertStarAction(None)), Seq(), Seq((tk, sk)))
-              if tk == sk =>
+              if tk == sk && !evolving =>
             val latest = Versioned.latestVersion(root).getOrElse(
               throw new IllegalArgumentException(
                 s"no versions at $root to merge into"))
@@ -264,7 +275,8 @@ object VersionedSql {
             }
             result(spark, root, "merge",
               Versioned.merge(spark, root, source, keys,
-                matched, notMatched, bySource, cdf = cdf))
+                matched, notMatched, bySource, cdf = cdf,
+                mergeSchema = autoMerge))
         }
 
       case ins: InsertIntoStatement =>

@@ -664,6 +664,35 @@ class VersionedSqlSpec extends SparkSpec {
       "update_postimage" -> 1L, "delete" -> 1L))
   }
 
+  test("MERGE schema evolution under autoMerge: new source columns " +
+      "land; default stays schema-enforcing") {
+    val root = freshRoot("gmevo")
+    Versioned.commit(spark, root, Seq((1L, "a"), (2L, "b")).toDF("id", "tag"),
+      statsCols = Seq("id"))
+    Seq((2L, "B", 0.5), (3L, "c", 0.9)).toDF("id", "tag", "score")
+      .createOrReplaceTempView("gmevo_src")
+    val upsert =
+      s"""MERGE INTO `$root` t USING gmevo_src s ON t.id = s.id
+         |WHEN MATCHED THEN UPDATE SET *
+         |WHEN NOT MATCHED THEN INSERT *""".stripMargin
+    // enforcement by default: a new source column is rejected loudly
+    intercept[Exception] { Versioned.sql(spark, upsert) }
+    spark.conf.set("spark.graft.merge.autoMerge", "true")
+    try {
+      Versioned.sql(spark, upsert)
+      val got = Versioned.read(spark, root).orderBy("id")
+        .as[(Long, String, Option[Double])].collect().toSeq
+      assert(got === Seq((1L, "a", None), (2L, "B", Some(0.5)),
+        (3L, "c", Some(0.9))),
+        "matched rows take the new column, untouched rows null-fill")
+      // the evolution is a real schema change: plain appends may now
+      // carry the column
+      Versioned.commit(spark, root,
+        Seq((4L, "d", 1.5)).toDF("id", "tag", "score"))
+      assert(Versioned.read(spark, root).count() === 4)
+    } finally spark.conf.unset("spark.graft.merge.autoMerge")
+  }
+
   test("general MERGE that provably touches nothing is a no-op version") {
     val root = freshRoot("gmnoop")
     Versioned.commit(spark, root, Seq((1L, 1.0)).toDF("k", "v"),
