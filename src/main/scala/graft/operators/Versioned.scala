@@ -403,13 +403,20 @@ object Versioned {
       statsCols: Seq[String] = Nil,
       mergeSchema: Boolean = false,
       force: Boolean = false): Long = {
+    // Option-guarded: listFiles() returns null for an unreadable
+    // subdirectory (permissions, TOCTOU delete) — skip it rather than
+    // NPE mid-listing. Identity caveat (the Delta contract, documented):
+    // (path, length, mtime) misses an in-place rewrite that preserves
+    // length within the filesystem's mtime granularity (1 s on many) —
+    // ingest pipelines should write new file names, or pass force.
     def walk(d: File): Seq[File] =
-      d.listFiles().toSeq.sortBy(_.getName).flatMap {
-        case f if f.getName.startsWith("_") ||
-            f.getName.startsWith(".") => Nil
-        case f if f.isDirectory => walk(f)
-        case f => Seq(f)
-      }
+      Option(d.listFiles()).getOrElse(Array.empty[File])
+        .toSeq.sortBy(_.getName).flatMap {
+          case f if f.getName.startsWith("_") ||
+              f.getName.startsWith(".") => Nil
+          case f if f.isDirectory => walk(f)
+          case f => Seq(f)
+        }
     val srcDir = new File(sourceDir)
     require(srcDir.isDirectory,
       s"COPY INTO source is not a directory: $sourceDir")
@@ -1873,16 +1880,28 @@ object Versioned {
           srcCols.mkString(", "))
     }
     // every SET / INSERT target must be a declared column — a typo'd
-    // assignment silently keeping the old value would be a data bug
+    // assignment silently keeping the old value would be a data bug —
+    // and no clause may assign one column twice (Delta errors; silently
+    // taking the first would be order-dependent data corruption),
+    // mirroring the updateRows guard
+    def checkTargets(set: Seq[(String, Column)], clause: String): Unit = {
+      val names = set.map(a => lc(canon(a._1)))
+      require(names.distinct.size == names.size,
+        s"duplicate $clause assignment targets (case-insensitive): " +
+          names.diff(names.distinct).distinct.mkString(", "))
+    }
     matched.foreach {
-      case MatchedUpdate(_, Some(set)) => set.foreach(a => canon(a._1))
+      case MatchedUpdate(_, Some(set)) =>
+        checkTargets(set, "MERGE UPDATE SET")
       case _ => ()
     }
     notMatchedBySource.foreach {
-      case BySourceUpdate(_, set) => set.foreach(a => canon(a._1))
+      case BySourceUpdate(_, set) =>
+        checkTargets(set, "MERGE NOT MATCHED BY SOURCE SET")
       case _ => ()
     }
-    notMatched.foreach(_.values.foreach(_.foreach(a => canon(a._1))))
+    notMatched.foreach(_.values.foreach(
+      checkTargets(_, "MERGE INSERT")))
     // NOT MATCHED BY SOURCE can touch any target row — no file can be
     // proven unaffected, so the prune degenerates to a full rewrite
     // (the verb's inherent cost model); otherwise files whose stats
@@ -3717,7 +3736,15 @@ object Versioned {
         }
       }
     }
-    drop.foreach(v => Files.deleteIfExists(manifestFile(root, v).toPath))
+    drop.foreach { v =>
+      val mf = manifestFile(root, v)
+      // evict the dropped manifest's cached drop-version file set (the
+      // segmentCache.remove analog): without this, long-lived sessions
+      // over many vacuumed tables accumulate dead entries forever
+      val dead = mf.getAbsolutePath
+      dropFilesCache.keySet.removeIf(_._1 == dead)
+      Files.deleteIfExists(mf.toPath)
+    }
     // COPY INTO ledgers: keep any a retained manifest references (the
     // head always references the CURRENT one via prop inheritance);
     // orphans from crashed attempts and ledgers referenced only by

@@ -127,10 +127,22 @@ object VersionedSql {
   }
 
   /** A matched [[Ref]] token → table root: strip backquotes for the
-    * path form; resolve `cat.ns.t` through the registered catalog. */
+    * path form; resolve `cat.ns.t` through the registered catalog. A
+    * BARE single-part name is rejected (the documented contract:
+    * paths must be backquoted) — treating `VACUUM mytable` as the
+    * relative path ./mytable would let a typo'd statement operate on
+    * an unintended directory. */
   private def refRoot(spark: SparkSession, ref: String): String =
     if (ref.startsWith("`")) ref.stripPrefix("`").stripSuffix("`")
-    else ident(spark, ref.split('.').toSeq)
+    else {
+      val parts = ref.split('.').toSeq
+      require(parts.size > 1,
+        s"'$ref' is neither a backquoted path nor a catalog name — " +
+          "name the table by its filesystem path as one backquoted " +
+          s"identifier (e.g. `$ref`) or by a registered catalog name " +
+          s"(e.g. graft.ns.$ref)")
+      ident(spark, parts)
+    }
 
   def apply(spark: SparkSession, stmt: String,
       cdf: Boolean = false): DataFrame = {

@@ -175,6 +175,10 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
       changes: TableChange*): Table = {
     val root = rootOf(ident)
     if (!tableExists(ident)) throw new NoSuchTableException(ident)
+    // Validate EVERY change before committing ANY: a multi-change
+    // statement must not half-apply on a late validation failure
+    // (`ADD COLUMNS (a INT, b NOT NULL)` rejecting b after a already
+    // published would leave the statement torn).
     changes.foreach {
       case a: TableChange.AddColumn =>
         require(a.fieldNames.length == 1,
@@ -188,29 +192,40 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
           s"column '${a.fieldNames.head}' declared NOT NULL — an " +
             "added column must be nullable: existing rows have no " +
             "value to give it")
-        Versioned.addColumns(spark, root, Seq(
-          org.apache.spark.sql.types.StructField(
-            a.fieldNames.head, a.dataType, nullable = true)))
-      case r: TableChange.RenameColumn =>
-        require(r.fieldNames.length == 1,
-          s"nested column paths are not supported: " +
-            r.fieldNames.mkString("."))
-        Versioned.renameColumn(spark, root, r.fieldNames.head, r.newName)
-      case d: TableChange.DeleteColumn =>
-        require(d.fieldNames.length == 1,
-          s"nested column paths are not supported: " +
-            d.fieldNames.mkString("."))
-        Versioned.dropColumns(spark, root, Seq(d.fieldNames.head))
-      case u: TableChange.UpdateColumnType =>
-        require(u.fieldNames.length == 1,
-          s"nested column paths are not supported: " +
-            u.fieldNames.mkString("."))
-        Versioned.widenColumn(spark, root, u.fieldNames.head,
-          u.newDataType)
+      case c @ (_: TableChange.RenameColumn | _: TableChange.DeleteColumn |
+          _: TableChange.UpdateColumnType) =>
+        val names = c match {
+          case r: TableChange.RenameColumn => r.fieldNames
+          case d: TableChange.DeleteColumn => d.fieldNames
+          case u: TableChange.UpdateColumnType => u.fieldNames
+        }
+        require(names.length == 1,
+          s"nested column paths are not supported: ${names.mkString(".")}")
       case other => throw new UnsupportedOperationException(
         s"unsupported ALTER TABLE change: $other — supported: ADD " +
           "COLUMNS, RENAME COLUMN, DROP COLUMN, ALTER COLUMN TYPE " +
           "(lossless widening)")
+    }
+    // All AddColumns in the statement land as ONE manifest commit —
+    // `ADD COLUMNS (a INT, b INT)` is atomic (the tombstone gate sees
+    // the whole set at once). Mixed-kind statements apply in order;
+    // each kind is itself one atomic commit.
+    val adds = changes.collect { case a: TableChange.AddColumn =>
+      org.apache.spark.sql.types.StructField(
+        a.fieldNames.head, a.dataType, nullable = true)
+    }
+    if (adds.nonEmpty) Versioned.addColumns(spark, root, adds.toSeq)
+    changes.foreach {
+      case _: TableChange.AddColumn => () // batched above
+      case r: TableChange.RenameColumn =>
+        Versioned.renameColumn(spark, root, r.fieldNames.head, r.newName)
+      case d: TableChange.DeleteColumn =>
+        Versioned.dropColumns(spark, root, Seq(d.fieldNames.head))
+      case u: TableChange.UpdateColumnType =>
+        Versioned.widenColumn(spark, root, u.fieldNames.head,
+          u.newDataType)
+      case other => throw new UnsupportedOperationException(
+        s"unreachable: $other")
     }
     loadTable(ident)
   }

@@ -845,4 +845,44 @@ class VersionedSqlSpec extends SparkSpec {
         s"CREATE TABLE `$root2` AS SELECT * FROM vsql_race_src")
     } finally Versioned.coordinator = prev
   }
+
+  test("MERGE rejects duplicate assignment targets within one clause") {
+    val root = freshRoot("dupset")
+    Versioned.commit(spark, root,
+      (1 to 5).map(i => (i.toLong, s"p$i")).toDF("id", "payload"),
+      statsCols = Seq("id"))
+    Seq((1L, "x")).toDF("id", "payload")
+      .createOrReplaceTempView("vsql_dup_src")
+    // duplicate SET targets (case-insensitive) must error like Delta,
+    // never silently resolve to one of the two values
+    val e = intercept[IllegalArgumentException] {
+      Versioned.sql(spark,
+        s"MERGE INTO `$root` t USING vsql_dup_src s ON t.id = s.id " +
+          "WHEN MATCHED THEN UPDATE SET payload = 'a', PAYLOAD = 'b'")
+    }
+    assert(e.getMessage.toLowerCase.contains("duplicate"))
+    // the direct API mirrors the guard
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.merge(spark, root, Seq((1L, "x")).toDF("id", "payload"),
+        keys = Seq("id" -> "id"),
+        matched = Seq(Versioned.MatchedUpdate(None,
+          Some(Seq("payload" -> lit("a"), "payload" -> lit("b"))))))
+    }
+    assert(e2.getMessage.toLowerCase.contains("duplicate"))
+    // nothing published
+    assert(Versioned.latestVersion(root) === Some(1L))
+  }
+
+  test("maintenance verbs reject a bare single-part table reference") {
+    // `VACUUM mytable` must not silently operate on ./mytable — the
+    // contract requires a backquoted path or a catalog name
+    val e = intercept[IllegalArgumentException] {
+      Versioned.sql(spark, "VACUUM mytable RETAIN 5 VERSIONS")
+    }
+    assert(e.getMessage.contains("backquoted"))
+    val e2 = intercept[IllegalArgumentException] {
+      Versioned.sql(spark, "OPTIMIZE mytable")
+    }
+    assert(e2.getMessage.contains("backquoted"))
+  }
 }

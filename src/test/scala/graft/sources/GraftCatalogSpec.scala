@@ -174,6 +174,27 @@ class GraftCatalogSpec extends SparkSpec {
     assert(e.getMessage.contains("not a registered graft catalog"))
   }
 
+  test("multi-column ADD COLUMNS is ONE atomic commit; a statement " +
+      "with an invalid change publishes nothing") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graftc.atomic")
+    sql("CREATE TABLE graftc.atomic.t (id INT)")
+    sql("INSERT INTO graftc.atomic.t VALUES (1)")
+    val root = s"$warehouse/atomic/t"
+    val before = Versioned.latestVersion(root).get
+    sql("ALTER TABLE graftc.atomic.t ADD COLUMNS (a INT, b DOUBLE)")
+    assert(Versioned.latestVersion(root) === Some(before + 1),
+      "two added columns must publish as ONE manifest commit")
+    assert(sql("SELECT * FROM graftc.atomic.t").columns.toSeq ===
+      Seq("id", "a", "b"))
+    // a statement whose SECOND column is invalid must not half-apply
+    intercept[Exception] {
+      sql("ALTER TABLE graftc.atomic.t ADD COLUMNS (c INT, d INT NOT NULL)")
+    }
+    assert(sql("SELECT * FROM graftc.atomic.t").columns.toSeq ===
+      Seq("id", "a", "b"), "failed ALTER must leave the schema untouched")
+    assert(Versioned.latestVersion(root) === Some(before + 1))
+  }
+
   test("a second CREATE fails; IF NOT EXISTS is a no-op; bad idents " +
       "are rejected") {
     sql("CREATE NAMESPACE IF NOT EXISTS graftc.guard")
