@@ -320,10 +320,31 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 }
 
 /** One catalog-addressed versioned table, pinned to `versionAsOf`
-  * (time travel) or floating at latest. */
+  * (time travel) or floating at latest.
+  *
+  * STREAMING speaks the catalog name through Spark's own V1-fallback
+  * contract ([[org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback]],
+  * the trait Delta's table rides for exactly this): `v1Table` names the
+  * [[VersionedSource]] provider at this root, so
+  *
+  *  - `spark.readStream.table("graft.ns.t")` resolves to the versioned
+  *    CHANGE-FEED source (manifest versions as offsets, exactly-once
+  *    restart) — the analyzer takes the fallback automatically, and
+  *    reader options (`startingVersion`, `maxVersionsPerTrigger`) pass
+  *    through;
+  *  - `df.writeStream.format("graft-versioned").toTable("graft.ns.t")`
+  *    lands each micro-batch as one atomic manifest commit with the
+  *    in-manifest (appId, batchId) replay guard. The explicit format is
+  *    Spark's own `writeToV1Table` contract (the writer's source must
+  *    match the table's provider — same as Delta).
+  *
+  * This is the reference's bronze shape — a streaming write addressed
+  * by table name (`pipelines/02-kafka-spark-iceberg/spark/jobs/
+  * bronze_ingest.py:173-183`, `writeStream…toTable`). */
 final class GraftTable(spark: SparkSession, fullName: String,
     root: String, versionAsOf: Option[Long])
-    extends Table with SupportsRead with SupportsWrite {
+    extends Table with SupportsRead with SupportsWrite
+    with org.apache.spark.sql.GraftV1FallbackTable {
 
   // pin ONCE at load: the scan's file set and the reported schema must
   // come from the same manifest or a concurrent commit could tear them
@@ -345,6 +366,26 @@ final class GraftTable(spark: SparkSession, fullName: String,
       TableCatalog.PROP_PROVIDER -> VersionedSource.Name).asJava
 
   override def version(): String = pinned.toString
+
+  /** The V1 face of this table for Spark's streaming fallback: the
+    * [[VersionedSource]] provider at this root. The analyzer turns it
+    * into `StreamingRelation(DataSource("graft-versioned", path=root))`
+    * for `readStream.table`, and `DataStreamWriter.toTable` routes a
+    * streaming write through the provider's exactly-once V1 sink. */
+  override def v1Table: org.apache.spark.sql.catalyst.catalog.CatalogTable = {
+    import org.apache.spark.sql.catalyst.catalog._
+    val parts = fullName.split('.').toSeq
+    CatalogTable(
+      identifier = org.apache.spark.sql.catalyst.TableIdentifier(
+        parts.last,
+        if (parts.size >= 2) Some(parts(parts.size - 2)) else None,
+        parts.headOption.filter(_ => parts.size >= 3)),
+      tableType = CatalogTableType.EXTERNAL,
+      storage = CatalogStorageFormat.empty.copy(
+        locationUri = Some(new File(root).getAbsoluteFile.toURI)),
+      schema = schema,
+      provider = Some(VersionedSource.Name))
+  }
 
   // no OVERWRITE_DYNAMIC: Spark has no V1 write bridge for the
   // dynamic-overwrite exec, so that mode would need a from-scratch

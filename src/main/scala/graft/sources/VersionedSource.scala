@@ -167,9 +167,17 @@ object VersionedSource {
   private def normalize(parameters: Map[String, String]): Map[String, String] =
     parameters.map { case (k, v) => k.toLowerCase(java.util.Locale.ROOT) -> v }
 
-  private def path(opts: Map[String, String]): String =
-    opts.getOrElse("path", throw new IllegalArgumentException(
+  private def path(opts: Map[String, String]): String = {
+    val raw = opts.getOrElse("path", throw new IllegalArgumentException(
       s"""$Name needs .option("path", <table root>)"""))
+    // the catalog's V1 streaming fallback hands the table LOCATION as a
+    // `file:` URI string (`new Path(v1Table.location).toString`) — the
+    // engine addresses local roots as plain paths, so unwrap it
+    if (raw.startsWith("file:"))
+      try new java.io.File(new java.net.URI(raw)).getPath
+      catch { case _: Exception => raw.stripPrefix("file:") }
+    else raw
+  }
 
   /** Stream schema = the table's schema at `version` (latest when
     * `None`) + the CDC envelope. */

@@ -8,6 +8,14 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * as user-facing Columns. The pre-4.0 `new Column(expr)` constructor is
   * gone; this is the one sanctioned hop into the classic API.
   */
+/** Public face of Spark's `private[sql]` V1-streaming-fallback table
+  * trait (`V2TableWithV1Fallback` — what Delta's table extends so
+  * `readStream.table` / `writeStream.toTable` route through a V1
+  * streaming source/sink): a DSv2 table extending this and providing
+  * `v1Table` gets the analyzer's fallback resolution verbatim. */
+trait GraftV1FallbackTable
+  extends org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback
+
 object GraftShims {
   def column(e: Expression): Column = ExpressionUtils.column(e)
   def expression(c: Column): Expression = ExpressionUtils.expression(c)
