@@ -71,7 +71,7 @@ object Versioned {
   final class VersionConflictException(msg: String)
     extends RuntimeException(msg)
 
-  private case class FileEntry(
+  private[graft] case class FileEntry(
       path: String, // relative to table root
       rows: Long,
       bytes: Long,
@@ -89,7 +89,8 @@ object Versioned {
       // have NO min/max. Absent = no null pruning, always safe.
       nulls: Map[String, Long] = Map.empty)
 
-  private case class BloomStat(bits: Int, hashes: Int, words: IndexedSeq[Long])
+  private[graft] case class BloomStat(bits: Int, hashes: Int,
+    words: IndexedSeq[Long])
 
   private case class Manifest(
       version: Long,
@@ -493,9 +494,13 @@ object Versioned {
     *    schema simply becomes the table schema.
     */
   private def evolvedSchema(root: String, df: DataFrame, mode: String,
+      mergeSchema: Boolean): String =
+    evolvedSchemaOf(root, df.schema, mode, mergeSchema)
+
+  private def evolvedSchemaOf(root: String,
+      incoming: org.apache.spark.sql.types.StructType, mode: String,
       mergeSchema: Boolean): String = {
     import org.apache.spark.sql.types.StructType
-    val incoming = df.schema
     if (mode == "overwrite") return incoming.json
     val currentJson = latestVersion(root)
       .flatMap(v => readManifest(root, v).schemaJson)
@@ -776,6 +781,154 @@ object Versioned {
       }
     }
     false // unreachable
+  }
+
+  // -------------------------------------- executor-staged publishes
+  //
+  // The DSv2 write path (graft.sources.GraftWriteCore): EXECUTOR tasks
+  // write the parquet files and compute their manifest entries; the
+  // driver publishes METADATA ONLY — the Iceberg/Delta streaming-write
+  // architecture, where commit cost is O(files written), never a
+  // second pass over the data. The staged batch was written under the
+  // table properties read at PLAN time (`planned`); a concurrent
+  // commit that changed layout, constraints, or column mapping
+  // invalidates the staged files (they were written under the OLD
+  // rules), so the publish fails loudly — Delta's concurrent-
+  // metadata-change abort; a stream restart (or statement retry)
+  // re-plans against the winner's snapshot.
+
+  /** Plan-time table properties an executor-staged write depends on. */
+  private[graft] case class PlannedTableMeta(
+      partitionBy: Seq[String],
+      constraints: Map[String, String],
+      physNames: Map[String, String])
+
+  private[graft] def plannedMeta(root: String): PlannedTableMeta =
+    latestVersion(root).map(readManifest(root, _)) match {
+      case Some(m) => PlannedTableMeta(m.partitionBy, m.constraints,
+        m.physNames)
+      case None => PlannedTableMeta(Nil, Map.empty, Map.empty)
+    }
+
+  private def checkPlanned(root: String, parentM: Option[Manifest],
+      planned: PlannedTableMeta): Unit = {
+    val now = PlannedTableMeta(
+      parentM.map(_.partitionBy).getOrElse(Nil),
+      parentM.map(_.constraints).getOrElse(Map.empty),
+      parentM.map(_.physNames).getOrElse(Map.empty))
+    if (now != planned) throw new VersionConflictException(
+      s"table at $root changed layout/constraints/column-mapping since " +
+        "this write was planned — the staged files were written under " +
+        "the old rules and cannot publish; re-run the write (a stream " +
+        "restart re-plans automatically)")
+  }
+
+  /** Staged files in a partitioned table must each provably hold ONE
+    * partition tuple (the writeBatch invariant, enforced for the
+    * executor path too so every later reader can prune by tuple). */
+  private def requireSingleTuple(entries: Seq[FileEntry],
+      physPart: Seq[String]): Unit =
+    entries.foreach { e =>
+      physPart.foreach { pc =>
+        require(e.stats.get(pc).exists(s => s._2 == s._3),
+          s"partition column $pc has no single-valued footer stats in " +
+            s"${e.path} — partition columns must be non-null and of a " +
+            "stats-supported type")
+      }
+    }
+
+  /** The executor-staged analog of [[commitIfNew]]: publish
+    * already-written entries as one micro-batch commit with the
+    * in-manifest (appId, batchId) replay guard. Returns true if
+    * published, false on a recognized replay (the staged files then
+    * stay orphaned and age out via [[vacuum]], same economics as a
+    * lost OCC race). */
+  private[graft] def publishStagedIfNew(root: String,
+      entries: Seq[FileEntry],
+      incoming: org.apache.spark.sql.types.StructType,
+      appId: String, batchId: Long, mode: String,
+      mergeSchema: Boolean, planned: PlannedTableMeta): Boolean = {
+    require(mode == "append" || mode == "overwrite",
+      s"unknown commit mode: $mode")
+    while (true) {
+      if (lastCommittedBatch(root, appId).exists(_ >= batchId))
+        return false
+      val parent = latestVersion(root)
+      val parentM = parent.map(readManifest(root, _))
+      checkPlanned(root, parentM, planned)
+      val schema = evolvedSchemaOf(root, incoming, mode, mergeSchema)
+      val partCols =
+        if (mode == "overwrite") Seq.empty[String] else planned.partitionBy
+      requireSingleTuple(entries,
+        partCols.map(n => planned.physNames.getOrElse(n, n)))
+      val base =
+        if (mode == "append") currentFiles(root, parent) else Seq.empty
+      try {
+        publishEntries(root, base ++ entries, parent.getOrElse(0L), mode,
+          Some((appId, batchId)), schema,
+          mor = carriedMor(root, parent, mode),
+          partitionBy = Some(partCols),
+          dvs = carriedDvs(root, parent, mode),
+          dropped = if (mode == "overwrite") Some(Map.empty) else None,
+          physNames =
+            if (mode == "overwrite") Some(Map.empty) else None)
+        return true
+      } catch {
+        case _: VersionConflictException => // table moved: re-check guard
+      }
+    }
+    false // unreachable
+  }
+
+  /** The executor-staged analog of [[overwritePartitions]] (Spark's
+    * dynamic partition overwrite through the DSv2 catalog): replace
+    * exactly the partition tuples present in `entries`, carry every
+    * other live file by reference. An unpartitioned table degenerates
+    * to a full overwrite — Spark's own dynamic-mode semantics. */
+  private[graft] def publishStagedDynamicOverwrite(root: String,
+      entries: Seq[FileEntry],
+      incoming: org.apache.spark.sql.types.StructType,
+      planned: PlannedTableMeta): Long = withOccRetry(None) {
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(
+        s"no versions at $root to overwrite into"))
+    val m = readManifest(root, latest)
+    checkPlanned(root, Some(m), planned)
+    if (m.partitionBy.isEmpty)
+      // dynamic overwrite of an unpartitioned table = full overwrite
+      publishEntries(root, entries, latest, "overwrite",
+        schemaJson = evolvedSchemaOf(root, incoming, "overwrite",
+          mergeSchema = false),
+        partitionBy = Some(Nil), dropped = Some(Map.empty),
+        physNames = Some(Map.empty))
+    else {
+      require(m.mor.isEmpty && m.dvs.isEmpty, s"table at $root has " +
+        "pending merge-on-read state; compact to materialize it before " +
+        "a partition overwrite (its by-reference file carry would " +
+        "resurrect deleted rows)")
+      val schema = evolvedSchemaOf(root, incoming, "append",
+        mergeSchema = false)
+      val physPart = m.partitionBy.map(n => m.physNames.getOrElse(n, n))
+      requireSingleTuple(entries, physPart)
+      if (entries.isEmpty) latest // empty frame: nothing to replace
+      else {
+        val newTuples = entries.flatMap(partitionTuple(_, physPart)).toSet
+        val (replaced, carried) = m.files.partition(f =>
+          partitionTuple(f, physPart) match {
+            case Some(t) => newTuples.contains(t)
+            case None => true
+          })
+        val mixed = replaced.filter(f =>
+          partitionTuple(f, physPart).isEmpty)
+        require(mixed.isEmpty, s"table at $root has ${mixed.size} " +
+          "file(s) without single-tuple partition stats — run OPTIMIZE " +
+          "to restore the per-file partition invariant before a dynamic " +
+          "partition overwrite")
+        publishEntries(root, carried ++ entries, latest,
+          "overwrite-partitions", schemaJson = schema,
+          partitionBy = Some(m.partitionBy))
+      }
+    }
   }
 
   /** Highest batchId any retained manifest carries for `appId` —
@@ -4008,8 +4161,16 @@ object Versioned {
     * size from the footer, plus min/max for each requested stats column
     * (metadata-only read — the data pages are never touched). */
   private def fileEntry(spark: SparkSession, root: String, f: File,
-      statsCols: Seq[String]): FileEntry = {
-    val conf = spark.sessionState.newHadoopConf()
+      statsCols: Seq[String]): FileEntry =
+    fileEntryWithConf(root, f, statsCols, spark.sessionState.newHadoopConf())
+
+  /** Footer-stats extraction with an explicit Hadoop conf — callable
+    * from EXECUTOR tasks (the DSv2 write path computes each staged
+    * file's manifest entry in the task that wrote it; the driver then
+    * publishes metadata only). */
+  private[graft] def fileEntryWithConf(root: String, f: File,
+      statsCols: Seq[String],
+      conf: org.apache.hadoop.conf.Configuration): FileEntry = {
     val reader = org.apache.parquet.hadoop.ParquetFileReader.open(
       org.apache.parquet.hadoop.util.HadoopInputFile.fromPath(
         new org.apache.hadoop.fs.Path(f.getPath), conf))

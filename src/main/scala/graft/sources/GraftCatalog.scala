@@ -11,7 +11,7 @@ import org.apache.spark.sql.catalyst.analysis.{NamespaceAlreadyExistsException, 
 import org.apache.spark.sql.connector.catalog._
 import org.apache.spark.sql.connector.expressions.{Expressions, Transform}
 import org.apache.spark.sql.connector.read.{Scan, ScanBuilder, SupportsPushDownFilters, SupportsPushDownRequiredColumns, V1Scan}
-import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsOverwrite, V1Write, Write, WriteBuilder}
+import org.apache.spark.sql.connector.write.{LogicalWriteInfo, SupportsDynamicOverwrite, SupportsOverwrite, V1Write, Write, WriteBuilder}
 import org.apache.spark.sql.functions.col
 import org.apache.spark.sql.sources.{AlwaysTrue, And, BaseRelation, Filter, InsertableRelation, TableScan}
 import org.apache.spark.sql.types.StructType
@@ -387,23 +387,22 @@ final class GraftTable(spark: SparkSession, fullName: String,
       provider = Some(VersionedSource.Name))
   }
 
-  // no OVERWRITE_DYNAMIC: Spark has no V1 write bridge for the
-  // dynamic-overwrite exec, so that mode would need a from-scratch
-  // distributed BatchWrite — partition-scoped replacement is served
-  // by OVERWRITE_BY_FILTER (INSERT OVERWRITE … PARTITION (p=…) /
-  // writeTo.overwrite(cond) → replaceWhere) and the library's
-  // Versioned.overwritePartitions
+  // batch writes ride the V1 bridge (append / truncate-overwrite /
+  // replaceWhere); STREAMING_WRITE and OVERWRITE_DYNAMIC ride the
+  // executor-staged DSv2 core (GraftWriteCore) — tasks write parquet,
+  // the driver publishes metadata only
   override def capabilities(): util.Set[TableCapability] =
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
-      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER)
+      TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.STREAMING_WRITE, TableCapability.OVERWRITE_DYNAMIC)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
     new GraftScanBuilder(spark, root, pinned, schema)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
-    new GraftWriteBuilder(spark, root)
+    new GraftWriteBuilder(spark, root, info)
 
   override def toString: String = s"GraftTable($fullName, v$pinned)"
 }
@@ -484,26 +483,36 @@ final class GraftV1Relation(override val sqlContext: SQLContext,
   override def toString: String = s"GraftV1Relation($root, v$version)"
 }
 
-/** The DSv2→V1 write bridge: INSERT INTO appends, INSERT OVERWRITE
-  * truncate-replaces (preserving the declared partition layout — the
-  * Spark/Delta contract), and INSERT OVERWRITE … PARTITION (p=…) /
-  * `writeTo.overwrite(cond)` replaces exactly the rows matching the
-  * filter ([[Versioned.replaceWhere]] — touched files only, the rest
-  * carried by reference). Every mode is one atomic CAS manifest
-  * commit with OCC retry. */
-final class GraftWriteBuilder(spark: SparkSession, root: String)
-    extends WriteBuilder with SupportsOverwrite {
+/** The write builder. Batch modes ride the DSv2→V1 bridge: INSERT
+  * INTO appends, INSERT OVERWRITE truncate-replaces (preserving the
+  * declared partition layout — the Spark/Delta contract), and INSERT
+  * OVERWRITE … PARTITION (p=…) / `writeTo.overwrite(cond)` replaces
+  * exactly the rows matching the filter ([[Versioned.replaceWhere]] —
+  * touched files only, the rest carried by reference). Streaming
+  * (`writeStream.toTable`) and dynamic partition overwrite ride the
+  * executor-staged DSv2 core instead ([[GraftWriteCore]]). Every mode
+  * is one atomic CAS manifest commit. */
+final class GraftWriteBuilder(spark: SparkSession, root: String,
+    info: LogicalWriteInfo)
+    extends WriteBuilder with SupportsOverwrite
+    with SupportsDynamicOverwrite {
 
   // None = append; Some(None) = truncate-replace; Some(Some(c)) =
   // replace rows matching c
   private var overwriteCond: Option[Option[
     org.apache.spark.sql.Column]] = None
+  private var dynamic = false
 
   override def overwrite(filters: Array[Filter]): WriteBuilder = {
     overwriteCond =
       if (filters.isEmpty || filters.forall(_.isInstanceOf[AlwaysTrue]))
         Some(None)
       else Some(Some(filters.toSeq.map(exact).reduce(_ && _)))
+    this
+  }
+
+  override def overwriteDynamicPartitions(): WriteBuilder = {
+    dynamic = true
     this
   }
 
@@ -518,20 +527,47 @@ final class GraftWriteBuilder(spark: SparkSession, root: String)
           "translatable to a table predicate"))
   }
 
-  override def build(): Write = new V1Write {
-    override def toInsertableRelation: InsertableRelation =
-      new InsertableRelation {
-        override def insert(data: DataFrame, overwrite: Boolean): Unit =
-          overwriteCond match {
-            case None =>
-              Versioned.commit(spark, root, data)
-            case Some(None) =>
-              Versioned.commit(spark, root, data, mode = "overwrite",
-                partitionBy = Versioned.partitionByOf(root))
-            case Some(Some(cond)) =>
-              Versioned.replaceWhere(spark, root, cond, data)
-          }
+  override def build(): Write =
+    if (dynamic) new Write {
+      override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
+        new GraftDynamicOverwriteWrite(spark, root, info.schema)
+      override def toString: String = s"GraftDynamicWrite($root)"
+    }
+    else new V1Write {
+      override def toInsertableRelation: InsertableRelation =
+        new InsertableRelation {
+          override def insert(data: DataFrame, overwrite: Boolean): Unit =
+            overwriteCond match {
+              case None =>
+                Versioned.commit(spark, root, data)
+              case Some(None) =>
+                Versioned.commit(spark, root, data, mode = "overwrite",
+                  partitionBy = Versioned.partitionByOf(root))
+              case Some(Some(cond)) =>
+                Versioned.replaceWhere(spark, root, cond, data)
+            }
+        }
+      // `writeStream.toTable` (bare — no format needed): Append mode
+      // appends epochs, Complete mode (truncate()) overwrites the
+      // snapshot per epoch; exactly-once via the (queryId, epochId)
+      // replay guard riding IN the manifest
+      override def toStreaming: org.apache.spark.sql.connector.write
+          .streaming.StreamingWrite = {
+        val mode = overwriteCond match {
+          case None => "append"
+          case Some(None) => "overwrite"
+          case Some(Some(_)) => throw new UnsupportedOperationException(
+            "streaming replaceWhere is not supported — use Append or " +
+              "Complete output mode")
+        }
+        def csv(k: String): Seq[String] =
+          Option(info.options.get(k))
+            .map(_.split(",").map(_.trim).toSeq.filter(_.nonEmpty))
+            .getOrElse(Nil)
+        new GraftStreamingWrite(spark, root, info.queryId, info.schema,
+          mode, csv("statscols"),
+          Option(info.options.get("mergeschema")).exists(_.toBoolean))
       }
-    override def toString: String = s"GraftV1Write($root)"
-  }
+      override def toString: String = s"GraftV1Write($root)"
+    }
 }

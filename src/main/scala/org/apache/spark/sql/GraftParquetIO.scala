@@ -1,0 +1,101 @@
+package org.apache.spark.sql
+
+import org.apache.hadoop.conf.Configuration
+import org.apache.hadoop.fs.Path
+import org.apache.parquet.hadoop.{ParquetWriter => PqWriter}
+import org.apache.parquet.hadoop.api.WriteSupport
+import org.apache.parquet.hadoop.metadata.CompressionCodecName
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BindReferences, Coalesce, Expression, Literal}
+import org.apache.spark.sql.catalyst.plans.logical.{Filter, LocalRelation}
+import org.apache.spark.sql.catalyst.types.DataTypeUtils
+import org.apache.spark.sql.execution.datasources.parquet.ParquetWriteSupport
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types.{NullType, StructType}
+import org.apache.spark.util.SerializableConfiguration
+
+/** Task-side parquet IO for the DSv2 executor-write path — the bridge
+  * into Spark's `private[sql]` parquet machinery so a connector
+  * `DataWriter` can stream `InternalRow`s straight into parquet files
+  * ON EXECUTORS (the Iceberg/Delta write architecture: tasks write
+  * data files, the driver commits only metadata). Uses Spark's OWN
+  * row→parquet encoder (`ParquetWriteSupport`, what every
+  * `df.write.parquet` goes through), so files written here are
+  * byte-compatible with driver-initiated writes — same logical types,
+  * same footer statistics.
+  */
+object GraftParquetIO {
+
+  /** Driver side: a serializable Hadoop conf prepared so executor
+    * tasks can open parquet writers for rows of `schema`. Mirrors the
+    * conf keys `ParquetFileFormat.prepareWrite` sets for the standard
+    * write path. */
+  def taskWriteConf(spark: SparkSession,
+      schema: StructType): SerializableConfiguration = {
+    val sqlc = spark.sessionState.conf
+    val conf = spark.sessionState.newHadoopConf()
+    ParquetWriteSupport.setSchema(schema, conf)
+    conf.set(SQLConf.PARQUET_WRITE_LEGACY_FORMAT.key,
+      sqlc.writeLegacyParquetFormat.toString)
+    conf.set(SQLConf.PARQUET_OUTPUT_TIMESTAMP_TYPE.key,
+      sqlc.parquetOutputTimestampType.toString)
+    conf.set(SQLConf.PARQUET_REBASE_MODE_IN_WRITE.key,
+      sqlc.getConf(SQLConf.PARQUET_REBASE_MODE_IN_WRITE).toString)
+    conf.set(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE.key,
+      sqlc.getConf(SQLConf.PARQUET_INT96_REBASE_MODE_IN_WRITE).toString)
+    // SparkToParquetSchemaConverter(conf) requires these two as well
+    conf.set(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED.key,
+      sqlc.getConf(SQLConf.PARQUET_FIELD_ID_WRITE_ENABLED).toString)
+    conf.set(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE.key,
+      sqlc.getConf(SQLConf.PARQUET_ANNOTATE_VARIANT_LOGICAL_TYPE).toString)
+    new SerializableConfiguration(conf)
+  }
+
+  /** The session's parquet codec name (e.g. "snappy") for task writers. */
+  def parquetCodec(spark: SparkSession): String =
+    spark.sessionState.conf.parquetCompressionCodec
+
+  /** Task side: an open parquet writer consuming `InternalRow`s of the
+    * schema carried in `conf` (set by [[taskWriteConf]]). */
+  def openRowWriter(conf: Configuration, path: String,
+      codec: String): PqWriter[InternalRow] =
+    new RowWriterBuilder(new Path(path))
+      .withConf(conf)
+      .withCompressionCodec(CompressionCodecName.fromConf(codec))
+      .build()
+
+  private final class RowWriterBuilder(path: Path)
+      extends PqWriter.Builder[InternalRow, RowWriterBuilder](path) {
+    override def self(): RowWriterBuilder = this
+    override def getWriteSupport(
+        conf: Configuration): WriteSupport[InternalRow] =
+      new ParquetWriteSupport()
+  }
+
+  /** Resolve a SQL CHECK predicate against `schema` and bind it for
+    * task-side interpreted evaluation (per-row constraint enforcement
+    * inside an executor `DataWriter`, where no DataFrame exists to
+    * carry the usual `assert_true` filter). Columns the write omits
+    * evaluate as NULL — SQL CHECK semantics — and a NULL verdict
+    * passes, so the bound expression is `coalesce(cond, true)`. */
+  def boundCheck(spark: SparkSession, schema: StructType,
+      conditionSql: String): Expression = {
+    val attrs = DataTypeUtils.toAttributes(schema)
+    val have = schema.fieldNames
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val parsed = spark.sessionState.sqlParser
+      .parseExpression(conditionSql).transformUp {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if !have(a.nameParts.last.toLowerCase(java.util.Locale.ROOT)) =>
+          Literal(null, NullType)
+      }
+    val analyzed = spark.sessionState.analyzer
+      .execute(Filter(parsed, LocalRelation(attrs)))
+    val resolved = analyzed.collectFirst { case f: Filter => f.condition }
+      .getOrElse(throw new IllegalStateException(
+        s"CHECK constraint '$conditionSql' did not resolve to a filter"))
+    BindReferences.bindReference(
+      Coalesce(Seq(resolved, Literal.TrueLiteral)), attrs)
+  }
+}

@@ -68,6 +68,129 @@ class CatalogStreamingSpec extends SparkSpec {
       Versioned.read(spark, batchRoot).as[(Long, String)].collect().toSet)
   }
 
+  test("BARE writeStream.toTable (no format) is the native streaming " +
+      "write: exactly-once epochs, partition splitting, stats pruning") {
+    sql("CREATE NAMESPACE IF NOT EXISTS grafts.nat")
+    sql("CREATE TABLE grafts.nat.part (id BIGINT, day STRING, v DOUBLE) " +
+      "PARTITIONED BY (day)")
+    val root = s"$warehouse/nat/part"
+    val src = tmp("graft-nat-src")
+    val ck = tmp("graft-nat-ck")
+    val rows = (1 to 20).map(i =>
+      (i.toLong, if (i <= 10) "d1" else "d2", i * 1.0))
+    rows.toDF("id", "day", "v").coalesce(2)
+      .write.mode("overwrite").parquet(src)
+    def drain(): Unit = {
+      val q = spark.readStream
+        .schema(spark.read.parquet(src).schema).parquet(src)
+        .writeStream // NO .format(...) — the native DSv2 path
+        .option("checkpointLocation", ck)
+        .option("statsCols", "id")
+        .trigger(Trigger.AvailableNow())
+        .toTable("grafts.nat.part")
+      q.processAllAvailable(); q.stop()
+    }
+    drain()
+    assert(sql("SELECT id, day, v FROM grafts.nat.part")
+      .as[(Long, String, Double)].collect().toSet === rows.toSet)
+    val nVersions = Versioned.versions(root).size
+    drain() // replayed epoch: the in-manifest guard must skip it
+    assert(Versioned.versions(root).size === nVersions)
+    assert(sql("SELECT count(*) AS n FROM grafts.nat.part")
+      .as[Long].head() === 20L)
+    // every staged file holds ONE partition tuple (min==max stats),
+    // so partition-scoped maintenance verbs work on the streamed table
+    val v = Versioned.latestVersion(root).get
+    Versioned.overwritePartitions(spark, root,
+      Seq((99L, "d2", 0.0)).toDF("id", "day", "v"))
+    val got = sql("SELECT id FROM grafts.nat.part WHERE day = 'd2'")
+      .as[Long].collect().toSet
+    assert(got === Set(99L), s"d2 must be replaced, got $got")
+    assert(sql("SELECT count(*) AS n FROM grafts.nat.part " +
+      "WHERE day = 'd1'").as[Long].head() === 10L)
+    // id-stats from the executor write prune like driver-written files
+    val pr = Versioned.readPruned(spark, root, "id", 3L, 3L)
+    assert(pr.filter($"id" === 3L).as[(Long, String, Double)]
+      .collect().toSet === Set((3L, "d1", 3.0)))
+  }
+
+  test("native streaming write enforces CHECK constraints per row " +
+      "and Complete mode overwrites per epoch") {
+    sql("CREATE NAMESPACE IF NOT EXISTS grafts.nat")
+    sql("CREATE TABLE grafts.nat.chk (id BIGINT, v DOUBLE)")
+    val root = s"$warehouse/nat/chk"
+    Versioned.addConstraint(spark, root, "v_pos", "v >= 0")
+    val src = tmp("graft-chk-src")
+    Seq((1L, 1.0), (2L, -5.0)).toDF("id", "v")
+      .write.mode("overwrite").parquet(src)
+    val q = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+      .writeStream.option("checkpointLocation", tmp("graft-chk-ck"))
+      .trigger(Trigger.AvailableNow()).toTable("grafts.nat.chk")
+    val e = intercept[Exception] { q.processAllAvailable() }
+    q.stop()
+    assert(stackMessages(e).contains("v_pos"),
+      s"the failure must name the violated constraint: ${stackMessages(e)}")
+    assert(sql("SELECT count(*) AS n FROM grafts.nat.chk")
+      .as[Long].head() === 0L, "no partial rows may publish")
+
+    // Complete mode: each epoch REPLACES the snapshot (aggregate MV)
+    sql("CREATE TABLE grafts.nat.agg (k STRING, total DOUBLE)")
+    val src2 = tmp("graft-agg-src")
+    Seq(("a", 1.0), ("b", 2.0), ("a", 3.0)).toDF("k", "v")
+      .write.mode("overwrite").parquet(src2)
+    val q2 = spark.readStream
+      .schema(spark.read.parquet(src2).schema).parquet(src2)
+      .groupBy($"k").agg(sum($"v").as("total"))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", tmp("graft-agg-ck"))
+      .trigger(Trigger.AvailableNow()).toTable("grafts.nat.agg")
+    q2.processAllAvailable(); q2.stop()
+    assert(sql("SELECT k, total FROM grafts.nat.agg")
+      .as[(String, Double)].collect().toSet ===
+      Set(("a", 4.0), ("b", 2.0)))
+  }
+
+  test("INSERT OVERWRITE under dynamic mode replaces only incoming " +
+      "partitions, carrying the rest by file identity") {
+    sql("CREATE NAMESPACE IF NOT EXISTS grafts.dyn")
+    sql("CREATE TABLE grafts.dyn.t (id BIGINT, day STRING) " +
+      "PARTITIONED BY (day)")
+    val root = s"$warehouse/dyn/t"
+    sql("INSERT INTO grafts.dyn.t VALUES (1, 'd1'), (2, 'd1'), (3, 'd2')")
+    val before = Versioned.latestVersion(root).get
+    val d1Files = Versioned.files(root, before)
+      .filter(_.nonEmpty).toSet
+    val old = spark.conf.getOption(
+      "spark.sql.sources.partitionOverwriteMode")
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try {
+      sql("INSERT OVERWRITE grafts.dyn.t VALUES (30, 'd2'), (31, 'd2')")
+    } finally old match {
+      case Some(v) =>
+        spark.conf.set("spark.sql.sources.partitionOverwriteMode", v)
+      case None =>
+        spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    }
+    assert(sql("SELECT id, day FROM grafts.dyn.t ORDER BY id")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "d1"), (2L, "d1"), (30L, "d2"), (31L, "d2")),
+      "only d2 may be replaced")
+    // the d1 file is carried BY REFERENCE: same path in both manifests
+    val after = Versioned.latestVersion(root).get
+    val carried = Versioned.files(root, before).toSet
+      .intersect(Versioned.files(root, after).toSet)
+    assert(carried.nonEmpty,
+      "the untouched partition's file must carry by path identity")
+  }
+
+  private def stackMessages(e: Throwable): String = {
+    val sb = new StringBuilder
+    var t: Throwable = e
+    while (t != null) { sb.append(t.getMessage).append(" | "); t = t.getCause }
+    sb.toString
+  }
+
   test("readStream.table follows the table and equals changesSince") {
     sql("CREATE NAMESPACE IF NOT EXISTS grafts.st")
     sql("CREATE TABLE grafts.st.feed (id BIGINT, v STRING)")
