@@ -196,42 +196,50 @@ object GraftExtensions {
     * Arguments are plan-time literals; each TVF resolves to the same
     * logical plan the library API builds (parquet scans for data,
     * local metadata relations for history/files), so pushdown and
-    * pruning apply unchanged. */
+    * pruning apply unchanged.
+    *
+    * Table references accept a PATH or a registered catalog name
+    * (`graft_table('cat.ns.t')`) — resolved through the dispatcher's
+    * own identifier→path rule, so pinned multi-table reads and
+    * MERGE-from-time-travel speak names too. */
   val tableFunctions: Seq[(FunctionIdentifier, ExpressionInfo,
       Seq[Expression] => org.apache.spark.sql.catalyst.plans.logical.LogicalPlan)] = {
     import graft.operators.Versioned
     def session = org.apache.spark.sql.SparkSession.active
     def plan(df: org.apache.spark.sql.DataFrame) =
       df.queryExecution.logical
+    // a table ref is a path OR a registered catalog name — one rule
+    def refArg(e: Expression): String =
+      graft.operators.VersionedSql.resolveRef(session, stringArg(e))
     Seq(
       (FunctionIdentifier("graft_table"),
         info("graft_table",
-          "graft_table(path[, version]) - versioned-table snapshot, " +
-            "optionally VERSION AS OF"),
+          "graft_table(pathOrName[, version]) - versioned-table " +
+            "snapshot, optionally VERSION AS OF"),
         (args: Seq[Expression]) => plan(args match {
-          case Seq(p) => Versioned.read(session, stringArg(p))
+          case Seq(p) => Versioned.read(session, refArg(p))
           case Seq(p, v) =>
-            Versioned.readVersion(session, stringArg(p), longArg(v))
+            Versioned.readVersion(session, refArg(p), longArg(v))
           case other => throw new IllegalArgumentException(
             s"graft_table takes (path[, version]), got ${other.size} args")
         })),
       (FunctionIdentifier("graft_history"),
         info("graft_history",
-          "graft_history(path) - one row per retained version"),
+          "graft_history(pathOrName) - one row per retained version"),
         (args: Seq[Expression]) =>
-          plan(Versioned.history(session, stringArg(args.head)))),
+          plan(Versioned.history(session, refArg(args.head)))),
       (FunctionIdentifier("graft_schema"),
         info("graft_schema",
-          "graft_schema(path) - one row per (retained version, column): " +
-            "the schema-evolution history, physical storage names " +
-            "included"),
+          "graft_schema(pathOrName) - one row per (retained version, " +
+            "column): the schema-evolution history, physical storage " +
+            "names included"),
         (args: Seq[Expression]) =>
-          plan(Versioned.schemaHistory(session, stringArg(args.head)))),
+          plan(Versioned.schemaHistory(session, refArg(args.head)))),
       (FunctionIdentifier("graft_files"),
         info("graft_files",
-          "graft_files(path) - the current snapshot's live files"),
+          "graft_files(pathOrName) - the current snapshot's live files"),
         (args: Seq[Expression]) => {
-          val root = stringArg(args.head)
+          val root = refArg(args.head)
           val spark = session
           import spark.implicits._
           val v = Versioned.latestVersion(root).getOrElse(
@@ -264,21 +272,21 @@ object GraftExtensions {
             "cross-table consistency under racing transactions"),
         (args: Seq[Expression]) => plan(args match {
           case Seq(c, t) => graft.operators.MultiTable.read(
-            session, stringArg(c), stringArg(t))
+            session, stringArg(c), refArg(t))
           case Seq(c, t, v) => graft.operators.MultiTable.read(
-            session, stringArg(c), stringArg(t), Some(longArg(v)))
+            session, stringArg(c), refArg(t), Some(longArg(v)))
           case other => throw new IllegalArgumentException(
             "graft_pinned takes (coordRoot, tableRoot[, coordVersion])" +
               s", got ${other.size} args")
         })),
       (FunctionIdentifier("graft_changes"),
         info("graft_changes",
-          "graft_changes(path, afterVersion[, untilVersion]) - " +
+          "graft_changes(pathOrName, afterVersion[, untilVersion]) - " +
             "append-only change feed rows"),
         (args: Seq[Expression]) => plan(args match {
           case Seq(p, a) =>
-            Versioned.changesSince(session, stringArg(p), longArg(a))
-          case Seq(p, a, u) => Versioned.changesSince(session, stringArg(p),
+            Versioned.changesSince(session, refArg(p), longArg(a))
+          case Seq(p, a, u) => Versioned.changesSince(session, refArg(p),
             longArg(a), untilVersion = Some(longArg(u)))
           case other => throw new IllegalArgumentException(
             "graft_changes takes (path, afterVersion[, untilVersion]), " +

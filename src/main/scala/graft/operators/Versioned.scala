@@ -931,6 +931,41 @@ object Versioned {
     }
   }
 
+  /** The executor-staged publish behind DSv2 row-level operations
+    * (Spark's own MERGE/UPDATE/DELETE rewrite against the catalog
+    * table): replace EXACTLY the files the operation's scan read with
+    * the staged replacement entries, carry every other live file by
+    * reference. Pinned-version CAS, unretried: the replacement rows
+    * were computed from the pinned snapshot, so a concurrent commit
+    * invalidates them — fail loudly (Delta's concurrent-modification
+    * abort; the statement is safe to re-run). */
+  private[graft] def publishStagedReplace(root: String,
+      scanned: Seq[String], entries: Seq[FileEntry],
+      incoming: org.apache.spark.sql.types.StructType,
+      expected: Long, planned: PlannedTableMeta,
+      action: String): Long = {
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    if (latest != expected) throw new VersionConflictException(
+      s"table at $root moved to version $latest during a row-level " +
+        s"operation planned against version $expected — re-run the " +
+        "statement against the current snapshot")
+    val m = readManifest(root, latest)
+    checkPlanned(root, Some(m), planned)
+    require(m.mor.isEmpty && m.dvs.isEmpty, s"table at $root has " +
+      "pending merge-on-read state; compact to materialize it before a " +
+      "copy-on-write row-level operation (its by-reference file carry " +
+      "would resurrect deleted rows)")
+    val physPart = m.partitionBy.map(n => m.physNames.getOrElse(n, n))
+    requireSingleTuple(entries, physPart)
+    val schema = evolvedSchemaOf(root, incoming, "append",
+      mergeSchema = false)
+    val scannedSet = scanned.toSet
+    val kept = m.files.filterNot(f => scannedSet(f.path))
+    publishEntries(root, kept ++ entries, latest, action,
+      schemaJson = schema, partitionBy = Some(m.partitionBy))
+  }
+
   /** Highest batchId any retained manifest carries for `appId` —
     * scanned newest-first: a given app's batchIds only grow with the
     * version (commitIfNew enforces it), so the first manifest carrying

@@ -584,6 +584,24 @@ object VersionedSql {
           "e.g. MERGE INTO `/lake/events` t …")
     }
 
+  /** String-argument table reference (the TVF surface): a filesystem
+    * path, or a registered catalog name `cat.ns.t` resolved through
+    * the same identifier→path rule the SQL dispatcher uses. Anything
+    * containing '/' is always a path; a dotted name resolves through
+    * the catalog iff its head names a registered graft catalog
+    * (otherwise it stays a path — dotted relative paths keep working). */
+  private[graft] def resolveRef(spark: SparkSession, ref: String): String =
+    if (ref.contains('/') || !ref.contains('.')) ref
+    else {
+      val parts = ref.split('.').toSeq
+      val cls =
+        try spark.conf.get(s"spark.sql.catalog.${parts.head}")
+        catch { case _: Exception => "" }
+      if (cls == classOf[graft.sources.GraftCatalog].getName)
+        ident(spark, parts)
+      else ref
+    }
+
   private def ident(spark: SparkSession, parts: Seq[String]): String = {
     // a multipart name resolves through a registered GraftCatalog —
     // the row-level verbs Spark's DSv2 analyzer won't plan for the

@@ -1722,6 +1722,64 @@ object ExtraQueries {
   private val catalogDmlDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // ---------------------------------------------------------------- x45
+  // The x44 mutation sequence through BARE spark.sql ONLY — no
+  // dispatcher anywhere: MERGE/UPDATE/DELETE plan through Spark's own
+  // analyzer rewrite over SupportsRowLevelOperations (group-based
+  // copy-on-write; the exactly-translatable DELETE takes the
+  // SupportsDelete fast path onto the file-pruned verb). DuckDB
+  // replays the whole sequence: a clause misapplied by the rewrite, a
+  // scanned-file set that doesn't match the replaced set, or a row
+  // resurrected from a stale file all break the hash.
+  val x45NativeDml: Q = Q(
+    "x45_native_dml",
+    """WITH c AS (SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal
+      |           FROM customer),
+      |m AS (SELECT c_custkey,
+      |        CASE WHEN c_custkey % 2 = 1 THEN bal + bal ELSE bal END AS bal
+      |      FROM c
+      |      WHERE NOT (c_custkey % 2 = 1 AND bal < 0.0))
+      |SELECT c_custkey,
+      |  CASE WHEN c_custkey % 10 = 3 THEN bal + 1.0 ELSE bal END AS bal
+      |FROM m
+      |WHERE c_custkey % 100 <> 7
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val cat = s"graftnat${math.abs(d.hashCode)}"
+    val wh = nativeDmlDirs.getOrElseUpdate(d, {
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-natdml-q").toString
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+      t(s, d, "customer").select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("bal"))
+        .createOrReplaceTempView("x45_src")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.r9")
+      s.sql(s"CREATE TABLE $cat.r9.cust (c_custkey BIGINT, bal DOUBLE)")
+      s.sql(s"INSERT INTO $cat.r9.cust " +
+        "SELECT c_custkey, bal FROM x45_src WHERE c_custkey % 2 = 1")
+      s.sql(
+        s"""MERGE INTO $cat.r9.cust t USING x45_src s
+          |ON t.c_custkey = s.c_custkey
+          |WHEN MATCHED AND s.bal < 0.0 THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET bal = t.bal + s.bal
+          |WHEN NOT MATCHED THEN
+          |  INSERT (c_custkey, bal) VALUES (s.c_custkey, s.bal)"""
+          .stripMargin)
+      s.sql(s"UPDATE $cat.r9.cust SET bal = bal + 1.0 " +
+        "WHERE c_custkey % 10 = 3")
+      s.sql(s"DELETE FROM $cat.r9.cust WHERE c_custkey % 100 = 7")
+      w
+    })
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"SELECT c_custkey, bal FROM $cat.r9.cust ORDER BY c_custkey")
+  }
+
+  private val nativeDmlDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   // ---------------------------------------------------------------- x30
   // Atomic predicate-scoped overwrite (Versioned.replaceWhere — Delta's
   // replaceWhere): customers land range-clustered by nation, then the
@@ -1939,5 +1997,5 @@ object ExtraQueries {
     x30ReplaceWhere, x31Ewma, x32SqlTimeTravel, x33SqlMerge, x34EwmaLong,
     x35PinnedJoin, x36SqlUpdateDelete, x37SqlSchemaEvolution,
     x38SqlRename, x39SqlWiden, x40CatalogSql, x41SqlMergeFull,
-    x42SqlDeleteIn, x43CopyInto, x44CatalogDml)
+    x42SqlDeleteIn, x43CopyInto, x44CatalogDml, x45NativeDml)
 }

@@ -230,6 +230,14 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     loadTable(ident)
   }
 
+  // DROP TABLE deletes the table directory recursively. Shallow
+  // clones of this table hold ABSOLUTE references to its data files
+  // and would dangle — the same vacuum-class hazard renameTable
+  // documents: clones are not registered anywhere (a clone is just
+  // another table whose manifest points here), so the drop cannot
+  // detect them. A dangling clone fails loudly at read time (missing
+  // file); re-clone or restore to recover. Deep-copy a clone (full
+  // overwrite) before dropping its source if it must outlive it.
   override def dropTable(ident: Identifier): Boolean = {
     val f = new File(rootOf(ident))
     if (!isTableDir(f)) false
@@ -344,7 +352,9 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 final class GraftTable(spark: SparkSession, fullName: String,
     root: String, versionAsOf: Option[Long])
     extends Table with SupportsRead with SupportsWrite
-    with org.apache.spark.sql.GraftV1FallbackTable {
+    with org.apache.spark.sql.GraftV1FallbackTable
+    with SupportsRowLevelOperations with SupportsDelete
+    with SupportsMetadataColumns {
 
   // pin ONCE at load: the scan's file set and the reported schema must
   // come from the same manifest or a concurrent commit could tear them
@@ -403,6 +413,50 @@ final class GraftTable(spark: SparkSession, fullName: String,
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(spark, root, info)
+
+  /** `_file` — the manifest-relative path of the data file a row came
+    * from. Spark's group-based row-level rewrite carries it per row so
+    * the replacement write knows file provenance (the Iceberg shape);
+    * served by the native row-level scan only (plain catalog reads
+    * ride the V1 bridge, which errors loudly if `_file` is selected). */
+  override def metadataColumns(): Array[MetadataColumn] =
+    Array(new MetadataColumn {
+      override def name(): String = "_file"
+      override def dataType(): org.apache.spark.sql.types.DataType =
+        org.apache.spark.sql.types.StringType
+      override def isNullable: Boolean = false
+      override def comment(): String =
+        "manifest-relative path of the row's data file"
+    })
+
+  /** Plain `spark.sql` MERGE/UPDATE/DELETE against the catalog name —
+    * Spark's own analyzer rewrites plan onto the group-based
+    * copy-on-write operation ([[GraftRowLevelOperation]]). */
+  override def newRowLevelOperationBuilder(
+      info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
+      : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
+    new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
+      override def build(): org.apache.spark.sql.connector.write
+          .RowLevelOperation =
+        new GraftRowLevelOperation(spark, root, pinned, info.command,
+          schema)
+    }
+
+  /** The DELETE fast path: Spark's `OptimizeMetadataOnlyDeleteFromTable`
+    * converts any DELETE whose condition translates EXACTLY into this
+    * call — routed onto [[Versioned.delete]], the manifest-stats
+    * file-pruned verb (untouched files carry by reference), instead of
+    * the group-based full rewrite. */
+  override def canDeleteWhere(filters: Array[Filter]): Boolean =
+    filters.forall(f => VersionedSource.exactColumn(f).isDefined)
+
+  override def deleteWhere(filters: Array[Filter]): Unit = {
+    val cond = filters.toSeq.flatMap(VersionedSource.exactColumn)
+      .reduceOption(_ && _)
+      .getOrElse(org.apache.spark.sql.functions.lit(true))
+    Versioned.delete(spark, root, cond, expectedVersion = Some(pinned))
+    ()
+  }
 
   override def toString: String = s"GraftTable($fullName, v$pinned)"
 }

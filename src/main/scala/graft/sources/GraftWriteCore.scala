@@ -126,6 +126,12 @@ private[graft] final class GraftTaskWriter(spec: GraftWriteCore.JobSpec,
   private var n = 0
   private lazy val hconf = spec.conf.value
 
+  // the row-level rewrite hands carried rows as (metadata, data) pairs
+  // (`DataAndMetadataWritingSparkTask`); provenance metadata (_file)
+  // is bookkeeping this copy-on-write writer doesn't need — data only
+  override def write(metadata: InternalRow, row: InternalRow): Unit =
+    write(row)
+
   override def write(row: InternalRow): Unit = {
     spec.checks.foreach { case (name, pred) =>
       if (pred.eval(row) == false) throw new IllegalArgumentException(

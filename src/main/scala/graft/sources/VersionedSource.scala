@@ -232,6 +232,19 @@ object VersionedSource {
     }
   }
 
+  /** EXACT `Filter` → `Column` translation — every node must
+    * translate, or None. Needed where the predicate defines what gets
+    * DELETED/replaced: the advisory [[toColumn]] may widen a partial
+    * `And`, which is safe for scans and catastrophic for deletes. */
+  private[sources] def exactColumn(f: Filter): Option[Column] = f match {
+    case And(l, r) =>
+      for { a <- exactColumn(l); b <- exactColumn(r) } yield a && b
+    case Or(l, r) =>
+      for { a <- exactColumn(l); b <- exactColumn(r) } yield a || b
+    case Not(c) => exactColumn(c).map(!_)
+    case leaf => toColumn(leaf)
+  }
+
   /** Source `Filter` → `Column`, where expressible — re-applied inside
     * the scan so parquet row-group pruning sees the predicates too.
     * A partially-translatable `And` keeps the translatable side (still

@@ -73,6 +73,52 @@ object GraftParquetIO {
       new ParquetWriteSupport()
   }
 
+  /** Driver side: a serializable Hadoop conf prepared so executor
+    * tasks can open parquet ROW readers projecting `requested` (the
+    * physical-name projection of the required columns — files written
+    * under column mapping store physical names; positions stay the
+    * logical order). Mirrors the conf keys
+    * `ParquetFileFormat.buildReaderWithPartitionValues` sets. */
+  def taskReadConf(spark: SparkSession,
+      requested: StructType): SerializableConfiguration = {
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport
+    val sqlc = spark.sessionState.conf
+    val conf = spark.sessionState.newHadoopConf()
+    conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, requested.json)
+    conf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlc.sessionLocalTimeZone)
+    conf.setBoolean(SQLConf.CASE_SENSITIVE.key, sqlc.caseSensitiveAnalysis)
+    conf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key,
+      sqlc.isParquetBinaryAsString)
+    conf.setBoolean(SQLConf.PARQUET_INT96_AS_TIMESTAMP.key,
+      sqlc.isParquetINT96AsTimestamp)
+    conf.setBoolean(SQLConf.PARQUET_FIELD_ID_READ_ENABLED.key,
+      sqlc.parquetFieldIdReadEnabled)
+    conf.setBoolean(SQLConf.IGNORE_MISSING_PARQUET_FIELD_ID.key,
+      sqlc.ignoreMissingParquetFieldId)
+    conf.setBoolean(SQLConf.LEGACY_PARQUET_NANOS_AS_LONG.key,
+      sqlc.legacyParquetNanosAsLong)
+    conf.setBoolean(SQLConf.PARQUET_INFER_TIMESTAMP_NTZ_ENABLED.key,
+      sqlc.parquetInferTimestampNTZEnabled)
+    new SerializableConfiguration(conf)
+  }
+
+  /** Task side: an open parquet ROW reader for one file, yielding
+    * `InternalRow`s of the requested schema carried in `conf`. Rebase
+    * mode is CORRECTED: this engine only reads files it wrote (Spark
+    * 4, proleptic calendar) through this path. */
+  def openRowReader(conf: Configuration,
+      path: String): org.apache.parquet.hadoop.ParquetReader[InternalRow] = {
+    import org.apache.spark.sql.catalyst.util.RebaseDateTime.RebaseSpec
+    import org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport
+    import org.apache.spark.sql.internal.LegacyBehaviorPolicy
+    val corrected = RebaseSpec(LegacyBehaviorPolicy.CORRECTED)
+    val support = new ParquetReadSupport(None,
+      enableVectorizedReader = false, corrected, corrected)
+    org.apache.parquet.hadoop.ParquetReader
+      .builder[InternalRow](support, new Path(path))
+      .withConf(conf).build()
+  }
+
   /** Resolve a SQL CHECK predicate against `schema` and bind it for
     * task-side interpreted evaluation (per-row constraint enforcement
     * inside an executor `DataWriter`, where no DataFrame exists to

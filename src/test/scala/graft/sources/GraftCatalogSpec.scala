@@ -195,6 +195,46 @@ class GraftCatalogSpec extends SparkSpec {
     assert(Versioned.latestVersion(root) === Some(before + 1))
   }
 
+  test("TVFs accept catalog names through the dispatcher's resolution") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graftc.tvf")
+    sql("CREATE TABLE graftc.tvf.t (id BIGINT, v DOUBLE)")
+    sql("INSERT INTO graftc.tvf.t VALUES (1, 1.0), (2, 2.0)")
+    sql("INSERT INTO graftc.tvf.t VALUES (3, 3.0)")
+    graft.GraftExtensions.registerFunctions(spark)
+    // snapshot, time travel, history, changes — all by NAME
+    assert(sql("SELECT id FROM graft_table('graftc.tvf.t') ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 2L, 3L))
+    assert(sql("SELECT id FROM graft_table('graftc.tvf.t', 2) ORDER BY id")
+      .as[Long].collect().toSeq === Seq(1L, 2L))
+    assert(sql("SELECT count(*) AS n FROM graft_history('graftc.tvf.t')")
+      .as[Long].head() === 3L)
+    assert(sql("SELECT id FROM graft_changes('graftc.tvf.t', 2)")
+      .as[Long].collect().toSeq === Seq(3L))
+    // a dotted name whose head is NOT a registered catalog stays a
+    // path and fails on absence, not on resolution
+    val e = intercept[Exception] {
+      sql("SELECT * FROM graft_table('no.such.name')").collect()
+    }
+    assert(e.getMessage.contains("no versions") ||
+      e.getMessage.contains("no.such.name"))
+  }
+
+  test("DROP TABLE on a clone source leaves the clone dangling — " +
+      "loudly at read time (the documented vacuum-class hazard)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graftc.cl")
+    sql("CREATE TABLE graftc.cl.src (id BIGINT)")
+    sql("INSERT INTO graftc.cl.src VALUES (1), (2)")
+    val cloneRoot = java.nio.file.Files
+      .createTempDirectory("graft-clone-dangle").toString + "/c"
+    Versioned.cloneShallow(spark, s"$warehouse/cl/src", cloneRoot)
+    assert(Versioned.read(spark, cloneRoot).count() === 2)
+    sql("DROP TABLE graftc.cl.src")
+    // the clone's absolute refs now point at deleted files
+    intercept[Exception] {
+      Versioned.read(spark, cloneRoot).count()
+    }
+  }
+
   test("a second CREATE fails; IF NOT EXISTS is a no-op; bad idents " +
       "are rejected") {
     sql("CREATE NAMESPACE IF NOT EXISTS graftc.guard")

@@ -1,0 +1,153 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Versioned
+
+/** Plain `spark.sql` MERGE / UPDATE / DELETE against catalog names —
+  * Spark's own analyzer rewrite over `SupportsRowLevelOperations`, no
+  * dispatcher anywhere. DELETE with an exactly-translatable condition
+  * takes the `SupportsDelete` fast path onto the file-pruned verb;
+  * everything else is the group-based copy-on-write replace. */
+class GraftRowLevelSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val w = Files.createTempDirectory("graft-rowlevel-wh").toString
+    spark.conf.set("spark.sql.catalog.graftr",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftr.warehouse", w)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftr.rl")
+    w
+  }
+
+  private def sql(s: String) = { warehouse; spark.sql(s) }
+
+  test("bare SQL DELETE: translatable condition takes the pruned " +
+      "metadata path; others take the group-based rewrite") {
+    sql("CREATE TABLE graftr.rl.del (id BIGINT, v DOUBLE)")
+    val root = s"$warehouse/rl/del"
+    // two files with disjoint id ranges so pruning is observable
+    Versioned.commit(spark, root,
+      (1 to 50).map(i => (i.toLong, i * 1.0)).toDF("id", "v").coalesce(1),
+      statsCols = Seq("id"))
+    Versioned.commit(spark, root,
+      (100 to 150).map(i => (i.toLong, i * 1.0)).toDF("id", "v").coalesce(1),
+      statsCols = Seq("id"))
+    val before = Versioned.files(root, Versioned.latestVersion(root).get)
+    sql("DELETE FROM graftr.rl.del WHERE id <= 10")
+    assert(sql("SELECT count(*) AS n FROM graftr.rl.del")
+      .as[Long].head() === 91L)
+    assert(sql("SELECT min(id) AS m FROM graftr.rl.del")
+      .as[Long].head() === 11L)
+    // the out-of-range file carried BY REFERENCE (the pruned verb ran)
+    val after = Versioned.files(root, Versioned.latestVersion(root).get)
+    assert(before.toSet.intersect(after.toSet).nonEmpty,
+      "the un-hit file must carry by reference through bare-SQL DELETE")
+    // a non-translatable condition still deletes correctly (group path)
+    sql("DELETE FROM graftr.rl.del WHERE id % 2 = 0")
+    assert(sql("SELECT count(*) AS n FROM graftr.rl.del")
+      .as[Long].head() === 45L)
+    assert(sql("SELECT count(*) AS n FROM graftr.rl.del WHERE id % 2 = 0")
+      .as[Long].head() === 0L)
+  }
+
+  test("bare SQL UPDATE: swap semantics, partition layout preserved") {
+    sql("CREATE TABLE graftr.rl.upd (id BIGINT, day STRING, v DOUBLE) " +
+      "PARTITIONED BY (day)")
+    val root = s"$warehouse/rl/upd"
+    sql("INSERT INTO graftr.rl.upd VALUES " +
+      "(1, 'd1', 10.0), (2, 'd1', 20.0), (3, 'd2', 30.0)")
+    sql("UPDATE graftr.rl.upd SET v = v + 0.5 WHERE id <= 2")
+    assert(sql("SELECT id, v FROM graftr.rl.upd ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 10.5), (2L, 20.5), (3L, 30.0)))
+    // the rewrite kept the hive layout: partition verbs still work
+    Versioned.overwritePartitions(spark, root,
+      Seq((9L, "d2", 0.0)).toDF("id", "day", "v"))
+    assert(sql("SELECT id FROM graftr.rl.upd WHERE day = 'd2'")
+      .as[Long].collect().toSet === Set(9L))
+    assert(sql("SELECT count(*) AS n FROM graftr.rl.upd WHERE day = 'd1'")
+      .as[Long].head() === 2L)
+  }
+
+  test("bare SQL MERGE: update/delete/insert clauses and the " +
+      "cardinality contract") {
+    sql("CREATE TABLE graftr.rl.mrg (id BIGINT, v STRING)")
+    sql("INSERT INTO graftr.rl.mrg VALUES (1, 'a'), (2, 'b'), (3, 'c')")
+    Seq((2L, "b2"), (3L, "DEL"), (9L, "new")).toDF("id", "nv")
+      .createOrReplaceTempView("rl_src")
+    sql("""MERGE INTO graftr.rl.mrg t USING rl_src s ON t.id = s.id
+          |WHEN MATCHED AND s.nv = 'DEL' THEN DELETE
+          |WHEN MATCHED THEN UPDATE SET v = s.nv
+          |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.nv)"""
+      .stripMargin)
+    assert(sql("SELECT id, v FROM graftr.rl.mrg ORDER BY id")
+      .as[(Long, String)].collect().toSeq ===
+      Seq((1L, "a"), (2L, "b2"), (9L, "new")))
+    // NOT MATCHED BY SOURCE through bare SQL too
+    Seq((2L, "keep")).toDF("id", "nv").createOrReplaceTempView("rl_src2")
+    sql("""MERGE INTO graftr.rl.mrg t USING rl_src2 s ON t.id = s.id
+          |WHEN NOT MATCHED BY SOURCE THEN DELETE""".stripMargin)
+    assert(sql("SELECT id FROM graftr.rl.mrg").as[Long]
+      .collect().toSeq === Seq(2L))
+    // two source rows matching one target row must error, not duplicate
+    Seq((2L, "x"), (2L, "y")).toDF("id", "nv")
+      .createOrReplaceTempView("rl_dup")
+    val e = intercept[Exception] {
+      sql("""MERGE INTO graftr.rl.mrg t USING rl_dup s ON t.id = s.id
+            |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(_.getMessage).mkString(" | ")
+    assert(msgs.toLowerCase.contains("merge") ||
+      msgs.toLowerCase.contains("cardinality") ||
+      msgs.toLowerCase.contains("multiple"), msgs)
+    assert(sql("SELECT id, v FROM graftr.rl.mrg").as[(Long, String)]
+      .collect().toSeq === Seq((2L, "b2")), "failed MERGE publishes nothing")
+  }
+
+  test("runtime group filtering: a MERGE touching one partition " +
+      "carries the others by file identity") {
+    sql("CREATE TABLE graftr.rl.rgf (id BIGINT, day STRING, v DOUBLE) " +
+      "PARTITIONED BY (day)")
+    val root = s"$warehouse/rl/rgf"
+    sql("INSERT INTO graftr.rl.rgf VALUES " +
+      "(1, 'd1', 1.0), (2, 'd1', 2.0), (3, 'd2', 3.0), (4, 'd3', 4.0)")
+    val before = Versioned.files(root, Versioned.latestVersion(root).get)
+    // the source hits ONLY d2 — runtime group filtering must narrow
+    // the scanned (and therefore replaced) set to d2's file(s)
+    Seq((3L, "d2", 30.0)).toDF("id", "day", "nv")
+      .createOrReplaceTempView("rgf_src")
+    sql("""MERGE INTO graftr.rl.rgf t USING rgf_src s
+          |ON t.id = s.id AND t.day = s.day
+          |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+    assert(sql("SELECT id, v FROM graftr.rl.rgf ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 1.0), (2L, 2.0), (3L, 30.0), (4L, 4.0)))
+    val after = Versioned.files(root, Versioned.latestVersion(root).get)
+    val carried = before.toSet.intersect(after.toSet)
+    assert(carried.size >= 2,
+      s"d1 and d3 files must carry by identity (runtime group filter); " +
+        s"carried=$carried before=$before after=$after")
+  }
+
+  test("the row-level history is versioned like every other verb") {
+    sql("CREATE TABLE graftr.rl.hist (id BIGINT, v DOUBLE)")
+    val root = s"$warehouse/rl/hist"
+    sql("INSERT INTO graftr.rl.hist VALUES (1, 1.0), (2, 2.0)")
+    sql("UPDATE graftr.rl.hist SET v = 0.0 WHERE id = 1")
+    // time travel reads the pre-update snapshot
+    assert(sql("SELECT v FROM graftr.rl.hist VERSION AS OF 2 " +
+      "WHERE id = 1").as[Double].head() === 1.0)
+    assert(sql("SELECT v FROM graftr.rl.hist WHERE id = 1")
+      .as[Double].head() === 0.0)
+    val actions = Versioned.history(spark, root)
+      .select("action").as[String].collect().toSeq
+    assert(actions.exists(a => a == "update" || a == "delete"),
+      s"history must record the row-level verb, got $actions")
+  }
+}
