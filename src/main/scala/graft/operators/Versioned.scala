@@ -357,6 +357,116 @@ object Versioned {
 
   private val CopyLedgerKey = "graft.copyInto.ledger"
 
+  // ---- sharded ledger internals: the cumulative identity set lives
+  // as GENERATIONAL APPEND-ONLY shard files plus one index file
+  // carrying a Bloom summary per shard. Each copy writes O(fresh)
+  // bytes (its own shard + a new index referencing prior shards
+  // unchanged); the probe tests candidate identities against the
+  // blooms and loads ONLY hit shards — the common incremental copy
+  // (few new files against millions ingested) reads no shard at all,
+  // and a full re-listing reads only the shards its files live in.
+  // Past [[copyShardCompactAt]] generations, one copy folds the
+  // shards into a single file (the rare O(total) event, amortized).
+  private val CopyIndexMagic = "#graft-copy-index v1"
+  private val copyShardCompactAt = 64
+  private val copyBloomBitsPerEntry = 10
+  private val copyBloomHashes = 5
+
+  private def copyBloomPositions(id: String, bits: Int): Seq[Int] = {
+    val h1 = scala.util.hashing.MurmurHash3.stringHash(id, 0x9747b28c)
+    val h2 = scala.util.hashing.MurmurHash3.stringHash(id, 0x85ebca6b)
+    (0 until copyBloomHashes).map(i => math.floorMod(h1 + i * h2, bits))
+  }
+
+  private def copyBloomOf(ids: Iterable[String]): Array[Long] = {
+    val bits = math.max(64, Integer.highestOneBit(
+      math.max(1, ids.size) * copyBloomBitsPerEntry) * 2)
+    val words = new Array[Long](bits / 64)
+    ids.foreach(id => copyBloomPositions(id, bits).foreach(p =>
+      words(p >> 6) |= (1L << (p & 63))))
+    words
+  }
+
+  private case class CopyShard(rel: String, words: Array[Long]) {
+    def mightContain(id: String): Boolean = {
+      val bits = words.length * 64
+      copyBloomPositions(id, bits).forall(p =>
+        (words(p >> 6) & (1L << (p & 63))) != 0L)
+    }
+  }
+
+  private def renderCopyIndex(shards: Seq[CopyShard]): String =
+    (CopyIndexMagic +: shards.map(s =>
+      s"${s.rel}\t${s.words.map(java.lang.Long.toHexString).mkString(",")}"))
+      .mkString("\n")
+
+  private def parseCopyIndex(lines: Seq[String]): Seq[CopyShard] =
+    lines.tail.filter(_.nonEmpty).map { l =>
+      val Array(rel, hex) = l.split('\t')
+      CopyShard(rel, hex.split(',')
+        .map(java.lang.Long.parseUnsignedLong(_, 16)))
+    }
+
+  /** Test hook: fires with the shard path whenever a probe has to
+    * LOAD a shard (a Bloom hit) — specs pin that incremental copies
+    * never materialize the cumulative set on the driver. */
+  @volatile private[graft] var copyShardLoadHook: String => Unit = _ => ()
+
+  /** Test visibility: the head ledger's shards as
+    * (relPath, bloomMightContain) — lets specs reason about which
+    * shards a candidate identity CAN touch. */
+  private[graft] def copyLedgerProbe(
+      root: String): Seq[(String, String => Boolean)] =
+    latestVersion(root).map(readManifest(root, _).props)
+      .flatMap(_.get(CopyLedgerKey)).map { ref =>
+        val lines = Files.readAllLines(resolve(root, ref).toPath)
+          .asScala.toSeq
+        val shards =
+          if (lines.headOption.contains(CopyIndexMagic))
+            parseCopyIndex(lines)
+          else Seq(CopyShard(ref, copyBloomOf(lines)))
+        shards.map(s => (s.rel, (id: String) => s.mightContain(id)))
+      }.getOrElse(Nil)
+
+  /** Test helper: publish a synthetic ledger generation of `ids` (one
+    * shard + index referenced from a metadata-only commit) — the exact
+    * layout a real ingest of that many files would leave, without
+    * creating the files. */
+  private[graft] def plantCopyLedger(spark: SparkSession, root: String,
+      ids: Seq[String]): Unit = {
+    val copyDir = new File(logDir(root), "copy")
+    copyDir.mkdirs()
+    val tag = java.util.UUID.randomUUID().toString.take(8)
+    val shardName = s"shard-$tag-planted.txt"
+    Files.write(new File(copyDir, shardName).toPath,
+      ids.mkString("\n").getBytes("UTF-8"))
+    val prior = copyLedgerProbe(root).map(_._1).map { rel =>
+      val lines = Files.readAllLines(resolve(root, rel).toPath)
+        .asScala.toSeq
+      CopyShard(rel, copyBloomOf(lines))
+    }
+    val shards = prior :+
+      CopyShard(s"_graft_log/copy/$shardName", copyBloomOf(ids))
+    val indexName = s"ledger-$tag-planted.txt"
+    Files.write(new File(copyDir, indexName).toPath,
+      renderCopyIndex(shards).getBytes("UTF-8"))
+    commit(spark, root, read(spark, root).limit(0),
+      props = Map(CopyLedgerKey -> s"_graft_log/copy/$indexName"))
+    ()
+  }
+
+  /** Recursive source listing, `_`/`.`-prefixed names skipped (the
+    * Spark convention); Option-guarded against unreadable subdirs.
+    * Static so the distributed listing can ship it to executors. */
+  private def walkSource(d: File): Seq[File] =
+    Option(d.listFiles()).getOrElse(Array.empty[File])
+      .toSeq.sortBy(_.getName).flatMap {
+        case f if f.getName.startsWith("_") ||
+            f.getName.startsWith(".") => Nil
+        case f if f.isDirectory => walkSource(f)
+        case f => Seq(f)
+      }
+
   /** Idempotent batch file ingestion (the `COPY INTO` verb — the
     * batch analog of the reference's Kafka-offset bronze ingest,
     * `pipelines/02-kafka-spark-iceberg/spark/jobs/bronze_ingest.py:
@@ -404,26 +514,33 @@ object Versioned {
       statsCols: Seq[String] = Nil,
       mergeSchema: Boolean = false,
       force: Boolean = false): Long = {
-    // Option-guarded: listFiles() returns null for an unreadable
-    // subdirectory (permissions, TOCTOU delete) — skip it rather than
-    // NPE mid-listing. Identity caveat (the Delta contract, documented):
-    // (path, length, mtime) misses an in-place rewrite that preserves
-    // length within the filesystem's mtime granularity (1 s on many) —
-    // ingest pipelines should write new file names, or pass force.
-    def walk(d: File): Seq[File] =
-      Option(d.listFiles()).getOrElse(Array.empty[File])
-        .toSeq.sortBy(_.getName).flatMap {
-          case f if f.getName.startsWith("_") ||
-              f.getName.startsWith(".") => Nil
-          case f if f.isDirectory => walk(f)
-          case f => Seq(f)
-        }
+    // Identity caveat (the Delta contract, documented): (path, length,
+    // mtime) misses an in-place rewrite that preserves length within
+    // the filesystem's mtime granularity (1 s on many) — ingest
+    // pipelines should write new file names, or pass force.
     val srcDir = new File(sourceDir)
     require(srcDir.isDirectory,
       s"COPY INTO source is not a directory: $sourceDir")
-    val listed = walk(srcDir)
-    def ident(f: File) =
-      s"${f.getAbsolutePath}|${f.length()}|${f.lastModified()}"
+    // the listing is O(source files) and must return to the driver (it
+    // IS the candidate set); a WIDE landing zone (many top-level
+    // subdirectories) walks them on executors instead of one driver
+    // thread — identities are (path, len, mtime) triples either way
+    val top = Option(srcDir.listFiles()).getOrElse(Array.empty[File])
+      .toSeq.sortBy(_.getName)
+      .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
+    val (topDirs, topFiles) = top.partition(_.isDirectory)
+    val listed: Seq[(String, Long, Long)] =
+      (if (topDirs.size >= 32) {
+        val paths = topDirs.map(_.getPath)
+        topFiles.map(f => (f.getAbsolutePath, f.length(), f.lastModified())) ++
+          spark.sparkContext
+            .parallelize(paths, math.min(paths.size, 64))
+            .flatMap(p => walkSource(new File(p)).map(f =>
+              (f.getAbsolutePath, f.length(), f.lastModified())))
+            .collect().toSeq
+      } else walkSource(srcDir).map(f =>
+        (f.getAbsolutePath, f.length(), f.lastModified()))).sorted
+    def ident(t: (String, Long, Long)) = s"${t._1}|${t._2}|${t._3}"
     // OCC loop: the ledger read and the commit pin the SAME version,
     // so two concurrent copies over one directory serialize — the
     // loser re-reads the winner's ledger and finds nothing fresh
@@ -432,37 +549,71 @@ object Versioned {
     var attempt = 0
     while (true) {
       val headV = latestVersion(root)
-      val prior: Set[String] =
-        if (force) Set.empty
+      val ledgerRef: Option[String] =
+        if (force) None
         else headV.map(readManifest(root, _).props)
-          .filter(_.contains(CopyLedgerKey))
-          .map { p =>
-            val lf = resolve(root, p(CopyLedgerKey))
-            require(lf.isFile, s"COPY INTO ledger missing: ${lf.getPath}")
-            Files.readAllLines(lf.toPath).asScala.toSet
-          }.getOrElse(Set.empty)
-      val fresh = listed.filterNot(f => prior(ident(f)))
+          .flatMap(_.get(CopyLedgerKey))
+      // prior shards (bloom summaries only — nothing loaded yet) and a
+      // lazy probe: a shard's identity lines load ONLY on a bloom hit,
+      // once, for this copy. A legacy single-file ledger is itself a
+      // valid shard; its bloom is computed from the one full read its
+      // probe needs anyway, and the index written below references the
+      // file unchanged — upgrade without rewrite.
+      val priorShards: Seq[CopyShard] = ledgerRef.map { ref =>
+        val lf = resolve(root, ref)
+        require(lf.isFile, s"COPY INTO ledger missing: ${lf.getPath}")
+        val lines = Files.readAllLines(lf.toPath).asScala.toSeq
+        if (lines.headOption.contains(CopyIndexMagic)) parseCopyIndex(lines)
+        else Seq(CopyShard(ref, copyBloomOf(lines)))
+      }.getOrElse(Nil)
+      val loaded = scala.collection.mutable.HashMap.empty[String, Set[String]]
+      def shardIds(s: CopyShard): Set[String] =
+        loaded.getOrElseUpdate(s.rel, {
+          copyShardLoadHook(s.rel)
+          Files.readAllLines(resolve(root, s.rel).toPath)
+            .asScala.filterNot(_.isEmpty).toSet
+        })
+      def recorded(id: String): Boolean =
+        priorShards.exists(s => s.mightContain(id) && shardIds(s)(id))
+      val fresh = listed.filterNot(t => recorded(ident(t)))
       if (fresh.isEmpty)
         return headV.getOrElse(
           throw new IllegalArgumentException("COPY INTO from an empty " +
             s"source into a non-existent table: $sourceDir -> $root"))
       val df = spark.read.format(format).options(options)
-        .load(fresh.map(_.getAbsolutePath): _*)
-      // cumulative ledger sidecar: unique name, live only once the
-      // commit below publishes the props reference
+        .load(fresh.map(_._1): _*)
+      // new generation: a fresh-identities shard + a new index carrying
+      // prior shards BY REFERENCE (O(fresh) write); past the
+      // compaction threshold, fold everything into one shard instead
+      // (the rare amortized O(total) event). Files go live only once
+      // the commit below publishes the index reference.
       val copyDir = new File(logDir(root), "copy")
       copyDir.mkdirs()
-      val name =
-        s"ledger-${java.util.UUID.randomUUID().toString.take(12)}.txt"
-      Files.write(new File(copyDir, name).toPath,
-        (prior.toSeq.sorted ++ fresh.map(ident)).mkString("\n")
-          .getBytes("UTF-8"))
+      val tag = java.util.UUID.randomUUID().toString.take(12)
+      val freshIds = fresh.map(ident)
+      val shards: Seq[CopyShard] =
+        if (priorShards.size + 1 > copyShardCompactAt) {
+          val all = (priorShards.flatMap(shardIds) ++ freshIds).sorted
+          val name = s"shard-$tag-compact.txt"
+          Files.write(new File(copyDir, name).toPath,
+            all.mkString("\n").getBytes("UTF-8"))
+          Seq(CopyShard(s"_graft_log/copy/$name", copyBloomOf(all)))
+        } else {
+          val name = s"shard-$tag.txt"
+          Files.write(new File(copyDir, name).toPath,
+            freshIds.mkString("\n").getBytes("UTF-8"))
+          priorShards :+
+            CopyShard(s"_graft_log/copy/$name", copyBloomOf(freshIds))
+        }
+      val indexName = s"ledger-$tag.txt"
+      Files.write(new File(copyDir, indexName).toPath,
+        renderCopyIndex(shards).getBytes("UTF-8"))
       copyIntoCrashHook()
       try {
         return commit(spark, root, df, mode = "append",
           statsCols = statsCols, mergeSchema = mergeSchema,
           expectedVersion = Some(headV.getOrElse(0L)),
-          props = Map(CopyLedgerKey -> s"_graft_log/copy/$name"))
+          props = Map(CopyLedgerKey -> s"_graft_log/copy/$indexName"))
       } catch {
         case e: VersionConflictException =>
           if (attempt >= occMaxRetries) throw e
@@ -3934,11 +4085,23 @@ object Versioned {
       Files.deleteIfExists(mf.toPath)
     }
     // COPY INTO ledgers: keep any a retained manifest references (the
-    // head always references the CURRENT one via prop inheritance);
-    // orphans from crashed attempts and ledgers referenced only by
-    // dropped manifests age out
-    val keptLedgers =
-      keptManifests.flatMap(_.props.get(CopyLedgerKey)).toSet
+    // head always references the CURRENT one via prop inheritance) AND
+    // every shard a kept index references (shards are shared across
+    // generations by reference); orphans from crashed attempts and
+    // ledgers referenced only by dropped manifests age out
+    val keptLedgers = keptManifests.flatMap(_.props.get(CopyLedgerKey))
+      .toSet.flatMap { (ref: String) =>
+        val lf = resolve(root, ref)
+        val shardRefs =
+          if (!lf.isFile) Set.empty[String]
+          else {
+            val lines = Files.readAllLines(lf.toPath).asScala.toSeq
+            if (lines.headOption.contains(CopyIndexMagic))
+              parseCopyIndex(lines).map(_.rel).toSet
+            else Set.empty[String]
+          }
+        shardRefs + ref
+      }
     val copyDir = new File(logDir(root), "copy")
     if (copyDir.isDirectory) copyDir.listFiles().foreach { f =>
       if (!keptLedgers.contains(s"_graft_log/copy/${f.getName}") &&

@@ -145,6 +145,76 @@ class CopyIntoSpec extends SparkSpec {
     assert(Versioned.read(spark, root).count() === 6)
   }
 
+  test("a 100k-identity ledger probes via per-shard blooms — " +
+      "incremental copies never materialize the cumulative set") {
+    val (root, src) = freshDirs("scale")
+    land(src, "a.parquet", Seq((1L, "x")))
+    Versioned.copyInto(spark, root, src.getPath)
+    // a synthetic 100k-file generation: the exact shard+index layout a
+    // real ingest of 100k files would leave
+    val synthetic = (1 to 100000).map(i =>
+      s"/synthetic/landing/f$i.parquet|${i * 100L}|${1700000000000L + i}")
+    Versioned.plantCopyLedger(spark, root, synthetic)
+    val probe = Versioned.copyLedgerProbe(root)
+    assert(probe.size === 2, "one real + one planted generation")
+    val bigShard = probe.map(_._1).find(_.contains("planted")).get
+    // pick a landing file name whose identity the big shard's bloom
+    // provably MISSES (deterministic: blooms are content-hashed; the
+    // retry only guards the ~1% false-positive case)
+    val bigMight = probe.find(_._1 == bigShard).get._2
+    def firstPart(d: File): File =
+      d.listFiles().filter(_.getName.endsWith(".parquet")).head
+    val name = (1 to 50).map(i => s"b$i.parquet").find { n =>
+      land(src, n, Seq((2L, "y")))
+      val f = firstPart(new File(src, n))
+      val miss = !bigMight(
+        s"${f.getAbsolutePath}|${f.length()}|${f.lastModified()}")
+      if (!miss) { // rare bloom fp: discard this candidate file
+        def rm(f: File): Unit = {
+          if (f.isDirectory) f.listFiles().foreach(rm)
+          f.delete(); ()
+        }
+        rm(new File(src, n))
+      }
+      miss
+    }.get
+    assert(name.nonEmpty)
+    val loads = scala.collection.mutable.Buffer.empty[String]
+    Versioned.copyShardLoadHook = loads += _
+    val v = try Versioned.copyInto(spark, root, src.getPath)
+      finally Versioned.copyShardLoadHook = _ => ()
+    // only the fresh file's rows landed…
+    assert(Versioned.read(spark, root).count() === 2)
+    // …and the 100k shard was NEVER loaded: the bloom answered for it
+    assert(!loads.contains(bigShard),
+      s"the 100k shard must not load for a miss-probe; loaded=$loads")
+    // a re-run over the unchanged directory is a no-op and loads only
+    // the (tiny) shards the two live files actually live in
+    loads.clear()
+    Versioned.copyShardLoadHook = loads += _
+    try assert(Versioned.copyInto(spark, root, src.getPath) === v)
+    finally Versioned.copyShardLoadHook = _ => ()
+    assert(loads.toSet.size === loads.size, "each shard loads at most once")
+  }
+
+  test("generations compact past the shard threshold; idempotency " +
+      "carries through compaction") {
+    val (root, src) = freshDirs("compact")
+    // drive many generations quickly with tiny single-file copies
+    (1 to 66).foreach { i =>
+      land(src, f"g$i%03d.parquet", Seq((i.toLong, s"r$i")))
+      Versioned.copyInto(spark, root, src.getPath)
+    }
+    val probe = Versioned.copyLedgerProbe(root)
+    assert(probe.size <= 65,
+      s"shards must compact past the threshold, got ${probe.size}")
+    // everything ingested exactly once, before and after compaction
+    assert(Versioned.read(spark, root).count() === 66)
+    assert(Versioned.copyInto(spark, root, src.getPath) ===
+      Versioned.latestVersion(root).get)
+    assert(Versioned.read(spark, root).count() === 66)
+  }
+
   test("option values may contain ',' and ')'; COPY_OPTIONS force; " +
       "typo'd options fail loudly") {
     val (root, src) = freshDirs("opts")
