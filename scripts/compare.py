@@ -1,13 +1,17 @@
 #!/usr/bin/env python3
 """Local replica of the driver's correctness gate.
 
-Usage: python3 scripts/compare.py <sfDir> <outDir>
+Usage: python3 scripts/compare.py <sfDir> <outDir> [--json <path>]
 
 Loads each SparkEntry query result (parquet written by graft.Verify),
 runs the corresponding oracle SQL from oracle_sql.json in DuckDB over
 the same sf tables, sorts columns by name and rows by all columns, and
 compares cell values exactly. Mirrors the driver's hash-match check so
 parity bugs surface before the round gate runs.
+
+With --json, also writes a per-query report in the driver's
+CORRECTNESS_r*.json schema — used to commit the sf1 gate as a
+machine-checkable artifact (CORRECTNESS_sf1.json) each round.
 """
 import duckdb
 import glob
@@ -42,16 +46,30 @@ def cells_equal(a, b):
 
 def main():
     sfdir, outdir = sys.argv[1], sys.argv[2]
+    json_out = None
+    if "--json" in sys.argv:
+        json_out = sys.argv[sys.argv.index("--json") + 1]
     con = duckdb.connect()
     for t in TABLES:
         con.execute(
             f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
     n_pass = n_fail = 0
+    report = {}
+
+    def record(name, rows_match, schema_match, hash_match,
+               spark_rows, oracle_rows, err):
+        report[name] = {
+            "rows_match": rows_match, "schema_match": schema_match,
+            "hash_match": hash_match, "spark_rows": spark_rows,
+            "oracle_rows": oracle_rows, "err": err,
+        }
+
     for name in sorted(oracle):
         files = glob.glob(f"{outdir}/{name}/*.parquet")
         if not files:
             print(f"FAIL {name}: no spark output")
+            record(name, False, None, None, None, None, "no_spark_output")
             n_fail += 1
             continue
         got = con.execute(
@@ -60,15 +78,19 @@ def main():
             exp = con.execute(oracle[name]).df()
         except Exception as e:
             print(f"FAIL {name}: oracle error {e}")
+            record(name, None, None, None, len(got), None,
+                   f"oracle_error: {e}")
             n_fail += 1
             continue
         got, exp = canon(got), canon(exp)
         if list(got.columns) != list(exp.columns):
             print(f"FAIL {name}: columns {list(got.columns)} != {list(exp.columns)}")
+            record(name, None, False, None, len(got), len(exp), None)
             n_fail += 1
             continue
         if len(got) != len(exp):
             print(f"FAIL {name}: rows {len(got)} != {len(exp)}")
+            record(name, False, True, None, len(got), len(exp), None)
             n_fail += 1
             continue
         bad = []
@@ -89,11 +111,17 @@ def main():
                 break
         if bad:
             print(f"FAIL {name}: {len(bad)}+ diffs, first: {bad[:3]}")
+            record(name, True, True, False, len(got), len(exp), None)
             n_fail += 1
         else:
             print(f"PASS {name} ({len(got)} rows)")
+            record(name, True, True, True, len(got), len(exp), None)
             n_pass += 1
     print(f"== {n_pass} pass, {n_fail} fail ==")
+    if json_out:
+        with open(json_out, "w") as f:
+            json.dump(report, f, indent=2, sort_keys=True)
+        print(f"wrote {json_out}")
     sys.exit(1 if n_fail else 0)
 
 

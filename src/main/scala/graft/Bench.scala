@@ -113,6 +113,26 @@ object Bench {
     val annNeeded = catalog.exists(q => annConsumers.contains(q.name))
 
     def timedPass(): Seq[(String, (Double, Boolean))] = {
+      // fixed CALIBRATION entry: a constant CPU-bound plan (range-sum,
+      // whole-stage codegen, no IO, no catalog dependence) that never
+      // changes round to round — lets future rounds separate box drift
+      // (calibration moved too) from a real regression (calibration
+      // flat, query moved) mechanically instead of by argument.
+      val calib = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val ok =
+          try {
+            spark.range(0, 200L * 1000 * 1000)
+              .selectExpr("sum(id * 3 + 1) AS s")
+              .write.format("noop").mode("overwrite").save()
+            true
+          } catch { case e: Throwable =>
+            System.err.println(s"[bench] calibration failed: ${e.getMessage}")
+            false
+          }
+        Seq("c00_calibration" -> (((System.nanoTime() - t0) / 1e9, ok)))
+      }
       val stage = if (!stageNeeded) Nil else {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
@@ -153,7 +173,7 @@ object Bench {
           }
         Seq("v00_ann_model_stage" -> (((System.nanoTime() - t0) / 1e9, ok)))
       }
-      stage ++ annStage ++ catalog.map { q =>
+      calib ++ stage ++ annStage ++ catalog.map { q =>
         spark.catalog.clearCache()
         val fn = stagedConsumers.getOrElse(q.name,
           annConsumers.getOrElse(q.name, q.fn))

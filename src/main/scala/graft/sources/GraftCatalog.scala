@@ -483,9 +483,18 @@ final class GraftScanBuilder(spark: SparkSession, root: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
+  // a read asking for the `_file` provenance metadata column (a user
+  // SELECT, or Spark's runtime-group-filter subquery for row-level
+  // DML) takes the NATIVE batch scan, which serves it per input file
+  // with manifest-relative values — the same domain the row-level
+  // scan prunes by; everything else stays on the V1 bridge
   override def build(): Scan =
-    new GraftV1ScanBridge(spark, root, version, pushed.toIndexedSeq,
-      required)
+    if (required.fieldNames.contains("_file"))
+      new GraftRowLevelScan(spark, root, version, required,
+        pushed.toIndexedSeq, _ => ())
+    else
+      new GraftV1ScanBridge(spark, root, version, pushed.toIndexedSeq,
+        required)
 }
 
 /** The DSv2→V1 scan bridge (`V1Scan`, the JDBC connector's own path):

@@ -107,17 +107,23 @@ final class GraftRowLevelScanBuilder(spark: SparkSession, root: String,
 
   override def build(): Scan =
     new GraftRowLevelScan(spark, root, version, required,
-      pushed.toIndexedSeq, op)
+      pushed.toIndexedSeq, op.recordScanned)
 }
 
-/** Native DSv2 batch scan over one pinned version for row-level
-  * operations. `filter` (runtime group filtering) re-prunes the file
-  * list by partition-column IN/EQ values against manifest stats and
-  * re-records the scanned set in the operation — the write then swaps
-  * only the files that could hold matching groups. */
+/** Native DSv2 batch scan over one pinned version. Serves the `_file`
+  * provenance metadata column (one input partition per manifest file);
+  * used by row-level operations (which record their planned file set
+  * through `onScanned`) AND by any regular catalog read that asks for
+  * `_file` — including Spark's runtime-group-filter subquery, which
+  * deliberately scans through the ORIGINAL table's builder ("a regular
+  * batch scan") and must see the same `_file` domain the row-level
+  * scan prunes by. `filter` (runtime group filtering) re-prunes the
+  * file list by partition-column IN/EQ stats bounds and by `_file`
+  * identity, re-recording the scanned set — the write then swaps only
+  * the files that could hold matching groups. */
 final class GraftRowLevelScan(spark: SparkSession, root: String,
     version: Long, required: StructType,
-    pushed: Seq[Filter], op: GraftRowLevelOperation)
+    pushed: Seq[Filter], onScanned: Seq[String] => Unit)
     extends Scan with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
 
@@ -131,7 +137,7 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
   @volatile private var files: Seq[String] =
     Versioned.candidateFilesForBounds(root, version,
       VersionedSource.bounds(pushed))
-  op.recordScanned(files)
+  onScanned(files)
 
   override def readSchema(): StructType = required
 
@@ -163,18 +169,36 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
         physRequested), withFileColumn = fileIdx >= 0)
   }
 
-  // ---- runtime group filtering: partition columns are the group key
+  // ---- runtime group filtering, ONE group grain per table shape:
+  // partitioned tables filter on the partition columns (groups prune
+  // by the min==max stats tuple — the Iceberg copy-on-write grain);
+  // UNPARTITIONED tables filter on `_file` itself — Spark's
+  // matching-rows plan reads a scan that serves _file per row, so the
+  // runtime predicate names the exact files holding matches and the
+  // scan narrows to precisely the touched set (one matching pass, the
+  // same economics as the dispatcher's keys-frame probe, then a
+  // file-identity prune). One attribute, not both: Spark ships a
+  // multi-attribute group filter as a struct-IN, which has no exact
+  // V2 predicate translation to prune by.
   override def filterAttributes(): Array[NamedReference] =
-    planned.partitionBy.map(c => Expressions.column(c)).toArray
+    (if (planned.partitionBy.nonEmpty) planned.partitionBy
+     else Seq("_file"))
+      .map(c => Expressions.column(c)).toArray
 
   override def filter(predicates: Array[V2Predicate]): Unit = {
     val bounds = predicates.toSeq.flatMap(runtimeBound)
-    if (bounds.nonEmpty) {
+    val (fileBounds, statBounds) = bounds.partition(_.col == "_file")
+    if (statBounds.nonEmpty) {
       val narrowed = Versioned.candidateFilesForBounds(root, version,
-        VersionedSource.bounds(pushed) ++ bounds).toSet
+        VersionedSource.bounds(pushed) ++ statBounds).toSet
       files = files.filter(narrowed)
-      op.recordScanned(files)
     }
+    // _file prunes by identity, not stats: keep exactly the named files
+    fileBounds.foreach { b =>
+      val keep = b.values.getOrElse(Nil).map(_.toString).toSet
+      files = files.filter(keep)
+    }
+    if (bounds.nonEmpty) onScanned(files)
   }
 
   /** Runtime V2 predicate → a conservative stats bound. Only shapes

@@ -135,6 +135,33 @@ class GraftRowLevelSpec extends SparkSpec {
         s"carried=$carried before=$before after=$after")
   }
 
+  test("file-grain runtime filtering: an UNPARTITIONED MERGE carries " +
+      "untouched files by identity") {
+    sql("CREATE TABLE graftr.rl.fg (id BIGINT, v DOUBLE)")
+    val root = s"$warehouse/rl/fg"
+    // two files with disjoint id ranges, stats on id
+    Versioned.commit(spark, root,
+      (1 to 50).map(i => (i.toLong, i * 1.0)).toDF("id", "v").coalesce(1),
+      statsCols = Seq("id"))
+    Versioned.commit(spark, root,
+      (100 to 150).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+        .coalesce(1), statsCols = Seq("id"))
+    val before = Versioned.files(root, Versioned.latestVersion(root).get)
+    // the source hits only the second file's key range — the _file
+    // runtime group filter must narrow the replaced set to that file
+    Seq((120L, 999.0)).toDF("id", "nv").createOrReplaceTempView("fg_src")
+    sql("""MERGE INTO graftr.rl.fg t USING fg_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+    assert(sql("SELECT v FROM graftr.rl.fg WHERE id = 120")
+      .as[Double].head() === 999.0)
+    assert(sql("SELECT count(*) AS n FROM graftr.rl.fg")
+      .as[Long].head() === 101L)
+    val after = Versioned.files(root, Versioned.latestVersion(root).get)
+    assert(before.toSet.intersect(after.toSet).nonEmpty,
+      s"the un-hit file must carry by identity through bare-SQL MERGE; " +
+        s"before=$before after=$after")
+  }
+
   test("the row-level history is versioned like every other verb") {
     sql("CREATE TABLE graftr.rl.hist (id BIGINT, v DOUBLE)")
     val root = s"$warehouse/rl/hist"
