@@ -1780,6 +1780,107 @@ object ExtraQueries {
   private val nativeDmlDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // ---------------------------------------------------------------- x46
+  // Dynamic partition overwrite through the catalog, hash-gated: a
+  // partitioned catalog table takes an INSERT OVERWRITE (no PARTITION
+  // clause) under partitionOverwriteMode=dynamic — the executor-staged
+  // DSv2 write replaces exactly the incoming partitions' files,
+  // everything else carries by reference. DuckDB replays the swap as a
+  // CASE: a row leaking out of the replaced partitions, a resurrected
+  // pre-swap row, or a lost carried partition all break the hash.
+  val x46DynamicOverwrite: Q = Q(
+    "x46_dynamic_overwrite",
+    """SELECT c_custkey, c_nationkey % 5 AS nk,
+      |  CASE WHEN c_nationkey % 5 = 2
+      |       THEN CAST(c_acctbal AS DOUBLE) + 1000.0
+      |       ELSE CAST(c_acctbal AS DOUBLE) END AS bal
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val cat = s"graftdyn${math.abs(d.hashCode)}"
+    val wh = dynOverwriteDirs.getOrElseUpdate(d, {
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-dyn-q").toString
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+      t(s, d, "customer").select(col("c_custkey"),
+        (col("c_nationkey") % 5).cast("long").as("nk"),
+        col("c_acctbal").cast("double").as("bal"))
+        .createOrReplaceTempView("x46_src")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.r9")
+      s.sql(s"CREATE TABLE $cat.r9.dyn " +
+        "(c_custkey BIGINT, nk BIGINT, bal DOUBLE) PARTITIONED BY (nk)")
+      s.sql(s"INSERT INTO $cat.r9.dyn SELECT * FROM x46_src")
+      val prior = s.conf.getOption(
+        "spark.sql.sources.partitionOverwriteMode")
+      s.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try s.sql(s"INSERT OVERWRITE $cat.r9.dyn " +
+        "SELECT c_custkey, nk, bal + 1000.0 FROM x46_src WHERE nk = 2")
+      finally prior match {
+        case Some(v) => s.conf.set(
+          "spark.sql.sources.partitionOverwriteMode", v)
+        case None => s.conf.unset(
+          "spark.sql.sources.partitionOverwriteMode")
+      }
+      w
+    })
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"SELECT c_custkey, nk, bal FROM $cat.r9.dyn ORDER BY c_custkey")
+  }
+
+  private val dynOverwriteDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  // ---------------------------------------------------------------- x47
+  // The native streaming write, hash-gated end-to-end: orders stream
+  // from a landing directory through a filter+projection into a
+  // catalog-named table via BARE writeStream.toTable (no format, no
+  // path — the reference's bronze shape), AvailableNow-drained. Every
+  // micro-batch is one atomic manifest commit with the in-manifest
+  // replay guard; DuckDB replays the whole transform — a duplicated
+  // epoch, a lost batch, or a filter drift all break the hash.
+  val x47StreamToTable: Q = Q(
+    "x47_stream_totable",
+    """SELECT o_orderkey, o_custkey,
+      |  CAST(o_totalprice AS DOUBLE) AS price
+      |FROM orders WHERE o_orderkey % 4 = 1
+      |ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val cat = s"graftst${math.abs(d.hashCode)}"
+    val wh = streamToTableDirs.getOrElseUpdate(d, {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-st-q").toString
+      val (w, landing, ck) = (s"$base/wh", s"$base/landing", s"$base/ck")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+      t(s, d, "orders").select(col("o_orderkey"), col("o_custkey"),
+        col("o_totalprice").cast("double").as("price"))
+        .write.parquet(landing)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.r9")
+      s.sql(s"CREATE TABLE $cat.r9.bronze " +
+        "(o_orderkey BIGINT, o_custkey BIGINT, price DOUBLE)")
+      val q = s.readStream
+        .schema(s.read.parquet(landing).schema).parquet(landing)
+        .filter(col("o_orderkey") % 4 === 1)
+        .writeStream // BARE — the native DSv2 streaming write
+        .option("checkpointLocation", ck)
+        .option("statsCols", "o_orderkey")
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .toTable(s"$cat.r9.bronze")
+      q.processAllAvailable(); q.stop()
+      w
+    })
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"SELECT o_orderkey, o_custkey, price FROM $cat.r9.bronze " +
+      "ORDER BY o_orderkey")
+  }
+
+  private val streamToTableDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   // ---------------------------------------------------------------- x30
   // Atomic predicate-scoped overwrite (Versioned.replaceWhere — Delta's
   // replaceWhere): customers land range-clustered by nation, then the
@@ -1997,5 +2098,6 @@ object ExtraQueries {
     x30ReplaceWhere, x31Ewma, x32SqlTimeTravel, x33SqlMerge, x34EwmaLong,
     x35PinnedJoin, x36SqlUpdateDelete, x37SqlSchemaEvolution,
     x38SqlRename, x39SqlWiden, x40CatalogSql, x41SqlMergeFull,
-    x42SqlDeleteIn, x43CopyInto, x44CatalogDml, x45NativeDml)
+    x42SqlDeleteIn, x43CopyInto, x44CatalogDml, x45NativeDml,
+    x46DynamicOverwrite, x47StreamToTable)
 }

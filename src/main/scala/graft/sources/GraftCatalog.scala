@@ -558,7 +558,8 @@ final class GraftV1Relation(override val sqlContext: SQLContext,
 final class GraftWriteBuilder(spark: SparkSession, root: String,
     info: LogicalWriteInfo)
     extends WriteBuilder with SupportsOverwrite
-    with SupportsDynamicOverwrite {
+    with SupportsDynamicOverwrite
+    with org.apache.spark.sql.GraftStreamingUpdateAsAppend {
 
   // None = append; Some(None) = truncate-replace; Some(Some(c)) =
   // replace rows matching c

@@ -8,6 +8,15 @@ import org.apache.spark.sql.classic.ExpressionUtils
   * as user-facing Columns. The pre-4.0 `new Column(expr)` constructor is
   * gone; this is the one sanctioned hop into the classic API.
   */
+/** Public face of Spark's `private[sql]` update-as-append marker
+  * (`SupportsStreamingUpdateAsAppend`, what Delta's write builder
+  * declares): a streaming query in Update output mode writes its
+  * changed rows as APPENDS — the engine accepts the mode instead of
+  * rejecting it, and the sink's semantics are documented as
+  * append-of-updates. */
+trait GraftStreamingUpdateAsAppend
+  extends org.apache.spark.sql.internal.connector.SupportsStreamingUpdateAsAppend
+
 /** Public face of Spark's `private[sql]` V1-streaming-fallback table
   * trait (`V2TableWithV1Fallback` — what Delta's table extends so
   * `readStream.table` / `writeStream.toTable` route through a V1

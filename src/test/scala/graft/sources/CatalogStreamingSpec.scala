@@ -191,6 +191,26 @@ class CatalogStreamingSpec extends SparkSpec {
     sb.toString
   }
 
+  test("Update output mode writes changed rows as appends (the " +
+      "update-as-append contract Delta's builder declares)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS grafts.nat")
+    sql("CREATE TABLE grafts.nat.upd (k STRING, total DOUBLE)")
+    val src = tmp("graft-upd-src")
+    Seq(("a", 1.0), ("b", 2.0), ("a", 3.0)).toDF("k", "v")
+      .write.mode("overwrite").parquet(src)
+    val q = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+      .groupBy($"k").agg(sum($"v").as("total"))
+      .writeStream.outputMode("update")
+      .option("checkpointLocation", tmp("graft-upd-ck"))
+      .trigger(Trigger.AvailableNow()).toTable("grafts.nat.upd")
+    q.processAllAvailable(); q.stop()
+    // one bounded epoch: each group's latest value appended once
+    assert(sql("SELECT k, total FROM grafts.nat.upd")
+      .as[(String, Double)].collect().toSet ===
+      Set(("a", 4.0), ("b", 2.0)))
+  }
+
   test("readStream.table follows the table and equals changesSince") {
     sql("CREATE NAMESPACE IF NOT EXISTS grafts.st")
     sql("CREATE TABLE grafts.st.feed (id BIGINT, v STRING)")

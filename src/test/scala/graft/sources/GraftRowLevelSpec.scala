@@ -162,6 +162,24 @@ class GraftRowLevelSpec extends SparkSpec {
         s"before=$before after=$after")
   }
 
+  test("plan pin: the optimized MERGE plan carries the runtime group " +
+      "filter (dynamic pruning subquery over the matching rows)") {
+    sql("CREATE TABLE graftr.rl.pin (id BIGINT, v DOUBLE)")
+    sql("INSERT INTO graftr.rl.pin VALUES (1, 1.0), (2, 2.0)")
+    Seq((2L, 20.0)).toDF("id", "nv").createOrReplaceTempView("pin_src")
+    val cs = spark.asInstanceOf[org.apache.spark.sql.classic.SparkSession]
+    val parsed = cs.sessionState.sqlParser.parsePlan(
+      """MERGE INTO graftr.rl.pin t USING pin_src s ON t.id = s.id
+        |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+    val analyzed = cs.sessionState.analyzer.executeAndCheck(parsed,
+      new org.apache.spark.sql.catalyst.QueryPlanningTracker)
+    val optimized = cs.sessionState.optimizer.execute(analyzed).treeString
+    assert(optimized.contains("dynamicpruningexpression"),
+      s"the group filter must survive optimization:\n$optimized")
+    assert(optimized.contains("_file"),
+      "the unpartitioned group grain must be _file")
+  }
+
   test("the row-level history is versioned like every other verb") {
     sql("CREATE TABLE graftr.rl.hist (id BIGINT, v DOUBLE)")
     val root = s"$warehouse/rl/hist"
