@@ -211,6 +211,43 @@ class CatalogStreamingSpec extends SparkSpec {
       Set(("a", 4.0), ("b", 2.0)))
   }
 
+  test("native streaming write: mergeSchema evolves the table, and a " +
+      "COLUMN-MAPPED table takes streamed epochs under its mapping") {
+    sql("CREATE NAMESPACE IF NOT EXISTS grafts.nat")
+    sql("CREATE TABLE grafts.nat.evo (id BIGINT, v DOUBLE)")
+    val root = s"$warehouse/nat/evo"
+    // rename first: streamed files must land under the PHYSICAL name
+    sql("ALTER TABLE grafts.nat.evo RENAME COLUMN v TO amount")
+    val src = tmp("graft-evo-src")
+    Seq((1L, 1.0, "x"), (2L, 2.0, "y")).toDF("id", "amount", "tag")
+      .write.mode("overwrite").parquet(src)
+    // without mergeSchema the extra column must reject loudly
+    val q0 = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+      .writeStream.option("checkpointLocation", tmp("graft-evo-ck0"))
+      .trigger(Trigger.AvailableNow()).toTable("grafts.nat.evo")
+    val e = intercept[Exception] { q0.processAllAvailable() }
+    q0.stop()
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      .contains("mergeSchema"))
+    assert(sql("SELECT count(*) AS n FROM grafts.nat.evo")
+      .as[Long].head() === 0L)
+    // with mergeSchema the schema evolves and rows land
+    val q = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+      .writeStream.option("checkpointLocation", tmp("graft-evo-ck1"))
+      .option("mergeSchema", "true")
+      .trigger(Trigger.AvailableNow()).toTable("grafts.nat.evo")
+    q.processAllAvailable(); q.stop()
+    assert(sql("SELECT id, amount, tag FROM grafts.nat.evo ORDER BY id")
+      .as[(Long, Double, String)].collect().toSeq ===
+      Seq((1L, 1.0, "x"), (2L, 2.0, "y")))
+    // the mapping held: the library read agrees column-for-column
+    assert(Versioned.read(spark, root).columns.toSeq ===
+      Seq("id", "amount", "tag"))
+  }
+
   test("readStream.table follows the table and equals changesSince") {
     sql("CREATE NAMESPACE IF NOT EXISTS grafts.st")
     sql("CREATE TABLE grafts.st.feed (id BIGINT, v STRING)")

@@ -180,6 +180,65 @@ class GraftRowLevelSpec extends SparkSpec {
       "the unpartitioned group grain must be _file")
   }
 
+  test("row-level ops on a COLUMN-MAPPED table: rename, then bare-SQL " +
+      "UPDATE/MERGE read physical and write under the mapping") {
+    sql("CREATE TABLE graftr.rl.map (id BIGINT, amount DOUBLE)")
+    val root = s"$warehouse/rl/map"
+    sql("INSERT INTO graftr.rl.map VALUES (1, 10.0), (2, 20.0)")
+    // rename → files keep the physical name 'amount'; logical is 'bal'
+    sql("ALTER TABLE graftr.rl.map RENAME COLUMN amount TO bal")
+    sql("UPDATE graftr.rl.map SET bal = bal + 1.0 WHERE id = 1")
+    assert(sql("SELECT id, bal FROM graftr.rl.map ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 11.0), (2L, 20.0)))
+    Seq((2L, 99.0), (3L, 3.0)).toDF("id", "nb")
+      .createOrReplaceTempView("map_src")
+    sql("""MERGE INTO graftr.rl.map t USING map_src s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET bal = s.nb
+          |WHEN NOT MATCHED THEN INSERT (id, bal) VALUES (s.id, s.nb)"""
+      .stripMargin)
+    assert(sql("SELECT id, bal FROM graftr.rl.map ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 11.0), (2L, 99.0), (3L, 3.0)))
+    // the library read agrees (mapping round-trips through both paths)
+    assert(Versioned.read(spark, root).orderBy("id")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 11.0), (2L, 99.0), (3L, 3.0)))
+  }
+
+  test("a concurrent commit during a row-level operation aborts loudly " +
+      "and publishes nothing; the retry succeeds") {
+    sql("CREATE TABLE graftr.rl.race (id BIGINT, v DOUBLE)")
+    val root = s"$warehouse/rl/race"
+    sql("INSERT INTO graftr.rl.race VALUES (1, 1.0), (2, 2.0)")
+    val prev = Versioned.coordinator
+    var fired = false
+    Versioned.coordinator =
+      new graft.operators.ConditionalPutCoordinator(raceHook = { _ =>
+        if (!fired) { fired = true
+          Versioned.commit(spark, root, Seq((9L, 9.0)).toDF("id", "v"))
+        }
+      })
+    try {
+      val e = intercept[Exception] {
+        sql("UPDATE graftr.rl.race SET v = 0.0 WHERE id % 2 = 0")
+      }
+      val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+        .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+        .mkString(" | ")
+      assert(msgs.contains("moved to version") ||
+        msgs.contains("concurrent"), msgs)
+    } finally Versioned.coordinator = prev
+    // the sniper's row landed; the aborted update did not half-apply
+    assert(sql("SELECT id, v FROM graftr.rl.race ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 1.0), (2L, 2.0), (9L, 9.0)))
+    // re-running against the settled snapshot succeeds
+    sql("UPDATE graftr.rl.race SET v = 0.0 WHERE id % 2 = 0")
+    assert(sql("SELECT v FROM graftr.rl.race WHERE id = 2")
+      .as[Double].head() === 0.0)
+  }
+
   test("the row-level history is versioned like every other verb") {
     sql("CREATE TABLE graftr.rl.hist (id BIGINT, v DOUBLE)")
     val root = s"$warehouse/rl/hist"
