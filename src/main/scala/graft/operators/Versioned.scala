@@ -1101,6 +1101,9 @@ object Versioned {
       s"table at $root moved to version $latest during a row-level " +
         s"operation planned against version $expected — re-run the " +
         "statement against the current snapshot")
+    // a fully-pruned operation (runtime group filter matched nothing)
+    // swaps nothing for nothing — no new version, like merge's no-op
+    if (scanned.isEmpty && entries.isEmpty) return latest
     val m = readManifest(root, latest)
     checkPlanned(root, Some(m), planned)
     require(m.mor.isEmpty && m.dvs.isEmpty, s"table at $root has " +

@@ -437,9 +437,16 @@ final class GraftTable(spark: SparkSession, fullName: String,
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
       override def build(): org.apache.spark.sql.connector.write
-          .RowLevelOperation =
+          .RowLevelOperation = {
+        // the operation's provenance metadata column would silently
+        // bind to a DATA column of the same name — refuse up front
+        require(!schema.fieldNames.contains("_file"),
+          s"table $fullName declares a '_file' data column, which " +
+            "collides with the row-level provenance metadata column — " +
+            "rename it, or use the SQL dispatcher (Versioned.sql)")
         new GraftRowLevelOperation(spark, root, pinned, info.command,
           schema)
+      }
     }
 
   /** The DELETE fast path: Spark's `OptimizeMetadataOnlyDeleteFromTable`
@@ -487,9 +494,13 @@ final class GraftScanBuilder(spark: SparkSession, root: String,
   // SELECT, or Spark's runtime-group-filter subquery for row-level
   // DML) takes the NATIVE batch scan, which serves it per input file
   // with manifest-relative values — the same domain the row-level
-  // scan prunes by; everything else stays on the V1 bridge
+  // scan prunes by; everything else stays on the V1 bridge. A table
+  // whose SCHEMA declares a real `_file` column keeps the bridge:
+  // there the name means data, never provenance (Spark suppresses the
+  // conflicting metadata column for the same reason).
   override def build(): Scan =
-    if (required.fieldNames.contains("_file"))
+    if (required.fieldNames.contains("_file") &&
+        !tableSchema.fieldNames.contains("_file"))
       new GraftRowLevelScan(spark, root, version, required,
         pushed.toIndexedSeq, _ => ())
     else

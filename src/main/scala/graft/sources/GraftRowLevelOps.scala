@@ -186,19 +186,26 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
       .map(c => Expressions.column(c)).toArray
 
   override def filter(predicates: Array[V2Predicate]): Unit = {
+    // an empty matching set arrives as ALWAYS_FALSE or a value-less IN
+    // — no group matches: scan (and therefore replace) NOTHING
+    val none = predicates.exists(p => p.name() == "ALWAYS_FALSE" ||
+      (p.name() == "IN" && p.children().length == 1))
     val bounds = predicates.toSeq.flatMap(runtimeBound)
-    val (fileBounds, statBounds) = bounds.partition(_.col == "_file")
-    if (statBounds.nonEmpty) {
-      val narrowed = Versioned.candidateFilesForBounds(root, version,
-        VersionedSource.bounds(pushed) ++ statBounds).toSet
-      files = files.filter(narrowed)
+    if (none) files = Nil
+    else {
+      val (fileBounds, statBounds) = bounds.partition(_.col == "_file")
+      if (statBounds.nonEmpty) {
+        val narrowed = Versioned.candidateFilesForBounds(root, version,
+          VersionedSource.bounds(pushed) ++ statBounds).toSet
+        files = files.filter(narrowed)
+      }
+      // _file prunes by identity, not stats: keep exactly the named files
+      fileBounds.foreach { b =>
+        val keep = b.values.getOrElse(Nil).map(_.toString).toSet
+        files = files.filter(keep)
+      }
     }
-    // _file prunes by identity, not stats: keep exactly the named files
-    fileBounds.foreach { b =>
-      val keep = b.values.getOrElse(Nil).map(_.toString).toSet
-      files = files.filter(keep)
-    }
-    if (bounds.nonEmpty) onScanned(files)
+    if (none || bounds.nonEmpty) onScanned(files)
   }
 
   /** Runtime V2 predicate → a conservative stats bound. Only shapes

@@ -160,6 +160,13 @@ class GraftRowLevelSpec extends SparkSpec {
     assert(before.toSet.intersect(after.toSet).nonEmpty,
       s"the un-hit file must carry by identity through bare-SQL MERGE; " +
         s"before=$before after=$after")
+    // a MERGE matching nothing publishes NOTHING (fully-pruned no-op)
+    val v = Versioned.latestVersion(root).get
+    Seq((99999L, 0.0)).toDF("id", "nv").createOrReplaceTempView("fg_none")
+    sql("""MERGE INTO graftr.rl.fg t USING fg_none s ON t.id = s.id
+          |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+    assert(Versioned.latestVersion(root) === Some(v),
+      "a no-match MERGE must not publish a version")
   }
 
   test("plan pin: the optimized MERGE plan carries the runtime group " +
