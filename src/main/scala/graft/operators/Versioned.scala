@@ -456,16 +456,26 @@ object Versioned {
   }
 
   /** Recursive source listing, `_`/`.`-prefixed names skipped (the
-    * Spark convention); Option-guarded against unreadable subdirs.
-    * Static so the distributed listing can ship it to executors. */
-  private def walkSource(d: File): Seq[File] =
-    Option(d.listFiles()).getOrElse(Array.empty[File])
-      .toSeq.sortBy(_.getName).flatMap {
-        case f if f.getName.startsWith("_") ||
-            f.getName.startsWith(".") => Nil
-        case f if f.isDirectory => walkSource(f)
-        case f => Seq(f)
-      }
+    * Spark convention). An unreadable or vanished directory FAILS the
+    * copy loudly — `listFiles()` returning null would otherwise
+    * under-list the source and report a "successful" copy that skipped
+    * files (the same hazard for a distributed walk whose executor
+    * doesn't share the driver's filesystem). Static so the distributed
+    * listing can ship it to executors. */
+  private def walkSource(d: File): Seq[File] = {
+    val entries = d.listFiles()
+    if (entries == null) throw new IllegalStateException(
+      s"COPY INTO source listing failed at $d — directory unreadable, " +
+        "vanished mid-walk, or not visible from this host (executors " +
+        "must share the driver's filesystem); refusing to silently " +
+        "skip its files")
+    entries.toSeq.sortBy(_.getName).flatMap {
+      case f if f.getName.startsWith("_") ||
+          f.getName.startsWith(".") => Nil
+      case f if f.isDirectory => walkSource(f)
+      case f => Seq(f)
+    }
+  }
 
   /** Idempotent batch file ingestion (the `COPY INTO` verb — the
     * batch analog of the reference's Kafka-offset bronze ingest,
@@ -525,8 +535,11 @@ object Versioned {
     // IS the candidate set); a WIDE landing zone (many top-level
     // subdirectories) walks them on executors instead of one driver
     // thread — identities are (path, len, mtime) triples either way
-    val top = Option(srcDir.listFiles()).getOrElse(Array.empty[File])
-      .toSeq.sortBy(_.getName)
+    val topListed = srcDir.listFiles()
+    if (topListed == null) throw new IllegalStateException(
+      s"COPY INTO source listing failed at $srcDir — directory " +
+        "unreadable or vanished; refusing to silently skip its files")
+    val top = topListed.toSeq.sortBy(_.getName)
       .filterNot(f => f.getName.startsWith("_") || f.getName.startsWith("."))
     val (topDirs, topFiles) = top.partition(_.isDirectory)
     val listed: Seq[(String, Long, Long)] =
@@ -1941,6 +1954,23 @@ object Versioned {
     * broadcast decision from commit-time metadata instead of a guess. */
   def tableBytes(root: String, version: Long): Long =
     readManifest(root, version).files.map(_.bytes).sum
+
+  /** (live bytes, live rows) of `version` per the manifest — DSv2
+    * `SupportsReportStatistics` reads both so Catalyst's broadcast
+    * decision comes from commit-time truth. */
+  private[graft] def tableStats(root: String, version: Long): (Long, Long) = {
+    val fs = readManifest(root, version).files
+    (fs.map(_.bytes).sum, fs.map(_.rows).sum)
+  }
+
+  /** Whether `version` carries pending merge-on-read state (predicate
+    * deletes or deletion vectors) that a RAW file scan would
+    * resurrect. Native scans that cannot anti-filter it must refuse
+    * loudly instead of serving deleted rows. */
+  private[graft] def pendingMorState(root: String, version: Long): Boolean = {
+    val m = readManifest(root, version)
+    m.mor.nonEmpty || m.dvs.nonEmpty
+  }
 
   /** The table's declared hive-layout partition columns at `version`
     * (latest when `None`); empty for an unpartitioned table. Manifest

@@ -131,6 +131,17 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
   import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
 
+  // this scan reads manifest files RAW — pending merge-on-read state
+  // (predicate deletes, deletion vectors) would silently resurrect
+  // deleted rows, so refuse loudly up front: both for a row-level
+  // operation (whose publish would refuse anyway — this fails at plan
+  // time instead) and for a plain `SELECT _file, …` read
+  require(!Versioned.pendingMorState(root, version),
+    s"table at $root has pending merge-on-read state (predicate " +
+      "deletes or deletion vectors); compact to materialize it before " +
+      "a raw-file scan (row-level operation or a read projecting the " +
+      "_file provenance column) — a raw scan would resurrect deleted rows")
+
   private val planned = Versioned.plannedMeta(root)
   private def phys(n: String): String = planned.physNames.getOrElse(n, n)
 
@@ -169,21 +180,22 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
         physRequested), withFileColumn = fileIdx >= 0)
   }
 
-  // ---- runtime group filtering, ONE group grain per table shape:
-  // partitioned tables filter on the partition columns (groups prune
-  // by the min==max stats tuple — the Iceberg copy-on-write grain);
-  // UNPARTITIONED tables filter on `_file` itself — Spark's
-  // matching-rows plan reads a scan that serves _file per row, so the
-  // runtime predicate names the exact files holding matches and the
-  // scan narrows to precisely the touched set (one matching pass, the
-  // same economics as the dispatcher's keys-frame probe, then a
-  // file-identity prune). One attribute, not both: Spark ships a
-  // multi-attribute group filter as a struct-IN, which has no exact
-  // V2 predicate translation to prune by.
+  // ---- runtime group filtering: ONE grain for every table shape —
+  // `_file` itself (Iceberg's copy-on-write group). The matching-rows
+  // plan reads a scan that serves _file per row, so the runtime
+  // predicate names the EXACT files holding matches and the scan
+  // narrows to precisely the touched set (one matching pass, the same
+  // economics as the dispatcher's keys-frame probe, then a
+  // file-identity prune). This must be a SINGLE attribute: Spark ships
+  // a multi-attribute group filter as a struct-IN, which has no V2
+  // predicate translation — it never reaches the scan at all (verified
+  // empirically: a (day, src)-partitioned MERGE with partition-column
+  // grains rewrote every file). File identity is also strictly finer
+  // than any partition-tuple grain, so partitioned tables prune at
+  // least as well as before — a MERGE touching one (day, src) pair
+  // carries every other partition's files by identity.
   override def filterAttributes(): Array[NamedReference] =
-    (if (planned.partitionBy.nonEmpty) planned.partitionBy
-     else Seq("_file"))
-      .map(c => Expressions.column(c)).toArray
+    Array(Expressions.column("_file"))
 
   override def filter(predicates: Array[V2Predicate]): Unit = {
     // an empty matching set arrives as ALWAYS_FALSE or a value-less IN

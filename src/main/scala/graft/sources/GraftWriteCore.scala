@@ -182,8 +182,17 @@ private[graft] final class GraftStreamingWrite(spark: SparkSession,
     statsCols: Seq[String], mergeSchema: Boolean) extends StreamingWrite {
 
   private val planned = Versioned.plannedMeta(root)
+  // Complete-mode (overwrite) publishes CANONICALIZE the column
+  // mapping to identity (publishStagedIfNew mode=overwrite), so the
+  // staged files must land under LOGICAL names — otherwise a
+  // column-mapped table's renamed columns would silently read all-null
+  // after the epoch (the files would store stale physical names the
+  // canonicalized manifest no longer maps). Append keeps the mapping.
   private val spec = GraftWriteCore.jobSpec(spark, root, schema,
-    statsCols, planned, partitioned = mode == "append")
+    statsCols,
+    if (mode == "overwrite") planned.copy(physNames = Map.empty)
+    else planned,
+    partitioned = mode == "append")
 
   override def createStreamingWriterFactory(
       info: PhysicalWriteInfo): StreamingDataWriterFactory =
@@ -213,8 +222,15 @@ private[graft] final class GraftDynamicOverwriteWrite(spark: SparkSession,
     root: String, schema: StructType) extends BatchWrite {
 
   private val planned = Versioned.plannedMeta(root)
+  // dynamic overwrite of an UNPARTITIONED table degenerates to a full
+  // overwrite, whose publish canonicalizes the column mapping to
+  // identity — stage those files under LOGICAL names (same hazard as
+  // Complete-mode streaming: stale physical names would read all-null)
   private val spec = GraftWriteCore.jobSpec(spark, root, schema,
-    statsCols = Nil, planned, partitioned = true)
+    statsCols = Nil,
+    if (planned.partitionBy.isEmpty) planned.copy(physNames = Map.empty)
+    else planned,
+    partitioned = true)
 
   override def createBatchWriterFactory(
       info: PhysicalWriteInfo): DataWriterFactory =

@@ -248,6 +248,59 @@ class CatalogStreamingSpec extends SparkSpec {
       Seq("id", "amount", "tag"))
   }
 
+  test("Complete-mode streaming onto a COLUMN-MAPPED table: the " +
+      "overwrite canonicalizes the mapping, files land under LOGICAL " +
+      "names — renamed columns never read all-null") {
+    sql("CREATE NAMESPACE IF NOT EXISTS grafts.nat")
+    sql("CREATE TABLE grafts.nat.cmap (k STRING, total DOUBLE)")
+    val root = s"$warehouse/nat/cmap"
+    // rename → the table carries a logical→physical mapping; a
+    // Complete-mode epoch's publish canonicalizes it to identity, so
+    // the staged files MUST store logical names (staging them under
+    // the stale physical name would silently null the column)
+    sql("ALTER TABLE grafts.nat.cmap RENAME COLUMN total TO rev")
+    val src = tmp("graft-cmap-src")
+    Seq(("a", 1.0), ("a", 2.0), ("b", 5.0)).toDF("k", "rev")
+      .write.mode("overwrite").parquet(src)
+    val q = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+      .groupBy($"k").agg(sum($"rev").as("rev"))
+      .writeStream.outputMode("complete")
+      .option("checkpointLocation", tmp("graft-cmap-ck"))
+      .trigger(Trigger.AvailableNow()).toTable("grafts.nat.cmap")
+    q.processAllAvailable(); q.stop()
+    assert(sql("SELECT k, rev FROM grafts.nat.cmap ORDER BY k")
+      .as[(String, Double)].collect().toSeq ===
+      Seq(("a", 3.0), ("b", 5.0)))
+    assert(Versioned.read(spark, root).orderBy("k")
+      .as[(String, Double)].collect().toSeq ===
+      Seq(("a", 3.0), ("b", 5.0)))
+  }
+
+  test("dynamic overwrite of an UNPARTITIONED column-mapped table " +
+      "stages under logical names (full-overwrite canonicalization)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS grafts.nat")
+    sql("CREATE TABLE grafts.nat.dmap (id BIGINT, amount DOUBLE)")
+    sql("INSERT INTO grafts.nat.dmap VALUES (1, 1.0)")
+    sql("ALTER TABLE grafts.nat.dmap RENAME COLUMN amount TO bal")
+    withSQLConf(
+      "spark.sql.sources.partitionOverwriteMode" -> "dynamic") {
+      sql("INSERT OVERWRITE grafts.nat.dmap VALUES (7, 70.0), (8, 80.0)")
+    }
+    assert(sql("SELECT id, bal FROM grafts.nat.dmap ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((7L, 70.0), (8L, 80.0)))
+  }
+
+  private def withSQLConf[A](kv: (String, String)*)(f: => A): A = {
+    val olds = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("readStream.table follows the table and equals changesSince") {
     sql("CREATE NAMESPACE IF NOT EXISTS grafts.st")
     sql("CREATE TABLE grafts.st.feed (id BIGINT, v STRING)")

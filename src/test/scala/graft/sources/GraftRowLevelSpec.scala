@@ -135,6 +135,33 @@ class GraftRowLevelSpec extends SparkSpec {
         s"carried=$carried before=$before after=$after")
   }
 
+  test("multi-level partitioning: a MERGE touching one (day, src) " +
+      "pair carries every other partition's files by identity") {
+    sql("CREATE TABLE graftr.rl.ml (id BIGINT, day STRING, src STRING, " +
+      "v DOUBLE) PARTITIONED BY (day, src)")
+    val root = s"$warehouse/rl/ml"
+    sql("INSERT INTO graftr.rl.ml VALUES (1,'d1','a',1.0), " +
+      "(2,'d1','b',2.0), (3,'d2','a',3.0), (4,'d2','b',4.0)")
+    val before = Versioned.files(root, Versioned.latestVersion(root).get)
+    assert(before.size === 4, "one file per (day, src) tuple")
+    // the source hits ONLY (d2, a) — with the single-attribute `_file`
+    // group grain the runtime filter names exactly that file (a
+    // multi-attribute partition grain would ship as a struct-IN, which
+    // has no V2 translation and would rewrite everything)
+    Seq((3L, "d2", "a", 30.0)).toDF("id", "day", "src", "nv")
+      .createOrReplaceTempView("ml_src")
+    sql("""MERGE INTO graftr.rl.ml t USING ml_src s
+          |ON t.id = s.id AND t.day = s.day AND t.src = s.src
+          |WHEN MATCHED THEN UPDATE SET v = s.nv""".stripMargin)
+    assert(sql("SELECT id, v FROM graftr.rl.ml ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 1.0), (2L, 2.0), (3L, 30.0), (4L, 4.0)))
+    val after = Versioned.files(root, Versioned.latestVersion(root).get)
+    val carried = before.toSet.intersect(after.toSet)
+    assert(carried.size === 3,
+      s"exactly the (d2, a) file may be replaced; carried=$carried")
+  }
+
   test("file-grain runtime filtering: an UNPARTITIONED MERGE carries " +
       "untouched files by identity") {
     sql("CREATE TABLE graftr.rl.fg (id BIGINT, v DOUBLE)")
@@ -244,6 +271,34 @@ class GraftRowLevelSpec extends SparkSpec {
     sql("UPDATE graftr.rl.race SET v = 0.0 WHERE id % 2 = 0")
     assert(sql("SELECT v FROM graftr.rl.race WHERE id = 2")
       .as[Double].head() === 0.0)
+  }
+
+  test("pending merge-on-read state refuses RAW native scans loudly: " +
+      "a _file read or row-level op never resurrects deleted rows") {
+    sql("CREATE TABLE graftr.rl.morg (id BIGINT, v DOUBLE)")
+    val root = s"$warehouse/rl/morg"
+    sql("INSERT INTO graftr.rl.morg VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
+    // a plain read with no pending state MAY project _file
+    assert(sql("SELECT _file, id FROM graftr.rl.morg").count() === 3L)
+    Versioned.deleteRows(spark, root, col("id") === 2L)
+    // the bridge read honors the vector; the raw native scan must not
+    // silently serve the deleted row — loud refusal instead
+    assert(sql("SELECT id FROM graftr.rl.morg").as[Long]
+      .collect().toSet === Set(1L, 3L))
+    val e = intercept[Exception] {
+      sql("SELECT _file, id FROM graftr.rl.morg").collect()
+    }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("merge-on-read"), msgs)
+    val e2 = intercept[Exception] {
+      sql("UPDATE graftr.rl.morg SET v = 0.0 WHERE id % 2 = 1")
+    }
+    val msgs2 = Iterator.iterate(e2: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs2.contains("merge-on-read"), msgs2)
   }
 
   test("the row-level history is versioned like every other verb") {
