@@ -187,7 +187,7 @@ object Versioned {
     *    driver or bloat the manifest (Delta/Iceberg's DV-file
     *    economics). A sidecar may cover many data files; the entry's
     *    effective set is positions ∪ {pos | (file, pos) ∈ sidecars}. */
-  private case class DvEntry(file: String, positions: Seq[Long],
+  private[graft] case class DvEntry(file: String, positions: Seq[Long],
       sidecars: Seq[String] = Nil)
 
   private def logDir(root: String) = new File(root, "_graft_log")
@@ -1133,6 +1133,75 @@ object Versioned {
       schemaJson = schema, partitionBy = Some(m.partitionBy))
   }
 
+  /** The executor-staged publish behind DELTA-BASED row-level
+    * operations (`SupportsDelta` — the merge-on-read shape of bare-SQL
+    * MERGE/UPDATE/DELETE): every DATA file carries by identity; the
+    * commit publishes only the new deletion-vector positions (inline
+    * per-file lists plus executor-written sidecar parquet, merged into
+    * the parent's vectors) and the staged INSERT/UPDATE-postimage file
+    * entries — O(delta) metadata for a small mutation in a large
+    * table, the Iceberg position-delta / Delta deletion-vector
+    * economics. Pinned-version CAS, unretried, like
+    * [[publishStagedReplace]]: the delta was computed from the pinned
+    * snapshot. Pending PREDICATE merge-on-read deletes refuse (one
+    * row-removal algebra at a time); pending deletion vectors MERGE
+    * (the scan that produced this delta anti-filtered them, so the
+    * union stays exact). The change feed replays the commit lazily
+    * from the manifest — fresh positions as delete envelopes, new
+    * files as inserts — no change files needed. */
+  private[graft] def publishStagedDelta(root: String,
+      deletes: Seq[(String, Seq[Long])], sidecars: Seq[String],
+      entries: Seq[FileEntry],
+      incoming: org.apache.spark.sql.types.StructType,
+      expected: Long, planned: PlannedTableMeta,
+      command: String): Long = {
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    if (latest != expected) throw new VersionConflictException(
+      s"table at $root moved to version $latest during a row-level " +
+        s"operation planned against version $expected — re-run the " +
+        "statement against the current snapshot")
+    if (deletes.isEmpty && sidecars.isEmpty && entries.isEmpty)
+      return latest // no-match no-op: publish nothing
+    val m = readManifest(root, latest)
+    checkPlanned(root, Some(m), planned)
+    require(m.mor.isEmpty, s"table at $root has ${m.mor.size} pending " +
+      "predicate merge-on-read delete(s); compact to materialize them " +
+      "before positional delta operations (one pending row-removal " +
+      "algebra at a time)")
+    // protocol: `deletes` lists EVERY touched file (an empty position
+    // list marks a file whose positions all went to sidecars) — a
+    // sidecar with no deletes row would otherwise attach to nothing
+    // and silently resurrect its rows
+    require(sidecars.isEmpty || deletes.nonEmpty,
+      "delta sidecars arrived with no touched-file records")
+    val live = m.files.map(_.path).toSet
+    deletes.foreach { case (f, _) =>
+      require(live(f), s"delta delete names a file not live at " +
+        s"v$latest: $f") }
+    val physPart = m.partitionBy.map(n => m.physNames.getOrElse(n, n))
+    requireSingleTuple(entries, physPart)
+    val schema = evolvedSchemaOf(root, incoming, "append",
+      mergeSchema = false)
+    val dvByFile = m.dvs.map(d => d.file -> d).toMap
+    val freshByFile = deletes.toMap
+    // every file the sidecars touch gets (at least) an entry carrying
+    // the sidecar references; inline positions merge per file
+    val touched = dvByFile.keySet ++ freshByFile.keySet
+    val mergedDvs = touched.toSeq.sorted.map { f =>
+      val prev = dvByFile.get(f)
+      DvEntry(f,
+        (prev.map(_.positions).getOrElse(Nil) ++
+          freshByFile.getOrElse(f, Nil)).sorted,
+        prev.map(_.sidecars).getOrElse(Nil) ++
+          (if (freshByFile.contains(f)) sidecars else Nil))
+    }
+    publishEntries(root, m.files ++ entries, latest, "write-delta",
+      schemaJson = schema, partitionBy = Some(m.partitionBy),
+      props = Map("graft.rowlevel.command" -> command),
+      dvs = mergedDvs)
+  }
+
   /** Highest batchId any retained manifest carries for `appId` —
     * scanned newest-first: a given app's batchIds only grow with the
     * version (commitIfNew enforces it), so the first manifest carrying
@@ -1971,6 +2040,25 @@ object Versioned {
     val m = readManifest(root, version)
     m.mor.nonEmpty || m.dvs.nonEmpty
   }
+
+  /** path → (bytes, rows) of every live file at `version` — split
+    * planning and per-scan statistics read these from the manifest,
+    * never from filesystem metadata calls. */
+  private[graft] def fileMeta(root: String,
+      version: Long): Map[String, (Long, Long)] =
+    readManifest(root, version).files
+      .map(f => f.path -> (f.bytes, f.rows)).toMap
+
+  /** The pending deletion vectors at `version` — a DV-AWARE native
+    * scan anti-filters exactly these positions per file. */
+  private[graft] def pendingDvEntries(root: String,
+      version: Long): Seq[DvEntry] = readManifest(root, version).dvs
+
+  /** Whether `version` carries pending PREDICATE merge-on-read deletes
+    * (the non-positional algebra) — no native scan can serve those;
+    * compact first. */
+  private[graft] def pendingPredMor(root: String, version: Long): Boolean =
+    readManifest(root, version).mor.nonEmpty
 
   /** The table's declared hive-layout partition columns at `version`
     * (latest when `None`); empty for an unpartitioned table. Manifest
@@ -3673,14 +3761,16 @@ object Versioned {
             .filter(coalesce(expr(d.pred), lit(false)))
             .withColumn("_change_type", lit("delete"))
             .withColumn("_commit_version", lit(v))
-        case "dv-delete" =>
+        case "dv-delete" | "write-delta" =>
           // replay LAZILY like mor-delete: the rows AT this version's
           // newly-added positions (this version's position frame minus
           // the parent's — inline and sidecar forms both), read from
           // the immutable files. Deterministic from the manifest +
           // immutable sidecars alone, no change files; double
           // evaluation (file-list collect + lazy semi-join) is safe
-          // for exactly that reason.
+          // for exactly that reason. A "write-delta" (delta-based
+          // bare-SQL MERGE/UPDATE/DELETE) is the same delete replay
+          // PLUS insert envelopes from the files it appended.
           val freshPos = dvPositions(spark, root, man.dvs)
             .join(dvPositions(spark, root, prevDvs),
               Seq("__vfile", "__vpos"), "left_anti")
@@ -3692,6 +3782,15 @@ object Versioned {
               .drop("__vfile", "__vpos")
               .withColumn("_change_type", lit("delete"))
               .withColumn("_commit_version", lit(v))
+          if (man.action == "write-delta") {
+            val added = cur.filterNot(prev)
+            if (added.nonEmpty)
+              pieces += readAligned(spark,
+                added.map(p => resolve(root, p).getPath), schemaJson,
+                physNames)
+                .withColumn("_change_type", lit("insert"))
+                .withColumn("_commit_version", lit(v))
+          }
         case "merge" | "delete" | "update" =>
           if (man.cdf.isEmpty) throw new IllegalArgumentException(
             s"version $v at $root is a '${man.action}' committed without " +

@@ -1881,6 +1881,118 @@ object ExtraQueries {
   private val streamToTableDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // ---------------------------------------------------------------- x48
+  // Bare-SQL MERGE on a PARTITIONED catalog table, hash-gated: the
+  // runtime group filter (file-identity grain) narrows the rewrite to
+  // the files actually holding matches — the spec pins the carried-by-
+  // identity property; this entry pins the RESULT at sf0.1/sf1 in
+  // DuckDB. The source touches only the nk=2 partition (matched rows
+  // double) and inserts a synthetic nk=9 partition; every other
+  // partition must carry through the swap byte-exact.
+  val x48PartitionedMerge: Q = Q(
+    "x48_partitioned_merge",
+    """WITH base AS (
+      |  SELECT c_custkey, c_nationkey % 5 AS nk,
+      |         CAST(c_acctbal AS DOUBLE) AS bal
+      |  FROM customer),
+      |merged AS (
+      |  SELECT c_custkey, nk,
+      |         CASE WHEN nk = 2 THEN bal + bal ELSE bal END AS bal
+      |  FROM base
+      |  UNION ALL
+      |  SELECT c_custkey + 10000000, 9 AS nk, 1.0 AS bal
+      |  FROM base WHERE nk = 2)
+      |SELECT c_custkey, nk, bal FROM merged
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val cat = s"graftpm${math.abs(d.hashCode)}"
+    val wh = partitionedMergeDirs.getOrElseUpdate(d, {
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-pmerge-q").toString
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+      t(s, d, "customer").select(col("c_custkey"),
+        (col("c_nationkey") % 5).cast("int").as("nk"),
+        col("c_acctbal").cast("double").as("bal"))
+        .createOrReplaceTempView("x48_base")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.r10")
+      s.sql(s"CREATE TABLE $cat.r10.cust " +
+        "(c_custkey BIGINT, nk INT, bal DOUBLE) PARTITIONED BY (nk)")
+      s.sql(s"INSERT INTO $cat.r10.cust SELECT * FROM x48_base")
+      // the source hits ONLY nk=2: matched rows double, and each also
+      // seeds a synthetic row in a NEW nk=9 partition
+      s.sql("""SELECT c_custkey, nk, bal FROM x48_base WHERE nk = 2
+        |UNION ALL
+        |SELECT c_custkey + 10000000 AS c_custkey, 9 AS nk, 1.0 AS bal
+        |FROM x48_base WHERE nk = 2""".stripMargin)
+        .createOrReplaceTempView("x48_src")
+      s.sql(
+        s"""MERGE INTO $cat.r10.cust t USING x48_src s
+          |ON t.c_custkey = s.c_custkey AND t.nk = s.nk
+          |WHEN MATCHED THEN UPDATE SET bal = t.bal + s.bal
+          |WHEN NOT MATCHED THEN
+          |  INSERT (c_custkey, nk, bal) VALUES (s.c_custkey, s.nk, s.bal)"""
+          .stripMargin)
+      w
+    })
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"SELECT c_custkey, nk, bal FROM $cat.r10.cust " +
+      "ORDER BY c_custkey")
+  }
+
+  private val partitionedMergeDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  // ---------------------------------------------------------------- x49
+  // MERGE-ON-READ bare-SQL DML (SupportsDelta), hash-gated: under
+  // spark.graft.rowlevel.mode=mor a small UPDATE and DELETE publish
+  // deletion-vector positions + tiny postimage files while every data
+  // file carries by identity (GraftDeltaSpec pins the file-identity
+  // property; this entry pins the RESULT). The read path anti-joins
+  // the vectors; DuckDB replays the same mutations directly — a
+  // resurrected deleted row, a lost postimage, or a double-applied
+  // vector all break the hash.
+  val x49MorDml: Q = Q(
+    "x49_mor_dml",
+    """WITH c AS (SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal
+      |           FROM customer)
+      |SELECT c_custkey,
+      |  CASE WHEN c_custkey % 97 = 11 THEN bal + 5.0 ELSE bal END AS bal
+      |FROM c
+      |WHERE c_custkey % 101 <> 7
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val cat = s"graftmor${math.abs(d.hashCode)}"
+    val wh = morDmlDirs.getOrElseUpdate(d, {
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-mordml-q").toString
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+      t(s, d, "customer").select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("bal"))
+        .createOrReplaceTempView("x49_src")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.r10")
+      s.sql(s"CREATE TABLE $cat.r10.morc (c_custkey BIGINT, bal DOUBLE)")
+      s.sql(s"INSERT INTO $cat.r10.morc SELECT * FROM x49_src")
+      s.conf.set("spark.graft.rowlevel.mode", "mor")
+      try {
+        s.sql(s"UPDATE $cat.r10.morc SET bal = bal + 5.0 " +
+          "WHERE c_custkey % 97 = 11")
+        s.sql(s"DELETE FROM $cat.r10.morc WHERE c_custkey % 101 = 7")
+      } finally s.conf.unset("spark.graft.rowlevel.mode")
+      w
+    })
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"SELECT c_custkey, bal FROM $cat.r10.morc ORDER BY c_custkey")
+  }
+
+  private val morDmlDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   // ---------------------------------------------------------------- x30
   // Atomic predicate-scoped overwrite (Versioned.replaceWhere — Delta's
   // replaceWhere): customers land range-clustered by nation, then the
@@ -2099,5 +2211,6 @@ object ExtraQueries {
     x35PinnedJoin, x36SqlUpdateDelete, x37SqlSchemaEvolution,
     x38SqlRename, x39SqlWiden, x40CatalogSql, x41SqlMergeFull,
     x42SqlDeleteIn, x43CopyInto, x44CatalogDml, x45NativeDml,
-    x46DynamicOverwrite, x47StreamToTable)
+    x46DynamicOverwrite, x47StreamToTable, x48PartitionedMerge,
+    x49MorDml)
 }

@@ -415,37 +415,72 @@ final class GraftTable(spark: SparkSession, fullName: String,
     new GraftWriteBuilder(spark, root, info)
 
   /** `_file` — the manifest-relative path of the data file a row came
-    * from. Spark's group-based row-level rewrite carries it per row so
-    * the replacement write knows file provenance (the Iceberg shape);
-    * served by the native row-level scan only (plain catalog reads
-    * ride the V1 bridge, which errors loudly if `_file` is selected). */
+    * from — and `_pos`, its row index within that file. Together they
+    * are the row identity the delta-based operation's `rowId` speaks
+    * (and what the deletion-vector verbs key on); the group-based
+    * rewrite carries `_file` alone for file provenance. Served by the
+    * native scan (which all plain catalog reads now take). */
   override def metadataColumns(): Array[MetadataColumn] =
-    Array(new MetadataColumn {
-      override def name(): String = "_file"
-      override def dataType(): org.apache.spark.sql.types.DataType =
-        org.apache.spark.sql.types.StringType
-      override def isNullable: Boolean = false
-      override def comment(): String =
-        "manifest-relative path of the row's data file"
-    })
+    Array(
+      new MetadataColumn {
+        override def name(): String = "_file"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.StringType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "manifest-relative path of the row's data file"
+      },
+      new MetadataColumn {
+        override def name(): String = "_pos"
+        override def dataType(): org.apache.spark.sql.types.DataType =
+          org.apache.spark.sql.types.LongType
+        override def isNullable: Boolean = false
+        override def comment(): String =
+          "row index within the row's data file"
+      })
+
+  /** The effective row-level mode for this snapshot: `cow` (group-based
+    * copy-on-write replace), `mor` (delta-based deletion vectors), or
+    * the `auto` default — copy-on-write for a clean table, delta when
+    * deletion vectors are already pending (copy-on-write would refuse
+    * there, so bare-SQL DML composes with the DV verbs without a
+    * compact between). */
+  private def rowLevelMode: String =
+    spark.conf.getOption("spark.graft.rowlevel.mode")
+      .getOrElse("auto") match {
+      case "cow" => "cow"
+      case "mor" => "mor"
+      case "auto" =>
+        if (Versioned.pendingDvEntries(root, pinned).nonEmpty) "mor"
+        else "cow"
+      case other => throw new IllegalArgumentException(
+        s"spark.graft.rowlevel.mode must be cow, mor or auto; got $other")
+    }
 
   /** Plain `spark.sql` MERGE/UPDATE/DELETE against the catalog name —
     * Spark's own analyzer rewrites plan onto the group-based
-    * copy-on-write operation ([[GraftRowLevelOperation]]). */
+    * copy-on-write operation ([[GraftRowLevelOperation]]) or the
+    * delta-based merge-on-read one ([[GraftDeltaOperation]]) per
+    * [[rowLevelMode]]. */
   override def newRowLevelOperationBuilder(
       info: org.apache.spark.sql.connector.write.RowLevelOperationInfo)
       : org.apache.spark.sql.connector.write.RowLevelOperationBuilder =
     new org.apache.spark.sql.connector.write.RowLevelOperationBuilder {
       override def build(): org.apache.spark.sql.connector.write
           .RowLevelOperation = {
-        // the operation's provenance metadata column would silently
+        // the operation's provenance metadata columns would silently
         // bind to a DATA column of the same name — refuse up front
-        require(!schema.fieldNames.contains("_file"),
-          s"table $fullName declares a '_file' data column, which " +
-            "collides with the row-level provenance metadata column — " +
-            "rename it, or use the SQL dispatcher (Versioned.sql)")
-        new GraftRowLevelOperation(spark, root, pinned, info.command,
-          schema)
+        Seq("_file", "_pos").foreach(m =>
+          require(!schema.fieldNames.contains(m),
+            s"table $fullName declares a '$m' data column, which " +
+              "collides with the row-level provenance metadata column " +
+              "— rename it, or use the SQL dispatcher (Versioned.sql)"))
+        if (rowLevelMode == "mor")
+          new GraftDeltaOperation(spark, root, pinned, info.command,
+            schema)
+        else
+          new GraftRowLevelOperation(spark, root, pinned, info.command,
+            schema)
       }
     }
 
@@ -453,9 +488,13 @@ final class GraftTable(spark: SparkSession, fullName: String,
     * converts any DELETE whose condition translates EXACTLY into this
     * call — routed onto [[Versioned.delete]], the manifest-stats
     * file-pruned verb (untouched files carry by reference), instead of
-    * the group-based full rewrite. */
+    * the group-based full rewrite. Under the delta (merge-on-read)
+    * mode the fast path steps aside: position deltas beat a predicate
+    * rewrite for small deletes, and [[Versioned.delete]] refuses
+    * pending vectors anyway. */
   override def canDeleteWhere(filters: Array[Filter]): Boolean =
-    filters.forall(f => VersionedSource.exactColumn(f).isDefined)
+    rowLevelMode == "cow" &&
+      filters.forall(f => VersionedSource.exactColumn(f).isDefined)
 
   override def deleteWhere(filters: Array[Filter]): Unit = {
     val cond = filters.toSeq.flatMap(VersionedSource.exactColumn)
@@ -490,22 +529,45 @@ final class GraftScanBuilder(spark: SparkSession, root: String,
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
 
-  // a read asking for the `_file` provenance metadata column (a user
-  // SELECT, or Spark's runtime-group-filter subquery for row-level
-  // DML) takes the NATIVE batch scan, which serves it per input file
-  // with manifest-relative values — the same domain the row-level
-  // scan prunes by; everything else stays on the V1 bridge. A table
-  // whose SCHEMA declares a real `_file` column keeps the bridge:
-  // there the name means data, never provenance (Spark suppresses the
-  // conflicting metadata column for the same reason).
-  override def build(): Scan =
-    if (required.fieldNames.contains("_file") &&
-        !tableSchema.fieldNames.contains("_file"))
+  // Plain catalog batch reads take the NATIVE DSv2 scan — Spark's
+  // vectorized parquet reader with FilePartition-style packing/
+  // splitting, manifest-stats pruning, commit-time statistics
+  // (broadcast decisions from manifest truth), and the `_file`
+  // provenance metadata column when asked for (a user SELECT, or
+  // Spark's runtime-group-filter subquery for row-level DML). The V1
+  // bridge remains ONLY for snapshots carrying pending merge-on-read
+  // state (predicate deletes / deletion vectors), whose reads
+  // anti-filter through `readLive` — a raw native scan would
+  // resurrect deleted rows, and the native path refuses `_file`
+  // loudly there. A table whose SCHEMA declares a real `_file` column
+  // also keeps the bridge: there the name means data, never
+  // provenance (Spark suppresses the conflicting metadata column for
+  // the same reason).
+  override def build(): Scan = {
+    // a schema-declared `_file`/`_pos` shadows the metadata column —
+    // the name means DATA there, and the native scan would misread it
+    val shadowed = Seq("_file", "_pos")
+      .exists(tableSchema.fieldNames.contains)
+    val wantsMeta = Seq("_file", "_pos")
+      .exists(required.fieldNames.contains) && !shadowed
+    if (!shadowed && !Versioned.pendingMorState(root, version))
       new GraftRowLevelScan(spark, root, version, required,
-        pushed.toIndexedSeq, _ => ())
+        pushed.toIndexedSeq, _ => (), dvAware = true)
+    else if (wantsMeta)
+      // pending MoR state + a provenance projection: the DV-AWARE
+      // native scan anti-filters deletion vectors per file (live rows
+      // only, positions intact); pending PREDICATE deletes make it
+      // refuse loudly — never a resurrected row either way
+      new GraftRowLevelScan(spark, root, version, required,
+        pushed.toIndexedSeq, _ => (), dvAware = true)
     else
+      // pending state without a provenance projection: the V1 bridge's
+      // readLive applies the same algebra through the vectorized
+      // anti-join plan (better for WIDE vectors); shadowed names
+      // always take the bridge (there they are data columns)
       new GraftV1ScanBridge(spark, root, version, pushed.toIndexedSeq,
         required)
+  }
 }
 
 /** The DSv2→V1 scan bridge (`V1Scan`, the JDBC connector's own path):

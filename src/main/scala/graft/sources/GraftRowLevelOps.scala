@@ -107,7 +107,33 @@ final class GraftRowLevelScanBuilder(spark: SparkSession, root: String,
 
   override def build(): Scan =
     new GraftRowLevelScan(spark, root, version, required,
-      pushed.toIndexedSeq, op.recordScanned)
+      pushed.toIndexedSeq, op.recordScanned, dvAware = false)
+}
+
+/** Scan builder for the DELTA-BASED row-level operation: DV-AWARE
+  * (pending deletion vectors anti-filter in the reader — a second
+  * delta op matches only LIVE rows) and position-serving (`_pos` row
+  * IDs need whole-file row indexes, so no splitting). */
+final class GraftDeltaScanBuilder(spark: SparkSession, root: String,
+    version: Long, tableSchema: StructType) extends ScanBuilder
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+
+  private var pushed: Array[Filter] = Array.empty
+  private var required: StructType = tableSchema
+
+  override def pushFilters(filters: Array[Filter]): Array[Filter] = {
+    pushed = filters
+    filters
+  }
+
+  override def pushedFilters(): Array[Filter] = pushed
+
+  override def pruneColumns(requiredSchema: StructType): Unit =
+    required = requiredSchema
+
+  override def build(): Scan =
+    new GraftRowLevelScan(spark, root, version, required,
+      pushed.toIndexedSeq, _ => (), dvAware = true)
 }
 
 /** Native DSv2 batch scan over one pinned version. Serves the `_file`
@@ -123,61 +149,175 @@ final class GraftRowLevelScanBuilder(spark: SparkSession, root: String,
   * the files that could hold matching groups. */
 final class GraftRowLevelScan(spark: SparkSession, root: String,
     version: Long, required: StructType,
-    pushed: Seq[Filter], onScanned: Seq[String] => Unit)
+    pushed: Seq[Filter], onScanned: Seq[String] => Unit,
+    dvAware: Boolean, splittable: Boolean = true)
     extends Scan with org.apache.spark.sql.connector.read.Batch
-    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering {
+    with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
 
   import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Literal, NamedReference}
   import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
   import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader, PartitionReaderFactory}
 
-  // this scan reads manifest files RAW — pending merge-on-read state
-  // (predicate deletes, deletion vectors) would silently resurrect
-  // deleted rows, so refuse loudly up front: both for a row-level
-  // operation (whose publish would refuse anyway — this fails at plan
-  // time instead) and for a plain `SELECT _file, …` read
-  require(!Versioned.pendingMorState(root, version),
-    s"table at $root has pending merge-on-read state (predicate " +
-      "deletes or deletion vectors); compact to materialize it before " +
-      "a raw-file scan (row-level operation or a read projecting the " +
-      "_file provenance column) — a raw scan would resurrect deleted rows")
+  // Pending PREDICATE merge-on-read deletes refuse always — no native
+  // reader can re-evaluate them. Pending DELETION VECTORS refuse on a
+  // RAW scan (the group-based copy-on-write operation, whose publish
+  // would refuse anyway — this fails at plan time) but are
+  // ANTI-FILTERED per file by a DV-AWARE scan (plain metadata-column
+  // reads, the delta operation's matching scan): live rows only,
+  // never a resurrected one.
+  require(!Versioned.pendingPredMor(root, version),
+    s"table at $root has pending predicate merge-on-read delete(s); " +
+      "compact to materialize them before a native scan (row-level " +
+      "operation or a read projecting provenance metadata columns)")
+  private val dvs: Seq[Versioned.DvEntry] =
+    Versioned.pendingDvEntries(root, version)
+  require(dvAware || dvs.isEmpty,
+    s"table at $root has pending deletion vector(s); compact to " +
+      "materialize them before a copy-on-write row-level operation " +
+      "(its by-reference carry would resurrect deleted rows)")
 
   private val planned = Versioned.plannedMeta(root)
   private def phys(n: String): String = planned.physNames.getOrElse(n, n)
+  // `_file`/`_pos` in `required` are METADATA here by construction:
+  // the scan builders route tables whose SCHEMA declares either name
+  // away from this scan (there the name means data)
+  private val needPos = required.fieldNames.contains("_pos")
+  private val dvActive = dvs.nonEmpty
+  // position serving and DV skipping both need whole-file row indexes
+  private val effSplittable = splittable && !needPos && !dvActive
 
   @volatile private var files: Seq[String] =
     Versioned.candidateFilesForBounds(root, version,
       VersionedSource.bounds(pushed))
   onScanned(files)
 
+  // manifest truth for split planning and statistics: path → (bytes,
+  // rows), read once at scan construction
+  private val meta = Versioned.fileMeta(root, version)
+  // split-planning knobs captured driver-side (session conf)
+  private val maxPartitionBytes =
+    spark.sessionState.conf.filesMaxPartitionBytes
+  private val openCostInBytes = spark.sessionState.conf.filesOpenCostInBytes
+  private val minPartitionNum = spark.sessionState.conf.filesMinPartitionNum
+    .getOrElse(spark.sparkContext.defaultParallelism)
+
   override def readSchema(): StructType = required
 
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
 
+  /** Commit-time truth for Catalyst's broadcast decision: bytes/rows
+    * summed over the (statically pruned) candidate files — a
+    * post-filter dimension read reports its REAL size, not a guess. */
+  override def estimateStatistics()
+      : org.apache.spark.sql.connector.read.Statistics =
+    new org.apache.spark.sql.connector.read.Statistics {
+      private val (b, r) = files.foldLeft((0L, 0L)) { case ((bb, rr), p) =>
+        val (fb, fr) = meta.getOrElse(p, (0L, 0L)); (bb + fb, rr + fr)
+      }
+      override def sizeInBytes(): java.util.OptionalLong =
+        java.util.OptionalLong.of(b)
+      override def numRows(): java.util.OptionalLong =
+        java.util.OptionalLong.of(r)
+    }
+
+  /** Spark's own `FilePartition` packing economics, re-expressed for
+    * the manifest-backed scan: large files SPLIT into byte ranges at
+    * the standard `maxSplitBytes` (row groups whose midpoint falls in
+    * the range — never a torn row group), small files PACK together so
+    * a thousand-small-file table plans a bounded task count instead of
+    * a task per file. `splittable=false` (the positional-delta scan,
+    * which needs whole-file row indexes) keeps one chunk per file but
+    * still packs. */
   override def planInputPartitions(): Array[InputPartition] = {
     val rootAbs = new java.io.File(root).getAbsolutePath
-    files.map(rel => GraftFilePartition(
-      new java.io.File(rootAbs, rel).getPath, rel): InputPartition)
-      .toArray
+    // clone manifests record absolute paths — resolve like Versioned
+    def abs(rel: String) = {
+      val f = new java.io.File(rel)
+      if (f.isAbsolute) f.getPath else new java.io.File(rootAbs, rel).getPath
+    }
+    // a path absent from the manifest map (impossible for a live file;
+    // defensive) packs as one whole-file zero-cost chunk — never split
+    val sizes = files.map(p => p -> meta.getOrElse(p, (0L, 0L))._1)
+    val totalBytes = sizes.map(_._2 + openCostInBytes).sum
+    val maxSplitBytes = math.min(maxPartitionBytes,
+      math.max(openCostInBytes, totalBytes / math.max(1, minPartitionNum)))
+    // DV-aware chunks carry their file's pending positions: inline
+    // lists ship in the chunk (bounded by the inline threshold),
+    // sidecars ship as absolute paths the task reads and filters
+    val dvByFile = dvs.map(d => d.file -> d).toMap
+    def chunk(rel: String, start: Long, length: Long,
+        bytes: Long): GraftFileChunk = {
+      val d = dvByFile.get(rel)
+      GraftFileChunk(abs(rel), rel, start, length, bytes,
+        d.map(_.positions).getOrElse(Nil),
+        d.map(_.sidecars.map(abs)).getOrElse(Nil))
+    }
+    val chunks = sizes.sortBy(-_._2).flatMap { case (rel, bytes) =>
+      if (!effSplittable || bytes <= maxSplitBytes)
+        Seq(chunk(rel, 0L, Long.MaxValue, bytes))
+      else (0L until bytes by maxSplitBytes).map(off =>
+        chunk(rel, off, math.min(maxSplitBytes, bytes - off),
+          math.min(maxSplitBytes, bytes - off)))
+    }
+    val partitions = Seq.newBuilder[InputPartition]
+    var current = Seq.newBuilder[GraftFileChunk]
+    var currentBytes = 0L
+    var empty = true
+    chunks.foreach { c =>
+      if (!empty && currentBytes + c.bytes + openCostInBytes > maxSplitBytes) {
+        partitions += GraftFilePartition(current.result())
+        current = Seq.newBuilder[GraftFileChunk]; currentBytes = 0L
+        empty = true
+      }
+      current += c; currentBytes += c.bytes + openCostInBytes; empty = false
+    }
+    if (!empty) partitions += GraftFilePartition(current.result())
+    partitions.result().toArray
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    // `_file` (the provenance metadata column) is served by the reader
-    // itself, not parquet; Spark appends metadata output after data
-    // output, so it can only sit last
-    val fileIdx = required.fieldNames.indexOf("_file")
-    require(fileIdx < 0 || fileIdx == required.length - 1,
-      s"_file must be the trailing column, got ${required.fieldNames
-        .mkString(", ")}")
-    val dataFields = required.fields.filterNot(_.name == "_file")
+    // `_file`/`_pos` (the provenance metadata columns) are served by
+    // the reader itself, not parquet; Spark appends metadata output
+    // after data output, so they can only sit in the trailing positions
+    val metaNames = required.fieldNames.zipWithIndex
+      .filter { case (n, _) => n == "_file" || n == "_pos" }
+    val dataCount = required.length - metaNames.length
+    require(metaNames.forall(_._2 >= dataCount),
+      s"metadata columns must trail the data columns, got " +
+        required.fieldNames.mkString(", "))
+    // the reader's metadata tail, in the required order, as
+    // 0=_file / 1=_pos slots
+    val metaTail: Seq[Int] = required.fieldNames.drop(dataCount).map {
+      case "_file" => 0
+      case "_pos" => 1
+      case other => throw new IllegalStateException(
+        s"unexpected trailing column $other")
+    }.toIndexedSeq
+    val dataFields = required.fields.take(dataCount)
     // request the PHYSICAL projection of the data columns — files
     // under column mapping store physical names; row positions stay
     // the logical order the query expects
     val physRequested = StructType(dataFields.map(f =>
       f.copy(name = phys(f.name))))
+    // the vectorized reader serves every schema the standard scan
+    // would serve vectorized (`ParquetFileFormat.supportBatch` gate);
+    // anything else falls back to the row-grain reader — correctness
+    // never depends on the columnar path. Position serving and DV
+    // anti-filtering are row-grain (they need per-row file indexes).
+    val vectorized = !needPos && !dvActive &&
+      spark.sessionState.conf.parquetVectorizedReaderEnabled &&
+        org.apache.spark.sql.GraftParquetIO.isVectorizable(spark,
+          physRequested)
     new GraftParquetReaderFactory(
       org.apache.spark.sql.GraftParquetIO.taskReadConf(spark,
-        physRequested), withFileColumn = fileIdx >= 0)
+        physRequested), metaTail = metaTail,
+      vectorized = vectorized,
+      capacity = org.apache.spark.sql.GraftParquetIO.columnarBatchSize(spark),
+      dvConf =
+        if (dvActive) Some(org.apache.spark.sql.GraftParquetIO
+          .taskReadConf(spark, GraftParquetReaderFactory.DvSchema))
+        else None)
   }
 
   // ---- runtime group filtering: ONE grain for every table shape —
@@ -194,8 +334,19 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
   // than any partition-tuple grain, so partitioned tables prune at
   // least as well as before — a MERGE touching one (day, src) pair
   // carries every other partition's files by identity.
+  // Spark resolves these against the scan's OUTPUT (an unprojected
+  // name throws in PartitionPruning), so advertise only what this
+  // scan actually serves: `_file` when projected (every row-level
+  // matching scan — requiredMetadataAttributes pins it there); else a
+  // projected PARTITION column, which buys plain reads dynamic
+  // partition pruning on joins through the same stats-bound prune.
   override def filterAttributes(): Array[NamedReference] =
-    Array(Expressions.column("_file"))
+    if (required.fieldNames.contains("_file"))
+      Array(Expressions.column("_file"))
+    else planned.partitionBy
+      .find(pc => required.fieldNames.exists(_.equalsIgnoreCase(pc)))
+      .map(pc => Array(Expressions.column(pc): NamedReference))
+      .getOrElse(Array.empty)
 
   override def filter(predicates: Array[V2Predicate]): Unit = {
     // an empty matching set arrives as ALWAYS_FALSE or a value-less IN
@@ -254,37 +405,174 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
     s"GraftRowLevelScan($root, v$version, ${files.size} files)"
 }
 
-private[sources] final case class GraftFilePartition(path: String,
-    relPath: String)
+/** One byte range of one data file: `[start, start+length)` selects
+  * the row groups whose midpoint falls inside (the standard split
+  * contract); `bytes` is the packing weight. `length=Long.MaxValue`
+  * means the whole file. `dvInline`/`dvSidecars` carry the file's
+  * pending deletion-vector positions for DV-AWARE reads (whole-file
+  * chunks only — position math needs file-absolute row indexes). */
+private[sources] final case class GraftFileChunk(path: String,
+    relPath: String, start: Long, length: Long, bytes: Long,
+    dvInline: Seq[Long] = Nil, dvSidecars: Seq[String] = Nil)
+
+/** One scan task: a packed set of file chunks (Spark's own
+  * `FilePartition` shape — many small files per task, large files
+  * split across tasks). */
+private[sources] final case class GraftFilePartition(
+    chunks: Seq[GraftFileChunk])
     extends org.apache.spark.sql.connector.read.InputPartition
 
+private[sources] object GraftParquetReaderFactory {
+  /** Schema of deletion-vector position sidecars (what
+    * `Versioned.deleteRows` and the delta writer both emit). */
+  val DvSchema: org.apache.spark.sql.types.StructType =
+    org.apache.spark.sql.types.StructType(Seq(
+      org.apache.spark.sql.types.StructField("file",
+        org.apache.spark.sql.types.StringType, nullable = false),
+      org.apache.spark.sql.types.StructField("pos",
+        org.apache.spark.sql.types.LongType, nullable = false)))
+}
+
+/** `metaTail` encodes the trailing metadata projection in required
+  * order: 0 = `_file` (constant per chunk), 1 = `_pos` (the row's
+  * file-absolute index — counts every physical row, including
+  * DV-skipped ones, so positions agree with `_metadata.row_index`
+  * everywhere else). `dvConf` present = DV-AWARE: each chunk's pending
+  * positions (inline + sidecar) are skipped during the read. */
 private[sources] final class GraftParquetReaderFactory(
     conf: org.apache.spark.util.SerializableConfiguration,
-    withFileColumn: Boolean)
+    metaTail: Seq[Int], vectorized: Boolean, capacity: Int,
+    dvConf: Option[org.apache.spark.util.SerializableConfiguration] = None)
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
 
+  import org.apache.spark.sql.catalyst.InternalRow
+  import org.apache.spark.sql.connector.read.{InputPartition, PartitionReader}
+  import org.apache.spark.sql.vectorized.ColumnarBatch
+
+  override def supportColumnarReads(partition: InputPartition): Boolean =
+    vectorized
+
+  /** The deleted-position set of one chunk's file: inline positions
+    * plus the chunk's sidecars filtered to this file, as a BitSet —
+    * O(file rows / 8) bytes, constant-time probes (the Iceberg
+    * position-delete application shape: each task reads the delete
+    * files scoped to its data file). */
+  private def deletedBits(c: GraftFileChunk): java.util.BitSet = {
+    val bits = new java.util.BitSet()
+    c.dvInline.foreach(p => bits.set(p.toInt))
+    if (c.dvSidecars.nonEmpty) {
+      val dc = dvConf.getOrElse(throw new IllegalStateException(
+        "sidecar-bearing chunk reached a non-DV-aware reader")).value
+      val target = org.apache.spark.unsafe.types.UTF8String
+        .fromString(c.relPath)
+      c.dvSidecars.foreach { sc =>
+        val r = org.apache.spark.sql.GraftParquetIO.openRowReader(dc, sc)
+        try {
+          var row = r.read()
+          while (row != null) {
+            if (row.getUTF8String(0) == target) bits.set(row.getLong(1).toInt)
+            row = r.read()
+          }
+        } finally r.close()
+      }
+    }
+    bits
+  }
+
+  /** Row-grain path (position serving, DV-aware reads, and schemas the
+    * vectorized reader can't serve): chains the partition's chunks
+    * through Spark's parquet row materializer. */
   override def createReader(
-      partition: org.apache.spark.sql.connector.read.InputPartition)
-      : org.apache.spark.sql.connector.read.PartitionReader[
-        org.apache.spark.sql.catalyst.InternalRow] = {
+      partition: InputPartition): PartitionReader[InternalRow] = {
     val p = partition.asInstanceOf[GraftFilePartition]
-    new org.apache.spark.sql.connector.read.PartitionReader[
-        org.apache.spark.sql.catalyst.InternalRow] {
-      private val reader =
-        org.apache.spark.sql.GraftParquetIO.openRowReader(conf.value, p.path)
-      // `_file` rides a JoinedRow tail — one shared single-field row,
-      // zero per-row allocation
+    new PartitionReader[InternalRow] {
+      private val it = p.chunks.iterator
+      private var reader: org.apache.parquet.hadoop.ParquetReader[InternalRow] = _
+      // the metadata tail rides a JoinedRow — one shared row per
+      // chunk, zero per-row allocation (the `_pos` slot mutates)
       private val joined =
         new org.apache.spark.sql.catalyst.expressions.JoinedRow
-      private val fileRow =
-        new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(
-          Array[Any](org.apache.spark.unsafe.types.UTF8String
-            .fromString(p.relPath)))
-      private var row: org.apache.spark.sql.catalyst.InternalRow = _
-      override def next(): Boolean = { row = reader.read(); row != null }
-      override def get(): org.apache.spark.sql.catalyst.InternalRow =
-        if (withFileColumn) joined(row, fileRow) else row
-      override def close(): Unit = reader.close()
+      private var tailRow: org.apache.spark.sql.catalyst.expressions.GenericInternalRow = _
+      private var posSlot = -1
+      private var pos = -1L
+      private var dead: java.util.BitSet = _
+      private var row: InternalRow = _
+      @scala.annotation.tailrec
+      override def next(): Boolean = {
+        if (reader != null) {
+          row = reader.read()
+          while (row != null && dead != null && {
+            pos += 1; dead.get(pos.toInt)
+          }) row = reader.read()
+          if (row != null) {
+            if (dead == null) pos += 1
+            if (posSlot >= 0) tailRow.update(posSlot, pos)
+            return true
+          }
+          reader.close(); reader = null
+        }
+        if (!it.hasNext) false
+        else {
+          val c = it.next()
+          reader = org.apache.spark.sql.GraftParquetIO
+            .openRowReader(conf.value, c.path, c.start, c.length)
+          pos = -1L
+          dead =
+            if (c.dvInline.nonEmpty || c.dvSidecars.nonEmpty) deletedBits(c)
+            else null
+          if (metaTail.nonEmpty) {
+            tailRow = new org.apache.spark.sql.catalyst.expressions
+              .GenericInternalRow(metaTail.length)
+            metaTail.zipWithIndex.foreach {
+              case (0, i) => tailRow.update(i,
+                org.apache.spark.unsafe.types.UTF8String
+                  .fromString(c.relPath))
+              case (1, i) => posSlot = i
+              case _ => ()
+            }
+          }
+          next()
+        }
+      }
+      override def get(): InternalRow =
+        if (metaTail.nonEmpty) joined(row, tailRow) else row
+      override def close(): Unit = if (reader != null) reader.close()
+    }
+  }
+
+  /** The hot path: Spark's vectorized parquet reader per chunk,
+    * `ColumnarBatch`es straight into whole-stage codegen
+    * (`BatchScan … ColumnarToRow` in the plan); the `_file` constant
+    * rides the reader's partition-value mechanism. */
+  override def createColumnarReader(
+      partition: InputPartition): PartitionReader[ColumnarBatch] = {
+    val p = partition.asInstanceOf[GraftFilePartition]
+    new PartitionReader[ColumnarBatch] {
+      private val it = p.chunks.iterator
+      private var reader: org.apache.spark.sql.execution.datasources
+        .parquet.VectorizedParquetRecordReader = _
+      @scala.annotation.tailrec
+      override def next(): Boolean = {
+        if (reader != null) {
+          if (reader.nextBatch()) return true
+          reader.close(); reader = null
+        }
+        if (!it.hasNext) false
+        else {
+          val c = it.next()
+          reader = org.apache.spark.sql.GraftParquetIO.openColumnarReader(
+            conf.value, c.path, c.start,
+            if (c.length == Long.MaxValue) Long.MaxValue - c.start
+            else c.length,
+            capacity,
+            // vectorized reads never serve _pos (row-grain forced), so
+            // the only possible metadata tail is the _file constant
+            if (metaTail.nonEmpty) Some(c.relPath) else None)
+          next()
+        }
+      }
+      override def get(): ColumnarBatch = reader.resultBatch()
+      override def close(): Unit = if (reader != null) reader.close()
     }
   }
 }

@@ -85,6 +85,10 @@ object GraftParquetIO {
     val sqlc = spark.sessionState.conf
     val conf = spark.sessionState.newHadoopConf()
     conf.set(ParquetReadSupport.SPARK_ROW_REQUESTED_SCHEMA, requested.json)
+    // the split-initialized readers resolve their ReadSupport from the
+    // conf (ParquetFileFormat sets the same key for the standard scan)
+    conf.set(org.apache.parquet.hadoop.ParquetInputFormat.READ_SUPPORT_CLASS,
+      classOf[ParquetReadSupport].getName)
     conf.set(SQLConf.SESSION_LOCAL_TIMEZONE.key, sqlc.sessionLocalTimeZone)
     conf.setBoolean(SQLConf.CASE_SENSITIVE.key, sqlc.caseSensitiveAnalysis)
     conf.setBoolean(SQLConf.PARQUET_BINARY_AS_STRING.key,
@@ -102,21 +106,77 @@ object GraftParquetIO {
     new SerializableConfiguration(conf)
   }
 
-  /** Task side: an open parquet ROW reader for one file, yielding
+  /** Task side: an open parquet ROW reader for one file (or the byte
+    * range `[start, start+length)` of it — row groups whose midpoint
+    * falls in the range, the standard split contract), yielding
     * `InternalRow`s of the requested schema carried in `conf`. Rebase
     * mode is CORRECTED: this engine only reads files it wrote (Spark
     * 4, proleptic calendar) through this path. */
-  def openRowReader(conf: Configuration,
-      path: String): org.apache.parquet.hadoop.ParquetReader[InternalRow] = {
+  def openRowReader(conf: Configuration, path: String,
+      start: Long = 0L, length: Long = Long.MaxValue)
+      : org.apache.parquet.hadoop.ParquetReader[InternalRow] = {
     import org.apache.spark.sql.catalyst.util.RebaseDateTime.RebaseSpec
     import org.apache.spark.sql.execution.datasources.parquet.ParquetReadSupport
     import org.apache.spark.sql.internal.LegacyBehaviorPolicy
     val corrected = RebaseSpec(LegacyBehaviorPolicy.CORRECTED)
     val support = new ParquetReadSupport(None,
       enableVectorizedReader = false, corrected, corrected)
-    org.apache.parquet.hadoop.ParquetReader
+    val b = org.apache.parquet.hadoop.ParquetReader
       .builder[InternalRow](support, new Path(path))
-      .withConf(conf).build()
+      .withConf(conf)
+    (if (length == Long.MaxValue) b
+     else b.withFileRange(start, start + length)).build()
+  }
+
+  /** Whether Spark's VECTORIZED parquet reader can serve `schema` —
+    * the same gate `ParquetFileFormat.supportBatch` applies for the
+    * standard scan; a false answer falls back to the row reader. */
+  def isVectorizable(spark: SparkSession,
+      schema: StructType): Boolean =
+    org.apache.spark.sql.execution.datasources.parquet.ParquetUtils
+      .isBatchReadSupportedForSchema(spark.sessionState.conf, schema)
+
+  /** The session's columnar batch size (rows per `ColumnarBatch`). */
+  def columnarBatchSize(spark: SparkSession): Int =
+    spark.sessionState.conf.parquetVectorizedReaderBatchSize
+
+  /** Task side: Spark's own VECTORIZED parquet reader over the byte
+    * range `[start, start+length)` of one file, returning
+    * `ColumnarBatch`es of the requested schema carried in `conf` (set
+    * by [[taskReadConf]]) — the whole-stage-codegen-friendly scan
+    * (`BatchScan … ColumnarToRow`). `fileValue`, when present, is
+    * appended as a constant trailing string column (the `_file`
+    * provenance metadata column) via the reader's own partition-value
+    * mechanism — zero per-row cost. Rebase CORRECTED, as
+    * [[openRowReader]]. */
+  def openColumnarReader(conf: Configuration, path: String, start: Long,
+      length: Long, capacity: Int, fileValue: Option[String])
+      : org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader = {
+    import org.apache.spark.sql.catalyst.InternalRow
+    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
+    import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
+    import org.apache.spark.sql.types.{StringType, StructField}
+    import org.apache.spark.unsafe.types.UTF8String
+    val reader = new VectorizedParquetRecordReader(
+      null, "CORRECTED", "UTC", "CORRECTED", "UTC",
+      /* useOffHeap = */ false, capacity)
+    // mapred.FileSplit extends the mapreduce one — and is what the
+    // base reader casts to internally
+    val split = new org.apache.hadoop.mapred.FileSplit(
+      new Path(path), start, length, Array.empty[String])
+    val ctx = new org.apache.hadoop.mapreduce.task.TaskAttemptContextImpl(
+      conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
+    try {
+      reader.initialize(split, ctx)
+      fileValue match {
+        case Some(rel) => reader.initBatch(
+          StructType(Seq(StructField("_file", StringType, nullable = false))),
+          new GenericInternalRow(Array[Any](UTF8String.fromString(rel))))
+        case None => reader.initBatch(new StructType(), InternalRow.empty)
+      }
+      reader.enableReturningBatches()
+      reader
+    } catch { case t: Throwable => reader.close(); throw t }
   }
 
   /** Resolve a SQL CHECK predicate against `schema` and bind it for

@@ -131,11 +131,21 @@ class GraftCatalogSpec extends SparkSpec {
         .coalesce(1), statsCols = Seq("id"))
     val q = sql("SELECT id FROM graftc.scan.facts WHERE id <= 50")
     assert(q.as[Long].collect().toSet === (1 to 50).map(_.toLong).toSet)
-    // the filter reached the bridge: the physical scan is the V1 row
-    // scan and its pushed-filter list names the bound
+    // the NATIVE DSv2 scan serves plain catalog reads: a vectorized
+    // BatchScan feeding whole-stage codegen through ColumnarToRow,
+    // with the manifest-stats prune applied (one of two files survives
+    // the id<=50 bound — the scan description carries the count)
     val phys = q.queryExecution.executedPlan.toString
-    assert(phys.contains("RowDataSourceScan") ||
-      q.queryExecution.executedPlan.collectLeaves().nonEmpty)
+    assert(phys.contains("BatchScan"),
+      s"plain catalog reads must take the native DSv2 scan:\n$phys")
+    assert(phys.contains("ColumnarToRow"),
+      s"the native scan must serve ColumnarBatches (vectorized):\n$phys")
+    val scans = q.queryExecution.executedPlan.collect {
+      case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec => b
+    }
+    assert(scans.nonEmpty)
+    assert(scans.head.scan.description().contains("1 files"),
+      s"manifest stats must prune to one file: ${scans.head.scan.description()}")
     // a small catalog table auto-broadcasts on manifest metadata
     val big = spark.range(0, 10000).select($"id", ($"id" % 100).as("k"))
     val joined = big.join(sql("SELECT id AS k, v FROM graftc.scan.facts"),
@@ -143,6 +153,58 @@ class GraftCatalogSpec extends SparkSpec {
     val plan = joined.queryExecution.executedPlan.toString
     assert(plan.contains("BroadcastHashJoin"),
       s"small catalog dim must broadcast on manifest sizeInBytes:\n$plan")
+  }
+
+  test("native scan splits large files and packs small ones; results " +
+      "are identical across split sizes and reader modes") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graftc.scan")
+    sql("CREATE TABLE graftc.scan.split (id BIGINT, v DOUBLE)")
+    val root = s"$warehouse/scan/split"
+    // several files, multiple row groups worth of rows
+    (0 until 3).foreach { k =>
+      Versioned.commit(spark, root,
+        (k * 10000 until (k + 1) * 10000)
+          .map(i => (i.toLong, i * 0.5)).toDF("id", "v").coalesce(1))
+    }
+    val expectN = 30000L
+    val expectSum = (0L until 30000L).map(_ * 0.5).sum
+    def check(): Unit = {
+      val r = sql("SELECT count(*) AS n, sum(v) AS s FROM graftc.scan.split")
+        .as[(Long, Double)].head()
+      assert(r._1 === expectN)
+      assert(math.abs(r._2 - expectSum) < 1e-6)
+      // _file provenance agrees with the live file count per mode
+      assert(sql("SELECT count(DISTINCT _file) AS n FROM graftc.scan.split")
+        .as[Long].head() === 3L)
+    }
+    def withConf(kv: (String, String)*)(f: => Unit): Unit = {
+      val olds = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+      kv.foreach { case (k, v) => spark.conf.set(k, v) }
+      try f finally olds.foreach {
+        case (k, Some(v)) => spark.conf.set(k, v)
+        case (k, None) => spark.conf.unset(k)
+      }
+    }
+    check() // default split size (likely one chunk per file, packed)
+    // force SPLITTING: tiny maxPartitionBytes → many chunks per file
+    withConf("spark.sql.files.maxPartitionBytes" -> "16384",
+      "spark.sql.files.openCostInBytes" -> "0") { check() }
+    // force PACKING: huge split size → all files in few partitions
+    withConf("spark.sql.files.maxPartitionBytes" -> "1073741824") {
+      check()
+      val parts = sql("SELECT id FROM graftc.scan.split")
+        .queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2.BatchScanExec =>
+            b.inputRDD.getNumPartitions
+        }
+      assert(parts.nonEmpty && parts.head <= 4,
+        s"small files must pack into few partitions, got $parts")
+    }
+    // the ROW-grain fallback (vectorized reader off) agrees exactly,
+    // split or not — correctness never depends on the columnar path
+    withConf("spark.sql.parquet.enableVectorizedReader" -> "false",
+      "spark.sql.files.maxPartitionBytes" -> "16384",
+      "spark.sql.files.openCostInBytes" -> "0") { check() }
   }
 
   test("row-level and maintenance verbs work by catalog NAME through " +

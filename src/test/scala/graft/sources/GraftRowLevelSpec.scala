@@ -273,27 +273,42 @@ class GraftRowLevelSpec extends SparkSpec {
       .as[Double].head() === 0.0)
   }
 
-  test("pending merge-on-read state refuses RAW native scans loudly: " +
-      "a _file read or row-level op never resurrects deleted rows") {
+  test("pending merge-on-read state never resurrects deleted rows: " +
+      "deletion vectors anti-filter provenance reads and route DML " +
+      "onto the delta path; predicate deletes refuse loudly") {
     sql("CREATE TABLE graftr.rl.morg (id BIGINT, v DOUBLE)")
     val root = s"$warehouse/rl/morg"
     sql("INSERT INTO graftr.rl.morg VALUES (1, 1.0), (2, 2.0), (3, 3.0)")
     // a plain read with no pending state MAY project _file
     assert(sql("SELECT _file, id FROM graftr.rl.morg").count() === 3L)
     Versioned.deleteRows(spark, root, col("id") === 2L)
-    // the bridge read honors the vector; the raw native scan must not
-    // silently serve the deleted row — loud refusal instead
+    // the bridge read honors the vector; the DV-AWARE native scan
+    // serves the provenance projection with the deleted row filtered
     assert(sql("SELECT id FROM graftr.rl.morg").as[Long]
       .collect().toSet === Set(1L, 3L))
+    assert(sql("SELECT _file, id FROM graftr.rl.morg")
+      .select("id").as[Long].collect().toSet === Set(1L, 3L))
+    // bare-SQL DML routes onto the delta path (auto mode) and matches
+    // only LIVE rows — id=2 stays deleted
+    sql("UPDATE graftr.rl.morg SET v = 0.0 WHERE id % 2 = 1")
+    assert(sql("SELECT id, v FROM graftr.rl.morg ORDER BY id")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((1L, 0.0), (3L, 0.0)))
+    // PREDICATE merge-on-read deletes have no native algebra: both the
+    // provenance read and bare-SQL DML refuse loudly until compact
+    sql("CREATE TABLE graftr.rl.morp (id BIGINT, v DOUBLE)")
+    val rootP = s"$warehouse/rl/morp"
+    sql("INSERT INTO graftr.rl.morp VALUES (1, 1.0), (2, 2.0)")
+    Versioned.deleteDeferred(spark, rootP, col("id") === 2L)
     val e = intercept[Exception] {
-      sql("SELECT _file, id FROM graftr.rl.morg").collect()
+      sql("SELECT _file, id FROM graftr.rl.morp").collect()
     }
     val msgs = Iterator.iterate(e: Throwable)(_.getCause)
       .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
       .mkString(" | ")
     assert(msgs.contains("merge-on-read"), msgs)
     val e2 = intercept[Exception] {
-      sql("UPDATE graftr.rl.morg SET v = 0.0 WHERE id % 2 = 1")
+      sql("UPDATE graftr.rl.morp SET v = 0.0 WHERE id % 2 = 1")
     }
     val msgs2 = Iterator.iterate(e2: Throwable)(_.getCause)
       .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
