@@ -2060,6 +2060,15 @@ object Versioned {
   private[graft] def pendingPredMor(root: String, version: Long): Boolean =
     readManifest(root, version).mor.nonEmpty
 
+  /** Every predicate text any RETAINED manifest's merge-on-read
+    * entries carry — the native feed binds these driver-side so tasks
+    * can replay mor-delete commits without an analyzer. Bounded by the
+    * table's total pending-predicate history, typically zero or a
+    * handful. */
+  private[graft] def pendingMorPredicates(root: String): Seq[String] =
+    versions(root).flatMap(v => readManifest(root, v).mor.map(_.pred))
+      .distinct
+
   /** The table's declared hive-layout partition columns at `version`
     * (latest when `None`); empty for an unpartitioned table. Manifest
     * metadata only — SQL INSERT OVERWRITE reads this to preserve the
@@ -3616,6 +3625,134 @@ object Versioned {
           "column-mapping changes for the same reason). Read up to " +
           s"v${v - 1}, then from v$v onward, as separate windows")
     }
+
+  /** One partition-plannable piece of a change-feed window — what the
+    * NATIVE micro-batch stream turns into input partitions. Every
+    * variant is deterministic from the manifest (+ immutable
+    * sidecars): no change files are needed beyond what the verbs
+    * already wrote. */
+  private[graft] sealed trait FeedPiece {
+    def version: Long
+  }
+  /** Files an append/clone/write-delta introduced: insert envelopes.
+    * `bytes` keyed per file for split/pack planning. */
+  private[graft] case class FeedInsert(version: Long,
+      files: Seq[(String, Long)]) extends FeedPiece
+  /** Change files a CoW merge/delete/update wrote (cdf=true): rows
+    * carry their own `_change_type`. */
+  private[graft] case class FeedCdf(version: Long,
+      files: Seq[String]) extends FeedPiece
+  /** A predicate merge-on-read delete: rows of `files` surviving
+    * `parentPreds` (per file) and matching `pred` are delete
+    * envelopes. */
+  private[graft] case class FeedMorDelete(version: Long,
+      files: Seq[String], pred: String,
+      parentPreds: Map[String, Seq[String]]) extends FeedPiece
+  /** A positional delete (dv-delete, or write-delta's delete side):
+    * rows AT each file's fresh positions (inline + sidecars newly
+    * attached by this version) are delete envelopes. */
+  private[graft] case class FeedDvDelete(version: Long,
+      perFile: Seq[(String, Seq[Long], Seq[String])]) extends FeedPiece
+
+  /** Plan the change-feed window `(afterVersion, untilVersion]` as
+    * partition-plannable pieces plus the window's read alignment
+    * (schema JSON + column mapping, both window-latest — mapping
+    * stability enforced like the DataFrame feeds). Same per-action
+    * semantics as [[changeFeed]]; same loud failures (change commit
+    * without cdf, overwrite in window). `appendsOnly` additionally
+    * fails on ANY row-removing commit unless `skipChangeCommits` —
+    * [[changesSince]]'s contract for a consumer that cannot represent
+    * deletes. */
+  private[graft] def feedWindowPlan(root: String, afterVersion: Long,
+      untilVersion: Long, appendsOnly: Boolean,
+      skipChangeCommits: Boolean)
+      : (Seq[FeedPiece], Option[String], Map[String, String]) = {
+    val vs = versions(root).filter(v => v > afterVersion && v <= untilVersion)
+    val upM = readManifest(root, untilVersion)
+    var prev: Set[String] =
+      if (afterVersion == 0L) Set.empty else files(root, afterVersion).toSet
+    var prevDvs: Seq[DvEntry] =
+      if (afterVersion == 0L) Nil
+      else readManifest(root, afterVersion).dvs
+    var prevPhys: Option[Map[String, String]] =
+      if (afterVersion == 0L) None
+      else Some(readManifest(root, afterVersion).physNames)
+    val pieces = Seq.newBuilder[FeedPiece]
+    vs.foreach { v =>
+      val man = readManifest(root, v)
+      val cur = man.files.map(_.path)
+      requireMappingStable(root, v, man.physNames, prevPhys)
+      prevPhys = Some(man.physNames)
+      def added: Seq[(String, Long)] =
+        man.files.filterNot(f => prev(f.path)).map(f => (f.path, f.bytes))
+      def freshPositions: Seq[(String, Seq[Long], Seq[String])] = {
+        val prevByFile = prevDvs.map(d => d.file -> d).toMap
+        man.dvs.flatMap { d =>
+          val p = prevByFile.get(d.file)
+          val pPos = p.map(_.positions.toSet).getOrElse(Set.empty)
+          val pSc = p.map(_.sidecars.toSet).getOrElse(Set.empty)
+          val freshInline = d.positions.filterNot(pPos)
+          val freshSc = d.sidecars.filterNot(pSc)
+          if (freshInline.isEmpty && freshSc.isEmpty) None
+          else Some((d.file, freshInline, freshSc))
+        }
+      }
+      def rowRemoval(what: => Unit): Unit =
+        if (!appendsOnly) what
+        else if (!skipChangeCommits) throw new IllegalArgumentException(
+          s"version $v at $root is a '${man.action}' commit — this " +
+            "stream serves table-schema ROWS and cannot represent row " +
+            "removal; project the _change_type/_commit_version metadata " +
+            "columns for the full change feed, or set " +
+            "skipChangeCommits=true to skip such commits (lossy)")
+      man.action match {
+        case "append" | "clone" =>
+          if (added.nonEmpty) pieces += FeedInsert(v, added)
+        case "compact" | "constraint" | "schema" => () // row-identical
+        case "mor-delete" =>
+          rowRemoval {
+            val d = man.mor.last
+            val parentPending = man.mor.dropRight(1)
+            val parentPreds = d.files.map(f =>
+              f -> parentPending.collect {
+                case p if p.files.contains(f) => p.pred
+              }).toMap
+            pieces += FeedMorDelete(v, d.files, d.pred, parentPreds)
+          }
+        case "dv-delete" =>
+          rowRemoval {
+            val fp = freshPositions
+            if (fp.nonEmpty) pieces += FeedDvDelete(v, fp)
+          }
+        case "write-delta" =>
+          rowRemoval {
+            val fp = freshPositions
+            if (fp.nonEmpty) pieces += FeedDvDelete(v, fp)
+          }
+          // inserts flow even in appendsOnly+skipChangeCommits mode?
+          // No: a skipped change commit skips WHOLLY (its inserts are
+          // postimages of the skipped mutation) — emit only when the
+          // piece above was admitted
+          if ((!appendsOnly || !skipChangeCommits) && added.nonEmpty)
+            pieces += FeedInsert(v, added)
+        case "merge" | "delete" | "update" =>
+          rowRemoval {
+            if (man.cdf.isEmpty) throw new IllegalArgumentException(
+              s"version $v at $root is a '${man.action}' committed " +
+                "without cdf=true — row-level changes cannot be " +
+                "reconstructed; enable cdf on merge/delete/update")
+            pieces += FeedCdf(v, man.cdf)
+          }
+        case other => throw new IllegalArgumentException(
+          s"version $v at $root is a '$other' commit — not " +
+            "representable as row-level changes (an overwritten table " +
+            "isn't a CDC source)")
+      }
+      prev = cur.toSet
+      prevDvs = man.dvs
+    }
+    (pieces.result(), upM.schemaJson, upM.physNames)
+  }
 
   /** The append-only change feed: rows added by versions in
     * `(afterVersion, untilVersion]` — read directly from the files each

@@ -134,8 +134,22 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
   private def loadPinned(ident: Identifier, v: Option[Long]): Table = {
     val root = rootOf(ident)
     if (!isTableDir(new File(root)) ||
-        Versioned.latestVersion(root).isEmpty)
+        Versioned.latestVersion(root).isEmpty) {
+      // `cat.ns.t.changes` — the CHANGE-FEED metadata table (Iceberg's
+      // db.table.changes convention): resolves when the prefix names a
+      // real table and nothing shadows the suffix. Serves the CDC
+      // envelope (rows + _change_type + _commit_version) for batch
+      // window reads and native micro-batch streaming.
+      if (ident.name == "changes" && ident.namespace.nonEmpty) {
+        val baseNs = ident.namespace.dropRight(1)
+        val baseIdent = Identifier.of(baseNs, ident.namespace.last)
+        val baseRoot = rootOf(baseIdent)
+        if (isTableDir(new File(baseRoot)) &&
+            Versioned.latestVersion(baseRoot).isDefined)
+          return new GraftFeedTable(spark, fullName(ident), baseRoot)
+      }
       throw new NoSuchTableException(ident)
+    }
     new GraftTable(spark, fullName(ident), root, v)
   }
 
@@ -330,25 +344,29 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
 /** One catalog-addressed versioned table, pinned to `versionAsOf`
   * (time travel) or floating at latest.
   *
-  * STREAMING speaks the catalog name through Spark's own V1-fallback
-  * contract ([[org.apache.spark.sql.connector.catalog.V2TableWithV1Fallback]],
-  * the trait Delta's table rides for exactly this): `v1Table` names the
-  * [[VersionedSource]] provider at this root, so
+  * STREAMING is NATIVE DSv2 end to end:
   *
-  *  - `spark.readStream.table("graft.ns.t")` resolves to the versioned
-  *    CHANGE-FEED source (manifest versions as offsets, exactly-once
-  *    restart) — the analyzer takes the fallback automatically, and
-  *    reader options (`startingVersion`, `maxVersionsPerTrigger`) pass
-  *    through;
-  *  - `df.writeStream.format("graft-versioned").toTable("graft.ns.t")`
-  *    lands each micro-batch as one atomic manifest commit with the
-  *    in-manifest (appId, batchId) replay guard. The explicit format is
-  *    Spark's own `writeToV1Table` contract (the writer's source must
-  *    match the table's provider — same as Delta).
+  *  - `spark.readStream.table("graft.ns.t")` plans through the
+  *    `MICRO_BATCH_READ` capability onto [[GraftMicroBatchStream]] —
+  *    a ROW stream of the table's appends (manifest versions as
+  *    offsets, exactly-once restart; Delta's streaming-read default:
+  *    a row-removing commit fails loudly unless `skipChangeCommits`).
+  *    Reader options (`startingVersion`, `maxVersionsPerTrigger`,
+  *    `skipChangeCommits`) pass through the catalog path;
+  *  - `spark.readStream.table("graft.ns.t.changes")` is the CHANGE
+  *    FEED metadata table ([[GraftFeedTable]], Iceberg's
+  *    `db.table.changes` convention) — the full CDC envelope, batch
+  *    and streaming;
+  *  - `df.writeStream.toTable("graft.ns.t")` lands each micro-batch
+  *    as one atomic manifest commit with the in-manifest
+  *    (appId, batchId) replay guard through the executor-staged
+  *    DSv2 write core.
   *
-  * This is the reference's bronze shape — a streaming write addressed
-  * by table name (`pipelines/02-kafka-spark-iceberg/spark/jobs/
-  * bronze_ingest.py:173-183`, `writeStream…toTable`). */
+  * The `v1Table` face remains for Spark surfaces that still consult
+  * the fallback slot (never taken for reads now that MICRO_BATCH_READ
+  * is native). This is the reference's bronze shape — a streaming
+  * write addressed by table name (`pipelines/02-kafka-spark-iceberg/
+  * spark/jobs/bronze_ingest.py:173-183`, `writeStream…toTable`). */
 final class GraftTable(spark: SparkSession, fullName: String,
     root: String, versionAsOf: Option[Long])
     extends Table with SupportsRead with SupportsWrite
@@ -405,11 +423,12 @@ final class GraftTable(spark: SparkSession, fullName: String,
     util.EnumSet.of(TableCapability.BATCH_READ,
       TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
       TableCapability.TRUNCATE, TableCapability.OVERWRITE_BY_FILTER,
-      TableCapability.STREAMING_WRITE, TableCapability.OVERWRITE_DYNAMIC)
+      TableCapability.STREAMING_WRITE, TableCapability.OVERWRITE_DYNAMIC,
+      TableCapability.MICRO_BATCH_READ)
 
   override def newScanBuilder(
       options: CaseInsensitiveStringMap): ScanBuilder =
-    new GraftScanBuilder(spark, root, pinned, schema)
+    new GraftScanBuilder(spark, root, pinned, schema, options)
 
   override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
     new GraftWriteBuilder(spark, root, info)
@@ -513,7 +532,9 @@ final class GraftTable(spark: SparkSession, fullName: String,
   * re-applied by Spark above the scan so stats gaps can't change
   * results (the same contract as the path-addressed V1 relation). */
 final class GraftScanBuilder(spark: SparkSession, root: String,
-    version: Long, tableSchema: StructType) extends ScanBuilder
+    version: Long, tableSchema: StructType,
+    options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
+    extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
 
   private var pushed: Array[Filter] = Array.empty
@@ -550,23 +571,29 @@ final class GraftScanBuilder(spark: SparkSession, root: String,
       .exists(tableSchema.fieldNames.contains)
     val wantsMeta = Seq("_file", "_pos")
       .exists(required.fieldNames.contains) && !shadowed
+    // streaming (`readStream.table`) rides the same builder: the
+    // returned scan carries the native micro-batch stream factory
+    val mkStream = () => new GraftMicroBatchStream(spark, root,
+      required, tableSchema, options)
     if (!shadowed && !Versioned.pendingMorState(root, version))
       new GraftRowLevelScan(spark, root, version, required,
-        pushed.toIndexedSeq, _ => (), dvAware = true)
+        pushed.toIndexedSeq, _ => (), dvAware = true,
+        streamFactory = Some(mkStream))
     else if (wantsMeta)
       // pending MoR state + a provenance projection: the DV-AWARE
       // native scan anti-filters deletion vectors per file (live rows
       // only, positions intact); pending PREDICATE deletes make it
       // refuse loudly — never a resurrected row either way
       new GraftRowLevelScan(spark, root, version, required,
-        pushed.toIndexedSeq, _ => (), dvAware = true)
+        pushed.toIndexedSeq, _ => (), dvAware = true,
+        streamFactory = Some(mkStream))
     else
       // pending state without a provenance projection: the V1 bridge's
       // readLive applies the same algebra through the vectorized
       // anti-join plan (better for WIDE vectors); shadowed names
       // always take the bridge (there they are data columns)
       new GraftV1ScanBridge(spark, root, version, pushed.toIndexedSeq,
-        required)
+        required, streamFactory = Some(mkStream))
   }
 }
 
@@ -576,10 +603,18 @@ final class GraftScanBuilder(spark: SparkSession, root: String,
   * both addressing modes, so every stats-pruning property the V1 spec
   * suite pins holds verbatim for catalog reads. */
 final class GraftV1ScanBridge(spark: SparkSession, root: String,
-    version: Long, filters: Seq[Filter], required: StructType)
+    version: Long, filters: Seq[Filter], required: StructType,
+    streamFactory: Option[() => org.apache.spark.sql.connector.read
+      .streaming.MicroBatchStream] = None)
     extends V1Scan {
 
   override def readSchema(): StructType = required
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    streamFactory.map(_.apply()).getOrElse(
+      throw new UnsupportedOperationException(
+        s"$description: micro-batch read not available on this scan"))
 
   override def toV1TableScan[T <: BaseRelation with TableScan](
       context: SQLContext): T =

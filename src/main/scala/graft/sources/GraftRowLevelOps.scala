@@ -150,7 +150,9 @@ final class GraftDeltaScanBuilder(spark: SparkSession, root: String,
 final class GraftRowLevelScan(spark: SparkSession, root: String,
     version: Long, required: StructType,
     pushed: Seq[Filter], onScanned: Seq[String] => Unit,
-    dvAware: Boolean, splittable: Boolean = true)
+    dvAware: Boolean, splittable: Boolean = true,
+    streamFactory: Option[() => org.apache.spark.sql.connector.read
+      .streaming.MicroBatchStream] = None)
     extends Scan with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics {
@@ -204,7 +206,24 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
 
   override def readSchema(): StructType = required
 
-  override def toBatch: org.apache.spark.sql.connector.read.Batch = this
+  override def toBatch: org.apache.spark.sql.connector.read.Batch = {
+    // the change-feed envelope columns are STREAMING-only metadata
+    // (readStream.table); a batch scan has no envelope to serve and
+    // must refuse rather than return nulls
+    val env = required.fieldNames
+      .filter(n => n == "_change_type" || n == "_commit_version")
+    require(env.isEmpty,
+      s"${env.mkString(", ")}: change-feed metadata columns resolve " +
+        "only on streaming reads (spark.readStream.table) — batch " +
+        "time travel reads snapshots, the stream reads changes")
+    this
+  }
+
+  override def toMicroBatchStream(checkpointLocation: String)
+      : org.apache.spark.sql.connector.read.streaming.MicroBatchStream =
+    streamFactory.map(_.apply()).getOrElse(
+      throw new UnsupportedOperationException(
+        s"${description()}: micro-batch read not available on this scan"))
 
   /** Commit-time truth for Catalyst's broadcast decision: bytes/rows
     * summed over the (statically pruned) candidate files — a
@@ -567,7 +586,15 @@ private[sources] final class GraftParquetReaderFactory(
             capacity,
             // vectorized reads never serve _pos (row-grain forced), so
             // the only possible metadata tail is the _file constant
-            if (metaTail.nonEmpty) Some(c.relPath) else None)
+            if (metaTail.nonEmpty)
+              Some((org.apache.spark.sql.types.StructType(Seq(
+                org.apache.spark.sql.types.StructField("_file",
+                  org.apache.spark.sql.types.StringType, nullable = false))),
+                new org.apache.spark.sql.catalyst.expressions
+                  .GenericInternalRow(Array[Any](
+                    org.apache.spark.unsafe.types.UTF8String
+                      .fromString(c.relPath)))))
+            else None)
           next()
         }
       }

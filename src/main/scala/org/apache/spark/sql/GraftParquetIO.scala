@@ -150,13 +150,11 @@ object GraftParquetIO {
     * mechanism — zero per-row cost. Rebase CORRECTED, as
     * [[openRowReader]]. */
   def openColumnarReader(conf: Configuration, path: String, start: Long,
-      length: Long, capacity: Int, fileValue: Option[String])
+      length: Long, capacity: Int,
+      constTail: Option[(StructType, InternalRow)])
       : org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader = {
     import org.apache.spark.sql.catalyst.InternalRow
-    import org.apache.spark.sql.catalyst.expressions.GenericInternalRow
     import org.apache.spark.sql.execution.datasources.parquet.VectorizedParquetRecordReader
-    import org.apache.spark.sql.types.{StringType, StructField}
-    import org.apache.spark.unsafe.types.UTF8String
     val reader = new VectorizedParquetRecordReader(
       null, "CORRECTED", "UTC", "CORRECTED", "UTC",
       /* useOffHeap = */ false, capacity)
@@ -168,15 +166,41 @@ object GraftParquetIO {
       conf, new org.apache.hadoop.mapreduce.TaskAttemptID())
     try {
       reader.initialize(split, ctx)
-      fileValue match {
-        case Some(rel) => reader.initBatch(
-          StructType(Seq(StructField("_file", StringType, nullable = false))),
-          new GenericInternalRow(Array[Any](UTF8String.fromString(rel))))
+      constTail match {
+        case Some((schema, values)) => reader.initBatch(schema, values)
         case None => reader.initBatch(new StructType(), InternalRow.empty)
       }
       reader.enableReturningBatches()
       reader
     } catch { case t: Throwable => reader.close(); throw t }
+  }
+
+  /** Resolve a SQL predicate against `schema` and bind it for
+    * task-side interpreted evaluation with an explicit NULL verdict:
+    * `coalesce(cond, default)` — the change-feed replay needs both
+    * polarities (keep-if-not-deleted wants NULL→false like SQL DELETE;
+    * CHECK wants NULL→true). Columns absent from `schema` evaluate as
+    * NULL, like [[boundCheck]]. */
+  def boundPredicate(spark: SparkSession, schema: StructType,
+      conditionSql: String, nullVerdict: Boolean): Expression = {
+    val attrs = DataTypeUtils.toAttributes(schema)
+    val have = schema.fieldNames
+      .map(_.toLowerCase(java.util.Locale.ROOT)).toSet
+    val parsed = spark.sessionState.sqlParser
+      .parseExpression(conditionSql).transformUp {
+        case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+            if !have(a.nameParts.last.toLowerCase(java.util.Locale.ROOT)) =>
+          Literal(null, NullType)
+      }
+    val analyzed = spark.sessionState.analyzer
+      .execute(Filter(parsed, LocalRelation(attrs)))
+    val resolved = analyzed.collectFirst { case f: Filter => f.condition }
+      .getOrElse(throw new IllegalStateException(
+        s"predicate '$conditionSql' did not resolve to a filter"))
+    BindReferences.bindReference(
+      Coalesce(Seq(resolved,
+        if (nullVerdict) Literal.TrueLiteral else Literal.FalseLiteral)),
+      attrs)
   }
 
   /** Resolve a SQL CHECK predicate against `schema` and bind it for

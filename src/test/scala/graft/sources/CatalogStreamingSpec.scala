@@ -11,9 +11,10 @@ import graft.operators.Versioned
 /** Streaming through the DSv2 catalog (the reference's bronze shape —
   * a streaming write addressed by TABLE NAME, `bronze_ingest.py:
   * 173-183`): `writeStream…toTable("cat.ns.t")` lands exactly-once
-  * micro-batch commits through the V1-fallback sink, and
-  * `readStream.table("cat.ns.t")` is the table's change feed,
-  * row-equal to `changesSince` — no path addressing anywhere. */
+  * native micro-batch commits, `readStream.table("cat.ns.t")` is the
+  * NATIVE row stream of appends, and
+  * `readStream.table("cat.ns.t.changes")` the native CDC envelope
+  * feed — no V1 fallback in execution, no path addressing anywhere. */
 class CatalogStreamingSpec extends SparkSpec {
   import spark.implicits._
 
@@ -301,47 +302,124 @@ class CatalogStreamingSpec extends SparkSpec {
     }
   }
 
-  test("readStream.table follows the table and equals changesSince") {
+  test("NATIVE readStream.table: a row stream of appends (no V1 node); " +
+      "change commits fail loudly unless skipChangeCommits") {
+    sql("CREATE NAMESPACE IF NOT EXISTS grafts.st")
+    sql("CREATE TABLE grafts.st.rows (id BIGINT, v STRING)")
+    val root = s"$warehouse/st/rows"
+    sql("INSERT INTO grafts.st.rows VALUES (1, 'a'), (2, 'b')")
+    // the analyzed plan is the DSv2 streaming relation, and EXECUTION
+    // takes the native micro-batch stream (the v1Relation option in
+    // the node is Spark's fallback slot — MICRO_BATCH_READ wins)
+    val df = spark.readStream.table("grafts.st.rows")
+    val analyzed = df.queryExecution.analyzed.treeString
+    assert(analyzed.contains("StreamingRelationV2"), analyzed)
+    val ck = tmp("graft-natr-ck")
+    val sink = tmp("graft-natr-out") + "/t"
+    var sourceDesc: Option[String] = None
+    def follow(table: String = "grafts.st.rows"): Unit = {
+      val q = spark.readStream.table(table)
+        .writeStream.format(VersionedSource.Name)
+        .option("path", sink).option("checkpointLocation", ck)
+        .trigger(Trigger.AvailableNow()).start()
+      q.processAllAvailable()
+      q.recentProgress.flatMap(_.sources.map(_.description))
+        .lastOption.foreach(d => sourceDesc = Some(d))
+      q.stop()
+    }
+    follow()
+    assert(sourceDesc.exists(_.contains("GraftMicroBatchStream")),
+      s"execution must ride the native DSv2 stream, got $sourceDesc")
+    assert(Versioned.read(spark, sink).as[(Long, String)]
+      .collect().toSet === Set((1L, "a"), (2L, "b")))
+    // a later append flows through exactly once; replays are no-ops
+    sql("INSERT INTO grafts.st.rows VALUES (9, 'z')")
+    follow(); follow()
+    assert(Versioned.read(spark, sink).as[(Long, String)]
+      .collect().toSet === Set((1L, "a"), (2L, "b"), (9L, "z")))
+    // a row-removing commit cannot be represented as rows: fail loudly
+    Versioned.mergeUpsert(spark, root,
+      Seq((2L, "b2")).toDF("id", "v"), "id", cdf = true)
+    val e = intercept[Exception] { follow() }
+    val msgs = Iterator.iterate(e: Throwable)(_.getCause)
+      .takeWhile(_ != null).map(m => Option(m.getMessage).getOrElse(""))
+      .mkString(" | ")
+    assert(msgs.contains("_change_type") ||
+      msgs.contains("skipChangeCommits"), msgs)
+    // skipChangeCommits skips it (lossy, the Delta option)
+    val q = spark.readStream.option("skipChangeCommits", "true")
+      .table("grafts.st.rows")
+      .writeStream.format(VersionedSource.Name)
+      .option("path", sink).option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    assert(Versioned.read(spark, sink).count() === 3L)
+  }
+
+  test("the .changes metadata table: native streaming AND batch reads " +
+      "equal changeFeed across every commit kind") {
     sql("CREATE NAMESPACE IF NOT EXISTS grafts.st")
     sql("CREATE TABLE grafts.st.feed (id BIGINT, v STRING)")
     val root = s"$warehouse/st/feed"
     sql("INSERT INTO grafts.st.feed VALUES (1, 'a'), (2, 'b')")
+    // CoW merge with change files
     Versioned.mergeUpsert(spark, root,
       Seq((2L, "b2"), (3L, "c")).toDF("id", "v"), "id",
       statsCols = Seq("id"), cdf = true)
-    val ck = tmp("graft-catr-ck")
-    val sink = tmp("graft-catr-out") + "/t"
+    // positional delete (deletion vector) — replayed lazily
+    Versioned.deleteRows(spark, root, col("id") === 1L)
+    // merge-on-read delta commit (deletes + postimage in one version)
+    spark.conf.set("spark.graft.rowlevel.mode", "mor")
+    try sql("UPDATE grafts.st.feed SET v = 'c2' WHERE id = 3")
+    finally spark.conf.unset("spark.graft.rowlevel.mode")
+    val expected = Versioned.changeFeed(spark, root, 0)
+      .select("id", "v", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    // STREAMING: drain through a checkpoint, exactly-once on replay
+    val ck = tmp("graft-chg-ck")
+    val sink = tmp("graft-chg-out") + "/t"
     def follow(): Unit = {
-      val q = spark.readStream.table("grafts.st.feed")
+      val q = spark.readStream.table("grafts.st.feed.changes")
         .writeStream.format(VersionedSource.Name)
         .option("path", sink).option("checkpointLocation", ck)
         .trigger(Trigger.AvailableNow()).start()
       q.processAllAvailable(); q.stop()
     }
-    follow()
-    val streamed = Versioned.read(spark, sink)
-      .as[(Long, String, String, Long)].collect().toSet
-    val feed = Versioned.changeFeed(spark, root, 0)
-      .select("id", "v", "_change_type", "_commit_version")
-      .as[(Long, String, String, Long)].collect().toSet
-    assert(streamed === feed, "readStream.table must be the change feed")
-    // a later commit flows through exactly once; replays are no-ops
-    sql("INSERT INTO grafts.st.feed VALUES (9, 'z')")
     follow(); follow()
-    val after = Versioned.read(spark, sink)
-      .as[(Long, String, String, Long)].collect().toSet
-    assert(after === feed + ((9L, "z", "insert", 4L)))
-    // reader options pass through the catalog resolution: a pinned
-    // startingVersion admits only later versions
-    val ck2 = tmp("graft-catr-ck2")
-    val sink2 = tmp("graft-catr-out2") + "/t"
-    val q2 = spark.readStream.option("startingVersion", 3)
-      .table("grafts.st.feed")
+    assert(Versioned.read(spark, sink)
+      .as[(Long, String, String, Long)].collect().toSet === expected,
+      "streamed .changes must equal the batch change feed")
+    // BATCH: the same relation, window options
+    assert(spark.read.table("grafts.st.feed.changes")
+      .as[(Long, String, String, Long)].collect().toSet === expected)
+    val v = Versioned.latestVersion(root).get
+    assert(spark.read.option("startingVersion", v - 1)
+      .table("grafts.st.feed.changes")
+      .select("_commit_version").as[Long].collect().toSet === Set(v))
+    // STREAMING startingVersion: only later versions admit
+    val ck2 = tmp("graft-chg-ck2")
+    val sink2 = tmp("graft-chg-out2") + "/t"
+    val q2 = spark.readStream.option("startingVersion", v - 1)
+      .table("grafts.st.feed.changes")
       .writeStream.format(VersionedSource.Name)
       .option("path", sink2).option("checkpointLocation", ck2)
       .trigger(Trigger.AvailableNow()).start()
     q2.processAllAvailable(); q2.stop()
     assert(Versioned.read(spark, sink2)
-      .select("_commit_version").as[Long].collect().toSet === Set(4L))
+      .select("_commit_version").as[Long].collect().toSet === Set(v))
+    // maxVersionsPerTrigger: each micro-batch admits one version —
+    // the drain lands one sink commit per source version
+    val ck3 = tmp("graft-chg-ck3")
+    val sink3 = tmp("graft-chg-out3") + "/t"
+    val q3 = spark.readStream.option("maxVersionsPerTrigger", 1)
+      .table("grafts.st.feed.changes")
+      .writeStream.format(VersionedSource.Name)
+      .option("path", sink3).option("checkpointLocation", ck3)
+      .trigger(Trigger.AvailableNow()).start()
+    q3.processAllAvailable(); q3.stop()
+    assert(Versioned.read(spark, sink3)
+      .as[(Long, String, String, Long)].collect().toSet === expected)
+    assert(Versioned.versions(sink3).size >= 3,
+      "one-version admission must land multiple micro-batches")
   }
 }
