@@ -1993,6 +1993,57 @@ object ExtraQueries {
   private val morDmlDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // ---------------------------------------------------------------- x50
+  // The NATIVE streaming READ, hash-gated end-to-end: a catalog table
+  // (filled from lineitem in three commits so the stream sees multiple
+  // versions) is drained through bare `readStream.table` — the DSv2
+  // MICRO_BATCH_READ row stream, no V1 fallback in execution — into a
+  // versioned sink, which DuckDB replays as a plain projection. A
+  // skipped version, a replayed batch, or an envelope leak into the
+  // row stream all break the hash.
+  val x50StreamRead: Q = Q(
+    "x50_stream_read",
+    """SELECT l_orderkey, l_linenumber,
+      |  CAST(l_extendedprice AS DOUBLE) AS price
+      |FROM lineitem WHERE l_orderkey % 8 = 3
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    val cat = s"graftsr${math.abs(d.hashCode)}"
+    val sink = streamReadDirs.getOrElseUpdate(d, {
+      val base = java.nio.file.Files
+        .createTempDirectory("graft-sread-q").toString
+      val (w, out, ck) = (s"$base/wh", s"$base/out/t", s"$base/ck")
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.r10")
+      s.sql(s"CREATE TABLE $cat.r10.li " +
+        "(l_orderkey BIGINT, l_linenumber INT, price DOUBLE)")
+      t(s, d, "lineitem")
+        .filter(col("l_orderkey") % 8 === 3)
+        .select(col("l_orderkey"), col("l_linenumber").cast("int"),
+          col("l_extendedprice").cast("double").as("price"))
+        .createOrReplaceTempView("x50_src")
+      // three commits → the stream drains three source versions
+      (0 until 3).foreach { k =>
+        s.sql(s"INSERT INTO $cat.r10.li " +
+          s"SELECT * FROM x50_src WHERE l_linenumber % 3 = $k")
+      }
+      val q = s.readStream.table(s"$cat.r10.li")
+        .writeStream.format(graft.sources.VersionedSource.Name)
+        .option("path", out).option("checkpointLocation", ck)
+        .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+        .start()
+      q.processAllAvailable(); q.stop()
+      out
+    })
+    s.read.format(graft.sources.VersionedSource.Name)
+      .option("path", sink).load()
+      .orderBy("l_orderkey", "l_linenumber")
+  }
+
+  private val streamReadDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   // ---------------------------------------------------------------- x30
   // Atomic predicate-scoped overwrite (Versioned.replaceWhere — Delta's
   // replaceWhere): customers land range-clustered by nation, then the
@@ -2212,5 +2263,5 @@ object ExtraQueries {
     x38SqlRename, x39SqlWiden, x40CatalogSql, x41SqlMergeFull,
     x42SqlDeleteIn, x43CopyInto, x44CatalogDml, x45NativeDml,
     x46DynamicOverwrite, x47StreamToTable, x48PartitionedMerge,
-    x49MorDml)
+    x49MorDml, x50StreamRead)
 }
