@@ -2054,6 +2054,18 @@ object Versioned {
   private[graft] def pendingDvEntries(root: String,
       version: Long): Seq[DvEntry] = readManifest(root, version).dvs
 
+  /** Metadata-only aggregate inputs at `version`: the live file
+    * entries (resolved across segments), the column mapping (file
+    * stats are keyed PHYSICAL), and whether pending merge-on-read
+    * state (predicate deletes / deletion vectors) makes per-file row
+    * counts and bounds untrustworthy — aggregate pushdown must refuse
+    * there, the anti-filtered scan path answers instead. */
+  private[graft] def aggMeta(root: String, version: Long)
+      : (Seq[FileEntry], Map[String, String], Boolean) = {
+    val m = readManifest(root, version)
+    (m.files, m.physNames, m.mor.nonEmpty || m.dvs.nonEmpty)
+  }
+
   /** Whether `version` carries pending PREDICATE merge-on-read deletes
     * (the non-positional algebra) — no native scan can serve those;
     * compact first. */

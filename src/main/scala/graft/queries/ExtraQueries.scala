@@ -2044,6 +2044,154 @@ object ExtraQueries {
   private val streamReadDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // ---------------------------------------------------------------- x51
+  // Metadata-only aggregates, hash-gated: COUNT(*) / COUNT(col) /
+  // MIN/MAX over longs, dates and strings, GROUPed BY the partition
+  // column, answer entirely from the manifest — the DSv2 complete
+  // aggregate pushdown plans a LocalTableScan (zero tasks, zero data
+  // IO at any table size; the body PINS that plan shape, so a silent
+  // fallback to the scan fails loudly). DuckDB replays the same
+  // aggregates over lineitem: a file-rows miscount, a stale or
+  // truncated footer bound, or a null-count slip all break the hash.
+  val x51MetaAgg: Q = Q(
+    "x51_meta_agg",
+    """SELECT l_returnflag AS flag, COUNT(*) AS cnt,
+      |  COUNT(l_linestatus) AS cnt_ls,
+      |  MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
+      |  MIN(CAST(l_shipdate AS DATE)) AS min_sd,
+      |  MAX(CAST(l_shipdate AS DATE)) AS max_sd,
+      |  MIN(l_linestatus) AS min_ls, MAX(l_linestatus) AS max_ls
+      |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
+    val cat = s"graftmq${math.abs(d.hashCode)}"
+    val wh = metaAggDirs.getOrElseUpdate(d, {
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-metaagg-q").toString
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.r10")
+      s.sql(s"CREATE TABLE $cat.r10.li (l_orderkey BIGINT, " +
+        "ship_date DATE, l_linestatus STRING, l_returnflag STRING) " +
+        "PARTITIONED BY (l_returnflag)")
+      // the direct commit records footer stats for the data columns
+      // (the catalog INSERT records partition-column stats only)
+      graft.operators.Versioned.commit(s, s"$w/r10/li",
+        t(s, d, "lineitem").select(col("l_orderkey"),
+          col("l_shipdate").cast("date").as("ship_date"),
+          col("l_linestatus"), col("l_returnflag")),
+        partitionBy = Seq("l_returnflag"),
+        statsCols = Seq("l_orderkey", "ship_date", "l_linestatus"))
+      w
+    })
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val out = s.sql(
+      s"""SELECT l_returnflag AS flag, COUNT(*) AS cnt,
+        |  COUNT(l_linestatus) AS cnt_ls,
+        |  MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
+        |  MIN(ship_date) AS min_sd, MAX(ship_date) AS max_sd,
+        |  MIN(l_linestatus) AS min_ls, MAX(l_linestatus) AS max_ls
+        |FROM $cat.r10.li GROUP BY l_returnflag
+        |ORDER BY flag""".stripMargin)
+    require(out.queryExecution.executedPlan.toString
+        .contains("LocalTableScan"),
+      "x51 must answer from the manifest (LocalTableScan plan)")
+    out
+  }
+
+  private val metaAggDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  // ---------------------------------------------------------------- x52
+  // Storage-partitioned join, hash-gated: two catalog tables
+  // partitioned the same way (customers and orders by nation-derived
+  // key) join + aggregate with KeyGroupedPartitioning alignment — the
+  // body PINS that neither join side shuffles (no hash exchange below
+  // the join; the final ORDER BY's range exchange is expected), and
+  // DuckDB replays the join from the base tables: a row lost to a
+  // misaligned partition group or a miscoded partition key breaks the
+  // hash.
+  val x52Spj: Q = Q(
+    "x52_spj",
+    """SELECT c.nk AS nk, COUNT(*) AS n,
+      |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE) AS total
+      |FROM (SELECT c_custkey, CAST(c_nationkey % 5 AS INT) AS nk
+      |      FROM customer) c
+      |JOIN orders o ON c.c_custkey = o.o_custkey
+      |GROUP BY c.nk ORDER BY nk""".stripMargin) { (s, d) =>
+    val cat = s"graftspjq${math.abs(d.hashCode)}"
+    val wh = spjDirs.getOrElseUpdate(d, {
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-spj-q").toString
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.r10")
+      s.sql(s"CREATE TABLE $cat.r10.cust (c_custkey BIGINT, nk INT) " +
+        "PARTITIONED BY (nk)")
+      s.sql(s"CREATE TABLE $cat.r10.ord (o_custkey BIGINT, " +
+        "o_totalprice DOUBLE, nk INT) PARTITIONED BY (nk)")
+      t(s, d, "customer").select(col("c_custkey"),
+        (col("c_nationkey") % 5).cast("int").as("nk"))
+        .createOrReplaceTempView("x52_c")
+      s.sql(s"INSERT INTO $cat.r10.cust SELECT * FROM x52_c")
+      // orders carry their customer's partition key so the join keys
+      // cover the partition tuple (the co-partitioning contract)
+      t(s, d, "orders").select(col("o_custkey"),
+        col("o_totalprice").cast("double").as("o_totalprice"))
+        .createOrReplaceTempView("x52_o")
+      s.sql(s"INSERT INTO $cat.r10.ord SELECT o.o_custkey, " +
+        "o.o_totalprice, c.nk FROM x52_o o JOIN x52_c c " +
+        "ON o.o_custkey = c.c_custkey")
+      w
+    })
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.graft.spj.preserveDataGrouping",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold",
+      "spark.sql.requireAllClusterKeysForCoPartition")
+      .map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s.conf.set("spark.graft.spj.preserveDataGrouping", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      // the join keys (custkey, nk) are a SUPERSET of the partition
+      // keys (nk): Spark aligns the partition-key groups when exact
+      // co-partition match is not required (its own knob for this)
+      s.conf.set("spark.sql.requireAllClusterKeysForCoPartition", "false")
+      val out = s.sql(
+        s"""SELECT c.nk AS nk, COUNT(*) AS n,
+          |  CAST(SUM(CAST(o.o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+          |    AS total
+          |FROM $cat.r10.cust c JOIN $cat.r10.ord o
+          |  ON c.c_custkey = o.o_custkey AND c.nk = o.nk
+          |GROUP BY c.nk ORDER BY nk""".stripMargin)
+      val plan = out.queryExecution.executedPlan.toString
+      require(!plan.contains("Exchange hashpartitioning") &&
+        !plan.contains("BroadcastHashJoin"),
+        s"x52 must join shuffle-free (storage-partitioned):\n$plan")
+      // materialize UNDER the SPJ confs — the plan is bound at
+      // collection, and the restored confs must not replan it
+      val rows = out.collect()
+      s.createDataFrame(
+        java.util.Arrays.asList(rows: _*), out.schema)
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  private val spjDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   // ---------------------------------------------------------------- x30
   // Atomic predicate-scoped overwrite (Versioned.replaceWhere — Delta's
   // replaceWhere): customers land range-clustered by nation, then the
@@ -2263,5 +2411,5 @@ object ExtraQueries {
     x38SqlRename, x39SqlWiden, x40CatalogSql, x41SqlMergeFull,
     x42SqlDeleteIn, x43CopyInto, x44CatalogDml, x45NativeDml,
     x46DynamicOverwrite, x47StreamToTable, x48PartitionedMerge,
-    x49MorDml, x50StreamRead)
+    x49MorDml, x50StreamRead, x51MetaAgg, x52Spj)
 }

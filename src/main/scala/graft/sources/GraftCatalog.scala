@@ -535,10 +535,12 @@ final class GraftScanBuilder(spark: SparkSession, root: String,
     version: Long, tableSchema: StructType,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder
-    with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
+    with SupportsPushDownFilters with SupportsPushDownRequiredColumns
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
+  private var aggScan: Option[Scan] = None
 
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
@@ -549,6 +551,27 @@ final class GraftScanBuilder(spark: SparkSession, root: String,
 
   override def pruneColumns(requiredSchema: StructType): Unit =
     required = requiredSchema
+
+  // ---- metadata-only aggregates (COUNT/MIN/MAX, GROUP BY partition
+  // columns) answered from the manifest as a COMPLETE pushdown onto a
+  // LocalScan — zero tasks at any table size; anything not exactly
+  // answerable refuses and plans the ordinary scan (GraftMetaAgg's
+  // scaladoc enumerates the refusal cases). Both hooks compute: Spark
+  // consults supportCompletePushDown first, but partial pushdown must
+  // also answer COMPLETE values (a single final row per group is a
+  // valid partial state for count/min/max — sums of one count, mins
+  // of one min — so the same scan serves either plan shape).
+  override def supportCompletePushDown(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = {
+    aggScan = GraftMetaAgg.tryCompute(root, version, tableSchema, agg,
+      havePushedFilters = pushed.nonEmpty)
+    aggScan.isDefined
+  }
+
+  override def pushAggregation(
+      agg: org.apache.spark.sql.connector.expressions.aggregate
+        .Aggregation): Boolean = supportCompletePushDown(agg)
 
   // Plain catalog batch reads take the NATIVE DSv2 scan — Spark's
   // vectorized parquet reader with FilePartition-style packing/
@@ -565,6 +588,9 @@ final class GraftScanBuilder(spark: SparkSession, root: String,
   // provenance (Spark suppresses the conflicting metadata column for
   // the same reason).
   override def build(): Scan = {
+    // a pushed metadata-only aggregation supersedes everything: the
+    // result is already computed, the scan is a LocalScan
+    aggScan.foreach(s => return s)
     // a schema-declared `_file`/`_pos` shadows the metadata column —
     // the name means DATA there, and the native scan would misread it
     val shadowed = Seq("_file", "_pos")
@@ -578,7 +604,7 @@ final class GraftScanBuilder(spark: SparkSession, root: String,
     if (!shadowed && !Versioned.pendingMorState(root, version))
       new GraftRowLevelScan(spark, root, version, required,
         pushed.toIndexedSeq, _ => (), dvAware = true,
-        streamFactory = Some(mkStream))
+        streamFactory = Some(mkStream), spjAllowed = true)
     else if (wantsMeta)
       // pending MoR state + a provenance projection: the DV-AWARE
       // native scan anti-filters deletion vectors per file (live rows
@@ -586,7 +612,7 @@ final class GraftScanBuilder(spark: SparkSession, root: String,
       // refuse loudly — never a resurrected row either way
       new GraftRowLevelScan(spark, root, version, required,
         pushed.toIndexedSeq, _ => (), dvAware = true,
-        streamFactory = Some(mkStream))
+        streamFactory = Some(mkStream), spjAllowed = true)
     else
       // pending state without a provenance projection: the V1 bridge's
       // readLive applies the same algebra through the vectorized

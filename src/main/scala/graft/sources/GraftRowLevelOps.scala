@@ -152,10 +152,12 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
     pushed: Seq[Filter], onScanned: Seq[String] => Unit,
     dvAware: Boolean, splittable: Boolean = true,
     streamFactory: Option[() => org.apache.spark.sql.connector.read
-      .streaming.MicroBatchStream] = None)
+      .streaming.MicroBatchStream] = None,
+    spjAllowed: Boolean = false)
     extends Scan with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
-    with org.apache.spark.sql.connector.read.SupportsReportStatistics {
+    with org.apache.spark.sql.connector.read.SupportsReportStatistics
+    with org.apache.spark.sql.connector.read.SupportsReportPartitioning {
 
   import org.apache.spark.sql.connector.expressions.{Expressions, Literal => V2Literal, NamedReference}
   import org.apache.spark.sql.connector.expressions.filter.{Predicate => V2Predicate}
@@ -203,6 +205,76 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
   private val openCostInBytes = spark.sessionState.conf.filesOpenCostInBytes
   private val minPartitionNum = spark.sessionState.conf.filesMinPartitionNum
     .getOrElse(spark.sparkContext.defaultParallelism)
+
+  // ---- storage-partitioned joins (opt-in): when BOTH
+  // spark.sql.sources.v2.bucketing.enabled and
+  // spark.graft.spj.preserveDataGrouping are true, a partitioned
+  // table's scan groups its files by partition TUPLE (each data file
+  // holds exactly one, recorded as min==max footer stats) and reports
+  // `KeyGroupedPartitioning` over the identity transforms — two graft
+  // tables partitioned the same way then JOIN WITHOUT A SHUFFLE on
+  // either side (Spark's `KeyGroupedShuffleSpec` alignment, the
+  // Iceberg SPJ architecture). At 100 TB this removes the exchange of
+  // both fact tables — the single largest cost in a co-partitioned
+  // join. Opt-in (Iceberg's preserve-data-grouping stance) because
+  // key-grouped planning coarsens tasks to one per partition tuple,
+  // which is the wrong default for plain scans; and the scan then
+  // declines runtime group filtering (group stability is what the
+  // join alignment trusts). Refuses — planning the ordinary way —
+  // whenever any candidate file's tuple fails exact decode, a
+  // partition column isn't projected, or the table is unpartitioned.
+  private val spjState: Option[(Seq[String],
+      Seq[(org.apache.spark.sql.catalyst.InternalRow, Seq[String])])] =
+    if (!spjAllowed) None
+    else if (!spark.sessionState.conf.v2BucketingEnabled) None
+    else if (!spark.conf.getOption("spark.graft.spj.preserveDataGrouping")
+        .exists(_.toBoolean)) None
+    else {
+      val partCols = Versioned.partitionByOf(root, Some(version))
+      val (entries, physAt, _) = Versioned.aggMeta(root, version)
+      // the clustering expressions resolve against the scan OUTPUT, so
+      // every partition column must be projected — under its
+      // output-schema name; stats keys are PHYSICAL at this version
+      val resolved = partCols.map(pc =>
+        required.fields.find(_.name.equalsIgnoreCase(pc)).map(f =>
+          (f.name, (physAt.getOrElse(pc, pc), f.dataType))))
+      if (partCols.isEmpty || resolved.exists(_.isEmpty)) None
+      else {
+        val names = resolved.flatten.map(_._1)
+        val keyCols = resolved.flatten.map(_._2)
+        val byPath = entries.map(e => e.path -> e).toMap
+        val keyed = files.map { p =>
+          byPath.get(p).flatMap(GraftMetaAgg.fileKey(_, keyCols))
+            .map(k => (k, p))
+        }
+        if (keyed.exists(_.isEmpty)) None
+        else {
+          val groups = keyed.flatten
+            .groupBy(_._1).toSeq
+            .map { case (k, fs) =>
+              (new org.apache.spark.sql.catalyst.expressions
+                  .GenericInternalRow(k.toArray)
+                : org.apache.spark.sql.catalyst.InternalRow,
+                fs.map(_._2))
+            }
+          Some((names, groups))
+        }
+      }
+    }
+
+  override def outputPartitioning()
+      : org.apache.spark.sql.connector.read.partitioning.Partitioning =
+    spjState match {
+      case Some((names, groups)) =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .KeyGroupedPartitioning(
+            names.map(n => Expressions.identity(n)
+              : org.apache.spark.sql.connector.expressions.Expression)
+              .toArray, groups.size)
+      case None =>
+        new org.apache.spark.sql.connector.read.partitioning
+          .UnknownPartitioning(0)
+    }
 
   override def readSchema(): StructType = required
 
@@ -271,6 +343,16 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
       GraftFileChunk(abs(rel), rel, start, length, bytes,
         d.map(_.positions).getOrElse(Nil),
         d.map(_.sidecars.map(abs)).getOrElse(Nil))
+    }
+    // key-grouped planning (storage-partitioned joins): one task per
+    // partition TUPLE, whole files, no splitting — the grouping IS the
+    // contract the join alignment trusts
+    spjState.foreach { case (_, groups) =>
+      return groups.map { case (key, paths) =>
+        GraftKeyedFilePartition(paths.map(rel =>
+          chunk(rel, 0L, Long.MaxValue, meta.getOrElse(rel, (0L, 0L))._1)),
+          key): InputPartition
+      }.toArray
     }
     val chunks = sizes.sortBy(-_._2).flatMap { case (rel, bytes) =>
       if (!effSplittable || bytes <= maxSplitBytes)
@@ -360,7 +442,8 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
   // projected PARTITION column, which buys plain reads dynamic
   // partition pruning on joins through the same stats-bound prune.
   override def filterAttributes(): Array[NamedReference] =
-    if (required.fieldNames.contains("_file"))
+    if (spjState.isDefined) Array.empty // grouping stability over DPP
+    else if (required.fieldNames.contains("_file"))
       Array(Expressions.column("_file"))
     else planned.partitionBy
       .find(pc => required.fieldNames.exists(_.equalsIgnoreCase(pc)))
@@ -434,12 +517,28 @@ private[sources] final case class GraftFileChunk(path: String,
     relPath: String, start: Long, length: Long, bytes: Long,
     dvInline: Seq[Long] = Nil, dvSidecars: Seq[String] = Nil)
 
-/** One scan task: a packed set of file chunks (Spark's own
-  * `FilePartition` shape — many small files per task, large files
-  * split across tasks). */
+/** One scan task: a packed set of file chunks. */
+private[sources] sealed trait GraftScanPartition
+    extends org.apache.spark.sql.connector.read.InputPartition {
+  def chunks: Seq[GraftFileChunk]
+}
+
+/** The ordinary shape (Spark's own `FilePartition` economics — many
+  * small files per task, large files split across tasks). */
 private[sources] final case class GraftFilePartition(
-    chunks: Seq[GraftFileChunk])
-    extends org.apache.spark.sql.connector.read.InputPartition
+    chunks: Seq[GraftFileChunk]) extends GraftScanPartition
+
+/** The key-grouped shape: ALL chunks hold the same partition tuple,
+  * exposed through `HasPartitionKey` so Spark can align two
+  * co-partitioned scans into a shuffle-free join. */
+private[sources] final case class GraftKeyedFilePartition(
+    chunks: Seq[GraftFileChunk],
+    key: org.apache.spark.sql.catalyst.InternalRow)
+    extends GraftScanPartition
+    with org.apache.spark.sql.connector.read.HasPartitionKey {
+  override def partitionKey(): org.apache.spark.sql.catalyst.InternalRow =
+    key
+}
 
 private[sources] object GraftParquetReaderFactory {
   /** Schema of deletion-vector position sidecars (what
@@ -503,7 +602,7 @@ private[sources] final class GraftParquetReaderFactory(
     * through Spark's parquet row materializer. */
   override def createReader(
       partition: InputPartition): PartitionReader[InternalRow] = {
-    val p = partition.asInstanceOf[GraftFilePartition]
+    val p = partition.asInstanceOf[GraftScanPartition]
     new PartitionReader[InternalRow] {
       private val it = p.chunks.iterator
       private var reader: org.apache.parquet.hadoop.ParquetReader[InternalRow] = _
@@ -565,7 +664,7 @@ private[sources] final class GraftParquetReaderFactory(
     * rides the reader's partition-value mechanism. */
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[ColumnarBatch] = {
-    val p = partition.asInstanceOf[GraftFilePartition]
+    val p = partition.asInstanceOf[GraftScanPartition]
     new PartitionReader[ColumnarBatch] {
       private val it = p.chunks.iterator
       private var reader: org.apache.spark.sql.execution.datasources

@@ -1,0 +1,229 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+import org.apache.spark.sql.functions._
+
+import graft.SparkSpec
+import graft.operators.Versioned
+
+/** Metadata-only aggregate pushdown (`SupportsPushDownAggregates` →
+  * `LocalScan`): COUNT/MIN/MAX and GROUP-BY-partition queries answer
+  * from the manifest as a `LocalTableScan` — zero tasks, zero data IO
+  * — and REFUSE (falling back to the ordinary scan, same answer)
+  * whenever the manifest cannot prove exactness. */
+class GraftMetaAggSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val w = Files.createTempDirectory("graft-metaagg-wh").toString
+    spark.conf.set("spark.sql.catalog.graftma",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftma.warehouse", w)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftma.m")
+    w
+  }
+
+  private def sql(s: String): DataFrame = { warehouse; spark.sql(s) }
+
+  private def isMetaOnly(df: DataFrame): Boolean = {
+    val p = df.queryExecution.executedPlan.toString
+    p.contains("LocalTableScan") && !p.contains("BatchScan")
+  }
+
+  /** The pushed and fallback plans must agree cell-for-cell. */
+  private def assertPushed(q: String): Unit = {
+    val df = sql(q)
+    assert(isMetaOnly(df), s"expected metadata-only plan for: $q\n" +
+      df.queryExecution.executedPlan.toString)
+  }
+
+  private def assertFallback(q: String): Unit = {
+    val df = sql(q)
+    assert(!isMetaOnly(df), s"expected ordinary-scan fallback for: $q")
+  }
+
+  test("COUNT(*), COUNT(col), MIN/MAX answer from the manifest as a " +
+      "LocalTableScan, matching the scan answer exactly") {
+    sql("CREATE TABLE graftma.m.t (id BIGINT, v DOUBLE, s STRING, " +
+      "d DATE) PARTITIONED BY (day STRING)")
+    val root = s"$warehouse/m/t"
+    val df = (0 until 500).map { i =>
+      (i.toLong, i * 1.5, if (i % 7 == 0) null else s"s$i",
+        java.sql.Date.valueOf(s"2024-01-${i % 9 + 1}"),
+        s"d${i % 3}")
+    }.toDF("id", "v", "s", "d", "day").repartition(3)
+    Versioned.commit(spark, root, df, partitionBy = Seq("day"),
+      statsCols = Seq("id", "s", "d", "v"))
+
+    val pushed = sql("SELECT count(*) AS n, count(s) AS ns, " +
+      "min(id) AS mni, max(id) AS mxi, min(s) AS mns, max(s) AS mxs, " +
+      "min(d) AS mnd, max(d) AS mxd, min(day) AS mnp, max(day) AS mxp " +
+      "FROM graftma.m.t")
+    assert(isMetaOnly(pushed), pushed.queryExecution.executedPlan.toString)
+    val r = pushed.head()
+    assert(r.getLong(0) === 500L)
+    assert(r.getLong(1) === 500L - (0 until 500).count(_ % 7 == 0))
+    assert((r.getLong(2), r.getLong(3)) === ((0L, 499L)))
+    assert(r.getString(4) === (0 until 500).filter(_ % 7 != 0)
+      .map(i => s"s$i").min)
+    assert(r.getString(5) === (0 until 500).filter(_ % 7 != 0)
+      .map(i => s"s$i").max)
+    assert(r.getDate(6).toString === "2024-01-01")
+    assert(r.getDate(7).toString === "2024-01-09")
+    assert((r.getString(8), r.getString(9)) === (("d0", "d2")))
+  }
+
+  test("GROUP BY the partition column answers per-partition counts " +
+      "and bounds from per-file single-valued stats") {
+    val pushed = sql("SELECT day, count(*) AS n, count(s) AS ns, " +
+      "max(id) AS mx FROM graftma.m.t GROUP BY day")
+    assert(isMetaOnly(pushed), pushed.queryExecution.executedPlan.toString)
+    val got = pushed.collect().map(r =>
+      (r.getString(0), r.getLong(1), r.getLong(2), r.getLong(3))).sorted
+    val want = (0 until 500).groupBy(i => s"d${i % 3}").toSeq.map {
+      case (day, is) => (day, is.size.toLong,
+        is.count(_ % 7 != 0).toLong, is.max.toLong)
+    }.sorted
+    assert(got.toSeq === want)
+  }
+
+  test("refusal cases fall back to the ordinary scan: WHERE clause, " +
+      "double MIN/MAX, timestamp bounds (INT96 footers), DISTINCT, " +
+      "expression aggregates, GROUP BY a non-single-valued column") {
+    assertFallback("SELECT count(*) AS n FROM graftma.m.t WHERE id > 10")
+    assert(sql("SELECT count(*) AS n FROM graftma.m.t WHERE id > 10")
+      .as[Long].head() === 489L)
+    assertFallback("SELECT min(v) AS m FROM graftma.m.t") // double: NaN
+    assert(sql("SELECT min(v) AS m FROM graftma.m.t")
+      .as[Double].head() === 0.0)
+    assertFallback("SELECT count(DISTINCT day) AS n FROM graftma.m.t")
+    assertFallback("SELECT max(id + 1) AS m FROM graftma.m.t")
+    assertFallback("SELECT id, count(*) AS n FROM graftma.m.t GROUP BY id")
+    // a column with NO recorded stats refuses MIN/MAX but not COUNT(*)
+    sql("CREATE TABLE graftma.m.nostats (a BIGINT, b STRING)")
+    sql("INSERT INTO graftma.m.nostats VALUES (1, 'x'), (2, NULL)")
+    assertFallback("SELECT max(a) AS m FROM graftma.m.nostats")
+    assertFallback("SELECT count(b) AS n FROM graftma.m.nostats")
+    assertPushed("SELECT count(*) AS n FROM graftma.m.nostats")
+    assert(sql("SELECT count(*) AS n FROM graftma.m.nostats")
+      .as[Long].head() === 2L)
+  }
+
+  test("an empty table answers count 0 / NULL bounds globally and " +
+      "zero rows grouped") {
+    sql("CREATE TABLE graftma.m.empty (id BIGINT) PARTITIONED BY (p STRING)")
+    val g = sql("SELECT count(*) AS n, max(p) AS mx FROM graftma.m.empty")
+    assert(isMetaOnly(g))
+    val r = g.head()
+    assert(r.getLong(0) === 0L && r.isNullAt(1))
+    val grouped = sql(
+      "SELECT p, count(*) AS n FROM graftma.m.empty GROUP BY p")
+    assert(isMetaOnly(grouped) && grouped.count() === 0L)
+  }
+
+  test("column mapping: RENAME COLUMN keeps answering through the " +
+      "physical stats key") {
+    sql("CREATE TABLE graftma.m.ren (id BIGINT) PARTITIONED BY (day STRING)")
+    val root = s"$warehouse/m/ren"
+    Versioned.commit(spark, root,
+      Seq((1L, "a"), (2L, "b")).toDF("id", "day"),
+      partitionBy = Seq("day"), statsCols = Seq("id"))
+    // partition columns cannot rename (the layout derives from them);
+    // the mapping test is the DATA column, whose stats stay keyed
+    // under the original physical name
+    sql("ALTER TABLE graftma.m.ren RENAME COLUMN id TO event_id")
+    assertPushed("SELECT max(day) AS m, max(event_id) AS i " +
+      "FROM graftma.m.ren")
+    val r = sql("SELECT max(day) AS m, max(event_id) AS i " +
+      "FROM graftma.m.ren").head()
+    assert((r.getString(0), r.getLong(1)) === (("b", 2L)))
+    assertPushed("SELECT day, count(*) AS n, min(event_id) AS mn " +
+      "FROM graftma.m.ren GROUP BY day")
+    assert(sql("SELECT day, count(*) AS n, min(event_id) AS mn " +
+      "FROM graftma.m.ren GROUP BY day").collect().map(x =>
+      (x.getString(0), x.getLong(1), x.getLong(2))).sorted.toSeq ===
+      Seq(("a", 1L, 1L), ("b", 1L, 2L)))
+  }
+
+  test("pending merge-on-read state refuses: counts answer through " +
+      "the anti-filtered scan, never from over-counting file rows") {
+    sql("CREATE TABLE graftma.m.mor (id BIGINT, v DOUBLE)")
+    val root = s"$warehouse/m/mor"
+    Versioned.commit(spark, root,
+      (0 until 100).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+        .coalesce(1), statsCols = Seq("id"))
+    assertPushed("SELECT count(*) AS n FROM graftma.m.mor")
+    // a DV delete leaves the data file in place; counts must drop
+    Versioned.deleteRows(spark, root, col("id").isin(5L, 6L))
+    assertFallback("SELECT count(*) AS n FROM graftma.m.mor")
+    assert(sql("SELECT count(*) AS n FROM graftma.m.mor")
+      .as[Long].head() === 98L)
+    assertFallback("SELECT max(id) AS m FROM graftma.m.mor")
+    // compaction materializes the vectors; pushdown resumes — but the
+    // compacted rewrite records no `id` stats (statsCols are a write
+    // option), so only COUNT(*) answers
+    Versioned.compact(spark, root)
+    assertPushed("SELECT count(*) AS n FROM graftma.m.mor")
+    assert(sql("SELECT count(*) AS n FROM graftma.m.mor")
+      .as[Long].head() === 98L)
+  }
+
+  test("schema evolution: COUNT(col) refuses while any live file " +
+      "predates the column; COUNT(*) keeps answering") {
+    sql("CREATE TABLE graftma.m.evo (id BIGINT)")
+    sql("INSERT INTO graftma.m.evo VALUES (1), (2)")
+    sql("ALTER TABLE graftma.m.evo ADD COLUMNS (tag STRING)")
+    assertPushed("SELECT count(*) AS n FROM graftma.m.evo")
+    assertFallback("SELECT count(tag) AS n FROM graftma.m.evo")
+    assert(sql("SELECT count(tag) AS n FROM graftma.m.evo")
+      .as[Long].head() === 0L)
+  }
+
+  test("all-null files contribute nothing to MIN/MAX (null-count " +
+      "proof) and NULL results surface when every row is null") {
+    sql("CREATE TABLE graftma.m.nulls (id BIGINT, s STRING)")
+    val root = s"$warehouse/m/nulls"
+    Versioned.commit(spark, root,
+      Seq((1L, null: String), (2L, null: String)).toDF("id", "s")
+        .coalesce(1), statsCols = Seq("s"))
+    val r0 = sql("SELECT min(s) AS m, count(s) AS n FROM graftma.m.nulls")
+    assert(isMetaOnly(r0))
+    assert(r0.head().isNullAt(0) && r0.head().getLong(1) === 0L)
+    Versioned.commit(spark, root,
+      Seq((3L, "zz"), (4L, null: String)).toDF("id", "s").coalesce(1),
+      statsCols = Seq("s"), mode = "append")
+    val r1 = sql("SELECT min(s) AS mn, max(s) AS mx, count(s) AS n " +
+      "FROM graftma.m.nulls")
+    assert(isMetaOnly(r1))
+    assert(r1.head().getString(0) === "zz" &&
+      r1.head().getString(1) === "zz" && r1.head().getLong(2) === 1L)
+  }
+
+  test("non-ASCII string bounds refuse (footer bounds merge in " +
+      "UTF-16 order; exactness is only provable in ASCII)") {
+    sql("CREATE TABLE graftma.m.uni (s STRING)")
+    val root = s"$warehouse/m/uni"
+    Versioned.commit(spark, root,
+      Seq("héllo", "wörld").toDF("s").coalesce(1), statsCols = Seq("s"))
+    assertFallback("SELECT max(s) AS m FROM graftma.m.uni")
+    assert(sql("SELECT max(s) AS m FROM graftma.m.uni")
+      .as[String].head() === "wörld")
+    assertPushed("SELECT count(s) AS n FROM graftma.m.uni")
+  }
+
+  test("time travel pins the answered manifest: VERSION AS OF counts " +
+      "the historical snapshot") {
+    sql("CREATE TABLE graftma.m.tt (id BIGINT)")
+    sql("INSERT INTO graftma.m.tt VALUES (1), (2)")
+    sql("INSERT INTO graftma.m.tt VALUES (3)")
+    val v = Versioned.latestVersion(s"$warehouse/m/tt").get
+    val old = sql(s"SELECT count(*) AS n FROM graftma.m.tt " +
+      s"VERSION AS OF ${v - 1}")
+    assert(isMetaOnly(old) && old.as[Long].head() === 2L)
+    assertPushed("SELECT count(*) AS n FROM graftma.m.tt")
+    assert(sql("SELECT count(*) AS n FROM graftma.m.tt")
+      .as[Long].head() === 3L)
+  }
+}

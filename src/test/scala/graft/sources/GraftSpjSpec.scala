@@ -1,0 +1,163 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import org.apache.spark.sql.DataFrame
+
+import graft.SparkSpec
+
+/** Storage-partitioned joins: two catalog tables partitioned the same
+  * way join WITHOUT a shuffle on either side — the scans report
+  * `KeyGroupedPartitioning` over the partition tuple (decoded per file
+  * from single-valued footer stats) and Spark's `KeyGroupedShuffleSpec`
+  * aligns them. Opt-in via spark.sql.sources.v2.bucketing.enabled +
+  * spark.graft.spj.preserveDataGrouping. */
+class GraftSpjSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val w = Files.createTempDirectory("graft-spj-wh").toString
+    spark.conf.set("spark.sql.catalog.graftspj",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftspj.warehouse", w)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftspj.s")
+    w
+  }
+
+  private def sql(s: String): DataFrame = { warehouse; spark.sql(s) }
+
+  /** Run `f` with SPJ active and plan-shape noise (AQE, broadcast)
+    * pinned off so exchange assertions are deterministic. */
+  private def withSpj[A](f: => A): A = {
+    val saved = Seq(
+      "spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.graft.spj.preserveDataGrouping",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      spark.conf.set("spark.graft.spj.preserveDataGrouping", "true")
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      f
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  /** The JOIN/AGG shuffles only: a global ORDER BY's range exchange is
+    * expected, and BroadcastExchange is not a shuffle. Materialize the
+    * string EAGERLY (queryExecution is lazy — reading it after a conf
+    * scope closes would plan under the restored confs). */
+  private def keyShuffles(df: DataFrame): Boolean = {
+    val p = df.queryExecution.executedPlan.toString
+    p.contains("Exchange hashpartitioning") ||
+      p.contains("Exchange SinglePartition")
+  }
+
+  private lazy val tablesReady: Unit = {
+    sql("CREATE TABLE graftspj.s.orders (ok BIGINT, nk INT, amt DOUBLE) " +
+      "PARTITIONED BY (nk)")
+    sql("CREATE TABLE graftspj.s.cust (ck BIGINT, nk INT, seg STRING) " +
+      "PARTITIONED BY (nk)")
+    (0 until 400).map(i => (i.toLong, i % 5, i * 1.5))
+      .toDF("ok", "nk", "amt").createOrReplaceTempView("spj_o")
+    (0 until 100).map(i => (i.toLong, i % 5, s"seg${i % 3}"))
+      .toDF("ck", "nk", "seg").createOrReplaceTempView("spj_c")
+    sql("INSERT INTO graftspj.s.orders SELECT * FROM spj_o")
+    // a second commit per side: multiple files per partition tuple
+    sql("INSERT INTO graftspj.s.orders SELECT ok + 1000, nk, amt FROM spj_o")
+    sql("INSERT INTO graftspj.s.cust SELECT * FROM spj_c")
+  }
+
+  test("co-partitioned tables join with NO exchange on either side, " +
+      "and the result matches the shuffled join exactly") {
+    tablesReady
+    val q = """SELECT o.nk AS nk, count(*) AS n, sum(o.amt) AS amt
+      |FROM graftspj.s.orders o JOIN graftspj.s.cust c ON o.nk = c.nk
+      |GROUP BY o.nk ORDER BY nk""".stripMargin
+    val plain = sql(q).collect()
+    val (spjRows, plan) = withSpj {
+      val df = sql(q)
+      (df.collect(), df.queryExecution.executedPlan.toString)
+    }
+    assert(!plan.contains("Exchange hashpartitioning") &&
+      !plan.contains("Exchange SinglePartition") &&
+      !plan.contains("BroadcastHashJoin"), plan)
+    assert(spjRows.toSeq === plain.toSeq)
+  }
+
+  test("GROUP BY the partition column aggregates without an exchange " +
+      "(clustered distribution satisfied by the key grouping)") {
+    tablesReady
+    // a non-partition column in the aggregate keeps this off the
+    // metadata-agg pushdown path — the scan itself must serve it
+    val q = "SELECT nk, sum(amt) AS s FROM graftspj.s.orders " +
+      "GROUP BY nk ORDER BY nk"
+    val plain = sql(q).collect()
+    val (rows, plan) = withSpj {
+      val df = sql(q)
+      (df.collect(), df.queryExecution.executedPlan.toString)
+    }
+    // one Exchange survives for the global ORDER BY (range); the
+    // aggregate itself must not re-shuffle
+    assert(!keyShufflesStr(plan), plan)
+    assert(rows.toSeq === plain.toSeq)
+  }
+
+  private def keyShufflesStr(p: String): Boolean =
+    p.contains("Exchange hashpartitioning") ||
+      p.contains("Exchange SinglePartition")
+
+  test("mismatched partition-value sets stay CORRECT (missing keys " +
+      "handled by pushed partition values or a fallback shuffle)") {
+    tablesReady
+    sql("CREATE TABLE graftspj.s.sparse (ck BIGINT, nk INT) " +
+      "PARTITIONED BY (nk)")
+    sql("INSERT INTO graftspj.s.sparse VALUES (1, 0), (2, 2), (3, 9)")
+    val q = """SELECT o.nk AS nk, count(*) AS n
+      |FROM graftspj.s.orders o JOIN graftspj.s.sparse s ON o.nk = s.nk
+      |GROUP BY o.nk ORDER BY nk""".stripMargin
+    val plain = sql(q).collect()
+    val spjRows = withSpj(sql(q).collect())
+    assert(spjRows.toSeq === plain.toSeq)
+  }
+
+  test("the grouping is conf-gated: without the opt-in the scan plans " +
+      "the ordinary packed/split shape and joins shuffle as before") {
+    tablesReady
+    val q = "SELECT o.ok, c.ck FROM graftspj.s.orders o " +
+      "JOIN graftspj.s.cust c ON o.nk = c.nk"
+    // same broadcast/AQE pinning, WITHOUT the SPJ opt-in confs: the
+    // sort-merge join must shuffle both sides
+    val saved = Seq("spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> spark.conf.getOption(k))
+    val plan = try {
+      spark.conf.set("spark.sql.adaptive.enabled", "false")
+      spark.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      sql(q).queryExecution.executedPlan.toString
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+    assert(keyShufflesStr(plan), plan)
+    assert(sql(q).count() === withSpj(sql(q).count()))
+  }
+
+  test("filters compose: static pruning narrows the groups and the " +
+      "join result stays exact") {
+    tablesReady
+    val q = """SELECT o.nk AS nk, count(*) AS n
+      |FROM graftspj.s.orders o JOIN graftspj.s.cust c ON o.nk = c.nk
+      |WHERE o.nk IN (1, 3) AND c.nk IN (1, 3)
+      |GROUP BY o.nk ORDER BY nk""".stripMargin
+    val plain = sql(q).collect()
+    assert(withSpj(sql(q).collect()).toSeq === plain.toSeq)
+  }
+}
