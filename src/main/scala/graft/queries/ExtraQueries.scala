@@ -2062,30 +2062,7 @@ object ExtraQueries {
       |  MAX(CAST(l_shipdate AS DATE)) AS max_sd,
       |  MIN(l_linestatus) AS min_ls, MAX(l_linestatus) AS max_ls
       |FROM lineitem GROUP BY 1 ORDER BY 1""".stripMargin) { (s, d) =>
-    val cat = s"graftmq${math.abs(d.hashCode)}"
-    val wh = metaAggDirs.getOrElseUpdate(d, {
-      val w = java.nio.file.Files
-        .createTempDirectory("graft-metaagg-q").toString
-      s.conf.set(s"spark.sql.catalog.$cat",
-        classOf[graft.sources.GraftCatalog].getName)
-      s.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
-      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.r10")
-      s.sql(s"CREATE TABLE $cat.r10.li (l_orderkey BIGINT, " +
-        "ship_date DATE, l_linestatus STRING, l_returnflag STRING) " +
-        "PARTITIONED BY (l_returnflag)")
-      // the direct commit records footer stats for the data columns
-      // (the catalog INSERT records partition-column stats only)
-      graft.operators.Versioned.commit(s, s"$w/r10/li",
-        t(s, d, "lineitem").select(col("l_orderkey"),
-          col("l_shipdate").cast("date").as("ship_date"),
-          col("l_linestatus"), col("l_returnflag")),
-        partitionBy = Seq("l_returnflag"),
-        statsCols = Seq("l_orderkey", "ship_date", "l_linestatus"))
-      w
-    })
-    s.conf.set(s"spark.sql.catalog.$cat",
-      classOf[graft.sources.GraftCatalog].getName)
-    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val cat = metaAggTable(s, d)
     val out = s.sql(
       s"""SELECT l_returnflag AS flag, COUNT(*) AS cnt,
         |  COUNT(l_linestatus) AS cnt_ls,
@@ -2100,8 +2077,67 @@ object ExtraQueries {
     out
   }
 
+  /** x51/x53's shared catalog table: lineitem projected onto
+    * (l_orderkey, ship_date, l_linestatus) PARTITIONED BY
+    * (l_returnflag), committed directly so the data columns carry
+    * footer stats (the catalog INSERT records partition-column stats
+    * only). Returns the catalog name, confs set. */
+  private def metaAggTable(
+      s: org.apache.spark.sql.SparkSession, d: String): String = {
+    val cat = s"graftmq${math.abs(d.hashCode)}"
+    val wh = metaAggDirs.getOrElseUpdate(d, {
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-metaagg-q").toString
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.r10")
+      s.sql(s"CREATE TABLE $cat.r10.li (l_orderkey BIGINT, " +
+        "ship_date DATE, l_linestatus STRING, l_returnflag STRING) " +
+        "PARTITIONED BY (l_returnflag)")
+      graft.operators.Versioned.commit(s, s"$w/r10/li",
+        t(s, d, "lineitem").select(col("l_orderkey"),
+          col("l_shipdate").cast("date").as("ship_date"),
+          col("l_linestatus"), col("l_returnflag")),
+        partitionBy = Seq("l_returnflag"),
+        statsCols = Seq("l_orderkey", "ship_date", "l_linestatus"))
+      w
+    })
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    cat
+  }
+
   private val metaAggDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
+
+  // ---------------------------------------------------------------- x53
+  // FILTERED metadata aggregates: the scan CONSUMES an exact-grain
+  // partition predicate (every live file single-valued for the
+  // column), so `count/min/max … WHERE l_returnflag = 'R'` still
+  // answers from the manifest with zero tasks — the plan shape is
+  // pinned in the body; DuckDB replays the filtered aggregates over
+  // lineitem. A file leaking through the consumed predicate or a
+  // bound computed over the wrong file set breaks the hash.
+  val x53MetaAggFiltered: Q = Q(
+    "x53_meta_agg_filtered",
+    """SELECT COUNT(*) AS cnt, COUNT(l_linestatus) AS cnt_ls,
+      |  MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
+      |  MIN(CAST(l_shipdate AS DATE)) AS min_sd,
+      |  MAX(CAST(l_shipdate AS DATE)) AS max_sd
+      |FROM lineitem WHERE l_returnflag = 'R'""".stripMargin) { (s, d) =>
+    val cat = metaAggTable(s, d)
+    val out = s.sql(
+      s"""SELECT COUNT(*) AS cnt, COUNT(l_linestatus) AS cnt_ls,
+        |  MIN(l_orderkey) AS min_ok, MAX(l_orderkey) AS max_ok,
+        |  MIN(ship_date) AS min_sd, MAX(ship_date) AS max_sd
+        |FROM $cat.r10.li WHERE l_returnflag = 'R'""".stripMargin)
+    require(out.queryExecution.executedPlan.toString
+        .contains("LocalTableScan"),
+      "x53 must answer from the manifest (LocalTableScan plan)")
+    out
+  }
 
   // ---------------------------------------------------------------- x52
   // Storage-partitioned join, hash-gated: two catalog tables
@@ -2411,5 +2447,5 @@ object ExtraQueries {
     x38SqlRename, x39SqlWiden, x40CatalogSql, x41SqlMergeFull,
     x42SqlDeleteIn, x43CopyInto, x44CatalogDml, x45NativeDml,
     x46DynamicOverwrite, x47StreamToTable, x48PartitionedMerge,
-    x49MorDml, x50StreamRead, x51MetaAgg, x52Spj)
+    x49MorDml, x50StreamRead, x51MetaAgg, x52Spj, x53MetaAggFiltered)
 }

@@ -539,12 +539,55 @@ final class GraftScanBuilder(spark: SparkSession, root: String,
     with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
 
   private var pushed: Array[Filter] = Array.empty
+  private var residual: Array[Filter] = Array.empty
   private var required: StructType = tableSchema
   private var aggScan: Option[Scan] = None
 
+  // partition columns where an EqualTo/In prunes files EXACTLY (every
+  // live file single-valued, non-null by invariant, provably-exact
+  // literal comparison) — see GraftMetaAgg.exactPartitionCols
+  private lazy val exactCols: Map[String,
+      org.apache.spark.sql.types.DataType] =
+    GraftMetaAgg.exactPartitionCols(root, version, tableSchema)
+
+  private def litOk(dt: org.apache.spark.sql.types.DataType,
+      v: Any): Boolean = v != null && ((dt, v) match {
+    case (org.apache.spark.sql.types.ByteType |
+          org.apache.spark.sql.types.ShortType |
+          org.apache.spark.sql.types.IntegerType |
+          org.apache.spark.sql.types.LongType,
+          _: java.lang.Byte | _: java.lang.Short | _: java.lang.Integer |
+          _: java.lang.Long) => true
+    case (org.apache.spark.sql.types.DateType,
+          _: java.sql.Date | _: java.time.LocalDate) => true
+    case (org.apache.spark.sql.types.StringType, _: String) => true
+    case _ => false
+  })
+
+  /** True for the filters the scan APPLIES itself (not returned as
+    * residual): exact-grain partition predicates. Everything else
+    * stays advisory — returned for Spark to re-evaluate, so stats
+    * gaps can never change results. */
+  private def consumed(f: Filter): Boolean = f match {
+    case org.apache.spark.sql.sources.EqualTo(a, v) =>
+      exactCols.get(a).exists(litOk(_, v))
+    case org.apache.spark.sql.sources.In(a, vs) =>
+      vs.nonEmpty && vs.length <= (1 << 20) &&
+        exactCols.get(a).exists(dt => vs.forall(litOk(dt, _)))
+    // partition values are non-null by the write invariant (a null
+    // partition value aborts the commit), and exactCols re-proves it
+    // per file from the recorded null counts — the IsNotNull Spark
+    // pushes alongside every comparison is a tautology here
+    case org.apache.spark.sql.sources.IsNotNull(a) =>
+      exactCols.contains(a)
+    case _ => false
+  }
+
   override def pushFilters(filters: Array[Filter]): Array[Filter] = {
     pushed = filters
-    filters // all re-evaluated above the scan (advisory pruning)
+    residual = filters.filterNot(consumed)
+    residual // consumed partition predicates prune exactly in-scan;
+             // the rest re-evaluates above (advisory pruning)
   }
 
   override def pushedFilters(): Array[Filter] = pushed
@@ -564,8 +607,16 @@ final class GraftScanBuilder(spark: SparkSession, root: String,
   override def supportCompletePushDown(
       agg: org.apache.spark.sql.connector.expressions.aggregate
         .Aggregation): Boolean = {
-    aggScan = GraftMetaAgg.tryCompute(root, version, tableSchema, agg,
-      havePushedFilters = pushed.nonEmpty)
+    // residual filters refuse (Spark would not offer the aggregation
+    // then anyway — defensive); consumed partition filters narrow the
+    // answered file set through the same exact prune the scan runs
+    aggScan =
+      if (residual.nonEmpty) None
+      else GraftMetaAgg.tryCompute(root, version, tableSchema, agg,
+        pruned =
+          if (pushed.isEmpty) None
+          else Some(Versioned.candidateFilesForBounds(root, version,
+            VersionedSource.bounds(pushed.toIndexedSeq)).toSet))
     aggScan.isDefined
   }
 

@@ -66,16 +66,62 @@ private[sources] object GraftMetaAgg {
     override def description(): String = desc
   }
 
+  /** Partition columns whose EVERY live file at `version` carries
+    * single-valued (min == max) footer stats of the matching tag,
+    * restricted to types whose literal↔stats comparison is provably
+    * exact (integrals, dates, strings — not floats, not INT96
+    * timestamps). An EqualTo/In filter on such a column prunes files
+    * EXACTLY: each surviving file holds only the matching tuple (the
+    * hive-layout invariant) and partition values are non-null, so the
+    * filter needs NO re-evaluation above the scan — which is what lets
+    * Spark offer aggregate pushdown on FILTERED metadata queries
+    * (`count(*) WHERE day = …`). Keyed by the schema field's exact
+    * name (what a resolved filter attribute carries); a column whose
+    * declared partition name differs in case is skipped — consumption
+    * must be refused whenever the stats lookup could miss. DV/MoR
+    * state is irrelevant here: deletes only REMOVE rows, and a
+    * file-exact prune stays exact on the survivors. */
+  private[sources] def exactPartitionCols(root: String, version: Long,
+      tableSchema: StructType): Map[String, DataType] = {
+    val (entries, physNames, _) = Versioned.aggMeta(root, version)
+    Versioned.partitionByOf(root, Some(version)).flatMap { pc =>
+      tableSchema.fields.find(_.name == pc).flatMap { f =>
+        val okType = f.dataType match {
+          case ByteType | ShortType | IntegerType | LongType | DateType |
+               StringType => true
+          case _ => false
+        }
+        val tag = tagFor(f.dataType)
+        val phys = physNames.getOrElse(pc, pc)
+        // single-valued stats of the right tag per file, AND a zero
+        // null count wherever one is recorded (partition values are
+        // non-null by the write invariant; this re-proves it from the
+        // footers, so consuming IsNotNull is belt-and-braces safe)
+        if (okType &&
+            entries.forall(e => e.stats.get(phys).exists {
+              case (t, mn, mx) => tag.contains(t) && mn == mx
+            } && e.nulls.get(phys).forall(_ == 0L)))
+          Some(f.name -> f.dataType)
+        else None
+      }
+    }.toMap
+  }
+
   /** Complete-pushdown attempt: Some(scan) iff EVERY group column and
     * EVERY aggregate is exactly answerable from the manifest at
-    * `version`. The scan's readSchema lays out group columns first,
-    * then aggregates, in declaration order — the layout
-    * `V2ScanRelationPushDown` expects from a complete pushdown. */
+    * `version`, over the `pruned` candidate files when a consumed
+    * partition filter narrowed the scan (None = all live files). The
+    * scan's readSchema lays out group columns first, then aggregates,
+    * in declaration order — the layout `V2ScanRelationPushDown`
+    * expects from a complete pushdown. */
   def tryCompute(root: String, version: Long, tableSchema: StructType,
-      agg: Aggregation, havePushedFilters: Boolean): Option[Scan] = {
-    if (havePushedFilters) return None
-    val (files, physNames, pendingMor) = Versioned.aggMeta(root, version)
+      agg: Aggregation, pruned: Option[Set[String]]): Option[Scan] = {
+    val (live, physNames, pendingMor) = Versioned.aggMeta(root, version)
     if (pendingMor) return None
+    val files = pruned match {
+      case Some(keep) => live.filter(e => keep(e.path))
+      case None => live
+    }
     def phys(n: String): String = physNames.getOrElse(n, n)
 
     // ---- group columns: resolve, and require single-valued stats

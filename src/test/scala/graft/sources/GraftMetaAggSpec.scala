@@ -44,8 +44,8 @@ class GraftMetaAggSpec extends SparkSpec {
     assert(!isMetaOnly(df), s"expected ordinary-scan fallback for: $q")
   }
 
-  test("COUNT(*), COUNT(col), MIN/MAX answer from the manifest as a " +
-      "LocalTableScan, matching the scan answer exactly") {
+  /** The shared base table: partitioned by `day`, stats on id/s/d/v. */
+  private lazy val baseReady: Unit = {
     sql("CREATE TABLE graftma.m.t (id BIGINT, v DOUBLE, s STRING, " +
       "d DATE) PARTITIONED BY (day STRING)")
     val root = s"$warehouse/m/t"
@@ -56,6 +56,12 @@ class GraftMetaAggSpec extends SparkSpec {
     }.toDF("id", "v", "s", "d", "day").repartition(3)
     Versioned.commit(spark, root, df, partitionBy = Seq("day"),
       statsCols = Seq("id", "s", "d", "v"))
+    ()
+  }
+
+  test("COUNT(*), COUNT(col), MIN/MAX answer from the manifest as a " +
+      "LocalTableScan, matching the scan answer exactly") {
+    baseReady
 
     val pushed = sql("SELECT count(*) AS n, count(s) AS ns, " +
       "min(id) AS mni, max(id) AS mxi, min(s) AS mns, max(s) AS mxs, " +
@@ -77,6 +83,7 @@ class GraftMetaAggSpec extends SparkSpec {
 
   test("GROUP BY the partition column answers per-partition counts " +
       "and bounds from per-file single-valued stats") {
+    baseReady
     val pushed = sql("SELECT day, count(*) AS n, count(s) AS ns, " +
       "max(id) AS mx FROM graftma.m.t GROUP BY day")
     assert(isMetaOnly(pushed), pushed.queryExecution.executedPlan.toString)
@@ -92,6 +99,7 @@ class GraftMetaAggSpec extends SparkSpec {
   test("refusal cases fall back to the ordinary scan: WHERE clause, " +
       "double MIN/MAX, timestamp bounds (INT96 footers), DISTINCT, " +
       "expression aggregates, GROUP BY a non-single-valued column") {
+    baseReady
     assertFallback("SELECT count(*) AS n FROM graftma.m.t WHERE id > 10")
     assert(sql("SELECT count(*) AS n FROM graftma.m.t WHERE id > 10")
       .as[Long].head() === 489L)
@@ -211,6 +219,55 @@ class GraftMetaAggSpec extends SparkSpec {
     assert(sql("SELECT max(s) AS m FROM graftma.m.uni")
       .as[String].head() === "wörld")
     assertPushed("SELECT count(s) AS n FROM graftma.m.uni")
+  }
+
+  test("exact partition filters are CONSUMED: a WHERE on the " +
+      "partition column still answers metadata-only, over exactly " +
+      "the matching files") {
+    baseReady
+    val pushed = sql("SELECT count(*) AS n, count(s) AS ns, " +
+      "min(id) AS mn, max(id) AS mx FROM graftma.m.t WHERE day = 'd1'")
+    assert(isMetaOnly(pushed), pushed.queryExecution.executedPlan.toString)
+    val r = pushed.head()
+    val want = (0 until 500).filter(i => s"d${i % 3}" == "d1")
+    assert(r.getLong(0) === want.size.toLong)
+    assert(r.getLong(1) === want.count(_ % 7 != 0).toLong)
+    assert((r.getLong(2), r.getLong(3)) ===
+      ((want.min.toLong, want.max.toLong)))
+    // IN-lists consume too, grouped answers narrow to matching tuples
+    val grouped = sql("SELECT day, count(*) AS n FROM graftma.m.t " +
+      "WHERE day IN ('d0', 'd2') GROUP BY day")
+    assert(isMetaOnly(grouped))
+    assert(grouped.collect().map(x => (x.getString(0), x.getLong(1)))
+      .sorted.toSeq ===
+      Seq("d0", "d2").map(dy =>
+        (dy, (0 until 500).count(i => s"d${i % 3}" == dy).toLong)))
+    // a filter on a NON-partition column refuses (stays residual);
+    // answers stay exact through the scan
+    assertFallback(
+      "SELECT count(*) AS n FROM graftma.m.t WHERE id < 100")
+    // mixed: partition filter consumed + data filter residual →
+    // no aggregate pushdown, but the consumed predicate must still
+    // hold on the scan output (file-exact pruning, never re-applied)
+    val mixed = sql("SELECT count(*) AS n FROM graftma.m.t " +
+      "WHERE day = 'd1' AND id < 100")
+    assert(!isMetaOnly(mixed))
+    assert(mixed.head().getLong(0) ===
+      (0 until 100).count(i => s"d${i % 3}" == "d1").toLong)
+    // plain row reads under a consumed filter: exact rows, no leakage
+    assert(sql("SELECT id FROM graftma.m.t WHERE day = 'd1'")
+      .collect().map(_.getLong(0)).sorted.toSeq ===
+      want.map(_.toLong).sorted.toSeq)
+  }
+
+  test("consumption refuses on an unpartitioned table and on " +
+      "non-exact literal kinds — those filters stay residual") {
+    sql("CREATE TABLE graftma.m.unpart (a BIGINT, b STRING)")
+    sql("INSERT INTO graftma.m.unpart VALUES (1, 'x'), (2, NULL)")
+    assertFallback(
+      "SELECT count(*) AS n FROM graftma.m.unpart WHERE a = 1")
+    assert(sql("SELECT count(*) AS n FROM graftma.m.unpart WHERE a = 1")
+      .as[Long].head() === 1L)
   }
 
   test("time travel pins the answered manifest: VERSION AS OF counts " +
