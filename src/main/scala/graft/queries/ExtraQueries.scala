@@ -2139,6 +2139,21 @@ object ExtraQueries {
     out
   }
 
+  // ---------------------------------------------------------------- x54
+  // SHOW PARTITIONS, hash-gated: the partition-management surface
+  // lists the distinct tuples METADATA-ONLY (decoded from per-file
+  // single-valued footer stats — zero data IO at any table size);
+  // DuckDB reconstructs the same spec strings from the base table. A
+  // phantom partition (stale file), a lost one, or a mis-decoded
+  // tuple value all break the hash.
+  val x54ShowPartitions: Q = Q(
+    "x54_show_partitions",
+    """SELECT DISTINCT 'l_returnflag=' || l_returnflag AS partition
+      |FROM lineitem ORDER BY 1""".stripMargin) { (s, d) =>
+    val cat = metaAggTable(s, d)
+    s.sql(s"SHOW PARTITIONS $cat.r10.li").orderBy("partition")
+  }
+
   // ---------------------------------------------------------------- x52
   // Storage-partitioned join, hash-gated: two catalog tables
   // partitioned the same way (customers and orders by nation-derived
@@ -2447,5 +2462,6 @@ object ExtraQueries {
     x38SqlRename, x39SqlWiden, x40CatalogSql, x41SqlMergeFull,
     x42SqlDeleteIn, x43CopyInto, x44CatalogDml, x45NativeDml,
     x46DynamicOverwrite, x47StreamToTable, x48PartitionedMerge,
-    x49MorDml, x50StreamRead, x51MetaAgg, x52Spj, x53MetaAggFiltered)
+    x49MorDml, x50StreamRead, x51MetaAgg, x52Spj, x53MetaAggFiltered,
+    x54ShowPartitions)
 }

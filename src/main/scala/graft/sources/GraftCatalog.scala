@@ -372,7 +372,8 @@ final class GraftTable(spark: SparkSession, fullName: String,
     extends Table with SupportsRead with SupportsWrite
     with org.apache.spark.sql.GraftV1FallbackTable
     with SupportsRowLevelOperations with SupportsDelete
-    with SupportsMetadataColumns {
+    with SupportsMetadataColumns
+    with org.apache.spark.sql.connector.catalog.SupportsPartitionManagement {
 
   // pin ONCE at load: the scan's file set and the reported schema must
   // come from the same manifest or a concurrent commit could tear them
@@ -521,6 +522,103 @@ final class GraftTable(spark: SparkSession, fullName: String,
       .getOrElse(org.apache.spark.sql.functions.lit(true))
     Versioned.delete(spark, root, cond, expectedVersion = Some(pinned))
     ()
+  }
+
+  // ---- SupportsPartitionManagement: the hive-layout partitions as a
+  // first-class catalog surface. LISTING is metadata-only (distinct
+  // partition tuples decoded from per-file single-valued footer stats
+  // — `SHOW PARTITIONS cat.ns.t` never touches data); DROP/TRUNCATE
+  // PARTITION route onto the stats-pruned delete verb, which removes
+  // a partition's files WHOLE (single-valued files either match the
+  // tuple entirely or not at all — one metadata commit, no rewrite).
+  // ADD/RENAME PARTITION refuse: in a file-per-tuple lake a partition
+  // EXISTS exactly while rows do (Delta takes the same stance).
+
+  private def partCols: Seq[org.apache.spark.sql.types.StructField] =
+    Versioned.partitionByOf(root, Some(pinned)).map(pc =>
+      schema.fields.find(_.name == pc).getOrElse(
+        throw new IllegalStateException(
+          s"partition column $pc missing from schema of $fullName")))
+
+  override def partitionSchema(): StructType = StructType(partCols)
+
+  /** Distinct partition tuples at the pinned version, optionally
+    * filtered by a sub-tuple (`names` = the filtering columns, `ident`
+    * their values — Spark's SHOW PARTITIONS (PARTITION …) shape). */
+  override def listPartitionIdentifiers(names: Array[String],
+      ident: org.apache.spark.sql.catalyst.InternalRow)
+      : Array[org.apache.spark.sql.catalyst.InternalRow] = {
+    val cols = partCols
+    val tuples = GraftMetaAgg.partitionTuples(root, pinned, StructType(cols))
+    val nameIdx = names.map(n => cols.indexWhere(_.name.equalsIgnoreCase(n)))
+    require(nameIdx.forall(_ >= 0),
+      s"unknown partition column(s) ${names.mkString(", ")} on $fullName")
+    tuples.filter { t =>
+      nameIdx.zipWithIndex.forall { case (ti, ii) =>
+        val dt = cols(ti).dataType
+        t.get(ti, dt) == ident.get(ii, dt)
+      }
+    }.toArray
+  }
+
+  override def createPartition(
+      ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      s"$fullName: partitions exist exactly while rows do (file-per-" +
+        "tuple layout) — INSERT rows to create one")
+
+  override def replacePartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow,
+      properties: java.util.Map[String, String]): Unit =
+    throw new UnsupportedOperationException(
+      s"$fullName: partition metadata is derived from the manifest")
+
+  override def loadPartitionMetadata(
+      ident: org.apache.spark.sql.catalyst.InternalRow)
+      : java.util.Map[String, String] =
+    java.util.Collections.emptyMap()
+
+  /** `ALTER TABLE … DROP PARTITION (…)`: one atomic manifest commit
+    * retiring the tuple's files whole — O(affected files), no data
+    * rewrite. Returns false when the partition has no rows. */
+  override def dropPartition(
+      ident: org.apache.spark.sql.catalyst.InternalRow): Boolean = {
+    val cols = partCols
+    if (listPartitionIdentifiers(cols.map(_.name).toArray, ident).isEmpty)
+      return false
+    val cond = cols.zipWithIndex.map { case (f, i) =>
+      org.apache.spark.sql.functions.col(f.name) ===
+        org.apache.spark.sql.functions.lit(toExternal(ident, i, f.dataType))
+    }.reduce(_ && _)
+    Versioned.delete(spark, root, cond, expectedVersion = Some(pinned))
+    true
+  }
+
+  /** `TRUNCATE TABLE … PARTITION (…)`: same commit shape as drop —
+    * in a file-per-tuple lake an empty partition and an absent one
+    * are the same state. */
+  override def truncatePartition(
+      ident: org.apache.spark.sql.catalyst.InternalRow): Boolean =
+    dropPartition(ident) || (throw new org.apache.spark.sql.catalyst
+      .analysis.NoSuchPartitionException(fullName, ident,
+        partitionSchema()))
+
+  /** Catalyst-internal partition value → the external literal the
+    * delete predicate compares with. */
+  private def toExternal(row: org.apache.spark.sql.catalyst.InternalRow,
+      i: Int, dt: org.apache.spark.sql.types.DataType): Any = dt match {
+    case org.apache.spark.sql.types.StringType => row.getUTF8String(i).toString
+    case org.apache.spark.sql.types.DateType =>
+      java.time.LocalDate.ofEpochDay(row.getInt(i).toLong)
+    case org.apache.spark.sql.types.IntegerType => row.getInt(i)
+    case org.apache.spark.sql.types.LongType => row.getLong(i)
+    case org.apache.spark.sql.types.ShortType => row.getShort(i)
+    case org.apache.spark.sql.types.ByteType => row.getByte(i)
+    case org.apache.spark.sql.types.DoubleType => row.getDouble(i)
+    case org.apache.spark.sql.types.FloatType => row.getFloat(i)
+    case other => throw new UnsupportedOperationException(
+      s"unsupported partition column type $other on $fullName")
   }
 
   override def toString: String = s"GraftTable($fullName, v$pinned)"

@@ -107,6 +107,22 @@ private[sources] object GraftMetaAgg {
     }.toMap
   }
 
+  /** The DISTINCT partition tuples at `version`, decoded per file from
+    * single-valued footer stats — `SHOW PARTITIONS` and the partition-
+    * management surface read these; a live file with an undecodable
+    * tuple fails loudly (it cannot belong to a hive-layout partition). */
+  private[sources] def partitionTuples(root: String, version: Long,
+      partSchema: StructType): Seq[InternalRow] = {
+    val (entries, physNames, _) = Versioned.aggMeta(root, version)
+    val cols = partSchema.fields.toSeq.map(f =>
+      (physNames.getOrElse(f.name, f.name), f.dataType))
+    entries.map { e =>
+      fileKey(e, cols).getOrElse(throw new IllegalStateException(
+        s"live file ${e.path} carries no single-valued stats for the " +
+          s"partition tuple (${partSchema.fieldNames.mkString(", ")})"))
+    }.distinct.map(k => new GenericInternalRow(k.toArray): InternalRow)
+  }
+
   /** Complete-pushdown attempt: Some(scan) iff EVERY group column and
     * EVERY aggregate is exactly answerable from the manifest at
     * `version`, over the `pruned` candidate files when a consumed
