@@ -2154,6 +2154,47 @@ object ExtraQueries {
     s.sql(s"SHOW PARTITIONS $cat.r10.li").orderBy("partition")
   }
 
+  // ---------------------------------------------------------------- x55
+  // DROP PARTITION, hash-gated end-to-end: a partitioned catalog
+  // table loses one partition through bare
+  // `ALTER TABLE … DROP PARTITION` — a single metadata commit
+  // retiring that tuple's files whole — and DuckDB replays the drop
+  // as an anti-filter. A row surviving the drop, a lost row from a
+  // carried partition, or a file-grain slip all break the hash.
+  val x55DropPartition: Q = Q(
+    "x55_drop_partition",
+    """SELECT c_custkey, CAST(c_nationkey % 5 AS INT) AS nk,
+      |  CAST(c_acctbal AS DOUBLE) AS bal
+      |FROM customer WHERE c_nationkey % 5 <> 3
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val cat = s"graftdp${math.abs(d.hashCode)}"
+    val wh = dropPartDirs.getOrElseUpdate(d, {
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-droppart-q").toString
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.r10")
+      s.sql(s"CREATE TABLE $cat.r10.cust (c_custkey BIGINT, nk INT, " +
+        "bal DOUBLE) PARTITIONED BY (nk)")
+      t(s, d, "customer").select(col("c_custkey"),
+        (col("c_nationkey") % 5).cast("int").as("nk"),
+        col("c_acctbal").cast("double").as("bal"))
+        .createOrReplaceTempView("x55_src")
+      s.sql(s"INSERT INTO $cat.r10.cust SELECT * FROM x55_src")
+      s.sql(s"ALTER TABLE $cat.r10.cust DROP PARTITION (nk = 3)")
+      w
+    })
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"SELECT c_custkey, nk, bal FROM $cat.r10.cust " +
+      "ORDER BY c_custkey")
+  }
+
+  private val dropPartDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   // ---------------------------------------------------------------- x52
   // Storage-partitioned join, hash-gated: two catalog tables
   // partitioned the same way (customers and orders by nation-derived
@@ -2463,5 +2504,5 @@ object ExtraQueries {
     x42SqlDeleteIn, x43CopyInto, x44CatalogDml, x45NativeDml,
     x46DynamicOverwrite, x47StreamToTable, x48PartitionedMerge,
     x49MorDml, x50StreamRead, x51MetaAgg, x52Spj, x53MetaAggFiltered,
-    x54ShowPartitions)
+    x54ShowPartitions, x55DropPartition)
 }

@@ -150,6 +150,34 @@ class GraftSpjSpec extends SparkSpec {
     assert(sql(q).count() === withSpj(sql(q).count()))
   }
 
+  test("join keys a SUPERSET of the partition keys align without a " +
+      "shuffle when exact co-partition match is waived (Spark's " +
+      "requireAllClusterKeysForCoPartition=false)") {
+    tablesReady
+    val q = """SELECT a.ck, a.nk FROM graftspj.s.cust a
+      |JOIN graftspj.s.cust b ON a.ck = b.ck AND a.nk = b.nk""".stripMargin
+    val plain = sql(q).collect()
+    val (rows, plan) = withSpj {
+      val saved = spark.conf
+        .getOption("spark.sql.requireAllClusterKeysForCoPartition")
+      try {
+        spark.conf.set(
+          "spark.sql.requireAllClusterKeysForCoPartition", "false")
+        val df = sql(q)
+        (df.collect(), df.queryExecution.executedPlan.toString)
+      } finally saved match {
+        case Some(v) => spark.conf.set(
+          "spark.sql.requireAllClusterKeysForCoPartition", v)
+        case None => spark.conf.unset(
+          "spark.sql.requireAllClusterKeysForCoPartition")
+      }
+    }
+    assert(!keyShufflesStr(plan) && !plan.contains("BroadcastHashJoin"),
+      plan)
+    assert(rows.sortBy(r => (r.getLong(0), r.getInt(1))).toSeq ===
+      plain.sortBy(r => (r.getLong(0), r.getInt(1))).toSeq)
+  }
+
   test("filters compose: static pruning narrows the groups and the " +
       "join result stays exact") {
     tablesReady
