@@ -634,7 +634,8 @@ final class GraftScanBuilder(spark: SparkSession, root: String,
     options: CaseInsensitiveStringMap = CaseInsensitiveStringMap.empty())
     extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns
-    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates {
+    with org.apache.spark.sql.connector.read.SupportsPushDownAggregates
+    with org.apache.spark.sql.connector.read.SupportsPushDownLimit {
 
   private var pushed: Array[Filter] = Array.empty
   private var residual: Array[Filter] = Array.empty
@@ -687,6 +688,24 @@ final class GraftScanBuilder(spark: SparkSession, root: String,
     residual // consumed partition predicates prune exactly in-scan;
              // the rest re-evaluates above (advisory pruning)
   }
+
+  // ---- LIMIT file cap, PARTIAL pushdown: the scan plans just enough
+  // files (by exact manifest row counts) to cover the limit — a
+  // LIMIT 10 on a million-file table opens ONE file — and Spark keeps
+  // its own Limit above (isPartiallyPushed), so the cap only ever has
+  // to yield AT LEAST `limit` rows. The scan skips the cap whenever
+  // per-file live-row counts aren't exact (pending deletion vectors)
+  // or the file grouping is load-bearing (storage-partitioned scans);
+  // a residual filter refuses here too (Spark doesn't offer the push
+  // through a Filter, but the builder re-checks).
+  private var limitHint: Option[Int] = None
+
+  override def pushLimit(limit: Int): Boolean = {
+    limitHint = Some(limit)
+    true
+  }
+
+  override def isPartiallyPushed(): Boolean = true
 
   override def pushedFilters(): Array[Filter] = pushed
 
@@ -753,7 +772,8 @@ final class GraftScanBuilder(spark: SparkSession, root: String,
     if (!shadowed && !Versioned.pendingMorState(root, version))
       new GraftRowLevelScan(spark, root, version, required,
         pushed.toIndexedSeq, _ => (), dvAware = true,
-        streamFactory = Some(mkStream), spjAllowed = true)
+        streamFactory = Some(mkStream), spjAllowed = true,
+        limitHint = limitHint.filter(_ => residual.isEmpty))
     else if (wantsMeta)
       // pending MoR state + a provenance projection: the DV-AWARE
       // native scan anti-filters deletion vectors per file (live rows

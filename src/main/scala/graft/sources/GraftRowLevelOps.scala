@@ -153,7 +153,8 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
     dvAware: Boolean, splittable: Boolean = true,
     streamFactory: Option[() => org.apache.spark.sql.connector.read
       .streaming.MicroBatchStream] = None,
-    spjAllowed: Boolean = false)
+    spjAllowed: Boolean = false,
+    limitHint: Option[Int] = None)
     extends Scan with org.apache.spark.sql.connector.read.Batch
     with org.apache.spark.sql.connector.read.SupportsRuntimeV2Filtering
     with org.apache.spark.sql.connector.read.SupportsReportStatistics
@@ -327,9 +328,25 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
       val f = new java.io.File(rel)
       if (f.isAbsolute) f.getPath else new java.io.File(rootAbs, rel).getPath
     }
+    // LIMIT file cap (partial pushdown — Spark's Limit stays above):
+    // plan just enough files to cover the limit from EXACT manifest
+    // row counts. Sound only when counts are exact (no pending
+    // deletion vectors) and the file grouping isn't load-bearing
+    // (storage-partitioned scans skip it); a LIMIT 10 then opens one
+    // file regardless of table size.
+    val limited: Seq[String] = limitHint match {
+      case Some(n) if !dvActive && spjState.isEmpty =>
+        var cum = 0L
+        files.takeWhile { p =>
+          val take = cum < n
+          cum += meta.getOrElse(p, (0L, 0L))._2
+          take
+        }
+      case _ => files
+    }
     // a path absent from the manifest map (impossible for a live file;
     // defensive) packs as one whole-file zero-cost chunk — never split
-    val sizes = files.map(p => p -> meta.getOrElse(p, (0L, 0L))._1)
+    val sizes = limited.map(p => p -> meta.getOrElse(p, (0L, 0L))._1)
     val totalBytes = sizes.map(_._2 + openCostInBytes).sum
     val maxSplitBytes = math.min(maxPartitionBytes,
       math.max(openCostInBytes, totalBytes / math.max(1, minPartitionNum)))
