@@ -260,6 +260,36 @@ class GraftMetaAggSpec extends SparkSpec {
       want.map(_.toLong).sorted.toSeq)
   }
 
+  test("consumed filters decode exactly across partition types: DATE " +
+      "(epoch-day footers) and INT partitions, point and IN lookups") {
+    sql("CREATE TABLE graftma.m.typed (id BIGINT, d DATE, nk INT) " +
+      "PARTITIONED BY (d, nk)")
+    val root = s"$warehouse/m/typed"
+    Versioned.commit(spark, root,
+      (0 until 120).map { i =>
+        (i.toLong, java.sql.Date.valueOf(s"2024-02-0${i % 4 + 1}"),
+          (i / 4) % 2)
+      }.toDF("id", "d", "nk"),
+      partitionBy = Seq("d", "nk"), statsCols = Seq("id"))
+    val q = "SELECT count(*) AS n, min(id) AS mn FROM graftma.m.typed " +
+      "WHERE d = DATE'2024-02-03' AND nk = 1"
+    assertPushed(q)
+    val want = (0 until 120).filter(i => i % 4 + 1 == 3 && (i / 4) % 2 == 1)
+    val r = sql(q).head()
+    assert((r.getLong(0), r.getLong(1)) ===
+      ((want.size.toLong, want.min.toLong)))
+    val qIn = "SELECT count(*) AS n FROM graftma.m.typed " +
+      "WHERE d IN (DATE'2024-02-01', DATE'2024-02-04') AND nk IN (0)"
+    assertPushed(qIn)
+    assert(sql(qIn).as[Long].head() ===
+      (0 until 120).count(i =>
+        Seq(1, 4).contains(i % 4 + 1) && (i / 4) % 2 == 0).toLong)
+    // row reads under typed consumed filters: exact rows, no leakage
+    assert(sql("SELECT id FROM graftma.m.typed " +
+      "WHERE d = DATE'2024-02-03' AND nk = 1").collect()
+      .map(_.getLong(0)).sorted.toSeq === want.map(_.toLong).sorted.toSeq)
+  }
+
   test("consumption refuses on an unpartitioned table and on " +
       "non-exact literal kinds — those filters stay residual") {
     sql("CREATE TABLE graftma.m.unpart (a BIGINT, b STRING)")
