@@ -4015,6 +4015,34 @@ object Versioned {
   /** OPTIMIZE for the versioned table: bin-pack the live set into
     * `targetFiles` files as a NEW version (action "compact"). Rows are
     * identical; prior versions stay readable until vacuum. */
+  /** The stats and bloom columns the live manifest actually tracks,
+    * translated to LOGICAL names (file stats/blooms are keyed
+    * physical; a full rewrite canonicalizes to logical), partition
+    * columns excluded (writeBatch always re-records those), filtered
+    * to the rewrite's `present` columns, bloom sizing inherited as the
+    * max seen. Maintenance rewrites (compact / OPTIMIZE / ZORDER)
+    * re-record these BY DEFAULT: a rewrite that silently dropped the
+    * table's data-skipping index would be a scale regression, not an
+    * equivalence. */
+  private def inheritedSkipCols(m: Manifest, present: Seq[String])
+      : (Seq[String], Seq[String], Int, Int) = {
+    val inv = m.physNames.map(_.swap)
+    val have = present.map(lc).toSet
+    val partsPhys =
+      m.partitionBy.map(pc => m.physNames.getOrElse(pc, pc)).toSet
+    def logicals(keys: Seq[String]): Seq[String] =
+      keys.distinct.filterNot(partsPhys)
+        .map(p => inv.getOrElse(p, p))
+        .filter(l => have(lc(l))).sorted
+    val stats =
+      logicals(m.files.flatMap(f => f.stats.keys ++ f.nulls.keys))
+    val blooms = logicals(m.files.flatMap(_.blooms.keys))
+    val bits = (m.files.flatMap(_.blooms.values.map(_.bits)) :+
+      (1 << 15)).max
+    val hashes = (m.files.flatMap(_.blooms.values.map(_.hashes)) :+ 3).max
+    (stats, blooms, bits, hashes)
+  }
+
   def compact(spark: SparkSession, root: String,
       targetFiles: Int = 1, statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 15,
@@ -4027,16 +4055,25 @@ object Versioned {
       // would have silently overwritten such an append)
       val latest = latestVersion(root).getOrElse(
         throw new IllegalArgumentException(s"no versions at $root"))
-      val part = readManifest(root, latest).partitionBy
+      val m0 = readManifest(root, latest)
+      val part = m0.partitionBy
       val snapshot = readVersion(spark, root, latest).coalesce(targetFiles)
+      // bare compact inherits the manifest's skipping index; explicit
+      // arguments override it (including explicitly narrowing it)
+      val (inhStats, inhBlooms, inhBits, inhHashes) =
+        inheritedSkipCols(m0, snapshot.columns.toSeq)
+      val statsEff = if (statsCols.nonEmpty) statsCols else inhStats
+      val (bloomEff, bitsEff, hashesEff) =
+        if (bloomCols.nonEmpty) (bloomCols, bloomBits, bloomHashes)
+        else (inhBlooms, inhBits, inhHashes)
       // overwrite MECHANICS (new files replace the live set) but its own
       // manifest ACTION: a compaction is row-identical, so the change
       // feeds may skip it losslessly where a true overwrite must fail
       // a full rewrite CANONICALIZES the column mapping: every row
       // re-lands under logical names, so the mapping (and, via the
       // publish-time auto-clear, any drop tombstone) retires here
-      val (entries, _) = writeBatch(spark, root, snapshot, statsCols, part,
-        bloomCols, bloomBits, bloomHashes, physOverride = Some(Map.empty))
+      val (entries, _) = writeBatch(spark, root, snapshot, statsEff, part,
+        bloomEff, bitsEff, hashesEff, physOverride = Some(Map.empty))
       publishEntries(root, entries, latest, action = "compact",
         schemaJson = snapshot.schema.json,
         // a full rewrite provably retires every pre-drop file, so
@@ -4073,10 +4110,20 @@ object Versioned {
         snapshot.repartitionByRange(nOut, c(cols.head))
           .sortWithinPartitions(cols.head)
       } else ZOrder.cluster(snapshot, cols, nOut)
-    // full rewrite: canonicalize the column mapping like [[compact]]
+    // full rewrite: canonicalize the column mapping like [[compact]];
+    // a bare zorder keeps the manifest's whole skipping index alive
+    // alongside the clustering columns' fresh Z-range stats
+    val (zStats, zBlooms, zBits, zHashes) =
+      inheritedSkipCols(m, snapshot.columns.toSeq)
+    val statsEff =
+      if (statsCols.nonEmpty) (statsCols ++ cols).distinct
+      else (zStats ++ cols).distinct
+    val (bloomEff, bitsEff, hashesEff) =
+      if (bloomCols.nonEmpty) (bloomCols, bloomBits, bloomHashes)
+      else (zBlooms, zBits, zHashes)
     val (entries, _) = writeBatch(spark, root, clustered,
-      (statsCols ++ cols).distinct, m.partitionBy,
-      bloomCols, bloomBits, bloomHashes, physOverride = Some(Map.empty))
+      statsEff, m.partitionBy,
+      bloomEff, bitsEff, hashesEff, physOverride = Some(Map.empty))
     publishEntries(root, entries, latest, action = "compact",
       schemaJson = m.schemaJson.orNull,
       partitionBy = Some(m.partitionBy),
@@ -4117,9 +4164,20 @@ object Versioned {
       val packed = readLive(spark, root, m, small.map(_.path))
       val nOut = math.max(1L, math.ceil(
         small.map(_.bytes).sum.toDouble / targetBytes).toLong).toInt
+      // a bare incremental OPTIMIZE re-records the manifest's skipping
+      // index on the packed files (carried files keep theirs as-is) —
+      // note packed files keep PHYSICAL names (no canonicalization
+      // here), and inheritedSkipCols returns logical names, which
+      // writeBatch maps back through the live mapping on write
+      val (oStats, oBlooms, oBits, oHashes) =
+        inheritedSkipCols(m, packed.columns.toSeq)
+      val statsEff = if (statsCols.nonEmpty) statsCols else oStats
+      val (bloomEff, bitsEff, hashesEff) =
+        if (bloomCols.nonEmpty) (bloomCols, bloomBits, bloomHashes)
+        else (oBlooms, oBits, oHashes)
       val (entries, _) =
-        writeBatch(spark, root, packed.coalesce(nOut), statsCols,
-          m.partitionBy, bloomCols, bloomBits, bloomHashes)
+        writeBatch(spark, root, packed.coalesce(nOut), statsEff,
+          m.partitionBy, bloomEff, bitsEff, hashesEff)
       val carried = big.map(_.path).toSet
       val stillPending = m.mor
         .map(d => d.copy(files = d.files.filter(carried)))

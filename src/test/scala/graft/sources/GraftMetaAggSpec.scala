@@ -169,13 +169,17 @@ class GraftMetaAggSpec extends SparkSpec {
     assert(sql("SELECT count(*) AS n FROM graftma.m.mor")
       .as[Long].head() === 98L)
     assertFallback("SELECT max(id) AS m FROM graftma.m.mor")
-    // compaction materializes the vectors; pushdown resumes — but the
-    // compacted rewrite records no `id` stats (statsCols are a write
-    // option), so only COUNT(*) answers
+    // compaction materializes the vectors AND inherits the manifest's
+    // skipping index (a maintenance rewrite must not drop it), so the
+    // whole metadata surface resumes — including MIN/MAX on `id`
     Versioned.compact(spark, root)
     assertPushed("SELECT count(*) AS n FROM graftma.m.mor")
     assert(sql("SELECT count(*) AS n FROM graftma.m.mor")
       .as[Long].head() === 98L)
+    assertPushed("SELECT max(id) AS m, min(id) AS mn FROM graftma.m.mor")
+    val rc = sql("SELECT max(id) AS m, min(id) AS mn FROM graftma.m.mor")
+      .head()
+    assert((rc.getLong(0), rc.getLong(1)) === ((99L, 0L)))
   }
 
   test("schema evolution: COUNT(col) refuses while any live file " +
