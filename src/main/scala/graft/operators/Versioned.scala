@@ -1150,7 +1150,8 @@ object Versioned {
     * from the manifest — fresh positions as delete envelopes, new
     * files as inserts — no change files needed. */
   private[graft] def publishStagedDelta(root: String,
-      deletes: Seq[(String, Seq[Long])], sidecars: Seq[String],
+      deletes: Seq[(String, Seq[Long])],
+      sidecars: Seq[(String, Seq[String])],
       entries: Seq[FileEntry],
       incoming: org.apache.spark.sql.types.StructType,
       expected: Long, planned: PlannedTableMeta,
@@ -1170,11 +1171,18 @@ object Versioned {
       "before positional delta operations (one pending row-removal " +
       "algebra at a time)")
     // protocol: `deletes` lists EVERY touched file (an empty position
-    // list marks a file whose positions all went to sidecars) — a
-    // sidecar with no deletes row would otherwise attach to nothing
-    // and silently resurrect its rows
-    require(sidecars.isEmpty || deletes.nonEmpty,
-      "delta sidecars arrived with no touched-file records")
+    // list marks a file whose positions all went to sidecars), and
+    // each sidecar names the exact files it covers — a covered file
+    // missing from `deletes` would attach to nothing and silently
+    // resurrect its rows, so it refuses loudly
+    val freshByFile = deletes.toMap
+    sidecars.foreach { case (sc, covered) =>
+      require(covered.nonEmpty,
+        s"delta sidecar $sc reports no covered files")
+      covered.foreach(f => require(freshByFile.contains(f),
+        s"delta sidecar $sc covers file $f, which is missing from the " +
+          "touched-file records"))
+    }
     val live = m.files.map(_.path).toSet
     deletes.foreach { case (f, _) =>
       require(live(f), s"delta delete names a file not live at " +
@@ -1184,9 +1192,15 @@ object Versioned {
     val schema = evolvedSchemaOf(root, incoming, "append",
       mergeSchema = false)
     val dvByFile = m.dvs.map(d => d.file -> d).toMap
-    val freshByFile = deletes.toMap
-    // every file the sidecars touch gets (at least) an entry carrying
-    // the sidecar references; inline positions merge per file
+    // each sidecar reference attaches ONLY to the files it actually
+    // covers (the writer reported its own deleted map), so DV
+    // application and change-feed replay scan O(relevant sidecars) per
+    // file — never every sidecar of a wide multi-task delete
+    val sidecarsFor: Map[String, Seq[String]] = sidecars
+      .flatMap { case (sc, covered) => covered.map(f => f -> sc) }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // every touched file gets (at least) an entry carrying its sidecar
+    // references; inline positions merge per file
     val touched = dvByFile.keySet ++ freshByFile.keySet
     val mergedDvs = touched.toSeq.sorted.map { f =>
       val prev = dvByFile.get(f)
@@ -1194,7 +1208,7 @@ object Versioned {
         (prev.map(_.positions).getOrElse(Nil) ++
           freshByFile.getOrElse(f, Nil)).sorted,
         prev.map(_.sidecars).getOrElse(Nil) ++
-          (if (freshByFile.contains(f)) sidecars else Nil))
+          sidecarsFor.getOrElse(f, Nil))
     }
     publishEntries(root, m.files ++ entries, latest, "write-delta",
       schemaJson = schema, partitionBy = Some(m.partitionBy),
@@ -2032,14 +2046,6 @@ object Versioned {
     (fs.map(_.bytes).sum, fs.map(_.rows).sum)
   }
 
-  /** Whether `version` carries pending merge-on-read state (predicate
-    * deletes or deletion vectors) that a RAW file scan would
-    * resurrect. Native scans that cannot anti-filter it must refuse
-    * loudly instead of serving deleted rows. */
-  private[graft] def pendingMorState(root: String, version: Long): Boolean = {
-    val m = readManifest(root, version)
-    m.mor.nonEmpty || m.dvs.nonEmpty
-  }
 
   /** path → (bytes, rows) of every live file at `version` — split
     * planning and per-scan statistics read these from the manifest,
@@ -3675,6 +3681,42 @@ object Versioned {
     * fails on ANY row-removing commit unless `skipChangeCommits` —
     * [[changesSince]]'s contract for a consumer that cannot represent
     * deletes. */
+  /** File/byte-grain ADMISSION units of one version, for the native
+    * stream's `maxFilesPerTrigger`/`maxBytesPerTrigger` pacing:
+    * `Some((path, bytes) list, manifest order)` iff the version is a
+    * PURE-INSERT commit — an append/clone, a row-identical commit
+    * (empty list), or a write-delta that removed nothing — whose feed
+    * replay is exactly its new files, so a backfill commit can drain
+    * as several bounded micro-batches with a sub-version offset (the
+    * Delta-source shape). `None` for row-removing commits: those
+    * replay as one indivisible batch (bounded by mutation size). */
+  private[graft] def feedAdmissionUnits(root: String,
+      v: Long): Option[Seq[(String, Long)]] = {
+    val vs = versions(root)
+    val prevV = vs.takeWhile(_ < v).lastOption
+    val m = readManifest(root, v)
+    def added: Seq[(String, Long)] = {
+      val prev = prevV.map(files(root, _).toSet).getOrElse(Set.empty)
+      m.files.filterNot(f => prev(f.path)).map(f => (f.path, f.bytes))
+    }
+    m.action match {
+      case "append" | "clone" => Some(added)
+      case "compact" | "constraint" | "schema" => Some(Nil)
+      case "write-delta" =>
+        // insert-only delta (removed nothing) = a pure append; a delta
+        // with fresh delete positions is indivisible
+        val prevDvs = prevV.map(readManifest(root, _).dvs).getOrElse(Nil)
+        val prevByFile = prevDvs.map(d => d.file -> d).toMap
+        val fresh = m.dvs.exists { d =>
+          val p = prevByFile.get(d.file)
+          d.positions.exists(x => !p.exists(_.positions.contains(x))) ||
+            d.sidecars.exists(s => !p.exists(_.sidecars.contains(s)))
+        }
+        if (fresh) None else Some(added)
+      case _ => None
+    }
+  }
+
   private[graft] def feedWindowPlan(root: String, afterVersion: Long,
       untilVersion: Long, appendsOnly: Boolean,
       skipChangeCommits: Boolean)
@@ -3737,16 +3779,24 @@ object Versioned {
             if (fp.nonEmpty) pieces += FeedDvDelete(v, fp)
           }
         case "write-delta" =>
-          rowRemoval {
-            val fp = freshPositions
-            if (fp.nonEmpty) pieces += FeedDvDelete(v, fp)
+          // compute the fresh delete positions FIRST: an insert-only
+          // delta (e.g. a MERGE whose every source row was NOT MATCHED,
+          // under mor mode) removed nothing, so it is a pure append —
+          // the appends-only stream serves it instead of failing, and
+          // skipChangeCommits does not drop it (Delta's contract: only
+          // commits that actually remove data are change commits)
+          val fp = freshPositions
+          if (fp.isEmpty) {
+            if (added.nonEmpty) pieces += FeedInsert(v, added)
+          } else {
+            rowRemoval { pieces += FeedDvDelete(v, fp) }
+            // inserts flow even in appendsOnly+skipChangeCommits mode?
+            // No: a skipped change commit skips WHOLLY (its inserts are
+            // postimages of the skipped mutation) — emit only when the
+            // piece above was admitted
+            if ((!appendsOnly || !skipChangeCommits) && added.nonEmpty)
+              pieces += FeedInsert(v, added)
           }
-          // inserts flow even in appendsOnly+skipChangeCommits mode?
-          // No: a skipped change commit skips WHOLLY (its inserts are
-          // postimages of the skipped mutation) — emit only when the
-          // piece above was admitted
-          if ((!appendsOnly || !skipChangeCommits) && added.nonEmpty)
-            pieces += FeedInsert(v, added)
         case "merge" | "delete" | "update" =>
           rowRemoval {
             if (man.cdf.isEmpty) throw new IllegalArgumentException(
@@ -4190,6 +4240,89 @@ object Versioned {
         schemaJson = m.schemaJson.orNull, mor = stillPending,
         dvs = stillDvs)
     }
+  }
+
+  /** REORG — targeted deletion-vector materialization (Delta's
+    * `REORG TABLE … APPLY (PURGE)` economics): rewrite ONLY the files
+    * whose DELETED FRACTION is at or above `minDeletedFraction`,
+    * folding their pending vectors (and any predicate deletes scoped
+    * to them) into clean replacement files; every other file — and its
+    * own pending state — carries by reference, untouched. Cost is
+    * O(heavily-deleted files), never O(table): on a 100 TB MoR table
+    * where deletes concentrate in a few hot files, this is the
+    * maintenance tick that keeps DV overhead bounded without the full
+    * [[compact]].
+    *
+    * Live rows are identical before and after, so the action is
+    * "compact" — change feeds skip it losslessly and time travel keeps
+    * every prior snapshot. Fraction truth comes from the manifest's
+    * exact per-file row counts and the vectors themselves (inline
+    * positions counted directly; sidecar positions counted through one
+    * small distributed scan of the sidecar parquet).
+    *
+    * @return the new version, or the current one when no file crosses
+    *         the threshold (publishes nothing)
+    */
+  def reorg(spark: SparkSession, root: String,
+      minDeletedFraction: Double = 0.1,
+      targetBytes: Long = 128L * 1024 * 1024): Long = withOccRetry(None) {
+    require(minDeletedFraction > 0.0 && minDeletedFraction <= 1.0,
+      s"minDeletedFraction must be in (0, 1], got $minDeletedFraction")
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    val m = readManifest(root, latest)
+    if (m.dvs.isEmpty) return latest
+    // deleted positions per file: inline counts from the manifest,
+    // sidecar counts from one bounded scan (positions are recorded
+    // at most once per (file, pos) by the delete verbs' guards)
+    val deletedByFile: Map[String, Long] = {
+      import org.apache.spark.sql.functions.{col => c, count}
+      val sidecarCounts = {
+        val scs = m.dvs.flatMap(_.sidecars).distinct
+        if (scs.isEmpty) Map.empty[String, Long]
+        else spark.read
+          .parquet(scs.map(p => resolve(root, p).getPath): _*)
+          .groupBy(c("file")).agg(count("*").as("n"))
+          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+      }
+      m.dvs.map(d => d.file ->
+        (d.positions.size.toLong + sidecarCounts.getOrElse(d.file, 0L)))
+        .toMap
+    }
+    val rowsByFile = m.files.map(f => f.path -> f.rows).toMap
+    val targets = m.dvs.map(_.file).filter { f =>
+      val rows = rowsByFile.getOrElse(f, 0L)
+      rows > 0L &&
+        deletedByFile.getOrElse(f, 0L).toDouble / rows >= minDeletedFraction
+    }.toSet
+    if (targets.isEmpty) return latest
+    // read the targets' LIVE rows (vectors anti-joined, predicate
+    // deletes scoped to them applied) and restage them
+    val packed = readLive(spark, root, m, targets.toSeq.sorted)
+    val targetEntries = m.files.filter(f => targets(f.path))
+    val liveBytes = targetEntries.map { f =>
+      val frac = deletedByFile.getOrElse(f.path, 0L).toDouble /
+        math.max(1L, rowsByFile.getOrElse(f.path, 1L))
+      (f.bytes * (1.0 - frac)).toLong
+    }.sum
+    val nOut = math.max(1L,
+      math.ceil(liveBytes.toDouble / targetBytes).toLong).toInt
+    val (inhStats, inhBlooms, inhBits, inhHashes) =
+      inheritedSkipCols(m, packed.columns.toSeq)
+    val (entries, _) = writeBatch(spark, root, packed.coalesce(nOut),
+      inhStats, m.partitionBy, inhBlooms, inhBits, inhHashes)
+    val carried = m.files.filterNot(f => targets(f.path))
+    val carriedSet = carried.map(_.path).toSet
+    // pending state follows the carry/materialize split exactly like
+    // [[optimize]]: rewritten files' vectors and predicate scopes are
+    // materialized (dropped); carried files keep theirs, still scoped
+    val stillPending = m.mor
+      .map(d => d.copy(files = d.files.filter(carriedSet)))
+      .filter(_.files.nonEmpty)
+    val stillDvs = m.dvs.filter(d => carriedSet(d.file))
+    publishEntries(root, carried ++ entries, latest, "compact",
+      schemaJson = m.schemaJson.orNull, mor = stillPending,
+      dvs = stillDvs)
   }
 
   /** Zero-copy RESTORE (Delta's `RESTORE TABLE … TO VERSION`): publish

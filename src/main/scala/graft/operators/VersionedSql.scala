@@ -92,6 +92,12 @@ object VersionedSql {
       """(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?\s*;?\s*""").r
   private val VacuumRe =
     s"""(?is)\\s*VACUUM\\s+$Ref\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*""".r
+  //   REORG [TABLE] `path`|cat.ns.t APPLY (PURGE) [MIN FRACTION 0.x]
+  // Delta's REORG…APPLY (PURGE): materialize deletion vectors for the
+  // heavily-deleted files ONLY — O(hot files), never a full rewrite
+  private val ReorgRe =
+    (s"""(?is)\\s*REORG\\s+(?:TABLE\\s+)?$Ref\\s+APPLY\\s*\\(\\s*PURGE""" +
+      """\s*\)(?:\s+MIN\s+FRACTION\s+([0-9.]+))?\s*;?\s*""").r
   private val RestoreRe =
     s"""(?is)\\s*RESTORE\\s+$Ref\\s+TO\\s+VERSION\\s+(\\d+)\\s*;?\\s*""".r
   private val CloneRe =
@@ -182,6 +188,12 @@ object VersionedSql {
         return result(spark, root, "vacuum",
           Versioned.latestVersion(root).getOrElse(
             throw new IllegalArgumentException(s"no versions at $root")))
+      case ReorgRe(ref, frac) =>
+        val root = refRoot(spark, ref)
+        return result(spark, root, "reorg",
+          Versioned.reorg(spark, root,
+            minDeletedFraction =
+              Option(frac).map(_.toDouble).getOrElse(0.1)))
       case RestoreRe(ref, v) =>
         val root = refRoot(spark, ref)
         return result(spark, root, "restore",

@@ -2195,6 +2195,115 @@ object ExtraQueries {
   private val dropPartDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // ---------------------------------------------------------------- x56
+  // COLUMNAR deletion-vector reads at scale, hash-gated: a LARGE
+  // DV-pending table (mor UPDATE + wide mor DELETE over lineitem, the
+  // delete spilling position sidecars) is read back through the native
+  // scan, whose columnar reader applies the vectors as a per-batch
+  // live-row mapping — the body PINS `BatchScan…ColumnarToRow` in the
+  // plan, so a silent fallback to row-grain fails loudly. DuckDB
+  // replays the same mutations directly: a resurrected deleted row, a
+  // skipped live row next to a deleted position, or a mapping slip at
+  // a batch boundary all break the hash.
+  val x56DvColumnar: Q = Q(
+    "x56_dv_columnar",
+    """WITH l AS (SELECT l_orderkey, CAST(l_linenumber AS INT)
+      |  AS l_linenumber, CAST(l_extendedprice AS DOUBLE) AS price
+      |  FROM lineitem)
+      |SELECT l_orderkey, l_linenumber,
+      |  CASE WHEN l_orderkey % 13 = 5 THEN price * 2.0 ELSE price END
+      |    AS price
+      |FROM l WHERE l_orderkey % 11 <> 4
+      |ORDER BY l_orderkey, l_linenumber""".stripMargin) { (s, d) =>
+    val cat = s"graftdvc${math.abs(d.hashCode)}"
+    val wh = dvColumnarDirs.getOrElseUpdate(d, {
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-dvcol-q").toString
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+      t(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_linenumber").cast("int").as("l_linenumber"),
+        col("l_extendedprice").cast("double").as("price"))
+        .createOrReplaceTempView("x56_src")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.r11")
+      s.sql(s"CREATE TABLE $cat.r11.morl (l_orderkey BIGINT, " +
+        "l_linenumber INT, price DOUBLE)")
+      s.sql(s"INSERT INTO $cat.r11.morl SELECT * FROM x56_src")
+      s.conf.set("spark.graft.rowlevel.mode", "mor")
+      try {
+        // key-only predicates: update-then-delete commutes with the
+        // oracle's case-then-filter replay
+        s.sql(s"UPDATE $cat.r11.morl SET price = price * 2.0 " +
+          "WHERE l_orderkey % 13 = 5")
+        s.sql(s"DELETE FROM $cat.r11.morl WHERE l_orderkey % 11 = 4")
+      } finally s.conf.unset("spark.graft.rowlevel.mode")
+      w
+    })
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    // pin the plan shape on an exchange-free probe: the DV-pending
+    // snapshot must plan the vectorized native scan, never row-grain
+    val probe = s.sql(s"SELECT l_orderkey FROM $cat.r11.morl " +
+      "WHERE price > 0.0")
+    val plan = probe.queryExecution.executedPlan.toString
+    require(plan.contains("BatchScan") && plan.contains("ColumnarToRow"),
+      s"x56 must read deletion vectors through the columnar scan:\n$plan")
+    s.sql(s"SELECT l_orderkey, l_linenumber, price FROM $cat.r11.morl " +
+      "ORDER BY l_orderkey, l_linenumber")
+  }
+
+  private val dvColumnarDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  // ---------------------------------------------------------------- x57
+  // REORG … APPLY (PURGE), hash-gated end-to-end: a mor DELETE leaves
+  // the table DV-pending, the dispatcher's REORG statement materializes
+  // the vectors of every file past the deleted-fraction threshold
+  // (O(hot files), action "compact" — feeds skip it losslessly), and
+  // the post-reorg read must equal DuckDB's replay of the delete. The
+  // body PINS that no vector survives the purge at this threshold, so
+  // a file silently skipped by the fraction math fails loudly.
+  val x57ReorgPurge: Q = Q(
+    "x57_reorg_purge",
+    """SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal
+      |FROM customer WHERE c_custkey % 3 <> 1
+      |ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val cat = s"graftreo${math.abs(d.hashCode)}"
+    val wh = reorgDirs.getOrElseUpdate(d, {
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-reorg-q").toString
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+      t(s, d, "customer").select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("bal"))
+        .createOrReplaceTempView("x57_src")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.r11")
+      s.sql(s"CREATE TABLE $cat.r11.reo (c_custkey BIGINT, bal DOUBLE)")
+      s.sql(s"INSERT INTO $cat.r11.reo SELECT * FROM x57_src")
+      s.conf.set("spark.graft.rowlevel.mode", "mor")
+      try s.sql(s"DELETE FROM $cat.r11.reo WHERE c_custkey % 3 = 1")
+      finally s.conf.unset("spark.graft.rowlevel.mode")
+      // every file is ~33% deleted — the purge must rewrite them all
+      graft.operators.VersionedSql(s,
+        s"REORG TABLE $cat.r11.reo APPLY (PURGE) MIN FRACTION 0.05")
+      w
+    })
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val root = s"$wh/r11/reo"
+    val v = graft.operators.Versioned.latestVersion(root).get
+    require(graft.operators.Versioned.pendingDvEntries(root, v).isEmpty,
+      "x57: the purge must have materialized every deletion vector")
+    s.sql(s"SELECT c_custkey, bal FROM $cat.r11.reo ORDER BY c_custkey")
+  }
+
+  private val reorgDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   // ---------------------------------------------------------------- x52
   // Storage-partitioned join, hash-gated: two catalog tables
   // partitioned the same way (customers and orders by nation-derived
@@ -2504,5 +2613,5 @@ object ExtraQueries {
     x42SqlDeleteIn, x43CopyInto, x44CatalogDml, x45NativeDml,
     x46DynamicOverwrite, x47StreamToTable, x48PartitionedMerge,
     x49MorDml, x50StreamRead, x51MetaAgg, x52Spj, x53MetaAggFiltered,
-    x54ShowPartitions, x55DropPartition)
+    x54ShowPartitions, x55DropPartition, x56DvColumnar, x57ReorgPurge)
 }

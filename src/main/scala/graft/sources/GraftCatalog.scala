@@ -146,7 +146,11 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         val baseRoot = rootOf(baseIdent)
         if (isTableDir(new File(baseRoot)) &&
             Versioned.latestVersion(baseRoot).isDefined)
-          return new GraftFeedTable(spark, fullName(ident), baseRoot)
+          // a VERSION/TIMESTAMP AS OF pin on the feed is honored, not
+          // dropped: the schema pins at v and the batch window defaults
+          // to endingVersion=v — `t.changes VERSION AS OF 3` reads the
+          // feed as it stood at v3
+          return new GraftFeedTable(spark, fullName(ident), baseRoot, v)
       }
       throw new NoSuchTableException(ident)
     }
@@ -746,13 +750,15 @@ final class GraftScanBuilder(spark: SparkSession, root: String,
   // splitting, manifest-stats pruning, commit-time statistics
   // (broadcast decisions from manifest truth), and the `_file`
   // provenance metadata column when asked for (a user SELECT, or
-  // Spark's runtime-group-filter subquery for row-level DML). The V1
-  // bridge remains ONLY for snapshots carrying pending merge-on-read
-  // state (predicate deletes / deletion vectors), whose reads
-  // anti-filter through `readLive` — a raw native scan would
-  // resurrect deleted rows, and the native path refuses `_file`
-  // loudly there. A table whose SCHEMA declares a real `_file` column
-  // also keeps the bridge: there the name means data, never
+  // Spark's runtime-group-filter subquery for row-level DML). Pending
+  // DELETION VECTORS stay on the native scan too: the columnar reader
+  // applies them as a per-batch live-row mapping (the Delta/Iceberg DV
+  // read architecture), so MoR's steady state between compactions
+  // keeps `BatchScan … ColumnarToRow`, splitting, and packing. The V1
+  // bridge remains ONLY for snapshots with pending PREDICATE
+  // merge-on-read deletes (no native reader can re-evaluate those —
+  // `readLive` replays them) and for tables whose SCHEMA declares a
+  // real `_file`/`_pos` column: there the name means data, never
   // provenance (Spark suppresses the conflicting metadata column for
   // the same reason).
   override def build(): Scan = {
@@ -769,24 +775,22 @@ final class GraftScanBuilder(spark: SparkSession, root: String,
     // returned scan carries the native micro-batch stream factory
     val mkStream = () => new GraftMicroBatchStream(spark, root,
       required, tableSchema, options)
-    if (!shadowed && !Versioned.pendingMorState(root, version))
+    if (!shadowed && !Versioned.pendingPredMor(root, version))
       new GraftRowLevelScan(spark, root, version, required,
         pushed.toIndexedSeq, _ => (), dvAware = true,
         streamFactory = Some(mkStream), spjAllowed = true,
         limitHint = limitHint.filter(_ => residual.isEmpty))
     else if (wantsMeta)
-      // pending MoR state + a provenance projection: the DV-AWARE
-      // native scan anti-filters deletion vectors per file (live rows
-      // only, positions intact); pending PREDICATE deletes make it
-      // refuse loudly — never a resurrected row either way
+      // pending PREDICATE deletes + a provenance projection: the
+      // native scan refuses loudly at plan time (a raw read would
+      // resurrect rows; positions can't be served through readLive)
       new GraftRowLevelScan(spark, root, version, required,
         pushed.toIndexedSeq, _ => (), dvAware = true,
         streamFactory = Some(mkStream), spjAllowed = true)
     else
-      // pending state without a provenance projection: the V1 bridge's
-      // readLive applies the same algebra through the vectorized
-      // anti-join plan (better for WIDE vectors); shadowed names
-      // always take the bridge (there they are data columns)
+      // pending predicate deletes without a provenance projection: the
+      // V1 bridge's readLive replays the predicate algebra; shadowed
+      // names always take the bridge (there they are data columns)
       new GraftV1ScanBridge(spark, root, version, pushed.toIndexedSeq,
         required, streamFactory = Some(mkStream))
   }

@@ -41,10 +41,12 @@ import graft.operators.Versioned
   * touched-rows cost estimate is structurally unavailable at this
   * decision point — and the delta path whenever the table already has
   * pending deletion vectors (where copy-on-write would refuse).
-  * Scale honesty: the matching scan serving `_pos` is row-grain (the
-  * vectorized reader has no position vector here yet) and per-file —
-  * the right economics for SMALL mutations; bulk rewrites belong to
-  * copy-on-write, whose matching pass is columnar. */
+  * The matching scan serving `_pos` is COLUMNAR: the vectorized
+  * reader's row-index mechanism fills file-absolute positions per
+  * batch, and pending vectors apply as a zero-copy live-row mapping
+  * ([[GraftSelectedVector]]) — so both the mutation's matching pass
+  * and the table's steady-state reads keep `BatchScan…ColumnarToRow`
+  * between compactions (the Delta/Iceberg DV read architecture). */
 final class GraftDeltaOperation(spark: SparkSession, root: String,
     pinned: Long, cmd: RowLevelOperation.Command,
     tableSchema: StructType) extends RowLevelOperation with SupportsDelta {
@@ -78,12 +80,15 @@ final class GraftDeltaOperation(spark: SparkSession, root: String,
 
 /** One task's delta: inserted file entries plus deleted positions —
   * inline per file when narrow, spilled to a position sidecar the
-  * task wrote when wide (`touched` then lists every file the sidecar
-  * covers, so the publish can attach the references). */
+  * task wrote when wide. Each sidecar reports the exact data files it
+  * covers (the writer knows its own deleted map), so the publish
+  * attaches each sidecar reference ONLY to those files — DV
+  * application and change-feed replay then scan O(relevant sidecars)
+  * per file, not every sidecar of the commit. */
 private[sources] final case class GraftDeltaMessage(
     entries: Seq[Versioned.FileEntry],
     deletes: Seq[(String, Seq[Long])],
-    sidecars: Seq[String]) extends WriterCommitMessage
+    sidecars: Seq[(String, Seq[String])]) extends WriterCommitMessage
 
 /** The delta batch write: tasks stage insert files through the shared
   * executor-write core and collect deleted positions; the driver
@@ -112,7 +117,7 @@ private[graft] final class GraftDeltaBatchWrite(spark: SparkSession,
       .groupBy(_._1).view.mapValues(_.flatMap(_._2).sorted)
       .toSeq.map { case (f, ps) => (f, ps: Seq[Long]) }.sortBy(_._1)
     Versioned.publishStagedDelta(root, deletes,
-      msgs.flatMap(_.sidecars).sorted, msgs.flatMap(_.entries),
+      msgs.flatMap(_.sidecars).sortBy(_._1), msgs.flatMap(_.entries),
       schema, pinned, planned, command)
     ()
   }
@@ -121,7 +126,7 @@ private[graft] final class GraftDeltaBatchWrite(spark: SparkSession,
     messages.toSeq.filter(_ != null).foreach {
       case GraftDeltaMessage(entries, _, sidecars) =>
         entries.foreach(e => { new File(root, e.path).delete(); () })
-        sidecars.foreach(s => { new File(root, s).delete(); () })
+        sidecars.foreach { case (s, _) => new File(root, s).delete(); () }
       case _ => ()
     }
 
@@ -193,7 +198,7 @@ private[sources] final class GraftDeltaWriter(
       } finally w.close()
       GraftDeltaMessage(insertMsg,
         deleted.keys.toSeq.sorted.map(f => (f, Seq.empty[Long])),
-        Seq(s"$dvRel/${f.getName}"))
+        Seq((s"$dvRel/${f.getName}", deleted.keys.toSeq.sorted)))
     }
   }
 

@@ -51,6 +51,18 @@ final class GraftMicroBatchStream(spark: SparkSession, root: String,
     .orElse(opt("startingVersion")).map(_.toLong).getOrElse(0L)
   private val maxVersions = opt("maxversionspertrigger")
     .orElse(opt("maxVersionsPerTrigger")).map(_.toLong)
+  // file/byte-grain admission (the Delta-source knobs): a micro-batch
+  // stops admitting once it holds this many insert FILES / BYTES —
+  // a backfill commit drains as several bounded batches through a
+  // sub-version offset instead of one giant batch
+  private val maxFiles = opt("maxfilespertrigger")
+    .orElse(opt("maxFilesPerTrigger")).map(_.toInt)
+  private val maxBytes = opt("maxbytespertrigger")
+    .orElse(opt("maxBytesPerTrigger")).map(_.toLong)
+  maxFiles.foreach(n => require(n > 0, s"maxFilesPerTrigger must be " +
+    s"positive, got $n"))
+  maxBytes.foreach(n => require(n > 0, s"maxBytesPerTrigger must be " +
+    s"positive, got $n"))
   private val skipChangeCommits = opt("skipchangecommits")
     .orElse(opt("skipChangeCommits")).exists(_.toBoolean)
 
@@ -72,12 +84,28 @@ final class GraftMicroBatchStream(spark: SparkSession, root: String,
     "the streaming scan expects the full table schema projection, got " +
       dataSchema.fieldNames.mkString(", "))
 
-  private def ver(o: Offset): Long = o.json().toLong
+  /** Offset → (version, idx): idx = -1 means the version is FULLY
+    * consumed (the plain [[VersionOffset]] form); idx ≥ 0 means the
+    * first `idx` insert files of `v` are consumed (sub-version pacing,
+    * [[VersionFileOffset]]). */
+  private def parseJson(s: String): (Long, Long) = s.split(':') match {
+    case Array(v) => (v.toLong, -1L)
+    case Array(v, i) => (v.toLong, i.toLong)
+    case other => throw new IllegalStateException(
+      s"unparseable stream offset: ${other.mkString(":")}")
+  }
+
+  private def parse(o: Offset): (Long, Long) = parseJson(o.json())
+
+  private def mk(v: Long, idx: Long): Offset =
+    if (idx < 0) VersionOffset(v) else VersionFileOffset(v, idx)
 
   override def initialOffset(): Offset = VersionOffset(startingVersion)
 
-  override def deserializeOffset(json: String): Offset =
-    VersionOffset(json.toLong)
+  override def deserializeOffset(json: String): Offset = {
+    val (v, i) = parseJson(json)
+    mk(v, i)
+  }
 
   override def getDefaultReadLimit: ReadLimit = ReadLimit.allAvailable()
 
@@ -86,42 +114,116 @@ final class GraftMicroBatchStream(spark: SparkSession, root: String,
       "latestOffset(Offset, ReadLimit) should be called instead")
 
   // Trigger.AvailableNow: the run's END is fixed ONCE at prepare time
-  // (versions landing mid-drain wait for the next run), while
-  // maxVersionsPerTrigger still paces the individual batches — the
-  // Kafka source's admission shape
+  // (versions landing mid-drain wait for the next run), while the
+  // per-trigger admission knobs still pace the individual batches —
+  // the Kafka source's admission shape
   @volatile private var availableTarget: Option[Long] = None
 
   override def prepareForTriggerAvailableNow(): Unit =
     availableTarget = Versioned.latestVersion(root)
 
   override def latestOffset(start: Offset, limit: ReadLimit): Offset = {
-    val from = ver(start)
+    val (fromV, fromIdx) = parse(start)
     val latestNow = Versioned.latestVersion(root).getOrElse(return start)
-    val bound = availableTarget
+    var bound = availableTarget
       .map(t => math.min(t, latestNow)).getOrElse(latestNow)
-    val target = maxVersions
-      .map(n => math.min(bound, from + math.max(1L, n)))
-      .getOrElse(bound)
-    if (target > from) VersionOffset(target) else start
+    maxVersions.foreach(n =>
+      bound = math.min(bound, fromV + math.max(1L, n)))
+    if (maxFiles.isEmpty && maxBytes.isEmpty)
+      return if (bound > fromV) VersionOffset(bound) else start
+    // file/byte admission: walk versions, accumulating insert files
+    // until a budget is exhausted. A row-removing commit is ONE
+    // indivisible unit — it ends the batch (alone if first). Progress
+    // is guaranteed: the first unit always admits, budget or not.
+    var fileBudget = maxFiles.map(_.toLong).getOrElse(Long.MaxValue)
+    var byteBudget = maxBytes.getOrElse(Long.MaxValue)
+    var cur: (Long, Long) = (fromV, fromIdx)
+    var advanced = false
+    val vs = Versioned.versions(root)
+      .filter(v => (v > fromV || (v == fromV && fromIdx >= 0)) &&
+        v <= bound)
+    val it = vs.iterator
+    var done = false
+    while (!done && it.hasNext) {
+      val v = it.next()
+      Versioned.feedAdmissionUnits(root, v) match {
+        case None =>
+          // indivisible change commit: its own batch boundary
+          if (!advanced) { cur = (v, -1L); advanced = true }
+          done = true
+        case Some(files) =>
+          val startIdx = if (v == fromV && fromIdx >= 0) fromIdx else 0L
+          val rest = files.drop(startIdx.toInt)
+          var take = 0
+          var stop = false
+          rest.foreach { case (_, bytes) =>
+            if (!stop) {
+              // the first unit of the batch always admits (progress
+              // guarantee), charging its bytes against the budget
+              val admit = (fileBudget > 0 && byteBudget > 0) ||
+                (take == 0 && !advanced)
+              if (admit) { take += 1; fileBudget -= 1; byteBudget -= bytes }
+              else stop = true
+            }
+          }
+          if (take == rest.size) { cur = (v, -1L); advanced = true }
+          else if (take > 0) {
+            cur = (v, startIdx + take); advanced = true; done = true
+          } else done = true
+      }
+    }
+    if (!advanced) start else mk(cur._1, cur._2)
   }
 
   override def planInputPartitions(start: Offset,
       end: Offset): Array[InputPartition] = {
-    val from = ver(start); val to = ver(end)
-    if (to <= from) return Array.empty
+    val (fromV, fromIdx) = parse(start); val (toV, toIdx) = parse(end)
+    if (toV < fromV || (toV == fromV && fromIdx < 0)) return Array.empty
     // schema pinned at stream start: history older than the pin
     // null-fills; a table that EVOLVED PAST the pin fails the run (a
     // restart re-pins) — the lakehouse-source contract
     def shape(s: StructType) = s.fields.toSeq.map(f => (f.name, f.dataType.sql))
     val pinned = shape(tableSchema).toSet
-    val now = Versioned.tableSchema(spark, root, Some(to))
+    val now = Versioned.tableSchema(spark, root, Some(toV))
     if (!shape(now).forall(pinned.contains)) throw new IllegalStateException(
-      s"schema of versioned table at $root changed by version $to " +
+      s"schema of versioned table at $root changed by version $toV " +
         s"(stream pinned ${tableSchema.simpleString}, table is now " +
         s"${now.simpleString}); restart the streaming query to pick " +
         "up the new schema")
-    val (pieces, _, physNames) = Versioned.feedWindowPlan(root, from, to,
+    // a PARTIAL start (sub-version admission) re-plans its version's
+    // whole window from the PREDECESSOR version, then slices the
+    // boundary insert pieces by file index — every mapping-stability
+    // and action check runs exactly as for a full window
+    val fromFull =
+      if (fromIdx >= 0)
+        Versioned.versions(root).filter(_ < fromV).lastOption.getOrElse(0L)
+      else fromV
+    val (all, _, physNames) = Versioned.feedWindowPlan(root, fromFull, toV,
       appendsOnly = !wantsEnvelope, skipChangeCommits)
+    def notPartial(v: Long): Unit =
+      require(!(v == fromV && fromIdx >= 0) && !(v == toV && toIdx >= 0),
+        s"sub-version offset minted for a non-insert commit v$v at $root")
+    val pieces = all.flatMap {
+      case Versioned.FeedInsert(v, fs) =>
+        var files = fs
+        if (v == toV && toIdx >= 0) files = files.take(toIdx.toInt)
+        if (v == fromV && fromIdx >= 0) files = files.drop(fromIdx.toInt)
+        if (files.isEmpty) None else Some(Versioned.FeedInsert(v, files))
+      case p @ Versioned.FeedCdf(v, _) => notPartial(v); Some(p)
+      case p @ Versioned.FeedMorDelete(v, _, _, _) => notPartial(v); Some(p)
+      case p @ Versioned.FeedDvDelete(v, _) => notPartial(v); Some(p)
+    }
+    // thread the WINDOW's column mapping and predicate texts to the
+    // factory (created right after this in both batch and micro-batch
+    // execution): re-reading the LATEST manifest there would race a
+    // rename or a new MoR delete committed between plan and factory —
+    // the current batch must read its files under the names and
+    // predicates its own window was planned against
+    lastWindowPhys = physNames
+    lastWindowPredTexts = pieces.collect {
+      case Versioned.FeedMorDelete(_, _, pred, parentPreds) =>
+        pred +: parentPreds.values.flatten.toSeq
+    }.flatten.distinct
     val rootAbs = new java.io.File(root).getAbsolutePath
     def abs(rel: String) = {
       val f = new java.io.File(rel)
@@ -166,11 +268,17 @@ final class GraftMicroBatchStream(spark: SparkSession, root: String,
   }
 
   // set by planInputPartitions (driver-side, paired with the factory
-  // creation that follows it in both batch and micro-batch execution)
+  // creation that follows it in both batch and micro-batch execution);
+  // initialized from the table's current mapping for the degenerate
+  // factory-without-plan path (an empty window plans no partitions, so
+  // the values are never read off a row there)
   @volatile private var lastWindowAllInserts = true
+  @volatile private var lastWindowPhys: Map[String, String] =
+    Versioned.plannedMeta(root).physNames
+  @volatile private var lastWindowPredTexts: Seq[String] = Nil
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    val physNames = Versioned.plannedMeta(root).physNames
+    val physNames = lastWindowPhys
     def phys(n: String): String = physNames.getOrElse(n, n)
     val physData = StructType(dataSchema.fields.map(f =>
       f.copy(name = phys(f.name))))
@@ -193,18 +301,16 @@ final class GraftMicroBatchStream(spark: SparkSession, root: String,
       org.apache.spark.sql.GraftParquetIO.columnarBatchSize(spark))
   }
 
-  /** Bind every predicate SQL any mor-delete piece in ANY window could
-    * reference… bound lazily per factory: predicates come per chunk as
-    * SQL text; the factory binds on first use per executor — but
-    * expression binding needs the analyzer (driver-only). So bind
-    * DRIVER-side: collect the texts from the manifests in the pinned
-    * table's RETAINED history once per factory creation (bounded by
-    * pending-predicate count, typically zero or a handful). */
-  private def bindPredicates(): Map[String, Expression] = {
-    val texts = Versioned.pendingMorPredicates(root)
-    texts.map(t => t -> org.apache.spark.sql.GraftParquetIO
+  /** Bind every predicate SQL the PLANNED window's mor-delete pieces
+    * reference: predicates come per chunk as SQL text, and expression
+    * binding needs the analyzer (driver-only) — so bind DRIVER-side at
+    * factory creation, from the texts the window plan itself collected
+    * (never from the latest manifest, which a concurrent commit could
+    * have moved past the planned window). Bounded by the window's
+    * pending-predicate count, typically zero or a handful. */
+  private def bindPredicates(): Map[String, Expression] =
+    lastWindowPredTexts.map(t => t -> org.apache.spark.sql.GraftParquetIO
       .boundPredicate(spark, dataSchema, t, nullVerdict = false)).toMap
-  }
 
   override def commit(end: Offset): Unit = ()
 
@@ -306,7 +412,8 @@ private[sources] final class GraftFeedReaderFactory(
 
       private def sidecarBits(c: GraftFeedChunk): java.util.BitSet = {
         val b = new java.util.BitSet()
-        c.positions.foreach(p => b.set(p.toInt))
+        c.positions.foreach(p =>
+          b.set(GraftParquetReaderFactory.checkPos(p)))
         val target = UTF8String.fromString(c.relPath)
         c.sidecars.foreach { sc =>
           val r = org.apache.spark.sql.GraftParquetIO
@@ -314,7 +421,8 @@ private[sources] final class GraftFeedReaderFactory(
           try {
             var x = r.read()
             while (x != null) {
-              if (x.getUTF8String(0) == target) b.set(x.getLong(1).toInt)
+              if (x.getUTF8String(0) == target)
+                b.set(GraftParquetReaderFactory.checkPos(x.getLong(1)))
               x = r.read()
             }
           } finally r.close()
@@ -414,7 +522,7 @@ private[sources] final class GraftFeedReaderFactory(
   *    row-equal to [[Versioned.changeFeed]].
   */
 final class GraftFeedTable(spark: SparkSession, fullName: String,
-    root: String)
+    root: String, pin: Option[Long] = None)
     extends org.apache.spark.sql.connector.catalog.Table
     with org.apache.spark.sql.connector.catalog.SupportsRead {
 
@@ -422,8 +530,11 @@ final class GraftFeedTable(spark: SparkSession, fullName: String,
 
   override def name(): String = fullName
 
+  // a VERSION AS OF pin fixes the feed's schema AND its default window
+  // end at that version — a pinned read returns the same data forever,
+  // the time-travel contract
   override lazy val schema: StructType =
-    VersionedSource.feedSchema(spark, root)
+    VersionedSource.feedSchema(spark, root, pin)
 
   override def capabilities(): java.util.Set[TableCapability] =
     java.util.EnumSet.of(TableCapability.BATCH_READ,
@@ -434,7 +545,7 @@ final class GraftFeedTable(spark: SparkSession, fullName: String,
       : org.apache.spark.sql.connector.read.ScanBuilder =
     new org.apache.spark.sql.connector.read.ScanBuilder {
       override def build(): org.apache.spark.sql.connector.read.Scan =
-        new GraftFeedScan(spark, root, schema, options)
+        new GraftFeedScan(spark, root, schema, options, pin)
     }
 
   override def toString: String = s"GraftFeedTable($fullName)"
@@ -443,7 +554,8 @@ final class GraftFeedTable(spark: SparkSession, fullName: String,
 /** Scan of the `.changes` table: batch = one planned window,
   * streaming = the native micro-batch stream (envelope mode). */
 final class GraftFeedScan(spark: SparkSession, root: String,
-    feedSchema: StructType, options: CaseInsensitiveStringMap)
+    feedSchema: StructType, options: CaseInsensitiveStringMap,
+    pin: Option[Long] = None)
     extends org.apache.spark.sql.connector.read.Scan
     with org.apache.spark.sql.connector.read.Batch {
 
@@ -455,9 +567,16 @@ final class GraftFeedScan(spark: SparkSession, root: String,
   override def toBatch: org.apache.spark.sql.connector.read.Batch = this
 
   override def toMicroBatchStream(checkpointLocation: String)
-      : MicroBatchStream =
+      : MicroBatchStream = {
+    // a streaming feed follows the table forward — pinning it at a
+    // past version contradicts that; refuse loudly rather than float
+    require(pin.isEmpty,
+      s"VERSION/TIMESTAMP AS OF is not supported on a STREAMING read " +
+        s"of the change feed at $root — use startingVersion to bound " +
+        "where the stream begins, or a batch read with endingVersion")
     new GraftMicroBatchStream(spark, root, feedSchema,
       StructType(feedSchema.fields.dropRight(2)), options)
+  }
 
   // batch: plan the (startingVersion, endingVersion] window through
   // the same partition-grain feed planner the stream uses
@@ -466,7 +585,16 @@ final class GraftFeedScan(spark: SparkSession, root: String,
 
   override def planInputPartitions(): Array[InputPartition] = {
     val from = opt("startingversion").map(_.toLong).getOrElse(0L)
-    val to = opt("endingversion").map(_.toLong)
+    // a VERSION AS OF pin is the default window end; an explicit
+    // endingVersion may narrow it but never read past the pin
+    val explicit = opt("endingversion").map(_.toLong)
+    (explicit, pin) match {
+      case (Some(e), Some(p)) => require(e <= p,
+        s"endingVersion=$e reads past the VERSION AS OF $p pin on the " +
+          s"change feed at $root")
+      case _ => ()
+    }
+    val to = explicit.orElse(pin)
       .orElse(Versioned.latestVersion(root)).getOrElse(0L)
     stream.planInputPartitions(VersionOffset(from), VersionOffset(to))
   }

@@ -78,15 +78,13 @@ final class GraftRowLevelOperation(spark: SparkSession, root: String,
     s"GraftRowLevelOperation($cmd, $root, v$pinned)"
 }
 
-/** The row-level scan builder. Unlike plain catalog reads (which ride
-  * the V1 bridge), the row-level rewrite plans a genuine DSv2
-  * `BatchScanExec` — so this path has its own native parquet batch
-  * scan: one input partition per manifest file, task-side row readers
-  * through Spark's own parquet materializer, manifest-stats pruning
-  * from the pushed filters, and RUNTIME group filtering on the
-  * partition columns (Spark's `RowLevelOperationRuntimeGroupFiltering`
-  * derives the matching groups and narrows the scan — and with it the
-  * replaced file set — at execution time). */
+/** The row-level scan builder: the group-based rewrite plans the same
+  * native DSv2 `BatchScanExec` plain catalog reads take — vectorized
+  * parquet batches, FilePartition-style packing/splitting,
+  * manifest-stats pruning from the pushed filters — plus RUNTIME group
+  * filtering (Spark's `RowLevelOperationRuntimeGroupFiltering` derives
+  * the matching groups and narrows the scan — and with it the replaced
+  * file set — at execution time). */
 final class GraftRowLevelScanBuilder(spark: SparkSession, root: String,
     version: Long, tableSchema: StructType, op: GraftRowLevelOperation)
     extends ScanBuilder
@@ -112,8 +110,9 @@ final class GraftRowLevelScanBuilder(spark: SparkSession, root: String,
 
 /** Scan builder for the DELTA-BASED row-level operation: DV-AWARE
   * (pending deletion vectors anti-filter in the reader — a second
-  * delta op matches only LIVE rows) and position-serving (`_pos` row
-  * IDs need whole-file row indexes, so no splitting). */
+  * delta op matches only LIVE rows) and position-serving. `_pos` rides
+  * the vectorized reader's row-index mechanism (file-absolute even
+  * across byte-range splits), so the matching pass stays columnar. */
 final class GraftDeltaScanBuilder(spark: SparkSession, root: String,
     version: Long, tableSchema: StructType) extends ScanBuilder
     with SupportsPushDownFilters with SupportsPushDownRequiredColumns {
@@ -189,8 +188,38 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
   // away from this scan (there the name means data)
   private val needPos = required.fieldNames.contains("_pos")
   private val dvActive = dvs.nonEmpty
-  // position serving and DV skipping both need whole-file row indexes
-  private val effSplittable = splittable && !needPos && !dvActive
+
+  // ---- reader layout, fixed at scan construction so split planning
+  // and the factory can never disagree. `_file`/`_pos` (the provenance
+  // metadata columns) are served by the reader itself, not parquet;
+  // Spark appends metadata output after data output, so they can only
+  // sit in the trailing positions.
+  private val metaIdx = required.fieldNames.zipWithIndex
+    .filter { case (n, _) => n == "_file" || n == "_pos" }
+  private val dataCount = required.length - metaIdx.length
+  require(metaIdx.forall(_._2 >= dataCount),
+    s"metadata columns must trail the data columns, got " +
+      required.fieldNames.mkString(", "))
+  // files under column mapping store physical names; row positions
+  // stay the logical order the query expects
+  private val physRequested = StructType(required.fields.take(dataCount)
+    .map(f => f.copy(name = phys(f.name))))
+  // the vectorized reader serves every schema the standard scan would
+  // serve vectorized (`ParquetFileFormat.supportBatch` gate); anything
+  // else falls back to the row-grain reader — correctness never
+  // depends on the columnar path. Position serving rides the reader's
+  // own row-index mechanism and deletion vectors apply as a per-batch
+  // live-row mapping, so BOTH stay columnar (the Delta/Iceberg DV read
+  // architecture — MoR's steady state keeps the vectorized scan).
+  private val vectorized =
+    spark.sessionState.conf.parquetVectorizedReaderEnabled &&
+      org.apache.spark.sql.GraftParquetIO.isVectorizable(spark,
+        physRequested)
+  // the row-grain fallback serves `_pos`/DV skipping by COUNTING rows,
+  // which needs whole files; the vectorized reader's row indexes are
+  // file-absolute even across byte-range splits, so it keeps splitting
+  private val effSplittable = splittable &&
+    (vectorized || (!needPos && !dvActive))
 
   @volatile private var files: Seq[String] =
     Versioned.candidateFilesForBounds(root, version,
@@ -224,6 +253,14 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
   // join alignment trusts). Refuses — planning the ordinary way —
   // whenever any candidate file's tuple fails exact decode, a
   // partition column isn't projected, or the table is unpartitioned.
+  //
+  // SKEW: a group's files are packed into MULTIPLE keyed partitions of
+  // ≤ maxPartitionBytes each (Iceberg's split-per-task shape). With
+  // plain SPJ Spark regroups same-key partitions into one task; with
+  // `spark.sql.sources.v2.bucketing.partiallyClusteredDistribution
+  // .enabled` it instead KEEPS the fine grain on the bigger side and
+  // replicates the other — a partition holding 100× the data runs as
+  // many bounded tasks instead of one giant one, still exchange-free.
   private val spjState: Option[(Seq[String],
       Seq[(org.apache.spark.sql.catalyst.InternalRow, Seq[String])])] =
     if (!spjAllowed) None
@@ -250,15 +287,29 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
         }
         if (keyed.exists(_.isEmpty)) None
         else {
-          val groups = keyed.flatten
+          val subs = keyed.flatten
             .groupBy(_._1).toSeq
-            .map { case (k, fs) =>
-              (new org.apache.spark.sql.catalyst.expressions
+            .flatMap { case (k, fs) =>
+              val row = new org.apache.spark.sql.catalyst.expressions
                   .GenericInternalRow(k.toArray)
-                : org.apache.spark.sql.catalyst.InternalRow,
-                fs.map(_._2))
+                : org.apache.spark.sql.catalyst.InternalRow
+              // pack the group's files into byte-bounded sub-partitions
+              // (whole files — every row of a file shares the tuple)
+              val packs = Seq.newBuilder[Seq[String]]
+              var cur = Seq.newBuilder[String]
+              var bytes = 0L; var empty = true
+              fs.map(_._2).foreach { p =>
+                val b = byPath.get(p).map(_.bytes).getOrElse(0L)
+                if (!empty && bytes + b > maxPartitionBytes) {
+                  packs += cur.result()
+                  cur = Seq.newBuilder[String]; bytes = 0L; empty = true
+                }
+                cur += p; bytes += b; empty = false
+              }
+              if (!empty) packs += cur.result()
+              packs.result().map(sub => (row, sub))
             }
-          Some((names, groups))
+          Some((names, subs))
         }
       }
     }
@@ -348,8 +399,12 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
     // defensive) packs as one whole-file zero-cost chunk — never split
     val sizes = limited.map(p => p -> meta.getOrElse(p, (0L, 0L))._1)
     val totalBytes = sizes.map(_._2 + openCostInBytes).sum
-    val maxSplitBytes = math.min(maxPartitionBytes,
-      math.max(openCostInBytes, totalBytes / math.max(1, minPartitionNum)))
+    // clamped to ≥1 like Spark's own FilePartition maxSplitBytes: with
+    // filesOpenCostInBytes=0 and a tiny table over many cores the
+    // division rounds to 0, and a zero step would throw on any
+    // splittable file instead of planning the scan
+    val maxSplitBytes = math.max(1L, math.min(maxPartitionBytes,
+      math.max(openCostInBytes, totalBytes / math.max(1, minPartitionNum))))
     // DV-aware chunks carry their file's pending positions: inline
     // lists ship in the chunk (bounded by the inline threshold),
     // sidecars ship as absolute paths the task reads and filters
@@ -395,15 +450,6 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
   }
 
   override def createReaderFactory(): PartitionReaderFactory = {
-    // `_file`/`_pos` (the provenance metadata columns) are served by
-    // the reader itself, not parquet; Spark appends metadata output
-    // after data output, so they can only sit in the trailing positions
-    val metaNames = required.fieldNames.zipWithIndex
-      .filter { case (n, _) => n == "_file" || n == "_pos" }
-    val dataCount = required.length - metaNames.length
-    require(metaNames.forall(_._2 >= dataCount),
-      s"metadata columns must trail the data columns, got " +
-        required.fieldNames.mkString(", "))
     // the reader's metadata tail, in the required order, as
     // 0=_file / 1=_pos slots
     val metaTail: Seq[Int] = required.fieldNames.drop(dataCount).map {
@@ -412,21 +458,14 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
       case other => throw new IllegalStateException(
         s"unexpected trailing column $other")
     }.toIndexedSeq
-    val dataFields = required.fields.take(dataCount)
-    // request the PHYSICAL projection of the data columns — files
-    // under column mapping store physical names; row positions stay
-    // the logical order the query expects
-    val physRequested = StructType(dataFields.map(f =>
-      f.copy(name = phys(f.name))))
-    // the vectorized reader serves every schema the standard scan
-    // would serve vectorized (`ParquetFileFormat.supportBatch` gate);
-    // anything else falls back to the row-grain reader — correctness
-    // never depends on the columnar path. Position serving and DV
-    // anti-filtering are row-grain (they need per-row file indexes).
-    val vectorized = !needPos && !dvActive &&
-      spark.sessionState.conf.parquetVectorizedReaderEnabled &&
-        org.apache.spark.sql.GraftParquetIO.isVectorizable(spark,
-          physRequested)
+    // the COLUMNAR read appends the reader-populated row-index column
+    // when positions are needed — to serve `_pos`, and/or to probe the
+    // deletion-vector BitSet per batch (file-absolute even on splits)
+    val colRowIndex = needPos || dvActive
+    val colRequested =
+      if (colRowIndex) StructType(physRequested.fields :+
+        org.apache.spark.sql.GraftParquetIO.rowIndexField)
+      else physRequested
     new GraftParquetReaderFactory(
       org.apache.spark.sql.GraftParquetIO.taskReadConf(spark,
         physRequested), metaTail = metaTail,
@@ -435,7 +474,11 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
       dvConf =
         if (dvActive) Some(org.apache.spark.sql.GraftParquetIO
           .taskReadConf(spark, GraftParquetReaderFactory.DvSchema))
-        else None)
+        else None,
+      colConf = org.apache.spark.sql.GraftParquetIO.taskReadConf(spark,
+        colRequested),
+      colRowIndex = colRowIndex,
+      dataCount = dataCount)
   }
 
   // ---- runtime group filtering: ONE grain for every table shape —
@@ -558,6 +601,20 @@ private[sources] final case class GraftKeyedFilePartition(
 }
 
 private[sources] object GraftParquetReaderFactory {
+  /** Deletion-vector positions index a per-file `java.util.BitSet`, so
+    * they must fit an Int — i.e. no single parquet data file may hold
+    * ≥ 2^31 rows (≈2.1 billion; the write path's file-size targets keep
+    * real files orders of magnitude under this). A position past the
+    * ceiling fails LOUDLY here at BitSet construction rather than
+    * silently aliasing a wrapped index. */
+  def checkPos(p: Long): Int = {
+    require(p >= 0 && p <= Int.MaxValue,
+      s"deletion-vector position $p is outside the Int-indexed BitSet " +
+        "range [0, 2^31) — a single data file cannot hold that many " +
+        "rows; compact the table with smaller target files")
+    p.toInt
+  }
+
   /** Schema of deletion-vector position sidecars (what
     * `Versioned.deleteRows` and the delta writer both emit). */
   val DvSchema: org.apache.spark.sql.types.StructType =
@@ -573,11 +630,19 @@ private[sources] object GraftParquetReaderFactory {
   * file-absolute index — counts every physical row, including
   * DV-skipped ones, so positions agree with `_metadata.row_index`
   * everywhere else). `dvConf` present = DV-AWARE: each chunk's pending
-  * positions (inline + sidecar) are skipped during the read. */
+  * positions (inline + sidecar) are skipped during the read — the
+  * row-grain reader skips while materializing, the COLUMNAR reader
+  * applies them as a per-batch live-row mapping over zero-copy
+  * [[GraftSelectedVector]] views (the Delta/Iceberg DV read shape).
+  * `colConf` is the columnar requested schema — the physical data
+  * projection plus, when `colRowIndex`, the reader-populated
+  * row-index column serving `_pos` and the DV probes. */
 private[sources] final class GraftParquetReaderFactory(
     conf: org.apache.spark.util.SerializableConfiguration,
     metaTail: Seq[Int], vectorized: Boolean, capacity: Int,
-    dvConf: Option[org.apache.spark.util.SerializableConfiguration] = None)
+    dvConf: Option[org.apache.spark.util.SerializableConfiguration],
+    colConf: org.apache.spark.util.SerializableConfiguration,
+    colRowIndex: Boolean, dataCount: Int)
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
 
   import org.apache.spark.sql.catalyst.InternalRow
@@ -594,7 +659,7 @@ private[sources] final class GraftParquetReaderFactory(
     * files scoped to its data file). */
   private def deletedBits(c: GraftFileChunk): java.util.BitSet = {
     val bits = new java.util.BitSet()
-    c.dvInline.foreach(p => bits.set(p.toInt))
+    c.dvInline.foreach(p => bits.set(GraftParquetReaderFactory.checkPos(p)))
     if (c.dvSidecars.nonEmpty) {
       val dc = dvConf.getOrElse(throw new IllegalStateException(
         "sidecar-bearing chunk reached a non-DV-aware reader")).value
@@ -605,7 +670,8 @@ private[sources] final class GraftParquetReaderFactory(
         try {
           var row = r.read()
           while (row != null) {
-            if (row.getUTF8String(0) == target) bits.set(row.getLong(1).toInt)
+            if (row.getUTF8String(0) == target)
+              bits.set(GraftParquetReaderFactory.checkPos(row.getLong(1)))
             row = r.read()
           }
         } finally r.close()
@@ -677,44 +743,107 @@ private[sources] final class GraftParquetReaderFactory(
 
   /** The hot path: Spark's vectorized parquet reader per chunk,
     * `ColumnarBatch`es straight into whole-stage codegen
-    * (`BatchScan … ColumnarToRow` in the plan); the `_file` constant
-    * rides the reader's partition-value mechanism. */
+    * (`BatchScan … ColumnarToRow` in the plan). Plain reads pass the
+    * reader's batch through untouched; a metadata projection or a
+    * DV-carrying chunk ASSEMBLES the output view — `_file` as a
+    * constant vector, `_pos` as the reader-populated row-index vector,
+    * pending deletion vectors as a per-batch live-row mapping over
+    * zero-copy [[GraftSelectedVector]] views — so the scan stays
+    * columnar in MoR's steady state (column data is never copied). */
   override def createColumnarReader(
       partition: InputPartition): PartitionReader[ColumnarBatch] = {
     val p = partition.asInstanceOf[GraftScanPartition]
     new PartitionReader[ColumnarBatch] {
+      import org.apache.spark.sql.vectorized.ColumnVector
       private val it = p.chunks.iterator
       private var reader: org.apache.spark.sql.execution.datasources
         .parquet.VectorizedParquetRecordReader = _
+      // assembled views, rebuilt per chunk (null = pass-through)
+      private var plainOut: ColumnarBatch = _      // no DV on this chunk
+      private var selOut: ColumnarBatch = _        // DV live-row mapping
+      private var posVec: ColumnVector = _         // row-index vector
+      private var dead: java.util.BitSet = _
+      private var live = 0
+      private val mapping = new Array[Int](capacity)
+      private val assemble = metaTail.nonEmpty || dvConf.isDefined
+
+      /** Build this chunk's output view over the reader's stable batch
+        * vectors: data columns pass through by reference, `_file` is a
+        * constant vector, `_pos` aliases the row-index vector; a
+        * DV-carrying chunk additionally wraps every non-constant
+        * column in the shared live-row mapping. */
+      private def buildViews(c: GraftFileChunk): Unit = {
+        val inner = reader.resultBatch()
+        posVec = if (colRowIndex) inner.column(dataCount) else null
+        val out = new Array[ColumnVector](dataCount + metaTail.length)
+        var i = 0
+        while (i < dataCount) { out(i) = inner.column(i); i += 1 }
+        metaTail.zipWithIndex.foreach {
+          case (0, j) =>
+            val cv = new org.apache.spark.sql.execution.vectorized
+              .ConstantColumnVector(capacity,
+                org.apache.spark.sql.types.StringType)
+            cv.setUtf8String(org.apache.spark.unsafe.types.UTF8String
+              .fromString(c.relPath))
+            out(dataCount + j) = cv
+          case (1, j) => out(dataCount + j) = posVec
+          case (k, _) => throw new IllegalStateException(
+            s"unexpected metadata slot $k")
+        }
+        if (dead == null) { plainOut = new ColumnarBatch(out); selOut = null }
+        else {
+          val sel = out.map {
+            case cv: org.apache.spark.sql.execution.vectorized
+                .ConstantColumnVector => cv // constant under any mapping
+            case v => new GraftSelectedVector(v, mapping, () => live)
+          }
+          selOut = new ColumnarBatch(sel.toArray); plainOut = null
+        }
+      }
+
+      /** Per batch: size the assembled view; a DV chunk refills the
+        * live-row mapping from the row-index vector (positions past
+        * the Int ceiling can never be in the BitSet, hence live). */
+      private def refill(): Unit = {
+        val n = reader.resultBatch().numRows()
+        if (dead != null) {
+          live = 0; var r = 0
+          while (r < n) {
+            val pos = posVec.getLong(r)
+            if (pos > Int.MaxValue || !dead.get(pos.toInt)) {
+              mapping(live) = r; live += 1
+            }
+            r += 1
+          }
+          selOut.setNumRows(live)
+        } else if (plainOut != null) plainOut.setNumRows(n)
+      }
+
       @scala.annotation.tailrec
       override def next(): Boolean = {
         if (reader != null) {
-          if (reader.nextBatch()) return true
+          if (reader.nextBatch()) { refill(); return true }
           reader.close(); reader = null
         }
         if (!it.hasNext) false
         else {
           val c = it.next()
+          dead =
+            if (c.dvInline.nonEmpty || c.dvSidecars.nonEmpty) deletedBits(c)
+            else null
           reader = org.apache.spark.sql.GraftParquetIO.openColumnarReader(
-            conf.value, c.path, c.start,
+            colConf.value, c.path, c.start,
             if (c.length == Long.MaxValue) Long.MaxValue - c.start
             else c.length,
-            capacity,
-            // vectorized reads never serve _pos (row-grain forced), so
-            // the only possible metadata tail is the _file constant
-            if (metaTail.nonEmpty)
-              Some((org.apache.spark.sql.types.StructType(Seq(
-                org.apache.spark.sql.types.StructField("_file",
-                  org.apache.spark.sql.types.StringType, nullable = false))),
-                new org.apache.spark.sql.catalyst.expressions
-                  .GenericInternalRow(Array[Any](
-                    org.apache.spark.unsafe.types.UTF8String
-                      .fromString(c.relPath)))))
-            else None)
+            capacity, constTail = None)
+          if (assemble) buildViews(c)
           next()
         }
       }
-      override def get(): ColumnarBatch = reader.resultBatch()
+      override def get(): ColumnarBatch =
+        if (!assemble) reader.resultBatch()
+        else if (dead != null) selOut
+        else plainOut
       override def close(): Unit = if (reader != null) reader.close()
     }
   }

@@ -322,6 +322,18 @@ final case class VersionOffset(v: Long) extends OffsetV1 {
   override def json(): String = v.toString
 }
 
+/** Sub-version offset for file/byte-grain admission control
+  * (`maxFilesPerTrigger`/`maxBytesPerTrigger`, the Delta-source
+  * shape): versions BEFORE `v` are fully consumed, and of version
+  * `v`'s insert files (manifest order) the first `idx` are consumed —
+  * so a backfill commit drains across several bounded micro-batches
+  * with exactly-once restart. Only ever minted for PURE-INSERT
+  * versions ([[graft.operators.Versioned.feedAdmissionUnits]]). */
+final case class VersionFileOffset(v: Long, idx: Long) extends OffsetV1 {
+  require(idx >= 0, s"partial offset needs idx >= 0, got $idx")
+  override def json(): String = s"$v:$idx"
+}
+
 /** The V1 streaming source over [[Versioned.changeFeed]]. A micro-batch
   * `(start, end]` is the exact row-level change feed of those versions;
   * `maxVersionsPerTrigger` caps how many versions one trigger admits. */

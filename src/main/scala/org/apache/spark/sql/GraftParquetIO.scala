@@ -140,6 +140,24 @@ object GraftParquetIO {
   def columnarBatchSize(spark: SparkSession): Int =
     spark.sessionState.conf.parquetVectorizedReaderBatchSize
 
+  /** The reader-populated FILE-ABSOLUTE row-index column (Spark's own
+    * `_metadata.row_index` mechanism): append this field to the
+    * requested schema and the vectorized reader fills it per row from
+    * parquet row-group offsets — correct across byte-range splits, so a
+    * split chunk still serves whole-file row positions. */
+  def rowIndexField: org.apache.spark.sql.types.StructField =
+    org.apache.spark.sql.types.StructField(
+      // the TEMPORARY marker name is what the reader's generator and
+      // missing-column handling both key on (`ROW_INDEX_FIELD` is the
+      // final `_metadata.row_index` field, NOT the marker)
+      org.apache.spark.sql.execution.datasources.parquet.ParquetFileFormat
+        .ROW_INDEX_TEMPORARY_COLUMN_NAME,
+      org.apache.spark.sql.types.LongType,
+      // requested NULLABLE: the column is absent from the file (the
+      // reader treats it as missing, then the generator fills it), and
+      // a required missing column fails `checkColumn` loudly
+      nullable = true)
+
   /** Task side: Spark's own VECTORIZED parquet reader over the byte
     * range `[start, start+length)` of one file, returning
     * `ColumnarBatch`es of the requested schema carried in `conf` (set

@@ -122,6 +122,51 @@ class VersionedDvSpec extends SparkSpec {
       "deletes must hold through carried AND packed files")
   }
 
+  test("REORG APPLY (PURGE): only the heavily-deleted file rewrites; " +
+      "lightly-deleted files carry by identity WITH their vectors; " +
+      "time travel and the change feed stay consistent") {
+    val root = freshRoot()
+    // three one-file commits: a → 50% deleted, b → 1% deleted, c → clean
+    Versioned.commit(spark, root, rows(1 to 100, "a").coalesce(1),
+      statsCols = Seq("id"))
+    Versioned.commit(spark, root, rows(101 to 200, "b").coalesce(1),
+      statsCols = Seq("id"))
+    Versioned.commit(spark, root, rows(201 to 300, "c").coalesce(1),
+      statsCols = Seq("id"))
+    Versioned.deleteRows(spark, root,
+      col("tag") === "a" && col("id") % 2 === 0)
+    Versioned.deleteRows(spark, root, col("id") === 101L)
+    val vBefore = Versioned.latestVersion(root).get
+    val before = Versioned.files(root, vBefore)
+    val v = Versioned.reorg(spark, root, minDeletedFraction = 0.1)
+    assert(v > vBefore, "a crossing file must publish a new version")
+    val after = Versioned.files(root, v)
+    assert(before.toSet.intersect(after.toSet).size === 2,
+      "exactly the lightly-deleted and clean files carry by identity")
+    // live rows identical before and after the reorg
+    val got = Versioned.read(spark, root)
+    assert(got.count() === 249)
+    assert(got.filter(col("tag") === "a" && col("id") % 2 === 0)
+      .count() === 0)
+    // the CARRIED light vector still applies after the reorg
+    assert(got.filter(col("id") === 101).count() === 0)
+    // time travel: the pre-reorg snapshot is untouched
+    assert(Versioned.readVersion(spark, root, vBefore).count() === 249)
+    // the change feed skips the row-identical reorg losslessly
+    assert(Versioned.changeFeed(spark, root, vBefore, Some(v))
+      .count() === 0)
+    // nothing above threshold now → publishes nothing
+    assert(Versioned.reorg(spark, root, minDeletedFraction = 0.1) === v)
+    // the SQL dispatcher verb: delete half of c, purge it by statement
+    Versioned.deleteRows(spark, root,
+      col("tag") === "c" && col("id") % 2 === 1)
+    val out = VersionedSql(spark, s"REORG TABLE `$root` APPLY (PURGE)")
+    assert(out.select("verb").as[String].head() === "reorg")
+    val vAfterSql = Versioned.latestVersion(root).get
+    assert(vAfterSql > v + 1, "the statement must have published")
+    assert(Versioned.read(spark, root).count() === 199)
+  }
+
   test("change feed replays dv deletes as row-level envelopes, per window") {
     val root = freshRoot()
     Versioned.commit(spark, root, rows(1 to 20, "a").coalesce(1),

@@ -2,6 +2,7 @@ package graft.sources
 
 import java.nio.file.Files
 
+import org.apache.spark.sql.connector.read.streaming.Offset
 import org.apache.spark.sql.functions._
 import org.apache.spark.sql.streaming.Trigger
 
@@ -421,5 +422,156 @@ class CatalogStreamingSpec extends SparkSpec {
       .as[(Long, String, String, Long)].collect().toSet === expected)
     assert(Versioned.versions(sink3).size >= 3,
       "one-version admission must land multiple micro-batches")
+  }
+
+  test("an INSERT-ONLY delta commit (mor MERGE with no matches) is a " +
+      "pure append: the bare row stream serves it, never fails or skips") {
+    sql("CREATE NAMESPACE IF NOT EXISTS grafts.st")
+    sql("CREATE TABLE grafts.st.insonly (id BIGINT, v STRING)")
+    val root = s"$warehouse/st/insonly"
+    sql("INSERT INTO grafts.st.insonly VALUES (1, 'a')")
+    Seq((2L, "b"), (3L, "c")).toDF("id", "v")
+      .createOrReplaceTempView("insonly_src")
+    // the MATCHED clause forces the delta rewrite (a NOT-MATCHED-only
+    // MERGE plans as a plain append upstream), but no source row
+    // matches at runtime — the committed delta removes NOTHING
+    spark.conf.set("spark.graft.rowlevel.mode", "mor")
+    try sql("""MERGE INTO grafts.st.insonly t USING insonly_src s
+      |ON t.id = s.id
+      |WHEN MATCHED THEN UPDATE SET v = s.v
+      |WHEN NOT MATCHED THEN INSERT (id, v) VALUES (s.id, s.v)"""
+      .stripMargin)
+    finally spark.conf.unset("spark.graft.rowlevel.mode")
+    val lastAction = Versioned.history(spark, root)
+      .orderBy(org.apache.spark.sql.functions.col("version").desc)
+      .select("action").as[String].head()
+    assert(lastAction === "write-delta",
+      "the mor MERGE must have committed a write-delta version")
+    // bare appends-only stream: the insert-only delta removed nothing,
+    // so it must flow as an append — no loud failure, no skip
+    val ck = tmp("graft-inso-ck"); val sink = tmp("graft-inso-out") + "/t"
+    val q = spark.readStream.table("grafts.st.insonly")
+      .writeStream.format(VersionedSource.Name)
+      .option("path", sink).option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    assert(Versioned.read(spark, sink).as[(Long, String)]
+      .collect().toSet === Set((1L, "a"), (2L, "b"), (3L, "c")))
+    // and skipChangeCommits must NOT drop it (Delta's contract: only
+    // commits that actually remove data are change commits)
+    val ck2 = tmp("graft-inso-ck2"); val sink2 = tmp("graft-inso-out2") + "/t"
+    val q2 = spark.readStream.option("skipChangeCommits", "true")
+      .table("grafts.st.insonly")
+      .writeStream.format(VersionedSource.Name)
+      .option("path", sink2).option("checkpointLocation", ck2)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.processAllAvailable(); q2.stop()
+    assert(Versioned.read(spark, sink2).count() === 3L,
+      "skipChangeCommits must not drop an insert-only delta's rows")
+  }
+
+  test("maxFilesPerTrigger / maxBytesPerTrigger: a many-file commit " +
+      "drains as bounded batches through sub-version offsets, " +
+      "exactly-once across batch boundaries; change commits stay " +
+      "indivisible") {
+    sql("CREATE NAMESPACE IF NOT EXISTS grafts.st")
+    sql("CREATE TABLE grafts.st.bulk (id BIGINT)")
+    val root = s"$warehouse/st/bulk"
+    // ONE backfill commit with 12 files
+    Versioned.commit(spark, root,
+      spark.range(0, 1200).toDF("id").repartition(12))
+    val v = Versioned.latestVersion(root).get
+    def mkStream(opts: Map[String, String]) = new GraftMicroBatchStream(
+      spark, root, Versioned.tableSchema(spark, root),
+      Versioned.tableSchema(spark, root),
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        scala.jdk.CollectionConverters.MapHasAsJava(opts).asJava))
+    val s5 = mkStream(Map("maxFilesPerTrigger" -> "5"))
+    // offset round-trip: the sub-version form survives the checkpoint
+    assert(s5.deserializeOffset(s"$v:5").json() === s"$v:5")
+    val limit = org.apache.spark.sql.connector.read.streaming.ReadLimit
+      .allAvailable()
+    val o0 = s5.initialOffset()
+    val o1 = s5.latestOffset(o0, limit)
+    assert(o1.json() === s"$v:5", s"first batch caps at 5 files: ${o1.json()}")
+    val o2 = s5.latestOffset(o1, limit)
+    assert(o2.json() === s"$v:10")
+    val o3 = s5.latestOffset(o2, limit)
+    assert(o3.json() === v.toString, "the last batch completes the version")
+    assert(s5.latestOffset(o3, limit).json() === o3.json(), "caught up")
+    // the three batches partition the commit's files EXACTLY once
+    def filesOf(a: Offset, b: Offset): Seq[String] =
+      s5.planInputPartitions(a, b).toSeq
+        .flatMap(_.asInstanceOf[GraftFeedPartition].chunks.map(_.relPath))
+    val b1 = filesOf(o0, o1); val b2 = filesOf(o1, o2); val b3 = filesOf(o2, o3)
+    assert(b1.size === 5 && b2.size === 5 && b3.size === 2)
+    assert((b1 ++ b2 ++ b3).distinct.size === 12,
+      "no file may repeat or vanish across the bounded batches")
+    assert((b1 ++ b2 ++ b3).toSet === Versioned.files(root, v).toSet)
+    // byte budget: smaller than any file → one file per batch
+    // (progress guarantee), never zero
+    val sB = mkStream(Map("maxBytesPerTrigger" -> "1"))
+    val p1 = sB.latestOffset(sB.initialOffset(), limit)
+    assert(p1.json() === s"$v:1")
+    // a row-removing commit is ONE indivisible unit: it ends a batch
+    Versioned.mergeUpsert(spark, root,
+      Seq(5L).toDF("id"), "id", cdf = true)
+    val v2 = Versioned.latestVersion(root).get
+    val after = s5.latestOffset(o3, limit)
+    assert(after.json() === v2.toString,
+      "the change commit must admit whole, alone")
+    // END-TO-END: a bounded drain lands one sink commit per batch and
+    // the union equals the table
+    val ck = tmp("graft-bulk-ck"); val sink = tmp("graft-bulk-out") + "/t"
+    val q = spark.readStream.option("maxFilesPerTrigger", "5")
+      .option("skipChangeCommits", "true")
+      .table("grafts.st.bulk")
+      .writeStream.format(VersionedSource.Name)
+      .option("path", sink).option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    assert(Versioned.read(spark, sink).as[Long].collect().toSet ===
+      (0L until 1200L).toSet)
+    assert(Versioned.versions(sink).size >= 3,
+      "the backfill must drain as several bounded micro-batches")
+  }
+
+  test(".changes honors VERSION AS OF: the pin bounds the batch window " +
+      "and a streaming read of a pinned feed refuses loudly") {
+    sql("CREATE NAMESPACE IF NOT EXISTS grafts.st")
+    sql("CREATE TABLE grafts.st.feedpin (id BIGINT, v STRING)")
+    val root = s"$warehouse/st/feedpin"
+    sql("INSERT INTO grafts.st.feedpin VALUES (1, 'a')")
+    sql("INSERT INTO grafts.st.feedpin VALUES (2, 'b')")
+    sql("INSERT INTO grafts.st.feedpin VALUES (3, 'c')")
+    val v = Versioned.latestVersion(root).get
+    val expectedAtPin = Versioned.changeFeed(spark, root, 0, Some(v - 1))
+      .select("id", "v", "_change_type", "_commit_version")
+      .as[(Long, String, String, Long)].collect().toSet
+    val pinned = sql(
+      s"SELECT * FROM grafts.st.feedpin.changes VERSION AS OF ${v - 1}")
+      .as[(Long, String, String, Long)].collect().toSet
+    assert(pinned === expectedAtPin,
+      "a pinned .changes read must stop at the pinned version")
+    assert(pinned.forall(_._4 <= v - 1))
+    // an explicit endingVersion may narrow the pin but not read past it
+    val e = intercept[Exception] {
+      sql(s"SELECT * FROM grafts.st.feedpin.changes VERSION AS OF ${v - 1}")
+      spark.read.option("versionAsOf", v - 1).option("endingVersion", v)
+        .table("grafts.st.feedpin.changes").collect()
+    }
+    assert(Iterator.iterate(e: Throwable)(_.getCause).takeWhile(_ != null)
+      .map(t => Option(t.getMessage).getOrElse("")).mkString(" | ")
+      .contains("reads past"), e.getMessage)
+    // a STREAMING read of a pinned feed refuses loudly (a stream
+    // follows the table forward; a past pin contradicts that)
+    val scan = new GraftFeedScan(spark, root,
+      VersionedSource.feedSchema(spark, root, Some(v - 1)),
+      org.apache.spark.sql.util.CaseInsensitiveStringMap.empty(),
+      Some(v - 1))
+    val e2 = intercept[IllegalArgumentException] {
+      scan.toMicroBatchStream("unused")
+    }
+    assert(e2.getMessage.contains("STREAMING"), e2.getMessage)
   }
 }

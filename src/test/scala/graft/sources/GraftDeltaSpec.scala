@@ -292,4 +292,68 @@ class GraftDeltaSpec extends SparkSpec {
     assert(live.map(t => (t._1, t._2)) === Seq((0L, 0L), (2L, 2L)))
     assert(live.map(_._3).distinct.size === 1)
   }
+
+  private def withConf[A](kv: (String, String)*)(f: => A): A = {
+    val olds = kv.map { case (k, _) => k -> spark.conf.getOption(k) }
+    kv.foreach { case (k, v) => spark.conf.set(k, v) }
+    try f finally olds.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("the DV-pending steady state keeps the VECTORIZED scan " +
+      "(BatchScan…ColumnarToRow, live-row mapping); _pos is vectorized " +
+      "and byte-identical to row-grain, across row groups AND splits") {
+    sql("CREATE TABLE graftd.d.vec (id BIGINT, v DOUBLE)")
+    val root = s"$warehouse/d/vec"
+    // ONE data file with MANY row groups (tiny parquet block size) —
+    // position arithmetic must hold across row-group boundaries
+    withConf("spark.hadoop.parquet.block.size" -> "65536") {
+      Versioned.commit(spark, root,
+        (0 until 60000).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
+          .coalesce(1))
+    }
+    // a WIDE mor delete (spills position sidecars) → DV-pending state
+    inMor { sql("DELETE FROM graftd.d.vec WHERE id % 7 = 3") }
+    // the DV-pending snapshot keeps the columnar plan — MoR's steady
+    // state between compactions must not fall back to row-grain
+    // (exchange-free query: AQE doesn't wrap it, the plan is direct)
+    val phys = sql("SELECT id, v FROM graftd.d.vec WHERE v > 100.0")
+      .queryExecution.executedPlan.toString
+    assert(phys.contains("BatchScan"), phys)
+    assert(phys.contains("ColumnarToRow"),
+      s"a DV-pending read must stay vectorized:\n$phys")
+    val (s, n) = sql("SELECT sum(v) AS s, count(*) AS n FROM graftd.d.vec")
+      .as[(Double, Long)].head()
+    val liveIds = (0 until 60000).filterNot(_ % 7 == 3)
+    assert(n === liveIds.size.toLong)
+    assert(math.abs(s - liveIds.map(_.toDouble).sum) < 1e-3)
+    // _pos projections stay columnar too (the MoR matching-scan shape)
+    def posRead(): Seq[(Long, Long)] =
+      sql("SELECT id, _pos FROM graftd.d.vec WHERE id % 1000 < 3 " +
+        "ORDER BY id").as[(Long, Long)].collect().toSeq
+    val posPlanned = sql("SELECT id, _pos, _file FROM graftd.d.vec")
+    val posPhys = posPlanned.queryExecution.executedPlan.toString
+    assert(posPhys.contains("ColumnarToRow"),
+      s"_pos must serve from the vectorized reader:\n$posPhys")
+    val vectorizedPos = posRead()
+    assert(vectorizedPos.nonEmpty)
+    // positions are file-absolute: id i sits at row i in the one file,
+    // deleted ids absent
+    vectorizedPos.foreach { case (id, pos) =>
+      assert(pos === id, s"file-absolute position expected for id $id")
+      assert(id % 7 != 3, s"deleted id $id resurrected")
+    }
+    // row-grain reference: byte-identical positions
+    val rowGrainPos = withConf(
+      "spark.sql.parquet.enableVectorizedReader" -> "false") { posRead() }
+    assert(vectorizedPos === rowGrainPos)
+    // byte-range SPLITS keep positions file-absolute (the row-index
+    // generator computes from row-group offsets, not split-local rows)
+    val splitPos = withConf(
+      "spark.sql.files.maxPartitionBytes" -> "65536",
+      "spark.sql.files.openCostInBytes" -> "0") { posRead() }
+    assert(splitPos === vectorizedPos)
+  }
 }

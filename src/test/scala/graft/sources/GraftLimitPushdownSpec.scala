@@ -70,15 +70,18 @@ class GraftLimitPushdownSpec extends SparkSpec {
     }
     // kill most of the first file: a capped scan trusting raw counts
     // would plan 2 files and come up short of LIMIT 15. The pending-DV
-    // snapshot routes to the anti-filtering V1 bridge, which has no
-    // cap machinery at all — and the DV-AWARE native scan (taken when
-    // provenance is projected) skips the cap via its dvActive guard.
+    // snapshot stays on the NATIVE DV-aware scan (columnar live-row
+    // mapping), whose dvActive guard skips the cap — all 3 files plan.
     Versioned.deleteRows(spark, root, col("id") < 9)
     val version = Versioned.latestVersion(root).get
     val schema = Versioned.tableSchema(spark, root, Some(version))
     val b = new GraftScanBuilder(spark, root, version, schema)
     assert(b.pushLimit(15))
-    assert(b.build().isInstanceOf[GraftV1ScanBridge])
+    val plain = b.build().asInstanceOf[GraftRowLevelScan]
+    assert(plain.planInputPartitions().flatMap(
+      _.asInstanceOf[GraftScanPartition].chunks.map(_.relPath))
+      .distinct.length === 3,
+      "pending DVs must disable the LIMIT file cap (inexact counts)")
     val bm = new GraftScanBuilder(spark, root, version,
       schema, org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
     assert(bm.pushLimit(15))

@@ -188,4 +188,69 @@ class GraftSpjSpec extends SparkSpec {
     val plain = sql(q).collect()
     assert(withSpj(sql(q).collect()).toSeq === plain.toSeq)
   }
+
+  test("SKEW: a partition holding far more data than the rest splits " +
+      "into multiple byte-bounded keyed tasks under partially-" +
+      "clustered distribution — still exchange-free, result exact") {
+    sql("CREATE TABLE graftspj.s.skewf (id BIGINT, nk INT, v DOUBLE) " +
+      "PARTITIONED BY (nk)")
+    sql("CREATE TABLE graftspj.s.skewd (nk INT, tag STRING) " +
+      "PARTITIONED BY (nk)")
+    // nk=0 holds 100× the rows of nk∈{1,2}, across several files
+    (0 until 3).foreach { _ =>
+      (0 until 20000).map(i => (i.toLong, 0, i * 1.0))
+        .toDF("id", "nk", "v").createOrReplaceTempView("spj_sk")
+      sql("INSERT INTO graftspj.s.skewf SELECT * FROM spj_sk")
+    }
+    (0 until 200).map(i => (i.toLong, 1 + i % 2, i * 1.0))
+      .toDF("id", "nk", "v").createOrReplaceTempView("spj_sk2")
+    sql("INSERT INTO graftspj.s.skewf SELECT * FROM spj_sk2")
+    Seq((0, "hot"), (1, "a"), (2, "b")).toDF("nk", "tag")
+      .createOrReplaceTempView("spj_skd")
+    sql("INSERT INTO graftspj.s.skewd SELECT * FROM spj_skd")
+    val q = """SELECT f.nk AS nk, count(*) AS n, sum(f.v) AS sv
+      |FROM graftspj.s.skewf f JOIN graftspj.s.skewd d ON f.nk = d.nk
+      |GROUP BY f.nk ORDER BY nk""".stripMargin
+    val plain = sql(q).collect().toSeq
+    val savedPc = Seq("spark.sql.sources.v2.bucketing" +
+      ".partiallyClusteredDistribution.enabled",
+      "spark.sql.files.maxPartitionBytes")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      spark.conf.set("spark.sql.sources.v2.bucketing" +
+        ".partiallyClusteredDistribution.enabled", "true")
+      // tiny task budget: the hot group MUST split into several tasks
+      spark.conf.set("spark.sql.files.maxPartitionBytes", "65536")
+      withSpj {
+        val df = sql(q)
+        // the JOIN subtree is exchange-free (partially-clustered
+        // output legitimately reshuffles for the aggregate ABOVE —
+        // that exchange carries 3 aggregated rows, not the fact table)
+        val join = df.queryExecution.executedPlan.collectFirst {
+          case j: org.apache.spark.sql.execution.joins
+              .SortMergeJoinExec => j
+        }.getOrElse(fail("expected a sort-merge join"))
+        assert(join.collect {
+          case e: org.apache.spark.sql.execution.exchange
+              .ShuffleExchangeExec => e
+        }.isEmpty,
+          s"the skewed co-partitioned join must not shuffle:\n$join")
+        // the fact side plans MORE keyed partitions than unique keys —
+        // the skewed group is split, so the largest task is bounded
+        val scans = df.queryExecution.executedPlan.collect {
+          case b: org.apache.spark.sql.execution.datasources.v2
+              .BatchScanExec => b
+        }
+        val factParts = scans.map(_.scan.toBatch.planInputPartitions())
+          .filter(_.length > 3).head
+        assert(factParts.length > 3,
+          s"the hot partition must split: ${factParts.length} tasks " +
+            "for 3 keys")
+        assert(df.collect().toSeq === plain)
+      }
+    } finally savedPc.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
 }
