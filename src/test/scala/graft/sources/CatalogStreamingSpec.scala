@@ -534,6 +534,34 @@ class CatalogStreamingSpec extends SparkSpec {
       (0L until 1200L).toSet)
     assert(Versioned.versions(sink).size >= 3,
       "the backfill must drain as several bounded micro-batches")
+    // MID-DRAIN RESTART: stop after ONE bounded batch (Trigger.Once),
+    // then resume from the checkpointed sub-version offset — the
+    // union lands exactly once
+    val ck2 = tmp("graft-bulk-ck2"); val sink2 = tmp("graft-bulk-out2") + "/t"
+    def one(): Unit = {
+      @annotation.nowarn("cat=deprecation")
+      val q1 = spark.readStream.option("maxFilesPerTrigger", "5")
+        .option("skipChangeCommits", "true")
+        .table("grafts.st.bulk")
+        .writeStream.format(VersionedSource.Name)
+        .option("path", sink2).option("checkpointLocation", ck2)
+        .trigger(Trigger.Once()).start()
+      q1.awaitTermination()
+    }
+    one()
+    val partial = Versioned.read(spark, sink2).count()
+    assert(partial > 0 && partial < 1200,
+      s"one bounded batch must land a strict subset, got $partial")
+    val q2 = spark.readStream.option("maxFilesPerTrigger", "5")
+      .option("skipChangeCommits", "true")
+      .table("grafts.st.bulk")
+      .writeStream.format(VersionedSource.Name)
+      .option("path", sink2).option("checkpointLocation", ck2)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.processAllAvailable(); q2.stop()
+    assert(Versioned.read(spark, sink2).as[Long].collect().toSet ===
+      (0L until 1200L).toSet,
+      "the resumed drain must complete exactly-once — no repeats, no gaps")
   }
 
   test(".changes honors VERSION AS OF: the pin bounds the batch window " +
