@@ -449,6 +449,35 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
     partitions.result().toArray
   }
 
+  /** Pushed filter → the same filter over PHYSICAL column names, for
+    * parquet row-group/page skipping inside the reader. STRICT: a
+    * node drops unless it translates whole (sound under Not/Or);
+    * filters touching the metadata columns never push. */
+  private def physFilter(f: Filter): Option[Filter] = {
+    import org.apache.spark.sql.sources._
+    if (f.references.exists(r => r == "_file" || r == "_pos")) None
+    else f match {
+      case EqualTo(a, v) => Some(EqualTo(phys(a), v))
+      case EqualNullSafe(a, v) => Some(EqualNullSafe(phys(a), v))
+      case GreaterThan(a, v) => Some(GreaterThan(phys(a), v))
+      case GreaterThanOrEqual(a, v) => Some(GreaterThanOrEqual(phys(a), v))
+      case LessThan(a, v) => Some(LessThan(phys(a), v))
+      case LessThanOrEqual(a, v) => Some(LessThanOrEqual(phys(a), v))
+      case In(a, vs) => Some(In(phys(a), vs))
+      case IsNull(a) => Some(IsNull(phys(a)))
+      case IsNotNull(a) => Some(IsNotNull(phys(a)))
+      case StringStartsWith(a, v) => Some(StringStartsWith(phys(a), v))
+      case StringEndsWith(a, v) => Some(StringEndsWith(phys(a), v))
+      case StringContains(a, v) => Some(StringContains(phys(a), v))
+      case And(l, r) =>
+        for { a <- physFilter(l); b <- physFilter(r) } yield And(a, b)
+      case Or(l, r) =>
+        for { a <- physFilter(l); b <- physFilter(r) } yield Or(a, b)
+      case Not(c) => physFilter(c).map(Not)
+      case _ => None
+    }
+  }
+
   override def createReaderFactory(): PartitionReaderFactory = {
     // the reader's metadata tail, in the required order, as
     // 0=_file / 1=_pos slots
@@ -478,7 +507,24 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
       colConf = org.apache.spark.sql.GraftParquetIO.taskReadConf(spark,
         colRequested),
       colRowIndex = colRowIndex,
-      dataCount = dataCount)
+      dataCount = dataCount,
+      // row-group/page skipping INSIDE the reader (the standard scan's
+      // parquet pushdown): physical-name filters typed per file at the
+      // task. Vectorized-only — positions there come from the
+      // row-index generator, which is skipping-aware; results are
+      // unaffected either way (Spark re-applies every filter above).
+      // Only filters over PROJECTED columns push (the standard scan's
+      // invariant — its read schema always carries filter columns;
+      // parquet-mr page filtering on an unprojected column drops
+      // rows): a CONSUMED partition filter whose column was pruned
+      // away already did its work at file grain
+      pushdown = {
+        val dataNames = required.fields.take(dataCount)
+          .map(_.name).toSet
+        org.apache.spark.sql.GraftParquetIO.filterPushdown(spark,
+          pushed.filter(_.references.forall(dataNames))
+            .flatMap(physFilter))
+      })
   }
 
   // ---- runtime group filtering: ONE grain for every table shape —
@@ -642,7 +688,10 @@ private[sources] final class GraftParquetReaderFactory(
     metaTail: Seq[Int], vectorized: Boolean, capacity: Int,
     dvConf: Option[org.apache.spark.util.SerializableConfiguration],
     colConf: org.apache.spark.util.SerializableConfiguration,
-    colRowIndex: Boolean, dataCount: Int)
+    colRowIndex: Boolean, dataCount: Int,
+    pushdown: org.apache.spark.sql.GraftParquetIO.FilterPushdown =
+      org.apache.spark.sql.GraftParquetIO.FilterPushdown(
+        Nil, false, false, false, false, 0, false))
     extends org.apache.spark.sql.connector.read.PartitionReaderFactory {
 
   import org.apache.spark.sql.catalyst.InternalRow
@@ -832,7 +881,9 @@ private[sources] final class GraftParquetReaderFactory(
             if (c.dvInline.nonEmpty || c.dvSidecars.nonEmpty) deletedBits(c)
             else null
           reader = org.apache.spark.sql.GraftParquetIO.openColumnarReader(
-            colConf.value, c.path, c.start,
+            org.apache.spark.sql.GraftParquetIO.rowGroupFilterConf(
+              colConf.value, c.path, pushdown),
+            c.path, c.start,
             if (c.length == Long.MaxValue) Long.MaxValue - c.start
             else c.length,
             capacity, constTail = None)

@@ -193,6 +193,67 @@ object GraftParquetIO {
     } catch { case t: Throwable => reader.close(); throw t }
   }
 
+  /** Driver-side capture of the session's parquet filter-pushdown
+    * knobs plus the filters to push (column names already PHYSICAL —
+    * files under column mapping store physical names). Ships to tasks
+    * with the reader factory. */
+  final case class FilterPushdown(
+      filters: Seq[org.apache.spark.sql.sources.Filter],
+      date: Boolean, timestamp: Boolean, decimal: Boolean,
+      string: Boolean, inThreshold: Int, caseSensitive: Boolean)
+      extends Serializable
+
+  /** The session's pushdown knobs (empty filters = pushdown off). */
+  def filterPushdown(spark: SparkSession,
+      filters: Seq[org.apache.spark.sql.sources.Filter]): FilterPushdown = {
+    val c = spark.sessionState.conf
+    FilterPushdown(
+      if (c.parquetFilterPushDown) filters else Nil,
+      c.parquetFilterPushDownDate, c.parquetFilterPushDownTimestamp,
+      c.parquetFilterPushDownDecimal,
+      c.parquetFilterPushDownStringPredicate,
+      c.parquetFilterPushDownInFilterThreshold, c.caseSensitiveAnalysis)
+  }
+
+  /** Task side: a conf carrying the parquet `FilterPredicate` for
+    * `pd.filters` typed against THIS file's schema — the reader then
+    * skips row groups by footer stats and pages by column indexes
+    * (`ParquetFileFormat`'s own pushdown, re-expressed for the
+    * manifest-backed scan). Per-file typing matters: a filter on a
+    * column an older file lacks simply doesn't translate for that file
+    * (schema evolution), exactly like the standard scan. Returns
+    * `conf` untouched when nothing translates. Safe ONLY for readers
+    * that take row positions from the row-index generator (the
+    * vectorized path) — a manually-counting reader would miscount
+    * skipped groups. */
+  def rowGroupFilterConf(conf: Configuration, path: String,
+      pd: FilterPushdown): Configuration = {
+    if (pd.filters.isEmpty) return conf
+    import org.apache.spark.sql.catalyst.util.RebaseDateTime.RebaseSpec
+    import org.apache.spark.sql.execution.datasources.parquet.{ParquetFilters, ParquetFooterReader}
+    import org.apache.spark.sql.internal.LegacyBehaviorPolicy
+    // schema-only footer read (SKIP_ROW_GROUPS): cheap, and the reader
+    // re-reads the range-filtered footer itself at initialize
+    val footer = ParquetFooterReader.readFooter(
+      org.apache.parquet.hadoop.util.HadoopInputFile
+        .fromPath(new Path(path), conf),
+      org.apache.parquet.format.converter.ParquetMetadataConverter
+        .SKIP_ROW_GROUPS)
+    val pf = new ParquetFilters(footer.getFileMetaData.getSchema,
+      pd.date, pd.timestamp, pd.decimal, pd.string, pd.inThreshold,
+      pd.caseSensitive, RebaseSpec(LegacyBehaviorPolicy.CORRECTED))
+    val preds = pd.filters.flatMap(f => pf.createFilter(f))
+    preds.reduceOption(
+      org.apache.parquet.filter2.predicate.FilterApi.and) match {
+      case Some(p) =>
+        val out = new Configuration(conf)
+        org.apache.parquet.hadoop.ParquetInputFormat
+          .setFilterPredicate(out, p)
+        out
+      case None => conf
+    }
+  }
+
   /** Resolve a SQL predicate against `schema` and bind it for
     * task-side interpreted evaluation with an explicit NULL verdict:
     * `coalesce(cond, default)` — the change-feed replay needs both
