@@ -2304,6 +2304,61 @@ object ExtraQueries {
   private val reorgDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // ---------------------------------------------------------------- x58
+  // Clustered write distribution, hash-gated end-to-end: orders land in
+  // a partitioned catalog table under `spark.graft.write.distribution=
+  // hash` + a sortBy order — ONE AQE rebalance by partition value, so
+  // the commit publishes O(partitions) files instead of O(tasks ×
+  // partitions), each internally sorted for row-group skipping. The
+  // body PINS the file-count economics (exactly one file per partition
+  // tuple at this size) so a silently dropped distribution fails
+  // loudly; DuckDB replays the same projection — a row lost or
+  // duplicated by the rebalance breaks the hash.
+  val x58WriteDistribution: Q = Q(
+    "x58_write_distribution",
+    """SELECT o_orderkey, CAST(o_custkey % 8 AS INT) AS pk,
+      |  CAST(o_totalprice AS DOUBLE) AS price
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val cat = s"graftwd${math.abs(d.hashCode)}"
+    val wh = writeDistDirs.getOrElseUpdate(d, {
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-wdist-q").toString
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+      t(s, d, "orders").select(col("o_orderkey"),
+        (col("o_custkey") % 8).cast("int").as("pk"),
+        col("o_totalprice").cast("double").as("price"))
+        .repartition(16) // scatter: every task sees every partition
+        .createOrReplaceTempView("x58_src")
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.r11")
+      s.sql(s"CREATE TABLE $cat.r11.ord (o_orderkey BIGINT, pk INT, " +
+        "price DOUBLE) PARTITIONED BY (pk)")
+      s.conf.set("spark.graft.write.distribution", "hash")
+      s.conf.set("spark.graft.write.sortBy", "o_orderkey")
+      try s.sql(s"INSERT INTO $cat.r11.ord SELECT * FROM x58_src")
+      finally {
+        s.conf.unset("spark.graft.write.distribution")
+        s.conf.unset("spark.graft.write.sortBy")
+      }
+      val root = s"$w/r11/ord"
+      val v = graft.operators.Versioned.latestVersion(root).get
+      val nFiles = graft.operators.Versioned.files(root, v).size
+      require(nFiles == 8,
+        s"x58: hash write distribution must land one file per " +
+          s"partition tuple (8), got $nFiles")
+      w
+    })
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"SELECT o_orderkey, pk, price FROM $cat.r11.ord " +
+      "ORDER BY o_orderkey")
+  }
+
+  private val writeDistDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   // ---------------------------------------------------------------- x52
   // Storage-partitioned join, hash-gated: two catalog tables
   // partitioned the same way (customers and orders by nation-derived
@@ -2613,5 +2668,6 @@ object ExtraQueries {
     x42SqlDeleteIn, x43CopyInto, x44CatalogDml, x45NativeDml,
     x46DynamicOverwrite, x47StreamToTable, x48PartitionedMerge,
     x49MorDml, x50StreamRead, x51MetaAgg, x52Spj, x53MetaAggFiltered,
-    x54ShowPartitions, x55DropPartition, x56DvColumnar, x57ReorgPurge)
+    x54ShowPartitions, x55DropPartition, x56DvColumnar, x57ReorgPurge,
+    x58WriteDistribution)
 }

@@ -898,16 +898,37 @@ final class GraftWriteBuilder(spark: SparkSession, root: String,
           "translatable to a table predicate"))
   }
 
+  // Spark applies the declared write distribution/ordering to the
+  // logical query BEFORE handing it to either the executor-staged V2
+  // writers or the V1 bridge (V2Writes runs prepareQuery on every
+  // AppendData/Overwrite*/micro-batch write) — declaring it here, and
+  // as advisory (strictlyRequired=false), plans ONE AQE rebalance per
+  // write: O(partitions) output files instead of O(tasks × partitions),
+  // skewed partitions still split across tasks. See [[GraftWriteLayout]].
+  private trait GraftWriteDistribution
+      extends org.apache.spark.sql.connector.write.RequiresDistributionAndOrdering {
+    override def requiredDistribution()
+        : org.apache.spark.sql.connector.distributions.Distribution =
+      GraftWriteLayout.distribution(spark, root, info.schema)
+    override def distributionStrictlyRequired(): Boolean = false
+    override def requiredOrdering()
+        : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
+      GraftWriteLayout.ordering(spark, root, info.schema)
+  }
+
   override def build(): Write =
-    if (dynamic) new Write {
+    if (dynamic) new Write with GraftWriteDistribution {
       override def toBatch: org.apache.spark.sql.connector.write.BatchWrite =
         new GraftDynamicOverwriteWrite(spark, root, info.schema)
       override def toString: String = s"GraftDynamicWrite($root)"
     }
-    else new V1Write {
+    else new V1Write with GraftWriteDistribution {
       override def toInsertableRelation: InsertableRelation =
         new InsertableRelation {
-          override def insert(data: DataFrame, overwrite: Boolean): Unit =
+          override def insert(data0: DataFrame, overwrite: Boolean): Unit = {
+            // V1 writes never see Spark's V2 distribution rewrite —
+            // the bridge applies the declared write layout itself
+            val data = GraftWriteLayout.applyV1(spark, root, data0)
             overwriteCond match {
               case None =>
                 Versioned.commit(spark, root, data)
@@ -917,6 +938,7 @@ final class GraftWriteBuilder(spark: SparkSession, root: String,
               case Some(Some(cond)) =>
                 Versioned.replaceWhere(spark, root, cond, data)
             }
+          }
         }
       // `writeStream.toTable` (bare — no format needed): Append mode
       // appends epochs, Complete mode (truncate()) overwrites the
