@@ -169,9 +169,80 @@ object Versioned {
       // recorded before a rename keep pruning after it). [[compact]]
       // rewrites every file under logical names and clears the map
       // (canonicalization).
-      physNames: Map[String, String] = Map.empty)
+      physNames: Map[String, String] = Map.empty,
+      // HIDDEN partition transforms (Iceberg's hidden partitioning):
+      // for each entry, `partitionBy` contains its `hidden` column —
+      // a schema-invisible materialized column every write derives as
+      // `fn(src)`. Inherited commit-to-commit like partitionBy; a
+      // re-layout that drops the hidden column drops its transform.
+      transforms: Seq[PartTransform] = Nil)
 
   private case class MorDelete(pred: String, files: Seq[String])
+
+  /** One HIDDEN partition transform (Iceberg's hidden partitioning):
+    * the table is partitioned by `fn(src)` without the user carrying a
+    * derived column. The engine materializes the transform as `hidden`
+    * — a real (but schema-invisible) column every write derives and
+    * every data file stores with min==max footer stats — so the entire
+    * partition machinery (tuple-per-file invariant, stats pruning,
+    * dynamic overwrite, partition management, SPJ grouping) works on
+    * it UNCHANGED, exactly as if the user had declared the derived
+    * column themselves. `fn` ∈ bucket|days|months|years|hours; `n` is
+    * the bucket count (0 otherwise).
+    *
+    * Why bucket matters at 100 TB: identity-partitioning a
+    * high-cardinality join key is impossible (one partition per key),
+    * but `bucket(N, key)` gives BOTH sides of a fact-fact join a
+    * stable, bounded co-partitioning — the storage-partitioned join
+    * then runs with no exchange on either side. Why time transforms
+    * matter: `days(ts)` gives day-grain file pruning for ANY predicate
+    * on the raw timestamp (the hidden column's min==max stats are the
+    * day; the source column's own min/max stay day-bounded), without
+    * the user maintaining a derived date column. */
+  private[graft] case class PartTransform(
+      hidden: String, fn: String, n: Int, src: String) {
+    /** The derivation, as dialect-neutral SQL over the logical write
+      * frame. A NULL source derives a NULL hidden value, so the
+      * engine's existing "partition values must be non-null" error
+      * fires (bucket needs the explicit guard: Spark's hash(NULL) is
+      * the seed, not NULL — without the CASE a null key would silently
+      * land in bucket pmod(42, n)). */
+    def sql: String = fn match {
+      case "bucket" =>
+        s"CASE WHEN `$src` IS NULL THEN CAST(NULL AS INT) " +
+          s"ELSE pmod(hash(`$src`), $n) END"
+      case "days" => s"CAST(`$src` AS DATE)"
+      case "months" => s"TRUNC(CAST(`$src` AS DATE), 'MONTH')"
+      case "years" => s"TRUNC(CAST(`$src` AS DATE), 'YEAR')"
+      case "hours" => s"DATE_TRUNC('HOUR', `$src`)"
+      case other => throw new IllegalArgumentException(
+        s"unknown partition transform: $other")
+    }
+    /** The hidden column's type — fixed by the transform, independent
+      * of the source type. */
+    def dataType: org.apache.spark.sql.types.DataType = fn match {
+      case "bucket" => org.apache.spark.sql.types.IntegerType
+      case "days" | "months" | "years" =>
+        org.apache.spark.sql.types.DateType
+      case "hours" => org.apache.spark.sql.types.TimestampType
+      case other => throw new IllegalArgumentException(
+        s"unknown partition transform: $other")
+    }
+    /** Display form, e.g. `bucket(16, key)` / `days(ts)`. */
+    def show: String =
+      if (fn == "bucket") s"$fn($n, $src)" else s"$fn($src)"
+  }
+
+  private[graft] object PartTransform {
+    /** The deterministic hidden-column name for a transform. Prefixed
+      * so user columns can never collide silently (creation refuses a
+      * schema that declares the name). */
+    def hiddenName(fn: String, n: Int, src: String): String =
+      if (fn == "bucket") s"_pt_${fn}${n}_$src" else s"_pt_${fn}_$src"
+
+    def apply(fn: String, n: Int, src: String): PartTransform =
+      PartTransform(hiddenName(fn, n, src), fn, n, src)
+  }
 
   /** Positional deletion vector: row positions (parquet row_index) of
     * ONE immutable data file that are deleted — the Delta/Iceberg DV
@@ -766,6 +837,19 @@ object Versioned {
           lit(s"CHECK constraint '$name' violated: $cond"))))
         missing.foldLeft(checked)((dd, mc) => dd.drop(mc))
       }
+    // HIDDEN partition transforms: derive each materialized column
+    // from its source (recomputing is deterministic, so a frame that
+    // already carries one — a rewrite of physical files — converges to
+    // the same value). The derived column is written INTO the file, so
+    // its min==max footer stats make every partition mechanism (tuple
+    // invariant, pruning, dynamic overwrite, SPJ) work unchanged. The
+    // table schema never sees it: schemaJson is captured from the
+    // caller's frame.
+    val dfT = latestM.map(_.transforms).getOrElse(Nil)
+      .filter(t => partitionBy.contains(t.hidden))
+      .foldLeft(df)((d, t) =>
+        d.drop(t.hidden).withColumn(t.hidden,
+          org.apache.spark.sql.functions.expr(t.sql)))
     // COLUMN MAPPING write edge: alias logical → physical just before
     // the parquet write (constraints above evaluated on the logical
     // frame). Everything below — the write, footer stats, blooms —
@@ -774,8 +858,8 @@ object Versioned {
       latestM.map(_.physNames).getOrElse(Map.empty))
     def p(n: String): String = phys.getOrElse(n, n)
     val physDf =
-      if (phys.isEmpty) df
-      else df.select(df.columns.toSeq.map(n => c(n).as(p(n))): _*)
+      if (phys.isEmpty) dfT
+      else dfT.select(dfT.columns.toSeq.map(n => c(n).as(p(n))): _*)
     val physPart = partitionBy.map(p)
     val batch = java.util.UUID.randomUUID().toString
     val batchDir = new File(new File(root, "data"), batch)
@@ -965,12 +1049,13 @@ object Versioned {
   private[graft] case class PlannedTableMeta(
       partitionBy: Seq[String],
       constraints: Map[String, String],
-      physNames: Map[String, String])
+      physNames: Map[String, String],
+      transforms: Seq[PartTransform] = Nil)
 
   private[graft] def plannedMeta(root: String): PlannedTableMeta =
     latestVersion(root).map(readManifest(root, _)) match {
       case Some(m) => PlannedTableMeta(m.partitionBy, m.constraints,
-        m.physNames)
+        m.physNames, m.transforms)
       case None => PlannedTableMeta(Nil, Map.empty, Map.empty)
     }
 
@@ -979,7 +1064,8 @@ object Versioned {
     val now = PlannedTableMeta(
       parentM.map(_.partitionBy).getOrElse(Nil),
       parentM.map(_.constraints).getOrElse(Map.empty),
-      parentM.map(_.physNames).getOrElse(Map.empty))
+      parentM.map(_.physNames).getOrElse(Map.empty),
+      parentM.map(_.transforms).getOrElse(Nil))
     if (now != planned) throw new VersionConflictException(
       s"table at $root changed layout/constraints/column-mapping since " +
         "this write was planned — the staged files were written under " +
@@ -2094,6 +2180,13 @@ object Versioned {
   def partitionByOf(root: String, version: Option[Long] = None): Seq[String] =
     version.orElse(latestVersion(root))
       .map(readManifest(root, _).partitionBy).getOrElse(Nil)
+
+  /** The table's hidden partition transforms at `version` (latest if
+    * unset) — each one's `hidden` column appears in [[partitionByOf]]. */
+  private[graft] def transformsOf(root: String,
+      version: Option[Long] = None): Seq[PartTransform] =
+    version.orElse(latestVersion(root))
+      .map(readManifest(root, _).transforms).getOrElse(Nil)
 
   /** Read a pruned subset of `version`'s live files (relative paths from
     * [[candidateFilesForBounds]]) under the version's aligned schema,
@@ -3517,7 +3610,8 @@ object Versioned {
       carryFrom: Option[Long] = None,
       constraints: Option[Map[String, String]] = None,
       dropped: Option[Map[String, Long]] = None,
-      physNames: Option[Map[String, String]] = None): Long = {
+      physNames: Option[Map[String, String]] = None,
+      transforms: Option[Seq[PartTransform]] = None): Long = {
     logDir(root).mkdirs()
     val next = parent + 1
     // partitioning and CHECK constraints are table properties:
@@ -3528,6 +3622,13 @@ object Versioned {
       if (parent >= 1L) Some(readManifest(root, parent)) else None
     val partCols = partitionBy.getOrElse(
       parentM.map(_.partitionBy).getOrElse(Nil))
+    // hidden partition transforms inherit like partitionBy; a
+    // re-layout that drops a transform's hidden column drops the
+    // transform with it (the filter is self-maintaining — restore and
+    // clone pass the source version's explicitly)
+    val tableTransforms = transforms.getOrElse(
+      parentM.map(_.transforms).getOrElse(Nil))
+      .filter(t => partCols.contains(t.hidden))
     val tableConstraints = constraints.getOrElse(
       parentM.map(_.constraints).getOrElse(Map.empty))
     // the column mapping inherits like constraints: physical names are
@@ -3579,7 +3680,7 @@ object Versioned {
       partitionBy = partCols, props = effProps, dvs = dvs,
       ts = Some(System.currentTimeMillis()), segments = segments,
       constraints = tableConstraints, dropped = tombstones,
-      physNames = tablePhys)
+      physNames = tablePhys, transforms = tableTransforms)
     // the publish itself is the pluggable put-if-absent primitive:
     // exactly one of two racing writers lands v<next>, whatever the
     // backend (POSIX hard link, object-store conditional put)
@@ -4346,7 +4447,7 @@ object Versioned {
       // tombstones and column mapping (consistent with its schema) are
       // reinstated too
       constraints = Some(m.constraints), dropped = Some(m.dropped),
-      physNames = Some(m.physNames))
+      physNames = Some(m.physNames), transforms = Some(m.transforms))
   }
 
   /** Zero-copy SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE`):
@@ -4394,7 +4495,7 @@ object Versioned {
       // mapping carries verbatim: physical names are properties of the
       // shared files themselves.
       dropped = Some(m.dropped.map { case (c, _) => c -> 1L }),
-      physNames = Some(m.physNames))
+      physNames = Some(m.physNames), transforms = Some(m.transforms))
   }
 
   /** CREATE TABLE: publish version 1 of an EMPTY table — zero data
@@ -4408,7 +4509,8 @@ object Versioned {
   def createTable(spark: SparkSession, root: String,
       schema: org.apache.spark.sql.types.StructType,
       partitionBy: Seq[String] = Nil,
-      ifNotExists: Boolean = false): Long = withOccRetry(None) {
+      ifNotExists: Boolean = false,
+      transforms: Seq[PartTransform] = Nil): Long = withOccRetry(None) {
     latestVersion(root) match {
       case Some(v) =>
         if (ifNotExists) v
@@ -4416,13 +4518,53 @@ object Versioned {
           s"table at $root already exists (latest version $v)")
       case None =>
         require(schema.fields.nonEmpty, "CREATE TABLE needs columns")
-        val missing = partitionBy.filterNot(p =>
+        val hidden = transforms.map(_.hidden).toSet
+        val missing = partitionBy.filterNot(p => hidden(p) ||
           schema.fieldNames.exists(_.equalsIgnoreCase(p)))
         require(missing.isEmpty,
           s"partition column(s) ${missing.mkString(", ")} are not in " +
             "the declared schema")
+        transforms.foreach { t =>
+          require(partitionBy.contains(t.hidden),
+            s"transform ${t.show} is not in the partition spec")
+          require(t.src.matches("[A-Za-z0-9_]+"),
+            s"partition transform source '${t.src}' — transform " +
+              "sources must be plain identifiers")
+          require(!schema.fieldNames.exists(_.equalsIgnoreCase(t.hidden)),
+            s"schema declares '${t.hidden}', which collides with the " +
+              s"materialized column of transform ${t.show}")
+          val srcField = schema.fields.find(
+            _.name.equalsIgnoreCase(t.src)).getOrElse(
+            throw new IllegalArgumentException(
+              s"transform ${t.show}: source column '${t.src}' is not " +
+                "in the declared schema"))
+          import org.apache.spark.sql.types._
+          t.fn match {
+            case "bucket" =>
+              require(t.n > 0, s"bucket count must be positive in ${t.show}")
+              require(srcField.dataType match {
+                case _: IntegerType | _: LongType | _: ShortType |
+                     _: ByteType | _: StringType | _: DateType |
+                     _: TimestampType | _: DecimalType => true
+                case _ => false
+              }, s"transform ${t.show}: type ${srcField.dataType.sql} " +
+                "is not bucketable (needs a stable hashable type)")
+            case "days" | "months" | "years" =>
+              require(srcField.dataType.isInstanceOf[DateType] ||
+                srcField.dataType.isInstanceOf[TimestampType],
+                s"transform ${t.show} needs a DATE or TIMESTAMP " +
+                  s"source, got ${srcField.dataType.sql}")
+            case "hours" =>
+              require(srcField.dataType.isInstanceOf[TimestampType],
+                s"transform ${t.show} needs a TIMESTAMP source, got " +
+                  srcField.dataType.sql)
+            case other => throw new IllegalArgumentException(
+              s"unsupported partition transform: $other($t)")
+          }
+        }
         publishEntries(root, Nil, 0L, "append",
-          schemaJson = schema.json, partitionBy = Some(partitionBy))
+          schemaJson = schema.json, partitionBy = Some(partitionBy),
+          transforms = Some(transforms))
         // a racing CREATE loses the CAS and retries into the
         // Some(v) branch above — ifNotExists decides noop vs error
     }
@@ -4699,19 +4841,24 @@ object Versioned {
     * of silently returning partial data. Bump when a change makes old
     * readers return WRONG results rather than error. */
   // 1 = inline files only; 2 = + segmented log; 3 = + drop-column
-  // tombstones; 4 = + column mapping. A manifest is stamped with the
-  // LOWEST format that expresses it (Delta's feature-gated protocol
-  // bump): a table that never dropped or renamed a column keeps
-  // publishing format 2, readable by any format-2 reader — only an
-  // ACTIVE tombstone (whose gate an old reader would not enforce on
-  // ADD COLUMNS) forces 3, and an active column mapping (which an old
-  // reader would misread as null columns) forces 4.
-  val ManifestFormat = 4
+  // tombstones; 4 = + column mapping; 5 = + hidden partition
+  // transforms. A manifest is stamped with the LOWEST format that
+  // expresses it (Delta's feature-gated protocol bump): a table that
+  // never dropped or renamed a column keeps publishing format 2,
+  // readable by any format-2 reader — only an ACTIVE tombstone (whose
+  // gate an old reader would not enforce on ADD COLUMNS) forces 3, an
+  // active column mapping (which an old reader would misread as null
+  // columns) forces 4, and active partition transforms force 5 (an
+  // old writer would re-publish the manifest WITHOUT the transform
+  // spec — silent metadata loss — and could never derive the hidden
+  // column for its own writes).
+  val ManifestFormat = 5
 
   private def renderJson(m: Manifest): String = {
     val filesNode = m.files.map(fileEntryNode).asJava
     val base = Map[String, Any]("version" -> m.version,
-      "format" -> (if (m.physNames.nonEmpty) 4
+      "format" -> (if (m.transforms.nonEmpty) 5
+                   else if (m.physNames.nonEmpty) 4
                    else if (m.dropped.nonEmpty) 3 else 2),
       "action" -> m.action, "files" -> filesNode) ++
       (if (m.segments.isEmpty) Nil
@@ -4734,6 +4881,10 @@ object Versioned {
        }.asJava)) ++
       (if (m.physNames.isEmpty) Nil
        else Seq("physNames" -> m.physNames.asJava)) ++
+      (if (m.transforms.isEmpty) Nil
+       else Seq("transforms" -> m.transforms.map(t =>
+         Map[String, Any]("hidden" -> t.hidden, "fn" -> t.fn,
+           "n" -> t.n, "src" -> t.src).asJava).asJava)) ++
       m.ts.map("ts" -> java.lang.Long.valueOf(_)) ++
       (if (m.dvs.isEmpty) Nil else Seq("dvs" -> m.dvs.map { d =>
         val base = Map[String, Any]("file" -> d.file,
@@ -4816,6 +4967,11 @@ object Versioned {
         .map(_.properties().asScala
           .map(e => e.getKey -> e.getValue.asText()).toMap)
         .getOrElse(Map.empty),
+      transforms = Option(node.get("transforms"))
+        .map(_.elements().asScala.map { t =>
+          PartTransform(t.get("hidden").asText(), t.get("fn").asText(),
+            t.get("n").asInt(), t.get("src").asText())
+        }.toSeq).getOrElse(Nil),
       dvs = Option(node.get("dvs")).map(_.elements().asScala.map { d =>
         DvEntry(d.get("file").asText(), d.get("positions").elements()
           .asScala.map(_.asLong()).toSeq,

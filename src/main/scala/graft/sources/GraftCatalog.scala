@@ -167,15 +167,44 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val dir = new File(root).getParentFile
     if (!dir.isDirectory) throw new NoSuchNamespaceException(ident.namespace)
-    val partCols = partitions.map { t =>
-      require(t.name == "identity",
-        s"unsupported PARTITIONED BY transform: $t — only identity " +
-          "(plain column) partitioning maps onto the hive-layout table")
+    // identity columns pass through; bucket/days/months/years/hours
+    // become HIDDEN materialized transforms (Iceberg's hidden
+    // partitioning) — every write derives the value, the user never
+    // carries a derived column
+    def ref(t: Transform): String = {
       val parts = t.references()(0).fieldNames.toSeq
       require(parts.size == 1,
         s"nested partition column not supported: ${parts.mkString(".")}")
       parts.head
-    }.toSeq
+    }
+    val parsed: Seq[Either[String, Versioned.PartTransform]] =
+      partitions.toSeq.map { t =>
+        t.name match {
+          case "identity" => Left(ref(t))
+          case "bucket" =>
+            val n = t.arguments().collectFirst {
+              case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                  if l.value().isInstanceOf[Number] =>
+                l.value().asInstanceOf[Number].intValue()
+            }.getOrElse(throw new IllegalArgumentException(
+              s"bucket transform needs a literal bucket count: $t"))
+            require(t.references().length == 1,
+              s"sorted/multi-column bucket transforms are not " +
+                s"supported: $t")
+            Right(Versioned.PartTransform("bucket", n, ref(t)))
+          case fn @ ("days" | "months" | "years" | "hours") =>
+            Right(Versioned.PartTransform(fn, 0, ref(t)))
+          case other => throw new IllegalArgumentException(
+            s"unsupported PARTITIONED BY transform: $other — " +
+              "supported: identity columns, bucket(n, col), days(col), " +
+              "months(col), years(col), hours(col)")
+        }
+      }
+    val partCols = parsed.map {
+      case Left(c) => c
+      case Right(tx) => tx.hidden
+    }
+    val transforms = parsed.collect { case Right(tx) => tx }
     // Spark passes bookkeeping properties (provider, owner, location)
     // on every CREATE — those are derivable or implied here; anything
     // a USER declared would be silently lost, so reject it loudly
@@ -185,7 +214,8 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces {
         TableCatalog.PROP_TABLE_TYPE, TableCatalog.PROP_COMMENT))
     require(userProps.isEmpty,
       s"TBLPROPERTIES are not supported: ${userProps.mkString(", ")}")
-    Versioned.createTable(spark, root, schema, partCols)
+    Versioned.createTable(spark, root, schema, partCols,
+      transforms = transforms)
     new GraftTable(spark, fullName(ident), root, None)
   }
 
@@ -390,9 +420,17 @@ final class GraftTable(spark: SparkSession, fullName: String,
   override lazy val schema: StructType =
     Versioned.tableSchema(spark, root, Some(pinned))
 
-  override def partitioning(): Array[Transform] =
-    Versioned.partitionByOf(root, Some(pinned))
-      .map(Expressions.identity).toArray
+  override def partitioning(): Array[Transform] = {
+    val tx = Versioned.transformsOf(root, Some(pinned))
+      .map(t => t.hidden -> t).toMap
+    Versioned.partitionByOf(root, Some(pinned)).map { pc =>
+      tx.get(pc) match {
+        case Some(t) if t.fn == "bucket" => Expressions.bucket(t.n, t.src)
+        case Some(t) => Expressions.apply(t.fn, Expressions.column(t.src))
+        case None => Expressions.identity(pc)
+      }
+    }.toArray
+  }
 
   override def properties(): util.Map[String, String] =
     Map(TableCatalog.PROP_LOCATION -> root,

@@ -49,7 +49,13 @@ private[graft] object GraftWriteCore {
       codec: String,
       conf: SerializableConfiguration,
       // constraint name -> bound predicate (coalesce(cond, true))
-      checks: Seq[(String, Expression)])
+      checks: Seq[(String, Expression)],
+      // HIDDEN partition transforms: bound derivation expression per
+      // materialized column — the task evaluates each per row, splits
+      // files by the derived tuple, and APPENDS the values to the
+      // written row (the conf's schema already carries the hidden
+      // fields), so footer min==max stats exist like any partition col
+      partTx: Seq[(String, Expression, DataType)] = Nil)
 
   /** Driver-side spec construction for a write of `schema` (the
     * logical write schema) into the table at `root` under plan-time
@@ -60,11 +66,18 @@ private[graft] object GraftWriteCore {
       partitioned: Boolean): JobSpec = {
     def phys(n: String): String = planned.physNames.getOrElse(n, n)
     val partCols = if (partitioned) planned.partitionBy else Nil
-    val partIdx = partCols.map { pc =>
+    val txByHidden = planned.transforms.map(t => t.hidden -> t).toMap
+    val partIdx = partCols.filterNot(txByHidden.contains).map { pc =>
       val i = schema.fieldNames.indexWhere(_.equalsIgnoreCase(pc))
       require(i >= 0, s"the write omits partition column '$pc' — a " +
         "partitioned table needs every partition value on every row")
       (i, schema.fields(i).dataType)
+    }
+    // hidden partition transforms derive IN the task from the logical
+    // write schema; references to a missing source fail loudly here
+    val partTx = partCols.flatMap(txByHidden.get).map { t =>
+      (t.hidden, GraftParquetIO.boundExpr(spark, schema, t.sql),
+        t.dataType)
     }
     statsCols.foreach { sc =>
       require(schema.fieldNames.exists(_.equalsIgnoreCase(sc)),
@@ -72,9 +85,14 @@ private[graft] object GraftWriteCore {
           schema.fieldNames.mkString(", "))
     }
     // files land under PHYSICAL names (same positions, renamed fields);
-    // stats are keyed physical — immutable across renames
+    // hidden transform columns append at the END (never mapped — their
+    // name IS physical); stats are keyed physical — immutable across
+    // renames
     val physSchema = StructType(schema.fields.map(f =>
-      f.copy(name = phys(f.name))))
+      f.copy(name = phys(f.name))) ++
+      partTx.map { case (hidden, _, dt) =>
+        org.apache.spark.sql.types.StructField(hidden, dt,
+          nullable = false) })
     val checks = planned.constraints.toSeq.sortBy(_._1).map {
       case (name, cond) =>
         name -> GraftParquetIO.boundCheck(spark, schema, cond)
@@ -83,7 +101,7 @@ private[graft] object GraftWriteCore {
       s"data/${java.util.UUID.randomUUID().toString}",
       (statsCols.map(phys) ++ partCols.map(phys)).distinct,
       partIdx, GraftParquetIO.parquetCodec(spark),
-      GraftParquetIO.taskWriteConf(spark, physSchema), checks)
+      GraftParquetIO.taskWriteConf(spark, physSchema), checks, partTx)
   }
 
   def entriesOf(messages: Array[WriterCommitMessage]): Seq[Versioned.FileEntry] =
@@ -132,19 +150,41 @@ private[graft] final class GraftTaskWriter(spec: GraftWriteCore.JobSpec,
   override def write(metadata: InternalRow, row: InternalRow): Unit =
     write(row)
 
+  // reusable append machinery for hidden partition transforms: the
+  // parquet writer consumes the row synchronously inside write(), so
+  // one JoinedRow + value buffer serves every row of the task
+  private val txValues = new Array[Any](spec.partTx.size)
+  private val txRow =
+    new org.apache.spark.sql.catalyst.expressions.GenericInternalRow(txValues)
+  private val joined =
+    new org.apache.spark.sql.catalyst.expressions.JoinedRow()
+
   override def write(row: InternalRow): Unit = {
     spec.checks.foreach { case (name, pred) =>
       if (pred.eval(row) == false) throw new IllegalArgumentException(
         s"CHECK constraint '$name' violated by an incoming row")
     }
-    val key: Seq[Any] = spec.partIdx.map { case (i, dt) =>
+    val idKey: Seq[Any] = spec.partIdx.map { case (i, dt) =>
       val v = row.get(i, dt)
       if (v == null) throw new IllegalArgumentException(
         "null value in a partition column — partitioned tables " +
           "require non-null partition values")
       InternalRow.copyValue(v) // rows are reused; pin the key bytes
     }
-    writers.getOrElseUpdate(key, open()).write(row)
+    if (spec.partTx.isEmpty) {
+      writers.getOrElseUpdate(idKey, open()).write(row)
+    } else {
+      var i = 0
+      spec.partTx.foreach { case (hidden, expr, _) =>
+        val v = expr.eval(row)
+        if (v == null) throw new IllegalArgumentException(
+          s"a row derives NULL for partition transform column " +
+            s"'$hidden' — partition transform sources must be non-null")
+        txValues(i) = v; i += 1
+      }
+      val key: Seq[Any] = idKey ++ txValues.map(InternalRow.copyValue)
+      writers.getOrElseUpdate(key, open()).write(joined(row, txRow))
+    }
   }
 
   private def open(): PqWriter[InternalRow] = {

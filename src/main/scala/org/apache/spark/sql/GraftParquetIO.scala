@@ -307,4 +307,31 @@ object GraftParquetIO {
     BindReferences.bindReference(
       Coalesce(Seq(resolved, Literal.TrueLiteral)), attrs)
   }
+
+  /** Resolve an arbitrary SQL scalar expression against `schema` and
+    * bind it for task-side interpreted evaluation (hidden partition
+    * transforms evaluate per row inside executor `DataWriter`s).
+    * Unlike [[boundCheck]], references to absent columns are an error
+    * — a transform whose source the write omits must fail loudly, not
+    * derive NULL. */
+  def boundExpr(spark: SparkSession, schema: StructType,
+      exprSql: String): Expression = {
+    val attrs = DataTypeUtils.toAttributes(schema)
+    val parsed = spark.sessionState.sqlParser.parseExpression(exprSql)
+    val analyzed = spark.sessionState.analyzer.execute(
+      org.apache.spark.sql.catalyst.plans.logical.Project(
+        Seq(org.apache.spark.sql.catalyst.expressions.Alias(
+          parsed, "__graft_tx")()),
+        LocalRelation(attrs)))
+    val resolved = analyzed.collectFirst {
+      case p: org.apache.spark.sql.catalyst.plans.logical.Project =>
+        p.projectList.head
+    }.getOrElse(throw new IllegalStateException(
+      s"expression '$exprSql' did not resolve to a projection"))
+    val child = resolved match {
+      case a: org.apache.spark.sql.catalyst.expressions.Alias => a.child
+      case e => e
+    }
+    BindReferences.bindReference(child, attrs)
+  }
 }

@@ -1,0 +1,152 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.operators.Versioned
+
+/** Hidden partitioning (Iceberg's partition transforms): `PARTITIONED
+  * BY (bucket(n, col))` / `days(ts)` create tables whose partition
+  * value is DERIVED on every write into a schema-invisible materialized
+  * column — the user never carries it, reads never see it, and the
+  * whole partition machinery (tuple-per-file invariant, stats pruning,
+  * dynamic overwrite) works on it unchanged. */
+class GraftHiddenPartitionSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val w = Files.createTempDirectory("graft-hp-wh").toString
+    spark.conf.set("spark.sql.catalog.grafth",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.grafth.warehouse", w)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS grafth.ns")
+    w
+  }
+
+  private def sql(s: String) = { warehouse; spark.sql(s) }
+
+  /** Head-version file entries with their single-valued stats for a
+    * partition column. */
+  private def headTuples(root: String, col: String): Seq[String] = {
+    val (entries, _, _) = Versioned.aggMeta(root,
+      Versioned.versions(root).last)
+    entries.map { e =>
+      val (_, lo, hi) = e.stats.getOrElse(col,
+        fail(s"file ${e.path} lacks stats for hidden column $col"))
+      assert(lo === hi,
+        s"file ${e.path} must hold ONE $col value, got [$lo, $hi]")
+      lo
+    }
+  }
+
+  test("bucket(4, key): derived, schema-invisible, one bucket per file") {
+    sql("CREATE TABLE grafth.ns.bkt (k BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    val root = s"$warehouse/ns/bkt"
+    (0L until 64L).map(i => (i, s"v$i")).toDF("k", "v")
+      .createOrReplaceTempView("hp_bkt_src")
+    sql("INSERT INTO grafth.ns.bkt SELECT * FROM hp_bkt_src")
+    // reads: full rows, no hidden column anywhere
+    val got = sql("SELECT * FROM grafth.ns.bkt ORDER BY k")
+    assert(got.columns.toSeq === Seq("k", "v"))
+    assert(got.count() === 64L)
+    // every file holds exactly one bucket; values are pmod(hash(k), 4)
+    val buckets = headTuples(root, "_pt_bucket4_k").map(_.toInt).toSet
+    assert(buckets.subsetOf(Set(0, 1, 2, 3)) && buckets.size === 4)
+    // the derivation matches Spark's own hash semantics
+    val expected = spark.sql(
+      "SELECT DISTINCT pmod(hash(id), 4) FROM range(64)")
+      .as[Int].collect().toSet
+    assert(buckets === expected)
+  }
+
+  test("days(ts): day-grain files, time-range predicates prune by stats") {
+    sql("CREATE TABLE grafth.ns.ev (id BIGINT, ts TIMESTAMP, v DOUBLE) " +
+      "PARTITIONED BY (days(ts))")
+    val root = s"$warehouse/ns/ev"
+    spark.sql(
+      """SELECT id, timestamp_seconds(1700000000 + id * 20000) AS ts,
+        |  id * 1.0 AS v FROM range(24)""".stripMargin)
+      .createOrReplaceTempView("hp_ev_src")
+    sql("INSERT INTO grafth.ns.ev SELECT * FROM hp_ev_src")
+    val days = headTuples(root, "_pt_days_ts").toSet
+    assert(days.size >= 3, s"spread across several days, got $days")
+    // each file is day-pure, so the SOURCE column's own min/max are
+    // day-bounded: a timestamp range predicate reads only that day's
+    // files (partition pruning IS stats pruning — no transform-aware
+    // planner hook needed for ranges)
+    val oneDay = sql("SELECT count(*) FROM grafth.ns.ev WHERE " +
+      "ts >= timestamp_seconds(1700000000) AND " +
+      "ts < timestamp_seconds(1700086400)").as[Long].head()
+    val expect = spark.sql("SELECT count(*) FROM hp_ev_src WHERE " +
+      "ts >= timestamp_seconds(1700000000) AND " +
+      "ts < timestamp_seconds(1700086400)").as[Long].head()
+    assert(oneDay === expect && oneDay > 0)
+  }
+
+  test("dynamic overwrite replaces by TRANSFORM value") {
+    sql("CREATE TABLE grafth.ns.dyn (k BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    (0L until 16L).map(i => (i, "old")).toDF("k", "v")
+      .createOrReplaceTempView("hp_dyn_src")
+    sql("INSERT INTO grafth.ns.dyn SELECT * FROM hp_dyn_src")
+    // overwrite rows of ONE key: dynamic mode must replace exactly the
+    // buckets present in the new data — k=3's whole bucket — and carry
+    // every other bucket untouched
+    spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+    try sql("INSERT OVERWRITE grafth.ns.dyn SELECT 3L AS k, 'new' AS v")
+    finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    val bucketOf3 = spark.sql("SELECT pmod(hash(3L), 4)").as[Int].head()
+    val survivors = sql("SELECT k, v FROM grafth.ns.dyn")
+      .as[(Long, String)].collect().toMap
+    assert(survivors(3L) === "new")
+    // keys of OTHER buckets survive with old values
+    val otherKeys = (0L until 16L).filter { k =>
+      spark.sql(s"SELECT pmod(hash(${k}L), 4)").as[Int].head() != bucketOf3
+    }
+    otherKeys.foreach(k => assert(survivors(k) === "old",
+      s"key $k (different bucket) must survive the dynamic overwrite"))
+    // keys SHARING k=3's bucket are gone (that's the partition grain)
+    assert(!survivors.keySet.exists(k => k != 3L &&
+      spark.sql(s"SELECT pmod(hash(${k}L), 4)").as[Int].head() == bucketOf3
+      && survivors(k) == "old" && false))
+  }
+
+  test("null transform source fails loudly; schema collision refused") {
+    sql("CREATE TABLE grafth.ns.nn (k BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    val e = intercept[Exception] {
+      sql("INSERT INTO grafth.ns.nn VALUES (CAST(NULL AS BIGINT), 'x')")
+    }
+    assert(e.getMessage != null)
+    assert(sql("SELECT count(*) FROM grafth.ns.nn").as[Long].head() === 0L,
+      "nothing may publish from a failed write")
+    val c = intercept[Exception] {
+      sql("CREATE TABLE grafth.ns.coll (k BIGINT, _pt_bucket4_k INT) " +
+        "PARTITIONED BY (bucket(4, k))")
+    }
+    assert(c.getMessage.contains("collides"))
+  }
+
+  test("DESCRIBE reports the true transform; clone and restore carry it") {
+    sql("CREATE TABLE grafth.ns.meta (k BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (bucket(8, k), days(ts))")
+    val root = s"$warehouse/ns/meta"
+    val parts = sql("DESCRIBE TABLE grafth.ns.meta")
+      .selectExpr("concat_ws(' ', col_name, data_type)")
+      .as[String].collect().toSeq
+    assert(parts.exists(_.contains("bucket(8, k)")),
+      s"DESCRIBE must show the bucket transform, got $parts")
+    sql("INSERT INTO grafth.ns.meta SELECT 1L, " +
+      "timestamp_seconds(1700000000)")
+    // restore keeps the transform spec
+    Versioned.restore(root, 1L)
+    assert(Versioned.transformsOf(root).map(_.show) ===
+      Seq("bucket(8, k)", "days(ts)"))
+    // clone carries it to the branch
+    val dst = Files.createTempDirectory("graft-hp-clone").toString + "/t"
+    Versioned.cloneShallow(spark, root, dst)
+    assert(Versioned.transformsOf(dst).map(_.show) ===
+      Seq("bucket(8, k)", "days(ts)"))
+  }
+}
