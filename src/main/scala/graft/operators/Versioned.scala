@@ -1687,10 +1687,58 @@ object Versioned {
     val mapped =
       if (m.physNames.isEmpty) bounds
       else bounds.map(b => b.copy(col = m.physNames.getOrElse(b.col, b.col)))
-    val probes = mapped.map(compileBound)
+    // HIDDEN bucket transforms: a point/IN bound on the SOURCE column
+    // derives the matching bucket id(s), pruning to O(1/n) of the
+    // files — the reason bucket partitioning exists. (Time transforms
+    // need no translation: day-pure files keep day-bounded source
+    // stats, so range bounds on the source already prune exactly.)
+    val probes = (mapped ++ bucketBounds(m, bounds)).map(compileBound)
     m.files.filter { f =>
       probes.forall(p => p(f))
     }.map(_.path)
+  }
+
+  /** Derived hidden-column bounds for bucket transforms: for each
+    * equality/IN bound on a transform's source, evaluate the SAME
+    * expression the write derives with (`pmod(hash(v), n)`) on the
+    * bound's value(s). Untypeable values decline conservatively —
+    * never a wider prune. */
+  private def bucketBounds(m: Manifest,
+      bounds: Seq[ColumnBound]): Seq[ColumnBound] = {
+    val buckets = m.transforms.filter(_.fn == "bucket")
+    if (buckets.isEmpty) return Nil
+    val schema = m.schemaJson.map(org.apache.spark.sql.types.DataType
+      .fromJson(_).asInstanceOf[org.apache.spark.sql.types.StructType])
+    def bucketOf(srcType: org.apache.spark.sql.types.DataType,
+        n: Int, v: Any): Option[Any] =
+      try {
+        import org.apache.spark.sql.catalyst.expressions.{Literal, Murmur3Hash, Pmod}
+        Option(Pmod(new Murmur3Hash(Seq(Literal.create(v, srcType))),
+          Literal(n)).eval(null))
+      } catch { case _: Exception => None }
+    buckets.flatMap { t =>
+      schema.flatMap(_.fields.find(_.name.equalsIgnoreCase(t.src)))
+        .map(_.dataType).toSeq.flatMap { st =>
+          bounds.flatMap { b =>
+            if (!b.col.equalsIgnoreCase(t.src) || b.nullness.nonEmpty) None
+            else {
+              val pts: Option[Seq[Any]] =
+                if (b.values.isDefined) b.values
+                else if (b.lo.isDefined && b.lo == b.hi) Some(Seq(b.lo.get))
+                else None
+              pts.flatMap { vs =>
+                val ids = vs.map(v => bucketOf(st, t.n, v))
+                if (ids.exists(_.isEmpty) || ids.isEmpty) None
+                else Some(ids.flatten.distinct)
+              }.map { ids =>
+                if (ids.size == 1)
+                  ColumnBound(t.hidden, Some(ids.head), Some(ids.head))
+                else inBound(t.hidden, ids)
+              }
+            }
+          }
+        }
+    }
   }
 
   /** Compile one bound into a per-file predicate. Interval bounds and
@@ -3114,10 +3162,16 @@ object Versioned {
     val base = m.physNames - field.name
     val newMap =
       if (physical.equalsIgnoreCase(to)) base else base + (to -> physical)
+    // a hidden partition transform follows its renamed SOURCE: the
+    // derivation is by LOGICAL name (evaluated pre-mapping on every
+    // write), so the spec updates in the same commit — the hidden
+    // column (and every file's stats key) is untouched
+    val newTx = m.transforms.map(t =>
+      if (t.src.equalsIgnoreCase(field.name)) t.copy(src = to) else t)
     publishEntries(root, m.files, latest, "schema",
       schemaJson = renamed.json, mor = m.mor, dvs = m.dvs,
       carryFrom = Some(latest), constraints = Some(m.constraints),
-      physNames = Some(newMap))
+      physNames = Some(newMap), transforms = Some(newTx))
   }
 
   /** ALTER COLUMN … TYPE — METADATA-ONLY type WIDENING (Delta 3.x's
@@ -3159,6 +3213,17 @@ object Versioned {
       s"cannot widen partition column '${field.name}' — the table " +
         "layout (and per-file partition-tuple stats) is derived from " +
         "it; re-layout via overwrite first")
+    // bucket hashing is TYPE-SENSITIVE (murmur3 of 4 vs 8 bytes):
+    // widening a bucket source would route the same logical value to
+    // a DIFFERENT bucket on post-widen writes — silent mis-pruning
+    // and false SPJ alignment against pre-widen files
+    val txWiden = m.transforms.filter(t =>
+      t.src.equalsIgnoreCase(field.name))
+    require(txWiden.isEmpty,
+      s"cannot widen '${field.name}' — partition transform(s) " +
+        s"${txWiden.map(_.show).mkString(", ")} derive from it and " +
+        "the derivation is type-sensitive; re-layout via overwrite " +
+        "first")
     val widenable: Boolean = (field.dataType, to) match {
       case (ByteType, ShortType | IntegerType | LongType) => true
       case (ShortType, IntegerType | LongType) => true
@@ -3259,6 +3324,11 @@ object Versioned {
       s"cannot drop partition column(s) ${partHit.mkString(", ")} — " +
         "the table layout is derived from them (re-layout via " +
         "overwrite first)")
+    val txHit = m.transforms.filter(t => dropSet(lc(t.src)))
+    require(txHit.isEmpty,
+      s"cannot drop column(s) ${txHit.map(_.src).mkString(", ")} — " +
+        s"partition transform(s) ${txHit.map(_.show).mkString(", ")} " +
+        "derive from them (re-layout via overwrite first)")
     requirePredsFree(spark, m, dropSet)
     val narrowed = org.apache.spark.sql.types.StructType(
       schema.fields.filterNot(f => dropSet(lc(f.name))))

@@ -2359,6 +2359,137 @@ object ExtraQueries {
   private val writeDistDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // ---------------------------------------------------------------- x59
+  // BUCKETED storage-partitioned join, hash-gated: two catalog tables
+  // PARTITIONED BY (bucket(8, key)) — hidden partitioning on a
+  // high-cardinality key, where identity partitioning is impossible —
+  // join on the RAW key with KeyGroupedPartitioning over the bucket
+  // transform (resolved through the catalog's FunctionCatalog). The
+  // body PINS that the join subtree has no shuffle on either side;
+  // DuckDB replays the join from the base tables: a row lost to a
+  // misaligned bucket or a drifted hash breaks the hash.
+  val x59BucketSpj: Q = Q(
+    "x59_bucket_spj",
+    """SELECT CAST(o.o_orderkey % 1000 AS BIGINT) AS kb,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |GROUP BY 1 ORDER BY kb LIMIT 200""".stripMargin) { (s, d) =>
+    val cat = s"graftbspj${math.abs(d.hashCode)}"
+    val wh = bucketSpjDirs.getOrElseUpdate(d, {
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-bspj-q").toString
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.r11")
+      s.sql(s"CREATE TABLE $cat.r11.ord (o_orderkey BIGINT) " +
+        "PARTITIONED BY (bucket(8, o_orderkey))")
+      s.sql(s"CREATE TABLE $cat.r11.li (l_orderkey BIGINT, " +
+        "price DOUBLE) PARTITIONED BY (bucket(8, l_orderkey))")
+      t(s, d, "orders").select(col("o_orderkey"))
+        .createOrReplaceTempView("x59_ord")
+      t(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_extendedprice").cast("double").as("price"))
+        .createOrReplaceTempView("x59_li")
+      s.sql(s"INSERT INTO $cat.r11.ord SELECT * FROM x59_ord")
+      s.sql(s"INSERT INTO $cat.r11.li SELECT * FROM x59_li")
+      w
+    })
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.graft.spj.preserveDataGrouping",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s.conf.set("spark.graft.spj.preserveDataGrouping", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = s.sql(
+        s"""SELECT CAST(o.o_orderkey % 1000 AS BIGINT) AS kb,
+           |  COUNT(*) AS n,
+           |  CAST(SUM(CAST(l.price AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS total
+           |FROM $cat.r11.ord o JOIN $cat.r11.li l
+           |  ON o.o_orderkey = l.l_orderkey
+           |GROUP BY 1 ORDER BY kb LIMIT 200""".stripMargin)
+      // pin the SPJ shape: no shuffle below the join on either side
+      val join = df.queryExecution.executedPlan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins
+            .SortMergeJoinExec => j
+      }.getOrElse(throw new IllegalStateException(
+        "x59 expects a sort-merge join"))
+      val shuffles = join.collect {
+        case e: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeExec => e
+      }
+      require(shuffles.isEmpty,
+        s"x59: the bucketed join must be exchange-free:\n$join")
+      // materialize under the SPJ confs (the plan must bind before
+      // the confs restore)
+      val rows = df.collect()
+      val sc = s.sparkContext
+      s.createDataFrame(sc.parallelize(rows.toIndexedSeq, 1), df.schema)
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  private val bucketSpjDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  // ---------------------------------------------------------------- x60
+  // Hidden time partitioning, hash-gated: events land in a
+  // PARTITIONED BY (days(ts)) catalog table — the day is derived on
+  // write, never carried by the user — and a raw-timestamp range read
+  // comes back exact. Day-pure files keep day-bounded source stats, so
+  // the range prunes at file grain with no transform-aware planner
+  // hook; DuckDB replays the same filter on the base events.
+  val x60DaysPartition: Q = Q(
+    "x60_days_partition",
+    """SELECT CAST(event_id AS BIGINT) AS event_id,
+      |  CAST(user_id AS BIGINT) AS user_id
+      |FROM events
+      |WHERE ts >= TIMESTAMP '2024-01-08' AND ts < TIMESTAMP '2024-01-15'
+      |ORDER BY event_id""".stripMargin) { (s, d) =>
+    val cat = s"graftdays${math.abs(d.hashCode)}"
+    val wh = daysPartDirs.getOrElseUpdate(d, {
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-days-q").toString
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.r11")
+      s.sql(s"CREATE TABLE $cat.r11.ev (event_id BIGINT, " +
+        "user_id BIGINT, ts TIMESTAMP) PARTITIONED BY (days(ts))")
+      // Tables.t already truncates the INT64-nanos ts to µs (DuckDB
+      // parity)
+      t(s, d, "events").select(col("event_id").cast("long"),
+        col("user_id").cast("long"), col("ts"))
+        .createOrReplaceTempView("x60_src")
+      s.sql(s"INSERT INTO $cat.r11.ev SELECT * FROM x60_src")
+      w
+    })
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"SELECT event_id, user_id FROM $cat.r11.ev " +
+      "WHERE ts >= TIMESTAMP '2024-01-08' " +
+      "AND ts < TIMESTAMP '2024-01-15' ORDER BY event_id")
+  }
+
+  private val daysPartDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   // ---------------------------------------------------------------- x52
   // Storage-partitioned join, hash-gated: two catalog tables
   // partitioned the same way (customers and orders by nation-derived
@@ -2669,5 +2800,5 @@ object ExtraQueries {
     x46DynamicOverwrite, x47StreamToTable, x48PartitionedMerge,
     x49MorDml, x50StreamRead, x51MetaAgg, x52Spj, x53MetaAggFiltered,
     x54ShowPartitions, x55DropPartition, x56DvColumnar, x57ReorgPurge,
-    x58WriteDistribution)
+    x58WriteDistribution, x59BucketSpj, x60DaysPartition)
 }

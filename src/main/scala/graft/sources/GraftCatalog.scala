@@ -70,10 +70,29 @@ object GraftCatalog {
       (d, p) => new File(d, checkPart(p))).getPath
 }
 
-class GraftCatalog extends TableCatalog with SupportsNamespaces {
+class GraftCatalog extends TableCatalog with SupportsNamespaces
+    with FunctionCatalog {
 
   private var catalogName: String = _
   private var warehouse: File = _
+
+  // ---- FunctionCatalog: the partition-transform functions. Spark
+  // loads these to RESOLVE the transforms a scan reports in its
+  // KeyGroupedPartitioning (storage-partitioned join alignment) —
+  // V2ExpressionUtils looks the name up with an EMPTY namespace.
+  override def listFunctions(
+      namespace: Array[String]): Array[Identifier] =
+    if (namespace.isEmpty)
+      GraftFunctions.names.map(n =>
+        Identifier.of(Array.empty[String], n)).toArray
+    else Array.empty
+
+  override def loadFunction(ident: Identifier)
+      : org.apache.spark.sql.connector.catalog.functions.UnboundFunction =
+    (if (ident.namespace().isEmpty) GraftFunctions.load(ident.name())
+     else None).getOrElse(
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchFunctionException(ident))
 
   override def initialize(name: String,
       options: CaseInsensitiveStringMap): Unit = {

@@ -1,0 +1,115 @@
+package graft.sources
+
+import org.apache.spark.sql.catalyst.InternalRow
+import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Expression, Literal, Murmur3Hash, Pmod, TruncDate, TruncTimestamp}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.internal.SQLConf
+import org.apache.spark.sql.types._
+
+/** The catalog's V2 partition-transform functions (`bucket`, `days`,
+  * `months`, `years`, `hours`) — what lets Spark RESOLVE the transforms
+  * a scan reports in its `KeyGroupedPartitioning`: the planner loads
+  * the named function from the table's catalog (`FunctionCatalog`),
+  * binds it, and compares both join sides' transforms by canonical
+  * name — the storage-partitioned-join alignment step (the Iceberg
+  * function-catalog architecture, SPARK-37375).
+  *
+  * Each bound function evaluates EXACTLY the engine's write-side
+  * derivation (same catalyst expressions the hidden column is
+  * materialized with), so anywhere Spark chooses to evaluate the
+  * transform — partially-clustered planning, partition-value pushdown —
+  * agrees byte-for-byte with the values the files actually carry.
+  * Canonical names embed the input type: `bucket` over INT and BIGINT
+  * hash differently (Murmur3 of 4 vs 8 bytes), so they must never
+  * align as compatible partitionings.
+  */
+private[sources] object GraftFunctions {
+
+  val names: Seq[String] = Seq("bucket", "days", "months", "years", "hours")
+
+  def load(name: String): Option[UnboundFunction] =
+    name.toLowerCase(java.util.Locale.ROOT) match {
+      case "bucket" => Some(BucketUnbound)
+      case "days" | "months" | "years" | "hours" =>
+        Some(new TimeUnbound(name.toLowerCase(java.util.Locale.ROOT)))
+      case _ => None
+    }
+
+  private def bucketable(dt: DataType): Boolean = dt match {
+    case _: IntegerType | _: LongType | _: ShortType | _: ByteType |
+         _: StringType | _: DateType | _: TimestampType |
+         _: DecimalType => true
+    case _ => false
+  }
+
+  /** `bucket(n, col)`: pmod(murmur3(col), n) — identical to the write
+    * derivation `pmod(hash(col), n)`. */
+  private object BucketUnbound extends UnboundFunction {
+    override def name(): String = "bucket"
+    override def description(): String =
+      "bucket(n, col): stable hash-bucket partition transform"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2,
+        s"bucket expects (numBuckets, col), got $inputType")
+      val nType = inputType.fields(0).dataType
+      require(nType == IntegerType,
+        s"bucket count must be INT, got ${nType.sql}")
+      val srcType = inputType.fields(1).dataType
+      require(bucketable(srcType),
+        s"type ${srcType.sql} is not bucketable")
+      new BoundExprFunction("bucket",
+        s"graft.bucket(${srcType.catalogString})",
+        Array(IntegerType, srcType), IntegerType,
+        Pmod(new Murmur3Hash(Seq(BoundReference(1, srcType,
+          nullable = true))), BoundReference(0, IntegerType,
+          nullable = false)))
+    }
+  }
+
+  /** `days/months/years(col)` → DATE grain; `hours(col)` → TIMESTAMP
+    * grain. Time-zone semantics follow the session (captured at bind),
+    * matching the write derivation's CAST/TRUNC. */
+  private final class TimeUnbound(fn: String) extends UnboundFunction {
+    override def name(): String = fn
+    override def description(): String =
+      s"$fn(col): time-grain partition transform"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 1,
+        s"$fn expects one column, got $inputType")
+      val srcType = inputType.fields(0).dataType
+      require(srcType.isInstanceOf[DateType] ||
+        srcType.isInstanceOf[TimestampType],
+        s"$fn needs a DATE or TIMESTAMP source, got ${srcType.sql}")
+      val tz = Some(SQLConf.get.sessionLocalTimeZone)
+      val src = BoundReference(0, srcType, nullable = true)
+      val asDate: Expression =
+        if (srcType.isInstanceOf[DateType]) src
+        else Cast(src, DateType, tz)
+      val (expr, resType): (Expression, DataType) = fn match {
+        case "days" => (asDate, DateType)
+        case "months" => (TruncDate(asDate, Literal("MONTH")), DateType)
+        case "years" => (TruncDate(asDate, Literal("YEAR")), DateType)
+        case "hours" =>
+          require(srcType.isInstanceOf[TimestampType],
+            s"hours needs a TIMESTAMP source, got ${srcType.sql}")
+          (TruncTimestamp(Literal("HOUR"), src, tz), TimestampType)
+        case other => throw new IllegalStateException(
+          s"unknown time transform $other")
+      }
+      new BoundExprFunction(fn, s"graft.$fn(${srcType.catalogString})",
+        Array(srcType), resType, expr)
+    }
+  }
+
+  private final class BoundExprFunction(fnName: String, canonical: String,
+      inputs: Array[DataType], result: DataType, expr: Expression)
+      extends ScalarFunction[Any] {
+    override def name(): String = fnName
+    override def canonicalName(): String = canonical
+    override def inputTypes(): Array[DataType] = inputs
+    override def resultType(): DataType = result
+    override def isResultNullable: Boolean = true
+    override def produceResult(input: InternalRow): Any = expr.eval(input)
+    override def toString: String = canonical
+  }
+}

@@ -261,7 +261,8 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
   // .enabled` it instead KEEPS the fine grain on the bigger side and
   // replicates the other — a partition holding 100× the data runs as
   // many bounded tasks instead of one giant one, still exchange-free.
-  private val spjState: Option[(Seq[String],
+  private val spjState: Option[(
+      Seq[org.apache.spark.sql.connector.expressions.Expression],
       Seq[(org.apache.spark.sql.catalyst.InternalRow, Seq[String])])] =
     if (!spjAllowed) None
     else if (!spark.sessionState.conf.v2BucketingEnabled) None
@@ -269,13 +270,34 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
         .exists(_.toBoolean)) None
     else {
       val partCols = Versioned.partitionByOf(root, Some(version))
+      val txByHidden = Versioned.transformsOf(root, Some(version))
+        .map(t => t.hidden -> t).toMap
       val (entries, physAt, _) = Versioned.aggMeta(root, version)
       // the clustering expressions resolve against the scan OUTPUT, so
       // every partition column must be projected — under its
-      // output-schema name; stats keys are PHYSICAL at this version
-      val resolved = partCols.map(pc =>
-        required.fields.find(_.name.equalsIgnoreCase(pc)).map(f =>
-          (f.name, (physAt.getOrElse(pc, pc), f.dataType))))
+      // output-schema name; stats keys are PHYSICAL at this version.
+      // A HIDDEN transform clusters on fn(src): the SOURCE column must
+      // be projected, the reported expression is the v2 transform
+      // (resolved through the catalog's FunctionCatalog on the Spark
+      // side), and the grouping key decodes from the hidden column's
+      // stats under the transform's result type.
+      val resolved = partCols.map { pc =>
+        txByHidden.get(pc) match {
+          case Some(t) =>
+            required.fields.find(_.name.equalsIgnoreCase(t.src)).map { f =>
+              val v2 =
+                if (t.fn == "bucket") Expressions.bucket(t.n, f.name)
+                else Expressions.apply(t.fn, Expressions.column(f.name))
+              (v2: org.apache.spark.sql.connector.expressions.Expression,
+                (physAt.getOrElse(t.hidden, t.hidden), t.dataType))
+            }
+          case None =>
+            required.fields.find(_.name.equalsIgnoreCase(pc)).map(f =>
+              (Expressions.identity(f.name)
+                : org.apache.spark.sql.connector.expressions.Expression,
+                (physAt.getOrElse(pc, pc), f.dataType)))
+        }
+      }
       if (partCols.isEmpty || resolved.exists(_.isEmpty)) None
       else {
         val names = resolved.flatten.map(_._1)
@@ -317,12 +339,9 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
   override def outputPartitioning()
       : org.apache.spark.sql.connector.read.partitioning.Partitioning =
     spjState match {
-      case Some((names, groups)) =>
+      case Some((exprs, groups)) =>
         new org.apache.spark.sql.connector.read.partitioning
-          .KeyGroupedPartitioning(
-            names.map(n => Expressions.identity(n)
-              : org.apache.spark.sql.connector.expressions.Expression)
-              .toArray, groups.size)
+          .KeyGroupedPartitioning(exprs.toArray, groups.size)
       case None =>
         new org.apache.spark.sql.connector.read.partitioning
           .UnknownPartitioning(0)

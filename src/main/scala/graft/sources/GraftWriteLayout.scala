@@ -46,9 +46,19 @@ import graft.operators.Versioned
   */
 private[sources] object GraftWriteLayout {
 
+  /** Conf reads go through `SQLConf.get` — the thread-local view of
+    * the conf of the query BEING PLANNED — never a captured session:
+    * a catalog plugin's `SparkSession.active` can name a different
+    * session on another thread (observed: a suite-ordering flake where
+    * a streaming write read a stale session and silently planned
+    * unclustered), and streaming micro-batches plan on a cloned
+    * session whose conf is the one that must win. */
+  private def conf(key: String): Option[String] =
+    Option(org.apache.spark.sql.internal.SQLConf.get
+      .getConfString(key, null))
+
   private def mode(spark: SparkSession): String = {
-    val m = spark.conf.getOption("spark.graft.write.distribution")
-      .getOrElse("none")
+    val m = conf("spark.graft.write.distribution").getOrElse("none")
     require(m == "none" || m == "hash",
       s"spark.graft.write.distribution must be none|hash, got: $m")
     m
@@ -56,7 +66,7 @@ private[sources] object GraftWriteLayout {
 
   private def sortCols(spark: SparkSession,
       schema: StructType): Seq[String] =
-    spark.conf.getOption("spark.graft.write.sortBy").toSeq
+    conf("spark.graft.write.sortBy").toSeq
       .flatMap(_.split(",").map(_.trim).filter(_.nonEmpty))
       .map { n =>
         schema.fieldNames.find(_.equalsIgnoreCase(n)).getOrElse(
@@ -68,26 +78,41 @@ private[sources] object GraftWriteLayout {
   /** Partition columns that are actually present in the write schema —
     * a write that omits one fails later with the writer's own loud
     * error; the distribution just stands down rather than asking Spark
-    * to cluster on an unresolvable reference. */
-  private def clusterCols(root: String, schema: StructType): Seq[String] =
-    Versioned.partitionByOf(root).flatMap(pc =>
-      schema.fieldNames.find(_.equalsIgnoreCase(pc)))
+    * to cluster on an unresolvable reference. A HIDDEN transform
+    * clusters by the transform EXPRESSION over its (present) source —
+    * resolved through the catalog's FunctionCatalog like the SPJ
+    * clustering. */
+  private def clusterExprs(root: String, schema: StructType)
+      : Option[Seq[org.apache.spark.sql.connector.expressions.Expression]] = {
+    val tx = Versioned.transformsOf(root).map(t => t.hidden -> t).toMap
+    val resolved = Versioned.partitionByOf(root).map { pc =>
+      tx.get(pc) match {
+        case Some(t) =>
+          schema.fieldNames.find(_.equalsIgnoreCase(t.src)).map { f =>
+            if (t.fn == "bucket") Expressions.bucket(t.n, f)
+              : org.apache.spark.sql.connector.expressions.Expression
+            else Expressions.apply(t.fn, Expressions.column(f))
+              : org.apache.spark.sql.connector.expressions.Expression
+          }
+        case None =>
+          schema.fieldNames.find(_.equalsIgnoreCase(pc)).map(f =>
+            Expressions.column(f)
+              : org.apache.spark.sql.connector.expressions.Expression)
+      }
+    }
+    if (resolved.isEmpty || resolved.exists(_.isEmpty)) None
+    else Some(resolved.flatten)
+  }
 
   def distribution(spark: SparkSession, root: String,
       schema: StructType): Distribution =
     if (mode(spark) != "hash") Distributions.unspecified()
-    else {
-      val parts = clusterCols(root, schema)
-      if (parts.nonEmpty)
-        Distributions.clustered(
-          parts.map(p => Expressions.column(p)
-            : org.apache.spark.sql.connector.expressions.Expression)
-            .toArray)
-      else {
+    else clusterExprs(root, schema) match {
+      case Some(parts) => Distributions.clustered(parts.toArray)
+      case None =>
         val s = sortCols(spark, schema)
         if (s.nonEmpty) Distributions.ordered(orderingOf(s))
         else Distributions.unspecified()
-      }
     }
 
   def ordering(spark: SparkSession, root: String,
@@ -109,16 +134,41 @@ private[sources] object GraftWriteLayout {
     * task-local sort so every file's row groups carry narrow stats. */
   def applyV1(spark: SparkSession, root: String,
       df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+    import org.apache.spark.sql.functions.{col, expr}
     val s = sortCols(spark, df.schema)
     val hash = mode(spark) == "hash"
-    val parts = if (hash) clusterCols(root, df.schema) else Nil
+    // hidden transforms cluster by their derivation expression — the
+    // REBALANCE hint only accepts plain column refs, so each transform
+    // materializes as a temp column (dropped right after the hint: the
+    // rebalance references it, so pruning can't push the drop below),
+    // making the shuffle grain and the file-split grain agree exactly
+    val tx = Versioned.transformsOf(root).map(t => t.hidden -> t).toMap
+    val have = df.schema.fieldNames.map(
+      _.toLowerCase(java.util.Locale.ROOT)).toSet
+    val parts: Seq[(String, Option[String])] =
+      if (!hash) Nil
+      else Versioned.partitionByOf(root).flatMap { pc =>
+        tx.get(pc) match {
+          case Some(t) if have(t.src.toLowerCase(java.util.Locale.ROOT)) =>
+            Some((s"__graft_rb_${t.hidden}", Some(t.sql)))
+          case Some(_) => None
+          case None if have(pc.toLowerCase(java.util.Locale.ROOT)) =>
+            Some((pc, None))
+          case None => None
+        }
+      }
     val clustered =
-      if (parts.nonEmpty) df.hint("rebalance", parts: _*)
+      if (parts.nonEmpty) {
+        val temps = parts.collect { case (n, Some(sqlText)) => n -> sqlText }
+        val withTemps = temps.foldLeft(df) { case (d, (n, sqlText)) =>
+          d.withColumn(n, expr(sqlText)) }
+        temps.map(_._1).foldLeft(
+          withTemps.hint("rebalance", parts.map(_._1): _*))(_.drop(_))
+      }
       else if (hash && s.nonEmpty)
-        df.repartitionByRange(s.map(org.apache.spark.sql.functions.col): _*)
+        df.repartitionByRange(s.map(col): _*)
       else df
     if (s.isEmpty) clustered
-    else clustered.sortWithinPartitions(
-      s.map(org.apache.spark.sql.functions.col): _*)
+    else clustered.sortWithinPartitions(s.map(col): _*)
   }
 }

@@ -128,6 +128,125 @@ class GraftHiddenPartitionSpec extends SparkSpec {
     assert(c.getMessage.contains("collides"))
   }
 
+  test("bucket pruning: a point predicate on the SOURCE key plans only " +
+      "that bucket's files") {
+    sql("CREATE TABLE grafth.ns.prune (k BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    val root = s"$warehouse/ns/prune"
+    (0L until 64L).map(i => (i, s"v$i")).toDF("k", "v")
+      .createOrReplaceTempView("hp_prune_src")
+    sql("INSERT INTO grafth.ns.prune SELECT * FROM hp_prune_src")
+    sql("INSERT INTO grafth.ns.prune SELECT k + 100, v FROM hp_prune_src")
+    val v = Versioned.versions(root).last
+    val all = Versioned.files(root, v)
+    assert(all.size >= 8, s"expect files across 4 buckets × 2 commits")
+    // k = 5 must prune to exactly the files of bucket pmod(hash(5), 4)
+    val kept = Versioned.candidateFilesForBounds(root, v,
+      Seq(Versioned.ColumnBound("k", Some(5L), Some(5L))))
+    assert(kept.size < all.size,
+      s"bucket pruning must drop other buckets: kept ${kept.size}/${all.size}")
+    val bucket5 = spark.sql("SELECT pmod(hash(5L), 4)").as[Int].head()
+    val (entries, _, _) = Versioned.aggMeta(root, v)
+    val expected = entries.filter(e =>
+      e.stats("_pt_bucket4_k")._2.toInt == bucket5).map(_.path).toSet
+    assert(kept.toSet === expected)
+    // IN-list prunes to the union of its buckets
+    val keptIn = Versioned.candidateFilesForBounds(root, v,
+      Seq(Versioned.inBound("k", Seq(5L, 6L))))
+    assert(keptIn.toSet.subsetOf(all.toSet) && keptIn.size < all.size)
+    // end-to-end: the filtered read stays exact
+    assert(sql("SELECT v FROM grafth.ns.prune WHERE k = 5")
+      .as[String].collect().toSeq === Seq("v5"))
+    assert(sql("SELECT count(*) FROM grafth.ns.prune WHERE k IN (5, 6)")
+      .as[Long].head() === 2L)
+  }
+
+  test("bare-SQL MERGE (CoW executor write) derives the transform") {
+    sql("CREATE TABLE grafth.ns.mrg (k BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    val root = s"$warehouse/ns/mrg"
+    (0L until 32L).map(i => (i, "old")).toDF("k", "v")
+      .createOrReplaceTempView("hp_mrg_base")
+    sql("INSERT INTO grafth.ns.mrg SELECT * FROM hp_mrg_base")
+    // updates + brand-new keys: both the rewrite and the insert land
+    // through the executor write core, which must derive the bucket
+    Seq((3L, "upd"), (40L, "new")).toDF("k", "v")
+      .createOrReplaceTempView("hp_mrg_src")
+    sql("""MERGE INTO grafth.ns.mrg t USING hp_mrg_src s ON t.k = s.k
+      |WHEN MATCHED THEN UPDATE SET v = s.v
+      |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    val got = sql("SELECT k, v FROM grafth.ns.mrg")
+      .as[(Long, String)].collect().toMap
+    assert(got(3L) === "upd" && got(40L) === "new" && got.size === 33)
+    // every head-version file still holds exactly one bucket
+    headTuples(root, "_pt_bucket4_k")
+  }
+
+  test("merge-on-read DML keeps the transform on delta inserts") {
+    sql("CREATE TABLE grafth.ns.mor (k BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    val root = s"$warehouse/ns/mor"
+    (0L until 32L).map(i => (i, "old")).toDF("k", "v")
+      .createOrReplaceTempView("hp_mor_base")
+    sql("INSERT INTO grafth.ns.mor SELECT * FROM hp_mor_base")
+    spark.conf.set("spark.graft.rowlevel.mode", "mor")
+    try {
+      sql("UPDATE grafth.ns.mor SET v = 'upd' WHERE k = 5")
+      sql("DELETE FROM grafth.ns.mor WHERE k = 7")
+    } finally spark.conf.unset("spark.graft.rowlevel.mode")
+    val got = sql("SELECT k, v FROM grafth.ns.mor")
+      .as[(Long, String)].collect().toMap
+    assert(got(5L) === "upd" && !got.contains(7L) && got.size === 31)
+    headTuples(root, "_pt_bucket4_k")
+  }
+
+  test("streaming toTable epochs derive the transform") {
+    sql("CREATE TABLE grafth.ns.str (id BIGINT, ts TIMESTAMP) " +
+      "PARTITIONED BY (days(ts))")
+    val root = s"$warehouse/ns/str"
+    val src = Files.createTempDirectory("graft-hp-src").toString
+    val ck = Files.createTempDirectory("graft-hp-ck").toString
+    spark.sql(
+      """SELECT id, timestamp_seconds(1700000000 + id * 30000) AS ts
+        |FROM range(12)""".stripMargin)
+      .write.mode("overwrite").parquet(src)
+    val q = spark.readStream
+      .schema(spark.read.parquet(src).schema).parquet(src)
+      .writeStream
+      .option("checkpointLocation", ck)
+      .trigger(org.apache.spark.sql.streaming.Trigger.AvailableNow())
+      .toTable("grafth.ns.str")
+    q.processAllAvailable(); q.stop()
+    assert(sql("SELECT count(*) FROM grafth.ns.str").as[Long].head() === 12L)
+    assert(headTuples(root, "_pt_days_ts").toSet.size >= 3)
+  }
+
+  test("schema evolution: rename follows the source, drop and widen refuse") {
+    sql("CREATE TABLE grafth.ns.evo (k BIGINT, ts TIMESTAMP, v STRING) " +
+      "PARTITIONED BY (bucket(4, k), days(ts))")
+    val root = s"$warehouse/ns/evo"
+    sql("INSERT INTO grafth.ns.evo SELECT 1L, " +
+      "timestamp_seconds(1700000000), 'a'")
+    // rename the bucket source: the transform spec follows, writes
+    // keep deriving, and the OLD files' hidden stats stay valid
+    sql("ALTER TABLE grafth.ns.evo RENAME COLUMN k TO key")
+    assert(Versioned.transformsOf(root).map(_.show).toSet ===
+      Set("bucket(4, key)", "days(ts)"))
+    sql("INSERT INTO grafth.ns.evo SELECT 2L AS key, " +
+      "timestamp_seconds(1700090000) AS ts, 'b' AS v")
+    assert(sql("SELECT key FROM grafth.ns.evo ORDER BY key")
+      .as[Long].collect().toSeq === Seq(1L, 2L))
+    headTuples(root, "_pt_bucket4_k") // stats key unchanged
+    // dropping or widening a transform source refuses loudly
+    val d = intercept[Exception] {
+      sql("ALTER TABLE grafth.ns.evo DROP COLUMN ts") }
+    assert(d.getMessage.contains("days(ts)"))
+    val wErr = intercept[Exception] {
+      Versioned.widenColumn(spark, root, "key",
+        org.apache.spark.sql.types.DoubleType) }
+    assert(wErr.getMessage.contains("bucket(4, key)"))
+  }
+
   test("DESCRIBE reports the true transform; clone and restore carry it") {
     sql("CREATE TABLE grafth.ns.meta (k BIGINT, ts TIMESTAMP) " +
       "PARTITIONED BY (bucket(8, k), days(ts))")

@@ -253,4 +253,62 @@ class GraftSpjSpec extends SparkSpec {
       case (k, None) => spark.conf.unset(k)
     }
   }
+
+  test("BUCKET-transform tables join exchange-free on the raw key " +
+      "(hidden partitioning + FunctionCatalog alignment)") {
+    sql("CREATE TABLE graftspj.s.bf (k BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(4, k))")
+    sql("CREATE TABLE graftspj.s.bd (k BIGINT, tag STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    (0 until 500).map(i => (i.toLong, i * 2.0)).toDF("k", "v")
+      .createOrReplaceTempView("spj_bf")
+    (0 until 100).map(i => (i.toLong, s"t${i % 7}")).toDF("k", "tag")
+      .createOrReplaceTempView("spj_bd")
+    sql("INSERT INTO graftspj.s.bf SELECT * FROM spj_bf")
+    sql("INSERT INTO graftspj.s.bf SELECT k + 1000, v FROM spj_bf")
+    sql("INSERT INTO graftspj.s.bd SELECT * FROM spj_bd")
+    // a HIGH-CARDINALITY key: identity partitioning is impossible
+    // here — bucket(4, k) is what makes the co-partitioning bounded
+    val q = """SELECT d.tag AS tag, count(*) AS n, sum(f.v) AS sv
+      |FROM graftspj.s.bf f JOIN graftspj.s.bd d ON f.k = d.k
+      |GROUP BY d.tag ORDER BY tag""".stripMargin
+    val plain = sql(q).collect().toSeq
+    val (spjRows, joinOk) = withSpj {
+      val df = sql(q)
+      val join = df.queryExecution.executedPlan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins
+            .SortMergeJoinExec => j
+      }.getOrElse(fail("expected a sort-merge join"))
+      val noShuffle = join.collect {
+        case e: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeExec => e
+      }.isEmpty
+      assert(noShuffle,
+        s"the bucketed join must not shuffle either side:\n$join")
+      (df.collect().toSeq, noShuffle)
+    }
+    assert(joinOk && spjRows === plain)
+  }
+
+  test("bucket transforms of DIFFERENT key types never align") {
+    sql("CREATE TABLE graftspj.s.ti (k INT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(4, k))")
+    sql("CREATE TABLE graftspj.s.tl (k BIGINT, tag STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    (0 until 50).map(i => (i, i * 1.0)).toDF("k", "v")
+      .createOrReplaceTempView("spj_ti")
+    (0 until 50).map(i => (i.toLong, "t")).toDF("k", "tag")
+      .createOrReplaceTempView("spj_tl")
+    sql("INSERT INTO graftspj.s.ti SELECT * FROM spj_ti")
+    sql("INSERT INTO graftspj.s.tl SELECT * FROM spj_tl")
+    // INT and BIGINT murmur3 different byte widths: the canonical
+    // names differ, so Spark must NOT treat the partitionings as
+    // compatible — correctness over cleverness (a false alignment
+    // would join bucket 0 rows whose keys hash differently)
+    val q = """SELECT count(*) AS n FROM graftspj.s.ti i
+      |JOIN graftspj.s.tl l ON CAST(i.k AS BIGINT) = l.k""".stripMargin
+    val plain = sql(q).collect().toSeq
+    val spjRows = withSpj { sql(q).collect().toSeq }
+    assert(spjRows === plain, "results must match regardless of plan")
+  }
 }

@@ -134,6 +134,23 @@ class GraftWriteDistributionSpec extends SparkSpec {
     assert(sql("SELECT count(*) FROM graftw.ns.str").as[Long].head() === 240L)
   }
 
+  test("bucket-transform tables cluster by the transform expression") {
+    sql("CREATE TABLE graftw.ns.btx (k BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    val root = s"$warehouse/ns/btx"
+    spark.range(0, 256, 1, 8).selectExpr("id AS k", "'x' AS v")
+      .createOrReplaceTempView("wdist_btx")
+    // baseline: 8 tasks × 4 buckets fans out
+    sql("INSERT INTO graftw.ns.btx SELECT * FROM wdist_btx")
+    assert(addedFiles(root) > 4)
+    withDistribution() {
+      sql("INSERT INTO graftw.ns.btx SELECT * FROM wdist_btx")
+    }
+    assert(addedFiles(root) === 4,
+      "hash distribution must cluster by bucket(4, k): one file per bucket")
+    assert(sql("SELECT count(*) FROM graftw.ns.btx").as[Long].head() === 512L)
+  }
+
   test("a sortBy column missing from the write schema fails loudly") {
     sql("CREATE TABLE graftw.ns.badsort (k BIGINT)")
     withDistribution(sortBy = Some("nope")) {
