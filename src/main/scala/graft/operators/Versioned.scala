@@ -428,6 +428,158 @@ object Versioned {
 
   private val CopyLedgerKey = "graft.copyInto.ledger"
 
+  // ------------------------------------------- ANALYZE column stats
+
+  /** Manifest props key carrying the table's ANALYZE-computed column
+    * statistics as one JSON object `{col: {ndv, nulls, rows, min,
+    * max, avgLen, maxLen, ver}}` (col keys lowercased logical names;
+    * min/max in the manifest's long/double stats scale — dates as
+    * epoch days, timestamps as micros). Inherited commit-to-commit
+    * (stale-but-useful after DML, the standard ANALYZE contract);
+    * DROPPED by overwrite/restore/clone, which replace the data the
+    * stats describe; re-keyed by RENAME COLUMN; trimmed by DROP
+    * COLUMN. */
+  private[graft] val ColStatsKey = "graft.colstats"
+
+  private[graft] case class ColStat(
+      ndv: Long, nulls: Long, rows: Long,
+      min: Option[String], max: Option[String],
+      avgLen: Option[Long], maxLen: Option[Long], ver: Long)
+
+  private def renderColStats(m: Map[String, ColStat]): String =
+    mapper.writeValueAsString(m.view.mapValues { s =>
+      (Map[String, Any]("ndv" -> s.ndv, "nulls" -> s.nulls,
+        "rows" -> s.rows, "ver" -> s.ver) ++
+        s.min.map("min" -> _) ++ s.max.map("max" -> _) ++
+        s.avgLen.map("avgLen" -> java.lang.Long.valueOf(_)) ++
+        s.maxLen.map("maxLen" -> java.lang.Long.valueOf(_))).asJava
+    }.toMap.asJava)
+
+  private[graft] def parseColStats(json: String): Map[String, ColStat] = {
+    val node = mapper.readTree(json)
+    node.properties().asScala.map { e =>
+      val v = e.getValue
+      e.getKey -> ColStat(
+        v.get("ndv").asLong(), v.get("nulls").asLong(),
+        v.get("rows").asLong(),
+        Option(v.get("min")).map(_.asText()),
+        Option(v.get("max")).map(_.asText()),
+        Option(v.get("avgLen")).map(_.asLong()),
+        Option(v.get("maxLen")).map(_.asLong()),
+        v.get("ver").asLong())
+    }.toMap
+  }
+
+  /** The ANALYZE-computed column statistics carried at `version`
+    * (empty if the table was never analyzed, or a data-replacing verb
+    * dropped them). */
+  private[graft] def colStatsOf(root: String,
+      version: Long): Map[String, ColStat] =
+    readManifest(root, version).props.get(ColStatsKey)
+      .map(parseColStats).getOrElse(Map.empty)
+
+  /** ANALYZE TABLE … COMPUTE STATISTICS FOR COLUMNS: ONE aggregate
+    * pass over the snapshot computes per-column NDV (HLL++), null
+    * count, min/max (long/double-scale, stats-supported types only),
+    * and string lengths, then publishes them as a METADATA-ONLY commit
+    * (files carried by reference). The DSv2 scan reports them through
+    * `Statistics.columnStats`, so Catalyst's cost-based optimizer —
+    * join reordering, filter selectivity, broadcast decisions beyond
+    * raw size — plans 100 TB joins from commit-time truth instead of
+    * rough size heuristics (the ANALYZE economics every warehouse
+    * ships; Delta/Iceberg keep these in the snapshot the same way). */
+  def analyze(spark: SparkSession, root: String,
+      cols: Seq[String] = Nil): Long = withOccRetry(None) {
+    import org.apache.spark.sql.functions._
+    import org.apache.spark.sql.types._
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    val m = readManifest(root, latest)
+    val schema = tableSchema(spark, root, Some(latest))
+    def statable(dt: DataType): Boolean = dt match {
+      case _: ByteType | _: ShortType | _: IntegerType | _: LongType |
+           _: FloatType | _: DoubleType | _: DateType |
+           _: TimestampType | _: StringType | _: BooleanType |
+           _: DecimalType => true
+      case _ => false
+    }
+    val fields =
+      if (cols.isEmpty) schema.fields.toSeq.filter(f => statable(f.dataType))
+      else cols.map { n =>
+        val f = schema.fields.find(_.name.equalsIgnoreCase(n)).getOrElse(
+          throw new IllegalArgumentException(
+            s"ANALYZE column '$n' does not exist on $root " +
+              s"(have: ${schema.fieldNames.mkString(", ")})"))
+        require(statable(f.dataType),
+          s"ANALYZE column '$n' has unsupported type ${f.dataType.sql}")
+        f
+      }
+    require(fields.nonEmpty, "ANALYZE needs at least one supported column")
+    val df = readVersion(spark, root, latest)
+    def rangeable(dt: DataType): Boolean = dt match {
+      case _: StringType | _: BooleanType => false
+      case _ => true
+    }
+    val aggs: Seq[org.apache.spark.sql.Column] =
+      Seq(count(lit(1)).as("__rows")) ++ fields.flatMap { f =>
+        val c = col(f.name)
+        Seq(approx_count_distinct(c).as(s"__ndv_${f.name}"),
+          count(c).as(s"__nn_${f.name}")) ++
+          (if (rangeable(f.dataType))
+            Seq(min(c).as(s"__min_${f.name}"),
+              max(c).as(s"__max_${f.name}"))
+          else Nil) ++
+          (f.dataType match {
+            case _: StringType =>
+              Seq(avg(length(c)).as(s"__al_${f.name}"),
+                max(length(c)).as(s"__ml_${f.name}"))
+            case _ => Nil
+          })
+      }
+    val row = df.agg(aggs.head, aggs.tail: _*).collect().head
+    def g(n: String): Any = row.get(row.fieldIndex(n))
+    val rows = g("__rows").asInstanceOf[Long]
+    // min/max normalize to the manifest stats scale (dates epoch days,
+    // timestamps micros) so the scan can decode them like file stats
+    def scale(v: Any): Option[String] = Option(v).map {
+      case d: java.sql.Date => d.toLocalDate.toEpochDay.toString
+      case d: java.time.LocalDate => d.toEpochDay.toString
+      case t: java.sql.Timestamp =>
+        (t.getTime * 1000L + t.getNanos / 1000 % 1000).toString
+      case i: java.time.Instant =>
+        (i.getEpochSecond * 1000000L + i.getNano / 1000).toString
+      case b: java.math.BigDecimal => b.toPlainString
+      case other => other.toString
+    }
+    val fresh = fields.map { f =>
+      lc(f.name) -> ColStat(
+        ndv = g(s"__ndv_${f.name}").asInstanceOf[Long],
+        nulls = rows - g(s"__nn_${f.name}").asInstanceOf[Long],
+        rows = rows,
+        min = if (rangeable(f.dataType)) scale(g(s"__min_${f.name}"))
+              else None,
+        max = if (rangeable(f.dataType)) scale(g(s"__max_${f.name}"))
+              else None,
+        avgLen = f.dataType match {
+          case _: StringType => Option(g(s"__al_${f.name}"))
+            .map(v => math.ceil(v.asInstanceOf[Double]).toLong)
+          case _ => None
+        },
+        maxLen = f.dataType match {
+          case _: StringType => Option(g(s"__ml_${f.name}"))
+            .map(_.asInstanceOf[Int].toLong)
+          case _ => None
+        },
+        ver = latest)
+    }.toMap
+    // merge over any previously analyzed columns (re-ANALYZE of a
+    // subset refreshes just that subset)
+    val merged = colStatsOf(root, latest) ++ fresh
+    publishEntries(root, m.files, latest, "analyze",
+      schemaJson = m.schemaJson.orNull, mor = m.mor, dvs = m.dvs,
+      props = Map(ColStatsKey -> renderColStats(merged)))
+  }
+
   // ---- sharded ledger internals: the cumulative identity set lives
   // as GENERATIONAL APPEND-ONLY shard files plus one index file
   // carrying a Bloom summary per shard. Each copy writes O(fresh)
@@ -3168,10 +3320,19 @@ object Versioned {
     // column (and every file's stats key) is untouched
     val newTx = m.transforms.map(t =>
       if (t.src.equalsIgnoreCase(field.name)) t.copy(src = to) else t)
+    // ANALYZE column stats follow the rename too (logical-name keyed)
+    val reKeyedStats = m.props.get(ColStatsKey).map { j =>
+      val cs = parseColStats(j)
+      cs.get(lc(field.name))
+        .map(st => cs - lc(field.name) + (lc(to) -> st))
+        .getOrElse(cs)
+    }.map(cs => Map(ColStatsKey -> renderColStats(cs)))
+      .getOrElse(Map.empty[String, String])
     publishEntries(root, m.files, latest, "schema",
       schemaJson = renamed.json, mor = m.mor, dvs = m.dvs,
       carryFrom = Some(latest), constraints = Some(m.constraints),
-      physNames = Some(newMap), transforms = Some(newTx))
+      physNames = Some(newMap), transforms = Some(newTx),
+      props = reKeyedStats)
   }
 
   /** ALTER COLUMN … TYPE — METADATA-ONLY type WIDENING (Delta 3.x's
@@ -3338,6 +3499,10 @@ object Versioned {
     val droppedFields = schema.fields.filter(f => dropSet(lc(f.name)))
     val physTombs = droppedFields.map(f =>
       lc(m.physNames.getOrElse(f.name, f.name)) -> latest)
+    // a dropped column's ANALYZE stats go with it
+    val trimmedStats = m.props.get(ColStatsKey).map(parseColStats)
+      .map(cs => Map(ColStatsKey -> renderColStats(cs -- dropSet)))
+      .getOrElse(Map.empty[String, String])
     publishEntries(root, m.files, latest, "schema",
       schemaJson = narrowed.json, mor = m.mor, dvs = m.dvs,
       carryFrom = Some(latest),
@@ -3345,7 +3510,8 @@ object Versioned {
       // the hazard set is the live set at THIS commit's parent — the
       // drop itself is file-identical, so `latest` names it exactly
       dropped = Some(m.dropped ++ physTombs),
-      physNames = Some(m.physNames -- droppedFields.map(_.name)))
+      physNames = Some(m.physNames -- droppedFields.map(_.name)),
+      props = trimmedStats)
   }
 
   /** Drop a CHECK constraint — metadata-only, needs no SparkSession. */
@@ -3740,10 +3906,21 @@ object Versioned {
     // always carries the current ledger reference and vacuum dropping
     // old manifests never forgets what was ingested (and the probe in
     // [[copyInto]] is O(1) — the head manifest, not a history scan)
-    val effProps =
+    val effProps0 =
       if (props.contains(CopyLedgerKey)) props
       else parentM.flatMap(_.props.get(CopyLedgerKey))
         .fold(props)(v => props + (CopyLedgerKey -> v))
+    // ANALYZE column stats inherit the same way (stale-but-useful
+    // after DML, the standard ANALYZE contract) — EXCEPT through verbs
+    // that replace the data they describe: an overwrite/restore/clone
+    // with stale NDVs would feed the cost-based optimizer numbers
+    // about rows that no longer exist
+    val effProps =
+      if (effProps0.contains(ColStatsKey) ||
+          action == "overwrite" || action == "restore" ||
+          action == "clone") effProps0
+      else parentM.flatMap(_.props.get(ColStatsKey))
+        .fold(effProps0)(v => effProps0 + (ColStatsKey -> v))
     val manifest = Manifest(next, action, inline,
       txnApp = txn.map(_._1), txnBatch = txn.map(_._2),
       schemaJson = Option(schemaJson), cdf = cdf, mor = mor,
@@ -3872,7 +4049,7 @@ object Versioned {
     }
     m.action match {
       case "append" | "clone" => Some(added)
-      case "compact" | "constraint" | "schema" => Some(Nil)
+      case "compact" | "constraint" | "schema" | "analyze" => Some(Nil)
       case "write-delta" =>
         // insert-only delta (removed nothing) = a pure append; a delta
         // with fresh delete positions is indivisible
@@ -3933,7 +4110,7 @@ object Versioned {
       man.action match {
         case "append" | "clone" =>
           if (added.nonEmpty) pieces += FeedInsert(v, added)
-        case "compact" | "constraint" | "schema" => () // row-identical
+        case "compact" | "constraint" | "schema" | "analyze" => () // row-identical
         case "mor-delete" =>
           rowRemoval {
             val d = man.mor.last
@@ -4038,7 +4215,8 @@ object Versioned {
       // file-identical by construction: nothing to emit, never an
       // error — a policy/schema change must not wedge an append-only
       // consumer
-      else if (man.action == "constraint" || man.action == "schema") ()
+      else if (man.action == "constraint" || man.action == "schema" ||
+          man.action == "analyze") ()
       // compactions are row-identical: skipping ONLY them is lossless
       // (the file-diff below keeps tracking the repacked live set), so
       // consumers can allow them without opening the lossy
@@ -4117,7 +4295,7 @@ object Versioned {
               .withColumn("_change_type", lit("insert"))
               .withColumn("_commit_version", lit(v))
         case "compact" => // row-identical: nothing to emit
-        case "constraint" | "schema" => // metadata-only: zero row delta
+        case "constraint" | "schema" | "analyze" => // metadata-only: zero row delta
         case "mor-delete" =>
           // replay LAZILY from the immutable files the predicate was
           // scoped to: those files under the PARENT's pending

@@ -100,6 +100,14 @@ object VersionedSql {
       """\s*\)(?:\s+MIN\s+FRACTION\s+([0-9.]+))?\s*;?\s*""").r
   private val RestoreRe =
     s"""(?is)\\s*RESTORE\\s+$Ref\\s+TO\\s+VERSION\\s+(\\d+)\\s*;?\\s*""".r
+  //   ANALYZE [TABLE] `path`|cat.ns.t COMPUTE STATISTICS
+  //     FOR ALL COLUMNS | FOR COLUMNS a, b, …
+  // one aggregate pass → NDV/nulls/min/max/lengths as a metadata-only
+  // commit; the scan reports them to Catalyst's cost-based optimizer
+  private val AnalyzeRe =
+    (s"""(?is)\\s*ANALYZE\\s+(?:TABLE\\s+)?$Ref\\s+COMPUTE\\s+""" +
+      """STATISTICS\s+FOR\s+(?:(ALL)\s+COLUMNS|""" +
+      """COLUMNS\s+([^;]+))\s*;?\s*""").r
   private val CloneRe =
     (s"""(?is)\\s*CLONE\\s+$Ref\\s+TO\\s+$Ref""" +
       """(?:\s+VERSION\s+(\d+))?\s*;?\s*""").r
@@ -194,6 +202,15 @@ object VersionedSql {
           Versioned.reorg(spark, root,
             minDeletedFraction =
               Option(frac).map(_.toDouble).getOrElse(0.1)))
+      case AnalyzeRe(ref, all, colList) =>
+        val root = refRoot(spark, ref)
+        val cols =
+          if (all != null) Nil
+          else colList.split(",").map(_.trim)
+            .map(_.stripPrefix("`").stripSuffix("`"))
+            .filter(_.nonEmpty).toSeq
+        return result(spark, root, "analyze",
+          Versioned.analyze(spark, root, cols))
       case RestoreRe(ref, v) =>
         val root = refRoot(spark, ref)
         return result(spark, root, "restore",

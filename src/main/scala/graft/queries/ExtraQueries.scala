@@ -2490,6 +2490,75 @@ object ExtraQueries {
   private val daysPartDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // ---------------------------------------------------------------- x61
+  // ANALYZE → cost-based optimization, hash-gated: customer lands in a
+  // catalog table, ANALYZE computes NDV/nulls/min/max as a
+  // metadata-only commit, and a CBO-planned join+filter reads back
+  // exact. The body PINS that the analyzed column's statistics reached
+  // the optimized plan (attributeStats carries the NDV) — a silently
+  // dropped stats pipeline fails loudly; DuckDB replays the query from
+  // the base table.
+  val x61AnalyzeCbo: Q = Q(
+    "x61_analyze_cbo",
+    """SELECT CAST(c_nationkey AS BIGINT) AS nk, COUNT(*) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      |FROM customer WHERE c_mktsegment = 'BUILDING'
+      |GROUP BY 1 ORDER BY nk""".stripMargin) { (s, d) =>
+    val cat = s"graftan${math.abs(d.hashCode)}"
+    val wh = analyzeDirs.getOrElseUpdate(d, {
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-analyze-q").toString
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.r11")
+      s.sql(s"CREATE TABLE $cat.r11.cust (c_custkey BIGINT, " +
+        "nk BIGINT, seg STRING, bal DOUBLE)")
+      t(s, d, "customer").select(col("c_custkey"),
+        col("c_nationkey").cast("long").as("nk"),
+        col("c_mktsegment").as("seg"),
+        col("c_acctbal").cast("double").as("bal"))
+        .createOrReplaceTempView("x61_src")
+      s.sql(s"INSERT INTO $cat.r11.cust SELECT * FROM x61_src")
+      graft.operators.VersionedSql(s,
+        s"ANALYZE TABLE $cat.r11.cust COMPUTE STATISTICS FOR ALL COLUMNS")
+      w
+    })
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val saved = Seq("spark.sql.cbo.enabled",
+      "spark.sql.cbo.joinReorder.enabled")
+      .map(k => k -> s.conf.getOption(k))
+    try {
+      saved.foreach { case (k, _) => s.conf.set(k, "true") }
+      val df = s.sql(s"SELECT nk, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal " +
+        s"FROM $cat.r11.cust WHERE seg = 'BUILDING' " +
+        "GROUP BY nk ORDER BY nk")
+      // pin the stats pipeline: the analyzed NDV must reach the plan
+      val rel = df.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r
+      }.getOrElse(throw new IllegalStateException(
+        "x61 expects a V2 scan relation"))
+      val hasNdv = rel.stats.attributeStats.toSeq.exists { case (a, cs) =>
+        a.name.equalsIgnoreCase("nk") && cs.distinctCount.isDefined
+      }
+      require(hasNdv,
+        "x61: ANALYZE column stats must reach the optimized plan")
+      val rows = df.collect()
+      val sc = s.sparkContext
+      s.createDataFrame(sc.parallelize(rows.toIndexedSeq, 1), df.schema)
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  private val analyzeDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   // ---------------------------------------------------------------- x52
   // Storage-partitioned join, hash-gated: two catalog tables
   // partitioned the same way (customers and orders by nation-derived
@@ -2800,5 +2869,5 @@ object ExtraQueries {
     x46DynamicOverwrite, x47StreamToTable, x48PartitionedMerge,
     x49MorDml, x50StreamRead, x51MetaAgg, x52Spj, x53MetaAggFiltered,
     x54ShowPartitions, x55DropPartition, x56DvColumnar, x57ReorgPurge,
-    x58WriteDistribution, x59BucketSpj, x60DaysPartition)
+    x58WriteDistribution, x59BucketSpj, x60DaysPartition, x61AnalyzeCbo)
 }

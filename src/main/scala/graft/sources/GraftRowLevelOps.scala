@@ -370,7 +370,12 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
 
   /** Commit-time truth for Catalyst's broadcast decision: bytes/rows
     * summed over the (statically pruned) candidate files — a
-    * post-filter dimension read reports its REAL size, not a guess. */
+    * post-filter dimension read reports its REAL size, not a guess.
+    * ANALYZE-computed column statistics (NDV, null count, min/max,
+    * string lengths) report through `columnStats`, which Spark's
+    * `DataSourceV2ScanRelation` converts into catalyst `ColumnStat`s —
+    * the cost-based optimizer's join reordering and selectivity
+    * estimation then run from commit-time truth. */
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
@@ -381,6 +386,58 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
         java.util.OptionalLong.of(b)
       override def numRows(): java.util.OptionalLong =
         java.util.OptionalLong.of(r)
+      override def columnStats(): java.util.Map[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics] = {
+        import org.apache.spark.sql.types._
+        val stored = Versioned.colStatsOf(root, version)
+        val out = new java.util.HashMap[
+          org.apache.spark.sql.connector.expressions.NamedReference,
+          org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        required.fields.foreach { f =>
+          stored.get(f.name.toLowerCase(java.util.Locale.ROOT))
+            .foreach { st =>
+              // min/max decode from the manifest's long/double scale
+              // into CATALYST-internal values of the column type;
+              // types outside the decode table serve counts only
+              def dec(s: String): Option[Any] = f.dataType match {
+                case ByteType => Some(s.toLong.toByte)
+                case ShortType => Some(s.toLong.toShort)
+                case IntegerType | DateType => Some(s.toLong.toInt)
+                case LongType | TimestampType | TimestampNTZType =>
+                  Some(s.toLong)
+                case FloatType => Some(s.toDouble.toFloat)
+                case DoubleType => Some(s.toDouble)
+                case _ => None
+              }
+              val mn = st.min.flatMap(dec)
+              val mx = st.max.flatMap(dec)
+              out.put(Expressions.column(f.name),
+                new org.apache.spark.sql.connector.read.colstats
+                    .ColumnStatistics {
+                  override def distinctCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(st.ndv)
+                  override def nullCount(): java.util.OptionalLong =
+                    java.util.OptionalLong.of(st.nulls)
+                  override def min(): java.util.Optional[Object] =
+                    mn.map(_.asInstanceOf[Object])
+                      .map(java.util.Optional.of[Object])
+                      .getOrElse(java.util.Optional.empty[Object]())
+                  override def max(): java.util.Optional[Object] =
+                    mx.map(_.asInstanceOf[Object])
+                      .map(java.util.Optional.of[Object])
+                      .getOrElse(java.util.Optional.empty[Object]())
+                  override def avgLen(): java.util.OptionalLong =
+                    st.avgLen.map(java.util.OptionalLong.of)
+                      .getOrElse(java.util.OptionalLong.empty())
+                  override def maxLen(): java.util.OptionalLong =
+                    st.maxLen.map(java.util.OptionalLong.of)
+                      .getOrElse(java.util.OptionalLong.empty())
+                })
+            }
+        }
+        out
+      }
     }
 
   /** Spark's own `FilePartition` packing economics, re-expressed for

@@ -1,0 +1,143 @@
+package graft.sources
+
+import java.nio.file.Files
+
+import graft.SparkSpec
+import graft.operators.{Versioned, VersionedSql}
+
+/** ANALYZE → cost-based optimization: one aggregate pass stores
+  * NDV/nulls/min/max/lengths in the manifest (metadata-only commit);
+  * the DSv2 scan reports them via `Statistics.columnStats`, and
+  * Catalyst's CBO estimates selectivity and join orders from
+  * commit-time truth. */
+class GraftAnalyzeSpec extends SparkSpec {
+  import spark.implicits._
+
+  private lazy val warehouse: String = {
+    val w = Files.createTempDirectory("graft-an-wh").toString
+    spark.conf.set("spark.sql.catalog.graftan",
+      classOf[GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftan.warehouse", w)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftan.ns")
+    w
+  }
+
+  private def sql(s: String) = { warehouse; spark.sql(s) }
+
+  private def withCbo[A](f: => A): A = {
+    val keys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
+    val saved = keys.map(k => k -> spark.conf.getOption(k))
+    try {
+      keys.foreach(spark.conf.set(_, "true")); f
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
+  test("ANALYZE stores manifest column stats; the scan reports them " +
+      "and CBO filter selectivity uses the NDV") {
+    sql("CREATE TABLE graftan.ns.t (k BIGINT, v STRING)")
+    val root = s"$warehouse/ns/t"
+    // 1000 rows, k has exactly 100 distinct values, 10 rows each
+    spark.range(1000).selectExpr("id % 100 AS k", "repeat('x', 8) AS v")
+      .createOrReplaceTempView("an_src")
+    sql("INSERT INTO graftan.ns.t SELECT * FROM an_src")
+    val vBefore = Versioned.versions(root).last
+    VersionedSql(spark,
+      "ANALYZE TABLE graftan.ns.t COMPUTE STATISTICS FOR ALL COLUMNS")
+    // metadata-only: the analyze commit carries the same files
+    assert(Versioned.files(root, vBefore).toSet ===
+      Versioned.files(root, Versioned.versions(root).last).toSet)
+    val st = Versioned.colStatsOf(root, Versioned.versions(root).last)
+    assert(st("k").rows === 1000L && st("k").nulls === 0L)
+    assert(math.abs(st("k").ndv - 100L) <= 5,
+      s"HLL NDV should be ~100, got ${st("k").ndv}")
+    assert(st("k").min === Some("0") && st("k").max === Some("99"))
+    assert(st("v").avgLen === Some(8L) && st("v").maxLen === Some(8L))
+    withCbo {
+      // attributeStats reach the plan
+      val df = sql("SELECT k FROM graftan.ns.t WHERE k = 5")
+      val rel = df.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r
+      }.getOrElse(fail("expected a V2 scan relation"))
+      val attr = rel.stats.attributeStats.toSeq
+        .find(_._1.name.equalsIgnoreCase("k"))
+        .getOrElse(fail("k must carry column stats in the plan"))._2
+      assert(attr.distinctCount.exists(n =>
+        math.abs(n.toLong - 100L) <= 5))
+      // selectivity: ~1000/ndv rows estimated for the point filter
+      val est = df.queryExecution.optimizedPlan.stats.rowCount
+        .getOrElse(fail("CBO must estimate a row count")).toLong
+      assert(est >= 5 && est <= 20,
+        s"point-filter estimate should be ~10 rows from NDV, got $est")
+    }
+  }
+
+  test("stats survive appends (stale-but-useful), drop on overwrite, " +
+      "follow rename, trim on drop column") {
+    sql("CREATE TABLE graftan.ns.evo (a BIGINT, b BIGINT)")
+    val root = s"$warehouse/ns/evo"
+    sql("INSERT INTO graftan.ns.evo SELECT id, id FROM range(100)")
+    Versioned.analyze(spark, root)
+    sql("INSERT INTO graftan.ns.evo SELECT id, id FROM range(5)")
+    assert(Versioned.colStatsOf(root,
+      Versioned.versions(root).last).contains("a"), "appends carry stats")
+    sql("ALTER TABLE graftan.ns.evo RENAME COLUMN a TO a2")
+    val renamed = Versioned.colStatsOf(root, Versioned.versions(root).last)
+    assert(renamed.contains("a2") && !renamed.contains("a"))
+    sql("ALTER TABLE graftan.ns.evo DROP COLUMN b")
+    val trimmed = Versioned.colStatsOf(root, Versioned.versions(root).last)
+    assert(trimmed.contains("a2") && !trimmed.contains("b"))
+    sql("INSERT OVERWRITE graftan.ns.evo SELECT id AS a2 FROM range(3)")
+    assert(Versioned.colStatsOf(root,
+      Versioned.versions(root).last).isEmpty,
+      "an overwrite replaces the data the stats describe — they drop")
+  }
+
+  test("CBO join reorder: the selective dimension joins first") {
+    sql("CREATE TABLE graftan.ns.fact (k BIGINT, d BIGINT)")
+    sql("CREATE TABLE graftan.ns.dims (d BIGINT, tag STRING)")
+    val rootF = s"$warehouse/ns/fact"
+    val rootD = s"$warehouse/ns/dims"
+    spark.range(20000).selectExpr("id % 500 AS k", "id % 40 AS d")
+      .createOrReplaceTempView("an_fact")
+    sql("INSERT INTO graftan.ns.fact SELECT * FROM an_fact")
+    spark.range(40).selectExpr("id AS d", "concat('t', id) AS tag")
+      .createOrReplaceTempView("an_dims")
+    sql("INSERT INTO graftan.ns.dims SELECT * FROM an_dims")
+    Versioned.analyze(spark, rootF)
+    Versioned.analyze(spark, rootD)
+    withCbo {
+      // a highly selective dim filter: CBO should see ~1 row out of
+      // the dim via NDV and keep the plan tiny — and the answer exact
+      val df = sql("""SELECT count(*) FROM graftan.ns.fact f
+        |JOIN graftan.ns.dims dd ON f.d = dd.d WHERE dd.tag = 't7'
+        |""".stripMargin)
+      assert(df.as[Long].head() === 500L)
+      val joined = df.queryExecution.optimizedPlan.stats
+      assert(joined.sizeInBytes > 0)
+    }
+  }
+
+  test("ANALYZE FOR COLUMNS subset merges over prior stats; unknown " +
+      "column refuses") {
+    sql("CREATE TABLE graftan.ns.sub (x BIGINT, y BIGINT)")
+    val root = s"$warehouse/ns/sub"
+    sql("INSERT INTO graftan.ns.sub SELECT id, id * 2 FROM range(50)")
+    VersionedSql(spark,
+      "ANALYZE TABLE graftan.ns.sub COMPUTE STATISTICS FOR COLUMNS x")
+    val s1 = Versioned.colStatsOf(root, Versioned.versions(root).last)
+    assert(s1.contains("x") && !s1.contains("y"))
+    VersionedSql(spark,
+      "ANALYZE TABLE graftan.ns.sub COMPUTE STATISTICS FOR COLUMNS y")
+    val s2 = Versioned.colStatsOf(root, Versioned.versions(root).last)
+    assert(s2.contains("x") && s2.contains("y"), "subset analyze merges")
+    val e = intercept[Exception] {
+      VersionedSql(spark,
+        "ANALYZE TABLE graftan.ns.sub COMPUTE STATISTICS FOR COLUMNS nope")
+    }
+    assert(e.getMessage.contains("nope"))
+  }
+}
