@@ -2358,6 +2358,38 @@ object Versioned {
     (m.files, m.physNames, m.mor.nonEmpty || m.dvs.nonEmpty)
   }
 
+  /** Pending row-removal state at `version`, SPLIT by algebra:
+    * (predicate merge-on-read deletes, positional deletion vectors).
+    * Predicate deletes poison every per-file fact (nothing is provable
+    * without re-evaluating them); deletion vectors are EXACT — their
+    * cardinality is knowable, so COUNT(*) stays metadata-answerable. */
+  private[graft] def pendingSplit(root: String,
+      version: Long): (Boolean, Boolean) = {
+    val m = readManifest(root, version)
+    (m.mor.nonEmpty, m.dvs.nonEmpty)
+  }
+
+  /** Deleted positions per file at `version`: inline counts from the
+    * manifest, sidecar counts from one bounded scan (positions are
+    * recorded at most once per (file, pos) by the delete verbs'
+    * guards, so counting is exact). */
+  private[graft] def dvDeletedCounts(spark: SparkSession, root: String,
+      version: Long): Map[String, Long] = {
+    import org.apache.spark.sql.functions.{col => c, count}
+    val m = readManifest(root, version)
+    val sidecarCounts = {
+      val scs = m.dvs.flatMap(_.sidecars).distinct
+      if (scs.isEmpty) Map.empty[String, Long]
+      else spark.read
+        .parquet(scs.map(p => resolve(root, p).getPath): _*)
+        .groupBy(c("file")).agg(count("*").as("n"))
+        .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
+    }
+    m.dvs.map(d => d.file ->
+      (d.positions.size.toLong + sidecarCounts.getOrElse(d.file, 0L)))
+      .toMap
+  }
+
   /** Whether `version` carries pending PREDICATE merge-on-read deletes
     * (the non-positional algebra) — no native scan can serve those;
     * compact first. */
@@ -4621,23 +4653,7 @@ object Versioned {
       throw new IllegalArgumentException(s"no versions at $root"))
     val m = readManifest(root, latest)
     if (m.dvs.isEmpty) return latest
-    // deleted positions per file: inline counts from the manifest,
-    // sidecar counts from one bounded scan (positions are recorded
-    // at most once per (file, pos) by the delete verbs' guards)
-    val deletedByFile: Map[String, Long] = {
-      import org.apache.spark.sql.functions.{col => c, count}
-      val sidecarCounts = {
-        val scs = m.dvs.flatMap(_.sidecars).distinct
-        if (scs.isEmpty) Map.empty[String, Long]
-        else spark.read
-          .parquet(scs.map(p => resolve(root, p).getPath): _*)
-          .groupBy(c("file")).agg(count("*").as("n"))
-          .collect().map(r => r.getString(0) -> r.getLong(1)).toMap
-      }
-      m.dvs.map(d => d.file ->
-        (d.positions.size.toLong + sidecarCounts.getOrElse(d.file, 0L)))
-        .toMap
-    }
+    val deletedByFile = dvDeletedCounts(spark, root, latest)
     val rowsByFile = m.files.map(f => f.path -> f.rows).toMap
     val targets = m.dvs.map(_.file).filter { f =>
       val rows = rowsByFile.getOrElse(f, 0L)

@@ -790,7 +790,7 @@ final class GraftScanBuilder(spark: SparkSession, root: String,
     // answered file set through the same exact prune the scan runs
     aggScan =
       if (residual.nonEmpty) None
-      else GraftMetaAgg.tryCompute(root, version, tableSchema, agg,
+      else GraftMetaAgg.tryCompute(spark, root, version, tableSchema, agg,
         pruned =
           if (pushed.isEmpty) None
           else Some(Versioned.candidateFilesForBounds(root, version,
@@ -971,6 +971,14 @@ final class GraftWriteBuilder(spark: SparkSession, root: String,
     override def requiredOrdering()
         : Array[org.apache.spark.sql.connector.expressions.SortOrder] =
       GraftWriteLayout.ordering(spark, root, info.schema)
+    // spark.graft.write.targetFileSize: the AQE rebalance sizes its
+    // output partitions to this byte budget — ONE partition tuple
+    // holding 10 GB splits into ~targetFileSize files instead of one
+    // giant file, and many tiny tuples still coalesce (Iceberg's
+    // write.target-file-size-bytes economics). 0 = Spark's advisory
+    // default.
+    override def advisoryPartitionSizeInBytes(): Long =
+      GraftWriteLayout.targetFileSize
   }
 
   override def build(): Write =

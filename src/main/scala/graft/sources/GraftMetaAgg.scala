@@ -130,10 +130,18 @@ private[sources] object GraftMetaAgg {
     * scan's readSchema lays out group columns first, then aggregates,
     * in declaration order — the layout `V2ScanRelationPushDown`
     * expects from a complete pushdown. */
-  def tryCompute(root: String, version: Long, tableSchema: StructType,
+  def tryCompute(spark: org.apache.spark.sql.SparkSession,
+      root: String, version: Long, tableSchema: StructType,
       agg: Aggregation, pruned: Option[Set[String]]): Option[Scan] = {
-    val (live, physNames, pendingMor) = Versioned.aggMeta(root, version)
-    if (pendingMor) return None
+    val (live, physNames, _) = Versioned.aggMeta(root, version)
+    val (morPred, dvPending) = Versioned.pendingSplit(root, version)
+    // predicate merge-on-read deletes poison every per-file fact;
+    // DELETION VECTORS are exact — COUNT(*) stays answerable as
+    // Σ(rows − deleted(file)) (MoR's steady state between compactions
+    // keeps its watermark/count probes metadata-only), while
+    // min/max/count(col) still refuse (a deleted row may carry the
+    // extremum or shift the null count)
+    if (morPred) return None
     val files = pruned match {
       case Some(keep) => live.filter(e => keep(e.path))
       case None => live
@@ -162,8 +170,12 @@ private[sources] object GraftMetaAgg {
     }
 
     // ---- aggregates: build one per-group evaluator per function
+    lazy val dvDeleted: Map[String, Long] =
+      if (dvPending) Versioned.dvDeletedCounts(spark, root, version)
+      else Map.empty
     val evals: Seq[AggEval] = agg.aggregateExpressions.toSeq.map {
-      case _: CountStar => Some(CountStarEval)
+      case _: CountStar => Some(CountStarEval(dvDeleted))
+      case _ if dvPending => None // only COUNT(*) is provable under DVs
       case ct: Count if !ct.isDistinct => ct.column() match {
         case nr: NamedReference =>
           resolveField(nr.fieldNames(), tableSchema)
@@ -225,9 +237,12 @@ private[sources] object GraftMetaAgg {
     def nullable: Boolean
   }
 
-  private case object CountStarEval extends AggEval {
+  /** COUNT(*) = Σ (rows − DV-deleted positions); `deleted` is empty on
+    * tables without pending deletion vectors. */
+  private final case class CountStarEval(deleted: Map[String, Long])
+      extends AggEval {
     def eval(files: Seq[Versioned.FileEntry]): Option[Any] =
-      Some(files.map(_.rows).sum)
+      Some(files.map(f => f.rows - deleted.getOrElse(f.path, 0L)).sum)
     val dataType: DataType = LongType
     val nullable = false
   }

@@ -57,6 +57,19 @@ private[sources] object GraftWriteLayout {
     Option(org.apache.spark.sql.internal.SQLConf.get
       .getConfString(key, null))
 
+  /** `spark.graft.write.targetFileSize` (bytes) → the advisory
+    * partition size the write's AQE rebalance aims for; 0 = Spark's
+    * default. Under a clustered distribution this is the file-size
+    * control: a skewed partition splits into ~target-size files, tiny
+    * partitions coalesce. */
+  def targetFileSize: Long =
+    conf("spark.graft.write.targetFileSize").map { v =>
+      val n = v.toLong
+      require(n > 0, s"spark.graft.write.targetFileSize must be " +
+        s"positive bytes, got $v")
+      n
+    }.getOrElse(0L)
+
   private def mode(spark: SparkSession): String = {
     val m = conf("spark.graft.write.distribution").getOrElse("none")
     require(m == "none" || m == "hash",

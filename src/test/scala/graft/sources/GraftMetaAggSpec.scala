@@ -155,20 +155,28 @@ class GraftMetaAggSpec extends SparkSpec {
       Seq(("a", 1L, 1L), ("b", 1L, 2L)))
   }
 
-  test("pending merge-on-read state refuses: counts answer through " +
-      "the anti-filtered scan, never from over-counting file rows") {
+  test("pending merge-on-read state: COUNT(*) answers metadata-only " +
+      "from exact DV cardinality; min/max still refuse") {
     sql("CREATE TABLE graftma.m.mor (id BIGINT, v DOUBLE)")
     val root = s"$warehouse/m/mor"
     Versioned.commit(spark, root,
       (0 until 100).map(i => (i.toLong, i * 1.0)).toDF("id", "v")
         .coalesce(1), statsCols = Seq("id"))
     assertPushed("SELECT count(*) AS n FROM graftma.m.mor")
-    // a DV delete leaves the data file in place; counts must drop
+    // a DV delete leaves the data file in place; deletion vectors are
+    // EXACT, so COUNT(*) stays metadata-only (rows − deleted) — MoR's
+    // steady state keeps its count/watermark probes zero-task
     Versioned.deleteRows(spark, root, col("id").isin(5L, 6L))
-    assertFallback("SELECT count(*) AS n FROM graftma.m.mor")
+    assertPushed("SELECT count(*) AS n FROM graftma.m.mor")
     assert(sql("SELECT count(*) AS n FROM graftma.m.mor")
       .as[Long].head() === 98L)
+    // a deleted row may carry the extremum / shift null counts:
+    // anything but COUNT(*) refuses into the anti-filtered scan
     assertFallback("SELECT max(id) AS m FROM graftma.m.mor")
+    assertFallback("SELECT count(v) AS n FROM graftma.m.mor")
+    assertFallback("SELECT count(*) AS n, max(id) AS m FROM graftma.m.mor")
+    assert(sql("SELECT max(id) AS m FROM graftma.m.mor")
+      .as[Long].head() === 99L)
     // compaction materializes the vectors AND inherits the manifest's
     // skipping index (a maintenance rewrite must not drop it), so the
     // whole metadata surface resumes — including MIN/MAX on `id`

@@ -151,6 +151,35 @@ class GraftWriteDistributionSpec extends SparkSpec {
     assert(sql("SELECT count(*) FROM graftw.ns.btx").as[Long].head() === 512L)
   }
 
+  test("targetFileSize splits a skewed partition into bounded files " +
+      "while small partitions still land one file") {
+    sql("CREATE TABLE graftw.ns.tfs (id BIGINT, p INT, pad STRING) " +
+      "PARTITIONED BY (p)")
+    val root = s"$warehouse/ns/tfs"
+    // p=0 carries ~10+ MB of COMPRESSED shuffle bytes (high-entropy
+    // pad — a constant pad would compress to nothing and defeat the
+    // byte-budget split); p=1 a few rows
+    spark.range(0, 100000, 1, 8)
+      .selectExpr("id", "CAST(id >= 99990 AS INT) AS p",
+        "repeat(md5(CAST(id AS STRING)), 4) AS pad")
+      .createOrReplaceTempView("wdist_tfs")
+    spark.conf.set("spark.graft.write.targetFileSize", (1 << 20).toString)
+    try withDistribution() {
+      spark.conf.set("spark.sql.sources.partitionOverwriteMode", "dynamic")
+      try sql("INSERT OVERWRITE graftw.ns.tfs SELECT * FROM wdist_tfs")
+      finally spark.conf.unset("spark.sql.sources.partitionOverwriteMode")
+    } finally spark.conf.unset("spark.graft.write.targetFileSize")
+    val (entries, _, _) = Versioned.aggMeta(root,
+      Versioned.versions(root).last)
+    val byP = entries.groupBy(_.stats("p")._2)
+    assert(byP("0").size > 3,
+      s"the big partition must split at ~1 MB: ${byP("0").size} files")
+    assert(byP("1").size === 1,
+      s"the tiny partition must stay one file: ${byP("1").size}")
+    assert(sql("SELECT count(*) FROM graftw.ns.tfs").as[Long].head()
+      === 100000L)
+  }
+
   test("a sortBy column missing from the write schema fails loudly") {
     sql("CREATE TABLE graftw.ns.badsort (k BIGINT)")
     withDistribution(sortBy = Some("nope")) {
