@@ -428,6 +428,75 @@ object Versioned {
 
   private val CopyLedgerKey = "graft.copyInto.ledger"
 
+  // --------------------------------------------- TAGS (named versions)
+
+  /** Manifest props key carrying the table's TAGS as one JSON object
+    * `{name: version}` — Iceberg's tags: durable NAMES for versions.
+    * Always inherited commit-to-commit (a tag pins HISTORY — an
+    * overwrite replacing the live data does not unpin the snapshot the
+    * tag names), and VACUUM retains every tagged version's manifest
+    * and files regardless of the retention count, so `VERSION AS OF
+    * 'release-v1'` keeps resolving for as long as the tag lives. */
+  private[graft] val TagsKey = "graft.tags"
+
+  def tagsOf(root: String): Map[String, Long] =
+    latestVersion(root).map(readManifest(root, _)) match {
+      case Some(m) => m.props.get(TagsKey).map { j =>
+        mapper.readTree(j).properties().asScala
+          .map(e => e.getKey -> e.getValue.asLong()).toMap
+      }.getOrElse(Map.empty)
+      case None => Map.empty
+    }
+
+  private def renderTags(tags: Map[String, Long]): String =
+    mapper.writeValueAsString(tags.view.mapValues(
+      java.lang.Long.valueOf).toMap.asJava)
+
+  /** Resolve a tag name to its version — loud on a miss, naming what
+    * exists (a typo'd release name must never silently read HEAD). */
+  def resolveTag(root: String, name: String): Long =
+    tagsOf(root).getOrElse(name, throw new IllegalArgumentException(
+      s"no tag '$name' on $root — " +
+        (if (tagsOf(root).isEmpty) "the table has no tags"
+         else s"tags: ${tagsOf(root).keys.toSeq.sorted.mkString(", ")}")))
+
+  /** CREATE TAG: publish a metadata-only commit whose tags map names
+    * `version` (default: the current head). Duplicate names refuse —
+    * a tag is immutable once minted (drop it first to re-point). */
+  def createTag(root: String, name: String,
+      version: Option[Long] = None): Long = withOccRetry(None) {
+    require(name.matches("[A-Za-z0-9._-]+"),
+      s"tag name '$name' — tags must be [A-Za-z0-9._-]+")
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    val target = version.getOrElse(latest)
+    readManifest(root, target) // throws with the vacuum/missing hint
+    val m = readManifest(root, latest)
+    val tags = tagsOf(root)
+    require(!tags.contains(name),
+      s"tag '$name' already exists on $root (at v${tags(name)}) — " +
+        "DROP TAG first to re-point it")
+    publishEntries(root, m.files, latest, "tag",
+      schemaJson = m.schemaJson.orNull, mor = m.mor, dvs = m.dvs,
+      props = Map(TagsKey -> renderTags(tags + (name -> target))))
+  }
+
+  /** DROP TAG — the named version loses its retention pin and ages
+    * out through ordinary VACUUM. Missing names refuse loudly. */
+  def dropTag(root: String, name: String): Long = withOccRetry(None) {
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    val m = readManifest(root, latest)
+    val tags = tagsOf(root)
+    require(tags.contains(name),
+      s"no tag '$name' on $root to drop" +
+        (if (tags.isEmpty) "" else s" — tags: ${tags.keys.toSeq.sorted
+          .mkString(", ")}"))
+    publishEntries(root, m.files, latest, "tag",
+      schemaJson = m.schemaJson.orNull, mor = m.mor, dvs = m.dvs,
+      props = Map(TagsKey -> renderTags(tags - name)))
+  }
+
   // ------------------------------------------- ANALYZE column stats
 
   /** Manifest props key carrying the table's ANALYZE-computed column
@@ -3938,10 +4007,14 @@ object Versioned {
     // always carries the current ledger reference and vacuum dropping
     // old manifests never forgets what was ingested (and the probe in
     // [[copyInto]] is O(1) — the head manifest, not a history scan)
+    val propsT =
+      if (props.contains(TagsKey)) props
+      else parentM.flatMap(_.props.get(TagsKey))
+        .fold(props)(v => props + (TagsKey -> v))
     val effProps0 =
-      if (props.contains(CopyLedgerKey)) props
+      if (propsT.contains(CopyLedgerKey)) propsT
       else parentM.flatMap(_.props.get(CopyLedgerKey))
-        .fold(props)(v => props + (CopyLedgerKey -> v))
+        .fold(propsT)(v => propsT + (CopyLedgerKey -> v))
     // ANALYZE column stats inherit the same way (stale-but-useful
     // after DML, the standard ANALYZE contract) — EXCEPT through verbs
     // that replace the data they describe: an overwrite/restore/clone
@@ -4081,7 +4154,7 @@ object Versioned {
     }
     m.action match {
       case "append" | "clone" => Some(added)
-      case "compact" | "constraint" | "schema" | "analyze" => Some(Nil)
+      case "compact" | "constraint" | "schema" | "analyze" | "tag" => Some(Nil)
       case "write-delta" =>
         // insert-only delta (removed nothing) = a pure append; a delta
         // with fresh delete positions is indivisible
@@ -4142,7 +4215,7 @@ object Versioned {
       man.action match {
         case "append" | "clone" =>
           if (added.nonEmpty) pieces += FeedInsert(v, added)
-        case "compact" | "constraint" | "schema" | "analyze" => () // row-identical
+        case "compact" | "constraint" | "schema" | "analyze" | "tag" => () // row-identical
         case "mor-delete" =>
           rowRemoval {
             val d = man.mor.last
@@ -4248,7 +4321,7 @@ object Versioned {
       // error — a policy/schema change must not wedge an append-only
       // consumer
       else if (man.action == "constraint" || man.action == "schema" ||
-          man.action == "analyze") ()
+          man.action == "analyze" || man.action == "tag") ()
       // compactions are row-identical: skipping ONLY them is lossless
       // (the file-diff below keeps tracking the repacked live set), so
       // consumers can allow them without opening the lossy
@@ -4327,7 +4400,7 @@ object Versioned {
               .withColumn("_change_type", lit("insert"))
               .withColumn("_commit_version", lit(v))
         case "compact" => // row-identical: nothing to emit
-        case "constraint" | "schema" | "analyze" => // metadata-only: zero row delta
+        case "constraint" | "schema" | "analyze" | "tag" => // metadata-only: zero row delta
         case "mor-delete" =>
           // replay LAZILY from the immutable files the predicate was
           // scoped to: those files under the PARENT's pending
@@ -4907,8 +4980,16 @@ object Versioned {
       minAgeMs: Long = 15L * 60 * 1000): Int = {
     require(keepVersions >= 1, "must keep at least the latest version")
     val all = versions(root)
-    val (drop, keep) = all.splitAt(math.max(0, all.size - keepVersions))
-    val keptManifests = keep.map(readManifest(root, _))
+    // TAGGED versions are retention-pinned: their manifests and files
+    // survive any keepVersions window for as long as the tag lives —
+    // `VERSION AS OF 'release-v1'` must keep resolving (the Iceberg
+    // tag contract). DROP TAG releases the pin; the next vacuum
+    // reclaims.
+    val tagged = tagsOf(root).values.toSet
+    val (drop0, keep) = all.splitAt(math.max(0, all.size - keepVersions))
+    val drop = drop0.filterNot(tagged)
+    val keptManifests = (keep ++ drop0.filter(tagged))
+      .map(readManifest(root, _))
     val referenced = (keptManifests.flatMap(_.files.map(_.path)) ++
       keptManifests.flatMap(_.cdf) ++
       keptManifests.flatMap(_.dvs.flatMap(_.sidecars))).toSet

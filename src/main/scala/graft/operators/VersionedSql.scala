@@ -100,6 +100,16 @@ object VersionedSql {
       """\s*\)(?:\s+MIN\s+FRACTION\s+([0-9.]+))?\s*;?\s*""").r
   private val RestoreRe =
     s"""(?is)\\s*RESTORE\\s+$Ref\\s+TO\\s+VERSION\\s+(\\d+)\\s*;?\\s*""".r
+  //   ALTER TABLE `path`|cat.ns.t CREATE TAG name [AS OF VERSION n]
+  //   ALTER TABLE `path`|cat.ns.t DROP TAG name
+  // Iceberg's tags: durable names for versions, retention-pinned
+  // through VACUUM, readable via VERSION AS OF 'name'
+  private val CreateTagRe =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+CREATE\\s+TAG\\s+""" +
+      """([A-Za-z0-9._-]+)(?:\s+AS\s+OF\s+VERSION\s+(\d+))?\s*;?\s*""").r
+  private val DropTagRe =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+DROP\\s+TAG\\s+""" +
+      """([A-Za-z0-9._-]+)\s*;?\s*""").r
   //   ANALYZE [TABLE] `path`|cat.ns.t COMPUTE STATISTICS
   //     FOR ALL COLUMNS | FOR COLUMNS a, b, …
   // one aggregate pass → NDV/nulls/min/max/lengths as a metadata-only
@@ -202,6 +212,14 @@ object VersionedSql {
           Versioned.reorg(spark, root,
             minDeletedFraction =
               Option(frac).map(_.toDouble).getOrElse(0.1)))
+      case CreateTagRe(ref, name, v) =>
+        val root = refRoot(spark, ref)
+        return result(spark, root, "create-tag",
+          Versioned.createTag(root, name, Option(v).map(_.toLong)))
+      case DropTagRe(ref, name) =>
+        val root = refRoot(spark, ref)
+        return result(spark, root, "drop-tag",
+          Versioned.dropTag(root, name))
       case AnalyzeRe(ref, all, colList) =>
         val root = refRoot(spark, ref)
         val cols =

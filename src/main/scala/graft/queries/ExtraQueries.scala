@@ -2559,6 +2559,55 @@ object ExtraQueries {
   private val analyzeDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // ---------------------------------------------------------------- x62
+  // Tags, hash-gated end-to-end: a snapshot is tagged, later commits
+  // overwrite the live data, VACUUM drops every untagged old version —
+  // and `VERSION AS OF 'tag'` still reads the tagged snapshot exactly
+  // (the retention pin). DuckDB replays the tagged snapshot's
+  // derivation from the base table: a vacuum reclaiming a pinned file,
+  // or a tag resolving to the wrong version, breaks the hash.
+  val x62TagRead: Q = Q(
+    "x62_tag_read",
+    """SELECT s_suppkey, CAST(s_acctbal AS DOUBLE) AS bal
+      |FROM supplier WHERE s_suppkey % 7 = 2
+      |ORDER BY s_suppkey""".stripMargin) { (s, d) =>
+    val cat = s"grafttag${math.abs(d.hashCode)}"
+    val wh = tagDirs.getOrElseUpdate(d, {
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-tag-q").toString
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.r11")
+      s.sql(s"CREATE TABLE $cat.r11.sup (s_suppkey BIGINT, bal DOUBLE)")
+      t(s, d, "supplier").select(col("s_suppkey"),
+        col("s_acctbal").cast("double").as("bal"))
+        .filter(col("s_suppkey") % 7 === 2)
+        .createOrReplaceTempView("x62_src")
+      s.sql(s"INSERT INTO $cat.r11.sup SELECT * FROM x62_src")
+      graft.operators.VersionedSql(s,
+        s"ALTER TABLE $cat.r11.sup CREATE TAG audited")
+      // bury the tag: replace the live data twice, then vacuum away
+      // every untagged old version
+      s.sql(s"INSERT OVERWRITE $cat.r11.sup VALUES (1, 0.0)")
+      s.sql(s"INSERT OVERWRITE $cat.r11.sup VALUES (2, 0.0)")
+      val root = s"$w/r11/sup"
+      graft.operators.Versioned.vacuum(root, keepVersions = 1,
+        minAgeMs = 0L)
+      require(graft.operators.Versioned.versions(root).size <= 3,
+        "x62: vacuum must drop the untagged history")
+      w
+    })
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"SELECT s_suppkey, bal FROM $cat.r11.sup " +
+      "VERSION AS OF 'audited' ORDER BY s_suppkey")
+  }
+
+  private val tagDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   // ---------------------------------------------------------------- x52
   // Storage-partitioned join, hash-gated: two catalog tables
   // partitioned the same way (customers and orders by nation-derived
@@ -2869,5 +2918,6 @@ object ExtraQueries {
     x46DynamicOverwrite, x47StreamToTable, x48PartitionedMerge,
     x49MorDml, x50StreamRead, x51MetaAgg, x52Spj, x53MetaAggFiltered,
     x54ShowPartitions, x55DropPartition, x56DvColumnar, x57ReorgPurge,
-    x58WriteDistribution, x59BucketSpj, x60DaysPartition, x61AnalyzeCbo)
+    x58WriteDistribution, x59BucketSpj, x60DaysPartition, x61AnalyzeCbo,
+    x62TagRead)
 }

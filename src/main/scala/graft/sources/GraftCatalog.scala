@@ -136,9 +136,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     loadPinned(ident, None)
 
   /** `VERSION AS OF n` time travel — the version string is the
-    * manifest version number. */
+    * manifest version number, or a TAG name (`VERSION AS OF
+    * 'release-v1'`): tags resolve against the named table (or the
+    * base table of a `.changes` metadata read) and a miss fails
+    * loudly naming the available tags. */
   override def loadTable(ident: Identifier, version: String): Table =
-    loadPinned(ident, Some(version.toLong))
+    version.toLongOption match {
+      case Some(n) => loadPinned(ident, Some(n))
+      case None =>
+        val own = new File(rootOf(ident))
+        val base =
+          if (isTableDir(own)) own.getPath
+          else if (ident.name == "changes" && ident.namespace.nonEmpty)
+            rootOf(Identifier.of(ident.namespace.dropRight(1),
+              ident.namespace.last))
+          else throw new NoSuchTableException(ident)
+        loadPinned(ident, Some(Versioned.resolveTag(base, version)))
+    }
 
   /** `TIMESTAMP AS OF` time travel — micros since epoch (Spark's
     * contract for this overload) resolve to the newest commit at or
