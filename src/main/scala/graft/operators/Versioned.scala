@@ -510,10 +510,17 @@ object Versioned {
     * COLUMN. */
   private[graft] val ColStatsKey = "graft.colstats"
 
+  /** Equi-height histogram (Spark's ANALYZE … FOR COLUMNS shape):
+    * `height` rows per bin, each bin `(lo, hi, ndv)` in the double
+    * scale CBO compares in (dates epoch days, timestamps micros). */
+  private[graft] case class Histo(height: Double,
+      bins: Seq[(Double, Double, Long)])
+
   private[graft] case class ColStat(
       ndv: Long, nulls: Long, rows: Long,
       min: Option[String], max: Option[String],
-      avgLen: Option[Long], maxLen: Option[Long], ver: Long)
+      avgLen: Option[Long], maxLen: Option[Long], ver: Long,
+      hist: Option[Histo] = None)
 
   private def renderColStats(m: Map[String, ColStat]): String =
     mapper.writeValueAsString(m.view.mapValues { s =>
@@ -521,7 +528,11 @@ object Versioned {
         "rows" -> s.rows, "ver" -> s.ver) ++
         s.min.map("min" -> _) ++ s.max.map("max" -> _) ++
         s.avgLen.map("avgLen" -> java.lang.Long.valueOf(_)) ++
-        s.maxLen.map("maxLen" -> java.lang.Long.valueOf(_))).asJava
+        s.maxLen.map("maxLen" -> java.lang.Long.valueOf(_)) ++
+        s.hist.map(h => "hist" -> Map[String, Any](
+          "h" -> h.height,
+          "bins" -> h.bins.map { case (lo, hi, n) =>
+            Seq[Any](lo, hi, n).asJava }.asJava).asJava)).asJava
     }.toMap.asJava)
 
   private[graft] def parseColStats(json: String): Map[String, ColStat] = {
@@ -535,7 +546,14 @@ object Versioned {
         Option(v.get("max")).map(_.asText()),
         Option(v.get("avgLen")).map(_.asLong()),
         Option(v.get("maxLen")).map(_.asLong()),
-        v.get("ver").asLong())
+        v.get("ver").asLong(),
+        Option(v.get("hist")).map { h =>
+          Histo(h.get("h").asDouble(),
+            h.get("bins").elements().asScala.map { b =>
+              val it = b.elements().asScala.toSeq
+              (it(0).asDouble(), it(1).asDouble(), it(2).asLong())
+            }.toSeq)
+        })
     }.toMap
   }
 
@@ -641,9 +659,68 @@ object Versioned {
         },
         ver = latest)
     }.toMap
+    // EQUI-HEIGHT HISTOGRAMS (opt-in, Spark's ANALYZE histogram shape):
+    // `spark.graft.analyze.histogramBins` = N > 1 adds two bounded
+    // passes — percentile boundaries, then per-bin NDV — for every
+    // range-typed analyzed column. CBO's range-filter selectivity then
+    // sees the DISTRIBUTION, not just [min, max]: on skewed data the
+    // uniformity assumption is exactly what misplans joins.
+    val histBins = spark.conf.getOption("spark.graft.analyze.histogramBins")
+      .map(_.toInt).getOrElse(0)
+    val histFields =
+      if (histBins > 1) fields.filter(f => rangeable(f.dataType)) else Nil
+    val hists: Map[String, Histo] =
+      if (histFields.isEmpty) Map.empty
+      else {
+        def dbl(f: org.apache.spark.sql.types.StructField)
+            : org.apache.spark.sql.Column = f.dataType match {
+          case _: DateType => org.apache.spark.sql.functions.expr(
+            s"CAST(datediff(`${f.name}`, DATE '1970-01-01') AS DOUBLE)")
+          case _: TimestampType => org.apache.spark.sql.functions.expr(
+            s"CAST(unix_micros(`${f.name}`) AS DOUBLE)")
+          case _ => col(f.name).cast("double")
+        }
+        val pcts = lit((0 to histBins).map(_.toDouble / histBins).toArray)
+        val pctAggs = histFields.map(f =>
+          percentile_approx(dbl(f), pcts, lit(10000)).as(s"__pct_${f.name}"))
+        val prow = df.agg(pctAggs.head, pctAggs.tail: _*).collect().head
+        val bounds: Map[String, Seq[Double]] = histFields.flatMap { f =>
+          Option(prow.get(prow.fieldIndex(s"__pct_${f.name}")))
+            .map(_.asInstanceOf[scala.collection.Seq[Any]].toSeq
+              .map(_.asInstanceOf[Double]))
+            .filter(bs => bs.size == histBins + 1)
+            .map(f.name -> _)
+        }.toMap
+        if (bounds.isEmpty) Map.empty
+        else {
+          val binAggs = bounds.toSeq.flatMap { case (n, bs) =>
+            val f = histFields.find(_.name == n).get
+            (0 until histBins).map { i =>
+              val lo = bs(i); val hi = bs(i + 1)
+              val in =
+                if (i == 0) dbl(f) >= lit(lo) && dbl(f) <= lit(hi)
+                else dbl(f) > lit(lo) && dbl(f) <= lit(hi)
+              approx_count_distinct(when(in, dbl(f))).as(s"__bin_${n}_$i")
+            }
+          }
+          val brow = df.agg(binAggs.head, binAggs.tail: _*).collect().head
+          bounds.map { case (n, bs) =>
+            val nn = g(s"__nn_$n").asInstanceOf[Long] // non-null rows
+            lc(n) -> Histo(
+              height = nn.toDouble / histBins,
+              bins = (0 until histBins).map { i =>
+                (bs(i), bs(i + 1),
+                  brow.getLong(brow.fieldIndex(s"__bin_${n}_$i")))
+              })
+          }
+        }
+      }
+    val freshH =
+      if (hists.isEmpty) fresh
+      else fresh.map { case (n, st) => n -> st.copy(hist = hists.get(n)) }
     // merge over any previously analyzed columns (re-ANALYZE of a
     // subset refreshes just that subset)
-    val merged = colStatsOf(root, latest) ++ fresh
+    val merged = colStatsOf(root, latest) ++ freshH
     publishEntries(root, m.files, latest, "analyze",
       schemaJson = m.schemaJson.orNull, mor = m.mor, dvs = m.dvs,
       props = Map(ColStatsKey -> renderColStats(merged)))

@@ -433,6 +433,32 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
                   override def maxLen(): java.util.OptionalLong =
                     st.maxLen.map(java.util.OptionalLong.of)
                       .getOrElse(java.util.OptionalLong.empty())
+                  // equi-height histogram (when ANALYZE computed one
+                  // and the type decodes): CBO range selectivity sees
+                  // the DISTRIBUTION, not the uniformity assumption
+                  override def histogram(): java.util.Optional[
+                      org.apache.spark.sql.connector.read.colstats
+                        .Histogram] =
+                    st.hist.filter(_ => mn.isDefined || st.min.isEmpty)
+                      .map { h =>
+                        java.util.Optional.of(
+                          new org.apache.spark.sql.connector.read
+                              .colstats.Histogram {
+                            override def height(): Double = h.height
+                            override def bins(): Array[
+                                org.apache.spark.sql.connector.read
+                                  .colstats.HistogramBin] =
+                              h.bins.map { case (l, u, n) =>
+                                new org.apache.spark.sql.connector.read
+                                    .colstats.HistogramBin {
+                                  override def lo(): Double = l
+                                  override def hi(): Double = u
+                                  override def ndv(): Long = n
+                                }: org.apache.spark.sql.connector.read
+                                  .colstats.HistogramBin
+                              }.toArray
+                          })
+                      }.getOrElse(java.util.Optional.empty())
                 })
             }
         }

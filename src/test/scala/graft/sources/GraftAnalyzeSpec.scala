@@ -121,6 +121,36 @@ class GraftAnalyzeSpec extends SparkSpec {
     }
   }
 
+  test("histograms: skewed-range selectivity beats the uniformity " +
+      "assumption") {
+    sql("CREATE TABLE graftan.ns.hist (k BIGINT)")
+    val root = s"$warehouse/ns/hist"
+    // 90% of the mass in [0, 10), a thin tail to 999: under the
+    // uniformity assumption `k < 10` estimates ~1% of rows; the
+    // histogram sees ~90%
+    spark.range(10000)
+      .selectExpr("CASE WHEN id % 10 < 9 THEN id % 10 " +
+        "ELSE 10 + (id % 990) END AS k")
+      .createOrReplaceTempView("an_hist")
+    sql("INSERT INTO graftan.ns.hist SELECT * FROM an_hist")
+    spark.conf.set("spark.graft.analyze.histogramBins", "10")
+    try Versioned.analyze(spark, root)
+    finally spark.conf.unset("spark.graft.analyze.histogramBins")
+    val st = Versioned.colStatsOf(root, Versioned.versions(root).last)
+    val h = st("k").hist.getOrElse(fail("histogram must be stored"))
+    assert(h.bins.size === 10 && h.height === 1000.0)
+    withCbo {
+      val df = sql("SELECT k FROM graftan.ns.hist WHERE k < 10")
+      val est = df.queryExecution.optimizedPlan.stats.rowCount
+        .getOrElse(fail("CBO must estimate")).toLong
+      val actual = df.count()
+      assert(actual === 9000L)
+      assert(est > 5000L,
+        s"the histogram must see the skew (~9000 rows), got $est — " +
+          "the uniformity estimate would be ~100")
+    }
+  }
+
   test("ANALYZE FOR COLUMNS subset merges over prior stats; unknown " +
       "column refuses") {
     sql("CREATE TABLE graftan.ns.sub (x BIGINT, y BIGINT)")
