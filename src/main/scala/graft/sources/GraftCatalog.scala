@@ -185,6 +185,42 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
           // feed as it stood at v3
           return new GraftFeedTable(spark, fullName(ident), baseRoot, v)
       }
+      // `cat.ns.t.history` / `.files` / `.tags` — read-only METADATA
+      // TABLES (Iceberg's db.table.<meta> convention): the commit log,
+      // the (optionally pinned) live file inventory, and the tag map,
+      // each as an ordinary queryable relation
+      if (Set("history", "files", "tags")(ident.name) &&
+          ident.namespace.nonEmpty) {
+        val baseIdent = Identifier.of(ident.namespace.dropRight(1),
+          ident.namespace.last)
+        val baseRoot = rootOf(baseIdent)
+        if (isTableDir(new File(baseRoot)) &&
+            Versioned.latestVersion(baseRoot).isDefined) {
+          def noPin(): Unit = require(v.isEmpty,
+            s"VERSION/TIMESTAMP AS OF on ${ident.name} is not " +
+              "meaningful — the relation already spans the log")
+          val mk: () => DataFrame = ident.name match {
+            case "history" => noPin(); () =>
+              Versioned.history(spark, baseRoot)
+            case "tags" => noPin(); () => {
+              val s = spark
+              import s.implicits._
+              Versioned.tagsOf(baseRoot).toSeq.sortBy(_._1)
+                .toDF("tag", "version")
+            }
+            case _ => () => { // files: pinnable — the snapshot's inventory
+              val s = spark
+              import s.implicits._
+              val ver = v.getOrElse(
+                Versioned.latestVersion(baseRoot).get)
+              val (entries, _, _) = Versioned.aggMeta(baseRoot, ver)
+              entries.map(e => (e.path, e.bytes, e.rows))
+                .toDF("path", "bytes", "rows")
+            }
+          }
+          return new GraftMetaTable(fullName(ident), mk)
+        }
+      }
       throw new NoSuchTableException(ident)
     }
     new GraftTable(spark, fullName(ident), root, v)
@@ -465,9 +501,18 @@ final class GraftTable(spark: SparkSession, fullName: String,
     }.toArray
   }
 
-  override def properties(): util.Map[String, String] =
-    Map(TableCatalog.PROP_LOCATION -> root,
-      TableCatalog.PROP_PROVIDER -> VersionedSource.Name).asJava
+  override def properties(): util.Map[String, String] = {
+    val tx = Versioned.transformsOf(root, Some(pinned))
+    val tags = Versioned.tagsOf(root)
+    (Map(TableCatalog.PROP_LOCATION -> root,
+      TableCatalog.PROP_PROVIDER -> VersionedSource.Name) ++
+      (if (tx.isEmpty) Map.empty[String, String]
+       else Map("graft.partition.transforms" ->
+         tx.map(_.show).mkString(", "))) ++
+      (if (tags.isEmpty) Map.empty[String, String]
+       else Map("graft.tags" -> tags.toSeq.sortBy(_._1)
+         .map { case (n, v) => s"$n=v$v" }.mkString(", ")))).asJava
+  }
 
   override def version(): String = pinned.toString
 
@@ -865,6 +910,35 @@ final class GraftScanBuilder(spark: SparkSession, root: String,
       new GraftV1ScanBridge(spark, root, version, pushed.toIndexedSeq,
         required, streamFactory = Some(mkStream))
   }
+}
+
+/** Read-only catalog METADATA TABLE: serves a driver-computed frame
+  * (commit history, file inventory, tags) through the DSv2→V1 bridge —
+  * metadata stays O(log) driver work, never a distributed scan. */
+private[sources] final class GraftMetaTable(tableName: String,
+    mk: () => DataFrame) extends Table
+    with org.apache.spark.sql.connector.catalog.SupportsRead {
+
+  override def name(): String = tableName
+  override def schema(): StructType = mk().schema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_READ).asJava
+
+  override def newScanBuilder(
+      options: CaseInsensitiveStringMap): ScanBuilder =
+    new ScanBuilder {
+      override def build(): Scan = new V1Scan {
+        override def readSchema(): StructType = GraftMetaTable.this.schema()
+        override def toV1TableScan[T <: BaseRelation with TableScan](
+            context: SQLContext): T =
+          new BaseRelation with TableScan {
+            override val sqlContext: SQLContext = context
+            override def schema: StructType = GraftMetaTable.this.schema()
+            override def buildScan(): RDD[Row] = mk().rdd
+          }.asInstanceOf[T]
+        override def description(): String = s"GraftMetaTable($tableName)"
+      }
+    }
 }
 
 /** The DSv2→V1 scan bridge (`V1Scan`, the JDBC connector's own path):

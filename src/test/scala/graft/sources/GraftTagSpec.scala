@@ -82,6 +82,35 @@ class GraftTagSpec extends SparkSpec {
       "an untagged old version ages out on the next vacuum")
   }
 
+  test("metadata tables: .history, .files (pinnable), .tags") {
+    sql("CREATE TABLE grafttg.ns.meta (id BIGINT)")
+    sql("INSERT INTO grafttg.ns.meta VALUES (1), (2)")
+    sql("INSERT INTO grafttg.ns.meta VALUES (3)")
+    VersionedSql(spark, "ALTER TABLE grafttg.ns.meta CREATE TAG gold")
+    // history: one row per retained version, queryable SQL
+    val hist = sql("SELECT version, action FROM grafttg.ns.meta.history " +
+      "ORDER BY version").as[(Long, String)].collect().toSeq
+    assert(hist.map(_._1) === Seq(1L, 2L, 3L, 4L))
+    assert(hist.last._2 === "tag")
+    // files: the snapshot inventory — pinnable with VERSION AS OF
+    val nowFiles = sql("SELECT count(*) FROM grafttg.ns.meta.files")
+      .as[Long].head()
+    assert(nowFiles >= 2)
+    assert(sql("SELECT count(*) FROM grafttg.ns.meta.files " +
+      "VERSION AS OF 1").as[Long].head() === 0L,
+      "the empty CREATE snapshot has no files")
+    assert(sql("SELECT sum(rows) FROM grafttg.ns.meta.files")
+      .as[Long].head() === 3L)
+    // tags: the tag map as a relation
+    assert(sql("SELECT tag, version FROM grafttg.ns.meta.tags")
+      .as[(String, Long)].collect().toSeq === Seq(("gold", 3L)))
+    // pins on log-spanning relations refuse loudly
+    val e = intercept[Exception] {
+      sql("SELECT * FROM grafttg.ns.meta.history VERSION AS OF 2")
+        .collect() }
+    assert(e.getMessage.contains("not meaningful"))
+  }
+
   test("tags survive data-replacing verbs and restore; clones start " +
       "tagless (version numbers don't transfer across logs)") {
     sql("CREATE TABLE grafttg.ns.sur (id BIGINT)")
