@@ -1657,6 +1657,18 @@ object Versioned {
         s"(v${vs.head} published at ${instant(vs.head)})"))
   }
 
+  /** The largest version published strictly BEFORE `tsMillis` (0 when
+    * every retained version is at-or-after it) — the EXCLUSIVE stream
+    * start for `startingTimestamp`: commits at-or-after the instant
+    * are included, Delta's inclusive startingTimestamp contract. */
+  def versionBeforeTimestamp(root: String, tsMillis: Long): Long = {
+    val vs = versions(root)
+    require(vs.nonEmpty, s"no versions at $root")
+    def instant(v: Long): Long =
+      readManifest(root, v).ts.getOrElse(manifestFile(root, v).lastModified())
+    vs.foldLeft(0L)((acc, v) => if (instant(v) < tsMillis) v else acc)
+  }
+
   /** Time travel by wall clock: the snapshot that was current at
     * `tsMillis` (see [[versionAsOfTimestamp]]). */
   def readTimestampAsOf(spark: SparkSession, root: String,

@@ -47,8 +47,27 @@ final class GraftMicroBatchStream(spark: SparkSession, root: String,
     with SupportsTriggerAvailableNow {
 
   private def opt(k: String): Option[String] = Option(options.get(k))
-  private val startingVersion = opt("startingversion")
-    .orElse(opt("startingVersion")).map(_.toLong).getOrElse(0L)
+  // `startingTimestamp` (Delta's option, inclusive: commits published
+  // at-or-after the instant stream) accepts epoch millis or an ISO
+  // instant / `yyyy-MM-dd HH:mm:ss` wall clock read as UTC; mutually
+  // exclusive with `startingVersion`
+  private val startingTs: Option[Long] =
+    opt("startingtimestamp").map { s =>
+      val t = s.trim
+      if (t.matches("\\d+")) t.toLong
+      else try java.time.Instant.parse(t).toEpochMilli
+      catch {
+        case _: java.time.format.DateTimeParseException =>
+          java.time.LocalDateTime.parse(t.replace(' ', 'T'))
+            .toInstant(java.time.ZoneOffset.UTC).toEpochMilli
+      }
+    }
+  require(startingTs.isEmpty || opt("startingversion").isEmpty,
+    "startingVersion and startingTimestamp are mutually exclusive")
+  private val startingVersion = startingTs
+    .map(Versioned.versionBeforeTimestamp(root, _))
+    .orElse(opt("startingversion").map(_.toLong))
+    .getOrElse(0L)
   private val maxVersions = opt("maxversionspertrigger")
     .orElse(opt("maxVersionsPerTrigger")).map(_.toLong)
   // file/byte-grain admission (the Delta-source knobs): a micro-batch

@@ -602,4 +602,43 @@ class CatalogStreamingSpec extends SparkSpec {
     }
     assert(e2.getMessage.contains("STREAMING"), e2.getMessage)
   }
+
+  test("startingTimestamp streams commits at-or-after the instant " +
+      "(inclusive, the Delta option)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS grafts.st")
+    sql("CREATE TABLE grafts.st.ts (id BIGINT)")
+    val root = s"$warehouse/st/ts"
+    sql("INSERT INTO grafts.st.ts VALUES (1)")
+    // a wall-clock gap, then capture an instant BEFORE the commits
+    // that must stream
+    Thread.sleep(20)
+    val cut = System.currentTimeMillis()
+    Thread.sleep(20)
+    sql("INSERT INTO grafts.st.ts VALUES (2)")
+    sql("INSERT INTO grafts.st.ts VALUES (3)")
+    val ck = tmp("graft-ts-ck")
+    val sink = tmp("graft-ts-out") + "/t"
+    val q = spark.readStream.option("startingTimestamp", cut.toString)
+      .table("grafts.st.ts")
+      .writeStream.format(VersionedSource.Name)
+      .option("path", sink).option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q.processAllAvailable(); q.stop()
+    assert(Versioned.read(spark, sink).as[Long].collect().toSet ===
+      Set(2L, 3L),
+      "only commits published at-or-after the instant stream")
+    // both start options together refuse loudly
+    val both = intercept[Exception] {
+      val qb = spark.readStream
+        .option("startingTimestamp", cut.toString)
+        .option("startingVersion", "1")
+        .table("grafts.st.ts")
+        .writeStream.format(VersionedSource.Name)
+        .option("path", tmp("graft-ts-out2") + "/t")
+        .option("checkpointLocation", tmp("graft-ts-ck2"))
+        .trigger(Trigger.AvailableNow()).start()
+      try { qb.processAllAvailable() } finally qb.stop()
+    }
+    assert(both.getMessage != null)
+  }
 }
