@@ -25,6 +25,10 @@ class GraftAnalyzeSpec extends SparkSpec {
   private def sql(s: String) = { warehouse; spark.sql(s) }
 
   private def withCbo[A](f: => A): A = {
+    // `optimizedPlan.stats` picks its visitor from the THREAD's active
+    // conf (SQLConf.get) — a previously-run suite may have left a
+    // different session active on this thread, so pin ours first
+    org.apache.spark.sql.SparkSession.setActiveSession(spark)
     val keys = Seq("spark.sql.cbo.enabled", "spark.sql.cbo.joinReorder.enabled")
     val saved = keys.map(k => k -> spark.conf.getOption(k))
     try {
