@@ -219,7 +219,15 @@ object GraftExtensions {
         (args: Seq[Expression]) => plan(args match {
           case Seq(p) => Versioned.read(session, refArg(p))
           case Seq(p, v) =>
-            Versioned.readVersion(session, refArg(p), longArg(v))
+            val root = refArg(p)
+            // integer literal = VERSION AS OF n; string = a TAG name
+            val ver = v match {
+              case e if e.dataType.isInstanceOf[
+                  org.apache.spark.sql.types.StringType] =>
+                Versioned.resolveTag(root, stringArg(e))
+              case e => longArg(e)
+            }
+            Versioned.readVersion(session, root, ver)
           case other => throw new IllegalArgumentException(
             s"graft_table takes (path[, version]), got ${other.size} args")
         })),

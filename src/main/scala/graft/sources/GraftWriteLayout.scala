@@ -158,12 +158,19 @@ private[sources] object GraftWriteLayout {
     val tx = Versioned.transformsOf(root).map(t => t.hidden -> t).toMap
     val have = df.schema.fieldNames.map(
       _.toLowerCase(java.util.Locale.ROOT)).toSet
+    // temp names dodge user columns (a collision would silently
+    // REPLACE the user's column and then drop it)
+    def freeName(base: String): String = {
+      var n = base
+      while (have(n.toLowerCase(java.util.Locale.ROOT))) n = n + "_"
+      n
+    }
     val parts: Seq[(String, Option[String])] =
       if (!hash) Nil
       else Versioned.partitionByOf(root).flatMap { pc =>
         tx.get(pc) match {
           case Some(t) if have(t.src.toLowerCase(java.util.Locale.ROOT)) =>
-            Some((s"__graft_rb_${t.hidden}", Some(t.sql)))
+            Some((freeName(s"__graft_rb_${t.hidden}"), Some(t.sql)))
           case Some(_) => None
           case None if have(pc.toLowerCase(java.util.Locale.ROOT)) =>
             Some((pc, None))

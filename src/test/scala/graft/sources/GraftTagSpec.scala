@@ -82,6 +82,18 @@ class GraftTagSpec extends SparkSpec {
       "an untagged old version ages out on the next vacuum")
   }
 
+  test("graft_table TVF accepts a tag name as the version argument") {
+    sql("CREATE TABLE grafttg.ns.tvf (id BIGINT)")
+    sql("INSERT INTO grafttg.ns.tvf VALUES (7)")
+    VersionedSql(spark, "ALTER TABLE grafttg.ns.tvf CREATE TAG pin")
+    sql("INSERT INTO grafttg.ns.tvf VALUES (8)")
+    graft.GraftExtensions.registerFunctions(spark)
+    assert(sql("SELECT id FROM graft_table('grafttg.ns.tvf', 'pin')")
+      .as[Long].collect().toSeq === Seq(7L))
+    assert(sql("SELECT id FROM graft_table('grafttg.ns.tvf', 2)")
+      .as[Long].collect().toSeq === Seq(7L))
+  }
+
   test("metadata tables: .history, .files (pinnable), .tags") {
     sql("CREATE TABLE grafttg.ns.meta (id BIGINT)")
     sql("INSERT INTO grafttg.ns.meta VALUES (1), (2)")
