@@ -247,6 +247,34 @@ class GraftHiddenPartitionSpec extends SparkSpec {
     assert(wErr.getMessage.contains("bucket(4, key)"))
   }
 
+  test("OPTIMIZE recomputes the transform: compacted files stay " +
+      "bucket-pure and reads stay exact") {
+    sql("CREATE TABLE grafth.ns.opt (k BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    val root = s"$warehouse/ns/opt"
+    // several small commits → small files across buckets
+    (0 until 4).foreach { i =>
+      (0L until 16L).map(j => (i * 16L + j, s"v$i-$j")).toDF("k", "v")
+        .createOrReplaceTempView(s"hp_opt_$i")
+      sql(s"INSERT INTO grafth.ns.opt SELECT * FROM hp_opt_$i")
+    }
+    val before = sql("SELECT k, v FROM grafth.ns.opt")
+      .as[(Long, String)].collect().toSet
+    Versioned.compact(spark, root)
+    // every compacted file still holds exactly one bucket (the
+    // rewrite recomputed the hidden column from the source), and
+    // bucket pruning keeps working on the new files
+    headTuples(root, "_pt_bucket4_k")
+    assert(sql("SELECT k, v FROM grafth.ns.opt")
+      .as[(Long, String)].collect().toSet === before)
+    val v = Versioned.versions(root).last
+    val all = Versioned.files(root, v)
+    val kept = Versioned.candidateFilesForBounds(root, v,
+      Seq(Versioned.ColumnBound("k", Some(5L), Some(5L))))
+    assert(kept.size < all.size,
+      "bucket pruning must survive compaction")
+  }
+
   test("DESCRIBE reports the true transform; clone and restore carry it") {
     sql("CREATE TABLE grafth.ns.meta (k BIGINT, ts TIMESTAMP) " +
       "PARTITIONED BY (bucket(8, k), days(ts))")
