@@ -4741,15 +4741,85 @@ object Versioned {
     * @return the new version, or the current one when there is nothing
     *         to pack (≤1 small file and no pending delete to fold in)
     */
+  /** Translate a PARTITION-GRAIN SQL predicate into prune bounds for
+    * scoped maintenance (`OPTIMIZE … WHERE`): conjuncts of =, <, <=,
+    * >, >=, IN over partition columns — or a transform's SOURCE column
+    * (bucket/day grain resolves through the shared prune path). Every
+    * other shape refuses loudly: a maintenance scope silently wider or
+    * narrower than asked is how a compaction storm starts. */
+  private[graft] def partitionScopeBounds(spark: SparkSession,
+      root: String, version: Long, whereSql: String): Seq[ColumnBound] = {
+    import org.apache.spark.sql.catalyst.expressions.{EqualTo => CEq, GreaterThan => CGt, GreaterThanOrEqual => CGe, In => CIn, LessThan => CLt, LessThanOrEqual => CLe, Literal => CLit}
+    val m = readManifest(root, version)
+    val scopeCols = (m.partitionBy ++ m.transforms.map(_.src))
+      .map(lc).toSet
+    def attr(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : String = e match {
+      case a: org.apache.spark.sql.catalyst.analysis.UnresolvedAttribute
+          if scopeCols(lc(a.nameParts.last)) => a.nameParts.last
+      case other => throw new IllegalArgumentException(
+        s"OPTIMIZE … WHERE must reference partition (or partition-" +
+          s"transform source) columns only — got '$other' (partition " +
+          s"grain: ${scopeCols.toSeq.sorted.mkString(", ")})")
+    }
+    def ext(l: CLit): Any = l.value match {
+      case null => throw new IllegalArgumentException(
+        "NULL literals are not a partition scope")
+      case u: org.apache.spark.unsafe.types.UTF8String => u.toString
+      case i: java.lang.Integer
+          if l.dataType.isInstanceOf[org.apache.spark.sql.types.DateType] =>
+        java.time.LocalDate.ofEpochDay(i.toLong)
+      case n: Number => n
+      case other => throw new IllegalArgumentException(
+        s"unsupported scope literal: $other (${other.getClass})")
+    }
+    def conjuncts(e: org.apache.spark.sql.catalyst.expressions.Expression)
+        : Seq[org.apache.spark.sql.catalyst.expressions.Expression] =
+      e match {
+        case org.apache.spark.sql.catalyst.expressions.And(l, r) =>
+          conjuncts(l) ++ conjuncts(r)
+        case other => Seq(other)
+      }
+    conjuncts(spark.sessionState.sqlParser.parseExpression(whereSql))
+      .map {
+        case CEq(a, l: CLit) =>
+          ColumnBound(attr(a), Some(ext(l)), Some(ext(l)))
+        case CEq(l: CLit, a) =>
+          ColumnBound(attr(a), Some(ext(l)), Some(ext(l)))
+        case CGt(a, l: CLit) => ColumnBound(attr(a), Some(ext(l)), None)
+        case CGe(a, l: CLit) => ColumnBound(attr(a), Some(ext(l)), None)
+        case CLt(a, l: CLit) => ColumnBound(attr(a), None, Some(ext(l)))
+        case CLe(a, l: CLit) => ColumnBound(attr(a), None, Some(ext(l)))
+        case CIn(a, vs) if vs.nonEmpty && vs.forall(_.isInstanceOf[CLit]) =>
+          inBound(attr(a), vs.map(v => ext(v.asInstanceOf[CLit])))
+        case other => throw new IllegalArgumentException(
+          s"OPTIMIZE … WHERE supports conjunctions of =, <, <=, >, " +
+            s">=, IN over partition-grain columns — got '$other'")
+      }
+  }
+
   def optimize(spark: SparkSession, root: String,
       targetBytes: Long = 128L * 1024 * 1024,
       statsCols: Seq[String] = Nil,
       bloomCols: Seq[String] = Nil, bloomBits: Int = 1 << 15,
-      bloomHashes: Int = 3): Long = withOccRetry(None) {
+      bloomHashes: Int = 3,
+      // partition-grain scope (Delta's `OPTIMIZE t WHERE …`): only
+      // small files of matching partitions pack; at 100 TB the
+      // maintenance tick compacts TODAY, never the table
+      where: Option[String] = None): Long = withOccRetry(None) {
     val latest = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root"))
     val m = readManifest(root, latest)
-    val (small, big) = m.files.partition(_.bytes < targetBytes)
+    val scoped: Seq[FileEntry] = where match {
+      case None => m.files
+      case Some(pred) =>
+        val keep = candidateFilesForBounds(root, latest,
+          partitionScopeBounds(spark, root, latest, pred)).toSet
+        m.files.filter(f => keep(f.path))
+    }
+    val scopedSet = scoped.map(_.path).toSet
+    val (small, big0) = scoped.partition(_.bytes < targetBytes)
+    val big = big0 ++ m.files.filterNot(f => scopedSet(f.path))
     val smallSet = small.map(_.path).toSet
     val predOnSmall = m.mor.exists(_.files.exists(smallSet))
     if (small.isEmpty || (small.size == 1 && !predOnSmall)) latest

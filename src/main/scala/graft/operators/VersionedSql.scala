@@ -89,7 +89,10 @@ object VersionedSql {
   private val OptimizeRe =
     (s"""(?is)\\s*OPTIMIZE\\s+$Ref(?:\\s+INTO\\s+(\\d+)\\s+FILES|""" +
       """\s+TARGET\s+(\d+)\s+BYTES)?""" +
-      """(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?\s*;?\s*""").r
+      """(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?""" +
+      // trailing partition scope (Delta's OPTIMIZE t WHERE …): only
+      // matching partitions' small files pack
+      """(?:\s+WHERE\s+([^;]+?))?\s*;?\s*""").r
   private val VacuumRe =
     s"""(?is)\\s*VACUUM\\s+$Ref\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*""".r
   //   REORG [TABLE] `path`|cat.ns.t APPLY (PURGE) [MIN FRACTION 0.x]
@@ -174,9 +177,14 @@ object VersionedSql {
     // MERGE sources written against graft_table(...) (idempotent)
     graft.GraftExtensions.registerFunctions(spark)
     stmt match {
-      case OptimizeRe(ref, n, tgt, zcols) =>
+      case OptimizeRe(ref, n, tgt, zcols, whereSql) =>
         val root = refRoot(spark, ref)
         val nOut = Option(n).map(_.toInt)
+        val scope = Option(whereSql).map(_.trim).filter(_.nonEmpty)
+        require(scope.isEmpty || (zcols == null && n == null),
+          "OPTIMIZE … WHERE scopes the INCREMENTAL bin-pack only — " +
+            "INTO n FILES and ZORDER BY are full-rewrite verbs and " +
+            "cannot take a partition scope")
         // bare OPTIMIZE is the INCREMENTAL bin-pack (Delta's bare-
         // OPTIMIZE semantics: O(small-file debt), big files carried by
         // reference — on a 100 TB streaming-fed table the verb a user
@@ -197,7 +205,8 @@ object VersionedSql {
                 Versioned.compact(spark, root, targetFiles = files)
               case None => Versioned.optimize(spark, root,
                 targetBytes = Option(tgt).map(_.toLong)
-                  .getOrElse(128L * 1024 * 1024))
+                  .getOrElse(128L * 1024 * 1024),
+                where = scope)
             }
           })
       case VacuumRe(ref, keep) =>
