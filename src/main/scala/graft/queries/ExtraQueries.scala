@@ -2608,6 +2608,69 @@ object ExtraQueries {
   private val tagDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // ---------------------------------------------------------------- x63
+  // Partition-scoped OPTIMIZE, hash-gated: a partitioned catalog table
+  // accumulates small-file debt across every partition, `OPTIMIZE …
+  // WHERE pk = 3` packs ONLY that partition, and the full read comes
+  // back exact. The body PINS the economics — the scoped partition
+  // packed to one file, every out-of-scope file carried by IDENTITY —
+  // so a scope silently widening into a table rewrite fails loudly.
+  // DuckDB replays the union of the inserts: a row lost or duplicated
+  // by the rewrite breaks the hash.
+  val x63ScopedOptimize: Q = Q(
+    "x63_scoped_optimize",
+    """SELECT o_orderkey, CAST(o_custkey % 4 AS INT) AS pk,
+      |  CAST(o_totalprice AS DOUBLE) AS price
+      |FROM orders ORDER BY o_orderkey""".stripMargin) { (s, d) =>
+    val cat = s"graftsopt${math.abs(d.hashCode)}"
+    val wh = scopedOptDirs.getOrElseUpdate(d, {
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-sopt-q").toString
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.r11")
+      s.sql(s"CREATE TABLE $cat.r11.ord (o_orderkey BIGINT, pk INT, " +
+        "price DOUBLE) PARTITIONED BY (pk)")
+      t(s, d, "orders").select(col("o_orderkey"),
+        (col("o_custkey") % 4).cast("int").as("pk"),
+        col("o_totalprice").cast("double").as("price"))
+        .createOrReplaceTempView("x63_src")
+      // 3 commits → small-file debt in every partition
+      s.sql(s"INSERT INTO $cat.r11.ord SELECT * FROM x63_src " +
+        "WHERE o_orderkey % 3 = 0")
+      s.sql(s"INSERT INTO $cat.r11.ord SELECT * FROM x63_src " +
+        "WHERE o_orderkey % 3 = 1")
+      s.sql(s"INSERT INTO $cat.r11.ord SELECT * FROM x63_src " +
+        "WHERE o_orderkey % 3 = 2")
+      val root = s"$w/r11/ord"
+      val before = graft.operators.Versioned.latestVersion(root).get
+      val (e0, _, _) = graft.operators.Versioned.aggMeta(root, before)
+      val outBefore = e0.filterNot(_.stats("pk")._2 == "3")
+        .map(_.path).toSet
+      graft.operators.VersionedSql(s,
+        s"OPTIMIZE $cat.r11.ord WHERE pk = 3")
+      val v = graft.operators.Versioned.latestVersion(root).get
+      val (e1, _, _) = graft.operators.Versioned.aggMeta(root, v)
+      val scopedAfter = e1.filter(_.stats("pk")._2 == "3")
+      require(scopedAfter.size < 3,
+        s"x63: pk=3 must pack below its 3-commit debt, got " +
+          s"${scopedAfter.size} files")
+      require(e1.filterNot(_.stats("pk")._2 == "3")
+        .map(_.path).toSet == outBefore,
+        "x63: out-of-scope files must carry by identity")
+      w
+    })
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"SELECT o_orderkey, pk, price FROM $cat.r11.ord " +
+      "ORDER BY o_orderkey")
+  }
+
+  private val scopedOptDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   // ---------------------------------------------------------------- x52
   // Storage-partitioned join, hash-gated: two catalog tables
   // partitioned the same way (customers and orders by nation-derived
@@ -2919,5 +2982,5 @@ object ExtraQueries {
     x49MorDml, x50StreamRead, x51MetaAgg, x52Spj, x53MetaAggFiltered,
     x54ShowPartitions, x55DropPartition, x56DvColumnar, x57ReorgPurge,
     x58WriteDistribution, x59BucketSpj, x60DaysPartition, x61AnalyzeCbo,
-    x62TagRead)
+    x62TagRead, x63ScopedOptimize)
 }
