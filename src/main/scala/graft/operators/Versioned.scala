@@ -175,7 +175,15 @@ object Versioned {
       // a schema-invisible materialized column every write derives as
       // `fn(src)`. Inherited commit-to-commit like partitionBy; a
       // re-layout that drops the hidden column drops its transform.
-      transforms: Seq[PartTransform] = Nil)
+      transforms: Seq[PartTransform] = Nil,
+      // PRIOR-GENERATION transforms still tagging live files after a
+      // partition-spec evolution (Iceberg's multi-spec contract): old
+      // files keep their old hidden column and prune under the OLD
+      // derivation; new writes derive only `transforms`. Entries
+      // self-clean — a publish drops any legacy transform whose hidden
+      // column no longer appears in any live file's stats (compaction
+      // migrates the table to one spec without knowing spec history).
+      legacyTransforms: Seq[PartTransform] = Nil)
 
   private case class MorDelete(pred: String, files: Seq[String])
 
@@ -257,9 +265,24 @@ object Versioned {
     *    time — a wide delete's positions never pass through the
     *    driver or bloat the manifest (Delta/Iceberg's DV-file
     *    economics). A sidecar may cover many data files; the entry's
-    *    effective set is positions ∪ {pos | (file, pos) ∈ sidecars}. */
+    *    effective set is positions ∪ {pos | (file, pos) ∈ sidecars}.
+    *
+    * `scRows` is the EXACT count of this file's positions stored in
+    * its sidecars (the delete verbs know it at publish time — inline
+    * counts are `positions.size` already), so the file's live-row
+    * count is manifest arithmetic: `rows − positions.size − scRows`.
+    * That keeps LIMIT's file cap and metadata-only COUNT(*) armed on
+    * DV-pending snapshots with ZERO sidecar reads (the Iceberg
+    * per-file `record_count`/DV-cardinality economics). `None` means
+    * unknown (a pre-round-12 manifest) — exact-count consumers fall
+    * back to one bounded sidecar scan, never guess. */
   private[graft] case class DvEntry(file: String, positions: Seq[Long],
-      sidecars: Seq[String] = Nil)
+      sidecars: Seq[String] = Nil, scRows: Option[Long] = None) {
+    /** Exact deleted-position count, when knowable without IO. */
+    def deletedExact: Option[Long] =
+      if (sidecars.isEmpty) Some(positions.size.toLong)
+      else scRows.map(_ + positions.size)
+  }
 
   private def logDir(root: String) = new File(root, "_graft_log")
 
@@ -1469,9 +1492,13 @@ object Versioned {
         val mixed = replaced.filter(f =>
           partitionTuple(f, physPart).isEmpty)
         require(mixed.isEmpty, s"table at $root has ${mixed.size} " +
-          "file(s) without single-tuple partition stats — run OPTIMIZE " +
-          "to restore the per-file partition invariant before a dynamic " +
-          "partition overwrite")
+          "file(s) without single-tuple partition stats under the " +
+          "current spec (older-generation files after ALTER TABLE … " +
+          "SET PARTITION SPEC, or a pre-invariant layout) — run " +
+          "OPTIMIZE to migrate every file to the current spec before " +
+          "a dynamic partition overwrite, or use the " +
+          "overwritePartitions verb (it rescues old-generation " +
+          "remainders)")
         publishEntries(root, carried ++ entries, latest,
           "overwrite-partitions", schemaJson = schema,
           partitionBy = Some(m.partitionBy))
@@ -1535,7 +1562,7 @@ object Versioned {
     * files as inserts — no change files needed. */
   private[graft] def publishStagedDelta(root: String,
       deletes: Seq[(String, Seq[Long])],
-      sidecars: Seq[(String, Seq[String])],
+      sidecars: Seq[(String, Seq[(String, Long)])],
       entries: Seq[FileEntry],
       incoming: org.apache.spark.sql.types.StructType,
       expected: Long, planned: PlannedTableMeta,
@@ -1563,9 +1590,13 @@ object Versioned {
     sidecars.foreach { case (sc, covered) =>
       require(covered.nonEmpty,
         s"delta sidecar $sc reports no covered files")
-      covered.foreach(f => require(freshByFile.contains(f),
-        s"delta sidecar $sc covers file $f, which is missing from the " +
-          "touched-file records"))
+      covered.foreach { case (f, n) =>
+        require(freshByFile.contains(f),
+          s"delta sidecar $sc covers file $f, which is missing from " +
+            "the touched-file records")
+        require(n > 0,
+          s"delta sidecar $sc reports $n rows for covered file $f")
+      }
     }
     val live = m.files.map(_.path).toSet
     deletes.foreach { case (f, _) =>
@@ -1581,8 +1612,14 @@ object Versioned {
     // application and change-feed replay scan O(relevant sidecars) per
     // file — never every sidecar of a wide multi-task delete
     val sidecarsFor: Map[String, Seq[String]] = sidecars
-      .flatMap { case (sc, covered) => covered.map(f => f -> sc) }
+      .flatMap { case (sc, covered) => covered.map { case (f, _) => f -> sc } }
       .groupBy(_._1).view.mapValues(_.map(_._2).sorted).toMap
+    // exact per-file sidecar cardinality of THIS commit (each writer
+    // reported the rows it spilled per covered file) — rides the merged
+    // entry so live-row counts stay manifest arithmetic, no sidecar IO
+    val scRowsFor: Map[String, Long] = sidecars
+      .flatMap { case (_, covered) => covered }
+      .groupBy(_._1).view.mapValues(_.map(_._2).sum).toMap
     // every touched file gets (at least) an entry carrying its sidecar
     // references; inline positions merge per file
     val touched = dvByFile.keySet ++ freshByFile.keySet
@@ -1592,7 +1629,9 @@ object Versioned {
         (prev.map(_.positions).getOrElse(Nil) ++
           freshByFile.getOrElse(f, Nil)).sorted,
         prev.map(_.sidecars).getOrElse(Nil) ++
-          sidecarsFor.getOrElse(f, Nil))
+          sidecarsFor.getOrElse(f, Nil),
+        prev.map(_.scRows).getOrElse(Some(0L))
+          .map(_ + scRowsFor.getOrElse(f, 0L)))
     }
     publishEntries(root, m.files ++ entries, latest, "write-delta",
       schemaJson = schema, partitionBy = Some(m.partitionBy),
@@ -2012,10 +2051,16 @@ object Versioned {
     * equality/IN bound on a transform's source, evaluate the SAME
     * expression the write derives with (`pmod(hash(v), n)`) on the
     * bound's value(s). Untypeable values decline conservatively —
-    * never a wider prune. */
+    * never a wider prune. LEGACY (pre-evolution) transforms derive
+    * too: each generation's files carry that generation's hidden
+    * column, and a bound compiled for an absent stats column keeps
+    * the file — so old files prune under the old derivation, new
+    * files under the new, and neither generation's probe can touch
+    * the other's files. */
   private def bucketBounds(m: Manifest,
       bounds: Seq[ColumnBound]): Seq[ColumnBound] = {
-    val buckets = m.transforms.filter(_.fn == "bucket")
+    val buckets =
+      (m.transforms ++ m.legacyTransforms).filter(_.fn == "bucket")
     if (buckets.isEmpty) return Nil
     val schema = m.schemaJson.map(org.apache.spark.sql.types.DataType
       .fromJson(_).asInstanceOf[org.apache.spark.sql.types.StructType])
@@ -2527,12 +2572,27 @@ object Versioned {
     (m.mor.nonEmpty, m.dvs.nonEmpty)
   }
 
+  /** Deleted positions per file at `version` from MANIFEST ARITHMETIC
+    * alone — `Some` exactly when every entry's sidecar cardinality was
+    * recorded at publish time (all round-12+ commits), `None` on a
+    * legacy manifest. Zero IO beyond the manifest read: this is what
+    * keeps LIMIT file caps and metadata COUNT(*) armed on DV-pending
+    * snapshots at any table size. */
+  private[graft] def dvDeletedCountsExact(root: String,
+      version: Long): Option[Map[String, Long]] = {
+    val ds = readManifest(root, version).dvs
+    val exact = ds.flatMap(d => d.deletedExact.map(d.file -> _))
+    if (exact.length == ds.length) Some(exact.toMap) else None
+  }
+
   /** Deleted positions per file at `version`: inline counts from the
     * manifest, sidecar counts from one bounded scan (positions are
     * recorded at most once per (file, pos) by the delete verbs'
-    * guards, so counting is exact). */
+    * guards, so counting is exact). Manifests that recorded their
+    * sidecar cardinalities answer without the scan. */
   private[graft] def dvDeletedCounts(spark: SparkSession, root: String,
       version: Long): Map[String, Long] = {
+    dvDeletedCountsExact(root, version).foreach(m => return m)
     import org.apache.spark.sql.functions.{col => c, count}
     val m = readManifest(root, version)
     val sidecarCounts = {
@@ -2573,6 +2633,14 @@ object Versioned {
 
   /** The table's hidden partition transforms at `version` (latest if
     * unset) — each one's `hidden` column appears in [[partitionByOf]]. */
+  /** Prior-generation (legacy) transforms still tagging live files at
+    * `version` (latest if `None`) — populated by partition-spec
+    * evolution, self-cleaning on rewrite. */
+  private[graft] def legacyTransformsOf(root: String,
+      version: Option[Long] = None): Seq[PartTransform] =
+    version.orElse(latestVersion(root))
+      .map(readManifest(root, _).legacyTransforms).getOrElse(Nil)
+
   private[graft] def transformsOf(root: String,
       version: Option[Long] = None): Seq[PartTransform] =
     version.orElse(latestVersion(root))
@@ -3123,9 +3191,19 @@ object Versioned {
           else {
             val base = readAligned(spark,
               mixed.map(f => resolve(root, f.path).getPath), m.schemaJson, m.physNames)
-            val kept = base.join(
-              aligned.select(m.partitionBy.map(c): _*).distinct(),
+            // a tuple-unproven file is usually an OLD-GENERATION file
+            // after partition-spec evolution: derive the CURRENT
+            // spec's hidden columns on both sides so the anti-join
+            // keys resolve, then drop them — writeBatch re-derives
+            import org.apache.spark.sql.functions.expr
+            def derived(df0: DataFrame): DataFrame =
+              m.transforms.foldLeft(df0)((d, t) =>
+                d.withColumn(t.hidden, expr(t.sql)))
+            val kept = derived(base).join(
+              derived(aligned).select(m.partitionBy.map(c): _*)
+                .distinct(),
               m.partitionBy, "left_anti")
+              .drop(m.transforms.map(_.hidden): _*)
             writeBatch(spark, root, kept, statsCols, m.partitionBy)._1
           }
         publishEntries(root, carried ++ rescued ++ newEntries, latest,
@@ -3510,6 +3588,10 @@ object Versioned {
     // column (and every file's stats key) is untouched
     val newTx = m.transforms.map(t =>
       if (t.src.equalsIgnoreCase(field.name)) t.copy(src = to) else t)
+    // legacy (pre-evolution) transforms follow the rename identically:
+    // their prune derivation also reads the logical source name
+    val newLegacy = m.legacyTransforms.map(t =>
+      if (t.src.equalsIgnoreCase(field.name)) t.copy(src = to) else t)
     // ANALYZE column stats follow the rename too (logical-name keyed)
     val reKeyedStats = m.props.get(ColStatsKey).map { j =>
       val cs = parseColStats(j)
@@ -3522,6 +3604,7 @@ object Versioned {
       schemaJson = renamed.json, mor = m.mor, dvs = m.dvs,
       carryFrom = Some(latest), constraints = Some(m.constraints),
       physNames = Some(newMap), transforms = Some(newTx),
+      legacyTransforms = Some(newLegacy),
       props = reKeyedStats)
   }
 
@@ -3575,6 +3658,11 @@ object Versioned {
         s"${txWiden.map(_.show).mkString(", ")} derive from it and " +
         "the derivation is type-sensitive; re-layout via overwrite " +
         "first")
+    // a LEGACY transform on the widened column only powers pruning —
+    // dropping it is sound (old-generation files just stop bucket-
+    // pruning; scans stay exact), so the widen proceeds
+    val legacyKept = m.legacyTransforms.filterNot(
+      _.src.equalsIgnoreCase(field.name))
     val widenable: Boolean = (field.dataType, to) match {
       case (ByteType, ShortType | IntegerType | LongType) => true
       case (ShortType, IntegerType | LongType) => true
@@ -3591,7 +3679,8 @@ object Versioned {
       f => if (f.name == field.name) f.copy(dataType = to) else f))
     publishEntries(root, m.files, latest, "schema",
       schemaJson = widened.json, mor = m.mor, dvs = m.dvs,
-      carryFrom = Some(latest), constraints = Some(m.constraints))
+      carryFrom = Some(latest), constraints = Some(m.constraints),
+      legacyTransforms = Some(legacyKept))
   }
 
   /** The stale-resurrection gates every column ADDITION must pass —
@@ -3701,6 +3790,10 @@ object Versioned {
       // drop itself is file-identical, so `latest` names it exactly
       dropped = Some(m.dropped ++ physTombs),
       physNames = Some(m.physNames -- droppedFields.map(_.name)),
+      // a legacy transform on a dropped source only powered pruning —
+      // it goes with the column (old-generation scans stay exact)
+      legacyTransforms = Some(
+        m.legacyTransforms.filterNot(t => dropSet(lc(t.src)))),
       props = trimmedStats)
   }
 
@@ -3845,10 +3938,12 @@ object Versioned {
             .map(r => r.getString(0) -> r.getSeq[Long](1).toSeq).toMap
           (dvByFile.keySet ++ grouped.keySet).toSeq.sorted.map { f =>
             val prev = dvByFile.get(f)
+            // sidecar set unchanged → the sidecar-row count carries
             DvEntry(f,
               ((prev.map(_.positions).getOrElse(Nil)) ++
                 grouped.getOrElse(f, Nil)).sorted,
-              prev.map(_.sidecars).getOrElse(Nil))
+              prev.map(_.sidecars).getOrElse(Nil),
+              prev.map(_.scRows).getOrElse(Some(0L)))
           }
         } else {
           // wide delete: executors write the position sidecars; the
@@ -3869,9 +3964,14 @@ object Versioned {
               f.toPath.toAbsolutePath.normalize()).toString).toSeq
           (dvByFile.keySet ++ perFile.keySet).toSeq.sorted.map { f =>
             val prev = dvByFile.get(f)
+            // perFile IS this commit's exact sidecar cardinality for f
+            // (the fresh positions all spilled); sums stay exact while
+            // every prior count was known
             DvEntry(f, prev.map(_.positions).getOrElse(Nil),
               prev.map(_.sidecars).getOrElse(Nil) ++
-                (if (perFile.contains(f)) parts else Nil))
+                (if (perFile.contains(f)) parts else Nil),
+              prev.map(_.scRows).getOrElse(Some(0L))
+                .map(_ + perFile.getOrElse(f, 0L)))
           }
         }
       publishEntries(root, m.files, latest, "dv-delete",
@@ -4037,7 +4137,8 @@ object Versioned {
       constraints: Option[Map[String, String]] = None,
       dropped: Option[Map[String, Long]] = None,
       physNames: Option[Map[String, String]] = None,
-      transforms: Option[Seq[PartTransform]] = None): Long = {
+      transforms: Option[Seq[PartTransform]] = None,
+      legacyTransforms: Option[Seq[PartTransform]] = None): Long = {
     logDir(root).mkdirs()
     val next = parent + 1
     // partitioning and CHECK constraints are table properties:
@@ -4055,6 +4156,18 @@ object Versioned {
     val tableTransforms = transforms.getOrElse(
       parentM.map(_.transforms).getOrElse(Nil))
       .filter(t => partCols.contains(t.hidden))
+    // legacy (prior-spec) transforms inherit too, SELF-CLEANING: one
+    // survives only while (a) it isn't re-current and (b) its hidden
+    // column still tags at least one live file — a compaction that
+    // rewrites the last old-generation file retires the legacy spec
+    // in the same commit, no spec-history bookkeeping
+    val tableLegacy = {
+      val cands = legacyTransforms.getOrElse(
+        parentM.map(_.legacyTransforms).getOrElse(Nil))
+        .filterNot(tableTransforms.contains)
+      if (cands.isEmpty) Nil
+      else cands.filter(t => files.exists(_.stats.contains(t.hidden)))
+    }
     val tableConstraints = constraints.getOrElse(
       parentM.map(_.constraints).getOrElse(Map.empty))
     // the column mapping inherits like constraints: physical names are
@@ -4121,7 +4234,8 @@ object Versioned {
       partitionBy = partCols, props = effProps, dvs = dvs,
       ts = Some(System.currentTimeMillis()), segments = segments,
       constraints = tableConstraints, dropped = tombstones,
-      physNames = tablePhys, transforms = tableTransforms)
+      physNames = tablePhys, transforms = tableTransforms,
+      legacyTransforms = tableLegacy)
     // the publish itself is the pluggable put-if-absent primitive:
     // exactly one of two racing writers lands v<next>, whatever the
     // backend (POSIX hard link, object-store conditional put)
@@ -4943,7 +5057,8 @@ object Versioned {
       // tombstones and column mapping (consistent with its schema) are
       // reinstated too
       constraints = Some(m.constraints), dropped = Some(m.dropped),
-      physNames = Some(m.physNames), transforms = Some(m.transforms))
+      physNames = Some(m.physNames), transforms = Some(m.transforms),
+      legacyTransforms = Some(m.legacyTransforms))
   }
 
   /** Zero-copy SHALLOW CLONE (Delta's `CREATE TABLE … SHALLOW CLONE`):
@@ -4991,7 +5106,8 @@ object Versioned {
       // mapping carries verbatim: physical names are properties of the
       // shared files themselves.
       dropped = Some(m.dropped.map { case (c, _) => c -> 1L }),
-      physNames = Some(m.physNames), transforms = Some(m.transforms))
+      physNames = Some(m.physNames), transforms = Some(m.transforms),
+      legacyTransforms = Some(m.legacyTransforms))
   }
 
   /** CREATE TABLE: publish version 1 of an EMPTY table — zero data
@@ -5014,56 +5130,127 @@ object Versioned {
           s"table at $root already exists (latest version $v)")
       case None =>
         require(schema.fields.nonEmpty, "CREATE TABLE needs columns")
-        val hidden = transforms.map(_.hidden).toSet
-        val missing = partitionBy.filterNot(p => hidden(p) ||
-          schema.fieldNames.exists(_.equalsIgnoreCase(p)))
-        require(missing.isEmpty,
-          s"partition column(s) ${missing.mkString(", ")} are not in " +
-            "the declared schema")
-        transforms.foreach { t =>
-          require(partitionBy.contains(t.hidden),
-            s"transform ${t.show} is not in the partition spec")
-          require(t.src.matches("[A-Za-z0-9_]+"),
-            s"partition transform source '${t.src}' — transform " +
-              "sources must be plain identifiers")
-          require(!schema.fieldNames.exists(_.equalsIgnoreCase(t.hidden)),
-            s"schema declares '${t.hidden}', which collides with the " +
-              s"materialized column of transform ${t.show}")
-          val srcField = schema.fields.find(
-            _.name.equalsIgnoreCase(t.src)).getOrElse(
-            throw new IllegalArgumentException(
-              s"transform ${t.show}: source column '${t.src}' is not " +
-                "in the declared schema"))
-          import org.apache.spark.sql.types._
-          t.fn match {
-            case "bucket" =>
-              require(t.n > 0, s"bucket count must be positive in ${t.show}")
-              require(srcField.dataType match {
-                case _: IntegerType | _: LongType | _: ShortType |
-                     _: ByteType | _: StringType | _: DateType |
-                     _: TimestampType | _: DecimalType => true
-                case _ => false
-              }, s"transform ${t.show}: type ${srcField.dataType.sql} " +
-                "is not bucketable (needs a stable hashable type)")
-            case "days" | "months" | "years" =>
-              require(srcField.dataType.isInstanceOf[DateType] ||
-                srcField.dataType.isInstanceOf[TimestampType],
-                s"transform ${t.show} needs a DATE or TIMESTAMP " +
-                  s"source, got ${srcField.dataType.sql}")
-            case "hours" =>
-              require(srcField.dataType.isInstanceOf[TimestampType],
-                s"transform ${t.show} needs a TIMESTAMP source, got " +
-                  srcField.dataType.sql)
-            case other => throw new IllegalArgumentException(
-              s"unsupported partition transform: $other($t)")
-          }
-        }
+        validatePartitionSpec(schema, partitionBy, transforms)
         publishEntries(root, Nil, 0L, "append",
           schemaJson = schema.json, partitionBy = Some(partitionBy),
           transforms = Some(transforms))
         // a racing CREATE loses the CAS and retries into the
         // Some(v) branch above — ifNotExists decides noop vs error
     }
+  }
+
+  /** The declared-spec validation CREATE TABLE and ALTER TABLE … SET
+    * PARTITION SPEC share: partition columns resolve (schema column or
+    * a declared transform's hidden column), transform sources exist
+    * with transform-compatible types, hidden names can't shadow data. */
+  private def validatePartitionSpec(
+      schema: org.apache.spark.sql.types.StructType,
+      partitionBy: Seq[String],
+      transforms: Seq[PartTransform]): Unit = {
+    val hidden = transforms.map(_.hidden).toSet
+    val missing = partitionBy.filterNot(p => hidden(p) ||
+      schema.fieldNames.exists(_.equalsIgnoreCase(p)))
+    require(missing.isEmpty,
+      s"partition column(s) ${missing.mkString(", ")} are not in " +
+        "the declared schema")
+    transforms.foreach { t =>
+      require(partitionBy.contains(t.hidden),
+        s"transform ${t.show} is not in the partition spec")
+      require(t.src.matches("[A-Za-z0-9_]+"),
+        s"partition transform source '${t.src}' — transform " +
+          "sources must be plain identifiers")
+      require(!schema.fieldNames.exists(_.equalsIgnoreCase(t.hidden)),
+        s"schema declares '${t.hidden}', which collides with the " +
+          s"materialized column of transform ${t.show}")
+      val srcField = schema.fields.find(
+        _.name.equalsIgnoreCase(t.src)).getOrElse(
+        throw new IllegalArgumentException(
+          s"transform ${t.show}: source column '${t.src}' is not " +
+            "in the declared schema"))
+      import org.apache.spark.sql.types._
+      t.fn match {
+        case "bucket" =>
+          require(t.n > 0, s"bucket count must be positive in ${t.show}")
+          require(srcField.dataType match {
+            case _: IntegerType | _: LongType | _: ShortType |
+                 _: ByteType | _: StringType | _: DateType |
+                 _: TimestampType | _: DecimalType => true
+            case _ => false
+          }, s"transform ${t.show}: type ${srcField.dataType.sql} " +
+            "is not bucketable (needs a stable hashable type)")
+        case "days" | "months" | "years" =>
+          require(srcField.dataType.isInstanceOf[DateType] ||
+            srcField.dataType.isInstanceOf[TimestampType],
+            s"transform ${t.show} needs a DATE or TIMESTAMP " +
+              s"source, got ${srcField.dataType.sql}")
+        case "hours" =>
+          require(srcField.dataType.isInstanceOf[TimestampType],
+            s"transform ${t.show} needs a TIMESTAMP source, got " +
+              srcField.dataType.sql)
+        case other => throw new IllegalArgumentException(
+          s"unsupported partition transform: $other($t)")
+      }
+    }
+  }
+
+  /** PARTITION-SPEC EVOLUTION (Iceberg's `ALTER TABLE … SET PARTITION
+    * SPEC`) — one METADATA-ONLY commit at any table size: the table's
+    * declared layout changes for FUTURE writes; every existing file
+    * carries by identity under the spec it was written with.
+    *
+    * The multi-spec contract, re-expressed over per-file stats:
+    *  - NEW files derive (and single-tuple-record) the new spec's
+    *    columns; OLD files keep their old hidden column and stats.
+    *  - PRUNING consults each file's own generation: the old spec's
+    *    transforms move to `legacyTransforms`, so a point lookup on
+    *    the source column derives BOTH generations' bucket ids and
+    *    each file prunes under the derivation it was written with.
+    *  - SPJ reports the clustering only when every live file decodes
+    *    a single tuple under the CURRENT spec — a mixed-generation
+    *    table falls back to the shuffled join (grouping stability
+    *    first), and a full OPTIMIZE/overwrite migrates every file to
+    *    the current spec, retiring the legacy entry in that commit.
+    *  - Dynamic partition overwrite matches tuples under the CURRENT
+    *    spec: old-generation files never match, so they carry — the
+    *    documented Iceberg behavior — except the [[overwritePartitions]]
+    *    verb, which RESCUES them (rewrites old-generation remainders
+    *    minus the overwritten tuples), strictly stronger.
+    *
+    * Why this matters at 100 TB: yesterday's bucket(4) is today's skew
+    * — evolving to bucket(16) must not rewrite 100 TB. This commit is
+    * one manifest; the data migrates lazily through normal compaction.
+    *
+    * Time travel is unaffected: each snapshot carries its own spec. */
+  def setPartitionSpec(root: String, partitionBy: Seq[String],
+      transforms: Seq[PartTransform] = Nil): Long = withOccRetry(None) {
+    val latest = latestVersion(root).getOrElse(
+      throw new IllegalArgumentException(s"no versions at $root"))
+    val m = readManifest(root, latest)
+    val schema = m.schemaJson.map(org.apache.spark.sql.types.DataType
+      .fromJson(_).asInstanceOf[org.apache.spark.sql.types.StructType])
+      .getOrElse(throw new IllegalStateException(
+        s"table at $root carries no schema — cannot evolve its spec"))
+    validatePartitionSpec(schema, partitionBy, transforms)
+    if (m.partitionBy == partitionBy && m.transforms == transforms)
+      return latest // idempotent no-op: the spec already holds
+    // the displaced spec's transforms become legacy (pruning keeps
+    // working for old-generation files); identity partition columns
+    // need no legacy entry — their stats are plain data-column stats
+    val legacy = (m.transforms ++ m.legacyTransforms)
+      .filterNot(transforms.contains).distinct
+    publishEntries(root, m.files, latest, "schema",
+      schemaJson = m.schemaJson.orNull, mor = m.mor, dvs = m.dvs,
+      carryFrom = Some(latest),
+      partitionBy = Some(partitionBy), transforms = Some(transforms),
+      legacyTransforms = Some(legacy),
+      constraints = Some(m.constraints), dropped = Some(m.dropped),
+      physNames = Some(m.physNames),
+      props = Map("graft.spec.previous" ->
+        (m.partitionBy.map(pc => m.transforms.find(_.hidden == pc)
+          .map(_.show).getOrElse(pc)).mkString(", ") match {
+          case "" => "(unpartitioned)"
+          case s => s
+        })))
   }
 
   /** TRUNCATE TABLE — METADATA-ONLY at any table size: one manifest
@@ -5361,7 +5548,8 @@ object Versioned {
   private def renderJson(m: Manifest): String = {
     val filesNode = m.files.map(fileEntryNode).asJava
     val base = Map[String, Any]("version" -> m.version,
-      "format" -> (if (m.transforms.nonEmpty) 5
+      "format" -> (if (m.transforms.nonEmpty ||
+                       m.legacyTransforms.nonEmpty) 5
                    else if (m.physNames.nonEmpty) 4
                    else if (m.dropped.nonEmpty) 3 else 2),
       "action" -> m.action, "files" -> filesNode) ++
@@ -5389,12 +5577,21 @@ object Versioned {
        else Seq("transforms" -> m.transforms.map(t =>
          Map[String, Any]("hidden" -> t.hidden, "fn" -> t.fn,
            "n" -> t.n, "src" -> t.src).asJava).asJava)) ++
+      (if (m.legacyTransforms.isEmpty) Nil
+       else Seq("legacyTransforms" -> m.legacyTransforms.map(t =>
+         Map[String, Any]("hidden" -> t.hidden, "fn" -> t.fn,
+           "n" -> t.n, "src" -> t.src).asJava).asJava)) ++
       m.ts.map("ts" -> java.lang.Long.valueOf(_)) ++
       (if (m.dvs.isEmpty) Nil else Seq("dvs" -> m.dvs.map { d =>
         val base = Map[String, Any]("file" -> d.file,
           "positions" -> d.positions.map(java.lang.Long.valueOf).asJava)
-        (if (d.sidecars.isEmpty) base
-         else base + ("sidecars" -> d.sidecars.asJava)).asJava
+        val withSc =
+          if (d.sidecars.isEmpty) base
+          else base + ("sidecars" -> d.sidecars.asJava)
+        (d.scRows match {
+          case Some(n) => withSc + ("scRows" -> java.lang.Long.valueOf(n))
+          case None => withSc
+        }).asJava
       }.asJava))
     mapper.writerWithDefaultPrettyPrinter().writeValueAsString(withTxn.asJava)
   }
@@ -5476,11 +5673,17 @@ object Versioned {
           PartTransform(t.get("hidden").asText(), t.get("fn").asText(),
             t.get("n").asInt(), t.get("src").asText())
         }.toSeq).getOrElse(Nil),
+      legacyTransforms = Option(node.get("legacyTransforms"))
+        .map(_.elements().asScala.map { t =>
+          PartTransform(t.get("hidden").asText(), t.get("fn").asText(),
+            t.get("n").asInt(), t.get("src").asText())
+        }.toSeq).getOrElse(Nil),
       dvs = Option(node.get("dvs")).map(_.elements().asScala.map { d =>
         DvEntry(d.get("file").asText(), d.get("positions").elements()
           .asScala.map(_.asLong()).toSeq,
           Option(d.get("sidecars")).map(_.elements().asScala
-            .map(_.asText()).toSeq).getOrElse(Nil))
+            .map(_.asText()).toSeq).getOrElse(Nil),
+          Option(d.get("scRows")).map(_.asLong()))
       }.toSeq).getOrElse(Nil),
       ts = Option(node.get("ts")).map(_.asLong()))
   }

@@ -113,6 +113,15 @@ object VersionedSql {
   private val DropTagRe =
     (s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+DROP\\s+TAG\\s+""" +
       """([A-Za-z0-9._-]+)\s*;?\s*""").r
+  //   ALTER TABLE `path`|cat.ns.t SET PARTITION SPEC (item, …)
+  // Iceberg's partition-spec evolution, METADATA-ONLY: item :=
+  // col | bucket(n, col) | days(col) | months(col) | years(col) |
+  // hours(col); () evolves to unpartitioned. Existing files keep
+  // their generation's layout (they prune under the OLD derivation);
+  // new writes land under the new spec.
+  private val SetSpecRe =
+    (s"""(?is)\\s*ALTER\\s+TABLE\\s+$Ref\\s+SET\\s+PARTITION\\s+""" +
+      """SPEC\s*\((.*)\)\s*;?\s*""").r
   //   ANALYZE [TABLE] `path`|cat.ns.t COMPUTE STATISTICS
   //     FOR ALL COLUMNS | FOR COLUMNS a, b, …
   // one aggregate pass → NDV/nulls/min/max/lengths as a metadata-only
@@ -229,6 +238,16 @@ object VersionedSql {
         val root = refRoot(spark, ref)
         return result(spark, root, "drop-tag",
           Versioned.dropTag(root, name))
+      case SetSpecRe(ref, items) =>
+        val root = refRoot(spark, ref)
+        val parsed = splitSpecItems(items).map(parseSpecItem)
+        return result(spark, root, "set-partition-spec",
+          Versioned.setPartitionSpec(root,
+            parsed.map {
+              case Left(c) => c
+              case Right(tx) => tx.hidden
+            },
+            parsed.collect { case Right(tx) => tx }))
       case AnalyzeRe(ref, all, colList) =>
         val root = refRoot(spark, ref)
         val cols =
@@ -899,5 +918,44 @@ object VersionedSql {
       version: Long): DataFrame = {
     import spark.implicits._
     Seq((root, verb, version)).toDF("path", "verb", "version")
+  }
+
+  /** SET PARTITION SPEC item list split at TOP-LEVEL commas only —
+    * `bucket(8, k), days(ts)` is two items, not three. */
+  private def splitSpecItems(s: String): Seq[String] = {
+    val out = Seq.newBuilder[String]
+    val cur = new StringBuilder
+    var depth = 0
+    s.foreach {
+      case '(' => depth += 1; cur += '('
+      case ')' => depth -= 1; cur += ')'
+      case ',' if depth == 0 => out += cur.result(); cur.clear()
+      case c => cur += c
+    }
+    require(depth == 0, s"unbalanced parentheses in partition spec: $s")
+    out += cur.result()
+    out.result().map(_.trim).filter(_.nonEmpty)
+  }
+
+  private val BucketItemRe =
+    """(?i)bucket\s*\(\s*(\d+)\s*,\s*`?([A-Za-z0-9_]+)`?\s*\)""".r
+  private val TimeItemRe =
+    """(?i)(days|months|years|hours)\s*\(\s*`?([A-Za-z0-9_]+)`?\s*\)""".r
+  private val IdentItemRe = """`?([A-Za-z0-9_]+)`?""".r
+
+  /** One spec item → identity column (Left) or hidden transform
+    * (Right); anything else refuses loudly. */
+  private def parseSpecItem(item: String)
+      : Either[String, Versioned.PartTransform] = item match {
+    case BucketItemRe(n, col) =>
+      Right(Versioned.PartTransform("bucket", n.toInt, col))
+    case TimeItemRe(fn, col) =>
+      Right(Versioned.PartTransform(
+        fn.toLowerCase(java.util.Locale.ROOT), 0, col))
+    case IdentItemRe(col) => Left(col)
+    case other => throw new IllegalArgumentException(
+      s"bad partition spec item: '$other' — expected a column, " +
+        "bucket(n, col), days(col), months(col), years(col) or " +
+        "hours(col)")
   }
 }

@@ -2671,6 +2671,158 @@ object ExtraQueries {
   private val scopedOptDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // ---------------------------------------------------------------- x64
+  // LIMIT stays ARMED on a DV-pending (merge-on-read) snapshot: a wide
+  // sidecar-spilled delete records its exact per-file cardinality in
+  // the manifest, so the scan's LIMIT file cap plans by LIVE counts
+  // (rows − deleted) — MoR steady state plans LIMIT like CoW, no
+  // sidecar IO. The body PINS (a) exact counts present, (b) a capped
+  // scan opening a strict subset of live files, (c) LIMIT answering
+  // exactly n live rows; DuckDB replays the delete on the full read —
+  // a miscounted vector shifting the live set breaks the hash.
+  val x64DvLimit: Q = Q(
+    "x64_dv_limit",
+    """SELECT count(*) AS n,
+      |  CAST(SUM(CAST(o_totalprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total
+      |FROM orders WHERE o_orderkey % 7 <> 2""".stripMargin) { (s, d) =>
+    val cat = s"graftdvl${math.abs(d.hashCode)}"
+    val wh = dvLimitDirs.getOrElseUpdate(d, {
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-dvlim-q").toString
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.r12")
+      s.sql(s"CREATE TABLE $cat.r12.ord (o_orderkey BIGINT, " +
+        "price DOUBLE)")
+      t(s, d, "orders").select(col("o_orderkey"),
+        col("o_totalprice").cast("double").as("price"))
+        .createOrReplaceTempView("x64_src")
+      // 4 commits → 4+ live files, so a capped LIMIT has room to prune
+      (0 until 4).foreach { k =>
+        s.sql(s"INSERT INTO $cat.r12.ord SELECT * FROM x64_src " +
+          s"WHERE o_orderkey % 4 = $k")
+      }
+      val root = s"$w/r12/ord"
+      // threshold 0 forces the executor-sidecar path — the hard case:
+      // positions never touch the driver, only their COUNTS do
+      graft.operators.Versioned.deleteRows(s, root,
+        col("o_orderkey") % 7 === 2, inlineThreshold = 0)
+      val v = graft.operators.Versioned.latestVersion(root).get
+      require(graft.operators.Versioned
+        .dvDeletedCountsExact(root, v).isDefined,
+        "x64: sidecar-spilled delete must record exact cardinalities")
+      val schema = graft.operators.Versioned.tableSchema(s, root, Some(v))
+      val b = new graft.sources.GraftScanBuilder(s, root, v, schema)
+      require(b.pushLimit(10), "x64: the scan must accept the limit")
+      val capped = b.build()
+        .asInstanceOf[graft.sources.GraftRowLevelScan]
+      val total = graft.operators.Versioned.aggMeta(root, v)._1.size
+      val planned = capped.plannedDataFiles
+      require(planned < total && planned >= 1,
+        s"x64: LIMIT 10 on the DV-pending snapshot must plan a strict " +
+          s"subset of the $total live files, planned $planned")
+      w
+    })
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    // end-to-end LIMIT exactness on every run (not just first build)
+    val got = s.sql(s"SELECT o_orderkey FROM $cat.r12.ord LIMIT 10")
+      .collect().map(_.getLong(0))
+    require(got.length == 10 && got.distinct.length == 10 &&
+      got.forall(_ % 7 != 2),
+      "x64: LIMIT over pending vectors returned a wrong or deleted row")
+    s.sql("SELECT count(*) AS n, CAST(SUM(CAST(price AS " +
+      s"DECIMAL(18,2))) AS DOUBLE) AS total FROM $cat.r12.ord")
+  }
+
+  private val dvLimitDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
+  // ---------------------------------------------------------------- x65
+  // Partition-spec EVOLUTION, hash-gated across generations: a
+  // bucket(4, c_custkey) table takes half of customer, `ALTER TABLE …
+  // SET PARTITION SPEC (bucket(8, c_custkey))` evolves it METADATA-
+  // ONLY, the other half lands under bucket(8), and the full read
+  // spans both generations. The body PINS (a) the evolution commit
+  // touched zero files, (b) both generations coexist (old files carry
+  // only the bucket4 hidden column, new only bucket8), (c) a point
+  // lookup prunes EACH generation under ITS OWN derivation. DuckDB
+  // replays the plain union: a row lost to a mixed-generation prune or
+  // resurrected by a stale spec breaks the hash.
+  val x65SpecEvolution: Q = Q(
+    "x65_spec_evolution",
+    """SELECT c_custkey, CAST(c_acctbal AS DOUBLE) AS bal
+      |FROM customer ORDER BY c_custkey""".stripMargin) { (s, d) =>
+    val cat = s"graftpse${math.abs(d.hashCode)}"
+    val wh = specEvoDirs.getOrElseUpdate(d, {
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-pse-q").toString
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.r12")
+      s.sql(s"CREATE TABLE $cat.r12.cust (c_custkey BIGINT, " +
+        "bal DOUBLE) PARTITIONED BY (bucket(4, c_custkey))")
+      t(s, d, "customer").select(col("c_custkey"),
+        col("c_acctbal").cast("double").as("bal"))
+        .createOrReplaceTempView("x65_src")
+      s.sql(s"INSERT INTO $cat.r12.cust SELECT * FROM x65_src " +
+        "WHERE c_custkey % 2 = 0")
+      val root = s"$w/r12/cust"
+      val preFiles = graft.operators.Versioned
+        .files(root, graft.operators.Versioned.versions(root).last).toSet
+      graft.operators.VersionedSql(s,
+        s"ALTER TABLE $cat.r12.cust SET PARTITION SPEC " +
+          "(bucket(8, c_custkey))")
+      val evoV = graft.operators.Versioned.versions(root).last
+      require(graft.operators.Versioned.files(root, evoV).toSet
+        == preFiles,
+        "x65: SET PARTITION SPEC must be metadata-only")
+      s.sql(s"INSERT INTO $cat.r12.cust SELECT * FROM x65_src " +
+        "WHERE c_custkey % 2 = 1")
+      val v = graft.operators.Versioned.versions(root).last
+      val (entries, _, _) = graft.operators.Versioned.aggMeta(root, v)
+      val oldGen = entries.filter(e => preFiles(e.path))
+      val newGen = entries.filterNot(e => preFiles(e.path))
+      require(oldGen.nonEmpty &&
+        oldGen.forall(_.stats.contains("_pt_bucket4_c_custkey")) &&
+        newGen.nonEmpty &&
+        newGen.forall(_.stats.contains("_pt_bucket8_c_custkey")),
+        "x65: both spec generations must coexist after evolution")
+      // a point lookup keeps exactly {old gen under bucket4(v)} ∪
+      // {new gen under bucket8(v)} — each generation prunes under the
+      // derivation it was written with
+      val probe = 7L
+      val b4 = s.sql(s"SELECT pmod(hash(${probe}L), 4)")
+        .collect()(0).getInt(0)
+      val b8 = s.sql(s"SELECT pmod(hash(${probe}L), 8)")
+        .collect()(0).getInt(0)
+      val kept = graft.operators.Versioned.candidateFilesForBounds(
+        root, v, Seq(graft.operators.Versioned.ColumnBound(
+          "c_custkey", Some(probe), Some(probe)))).toSet
+      val expect =
+        (oldGen.filter(_.stats("_pt_bucket4_c_custkey")._2.toInt == b4)
+          ++ newGen.filter(
+            _.stats("_pt_bucket8_c_custkey")._2.toInt == b8))
+          .map(_.path).toSet
+      require(kept == expect && kept.size < entries.size,
+        s"x65: mixed-generation prune kept ${kept.size} files, " +
+          s"expected ${expect.size} of ${entries.size}")
+      w
+    })
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"SELECT c_custkey, bal FROM $cat.r12.cust " +
+      "ORDER BY c_custkey")
+  }
+
+  private val specEvoDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   // ---------------------------------------------------------------- x52
   // Storage-partitioned join, hash-gated: two catalog tables
   // partitioned the same way (customers and orders by nation-derived
@@ -2982,5 +3134,5 @@ object ExtraQueries {
     x49MorDml, x50StreamRead, x51MetaAgg, x52Spj, x53MetaAggFiltered,
     x54ShowPartitions, x55DropPartition, x56DvColumnar, x57ReorgPurge,
     x58WriteDistribution, x59BucketSpj, x60DaysPartition, x61AnalyzeCbo,
-    x62TagRead, x63ScopedOptimize)
+    x62TagRead, x63ScopedOptimize, x64DvLimit, x65SpecEvolution)
 }

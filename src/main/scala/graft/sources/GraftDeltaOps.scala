@@ -81,14 +81,16 @@ final class GraftDeltaOperation(spark: SparkSession, root: String,
 /** One task's delta: inserted file entries plus deleted positions —
   * inline per file when narrow, spilled to a position sidecar the
   * task wrote when wide. Each sidecar reports the exact data files it
-  * covers (the writer knows its own deleted map), so the publish
-  * attaches each sidecar reference ONLY to those files — DV
-  * application and change-feed replay then scan O(relevant sidecars)
-  * per file, not every sidecar of the commit. */
+  * covers WITH per-file row counts (the writer knows its own deleted
+  * map), so the publish attaches each sidecar reference ONLY to those
+  * files — DV application and change-feed replay then scan O(relevant
+  * sidecars) per file — and records the exact deleted cardinality in
+  * the manifest, keeping LIMIT caps and metadata COUNT(*) armed on
+  * the DV-pending snapshot without reading any sidecar back. */
 private[sources] final case class GraftDeltaMessage(
     entries: Seq[Versioned.FileEntry],
     deletes: Seq[(String, Seq[Long])],
-    sidecars: Seq[(String, Seq[String])]) extends WriterCommitMessage
+    sidecars: Seq[(String, Seq[(String, Long)])]) extends WriterCommitMessage
 
 /** The delta batch write: tasks stage insert files through the shared
   * executor-write core and collect deleted positions; the driver
@@ -198,7 +200,8 @@ private[sources] final class GraftDeltaWriter(
       } finally w.close()
       GraftDeltaMessage(insertMsg,
         deleted.keys.toSeq.sorted.map(f => (f, Seq.empty[Long])),
-        Seq((s"$dvRel/${f.getName}", deleted.keys.toSeq.sorted)))
+        Seq((s"$dvRel/${f.getName}", deleted.toSeq.sortBy(_._1)
+          .map { case (file, ps) => (file, ps.size.toLong) })))
     }
   }
 

@@ -379,8 +379,21 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
   override def estimateStatistics()
       : org.apache.spark.sql.connector.read.Statistics =
     new org.apache.spark.sql.connector.read.Statistics {
+      // pending deletion vectors subtract EXACTLY when the manifest
+      // recorded their cardinalities — a heavily-deleted MoR dimension
+      // reports its live size, so the broadcast decision sees truth
+      private val dvDel: Map[String, Long] =
+        if (!dvActive) Map.empty
+        else Versioned.dvDeletedCountsExact(root, version)
+          .getOrElse(Map.empty)
       private val (b, r) = files.foldLeft((0L, 0L)) { case ((bb, rr), p) =>
-        val (fb, fr) = meta.getOrElse(p, (0L, 0L)); (bb + fb, rr + fr)
+        val (fb, fr) = meta.getOrElse(p, (0L, 0L))
+        val live = math.max(0L, fr - dvDel.getOrElse(p, 0L))
+        // bytes scale by the live fraction — the broadcast threshold
+        // compares BYTES, and deleted rows never ship
+        val lb = if (fr <= 0L || live == fr) fb
+          else (fb.toDouble * live / fr).toLong
+        (bb + lb, rr + live)
       }
       override def sizeInBytes(): java.util.OptionalLong =
         java.util.OptionalLong.of(b)
@@ -483,16 +496,23 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
     }
     // LIMIT file cap (partial pushdown — Spark's Limit stays above):
     // plan just enough files to cover the limit from EXACT manifest
-    // row counts. Sound only when counts are exact (no pending
-    // deletion vectors) and the file grouping isn't load-bearing
-    // (storage-partitioned scans skip it); a LIMIT 10 then opens one
-    // file regardless of table size.
-    val limited: Seq[String] = limitHint match {
-      case Some(n) if !dvActive && spjState.isEmpty =>
+    // row counts. Sound only when live counts are exact and the file
+    // grouping isn't load-bearing (storage-partitioned scans skip it);
+    // a LIMIT 10 then opens one file regardless of table size. Pending
+    // deletion vectors DON'T stand the cap down when the manifest
+    // recorded their cardinalities: live rows = rows − deleted, still
+    // exact arithmetic — MoR steady state plans LIMIT like CoW. Only a
+    // legacy manifest with uncounted sidecars refuses (never guesses).
+    val dvDeleted: Option[Map[String, Long]] =
+      if (!dvActive) Some(Map.empty)
+      else Versioned.dvDeletedCountsExact(root, version)
+    val limited: Seq[String] = (limitHint, dvDeleted) match {
+      case (Some(n), Some(del)) if spjState.isEmpty =>
         var cum = 0L
         files.takeWhile { p =>
           val take = cum < n
-          cum += meta.getOrElse(p, (0L, 0L))._2
+          cum += math.max(0L, meta.getOrElse(p, (0L, 0L))._2 -
+            del.getOrElse(p, 0L))
           take
         }
       case _ => files
@@ -550,6 +570,13 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
     if (!empty) partitions += GraftFilePartition(current.result())
     partitions.result().toArray
   }
+
+  /** Distinct data files the current plan opens — plan-shape gates
+    * (x-series in-body requires, specs) read this instead of reaching
+    * into the package-private partition classes. */
+  def plannedDataFiles: Int = planInputPartitions().flatMap {
+    case p: GraftScanPartition => p.chunks.map(_.relPath)
+  }.distinct.length
 
   /** Pushed filter → the same filter over PHYSICAL column names, for
     * parquet row-group/page skipping inside the reader. STRICT: a

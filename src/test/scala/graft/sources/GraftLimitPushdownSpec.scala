@@ -60,38 +60,88 @@ class GraftLimitPushdownSpec extends SparkSpec {
     assert(got.distinct.length === 150)
   }
 
-  test("pending deletion vectors disable the cap (per-file counts " +
-      "over-count) and the limit still answers exactly") {
+  test("pending deletion vectors keep the cap ARMED: live rows = " +
+      "rows − recorded DV cardinality, so MoR plans LIMIT like CoW") {
     sql("CREATE TABLE graftlim.l.dv (id BIGINT)")
     val root = s"$warehouse/l/dv"
     (0 until 3).foreach { k =>
       Versioned.commit(spark, root,
         (k * 10 until (k + 1) * 10).map(_.toLong).toDF("id").coalesce(1))
     }
-    // kill most of the first file: a capped scan trusting raw counts
-    // would plan 2 files and come up short of LIMIT 15. The pending-DV
-    // snapshot stays on the NATIVE DV-aware scan (columnar live-row
-    // mapping), whose dvActive guard skips the cap — all 3 files plan.
+    // kill most of the first file: raw counts say 10 rows there, the
+    // manifest's recorded DV cardinality says 1 live. A cap trusting
+    // raw counts would plan ONE file for LIMIT 10 and come up short;
+    // the live-count cap plans two (1 + 10 ≥ 10) and stops there.
     Versioned.deleteRows(spark, root, col("id") < 9)
     val version = Versioned.latestVersion(root).get
+    assert(Versioned.dvDeletedCountsExact(root, version)
+      .exists(_.values.sum === 9L),
+      "inline DV cardinality must be exact manifest arithmetic")
     val schema = Versioned.tableSchema(spark, root, Some(version))
     val b = new GraftScanBuilder(spark, root, version, schema)
-    assert(b.pushLimit(15))
-    val plain = b.build().asInstanceOf[GraftRowLevelScan]
-    assert(plain.planInputPartitions().flatMap(
+    assert(b.pushLimit(10))
+    val capped = b.build().asInstanceOf[GraftRowLevelScan]
+    assert(capped.planInputPartitions().flatMap(
       _.asInstanceOf[GraftScanPartition].chunks.map(_.relPath))
-      .distinct.length === 3,
-      "pending DVs must disable the LIMIT file cap (inexact counts)")
-    val bm = new GraftScanBuilder(spark, root, version,
-      schema, org.apache.spark.sql.util.CaseInsensitiveStringMap.empty())
-    assert(bm.pushLimit(15))
-    bm.pruneColumns(org.apache.spark.sql.types.StructType(
-      schema.fields :+ org.apache.spark.sql.types.StructField("_file",
-        org.apache.spark.sql.types.StringType, nullable = false)))
-    val native = bm.build().asInstanceOf[GraftRowLevelScan]
-    assert(native.planInputPartitions().flatMap(
-      _.asInstanceOf[GraftScanPartition].chunks.map(_.relPath))
-      .distinct.length === 3)
+      .distinct.length === 2,
+      "recorded DV cardinalities must keep the LIMIT file cap armed")
+    // end-to-end exactness through Spark's Limit above
+    assert(sql("SELECT id FROM graftlim.l.dv LIMIT 10").count() === 10L)
     assert(sql("SELECT id FROM graftlim.l.dv LIMIT 15").count() === 15L)
+  }
+
+  test("sidecar-spilled deletes record exact cardinalities too — the " +
+      "cap plans by live counts with zero sidecar reads") {
+    sql("CREATE TABLE graftlim.l.sc (id BIGINT)")
+    val root = s"$warehouse/l/sc"
+    (0 until 3).foreach { k =>
+      Versioned.commit(spark, root,
+        (k * 100 until (k + 1) * 100).map(_.toLong).toDF("id").coalesce(1))
+    }
+    // threshold 0 forces the wide path: executors write position
+    // sidecars, the manifest records per-file counts alongside
+    Versioned.deleteRows(spark, root, col("id") < 90,
+      inlineThreshold = 0)
+    val version = Versioned.latestVersion(root).get
+    val exact = Versioned.dvDeletedCountsExact(root, version)
+    assert(exact.exists(_.values.sum === 90L),
+      s"sidecar cardinality must ride the manifest, got $exact")
+    // file lives: 10, 100, 100 — LIMIT 100 needs two files (10+100)
+    val schema = Versioned.tableSchema(spark, root, Some(version))
+    val b = new GraftScanBuilder(spark, root, version, schema)
+    assert(b.pushLimit(100))
+    val capped = b.build().asInstanceOf[GraftRowLevelScan]
+    assert(capped.planInputPartitions().flatMap(
+      _.asInstanceOf[GraftScanPartition].chunks.map(_.relPath))
+      .distinct.length === 2,
+      "sidecar-spilled DV cardinalities must keep the cap armed")
+    val got = sql("SELECT id FROM graftlim.l.sc LIMIT 100")
+      .collect().map(_.getLong(0))
+    assert(got.length === 100)
+    assert(got.forall(_ >= 90L), "a deleted row resurfaced under LIMIT")
+    assert(got.distinct.length === 100)
+  }
+
+  test("a second delete MERGES cardinalities (inline over sidecar), " +
+      "and a legacy entry without counts stands the cap down") {
+    sql("CREATE TABLE graftlim.l.m (id BIGINT)")
+    val root = s"$warehouse/l/m"
+    (0 until 2).foreach { k =>
+      Versioned.commit(spark, root,
+        (k * 50 until (k + 1) * 50).map(_.toLong).toDF("id").coalesce(1))
+    }
+    Versioned.deleteRows(spark, root, col("id") < 30,
+      inlineThreshold = 0) // sidecar: 30 positions in file 1
+    Versioned.deleteRows(spark, root, col("id") >= 30 && col("id") < 40)
+    val version = Versioned.latestVersion(root).get
+    assert(Versioned.dvDeletedCountsExact(root, version)
+      .exists(_.values.sum === 40L),
+      "merged inline+sidecar cardinality must stay exact")
+    // legacy shape: an entry with sidecars but NO recorded count —
+    // exact counts must refuse (None), never guess
+    val legacy = Versioned.pendingDvEntries(root, version).map(d =>
+      if (d.sidecars.nonEmpty) d.copy(scRows = None) else d)
+    assert(legacy.exists(d => d.sidecars.nonEmpty && d.deletedExact.isEmpty),
+      "an uncounted sidecar entry must report unknown, not a guess")
   }
 }

@@ -190,6 +190,40 @@ class GraftMetaAggSpec extends SparkSpec {
     assert((rc.getLong(0), rc.getLong(1)) === ((99L, 0L)))
   }
 
+  test("sidecar-spilled DVs: COUNT(*) answers with ZERO Spark jobs — " +
+      "the manifest's recorded cardinality replaces the sidecar scan") {
+    sql("CREATE TABLE graftma.m.morsc (id BIGINT)")
+    val root = s"$warehouse/m/morsc"
+    Versioned.commit(spark, root,
+      (0 until 200).map(_.toLong).toDF("id").coalesce(2))
+    // threshold 0 forces executor-written position sidecars; the
+    // publish records each file's exact spilled count in the manifest
+    Versioned.deleteRows(spark, root, col("id") % 4 === 0L,
+      inlineThreshold = 0)
+    val v = Versioned.latestVersion(root).get
+    assert(Versioned.dvDeletedCountsExact(root, v)
+      .exists(_.values.sum === 50L))
+    // a job group makes the count synchronous (statusTracker, no
+    // listener race): PLANNING runs on this thread, so the old
+    // sidecar-counting parquet scan would land a job in the group.
+    // (Collecting the final LocalTableScan later runs one driver-local
+    // job with no data IO — that's Spark's collect machinery, not a
+    // scan; only the planning window must be job-free.)
+    spark.sparkContext.setJobGroup("magg-dv-zero", "zero-job probe")
+    val df = try {
+      val df = sql("SELECT count(*) AS n FROM graftma.m.morsc")
+      assert(isMetaOnly(df)) // forces the executed plan — planning done
+      val jobs = spark.sparkContext.statusTracker
+        .getJobIdsForGroup("magg-dv-zero")
+      assert(jobs.isEmpty,
+        s"planning metadata COUNT(*) under sidecar DVs launched " +
+          s"${jobs.length} job(s) — the cardinality must come from " +
+          "the manifest, not a sidecar scan")
+      df
+    } finally spark.sparkContext.clearJobGroup()
+    assert(df.as[Long].head() === 150L)
+  }
+
   test("schema evolution: COUNT(col) refuses while any live file " +
       "predates the column; COUNT(*) keeps answering") {
     sql("CREATE TABLE graftma.m.evo (id BIGINT)")
