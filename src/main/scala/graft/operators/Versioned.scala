@@ -214,31 +214,60 @@ object Versioned {
       * engine's existing "partition values must be non-null" error
       * fires (bucket needs the explicit guard: Spark's hash(NULL) is
       * the seed, not NULL — without the CASE a null key would silently
-      * land in bucket pmod(42, n)). */
-    def sql: String = fn match {
-      case "bucket" =>
-        s"CASE WHEN `$src` IS NULL THEN CAST(NULL AS INT) " +
-          s"ELSE pmod(hash(`$src`), $n) END"
-      case "days" => s"CAST(`$src` AS DATE)"
-      case "months" => s"TRUNC(CAST(`$src` AS DATE), 'MONTH')"
-      case "years" => s"TRUNC(CAST(`$src` AS DATE), 'YEAR')"
-      case "hours" => s"DATE_TRUNC('HOUR', `$src`)"
-      case other => throw new IllegalArgumentException(
-        s"unknown partition transform: $other")
+      * land in bucket pmod(42, n)). `srcType` drives the
+      * type-dependent derivations (truncate is width-of-prefix on
+      * strings, floor-to-multiple on integrals); the type-independent
+      * transforms ignore it. */
+    def sql(srcType: org.apache.spark.sql.types.DataType): String = {
+      import org.apache.spark.sql.types._
+      fn match {
+        case "bucket" =>
+          s"CASE WHEN `$src` IS NULL THEN CAST(NULL AS INT) " +
+            s"ELSE pmod(hash(`$src`), $n) END"
+        case "days" => s"CAST(`$src` AS DATE)"
+        case "months" => s"TRUNC(CAST(`$src` AS DATE), 'MONTH')"
+        case "years" => s"TRUNC(CAST(`$src` AS DATE), 'YEAR')"
+        case "hours" => s"DATE_TRUNC('HOUR', `$src`)"
+        // Iceberg's truncate: order-preserving width reduction —
+        // strings keep their first n chars, integrals floor to the
+        // nearest multiple of n (pmod keeps negatives correct)
+        case "truncate" => srcType match {
+          case _: StringType => s"substring(`$src`, 1, $n)"
+          case _: ByteType | _: ShortType | _: IntegerType |
+               _: LongType =>
+            s"`$src` - pmod(`$src`, $n)"
+          case other => throw new IllegalArgumentException(
+            s"truncate($n, $src): unsupported source type ${other.sql}")
+        }
+        case other => throw new IllegalArgumentException(
+          s"unknown partition transform: $other")
+      }
     }
-    /** The hidden column's type — fixed by the transform, independent
-      * of the source type. */
-    def dataType: org.apache.spark.sql.types.DataType = fn match {
+    /** The hidden column's type — fixed by the transform for bucket
+      * and the time grains; the SOURCE type for truncate (an
+      * order-preserving width reduction keeps its domain). */
+    def dataType(srcType: org.apache.spark.sql.types.DataType)
+        : org.apache.spark.sql.types.DataType = fn match {
       case "bucket" => org.apache.spark.sql.types.IntegerType
       case "days" | "months" | "years" =>
         org.apache.spark.sql.types.DateType
       case "hours" => org.apache.spark.sql.types.TimestampType
+      case "truncate" => srcType
       case other => throw new IllegalArgumentException(
         s"unknown partition transform: $other")
     }
+    /** The source field's type under `schema`, for [[sql]]/[[dataType]]
+      * at sites that hold the write/read schema. */
+    def srcTypeIn(schema: org.apache.spark.sql.types.StructType)
+        : org.apache.spark.sql.types.DataType =
+      schema.fields.find(_.name.equalsIgnoreCase(src)).map(_.dataType)
+        .getOrElse(throw new IllegalArgumentException(
+          s"transform $show: source column '$src' is not in the frame " +
+            s"(${schema.fieldNames.mkString(", ")})"))
     /** Display form, e.g. `bucket(16, key)` / `days(ts)`. */
     def show: String =
-      if (fn == "bucket") s"$fn($n, $src)" else s"$fn($src)"
+      if (fn == "bucket" || fn == "truncate") s"$fn($n, $src)"
+      else s"$fn($src)"
   }
 
   private[graft] object PartTransform {
@@ -246,7 +275,8 @@ object Versioned {
       * so user columns can never collide silently (creation refuses a
       * schema that declares the name). */
     def hiddenName(fn: String, n: Int, src: String): String =
-      if (fn == "bucket") s"_pt_${fn}${n}_$src" else s"_pt_${fn}_$src"
+      if (fn == "bucket" || fn == "truncate") s"_pt_${fn}${n}_$src"
+      else s"_pt_${fn}_$src"
 
     def apply(fn: String, n: Int, src: String): PartTransform =
       PartTransform(hiddenName(fn, n, src), fn, n, src)
@@ -1170,7 +1200,8 @@ object Versioned {
       .filter(t => partitionBy.contains(t.hidden))
       .foldLeft(df)((d, t) =>
         d.drop(t.hidden).withColumn(t.hidden,
-          org.apache.spark.sql.functions.expr(t.sql)))
+          org.apache.spark.sql.functions.expr(t.sql(
+            t.srcTypeIn(d.schema)))))
     // COLUMN MAPPING write edge: alias logical → physical just before
     // the parquet write (constraints above evaluated on the logical
     // frame). Everything below — the write, footer stats, blooms —
@@ -2041,7 +2072,8 @@ object Versioned {
     // files — the reason bucket partitioning exists. (Time transforms
     // need no translation: day-pure files keep day-bounded source
     // stats, so range bounds on the source already prune exactly.)
-    val probes = (mapped ++ bucketBounds(m, bounds)).map(compileBound)
+    val probes = (mapped ++ bucketBounds(m, bounds) ++
+      truncateBounds(m, bounds)).map(compileBound)
     m.files.filter { f =>
       probes.forall(p => p(f))
     }.map(_.path)
@@ -2090,6 +2122,70 @@ object Versioned {
                   ColumnBound(t.hidden, Some(ids.head), Some(ids.head))
                 else inBound(t.hidden, ids)
               }
+            }
+          }
+        }
+    }
+  }
+
+  /** Derived hidden-column bounds for TRUNCATE transforms (current and
+    * legacy generations, like [[bucketBounds]]). Truncate is ORDER-
+    * PRESERVING — monotone floor-to-multiple on integrals, monotone
+    * prefix on strings — so unlike bucket, RANGE predicates derive
+    * too: src ∈ [lo, hi] ⇒ hidden ∈ [truncate(lo), truncate(hi)],
+    * each side independently (a one-sided bound stays one-sided).
+    * String derivation restricts to ASCII literals, where driver-side
+    * char slicing provably agrees with the write-side `substring` and
+    * footer-stats ordering; anything else declines conservatively. */
+  private def truncateBounds(m: Manifest,
+      bounds: Seq[ColumnBound]): Seq[ColumnBound] = {
+    val ts = (m.transforms ++ m.legacyTransforms).filter(_.fn == "truncate")
+    if (ts.isEmpty) return Nil
+    val schema = m.schemaJson.map(org.apache.spark.sql.types.DataType
+      .fromJson(_).asInstanceOf[org.apache.spark.sql.types.StructType])
+    import org.apache.spark.sql.types._
+    def trunc(srcType: DataType, n: Int, v: Any): Option[Any] =
+      srcType match {
+        case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
+          (v match {
+            case b: Byte => Some(b.toLong)
+            case s: Short => Some(s.toLong)
+            case i: Int => Some(i.toLong)
+            case l: Long => Some(l)
+            case _ => None
+          }).map(l => java.lang.Long.valueOf(
+            // two's-complement wrap matches the SQL derivation's
+            // non-ANSI subtract on the same extreme inputs
+            l - (((l % n) + n) % n)): Any)
+        case _: StringType => v match {
+          case s: String if s.forall(_ < 128) =>
+            Some(s.substring(0, math.min(n, s.length)))
+          case _ => None
+        }
+        case _ => None
+      }
+    ts.flatMap { t =>
+      schema.flatMap(_.fields.find(_.name.equalsIgnoreCase(t.src)))
+        .map(_.dataType).toSeq.flatMap { st =>
+          bounds.flatMap { b =>
+            if (!b.col.equalsIgnoreCase(t.src) || b.nullness.nonEmpty) None
+            else b.values match {
+              case Some(vs) =>
+                val ids = vs.map(v => trunc(st, t.n, v))
+                if (ids.isEmpty || ids.exists(_.isEmpty)) None
+                else {
+                  val d = ids.flatten.distinct
+                  Some(if (d.size == 1)
+                    ColumnBound(t.hidden, Some(d.head), Some(d.head))
+                  else inBound(t.hidden, d))
+                }
+              case None =>
+                val lo = b.lo.flatMap(trunc(st, t.n, _))
+                val hi = b.hi.flatMap(trunc(st, t.n, _))
+                // a side that fails to derive DROPS (wider, sound);
+                // both failing derives nothing
+                if (lo.isEmpty && hi.isEmpty) None
+                else Some(ColumnBound(t.hidden, lo, hi))
             }
           }
         }
@@ -3198,7 +3294,8 @@ object Versioned {
             import org.apache.spark.sql.functions.expr
             def derived(df0: DataFrame): DataFrame =
               m.transforms.foldLeft(df0)((d, t) =>
-                d.withColumn(t.hidden, expr(t.sql)))
+                d.withColumn(t.hidden,
+                  expr(t.sql(t.srcTypeIn(d.schema)))))
             val kept = derived(base).join(
               derived(aligned).select(m.partitionBy.map(c): _*)
                 .distinct(),
@@ -5178,6 +5275,15 @@ object Versioned {
             case _ => false
           }, s"transform ${t.show}: type ${srcField.dataType.sql} " +
             "is not bucketable (needs a stable hashable type)")
+        case "truncate" =>
+          require(t.n > 0,
+            s"truncate width must be positive in ${t.show}")
+          require(srcField.dataType match {
+            case _: StringType | _: ByteType | _: ShortType |
+                 _: IntegerType | _: LongType => true
+            case _ => false
+          }, s"transform ${t.show}: type ${srcField.dataType.sql} " +
+            "is not truncatable (needs STRING or an integral type)")
         case "days" | "months" | "years" =>
           require(srcField.dataType.isInstanceOf[DateType] ||
             srcField.dataType.isInstanceOf[TimestampType],

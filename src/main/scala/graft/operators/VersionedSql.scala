@@ -938,7 +938,7 @@ object VersionedSql {
   }
 
   private val BucketItemRe =
-    """(?i)bucket\s*\(\s*(\d+)\s*,\s*`?([A-Za-z0-9_]+)`?\s*\)""".r
+    """(?i)(bucket|truncate)\s*\(\s*(\d+)\s*,\s*`?([A-Za-z0-9_]+)`?\s*\)""".r
   private val TimeItemRe =
     """(?i)(days|months|years|hours)\s*\(\s*`?([A-Za-z0-9_]+)`?\s*\)""".r
   private val IdentItemRe = """`?([A-Za-z0-9_]+)`?""".r
@@ -947,15 +947,16 @@ object VersionedSql {
     * (Right); anything else refuses loudly. */
   private def parseSpecItem(item: String)
       : Either[String, Versioned.PartTransform] = item match {
-    case BucketItemRe(n, col) =>
-      Right(Versioned.PartTransform("bucket", n.toInt, col))
+    case BucketItemRe(fn, n, col) =>
+      Right(Versioned.PartTransform(
+        fn.toLowerCase(java.util.Locale.ROOT), n.toInt, col))
     case TimeItemRe(fn, col) =>
       Right(Versioned.PartTransform(
         fn.toLowerCase(java.util.Locale.ROOT), 0, col))
     case IdentItemRe(col) => Left(col)
     case other => throw new IllegalArgumentException(
       s"bad partition spec item: '$other' — expected a column, " +
-        "bucket(n, col), days(col), months(col), years(col) or " +
-        "hours(col)")
+        "bucket(n, col), truncate(n, col), days(col), months(col), " +
+        "years(col) or hours(col)")
   }
 }

@@ -2823,6 +2823,104 @@ object ExtraQueries {
   private val specEvoDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // ---------------------------------------------------------------- x66
+  // truncate(n, key) partitioning end-to-end, hash-gated: two catalog
+  // tables PARTITIONED BY (truncate(1000, key)) join exchange-free via
+  // the storage-partitioned join (the V2 truncate function resolves
+  // through the catalog's FunctionCatalog and both sides' canonical
+  // names align), and a RANGE predicate on the raw key prunes files
+  // through the order-preserving derivation — the body PINS both (no
+  // shuffle below the join; range prune strictly narrows). DuckDB
+  // replays the join+filter from the base tables.
+  val x66TruncateSpj: Q = Q(
+    "x66_truncate_spj",
+    """SELECT o.o_orderkey - (o.o_orderkey % 1000) AS grp,
+      |  COUNT(*) AS n,
+      |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
+      |    AS total
+      |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
+      |WHERE o.o_orderkey >= 10000 AND o.o_orderkey < 40000
+      |GROUP BY 1 ORDER BY grp""".stripMargin) { (s, d) =>
+    val cat = s"grafttspj${math.abs(d.hashCode)}"
+    val wh = truncSpjDirs.getOrElseUpdate(d, {
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-tspj-q").toString
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.r12")
+      s.sql(s"CREATE TABLE $cat.r12.ord (o_orderkey BIGINT) " +
+        "PARTITIONED BY (truncate(1000, o_orderkey))")
+      s.sql(s"CREATE TABLE $cat.r12.li (l_orderkey BIGINT, " +
+        "price DOUBLE) PARTITIONED BY (truncate(1000, l_orderkey))")
+      t(s, d, "orders").select(col("o_orderkey"))
+        .createOrReplaceTempView("x66_ord")
+      t(s, d, "lineitem").select(col("l_orderkey"),
+        col("l_extendedprice").cast("double").as("price"))
+        .createOrReplaceTempView("x66_li")
+      s.sql(s"INSERT INTO $cat.r12.ord SELECT * FROM x66_ord")
+      s.sql(s"INSERT INTO $cat.r12.li SELECT * FROM x66_li")
+      // range prune through the order-preserving derivation: the
+      // key window must plan strictly fewer files than the table
+      val root = s"$w/r12/ord"
+      val v = graft.operators.Versioned.versions(root).last
+      val all = graft.operators.Versioned.files(root, v).size
+      val kept = graft.operators.Versioned.candidateFilesForBounds(
+        root, v, Seq(graft.operators.Versioned.ColumnBound(
+          "o_orderkey", Some(10000L), Some(39999L)))).size
+      require(kept < all && kept >= 1,
+        s"x66: the key-range prune must narrow through truncate " +
+          s"(kept $kept of $all)")
+      w
+    })
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    val saved = Seq("spark.sql.sources.v2.bucketing.enabled",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled",
+      "spark.graft.spj.preserveDataGrouping",
+      "spark.sql.adaptive.enabled",
+      "spark.sql.autoBroadcastJoinThreshold")
+      .map(k => k -> s.conf.getOption(k))
+    try {
+      s.conf.set("spark.sql.sources.v2.bucketing.enabled", "true")
+      s.conf.set(
+        "spark.sql.sources.v2.bucketing.pushPartValues.enabled", "true")
+      s.conf.set("spark.graft.spj.preserveDataGrouping", "true")
+      s.conf.set("spark.sql.adaptive.enabled", "false")
+      s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
+      val df = s.sql(
+        s"""SELECT o.o_orderkey - (o.o_orderkey % 1000) AS grp,
+           |  COUNT(*) AS n,
+           |  CAST(SUM(CAST(l.price AS DECIMAL(18,2))) AS DOUBLE)
+           |    AS total
+           |FROM $cat.r12.ord o JOIN $cat.r12.li l
+           |  ON o.o_orderkey = l.l_orderkey
+           |WHERE o.o_orderkey >= 10000 AND o.o_orderkey < 40000
+           |GROUP BY 1 ORDER BY grp""".stripMargin)
+      val join = df.queryExecution.executedPlan.collectFirst {
+        case j: org.apache.spark.sql.execution.joins
+            .SortMergeJoinExec => j
+      }.getOrElse(throw new IllegalStateException(
+        "x66 expects a sort-merge join"))
+      val shuffles = join.collect {
+        case e: org.apache.spark.sql.execution.exchange
+            .ShuffleExchangeExec => e
+      }
+      require(shuffles.isEmpty,
+        s"x66: the truncate-partitioned join must be exchange-free:\n$join")
+      val rows = df.collect()
+      val sc = s.sparkContext
+      s.createDataFrame(sc.parallelize(rows.toIndexedSeq, 1), df.schema)
+    } finally saved.foreach {
+      case (k, Some(v)) => s.conf.set(k, v)
+      case (k, None) => s.conf.unset(k)
+    }
+  }
+
+  private val truncSpjDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   // ---------------------------------------------------------------- x52
   // Storage-partitioned join, hash-gated: two catalog tables
   // partitioned the same way (customers and orders by nation-derived
@@ -3134,5 +3232,6 @@ object ExtraQueries {
     x49MorDml, x50StreamRead, x51MetaAgg, x52Spj, x53MetaAggFiltered,
     x54ShowPartitions, x55DropPartition, x56DvColumnar, x57ReorgPurge,
     x58WriteDistribution, x59BucketSpj, x60DaysPartition, x61AnalyzeCbo,
-    x62TagRead, x63ScopedOptimize, x64DvLimit, x65SpecEvolution)
+    x62TagRead, x63ScopedOptimize, x64DvLimit, x65SpecEvolution,
+    x66TruncateSpj)
 }

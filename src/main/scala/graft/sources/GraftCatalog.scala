@@ -261,12 +261,23 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
               s"sorted/multi-column bucket transforms are not " +
                 s"supported: $t")
             Right(Versioned.PartTransform("bucket", n, ref(t)))
+          case "truncate" =>
+            val n = t.arguments().collectFirst {
+              case l: org.apache.spark.sql.connector.expressions.Literal[_]
+                  if l.value().isInstanceOf[Number] =>
+                l.value().asInstanceOf[Number].intValue()
+            }.getOrElse(throw new IllegalArgumentException(
+              s"truncate transform needs a literal width: $t"))
+            require(t.references().length == 1,
+              s"multi-column truncate transforms are not supported: $t")
+            Right(Versioned.PartTransform("truncate", n, ref(t)))
           case fn @ ("days" | "months" | "years" | "hours") =>
             Right(Versioned.PartTransform(fn, 0, ref(t)))
           case other => throw new IllegalArgumentException(
             s"unsupported PARTITIONED BY transform: $other — " +
-              "supported: identity columns, bucket(n, col), days(col), " +
-              "months(col), years(col), hours(col)")
+              "supported: identity columns, bucket(n, col), " +
+              "truncate(n, col), days(col), months(col), years(col), " +
+              "hours(col)")
         }
       }
     val partCols = parsed.map {
@@ -495,6 +506,10 @@ final class GraftTable(spark: SparkSession, fullName: String,
     Versioned.partitionByOf(root, Some(pinned)).map { pc =>
       tx.get(pc) match {
         case Some(t) if t.fn == "bucket" => Expressions.bucket(t.n, t.src)
+        case Some(t) if t.fn == "truncate" =>
+          Expressions.apply(t.fn,
+            Expressions.literal(java.lang.Integer.valueOf(t.n)),
+            Expressions.column(t.src))
         case Some(t) => Expressions.apply(t.fn, Expressions.column(t.src))
         case None => Expressions.identity(pc)
       }

@@ -25,11 +25,19 @@ import org.apache.spark.sql.types._
   */
 private[sources] object GraftFunctions {
 
-  val names: Seq[String] = Seq("bucket", "days", "months", "years", "hours")
+  val names: Seq[String] =
+    Seq("bucket", "truncate", "days", "months", "years", "hours")
+
+  private val TruncateN = """truncate_(\d+)""".r
 
   def load(name: String): Option[UnboundFunction] =
     name.toLowerCase(java.util.Locale.ROOT) match {
       case "bucket" => Some(BucketUnbound)
+      case "truncate" => Some(TruncateUnbound)
+      // the width-parameterized ONE-ARG family the SPJ clustering
+      // reports (KeyGroupedPartitioning supports only single-argument
+      // transforms): truncate_8(col) ≡ truncate(8, col)
+      case TruncateN(n) => Some(new TruncateNUnbound(n.toInt))
       case "days" | "months" | "years" | "hours" =>
         Some(new TimeUnbound(name.toLowerCase(java.util.Locale.ROOT)))
       case _ => None
@@ -63,6 +71,66 @@ private[sources] object GraftFunctions {
         Pmod(new Murmur3Hash(Seq(BoundReference(1, srcType,
           nullable = true))), BoundReference(0, IntegerType,
           nullable = false)))
+    }
+  }
+
+  /** `truncate(n, col)`: Iceberg's order-preserving width reduction —
+    * strings keep their first n chars, integrals floor to the nearest
+    * multiple of n (`v - pmod(v, n)`). Identical to the write
+    * derivation; result type = source type, embedded in the canonical
+    * name so truncate over INT and BIGINT never falsely align. */
+  private object TruncateUnbound extends UnboundFunction {
+    override def name(): String = "truncate"
+    override def description(): String =
+      "truncate(n, col): order-preserving width-reduction transform"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(inputType.fields.length == 2,
+        s"truncate expects (width, col), got $inputType")
+      val nType = inputType.fields(0).dataType
+      require(nType == IntegerType,
+        s"truncate width must be INT, got ${nType.sql}")
+      val srcType = inputType.fields(1).dataType
+      val src = BoundReference(1, srcType, nullable = true)
+      val width = BoundReference(0, IntegerType, nullable = false)
+      new BoundExprFunction("truncate",
+        s"graft.truncate(${srcType.catalogString})",
+        Array(IntegerType, srcType), srcType,
+        truncateExpr(src, srcType, width))
+    }
+  }
+
+  /** The derivation expression truncate binds, shared by both arities:
+    * strings keep their first n chars, integrals floor to the nearest
+    * multiple of n. */
+  private def truncateExpr(src: Expression, srcType: DataType,
+      width: Expression): Expression = srcType match {
+    case _: StringType =>
+      org.apache.spark.sql.catalyst.expressions.Substring(src,
+        Literal(1), width)
+    case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
+      org.apache.spark.sql.catalyst.expressions.Subtract(src,
+        Pmod(src, Cast(width, srcType)))
+    case other => throw new IllegalArgumentException(
+      s"type ${other.sql} is not truncatable (needs STRING or an " +
+        "integral type)")
+  }
+
+  /** `truncate_<n>(col)` — the SPJ-reported one-arg form. Width AND
+    * input type ride the canonical name: truncate_8 over INT never
+    * aligns with truncate_8 over BIGINT or truncate_16 over INT. */
+  private final class TruncateNUnbound(n: Int) extends UnboundFunction {
+    override def name(): String = s"truncate_$n"
+    override def description(): String =
+      s"truncate_$n(col): width-$n order-preserving reduction"
+    override def bind(inputType: StructType): BoundFunction = {
+      require(n > 0, s"truncate width must be positive, got $n")
+      require(inputType.fields.length == 1,
+        s"truncate_$n expects one column, got $inputType")
+      val srcType = inputType.fields(0).dataType
+      val src = BoundReference(0, srcType, nullable = true)
+      new BoundExprFunction(s"truncate_$n",
+        s"graft.truncate($n, ${srcType.catalogString})",
+        Array(srcType), srcType, truncateExpr(src, srcType, Literal(n)))
     }
   }
 

@@ -285,11 +285,23 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
         txByHidden.get(pc) match {
           case Some(t) =>
             required.fields.find(_.name.equalsIgnoreCase(t.src)).map { f =>
+              // Spark's KeyGroupedPartitioning only supports SINGLE-
+              // argument transform expressions (bucket rides a special
+              // numBuckets slot; a literal width would be a second
+              // child and the partitioning degrades to Unknown), so
+              // truncate reports as the width-parameterized one-arg
+              // function `truncate_<n>` — the catalog serves the
+              // family, and the width stays in the canonical name so
+              // different widths never falsely align
               val v2 =
                 if (t.fn == "bucket") Expressions.bucket(t.n, f.name)
+                else if (t.fn == "truncate")
+                  Expressions.apply(s"truncate_${t.n}",
+                    Expressions.column(f.name))
                 else Expressions.apply(t.fn, Expressions.column(f.name))
               (v2: org.apache.spark.sql.connector.expressions.Expression,
-                (physAt.getOrElse(t.hidden, t.hidden), t.dataType))
+                (physAt.getOrElse(t.hidden, t.hidden),
+                  t.dataType(f.dataType)))
             }
           case None =>
             required.fields.find(_.name.equalsIgnoreCase(pc)).map(f =>

@@ -75,9 +75,17 @@ private[graft] object GraftWriteCore {
     }
     // hidden partition transforms derive IN the task from the logical
     // write schema; references to a missing source fail loudly here
-    val partTx = partCols.flatMap(txByHidden.get).map { t =>
-      (t.hidden, GraftParquetIO.boundExpr(spark, schema, t.sql),
-        t.dataType)
+    // a delete-only delta write plans with an EMPTY row schema — its
+    // tasks never insert, so the derivation is unreachable and skips;
+    // a real insert schema missing the source still fails loudly
+    val partTx = partCols.flatMap(txByHidden.get).flatMap { t =>
+      if (schema.isEmpty) None
+      else {
+        val srcType = t.srcTypeIn(schema)
+        Some((t.hidden,
+          GraftParquetIO.boundExpr(spark, schema, t.sql(srcType)),
+          t.dataType(srcType)))
+      }
     }
     statsCols.foreach { sc =>
       require(schema.fieldNames.exists(_.equalsIgnoreCase(sc)),

@@ -104,6 +104,11 @@ private[sources] object GraftWriteLayout {
           schema.fieldNames.find(_.equalsIgnoreCase(t.src)).map { f =>
             if (t.fn == "bucket") Expressions.bucket(t.n, f)
               : org.apache.spark.sql.connector.expressions.Expression
+            else if (t.fn == "truncate")
+              Expressions.apply(t.fn,
+                Expressions.literal(java.lang.Integer.valueOf(t.n)),
+                Expressions.column(f))
+              : org.apache.spark.sql.connector.expressions.Expression
             else Expressions.apply(t.fn, Expressions.column(f))
               : org.apache.spark.sql.connector.expressions.Expression
           }
@@ -170,7 +175,8 @@ private[sources] object GraftWriteLayout {
       else Versioned.partitionByOf(root).flatMap { pc =>
         tx.get(pc) match {
           case Some(t) if have(t.src.toLowerCase(java.util.Locale.ROOT)) =>
-            Some((freeName(s"__graft_rb_${t.hidden}"), Some(t.sql)))
+            Some((freeName(s"__graft_rb_${t.hidden}"),
+              Some(t.sql(t.srcTypeIn(df.schema)))))
           case Some(_) => None
           case None if have(pc.toLowerCase(java.util.Locale.ROOT)) =>
             Some((pc, None))

@@ -275,6 +275,94 @@ class GraftHiddenPartitionSpec extends SparkSpec {
       "bucket pruning must survive compaction")
   }
 
+  test("truncate(8, k) on an integral key: floor-to-multiple files; " +
+      "POINT, IN and RANGE predicates all prune (order-preserving)") {
+    sql("CREATE TABLE grafth.ns.trn (k BIGINT, v STRING) " +
+      "PARTITIONED BY (truncate(8, k))")
+    val root = s"$warehouse/ns/trn"
+    (-16L until 48L).map(i => (i, s"v$i")).toDF("k", "v")
+      .createOrReplaceTempView("hp_trn_src")
+    sql("INSERT INTO grafth.ns.trn SELECT * FROM hp_trn_src")
+    // schema-invisible; derivation floors to multiples of 8 —
+    // including NEGATIVE keys (-3 lands in -8, never in 0)
+    val got = sql("SELECT * FROM grafth.ns.trn ORDER BY k")
+    assert(got.columns.toSeq === Seq("k", "v"))
+    assert(got.count() === 64L)
+    val tuples = headTuples(root, "_pt_truncate8_k").map(_.toLong).toSet
+    assert(tuples === Set(-16L, -8L, 0L, 8L, 16L, 24L, 32L, 40L))
+    val v = Versioned.versions(root).last
+    val all = Versioned.files(root, v)
+    val (entries, _, _) = Versioned.aggMeta(root, v)
+    def filesOf(ts: Set[Long]) = entries.filter(e =>
+      ts(e.stats("_pt_truncate8_k")._2.toLong)).map(_.path).toSet
+    // point: k = 13 → hidden = 8
+    val keptPt = Versioned.candidateFilesForBounds(root, v,
+      Seq(Versioned.ColumnBound("k", Some(13L), Some(13L)))).toSet
+    assert(keptPt === filesOf(Set(8L)) && keptPt.size < all.size)
+    // negative point: k = -3 → hidden = -8 (floor, not toward zero)
+    val keptNeg = Versioned.candidateFilesForBounds(root, v,
+      Seq(Versioned.ColumnBound("k", Some(-3L), Some(-3L)))).toSet
+    assert(keptNeg === filesOf(Set(-8L)))
+    // RANGE prunes too — the transform is order-preserving (bucket
+    // can't do this): k ∈ [20, 41] → hidden ∈ [16, 40]
+    val keptRange = Versioned.candidateFilesForBounds(root, v,
+      Seq(Versioned.ColumnBound("k", Some(20L), Some(41L)))).toSet
+    assert(keptRange === filesOf(Set(16L, 24L, 32L, 40L)),
+      s"range must prune to the covering multiples, got $keptRange")
+    // one-sided range: k >= 33 → hidden >= 32
+    val keptLo = Versioned.candidateFilesForBounds(root, v,
+      Seq(Versioned.ColumnBound("k", Some(33L), None))).toSet
+    assert(keptLo === filesOf(Set(32L, 40L)))
+    // end-to-end exactness
+    assert(sql("SELECT v FROM grafth.ns.trn WHERE k = 13")
+      .as[String].collect().toSeq === Seq("v13"))
+    assert(sql("SELECT count(*) FROM grafth.ns.trn " +
+      "WHERE k >= 20 AND k <= 41").as[Long].head() === 22L)
+    assert(sql("SELECT count(*) FROM grafth.ns.trn WHERE k IN (-3, 13)")
+      .as[Long].head() === 2L)
+  }
+
+  test("truncate(2, s) on a string key: prefix-pure files; equality " +
+      "and range prune via ASCII prefix derivation") {
+    sql("CREATE TABLE grafth.ns.trs (s STRING, v BIGINT) " +
+      "PARTITIONED BY (truncate(2, s))")
+    val root = s"$warehouse/ns/trs"
+    Seq("aa1", "ab2", "ba3", "bb4", "ca5", "cb6", "a", "z")
+      .zipWithIndex.map { case (s, i) => (s, i.toLong) }.toDF("s", "v")
+      .createOrReplaceTempView("hp_trs_src")
+    sql("INSERT INTO grafth.ns.trs SELECT * FROM hp_trs_src")
+    val v = Versioned.versions(root).last
+    val all = Versioned.files(root, v)
+    val tuples = headTuples(root, "_pt_truncate2_s").toSet
+    // a 1-char string truncates to itself (shorter than the width)
+    assert(tuples === Set("aa", "ab", "ba", "bb", "ca", "cb", "a", "z"))
+    // equality: s = 'ba3' → prefix 'ba'
+    val keptEq = Versioned.candidateFilesForBounds(root, v,
+      Seq(Versioned.ColumnBound("s", Some("ba3"), Some("ba3")))).toSet
+    val (entries, _, _) = Versioned.aggMeta(root, v)
+    val baFiles = entries.filter(
+      _.stats("_pt_truncate2_s")._2 == "ba").map(_.path).toSet
+    assert(keptEq === baFiles && keptEq.size < all.size)
+    // range: s BETWEEN 'ab' AND 'bb' → hidden ∈ ['ab', 'bb']
+    val keptR = Versioned.candidateFilesForBounds(root, v,
+      Seq(Versioned.ColumnBound("s", Some("ab"), Some("bb")))).toSet
+    val abbb = entries.filter { e =>
+      val t = e.stats("_pt_truncate2_s")._2
+      t >= "ab" && t <= "bb"
+    }.map(_.path).toSet
+    assert(keptR === abbb && keptR.size < all.size)
+    // a NON-ASCII literal declines the derivation (stays exact, just
+    // doesn't prune through the hidden column)
+    val keptNa = Versioned.candidateFilesForBounds(root, v,
+      Seq(Versioned.ColumnBound("s", Some("bä"), Some("bä")))).toSet
+    assert(keptNa.nonEmpty) // conservative keep, never an empty lie
+    // end-to-end
+    assert(sql("SELECT v FROM grafth.ns.trs WHERE s = 'ba3'")
+      .as[Long].collect().toSeq === Seq(2L))
+    assert(sql("SELECT count(*) FROM grafth.ns.trs " +
+      "WHERE s >= 'ab' AND s <= 'bb'").as[Long].head() === 2L)
+  }
+
   test("DESCRIBE reports the true transform; clone and restore carry it") {
     sql("CREATE TABLE grafth.ns.meta (k BIGINT, ts TIMESTAMP) " +
       "PARTITIONED BY (bucket(8, k), days(ts))")
