@@ -133,6 +133,36 @@ object Bench {
           }
         Seq("c00_calibration" -> (((System.nanoTime() - t0) / 1e9, ok)))
       }
+      // c01: the MULTI-CORE calibration c00 can't be (a single-stage
+      // range-sum runs one codegen loop per core with no coordination,
+      // so it stays flat while the box loses cores or shuffle
+      // throughput) — a fixed shuffle+aggregate over generated data
+      // that engages every core and the shuffle machinery: ~1 s on an
+      // idle 32-core box. Round-over-round comparisons read BOTH: c00
+      // flat + c01 moved = parallelism/box drift; both flat + query
+      // moved = a real regression.
+      val calibPar = {
+        spark.catalog.clearCache()
+        val t0 = System.nanoTime()
+        val ok =
+          try {
+            val cores = spark.sparkContext.defaultParallelism
+            spark.range(0, 64L * 1000 * 1000, 1, cores)
+              .selectExpr("id % 1048576 AS k", "id AS v")
+              .groupBy("k").agg(
+                org.apache.spark.sql.functions.sum("v").as("sv"),
+                org.apache.spark.sql.functions.count("*").as("n"))
+              .selectExpr("sum(sv) AS s", "sum(n) AS c")
+              .write.format("noop").mode("overwrite").save()
+            true
+          } catch { case e: Throwable =>
+            System.err.println(
+              s"[bench] parallel calibration failed: ${e.getMessage}")
+            false
+          }
+        Seq("c01_parallel_calibration" ->
+          (((System.nanoTime() - t0) / 1e9, ok)))
+      }
       val stage = if (!stageNeeded) Nil else {
         spark.catalog.clearCache()
         val t0 = System.nanoTime()
@@ -173,7 +203,7 @@ object Bench {
           }
         Seq("v00_ann_model_stage" -> (((System.nanoTime() - t0) / 1e9, ok)))
       }
-      calib ++ stage ++ annStage ++ catalog.map { q =>
+      calib ++ calibPar ++ stage ++ annStage ++ catalog.map { q =>
         spark.catalog.clearCache()
         val fn = stagedConsumers.getOrElse(q.name,
           annConsumers.getOrElse(q.name, q.fn))
