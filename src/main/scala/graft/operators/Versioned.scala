@@ -4443,8 +4443,17 @@ object Versioned {
     * as several bounded micro-batches with a sub-version offset (the
     * Delta-source shape). `None` for row-removing commits: those
     * replay as one indivisible batch (bounded by mutation size). */
+  /** Admission units of version `v` for the bounded-drain stream:
+    * `Some((insertFiles, removal))` when the commit can drain in
+    * byte/file-bounded slices — `removal=true` marks a write-delta
+    * commit whose FIRST slice must also apply the commit's fresh
+    * deletion vectors (they're position-scoped to carried files, so
+    * applying them before the insert postimages finish draining stays
+    * exact); `None` means the commit is INDIVISIBLE (predicate
+    * mor-deletes, CDF rewrites, overwrites — no per-file slicing can
+    * represent them). */
   private[graft] def feedAdmissionUnits(root: String,
-      v: Long): Option[Seq[(String, Long)]] = {
+      v: Long): Option[(Seq[(String, Long)], Boolean)] = {
     val vs = versions(root)
     val prevV = vs.takeWhile(_ < v).lastOption
     val m = readManifest(root, v)
@@ -4453,11 +4462,14 @@ object Versioned {
       m.files.filterNot(f => prev(f.path)).map(f => (f.path, f.bytes))
     }
     m.action match {
-      case "append" | "clone" => Some(added)
-      case "compact" | "constraint" | "schema" | "analyze" | "tag" => Some(Nil)
+      case "append" | "clone" => Some((added, false))
+      case "compact" | "constraint" | "schema" | "analyze" | "tag" =>
+        Some((Nil, false))
       case "write-delta" =>
         // insert-only delta (removed nothing) = a pure append; a delta
-        // with fresh delete positions is indivisible
+        // with fresh delete positions drains BOUNDED too — the DV
+        // application rides the first slice, the insert postimages
+        // slice by file exactly like an append's
         val prevDvs = prevV.map(readManifest(root, _).dvs).getOrElse(Nil)
         val prevByFile = prevDvs.map(d => d.file -> d).toMap
         val fresh = m.dvs.exists { d =>
@@ -4465,7 +4477,7 @@ object Versioned {
           d.positions.exists(x => !p.exists(_.positions.contains(x))) ||
             d.sidecars.exists(s => !p.exists(_.sidecars.contains(s)))
         }
-        if (fresh) None else Some(added)
+        Some((added, fresh))
       case _ => None
     }
   }

@@ -170,25 +170,52 @@ final class GraftMicroBatchStream(spark: SparkSession, root: String,
           // indivisible change commit: its own batch boundary
           if (!advanced) { cur = (v, -1L); advanced = true }
           done = true
-        case Some(files) =>
-          val startIdx = if (v == fromV && fromIdx >= 0) fromIdx else 0L
-          val rest = files.drop(startIdx.toInt)
-          var take = 0
-          var stop = false
-          rest.foreach { case (_, bytes) =>
-            if (!stop) {
-              // the first unit of the batch always admits (progress
-              // guarantee), charging its bytes against the budget
-              val admit = (fileBudget > 0 && byteBudget > 0) ||
-                (take == 0 && !advanced)
-              if (admit) { take += 1; fileBudget -= 1; byteBudget -= bytes }
-              else stop = true
+        case Some((files, removal)) =>
+          // `cont`: this version's first slice (and its DV
+          // application, if any) was consumed by a previous batch —
+          // the remaining insert files slice like a plain append's
+          val cont = v == fromV && fromIdx >= 0
+          if (removal && !cont) {
+            // the FIRST slice of a row-removing delta starts its own
+            // batch (the DV application is the progress unit — it
+            // admits even with no byte budget) and ends it at the
+            // slice boundary, so a wide MoR UPDATE drains bounded
+            // instead of as one giant batch
+            if (advanced) done = true
+            else {
+              var take = 0
+              var stop = false
+              files.foreach { case (_, bytes) =>
+                if (!stop) {
+                  if (fileBudget > 0 && byteBudget > 0) {
+                    take += 1; fileBudget -= 1; byteBudget -= bytes
+                  } else stop = true
+                }
+              }
+              cur = if (take == files.size) (v, -1L) else (v, take.toLong)
+              advanced = true
+              done = true
             }
+          } else {
+            val startIdx = if (cont) fromIdx else 0L
+            val rest = files.drop(startIdx.toInt)
+            var take = 0
+            var stop = false
+            rest.foreach { case (_, bytes) =>
+              if (!stop) {
+                // the first unit of the batch always admits (progress
+                // guarantee), charging its bytes against the budget
+                val admit = (fileBudget > 0 && byteBudget > 0) ||
+                  (take == 0 && !advanced)
+                if (admit) { take += 1; fileBudget -= 1; byteBudget -= bytes }
+                else stop = true
+              }
+            }
+            if (take == rest.size) { cur = (v, -1L); advanced = true }
+            else if (take > 0) {
+              cur = (v, startIdx + take); advanced = true; done = true
+            } else done = true
           }
-          if (take == rest.size) { cur = (v, -1L); advanced = true }
-          else if (take > 0) {
-            cur = (v, startIdx + take); advanced = true; done = true
-          } else done = true
       }
     }
     if (!advanced) start else mk(cur._1, cur._2)
@@ -230,7 +257,13 @@ final class GraftMicroBatchStream(spark: SparkSession, root: String,
         if (files.isEmpty) None else Some(Versioned.FeedInsert(v, files))
       case p @ Versioned.FeedCdf(v, _) => notPartial(v); Some(p)
       case p @ Versioned.FeedMorDelete(v, _, _, _) => notPartial(v); Some(p)
-      case p @ Versioned.FeedDvDelete(v, _) => notPartial(v); Some(p)
+      case p @ Versioned.FeedDvDelete(v, _) =>
+        // a write-delta commit drains BOUNDED: its DV application rode
+        // the commit's FIRST slice, so a window CONTINUING the commit
+        // (fromIdx ≥ 0) must not replay it — exactly-once across both
+        // slices and restarts. A window whose END is a first slice
+        // (v == toV, toIdx ≥ 0) includes it.
+        if (v == fromV && fromIdx >= 0) None else Some(p)
     }
     // thread the WINDOW's column mapping and predicate texts to the
     // factory (created right after this in both batch and micro-batch

@@ -564,6 +564,112 @@ class CatalogStreamingSpec extends SparkSpec {
       "the resumed drain must complete exactly-once — no repeats, no gaps")
   }
 
+  test("a row-removing DELTA commit drains BOUNDED: the DV application " +
+      "rides the first slice exactly once, insert postimages slice " +
+      "across batches, and a mid-drain restart stays exactly-once") {
+    sql("CREATE NAMESPACE IF NOT EXISTS grafts.st")
+    sql("CREATE TABLE grafts.st.bdrain (id BIGINT, pk INT) " +
+      "PARTITIONED BY (pk)")
+    val root = s"$warehouse/st/bdrain"
+    spark.range(0, 60000).selectExpr("id", "CAST(id % 20 AS INT) AS pk")
+      .createOrReplaceTempView("bdrain_src")
+    sql("INSERT INTO grafts.st.bdrain SELECT * FROM bdrain_src")
+    // a WIDE MoR UPDATE: 30k deleted positions (spilling executor
+    // sidecars past the inline threshold) + postimage files across
+    // all 20 partitions — the exact commit shape that used to drain
+    // as one giant indivisible batch
+    spark.conf.set("spark.graft.rowlevel.mode", "mor")
+    try sql("UPDATE grafts.st.bdrain SET id = id + 1000000 " +
+      "WHERE id % 2 = 0")
+    finally spark.conf.unset("spark.graft.rowlevel.mode")
+    val v2 = Versioned.latestVersion(root).get
+    val dvs = Versioned.pendingDvEntries(root, v2)
+    assert(dvs.nonEmpty && dvs.exists(_.sidecars.nonEmpty),
+      "the wide delete must spill position sidecars (inline would " +
+        "not exercise the hard case)")
+    assert(Versioned.dvDeletedCountsExact(root, v2)
+      .exists(_.values.sum === 30000L),
+      "sidecar cardinalities must ride the manifest")
+    val Some((insFiles, removal)) = Versioned.feedAdmissionUnits(root, v2)
+    assert(removal, "a fresh-DV delta must flag its removal slice")
+    assert(insFiles.size >= 12,
+      s"expected many postimage files, got ${insFiles.size}")
+    // ---- direct offset walk: maxFilesPerTrigger=6 slices the commit
+    val opts = Map("maxFilesPerTrigger" -> "6",
+      "startingVersion" -> (v2 - 1).toString)
+    val st = new GraftMicroBatchStream(spark, root,
+      VersionedSource.feedSchema(spark, root, None),
+      Versioned.tableSchema(spark, root),
+      new org.apache.spark.sql.util.CaseInsensitiveStringMap(
+        scala.jdk.CollectionConverters.MapHasAsJava(opts).asJava))
+    val limit = org.apache.spark.sql.connector.read.streaming.ReadLimit
+      .allAvailable()
+    def chunksOf(a: org.apache.spark.sql.connector.read.streaming.Offset,
+        b: org.apache.spark.sql.connector.read.streaming.Offset) =
+      st.planInputPartitions(a, b).toSeq
+        .flatMap(_.asInstanceOf[GraftFeedPartition].chunks)
+    var cur: org.apache.spark.sql.connector.read.streaming.Offset =
+      st.initialOffset()
+    assert(cur.json() === (v2 - 1).toString)
+    var batches = Seq.empty[Seq[GraftFeedChunk]]
+    var guard = 0
+    var done = false
+    while (!done && guard < 50) {
+      val nxt = st.latestOffset(cur, limit)
+      if (nxt.json() == cur.json()) done = true
+      else { batches :+= chunksOf(cur, nxt); cur = nxt; guard += 1 }
+    }
+    assert(batches.size >= 3,
+      s"the delta commit must drain in several bounded batches, " +
+        s"got ${batches.size}")
+    // the DV application (kind=3 delete envelopes) appears in the
+    // FIRST batch and ONLY there
+    assert(batches.head.exists(_.kind == 3),
+      "the first slice must carry the DV application")
+    assert(batches.tail.forall(_.forall(_.kind != 3)),
+      "later slices must not replay the DV application")
+    // every batch's INSERT grain is bounded; the union covers the
+    // commit's postimages exactly once
+    batches.foreach(b => assert(b.count(_.kind == 0) <= 6,
+      "a slice exceeded the file budget"))
+    val insSeen = batches.flatten.filter(_.kind == 0).map(_.relPath)
+    assert(insSeen.distinct.size === insSeen.size,
+      "an insert file repeated across slices")
+    assert(insSeen.toSet === insFiles.map(_._1).toSet,
+      "the slices must cover the commit's insert files exactly")
+    // ---- end-to-end drain of .changes with a MID-DRAIN RESTART
+    val expected = Versioned.changeFeed(spark, root, 0)
+      .select("id", "pk", "_change_type", "_commit_version")
+      .as[(Long, Int, String, Long)].collect().toSet
+    val ck = tmp("graft-bdrain-ck"); val sink = tmp("graft-bdrain-out") + "/t"
+    def one(): Unit = {
+      @annotation.nowarn("cat=deprecation")
+      val q = spark.readStream.option("maxFilesPerTrigger", "6")
+        .table("grafts.st.bdrain.changes")
+        .writeStream.format(VersionedSource.Name)
+        .option("path", sink).option("checkpointLocation", ck)
+        .trigger(Trigger.Once()).start()
+      q.awaitTermination()
+    }
+    one(); one() // two bounded batches, then stop mid-drain
+    val partial = Versioned.read(spark, sink).count()
+    val q2 = spark.readStream.option("maxFilesPerTrigger", "6")
+      .table("grafts.st.bdrain.changes")
+      .writeStream.format(VersionedSource.Name)
+      .option("path", sink).option("checkpointLocation", ck)
+      .trigger(Trigger.AvailableNow()).start()
+    q2.processAllAvailable(); q2.stop()
+    assert(Versioned.read(spark, sink)
+      .select("id", "pk", "_change_type", "_commit_version")
+      .as[(Long, Int, String, Long)].collect().toSet === expected,
+      "the resumed bounded drain must land the change feed " +
+        "exactly-once — no repeated delete envelopes, no lost rows")
+    assert(partial < Versioned.read(spark, sink).count(),
+      "the first two bounded batches must land a strict subset")
+    assert(Versioned.versions(sink).size >= 3,
+      "the commit must land across several sink commits")
+  }
+
   test(".changes honors VERSION AS OF: the pin bounds the batch window " +
       "and a streaming read of a pinned feed refuses loudly") {
     sql("CREATE NAMESPACE IF NOT EXISTS grafts.st")
