@@ -419,8 +419,34 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
         val out = new java.util.HashMap[
           org.apache.spark.sql.connector.expressions.NamedReference,
           org.apache.spark.sql.connector.read.colstats.ColumnStatistics]()
+        // STALENESS DISCIPLINE: ANALYZE stats survive DML unchanged
+        // (the standard contract), but a table whose live row count
+        // drifted past `spark.graft.analyze.staleFactor` (default 2×,
+        // either direction) since a column was analyzed must not feed
+        // CBO that column's stale NDV/min-max/histogram — estimating a
+        // doubled table from half its rows misplans joins worse than
+        // no estimate. Stale columns DROP from the report (CBO falls
+        // back to the exact live numRows/sizeInBytes above, which
+        // never go stale); re-ANALYZE re-arms them.
+        val staleFactor = org.apache.spark.sql.internal.SQLConf.get
+          .getConfString("spark.graft.analyze.staleFactor", "2.0")
+          .toDouble
+        lazy val tableLive: Long = {
+          val physical = meta.values.iterator.map(_._2).sum
+          val deleted =
+            if (!dvActive) 0L
+            else Versioned.dvDeletedCountsExact(root, version)
+              .map(_.values.sum).getOrElse(0L)
+          math.max(0L, physical - deleted)
+        }
+        def fresh(st: Versioned.ColStat): Boolean =
+          st.rows <= 0L || staleFactor <= 1.0 || {
+            val drift = tableLive.toDouble / st.rows
+            drift <= staleFactor && drift >= 1.0 / staleFactor
+          }
         required.fields.foreach { f =>
           stored.get(f.name.toLowerCase(java.util.Locale.ROOT))
+            .filter(fresh)
             .foreach { st =>
               // min/max decode from the manifest's long/double scale
               // into CATALYST-internal values of the column type;

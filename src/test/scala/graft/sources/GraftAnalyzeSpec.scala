@@ -100,6 +100,59 @@ class GraftAnalyzeSpec extends SparkSpec {
       "an overwrite replaces the data the stats describe — they drop")
   }
 
+  test("staleness discipline: a table whose live rows doubled since " +
+      "ANALYZE stops feeding CBO the stale column stats; re-ANALYZE " +
+      "re-arms; moderate drift keeps serving") {
+    sql("CREATE TABLE graftan.ns.stale (k BIGINT)")
+    val root = s"$warehouse/ns/stale"
+    sql("INSERT INTO graftan.ns.stale SELECT id % 50 FROM range(1000)")
+    Versioned.analyze(spark, root)
+    def attrStats(): Option[
+        org.apache.spark.sql.catalyst.plans.logical.ColumnStat] = {
+      val df = sql("SELECT k FROM graftan.ns.stale WHERE k = 5")
+      val rel = df.queryExecution.optimizedPlan.collectFirst {
+        case r: org.apache.spark.sql.execution.datasources.v2
+            .DataSourceV2ScanRelation => r
+      }.getOrElse(fail("expected a V2 scan relation"))
+      rel.stats.attributeStats.toSeq
+        .find(_._1.name.equalsIgnoreCase("k")).map(_._2)
+    }
+    withCbo {
+      assert(attrStats().isDefined, "fresh stats must serve")
+      // +20% drift: within the 2x default factor — still serving
+      sql("INSERT INTO graftan.ns.stale SELECT id % 50 FROM range(200)")
+      assert(attrStats().isDefined,
+        "moderate drift must keep the stale-but-useful stats")
+      // rows more than double the analyzed count: the stale NDV/bounds
+      // must NOT feed CBO (the exact live numRows still reports)
+      sql("INSERT INTO graftan.ns.stale SELECT id % 999 FROM range(1300)")
+      assert(attrStats().isEmpty,
+        "a 2.5x-drifted table must not estimate from stale column stats")
+      // the exact row count still reaches the plan (it never goes
+      // stale — it's manifest arithmetic, not an ANALYZE artifact)
+      val rel = sql("SELECT k FROM graftan.ns.stale").queryExecution
+        .optimizedPlan.collectFirst {
+          case r: org.apache.spark.sql.execution.datasources.v2
+              .DataSourceV2ScanRelation => r
+        }.get
+      assert(rel.stats.rowCount.exists(_.toLong === 2500L))
+      // re-ANALYZE re-arms the column stats at the new cardinality
+      Versioned.analyze(spark, root)
+      val rearmed = attrStats().getOrElse(
+        fail("re-ANALYZE must re-arm the column stats"))
+      assert(rearmed.distinctCount.exists(n =>
+        n.toLong > 500L && n.toLong < 1200L),
+        s"re-armed NDV must reflect the new data, got " +
+          s"${rearmed.distinctCount}")
+      // shrink drift: a MoR delete below 1/2 of analyzed rows also
+      // stands the stats down (exact DV cardinality feeds the check)
+      Versioned.deleteRows(spark, root,
+        org.apache.spark.sql.functions.col("k") >= 5L)
+      assert(attrStats().isEmpty,
+        "a table shrunk past the factor must not serve stale stats")
+    }
+  }
+
   test("CBO join reorder: the selective dimension joins first") {
     sql("CREATE TABLE graftan.ns.fact (k BIGINT, d BIGINT)")
     sql("CREATE TABLE graftan.ns.dims (d BIGINT, tag STRING)")
