@@ -1158,9 +1158,16 @@ object Versioned {
       // column-mapping override: None = the latest manifest's mapping
       // (every incremental verb), Some(Map.empty) = write under
       // logical names (compact/overwrite canonicalization)
-      physOverride: Option[Map[String, String]] = None): (Seq[FileEntry], String) = {
+      physOverride: Option[Map[String, String]] = None,
+      // staged CTAS/RTAS: Some(None) writes against NO manifest — no
+      // inherited constraints (a replace defines a NEW table; the old
+      // one's CHECKs die with it) and no inherited transform
+      // derivation (the caller derives the DECLARED spec itself)
+      latestOverride: Option[Option[Manifest]] = None)
+      : (Seq[FileEntry], String) = {
     import org.apache.spark.sql.functions.{col => c}
-    val latestM = latestVersion(root).map(readManifest(root, _))
+    val latestM = latestOverride.getOrElse(
+      latestVersion(root).map(readManifest(root, _)))
     // CHECK constraints ride the write job itself (no second pass):
     // each row is filtered through assert_true(coalesce(cond, true)) —
     // SQL CHECK semantics, NULL passes — so one violating row aborts
@@ -5248,11 +5255,12 @@ object Versioned {
     }
   }
 
-  /** The declared-spec validation CREATE TABLE and ALTER TABLE … SET
-    * PARTITION SPEC share: partition columns resolve (schema column or
-    * a declared transform's hidden column), transform sources exist
-    * with transform-compatible types, hidden names can't shadow data. */
-  private def validatePartitionSpec(
+  /** The declared-spec validation CREATE TABLE, ALTER TABLE … SET
+    * PARTITION SPEC, and the atomic staged CTAS share: partition
+    * columns resolve (schema column or a declared transform's hidden
+    * column), transform sources exist with transform-compatible types,
+    * hidden names can't shadow data. */
+  private[graft] def validatePartitionSpec(
       schema: org.apache.spark.sql.types.StructType,
       partitionBy: Seq[String],
       transforms: Seq[PartTransform]): Unit = {
@@ -5370,6 +5378,61 @@ object Versioned {
           case s => s
         })))
   }
+
+  /** Staged-CTAS data write (the ATOMIC `CREATE [OR REPLACE] TABLE …
+    * AS SELECT` path, Spark's `StagingTableCatalog` contract): the
+    * query's files land under `root` UNPUBLISHED — data files are
+    * invisible until a manifest references them, the engine's core
+    * invariant, so a failed CTAS leaves NOTHING visible. The DECLARED
+    * spec's hidden transforms derive here (there is no manifest to
+    * derive from yet); no constraints inherit (a replace defines a NEW
+    * table — the old one's CHECKs die with it); files land under
+    * logical names (a fresh table has no column mapping). */
+  private[graft] def stageCtasFiles(spark: SparkSession, root: String,
+      df0: DataFrame, partitionBy: Seq[String],
+      transforms: Seq[PartTransform]): Seq[FileEntry] = {
+    import org.apache.spark.sql.functions.expr
+    new File(root).mkdirs()
+    val df = transforms.foldLeft(df0)((d, t) =>
+      d.drop(t.hidden).withColumn(t.hidden,
+        expr(t.sql(t.srcTypeIn(d.schema)))))
+    writeBatch(spark, root, df, statsCols = Nil,
+      partitionBy = partitionBy, physOverride = Some(Map.empty),
+      latestOverride = Some(None))._1
+  }
+
+  /** Atomic CTAS/RTAS publish — ONE manifest CAS makes the staged
+    * files visible. CREATE publishes v1 and fails loudly if the table
+    * appeared meanwhile (the staged files stay orphaned and age out
+    * via [[vacuum]] — the lost-OCC-race economics); REPLACE publishes
+    * an overwrite on the EXISTING log, so the pre-replace history
+    * stays fully time-travelable while constraints, column mapping,
+    * tombstones, and legacy specs reset with the new schema (CREATE OR
+    * REPLACE defines a new table under the old name — Delta's
+    * contract). */
+  private[graft] def publishCtas(root: String, entries: Seq[FileEntry],
+      schemaJson: String, partitionBy: Seq[String],
+      transforms: Seq[PartTransform],
+      orReplace: Boolean, replaceOnly: Boolean): Long =
+    latestVersion(root) match {
+      case None =>
+        if (replaceOnly) throw new IllegalStateException(
+          s"REPLACE TABLE: no table at $root (it was dropped between " +
+            "stage and commit); re-run as CREATE")
+        publishEntries(root, entries, 0L, "append",
+          schemaJson = schemaJson, partitionBy = Some(partitionBy),
+          transforms = Some(transforms))
+      case Some(v) =>
+        require(orReplace || replaceOnly,
+          s"CTAS target at $root already exists (created concurrently " +
+            "during the staged write) — the staged files stay " +
+            "unpublished and age out via VACUUM")
+        publishEntries(root, entries, v, "overwrite",
+          schemaJson = schemaJson, partitionBy = Some(partitionBy),
+          transforms = Some(transforms),
+          constraints = Some(Map.empty), dropped = Some(Map.empty),
+          physNames = Some(Map.empty), legacyTransforms = Some(Nil))
+    }
 
   /** TRUNCATE TABLE — METADATA-ONLY at any table size: one manifest
     * commit whose live set is empty (action "overwrite", so change

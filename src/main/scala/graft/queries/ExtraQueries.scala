@@ -2834,12 +2834,12 @@ object ExtraQueries {
   // replays the join+filter from the base tables.
   val x66TruncateSpj: Q = Q(
     "x66_truncate_spj",
-    """SELECT o.o_orderkey - (o.o_orderkey % 1000) AS grp,
+    """SELECT o.o_orderkey - (o.o_orderkey % 200) AS grp,
       |  COUNT(*) AS n,
       |  CAST(SUM(CAST(l.l_extendedprice AS DECIMAL(18,2))) AS DOUBLE)
       |    AS total
       |FROM orders o JOIN lineitem l ON o.o_orderkey = l.l_orderkey
-      |WHERE o.o_orderkey >= 10000 AND o.o_orderkey < 40000
+      |WHERE o.o_orderkey >= 200 AND o.o_orderkey < 1200
       |GROUP BY 1 ORDER BY grp""".stripMargin) { (s, d) =>
     val cat = s"grafttspj${math.abs(d.hashCode)}"
     val wh = truncSpjDirs.getOrElseUpdate(d, {
@@ -2850,16 +2850,21 @@ object ExtraQueries {
       s.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
       s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.r12")
       s.sql(s"CREATE TABLE $cat.r12.ord (o_orderkey BIGINT) " +
-        "PARTITIONED BY (truncate(1000, o_orderkey))")
+        "PARTITIONED BY (truncate(200, o_orderkey))")
       s.sql(s"CREATE TABLE $cat.r12.li (l_orderkey BIGINT, " +
-        "price DOUBLE) PARTITIONED BY (truncate(1000, l_orderkey))")
+        "price DOUBLE) PARTITIONED BY (truncate(200, l_orderkey))")
       t(s, d, "orders").select(col("o_orderkey"))
         .createOrReplaceTempView("x66_ord")
       t(s, d, "lineitem").select(col("l_orderkey"),
         col("l_extendedprice").cast("double").as("price"))
         .createOrReplaceTempView("x66_li")
-      s.sql(s"INSERT INTO $cat.r12.ord SELECT * FROM x66_ord")
-      s.sql(s"INSERT INTO $cat.r12.li SELECT * FROM x66_li")
+      // capped at the smallest SF's key range so the table content —
+      // and the truncate tuple count (8) — is IDENTICAL at every
+      // scale factor: the plan pins below never depend on data volume
+      s.sql(s"INSERT INTO $cat.r12.ord SELECT * FROM x66_ord " +
+        "WHERE o_orderkey < 1500")
+      s.sql(s"INSERT INTO $cat.r12.li SELECT * FROM x66_li " +
+        "WHERE l_orderkey < 1500")
       // range prune through the order-preserving derivation: the
       // key window must plan strictly fewer files than the table
       val root = s"$w/r12/ord"
@@ -2867,7 +2872,7 @@ object ExtraQueries {
       val all = graft.operators.Versioned.files(root, v).size
       val kept = graft.operators.Versioned.candidateFilesForBounds(
         root, v, Seq(graft.operators.Versioned.ColumnBound(
-          "o_orderkey", Some(10000L), Some(39999L)))).size
+          "o_orderkey", Some(200L), Some(1199L)))).size
       require(kept < all && kept >= 1,
         s"x66: the key-range prune must narrow through truncate " +
           s"(kept $kept of $all)")
@@ -2890,13 +2895,13 @@ object ExtraQueries {
       s.conf.set("spark.sql.adaptive.enabled", "false")
       s.conf.set("spark.sql.autoBroadcastJoinThreshold", "-1")
       val df = s.sql(
-        s"""SELECT o.o_orderkey - (o.o_orderkey % 1000) AS grp,
+        s"""SELECT o.o_orderkey - (o.o_orderkey % 200) AS grp,
            |  COUNT(*) AS n,
            |  CAST(SUM(CAST(l.price AS DECIMAL(18,2))) AS DOUBLE)
            |    AS total
            |FROM $cat.r12.ord o JOIN $cat.r12.li l
            |  ON o.o_orderkey = l.l_orderkey
-           |WHERE o.o_orderkey >= 10000 AND o.o_orderkey < 40000
+           |WHERE o.o_orderkey >= 200 AND o.o_orderkey < 1200
            |GROUP BY 1 ORDER BY grp""".stripMargin)
       val join = df.queryExecution.executedPlan.collectFirst {
         case j: org.apache.spark.sql.execution.joins

@@ -71,7 +71,8 @@ object GraftCatalog {
 }
 
 class GraftCatalog extends TableCatalog with SupportsNamespaces
-    with FunctionCatalog {
+    with FunctionCatalog
+    with org.apache.spark.sql.connector.catalog.StagingTableCatalog {
 
   private var catalogName: String = _
   private var warehouse: File = _
@@ -236,10 +237,21 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
     if (tableExists(ident)) throw new TableAlreadyExistsException(ident)
     val dir = new File(root).getParentFile
     if (!dir.isDirectory) throw new NoSuchNamespaceException(ident.namespace)
-    // identity columns pass through; bucket/days/months/years/hours
-    // become HIDDEN materialized transforms (Iceberg's hidden
-    // partitioning) — every write derives the value, the user never
-    // carries a derived column
+    val (partCols, transforms) = parsePartitions(partitions)
+    checkProperties(properties)
+    Versioned.createTable(spark, root, schema, partCols,
+      transforms = transforms)
+    new GraftTable(spark, fullName(ident), root, None)
+  }
+
+  /** DSv2 partition transforms → (partition columns, hidden transform
+    * specs): identity columns pass through; bucket/truncate/
+    * days/months/years/hours become HIDDEN materialized transforms
+    * (Iceberg's hidden partitioning) — every write derives the value,
+    * the user never carries a derived column. Shared by CREATE and the
+    * atomic staged CTAS/RTAS path. */
+  private def parsePartitions(partitions: Array[Transform])
+      : (Seq[String], Seq[Versioned.PartTransform]) = {
     def ref(t: Transform): String = {
       val parts = t.references()(0).fieldNames.toSeq
       require(parts.size == 1,
@@ -284,19 +296,73 @@ class GraftCatalog extends TableCatalog with SupportsNamespaces
       case Left(c) => c
       case Right(tx) => tx.hidden
     }
-    val transforms = parsed.collect { case Right(tx) => tx }
-    // Spark passes bookkeeping properties (provider, owner, location)
-    // on every CREATE — those are derivable or implied here; anything
-    // a USER declared would be silently lost, so reject it loudly
+    (partCols, parsed.collect { case Right(tx) => tx })
+  }
+
+  // ---- StagingTableCatalog: ATOMIC `CREATE [OR REPLACE] TABLE … AS
+  // SELECT` (Spark plans AtomicCreateTableAsSelect/-ReplaceTableAsSelect
+  // when the catalog stages). The staged write lands the query's data
+  // files under the table root UNPUBLISHED — files are invisible until
+  // a manifest references them, the engine's core invariant — and
+  // commitStagedChanges() publishes ONE manifest CAS: a failed or
+  // aborted CTAS leaves nothing visible (no empty-shell table, no
+  // partial data), and REPLACE … AS SELECT swaps the table in one
+  // commit with the pre-replace history still time-travelable.
+
+  override def stageCreate(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, schema, partitions, properties,
+      orReplace = false, replaceOnly = false)
+
+  override def stageReplace(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, schema, partitions, properties,
+      orReplace = false, replaceOnly = true)
+
+  override def stageCreateOrReplace(ident: Identifier,
+      schema: StructType, partitions: Array[Transform],
+      properties: util.Map[String, String])
+      : org.apache.spark.sql.connector.catalog.StagedTable =
+    stage(ident, schema, partitions, properties,
+      orReplace = true, replaceOnly = false)
+
+  private def stage(ident: Identifier, schema: StructType,
+      partitions: Array[Transform],
+      properties: util.Map[String, String],
+      orReplace: Boolean, replaceOnly: Boolean)
+      : org.apache.spark.sql.connector.catalog.StagedTable = {
+    val root = rootOf(ident)
+    // stage-time checks fail FAST; the commit-time CAS re-decides
+    // against whatever the table looks like then (concurrent racers)
+    if (!orReplace && !replaceOnly && tableExists(ident))
+      throw new TableAlreadyExistsException(ident)
+    if (replaceOnly && !tableExists(ident))
+      throw new org.apache.spark.sql.catalyst.analysis
+        .NoSuchTableException(ident)
+    val dir = new File(root).getParentFile
+    if (!dir.isDirectory) throw new NoSuchNamespaceException(ident.namespace)
+    val (partCols, transforms) = parsePartitions(partitions)
+    checkProperties(properties)
+    Versioned.validatePartitionSpec(schema, partCols, transforms)
+    new GraftStagedCtasTable(spark, fullName(ident), root, schema,
+      partCols, transforms, orReplace, replaceOnly)
+  }
+
+  /** Spark passes bookkeeping properties (provider, owner, location)
+    * on every CREATE — those are derivable or implied here; anything
+    * a USER declared would be silently lost, so reject it loudly. */
+  private def checkProperties(
+      properties: util.Map[String, String]): Unit = {
     val userProps = properties.asScala.keys
       .filterNot(Set(TableCatalog.PROP_PROVIDER, TableCatalog.PROP_OWNER,
         TableCatalog.PROP_LOCATION, TableCatalog.PROP_EXTERNAL,
         TableCatalog.PROP_TABLE_TYPE, TableCatalog.PROP_COMMENT))
     require(userProps.isEmpty,
       s"TBLPROPERTIES are not supported: ${userProps.mkString(", ")}")
-    Versioned.createTable(spark, root, schema, partCols,
-      transforms = transforms)
-    new GraftTable(spark, fullName(ident), root, None)
   }
 
   override def alterTable(ident: Identifier,
@@ -1022,6 +1088,62 @@ final class GraftV1Relation(override val sqlContext: SQLContext,
   * (`writeStream.toTable`) and dynamic partition overwrite ride the
   * executor-staged DSv2 core instead ([[GraftWriteCore]]). Every mode
   * is one atomic CAS manifest commit. */
+/** The staged table an atomic CTAS/RTAS writes into: the V1 write
+  * stages the query's files under the root (unpublished — invisible),
+  * `commitStagedChanges` is one manifest CAS, `abortStagedChanges`
+  * deletes whatever was staged. The declared partition spec (identity
+  * columns + hidden transforms) applies to the staged write itself. */
+private[sources] final class GraftStagedCtasTable(spark: SparkSession,
+    fullName: String, root: String, tableSchema: StructType,
+    partCols: Seq[String], transforms: Seq[Versioned.PartTransform],
+    orReplace: Boolean, replaceOnly: Boolean)
+    extends org.apache.spark.sql.connector.catalog.StagedTable
+    with SupportsWrite {
+
+  @volatile private var staged: Seq[Versioned.FileEntry] = Nil
+  @volatile private var written = false
+
+  override def name(): String = fullName
+  override def schema(): StructType = tableSchema
+  override def capabilities(): util.Set[TableCapability] =
+    Set(TableCapability.BATCH_WRITE, TableCapability.V1_BATCH_WRITE,
+      TableCapability.OVERWRITE_BY_FILTER,
+      TableCapability.TRUNCATE).asJava
+
+  override def newWriteBuilder(info: LogicalWriteInfo): WriteBuilder =
+    new WriteBuilder
+        with org.apache.spark.sql.connector.write.SupportsTruncate {
+      // REPLACE TABLE plans truncate-then-write; the staged table has
+      // no published rows to truncate, so the call is a no-op marker
+      override def truncate(): WriteBuilder = this
+      override def build(): Write = new V1Write {
+        override def toInsertableRelation: InsertableRelation =
+          new InsertableRelation {
+            override def insert(data: DataFrame,
+                overwrite: Boolean): Unit = {
+              staged = Versioned.stageCtasFiles(spark, root, data,
+                partCols, transforms)
+              written = true
+            }
+          }
+        override def toString: String = s"GraftStagedCtasWrite($root)"
+      }
+    }
+
+  override def commitStagedChanges(): Unit = {
+    require(written,
+      s"staged CTAS at $root committed before its write ran")
+    Versioned.publishCtas(root, staged, tableSchema.json, partCols,
+      transforms, orReplace, replaceOnly)
+    ()
+  }
+
+  override def abortStagedChanges(): Unit =
+    staged.foreach(e => { new File(root, e.path).delete(); () })
+
+  override def toString: String = s"GraftStagedCtasTable($fullName)"
+}
+
 final class GraftWriteBuilder(spark: SparkSession, root: String,
     info: LogicalWriteInfo)
     extends WriteBuilder with SupportsOverwrite

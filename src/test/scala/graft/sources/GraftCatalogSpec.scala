@@ -56,7 +56,8 @@ class GraftCatalogSpec extends SparkSpec {
     assert(desc.contains("k"))
   }
 
-  test("CTAS, time travel (VERSION AS OF), and DROP TABLE") {
+  test("ATOMIC CTAS: one commit (data visible at v1), time travel, " +
+      "DROP TABLE; a failed CTAS leaves NOTHING visible") {
     sql("CREATE NAMESPACE IF NOT EXISTS graftc.tt")
     Seq((1L, 10.0), (2L, 20.0)).toDF("id", "v")
       .createOrReplaceTempView("cat_ctas_src")
@@ -64,15 +65,84 @@ class GraftCatalogSpec extends SparkSpec {
     sql("INSERT INTO graftc.tt.snap VALUES (3, 30.0)")
     assert(sql("SELECT count(*) AS n FROM graftc.tt.snap")
       .as[Long].head() === 3L)
-    // non-atomic DSv2 CTAS = create (v1, empty) + append (v2): the
-    // CTAS snapshot is v2, and both are addressable
-    val v2 = sql("SELECT id FROM graftc.tt.snap VERSION AS OF 2")
+    // ATOMIC staged CTAS (StagingTableCatalog): the table appears in
+    // ONE commit — v1 already carries the query's rows, there is no
+    // empty-shell intermediate version
+    val v1 = sql("SELECT id FROM graftc.tt.snap VERSION AS OF 1")
       .as[Long].collect().toSet
-    assert(v2 === Set(1L, 2L))
-    assert(sql("SELECT * FROM graftc.tt.snap VERSION AS OF 1").count()
-      === 0L)
+    assert(v1 === Set(1L, 2L),
+      "atomic CTAS must publish data and table in one commit")
+    // a FAILING CTAS leaves nothing: no table, no versions
+    val boom = intercept[Exception] {
+      sql("CREATE TABLE graftc.tt.broken AS " +
+        "SELECT assert_true(id < 1, 'ctas boom') AS x, id " +
+        "FROM cat_ctas_src")
+    }
+    assert(Iterator.iterate(boom: Throwable)(_.getCause)
+      .takeWhile(_ != null)
+      .exists(t => Option(t.getMessage).exists(_.contains("ctas boom"))),
+      s"expected the staged write failure, got $boom")
+    assert(sql("SHOW TABLES IN graftc.tt").as[(String, String, Boolean)]
+      .collect().map(_._2).toSet === Set("snap"),
+      "a failed CTAS must not leave a table behind")
+    assert(Versioned.latestVersion(s"$warehouse/tt/broken").isEmpty,
+      "a failed CTAS must publish no manifest")
     assert(sql("DROP TABLE graftc.tt.snap").collect().isEmpty)
     assert(sql("SHOW TABLES IN graftc.tt").count() === 0L)
+  }
+
+  test("REPLACE TABLE … AS SELECT swaps schema and data in one " +
+      "commit; pre-replace history stays time-travelable; CREATE OR " +
+      "REPLACE works both ways") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graftc.rt")
+    sql("CREATE TABLE graftc.rt.t (id BIGINT, v STRING)")
+    sql("INSERT INTO graftc.rt.t VALUES (1, 'a'), (2, 'b')")
+    val root = s"$warehouse/rt/t"
+    val preV = Versioned.latestVersion(root).get
+    // RTAS: new schema, new data, ONE commit
+    sql("REPLACE TABLE graftc.rt.t AS " +
+      "SELECT id * 10 AS k, CAST(id * 1.5 AS DOUBLE) AS m FROM range(3)")
+    assert(Versioned.latestVersion(root).get === preV + 1,
+      "RTAS must be one atomic commit")
+    assert(sql("SELECT k, m FROM graftc.rt.t ORDER BY k")
+      .as[(Long, Double)].collect().toSeq ===
+      Seq((0L, 0.0), (10L, 1.5), (20L, 3.0)))
+    // the replaced table's history survives (time travel)
+    assert(sql(s"SELECT id, v FROM graftc.rt.t VERSION AS OF $preV")
+      .as[(Long, String)].collect().toSet === Set((1L, "a"), (2L, "b")))
+    // REPLACE of a missing table refuses at stage time
+    val e = intercept[Exception] {
+      sql("REPLACE TABLE graftc.rt.nope AS SELECT 1 AS x")
+    }
+    assert(e.getMessage.toLowerCase.contains("table"), e.getMessage)
+    // CREATE OR REPLACE: creates when missing, replaces when present
+    sql("CREATE OR REPLACE TABLE graftc.rt.cor AS SELECT 1L AS a")
+    assert(sql("SELECT a FROM graftc.rt.cor").as[Long].head() === 1L)
+    sql("CREATE OR REPLACE TABLE graftc.rt.cor AS SELECT 7L AS b")
+    assert(sql("SELECT b FROM graftc.rt.cor").as[Long].head() === 7L)
+  }
+
+  test("atomic CTAS with a PARTITIONED BY spec derives transforms on " +
+      "the staged write itself (files are tuple-pure at v1)") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graftc.rt")
+    sql("CREATE TABLE graftc.rt.pb PARTITIONED BY (bucket(4, k)) AS " +
+      "SELECT id AS k, CAST(id * 2.0 AS DOUBLE) AS m FROM range(64)")
+    val root = s"$warehouse/rt/pb"
+    val v = Versioned.latestVersion(root).get
+    assert(v === 1L, "partitioned CTAS is still one commit")
+    assert(Versioned.transformsOf(root).map(_.show) ===
+      Seq("bucket(4, k)"))
+    val (entries, _, _) = Versioned.aggMeta(root, v)
+    assert(entries.nonEmpty && entries.forall(e =>
+      e.stats.get("_pt_bucket4_k").exists(s => s._2 == s._3)),
+      "every staged CTAS file must be bucket-pure")
+    // the derived layout prunes like any other bucket table
+    val all = Versioned.files(root, v)
+    val kept = Versioned.candidateFilesForBounds(root, v,
+      Seq(Versioned.ColumnBound("k", Some(5L), Some(5L))))
+    assert(kept.size < all.size)
+    assert(sql("SELECT m FROM graftc.rt.pb WHERE k = 5")
+      .as[Double].head() === 10.0)
   }
 
   test("INSERT OVERWRITE truncate-replaces and preserves the layout") {
