@@ -2926,6 +2926,60 @@ object ExtraQueries {
   private val truncSpjDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // ---------------------------------------------------------------- x67
+  // ATOMIC CTAS + RTAS end-to-end, hash-gated: `CREATE TABLE … AS
+  // SELECT` publishes table and data in ONE commit (v1 already carries
+  // rows — no empty-shell version, the StagingTableCatalog contract),
+  // then `REPLACE TABLE … AS SELECT` swaps schema and data in one
+  // commit with the pre-replace snapshot still time-travelable. The
+  // body PINS single-commit atomicity for both statements and replays
+  // the PRE-REPLACE snapshot via VERSION AS OF; DuckDB replays the
+  // replacement query — a torn replace or a stale read breaks the hash.
+  val x67AtomicCtas: Q = Q(
+    "x67_atomic_ctas",
+    """SELECT c_nationkey AS nk, COUNT(*) AS n,
+      |  CAST(SUM(CAST(c_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      |FROM customer GROUP BY 1 ORDER BY nk""".stripMargin) { (s, d) =>
+    val cat = s"graftctas${math.abs(d.hashCode)}"
+    val wh = ctasDirs.getOrElseUpdate(d, {
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-ctas-q").toString
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.r12")
+      t(s, d, "customer").select(col("c_custkey"), col("c_nationkey"),
+        col("c_acctbal").cast("double").as("bal"))
+        .createOrReplaceTempView("x67_src")
+      // CTAS: one commit, rows at v1
+      s.sql(s"CREATE TABLE $cat.r12.cust AS SELECT * FROM x67_src")
+      val root = s"$w/r12/cust"
+      require(graft.operators.Versioned.versions(root) == Seq(1L),
+        "x67: atomic CTAS must publish table and data in ONE commit")
+      // RTAS: new shape (the per-nation rollup), one more commit
+      s.sql(s"REPLACE TABLE $cat.r12.cust AS " +
+        s"SELECT c_nationkey AS nk, COUNT(*) AS n, " +
+        "CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal " +
+        s"FROM $cat.r12.cust VERSION AS OF 1 GROUP BY 1")
+      require(graft.operators.Versioned.versions(root) == Seq(1L, 2L),
+        "x67: RTAS must swap schema and data in ONE commit")
+      // the pre-replace snapshot is still addressable and complete
+      val preRows = s.sql(
+        s"SELECT count(*) FROM $cat.r12.cust VERSION AS OF 1")
+        .collect()(0).getLong(0)
+      require(preRows == t(s, d, "customer").count(),
+        "x67: the replaced snapshot must stay time-travelable")
+      w
+    })
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"SELECT nk, n, bal FROM $cat.r12.cust ORDER BY nk")
+  }
+
+  private val ctasDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   // ---------------------------------------------------------------- x52
   // Storage-partitioned join, hash-gated: two catalog tables
   // partitioned the same way (customers and orders by nation-derived
@@ -3238,5 +3292,5 @@ object ExtraQueries {
     x54ShowPartitions, x55DropPartition, x56DvColumnar, x57ReorgPurge,
     x58WriteDistribution, x59BucketSpj, x60DaysPartition, x61AnalyzeCbo,
     x62TagRead, x63ScopedOptimize, x64DvLimit, x65SpecEvolution,
-    x66TruncateSpj)
+    x66TruncateSpj, x67AtomicCtas)
 }

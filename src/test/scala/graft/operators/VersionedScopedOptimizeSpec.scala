@@ -97,4 +97,43 @@ class VersionedScopedOptimizeSpec extends SparkSpec {
     assert(spark.sql("SELECT count(*) FROM graftso.ns.ev")
       .as[Long].head() === 24L)
   }
+
+  test("scope composes with truncate transforms: a RANGE predicate on " +
+      "the raw key compacts one width-window (order-preserving prune)") {
+    val wh = Files.createTempDirectory("graft-scoped-tr-wh").toString
+    spark.conf.set("spark.sql.catalog.graftsot",
+      classOf[graft.sources.GraftCatalog].getName)
+    spark.conf.set("spark.sql.catalog.graftsot.warehouse", wh)
+    spark.sql("CREATE NAMESPACE IF NOT EXISTS graftsot.ns")
+    spark.sql("CREATE TABLE graftsot.ns.tr (k BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (truncate(10, k))")
+    val root = s"$wh/ns/tr"
+    (0 until 3).foreach { _ =>
+      spark.sql("INSERT INTO graftsot.ns.tr SELECT id, id * 1.0 " +
+        "FROM range(30)")
+    }
+    val before = Versioned.latestVersion(root).get
+    val (e0, _, _) = Versioned.aggMeta(root, before)
+    // ≥3 (one per commit; unclustered inserts may fan out more)
+    assert(e0.count(_.stats("_pt_truncate10_k")._2 == "10") >= 3)
+    val outBefore = e0.filterNot(_.stats("_pt_truncate10_k")._2 == "10")
+      .map(_.path).toSet
+    // a RANGE on the SOURCE key scopes exactly the [10, 19] window —
+    // bucket can't do this; truncate's order-preserving derivation
+    // can. (Inclusive bounds: the shared prune treats `<` as an
+    // inclusive stats bound — sound-conservative for scans, so a
+    // strict `k < 20` would also sweep the boundary window whose
+    // min IS 20; partition scoping states ranges inclusively.)
+    val v = VersionedSql(spark,
+      "OPTIMIZE graftsot.ns.tr WHERE k >= 10 AND k <= 19")
+      .select("version").as[Long].head()
+    val (e1, _, _) = Versioned.aggMeta(root, v)
+    assert(e1.count(_.stats("_pt_truncate10_k")._2 == "10") === 1,
+      "the scoped width-window must pack to one file")
+    assert(e1.filterNot(_.stats("_pt_truncate10_k")._2 == "10")
+      .map(_.path).toSet === outBefore,
+      "out-of-scope windows must carry by identity")
+    assert(spark.sql("SELECT count(*) FROM graftsot.ns.tr")
+      .as[Long].head() === 90L)
+  }
 }

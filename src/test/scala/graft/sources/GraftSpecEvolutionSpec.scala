@@ -180,6 +180,53 @@ class GraftSpecEvolutionSpec extends SparkSpec {
       "the rescue rewrite must migrate old-generation rows")
   }
 
+  test("MoR DML composes with spec evolution: a delta UPDATE on a " +
+      "mixed-generation table deletes by position and lands " +
+      "postimages under the CURRENT spec") {
+    sql("CREATE TABLE graftpse.ns.dml (k BIGINT, v DOUBLE) " +
+      "PARTITIONED BY (bucket(2, k))")
+    val root = s"$warehouse/ns/dml"
+    (0L until 16L).map(i => (i, i * 1.0)).toDF("k", "v")
+      .createOrReplaceTempView("pse_dml")
+    sql("INSERT INTO graftpse.ns.dml SELECT * FROM pse_dml")
+    val preFiles = Versioned.files(root,
+      Versioned.versions(root).last).toSet
+    VersionedSql(spark,
+      "ALTER TABLE graftpse.ns.dml SET PARTITION SPEC (bucket(4, k))")
+    // merge-on-read UPDATE across BOTH generations' rows: positions
+    // are file-scoped (generation-agnostic), postimages derive the
+    // current bucket(4)
+    spark.conf.set("spark.graft.rowlevel.mode", "mor")
+    try sql("UPDATE graftpse.ns.dml SET v = v + 100.0 WHERE k % 2 = 0")
+    finally spark.conf.unset("spark.graft.rowlevel.mode")
+    val v = Versioned.versions(root).last
+    assert(Versioned.pendingDvEntries(root, v).nonEmpty,
+      "the delta update must leave deletion vectors pending")
+    val (entries, _, _) = Versioned.aggMeta(root, v)
+    val postimages = entries.filterNot(e => preFiles(e.path))
+    assert(postimages.nonEmpty && postimages.forall(
+      _.stats.contains("_pt_bucket4_k")),
+      "delta postimages must land under the CURRENT spec")
+    // the read spans old-gen (DV-filtered) + new-gen files exactly
+    val got = sql("SELECT k, v FROM graftpse.ns.dml ORDER BY k")
+      .as[(Long, Double)].collect().toSeq
+    val expected = (0L until 16L).map(i =>
+      (i, if (i % 2 == 0) i + 100.0 else i * 1.0))
+    assert(got === expected)
+    // copy-on-write MERGE also lands on the mixed table (rewrites
+    // migrate their files to the current spec)
+    Seq((3L, 999.0), (40L, 1.0)).toDF("k", "v")
+      .createOrReplaceTempView("pse_dml_src")
+    Versioned.compact(spark, root) // clear vectors so CoW can run
+    sql("""MERGE INTO graftpse.ns.dml t USING pse_dml_src s ON t.k = s.k
+          |WHEN MATCHED THEN UPDATE SET v = s.v
+          |WHEN NOT MATCHED THEN INSERT *""".stripMargin)
+    assert(sql("SELECT v FROM graftpse.ns.dml WHERE k = 3")
+      .as[Double].head() === 999.0)
+    assert(sql("SELECT count(*) FROM graftpse.ns.dml")
+      .as[Long].head() === 17L)
+  }
+
   test("evolving to the unpartitioned spec and back re-unifies a " +
       "round-tripped generation") {
     sql("CREATE TABLE graftpse.ns.rt (k BIGINT, v DOUBLE) " +
