@@ -1119,8 +1119,15 @@ private[sources] final class GraftStagedCtasTable(spark: SparkSession,
       override def build(): Write = new V1Write {
         override def toInsertableRelation: InsertableRelation =
           new InsertableRelation {
-            override def insert(data: DataFrame,
+            override def insert(data0: DataFrame,
                 overwrite: Boolean): Unit = {
+              // staged writes are V1 (never rewritten by V2Writes) and
+              // target a table with NO manifest yet — the clustered
+              // write layout applies against the DECLARED spec, so a
+              // partitioned CTAS of a wide query lands O(partitions)
+              // files, not O(tasks × partitions)
+              val data = GraftWriteLayout.applyV1Declared(spark, data0,
+                partCols, transforms)
               staged = Versioned.stageCtasFiles(spark, root, data,
                 partCols, transforms)
               written = true

@@ -151,7 +151,19 @@ private[sources] object GraftWriteLayout {
     * the sort columns when the table is unpartitioned, and a
     * task-local sort so every file's row groups carry narrow stats. */
   def applyV1(spark: SparkSession, root: String,
-      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame = {
+      df: org.apache.spark.sql.DataFrame): org.apache.spark.sql.DataFrame =
+    applyV1Declared(spark, df, Versioned.partitionByOf(root),
+      Versioned.transformsOf(root))
+
+  /** The V1 layout against a DECLARED spec instead of a manifest —
+    * what a staged CTAS/RTAS write uses (the table it is creating has
+    * no manifest to read the layout from yet): a partitioned CREATE
+    * TABLE … AS SELECT of a wide query still lands O(partitions)
+    * files, not O(tasks × partitions). */
+  def applyV1Declared(spark: SparkSession,
+      df: org.apache.spark.sql.DataFrame, partitionBy: Seq[String],
+      transforms: Seq[Versioned.PartTransform])
+      : org.apache.spark.sql.DataFrame = {
     import org.apache.spark.sql.functions.{col, expr}
     val s = sortCols(spark, df.schema)
     val hash = mode(spark) == "hash"
@@ -160,7 +172,7 @@ private[sources] object GraftWriteLayout {
     // materializes as a temp column (dropped right after the hint: the
     // rebalance references it, so pruning can't push the drop below),
     // making the shuffle grain and the file-split grain agree exactly
-    val tx = Versioned.transformsOf(root).map(t => t.hidden -> t).toMap
+    val tx = transforms.map(t => t.hidden -> t).toMap
     val have = df.schema.fieldNames.map(
       _.toLowerCase(java.util.Locale.ROOT)).toSet
     // temp names dodge user columns (a collision would silently
@@ -172,7 +184,7 @@ private[sources] object GraftWriteLayout {
     }
     val parts: Seq[(String, Option[String])] =
       if (!hash) Nil
-      else Versioned.partitionByOf(root).flatMap { pc =>
+      else partitionBy.flatMap { pc =>
         tx.get(pc) match {
           case Some(t) if have(t.src.toLowerCase(java.util.Locale.ROOT)) =>
             Some((freeName(s"__graft_rb_${t.hidden}"),

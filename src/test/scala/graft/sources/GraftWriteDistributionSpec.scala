@@ -68,6 +68,33 @@ class GraftWriteDistributionSpec extends SparkSpec {
     assert(sql("SELECT count(*) FROM graftw.ns.fan").as[Long].head() === 480L)
   }
 
+  test("atomic CTAS honors the write distribution against the " +
+      "DECLARED spec (the table has no manifest at plan time)") {
+    scattered().createOrReplaceTempView("wdist_ctas_src")
+    // baseline: unclustered CTAS fans out (4 tasks × 6 partitions)
+    sql("CREATE TABLE graftw.ns.cfan PARTITIONED BY (p) AS " +
+      "SELECT * FROM wdist_ctas_src")
+    val fanned = Versioned.files(s"$warehouse/ns/cfan", 1L).size
+    assert(fanned > 6,
+      s"baseline CTAS should fan out past 6 files, got $fanned")
+    withDistribution() {
+      sql("CREATE TABLE graftw.ns.cone PARTITIONED BY (p) AS " +
+        "SELECT * FROM wdist_ctas_src")
+    }
+    assert(Versioned.files(s"$warehouse/ns/cone", 1L).size === 6,
+      "a distributed CTAS must land exactly one file per tuple at v1")
+    // the declared layout also applies to HIDDEN transforms: a
+    // bucket-partitioned CTAS clusters by the derivation expression
+    withDistribution() {
+      sql("CREATE TABLE graftw.ns.cbkt PARTITIONED BY (bucket(4, id)) " +
+        "AS SELECT id, CAST(id AS DOUBLE) AS v FROM range(0, 240, 1, 4)")
+    }
+    assert(Versioned.files(s"$warehouse/ns/cbkt", 1L).size === 4,
+      "a bucketed CTAS must land exactly one file per bucket at v1")
+    assert(sql("SELECT count(*) FROM graftw.ns.cbkt")
+      .as[Long].head() === 240L)
+  }
+
   test("dynamic partition overwrite honors the write distribution") {
     sql("CREATE TABLE graftw.ns.dyn (id BIGINT, p INT) PARTITIONED BY (p)")
     val root = s"$warehouse/ns/dyn"
