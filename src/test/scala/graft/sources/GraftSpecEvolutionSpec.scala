@@ -254,6 +254,45 @@ class GraftSpecEvolutionSpec extends SparkSpec {
       .as[Long].head() === 1L)
   }
 
+  test("clone and restore carry the legacy spec: a mixed-generation " +
+      "branch prunes both generations; restore reinstates the " +
+      "pre-evolution spec") {
+    sql("CREATE TABLE graftpse.ns.cl (k BIGINT, v STRING) " +
+      "PARTITIONED BY (bucket(2, k))")
+    val root = s"$warehouse/ns/cl"
+    (0L until 16L).map(i => (i, s"a$i")).toDF("k", "v")
+      .createOrReplaceTempView("pse_cl")
+    sql("INSERT INTO graftpse.ns.cl SELECT * FROM pse_cl")
+    val preEvo = Versioned.versions(root).last
+    VersionedSql(spark,
+      "ALTER TABLE graftpse.ns.cl SET PARTITION SPEC (bucket(4, k))")
+    sql("INSERT INTO graftpse.ns.cl SELECT k + 100, v FROM pse_cl")
+    // clone: both generations' specs travel to the branch
+    val dst = java.nio.file.Files
+      .createTempDirectory("graft-pse-clone").toString + "/t"
+    Versioned.cloneShallow(spark, root, dst)
+    assert(Versioned.transformsOf(dst).map(_.show) ===
+      Seq("bucket(4, k)"))
+    assert(Versioned.legacyTransformsOf(dst).map(_.show) ===
+      Seq("bucket(2, k)"))
+    // the clone prunes per generation exactly like the source
+    val v = Versioned.versions(dst).last
+    val all = Versioned.files(dst, v)
+    val kept = Versioned.candidateFilesForBounds(dst, v,
+      Seq(Versioned.ColumnBound("k", Some(5L), Some(5L))))
+    assert(kept.size < all.size,
+      "mixed-generation pruning must survive the clone")
+    assert(Versioned.read(spark, dst).count() === 32L)
+    // restore to the pre-evolution version reinstates its spec whole
+    Versioned.restore(root, preEvo)
+    assert(Versioned.transformsOf(root).map(_.show) ===
+      Seq("bucket(2, k)"))
+    assert(Versioned.legacyTransformsOf(root).isEmpty,
+      "the pre-evolution snapshot had no legacy spec to reinstate")
+    assert(sql("SELECT count(*) FROM graftpse.ns.cl")
+      .as[Long].head() === 16L)
+  }
+
   test("validation: unknown columns, shadowed hidden names and a " +
       "widened legacy source refuse or degrade loudly") {
     sql("CREATE TABLE graftpse.ns.bad (k INT, i INT, v STRING) " +
