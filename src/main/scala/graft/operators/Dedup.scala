@@ -361,9 +361,26 @@ object Dedup {
   /** Blocked Hamming self-join: candidates share the signature's top
     * block (a keyed equi-join — near-identical docs agree on the prefix
     * with high probability; multi-block OR-amplification is the scale
-    * lever, same trade as LSH bands). */
+    * lever, same trade as LSH bands).
+    *
+    * Block-occupancy guard — the same occ/star construction as
+    * [[lshCandidates]]: a block holding more than `maxBlock` signatures
+    * (degenerate content — empty/boilerplate docs collapsing to one
+    * simhash prefix) would contribute O(B²) pairs and go quadratic at
+    * corpus scale. Oversized blocks instead emit a STAR — block-min id
+    * paired with every other member, O(B) pairs — and the Hamming
+    * filter still applies to every star edge, so for the degenerate
+    * case the cap targets (identical docs, hamming 0) cluster
+    * connectivity survives intact; for a merely loosely-similar
+    * oversized block, pairs not through the block min are not
+    * enumerated — an explicit work-bound switch, exactly the LSH
+    * trade. The d05 DuckDB oracle replays this exact construction, so
+    * engine and oracle agree even at a scale where the cap binds.
+    * Both occupancy and block-min (with ITS signature, needed for the
+    * star edges' Hamming distances) come from one window pass over the
+    * block key — no second aggregate-and-join stage. */
   def simhashPairs(sh: DataFrame, idCol: String, shiftBits: Int,
-      maxHamming: Int): DataFrame = {
+      maxHamming: Int, maxBlock: Int = DefaultMaxBucket): DataFrame = {
     // both legs of the self-join read the signatures: persist the tiny
     // (id, simhash) PROJECTION — an operator-owned frame, never the
     // caller's `sh` itself (persisting an argument as a side effect
@@ -371,11 +388,27 @@ object Dedup {
     // hash pass runs once, not twice; CacheScope tracks the lifecycle
     val cached = graft.CacheScope.persist(
       sh.select(col(idCol), col("simhash")))
-    val a = cached.select(col(idCol).as("i"), col("simhash").as("ha"))
-    val b = cached.select(col(idCol).as("j"), col("simhash").as("hb"))
-    a.withColumn("blk", shiftright(col("ha"), shiftBits))
-      .join(b.withColumn("blk", shiftright(col("hb"), shiftBits)), Seq("blk"))
+    val w = org.apache.spark.sql.expressions.Window.partitionBy("blk")
+    // min(struct(id, sig)) orders by id first: the block-min ROW, so the
+    // star edges get the min doc's signature without a join back
+    val occed = cached
+      .withColumn("blk", shiftright(col("simhash"), shiftBits))
+      .withColumn("__occ", count(lit(1)).over(w))
+      .withColumn("__mn", min(struct(col(idCol).as("id"),
+        col("simhash").as("sig"))).over(w))
+    val small = occed.filter(col("__occ") <= maxBlock)
+    val clique = small
+      .select(col("blk"), col(idCol).as("i"), col("simhash").as("ha"))
+      .join(small.select(col("blk"), col(idCol).as("j"),
+        col("simhash").as("hb")), Seq("blk"))
       .filter(col("i") < col("j"))
+      .select(col("i"), col("j"), col("ha"), col("hb"))
+    // block-min id < every other member's id, so i < j holds on stars too
+    val star = occed
+      .filter(col("__occ") > maxBlock && col(idCol) =!= col("__mn.id"))
+      .select(col("__mn.id").as("i"), col(idCol).as("j"),
+        col("__mn.sig").as("ha"), col("simhash").as("hb"))
+    clique.union(star)
       .select(col("i"), col("j"),
         hamming(col("ha"), col("hb")).cast("long").as("hamming"))
       .filter(col("hamming") <= maxHamming)

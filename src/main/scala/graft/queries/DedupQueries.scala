@@ -142,9 +142,10 @@ object DedupQueries {
   // ---------------------------------------------------------------- d05
   // Oracle-reproducible SimHash: 60-bit signatures from md5-derived token
   // hashes (SimHashBits), blocked on the top 16 bits, Hamming ≤ 3.
-  // DuckDB replays the whole construction — per-bit majority vote
-  // included — so this one hash-matches, complementing the faster
-  // engine-native d04.
+  // DuckDB replays the whole construction — per-bit majority vote AND
+  // the block occ/star occupancy cap included — so this one
+  // hash-matches at any scale (even where the cap binds), complementing
+  // the faster engine-native d04.
   val d05SimhashMd5: Q = Q(
     "d05_simhash_md5",
     """WITH tok AS (
@@ -162,12 +163,25 @@ object DedupQueries {
       |  SELECT doc_id,
       |    CAST(SUM(CASE WHEN w > 0 THEN (CAST(1 AS BIGINT) << b) ELSE 0 END)
       |         AS BIGINT) AS simhash
-      |  FROM bits GROUP BY 1)
-      |SELECT a.doc_id AS i, b.doc_id AS j,
-      |  CAST(bit_count(xor(a.simhash, b.simhash)) AS BIGINT) AS hamming
-      |FROM sh a JOIN sh b
-      |  ON (a.simhash >> 44) = (b.simhash >> 44) AND a.doc_id < b.doc_id
-      |WHERE bit_count(xor(a.simhash, b.simhash)) <= 3
+      |  FROM bits GROUP BY 1),
+      |blk AS (SELECT doc_id, simhash, simhash >> 44 AS blk FROM sh),
+      |bstats AS (
+      |  SELECT blk, COUNT(*) AS occ, MIN(doc_id) AS mn FROM blk GROUP BY 1),
+      |mnsig AS (
+      |  SELECT s.blk, s.occ, s.mn, b.simhash AS msig
+      |  FROM bstats s JOIN blk b ON b.blk = s.blk AND b.doc_id = s.mn),
+      |cand AS (
+      |  SELECT a.doc_id AS i, b.doc_id AS j, a.simhash AS ha, b.simhash AS hb
+      |  FROM blk a
+      |  JOIN blk b ON a.blk = b.blk AND a.doc_id < b.doc_id
+      |  JOIN bstats s ON s.blk = a.blk
+      |  WHERE s.occ <= 256
+      |  UNION ALL
+      |  SELECT m.mn AS i, b.doc_id AS j, m.msig AS ha, b.simhash AS hb
+      |  FROM blk b JOIN mnsig m ON m.blk = b.blk
+      |  WHERE m.occ > 256 AND b.doc_id <> m.mn)
+      |SELECT i, j, CAST(bit_count(xor(ha, hb)) AS BIGINT) AS hamming
+      |FROM cand WHERE bit_count(xor(ha, hb)) <= 3
       |ORDER BY i, j""".stripMargin) { (s, d) =>
     val sh = Dedup.simhashMd5(t(s, d, "documents"), "doc_id", "text")
     Dedup.simhashPairs(sh, "doc_id", shiftBits = 44, maxHamming = 3)

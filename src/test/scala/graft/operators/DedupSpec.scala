@@ -157,6 +157,42 @@ class DedupSpec extends SparkSpec {
     assert(ok.values.toSet === Set(1L))
   }
 
+  test("simhashPairs: oversized blocks degrade to a bounded star, clusters unchanged") {
+    // 50 identical docs all collapse to ONE simhash, hence one block:
+    // the uncapped clique is 50·49/2 = 1 225 pairs; with the cap bound
+    // the block emits a 49-pair star through the block-min doc instead —
+    // linear — and every star edge has hamming 0 so it survives the
+    // Hamming filter and the cluster stays a single connected component.
+    val many = spark.range(50)
+      .select(col("id").as("doc_id"), lit(base).as("text"))
+    val sh = Dedup.simhashMd5(many, "doc_id", "text")
+    val capped = Dedup.simhashPairs(sh, "doc_id", shiftBits = 44,
+      maxHamming = 3, maxBlock = 8)
+    val rows = capped.as[(Long, Long, Long)].collect()
+    assert(rows.length === 49)
+    assert(rows.forall { case (i, j, h) => i == 0L && j > 0L && h == 0L })
+    val clusters = Dedup.dupClusters(capped.select("i", "j"))
+      .as[(Long, Long, Long)].collect()
+    assert(clusters.length === 50)
+    assert(clusters.forall { case (_, rep, size) => rep == 0L && size == 50L })
+    // Uncapped ground truth: identical component structure.
+    val full = Dedup.simhashPairs(sh, "doc_id", shiftBits = 44, maxHamming = 3)
+    assert(full.count() === 1225L)
+    val fullClusters = Dedup.dupClusters(full.select("i", "j"))
+      .as[(Long, Long, Long)].collect().toSet
+    assert(fullClusters === clusters.toSet)
+  }
+
+  test("the default simhash block cap is invisible on healthy corpora") {
+    val real = graft.Tables.t(spark, sfDir, "documents")
+    val sh = Dedup.simhashMd5(real, "doc_id", "text")
+    def pairs(cap: Int) =
+      Dedup.simhashPairs(sh, "doc_id", shiftBits = 44, maxHamming = 3,
+        maxBlock = cap)
+        .select("i", "j").as[(Long, Long)].collect().toSet
+    assert(pairs(64) === pairs(Dedup.DefaultMaxBucket))
+  }
+
   test("simhash: identical texts hash equal; unrelated texts are far") {
     val sh = Dedup.simhash64(docs, "doc_id", "text")
       .as[(Long, Long)].collect().toMap
