@@ -230,14 +230,21 @@ object Versioned {
         case "hours" => s"DATE_TRUNC('HOUR', `$src`)"
         // Iceberg's truncate: order-preserving width reduction —
         // strings keep their first n chars, integrals floor to the
-        // nearest multiple of n (pmod keeps negatives correct)
+        // nearest multiple of n (pmod keeps negatives correct).
+        // Sources are restricted to INT/BIGINT/STRING (Iceberg's own
+        // truncate domain): TINYINT/SMALLINT would be type-INCONSISTENT
+        // across the derivation sites — this SQL form promotes to INT
+        // (`v - pmod(v, n)`) while a source-typed expression wraps at
+        // the type bounds (truncate(5, -128y): SQL derives -130, byte
+        // arithmetic wraps to 126) — so they are rejected at
+        // validatePartitionSpec and here.
         case "truncate" => srcType match {
           case _: StringType => s"substring(`$src`, 1, $n)"
-          case _: ByteType | _: ShortType | _: IntegerType |
-               _: LongType =>
+          case _: IntegerType | _: LongType =>
             s"`$src` - pmod(`$src`, $n)"
           case other => throw new IllegalArgumentException(
-            s"truncate($n, $src): unsupported source type ${other.sql}")
+            s"truncate($n, $src): unsupported source type ${other.sql}" +
+              " (needs STRING, INT, or BIGINT)")
         }
         case other => throw new IllegalArgumentException(
           s"unknown partition transform: $other")
@@ -5298,12 +5305,16 @@ object Versioned {
         case "truncate" =>
           require(t.n > 0,
             s"truncate width must be positive in ${t.show}")
+          // INT/BIGINT/STRING only (Iceberg's truncate domain):
+          // TINYINT/SMALLINT arithmetic wraps at the type bounds while
+          // the SQL derivation promotes to INT — the stored hidden
+          // column and the V2 function would disagree near type
+          // min/max, silently corrupting SPJ and partition pushdown
           require(srcField.dataType match {
-            case _: StringType | _: ByteType | _: ShortType |
-                 _: IntegerType | _: LongType => true
+            case _: StringType | _: IntegerType | _: LongType => true
             case _ => false
           }, s"transform ${t.show}: type ${srcField.dataType.sql} " +
-            "is not truncatable (needs STRING or an integral type)")
+            "is not truncatable (needs STRING, INT, or BIGINT)")
         case "days" | "months" | "years" =>
           require(srcField.dataType.isInstanceOf[DateType] ||
             srcField.dataType.isInstanceOf[TimestampType],
@@ -5414,14 +5425,38 @@ object Versioned {
       schemaJson: String, partitionBy: Seq[String],
       transforms: Seq[PartTransform],
       orReplace: Boolean, replaceOnly: Boolean): Long =
-    latestVersion(root) match {
+    publishCtasFrom(latestVersion(root), root, entries, schemaJson,
+      partitionBy, transforms, orReplace, replaceOnly)
+
+  /** [[publishCtas]] against a pre-read latest version — split out so
+    * the create-race interleaving (latestVersion read None, a
+    * concurrent writer lands v1 before the CAS) is deterministically
+    * testable. */
+  private[graft] def publishCtasFrom(latest: Option[Long], root: String,
+      entries: Seq[FileEntry],
+      schemaJson: String, partitionBy: Seq[String],
+      transforms: Seq[PartTransform],
+      orReplace: Boolean, replaceOnly: Boolean): Long =
+    latest match {
       case None =>
         if (replaceOnly) throw new IllegalStateException(
           s"REPLACE TABLE: no table at $root (it was dropped between " +
             "stage and commit); re-run as CREATE")
-        publishEntries(root, entries, 0L, "append",
+        try publishEntries(root, entries, 0L, "append",
           schemaJson = schemaJson, partitionBy = Some(partitionBy),
           transforms = Some(transforms))
+        catch {
+          // a concurrent writer landing v1 between the latestVersion
+          // check and the CAS is the already-exists race, not a
+          // retryable conflict — the generic "re-read and retry"
+          // guidance would keep failing. Re-dispatch against the
+          // now-existing log: plain CREATE surfaces the CTAS-specific
+          // already-exists error (with the staged-files-age-out-via-
+          // VACUUM note), CREATE OR REPLACE proceeds as the replace.
+          case _: VersionConflictException =>
+            publishCtas(root, entries, schemaJson, partitionBy,
+              transforms, orReplace, replaceOnly)
+        }
       case Some(v) =>
         require(orReplace || replaceOnly,
           s"CTAS target at $root already exists (created concurrently " +

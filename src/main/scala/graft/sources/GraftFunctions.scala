@@ -101,18 +101,24 @@ private[sources] object GraftFunctions {
 
   /** The derivation expression truncate binds, shared by both arities:
     * strings keep their first n chars, integrals floor to the nearest
-    * multiple of n. */
+    * multiple of n. Sources are INT/BIGINT/STRING only (Iceberg's
+    * truncate domain) — in narrower integrals this source-typed
+    * arithmetic wraps at the type bounds while the SQL write
+    * derivation promotes to INT, so the function and the stored hidden
+    * column would diverge near the type min/max;
+    * Versioned.validatePartitionSpec rejects them at declaration and
+    * this bind-time check backstops ad-hoc catalog calls. */
   private def truncateExpr(src: Expression, srcType: DataType,
       width: Expression): Expression = srcType match {
     case _: StringType =>
       org.apache.spark.sql.catalyst.expressions.Substring(src,
         Literal(1), width)
-    case _: ByteType | _: ShortType | _: IntegerType | _: LongType =>
+    case _: IntegerType | _: LongType =>
       org.apache.spark.sql.catalyst.expressions.Subtract(src,
         Pmod(src, Cast(width, srcType)))
     case other => throw new IllegalArgumentException(
-      s"type ${other.sql} is not truncatable (needs STRING or an " +
-        "integral type)")
+      s"type ${other.sql} is not truncatable (needs STRING, INT, or " +
+        "BIGINT)")
   }
 
   /** `truncate_<n>(col)` — the SPJ-reported one-arg form. Width AND

@@ -188,6 +188,14 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
   // away from this scan (there the name means data)
   private val needPos = required.fieldNames.contains("_pos")
   private val dvActive = dvs.nonEmpty
+  // the exact per-file DV-deleted map is derived from the manifest
+  // ONCE per scan (lazy — pure-CoW scans never pay it) and shared by
+  // its three consumers: the rows/bytes estimate, the staleness
+  // check's live count, and the LIMIT file cap. Without the sharing,
+  // one scan planning re-read the manifest up to three times.
+  private lazy val dvDeletedExact: Option[Map[String, Long]] =
+    if (!dvActive) Some(Map.empty)
+    else Versioned.dvDeletedCountsExact(root, version)
 
   // ---- reader layout, fixed at scan construction so split planning
   // and the factory can never disagree. `_file`/`_pos` (the provenance
@@ -395,9 +403,7 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
       // recorded their cardinalities — a heavily-deleted MoR dimension
       // reports its live size, so the broadcast decision sees truth
       private val dvDel: Map[String, Long] =
-        if (!dvActive) Map.empty
-        else Versioned.dvDeletedCountsExact(root, version)
-          .getOrElse(Map.empty)
+        dvDeletedExact.getOrElse(Map.empty)
       private val (b, r) = files.foldLeft((0L, 0L)) { case ((bb, rr), p) =>
         val (fb, fr) = meta.getOrElse(p, (0L, 0L))
         val live = math.max(0L, fr - dvDel.getOrElse(p, 0L))
@@ -433,10 +439,7 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
           .toDouble
         lazy val tableLive: Long = {
           val physical = meta.values.iterator.map(_._2).sum
-          val deleted =
-            if (!dvActive) 0L
-            else Versioned.dvDeletedCountsExact(root, version)
-              .map(_.values.sum).getOrElse(0L)
+          val deleted = dvDeletedExact.map(_.values.sum).getOrElse(0L)
           math.max(0L, physical - deleted)
         }
         def fresh(st: Versioned.ColStat): Boolean =
@@ -541,9 +544,7 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
     // recorded their cardinalities: live rows = rows − deleted, still
     // exact arithmetic — MoR steady state plans LIMIT like CoW. Only a
     // legacy manifest with uncounted sidecars refuses (never guesses).
-    val dvDeleted: Option[Map[String, Long]] =
-      if (!dvActive) Some(Map.empty)
-      else Versioned.dvDeletedCountsExact(root, version)
+    val dvDeleted: Option[Map[String, Long]] = dvDeletedExact
     val limited: Seq[String] = (limitHint, dvDeleted) match {
       case (Some(n), Some(del)) if spjState.isEmpty =>
         var cum = 0L

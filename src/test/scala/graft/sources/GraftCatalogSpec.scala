@@ -91,6 +91,32 @@ class GraftCatalogSpec extends SparkSpec {
     assert(sql("SHOW TABLES IN graftc.tt").count() === 0L)
   }
 
+  test("CTAS losing the create race: already-exists error for CREATE, " +
+      "replace for CREATE OR REPLACE — never the generic retry hint") {
+    sql("CREATE NAMESPACE IF NOT EXISTS graftc.race")
+    // the concurrent winner lands v1
+    sql("CREATE TABLE graftc.race.win (id BIGINT)")
+    val root = s"$warehouse/race/win"
+    val df = Seq(9L).toDF("id")
+    // replay the race deterministically: publishCtasFrom(None) is the
+    // CTAS that read "no table" before the winner's CAS landed
+    val staged = Versioned.stageCtasFiles(spark, root, df, Nil, Nil)
+    val e = intercept[IllegalArgumentException] {
+      Versioned.publishCtasFrom(None, root, staged, df.schema.json,
+        Nil, Nil, orReplace = false, replaceOnly = false)
+    }
+    assert(e.getMessage.contains("already exists"),
+      s"plain CREATE must surface the CTAS already-exists error " +
+        s"(with the VACUUM age-out note), got: ${e.getMessage}")
+    assert(e.getMessage.contains("VACUUM"))
+    // CREATE OR REPLACE under the same race proceeds as the replace
+    val staged2 = Versioned.stageCtasFiles(spark, root, df, Nil, Nil)
+    Versioned.publishCtasFrom(None, root, staged2, df.schema.json,
+      Nil, Nil, orReplace = true, replaceOnly = false)
+    assert(sql("SELECT id FROM graftc.race.win").as[Long]
+      .collect().toSeq === Seq(9L))
+  }
+
   test("REPLACE TABLE … AS SELECT swaps schema and data in one " +
       "commit; pre-replace history stays time-travelable; CREATE OR " +
       "REPLACE works both ways") {

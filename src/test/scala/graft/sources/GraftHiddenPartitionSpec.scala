@@ -275,6 +275,23 @@ class GraftHiddenPartitionSpec extends SparkSpec {
       "bucket pruning must survive compaction")
   }
 
+  test("truncate rejects TINYINT/SMALLINT sources at declaration") {
+    // Narrow integrals are type-INCONSISTENT across the derivation
+    // sites: the SQL write derivation `v - pmod(v, n)` promotes to INT
+    // while source-typed arithmetic wraps at the type bounds
+    // (truncate(5, -128y): SQL derives -130, byte arithmetic wraps to
+    // 126) — so the declaration refuses them (Iceberg's truncate
+    // domain: int/long/string).
+    for (narrow <- Seq("TINYINT", "SMALLINT")) {
+      val e = intercept[Exception] {
+        sql(s"CREATE TABLE grafth.ns.trn_narrow (k $narrow, v STRING) " +
+          "PARTITIONED BY (truncate(8, k))")
+      }
+      assert(e.getMessage.contains("not truncatable"),
+        s"$narrow: ${e.getMessage}")
+    }
+  }
+
   test("truncate(8, k) on an integral key: floor-to-multiple files; " +
       "POINT, IN and RANGE predicates all prune (order-preserving)") {
     sql("CREATE TABLE grafth.ns.trn (k BIGINT, v STRING) " +
