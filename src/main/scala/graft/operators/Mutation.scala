@@ -109,7 +109,15 @@ object Mutation {
     * Mechanics, mirroring what a Delta writer does with its stats:
     *  - the update key set is collected driver-side (bounded by the
     *    incremental batch — the same bound Delta's predicate collection
-    *    has) and sorted;
+    *    has) and sorted. DRIVER BOUND: the collect itself is capped at
+    *    `maxPrunedKeys + 1` rows via limit, so a batch whose key
+    *    cardinality exceeds `maxPrunedKeys` (default 2M — a few tens
+    *    of MB of driver heap) NEVER materializes unbounded keys;
+    *    it falls back to [[mergeUpsert]]'s distributed anti-join
+    *    (logged) — a 100M-key "incremental" batch is a backfill, and
+    *    the whole-table merge is the right plan for it anyway. The
+    *    manifest-native MERGE ([[graft.operators.Versioned.merge]])
+    *    has no such driver step and is the production verb;
     *  - each target file's footer is opened METADATA-ONLY
     *    (parquet-hadoop `ParquetFileReader`; row groups never read) and
     *    its per-row-group min/max for `keyCol` is probed against the
@@ -131,15 +139,32 @@ object Mutation {
     * catalog uses.
     */
   def mergeUpsertFilePruned(spark: SparkSession, targetPath: String,
-      updates: DataFrame, keyCol: String): Unit = {
+      updates: DataFrame, keyCol: String,
+      maxPrunedKeys: Int = 2_000_000): Unit = {
+    require(maxPrunedKeys > 0,
+      s"maxPrunedKeys must be positive, got $maxPrunedKeys")
     readIfExists(spark, targetPath) match {
       case None =>
         updates.write.mode("overwrite").parquet(targetPath)
       case Some(target) =>
         val keyIsString = target.schema(keyCol).dataType ==
           org.apache.spark.sql.types.StringType
-        // sorted update keys, as comparable doubles-free ordinals
-        val keys = updates.select(col(keyCol)).distinct().collect()
+        // sorted update keys, as comparable doubles-free ordinals.
+        // limit(cap + 1) bounds the collect BEFORE it happens: past
+        // the cap the batch is no longer "incremental" and the
+        // distributed whole-table merge takes over (see Scaladoc)
+        val keys = updates.select(col(keyCol)).distinct()
+          .limit(maxPrunedKeys + 1).collect()
+        if (keys.length > maxPrunedKeys) {
+          org.slf4j.LoggerFactory.getLogger(getClass).warn(
+            s"mergeUpsertFilePruned: update batch exceeds " +
+              s"maxPrunedKeys=$maxPrunedKeys distinct keys — falling " +
+              "back to the non-pruned distributed merge (no driver-side " +
+              "key set); for routine batches this large use the " +
+              "manifest-native Versioned.merge")
+          mergeUpsert(spark, targetPath, updates, Seq(keyCol))
+          return
+        }
         val keyLongs: Array[Long] =
           if (keyIsString) Array.empty
           else keys.map(r => r.get(0) match {

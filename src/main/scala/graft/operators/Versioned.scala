@@ -5043,7 +5043,12 @@ object Versioned {
       // partition-grain scope (Delta's `OPTIMIZE t WHERE …`): only
       // small files of matching partitions pack; at 100 TB the
       // maintenance tick compacts TODAY, never the table
-      where: Option[String] = None): Long = withOccRetry(None) {
+      where: Option[String] = None,
+      // re-arm ANALYZE stats after the rewrite (see
+      // [[reanalyzeAfterMaintenance]]) — opt-in: one extra bounded
+      // aggregate pass over the table
+      reanalyze: Boolean = false): Long = {
+    val (v, published) = withOccRetry(None) {
     val latest = latestVersion(root).getOrElse(
       throw new IllegalArgumentException(s"no versions at $root"))
     val m = readManifest(root, latest)
@@ -5059,7 +5064,7 @@ object Versioned {
     val big = big0 ++ m.files.filterNot(f => scopedSet(f.path))
     val smallSet = small.map(_.path).toSet
     val predOnSmall = m.mor.exists(_.files.exists(smallSet))
-    if (small.isEmpty || (small.size == 1 && !predOnSmall)) latest
+    if (small.isEmpty || (small.size == 1 && !predOnSmall)) (latest, false)
     else {
       val packed = readLive(spark, root, m, small.map(_.path))
       val nOut = math.max(1L, math.ceil(
@@ -5086,9 +5091,37 @@ object Versioned {
       // packed files materialized theirs through readLive; carried
       // files keep their vectors scoped exactly as before
       val stillDvs = m.dvs.filter(d => carried(d.file))
-      publishEntries(root, big ++ entries, latest, "compact",
+      (publishEntries(root, big ++ entries, latest, "compact",
         schemaJson = m.schemaJson.orNull, mor = stillPending,
-        dvs = stillDvs)
+        dvs = stillDvs), true)
+    }
+    }
+    if (published && reanalyze) reanalyzeAfterMaintenance(spark, root, v)
+    else v
+  }
+
+  /** Re-arm ANALYZE stats after a maintenance rewrite: re-run the
+    * one-pass column stats for exactly the previously analyzed columns
+    * (merge-over-prior keeps everything else), so plans that lost
+    * their CBO estimates to the staleness discipline — a table whose
+    * live count drifted past `spark.graft.analyze.staleFactor` drops
+    * stale columns from the scan's report — get them back in the same
+    * maintenance tick instead of waiting for a manual ANALYZE.
+    * Columns dropped since the last ANALYZE silently leave the set.
+    * Cost: one bounded aggregate pass over the table, which is why
+    * this is OPT-IN on [[optimize]]/[[reorg]] rather than automatic —
+    * a scoped compaction of one hot partition on a 100 TB table must
+    * not imply a full-table stats pass by default. No-op maintenance
+    * (nothing rewritten) never triggers it. */
+  private def reanalyzeAfterMaintenance(spark: SparkSession,
+      root: String, v: Long): Long = {
+    val prior = colStatsOf(root, v)
+    if (prior.isEmpty) v
+    else {
+      val schema = tableSchema(spark, root, Some(v))
+      val cols = prior.keys.toSeq.sorted
+        .filter(n => schema.fieldNames.exists(_.equalsIgnoreCase(n)))
+      if (cols.isEmpty) v else analyze(spark, root, cols)
     }
   }
 
@@ -5115,7 +5148,11 @@ object Versioned {
     */
   def reorg(spark: SparkSession, root: String,
       minDeletedFraction: Double = 0.1,
-      targetBytes: Long = 128L * 1024 * 1024): Long = withOccRetry(None) {
+      targetBytes: Long = 128L * 1024 * 1024,
+      // re-arm ANALYZE stats after the purge (see
+      // [[reanalyzeAfterMaintenance]]); no-op reorgs skip it
+      reanalyze: Boolean = false): Long = {
+    val v = withOccRetry(None) {
     require(minDeletedFraction > 0.0 && minDeletedFraction <= 1.0,
       s"minDeletedFraction must be in (0, 1], got $minDeletedFraction")
     val latest = latestVersion(root).getOrElse(
@@ -5157,6 +5194,10 @@ object Versioned {
     publishEntries(root, carried ++ entries, latest, "compact",
       schemaJson = m.schemaJson.orNull, mor = stillPending,
       dvs = stillDvs)
+    }
+    // the early no-op exits (`return latest`) bypass this tail — a
+    // reorg that rewrote nothing never pays a stats pass
+    if (reanalyze) reanalyzeAfterMaintenance(spark, root, v) else v
   }
 
   /** Zero-copy RESTORE (Delta's `RESTORE TABLE … TO VERSION`): publish

@@ -92,7 +92,10 @@ object VersionedSql {
       """(?:\s+ZORDER\s+BY\s+\(([^)]+)\))?""" +
       // trailing partition scope (Delta's OPTIMIZE t WHERE …): only
       // matching partitions' small files pack
-      """(?:\s+WHERE\s+([^;]+?))?\s*;?\s*""").r
+      """(?:\s+WHERE\s+([^;]+?))?""" +
+      // trailing REANALYZE re-arms ANALYZE stats over the previously
+      // analyzed columns in the same maintenance tick
+      """(\s+REANALYZE)?\s*;?\s*""").r
   private val VacuumRe =
     s"""(?is)\\s*VACUUM\\s+$Ref\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*""".r
   //   REORG [TABLE] `path`|cat.ns.t APPLY (PURGE) [MIN FRACTION 0.x]
@@ -100,7 +103,8 @@ object VersionedSql {
   // heavily-deleted files ONLY — O(hot files), never a full rewrite
   private val ReorgRe =
     (s"""(?is)\\s*REORG\\s+(?:TABLE\\s+)?$Ref\\s+APPLY\\s*\\(\\s*PURGE""" +
-      """\s*\)(?:\s+MIN\s+FRACTION\s+([0-9.]+))?\s*;?\s*""").r
+      """\s*\)(?:\s+MIN\s+FRACTION\s+([0-9.]+))?""" +
+      """(\s+REANALYZE)?\s*;?\s*""").r
   private val RestoreRe =
     s"""(?is)\\s*RESTORE\\s+$Ref\\s+TO\\s+VERSION\\s+(\\d+)\\s*;?\\s*""".r
   //   ALTER TABLE `path`|cat.ns.t CREATE TAG name [AS OF VERSION n]
@@ -186,14 +190,19 @@ object VersionedSql {
     // MERGE sources written against graft_table(...) (idempotent)
     graft.GraftExtensions.registerFunctions(spark)
     stmt match {
-      case OptimizeRe(ref, n, tgt, zcols, whereSql) =>
+      case OptimizeRe(ref, n, tgt, zcols, whereSql, reanalyzeTok) =>
         val root = refRoot(spark, ref)
         val nOut = Option(n).map(_.toInt)
         val scope = Option(whereSql).map(_.trim).filter(_.nonEmpty)
+        val reanalyze = reanalyzeTok != null
         require(scope.isEmpty || (zcols == null && n == null),
           "OPTIMIZE … WHERE scopes the INCREMENTAL bin-pack only — " +
             "INTO n FILES and ZORDER BY are full-rewrite verbs and " +
             "cannot take a partition scope")
+        require(!reanalyze || (zcols == null && n == null),
+          "REANALYZE rides the INCREMENTAL bin-pack only — after a " +
+            "full rewrite (INTO n FILES / ZORDER BY) run ANALYZE " +
+            "explicitly")
         // bare OPTIMIZE is the INCREMENTAL bin-pack (Delta's bare-
         // OPTIMIZE semantics: O(small-file debt), big files carried by
         // reference — on a 100 TB streaming-fed table the verb a user
@@ -215,7 +224,7 @@ object VersionedSql {
               case None => Versioned.optimize(spark, root,
                 targetBytes = Option(tgt).map(_.toLong)
                   .getOrElse(128L * 1024 * 1024),
-                where = scope)
+                where = scope, reanalyze = reanalyze)
             }
           })
       case VacuumRe(ref, keep) =>
@@ -224,12 +233,13 @@ object VersionedSql {
         return result(spark, root, "vacuum",
           Versioned.latestVersion(root).getOrElse(
             throw new IllegalArgumentException(s"no versions at $root")))
-      case ReorgRe(ref, frac) =>
+      case ReorgRe(ref, frac, reanalyzeTok) =>
         val root = refRoot(spark, ref)
         return result(spark, root, "reorg",
           Versioned.reorg(spark, root,
             minDeletedFraction =
-              Option(frac).map(_.toDouble).getOrElse(0.1)))
+              Option(frac).map(_.toDouble).getOrElse(0.1),
+            reanalyze = reanalyzeTok != null))
       case CreateTagRe(ref, name, v) =>
         val root = refRoot(spark, ref)
         return result(spark, root, "create-tag",

@@ -2980,6 +2980,85 @@ object ExtraQueries {
   private val ctasDirs =
     scala.collection.concurrent.TrieMap.empty[String, String]
 
+  // ---------------------------------------------------------------- x68
+  // OPTIMIZE … REANALYZE, hash-gated: supplier lands in four small
+  // INSERTs, ANALYZE runs on the first quarter only, the remaining
+  // slices drift live rows 4x past the staleness factor (the scan
+  // stops serving the stale column stats — pinned), then ONE
+  // maintenance verb packs the small files AND re-arms the stats. The
+  // body PINS the full lifecycle: stats stand down on drift, the
+  // re-armed stats carry the true live count, and the analyzed NDV is
+  // back in the optimized plan; DuckDB replays the aggregate from the
+  // base table — a row lost to the pack or a stats-corrupted read
+  // breaks the hash.
+  val x68Reanalyze: Q = Q(
+    "x68_reanalyze",
+    """SELECT CAST(s_nationkey AS BIGINT) AS nk, COUNT(*) AS n,
+      |  CAST(SUM(CAST(s_acctbal AS DECIMAL(18,2))) AS DOUBLE) AS bal
+      |FROM supplier GROUP BY 1 ORDER BY nk""".stripMargin) { (s, d) =>
+    val cat = s"graftrean${math.abs(d.hashCode)}"
+    val wh = reanDirs.getOrElseUpdate(d, {
+      val w = java.nio.file.Files
+        .createTempDirectory("graft-rean-q").toString
+      s.conf.set(s"spark.sql.catalog.$cat",
+        classOf[graft.sources.GraftCatalog].getName)
+      s.conf.set(s"spark.sql.catalog.$cat.warehouse", w)
+      s.sql(s"CREATE NAMESPACE IF NOT EXISTS $cat.r13")
+      s.sql(s"CREATE TABLE $cat.r13.supp (s_suppkey BIGINT, " +
+        "nk BIGINT, bal DOUBLE)")
+      val root = s"$w/r13/supp"
+      t(s, d, "supplier").select(col("s_suppkey"),
+        col("s_nationkey").cast("long").as("nk"),
+        col("s_acctbal").cast("double").as("bal"))
+        .createOrReplaceTempView("x68_src")
+      s.sql(s"INSERT INTO $cat.r13.supp SELECT * FROM x68_src " +
+        "WHERE s_suppkey % 4 = 0")
+      graft.operators.VersionedSql(s,
+        s"ANALYZE TABLE $cat.r13.supp COMPUTE STATISTICS FOR ALL COLUMNS")
+      (1 to 3).foreach(i =>
+        s.sql(s"INSERT INTO $cat.r13.supp SELECT * FROM x68_src " +
+          s"WHERE s_suppkey % 4 = $i"))
+      def planStats(): Boolean = {
+        val rel = s.sql(s"SELECT nk FROM $cat.r13.supp WHERE nk = 3")
+          .queryExecution.optimizedPlan.collectFirst {
+            case r: org.apache.spark.sql.execution.datasources.v2
+                .DataSourceV2ScanRelation => r
+          }.getOrElse(throw new IllegalStateException(
+            "x68 expects a V2 scan relation"))
+        rel.stats.attributeStats.toSeq.exists { case (a, cs) =>
+          a.name.equalsIgnoreCase("nk") && cs.distinctCount.isDefined }
+      }
+      val saved = s.conf.getOption("spark.sql.cbo.enabled")
+      try {
+        s.conf.set("spark.sql.cbo.enabled", "true")
+        require(!planStats(),
+          "x68: 4x-drifted stats must stand down before the maintenance")
+        graft.operators.VersionedSql(s, s"OPTIMIZE `$root` REANALYZE")
+        val live = t(s, d, "supplier").count()
+        val st = graft.operators.Versioned.colStatsOf(root,
+          graft.operators.Versioned.versions(root).last)
+        require(st.get("nk").exists(_.rows == live),
+          s"x68: re-armed stats must carry the live count $live, got " +
+            s"${st.get("nk").map(_.rows)}")
+        require(planStats(),
+          "x68: OPTIMIZE … REANALYZE must put the NDV back in the plan")
+      } finally saved match {
+        case Some(v) => s.conf.set("spark.sql.cbo.enabled", v)
+        case None => s.conf.unset("spark.sql.cbo.enabled")
+      }
+      w
+    })
+    s.conf.set(s"spark.sql.catalog.$cat",
+      classOf[graft.sources.GraftCatalog].getName)
+    s.conf.set(s"spark.sql.catalog.$cat.warehouse", wh)
+    s.sql(s"SELECT nk, COUNT(*) AS n, " +
+      "CAST(SUM(CAST(bal AS DECIMAL(18,2))) AS DOUBLE) AS bal " +
+      s"FROM $cat.r13.supp GROUP BY nk ORDER BY nk")
+  }
+
+  private val reanDirs =
+    scala.collection.concurrent.TrieMap.empty[String, String]
+
   // ---------------------------------------------------------------- x52
   // Storage-partitioned join, hash-gated: two catalog tables
   // partitioned the same way (customers and orders by nation-derived
@@ -3292,5 +3371,5 @@ object ExtraQueries {
     x54ShowPartitions, x55DropPartition, x56DvColumnar, x57ReorgPurge,
     x58WriteDistribution, x59BucketSpj, x60DaysPartition, x61AnalyzeCbo,
     x62TagRead, x63ScopedOptimize, x64DvLimit, x65SpecEvolution,
-    x66TruncateSpj, x67AtomicCtas)
+    x66TruncateSpj, x67AtomicCtas, x68Reanalyze)
 }

@@ -206,6 +206,38 @@ class MutationSpec extends SparkSpec {
     assert(spark.read.parquet(path).count() === 401)
   }
 
+  test("mergeUpsertFilePruned past the key cap falls back to the " +
+      "distributed merge instead of collecting unbounded keys") {
+    val path = tmp()
+    spark.range(400).select($"id", ($"id" * 2).as("v"))
+      .repartitionByRange(4, $"id").sortWithinPartitions("id")
+      .write.parquet(path)
+    val before = fileHashes(path)
+    // 11 distinct keys against a cap of 4: the driver-side key set is
+    // never built (the collect is limit-bounded at cap+1) and the
+    // whole-table merge runs — observable as EVERY file rewritten,
+    // where the pruned path would have left 3 of 4 byte-identical
+    Mutation.mergeUpsertFilePruned(spark, path,
+      spark.range(10, 21).select($"id", lit(-1L).as("v")), "id",
+      maxPrunedKeys = 4)
+    val after = fileHashes(path)
+    assert(!before.exists { case (k, h) => after.get(k).contains(h) },
+      "the fallback path is a whole-table rewrite")
+    // semantics identical to the pruned path: same merged table
+    val got = spark.read.parquet(path)
+    assert(got.count() === 400)
+    assert(got.filter($"v" === -1L).count() === 11)
+    assert(got.select("id").distinct().count() === 400)
+    // at-the-cap batches still take the pruned path
+    val before2 = fileHashes(path)
+    Mutation.mergeUpsertFilePruned(spark, path,
+      Seq((9999L, 0L)).toDF("id", "v"), "id", maxPrunedKeys = 4)
+    assert(spark.read.parquet(path).count() === 401)
+    assert(before2.forall { case (k, h) =>
+      fileHashes(path).get(k).contains(h) },
+      "a 1-key batch under the cap must stay pruned (append-only here)")
+  }
+
   test("mergeUpsertFilePruned prunes on string-key footer stats too") {
     val path = tmp()
     spark.range(100)

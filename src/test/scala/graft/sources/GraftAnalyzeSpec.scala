@@ -208,6 +208,76 @@ class GraftAnalyzeSpec extends SparkSpec {
     }
   }
 
+  private def attrStatsOf(table: String): Option[
+      org.apache.spark.sql.catalyst.plans.logical.ColumnStat] = {
+    val df = sql(s"SELECT k FROM $table WHERE k = 5")
+    val rel = df.queryExecution.optimizedPlan.collectFirst {
+      case r: org.apache.spark.sql.execution.datasources.v2
+          .DataSourceV2ScanRelation => r
+    }.getOrElse(fail("expected a V2 scan relation"))
+    rel.stats.attributeStats.toSeq
+      .find(_._1.name.equalsIgnoreCase("k")).map(_._2)
+  }
+
+  test("OPTIMIZE … REANALYZE re-arms stale column stats in the same " +
+      "maintenance tick; no-op packs and never-analyzed tables skip " +
+      "the stats pass") {
+    sql("CREATE TABLE graftan.ns.ra (k BIGINT)")
+    val root = s"$warehouse/ns/ra"
+    sql("INSERT INTO graftan.ns.ra SELECT id % 50 FROM range(1000)")
+    Versioned.analyze(spark, root)
+    // drift past the 2x staleness factor with small appends — which
+    // also bank exactly the small-file debt OPTIMIZE packs
+    (1 to 3).foreach(_ =>
+      sql("INSERT INTO graftan.ns.ra SELECT id % 999 FROM range(500)"))
+    withCbo {
+      assert(attrStatsOf("graftan.ns.ra").isEmpty,
+        "2.5x drift must stand the stale stats down")
+      VersionedSql(spark, s"OPTIMIZE `$root` REANALYZE")
+      val last = Versioned.versions(root).last
+      val st = Versioned.colStatsOf(root, last)
+      assert(st("k").rows === 2500L,
+        "re-armed stats must reflect the post-maintenance live count")
+      assert(attrStatsOf("graftan.ns.ra").isDefined,
+        "OPTIMIZE … REANALYZE must leave columnStats fresh")
+      // everything is packed and analyzed now: a second reanalyzing
+      // OPTIMIZE is a no-op — no compact AND no stats commit
+      assert(Versioned.optimize(spark, root, reanalyze = true) === last)
+      assert(Versioned.versions(root).last === last)
+    }
+    // never-analyzed table: REANALYZE has nothing to re-arm — the
+    // pack publishes, the stats pass is skipped
+    sql("CREATE TABLE graftan.ns.ra2 (k BIGINT)")
+    val root2 = s"$warehouse/ns/ra2"
+    (1 to 2).foreach(_ =>
+      sql("INSERT INTO graftan.ns.ra2 SELECT id FROM range(100)"))
+    val v = Versioned.optimize(spark, root2, reanalyze = true)
+    assert(Versioned.versions(root2).last === v,
+      "the pack must be the head commit (no analyze followed)")
+    assert(Versioned.colStatsOf(root2, v).isEmpty)
+  }
+
+  test("REORG … APPLY (PURGE) REANALYZE re-arms stats over the " +
+      "purged live rows") {
+    sql("CREATE TABLE graftan.ns.rg (k BIGINT)")
+    val root = s"$warehouse/ns/rg"
+    sql("INSERT INTO graftan.ns.rg SELECT id FROM range(1000)")
+    Versioned.analyze(spark, root)
+    // MoR-delete 60%: live shrinks 2.5x past the staleness factor
+    Versioned.deleteRows(spark, root,
+      org.apache.spark.sql.functions.col("k") >= 400L)
+    withCbo {
+      assert(attrStatsOf("graftan.ns.rg").isEmpty,
+        "the shrunk table must not serve stale stats")
+      VersionedSql(spark, s"REORG `$root` APPLY (PURGE) REANALYZE")
+      val st = Versioned.colStatsOf(root, Versioned.versions(root).last)
+      assert(st("k").rows === 400L,
+        "re-armed stats must reflect the purged live count")
+      assert(st("k").max === Some("399"))
+      assert(attrStatsOf("graftan.ns.rg").isDefined)
+    }
+  }
+
   test("ANALYZE FOR COLUMNS subset merges over prior stats; unknown " +
       "column refuses") {
     sql("CREATE TABLE graftan.ns.sub (x BIGINT, y BIGINT)")
