@@ -34,7 +34,13 @@ object Bench {
     // spike on the shared box then perturbs one pass, not the verdict
     // (round-2 driver run measured 40× one-pass outliers on queries
     // that bench at 1–2 s on an idle machine).
-    Tables.names.foreach(n => Tables.t(spark, sfDir, n).count())
+    // partial SF dirs are legal for targeted runs (the sf10 scale
+    // proof generates only the corpora its families read) — warm what
+    // exists; a query against a genuinely missing table still fails
+    // loudly in its own timed slot
+    Tables.names
+      .filter(n => new java.io.File(s"$sfDir/$n.parquet").exists())
+      .foreach(n => Tables.t(spark, sfDir, n).count())
     // (time, succeeded) per query. clearCache() before EVERY timed query:
     // operators persist frames internally (dedup index, CC labels, IVF
     // centroids), and Spark's CacheManager serves any later query whose

@@ -15,18 +15,26 @@ import org.apache.spark.sql.functions._
   * the TPC-H shape), so nation-grain aggregates grow 10× per group
   * rather than 10× in group count.
   *
-  * Documents do NOT replicate as exact 10-cliques (which would turn
+  * Documents do NOT replicate as exact N-cliques (which would turn
   * every near-dup query quadratic-in-clique and measure data
-  * pathology, not plan scaling): copy i rewrites text with vowel
-  * rotation i mod 5 (`translate`, length-preserving so `n_chars`
-  * stays truthful) — each doc yields 5 transform classes × 2 copies,
-  * i.e. one near-dup partner per doc, a realistic dup rate.
-  * Embeddings rotate their dimensions by i — deterministic, cheap,
-  * and rotated copies are unrelated vectors rather than identical
-  * ones. Events shift ids but keep the time window (10× density, the
-  * realistic stream growth).
+  * pathology, not plan scaling): copies pair off into ⌈copies/2⌉
+  * TRANSFORM CLASSES of exactly two copies each — class c rewrites
+  * text with vowel rotation (c mod 5) composed with consonant
+  * rotation (c / 5), both via `translate` (length-preserving so
+  * `n_chars` stays truthful) — so every doc keeps ONE near-dup
+  * partner per class at ANY amplification (at 10 copies this reduces
+  * to the original 5 vowel rotations; at 100 copies there are 50
+  * classes instead of 20-cliques). The planted dup RATE is then
+  * scale-invariant: pair counts grow linearly with the corpus, the
+  * way a real crawl's do, and candidate-stage blowups measured at
+  * sf10 are genuine plan behavior.
+  * Embeddings rotate their dimensions by (i mod dim), negated every
+  * dim copies — deterministic, cheap, and every copy is a distinct
+  * vector rather than an identical one. Events shift ids but keep
+  * the time window (N× density, the realistic stream growth).
   *
   * Usage: runMain graft.ScaleUp <srcSfDir> <outDir> [copies=10]
+  *          [tables=t1,t2 — default all]
   */
 object ScaleUp {
 
@@ -34,6 +42,8 @@ object ScaleUp {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft-sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    val onlyTables: Option[Set[String]] =
+      args.lift(3).map(_.split(",").map(_.trim).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")
     val spark = SparkSession.builder()
       .master(s"local[$cpus]")
@@ -72,7 +82,22 @@ object ScaleUp {
         d.withColumn(c, col(c) + lit(i * span))
       }
 
-    val vowelRots = Seq("aeiou", "eioua", "iouae", "ouaei", "uaeio")
+    // transform class c = vowel rotation (c mod 5) ∘ consonant
+    // rotation (c / 5): ⌈copies/2⌉ classes keep exactly two copies
+    // per class at any amplification
+    val vowels = "aeiou"
+    val consonants = "bcdfghjklmnpqrstvwxyz"
+    def rot(s: String, k: Int): String = {
+      val r = k % s.length
+      s.substring(r) + s.substring(0, r)
+    }
+    val classes = math.max(1, copies / 2)
+    def docRewrite(c0: org.apache.spark.sql.Column, i: Int)
+        : org.apache.spark.sql.Column = {
+      val cls = i % classes
+      translate(c0, vowels + consonants,
+        rot(vowels, cls % 5) + rot(consonants, cls / 5))
+    }
 
     val outs: Seq[(String, DataFrame)] = Seq(
       "region" -> spark.read.parquet(s"$src/region.parquet"),
@@ -88,20 +113,27 @@ object ScaleUp {
         shift(d, i, "event_id" -> E, "user_id" -> U)),
       "documents" -> amplify(documents) { (d, i) =>
         shift(d, i, "doc_id" -> D)
-          .withColumn("text",
-            translate(col("text"), "aeiou", vowelRots(i % vowelRots.size)))
+          .withColumn("text", docRewrite(col("text"), i))
       },
       "embeddings" -> amplify(embeddings) { (d, i) =>
+        val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+        val r = i % dim
         val rotated =
-          if (i == 0) col("embedding")
+          if (r == 0) col("embedding")
           else concat(
-            slice(col("embedding"), i + 1, 1 << 20),
-            slice(col("embedding"), 1, i))
-        shift(d, i, "vec_id" -> V).withColumn("embedding", rotated)
+            slice(col("embedding"), r + 1, 1 << 20),
+            slice(col("embedding"), 1, r))
+        // past one full rotation cycle, negate — every copy stays a
+        // DISTINCT vector even when copies > dim
+        val vec =
+          if (i / dim % 2 == 0) rotated
+          else transform(rotated, x => -x)
+        shift(d, i, "vec_id" -> V).withColumn("embedding", vec)
       })
 
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
-    outs.foreach { case (name, df) =>
+    outs.filter { case (name, _) => onlyTables.forall(_.contains(name)) }
+      .foreach { case (name, df) =>
       // one parquet FILE per table, like the driver's layout
       val tmp = s"$out/_tmp_$name"
       df.coalesce(1).write.mode("overwrite").parquet(tmp)

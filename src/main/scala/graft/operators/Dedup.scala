@@ -179,10 +179,28 @@ object Dedup {
     *
     * The ε in the prefix bound absorbs float error in t·n: an error can
     * then only LENGTHEN a prefix (more candidates, never a lost pair).
-    */
+    *
+    * The candidate join also applies PPJoin's LENGTH filter — jaccard
+    * ≥ t forces min(ni, nj) ≥ t·max(ni, nj), since the intersection is
+    * at most the smaller set — before the distinct. Lossless like the
+    * prefix bound (ε on the same side: float error only ADMITS more
+    * candidates), and decisive at corpus scale: coincidental prefix
+    * collisions between very differently-sized documents are exactly
+    * the candidates that survive the prefix filter and then feed the
+    * verification join's (pairs × |shingles|) fan-out — measured at
+    * sf10 (500k docs), the length filter is what keeps that stage's
+    * shuffle bounded. */
   def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 3): DataFrame = {
     val shingled = shingleSets(docs, idCol, textCol, k)
+    val cand = ngramJaccardPrefixCandidates(shingled, idCol, threshold)
+    jaccardFor(cand, shingled, idCol).filter(col("jaccard") >= threshold)
+  }
+
+  /** The prefix plan's candidate-pair stage (split out so scale proofs
+    * can measure the candidate volume the verification join pays). */
+  private[graft] def ngramJaccardPrefixCandidates(shingled: DataFrame,
+      idCol: String, threshold: Double): DataFrame = {
     val ex = invertedIndex(shingled, idCol)
     val docFreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
@@ -191,11 +209,12 @@ object Dedup {
       .withColumn("pos", row_number().over(w))
       .filter(col("pos") <=
         col("n") - ceil(lit(threshold) * col("n") - lit(1e-9)) + 1)
-    val cand = prefix.select(col(idCol).as("i"), col("s"))
-      .join(prefix.select(col(idCol).as("j"), col("s")), "s")
+    prefix.select(col(idCol).as("i"), col("n").as("ni"), col("s"))
+      .join(prefix.select(col(idCol).as("j"), col("n").as("nj"), col("s")), "s")
       .filter(col("i") < col("j"))
+      .filter(col("nj") >= lit(threshold) * col("ni") - lit(1e-9) &&
+        col("ni") >= lit(threshold) * col("nj") - lit(1e-9))
       .select("i", "j").distinct()
-    jaccardFor(cand, shingled, idCol).filter(col("jaccard") >= threshold)
   }
 
   /** df-adaptive exact n-gram Jaccard: ONE aggregate over the shingle
@@ -230,6 +249,22 @@ object Dedup {
       threshold: Double, k: Int = 3,
       maxDirectPairs: Long = 50_000_000L,
       statsSampleRate: Double = 1.0): DataFrame = {
+    val candVolume =
+      directJoinCandidateVolume(docs, idCol, textCol, k, statsSampleRate)
+    if (candVolume <= maxDirectPairs)
+      ngramJaccardPairs(docs, idCol, textCol, threshold, k)
+    else
+      ngramJaccardPairsPrefix(docs, idCol, textCol, threshold, k)
+  }
+
+  /** The df-adaptive decision measure, exposed for scale-proof
+    * instrumentation: the EXACT number of (i, j, shingle) rows the
+    * plain inverted-index self-join would shuffle, Σ df·(df−1)/2 over
+    * the corpus' shingle document frequencies (estimated from a
+    * doc-sampled subset when `statsSampleRate` < 1 — see
+    * [[ngramJaccardPairsAdaptive]] for the unbiasedness argument). */
+  def directJoinCandidateVolume(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 3, statsSampleRate: Double = 1.0): Long = {
     require(statsSampleRate >= 0.0001 && statsSampleRate <= 1.0,
       s"statsSampleRate must be in [0.0001, 1]: $statsSampleRate")
     // 10 000 hash buckets, not Mix.hashBucket's 100: a rate below (or
@@ -252,11 +287,7 @@ object Dedup {
       .agg(coalesce(sum(col("df") * (col("df") - 1) / 2), lit(0L))
         .cast("long").as("vol"))
       .head().getLong(0)
-    val candVolume = (observed / (effRate * effRate)).toLong
-    if (candVolume <= maxDirectPairs)
-      ngramJaccardPairs(docs, idCol, textCol, threshold, k)
-    else
-      ngramJaccardPairsPrefix(docs, idCol, textCol, threshold, k)
+    (observed / (effRate * effRate)).toLong
   }
 
   /** 64-bit SimHash from token xxhash64 bits (engine-native hashing — not

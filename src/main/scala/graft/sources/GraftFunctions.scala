@@ -2,7 +2,7 @@ package graft.sources
 
 import org.apache.spark.sql.catalyst.InternalRow
 import org.apache.spark.sql.catalyst.expressions.{BoundReference, Cast, Expression, Literal, Murmur3Hash, Pmod, TruncDate, TruncTimestamp}
-import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, ScalarFunction, UnboundFunction}
+import org.apache.spark.sql.connector.catalog.functions.{BoundFunction, Reducer, ReducibleFunction, ScalarFunction, UnboundFunction}
 import org.apache.spark.sql.internal.SQLConf
 import org.apache.spark.sql.types._
 
@@ -65,13 +65,52 @@ private[sources] object GraftFunctions {
       val srcType = inputType.fields(1).dataType
       require(bucketable(srcType),
         s"type ${srcType.sql} is not bucketable")
-      new BoundExprFunction("bucket",
+      new BoundBucketFunction(
         s"graft.bucket(${srcType.catalogString})",
-        Array(IntegerType, srcType), IntegerType,
+        Array(IntegerType, srcType),
         Pmod(new Murmur3Hash(Seq(BoundReference(1, srcType,
           nullable = true))), BoundReference(0, IntegerType,
           nullable = false)))
     }
+  }
+
+  /** The bound bucket function is REDUCIBLE (SPARK-44647): two sides
+    * bucketed with different counts still storage-partition-join
+    * exchange-free when one count divides the other — the finer side's
+    * bucket values REDUCE onto the coarser grain (`v % coarse`, exact
+    * because `pmod(h, fine) % coarse == pmod(h, coarse)` whenever
+    * coarse | fine). Spark applies the reduction under
+    * `spark.sql.sources.v2.bucketing.allowCompatibleTransforms
+    * .enabled`; canonical-name equality still gates (INT vs BIGINT
+    * sources hash differently and must never reduce onto each other).
+    * This is what lets a bucket-count evolution migrate lazily while
+    * joins against the old count keep their exchange-free plans. */
+  private final class BoundBucketFunction(canonical: String,
+      inputs: Array[DataType], expr: Expression)
+      extends ScalarFunction[Any] with ReducibleFunction[Int, Int] {
+    override def name(): String = "bucket"
+    override def canonicalName(): String = canonical
+    override def inputTypes(): Array[DataType] = inputs
+    override def resultType(): DataType = IntegerType
+    override def isResultNullable: Boolean = true
+    override def produceResult(input: InternalRow): Any = expr.eval(input)
+    override def toString: String = canonical
+    override def reducer(thisNumBuckets: Int,
+        otherFn: ReducibleFunction[_, _],
+        otherNumBuckets: Int): Reducer[Int, Int] = otherFn match {
+      case b: BoundBucketFunction if b.canonicalName() == canonical &&
+          otherNumBuckets > 0 && thisNumBuckets > otherNumBuckets &&
+          thisNumBuckets % otherNumBuckets == 0 =>
+        BucketReducer(otherNumBuckets)
+      case _ => null // no reduction from THIS side; Spark asks the other
+    }
+  }
+
+  /** The bucket reduction, as a named Serializable class: Spark ships
+    * it inside StoragePartitionJoinParams to the executors. */
+  private final case class BucketReducer(coarse: Int)
+      extends Reducer[Int, Int] with Serializable {
+    override def reduce(v: Int): Int = v % coarse
   }
 
   /** `truncate(n, col)`: Iceberg's order-preserving width reduction —

@@ -280,7 +280,17 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
       val partCols = Versioned.partitionByOf(root, Some(version))
       val txByHidden = Versioned.transformsOf(root, Some(version))
         .map(t => t.hidden -> t).toMap
+      val legacyTx = Versioned.legacyTransformsOf(root, Some(version))
       val (entries, physAt, _) = Versioned.aggMeta(root, version)
+      @annotation.tailrec
+      def gcd(a: Int, b: Int): Int = if (b == 0) a else gcd(b, a % b)
+      // one decode CANDIDATE per spec generation: the physical stats
+      // key to read, the type to decode under, and the projection of
+      // the decoded value onto the REPORTED grain. A file keys under
+      // the first candidate whose stats decode single-valued — its own
+      // generation's hidden column.
+      type Cand = (String, org.apache.spark.sql.types.DataType, Any => Any)
+      type V2E = org.apache.spark.sql.connector.expressions.Expression
       // the clustering expressions resolve against the scan OUTPUT, so
       // every partition column must be projected — under its
       // output-schema name; stats keys are PHYSICAL at this version.
@@ -289,10 +299,10 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
       // (resolved through the catalog's FunctionCatalog on the Spark
       // side), and the grouping key decodes from the hidden column's
       // stats under the transform's result type.
-      val resolved = partCols.map { pc =>
+      val resolved: Seq[Option[(V2E, Seq[Cand])]] = partCols.map { pc =>
         txByHidden.get(pc) match {
           case Some(t) =>
-            required.fields.find(_.name.equalsIgnoreCase(t.src)).map { f =>
+            required.fields.find(_.name.equalsIgnoreCase(t.src)).flatMap { f =>
               // Spark's KeyGroupedPartitioning only supports SINGLE-
               // argument transform expressions (bucket rides a special
               // numBuckets slot; a literal width would be a second
@@ -301,31 +311,71 @@ final class GraftRowLevelScan(spark: SparkSession, root: String,
               // function `truncate_<n>` — the catalog serves the
               // family, and the width stays in the canonical name so
               // different widths never falsely align
-              val v2 =
+              val v2full: V2E =
                 if (t.fn == "bucket") Expressions.bucket(t.n, f.name)
                 else if (t.fn == "truncate")
                   Expressions.apply(s"truncate_${t.n}",
                     Expressions.column(f.name))
                 else Expressions.apply(t.fn, Expressions.column(f.name))
-              (v2: org.apache.spark.sql.connector.expressions.Expression,
-                (physAt.getOrElse(t.hidden, t.hidden),
-                  t.dataType(f.dataType)))
+              val own: Cand = (physAt.getOrElse(t.hidden, t.hidden),
+                t.dataType(f.dataType), identity[Any] _)
+              val legacySame = legacyTx.filter(l =>
+                l.fn == t.fn && l.src.equalsIgnoreCase(t.src))
+              if (legacySame.isEmpty) Some((v2full, Seq(own)))
+              else if (t.fn == "bucket") {
+                // MIXED-GENERATION COARSENING: a spec-evolved table
+                // still reports a VALID clustering at the generations'
+                // common grain g = gcd(all bucket counts) — sound
+                // because pmod(h, n) % g == pmod(h, g) whenever g | n,
+                // so every generation's single-tuple file projects
+                // onto one g-bucket. The join side that still runs at
+                // the old count aligns exchange-free through the
+                // migration window (with allowCompatibleTransforms,
+                // the bucket function's Reducer bridges unequal
+                // counts); g < 2 means no useful common grain — refuse
+                // into the shuffle, grouping stability first.
+                val g = legacySame.map(_.n).foldLeft(t.n)(gcd)
+                if (g < 2) None
+                else {
+                  val proj: Any => Any =
+                    v => Int.box(v.asInstanceOf[Int] % g)
+                  val cands = (t +: legacySame).map(l =>
+                    (physAt.getOrElse(l.hidden, l.hidden),
+                      org.apache.spark.sql.types.IntegerType
+                        : org.apache.spark.sql.types.DataType, proj))
+                  Some((Expressions.bucket(g, f.name): V2E, cands))
+                }
+              } else {
+                // non-bucket families keep the conservative refusal on
+                // mixed generations (old files lack the current hidden
+                // column and fail the decode below → None): truncate's
+                // coarsening direction is width-dependent per type and
+                // the time grains would need cross-type decode — not
+                // worth the correctness surface for a transient window
+                Some((v2full, Seq(own)))
+              }
             }
           case None =>
             required.fields.find(_.name.equalsIgnoreCase(pc)).map(f =>
-              (Expressions.identity(f.name)
-                : org.apache.spark.sql.connector.expressions.Expression,
-                (physAt.getOrElse(pc, pc), f.dataType)))
+              (Expressions.identity(f.name): V2E,
+                Seq((physAt.getOrElse(pc, pc), f.dataType,
+                  identity[Any] _): Cand)))
         }
       }
       if (partCols.isEmpty || resolved.exists(_.isEmpty)) None
       else {
         val names = resolved.flatten.map(_._1)
-        val keyCols = resolved.flatten.map(_._2)
+        val colCands = resolved.flatten.map(_._2)
         val byPath = entries.map(e => e.path -> e).toMap
+        def decodeFile(e: Versioned.FileEntry): Option[Seq[Any]] = {
+          val vs = colCands.map(cands =>
+            cands.iterator.flatMap { case (k, dt, proj) =>
+              GraftMetaAgg.fileKey(e, Seq((k, dt))).map(s => proj(s.head))
+            }.nextOption())
+          if (vs.forall(_.isDefined)) Some(vs.flatten) else None
+        }
         val keyed = files.map { p =>
-          byPath.get(p).flatMap(GraftMetaAgg.fileKey(_, keyCols))
-            .map(k => (k, p))
+          byPath.get(p).flatMap(decodeFile).map(k => (k, p))
         }
         if (keyed.exists(_.isEmpty)) None
         else {

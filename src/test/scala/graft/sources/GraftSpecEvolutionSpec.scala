@@ -148,6 +148,81 @@ class GraftSpecEvolutionSpec extends SparkSpec {
     }
   }
 
+  test("mixed-generation SPJ joins exchange-free at the generations' " +
+      "common grain; coprime evolution still refuses") {
+    sql("CREATE TABLE graftpse.ns.factg (k BIGINT, m DOUBLE) " +
+      "PARTITIONED BY (bucket(4, k))")
+    sql("CREATE TABLE graftpse.ns.dim4 (k BIGINT, name STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    sql("CREATE TABLE graftpse.ns.dim8 (k BIGINT, name STRING) " +
+      "PARTITIONED BY (bucket(8, k))")
+    (0L until 32L).map(i => (i, i * 1.0)).toDF("k", "m")
+      .createOrReplaceTempView("pse_factg")
+    (0L until 64L).map(i => (i, s"n$i")).toDF("k", "name")
+      .createOrReplaceTempView("pse_dimg")
+    sql("INSERT INTO graftpse.ns.factg SELECT * FROM pse_factg")
+    VersionedSql(spark,
+      s"ALTER TABLE graftpse.ns.factg SET PARTITION SPEC (bucket(8, k))")
+    sql("INSERT INTO graftpse.ns.factg SELECT k + 32, m FROM pse_factg")
+    sql("INSERT INTO graftpse.ns.dim4 SELECT * FROM pse_dimg")
+    sql("INSERT INTO graftpse.ns.dim8 SELECT * FROM pse_dimg")
+
+    def joinPlan(dim: String) = {
+      val df = sql(s"SELECT f.k, f.m, d.name FROM graftpse.ns.factg f " +
+        s"JOIN graftpse.ns.$dim d ON f.k = d.k")
+      (df, df.queryExecution.executedPlan.toString)
+    }
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.graft.spj.preserveDataGrouping" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = (confs.map(_._1) :+
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      // (a) against the OLD count: the mixed table reports the common
+      // grain bucket(4) = gcd(4, 8), which IS dim4's partitioning —
+      // aligned with no reducer machinery at all
+      val (dfa, plana) = joinPlan("dim4")
+      assert(!plana.contains("Exchange"),
+        s"mixed-generation fact × bucket(4) dim must be exchange-free:\n$plana")
+      assert(dfa.count() === 64L)
+      assert(dfa.select(sum(col("m"))).head().getDouble(0) === 992.0)
+      // (b) against the NEW count: bucket(4) vs bucket(8) needs the
+      // ReducibleFunction bridge — exchange-free only under
+      // allowCompatibleTransforms
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled",
+        "true")
+      val (dfb, planb) = joinPlan("dim8")
+      assert(!planb.contains("Exchange"),
+        s"mixed-generation fact × bucket(8) dim must reduce 8→4 " +
+          s"exchange-free:\n$planb")
+      assert(dfb.count() === 64L)
+      assert(dfb.select(sum(col("m"))).head().getDouble(0) === 992.0)
+      // (c) coprime evolution: gcd(3, 8) = 1 — no useful common grain,
+      // the scan refuses into the shuffle (grouping stability first)
+      sql("CREATE TABLE graftpse.ns.fact3 (k BIGINT, m DOUBLE) " +
+        "PARTITIONED BY (bucket(3, k))")
+      sql("INSERT INTO graftpse.ns.fact3 SELECT * FROM pse_factg")
+      VersionedSql(spark,
+        s"ALTER TABLE graftpse.ns.fact3 SET PARTITION SPEC (bucket(8, k))")
+      sql("INSERT INTO graftpse.ns.fact3 SELECT k + 32, m FROM pse_factg")
+      val dfc = sql("SELECT f.k, f.m, d.name FROM graftpse.ns.fact3 f " +
+        "JOIN graftpse.ns.dim8 d ON f.k = d.k")
+      val planc = dfc.queryExecution.executedPlan.toString
+      assert(planc.contains("Exchange"),
+        s"gcd=1 mixed generations must refuse into a shuffle:\n$planc")
+      assert(dfc.count() === 64L)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("dynamic overwrite still lands on a mixed-generation table: " +
       "the verb rescues old-generation remainders") {
     sql("CREATE TABLE graftpse.ns.ow (k BIGINT, v STRING) " +
