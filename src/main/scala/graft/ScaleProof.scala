@@ -30,12 +30,15 @@ object ScaleProof {
     val nDocs = docs.count()
 
     // d02: the df-adaptive decision — the EXACT candidate-row count the
-    // direct inverted-index join would shuffle, and the plan it selects
-    val vol = Dedup.directJoinCandidateVolume(docs, "doc_id", "text")
+    // direct inverted-index join would shuffle, its hot-shingle share,
+    // and the plan the two-axis rule selects
+    val (vol, hotVol) =
+      Dedup.directJoinCandidateVolumes(docs, "doc_id", "text")
     val volSampled =
       Dedup.directJoinCandidateVolume(docs, "doc_id", "text",
         statsSampleRate = 0.05)
-    val plan = if (vol <= 50_000_000L) "direct" else "prefix"
+    val plan =
+      if (vol > 50_000_000L && hotVol >= 0.5 * vol) "prefix" else "direct"
 
     // d02 prefix plan: the candidate-pair volume its verification join
     // pays (pairs × |shingles| fan-out) — with the PPJoin length
@@ -79,9 +82,49 @@ object ScaleProof {
         .groupBy("fp").agg(count(lit(1)).as("n")),
       64L)
 
+    // v02: the sign-LSH bits-scale-with-log(n) lever. The registered
+    // entry pins 8 bits × 16 tables for oracle parity (the DuckDB side
+    // inlines the plane literals); at 100× the corpus the right shape
+    // adds bits so per-bucket occupancy stays constant. Time both and
+    // count pairs: the resized shape must be dramatically cheaper while
+    // finding a comparable pair set (recall shifts with the bucket
+    // geometry — every surviving pair is exact in both).
+    import graft.operators.Similarity
+    val vecs = Tables.t(spark, sfDir, "embeddings")
+    val nVecs = vecs.count()
+    def timed[A](f: => A): (A, Double) = {
+      val t0 = System.nanoTime(); val r = f
+      (r, (System.nanoTime() - t0) / 1e9)
+    }
+    // target ~32 members per bucket: bits = log2(n / 32), floor 8
+    val scaledBits = math.max(8,
+      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nVecs / 32)))
+    spark.catalog.clearCache()
+    val (pairsScaled, wallScaled) =
+      timed(Similarity.nearDupPairsLsh(vecs, 0.4,
+        nBits = scaledBits).count())
+    // the registered 8-bit baseline crams n/256 members per bucket at
+    // large n — its candidate set may exceed this box's spill disk
+    // (that overload is exactly what the resized shape removes), so
+    // the measurement is best-effort: a failure records -1, it does
+    // not kill the proof
+    spark.catalog.clearCache()
+    val (pairs8, wall8) =
+      try timed(Similarity.nearDupPairsLsh(vecs, 0.4).count())
+      catch { case e: Throwable =>
+        System.err.println(s"[proof] v02 8-bit baseline failed: " +
+          s"${e.getMessage}")
+        (-1L, -1.0)
+      }
+
     println(
-      s"""{"sf_dir":"$sfDir","n_docs":$nDocs,""" +
+      s"""{"sf_dir":"$sfDir","n_docs":$nDocs,"n_vecs":$nVecs,""" +
+      s""""v02_bits8_pairs":$pairs8,"v02_bits8_wall":$wall8,""" +
+      s""""v02_scaled_bits":$scaledBits,""" +
+      s""""v02_scaled_pairs":$pairsScaled,""" +
+      s""""v02_scaled_wall":$wallScaled,""" +
       s""""d02_direct_candidate_volume":$vol,""" +
+      s""""d02_hot_shingle_volume":$hotVol,""" +
       s""""d02_volume_sampled_5pct":$volSampled,""" +
       s""""d02_adaptive_plan":"$plan",""" +
       s""""d02_prefix_candidate_pairs":$prefixCands,""" +

@@ -115,8 +115,9 @@ object ScaleUp {
         shift(d, i, "doc_id" -> D)
           .withColumn("text", docRewrite(col("text"), i))
       },
-      "embeddings" -> amplify(embeddings) { (d, i) =>
+      "embeddings" -> {
         val dim = embeddings.select(size(col("embedding"))).head().getInt(0)
+        amplify(embeddings) { (d, i) =>
         val r = i % dim
         val rotated =
           if (r == 0) col("embedding")
@@ -129,7 +130,7 @@ object ScaleUp {
           if (i / dim % 2 == 0) rotated
           else transform(rotated, x => -x)
         shift(d, i, "vec_id" -> V).withColumn("embedding", vec)
-      })
+      }})
 
     java.nio.file.Files.createDirectories(java.nio.file.Paths.get(out))
     outs.filter { case (name, _) => onlyTables.forall(_.contains(name)) }

@@ -220,17 +220,26 @@ object Dedup {
   /** df-adaptive exact n-gram Jaccard: ONE aggregate over the shingle
     * inverted index computes the direct join's candidate volume
     * Σ df·(df−1)/2 (the exact number of (i, j, shingle) rows the plain
-    * index self-join shuffles), then picks the physical plan:
+    * index self-join shuffles) AND the share of that volume carried by
+    * HOT shingles (df > `hotDfCap`), then picks the physical plan.
+    * The prefix plan runs only when BOTH hold:
     *
-    *  - volume ≤ `maxDirectPairs` → [[ngramJaccardPairs]]. The direct
-    *    join's intermediate is small in absolute terms, and its two
-    *    stages beat the prefix plan's five (measured 3× faster on the
-    *    test corpus, whose volume is 1.3M rows).
-    *  - volume > `maxDirectPairs` → [[ngramJaccardPairsPrefix]]. Past
-    *    ~50M candidate rows the direct join's shuffle write dominates
-    *    everything else, and it grows with Σ df² while the prefix
-    *    plan strips exactly the high-df stop shingles driving that
-    *    blowup.
+    *  - volume > `maxDirectPairs`: below it the direct join's
+    *    intermediate is small in absolute terms and its two stages
+    *    beat the prefix plan's five (measured 3× faster on the test
+    *    corpus, whose volume is 1.3M rows);
+    *  - hot-shingle volume ≥ `hotFraction` of the total: the prefix
+    *    plan's ONLY advantage is stripping high-df stop shingles from
+    *    the join — its own verification stage fans each surviving
+    *    candidate pair out by the document's whole shingle set. When
+    *    the volume is spread over MANY medium-df shingles instead
+    *    (measured at sf10, 500k docs: volume 266M with max df ≈ 50 —
+    *    zero hot share), the prefix filter strips nothing, 62M
+    *    candidates survive, and the verification join would shuffle
+    *    ~70× the rows the direct join does. Hot-share is the axis that
+    *    separates "big because the corpus is big" (direct scales
+    *    linearly — shuffle more machines) from "big because of
+    *    boilerplate df²" (prefix is the only plan that survives).
     *
     * Both branches are output-identical (spec-proven), so the choice is
     * pure physics; the decision costs one narrow aggregation job whose
@@ -241,20 +250,25 @@ object Dedup {
     * runs it on a content-stable hash sample of the DOCUMENTS and
     * scales the observed volume by 1/rate² (doc-sampling thins each
     * df binomially, so E[df'(df'−1)/2] = rate²·df(df−1)/2 — an
-    * unbiased estimator). Estimator noise can only flip WHICH plan
-    * runs near the crossover, never what it returns — the branches are
-    * output-identical — so sampling is always safe; the default stays
-    * exact (1.0) to keep the chosen plan run-deterministic. */
+    * unbiased estimator; the df > hotDfCap cut thins with the sample
+    * at the same rate, biasing the hot SHARE down only near the cut).
+    * Estimator noise can only flip WHICH plan runs near the crossover,
+    * never what it returns — the branches are output-identical — so
+    * sampling is always safe; the default stays exact (1.0) to keep
+    * the chosen plan run-deterministic. */
   def ngramJaccardPairsAdaptive(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 3,
       maxDirectPairs: Long = 50_000_000L,
-      statsSampleRate: Double = 1.0): DataFrame = {
-    val candVolume =
-      directJoinCandidateVolume(docs, idCol, textCol, k, statsSampleRate)
-    if (candVolume <= maxDirectPairs)
-      ngramJaccardPairs(docs, idCol, textCol, threshold, k)
-    else
+      statsSampleRate: Double = 1.0,
+      hotDfCap: Int = 100,
+      hotFraction: Double = 0.5): DataFrame = {
+    val (candVolume, hotVolume) = directJoinCandidateVolumes(
+      docs, idCol, textCol, k, statsSampleRate, hotDfCap)
+    if (candVolume > maxDirectPairs &&
+        hotVolume >= hotFraction * candVolume)
       ngramJaccardPairsPrefix(docs, idCol, textCol, threshold, k)
+    else
+      ngramJaccardPairs(docs, idCol, textCol, threshold, k)
   }
 
   /** The df-adaptive decision measure, exposed for scale-proof
@@ -264,7 +278,16 @@ object Dedup {
     * doc-sampled subset when `statsSampleRate` < 1 — see
     * [[ngramJaccardPairsAdaptive]] for the unbiasedness argument). */
   def directJoinCandidateVolume(docs: DataFrame, idCol: String,
-      textCol: String, k: Int = 3, statsSampleRate: Double = 1.0): Long = {
+      textCol: String, k: Int = 3, statsSampleRate: Double = 1.0): Long =
+    directJoinCandidateVolumes(docs, idCol, textCol, k, statsSampleRate,
+      hotDfCap = Int.MaxValue)._1
+
+  /** [[directJoinCandidateVolume]] plus the share carried by HOT
+    * shingles (df > `hotDfCap`) — both from the same single aggregate.
+    * Returns (total volume, hot volume). */
+  def directJoinCandidateVolumes(docs: DataFrame, idCol: String,
+      textCol: String, k: Int = 3, statsSampleRate: Double = 1.0,
+      hotDfCap: Int = 100): (Long, Long) = {
     require(statsSampleRate >= 0.0001 && statsSampleRate <= 1.0,
       s"statsSampleRate must be in [0.0001, 1]: $statsSampleRate")
     // 10 000 hash buckets, not Mix.hashBucket's 100: a rate below (or
@@ -281,13 +304,23 @@ object Dedup {
       else docs.filter(
         conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
           .cast("long") % 10000 < nBuckets)
-    val observed = shingleSets(statDocs, idCol, textCol, k)
+    // the hot cut scales with the sample too: a df observed at rate r
+    // estimates df/r, so the cut applies at hotDfCap·r in sample space
+    val sampledCap =
+      if (statsSampleRate >= 1.0 || hotDfCap == Int.MaxValue) hotDfCap.toLong
+      else math.max(1L, (hotDfCap * effRate).round)
+    val row = shingleSets(statDocs, idCol, textCol, k)
       .select(explode(col("sh")).as("s"))
       .groupBy("s").agg(count(lit(1)).as("df"))
-      .agg(coalesce(sum(col("df") * (col("df") - 1) / 2), lit(0L))
-        .cast("long").as("vol"))
-      .head().getLong(0)
-    (observed / (effRate * effRate)).toLong
+      .agg(
+        coalesce(sum(col("df") * (col("df") - 1) / 2), lit(0L))
+          .cast("long").as("vol"),
+        coalesce(sum(when(col("df") > sampledCap,
+          col("df") * (col("df") - 1) / 2).otherwise(lit(0L))), lit(0L))
+          .cast("long").as("hot"))
+      .head()
+    ((row.getLong(0) / (effRate * effRate)).toLong,
+      (row.getLong(1) / (effRate * effRate)).toLong)
   }
 
   /** 64-bit SimHash from token xxhash64 bits (engine-native hashing — not

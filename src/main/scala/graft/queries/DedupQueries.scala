@@ -52,12 +52,16 @@ object DedupQueries {
   // ---------------------------------------------------------------- d02
   // N-gram Jaccard near-dup at threshold 0.5, via the df-ADAPTIVE plan:
   // one aggregate over the shingle inverted index measures the direct
-  // join's candidate volume Σ df(df−1)/2 and picks the physical form —
-  // the direct index join below the 50M-row crossover (this corpus:
-  // 1.3M, max df 25 — direct, measured 3× faster than prefix here), the
-  // AllPairs/PPJoin prefix filter above it, where stop-shingle df²
-  // blowup dominates. Both branches are output-identical (spec-proven),
-  // so ONE oracle covers whichever plan physics selects.
+  // join's candidate volume Σ df(df−1)/2 AND its hot-shingle share,
+  // then picks the physical form — the AllPairs/PPJoin prefix filter
+  // only when the volume is past 50M rows AND concentrated in stop
+  // shingles (df > 100) it can actually strip; the direct index join
+  // otherwise (this corpus: volume 1.3M, max df 25 — direct, measured
+  // 3× faster than prefix here; at sf10 volume 266M with ZERO hot
+  // share — still direct, because the prefix plan's verification
+  // fan-out would shuffle ~70× the direct join's rows). Both branches
+  // are output-identical (spec-proven), so ONE oracle covers
+  // whichever plan physics selects.
   val d02NgramJaccard: Q = Q(
     "d02_ngram_jaccard",
     s"""WITH $SHINGLES_CTE,

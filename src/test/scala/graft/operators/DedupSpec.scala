@@ -99,9 +99,11 @@ class DedupSpec extends SparkSpec {
         .collect().map(_.toSeq).toSet
     val direct = canon(Dedup.ngramJaccardPairs(real, "doc_id", "text", 0.5))
     val auto = canon(Dedup.ngramJaccardPairsAdaptive(real, "doc_id", "text", 0.5))
-    // maxDirectPairs = 0 forces the prefix branch regardless of stats
+    // maxDirectPairs = 0 + hotFraction = 0 forces the prefix branch
+    // regardless of stats (both prefix conditions trivially hold)
     val forcedPrefix = canon(Dedup.ngramJaccardPairsAdaptive(
-      real, "doc_id", "text", 0.5, maxDirectPairs = 0L))
+      real, "doc_id", "text", 0.5, maxDirectPairs = 0L,
+      hotFraction = 0.0))
     // sampled decision stats: whichever plan the estimate picks, the
     // output is identical by construction
     val sampled = canon(Dedup.ngramJaccardPairsAdaptive(
@@ -110,6 +112,27 @@ class DedupSpec extends SparkSpec {
     assert(forcedPrefix === direct)
     assert(sampled === direct)
     assert(direct.nonEmpty)
+  }
+
+  test("the adaptive decision separates hot-shingle blowup from plain corpus size") {
+    // boilerplate corpus: every doc opens with the same header, so ONE
+    // shingle carries df = 300 — the df² blowup the prefix plan strips.
+    // Hot volume (df > 100) must dominate the total.
+    val boiler = spark.range(300).select(col("id").as("doc_id"),
+      concat(lit("common header shingle text "), col("id").cast("string"),
+        lit(" tail"), col("id").cast("string")).as("text"))
+    val (v, h) = Dedup.directJoinCandidateVolumes(boiler, "doc_id", "text")
+    assert(v >= 300L * 299 / 2)
+    assert(h >= (0.5 * v).toLong,
+      s"boilerplate volume must register as hot: total=$v hot=$h")
+    // the real corpus: volume spread over medium-df shingles (max df
+    // 25 at sf0.1) — zero hot share, so the direct join stays the
+    // plan at ANY corpus size (prefix would strip nothing while its
+    // verification fans out; measured at sf10)
+    val real = graft.Tables.t(spark, sfDir, "documents")
+    val (v2, h2) = Dedup.directJoinCandidateVolumes(real, "doc_id", "text")
+    assert(v2 > 0L && h2 === 0L,
+      s"the test corpus has no hot shingles: total=$v2 hot=$h2")
   }
 
   test("lshCandidates: oversized buckets degrade to a bounded star, clusters unchanged") {
