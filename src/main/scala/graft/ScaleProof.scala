@@ -82,13 +82,12 @@ object ScaleProof {
         .groupBy("fp").agg(count(lit(1)).as("n")),
       64L)
 
-    // v02: the sign-LSH bits-scale-with-log(n) lever. The registered
-    // entry pins 8 bits × 16 tables for oracle parity (the DuckDB side
-    // inlines the plane literals); at 100× the corpus the right shape
-    // adds bits so per-bucket occupancy stays constant. Time both and
-    // count pairs: the resized shape must be dramatically cheaper while
-    // finding a comparable pair set (recall shifts with the bucket
-    // geometry — every surviving pair is exact in both).
+    // v02: the sign-LSH bits-scale-with-log(n) lever — REGISTERED as of
+    // round 14 (Similarity.adaptiveLshBits sizes the geometry; the
+    // DuckDB oracle replays the same integer rule from COUNT(*)). The
+    // proof runs the registered adaptive path and, best-effort, the old
+    // pinned-8-bit shape it replaced, so the ledger keeps the measured
+    // gap between them at this corpus size.
     import graft.operators.Similarity
     val vecs = Tables.t(spark, sfDir, "embeddings")
     val nVecs = vecs.count()
@@ -96,18 +95,15 @@ object ScaleProof {
       val t0 = System.nanoTime(); val r = f
       (r, (System.nanoTime() - t0) / 1e9)
     }
-    // target ~32 members per bucket: bits = log2(n / 32), floor 8
-    val scaledBits = math.max(8,
-      64 - java.lang.Long.numberOfLeadingZeros(math.max(1L, nVecs / 32)))
+    val scaledBits = Similarity.adaptiveLshBits(nVecs)
     spark.catalog.clearCache()
     val (pairsScaled, wallScaled) =
-      timed(Similarity.nearDupPairsLsh(vecs, 0.4,
-        nBits = scaledBits).count())
-    // the registered 8-bit baseline crams n/256 members per bucket at
-    // large n — its candidate set may exceed this box's spill disk
-    // (that overload is exactly what the resized shape removes), so
-    // the measurement is best-effort: a failure records -1, it does
-    // not kill the proof
+      timed(Similarity.nearDupPairsLshAdaptive(vecs, 0.4).count())
+    // the retired 8-bit shape crams n/256 members per bucket at large n
+    // — its candidate set may exceed this box's spill disk (that
+    // overload is exactly what the adaptive rule removes), so the
+    // measurement is best-effort: a failure records -1, it does not
+    // kill the proof
     spark.catalog.clearCache()
     val (pairs8, wall8) =
       try timed(Similarity.nearDupPairsLsh(vecs, 0.4).count())

@@ -22,9 +22,12 @@ import org.apache.spark.sql.functions._
   * text with vowel rotation (c mod 5) composed with consonant
   * rotation (c / 5), both via `translate` (length-preserving so
   * `n_chars` stays truthful) — so every doc keeps ONE near-dup
-  * partner per class at ANY amplification (at 10 copies this reduces
-  * to the original 5 vowel rotations; at 100 copies there are 50
-  * classes instead of 20-cliques). The planted dup RATE is then
+  * partner per class at any EVEN amplification up to 128 copies
+  * (enforced by a require in main: odd counts put >2 copies in a
+  * class, the rotation alphabet yields only 105 distinct classes, and
+  * embedding rotations repeat past 2·dim = 128). At 10 copies this
+  * reduces to the original 5 vowel rotations; at 100 copies there are
+  * 50 classes instead of 20-cliques. The planted dup RATE is then
   * scale-invariant: pair counts grow linearly with the corpus, the
   * way a real crawl's do, and candidate-stage blowups measured at
   * sf10 are genuine plan behavior.
@@ -42,6 +45,18 @@ object ScaleUp {
     val src = args.headOption.getOrElse("/root/testdata/sf0.1")
     val out = args.lift(1).getOrElse("/tmp/graft-sf1")
     val copies = args.lift(2).map(_.toInt).getOrElse(10)
+    // the two-copies-per-class invariant (and with it the scale-invariant
+    // planted-dup RATE) holds only for even copies; past 105 distinct
+    // vowel×consonant rotation classes (210 copies) classes would collapse
+    // into larger cliques, and embeddings repeat their rotation+sign
+    // pattern past 2·dim = 128 copies — so the amplifier refuses inputs
+    // where it would silently reintroduce the clique pathology it exists
+    // to avoid (copies = 1 is the identity passthrough)
+    require(copies == 1 || (copies % 2 == 0 && copies <= 128),
+      s"copies must be 1 or an even number <= 128, got $copies — odd " +
+        "counts put >2 copies in a transform class and large counts " +
+        "collapse classes into cliques (vowel×consonant classes cap at " +
+        "105; embedding rotations repeat past 2·dim = 128)")
     val onlyTables: Option[Set[String]] =
       args.lift(3).map(_.split(",").map(_.trim).toSet)
     val cpus = sys.env.getOrElse("SPARK_GRAFT_CPUS", "16")

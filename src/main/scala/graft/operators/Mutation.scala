@@ -141,8 +141,9 @@ object Mutation {
   def mergeUpsertFilePruned(spark: SparkSession, targetPath: String,
       updates: DataFrame, keyCol: String,
       maxPrunedKeys: Int = 2_000_000): Unit = {
-    require(maxPrunedKeys > 0,
-      s"maxPrunedKeys must be positive, got $maxPrunedKeys")
+    require(maxPrunedKeys > 0 && maxPrunedKeys < Int.MaxValue,
+      s"maxPrunedKeys must be in [1, Int.MaxValue), got $maxPrunedKeys " +
+        "(the probe collects maxPrunedKeys + 1 rows to detect overflow)")
     readIfExists(spark, targetPath) match {
       case None =>
         updates.write.mode("overwrite").parquet(targetPath)

@@ -127,16 +127,64 @@ object Similarity {
   /** One (tbl, bkt) struct per hash table for vector `v`: `nBits`
     * hyperplane-sign bits per table, planes deterministic from the trig
     * hash (shared by [[lshTopK]] and [[nearDupPairsLsh]]; the oracle
-    * inlines the identical plane values as double literals). */
+    * inlines the identical plane values as double literals).
+    *
+    * `planeStride` decouples the plane FAMILY from the bit COUNT: plane
+    * index is `tbl * planeStride + bit`, so for a fixed stride the
+    * planes used at any `nBits ≤ planeStride` are a PREFIX of one fixed
+    * per-table family. That is what lets a corpus-size-adaptive bit
+    * count ([[adaptiveLshBits]]) stay oracle-replayable: the SQL side
+    * inlines the full stride-sized family once and filters
+    * `bit < chosen_bits`, instead of needing a different literal set
+    * per candidate geometry. Default stride = nBits preserves the
+    * fixed-geometry family ([[lshTopK]]'s v03 planes are unchanged). */
   private def bucketStructs(v: Column, nBits: Int, nTables: Int,
-      dims: Int): Column = array((0 until nTables).map { t =>
-    struct(
-      lit(t).as("tbl"),
-      (0 until nBits).map { b =>
-        val proj = dot_product(v, planeWeights(t * nBits + b, dims))
-        when(proj > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
-      }.reduce(_ bitwiseOR _).as("bkt"))
-  }: _*)
+      dims: Int, planeStride: Int = -1): Column = {
+    val stride = if (planeStride > 0) planeStride else nBits
+    require(nBits <= stride, s"nBits=$nBits exceeds planeStride=$stride")
+    array((0 until nTables).map { t =>
+      struct(
+        lit(t).as("tbl"),
+        (0 until nBits).map { b =>
+          val proj = dot_product(v, planeWeights(t * stride + b, dims))
+          when(proj > 0, shiftleft(lit(1L), b)).otherwise(lit(0L))
+        }.reduce(_ bitwiseOR _).as("bkt"))
+    }: _*)
+  }
+
+  /** Corpus-size-adaptive sign-LSH bit count: the smallest `b` in
+    * [[AdaptiveMinBits]], [[AdaptiveMaxBits]]] with
+    * `n ≤ AdaptiveTargetOcc · 2^b` — i.e. expected bucket occupancy
+    * held at ~[[AdaptiveTargetOcc]] regardless of corpus size. Integer
+    * arithmetic only (no floating log), so a SQL CASE ladder over the
+    * same power-of-two thresholds reproduces the choice EXACTLY — the
+    * DuckDB oracle replays it from COUNT(*).
+    *
+    * Why this exists: a pinned geometry fails the 100× question in one
+    * direction or the other. 8 bits at 200k vectors crams ~780 members
+    * per bucket and the per-bucket pair space goes quadratic (measured:
+    * DNF past this box's spill disk), while the same corpus at 13 bits
+    * — exactly what this rule picks — verifies 471,898 pairs in 136 s
+    * (bench/scaleproof_sf10.json, round 13). Occupancy ∝ n/2^bits, so
+    * bits ∝ log₂(n) is the unique shape that keeps the candidate
+    * volume linear in n. */
+  def adaptiveLshBits(n: Long): Int = {
+    var b = AdaptiveMinBits
+    while (b < AdaptiveMaxBits && n > (AdaptiveTargetOcc.toLong << b)) b += 1
+    b
+  }
+
+  /** Target expected bucket occupancy for [[adaptiveLshBits]] (~32: big
+    * enough that true near-dups co-bucket across 16 tables with ≥99.5%
+    * recall, small enough that Σocc² stays linear in n). */
+  val AdaptiveTargetOcc = 32
+  /** Bit-count clamp: 4 bits ⇒ rule only binds above 512 vectors (tiny
+    * corpora are cheap either way); 20 bits ⇒ one fixed 20-plane family
+    * per table covers every corpus to 33.5M vectors per partition of
+    * work — past that, occupancy grows but the cap ([[DefaultMaxBucket]])
+    * still bounds the worst bucket. */
+  val AdaptiveMinBits = 4
+  val AdaptiveMaxBits = 20
 
   /** Default corpus-side bucket-occupancy cap for the LSH paths: healthy
     * sign-LSH buckets at the registered configs measure ≤ 205 members at
@@ -681,11 +729,12 @@ object Similarity {
     * planted high-similarity fixtures). */
   def nearDupPairsLsh(vectors: DataFrame, threshold: Double,
       nBits: Int = 8, nTables: Int = 16, dims: Int = 64,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket, planeStride: Int = -1): DataFrame = {
     val v = withNorm(vectors, "vid")
     val sig = capBuckets(
       v.select(col("vid"),
-        explode(bucketStructs(col("v"), nBits, nTables, dims)).as("tb")),
+        explode(bucketStructs(col("v"), nBits, nTables, dims, planeStride))
+          .as("tb")),
       "vid", maxBucket)
     val cand = sig.select(col("tb"), col("vid").as("i"))
       .join(sig.select(col("tb"), col("vid").as("j")), Seq("tb"))
@@ -697,6 +746,22 @@ object Similarity {
     cand.join(a, "i").join(b, "j")
       .filter(rawCos >= threshold)
       .select(col("i"), col("j"), round(rawCos, 6).as("cos_sim"))
+  }
+
+  /** [[nearDupPairsLsh]] with the bit count derived from the corpus by
+    * [[adaptiveLshBits]] — the registered (v02) form. The one driver
+    * action is the `count()` that sizes the geometry; at production
+    * scale that number comes from table statistics (the versioned
+    * catalog's ANALYZE row counts) — a parquet count() is itself
+    * footer-metadata-only, no data read. Planes come from the fixed
+    * [[AdaptiveMaxBits]]-stride family so the oracle replays the same
+    * rule with one inlined literal set. */
+  def nearDupPairsLshAdaptive(vectors: DataFrame, threshold: Double,
+      nTables: Int = 16, dims: Int = 64,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val bits = adaptiveLshBits(vectors.count())
+    nearDupPairsLsh(vectors, threshold, bits, nTables, dims, maxBucket,
+      planeStride = AdaptiveMaxBits)
   }
 
   /** SemDeDup (Abbas et al. 2023, arXiv:2303.09540): semantic

@@ -94,8 +94,12 @@ object VersionedSql {
       // matching partitions' small files pack
       """(?:\s+WHERE\s+([^;]+?))?""" +
       // trailing REANALYZE re-arms ANALYZE stats over the previously
-      // analyzed columns in the same maintenance tick
-      """(\s+REANALYZE)?\s*;?\s*""").r
+      // analyzed columns in the same maintenance tick. The lookbehinds
+      // keep it from stealing the last token of an UNTERMINATED scope
+      // predicate: after an operator or AND/OR/NOT, a bare REANALYZE
+      // identifier belongs to the WHERE expression, not the flag
+      """((?<![=<>!+\-*/%(,])(?<!\bAND)(?<!\bOR)(?<!\bNOT)""" +
+      """\s+REANALYZE)?\s*;?\s*""").r
   private val VacuumRe =
     s"""(?is)\\s*VACUUM\\s+$Ref\\s+RETAIN\\s+(\\d+)\\s+VERSIONS\\s*;?\\s*""".r
   //   REORG [TABLE] `path`|cat.ns.t APPLY (PURGE) [MIN FRACTION 0.x]

@@ -63,14 +63,67 @@ object VectorQueries {
     * double literals (Double.toString round-trips exactly through a
     * string cast), so DuckDB reproduces bucket assignment bit-for-bit. */
   private def planesSql(nBits: Int, nTables: Int): String =
+    planesSqlStride(nBits, nBits, nTables)
+
+  /** Plane literals for the STRIDE-decoupled family (plane index
+    * `tbl * stride + bit`): emits `emitBits` bits per table out of a
+    * `stride`-sized family, so a corpus-size-adaptive bit count can
+    * filter `bit < chosen` over ONE literal set (see
+    * [[Similarity.adaptiveLshBits]]). `emitBits == stride` for the
+    * adaptive CTEs; `stride == nBits` degenerates to the fixed form. */
+  private def planesSqlStride(emitBits: Int, stride: Int,
+      nTables: Int): String =
     (0 until nTables).flatMap { tbl =>
-      (0 until nBits).map { bit =>
+      (0 until emitBits).map { bit =>
         val ws = Similarity
-          .planeWeightValues(tbl * nBits + bit, dims = 64)
+          .planeWeightValues(tbl * stride + bit, dims = 64)
           .map(w => s"'$w'::DOUBLE").mkString(", ")
         s"($tbl, $bit, [$ws])"
       }
     }.mkString(",\n    ")
+
+  /** CTE `nd_bits(bits)`: DuckDB replay of
+    * [[Similarity.adaptiveLshBits]] — the same integer thresholds
+    * (targetOcc · 2^b), generated from the same constants, as a CASE
+    * ladder over COUNT(*) of the corpus CTE `n`. Engine and oracle
+    * therefore pick the IDENTICAL geometry at every corpus size. */
+  private def bitsCaseSql: String = {
+    val cases = (Similarity.AdaptiveMinBits until Similarity.AdaptiveMaxBits)
+      .map(b => s"WHEN cnt <= ${Similarity.AdaptiveTargetOcc.toLong << b} " +
+        s"THEN $b")
+      .mkString("\n      ")
+    s"""nd_bits AS (
+       |  SELECT CASE
+       |      $cases
+       |      ELSE ${Similarity.AdaptiveMaxBits} END AS bits
+       |  FROM (SELECT COUNT(*) AS cnt FROM n))""".stripMargin
+  }
+
+  /** Adaptive-geometry variant of [[sigCtes]]: inlines the full
+    * [[Similarity.AdaptiveMaxBits]]-stride plane family, sizes the bit
+    * count from COUNT(*) via [[bitsCaseSql]], and masks the signature
+    * to `bit < bits`. Occupancy cap identical to [[sigCtes]]. */
+  private def sigCtesAdaptive(p: String, s: String, nTables: Int,
+      maxBucket: Int): String =
+    s"""$p(tbl, bit, w) AS (VALUES
+       |    ${planesSqlStride(Similarity.AdaptiveMaxBits,
+             Similarity.AdaptiveMaxBits, nTables)}),
+       |$bitsCaseSql,
+       |${s}_raw AS (
+       |  SELECT n.vec_id, p.tbl,
+       |    CAST(SUM(CASE WHEN list_sum(list_transform(range(1, 65),
+       |            k -> n.e[k] * p.w[k])) > 0
+       |        THEN (CAST(1 AS BIGINT) << p.bit) ELSE 0 END) AS BIGINT) AS bkt
+       |  FROM n
+       |  CROSS JOIN $p p
+       |  JOIN nd_bits nb ON p.bit < nb.bits
+       |  GROUP BY 1, 2),
+       |$s AS (
+       |  SELECT vec_id, tbl, bkt FROM (
+       |    SELECT vec_id, tbl, bkt,
+       |      ROW_NUMBER() OVER (PARTITION BY tbl, bkt ORDER BY vec_id) AS rn
+       |    FROM ${s}_raw)
+       |  WHERE rn <= $maxBucket)""".stripMargin
 
   /** CTEs `<p>(tbl, bit, w)` (plane literals), `<s>_raw(vec_id, tbl,
     * bkt)` (uncapped per-table signatures over CTE `n`) and
@@ -99,20 +152,26 @@ object VectorQueries {
   // ---------------------------------------------------------------- v02
   // Embedding-cosine near-dup pairs above 0.4 (the corpus has no planted
   // ≥0.95 dups; 0.4 exercises the operator with real output), via the
-  // CORPUS-SCALE plan: sign-LSH bucket candidates (8 bits × 16 tables —
-  // 13.8× below the n² pair space here, ≥99.5% recall at true near-dup
-  // similarity) verified with the exact cosine. The oracle replays the
-  // identical bucket construction from inlined plane literals, so both
-  // engines agree on exactly which pairs the bucketing surfaces; the
-  // brute-force theta-join (Similarity.nearDupPairs) stays as the
-  // spec-side ground truth the bucketed output is checked against.
-  private val ND_BITS = 8
+  // CORPUS-SCALE plan: sign-LSH bucket candidates verified with the
+  // exact cosine, with the bit count SIZED FROM THE CORPUS
+  // (Similarity.adaptiveLshBits: smallest b with n ≤ 32·2^b, clamped to
+  // [4, 20]) so expected bucket occupancy — and with it the candidate
+  // volume per vector — stays constant at any scale. A pinned 8-bit
+  // geometry DNF'd the sf10 gate (200k vectors → ~780/bucket →
+  // quadratic per-bucket pair space past this box's spill disk) while
+  // the 13 bits this rule picks verified 471,898 pairs in 136 s
+  // (round-13 scale proof). The oracle replays the identical rule: one
+  // inlined 20-bit-stride plane family, a CASE ladder over COUNT(*)
+  // picking the same integer thresholds, and `bit < bits` masking —
+  // both engines agree on exactly which pairs the bucketing surfaces at
+  // EVERY corpus size. The brute-force theta-join
+  // (Similarity.nearDupPairs) stays as the spec-side ground truth.
   private val ND_TABLES = 16
 
   val v02NearDupPairs: Q = Q(
     "v02_embedding_neardup",
     s"""WITH $VEC_CTE,
-       |${sigCtes("nd_planes", "nd_sig", ND_BITS, ND_TABLES,
+       |${sigCtesAdaptive("nd_planes", "nd_sig", ND_TABLES,
           graft.operators.Similarity.DefaultMaxBucket)},
        |nd_cand AS (
        |  SELECT DISTINCT x.vec_id AS i, y.vec_id AS j
@@ -123,8 +182,8 @@ object VectorQueries {
        |JOIN n a ON a.vec_id = c.i
        |JOIN n b ON b.vec_id = c.j
        |WHERE $COS >= 0.4 ORDER BY i, j""".stripMargin) { (s, d) =>
-    Similarity.nearDupPairsLsh(t(s, d, "embeddings"), 0.4,
-        nBits = ND_BITS, nTables = ND_TABLES)
+    Similarity.nearDupPairsLshAdaptive(t(s, d, "embeddings"), 0.4,
+        nTables = ND_TABLES)
       .orderBy("i", "j")
   }
 

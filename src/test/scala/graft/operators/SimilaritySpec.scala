@@ -238,6 +238,45 @@ class SimilaritySpec extends SparkSpec {
       "planted exact duplicates must be found (identical buckets)")
   }
 
+  test("adaptiveLshBits: integer rule pinned at its power-of-two boundaries") {
+    // smallest b in [4, 20] with n ≤ 32·2^b — exactly the thresholds the
+    // oracle's CASE ladder replays; pin both sides of each boundary
+    assert(Similarity.adaptiveLshBits(1L) === 4)
+    assert(Similarity.adaptiveLshBits(512L) === 4)     // 32·2^4
+    assert(Similarity.adaptiveLshBits(513L) === 5)
+    assert(Similarity.adaptiveLshBits(2000L) === 6)    // sf0.1 corpus
+    assert(Similarity.adaptiveLshBits(2048L) === 6)    // 32·2^6
+    assert(Similarity.adaptiveLshBits(2049L) === 7)
+    assert(Similarity.adaptiveLshBits(20000L) === 10)  // sf1 corpus
+    assert(Similarity.adaptiveLshBits(200000L) === 13) // sf10: the shape
+      // measured at 471,898 pairs / 136 s where pinned 8 bits DNF'd
+    assert(Similarity.adaptiveLshBits(262144L) === 13) // 32·2^13
+    assert(Similarity.adaptiveLshBits(262145L) === 14)
+    assert(Similarity.adaptiveLshBits(1_000_000_000L) === 20) // clamp
+  }
+
+  test("nearDupPairsLshAdaptive: verified subset, planted dups found at the sized geometry") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val dups = emb.filter($"vec_id".isin(0L, 1L))
+      .select(($"vec_id" + 100000L).as("vec_id"), $"label", $"embedding")
+    val corpus = emb.unionByName(dups)
+    def pairSet(df: org.apache.spark.sql.DataFrame) =
+      df.select("i", "j").as[(Long, Long)].collect().toSet
+    val brute = pairSet(Similarity.nearDupPairs(corpus, 0.4))
+    val lsh = pairSet(Similarity.nearDupPairsLshAdaptive(corpus, 0.4))
+    assert(lsh.nonEmpty)
+    assert(lsh.subsetOf(brute),
+      "adaptive bucketing produced a pair exact cosine rejects")
+    assert(lsh.contains((0L, 100000L)) && lsh.contains((1L, 100001L)),
+      "planted exact duplicates must be found at the adaptive geometry")
+    // the adaptive result IS nearDupPairsLsh at the rule's bit count over
+    // the stride-decoupled plane family — pin the delegation
+    val explicit = pairSet(Similarity.nearDupPairsLsh(corpus, 0.4,
+      nBits = Similarity.adaptiveLshBits(corpus.count()),
+      planeStride = Similarity.AdaptiveMaxBits))
+    assert(lsh === explicit)
+  }
+
   test("bucket cap bounds a degenerate corpus deterministically") {
     val emb = Tables.t(spark, sfDir, "embeddings")
     // 300 copies of one vector: every table collapses to a single

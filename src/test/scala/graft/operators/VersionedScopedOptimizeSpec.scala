@@ -68,6 +68,27 @@ class VersionedScopedOptimizeSpec extends SparkSpec {
     assert(e3.getMessage.contains("full-rewrite"), e3.getMessage)
   }
 
+  test("a bare REANALYZE identifier closing the WHERE expression stays " +
+      "in the predicate — the flag never steals an operand") {
+    val root = freshRoot()
+    Versioned.commit(spark, root,
+      (0 until 10).map(j => (j.toLong, j % 2)).toDF("id", "p"),
+      partitionBy = Seq("p"))
+    // `p = REANALYZE` is a (bad) predicate whose RHS is a bare column
+    // ref, NOT the maintenance flag: the refusal must name the WHOLE
+    // expression (old regex split it to predicate "p =" + flag, dying
+    // with an unrelated parse error on the truncated text)
+    val e = intercept[IllegalArgumentException] {
+      VersionedSql(spark, s"OPTIMIZE `$root` WHERE p = REANALYZE") }
+    assert(e.getMessage.contains("REANALYZE"), e.getMessage)
+    assert(e.getMessage.contains("="), e.getMessage)
+    // the flag still parses after a complete predicate (no-op pack on a
+    // single-commit table — the statement must ACCEPT, not how it packs)
+    val v = VersionedSql(spark, s"OPTIMIZE `$root` WHERE p = 1 REANALYZE")
+      .select("version").as[Long].head()
+    assert(v >= 0L)
+  }
+
   test("scope composes with hidden transforms: days(ts) partitions " +
       "compact one day by raw-timestamp predicate") {
     val wh = Files.createTempDirectory("graft-scoped-wh").toString
