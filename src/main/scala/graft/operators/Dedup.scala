@@ -262,13 +262,23 @@ object Dedup {
       statsSampleRate: Double = 1.0,
       hotDfCap: Int = 100,
       hotFraction: Double = 0.5): DataFrame = {
-    val (candVolume, hotVolume) = directJoinCandidateVolumes(
-      docs, idCol, textCol, k, statsSampleRate, hotDfCap)
-    if (candVolume > maxDirectPairs &&
-        hotVolume >= hotFraction * candVolume)
+    if (ngramPlanChoosesPrefix(docs, idCol, textCol, k, maxDirectPairs,
+        statsSampleRate, hotDfCap, hotFraction))
       ngramJaccardPairsPrefix(docs, idCol, textCol, threshold, k)
     else
       ngramJaccardPairs(docs, idCol, textCol, threshold, k)
+  }
+
+  /** The df-adaptive PLAN DECISION, split out so specs can pin the
+    * boundary constants without plan-shape archaeology (the branches
+    * are output-identical by design). True ⇒ prefix plan. */
+  private[graft] def ngramPlanChoosesPrefix(docs: DataFrame, idCol: String,
+      textCol: String, k: Int, maxDirectPairs: Long,
+      statsSampleRate: Double, hotDfCap: Int,
+      hotFraction: Double): Boolean = {
+    val (candVolume, hotVolume) = directJoinCandidateVolumes(
+      docs, idCol, textCol, k, statsSampleRate, hotDfCap)
+    candVolume > maxDirectPairs && hotVolume >= hotFraction * candVolume
   }
 
   /** The df-adaptive decision measure, exposed for scale-proof

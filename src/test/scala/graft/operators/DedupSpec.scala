@@ -135,6 +135,51 @@ class DedupSpec extends SparkSpec {
       s"the test corpus has no hot shingles: total=$v2 hot=$h2")
   }
 
+  test("hot-share boundary: the 100/0.5 constants flip the plan exactly at " +
+      "half the volume hot") {
+    // 3-word docs carry exactly ONE shingle each, so document frequency
+    // is the block size: a 101-doc block is hot (df > hotDfCap = 100,
+    // volume 101·100/2 = 5050), a 100-doc block sits ON the cap (NOT
+    // hot, 4950) — total 10 000 with hot share .505, one 15-doc block
+    // (105 pairs) away from .49975
+    def block(tag: String, n: Long, from: Long) =
+      spark.range(from, from + n).select(col("id").as("doc_id"),
+        concat(lit(s"${tag}a ${tag}b ${tag}c")).as("text"))
+    val hot = block("hot", 101, 0)
+    val cold = block("cold", 100, 1000)
+    val atBoundary = hot.unionByName(cold)
+    val justBelow = atBoundary.unionByName(block("dim", 15, 2000))
+    assert(Dedup.directJoinCandidateVolumes(atBoundary, "doc_id", "text")
+      === ((10000L, 5050L)))
+    def prefix(docs: org.apache.spark.sql.DataFrame,
+        maxDirect: Long = 1000L) =
+      Dedup.ngramPlanChoosesPrefix(docs, "doc_id", "text", k = 3,
+        maxDirectPairs = maxDirect, statsSampleRate = 1.0,
+        hotDfCap = 100, hotFraction = 0.5)
+    assert(prefix(atBoundary),
+      "hot share .505 ≥ .5 with volume over the gate must pick prefix")
+    assert(!prefix(justBelow),
+      "hot share .49975 < .5 must pick direct however big the volume")
+    // the volume gate is strict: at volume == maxDirectPairs the direct
+    // join's absolute intermediate is still small — direct
+    assert(!prefix(atBoundary, maxDirect = 10000L))
+    // df exactly AT hotDfCap is cold: shrink the hot block by one doc
+    // and the hot volume vanishes entirely
+    assert(Dedup.directJoinCandidateVolumes(
+      block("hot", 100, 0).unionByName(cold), "doc_id", "text")._2 === 0L)
+    // the choice is physics only — both branches agree on the boundary
+    // corpus (every block is an identical-text clique, jaccard 1.0)
+    def canon(df: org.apache.spark.sql.DataFrame) =
+      df.select(col("i"), col("j"), round(col("jaccard"), 6))
+        .collect().map(_.toSeq).toSet
+    val direct = canon(Dedup.ngramJaccardPairs(
+      atBoundary, "doc_id", "text", 0.9))
+    val pre = canon(Dedup.ngramJaccardPairsPrefix(
+      atBoundary, "doc_id", "text", 0.9))
+    assert(direct === pre)
+    assert(direct.size === 10000)
+  }
+
   test("lshCandidates: oversized buckets degrade to a bounded star, clusters unchanged") {
     // 200 identical docs: every band's bucket holds all 200, so the
     // uncapped clique is 200·199/2 = 19 900 pairs; with the cap the

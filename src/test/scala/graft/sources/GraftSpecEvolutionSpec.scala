@@ -223,6 +223,74 @@ class GraftSpecEvolutionSpec extends SparkSpec {
     }
   }
 
+  test("three generations mid-migration — bucket(4) -> bucket(8) -> " +
+      "bucket(16) — SPJ at gcd 4 across ALL of them") {
+    sql("CREATE TABLE graftpse.ns.fact3g (k BIGINT, m DOUBLE) " +
+      "PARTITIONED BY (bucket(4, k))")
+    sql("CREATE TABLE graftpse.ns.dim4g (k BIGINT, name STRING) " +
+      "PARTITIONED BY (bucket(4, k))")
+    sql("CREATE TABLE graftpse.ns.dim16g (k BIGINT, name STRING) " +
+      "PARTITIONED BY (bucket(16, k))")
+    (0L until 96L).map(i => (i, i * 1.0)).toDF("k", "m")
+      .createOrReplaceTempView("pse_fact3g")
+    (0L until 96L).map(i => (i, s"n$i")).toDF("k", "name")
+      .createOrReplaceTempView("pse_dim3g")
+    // one insert per generation, evolving the spec between them — the
+    // live table holds bucket(4), bucket(8) AND bucket(16) files at once
+    sql("INSERT INTO graftpse.ns.fact3g " +
+      "SELECT * FROM pse_fact3g WHERE k < 32")
+    VersionedSql(spark,
+      s"ALTER TABLE graftpse.ns.fact3g SET PARTITION SPEC (bucket(8, k))")
+    sql("INSERT INTO graftpse.ns.fact3g " +
+      "SELECT * FROM pse_fact3g WHERE k >= 32 AND k < 64")
+    VersionedSql(spark,
+      s"ALTER TABLE graftpse.ns.fact3g SET PARTITION SPEC (bucket(16, k))")
+    sql("INSERT INTO graftpse.ns.fact3g " +
+      "SELECT * FROM pse_fact3g WHERE k >= 64")
+    sql("INSERT INTO graftpse.ns.dim4g SELECT * FROM pse_dim3g")
+    sql("INSERT INTO graftpse.ns.dim16g SELECT * FROM pse_dim3g")
+
+    val confs = Seq(
+      "spark.sql.sources.v2.bucketing.enabled" -> "true",
+      "spark.sql.sources.v2.bucketing.pushPartValues.enabled" -> "true",
+      "spark.graft.spj.preserveDataGrouping" -> "true",
+      "spark.sql.autoBroadcastJoinThreshold" -> "-1",
+      "spark.sql.adaptive.enabled" -> "false")
+    val saved = (confs.map(_._1) :+
+      "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled")
+      .map(k => k -> spark.conf.getOption(k))
+    try {
+      confs.foreach { case (k, v) => spark.conf.set(k, v) }
+      def joinPlan(dim: String) = {
+        val df = sql(s"SELECT f.k, f.m, d.name FROM graftpse.ns.fact3g f " +
+          s"JOIN graftpse.ns.$dim d ON f.k = d.k")
+        (df, df.queryExecution.executedPlan.toString)
+      }
+      // (a) the mixed table's reported grain is gcd(4, 8, 16) = 4 —
+      // dim4g's own partitioning, so the join aligns with no reducer
+      // machinery and no exchange at all
+      val (dfa, plana) = joinPlan("dim4g")
+      assert(!plana.contains("Exchange"),
+        s"three-generation fact × bucket(4) dim must be exchange-free:\n$plana")
+      assert(dfa.count() === 96L)
+      assert(dfa.select(sum(col("m"))).head().getDouble(0) === 4560.0)
+      // (b) bucket(16) dim reduces 16 → 4 through the ReducibleFunction
+      // bridge — still exchange-free under allowCompatibleTransforms
+      spark.conf.set(
+        "spark.sql.sources.v2.bucketing.allowCompatibleTransforms.enabled",
+        "true")
+      val (dfb, planb) = joinPlan("dim16g")
+      assert(!planb.contains("Exchange"),
+        s"three-generation fact × bucket(16) dim must reduce 16→4 " +
+          s"exchange-free:\n$planb")
+      assert(dfb.count() === 96L)
+      assert(dfb.select(sum(col("m"))).head().getDouble(0) === 4560.0)
+    } finally saved.foreach {
+      case (k, Some(v)) => spark.conf.set(k, v)
+      case (k, None) => spark.conf.unset(k)
+    }
+  }
+
   test("dynamic overwrite still lands on a mixed-generation table: " +
       "the verb rescues old-generation remainders") {
     sql("CREATE TABLE graftpse.ns.ow (k BIGINT, v STRING) " +
