@@ -51,6 +51,15 @@ def main():
     if "--json" in sys.argv:
         json_out = sys.argv[sys.argv.index("--json") + 1]
     con = duckdb.connect()
+    # big replays (sf10 recursive closures) spill past /tmp's ~74 GB —
+    # DUCKDB_TMPDIR points the spill somewhere roomier (/dev/shm) and
+    # DUCKDB_MEMLIMIT caps the buffer pool so box RAM covers both
+    if os.environ.get("DUCKDB_TMPDIR"):
+        con.execute(
+            f"SET temp_directory='{os.environ['DUCKDB_TMPDIR']}'")
+    if os.environ.get("DUCKDB_MEMLIMIT"):
+        con.execute(
+            f"SET memory_limit='{os.environ['DUCKDB_MEMLIMIT']}'")
     for t in TABLES:
         # partial SF dirs are legal for targeted scale-proof runs —
         # a query against a genuinely missing table fails in its own row
@@ -58,6 +67,15 @@ def main():
             con.execute(
                 f"CREATE VIEW {t} AS SELECT * FROM '{sfdir}/{t}.parquet'")
     oracle = json.load(open(f"{outdir}/oracle_sql.json"))
+    # --only q1,q2 restricts the replay (single-query retries of
+    # oracle-heavy entries without re-running the rest); --threads N
+    # bounds DuckDB's operator parallelism (transient memory) for them
+    if "--only" in sys.argv:
+        keep = set(sys.argv[sys.argv.index("--only") + 1].split(","))
+        oracle = {k: v for k, v in oracle.items() if k in keep}
+    if "--threads" in sys.argv:
+        con.execute(
+            f"SET threads={int(sys.argv[sys.argv.index('--threads') + 1])}")
     n_pass = n_fail = 0
     report = {}
 

@@ -217,21 +217,38 @@ object Similarity {
     * data, sitting 20× above the measured max occupancy). */
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nBits: Int = 8, nTables: Int = 4, dims: Int = 64,
-      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+      maxBucket: Int = DefaultMaxBucket, planeStride: Int = -1): DataFrame = {
     val c = capBuckets(
       withNorm(corpus, "neighbor_id")
         .withColumnRenamed("v", "cv").withColumnRenamed("nrm", "cn")
-        .withColumn("tb", explode(bucketStructs(col("cv"), nBits, nTables, dims))),
+        .withColumn("tb", explode(
+          bucketStructs(col("cv"), nBits, nTables, dims, planeStride))),
       "neighbor_id", maxBucket)
     val q = withNorm(queries, "query_id")
       .withColumnRenamed("v", "qv").withColumnRenamed("nrm", "qn")
-      .withColumn("tb", explode(bucketStructs(col("qv"), nBits, nTables, dims)))
+      .withColumn("tb", explode(
+        bucketStructs(col("qv"), nBits, nTables, dims, planeStride)))
     val scored = c.join(broadcast(q), Seq("tb"))
       .filter(col("query_id") =!= col("neighbor_id"))
       .select(col("query_id"), col("neighbor_id"),
         round(dot(col("qv"), col("cv")) / (col("qn") * col("cn")), 6).as("cos_sim"))
       .distinct() // a pair sharing buckets in several tables scores once
     topKPerQuery(scored, k, "cos_sim")
+  }
+
+  /** [[lshTopK]] with the bit count derived from the CORPUS size by
+    * [[adaptiveLshBits]] — the registered (v03/v06) form. Same
+    * geometry-sizing argument as [[nearDupPairsLshAdaptive]]: a pinned
+    * bit count either saturates the occupancy cap at large n (candidate
+    * recall collapses to the cap's deterministic subset) or over-prunes
+    * small corpora; holding expected occupancy at ~[[AdaptiveTargetOcc]]
+    * keeps cost-per-query constant at any scale. */
+  def lshTopKAdaptive(corpus: DataFrame, queries: DataFrame, k: Int,
+      nTables: Int = 4, dims: Int = 64,
+      maxBucket: Int = DefaultMaxBucket): DataFrame = {
+    val bits = adaptiveLshBits(corpus.count())
+    lshTopK(corpus, queries, k, bits, nTables, dims, maxBucket,
+      planeStride = AdaptiveMaxBits)
   }
 
   /** IVF (inverted-file) ANN: partition the corpus into `nCentroids`

@@ -58,57 +58,55 @@ object VectorQueries {
       .orderBy("query_id", "rank")
   }
 
-  /** Inlined hyperplane literals for `nBits`-bit × `nTables`-table
-    * sign-LSH: the deterministic trig-hash weights as correctly-rounded
-    * double literals (Double.toString round-trips exactly through a
-    * string cast), so DuckDB reproduces bucket assignment bit-for-bit. */
-  private def planesSql(nBits: Int, nTables: Int): String =
-    planesSqlStride(nBits, nBits, nTables)
-
   /** Plane literals for the STRIDE-decoupled family (plane index
-    * `tbl * stride + bit`): emits `emitBits` bits per table out of a
-    * `stride`-sized family, so a corpus-size-adaptive bit count can
-    * filter `bit < chosen` over ONE literal set (see
-    * [[Similarity.adaptiveLshBits]]). `emitBits == stride` for the
-    * adaptive CTEs; `stride == nBits` degenerates to the fixed form. */
-  private def planesSqlStride(emitBits: Int, stride: Int,
-      nTables: Int): String =
+    * `tbl * stride + bit`, stride = [[Similarity.AdaptiveMaxBits]]):
+    * the deterministic trig-hash weights as correctly-rounded double
+    * literals (Double.toString round-trips exactly through a string
+    * cast), so DuckDB reproduces bucket assignment bit-for-bit, and
+    * the corpus-size-adaptive bit count filters `bit < chosen` over
+    * this ONE literal set (see [[Similarity.adaptiveLshBits]]). */
+  private def planesSqlStride(nTables: Int): String = {
+    val stride = Similarity.AdaptiveMaxBits
     (0 until nTables).flatMap { tbl =>
-      (0 until emitBits).map { bit =>
+      (0 until stride).map { bit =>
         val ws = Similarity
           .planeWeightValues(tbl * stride + bit, dims = 64)
           .map(w => s"'$w'::DOUBLE").mkString(", ")
         s"($tbl, $bit, [$ws])"
       }
     }.mkString(",\n    ")
+  }
 
-  /** CTE `nd_bits(bits)`: DuckDB replay of
+  /** CTE `<name>(bits)`: DuckDB replay of
     * [[Similarity.adaptiveLshBits]] — the same integer thresholds
     * (targetOcc · 2^b), generated from the same constants, as a CASE
     * ladder over COUNT(*) of the corpus CTE `n`. Engine and oracle
     * therefore pick the IDENTICAL geometry at every corpus size. */
-  private def bitsCaseSql: String = {
+  private def bitsCaseSql(name: String): String = {
     val cases = (Similarity.AdaptiveMinBits until Similarity.AdaptiveMaxBits)
       .map(b => s"WHEN cnt <= ${Similarity.AdaptiveTargetOcc.toLong << b} " +
         s"THEN $b")
       .mkString("\n      ")
-    s"""nd_bits AS (
+    s"""$name AS (
        |  SELECT CASE
        |      $cases
        |      ELSE ${Similarity.AdaptiveMaxBits} END AS bits
        |  FROM (SELECT COUNT(*) AS cnt FROM n))""".stripMargin
   }
 
-  /** Adaptive-geometry variant of [[sigCtes]]: inlines the full
-    * [[Similarity.AdaptiveMaxBits]]-stride plane family, sizes the bit
-    * count from COUNT(*) via [[bitsCaseSql]], and masks the signature
-    * to `bit < bits`. Occupancy cap identical to [[sigCtes]]. */
+  /** CTEs `<p>(tbl, bit, w)` (the stride-family plane literals),
+    * `<p>_bits(bits)` (the corpus-sized bit count), `<s>_raw(vec_id,
+    * tbl, bkt)` (uncapped bit-masked per-table signatures over CTE
+    * `n`) and `<s>(…)` (occupancy-capped: lowest `maxBucket` vec_ids
+    * per bucket) — the shared ADAPTIVE sign-LSH construction the ANN
+    * (v03/v06) and near-dup (v02) oracles replay. The cap replays
+    * `Similarity.capBuckets` EXACTLY, so engine and oracle agree even
+    * at a scale where a degenerate bucket makes the cap bind. */
   private def sigCtesAdaptive(p: String, s: String, nTables: Int,
       maxBucket: Int): String =
     s"""$p(tbl, bit, w) AS (VALUES
-       |    ${planesSqlStride(Similarity.AdaptiveMaxBits,
-             Similarity.AdaptiveMaxBits, nTables)}),
-       |$bitsCaseSql,
+       |    ${planesSqlStride(nTables)}),
+       |${bitsCaseSql(s"${p}_bits")},
        |${s}_raw AS (
        |  SELECT n.vec_id, p.tbl,
        |    CAST(SUM(CASE WHEN list_sum(list_transform(range(1, 65),
@@ -116,32 +114,8 @@ object VectorQueries {
        |        THEN (CAST(1 AS BIGINT) << p.bit) ELSE 0 END) AS BIGINT) AS bkt
        |  FROM n
        |  CROSS JOIN $p p
-       |  JOIN nd_bits nb ON p.bit < nb.bits
+       |  JOIN ${p}_bits nb ON p.bit < nb.bits
        |  GROUP BY 1, 2),
-       |$s AS (
-       |  SELECT vec_id, tbl, bkt FROM (
-       |    SELECT vec_id, tbl, bkt,
-       |      ROW_NUMBER() OVER (PARTITION BY tbl, bkt ORDER BY vec_id) AS rn
-       |    FROM ${s}_raw)
-       |  WHERE rn <= $maxBucket)""".stripMargin
-
-  /** CTEs `<p>(tbl, bit, w)` (plane literals), `<s>_raw(vec_id, tbl,
-    * bkt)` (uncapped per-table signatures over CTE `n`) and
-    * `<s>(…)` (occupancy-capped: lowest `maxBucket` vec_ids per
-    * bucket) — the shared sign-LSH construction both ANN (v03/v06) and
-    * near-dup (v02) oracles replay. The cap replays
-    * `Similarity.capBuckets` EXACTLY, so engine and oracle agree even
-    * at a scale where a degenerate bucket makes the cap bind. */
-  private def sigCtes(p: String, s: String, nBits: Int, nTables: Int,
-      maxBucket: Int): String =
-    s"""$p(tbl, bit, w) AS (VALUES
-       |    ${planesSql(nBits, nTables)}),
-       |${s}_raw AS (
-       |  SELECT n.vec_id, p.tbl,
-       |    CAST(SUM(CASE WHEN list_sum(list_transform(range(1, 65),
-       |            k -> n.e[k] * p.w[k])) > 0
-       |        THEN (CAST(1 AS BIGINT) << p.bit) ELSE 0 END) AS BIGINT) AS bkt
-       |  FROM n CROSS JOIN $p p GROUP BY 1, 2),
        |$s AS (
        |  SELECT vec_id, tbl, bkt FROM (
        |    SELECT vec_id, tbl, bkt,
@@ -190,15 +164,19 @@ object VectorQueries {
   // ---------------------------------------------------------------- v03
   // Sign-LSH-bucketed ANN, oracle-verified end to end: DuckDB reproduces
   // bucket assignment, candidate generation, scoring, and ranking
-  // bit-for-bit from the inlined plane literals.
-  private val LSH_BITS = 4
+  // bit-for-bit from the inlined plane literals — INCLUDING the
+  // corpus-sized bit count (the same adaptive rule as v02: a pinned
+  // geometry saturates the occupancy cap at large n, collapsing
+  // candidate recall to the cap's deterministic id-ordered subset;
+  // holding expected occupancy at ~32 keeps cost-per-query flat at any
+  // scale, and v06 is the mart that watches what recall that buys).
   private val LSH_TABLES = 4
 
   /** CTE chain ending in `lsh10(query_id, neighbor_id, cos_sim, rank)` —
     * the multi-table sign-LSH top-10 (v03's body; v06 reuses it as the
     * recall numerator). */
   private def lsh10Ctes: String =
-    s"""${sigCtes("planes", "sig", LSH_BITS, LSH_TABLES,
+    s"""${sigCtesAdaptive("planes", "sig", LSH_TABLES,
         graft.operators.Similarity.DefaultMaxBucket)},
        |cand AS (
        |  SELECT DISTINCT q.vec_id AS query_id, c.vec_id AS neighbor_id
@@ -223,8 +201,8 @@ object VectorQueries {
        |SELECT query_id, neighbor_id, cos_sim, rank
        |FROM lsh10 ORDER BY query_id, rank""".stripMargin) { (s, d) =>
     val emb = t(s, d, "embeddings")
-    Similarity.lshTopK(emb, emb.filter(col("vec_id") < 10), 10,
-        nBits = LSH_BITS, nTables = LSH_TABLES)
+    Similarity.lshTopKAdaptive(emb, emb.filter(col("vec_id") < 10), 10,
+        nTables = LSH_TABLES)
       .select("query_id", "neighbor_id", "cos_sim", "rank")
       .orderBy("query_id", "rank")
   }
@@ -357,7 +335,7 @@ object VectorQueries {
     val q = emb.filter(col("vec_id") < 10)
     val exact = Similarity.bruteForceTopK(emb, q, 10)
       .select("query_id", "neighbor_id")
-    val lsh = Similarity.lshTopK(emb, q, 10, nBits = LSH_BITS, nTables = LSH_TABLES)
+    val lsh = Similarity.lshTopKAdaptive(emb, q, 10, nTables = LSH_TABLES)
       .select(col("query_id").as("lq"), col("neighbor_id").as("ln"))
     exact.join(lsh,
         col("query_id") === col("lq") && col("neighbor_id") === col("ln"),

@@ -97,6 +97,23 @@ class SimilaritySpec extends SparkSpec {
     assert(recall > 0.2, s"LSH recall $recall too low — bucketing broken?")
   }
 
+  test("lshTopKAdaptive: corpus-sized geometry keeps sane recall and is " +
+      "exactly the explicit-bits form") {
+    val emb = Tables.t(spark, sfDir, "embeddings")
+    val queries = emb.filter($"vec_id" < 5)
+    val exact = Similarity.bruteForceTopK(emb, queries, 10)
+      .select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    def hits(df: org.apache.spark.sql.DataFrame) =
+      df.select("query_id", "neighbor_id").as[(Long, Long)].collect().toSet
+    val adaptive = hits(Similarity.lshTopKAdaptive(emb, queries, 10))
+    val recall = (exact intersect adaptive).size.toDouble / exact.size
+    assert(recall > 0.2, s"adaptive LSH recall $recall — sizing broken?")
+    val explicitBits = hits(Similarity.lshTopK(emb, queries, 10,
+      nBits = Similarity.adaptiveLshBits(emb.count()),
+      planeStride = Similarity.AdaptiveMaxBits))
+    assert(adaptive === explicitBits)
+  }
+
   test("pqTopK: ADC ranking recalls a real fraction of the exact top-10") {
     val emb = Tables.t(spark, sfDir, "embeddings")
     val queries = emb.filter($"vec_id" < 5)
