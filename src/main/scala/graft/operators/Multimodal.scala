@@ -49,7 +49,10 @@ object Multimodal {
   def asImageTable(docs: DataFrame, idCol: String, textCol: String)(
       implicit spark: SparkSession): DataFrame = {
     import spark.implicits._
-    docs.select(col(idCol).cast("long"), col(textCol))
+    // Par.wide: the PNG encode below is the most per-row-expensive stage
+    // in the whole suite and sits directly on the unsplittable test scan
+    // — serial without this (guide §2.5; no-op on splittable input)
+    Par.wide(docs.select(col(idCol).cast("long"), col(textCol)))
       .as[(Long, String)]
       .mapPartitions { rows =>
         javax.imageio.ImageIO.setUseCache(false) // per-partition codec init
