@@ -53,14 +53,21 @@ object AB {
       (System.nanoTime() - t0) / 1e9
     }
 
-    // warmup both arms once (codegen/JIT), then interleave timed reps
+    // warmup both arms once (codegen/JIT), then interleave timed reps.
+    // Arm ORDER alternates per rep: the second back-to-back run of the
+    // same query inherits warm JIT/codegen from the first (a no-op-conf
+    // control measured a consistent ~1.5× penalty on whichever arm ran
+    // first), so a fixed order would bias every comparison.
     names.foreach { n => time(n, arm = true); time(n, arm = false) }
     val a = collection.mutable.Map.empty[String, Double].withDefaultValue(1e9)
     val b = collection.mutable.Map.empty[String, Double].withDefaultValue(1e9)
-    (1 to reps).foreach { _ =>
+    (1 to reps).foreach { r =>
       names.foreach { n =>
-        a(n) = math.min(a(n), time(n, arm = true))
-        b(n) = math.min(b(n), time(n, arm = false))
+        val order = if (r % 2 == 1) Seq(true, false) else Seq(false, true)
+        order.foreach { arm =>
+          val t = time(n, arm)
+          if (arm) a(n) = math.min(a(n), t) else b(n) = math.min(b(n), t)
+        }
       }
     }
     println(f"${"query"}%-30s ${"A(on)"}%8s ${"B(off)"}%8s ${"A/B"}%6s")

@@ -122,15 +122,18 @@ object Dedup {
   /** Exact Jaccard over the distinct shingle sets for given (i, j) pairs:
     * common counts come from a shingle-keyed join (no shingle arrays are
     * carried through the shuffle — only (id, size, shingle) rows). */
-  def jaccardFor(pairs: DataFrame, shingled: DataFrame, idCol: String): DataFrame = {
-    val ex = invertedIndex(shingled, idCol)
+  def jaccardFor(pairs: DataFrame, shingled: DataFrame, idCol: String): DataFrame =
+    jaccardForOnIndex(pairs, invertedIndex(shingled, idCol), idCol)
+
+  /** [[jaccardFor]] over a prebuilt (persisted) inverted index. */
+  private def jaccardForOnIndex(pairs: DataFrame, ex: DataFrame,
+      idCol: String): DataFrame =
     pairs
       .join(ex.select(col(idCol).as("i"), col("n").as("ni"), col("s")), "i")
       .join(ex.select(col(idCol).as("j"), col("n").as("nj"), col("s")), Seq("j", "s"))
       .groupBy("i", "j")
       .agg(count(lit(1)).as("common"), max("ni").as("ni"), max("nj").as("nj"))
       .select(col("i"), col("j"), jaccardCol.as("jaccard"))
-  }
 
   /** Full MinHash+LSH near-dup pipeline: shingle → sign → band → bucket
     * join → exact-Jaccard verification at `threshold`. The shingle set is
@@ -153,8 +156,16 @@ object Dedup {
     * sharing ≥1 shingle ever exist (shuffle keyed on shingle, no cross
     * join, no candidate-list detour). */
   def ngramJaccardPairs(docs: DataFrame, idCol: String, textCol: String,
-      threshold: Double, k: Int = 3): DataFrame = {
-    val ex = invertedIndex(shingleSets(docs, idCol, textCol, k), idCol)
+      threshold: Double, k: Int = 3): DataFrame =
+    ngramJaccardPairsOnIndex(
+      invertedIndex(shingleSets(docs, idCol, textCol, k), idCol),
+      idCol, threshold)
+
+  /** [[ngramJaccardPairs]] body over a prebuilt (persisted) inverted
+    * index — shared with the adaptive path so the plan decision and the
+    * chosen branch read ONE index materialization. */
+  private def ngramJaccardPairsOnIndex(ex: DataFrame, idCol: String,
+      threshold: Double): DataFrame =
     ex.select(col(idCol).as("i"), col("n").as("ni"), col("s"))
       .join(ex.select(col(idCol).as("j"), col("n").as("nj"), col("s")), "s")
       .filter(col("i") < col("j"))
@@ -162,7 +173,6 @@ object Dedup {
       .agg(count(lit(1)).as("common"), max("ni").as("ni"), max("nj").as("nj"))
       .select(col("i"), col("j"), jaccardCol.as("jaccard"))
       .filter(col("jaccard") >= threshold)
-  }
 
   /** Lossless prefix-filtered exact Jaccard (the AllPairs/PPJoin prefix
     * principle — Bayardo et al. WWW'07, Xiao et al. WWW'08): order each
@@ -193,15 +203,27 @@ object Dedup {
   def ngramJaccardPairsPrefix(docs: DataFrame, idCol: String, textCol: String,
       threshold: Double, k: Int = 3): DataFrame = {
     val shingled = shingleSets(docs, idCol, textCol, k)
-    val cand = ngramJaccardPrefixCandidates(shingled, idCol, threshold)
-    jaccardFor(cand, shingled, idCol).filter(col("jaccard") >= threshold)
+    ngramJaccardPairsPrefixOnIndex(invertedIndex(shingled, idCol), idCol,
+      threshold)
+  }
+
+  /** [[ngramJaccardPairsPrefix]] body over a prebuilt (persisted)
+    * inverted index — shared with the adaptive path. */
+  private def ngramJaccardPairsPrefixOnIndex(ex: DataFrame, idCol: String,
+      threshold: Double): DataFrame = {
+    val cand = prefixCandidatesOnIndex(ex, idCol, threshold)
+    jaccardForOnIndex(cand, ex, idCol).filter(col("jaccard") >= threshold)
   }
 
   /** The prefix plan's candidate-pair stage (split out so scale proofs
     * can measure the candidate volume the verification join pays). */
   private[graft] def ngramJaccardPrefixCandidates(shingled: DataFrame,
+      idCol: String, threshold: Double): DataFrame =
+    prefixCandidatesOnIndex(invertedIndex(shingled, idCol), idCol, threshold)
+
+  /** [[ngramJaccardPrefixCandidates]] over a prebuilt inverted index. */
+  private def prefixCandidatesOnIndex(ex: DataFrame,
       idCol: String, threshold: Double): DataFrame = {
-    val ex = invertedIndex(shingled, idCol)
     val docFreq = ex.groupBy("s").agg(count(lit(1)).as("df"))
     val w = org.apache.spark.sql.expressions.Window
       .partitionBy(idCol).orderBy("df", "s")
@@ -242,9 +264,13 @@ object Dedup {
     *    boilerplate df²" (prefix is the only plan that survives).
     *
     * Both branches are output-identical (spec-proven), so the choice is
-    * pure physics; the decision costs one narrow aggregation job whose
-    * input the chosen branch rebuilds anyway (a column-only projection —
-    * cheaper to recompute than to persist, the round-2 lesson).
+    * pure physics; since round 14 the decision aggregates over the SAME
+    * persisted inverted index the chosen branch joins on (one shingle
+    * pass over the corpus total, not two — the decision action is also
+    * what materializes the index cache the branch then reads). The
+    * exploded-row index is the flat columnar form whose persist is
+    * cheap; the round-2 "recompute, don't persist" lesson applied to
+    * shingle ARRAYS, which are still never cached.
     *
     * At 100 TB even the decision pass matters: `statsSampleRate` < 1
     * runs it on a content-stable hash sample of the DOCUMENTS and
@@ -262,11 +288,25 @@ object Dedup {
       statsSampleRate: Double = 1.0,
       hotDfCap: Int = 100,
       hotFraction: Double = 0.5): DataFrame = {
-    if (ngramPlanChoosesPrefix(docs, idCol, textCol, k, maxDirectPairs,
-        statsSampleRate, hotDfCap, hotFraction))
-      ngramJaccardPairsPrefix(docs, idCol, textCol, threshold, k)
+    // conf-gated for A/B measurement (graft.AB): false = the
+    // pre-round-14 shape whose decision pass re-derived the shingles
+    val reuse = docs.sparkSession.conf
+      .get("spark.graft.d02.reuseIndex", "true").toBoolean
+    if (!reuse) {
+      return if (ngramPlanChoosesPrefix(docs, idCol, textCol, k,
+          maxDirectPairs, statsSampleRate, hotDfCap, hotFraction))
+        ngramJaccardPairsPrefix(docs, idCol, textCol, threshold, k)
+      else
+        ngramJaccardPairs(docs, idCol, textCol, threshold, k)
+    }
+    val ex = invertedIndex(shingleSets(docs, idCol, textCol, k), idCol)
+    val (candVolume, hotVolume) = volumesFromExploded(
+      ex.select(col(idCol), col("s")), idCol, statsSampleRate, hotDfCap)
+    if (candVolume > maxDirectPairs &&
+        hotVolume >= hotFraction * candVolume)
+      ngramJaccardPairsPrefixOnIndex(ex, idCol, threshold)
     else
-      ngramJaccardPairs(docs, idCol, textCol, threshold, k)
+      ngramJaccardPairsOnIndex(ex, idCol, threshold)
   }
 
   /** The df-adaptive PLAN DECISION, split out so specs can pin the
@@ -298,6 +338,23 @@ object Dedup {
   def directJoinCandidateVolumes(docs: DataFrame, idCol: String,
       textCol: String, k: Int = 3, statsSampleRate: Double = 1.0,
       hotDfCap: Int = 100): (Long, Long) = {
+    // the id-hash sample filter references only idCol, so Catalyst
+    // pushes it below the shingle projection — the standalone decision
+    // API scans ONLY the sampled documents, as before the round-14
+    // shared-index refactor
+    val exploded = shingleSets(docs, idCol, textCol, k)
+      .select(col(idCol), explode(col("sh")).as("s"))
+    volumesFromExploded(exploded, idCol, statsSampleRate, hotDfCap)
+  }
+
+  /** The volumes estimator over an exploded (id, …, s) shingle frame —
+    * shared by the standalone decision API above (fresh projection) and
+    * [[ngramJaccardPairsAdaptive]] (the persisted inverted index the
+    * chosen branch reads anyway). Sampling semantics identical: the
+    * id-hash bucket filter selects the same document subset whether it
+    * runs below the shingle projection or over the index rows. */
+  private def volumesFromExploded(exploded: DataFrame, idCol: String,
+      statsSampleRate: Double, hotDfCap: Int): (Long, Long) = {
     require(statsSampleRate >= 0.0001 && statsSampleRate <= 1.0,
       s"statsSampleRate must be in [0.0001, 1]: $statsSampleRate")
     // 10 000 hash buckets, not Mix.hashBucket's 100: a rate below (or
@@ -309,9 +366,9 @@ object Dedup {
     // the estimator divides by the rate the filter ACTUALLY selects
     // (rounded bucket count / 10 000), never the requested one
     val effRate = if (statsSampleRate >= 1.0) 1.0 else nBuckets / 10000.0
-    val statDocs =
-      if (statsSampleRate >= 1.0) docs
-      else docs.filter(
+    val stat =
+      if (statsSampleRate >= 1.0) exploded
+      else exploded.filter(
         conv(substring(md5(col(idCol).cast("string")), 1, 8), 16, 10)
           .cast("long") % 10000 < nBuckets)
     // the hot cut scales with the sample too: a df observed at rate r
@@ -319,8 +376,7 @@ object Dedup {
     val sampledCap =
       if (statsSampleRate >= 1.0 || hotDfCap == Int.MaxValue) hotDfCap.toLong
       else math.max(1L, (hotDfCap * effRate).round)
-    val row = shingleSets(statDocs, idCol, textCol, k)
-      .select(explode(col("sh")).as("s"))
+    val row = stat.select(col("s"))
       .groupBy("s").agg(count(lit(1)).as("df"))
       .agg(
         coalesce(sum(col("df") * (col("df") - 1) / 2), lit(0L))
@@ -387,9 +443,23 @@ object Dedup {
         .union(pairs.select(col("j").as("a"), col("i").as("b"))))
     // `cached` always holds the ACTUAL persisted Dataset (unpersist on a
     // derived Projection is a silent no-op — it uncaches nothing).
+    // Seed lbl = min(id, min neighbor id): EXACTLY the state the first
+    // propagation round would produce from the identity labeling, but
+    // from the same single aggregate that enumerates the ids — so the
+    // loop starts one round ahead (one join + one convergence count
+    // saved; star-shaped dup clusters converge in the very next check).
+    // Conf-gated for A/B measurement (graft.AB); both seeds reach the
+    // identical fixpoint.
+    val seedMinNbr = pairs.sparkSession.conf
+      .get("spark.graft.cc.seedMinNeighbor", "true").toBoolean
     var cached = graft.CacheScope.persist(
-      edges.select(col("a").as("id")).distinct()
-        .withColumn("lbl", col("id")))
+      if (seedMinNbr)
+        edges.groupBy(col("a").as("id"))
+          .agg(min(col("b")).as("mb"))
+          .select(col("id"), least(col("id"), col("mb")).as("lbl"))
+      else
+        edges.select(col("a").as("id")).distinct()
+          .withColumn("lbl", col("id")))
     var labels = cached
     var iter = 0
     var converged = false
