@@ -49,4 +49,34 @@ object DataQuality {
     }
     counted.reduce(_ unionAll _).orderBy("check_name")
   }
+
+  /** Unpivot a one-row frame of per-check counts into the summarize
+    * schema (check_name, violations) — one row per (name, count column). */
+  def countsToSummary(counted: DataFrame,
+      checks: Seq[(String, String)]): DataFrame =
+    counted.select(explode(array(checks.map { case (name, c) =>
+        struct(lit(name).as("check_name"),
+          col(c).cast("bigint").as("violations"))
+      }: _*)).as("kv"))
+      .select(col("kv.check_name").as("check_name"),
+        col("kv.violations").as("violations"))
+
+  /** One-pass predicate suite: every check is a row predicate over the
+    * SAME source, counted in a single conditional aggregate — one scan
+    * instead of one per check. A `summarize` over per-check
+    * filter+count frames reads the table once per check, which at
+    * 100 TB is |checks|−1 redundant full passes; here the scan runs
+    * once and each check rides along as `sum(when(cond, 1))`.
+    * Output-identical to
+    * `summarize(checks.map { case (n, c) => Check(n, df.filter(c)) })`
+    * for checks over this source: a filter keeps exactly the rows the
+    * predicate evaluates to true on (null ⇒ dropped ⇒ not counted). */
+  def summarizeConditions(df: DataFrame,
+      checks: Seq[(String, Column)]): DataFrame = {
+    val aggs = checks.zipWithIndex.map { case ((_, cond), i) =>
+      coalesce(sum(when(cond, 1L).otherwise(0L)), lit(0L)).as(s"c$i")
+    }
+    countsToSummary(df.agg(aggs.head, aggs.tail: _*),
+      checks.zipWithIndex.map { case ((name, _), i) => name -> s"c$i" })
+  }
 }

@@ -148,7 +148,14 @@ object Dedup {
     val signed = withSignature(shingled, numHashes)
     val cand = lshCandidates(
       lshBuckets(signed, idCol, bands, numHashes / bands), idCol, maxBucket)
-    jaccardFor(cand, shingled, idCol).filter(col("jaccard") >= threshold)
+    // the verification index builds from its OWN widened shingle pass
+    // (the d02 index-build shape: the persist materializes once, so only
+    // that one explode is widened; `shingled` above stays un-widened —
+    // widening the signature path A/B'd 1.54× slower in round 14)
+    val verifySrc = if (docs.sparkSession.conf
+        .get("spark.graft.d03.wide", "true").toBoolean) Par.wide(docs) else docs
+    jaccardFor(cand, shingleSets(verifySrc, idCol, textCol), idCol)
+      .filter(col("jaccard") >= threshold)
   }
 
   /** All-pairs n-gram Jaccard via a shingle-inverted-index join: common
@@ -299,7 +306,14 @@ object Dedup {
       else
         ngramJaccardPairs(docs, idCol, textCol, threshold, k)
     }
-    val ex = invertedIndex(shingleSets(docs, idCol, textCol, k), idCol)
+    // widened ahead of the shingle explode that materializes the ONE
+    // persisted index (guide §2.5: the shingle expression is per-row
+    // heavy and the scan unsplittable; Par.wide no-ops at realistic
+    // layouts). Narrow by design: only the index build widens — the
+    // blanket shingle-site widening A/B'd slower in round 14.
+    val src = if (docs.sparkSession.conf
+        .get("spark.graft.d02.wide", "true").toBoolean) Par.wide(docs) else docs
+    val ex = invertedIndex(shingleSets(src, idCol, textCol, k), idCol)
     val (candVolume, hotVolume) = volumesFromExploded(
       ex.select(col(idCol), col("s")), idCol, statsSampleRate, hotDfCap)
     if (candVolume > maxDirectPairs &&
@@ -587,10 +601,16 @@ object Dedup {
       maxOcc: Int = 64, maxGap: Int = 24, minFps: Int = 3): DataFrame = {
     import org.apache.spark.sql.expressions.Window
     import graft.functions.expressions.RollingFingerprint.rolling_fingerprint_pos
+    // widened ahead of the rolling-hash pass: the winnowing fingerprint
+    // (polynomial hash over every char + min-window) is the heaviest
+    // per-row stage in the engine, and on an unsplittable scan it runs
+    // on one core (guide §2.5; Par.wide no-ops at realistic layouts)
+    val src = if (docs.sparkSession.conf
+        .get("spark.graft.d09.wide", "true").toBoolean) Par.wide(docs) else docs
     // persisted: the occurrence-cap aggregate and both join legs read the
     // positioned fingerprints — three evaluations of the scan without it
     val fps = graft.CacheScope.persist(
-      docs.select(col(idCol).as("doc_id"),
+      src.select(col(idCol).as("doc_id"),
           explode(rolling_fingerprint_pos(col(textCol), window, stride)).as("sp"))
         .select(col("doc_id"), col("sp.fp").as("fp"), col("sp.pos").as("p")))
     val hot = fps.groupBy("fp").agg(count(lit(1)).as("occ"))

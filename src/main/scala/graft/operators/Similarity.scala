@@ -218,6 +218,8 @@ object Similarity {
   def lshTopK(corpus: DataFrame, queries: DataFrame, k: Int,
       nBits: Int = 8, nTables: Int = 4, dims: Int = 64,
       maxBucket: Int = DefaultMaxBucket, planeStride: Int = -1): DataFrame = {
+    // NOT widened: see nearDupPairsLsh — Par.wide ahead of the
+    // projection A/B'd 1.53×/1.74× slower on v03/v06 (r15)
     val c = capBuckets(
       withNorm(corpus, "neighbor_id")
         .withColumnRenamed("v", "cv").withColumnRenamed("nrm", "cn")
@@ -747,12 +749,24 @@ object Similarity {
   def nearDupPairsLsh(vectors: DataFrame, threshold: Double,
       nBits: Int = 8, nTables: Int = 16, dims: Int = 64,
       maxBucket: Int = DefaultMaxBucket, planeStride: Int = -1): DataFrame = {
+    // NOT widened: Par.wide ahead of the hyperplane projection A/B'd
+    // 1.57× SLOWER here even with the signature persist (r15, reps=3,
+    // interleaved) — at bench scale the 32-task launch + round-robin
+    // exchange costs more than the serial projection; at cluster scale
+    // the guard no-ops it anyway. Same negative as round 14's blanket
+    // measurement; do not re-try blind.
     val v = withNorm(vectors, "vid")
-    val sig = capBuckets(
+    val sigRaw = capBuckets(
       v.select(col("vid"),
         explode(bucketStructs(col("v"), nBits, nTables, dims, planeStride))
           .as("tb")),
       "vid", maxBucket)
+    // persisted: BOTH candidate-join legs read the signatures — without
+    // this the projection pass over the corpus runs twice (guide §1.2:
+    // don't compute things twice)
+    val sig = if (vectors.sparkSession.conf
+        .get("spark.graft.sig.persist", "true").toBoolean)
+      graft.CacheScope.persist(sigRaw) else sigRaw
     val cand = sig.select(col("tb"), col("vid").as("i"))
       .join(sig.select(col("tb"), col("vid").as("j")), Seq("tb"))
       .filter(col("i") < col("j"))

@@ -618,12 +618,20 @@ object MixQueries {
       |  CAST(MAX(cum) AS BIGINT) AS boundary_cum
       |FROM sel""".stripMargin) { (s, d) =>
     import graft.operators.ScalableWindow
-    val q = docs(s, d).select(col("doc_id"),
+    // persisted (r15): `q` feeds the one-row total AND the rank chain —
+    // each a separate query execution (globalRank/runningTotal collect
+    // internally), so without the persist the tokenize pass runs once
+    // per consumer. NOT widened: Par.wide ahead of the tokenize A/B'd
+    // 1.42× slower (r15) — string_split is too cheap per row to pay for
+    // the exchange (unlike the shingle/rolling-hash sites).
+    val s10opt = s.conf.get("spark.graft.s10.opt", "true").toBoolean
+    val q0 = docs(s, d).select(col("doc_id"),
         size(graft.functions.TextFns.tokens(col("text"))).as("n_tok"),
         col("n_chars"))
       .withColumn("qpt",
         round(col("n_chars").cast("double") / col("n_tok"), 4))
       .select("doc_id", "n_tok", "qpt")
+    val q = if (s10opt) graft.CacheScope.persist(q0) else q0
     val total = q.agg(sum("n_tok").as("total_tok"))
     val ranked = ScalableWindow.globalRank(
       q, expr("cast(-ceil(qpt * 10) as long)"),
@@ -697,7 +705,11 @@ object MixQueries {
     import graft.operators.ScalableWindow
     import graft.functions.TextFns.{tokens, punctRatio, markerHits}
     val stops = Seq("the", "a", "of", "and", "to")
-    val base = docs(s, d).select(
+    // widened (r15): the scoring scan (tokenize + punct regex + LR) is
+    // the pipeline's heaviest per-row stage and the scan unsplittable
+    val g04opt = s.conf.get("spark.graft.g04.opt", "true").toBoolean
+    val g04src = if (g04opt) graft.operators.Par.wide(docs(s, d)) else docs(s, d)
+    val base = g04src.select(
       col("doc_id"), col("text"), col("n_chars"),
       tokens(col("text")).as("tok"),
       punctRatio(col("text")).as("punct_ratio"))
@@ -715,8 +727,14 @@ object MixQueries {
     val dedup = kept.groupBy(md5(col("text")))
       .agg(min("doc_id").as("doc_id"), min("n_chars").as("n_chars"),
         min("n_tok").as("n_tok"))
-    val scored = dedup.select(col("doc_id"), col("n_tok"),
+    // persisted (r15): `scored` feeds the one-row total, the budget
+    // rank, and (via `sel`) the shard rank + nsel — four consumers, each
+    // in its own query execution (the ScalableWindow collects), so
+    // without the persist the whole score→dedup pipeline re-runs per
+    // consumer (profiled: Σ task 11.7 s for a ~2.6 s pipeline)
+    val scored0 = dedup.select(col("doc_id"), col("n_tok"),
       round(col("n_chars").cast("double") / col("n_tok"), 4).as("qpt"))
+    val scored = if (g04opt) graft.CacheScope.persist(scored0) else scored0
     val total = scored.agg(sum("n_tok").as("t"))
     val budgetRanked = ScalableWindow.globalRank(
       scored, expr("cast(-ceil(qpt * 10) as long)"),

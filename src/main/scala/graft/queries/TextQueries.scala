@@ -199,10 +199,15 @@ object TextQueries {
        |  GROUP BY 1, 2 HAVING COUNT(*) >= 8)
        |SELECT * FROM pairs ORDER BY i, j""".stripMargin) { (s, d) =>
     import graft.functions.expressions.RollingFingerprint.rolling_fingerprint
+    // widened ahead of the rolling-hash pass (the d09 rationale: the
+    // polynomial hash over every char is the heaviest per-row stage and
+    // the scan is unsplittable; Par.wide no-ops at realistic layouts)
+    val src = if (s.conf.get("spark.graft.t07.wide", "true").toBoolean)
+      graft.operators.Par.wide(docs(s, d)) else docs(s, d)
     // persisted: both self-join legs read the fingerprints — without
     // this the rolling-hash pass over every document runs twice
     val fps = graft.CacheScope.persist(
-      docs(s, d).select(col("doc_id"),
+      src.select(col("doc_id"),
         explode(rolling_fingerprint(col("text"))).as("fp")))
     val a = fps.select(col("doc_id").as("i"), col("fp"))
     val b = fps.select(col("doc_id").as("j"), col("fp"))
@@ -323,9 +328,17 @@ object TextQueries {
         |SELECT doc_id, CAST(n_grams AS BIGINT) AS n_grams,
         |  ROUND(n_unique * 1.0 / n_grams, 4) AS novelty
         |FROM per ORDER BY doc_id""".stripMargin) { (s, d) =>
-    val ex = graft.operators.Dedup
-      .shingleSets(docs(s, d), "doc_id", "text")
+    // d02's index-build shape (r15): widen ahead of the shingle explode
+    // (per-row heavy, unsplittable scan; no-op at realistic layouts) and
+    // persist the exploded rows — the df aggregate AND the join-back leg
+    // both read them, so without the persist the shingle pass runs twice
+    val t10src = if (s.conf.get("spark.graft.t10.opt", "true").toBoolean)
+      graft.operators.Par.wide(docs(s, d)) else docs(s, d)
+    val ex0 = graft.operators.Dedup
+      .shingleSets(t10src, "doc_id", "text")
       .select(col("doc_id"), explode(col("sh")).as("s"))
+    val ex = if (s.conf.get("spark.graft.t10.opt", "true").toBoolean)
+      graft.CacheScope.persist(ex0) else ex0
     val df = ex.groupBy("s").agg(count(lit(1)).as("df"))
     ex.join(df, "s")
       .groupBy("doc_id")
@@ -490,9 +503,17 @@ object TextQueries {
       |    AS zipf_intercept
       |FROM zfit CROSS JOIN totals""".stripMargin) { (s, d) =>
     import org.apache.spark.sql.types.DecimalType
-    val tf = docs(s, d)
+    // persisted (r15): `tf` feeds the globalRank chain AND the totals
+    // aggregate — separate query executions (globalRank collects
+    // internally), so without the persist the explode+groupBy runs
+    // twice. NOT widened: Par.wide ahead of the explode A/B'd 1.33×
+    // slower (r15) — the token explode is too cheap per row to pay for
+    // the exchange (unlike the shingle/rolling-hash sites).
+    val t14opt = s.conf.get("spark.graft.t14.opt", "true").toBoolean
+    val tf0 = docs(s, d)
       .select(explode(tokens(col("text"))).as("term"))
       .groupBy("term").agg(count(lit(1)).as("cnt"))
+    val tf = if (t14opt) graft.CacheScope.persist(tf0) else tf0
     val ranked = graft.operators.ScalableWindow.globalRank(
       tf, expr("-cnt"), Seq(col("cnt").desc, col("term")), "rnk")
     val lnR = log(col("rnk"))
@@ -648,15 +669,47 @@ object TextQueries {
       s: org.apache.spark.sql.SparkSession,
       docsDf: org.apache.spark.sql.DataFrame,
       k: Int): org.apache.spark.sql.DataFrame = {
-    val tok = docsDf.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-    val dlen = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-    // pre-filter to query terms before grouping: shuffle is query-term
-    // rows only, and df per retained term is unchanged by the filter
-    val qterms = s.createDataFrame(BM25_QUERIES).toDF("query_id", "term")
-    val tf = tok
-      .join(broadcast(qterms.select("term").distinct()), "term")
-      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-    bm25Score(s, tf, dlen, k)
+    if (s.conf.get("spark.graft.bm25.onepass", "true").toBoolean) {
+      // one-pass map-side form (r15, guide §2.3/§2.4): the token array
+      // is ALREADY per-document, so dl = size(tokens) and the per-term
+      // tf over the FIXED query-term set are column expressions — no
+      // token explode, no corpus-token shuffle. The previous shape
+      // exploded every token and shuffled the whole corpus token stream
+      // through groupBy(doc_id) (for dl) and groupBy(doc_id, term)
+      // (for tf); at 100 TB those are the query's dominant byte movers.
+      // Row sets are identical: the explode+groupBy dlen had one row
+      // per doc with ≥1 token (`size(tok) > 0` reproduces it — null
+      // text sizes to -1), and tf kept (doc, term) pairs with count
+      // ≥ 1 (`tf > 0` reproduces it). Persisted: tf and dlen both
+      // derive from the same tokenize pass, so the corpus tokenizes
+      // ONCE per run.
+      val terms = BM25_QUERIES.map(_._2).distinct
+      val perDoc = graft.CacheScope.persist(
+        docsDf.select(col("doc_id"), tokens(col("text")).as("tok"))
+          .filter(size(col("tok")) > 0)
+          .select(col("doc_id"), size(col("tok")).cast("bigint").as("dl"),
+            array(terms.map { t =>
+              struct(lit(t).as("term"),
+                size(filter(col("tok"), x => x === lit(t)))
+                  .cast("bigint").as("tf"))
+            }: _*).as("tfs")))
+      val dlen = perDoc.select(col("doc_id"), col("dl"))
+      val tf = perDoc
+        .select(col("doc_id"), explode(col("tfs")).as("kv"))
+        .select(col("doc_id"), col("kv.term").as("term"), col("kv.tf").as("tf"))
+        .filter(col("tf") > 0)
+      bm25Score(s, tf, dlen, k)
+    } else {
+      val tok = docsDf.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+      val dlen = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+      // pre-filter to query terms before grouping: shuffle is query-term
+      // rows only, and df per retained term is unchanged by the filter
+      val qterms = s.createDataFrame(BM25_QUERIES).toDF("query_id", "term")
+      val tf = tok
+        .join(broadcast(qterms.select("term").distinct()), "term")
+        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+      bm25Score(s, tf, dlen, k)
+    }
   }
 
   /** The BM25 scoring tail over an INDEX: `postings(doc_id, term, tf)`
