@@ -815,11 +815,18 @@ object Similarity {
   def semDedup(vectors: DataFrame, threshold: Double,
       nCentroids: Int = 16): DataFrame = {
     val (refined, cells) = ivfIndex(vectors, nCentroids)
-    val members = cells.join(broadcast(refined), "cid")
+    // persisted (r15): `members` feeds BOTH legs of the cell-keyed
+    // tournament self-join AND the final anti-join probe — un-persisted,
+    // the cell-assignment crossJoin (nCentroids dots per vector) and the
+    // centroid-similarity projection evaluate once per consumer
+    val members0 = cells.join(broadcast(refined), "cid")
       .select(col("neighbor_id").as("vid"), col("cv2").as("v"),
         col("cn2").as("nrm"), col("cid"),
         round(dot(col("cv2"), col("cv")) / (col("cn2") * col("cn")), 6)
           .as("cent_sim"))
+    val members = if (vectors.sparkSession.conf
+        .get("spark.graft.v11.persist", "true").toBoolean)
+      graft.CacheScope.persist(members0) else members0
     val a = members.select(col("cid"), col("vid").as("i"), col("v").as("vi"),
       col("nrm").as("ni"), col("cent_sim").as("ci"))
     val b = members.select(col("cid"), col("vid").as("j"), col("v").as("vj"),

@@ -36,6 +36,12 @@ object MultimodalQueries {
   val m02ImageDecode: Q = Q.rowsOnly("m02_image_decode") { (s, d) =>
     implicit val spark: org.apache.spark.sql.SparkSession = s
     val media = Multimodal.asImageTable(t(s, d, "documents"), "doc_id", "text")
+    // NOT persisted ahead of the orderBy: the t-family sortShared fix
+    // (cache the narrow projection so the range exchange's sampling pass
+    // doesn't re-run the expensive child) A/B'd 1.12× SLOWER here (r15)
+    // — the object-serialization boundary of the typed decode makes the
+    // cache write cost more than the JIT-warm second codec pass saves at
+    // bench scale. Recorded so the shape isn't re-tried blind.
     Multimodal.decodeMedia(media).toDF()
       .select(col("media_id"), col("width"), col("height"), col("n_frames"),
         (col("width") * col("height")).as("n_pixels"))

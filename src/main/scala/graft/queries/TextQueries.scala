@@ -16,6 +16,20 @@ object TextQueries {
   private def docs(s: org.apache.spark.sql.SparkSession, d: String) =
     t(s, d, "documents")
 
+  /** Persist a projected frame ahead of its global orderBy (r15): a
+    * range exchange SAMPLES its child to pick partition bounds —
+    * executing the child plan once for the sample and again for the
+    * shuffle — so an un-persisted expensive projection (regex
+    * tokenization, PII scans) runs TWICE over the corpus. The persisted
+    * frame is the NARROW per-doc result (a few scalars per row), so the
+    * cache is corpus-row-count sized, not corpus-byte sized. Conf-gated
+    * for A/B. */
+  private def sortShared(df: org.apache.spark.sql.DataFrame)
+      : org.apache.spark.sql.DataFrame =
+    if (df.sparkSession.conf
+        .get("spark.graft.tsort.persist", "true").toBoolean)
+      graft.CacheScope.persist(df) else df
+
   // ---------------------------------------------------------------- t01
   // Token counting + basic stats per document.
   val t01TokenStats: Q = Q(
@@ -27,12 +41,12 @@ object TextQueries {
       |        / NULLIF(len(string_split(text, ' ')), 0), 4) AS avg_token_len
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     val tok = tokens(col("text"))
-    docs(s, d).select(
+    sortShared(docs(s, d).select(
       col("doc_id"), col("n_chars"),
       size(tok).cast("bigint").as("n_tokens"),
       size(array_distinct(tok)).cast("bigint").as("n_distinct_tokens"),
       round(length(regexp_replace(col("text"), " ", "")).cast("double")
-        / nullif(size(tok).cast("bigint"), lit(0)), 4).as("avg_token_len"))
+        / nullif(size(tok).cast("bigint"), lit(0)), 4).as("avg_token_len")))
       .orderBy("doc_id")
   }
 
@@ -58,7 +72,7 @@ object TextQueries {
     val base = docs(s, d).select(
       col("doc_id"), tokens(col("text")).as("tok"),
       punctRatio(col("text")).as("punct_ratio"))
-    base.select(
+    sortShared(base.select(
       col("doc_id"),
       size(col("tok")).cast("bigint").as("n_tokens"),
       col("punct_ratio"),
@@ -66,7 +80,7 @@ object TextQueries {
         / nullif(size(col("tok")).cast("bigint"), lit(0)), 4).as("stopword_ratio"),
       (size(col("tok")).between(10, 1000)
         && col("punct_ratio") <= 0.1
-        && markerHits(col("tok"), stops) > 0).as("passes_quality"))
+        && markerHits(col("tok"), stops) > 0).as("passes_quality")))
       .orderBy("doc_id")
   }
 
@@ -99,13 +113,13 @@ object TextQueries {
           markerHits(col("tok"), ms).as(code)
         }): _*)
     val g = greatest(langMarkers.map(m => col(m._1)): _*)
-    scored.select(
+    sortShared(scored.select(
       col("doc_id"), col("labeled_lang"),
       when(g === 0, "und")
         .when(col("de") === g, "de")
         .when(col("en") === g, "en")
         .when(col("es") === g, "es")
-        .otherwise("fr").as("predicted_lang"))
+        .otherwise("fr").as("predicted_lang")))
       .orderBy("doc_id")
   }
 
@@ -150,10 +164,10 @@ object TextQueries {
       |  len(list_distinct(regexp_extract_all(text, '[a-z]+|[0-9]+|[^a-z0-9 ]'))) AS n_distinct_bpe
       |FROM documents ORDER BY doc_id""".stripMargin) { (s, d) =>
     val toks = regexp_extract_all(col("text"), lit("[a-z]+|[0-9]+|[^a-z0-9 ]"), lit(0))
-    docs(s, d).select(
+    sortShared(docs(s, d).select(
       col("doc_id"),
       size(toks).cast("bigint").as("n_bpe_tokens"),
-      size(array_distinct(toks)).cast("bigint").as("n_distinct_bpe"))
+      size(array_distinct(toks)).cast("bigint").as("n_distinct_bpe")))
       .orderBy("doc_id")
   }
 
@@ -302,11 +316,11 @@ object TextQueries {
         lit(".0.7 tel 202-555-"),
         lpad((col("doc_id") % 10000).cast("string"), 4, "0")).as("t"))
     import graft.functions.TextFns.{piiCount, piiRedact}
-    aug.select(col("doc_id"),
+    sortShared(aug.select(col("doc_id"),
       piiCount(col("t"), EMAIL_RE).as("n_emails"),
       piiCount(col("t"), IP_RE).as("n_ips"),
       piiCount(col("t"), PHONE_RE).as("n_phones"),
-      md5(piiRedact(col("t"))).as("redacted_md5"))
+      md5(piiRedact(col("t"))).as("redacted_md5")))
       .orderBy("doc_id")
   }
 
@@ -669,47 +683,26 @@ object TextQueries {
       s: org.apache.spark.sql.SparkSession,
       docsDf: org.apache.spark.sql.DataFrame,
       k: Int): org.apache.spark.sql.DataFrame = {
-    if (s.conf.get("spark.graft.bm25.onepass", "true").toBoolean) {
-      // one-pass map-side form (r15, guide §2.3/§2.4): the token array
-      // is ALREADY per-document, so dl = size(tokens) and the per-term
-      // tf over the FIXED query-term set are column expressions — no
-      // token explode, no corpus-token shuffle. The previous shape
-      // exploded every token and shuffled the whole corpus token stream
-      // through groupBy(doc_id) (for dl) and groupBy(doc_id, term)
-      // (for tf); at 100 TB those are the query's dominant byte movers.
-      // Row sets are identical: the explode+groupBy dlen had one row
-      // per doc with ≥1 token (`size(tok) > 0` reproduces it — null
-      // text sizes to -1), and tf kept (doc, term) pairs with count
-      // ≥ 1 (`tf > 0` reproduces it). Persisted: tf and dlen both
-      // derive from the same tokenize pass, so the corpus tokenizes
-      // ONCE per run.
-      val terms = BM25_QUERIES.map(_._2).distinct
-      val perDoc = graft.CacheScope.persist(
-        docsDf.select(col("doc_id"), tokens(col("text")).as("tok"))
-          .filter(size(col("tok")) > 0)
-          .select(col("doc_id"), size(col("tok")).cast("bigint").as("dl"),
-            array(terms.map { t =>
-              struct(lit(t).as("term"),
-                size(filter(col("tok"), x => x === lit(t)))
-                  .cast("bigint").as("tf"))
-            }: _*).as("tfs")))
-      val dlen = perDoc.select(col("doc_id"), col("dl"))
-      val tf = perDoc
-        .select(col("doc_id"), explode(col("tfs")).as("kv"))
-        .select(col("doc_id"), col("kv.term").as("term"), col("kv.tf").as("tf"))
-        .filter(col("tf") > 0)
-      bm25Score(s, tf, dlen, k)
-    } else {
-      val tok = docsDf.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
-      val dlen = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
-      // pre-filter to query terms before grouping: shuffle is query-term
-      // rows only, and df per retained term is unchanged by the filter
-      val qterms = s.createDataFrame(BM25_QUERIES).toDF("query_id", "term")
-      val tf = tok
-        .join(broadcast(qterms.select("term").distinct()), "term")
-        .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
-      bm25Score(s, tf, dlen, k)
-    }
+    // This two-leg explode shape is the measured winner — two r15
+    // rewrites lost to it at sf10 (500k docs) and are NOT in the tree:
+    //  1. per-term tf via 9 `filter()` higher-order functions per row
+    //     (no explode at all): 0.88× at sf0.1 but 24.1 s vs ~7 s at
+    //     sf10 — HOFs are interpreted per element (guide §4), the
+    //     explode+groupBy is whole-stage codegen;
+    //  2. map-side dl = size(tokens) replacing dlen's explode+groupBy:
+    //     1.33× at sf10 (1.42× with dlen persisted) — dlen's terminal
+    //     Exchange is computed ONCE and reused by ReuseExchange across
+    //     its two consumers (stats + scoring join), which the map-only
+    //     form forfeits, re-tokenizing per consumer.
+    val tok = docsDf.select(col("doc_id"), explode(tokens(col("text"))).as("term"))
+    val dlen = tok.groupBy("doc_id").agg(count(lit(1)).as("dl"))
+    // pre-filter to query terms before grouping: shuffle is query-term
+    // rows only, and df per retained term is unchanged by the filter
+    val qterms = s.createDataFrame(BM25_QUERIES).toDF("query_id", "term")
+    val tf = tok
+      .join(broadcast(qterms.select("term").distinct()), "term")
+      .groupBy("doc_id", "term").agg(count(lit(1)).as("tf"))
+    bm25Score(s, tf, dlen, k)
   }
 
   /** The BM25 scoring tail over an INDEX: `postings(doc_id, term, tf)`
@@ -803,11 +796,11 @@ object TextQueries {
       round(log(lit(1) + size(col("tok"))), 4).as("log_len"))
     val z = lit(-2.0) + lit(0.55) * col("log_len") -
       lit(6.0) * col("punct_ratio") + lit(9.0) * col("stopword_ratio")
-    feat
+    sortShared(feat
       .withColumn("p_quality", round(lit(1) / (lit(1) + exp(-z)), 4))
       .select(col("doc_id"), col("n_tokens"), col("punct_ratio"),
         col("stopword_ratio"), col("p_quality"),
-        (col("p_quality") >= 0.5).as("keep"))
+        (col("p_quality") >= 0.5).as("keep")))
       .orderBy("doc_id")
   }
 
