@@ -755,6 +755,11 @@ object Similarity {
     // exchange costs more than the serial projection; at cluster scale
     // the guard no-ops it anyway. Same negative as round 14's blanket
     // measurement; do not re-try blind.
+    // The normed corpus `v` feeds the signature materialization and
+    // both exact-verify legs; persisting it A/B'd 1.002 (pure neutral,
+    // r15) and at scale it would cache full vector arrays — a
+    // corpus-sized MEMORY_AND_DISK footprint against a cheap columnar
+    // scan+dot recompute — so it stays unpersisted.
     val v = withNorm(vectors, "vid")
     val sigRaw = capBuckets(
       v.select(col("vid"),
